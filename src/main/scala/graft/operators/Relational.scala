@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational / OLAP core: the generic SQL surface the reference gets
+  * from ClickHouse over its Iceberg parquet tables (reference:
+  * README.md "Query Logs" / "Example Queries").
+  *
+  * Every query is a declarative DataFrame plan: filters/projections
+  * reach the parquet scan, dimension joins are broadcast, aggregates are
+  * partial (map-side combine) by construction, top-N is agg→sort→limit
+  * so only K rows ever reach the driver. All plans hold at 100 TB:
+  * shuffles are keyed on group/join keys only and AQE re-plans skew.
+  *
+  * Money arithmetic runs in DECIMAL(18,2): double summation is
+  * order-dependent in the last ulp, which flips round-half cells
+  * between engines/runs. Decimal sums are exact and deterministic; the
+  * final value is rounded in decimal, then cast to double for output.
+  */
+object Relational {
+
+  // Widths chosen so DECIMAL products never exceed precision 38 in
+  // either engine (Spark caps at 38 with precision loss; DuckDB errors).
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))   // prices, qty, balances
+  private def decS(c: Column): Column = c.cast(DecimalType(4, 2))    // rates: discount, tax
+  private def one: Column             = lit(1).cast(DecimalType(3, 2))
+
+  /** round-in-decimal → double: deterministic across engines. */
+  private def m2(sumOfDecimal: Column): Column = round(sumOfDecimal, 2).cast("double")
+
+  /** exact decimal sum → double quotient, rounded: deterministic avg. */
+  private def avg4(c: Column): Column =
+    round(sum(dec2(c)).cast("double") / count(lit(1)), 4)
+
+  private def discPrice: Column = dec2(col("l_extendedprice")) * (one - decS(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary: wide multi-aggregate scan with a
+    * pushed time filter; one shuffle on a 6-value grouping key.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        m2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        m2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        m2(sum(discPrice)).as("sum_disc_price"),
+        m2(sum(discPrice * (one + decS(col("l_tax"))))).as("sum_charge"),
+        avg4(col("l_quantity")).as("avg_qty"),
+        avg4(col("l_extendedprice")).as("avg_price"),
+        avg4(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Star join: revenue per nation for one region+window. Dimensions
+    * (region/nation/customer) are broadcast — no shuffle of the fact
+    * table for the joins, only for the final small-key aggregate.
+    */
+  def q2JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(m2(sum(discPrice)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N orders by revenue for one market segment (TPC-H Q3 shape).
+    * agg → sort → limit: the driver only ever sees K rows.
+    */
+  def q3TopN(spark: SparkSession, dir: String): DataFrame = {
+    val c  = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(m2(sum(discPrice)).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** EXISTS via left-semi join: order-priority histogram of orders that
+    * have at least one high-quantity line. Semi join keeps only the
+    * fact keys — no row multiplication, shuffle keyed on orderkey.
+    */
+  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45)
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** NOT EXISTS via left-anti join: customers with no recent orders,
+    * counted per market segment.
+    */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") >= lit("2000-06-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           m2(sum(dec2(col("c_acctbal")))).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Highly selective filter + global aggregate (TPC-H Q6 shape): the
+    * pushdown showcase — every predicate reaches the parquet scan, the
+    * scan reads 4 columns, and the agg is a single partial+final sum.
+    */
+  def q6Selective(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(
+        col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(m2(sum(dec2(col("l_extendedprice")) * decS(col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Window functions: monthly revenue per supplier with running total
+    * and in-supplier month rank. One shuffle on l_suppkey (the window
+    * partition key) after a map-side partial aggregate.
+    */
+  def q7Window(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val monthly = li
+      .groupBy(col("l_suppkey"),
+               date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("month"))
+      .agg(m2(sum(discPrice)).as("revenue"))
+    val byTime = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+    val byRev  = Window.partitionBy(col("l_suppkey")).orderBy(col("revenue").desc, col("month"))
+    monthly
+      // revenue is an exact-2dp double, so this double window-sum rounds stably
+      .withColumn("running_revenue", round(sum(col("revenue")).over(byTime), 2))
+      .withColumn("month_rank", row_number().over(byRev))
+      .orderBy(col("l_suppkey"), col("month"))
+  }
+
+  /** ROLLUP aggregate: (flag, status) → (flag) → () subtotal levels.
+    * NULL grouping cells are normalized to 'ALL' for engine parity.
+    */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(m2(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_lines"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+}

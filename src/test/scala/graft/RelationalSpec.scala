@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1_agg: 6 flag/status groups, positive sums") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+    val flags = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flags.size == 6)
+  }
+
+  test("q1_agg: ship-date filter is pushed to the parquet scan") {
+    val plan = formattedPlan(Relational.q1Agg(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed l_shipdate filter in:\n$plan")
+  }
+
+  test("q2_join_agg: dimension joins broadcast, no fact-side shuffle join") {
+    val df = Relational.q2JoinAgg(spark, sf)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q3_topn: returns at most 10 rows ordered by revenue desc") {
+    val rows = Relational.q3TopN(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q4_exists: semi join — priorities of orders with a qty>45 line") {
+    val rows = Relational.q4Exists(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(planString(Relational.q4Exists(spark, sf)).contains("LeftSemi"))
+  }
+
+  test("q5_antijoin: anti join — customers with no recent orders") {
+    val df = Relational.q5AntiJoin(spark, sf)
+    assert(planString(df).contains("LeftAnti"))
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q6_selective: all predicates pushed; single aggregate row") {
+    val df = Relational.q6Selective(spark, sf)
+    val plan = formattedPlan(df)
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_quantity,24"),
+      s"expected pushed predicates in:\n$plan")
+    // scan should read only the 4 referenced columns
+    assert(!plan.contains("l_orderkey"), "scan reads columns the query never uses")
+    assert(df.collect().length == 1)
+  }
+
+  test("q7_window: running revenue is monotone per supplier") {
+    val rows = Relational.q7Window(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("l_suppkey")).foreach { case (_, rs) =>
+      val running = rs.sortBy(_.getAs[String]("month")).map(_.getAs[Double]("running_revenue"))
+      assert(running.sameElements(running.sorted), "running revenue must be non-decreasing")
+    }
+  }
+
+  test("q8_rollup: grand total row equals table row count") {
+    val rows = Relational.q8Rollup(spark, sf).collect()
+    val total = rows.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(total.getAs[Long]("n_lines") == n)
+  }
+}
