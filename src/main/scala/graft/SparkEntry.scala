@@ -31,7 +31,18 @@ object SparkEntry {
     "q5_antijoin"   -> (Relational.q5AntiJoin _),
     "q6_selective"  -> (Relational.q6Selective _),
     "q7_window"     -> (Relational.q7Window _),
-    "q8_rollup"     -> (Relational.q8Rollup _)
+    "q8_rollup"     -> (Relational.q8Rollup _),
+    "logs_recent"              -> (LogAnalytics.recent _),
+    "logs_severity_by_service" -> (LogAnalytics.severityByService _),
+    "logs_timeseries"          -> (LogAnalytics.timeseries _),
+    "logs_search"              -> (LogAnalytics.search _),
+    "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
+    "logs_error_rate"          -> (LogAnalytics.errorRate _),
+    "logs_p95_value"           -> (LogAnalytics.p95Value _),
+    "logs_sessionize"          -> (LogAnalytics.sessionize _),
+    "logs_topk_users"          -> (LogAnalytics.topkUsers _),
+    "logs_dau"                 -> (LogAnalytics.dau _),
+    "logs_approx_dau"          -> (LogAnalytics.approxDau _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,6 +116,62 @@ object SparkEntry {
          | coalesce(l_linestatus,'ALL') AS linestatus,
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         |ORDER BY returnflag, linestatus""".stripMargin
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "logs_recent" ->
+      """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | user_id, event_type, value, props
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-28'
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+    "logs_severity_by_service" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "logs_timeseries" ->
+      """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "logs_search" ->
+      """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | user_id, event_type, props
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |  AND props LIKE '%"k": 7%'
+        |ORDER BY ts, event_id""".stripMargin,
+    "logs_json_attrs" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS INTEGER)%10 AS k_bucket,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_error_rate" ->
+      """SELECT strftime(ts,'%Y-%m-%d') AS day, count(*) AS n_events,
+        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        | round(CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS DOUBLE)/count(*),4) AS error_rate
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_p95_value" ->
+      """SELECT event_type, round(quantile_cont(value,0.5),4) AS p50,
+        | round(quantile_cont(value,0.95),4) AS p95, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e)
+        |SELECT user_id, strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n_events, CAST(max(us)-min(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
+    "logs_topk_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+    "logs_dau" ->
+      """SELECT strftime(ts,'%Y-%m-%d') AS day,
+        | count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** The reference's own log-analytics surface, re-expressed on the
+  * `events` table (event_type ↔ severity_text, user_id ↔ service_name,
+  * props ↔ log_attributes JSON).
+  *
+  * Query shapes ported from the reference (behavior, not code):
+  *  - recent-logs tail + severity-count: reference README.md
+  *    "Example Queries" (lines ~100-115)
+  *  - time-bucketed per-series counts and time-filtered log view:
+  *    reference grafana/provisioning/dashboards/logs.json panels
+  *    "Logs by Service" ($timeSeries GROUP BY) and "Logs" ($timeFilter
+  *    ORDER BY timestamp LIMIT 1000)
+  *
+  * Scale notes: every aggregate is keyed on low-cardinality buckets
+  * (day/hour × type) or on user_id — partial aggregation happens
+  * map-side, so the shuffle carries one row per (bucket, key) per
+  * partition, not per event. Top-N and tails are agg/filter → global
+  * sort → limit, which Spark executes as per-partition top-K.
+  * Timestamps are formatted at µs precision (both Spark and DuckDB
+  * truncate parquet ns → µs, so formatted strings compare stably).
+  */
+object LogAnalytics {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def m2(sumOfDecimal: Column): Column = round(sumOfDecimal, 2).cast("double")
+  private def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Recent-logs tail: time filter → ordered tail, newest first. */
+  def recent(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-28"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+      .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+
+  /** Severity count by service (README "Severity count by service"). */
+  def severityByService(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Grafana "Logs by Service": hourly buckets per series. */
+  def timeseries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Log search: substring match on the attributes payload + time
+    * range, ordered view (Grafana "Logs" panel shape).
+    */
+  def search(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+      .filter(col("props").contains("\"k\": 7"))
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),
+              col("event_type"), col("props"))
+
+  /** JSON attribute extraction + aggregation over the extracted key
+    * (the reference keeps log_attributes as a JSON string column and
+    * extracts at query time — README schema table).
+    */
+  def jsonAttrs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), m2(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Error-rate time series: share of severity=error per day. */
+  def errorRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_events"), 4))
+      .orderBy(col("day"))
+
+  /** Exact p50/p95 of value per severity (latency-percentile shape). */
+  def p95Value(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Sessionization: 30-minute-inactivity sessions per user via
+    * lag + running sum — one shuffle on user_id, linear in events.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        tsStr(min(col("ts"))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .drop("session_seq")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Top-K most active services/users: agg → sort → limit. */
+  def topkUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), m2(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+
+  /** Exact distinct users per day. */
+  def dau(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+
+  /** Approximate distinct users per day (HyperLogLog++): the 100 TB
+    * path — fixed-size sketch per bucket instead of a distinct shuffle.
+    * No DuckDB oracle (sketch internals differ); spec bounds its error
+    * against the exact count.
+    */
+  def approxDau(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_dau"))
+      .orderBy(col("day"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.LogAnalytics
+
+class LogAnalyticsSpec extends SparkSpec {
+
+  test("recent: newest-first tail, limited, time filter pushed") {
+    val df = LogAnalytics.recent(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val ts = rows.map(_.getAs[String]("ts_str"))
+    assert(ts.sameElements(ts.sorted.reverse), "must be newest first")
+  }
+
+  test("severityByService: covers all severities present") {
+    val rows = LogAnalytics.severityByService(spark, sf).collect()
+    val sevs = rows.map(_.getAs[String]("event_type")).toSet
+    assert(sevs == Set("error", "signup", "purchase", "view", "click"))
+  }
+
+  test("timeseries: bucket counts sum to table size") {
+    val total = LogAnalytics.timeseries(spark, sf).agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0)
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("search: every hit matches the substring and range") {
+    val rows = LogAnalytics.search(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("props").contains("\"k\": 7")))
+    assert(rows.forall { r =>
+      val t = r.getAs[String]("ts_str"); t >= "2024-01-10" && t < "2024-01-20"
+    })
+  }
+
+  test("errorRate: rates within [0,1]") {
+    val rows = LogAnalytics.errorRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val x = r.getAs[Double]("error_rate"); x >= 0 && x <= 1
+    })
+  }
+
+  test("sessionize: session count bounded by event count; durations non-negative") {
+    val rows = LogAnalytics.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("duration_us") >= 0))
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n, "sessions partition all events")
+  }
+
+  test("approxDau: HLL estimate within 10% of exact") {
+    val exact = LogAnalytics.dau(spark, sf).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("dau")).toMap
+    val approx = LogAnalytics.approxDau(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val d = r.getAs[String]("day"); val est = r.getAs[Long]("approx_dau")
+      val ex = exact(d).toDouble
+      assert(math.abs(est - ex) / ex <= 0.10, s"day $d: approx $est vs exact $ex")
+    }
+  }
+
+  test("p95Value: p50 <= p95 per severity") {
+    val rows = LogAnalytics.p95Value(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getAs[Double]("p50") <= r.getAs[Double]("p95")))
+  }
+}
