@@ -42,7 +42,18 @@ object SparkEntry {
     "logs_sessionize"          -> (LogAnalytics.sessionize _),
     "logs_topk_users"          -> (LogAnalytics.topkUsers _),
     "logs_dau"                 -> (LogAnalytics.dau _),
-    "logs_approx_dau"          -> (LogAnalytics.approxDau _)
+    "logs_approx_dau"          -> (LogAnalytics.approxDau _),
+    "text_tokens"         -> (TextAnalysis.tokens _),
+    "text_stats"          -> (TextAnalysis.stats _),
+    "text_langid"         -> (TextAnalysis.langId _),
+    "text_fingerprint"    -> (TextAnalysis.fingerprint _),
+    "dedup_exact"         -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash"       -> (Dedup.minhash _),
+    "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_embedding"     -> (Dedup.embeddingPairs _),
+    "ann_topk"            -> (Similarity.annTopk _),
+    "ann_lsh"             -> (Similarity.annLsh _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -172,6 +183,96 @@ object SparkEntry {
     "logs_dau" ->
       """SELECT strftime(ts,'%Y-%m-%d') AS day,
         | count(DISTINCT user_id) AS dau, count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_tokens,
+        | len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->len(x)>0)) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
+        | FROM documents)
+        |SELECT doc_id, len(text) AS n_chars_calc, len(tk) AS n_tokens,
+        | len(text) - len(regexp_replace(text,'[.,!?;:]','','g')) AS punct_n,
+        | len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS stop_hits,
+        | round(least(1.0, CAST(len(tk) AS DOUBLE)/100.0)*0.5 +
+        |   (CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+        |    / greatest(len(tk),1))*0.5, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
+        | FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(tk, x -> x IN ('the','a','and','of','to','is'))) AS s_en,
+        |  len(list_filter(tk, x -> x IN ('el','los','las','una','y','que'))) AS s_es,
+        |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(tk, x -> x IN ('le','les','des','et','est','une'))) AS s_fr,
+        |  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
+        | FROM t)
+        |SELECT lang,
+        | CASE WHEN zh THEN 'zh'
+        |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+        |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+        |      WHEN s_fr > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS pred_lang,
+        | count(*) AS n
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0))),' ')) AS fp
+        | FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS cluster_n
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0))),' ')) AS h
+        | FROM documents)
+        |SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM f GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh3 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        | FROM tok QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT p.da, p.db,
+        | round(CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter),4) AS j
+        |FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8
+        |ORDER BY p.da, p.db""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        | round(list_dot_product(a.v,b.v)/(a.nrm*b.nrm),4) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= 0.45
+        |ORDER BY va, vb""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |ranked AS (
+        | SELECT q.q_id, n.vec_id,
+        |  list_dot_product(q.qv,n.v)/(q.qn*n.nrm) AS cos,
+        |  row_number() OVER (PARTITION BY q.q_id
+        |    ORDER BY list_dot_product(q.qv,n.v)/(q.qn*n.nrm) DESC, n.vec_id) AS rank
+        | FROM q JOIN n ON n.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, rank, round(cos,4) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline, over
+  * `documents`. All pure `functions._` column expressions (whole-stage
+  * codegen, no UDFs), shuffling only for the final small aggregates —
+  * per-document work is embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens, empties dropped (mirrors DuckDB
+    * `list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)`).
+    */
+  def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => length(x) > 0)
+
+  private def alnumToks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
+
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(words)))
+
+  /** Token counting: whitespace tokens + alphanumeric word tokens. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(alnumToks(col("text"))).as("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation density, stopword ratio →
+    * composite score in [0,1]. The formula is mirrored verbatim in the
+    * DuckDB oracle, so every arithmetic step must stay engine-neutral
+    * (integer counts, double division, one final round).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(t).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("punct_n"),
+        hits(t, StopWords).as("stop_hits"))
+      .withColumn("quality",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1))) * 0.5, 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID via stopword-marker hits + CJK detection; reported as
+    * a (labeled lang × predicted lang) confusion matrix.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val en = hits(t, Seq("the", "a", "and", "of", "to", "is"))
+    val es = hits(t, Seq("el", "los", "las", "una", "y", "que"))
+    val de = hits(t, Seq("der", "die", "das", "und", "ist", "nicht"))
+    val fr = hits(t, Seq("le", "les", "des", "et", "est", "une"))
+    val zh = col("text").rlike("[\\u4e00-\\u9fff]")
+    val pred =
+      when(zh, "zh")
+        .when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    Tables.documents(spark, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct
+    * lowercase token set (OpenRefine-style fingerprinting), plus the
+    * fingerprint's cluster size.
+    */
+  def fingerprintExpr(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks(c)))))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprintExpr(col("text")).as("fp"))
+      .withColumn("cluster_n", count(lit(1)).over(byFp))
+      .orderBy(col("doc_id"))
+  }
+}

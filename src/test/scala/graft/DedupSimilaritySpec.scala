@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("dedup_exact: clusters have >1 doc and a min-doc keeper") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.nonEmpty, "synthetic corpus should contain canonical duplicates")
+    assert(rows.forall(_.getAs[Long]("n_docs") > 1))
+  }
+
+  test("ngramJaccard: pairs are symmetric-free, j in [0.8, 1]") {
+    val rows = Dedup.ngramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("da") < r.getAs[Long]("db")))
+    assert(rows.forall { r => val j = r.getAs[Double]("j"); j >= 0.8 && j <= 1.0 })
+  }
+
+  test("minhash LSH recalls every exact J>=0.8 pair") {
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val mh = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(exact.nonEmpty)
+    val missed = exact -- mh
+    assert(missed.isEmpty, s"minhash missed high-similarity pairs: $missed")
+  }
+
+  test("simhash: hamming <= 3 and near-identical docs collide") {
+    val rows = Dedup.simhash(spark, sf).collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+    // the most similar exact pair should also be a simhash pair
+    val top = Dedup.ngramJaccard(spark, sf).collect()
+      .maxBy(_.getAs[Double]("j"))
+    val pairs = rows.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((top.getAs[Long]("da"), top.getAs[Long]("db"))),
+      s"simhash should catch the J=${top.getAs[Double]("j")} pair")
+  }
+
+  test("embeddingPairs: cos in [0.45, 1], ordered pairs") {
+    val rows = Dedup.embeddingPairs(spark, sf).collect()
+    assert(rows.forall { r => val c = r.getAs[Double]("cos"); c >= 0.45 && c <= 1.0 })
+    assert(rows.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
+  }
+
+  test("annTopk: 5 ranked neighbors per query, cos non-increasing") {
+    val rows = Similarity.annTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rs =>
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("annLsh: multiprobe recall@5 >= 0.2 vs brute force") {
+    val exact = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"LSH recall@5 = $recall (scans ~5/16 of corpus)")
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+
+  test("text stats: quality in [0,1]; tokens consistent with stats") {
+    val st = TextAnalysis.stats(spark, sf).collect()
+    assert(st.forall { r => val q = r.getAs[Double]("quality"); q >= 0 && q <= 1 })
+    val tk = TextAnalysis.tokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(st.forall(r => tk(r.getAs[Long]("doc_id")) == r.getAs[Int]("n_tokens")))
+  }
+
+  test("langId: every document classified; zh only when CJK present") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(!rows.exists(_.getAs[String]("pred_lang") == "zh"),
+      "ASCII-only synthetic corpus must not be classified zh")
+  }
+}
