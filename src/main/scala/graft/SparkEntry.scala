@@ -32,6 +32,10 @@ object SparkEntry {
     "q6_selective"  -> (Relational.q6Selective _),
     "q7_window"     -> (Relational.q7Window _),
     "q8_rollup"     -> (Relational.q8Rollup _),
+    "q9_asof"          -> (Temporal.q9AsOf _),
+    "q10_range_join"   -> (Temporal.q10RangeJoin _),
+    "q11_grouping_sets" -> (Temporal.q11GroupingSets _),
+    "q12_percentile_join" -> (Temporal.q12PercentileJoin _),
     "logs_recent"              -> (LogAnalytics.recent _),
     "logs_severity_by_service" -> (LogAnalytics.severityByService _),
     "logs_timeseries"          -> (LogAnalytics.timeseries _),
@@ -128,6 +132,37 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "q9_asof" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT *, last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us
+        | FROM e)
+        |SELECT event_id, user_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | strftime(make_timestamp(click_us),'%Y-%m-%d %H:%M:%S.%f') AS click_ts_str,
+        | CAST(us - click_us AS BIGINT) AS wait_us
+        |FROM w WHERE event_type='purchase' ORDER BY event_id""".stripMargin,
+    "q10_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        | CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        |FROM events c JOIN events p
+        | ON c.user_id = p.user_id AND c.event_type='click' AND p.event_type='purchase'
+        | AND p.ts > c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q11_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        | coalesce(l_linestatus,'ALL') AS linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q12_percentile_join" ->
+      """SELECT n_name, round(quantile_cont(c_acctbal, 0.5),4) AS median_bal,
+        | round(quantile_cont(c_acctbal, 0.9),4) AS p90_bal,
+        | count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "logs_recent" ->
       """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         | user_id, event_type, value, props
