@@ -47,6 +47,8 @@ object SparkEntry {
     "logs_topk_users"          -> (LogAnalytics.topkUsers _),
     "logs_dau"                 -> (LogAnalytics.dau _),
     "logs_approx_dau"          -> (LogAnalytics.approxDau _),
+    "logs_otlp_roundtrip"      -> (LogAnalytics.otlpRoundtrip _),
+    "mm_pipeline"              -> (Multimodal.pipeline _),
     "text_tokens"         -> (TextAnalysis.tokens _),
     "text_stats"          -> (TextAnalysis.stats _),
     "text_langid"         -> (TextAnalysis.langId _),
@@ -219,6 +221,17 @@ object SparkEntry {
       """SELECT strftime(ts,'%Y-%m-%d') AS day,
         | count(DISTINCT user_id) AS dau, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_otlp_roundtrip" ->
+      """SELECT 'svc-' || CAST(user_id AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n,
+        | strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        | strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "mm_pipeline" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | count(*) AS n_docs, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_tokens,

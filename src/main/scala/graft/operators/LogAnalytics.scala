@@ -143,6 +143,27 @@ object LogAnalytics {
     * No DuckDB oracle (sketch internals differ); spec bounds its error
     * against the exact count.
     */
+  /** Ingest round-trip proof: events → OTLP/JSON envelopes →
+    * [[graft.sources.OtlpLogs.parse]] → severity aggregate. The oracle
+    * computes the same aggregate directly on `events`, so equality
+    * certifies the whole encode→parse→flatten path record-for-record.
+    */
+  def otlpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.OtlpLogs
+    val payloads = Tables.events(spark, dir)
+      .select(OtlpLogs.toOtlpJson(
+        unix_micros(col("ts")),
+        concat(lit("svc-"), col("user_id")),
+        col("event_type"),
+        col("props")).as("payload"))
+    OtlpLogs.parse(payloads, col("payload"))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"),
+           tsStr(min(col("timestamp"))).as("first_ts"),
+           tsStr(max(col("timestamp"))).as("last_ts"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   def approxDau(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(dayStr(col("ts")).as("day"))

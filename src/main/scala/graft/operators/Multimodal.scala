@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * processed in batches via `mapPartitions` (the Scala-side equivalent
+  * of a Pandas-UDF `mapInPandas` stage).
+  *
+  * The decode step is a clearly-marked DETERMINISTIC STUB — this
+  * container has no image/audio codecs — but everything around it is
+  * real and tested: the schema, the partitioning, the batched iterator
+  * shape, and the typed Dataset boundary a real decoder would slot
+  * into.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+                           checksum: Long, embedding: Array[Float])
+
+  /** Synthesize a media table: text bytes as the opaque payload, with a
+    * media type per doc (the real pipeline would read binary columns
+    * from parquet the same way).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Batched "decode": iterates fixed-size batches per partition, the
+    * way a real decoder amortizes model/codec setup per batch.
+    */
+  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // --- STUB: a real implementation would decode image/audio/video
+        // here (libs unavailable in this container). FNV-1a over the
+        // payload stands in as a deterministic "feature extractor".
+        batch.map { r =>
+          val checksum = r.payload.foldLeft(-3750763034362895579L) { (h, b) =>
+            (h ^ (b & 0xffL)) * 1099511628211L
+          }
+          val emb = Array.tabulate(8)(i => ((checksum >>> (i * 8)) & 0xff).toFloat / 255f)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length, checksum, emb)
+        }
+      }
+    }
+  }
+
+  /** End-to-end pipeline aggregate. Byte counts survive the
+    * decode stage untouched, so this is oracle-checkable against
+    * DuckDB's strlen over the source text.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaTable(spark, dir)).toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("media_type"))
+}

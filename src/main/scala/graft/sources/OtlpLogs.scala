@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OTLP/JSON log ingestion: the Spark-native equivalent of the
+  * reference's otel-collector → otlp2parquet stage.
+  *
+  * Input: a DataFrame with one OTLP/HTTP JSON envelope per row
+  * (resourceLogs → scopeLogs → logRecords, as POSTed to /v1/logs —
+  * reference README.md "Send Test Logs"). Output: the flattened
+  * snake_case schema of the OpenTelemetry ClickHouse exporter
+  * (reference README.md "Schema" table, 15 columns).
+  *
+  * Everything is `from_json` + `explode` + column expressions — fully
+  * codegen'd, no UDFs, linear per record: the parse scales to any
+  * number of executors with zero shuffles.
+  */
+object OtlpLogs {
+
+  private val attrType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", StringType),   // OTLP/JSON encodes int64 as string
+      StructField("doubleValue", DoubleType),
+      StructField("boolValue", BooleanType)))))))
+
+  private val logRecordType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("observedTimeUnixNano", StringType)
+    .add("severityText", StringType)
+    .add("severityNumber", IntegerType)
+    .add("body", new StructType().add("stringValue", StringType))
+    .add("traceId", StringType)
+    .add("spanId", StringType)
+    .add("attributes", attrType)
+
+  private val scopeLogsType = new StructType()
+    .add("scope", new StructType()
+      .add("name", StringType).add("version", StringType).add("attributes", attrType))
+    .add("logRecords", ArrayType(logRecordType))
+
+  private val resourceLogsType = new StructType()
+    .add("resource", new StructType().add("attributes", attrType))
+    .add("scopeLogs", ArrayType(scopeLogsType))
+
+  /** Schema of one OTLP/HTTP logs envelope. */
+  val otlpSchema: StructType = new StructType()
+    .add("resourceLogs", ArrayType(resourceLogsType))
+
+  private def attrValue(v: Column): Column =
+    coalesce(v.getField("stringValue"), v.getField("intValue"),
+      v.getField("doubleValue").cast("string"), v.getField("boolValue").cast("string"))
+
+  /** attribute list → canonical JSON object string (the reference
+    * stores resource/log/scope attributes as JSON strings).
+    */
+  private def attrsJson(attrs: Column): Column =
+    when(attrs.isNotNull,
+      to_json(map_from_entries(transform(attrs,
+        a => struct(a.getField("key").as("key"), attrValue(a.getField("value")).as("value"))))))
+
+  private def resourceAttr(attrs: Column, key: String): Column =
+    // try_element_at: a missing attribute yields NULL (ANSI element_at
+    // would throw on the empty filtered array)
+    try_element_at(transform(filter(attrs, a => a.getField("key") === key),
+      a => attrValue(a.getField("value"))), lit(1))
+
+  /** Parse a column of OTLP/JSON envelopes into flattened log rows. */
+  def parse(df: DataFrame, jsonCol: Column): DataFrame = {
+    val rattrs = col("rl.resource.attributes")
+    df.select(from_json(jsonCol, otlpSchema).as("o"))
+      .select(explode(col("o.resourceLogs")).as("rl"))
+      .select(col("rl"), explode(col("rl.scopeLogs")).as("sl"))
+      .select(col("rl"), col("sl"), explode(col("sl.logRecords")).as("lr"))
+      .select(
+        timestamp_micros(expr("CAST(lr.timeUnixNano AS BIGINT) div 1000")).as("timestamp"),
+        col("lr.observedTimeUnixNano").cast("long").as("observed_timestamp"),
+        coalesce(resourceAttr(rattrs, "service.name"), lit("unknown")).as("service_name"),
+        resourceAttr(rattrs, "service.namespace").as("service_namespace"),
+        resourceAttr(rattrs, "service.instance.id").as("service_instance_id"),
+        col("lr.severityText").as("severity_text"),
+        col("lr.severityNumber").as("severity_number"),
+        col("lr.body.stringValue").as("body"),
+        col("lr.traceId").as("trace_id"),
+        col("lr.spanId").as("span_id"),
+        attrsJson(rattrs).as("resource_attributes"),
+        attrsJson(col("lr.attributes")).as("log_attributes"),
+        col("sl.scope.name").as("scope_name"),
+        col("sl.scope.version").as("scope_version"),
+        attrsJson(col("sl.scope.attributes")).as("scope_attributes"))
+  }
+
+  /** Render rows of the flattened schema back into minimal OTLP/JSON
+    * envelopes (one record per envelope) — used by the round-trip
+    * correctness query and as a test-data generator.
+    */
+  def toOtlpJson(timestampUs: Column, serviceName: Column, severityText: Column,
+                 body: Column): Column =
+    to_json(struct(
+      array(struct(
+        struct(array(struct(
+          lit("service.name").as("key"),
+          struct(serviceName.as("stringValue")).as("value"))).as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            (timestampUs * 1000).cast("string").as("timeUnixNano"),
+            severityText.as("severityText"),
+            struct(body.as("stringValue")).as("body"))).as("logRecords"))).as("scopeLogs"))).as("resourceLogs")))
+}

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ingest of the events stream — the reference's
+  * continuous OTLP intake (otel-collector batches → parquet every 10 s)
+  * re-expressed as a file-source stream with event-time windows.
+  *
+  * At scale this runs with a real watermark so state is bounded: each
+  * 1-hour window closes once the watermark passes, and the sink
+  * receives finalized per-(window, severity) counts.
+  */
+object EventStream {
+
+  /** Streaming DF over a directory of events parquet (ns → µs
+    * conversion applied, matching [[graft.sources.Tables.events]]).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(path)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Hourly severity counts over event time with a 1-hour watermark. */
+  def windowedSeverityCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+}
