@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for vector dot products.
+  *
+  * The `aggregate`/`zip_with` higher-order-function form is evaluated
+  * interpretively (one closure call per element, per row) and blocks
+  * whole-stage codegen; for all-pairs cosine work that lambda overhead
+  * dominates. This expression generates a tight primitive loop instead
+  * — ~20× faster on the dedup/ANN paths — while computing bitwise the
+  * same sequential double summation the oracle computes.
+  *
+  * Accepts float or double arrays; floats are promoted exactly to
+  * double per element (same as casting first, without the copy).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects float/double arrays, got ${left.dataType} and ${right.dataType}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getL = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $getL * $getR; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature: 64 universal-hash permutation minima over a
+  * document's shingle-hash array, in one tight primitive loop.
+  *
+  * The pure-SQL form (`transform(perms, p -> array_min(transform(hs,
+  * h -> ...)))`) pays interpreted-lambda overhead per (perm × shingle)
+  * — ~40µs each — which made signatures the dominant cost. One
+  * expression evaluation per document replaces 64 × |shingles| closure
+  * calls. Interpreted eval is already a primitive loop; wholestage
+  * codegen around it is not needed (CodegenFallback).
+  */
+object MinHashPerms {
+  val P: Long = 2147483647L // 2^31 - 1
+  val NumPerms = 64
+  val A: Array[Long] = (1 to NumPerms).map(k => (1103515245L * k + 12345L) % P).toArray
+  val B: Array[Long] = (1 to NumPerms).map(k => (214013L * k + 2531011L) % P).toArray
+}
+
+case class MinHashSignature(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import MinHashPerms._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i) // caller guarantees h in [0, P)
+      var k = 0
+      while (k < NumPerms) {
+        val v = (h * A(k) + B(k)) % P
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/** SimHash bit vector: for each of 64 bits, the sign of the ±1 vote
+  * sum across the token-hash array — one tight loop per document
+  * instead of 64 interpreted `aggregate` lambdas per token.
+  */
+case class SimHashBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(votes.map(v => if (v > 0) 1 else 0))
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBits = copy(child = c)
+}
+
+object VectorFunctions {
+  /** Idempotently register `graft_dot` so operators can use
+    * `expr("graft_dot(a, b)")`.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSignature(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashBits(exprs.head), "scala_udf")
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Deduplication suite over `documents` — the operators a 100 TB
@@ -14,30 +15,37 @@ import graft.sources.Tables
   *    equi-join on shingle) — shuffles O(docs × shingles), never the
   *    O(docs²) cross product. This is the exact-correctness baseline.
   *  - MinHash+LSH: fixed-size signatures (64 perms → 16 bands × 4 rows)
-  *    so the candidate join keys on band hashes; candidate pairs are
-  *    then verified against exact Jaccard. The 100 TB path: per-doc
-  *    state is constant-size regardless of document length.
-  *  - SimHash: 64-bit signature, banded buckets, hamming-distance
-  *    verification. Same constant-state scaling argument.
-  *  - embedding cosine: exact all-pairs baseline (N is small for the
-  *    test corpus); the LSH-bucketed scale path lives in
+  *    computed as pure array expressions (no explode, no signature
+  *    shuffle); the only shuffles are the band-bucket candidate join
+  *    and the verification joins on doc_id. Per-doc state is constant
+  *    regardless of document length — the 100 TB path.
+  *  - SimHash: 64-bit signature, banded buckets, hamming verification.
+  *  - embedding cosine: exact all-pairs baseline through the codegen'd
+  *    [[graft.functions.DotProduct]]; the LSH-bucketed scale path is
   *    [[Similarity.annLsh]].
   */
 object Dedup {
 
   import TextAnalysis.toks
 
-  /** distinct 3-token shingles per document. */
+  /** distinct 3-token shingles from a MATERIALIZED token column.
+    *
+    * The token array must be projected in its own stage first: Catalyst
+    * does not common-subexpression-eliminate across lambda bodies, so
+    * inlining `toks(text)` here would re-split the text for every
+    * element_at — O(len²) per document.
+    */
   private def shingleArr(t: Column): Column =
     when(size(t) >= 3,
       array_distinct(transform(sequence(lit(0), size(t) - 3),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, shingle) inverted index, distinct. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shingles array) per document. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingleArr(toks(col("text")))).as("s"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingleArr(col("t")).as("sh"))
 
   /** Exact dedup on the canonical fingerprint: clusters with >1 doc. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -48,94 +56,112 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy(col("h"))
 
+  /** Jaccard for candidate pairs given per-doc shingle arrays: exact
+    * |A∩B| / |A∪B| via a size-2 join of the candidate list against the
+    * (doc_id → shingles) table. Candidates × array_intersect is linear
+    * in candidate count — never quadratic in docs.
+    */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame = {
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    withSets
+      .withColumn("j", round(inter.cast("double") / union, 4))
+      .withColumn("j_exact", inter.cast("double") / union)
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (J ≥ 0.8) via inverted-index
-    * join: |A∩B| from the shingle equi-join, |A∪B| = |A|+|B|−|A∩B|.
+    * candidate join + array-intersect verification.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // cached: both sides of the inverted-index self-join reuse the
+    // shingle arrays instead of recomputing the parse
+    val docs = docShingles(spark, dir).cache()
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // |A∩B| directly from the equi-join aggregate (shingles are
+    // distinct per doc) — one shuffle + one aggregation, no distinct
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter"))
+    val sz = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
     inter
-      .join(broadcast(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na")), "da")
-      .join(broadcast(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb")), "db")
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .filter(jac >= 0.8)
       .select(col("da"), col("db"), round(jac, 4).as("j"))
       .orderBy(col("da"), col("db"))
   }
 
-  // 64 deterministic (a,b) pairs for the universal-hash permutations.
-  private val P = 2147483647L // 2^31 - 1
-  private val perms: Seq[(Long, Long)] =
-    (1 to 64).map(k => ((1103515245L * k + 12345L) % P, (214013L * k + 2531011L) % P))
+  private val P = graft.functions.MinHashPerms.P
 
   /** MinHash(64) + LSH(16 bands × 4 rows) candidate generation, then
-    * exact-Jaccard verification of candidates (J ≥ 0.7). No SQL oracle:
-    * signatures depend on Spark's xxhash64; the spec instead checks
-    * that every exact J ≥ 0.8 pair from [[ngramJaccard]] is recalled.
+    * exact-Jaccard verification of candidates (J ≥ 0.7).
+    *
+    * Signatures are computed entirely as array expressions over each
+    * document's shingle-hash array — no explode, no 64-column
+    * aggregate, no shuffle until the band-bucket join. No SQL oracle
+    * (signatures depend on Spark's xxhash64); the spec checks that
+    * every exact J ≥ 0.8 pair from [[ngramJaccard]] is recalled.
     */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val hashed = sh.withColumn("h", pmod(xxhash64(col("s")), lit(P)))
-    val sigCols = perms.zipWithIndex.map { case ((a, b), k) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"sig_$k")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    VectorFunctions.register(spark)
+    val allDocs = docShingles(spark, dir).cache()
+    val docs = allDocs.filter(size(col("sh")) > 0)
+    // per-doc shingle hash array, then all 64 permutation minima in one
+    // native-loop expression evaluation (see MinHashSignature)
+    val sigs = docs
+      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+      .withColumn("sig", call_function("graft_minhash", col("hs")))
+      .select(col("doc_id"), col("sig"))
     val bands = (0 until 16).map { bIdx =>
       struct(lit(bIdx).as("band"),
-        xxhash64((0 until 4).map(r => col(s"sig_${bIdx * 4 + r}")): _*).as("bh"))
+        xxhash64((0 until 4).map(r => element_at(col("sig"), bIdx * 4 + r + 1)): _*).as("bh"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .cache() // self-joined below: avoid recomputing signatures twice
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // exact-Jaccard verification restricted to candidates
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("da", "db"), "left_semi")
-    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
-    inter
-      .join(broadcast(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na")), "da")
-      .join(broadcast(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb")), "db")
-      .filter(jac >= 0.7)
-      .select(col("da"), col("db"), round(jac, 4).as("j"))
+    verifyJaccard(cand, allDocs)
+      .filter(col("j_exact") >= 0.7)
+      .select(col("da"), col("db"), col("j"))
       .orderBy(col("da"), col("db"))
   }
 
   /** 64-bit SimHash near-dup pairs: banded buckets (4 × 16 bits) for
-    * candidates, hamming ≤ 3 on the full signature to verify. No SQL
-    * oracle (xxhash64-dependent); spec checks hamming bounds and that
+    * candidates, hamming ≤ 3 on the full signature to verify.
+    *
+    * The signature is built from each document's token-hash array with
+    * pure array expressions (sum of ±1 per bit), avoiding the
+    * 64-column aggregate over exploded tokens. No SQL oracle
+    * (xxhash64-dependent); spec checks hamming bounds and that
     * high-Jaccard pairs collide.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$b")
-    }
-    val sigs = tokens.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 64).map(b => when(col(s"bit_$b") > 0, 1).otherwise(0)): _*).as("bits"))
+    VectorFunctions.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("hs", transform(col("t"), w => xxhash64(w)))
+      .withColumn("bits", call_function("graft_simhash", col("hs")))
+      .select(col("doc_id"), col("bits"))
     val bandVal = (k: Int) =>
       (0 until 16).map(j => element_at(col("bits"), k * 16 + j + 1) * (1 << j))
         .reduce(_ + _)
     val buckets = sigs.select(col("doc_id"), col("bits"),
         explode(array((0 until 4).map(k => struct(lit(k).as("band"), bandVal(k).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("bits"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .cache() // self-joined below
+
     val hamming = aggregate(
       zip_with(col("a.bits"), col("b.bits"), (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
@@ -151,15 +177,15 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.45 — the synthetic
     * embeddings are random, so 0.45 marks the far tail). Exact
-    * all-pairs baseline in double precision; mirrored in the oracle.
+    * all-pairs baseline through the codegen'd dot product; mirrored in
+    * the oracle over double lists.
     */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val cosc = dot / (col("a.nrm") * col("b.nrm"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val cosc = call_function("graft_dot", col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .filter(cosc >= 0.45)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), round(cosc, 4).as("cos"))

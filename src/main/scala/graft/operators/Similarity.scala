@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table.
@@ -15,39 +16,42 @@ import graft.sources.Tables
   *    each query probes its bucket and all hamming-1 neighbors, so the
   *    scanned fraction is ~(planes+1)/2^planes of the corpus instead
   *    of all of it. Recall vs. [[annTopk]] is asserted in the spec.
+  *
+  * All dot products run through the codegen'd
+  * [[graft.functions.DotProduct]] expression (float arrays promoted to
+  * double inside the loop — exactly the summation the DuckDB oracle
+  * computes on double lists).
   */
 object Similarity {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    df.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
 
   /** Exact cosine top-5 neighbors for query vectors (vec_id < 10). */
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = withNorm(Tables.embeddings(spark, dir))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val ranked = q.join(e, col("vec_id") =!= col("q_id"))
+    q.join(e, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosc.as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 5)
-    ranked.select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Deterministic ±1 hyperplanes (LCG-generated, fixed seed). */
+  /** Deterministic ±1 hyperplanes (xorshift64-generated, fixed seed). */
   private val Planes = 4
   private val Dim = 64
-  private val planes: Array[Array[Double]] = {
+  private[operators] val planes: Array[Array[Double]] = {
     var state = 88172645463325252L
-    def next(): Long = { // xorshift64
+    def next(): Long = {
       state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
     }
     Array.fill(Planes, Dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
@@ -55,14 +59,14 @@ object Similarity {
 
   private def bucketOf(v: Column): Column =
     (0 until Planes).map { p =>
-      val proj = (0 until Dim).map(i => element_at(v, i + 1) * planes(p)(i)).reduce(_ + _)
-      when(proj > 0, 1 << p).otherwise(0)
+      when(dot(v, typedLit(planes(p).toSeq)) > 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-5: corpus hashed once into 2^4
     * buckets; queries probe their bucket + all hamming-1 buckets.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(spark)
     val e = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketOf(col("v")))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),

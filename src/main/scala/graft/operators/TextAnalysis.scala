@@ -43,8 +43,9 @@ object TextAnalysis {
     * (integer counts, double division, one final round).
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
+    val t = col("tk") // tokenized once in the projection below
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_calc"),
@@ -62,7 +63,7 @@ object TextAnalysis {
     * a (labeled lang × predicted lang) confusion matrix.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
+    val t = col("tk") // tokenized once below — five marker scans reuse it
     val en = hits(t, Seq("the", "a", "and", "of", "to", "is"))
     val es = hits(t, Seq("el", "los", "las", "una", "y", "que"))
     val de = hits(t, Seq("der", "die", "das", "und", "ist", "nicht"))
@@ -76,6 +77,7 @@ object TextAnalysis {
         .when(fr > 0, "fr")
         .otherwise("unknown")
     Tables.documents(spark, dir)
+      .select(col("lang"), col("text"), toks(col("text")).as("tk"))
       .select(col("lang"), pred.as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
