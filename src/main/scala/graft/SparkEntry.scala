@@ -32,6 +32,14 @@ object SparkEntry {
     "q6_selective"  -> (Relational.q6Selective _),
     "q7_window"     -> (Relational.q7Window _),
     "q8_rollup"     -> (Relational.q8Rollup _),
+    "q13_pivot"           -> (Relational.q13Pivot _),
+    "q14_setops"          -> (Relational.q14SetOps _),
+    "q15_topn_per_group"  -> (Relational.q15TopNPerGroup _),
+    "q16_scalar_subquery" -> (Relational.q16ScalarSubquery _),
+    "q17_conditional_agg" -> (Relational.q17ConditionalAgg _),
+    "text_word_freq"      -> (TextAnalysis.wordFreq _),
+    "text_tfidf"          -> (TextAnalysis.tfidf _),
+    "emb_centroids"       -> (Similarity.embCentroids _),
     "q9_asof"          -> (Temporal.q9AsOf _),
     "q10_range_join"   -> (Temporal.q10RangeJoin _),
     "q11_grouping_sets" -> (Temporal.q11GroupingSets _),
@@ -134,6 +142,66 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "q13_pivot" ->
+      s"""SELECT l_returnflag,
+         | ${m2("CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(12,2)) END")} AS qty_f,
+         | ${m2("CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(12,2)) END")} AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_setops" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "q15_topn_per_group" ->
+      s"""WITH pr AS (
+         |  SELECT l_suppkey, l_partkey, ${m2(DISC_PRICE)} AS revenue
+         |  FROM lineitem GROUP BY 1,2)
+         |SELECT l_suppkey, l_partkey, revenue, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+         |    ORDER BY revenue DESC, l_partkey) AS rnk FROM pr)
+         |WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin,
+    "q16_scalar_subquery" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         | ${m2("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_price
+         |FROM lineitem
+         |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q17_conditional_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         | CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         | ${m2("CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END")} AS sum_f,
+         | ${m2("CASE WHEN o_orderstatus<>'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END")} AS sum_not_f
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "text_word_freq" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text),'\s+'),
+        |  x->len(x)>0)) AS w FROM documents)
+        |SELECT w, count(*) AS n FROM t GROUP BY w
+        |ORDER BY n DESC, w LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'\s+'),
+        |  x->len(x)>0)) AS w FROM documents),
+        |terms AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1,2),
+        |dfreq AS (SELECT w, count(*) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.w, t.tf * ln(CAST(n.n_docs AS DOUBLE)/d.df) AS score_exact
+        |  FROM terms t JOIN dfreq d ON t.w=d.w CROSS JOIN n
+        |  WHERE t.doc_id < 20)
+        |SELECT doc_id, w, round(score_exact,4) AS score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_exact DESC, w) AS rnk FROM scored)
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "emb_centroids" ->
+      """SELECT label, i-1 AS dim, round(avg(CAST(x AS DOUBLE)),4) AS c,
+        | count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |      generate_subscripts(embedding,1) AS i FROM embeddings)
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "q9_asof" ->
       """WITH e AS (SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events),
         |w AS (SELECT *, last_value(CASE WHEN event_type='click' THEN us END IGNORE NULLS)

@@ -160,6 +160,78 @@ object Relational {
       .orderBy(col("l_suppkey"), col("month"))
   }
 
+  /** PIVOT: per-returnflag quantity sums spread across line statuses.
+    * Catalyst rewrites this to a single aggregate with conditional
+    * sums — one pass, one shuffle, no per-status scans.
+    */
+  def q13Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(m2(sum(dec2(col("l_quantity")))))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  /** Set operations: customers ordering in both 1996 and 1997 but not
+    * in 1998 (INTERSECT + EXCEPT). Catalyst plans these as semi/anti
+    * joins on the distinct key — shuffles keyed on custkey only.
+    */
+  def q14SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custsIn(year: Int) =
+      o.filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+               col("o_orderdate") < lit(s"${year + 1}-01-01"))
+        .select(col("o_custkey")).distinct()
+    custsIn(1996).intersect(custsIn(1997)).except(custsIn(1998))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Top-N per group: three best-revenue parts per supplier. The rank
+    * window runs on the already-aggregated (supp, part) rows — the
+    * heavy fact scan collapses before any windowing.
+    */
+  def q15TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val byRev = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(m2(sum(discPrice)).as("revenue"))
+      .withColumn("rnk", row_number().over(byRev))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("l_suppkey"), col("rnk"))
+  }
+
+  /** Scalar subquery: lines priced above the global average. The
+    * average is a one-row aggregate broadcast to the scan — no
+    * per-row subquery execution.
+    */
+  def q16ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgPrice = li.agg(avg(col("l_extendedprice")).as("avg_price"))
+    li.crossJoin(broadcast(avgPrice))
+      .filter(col("l_extendedprice") > col("avg_price"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+           m2(sum(dec2(col("l_extendedprice")))).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Conditional aggregation (FILTER-style): per priority, how many
+    * orders are large, and the revenue split by status — one pass.
+    */
+  def q17ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"),
+        m2(sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(12, 2))))).as("sum_f"),
+        m2(sum(when(col("o_orderstatus") =!= "F", dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(12, 2))))).as("sum_not_f"))
+      .orderBy(col("o_orderpriority"))
+
   /** ROLLUP aggregate: (flag, status) → (flag) → () subtotal levels.
     * NULL grouping cells are normalized to 'ALL' for engine parity.
     */

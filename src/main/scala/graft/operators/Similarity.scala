@@ -46,6 +46,17 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-label centroids, one row per (label, dimension): posexplode →
+    * groupBy(label, dim) — the classic distributed vector mean with
+    * map-side partial sums (k-means-style reduction shape).
+    */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 4).as("c"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
   /** Deterministic ±1 hyperplanes (xorshift64-generated, fixed seed). */
   private val Planes = 4
   private val Dim = 64

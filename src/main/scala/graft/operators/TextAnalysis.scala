@@ -84,6 +84,42 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Global token frequency: top-50 corpus vocabulary. explode →
+    * groupBy(token) is the canonical map-side-combining word count.
+    */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(50)
+
+  /** TF-IDF: top-5 scoring terms per document (first 20 docs). Term
+    * and document frequencies come from one exploded pass; the corpus
+    * size is a broadcast one-row aggregate.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_exact").desc, col("w"))
+    terms
+      .join(df, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score_exact", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .filter(col("doc_id") < 20)
+      .withColumn("rnk", row_number().over(byScore))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("w"), round(col("score_exact"), 4).as("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct
     * lowercase token set (OpenRefine-style fingerprinting), plus the
     * fingerprint's cluster size.
