@@ -34,10 +34,12 @@ object LogAnalytics {
   private def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
   private def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
-  /** Recent-logs tail: time filter → ordered tail, newest first. */
+  /** Recent-logs tail: time filter → ordered tail, newest first. The
+    * bound is applied to the raw nanos column (Tables.eventsBetween) so
+    * it prunes parquet row groups instead of scanning everything.
+    */
   def recent(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-28"))
+    Tables.eventsBetween(spark, dir, "2024-01-28", "2025-01-01")
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(100)
       .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),
@@ -62,8 +64,7 @@ object LogAnalytics {
     * range, ordered view (Grafana "Logs" panel shape).
     */
   def search(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+    Tables.eventsBetween(spark, dir, "2024-01-10", "2024-01-20")
       .filter(col("props").contains("\"k\": 7"))
       .orderBy(col("ts"), col("event_id"))
       .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),

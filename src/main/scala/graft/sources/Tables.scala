@@ -32,6 +32,26 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Events restricted to [from, until) — the time predicate is applied
+    * to the RAW nanos column so it reaches the parquet scan
+    * (row-group/page pruning at 100 TB). A filter on the converted
+    * timestamp sits above a projection and never pushes down; the
+    * conversion is monotonic, so filtering raw ns with the equivalent
+    * bounds is exact.
+    */
+  def eventsBetween(s: SparkSession, d: String, fromIso: String, untilIso: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    val raw = table(s, d, "events")
+    def nanos(iso: String): Long =
+      java.time.LocalDateTime.parse(iso + "T00:00:00")
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.filter(col("ts") >= nanos(fromIso) && col("ts") < nanos(untilIso))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") >= lit(fromIso) && col("ts") < lit(untilIso))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

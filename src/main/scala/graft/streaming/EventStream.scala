@@ -24,6 +24,34 @@ object EventStream {
     else raw
   }
 
+  /** Streaming exact dedup on event_id: state is bounded by the
+    * watermark — ids older than 1 hour of event time are dropped from
+    * the dedup map (the 100 TB requirement: state must not grow with
+    * the full stream history).
+    */
+  def deduplicated(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+
+  /** Custom streaming state: per-user running event counts via
+    * mapGroupsWithState. State is one long per user; each micro-batch
+    * folds its group iterator into it — arbitrary stateful logic the
+    * built-in aggregates can't express slots in here.
+    */
+  def runningUserCounts(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (uid, n)
+      }
+  }
+
   /** Hourly severity counts over event time with a 1-hour watermark. */
   def windowedSeverityCounts(events: DataFrame): DataFrame =
     events

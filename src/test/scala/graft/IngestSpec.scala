@@ -93,6 +93,44 @@ class IngestSpec extends SparkSpec {
     assert(got == want, "streaming result must equal batch result")
   }
 
+  test("EventStream: streaming dedup drops a replayed batch") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dir)
+    // replay the same events again as a second file set
+    ev.write.mode("append").parquet(dir)
+    val q = EventStream.deduplicated(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val n = spark.table("dedup_out").count()
+    assert(n == ev.count(), s"expected ${ev.count()} deduped rows, got $n")
+  }
+
+  test("EventStream: mapGroupsWithState running counts accumulate across batches") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val half = ev.filter(col("event_id") % 2 === 0)
+    half.write.mode("overwrite").parquet(dir)
+    val q = EventStream.runningUserCounts(EventStream.read(spark, dir))
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("running_counts")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch: the other half — state must carry over
+      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest update per user equals the batch per-user count
+    val got = spark.table("running_counts")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val want = ev.groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(got == want)
+  }
+
   test("Multimodal: batched decode preserves bytes; deterministic checksums") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf), batchSize = 16)
       .collect()

@@ -12,6 +12,15 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(ts.sameElements(ts.sorted.reverse), "must be newest first")
   }
 
+  test("recent/search: time bound reaches the parquet scan as a raw-ns filter") {
+    for (df <- Seq(LogAnalytics.recent(spark, sf), LogAnalytics.search(spark, sf))) {
+      val plan = formattedPlan(df)
+      val pushed = plan.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+      assert(pushed.contains("GreaterThanOrEqual(ts,"),
+        s"expected pushed raw-ns ts filter, got: $pushed")
+    }
+  }
+
   test("severityByService: covers all severities present") {
     val rows = LogAnalytics.severityByService(spark, sf).collect()
     val sevs = rows.map(_.getAs[String]("event_type")).toSet
