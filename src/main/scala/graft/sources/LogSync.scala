@@ -64,4 +64,18 @@ object LogSync {
       .option("basePath", root)
       .parquet(paths: _*)
   }
+
+  /** Time travel: the table as of a past registration instant — the
+    * files whose `registered_at` ≤ the given timestamp. Snapshot reads
+    * are what the reference gets from Iceberg; the manifest's
+    * registration times give the same capability over raw parquet.
+    */
+  def tableAsOf(spark: SparkSession, root: String, ts: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = spark.read.parquet(manifestPath(root))
+      .filter(col("registered_at") <= org.apache.spark.sql.functions.lit(ts))
+      .select("path").collect().map(_.getString(0)).toSeq.sorted
+    require(paths.nonEmpty, s"no files registered at or before $ts under $root")
+    spark.read.option("basePath", root).parquet(paths: _*)
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions: graft_dot/graft_minhash usable from plain SQL") {
+    val prior = spark // force shared-suite session creation first
+    assert(prior != null)
+    // getOrCreate reuses an existing session and would skip extensions,
+    // so detach the default/active session before building
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val d = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(d == 11.0)
+      val sig = s2.sql("SELECT graft_minhash(array(5L, 7L)) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(sig.length == 64 && sig.forall(_ >= 0))
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("LogSync.tableAsOf: snapshot excludes files registered later") {
+    val root = Files.createTempDirectory("graft_tt").toString
+    val ev = graft.sources.Tables.events(spark, sf).limit(100)
+      .select(col("ts").as("timestamp"), col("event_type").as("service_name"),
+              col("props").as("body"))
+    graft.sources.LogWriter.write(ev, root)
+    graft.sources.LogSync.sync(spark, root)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    graft.sources.LogWriter.write(ev, root)
+    graft.sources.LogSync.sync(spark, root)
+    assert(graft.sources.LogSync.table(spark, root).count() == 200)
+    assert(graft.sources.LogSync.tableAsOf(spark, root, cut).count() == 100,
+      "snapshot must only see the first batch")
+  }
+}
