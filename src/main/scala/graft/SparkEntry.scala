@@ -67,7 +67,8 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_embedding"     -> (Dedup.embeddingPairs _),
     "ann_topk"            -> (Similarity.annTopk _),
-    "ann_lsh"             -> (Similarity.annLsh _)
+    "ann_lsh"             -> (Similarity.annLsh _),
+    "ann_ivf"             -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

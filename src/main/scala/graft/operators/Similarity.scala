@@ -57,6 +57,55 @@ object Similarity {
       .agg(round(avg(col("x").cast("double")), 4).as("c"), count(lit(1)).as("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into k cells
+    * around centroids; queries probe only the `nprobe` nearest cells.
+    *
+    * Centroids here are the per-label means (k = 10) — a one-pass
+    * distributed reduction; the k×dim centroid table is collected to
+    * the driver (control-plane, like k-means) and broadcast back as
+    * literals, so cell assignment is a pure map with no join. At
+    * 100 TB the scan fraction is ~nprobe/k of the corpus.
+    * No SQL oracle (approximate); spec measures recall vs [[annTopk]].
+    */
+  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+    VectorFunctions.register(spark)
+    val cents: Array[(Int, Seq[Double])] = embCentroids(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq)
+      }
+      .toArray.sortBy(_._1)
+    def cellScores(v: Column): Column =
+      array(cents.map { case (_, c) =>
+        dot(v, typedLit(c)) / sqrt(lit(c.map(x => x * x).sum))
+      }: _*)
+    // cell ids ranked by score, best first (normalize by nrm is a
+    // constant per row — ordering unaffected, so skip it)
+    def rankedCells(v: Column): Column =
+      transform(
+        array_sort(
+          zip_with(cellScores(v), typedLit(cents.map(_._1).toSeq),
+            (s, i) => struct((-s).as("neg"), i.as("cell"))),
+          (a, b) => when(a.getField("neg") < b.getField("neg"), -1)
+            .when(a.getField("neg") > b.getField("neg"), 1).otherwise(0)),
+        s => s.getField("cell"))
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("cell", element_at(rankedCells(col("v")), 1))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+              explode(slice(rankedCells(col("v")), 1, nprobe)).as("cell"))
+    val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    q.join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosc.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplanes (xorshift64-generated, fixed seed). */
   private val Planes = 4
   private val Dim = 64

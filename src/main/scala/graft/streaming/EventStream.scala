@@ -52,6 +52,17 @@ object EventStream {
       }
   }
 
+  /** Stream-static join: enrich the event stream with a static
+    * dimension (user → nation via customer). The static side is a
+    * broadcast hash join per micro-batch — the standard pattern for
+    * dimension enrichment at ingest time.
+    */
+  def enriched(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customers.select(col("c_custkey").as("user_id"), col("c_nationkey"))),
+      Seq("user_id"), "left")
+
   /** Hourly severity counts over event time with a 1-hour watermark. */
   def windowedSeverityCounts(events: DataFrame): DataFrame =
     events

@@ -64,6 +64,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 
+  test("annIvf: probing 3/10 cells recovers most true neighbors") {
+    val exact = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 (nprobe=3/10) = $recall")
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
+  test("streaming enrichment joins the static dimension per batch") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_enrich").toString
+    graft.sources.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val streamed = graft.streaming.EventStream.enriched(
+      graft.streaming.EventStream.read(spark, dir),
+      graft.sources.Tables.customer(spark, sf))
+    val q = streamed.writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("enriched_out")
+    assert(out.count() == graft.sources.Tables.events(spark, sf).count())
+    assert(out.columns.contains("c_nationkey"))
+  }
+
   test("text stats: quality in [0,1]; tokens consistent with stats") {
     val st = TextAnalysis.stats(spark, sf).collect()
     assert(st.forall { r => val q = r.getAs[Double]("quality"); q >= 0 && q <= 1 })
