@@ -56,6 +56,8 @@ object SparkEntry {
     "logs_dau"                 -> (LogAnalytics.dau _),
     "logs_approx_dau"          -> (LogAnalytics.approxDau _),
     "logs_otlp_roundtrip"      -> (LogAnalytics.otlpRoundtrip _),
+    "logs_p95_approx"          -> (LogAnalytics.approxP95 _),
+    "q18_salted_agg"           -> ((s: SparkSession, d: String) => Skew.saltedEventAgg(s, d)),
     "mm_pipeline"              -> (Multimodal.pipeline _),
     "text_tokens"         -> (TextAnalysis.tokens _),
     "text_stats"          -> (TextAnalysis.stats _),
@@ -143,6 +145,10 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "q18_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_pivot" ->
       s"""SELECT l_returnflag,
          | ${m2("CASE WHEN l_linestatus='F' THEN CAST(l_quantity AS DECIMAL(12,2)) END")} AS qty_f,

@@ -165,6 +165,16 @@ object LogAnalytics {
       .orderBy(col("service_name"), col("severity_text"))
   }
 
+  /** Sketch percentiles (t-digest-style approx_percentile): the
+    * fixed-size-state path for latency percentiles at 100 TB. No
+    * oracle (sketch internals); spec bounds error vs exact.
+    */
+  def approxP95(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95_approx"))
+      .orderBy(col("event_type"))
+
   def approxDau(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(dayStr(col("ts")).as("day"))

@@ -93,6 +93,21 @@ object OtlpLogs {
         attrsJson(col("sl.scope.attributes")).as("scope_attributes"))
   }
 
+  /** Parse with a quarantine: returns (valid rows, rejected payloads).
+    * A payload is rejected when it isn't valid JSON for the OTLP
+    * envelope shape (from_json yields null / no resourceLogs) — the
+    * ingest equivalent of the collector 4xx-ing a bad POST, without
+    * silently dropping data mid-pipeline.
+    */
+  def parseWithInvalid(df: DataFrame, jsonCol: Column): (DataFrame, DataFrame) = {
+    val marked = df.select(jsonCol.as("payload"), from_json(jsonCol, otlpSchema).as("o"))
+    val bad = marked
+      .filter(col("o").isNull || col("o.resourceLogs").isNull || size(col("o.resourceLogs")) === 0)
+      .select(col("payload"))
+    (parse(marked.filter(col("o.resourceLogs").isNotNull && size(col("o.resourceLogs")) > 0),
+       col("payload")), bad)
+  }
+
   /** Render rows of the flattened schema back into minimal OTLP/JSON
     * envelopes (one record per envelope) — used by the round-trip
     * correctness query and as a test-data generator.

@@ -44,6 +44,15 @@ class IngestSpec extends SparkSpec {
       == "2024-01-01T00:00:00Z")
   }
 
+  test("OtlpLogs: malformed payloads quarantine instead of vanishing") {
+    import spark.implicits._
+    val good = sampleOtlp(5).collect().map(_.getString(0)).toSeq
+    val payloads = (good :+ "{not json" :+ """{"somethingElse": 1}""").toDF("payload")
+    val (ok, bad) = OtlpLogs.parseWithInvalid(payloads, col("payload"))
+    assert(ok.count() == 5)
+    assert(bad.count() == 2)
+  }
+
   test("LogWriter + LogSync: partitioned layout, idempotent incremental registration") {
     val root = Files.createTempDirectory("graft_lake").toString
     val logs = OtlpLogs.parse(sampleOtlp(200), col("payload"))

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.LogAnalytics
 
 class LogAnalyticsSpec extends SparkSpec {
@@ -68,6 +70,28 @@ class LogAnalyticsSpec extends SparkSpec {
       val ex = exact(d).toDouble
       assert(math.abs(est - ex) / ex <= 0.10, s"day $d: approx $est vs exact $ex")
     }
+  }
+
+  test("approxP95: sketch within 5% of exact percentile") {
+    val exact = LogAnalytics.p95Value(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p95")).toMap
+    LogAnalytics.approxP95(spark, sf).collect().foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val got = r.getAs[Double]("p95_approx")
+      assert(math.abs(got - exact(t)) / exact(t) <= 0.05, s"$t: $got vs ${exact(t)}")
+    }
+  }
+
+  test("salted aggregation is exactly the direct aggregate") {
+    val salted = graft.operators.Skew.saltedEventAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))), 2)
+          .cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    assert(salted == direct)
   }
 
   test("p95Value: p50 <= p95 per severity") {
