@@ -52,6 +52,59 @@ object EventStream {
       }
   }
 
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+                           n_events: Long, duration_us: Long)
+
+  /** Streaming sessionization: 30-minute-inactivity sessions per user
+    * via flatMapGroupsWithState + event-time timeout — the streaming
+    * twin of the batch `logs_sessionize` operator.
+    *
+    * State per user is the list of not-yet-emittable sessions (usually
+    * one); a session is emitted exactly once, when the event-time
+    * watermark passes its close (last event + gap), either on a data
+    * batch or on a timeout batch. State is bounded by the watermark —
+    * the 100 TB requirement.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      // keep the watermarked ts column itself — projecting it away
+      // detaches the watermark and event-time timeouts are rejected
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[List[OpenSession]]) =>
+          val existing = state.getOption.getOrElse(Nil)
+          // fold this batch's events (in time order) into the sessions
+          val merged = it.map(_._2).toArray.sorted.foldLeft(existing.sortBy(_.start)) {
+            case (Nil, us) => OpenSession(us, us, 1) :: Nil
+            case (sessions, us) =>
+              val cur = sessions.last
+              if (us - cur.last <= gapUs)
+                sessions.init :+ cur.copy(last = math.max(cur.last, us), n = cur.n + 1)
+              else sessions :+ OpenSession(us, us, 1)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(s => s.last + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake up when the earliest open session becomes emittable
+            val wake = open.map(_.last + gapUs).min / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(wake, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.sortBy(_.start).iterator
+            .map(s => ClosedSession(uid, s.start, s.n, s.last - s.start))
+      }
+  }
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (user → nation via customer). The static side is a
     * broadcast hash join per micro-batch — the standard pattern for

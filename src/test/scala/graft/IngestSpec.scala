@@ -140,6 +140,44 @@ class IngestSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("EventStream: streaming sessionization matches batch sessionize once watermark passes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dir)
+    val q = EventStream.sessionizeStream(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a far-future dummy event pushes the watermark past every real
+      // session's close so the tail sessions emit
+      val maxUs = ev.agg(org.apache.spark.sql.functions.max(unix_micros(col("ts"))))
+        .collect()(0).getLong(0)
+      val dummyTs = new java.sql.Timestamp((maxUs + 6L * 3600L * 1000000L) / 1000L)
+      Seq((999999L, dummyTs, 999999L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable() // extra trigger lets timeouts fire
+    } finally q.stop()
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") =!= 999999L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+                 r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))).toSet
+    val want = graft.operators.LogAnalytics.sessionize(spark, sf).collect()
+      .map { r =>
+        val startUs = java.time.LocalDateTime
+          .parse(r.getAs[String]("session_start").replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        (r.getAs[Long]("user_id"),
+         startUs.getEpochSecond * 1000000L + startUs.getNano / 1000L,
+         r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))
+      }.toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("Multimodal: batched decode preserves bytes; deterministic checksums") {
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf), batchSize = 16)
       .collect()
