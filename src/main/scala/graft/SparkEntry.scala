@@ -44,6 +44,7 @@ object SparkEntry {
     "q10_range_join"   -> (Temporal.q10RangeJoin _),
     "q11_grouping_sets" -> (Temporal.q11GroupingSets _),
     "q12_percentile_join" -> (Temporal.q12PercentileJoin _),
+    "q19_moving_avg"   -> (Temporal.q19MovingAvg _),
     "logs_recent"              -> (LogAnalytics.recent _),
     "logs_severity_by_service" -> (LogAnalytics.severityByService _),
     "logs_timeseries"          -> (LogAnalytics.timeseries _),
@@ -145,6 +146,18 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "q19_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(l_shipdate,'%Y-%m-%d') AS day,
+        |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day_num,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1,2)
+        |SELECT day, revenue,
+        |  round(avg(revenue) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS mov_avg_7d,
+        |  round(sum(revenue) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS mov_sum_7d
+        |FROM daily ORDER BY day""".stripMargin,
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_value

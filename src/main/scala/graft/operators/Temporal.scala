@@ -77,6 +77,25 @@ object Temporal {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
+  /** Moving window frames: 7-day trailing revenue average/sum over the
+    * daily series — a RANGE frame on the day number, evaluated after
+    * the fact table has collapsed to one row per day.
+    */
+  def q19MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"),
+        unix_date(col("l_shipdate").cast("date")).as("day_num"))
+      .agg(round(sum(col("l_extendedprice").cast(DecimalType(12, 2))), 2)
+        .cast("double").as("revenue"))
+    val trailing = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("mov_avg_7d", round(avg(col("revenue")).over(trailing), 2))
+      .withColumn("mov_sum_7d", round(sum(col("revenue")).over(trailing), 2))
+      .drop("day_num")
+      .orderBy(col("day"))
+  }
+
   /** Exact per-group percentiles + broadcast dimension join: median and
     * p90 customer balance per nation.
     */
