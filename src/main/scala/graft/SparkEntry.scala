@@ -45,6 +45,7 @@ object SparkEntry {
     "q11_grouping_sets" -> (Temporal.q11GroupingSets _),
     "q12_percentile_join" -> (Temporal.q12PercentileJoin _),
     "q19_moving_avg"   -> (Temporal.q19MovingAvg _),
+    "q20_topk_custom"  -> (Relational.q20TopKCustom _),
     "logs_recent"              -> (LogAnalytics.recent _),
     "logs_severity_by_service" -> (LogAnalytics.severityByService _),
     "logs_timeseries"          -> (LogAnalytics.timeseries _),
@@ -146,6 +147,14 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "q20_topk_custom" ->
+      s"""WITH pr AS (
+         |  SELECT l_suppkey, l_partkey, ${m2(DISC_PRICE)} AS revenue
+         |  FROM lineitem GROUP BY 1,2)
+         |SELECT l_suppkey, l_partkey, revenue FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+         |    ORDER BY revenue DESC, l_partkey) AS rnk FROM pr)
+         |WHERE rnk <= 3 ORDER BY l_suppkey, revenue DESC, l_partkey""".stripMargin,
     "q19_moving_avg" ->
       """WITH daily AS (
         |  SELECT strftime(l_shipdate,'%Y-%m-%d') AS day,

@@ -232,6 +232,20 @@ object Relational {
           .otherwise(lit(0).cast(DecimalType(12, 2))))).as("sum_not_f"))
       .orderBy(col("o_orderpriority"))
 
+  /** Top-N per group through the CUSTOM physical operator
+    * [[graft.plans.TopKPerGroupExec]] (bounded per-key heaps, no
+    * per-group sort) — same semantics as [[q15TopNPerGroup]]'s window
+    * formulation, verified against the same oracle.
+    */
+  def q20TopKCustom(spark: SparkSession, dir: String): DataFrame = {
+    val aggregated = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(m2(sum(discPrice)).as("revenue"))
+    graft.plans.TopK.perGroup(aggregated,
+        keys = Seq("l_suppkey"), score = "revenue", tiebreak = "l_partkey", k = 3)
+      .orderBy(col("l_suppkey"), col("revenue").desc, col("l_partkey"))
+  }
+
   /** ROLLUP aggregate: (flag, status) → (flag) → () subtotal levels.
     * NULL grouping cells are normalized to 'ALL' for engine parity.
     */
