@@ -46,6 +46,8 @@ object SparkEntry {
     "q12_percentile_join" -> (Temporal.q12PercentileJoin _),
     "q19_moving_avg"   -> (Temporal.q19MovingAvg _),
     "q20_topk_custom"  -> (Relational.q20TopKCustom _),
+    "q21_correlated_agg" -> (Relational.q21CorrelatedAgg _),
+    "emb_kmeans"       -> ((s: SparkSession, d: String) => Clustering.kmeansAssign(s, d)),
     "logs_recent"              -> (LogAnalytics.recent _),
     "logs_severity_by_service" -> (LogAnalytics.severityByService _),
     "logs_timeseries"          -> (LogAnalytics.timeseries _),
@@ -147,6 +149,12 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "q21_correlated_agg" ->
+      s"""SELECT ${m2("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_price,
+         | count(*) AS n_lines
+         |FROM lineitem l1
+         |WHERE l_quantity < (SELECT 0.5*avg(l_quantity) FROM lineitem l2
+         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q20_topk_custom" ->
       s"""WITH pr AS (
          |  SELECT l_suppkey, l_partkey, ${m2(DISC_PRICE)} AS revenue

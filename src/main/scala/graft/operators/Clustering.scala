@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Distributed k-means (Lloyd's) over the embedding table — the
+  * clustering primitive a training-data pipeline uses for curation /
+  * IVF index building.
+  *
+  * Per iteration: assignment is a pure map (k codegen'd dot products
+  * per row against broadcast centroid literals — no join), and the
+  * update is one posexplode + groupBy(cluster, dim) reduction with
+  * map-side partial means. Only the k×dim centroid table crosses the
+  * driver boundary each iteration (control-plane, like MLlib). Fully
+  * deterministic: init is the first k vectors by vec_id.
+  */
+object Clustering {
+
+  /** squared L2 distance to a centroid literal, via the codegen'd dot:
+    * |v|² − 2·v·c + |c|²; |v|² is constant per row and argmin-invariant,
+    * so assignment uses just −2·v·c + |c|².
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+
+    var centroids: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+
+    var cur: DataFrame = null
+    (0 until iters).foreach { _ =>
+      val scores = array(centroids.map { c =>
+        val cNorm2 = c.map(x => x * x).sum
+        call_function("graft_dot", col("v"), typedLit(c)) * -2.0 + lit(cNorm2)
+      }: _*)
+      cur = e.withColumn("scores", scores)
+        .withColumn("cluster",
+          (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int"))
+        .drop("scores")
+      val updated = cur
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq
+        }
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    cur.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Total within-cluster squared distance for the final assignment —
+    * used by the spec to check Lloyd's iterations don't diverge.
+    */
+  def inertia(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): Double = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    var centroids: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    var total = Double.MaxValue
+    (0 until iters).foreach { _ =>
+      val dists = array(centroids.map { c =>
+        val cNorm2 = c.map(x => x * x).sum
+        call_function("graft_dot", col("v"), col("v")) -
+          call_function("graft_dot", col("v"), typedLit(c)) * 2.0 + lit(cNorm2)
+      }: _*)
+      val cur = e.withColumn("d2", array_min(dists))
+        .withColumn("cluster",
+          (array_position(array(centroids.indices.map(i => element_at(dists, i + 1)): _*),
+            col("d2")) - 1).cast("int"))
+      total = cur.agg(sum(col("d2"))).collect()(0).getDouble(0)
+      val updated = cur
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq
+        }
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    total
+  }
+}

@@ -246,6 +246,21 @@ object Relational {
       .orderBy(col("l_suppkey"), col("revenue").desc, col("l_partkey"))
   }
 
+  /** Correlated scalar subquery, decorrelated by hand the way Catalyst
+    * would: "lines under 50% of their part's average quantity" becomes
+    * one per-part aggregate joined back to the fact — a single extra
+    * shuffle instead of a per-row subquery (TPC-H Q17 shape).
+    */
+  def q21CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(m2(sum(dec2(col("l_extendedprice")))).as("sum_price"),
+           count(lit(1)).as("n_lines"))
+  }
+
   /** ROLLUP aggregate: (flag, status) → (flag) → () subtotal levels.
     * NULL grouping cells are normalized to 'ALL' for engine parity.
     */

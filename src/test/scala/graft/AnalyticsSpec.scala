@@ -41,6 +41,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("n_big") <= r.getAs[Long]("n_orders")))
   }
 
+  test("q21_correlated_agg: strictly fewer lines than total") {
+    val r = Relational.q21CorrelatedAgg(spark, sf).collect()(0)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(r.getAs[Long]("n_lines") > 0 && r.getAs[Long]("n_lines") < total)
+  }
+
+  test("emb_kmeans: partitions all vectors; Lloyd's inertia does not increase") {
+    val counts = graft.operators.Clustering.kmeansAssign(spark, sf, k = 8, iters = 3).collect()
+    assert(counts.map(_.getAs[Long]("n")).sum ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    val i1 = graft.operators.Clustering.inertia(spark, sf, k = 8, iters = 1)
+    val i3 = graft.operators.Clustering.inertia(spark, sf, k = 8, iters = 3)
+    info(s"inertia iters=1: $i1, iters=3: $i3")
+    assert(i3 <= i1 * 1.0001, "inertia must be non-increasing across Lloyd iterations")
+  }
+
   test("text_word_freq: bounded rows, descending counts") {
     val rows = TextAnalysis.wordFreq(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50) // synthetic vocab is ~31 words
