@@ -61,6 +61,7 @@ object SparkEntry {
     "logs_approx_dau"          -> (LogAnalytics.approxDau _),
     "logs_otlp_roundtrip"      -> (LogAnalytics.otlpRoundtrip _),
     "logs_p95_approx"          -> (LogAnalytics.approxP95 _),
+    "logs_sample"              -> (LogAnalytics.sample _),
     "q18_salted_agg"           -> ((s: SparkSession, d: String) => Skew.saltedEventAgg(s, d)),
     "mm_pipeline"              -> (Multimodal.pipeline _),
     "text_tokens"         -> (TextAnalysis.tokens _),
@@ -149,6 +150,9 @@ object SparkEntry {
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty, count(*) AS n_lines
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+    "logs_sample" ->
+      """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h
+        |FROM events ORDER BY h LIMIT 100""".stripMargin,
     "q21_correlated_agg" ->
       s"""SELECT ${m2("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_price,
          | count(*) AS n_lines

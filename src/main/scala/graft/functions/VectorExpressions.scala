@@ -159,5 +159,10 @@ object VectorFunctions {
       "graft_minhash", exprs => MinHashSignature(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sample",
+      exprs => BottomKSample(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "scala_udf")
   }
 }

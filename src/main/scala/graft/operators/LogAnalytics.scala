@@ -175,6 +175,19 @@ object LogAnalytics {
       .agg(round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95_approx"))
       .orderBy(col("event_type"))
 
+  /** Deterministic distributed sample of 100 event ids via the custom
+    * bottom-k-by-md5 TypedImperativeAggregate — same sample regardless
+    * of partitioning or row order, so it's oracle-checkable.
+    */
+  def sample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.events(spark, dir)
+      .agg(expr("graft_sample(event_id, 100)").as("ids"))
+      .select(explode(col("ids")).as("event_id"))
+      .withColumn("h", md5(col("event_id").cast("string")))
+      .orderBy(col("h"))
+  }
+
   def approxDau(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(dayStr(col("ts")).as("day"))

@@ -94,6 +94,16 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("sample: bottom-k aggregate is invariant to partitioning") {
+    graft.functions.VectorFunctions.register(spark)
+    val base = graft.sources.Tables.events(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("graft_sample(event_id, 50)")).collect()(0).getSeq[Long](0).toSet
+    val a = ids(base.repartition(1))
+    val b = ids(base.repartition(13, col("user_id")))
+    assert(a.size == 50 && a == b, "sample must not depend on physical layout")
+  }
+
   test("p95Value: p50 <= p95 per severity") {
     val rows = LogAnalytics.p95Value(spark, sf).collect()
     assert(rows.length == 5)
