@@ -344,7 +344,8 @@ object SparkEntry {
     "text_tokens" ->
       """SELECT doc_id,
         | len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_tokens,
-        | len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->len(x)>0)) AS n_words
+        | len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x->len(x)>0)) AS n_words,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, text,

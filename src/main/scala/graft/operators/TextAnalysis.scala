@@ -28,13 +28,17 @@ object TextAnalysis {
   private def hits(t: Column, words: Seq[String]): Column =
     size(filter(t, x => x.isInCollection(words)))
 
-  /** Token counting: whitespace tokens + alphanumeric word tokens. */
+  /** Token counting: whitespace tokens, alphanumeric word tokens, and
+    * a BPE-ish subword estimate (letter runs / digit runs / single
+    * punctuation marks — the GPT-style pre-tokenizer classes).
+    */
   def tokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(toks(col("text"))).as("n_tokens"),
-        size(alnumToks(col("text"))).as("n_words"))
+        size(alnumToks(col("text"))).as("n_words"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length, punctuation density, stopword ratio →
