@@ -45,6 +45,7 @@ object SparkEntry {
     "q11_grouping_sets" -> (Temporal.q11GroupingSets _),
     "q12_percentile_join" -> (Temporal.q12PercentileJoin _),
     "q19_moving_avg"   -> (Temporal.q19MovingAvg _),
+    "q22_window_suite" -> (Temporal.q22WindowSuite _),
     "q20_topk_custom"  -> (Relational.q20TopKCustom _),
     "q21_correlated_agg" -> (Relational.q21CorrelatedAgg _),
     "emb_kmeans"       -> ((s: SparkSession, d: String) => Clustering.kmeansAssign(s, d)),
@@ -167,6 +168,16 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
          |    ORDER BY revenue DESC, l_partkey) AS rnk FROM pr)
          |WHERE rnk <= 3 ORDER BY l_suppkey, revenue DESC, l_partkey""".stripMargin,
+    "q22_window_suite" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate,'%Y-%m-%d') AS orderdate,
+        | o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | strftime(first_value(o_orderdate) OVER w,'%Y-%m-%d') AS first_date,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q19_moving_avg" ->
       """WITH daily AS (
         |  SELECT strftime(l_shipdate,'%Y-%m-%d') AS day,

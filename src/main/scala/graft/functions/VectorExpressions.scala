@@ -118,9 +118,11 @@ case class MinHashSignature(child: Expression)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
-/** SimHash bit vector: for each of 64 bits, the sign of the ±1 vote
-  * sum across the token-hash array — one tight loop per document
-  * instead of 64 interpreted `aggregate` lambdas per token.
+/** SimHash bit vector over a token-STRING array: hashes each token
+  * (FNV-1a 64 over UTF-8 bytes, in-loop — no per-token lambda) and
+  * takes the sign of the ±1 vote sum per bit. One tight loop per
+  * document instead of an interpreted `transform` + 64 `aggregate`
+  * lambdas per token.
   */
 case class SimHashBits(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -134,7 +136,10 @@ case class SimHashBits(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val bytes = arr.getUTF8String(i).getBytes
+      var h = -3750763034362895579L // FNV-1a 64 offset basis
+      var j = 0
+      while (j < bytes.length) { h = (h ^ (bytes(j) & 0xffL)) * 1099511628211L; j += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

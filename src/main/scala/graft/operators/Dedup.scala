@@ -151,8 +151,8 @@ object Dedup {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) > 0)
-      .withColumn("hs", transform(col("t"), w => xxhash64(w)))
-      .withColumn("bits", call_function("graft_simhash", col("hs")))
+      // token hashing happens inside the expression's tight loop
+      .withColumn("bits", call_function("graft_simhash", col("t")))
       .select(col("doc_id"), col("bits"))
     val bandVal = (k: Int) =>
       (0 until 16).map(j => element_at(col("bits"), k * 16 + j + 1) * (1 << j))

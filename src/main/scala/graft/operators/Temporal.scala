@@ -96,6 +96,25 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Navigation-window suite: lag / lead / first_value / ntile in one
+    * pass per customer — one shuffle on the partition key serves all
+    * four window functions.
+    */
+  def q22WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        date_format(first(col("o_orderdate")).over(byDate), "yyyy-MM-dd").as("first_date"),
+        ntile(4).over(byDate).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Exact per-group percentiles + broadcast dimension join: median and
     * p90 customer balance per nation.
     */
