@@ -92,6 +92,7 @@ object Similarity {
         s => s.getField("cell"))
     val e = withNorm(Tables.embeddings(spark, dir))
       .withColumn("cell", element_at(rankedCells(col("v")), 1))
+      .cache() // probed by queries derived from itself
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
               explode(slice(rankedCells(col("v")), 1, nprobe)).as("cell"))
@@ -128,6 +129,7 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketOf(col("v")))
+      .cache() // corpus side is probed by queries derived from itself
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
               col("bucket").as("qb"))
