@@ -25,6 +25,9 @@ class ExtensionsSpec extends SparkSpec {
       val sig = s2.sql("SELECT graft_minhash(array(5L, 7L)) AS s")
         .collect()(0).getSeq[Long](0)
       assert(sig.length == 64 && sig.forall(_ >= 0))
+      val bits = s2.sql("SELECT graft_simhash(array('alpha', 'beta')) AS b")
+        .collect()(0).getSeq[Int](0)
+      assert(bits.length == 64 && bits.forall(b => b == 0 || b == 1))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)

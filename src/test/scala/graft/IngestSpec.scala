@@ -44,6 +44,25 @@ class IngestSpec extends SparkSpec {
       == "2024-01-01T00:00:00Z")
   }
 
+  test("OtlpLogs: multi-scope, multi-record envelopes fan out fully") {
+    import spark.implicits._
+    def rec(ns: Long, sev: String) =
+      s"""{"timeUnixNano":"$ns","severityText":"$sev","body":{"stringValue":"m$ns"}}"""
+    val envelope =
+      s"""{"resourceLogs":[{"resource":{"attributes":[
+         |{"key":"service.name","value":{"stringValue":"batched"}}]},
+         |"scopeLogs":[
+         | {"scope":{"name":"s1"},"logRecords":[${rec(1704067200000000000L, "INFO")},
+         |   ${rec(1704067201000000000L, "WARN")}]},
+         | {"scope":{"name":"s2"},"logRecords":[${rec(1704067202000000000L, "ERROR")}]}
+         |]}]}""".stripMargin.replace("\n", "")
+    val rows = OtlpLogs.parse(Seq(envelope).toDF("payload"), col("payload")).collect()
+    assert(rows.length == 3, "2 records in scope s1 + 1 in s2")
+    assert(rows.map(_.getAs[String]("scope_name")).sorted.toSeq == Seq("s1", "s1", "s2"))
+    assert(rows.map(_.getAs[String]("severity_text")).toSet == Set("INFO", "WARN", "ERROR"))
+    assert(rows.forall(_.getAs[String]("service_name") == "batched"))
+  }
+
   test("OtlpLogs: malformed payloads quarantine instead of vanishing") {
     import spark.implicits._
     val good = sampleOtlp(5).collect().map(_.getString(0)).toSeq
