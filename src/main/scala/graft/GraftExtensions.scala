@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSignature, SimHashBits}
+import graft.functions.{DotProduct, HyperplaneBuckets, MinHashSignature, SimHashBits}
 
 /** Session-extension registration for graft's native expressions, so
   * any session started with
@@ -27,7 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash", "graft_minhash(hashes) - 64-perm MinHash signature"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
-      info("graft_simhash", "graft_simhash(hashes) - 64-bit SimHash bit vector"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash packed into a BIGINT"),
       (exprs: Seq[Expression]) => SimHashBits(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplanes"),
+      info("graft_hyperplanes",
+        "graft_hyperplanes(vec, planesPerBand, bands) - banded hyperplane-LSH bucket ids"),
+      (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -70,12 +70,12 @@ object SparkEntry {
     "text_langid"         -> (TextAnalysis.langId _),
     "text_fingerprint"    -> (TextAnalysis.fingerprint _),
     "dedup_exact"         -> (Dedup.exact _),
-    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> (Dedup.minhash _),
     "dedup_simhash"       -> (Dedup.simhash _),
-    "dedup_embedding"     -> (Dedup.embeddingPairs _),
+    "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d)),
     "ann_topk"            -> (Similarity.annTopk _),
-    "ann_lsh"             -> (Similarity.annLsh _),
+    "ann_lsh"             -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d))
   )
 
@@ -158,7 +158,8 @@ object SparkEntry {
       s"""SELECT ${m2("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_price,
          | count(*) AS n_lines
          |FROM lineitem l1
-         |WHERE l_quantity < (SELECT 0.5*avg(l_quantity) FROM lineitem l2
+         |WHERE l_quantity < (SELECT 0.5*CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/count(*)
+         |                    FROM lineitem l2
          |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q20_topk_custom" ->
       s"""WITH pr AS (
@@ -221,7 +222,8 @@ object SparkEntry {
       s"""SELECT l_returnflag, count(*) AS n_lines,
          | ${m2("CAST(l_extendedprice AS DECIMAL(12,2))")} AS sum_price
          |FROM lineitem
-         |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+         |WHERE l_extendedprice > (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/count(*)
+         |                         FROM lineitem)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q17_conditional_agg" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,

@@ -27,8 +27,19 @@ case class BottomKSample(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sample expects a BIGINT column, got ${child.dataType}")
+
+  // one digest per task, reset per row — not one allocation per row
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    digest.reset()
+    val d = digest.digest(s.getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
   }
 

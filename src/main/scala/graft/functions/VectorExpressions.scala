@@ -118,17 +118,19 @@ case class MinHashSignature(child: Expression)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
-/** SimHash bit vector over a token-STRING array: hashes each token
-  * (FNV-1a 64 over UTF-8 bytes, in-loop — no per-token lambda) and
-  * takes the sign of the ±1 vote sum per bit. One tight loop per
-  * document instead of an interpreted `transform` + 64 `aggregate`
-  * lambdas per token.
+/** SimHash signature over a token-STRING array, packed into ONE long:
+  * hashes each token (FNV-1a 64 over UTF-8 bytes, in-loop — no
+  * per-token lambda) and sets bit i iff the ±1 vote sum for bit i is
+  * positive. Packing the 64 bits into a single BIGINT (instead of an
+  * array) lets verification run as `bit_count(a ^ b) <= d` — a single
+  * codegen'd integer op per candidate pair instead of an interpreted
+  * 64-element zip_with + aggregate.
   */
 case class SimHashBits(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -147,10 +149,94 @@ case class SimHashBits(child: Expression)
       }
       i += 1
     }
-    ArrayData.toArrayData(votes.map(v => if (v > 0) 1 else 0))
+    var packed = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
+    packed
   }
 
   override protected def withNewChildInternal(c: Expression): SimHashBits = copy(child = c)
+}
+
+/** Deterministic ±1 random hyperplanes (xorshift64, fixed seed) for
+  * sign-random-projection LSH. Generation is sequential and therefore
+  * PREFIX-STABLE: the first k planes are identical no matter how many
+  * are requested, so signatures computed with different plane counts
+  * agree on their shared prefix.
+  */
+object Hyperplanes {
+  val Dim = 64
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def planes(n: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(n, _ => {
+      var state = 88172645463325252L
+      def next(): Long = {
+        state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
+      }
+      Array.fill(n, Dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
+    })
+}
+
+/** Banded hyperplane-LSH bucket ids for a float/double vector, one
+  * tight loop per row: element k of the result is band k's bucket —
+  * `planesPerBand` sign bits of the vector's dot products against
+  * consecutive planes. Two vectors are near-duplicate CANDIDATES when
+  * any band agrees; exact cosine verification happens on candidates
+  * only. The equivalent SQL (`bands × planes` separate `graft_dot` +
+  * CASE expressions) pays per-plane expression overhead and explodes
+  * the codegen size; this is one expression evaluation per row.
+  */
+case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        if (planesPerBand >= 1 && planesPerBand <= 30 && bands >= 1)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_hyperplanes needs 1<=planesPerBand<=30 and bands>=1, got ($planesPerBand, $bands)")
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplanes expects a float/double array, got $t")
+    }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val pl = Hyperplanes.planes(planesPerBand * bands)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = math.min(v.numElements(), Hyperplanes.Dim)
+    val out = new Array[Int](bands)
+    var band = 0
+    while (band < bands) {
+      var bucket = 0
+      var p = 0
+      while (p < planesPerBand) {
+        val plane = pl(band * planesPerBand + p)
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          s += x * plane(i)
+          i += 1
+        }
+        if (s > 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(band) = bucket
+      band += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
 }
 
 object VectorFunctions {
@@ -165,9 +251,24 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplanes",
+      exprs => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          "graft_hyperplanes(vec, planesPerBand, bands) needs literal band parameters")
+        HyperplaneBuckets(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sample",
-      exprs => BottomKSample(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      exprs => {
+        require(exprs.length == 2, s"graft_sample(col, k) takes 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          s"graft_sample k must be a literal, got non-foldable ${exprs(1).sql}")
+        BottomKSample(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      },
       "scala_udf")
   }
 }

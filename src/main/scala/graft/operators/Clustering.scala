@@ -23,9 +23,45 @@ object Clustering {
     * |v|² − 2·v·c + |c|²; |v|² is constant per row and argmin-invariant,
     * so assignment uses just −2·v·c + |c|².
     */
+  /** Final centroids after `iters` Lloyd's rounds — the reusable
+    * control-plane primitive (IVF cell building uses it directly).
+    * The working set is cached for the duration of the loop instead of
+    * re-scanning parquet every iteration.
+    */
+  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int = 5): Array[(Int, Seq[Double])] = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+      .cache()
+    try {
+      var cents: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble))
+      (0 until iters).foreach { _ =>
+        val scores = array(cents.map { c =>
+          val cNorm2 = c.map(x => x * x).sum
+          call_function("graft_dot", col("v"), typedLit(c)) * -2.0 + lit(cNorm2)
+        }: _*)
+        val assigned = e.withColumn("scores", scores)
+          .withColumn("cluster",
+            (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int"))
+        val updated = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(avg(col("x").cast("double")).as("c"))
+          .collect()
+          .groupBy(_.getAs[Int]("cluster"))
+          .map { case (cl, rows) =>
+            cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq
+          }
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+      }
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+    } finally e.unpersist()
+  }
+
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+      .cache() // scanned once per Lloyd's iteration — don't re-read parquet each time
 
     var centroids: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble))
@@ -63,6 +99,7 @@ object Clustering {
   def inertia(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): Double = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+      .cache() // scanned twice per iteration (inertia + update)
     var centroids: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble))
     var total = Double.MaxValue

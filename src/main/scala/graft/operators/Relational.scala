@@ -208,7 +208,11 @@ object Relational {
     */
   def q16ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val avgPrice = li.agg(avg(col("l_extendedprice")).as("avg_price"))
+    // exact-decimal average: a double sum is order-dependent in the last
+    // ulp, so a row within 1 ulp of the mean could flip in/out of the
+    // threshold between engines (or between partitionings)
+    val avgPrice = li.agg(
+      (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"))
     li.crossJoin(broadcast(avgPrice))
       .filter(col("l_extendedprice") > col("avg_price"))
       .groupBy(col("l_returnflag"))
@@ -253,8 +257,9 @@ object Relational {
     */
   def q21CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // exact-decimal average (same determinism rule as q16)
     val perPart = li.groupBy(col("l_partkey").as("pk"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
     li.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(m2(sum(dec2(col("l_extendedprice")))).as("sum_price"),

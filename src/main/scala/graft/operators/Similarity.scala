@@ -37,7 +37,10 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    q.join(e, col("vec_id") =!= col("q_id"))
+    // stream the CORPUS, broadcast the tiny query set: the build side of
+    // the nested-loop join must be the 10-row side — broadcasting the
+    // corpus would ship the whole table to every executor at 100 TB
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosc.as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
@@ -60,22 +63,30 @@ object Similarity {
   /** IVF (inverted-file) ANN: the corpus is partitioned into k cells
     * around centroids; queries probe only the `nprobe` nearest cells.
     *
-    * Centroids here are the per-label means (k = 10) — a one-pass
-    * distributed reduction; the k×dim centroid table is collected to
-    * the driver (control-plane, like k-means) and broadcast back as
+    * Cells: `k <= 0` (default) uses the per-label means — a one-pass
+    * distributed reduction, and at the test scale factors the 10
+    * labels are already ≈√N cells, the standard IVF sizing. `k > 0`
+    * builds k unsupervised cells via [[Clustering.centroids]]
+    * (Lloyd's over the cached working set) — the path for corpora
+    * without a label partition, with k ≈ √N and nprobe scaled with k.
+    * Either way only the k×dim centroid table crosses the driver
+    * (control-plane, like k-means) and comes back as broadcast
     * literals, so cell assignment is a pure map with no join. At
     * 100 TB the scan fraction is ~nprobe/k of the corpus.
-    * No SQL oracle (approximate); spec measures recall vs [[annTopk]].
+    * No SQL oracle (approximate); spec measures recall vs [[annTopk]]
+    * at both cell settings.
     */
-  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
-    val cents: Array[(Int, Seq[Double])] = embCentroids(spark, dir)
-      .collect()
-      .groupBy(_.getAs[Int]("label"))
-      .map { case (l, rows) =>
-        (l, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq)
-      }
-      .toArray.sortBy(_._1)
+    val cents: Array[(Int, Seq[Double])] =
+      if (k > 0) Clustering.centroids(spark, dir, k)
+      else embCentroids(spark, dir)
+        .collect()
+        .groupBy(_.getAs[Int]("label"))
+        .map { case (l, rows) =>
+          (l, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq)
+        }
+        .toArray.sortBy(_._1)
     def cellScores(v: Column): Column =
       array(cents.map { case (_, c) =>
         dot(v, typedLit(c)) / sqrt(lit(c.map(x => x * x).sum))
@@ -107,34 +118,34 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Deterministic ±1 hyperplanes (xorshift64-generated, fixed seed). */
-  private val Planes = 4
-  private val Dim = 64
-  private[operators] val planes: Array[Array[Double]] = {
-    var state = 88172645463325252L
-    def next(): Long = {
-      state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
-    }
-    Array.fill(Planes, Dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
-  }
-
-  private def bucketOf(v: Column): Column =
-    (0 until Planes).map { p =>
-      when(dot(v, typedLit(planes(p).toSeq)) > 0, 1 << p).otherwise(0)
-    }.reduce(_ + _)
-
-  /** LSH-bucketed approximate top-5: corpus hashed once into 2^4
-    * buckets; queries probe their bucket + all hamming-1 buckets.
+  /** Plane count sized to the corpus: 2^planes buckets targeting ~64
+    * vectors per bucket, clamped to [4, 20]. Probing is own bucket +
+    * hamming-1 flips, so the scanned fraction is ~(planes+1)/2^planes —
+    * it SHRINKS as the corpus (and with it the plane count) grows.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def derivePlanes(corpusSize: Long): Int =
+    math.min(20, math.max(4,
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, corpusSize / 64)))))
+
+  /** LSH-bucketed approximate top-5: corpus hashed once into 2^planes
+    * buckets (deterministic ±1 hyperplanes, [[graft.functions.Hyperplanes]]);
+    * queries probe their bucket + all hamming-1 buckets. `planes <= 0`
+    * derives the count from the corpus size (one count() over the
+    * cached signature side — a control-plane job).
+    */
+  def annLsh(spark: SparkSession, dir: String, planes: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
-    val e = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketOf(col("v")))
+    val base = withNorm(Tables.embeddings(spark, dir))
+    val nPlanes = if (planes > 0) planes else derivePlanes(base.count())
+    val e = base
+      .withColumn("bucket",
+        element_at(call_function("graft_hyperplanes", col("v"), lit(nPlanes), lit(1)), 1))
       .cache() // corpus side is probed by queries derived from itself
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
               col("bucket").as("qb"))
     // multiprobe set: own bucket + flip each plane bit
-    val probes = array((lit(0) +: (0 until Planes).map(p => lit(1 << p))): _*)
+    val probes = array((lit(0) +: (0 until nPlanes).map(p => lit(1 << p))): _*)
     val qProbed = q.select(col("q_id"), col("qv"), col("qn"), col("qb"),
       explode(probes).as("flip"))
       .withColumn("bucket", col("qb").bitwiseXOR(col("flip")))

@@ -115,6 +115,14 @@ object TopK {
       childPlan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${childPlan.output.map(_.name).mkString(", ")}"))
+    // fail at analysis, not with garbage ordering at runtime: doExecute
+    // reads the projection with getDouble/getLong unconditionally
+    val scoreType = attr(score).dataType
+    require(scoreType == org.apache.spark.sql.types.DoubleType,
+      s"TopK.perGroup score column '$score' must be DoubleType, got $scoreType")
+    val tieType = attr(tiebreak).dataType
+    require(tieType == org.apache.spark.sql.types.LongType,
+      s"TopK.perGroup tiebreak column '$tiebreak' must be LongType, got $tieType")
     GraftSqlBridge.ofRows(spark,
       TopKPerGroup(keys.map(attr), attr(score), attr(tiebreak), k, childPlan))
   }

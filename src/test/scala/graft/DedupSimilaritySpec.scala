@@ -44,6 +44,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
   }
 
+  test("embeddingPairs: LSH-bucketed result equals the exact all-pairs oracle") {
+    def toSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Double]("cos"))).toSet
+    val lsh = toSet(Dedup.embeddingPairs(spark, sf).collect())
+    val exact = toSet(Dedup.embeddingPairsAllPairs(spark, sf).collect())
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"banded LSH must recall every >=0.45 pair here; missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("embeddingPairs: plan has no BroadcastNestedLoopJoin") {
+    val plan = planString(Dedup.embeddingPairs(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on (band, bucket), not an all-pairs join")
+  }
+
+  test("ngram df-cap prunes stop-shingle buckets but keeps true near-dups") {
+    import spark.implicits._
+    val hot = "common boilerplate header phrase repeated verbatim in every single document"
+    val hotDocs = (0L until 30L).map(i => (i, s"$hot unique$i filler${i}a filler${i}b"))
+    val dupPair = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val docs = (hotDocs ++ dupPair).toDF("doc_id", "text")
+    // capped: the df=30 stop-shingles generate no candidates at all
+    val pairs = Dedup.ngramJaccardOn(docs, dfCap = 10).collect()
+    assert(pairs.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSeq == Seq((100L, 101L)))
+    assert(pairs.head.getAs[Double]("j") == 1.0)
+    // bucket-size bound: 1 candidate pair capped vs ~465 pairs uncapped
+    val shingled = Dedup.docShinglesOf(docs)
+    val capped = Dedup.ngramCandidates(shingled, dfCap = 10).count()
+    val uncapped = Dedup.ngramCandidates(shingled, dfCap = 1000).count()
+    assert(capped == 1L, s"capped index must yield only the true pair, got $capped")
+    assert(uncapped > 400L, s"uncapped hot shingle should create a quadratic bucket, got $uncapped")
+  }
+
+  test("annLsh: recall holds when planes scale to 256 buckets") {
+    val exact = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = Similarity.annLsh(spark, sf, planes = 8).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"LSH recall@5 at 256 buckets = $recall (scans ~9/256 of corpus)")
+    assert(recall >= 0.05, s"recall $recall too low for 256-bucket multiprobe")
+    assert(lsh.nonEmpty)
+  }
+
+  test("annIvf: unsupervised kmeans cells also recover neighbors") {
+    val exact = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.annIvf(spark, sf, nprobe = 6, k = 24).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 (kmeans nprobe=6/24) = $recall")
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+
+  test("annTopk: plan broadcasts the query side, streams the corpus") {
+    val plan = planString(Similarity.annTopk(spark, sf))
+    // e.join(broadcast(q)) => the 10-row query set is the (right) build
+    // side; broadcasting the corpus instead would OOM at scale
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"expected query side as broadcast build side, plan:\n$plan")
+  }
+
   test("annTopk: 5 ranked neighbors per query, cos non-increasing") {
     val rows = Similarity.annTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -26,8 +26,13 @@ class ExtensionsSpec extends SparkSpec {
         .collect()(0).getSeq[Long](0)
       assert(sig.length == 64 && sig.forall(_ >= 0))
       val bits = s2.sql("SELECT graft_simhash(array('alpha', 'beta')) AS b")
+        .collect()(0).getLong(0)
+      val same = s2.sql("SELECT graft_simhash(array('alpha', 'beta')) AS b")
+        .collect()(0).getLong(0)
+      assert(bits == same, "simhash must be deterministic")
+      val bk = s2.sql("SELECT graft_hyperplanes(array(1.0d, -2.0d), 5, 3) AS b")
         .collect()(0).getSeq[Int](0)
-      assert(bits.length == 64 && bits.forall(b => b == 0 || b == 1))
+      assert(bk.length == 3 && bk.forall(b => b >= 0 && b < 32))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
