@@ -51,7 +51,13 @@ object SparkEntry {
     "emb_kmeans"       -> ((s: SparkSession, d: String) => Clustering.kmeansAssign(s, d)),
     "logs_recent"              -> (LogAnalytics.recent _),
     "logs_severity_by_service" -> (LogAnalytics.severityByService _),
-    "logs_timeseries"          -> (LogAnalytics.timeseries _),
+    "logs_timeseries"          -> ((s: SparkSession, d: String) => LogAnalytics.timeseries(s, d)),
+    "logs_timeseries_5m"       -> ((s: SparkSession, d: String) =>
+                                     LogAnalytics.timeseries(s, d, "5 minutes")),
+    "logs_severity_number"     -> (LogAnalytics.severityNumber _),
+    "logs_trace_lookup"        -> (LogAnalytics.traceLookup _),
+    "lake_severity_by_service" -> (LakeAnalytics.severityByService _),
+    "lake_timeseries"          -> (LakeAnalytics.timeseries _),
     "logs_search"              -> (LogAnalytics.search _),
     "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
     "logs_error_rate"          -> (LogAnalytics.errorRate _),
@@ -299,6 +305,44 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "logs_timeseries_5m" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT)),
+        |   '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "logs_severity_number" ->
+      """SELECT 'svc-' || CAST(user_id AS VARCHAR) AS service_name,
+        | CASE WHEN event_type='error' THEN 17 WHEN event_type='signup' THEN 13
+        |      WHEN event_type='purchase' THEN 9 WHEN event_type='view' THEN 9
+        |      ELSE 5 END AS severity_number,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('error','signup')
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "logs_trace_lookup" ->
+      """SELECT md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id,
+        | substring(md5(CAST(event_id AS VARCHAR)),1,16) AS span_id,
+        | strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | event_type AS severity_text,
+        | CASE WHEN event_type='error' THEN 17 WHEN event_type='signup' THEN 13
+        |      WHEN event_type='purchase' THEN 9 WHEN event_type='view' THEN 9
+        |      ELSE 5 END AS severity_number,
+        | props AS body
+        |FROM events
+        |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
+        |ORDER BY ts_str, span_id""".stripMargin,
+    "lake_severity_by_service" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_timeseries" ->
+      """SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        | CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE user_id % 10 = 3 AND EXTRACT(year FROM ts) = 2024
+        |  AND EXTRACT(month FROM ts) = 1 AND EXTRACT(day FROM ts) BETWEEN 10 AND 19
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "logs_search" ->
       """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         | user_id, event_type, props

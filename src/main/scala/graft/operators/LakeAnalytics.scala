@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{LogSync, LogWriter, OtlpLogs, Tables}
+
+/** End-to-end lake queries over the reference's 15-column OTel schema:
+  * the full Quick-Start flow (reference README.md; scripts/sync-logs.sh)
+  * as ONE pipeline — OTLP/JSON envelopes → [[OtlpLogs.parse]] →
+  * [[LogWriter]] partitioned lake (`service_name/year/month/day/hour`)
+  * → [[LogSync]] manifest registration → [[LogSync.table]] → analytics.
+  *
+  * The oracle-checked queries below run against the REGISTERED LAKE,
+  * not the raw events table, so a hash-match certifies every stage:
+  * encode, parse, partitioned write, registration, partition-discovery
+  * read, and the aggregate itself. Time/service predicates hit the
+  * partition columns, so at 100 TB these queries scan only the matching
+  * hour directories (spec asserts the filters land in PartitionFilters).
+  */
+object LakeAnalytics {
+
+  /** Events become logs of 10 services (user_id mod 10) — the
+    * reference demo's service-count scale; partition dir count stays
+    * bounded (10 services × days × 24 h) independent of row count.
+    */
+  private def payloads(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(OtlpLogs.toOtlpJson(
+        unix_micros(col("ts")),
+        concat(lit("svc-"), col("user_id") % 10),
+        col("event_type"),
+        col("props")).as("payload"))
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (idempotently, once per sf-dir) the registered lake and
+    * return its root. A `_built` marker (underscore: invisible to data
+    * scans) skips the rebuild across JVMs; the in-process map skips
+    * the FS check across queries.
+    */
+  private[graft] def lakeRoot(spark: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir, _ => {
+      val root = s"/tmp/graft_lake_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root)
+        LogSync.sync(spark, root)
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** Severity count by service over the registered lake (the README
+    * "Severity count by service" query, run where the reference runs
+    * it: on the lake, not the ingest stream).
+    */
+  def severityByService(spark: SparkSession, dir: String): DataFrame =
+    LogSync.table(spark, lakeRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
+  /** Hourly series for one service over a 10-day window — the Grafana
+    * "Logs by Service" panel with its `$timeFilter`, expressed on the
+    * partition columns so the scan prunes to
+    * service_name=svc-3/…/day∈[10,19] directories only.
+    */
+  def timeseries(spark: SparkSession, dir: String): DataFrame =
+    LogSync.table(spark, lakeRoot(spark, dir))
+      .filter(col("service_name") === "svc-3" &&
+        col("year") === 2024 && col("month") === 1 && col("day").between(10, 19))
+      .groupBy(col("day"), col("hour"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("hour"), col("severity_text"))
+}

@@ -52,12 +52,20 @@ object LogAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("user_id"), col("event_type"))
 
-  /** Grafana "Logs by Service": hourly buckets per series. */
-  def timeseries(spark: SparkSession, dir: String): DataFrame =
+  /** Grafana "Logs by Service": time-bucketed counts per series. The
+    * bucket width mirrors the dashboard's `$interval` — a zoomed-out
+    * view asks for hours, a zoomed-in one for minutes — so it is a
+    * parameter (any Spark interval string), not a hardcoded truncation.
+    * `window()` buckets are epoch-aligned, matching DuckDB's
+    * `time_bucket`.
+    */
+  def timeseries(spark: SparkSession, dir: String, bucket: String = "1 hour"): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-               col("event_type"))
+      .groupBy(window(col("ts"), bucket), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"))
       .orderBy(col("bucket"), col("event_type"))
 
   /** Log search: substring match on the attributes payload + time
@@ -193,4 +201,56 @@ object LogAnalytics {
       .groupBy(dayStr(col("ts")).as("day"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_dau"))
       .orderBy(col("day"))
+
+  /** OTel numeric severity for an event type (the ClickHouse-exporter
+    * severity_number column, reference README schema): ERROR=17,
+    * WARN=13, INFO=9, DEBUG=5.
+    */
+  private def sevNumOf(eventType: Column): Column =
+    when(eventType === "error", 17)
+      .when(eventType === "signup", 13)
+      .when(eventType === "purchase", 9)
+      .when(eventType === "view", 9)
+      .otherwise(5)
+
+  /** events rendered as FULL OTLP records (numeric severity + trace/span
+    * context) and re-parsed — the shared input for the severity-range
+    * and trace-lookup queries. Trace identity: all of a user's events
+    * on one day share a trace (md5(user/day)); each event is a span.
+    */
+  private def otelLogs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.OtlpLogs
+    val payloads = Tables.events(spark, dir)
+      .select(OtlpLogs.toOtlpJsonTraced(
+        unix_micros(col("ts")),
+        concat(lit("svc-"), col("user_id")),
+        col("event_type"),
+        sevNumOf(col("event_type")),
+        col("props"),
+        md5(concat(col("user_id").cast("string"), lit("/"), dayStr(col("ts")))),
+        substring(md5(col("event_id").cast("string")), 1, 16)).as("payload"))
+    OtlpLogs.parse(payloads, col("payload"))
+  }
+
+  /** Severity-range filter on the NUMERIC severity (>= WARN): the query
+    * every OTel user runs when text severities vary by SDK. Filters on
+    * severity_number, not severity_text.
+    */
+  def severityNumber(spark: SparkSession, dir: String): DataFrame =
+    otelLogs(spark, dir)
+      .filter(col("severity_number") >= 13)
+      .groupBy(col("service_name"), col("severity_number"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_number"), col("severity_text"))
+
+  /** "Find the logs for this trace": point lookup by trace_id, spans in
+    * time order — the debugging query the reference schema's trace_id
+    * column exists for.
+    */
+  def traceLookup(spark: SparkSession, dir: String): DataFrame =
+    otelLogs(spark, dir)
+      .filter(col("trace_id") === md5(lit("7/2024-01-15")))
+      .select(col("trace_id"), col("span_id"), tsStr(col("timestamp")).as("ts_str"),
+              col("severity_text"), col("severity_number"), col("body"))
+      .orderBy(col("ts_str"), col("span_id"))
 }

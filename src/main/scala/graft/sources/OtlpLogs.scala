@@ -125,4 +125,27 @@ object OtlpLogs {
             (timestampUs * 1000).cast("string").as("timeUnixNano"),
             severityText.as("severityText"),
             struct(body.as("stringValue")).as("body"))).as("logRecords"))).as("scopeLogs"))).as("resourceLogs")))
+
+  /** [[toOtlpJson]] with the full log-record identity the reference
+    * schema carries (README schema table): numeric severity and
+    * trace/span context — the fields the severity-range and
+    * trace-lookup queries exercise.
+    */
+  def toOtlpJsonTraced(timestampUs: Column, serviceName: Column, severityText: Column,
+                       severityNumber: Column, body: Column,
+                       traceId: Column, spanId: Column): Column =
+    to_json(struct(
+      array(struct(
+        struct(array(struct(
+          lit("service.name").as("key"),
+          struct(serviceName.as("stringValue")).as("value"))).as("attributes")).as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            (timestampUs * 1000).cast("string").as("timeUnixNano"),
+            severityText.as("severityText"),
+            severityNumber.as("severityNumber"),
+            struct(body.as("stringValue")).as("body"),
+            traceId.as("traceId"),
+            spanId.as("spanId"))).as("logRecords"))).as("scopeLogs"))).as("resourceLogs")))
 }

@@ -24,31 +24,54 @@ object EventStream {
     else raw
   }
 
-  /** Streaming exact dedup on event_id: state is bounded by the
-    * watermark — ids older than 1 hour of event time are dropped from
-    * the dedup map (the 100 TB requirement: state must not grow with
-    * the full stream history).
+  /** Streaming exact dedup on event_id ONLY: a replayed event with the
+    * same id but a drifted timestamp is still a duplicate, so the id is
+    * the whole key. `dropDuplicatesWithinWatermark` keeps state bounded
+    * by the watermark (the 100 TB requirement: state must not grow with
+    * the full stream history) without adding ts to the identity.
     */
   def deduplicated(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom streaming state: per-user running event counts via
-    * mapGroupsWithState. State is one long per user; each micro-batch
-    * folds its group iterator into it — arbitrary stateful logic the
-    * built-in aggregates can't express slots in here.
+    * flatMapGroupsWithState. State is one long per user, and it is
+    * BOUNDED: a user idle past `ttl` of event time (watermark-driven)
+    * has their counter evicted — without a timeout, state would grow
+    * with every user ever seen, violating the file's state rule.
     */
-  def runningUserCounts(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+  def runningUserCounts(events: DataFrame, ttlMinutes: Int = 120)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.select(col("user_id")).as[Long]
-      .groupByKey(identity)
-      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Long], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + it.size
-          state.update(n)
-          (uid, n)
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMillis = ttlMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past TTL: counter evicted, emits nothing
+            Iterator.empty
+          } else {
+            var batchN = 0L
+            var lastSeenMs = Long.MinValue
+            it.foreach { case (_, ts) =>
+              batchN += 1; lastSeenMs = math.max(lastSeenMs, ts.getTime)
+            }
+            val n = state.getOption.getOrElse(0L) + batchN
+            state.update(n)
+            // TTL anchored to the user's LAST EVENT (not the current
+            // watermark): eviction thresholds use the end-of-batch
+            // watermark, so a watermark-relative timeout set while the
+            // watermark lags (e.g. the first batch) would expire its
+            // own state immediately.
+            state.setTimeoutTimestamp(lastSeenMs + ttlMillis)
+            Iterator.single((uid, n))
+          }
       }
   }
 
@@ -65,6 +88,13 @@ object EventStream {
     * watermark passes its close (last event + gap), either on a data
     * batch or on a timeout batch. State is bounded by the watermark —
     * the 100 TB requirement.
+    *
+    * Out-of-order handling: rows below the watermark are dropped by
+    * Spark itself (event-time-timeout operators filter late input);
+    * rows ABOVE the watermark can still arrive out of order, so each
+    * batch interval-merges events into ALL open sessions by timestamp —
+    * an event that lands between two open sessions correctly bridges
+    * them rather than being folded into the most recent one.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -82,15 +112,21 @@ object EventStream {
         (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[List[OpenSession]]) =>
           val existing = state.getOption.getOrElse(Nil)
-          // fold this batch's events (in time order) into the sessions
-          val merged = it.map(_._2).toArray.sorted.foldLeft(existing.sortBy(_.start)) {
-            case (Nil, us) => OpenSession(us, us, 1) :: Nil
-            case (sessions, us) =>
-              val cur = sessions.last
-              if (us - cur.last <= gapUs)
-                sessions.init :+ cur.copy(last = math.max(cur.last, us), n = cur.n + 1)
-              else sessions :+ OpenSession(us, us, 1)
-          }
+          // interval-merge: each event is a 1-event session; sort ALL
+          // open sessions + new events by start and merge neighbors
+          // within the gap. Unlike folding against only the most recent
+          // session, this files a late-but-in-watermark event into the
+          // EARLIER session it belongs to (and can legitimately bridge
+          // two open sessions into one).
+          val units = existing ++ it.map { case (_, us, _) => OpenSession(us, us, 1) }
+          val merged = units.sortBy(_.start).foldLeft(List.empty[OpenSession]) {
+            case (Nil, s) => s :: Nil
+            case (acc, s) =>
+              val cur = acc.head
+              if (s.start - cur.last <= gapUs)
+                cur.copy(last = math.max(cur.last, s.last), n = cur.n + s.n) :: acc.tail
+              else s :: acc
+          }.reverse
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, open) = merged.partition(s => s.last + gapUs < wmUs)
           if (open.isEmpty) state.remove()

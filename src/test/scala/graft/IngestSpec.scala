@@ -135,19 +135,24 @@ class IngestSpec extends SparkSpec {
     assert(n == ev.count(), s"expected ${ev.count()} deduped rows, got $n")
   }
 
-  test("EventStream: mapGroupsWithState running counts accumulate across batches") {
+  test("EventStream: flatMapGroupsWithState running counts accumulate across batches") {
     val dir = Files.createTempDirectory("graft_state").toString
     val ev = graft.sources.Tables.events(spark, sf)
-    val half = ev.filter(col("event_id") % 2 === 0)
+    // batches split by TIME, as a real stream arrives: the event-time
+    // watermark drops below-watermark rows, so a parity split would
+    // discard most of batch 2. TTL is generous here (eviction has its
+    // own spec) so no user goes idle past it between halves.
+    val half = ev.filter(col("ts") < "2024-01-16")
     half.write.mode("overwrite").parquet(dir)
-    val q = EventStream.runningUserCounts(EventStream.read(spark, dir))
+    val q = EventStream.runningUserCounts(EventStream.read(spark, dir),
+        ttlMinutes = 60 * 24 * 60)
       .toDF("user_id", "n")
       .writeStream.format("memory").queryName("running_counts")
       .outputMode("update").start()
     try {
       q.processAllAvailable()
-      // second micro-batch: the other half — state must carry over
-      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(dir)
+      // second micro-batch: the later half — state must carry over
+      ev.filter(col("ts") >= "2024-01-16").write.mode("append").parquet(dir)
       q.processAllAvailable()
     } finally q.stop()
     // latest update per user equals the batch per-user count

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LakeAnalytics
+import graft.sources.{LogSync, LogWriter, OtlpLogs, Tables}
+import graft.streaming.EventStream
+
+/** End-to-end lake pipeline + de-drivered LogSync + bounded streaming
+  * state.
+  */
+class LakeSpec extends SparkSpec {
+
+  test("lake severity counts equal the direct events aggregate (full pipeline proof)") {
+    val got = LakeAnalytics.severityByService(spark, sf).collect()
+      .map(r => (r.getAs[String]("service_name"), r.getAs[String]("severity_text")) ->
+        r.getAs[Long]("n")).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy(concat(lit("svc-"), col("user_id") % 10).as("s"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == want,
+      "encode -> parse -> partitioned write -> register -> read must be lossless")
+  }
+
+  test("lake timeseries: service/time predicates land in PartitionFilters") {
+    val q = LakeAnalytics.timeseries(spark, sf)
+    val plan = planString(q)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$plan"))
+    assert(pf.contains("service_name") && pf.contains("day"),
+      s"service_name/day must prune the scan, got: $pf")
+    assert(q.collect().nonEmpty)
+  }
+
+  test("LogSync: many-file lake syncs via anti-join; table plan is root-scan + semi-join") {
+    val root = Files.createTempDirectory("graft_manyfiles").toString
+    // ~40 files per batch: enough to exercise the distributed diff
+    Tables.events(spark, sf).limit(400)
+      .select(col("ts").as("timestamp"), concat(lit("s"), col("user_id") % 4).as("service_name"),
+              col("props").as("body"))
+      .repartition(40)
+      .write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    assert(LogSync.sync(spark, root) == 0, "second sync must be a no-op")
+    val t = LogSync.table(spark, root)
+    assert(t.count() == 400)
+    val plan = planString(t)
+    assert(plan.contains("LeftSemi"),
+      s"table() must prune via a manifest semi-join, not a path vararg:\n$plan")
+    // unregistered files stay invisible until the next sync
+    Tables.events(spark, sf).limit(100)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+              col("props").as("body"))
+      .write.mode("append").parquet(root)
+    assert(LogSync.table(spark, root).count() == 400)
+    assert(LogSync.sync(spark, root) >= 1)
+    assert(LogSync.table(spark, root).count() == 500)
+  }
+
+  test("runningUserCounts: idle users are evicted after the event-time TTL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ttl").toString
+    def batch(uid: Long, at: String) =
+      Seq((uid, java.sql.Timestamp.valueOf(at), uid, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch(1L, "2024-01-01 00:00:00").write.mode("append").parquet(dir)
+    val q = EventStream.runningUserCounts(EventStream.read(spark, dir), ttlMinutes = 120)
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("ttl_counts")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // another user 10h later pushes the watermark far past user 1's TTL
+      batch(2L, "2024-01-01 10:00:00").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // user 1 returns: counter must have been evicted, so it restarts
+      batch(1L, "2024-01-01 10:30:00").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val user1 = spark.table("ttl_counts").filter(col("user_id") === 1L)
+      .collect().map(_.getAs[Long]("n")).toSeq
+    assert(user1.count(_ == 1L) == 2, s"expected two fresh n=1 updates, got $user1")
+    assert(!user1.contains(2L),
+      s"state survived past TTL (n=2 seen): $user1")
+  }
+
+  test("sessionizeStream: an out-of-order event bridges two open sessions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late").toString
+    def batch(rows: (Long, String)*) =
+      rows.map { case (id, at) => (id, java.sql.Timestamp.valueOf(at), 1L, "click", 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // two open sessions for user 1: [00:00] and [00:40] (gap 30m)
+    batch(1L -> "2024-01-01 00:00:00", 2L -> "2024-01-01 00:40:00")
+      .write.mode("append").parquet(dir)
+    val q = EventStream.sessionizeStream(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // out-of-order (but above-watermark) event at 00:20: within the
+      // gap of BOTH open sessions, so all three events are one session.
+      // Folding only against the most recent session would wrongly
+      // leave [00:00] as its own 1-event session.
+      batch(3L -> "2024-01-01 00:20:00").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // far-future event closes everything
+      batch(4L -> "2024-01-01 12:00:00").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("late_sessions").filter(col("user_id") === 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("session_start_us"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_us")))
+      .sortBy(_._1).toSeq
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    assert(sessions == Seq((t0, 3L, 40L * 60 * 1000000L)),
+      s"the 00:20 event must bridge both open sessions into one: $sessions")
+  }
+}
