@@ -97,18 +97,56 @@ object Dedup {
     // cached: both sides of the inverted-index self-join reuse the
     // shingle arrays instead of recomputing the parse
     val docs = docShinglesOf(documents).cache()
-    verifyJaccard(ngramCandidates(docs, dfCap), docs)
+    // Stage 1 (cheap, count-only): per candidate pair, the EXACT
+    // intersection count among rare shingles comes straight from the
+    // capped-index equi-join aggregate — one shuffle of (da, db, count)
+    // rows, no shingle arrays on the wire.
+    val interRare = ngramCandidateCounts(docs, dfCap)
+    // Stage 2 (prefilter): hot shingles were excluded from the index,
+    // so the true intersection is inter_rare + inter_hot with
+    // inter_hot <= min(hot_a, hot_b) (hot_x = shingles of x above the
+    // cap). J computed with that bound is an UPPER bound on the true
+    // Jaccard — pairs below the threshold at the bound cannot qualify
+    // and are dropped without ever touching their arrays.
+    val hA = col("na") - col("na_rare")
+    val hB = col("nb") - col("nb_rare")
+    val interMax = col("inter_rare") + least(hA, hB)
+    val jMax = interMax.cast("double") / (col("na") + col("nb") - interMax)
+    val stats = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      .join(docShingleRareCounts(docs, dfCap), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+    val promising = interRare
+      .join(stats.select(col("doc_id").as("da"), col("n").as("na"),
+        col("n_rare").as("na_rare")), "da")
+      .join(stats.select(col("doc_id").as("db"), col("n").as("nb"),
+        col("n_rare").as("nb_rare")), "db")
+      .filter(jMax >= 0.8)
+      .select(col("da"), col("db"))
+    // Stage 3 (exact, array-based): full-set Jaccard for survivors only
+    // — hot shingles count again here, so the cap can never change a
+    // reported score, only skip pairs provably below the threshold.
+    verifyJaccard(promising, docs)
       .filter(col("j_exact") >= 0.8)
       .select(col("da"), col("db"), col("j"))
       .orderBy(col("da"), col("db"))
   }
 
-  /** Candidate pairs from the df-capped inverted index: explode
-    * shingles, drop stop-shingles (df > dfCap), equi-join on shingle.
-    * One aggregation to get df, one semi-join to prune, one equi-join —
-    * never an O(docs²) cross product, and no bucket larger than dfCap².
+  /** Per-document count of sub-cap ("rare") shingles. */
+  private def docShingleRareCounts(docs: DataFrame, dfCap: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    sh.join(rare, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+  }
+
+  /** (da, db, inter_rare) for every pair sharing a sub-cap shingle:
+    * explode shingles, drop stop-shingles (df > dfCap), equi-join on
+    * shingle, count matches. One df aggregation, one semi-join, one
+    * equi-join + aggregate — never an O(docs²) cross product, and no
+    * bucket larger than dfCap².
     */
-  private[graft] def ngramCandidates(docs: DataFrame, dfCap: Int): DataFrame = {
+  private[graft] def ngramCandidateCounts(docs: DataFrame, dfCap: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -116,9 +154,15 @@ object Dedup {
     val idx = sh.join(rare, Seq("s"), "left_semi")
     idx.as("a")
       .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter_rare"))
   }
+
+  /** Distinct candidate pairs from the df-capped inverted index (used
+    * by the skew spec to count bucket contributions).
+    */
+  private[graft] def ngramCandidates(docs: DataFrame, dfCap: Int): DataFrame =
+    ngramCandidateCounts(docs, dfCap).select(col("da"), col("db"))
 
   private val P = graft.functions.MinHashPerms.P
 

@@ -42,13 +42,19 @@ object LakeAnalytics {
     */
   private[graft] def lakeRoot(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, _ => {
-      val root = s"/tmp/graft_lake_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val root = s"/tmp/graft_lake_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$root/_built")
       if (!fs.exists(marker)) {
         fs.delete(rootPath, true)
-        LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root)
+        // day-granularity layout: partition granularity sized to the
+        // data volume. The reference's hourly cells are right at
+        // 100 TB; at test scale they hold ~a dozen rows each, and the
+        // resulting thousands of tiny files make every full-lake query
+        // pay per-file open cost. `hour` remains a row column.
+        LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+          layout = LogWriter.DailyLayout)
         LogSync.sync(spark, root)
         fs.create(marker).close()
       }

@@ -105,9 +105,12 @@ object LogSync {
     // `_manifest` dir is skipped by the source (underscore prefix). The
     // manifest is broadcast and applied as a semi-join on the source
     // file, so unregistered files are invisible without any driver-side
-    // path list.
+    // path list. The file identity comes from the DETERMINISTIC
+    // `_metadata.file_path` column — `input_file_name()` is
+    // nondeterministic, and a nondeterministic projection blocks
+    // partition/predicate pushdown past it, un-pruning every reader.
     spark.read.option("basePath", root).parquet(root)
-      .withColumn("__src", normPath(input_file_name()))
+      .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
       .drop("__src")
   }
@@ -123,4 +126,23 @@ object LogSync {
     */
   def tableAsOf(spark: SparkSession, root: String, ts: java.sql.Timestamp): DataFrame =
     filteredTable(spark, root, Some(ts))
+
+  /** The reference daemon's loop (scripts/sync-logs.sh: `while true;
+    * do sync; sleep $SYNC_INTERVAL; done`): run [[sync]] every
+    * `intervalMillis` until `rounds` rounds have run (rounds < 0 ⇒
+    * forever). Returns the per-round registration counts. Each round is
+    * one idempotent [[sync]]; a crash between rounds loses nothing —
+    * the next round re-diffs against the manifest.
+    */
+  def runContinuously(spark: SparkSession, root: String, intervalMillis: Long,
+                      rounds: Int = -1): Seq[Int] = {
+    val counts = Seq.newBuilder[Int]
+    var i = 0
+    while (rounds < 0 || i < rounds) {
+      counts += sync(spark, root)
+      i += 1
+      if (rounds < 0 || i < rounds) Thread.sleep(intervalMillis)
+    }
+    counts.result()
+  }
 }

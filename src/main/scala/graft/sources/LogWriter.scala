@@ -17,8 +17,22 @@ object LogWriter {
 
   val DefaultMaxRecordsPerFile = 200000L
 
+  /** Full reference layout. Right when each hourly×service cell holds
+    * file-sized data (the 100 TB case).
+    */
+  val HourlyLayout: Seq[String] = Seq("service_name", "year", "month", "day", "hour")
+
+  /** Day-granularity layout (`hour` stays a data column, still usable
+    * for row-group pruning). Partition granularity must be sized to
+    * data volume: hourly partitioning of a small corpus produces one
+    * tiny file per cell, and at query time per-file open cost dwarfs
+    * the data — the classic small-files failure.
+    */
+  val DailyLayout: Seq[String] = Seq("service_name", "year", "month", "day")
+
   def write(logs: DataFrame, path: String,
-            maxRecordsPerFile: Long = DefaultMaxRecordsPerFile): Unit = {
+            maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
+            layout: Seq[String] = HourlyLayout): Unit = {
     logs
       .withColumn("year", year(col("timestamp")))
       .withColumn("month", month(col("timestamp")))
@@ -26,11 +40,11 @@ object LogWriter {
       .withColumn("hour", hour(col("timestamp")))
       // co-locate each partition's rows so one task writes one file per
       // partition dir instead of every task writing to every dir
-      .repartition(col("service_name"), col("year"), col("month"), col("day"), col("hour"))
+      .repartition(layout.map(col): _*)
       .write
       .mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("service_name", "year", "month", "day", "hour")
+      .partitionBy(layout: _*)
       .parquet(path)
   }
 }

@@ -25,11 +25,14 @@ class LakeSpec extends SparkSpec {
       "encode -> parse -> partitioned write -> register -> read must be lossless")
   }
 
-  test("lake timeseries: service/time predicates land in PartitionFilters") {
+  test("lake timeseries: service/time predicates land in the scan's PartitionFilters") {
     val q = LakeAnalytics.timeseries(spark, sf)
-    val plan = planString(q)
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
-      .getOrElse(fail(s"no PartitionFilters in plan:\n$plan"))
+    // formatted explain prints `PartitionFilters:` on the scan node
+    // ONLY when the scan itself prunes — a Filter above the scan (e.g.
+    // blocked by a nondeterministic projection) would not count
+    val plan = formattedPlan(q)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      .getOrElse(fail(s"partition filters never reached the scan:\n$plan"))
     assert(pf.contains("service_name") && pf.contains("day"),
       s"service_name/day must prune the scan, got: $pf")
     assert(q.collect().nonEmpty)
@@ -58,6 +61,21 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.table(spark, root).count() == 400)
     assert(LogSync.sync(spark, root) >= 1)
     assert(LogSync.table(spark, root).count() == 500)
+  }
+
+  test("LogSync.runContinuously: rounds register increments idempotently") {
+    val root = Files.createTempDirectory("graft_daemon").toString
+    def write(n: Int) = Tables.events(spark, sf).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+              col("props").as("body"))
+      .write.mode("append").parquet(root)
+    write(50)
+    val first = LogSync.runContinuously(spark, root, intervalMillis = 10, rounds = 2)
+    assert(first.head >= 1 && first(1) == 0, s"round 2 must be a no-op: $first")
+    write(30)
+    val second = LogSync.runContinuously(spark, root, intervalMillis = 10, rounds = 1)
+    assert(second.head >= 1)
+    assert(LogSync.table(spark, root).count() == 80)
   }
 
   test("runningUserCounts: idle users are evicted after the event-time TTL") {
