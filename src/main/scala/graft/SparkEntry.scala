@@ -82,7 +82,11 @@ object SparkEntry {
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d)),
     "ann_topk"            -> (Similarity.annTopk _),
     "ann_lsh"             -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
-    "ann_ivf"             -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d))
+    "ann_ivf"             -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "corpus_curate"       -> ((s: SparkSession, d: String) => Curation.curate(s, d)),
+    "sample_per_group"    -> ((s: SparkSession, d: String) => Curation.samplePerGroup(s, d)),
+    "contamination"       -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
+    "dedup_clusters"      -> ((s: SparkSession, d: String) => Curation.dedupClusters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,6 +471,45 @@ object SparkEntry {
         |FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8
         |ORDER BY p.da, p.db""".stripMargin,
+    "corpus_curate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
+        | FROM documents),
+        |s AS (SELECT doc_id, len(tk) AS n_tokens,
+        |  len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS stop_hits,
+        |  md5(array_to_string(list_sort(list_distinct(tk)),' ')) AS fp
+        | FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 +
+        |    (CAST(stop_hits AS DOUBLE)/greatest(n_tokens,1))*0.5, 4) AS quality,
+        |  min(doc_id) OVER (PARTITION BY fp) AS keeper
+        | FROM s)
+        |SELECT doc_id, n_tokens, quality,
+        | CASE WHEN n_tokens < 20 THEN 'short'
+        |      WHEN quality < 0.25 THEN 'low_quality'
+        |      WHEN doc_id <> keeper THEN 'duplicate'
+        |      ELSE 'keep' END AS reason
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "sample_per_group" ->
+      """SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM (
+        | SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        | FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, h""".stripMargin,
+    "contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh5 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+        |    || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS s
+        | FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        | QUALIFY lead(w,4) OVER win IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh5),
+        |test AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh WHERE doc_id >= 20 AND s IN (SELECT s FROM test)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators — the composite decisions a training-data
+  * pipeline makes on top of the primitive text/dedup operators.
+  * Everything is per-document column arithmetic plus one window or
+  * aggregate; no operator here shuffles more than once.
+  */
+object Curation {
+
+  import TextAnalysis.{toks, StopWords}
+
+  /** n-token shingles (distinct) from a MATERIALIZED token column —
+    * the n-gram generalization of the dedup shingler (tokenize once;
+    * Catalyst does not CSE across lambda bodies).
+    */
+  private def shingleArr(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Keep/drop decision per document with the FIRST failing rule as the
+    * reason: too short → low quality → exact duplicate (non-keeper) →
+    * keep. Quality/fingerprint arithmetic mirrors
+    * [[TextAnalysis.stats]] / [[TextAnalysis.fingerprintExpr]] verbatim
+    * so the DuckDB oracle replays it step for step.
+    *
+    * Shape: one projection (tokens → counts → quality → fingerprint),
+    * one window over the fingerprint for the cluster keeper, one
+    * ordered output — two shuffles total regardless of corpus size.
+    */
+  def curate(spark: SparkSession, dir: String,
+             minTokens: Int = 20, minQuality: Double = 0.25): DataFrame = {
+    val t = col("tk")
+    val byFp = Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(filter(t, x => x.isInCollection(StopWords))).as("stop_hits"),
+        TextAnalysis.fingerprintExpr(col("text")).as("fp"))
+      .withColumn("quality",
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1))) * 0.5, 4))
+      .withColumn("keeper", min(col("doc_id")).over(byFp))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "short")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("doc_id") =!= col("keeper"), "duplicate")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample: k documents per language via the
+    * bottom-k-by-md5 reservoir ([[graft.functions.BottomKSample]]) as a
+    * grouped aggregate — O(k) state per group, partitioning-invariant,
+    * so the stratified sample is oracle-checkable.
+    */
+  def samplePerGroup(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(expr(s"graft_sample(doc_id, $k)").as("ids"))
+      .select(col("lang"), explode(col("ids")).as("doc_id"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .orderBy(col("lang"), col("h"))
+  }
+
+  /** Test-set contamination scan (decontamination): how many distinct
+    * n-gram shingles of each TRAINING document also appear in the
+    * TEST set (here: doc_id < 20, the evaluation-holdout stand-in).
+    *
+    * Scale shape: the test set's shingles are tiny by definition and
+    * broadcast; the training corpus is scanned ONCE with a broadcast
+    * semi-join per shingle — no shuffle of the corpus at all. This is
+    * the n-gram-overlap decontamination pass every LLM data pipeline
+    * runs before training.
+    */
+  def contamination(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleArr(col("t"), n)).as("s"))
+    val testShingles = sh.filter(col("doc_id") < 20).select(col("s")).distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(testShingles), Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components over the near-duplicate graph (edges =
+    * [[Dedup.ngramJaccard]] J ≥ 0.8 pairs): every document in a
+    * near-dup cluster labeled with the cluster's smallest doc_id —
+    * the keeper-selection step after pairwise dedup.
+    *
+    * HashMin label propagation: per round each vertex takes the min of
+    * its own and its neighbors' labels (one equi-join + one aggregate
+    * per round); rounds ≤ graph diameter (near-dup clusters are
+    * shallow). `localCheckpoint` truncates the lineage each round so
+    * the plan doesn't grow with iterations. Only the converged change
+    * COUNT crosses the driver. No SQL oracle (iterative); the spec
+    * checks exact agreement with a local union-find at small sf.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val edges = Dedup.ngramJaccard(spark, dir)
+      .select(col("da"), col("db")).cache()
+    val sym = edges.union(edges.select(col("db").as("da"), col("da").as("db")))
+    var labels = edges
+      .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("db"), col("label").as("nl")), "db")
+        .groupBy(col("da").as("doc_id"))
+        .agg(min(col("nl")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("doc_id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+}
