@@ -141,6 +141,29 @@ object EventStream {
       }
   }
 
+  /** Built-in session-window aggregation — the declarative twin of
+    * [[sessionizeStream]] for when only per-session AGGREGATES are
+    * needed (no custom state logic): Catalyst's session_window merges
+    * overlapping windows itself, state is watermark-bounded, and the
+    * whole thing stays in the optimized aggregate path. Prefer this;
+    * drop to flatMapGroupsWithState only for semantics it can't
+    * express. Output schema matches the batch `logs_sessionize`
+    * (session end = last event + gap, so duration = end - gap - start).
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"),
+        (unix_micros(col("session_window.end")) - unix_micros(col("session_window.start"))
+          - gapUs).as("duration_us"))
+  }
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (user → nation via customer). The static side is a
     * broadcast hash join per micro-batch — the standard pattern for

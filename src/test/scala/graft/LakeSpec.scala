@@ -78,6 +78,64 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.table(spark, root).count() == 80)
   }
 
+  test("LogCompact: consolidates small files, table unchanged, vacuum removes orphans") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    def write(n: Int, svc: String) = Tables.events(spark, sf).limit(n)
+      .select(col("ts").as("timestamp"), lit(svc).as("service_name"),
+              col("props").as("body"))
+      .repartition(10) // force many tiny files per partition
+      .write.mode("append").parquet(root)
+    write(200, "sa"); write(200, "sa")
+    graft.sources.LogSync.sync(spark, root)
+    val beforeRows = graft.sources.LogSync.table(spark, root).count()
+    val stats = graft.sources.LogCompact.compact(spark, root)
+    assert(stats.filesBefore > stats.filesAfter,
+      s"expected consolidation, got $stats")
+    assert(graft.sources.LogSync.table(spark, root).count() == beforeRows,
+      "compaction must not change the table")
+    // replaced files still on disk (in-flight reader grace) until vacuum
+    val removed = graft.sources.LogCompact.vacuum(spark, root)
+    assert(removed == stats.filesBefore, s"vacuum should remove the $stats old files, got $removed")
+    assert(graft.sources.LogSync.table(spark, root).count() == beforeRows,
+      "vacuum must not touch registered files")
+    assert(graft.sources.LogSync.sync(spark, root) == 0,
+      "post-compaction lake is fully registered")
+  }
+
+  test("sessionizeNative: built-in session_window matches the batch sessionizer") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_native_sess").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dir)
+    val q = EventStream.sessionizeNative(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val dummyTs = new java.sql.Timestamp((maxUs + 6L * 3600L * 1000000L) / 1000L)
+      Seq((999999L, dummyTs, 999999L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("native_sessions")
+      .filter(col("user_id") =!= 999999L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))).toSet
+    val want = graft.operators.LogAnalytics.sessionize(spark, sf).collect()
+      .map { r =>
+        val startUs = java.time.LocalDateTime
+          .parse(r.getAs[String]("session_start").replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        (r.getAs[Long]("user_id"),
+         startUs.getEpochSecond * 1000000L + startUs.getNano / 1000L,
+         r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))
+      }.toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("runningUserCounts: idle users are evicted after the event-time TTL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl").toString
