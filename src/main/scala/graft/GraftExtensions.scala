@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash packed into a BIGINT"),
       (exprs: Seq[Expression]) => SimHashBits(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_topk_idx"),
+      info("graft_topk_idx",
+        "graft_topk_idx(arr, k) - 0-based indices of the k largest doubles, descending"),
+      (exprs: Seq[Expression]) => graft.functions.TopKIndices(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("graft_hyperplanes"),
       info("graft_hyperplanes",
         "graft_hyperplanes(vec, planesPerBand, bands) - banded hyperplane-LSH bucket ids"),

@@ -40,7 +40,15 @@ case class BottomKSample(child: Expression, k: Int,
   private def md5Hex(s: String): String = {
     digest.reset()
     val d = digest.digest(s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
+    // manual hex: `"%02x".format` costs a Formatter per BYTE per row
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = BottomKSample.HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = BottomKSample.HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(String, Long)] =
@@ -92,4 +100,8 @@ case class BottomKSample(child: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BottomKSample =
     copy(child = cs.head)
+}
+
+object BottomKSample {
+  private[functions] val HexChars = "0123456789abcdef".toCharArray
 }

@@ -239,6 +239,55 @@ case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
 }
 
+/** 0-based indices of the k largest values of a double array,
+  * descending, ties broken by lower index — one selection loop per row
+  * instead of an interpreted zip_with + array_sort-with-comparator +
+  * transform chain (three closure evaluations per element per row).
+  * Used for IVF cell ranking where k (cells probed) is small.
+  */
+case class TopKIndices(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk_idx expects a double array and k >= 1, got $t / k=$k")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = math.min(k, n)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestV = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val v = arr.getDouble(i)
+          if (v > bestV) { bestV = v; best = i }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopKIndices = copy(child = c)
+}
+
 object VectorFunctions {
   /** Idempotently register `graft_dot` so operators can use
     * `expr("graft_dot(a, b)")`.
@@ -250,6 +299,14 @@ object VectorFunctions {
       "graft_minhash", exprs => MinHashSignature(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_idx",
+      exprs => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_topk_idx(arr, k) needs a literal k")
+        TopKIndices(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      },
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplanes",
       exprs => {

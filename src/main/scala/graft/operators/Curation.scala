@@ -118,21 +118,26 @@ object Curation {
       .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    def propagate(ls: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(ls.select(col("doc_id").as("db"), col("label").as("nl")), "db")
+        .groupBy(col("da").as("doc_id"))
+        .agg(min(col("nl")).as("nbr_min"))
+      ls.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("doc_id").as("db"), col("label").as("nl")), "db")
-        .groupBy(col("da").as("doc_id"))
-        .agg(min(col("nl")).as("nbr_min"))
-      val updated = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
-        .localCheckpoint()
+      // two propagation rounds per convergence check: halves the driver
+      // round-trips (each check is a full job) at the cost of at most
+      // one redundant no-op round
+      val once = propagate(labels).select(col("doc_id"), col("new_label").as("label"))
+      val updated = propagate(once).localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
-      iter += 1
+      iter += 2
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))

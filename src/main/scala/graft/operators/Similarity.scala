@@ -92,21 +92,18 @@ object Similarity {
         dot(v, typedLit(c)) / sqrt(lit(c.map(x => x * x).sum))
       }: _*)
     // cell ids ranked by score, best first (normalize by nrm is a
-    // constant per row — ordering unaffected, so skip it)
-    def rankedCells(v: Column): Column =
-      transform(
-        array_sort(
-          zip_with(cellScores(v), typedLit(cents.map(_._1).toSeq),
-            (s, i) => struct((-s).as("neg"), i.as("cell"))),
-          (a, b) => when(a.getField("neg") < b.getField("neg"), -1)
-            .when(a.getField("neg") > b.getField("neg"), 1).otherwise(0)),
-        s => s.getField("cell"))
+    // constant per row — ordering unaffected, so skip it). Cell id ==
+    // centroid array index (cents is id-sorted), so the native top-k
+    // index selection IS the ranking — one tight loop per row instead
+    // of an interpreted zip_with/array_sort-comparator/transform chain.
+    def topCells(v: Column, n: Int): Column =
+      call_function("graft_topk_idx", cellScores(v), lit(n))
     val e = withNorm(Tables.embeddings(spark, dir))
-      .withColumn("cell", element_at(rankedCells(col("v")), 1))
+      .withColumn("cell", element_at(topCells(col("v"), 1), 1))
       .cache() // probed by queries derived from itself
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-              explode(slice(rankedCells(col("v")), 1, nprobe)).as("cell"))
+              explode(topCells(col("v"), nprobe)).as("cell"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
     q.join(e, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
