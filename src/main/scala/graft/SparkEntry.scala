@@ -196,11 +196,15 @@ object SparkEntry {
         |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue
         |  FROM lineitem GROUP BY 1,2)
         |SELECT day, revenue,
-        |  round(avg(revenue) OVER (ORDER BY day_num
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS mov_avg_7d,
-        |  round(sum(revenue) OVER (ORDER BY day_num
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS mov_sum_7d
-        |FROM daily ORDER BY day""".stripMargin,
+        |  CAST((2 * c + n) // (2 * n) AS DOUBLE) / 100 AS mov_avg_7d,
+        |  CAST(c AS DOUBLE) / 100 AS mov_sum_7d
+        |FROM (
+        |  SELECT day, revenue,
+        |    sum(CAST(CAST(revenue AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS c,
+        |    count(*) OVER w AS n
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |ORDER BY day""".stripMargin,
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_value

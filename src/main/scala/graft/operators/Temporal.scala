@@ -89,10 +89,21 @@ object Temporal {
       .agg(round(sum(col("l_extendedprice").cast(DecimalType(12, 2))), 2)
         .cast("double").as("revenue"))
     val trailing = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    // frame arithmetic in exact integer CENTS: a double frame-average
+    // can land within an ulp of a .xx5 boundary, and the engines'
+    // round() then disagree (Spark rounds the shortest decimal
+    // representation, DuckDB the true binary value — seen at sf0.001:
+    // 106252.11 vs .12). cents = decimal*100 is exact, and the
+    // half-up average is pure integer math: (2·cents + n) div (2·n).
+    val frameCents =
+      sum((col("revenue").cast(DecimalType(18, 2)) * 100).cast("long")).over(trailing)
+    val frameN = count(lit(1)).over(trailing)
     daily
-      .withColumn("mov_avg_7d", round(avg(col("revenue")).over(trailing), 2))
-      .withColumn("mov_sum_7d", round(sum(col("revenue")).over(trailing), 2))
-      .drop("day_num")
+      .withColumn("__c", frameCents).withColumn("__n", frameN)
+      .withColumn("mov_avg_7d",
+        expr("(2 * __c + __n) div (2 * __n)").cast("double") / 100)
+      .withColumn("mov_sum_7d", col("__c").cast("double") / 100)
+      .drop("day_num", "__c", "__n")
       .orderBy(col("day"))
   }
 
