@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.{LogSync, LogWriter}
+
+/** The reference's CONTINUOUS pipeline as one Structured Streaming
+  * query: OTLP records stream in, every micro-batch is written to the
+  * partitioned lake and registered in the manifest — collector →
+  * otlp2parquet → sync-logs.sh collapsed into `foreachBatch`.
+  *
+  * Reader consistency: [[LogSync.table]] resolves the manifest at query
+  * time, so a batch becomes visible atomically when `sync` registers
+  * its files — readers never see a half-written batch.
+  *
+  * Delivery: `foreachBatch` is at-least-once; a per-batch marker file
+  * (checked before writing, created after registration) makes retries
+  * of an already-registered batch no-ops. The remaining window —
+  * a crash between `sync` and the marker write — re-appends one batch,
+  * the same at-least-once boundary the reference's shell loop has
+  * (`insert --skip-duplicates` on a path diff); deduplicate upstream
+  * with [[EventStream.deduplicated]] when that matters.
+  */
+object LakeIngest {
+
+  /** Start the continuous ingest of `logs` (a STREAMING DataFrame with
+    * the flattened OTel schema, e.g. `OtlpLogs.parse` of a stream) into
+    * the lake at `root`.
+    */
+  def start(logs: DataFrame, root: String,
+            layout: Seq[String] = LogWriter.DailyLayout,
+            checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = logs.sparkSession
+    val writer = logs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new Path(s"$root/_batches/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          LogWriter.write(batch, root, layout = layout)
+          LogSync.sync(spark, root)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker).close()
+        }
+        ()
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+}

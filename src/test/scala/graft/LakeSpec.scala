@@ -78,6 +78,35 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.table(spark, root).count() == 80)
   }
 
+  test("LakeIngest: streaming micro-batches land registered and queryable") {
+    val src = Files.createTempDirectory("graft_ingest_src").toString
+    val root = Files.createTempDirectory("graft_ingest_lake").toString
+    def otel(n: Int, skip: Int = 0) = Tables.events(spark, sf)
+      .orderBy(col("event_id")).limit(n + skip)
+      .filter(col("event_id") >= skip)
+      .select(col("ts").as("timestamp"), concat(lit("svc-"), col("user_id") % 3).as("service_name"),
+              col("event_type").as("severity_text"), col("props").as("body"))
+    otel(150).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = graft.streaming.LakeIngest.start(stream, root)
+    try {
+      q.processAllAvailable()
+      assert(graft.sources.LogSync.table(spark, root).count() == 150,
+        "first micro-batch must be registered and visible")
+      // second batch appends and registers incrementally
+      Tables.events(spark, sf).orderBy(col("event_id").desc).limit(50)
+        .select(col("ts").as("timestamp"), lit("svc-9").as("service_name"),
+                col("event_type").as("severity_text"), col("props").as("body"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val t = graft.sources.LogSync.table(spark, root)
+      assert(t.count() == 200)
+      assert(t.columns.contains("service_name") && t.columns.contains("day"),
+        "lake layout recovered as partition columns")
+    } finally q.stop()
+  }
+
   test("LogCompact: consolidates small files, table unchanged, vacuum removes orphans") {
     val root = Files.createTempDirectory("graft_compact").toString
     def write(n: Int, svc: String) = Tables.events(spark, sf).limit(n)
