@@ -16,6 +16,29 @@ import graft.sources.Tables
   */
 object Skew {
 
+  /** Salted equi-join for a skewed LEFT side: the left side gets a
+    * random-ish (but deterministic) salt in [0, salt), the right side
+    * is replicated `salt` times, and the join key becomes (key, salt) —
+    * a single hot key's rows spread across `salt` reducers instead of
+    * one straggler task. Replication multiplies the right side, so use
+    * this when the right side is too big to broadcast but much smaller
+    * than the skewed left (the exact gap AQE's skew splitting doesn't
+    * cover: skew detected only at runtime thresholds, map-side
+    * replication never attempted). Results are row-identical to the
+    * plain join (spec-proven).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int = 16): DataFrame = {
+    // salt must vary PER ROW (hashing the key would give every row of
+    // the hot key the same salt and change nothing); any row→salt
+    // assignment yields the same join result since the right side
+    // carries all salt values
+    val saltedLeft = left.withColumn("__salt", (rand(42) * salt).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
   def saltedEventAgg(spark: SparkSession, dir: String, salt: Int = 16): DataFrame = {
     val partial = Tables.events(spark, dir)
       .withColumn("salt", pmod(col("event_id"), lit(salt)))

@@ -94,6 +94,19 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the plain join on a skewed dataset") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail, joined to a 100-row dim
+    val left = ((1 to 10000).map(i => (7L, i.toLong)) ++
+      (1 to 500).map(i => ((i % 100).toLong, -i.toLong))).toDF("k", "payload")
+    val right = (0 until 100).map(i => (i.toLong, s"dim-$i")).toDF("k", "name")
+    val salted = graft.operators.Skew.saltedJoin(left, right, "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("payload"), r.getAs[String]("name"))).sorted
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("payload"), r.getAs[String]("name"))).sorted
+    assert(salted.length == plain.length && salted.sameElements(plain))
+  }
+
   test("sample: bottom-k aggregate is invariant to partitioning") {
     graft.functions.VectorFunctions.register(spark)
     val base = graft.sources.Tables.events(spark, sf)
