@@ -267,65 +267,75 @@ case class TopKIndices(child: Expression, k: Int)
     val out = new Array[Int](m)
     val taken = new Array[Boolean](n)
     var r = 0
-    while (r < m) {
+    var exhausted = false
+    while (r < m && !exhausted) {
       var best = -1
       var bestV = Double.NegativeInfinity
       var i = 0
       while (i < n) {
         if (!taken(i)) {
           val v = arr.getDouble(i)
-          if (v > bestV) { bestV = v; best = i }
+          // NaN never compares greater, so NaN scores are simply never
+          // selected; -Infinity IS selectable via the best<0 arm
+          if (v > bestV || (best < 0 && !java.lang.Double.isNaN(v))) { bestV = v; best = i }
         }
         i += 1
       }
-      taken(best) = true
-      out(r) = best
-      r += 1
+      if (best < 0) exhausted = true // only NaNs remain — return what we have
+      else { taken(best) = true; out(r) = best; r += 1 }
     }
-    ArrayData.toArrayData(out)
+    ArrayData.toArrayData(if (r == m) out else java.util.Arrays.copyOf(out, r))
   }
 
   override protected def withNewChildInternal(c: Expression): TopKIndices = copy(child = c)
 }
 
 object VectorFunctions {
-  /** Idempotently register `graft_dot` so operators can use
+
+  /** One guarded builder per function name, shared by the per-session
+    * registry ([[register]]) and the session-extension path
+    * ([[graft.GraftExtensions]]) so both fail with the same clear
+    * arity/literalness message instead of an obscure eval error.
+    */
+  private def litInt(name: String, e: Expression, argName: String): Int = {
+    require(e.foldable, s"$name: $argName must be a literal, got non-foldable ${e.sql}")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_dot" -> { exprs =>
+      require(exprs.length == 2, s"graft_dot(a, b) takes 2 arguments, got ${exprs.length}")
+      DotProduct(exprs(0), exprs(1))
+    },
+    "graft_minhash" -> { exprs =>
+      require(exprs.length == 1, s"graft_minhash(hashes) takes 1 argument, got ${exprs.length}")
+      MinHashSignature(exprs.head)
+    },
+    "graft_simhash" -> { exprs =>
+      require(exprs.length == 1, s"graft_simhash(tokens) takes 1 argument, got ${exprs.length}")
+      SimHashBits(exprs.head)
+    },
+    "graft_topk_idx" -> { exprs =>
+      require(exprs.length == 2, s"graft_topk_idx(arr, k) takes 2 arguments, got ${exprs.length}")
+      TopKIndices(exprs(0), litInt("graft_topk_idx", exprs(1), "k"))
+    },
+    "graft_hyperplanes" -> { exprs =>
+      require(exprs.length == 3,
+        s"graft_hyperplanes(vec, planesPerBand, bands) takes 3 arguments, got ${exprs.length}")
+      HyperplaneBuckets(exprs(0),
+        litInt("graft_hyperplanes", exprs(1), "planesPerBand"),
+        litInt("graft_hyperplanes", exprs(2), "bands"))
+    },
+    "graft_sample" -> { exprs =>
+      require(exprs.length == 2, s"graft_sample(col, k) takes 2 arguments, got ${exprs.length}")
+      BottomKSample(exprs(0), litInt("graft_sample", exprs(1), "k")).toAggregateExpression()
+    })
+
+  /** Idempotently register every graft function so operators can use
     * `expr("graft_dot(a, b)")`.
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinHashSignature(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHashBits(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk_idx",
-      exprs => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "graft_topk_idx(arr, k) needs a literal k")
-        TopKIndices(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
-      },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplanes",
-      exprs => {
-        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
-          "graft_hyperplanes(vec, planesPerBand, bands) needs literal band parameters")
-        HyperplaneBuckets(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())
-      },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sample",
-      exprs => {
-        require(exprs.length == 2, s"graft_sample(col, k) takes 2 arguments, got ${exprs.length}")
-        require(exprs(1).foldable,
-          s"graft_sample k must be a literal, got non-foldable ${exprs(1).sql}")
-        BottomKSample(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
-      },
-      "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, build, "scala_udf")
+    }
 }

@@ -26,16 +26,42 @@ import org.apache.spark.sql.functions._
   */
 object LogCompact {
 
-  val PartitionColumns: Seq[String] = Seq("service_name", "year", "month", "day", "hour")
+  /** Grace period before [[vacuum]] may delete an unregistered file.
+    * Written-but-not-yet-synced files are a NORMAL state of this lake
+    * (LogWriter append → LogSync registration is a window, and
+    * LakeIngest crosses it every micro-batch), so "not in the
+    * manifest" alone cannot mean garbage — only "not in the manifest
+    * AND old" can (Iceberg's remove_orphan_files `older_than`).
+    */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
 
   case class CompactStats(filesBefore: Long, filesAfter: Long)
 
+  /** Partition columns of the lake at `root`, inferred from the actual
+    * directory structure of a registered data file (`k=v` path
+    * segments, in order). Column PRESENCE is not layout: a DailyLayout
+    * lake deliberately keeps `hour` as a data column, and compacting it
+    * into hourly dirs would re-create the small-files problem the
+    * layout was chosen to avoid.
+    */
+  def inferLayout(spark: SparkSession, root: String): Seq[String] = {
+    val sample = spark.read.parquet(s"$root/_manifest")
+      .select("path").limit(1).collect()
+    require(sample.nonEmpty, s"empty manifest under $root — nothing to compact")
+    val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    val rel = new Path(sample(0).getString(0)).toUri.getPath
+      .stripPrefix(rootUri).stripPrefix("/")
+    rel.split('/').init.toSeq.filter(_.contains('=')).map(_.split('=')(0))
+  }
+
   /** Rewrite the registered table into ≤ one file per partition dir
     * (plus `maxRecordsPerFile` splits) and point the manifest at the
-    * new files only.
+    * new files only. The on-disk partition layout is preserved
+    * ([[inferLayout]]); pass `layout` to re-partition deliberately.
     */
   def compact(spark: SparkSession, root: String,
-              maxRecordsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile): CompactStats = {
+              maxRecordsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile,
+              layout: Option[Seq[String]] = None): CompactStats = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(s"$root/_manifest")
     require(fs.exists(manifest), s"no manifest under $root — run sync first")
@@ -47,8 +73,16 @@ object LogCompact {
     // scan's file list is snapshotted at planning, so the appended
     // output files are not re-read.
     val t = LogSync.table(spark, root)
-    val partCols = PartitionColumns.filter(t.columns.contains)
-    t.repartition(partCols.map(col): _*)
+    val partCols = layout.getOrElse(inferLayout(spark, root)).filter(t.columns.contains)
+    val consolidated =
+      if (partCols.nonEmpty) t.repartition(partCols.map(col): _*)
+      else {
+        // unpartitioned lake: size the output file count to
+        // maxRecordsPerFile instead of partition dirs
+        val target = math.max(1L, (t.count() + maxRecordsPerFile - 1) / maxRecordsPerFile)
+        t.repartition(target.toInt)
+      }
+    consolidated
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCols: _*)
@@ -57,7 +91,7 @@ object LogCompact {
     // the new manifest = everything on disk that the OLD manifest does
     // not know about (i.e. exactly the files the rewrite just created)
     import spark.implicits._
-    val listed = listParquet(spark, root).toDF("path")
+    val listed = listParquet(spark, root).map(_._1).toDF("path")
     val fresh = listed.join(before.select("path"), Seq("path"), "left_anti")
       .withColumn("registered_at", current_timestamp())
       .cache()
@@ -71,31 +105,42 @@ object LogCompact {
     CompactStats(filesBefore, filesAfter)
   }
 
-  /** Delete data files on disk that no manifest entry references (the
-    * pre-compaction files). The orphan set is computed distributed
-    * (anti-join); only the paths to DELETE cross the driver — the
-    * `mc rm` control-plane analog. Returns the number removed.
+  /** Delete data files on disk that no manifest entry references AND
+    * whose modification time is older than `graceMs` (the
+    * pre-compaction files, after the grace window). The age threshold
+    * is what makes vacuum safe to run concurrently with ingest:
+    * written-but-not-yet-synced files are unregistered too, and only
+    * age distinguishes them from compaction leftovers. The orphan set
+    * is computed distributed (anti-join); only the paths to DELETE
+    * cross the driver — the `mc rm` control-plane analog. Returns the
+    * number removed.
     */
-  def vacuum(spark: SparkSession, root: String): Int = {
+  def vacuum(spark: SparkSession, root: String,
+             graceMs: Long = DefaultVacuumGraceMs): Int = {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new Path(s"$root/_manifest")
     require(fs.exists(manifest), s"no manifest under $root — run sync first")
+    val cutoff = System.currentTimeMillis() - graceMs
     val registered = spark.read.parquet(manifest.toString).select("path")
-    val orphans = listParquet(spark, root).toDF("path")
+    val orphans = listParquet(spark, root)
+      .filter(_._2 <= cutoff).map(_._1).toDF("path")
       .join(registered, Seq("path"), "left_anti")
       .as[String].collect()
     orphans.foreach(p => fs.delete(new Path(p), false))
     orphans.length
   }
 
-  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+  /** (path, modificationTimeMs) of every data file under `dir`. */
+  private def listParquet(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new Path(dir), true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
-      val p = it.next().getPath.toString
-      if (p.endsWith(".parquet") && !p.contains("/_manifest")) out += p
+      val f = it.next()
+      val p = f.getPath.toString
+      if (p.endsWith(".parquet") && !p.contains("/_manifest"))
+        out += ((p, f.getModificationTime))
     }
     out.result()
   }

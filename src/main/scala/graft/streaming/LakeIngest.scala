@@ -22,18 +22,27 @@ import graft.sources.{LogSync, LogWriter}
   * the same at-least-once boundary the reference's shell loop has
   * (`insert --skip-duplicates` on a path diff); deduplicate upstream
   * with [[EventStream.deduplicated]] when that matters.
+  *
+  * The checkpoint is MANDATORY: markers are keyed by batchId, and a
+  * batchId only identifies a batch's contents when the
+  * checkpointLocation pins the batchId→offsets mapping across
+  * restarts. With an ephemeral checkpoint a restarted query re-counts
+  * from batch 0 and stale markers would silently swallow new data.
   */
 object LakeIngest {
 
   /** Start the continuous ingest of `logs` (a STREAMING DataFrame with
     * the flattened OTel schema, e.g. `OtlpLogs.parse` of a stream) into
-    * the lake at `root`.
+    * the lake at `root`. `checkpoint` must be a durable location owned
+    * by this query alone (same rule as any Structured Streaming sink).
     */
-  def start(logs: DataFrame, root: String,
-            layout: Seq[String] = LogWriter.DailyLayout,
-            checkpoint: Option[String] = None): StreamingQuery = {
+  def start(logs: DataFrame, root: String, checkpoint: String,
+            layout: Seq[String] = LogWriter.DailyLayout): StreamingQuery = {
+    require(checkpoint.nonEmpty,
+      "LakeIngest.start needs a durable checkpointLocation: batch markers " +
+        "are only meaningful relative to a persistent batchId sequence")
     val spark = logs.sparkSession
-    val writer = logs.writeStream
+    logs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = new Path(s"$root/_batches/batch-$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -45,6 +54,7 @@ object LakeIngest {
         }
         ()
       }
-    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+      .option("checkpointLocation", checkpoint)
+      .start()
   }
 }

@@ -162,6 +162,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(st.forall(r => tk(r.getAs[Long]("doc_id")) == r.getAs[Int]("n_tokens")))
   }
 
+  test("graft_topk_idx: NaN scores are never selected; all-NaN yields empty, not a crash") {
+    val rows = spark.sql(
+      """SELECT graft_topk_idx(array(1.0d, cast('NaN' as double), 3.0d), 2) AS a,
+        |       graft_topk_idx(array(cast('NaN' as double), cast('NaN' as double)), 2) AS b,
+        |       graft_topk_idx(array(cast('-Infinity' as double), 5.0d), 2) AS c
+        |""".stripMargin).collect()(0)
+    assert(rows.getSeq[Int](0) == Seq(2, 0), "NaN must be skipped, not ranked")
+    assert(rows.getSeq[Int](1) == Seq.empty, "all-NaN input returns no indices")
+    assert(rows.getSeq[Int](2) == Seq(1, 0), "-Infinity is still selectable")
+  }
+
   test("langId: every document classified; zh only when CJK present") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum

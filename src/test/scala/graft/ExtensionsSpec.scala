@@ -33,6 +33,13 @@ class ExtensionsSpec extends SparkSpec {
       val bk = s2.sql("SELECT graft_hyperplanes(array(1.0d, -2.0d), 5, 3) AS b")
         .collect()(0).getSeq[Int](0)
       assert(bk.length == 3 && bk.forall(b => b >= 0 && b < 32))
+      // the extension path applies the same guards as the registry path:
+      // wrong arity / non-literal parameters fail with a clear message
+      val arity = intercept[Exception](s2.sql("SELECT graft_topk_idx(array(1.0d))").collect())
+      assert(arity.getMessage.contains("takes 2 arguments"), arity.getMessage)
+      val nonLit = intercept[Exception](
+        s2.sql("SELECT graft_hyperplanes(array(1.0d), 5, cast(rand()*3 as int))").collect())
+      assert(nonLit.getMessage.contains("must be a literal"), nonLit.getMessage)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)

@@ -89,7 +89,8 @@ class LakeSpec extends SparkSpec {
     otel(150).write.mode("append").parquet(src)
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema).parquet(src)
-    val q = graft.streaming.LakeIngest.start(stream, root)
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val q = graft.streaming.LakeIngest.start(stream, root, ckpt)
     try {
       q.processAllAvailable()
       assert(graft.sources.LogSync.table(spark, root).count() == 150,
@@ -105,6 +106,36 @@ class LakeSpec extends SparkSpec {
       assert(t.columns.contains("service_name") && t.columns.contains("day"),
         "lake layout recovered as partition columns")
     } finally q.stop()
+    // restart from the SAME checkpoint: batchIds continue (not restart at
+    // 0), so already-ingested batches are not re-appended and markers
+    // from the first run cannot swallow new data
+    val q2 = graft.streaming.LakeIngest.start(
+      spark.readStream.schema(schema).parquet(src), root, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(graft.sources.LogSync.table(spark, root).count() == 200,
+        "restart with a persistent checkpoint must be a no-op")
+    } finally q2.stop()
+  }
+
+  test("LogCompact: compaction preserves the on-disk layout (hour stays a data column)") {
+    val root = Files.createTempDirectory("graft_compact_layout").toString
+    val logs = Tables.events(spark, sf).limit(300)
+      .select(col("ts").as("timestamp"), concat(lit("s"), col("user_id") % 2).as("service_name"),
+              col("props").as("body"))
+    LogWriter.write(logs, root, layout = LogWriter.DailyLayout)
+    graft.sources.LogSync.sync(spark, root)
+    assert(graft.sources.LogCompact.inferLayout(spark, root) == LogWriter.DailyLayout,
+      "layout must come from the directory structure, not column presence")
+    graft.sources.LogCompact.compact(spark, root)
+    val hourDirs = Files.walk(java.nio.file.Paths.get(root)).iterator()
+    val hasHourDir = scala.jdk.CollectionConverters.IteratorHasAsScala(hourDirs).asScala
+      .exists(_.getFileName.toString.startsWith("hour="))
+    assert(!hasHourDir,
+      "a DailyLayout lake must not be rewritten into hour= partition dirs")
+    assert(graft.sources.LogSync.table(spark, root).count() == 300)
+    assert(graft.sources.LogSync.table(spark, root).columns.contains("hour"),
+      "hour survives as a data column")
   }
 
   test("LogCompact: consolidates small files, table unchanged, vacuum removes orphans") {
@@ -122,8 +153,12 @@ class LakeSpec extends SparkSpec {
       s"expected consolidation, got $stats")
     assert(graft.sources.LogSync.table(spark, root).count() == beforeRows,
       "compaction must not change the table")
-    // replaced files still on disk (in-flight reader grace) until vacuum
-    val removed = graft.sources.LogCompact.vacuum(spark, root)
+    // replaced files still on disk (in-flight reader grace) until vacuum;
+    // the DEFAULT grace protects anything recently written (all of these
+    // files are seconds old), so a concurrent-ingest vacuum deletes nothing
+    assert(graft.sources.LogCompact.vacuum(spark, root) == 0,
+      "default-grace vacuum must not delete recently written files")
+    val removed = graft.sources.LogCompact.vacuum(spark, root, graceMs = 0L)
     assert(removed == stats.filesBefore, s"vacuum should remove the $stats old files, got $removed")
     assert(graft.sources.LogSync.table(spark, root).count() == beforeRows,
       "vacuum must not touch registered files")
