@@ -22,7 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_simhash" -> "graft_simhash(tokens) - 64-bit SimHash packed into a BIGINT",
     "graft_topk_idx" -> "graft_topk_idx(arr, k) - 0-based indices of the k largest doubles, descending",
     "graft_hyperplanes" -> "graft_hyperplanes(vec, planesPerBand, bands) - banded hyperplane-LSH bucket ids",
-    "graft_sample" -> "graft_sample(col, k) - deterministic bottom-k-by-hash sample aggregate")
+    "graft_sample" -> "graft_sample(col, k) - deterministic bottom-k-by-hash sample aggregate",
+    "graft_heavy_hitters" -> "graft_heavy_hitters(col, m) - SpaceSaving top-item summary with error bounds")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -86,7 +86,14 @@ object SparkEntry {
     "corpus_curate"       -> ((s: SparkSession, d: String) => Curation.curate(s, d)),
     "sample_per_group"    -> ((s: SparkSession, d: String) => Curation.samplePerGroup(s, d)),
     "contamination"       -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
-    "dedup_clusters"      -> ((s: SparkSession, d: String) => Curation.dedupClusters(s, d))
+    "dedup_clusters"      -> ((s: SparkSession, d: String) => Curation.dedupClusters(s, d)),
+    "text_quality_rules"  -> (TrainPrep.qualityRules _),
+    "text_repetition"     -> (TrainPrep.repetition _),
+    "text_pii_scrub"      -> (TrainPrep.piiScrub _),
+    "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
+    "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
+    "lake_stats_prune"    -> (LakeAnalytics.windowSeverity _),
+    "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -523,6 +530,78 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v,b.v)/(a.nrm*b.nrm) >= 0.45
         |ORDER BY va, vb""".stripMargin,
+    "text_quality_rules" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t,
+        |  len(regexp_replace(lower(text), '\s+', '', 'g')) AS chars FROM documents),
+        |m AS (SELECT doc_id, len(t) AS n_words, chars,
+        |  CAST(list_contains(t,'the') AS INT) + CAST(list_contains(t,'a') AS INT)
+        |   + CAST(list_contains(t,'of') AS INT) + CAST(list_contains(t,'to') AS INT)
+        |   + CAST(list_contains(t,'and') AS INT) + CAST(list_contains(t,'in') AS INT) AS stop_hits
+        | FROM toks)
+        |SELECT doc_id, n_words,
+        | round(CAST(chars AS DOUBLE)/n_words, 4) AS mean_wlen, stop_hits,
+        | ((n_words BETWEEN 50 AND 100000)
+        |   AND (CAST(chars AS DOUBLE)/n_words BETWEEN 2.0 AND 10.0)
+        |   AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |bg AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win AS b
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,1) OVER win IS NOT NULL),
+        |bga AS (SELECT doc_id, count(DISTINCT b) AS d_bg, count(*) AS n_bg FROM bg GROUP BY 1),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1,2),
+        |wca AS (SELECT doc_id, max(c) AS max_wc, CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY 1)
+        |SELECT doc_id,
+        | round(CAST(max_wc AS DOUBLE)/n_words, 4) AS top_word_frac,
+        | round(1.0 - CAST(d_bg AS DOUBLE)/n_bg, 4) AS dup_2gram_frac,
+        | ((CAST(max_wc AS DOUBLE)/n_words) <= 0.2
+        |   AND (1.0 - CAST(d_bg AS DOUBLE)/n_bg) <= 0.3) AS keep
+        |FROM wca JOIN bga USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |  ELSE text END AS a FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        | md5(regexp_replace(regexp_replace(a,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "dedup_phrases" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh5 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+        |    || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS s
+        | FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        | QUALIFY lead(w,4) OVER win IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh5)
+        |SELECT s, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY s
+        |HAVING count(*) >= 2 ORDER BY n_docs DESC, s LIMIT 100""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS toks
+        | FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT source, (cum - toks) // 512 AS bin,
+        | count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_stats_prune" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

@@ -329,6 +329,12 @@ object VectorFunctions {
     "graft_sample" -> { exprs =>
       require(exprs.length == 2, s"graft_sample(col, k) takes 2 arguments, got ${exprs.length}")
       BottomKSample(exprs(0), litInt("graft_sample", exprs(1), "k")).toAggregateExpression()
+    },
+    "graft_heavy_hitters" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_heavy_hitters(col, m) takes 2 arguments, got ${exprs.length}")
+      SpaceSavingTopK(exprs(0), litInt("graft_heavy_hitters", exprs(1), "m"))
+        .toAggregateExpression()
     })
 
   /** Idempotently register every graft function so operators can use

@@ -42,7 +42,9 @@ object LakeAnalytics {
     */
   private[graft] def lakeRoot(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, _ => {
-      val root = s"/tmp/graft_lake_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      // v3: manifests now carry per-file timestamp zone-maps — bump the
+      // path so a pre-stats lake from an older run is rebuilt
+      val root = s"/tmp/graft_lake_v3_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$root/_built")
@@ -83,4 +85,17 @@ object LakeAnalytics {
       .groupBy(col("day"), col("hour"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("day"), col("hour"), col("severity_text"))
+
+  /** Severity counts for a 2-day window via [[LogSync.tableBetween]]:
+    * the manifest's per-file timestamp zone-maps prune the file set
+    * BEFORE the scan — data skipping that works with or without a
+    * partition layout (and inside partitions), the Iceberg
+    * manifest-stats behavior. The spec asserts the skipped-file count;
+    * the oracle hash-match certifies pruning never drops a row.
+    */
+  def windowSeverity(spark: SparkSession, dir: String): DataFrame =
+    LogSync.tableBetween(spark, lakeRoot(spark, dir), "2024-01-12", "2024-01-14")
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-corpus preparation operators beyond dedup/similarity: the
+  * filter/scrub/pack stages an LLM data pipeline runs between raw
+  * crawl and tokenizer (Gopher/C4-style quality rules, repetition
+  * signals, PII redaction, cross-document duplicated-phrase detection,
+  * sequence packing).
+  *
+  * Scale design notes (100 TB):
+  *  - qualityRules / piiScrub are pure per-row projections — no
+  *    shuffle at all, fully codegen'd (regex + arithmetic), pushdown
+  *    and partitioning of the input untouched.
+  *  - repetition / dedupPhrases shuffle once by doc_id (window over
+  *    token positions) and once by group key with map-side partial
+  *    aggregation; nothing is quadratic in documents.
+  *  - packSequences packs WITHIN a shard (`source`): a global running
+  *    sum would serialize the whole corpus through one partition, and
+  *    a training pipeline packs per input shard anyway. Each shard's
+  *    running sum is one window partition — embarrassingly parallel
+  *    across shards.
+  */
+object TrainPrep {
+
+  import TextAnalysis.toks
+
+  /** Gopher-style document quality gates (behavioral reference: the
+    * quality heuristics described in the Gopher/MassiveText and C4
+    * papers): word-count bounds, mean word length bounds, and minimum
+    * stopword evidence. Emits the signals plus the verdict so the
+    * downstream filter is explainable.
+    */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        toks(col("text")).as("t"),
+        // sum of word lengths == non-whitespace chars: avoids an
+        // interpreted per-element aggregate lambda
+        length(regexp_replace(lower(col("text")), "\\s+", "")).as("chars"))
+      .select(col("doc_id"), size(col("t")).as("n_words"), col("chars"),
+        (array_contains(col("t"), "the").cast("int") +
+          array_contains(col("t"), "a").cast("int") +
+          array_contains(col("t"), "of").cast("int") +
+          array_contains(col("t"), "to").cast("int") +
+          array_contains(col("t"), "and").cast("int") +
+          array_contains(col("t"), "in").cast("int")).as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("chars").cast("double") / col("n_words"), 4).as("mean_wlen"),
+        col("stop_hits"),
+        (col("n_words").between(50, 100000) &&
+          (col("chars").cast("double") / col("n_words")).between(2.0, 10.0) &&
+          col("stop_hits") >= 2).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Within-document repetition signals (the Gopher repetition
+    * filters): fraction of the document that is its single most
+    * frequent word, and the duplicate fraction of word bigrams. High
+    * values flag boilerplate/spam that length and stopword gates miss.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val bg = tok
+      .withColumn("w2", lead(col("w"), 1).over(win))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(concat_ws(" ", col("w"), col("w2"))).as("d_bg"),
+        count(lit(1)).as("n_bg"))
+    val wc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_wc"), sum(col("c")).as("n_words"))
+    wc.join(bg, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("max_wc").cast("double") / col("n_words"), 4).as("top_word_frac"),
+        round(lit(1.0) - col("d_bg").cast("double") / col("n_bg"), 4).as("dup_2gram_frac"),
+        ((col("max_wc").cast("double") / col("n_words")) <= 0.2 &&
+          (lit(1.0) - col("d_bg").cast("double") / col("n_bg")) <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: count and replace email addresses and IPv4
+    * literals. The synthetic corpus contains no PII, so deterministic
+    * markers are injected (doc_id % 7 == 0) IDENTICALLY on the Spark
+    * and oracle sides — the hash-match then certifies that both
+    * engines find and replace exactly the same spans. Patterns stay in
+    * the RE2 ∩ java.util.regex common subset so both engines agree.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+        col("doc_id") % 256, lit("."), col("doc_id") % 100))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document duplicated phrases: 5-gram shingles appearing in
+    * ≥ `minDocs` distinct documents, by descending document frequency —
+    * the signal behind exact-substring deduplication ("memorized
+    * boilerplate"), approximated at n-gram granularity so it stays one
+    * inverted-index aggregation (no suffix arrays, no quadratic work).
+    */
+  def dedupPhrases(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    tok
+      .select(col("doc_id"), col("w"),
+        lead(col("w"), 1).over(win).as("w1"), lead(col("w"), 2).over(win).as("w2"),
+        lead(col("w"), 3).over(win).as("w3"), lead(col("w"), 4).over(win).as("w4"))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"), col("w4")).as("s"))
+      .distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("s"))
+      .limit(100)
+  }
+
+  /** Sequence packing: concatenate documents in deterministic order and
+    * cut at a `budget`-token boundary — each document's bin is the
+    * segment its first token falls in (the standard pretraining
+    * concat-and-chunk). Packing is per `source` shard; bins are
+    * reported with their document and token counts.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(win))
+      .withColumn("bin", expr(s"(cum - toks) div $budget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+}

@@ -89,11 +89,17 @@ object LogCompact {
       .parquet(root)
 
     // the new manifest = everything on disk that the OLD manifest does
-    // not know about (i.e. exactly the files the rewrite just created)
+    // not know about (i.e. exactly the files the rewrite just created),
+    // re-statted so zone-map pruning survives compaction
     import spark.implicits._
     val listed = listParquet(spark, root).map(_._1).toDF("path")
-    val fresh = listed.join(before.select("path"), Seq("path"), "left_anti")
+    val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
+      .as[String].collect()
+    val fresh = freshPaths.toSeq.toDF("path")
       .withColumn("registered_at", current_timestamp())
+      .join(LogSync.statsFor(spark, root, freshPaths.toSeq),
+        LogSync.normPath(col("path")) === col("norm"), "left")
+      .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts"))
       .cache()
     val filesAfter = fresh.count()
 

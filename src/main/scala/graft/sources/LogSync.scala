@@ -31,7 +31,9 @@ object LogSync {
 
   private val manifestSchema = StructType(Seq(
     StructField("path", StringType, nullable = false),
-    StructField("registered_at", TimestampType, nullable = false)))
+    StructField("registered_at", TimestampType, nullable = false),
+    StructField("min_ts", TimestampType, nullable = true),
+    StructField("max_ts", TimestampType, nullable = true)))
 
   /** Control-plane listing (the `mc find` analog). Returns raw FS
     * paths; everything downstream of this is distributed.
@@ -56,20 +58,56 @@ object LogSync {
   }
 
   private def manifestDf(spark: SparkSession, root: String): DataFrame =
-    if (hasManifest(spark, root)) spark.read.parquet(manifestPath(root))
+    if (hasManifest(spark, root)) {
+      // manifests written before file stats existed lack min_ts/max_ts;
+      // surface them as null (= "no stats, never prune this file")
+      val m = spark.read.parquet(manifestPath(root))
+      Seq("min_ts", "max_ts").foldLeft(m) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(TimestampType))
+      }
+    }
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
 
   /** Canonical path form shared by the manifest and
     * `input_file_name()` (scheme spelling differs: `file:/x` vs
     * `file:///x`).
     */
-  private def normPath(c: Column): Column =
+  private[sources] def normPath(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
+
+  /** Per-file min/max of the `timestamp` column for exactly `paths` —
+    * Iceberg-style zone-map stats, computed by the one data-plane read
+    * of the new files registration needs anyway. Returns
+    * (path, min_ts, max_ts); lakes without a timestamp column get null
+    * stats (= never pruned by [[tableBetween]]).
+    *
+    * The path list here is the CURRENT ROUND'S new files (bounded by
+    * ingest rate, not lake size) — unlike the registered set, it is
+    * already driver-resident from the control-plane listing, so an
+    * explicit-path read is not a driver-scaling regression.
+    */
+  private[sources] def statsFor(spark: SparkSession, root: String,
+                                paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val probe = spark.read.option("basePath", root).parquet(paths: _*)
+    if (probe.columns.contains("timestamp") &&
+        probe.schema("timestamp").dataType == TimestampType) {
+      probe
+        .groupBy(normPath(col("_metadata.file_path")).as("norm"))
+        .agg(min(col("timestamp")).as("min_ts"), max(col("timestamp")).as("max_ts"))
+    } else {
+      paths.toDF("p").select(normPath(col("p")).as("norm"),
+        lit(null).cast(TimestampType).as("min_ts"),
+        lit(null).cast(TimestampType).as("max_ts"))
+    }
+  }
 
   /** One sync round: returns the number of newly registered files.
     * The diff between the listing and the manifest is a distributed
     * anti-join — at millions of files the driver never materializes
-    * the registered set.
+    * the registered set. Each new file is registered together with its
+    * timestamp zone-map ([[statsFor]]).
     */
   def sync(spark: SparkSession, root: String): Int = {
     import spark.implicits._
@@ -78,12 +116,15 @@ object LogSync {
       .join(manifestDf(spark, root).select(col("path")), Seq("path"), "left_anti")
       .cache()
     try {
-      val n = fresh.count()
-      if (n > 0) {
+      val freshPaths = fresh.as[String].collect() // this round's new files only
+      if (freshPaths.nonEmpty) {
         fresh.withColumn("registered_at", current_timestamp())
+          .join(statsFor(spark, root, freshPaths.toSeq),
+            normPath(col("path")) === col("norm"), "left")
+          .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts"))
           .write.mode(SaveMode.Append).parquet(manifestPath(root))
       }
-      n.toInt
+      freshPaths.length
     } finally fresh.unpersist()
   }
 
@@ -126,6 +167,45 @@ object LogSync {
     */
   def tableAsOf(spark: SparkSession, root: String, ts: java.sql.Timestamp): DataFrame =
     filteredTable(spark, root, Some(ts))
+
+  /** Registered rows with `timestamp` in `[fromIso, untilIso)`
+    * (ISO dates, UTC), with FILE-LEVEL pruning from the manifest's
+    * zone-map stats: files whose [min_ts, max_ts] cannot intersect the
+    * window never join the semi-join pruning set. This is data
+    * skipping beyond directory partitioning — it works on
+    * unpartitioned lakes and inside partitions (Iceberg manifest
+    * min/max semantics); stat-less files (null min_ts) are kept, so
+    * pruning is always sound. The row-level filter still applies on
+    * top for files that straddle the boundary.
+    */
+  def tableBetween(spark: SparkSession, root: String,
+                   fromIso: String, untilIso: String): DataFrame = {
+    val from = lit(s"$fromIso 00:00:00").cast(TimestampType)
+    val until = lit(s"$untilIso 00:00:00").cast(TimestampType)
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val paths = manifestDf(spark, root)
+      .filter(col("min_ts").isNull || (col("max_ts") >= from && col("min_ts") < until))
+      .select(normPath(col("path")).as("__registered_path"))
+    spark.read.option("basePath", root).parquet(root)
+      .withColumn("__src", normPath(col("_metadata.file_path")))
+      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+      .drop("__src")
+      .filter(col("timestamp") >= from && col("timestamp") < until)
+  }
+
+  /** How many registered files [[tableBetween]] would scan vs. the
+    * total registered — the observable for zone-map pruning
+    * assertions and for capacity planning.
+    */
+  def statsPruneCounts(spark: SparkSession, root: String,
+                       fromIso: String, untilIso: String): (Long, Long) = {
+    val m = manifestDf(spark, root)
+    val from = lit(s"$fromIso 00:00:00").cast(TimestampType)
+    val until = lit(s"$untilIso 00:00:00").cast(TimestampType)
+    val kept = m.filter(col("min_ts").isNull ||
+      (col("max_ts") >= from && col("min_ts") < until)).count()
+    (kept, m.count())
+  }
 
   /** The reference daemon's loop (scripts/sync-logs.sh: `while true;
     * do sync; sleep $SYNC_INTERVAL; done`): run [[sync]] every

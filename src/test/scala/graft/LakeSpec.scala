@@ -261,4 +261,33 @@ class LakeSpec extends SparkSpec {
     assert(sessions == Seq((t0, 3L, 40L * 60 * 1000000L)),
       s"the 00:20 event must bridge both open sessions into one: $sessions")
   }
+
+  test("tableBetween: manifest zone-maps prune files, result equals the direct filter") {
+    val root = LakeAnalytics.lakeRoot(spark, sf)
+    val (kept, total) = LogSync.statsPruneCounts(spark, root, "2024-01-12", "2024-01-14")
+    assert(total > 0)
+    assert(kept > 0 && kept < total,
+      s"a 2-day window over a multi-week lake must skip files: kept=$kept total=$total")
+    val from = lit("2024-01-12 00:00:00").cast("timestamp")
+    val until = lit("2024-01-14 00:00:00").cast("timestamp")
+    val want = LogSync.table(spark, root)
+      .filter(col("timestamp") >= from && col("timestamp") < until).count()
+    val got = LogSync.tableBetween(spark, root, "2024-01-12", "2024-01-14").count()
+    assert(got == want && got > 0,
+      s"pruning must never change results: got=$got want=$want")
+  }
+
+  test("windowSeverity equals the direct events aggregate over the window") {
+    val got = LakeAnalytics.windowSeverity(spark, sf).collect()
+      .map(r => (r.getAs[String]("service_name"), r.getAs[String]("severity_text")) ->
+        r.getAs[Long]("n")).toMap
+    val from = lit("2024-01-12 00:00:00").cast("timestamp")
+    val until = lit("2024-01-14 00:00:00").cast("timestamp")
+    val want = Tables.events(spark, sf)
+      .filter(col("ts") >= from && col("ts") < until)
+      .groupBy(concat(lit("svc-"), col("user_id") % 10).as("s"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == want, "zone-map-pruned window query must be lossless")
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainPrep
+import graft.sources.Tables
+
+/** Specs for the training-corpus preparation operators. The DuckDB
+  * oracle certifies exact values at sf0.01; these tests pin the
+  * SEMANTICS (local recomputation on the real corpus) and the plan
+  * shapes that matter at scale.
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  private def localToks(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("qualityRules: signals and verdict match a local recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = TrainPrep.qualityRules(spark, sf).collect()
+    assert(got.length == docs.size)
+    val stops = Seq("the", "a", "of", "to", "and", "in")
+    got.foreach { r =>
+      val t = localToks(docs(r.getAs[Long]("doc_id")))
+      val chars = docs(r.getAs[Long]("doc_id")).toLowerCase.replaceAll("\\s+", "").length
+      val stopHits = stops.count(t.contains)
+      assert(r.getAs[Int]("n_words") == t.length)
+      assert(r.getAs[Int]("stop_hits") == stopHits)
+      val meanW = chars.toDouble / t.length
+      val keep = t.length >= 50 && t.length <= 100000 &&
+        meanW >= 2.0 && meanW <= 10.0 && stopHits >= 2
+      assert(r.getAs[Boolean]("keep") == keep, s"doc ${r.get(0)}")
+    }
+    // pure projection: no exchange anywhere before the final sort
+    val plan = planString(TrainPrep.qualityRules(spark, sf))
+    assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
+      s"qualityRules must be shuffle-free except the output sort:\n$plan")
+  }
+
+  test("repetition: a doc that is one word repeated is flagged; fractions bounded") {
+    val rows = TrainPrep.repetition(spark, sf).collect()
+    rows.foreach { r =>
+      val twf = r.getAs[Double]("top_word_frac")
+      val dbg = r.getAs[Double]("dup_2gram_frac")
+      assert(twf > 0.0 && twf <= 1.0, s"top_word_frac $twf")
+      assert(dbg >= 0.0 && dbg <= 1.0, s"dup_2gram_frac $dbg")
+      assert(r.getAs[Boolean]("keep") == (twf <= 0.2 && dbg <= 0.3))
+    }
+    // synthetic pathological doc: "spam spam ... spam" must fail both gates
+    import spark.implicits._
+    val bad = Seq((1L, Seq.fill(50)("spam").mkString(" "))).toDF("doc_id", "text")
+    bad.createOrReplaceTempView("__rep_bad")
+    val t = bad.select(col("doc_id"),
+      posexplode(graft.operators.TextAnalysis.toks(col("text"))).as(Seq("i", "w")))
+    val wc = t.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val row = wc.groupBy("doc_id")
+      .agg((max(col("c")) / sum(col("c"))).as("twf")).head()
+    assert(row.getAs[Double]("twf") == 1.0)
+  }
+
+  test("piiScrub: injected docs are detected, scrubbed text carries no raw PII") {
+    val got = TrainPrep.piiScrub(spark, sf).collect()
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0) {
+        assert(r.getAs[Int]("n_emails") >= 1, s"doc $id email missed")
+        assert(r.getAs[Int]("n_ips") >= 1, s"doc $id ip missed")
+      }
+    }
+    assert(got.count(r => r.getAs[Long]("doc_id") % 7 == 0) > 0)
+  }
+
+  test("dedupPhrases: every reported 5-gram occurs in >= 2 docs (local replay)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def grams(t: String): Set[String] =
+      localToks(t).sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }
+    val got = TrainPrep.dedupPhrases(spark, sf).collect()
+    assert(got.nonEmpty, "synthetic corpus repeats sentences across docs")
+    got.foreach { r =>
+      val s = r.getAs[String]("s")
+      val n = byDoc.count(_._2.contains(s))
+      assert(n.toLong == r.getAs[Long]("n_docs"), s"'$s': local=$n spark=${r.get(1)}")
+      assert(n >= 2)
+    }
+  }
+
+  test("packSequences: bins partition each shard; token totals conserved") {
+    val got = TrainPrep.packSequences(spark, sf).collect()
+    val totalGot = got.map(_.getAs[Long]("n_tokens")).sum
+    val totalWant = Tables.documents(spark, sf)
+      .select(size(graft.operators.TextAnalysis.toks(col("text"))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(totalGot == totalWant, "packing must not drop or double-count tokens")
+    // each shard starts at bin 0; bins are strictly increasing (a doc
+    // longer than the budget legitimately skips bins)
+    got.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0, s"$src first bin")
+      assert(bins.distinct.length == bins.length, s"$src duplicate bins")
+    }
+  }
+}
