@@ -23,7 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_topk_idx" -> "graft_topk_idx(arr, k) - 0-based indices of the k largest doubles, descending",
     "graft_hyperplanes" -> "graft_hyperplanes(vec, planesPerBand, bands) - banded hyperplane-LSH bucket ids",
     "graft_sample" -> "graft_sample(col, k) - deterministic bottom-k-by-hash sample aggregate",
-    "graft_heavy_hitters" -> "graft_heavy_hitters(col, m) - SpaceSaving top-item summary with error bounds")
+    "graft_heavy_hitters" -> "graft_heavy_hitters(col, m) - SpaceSaving top-item summary with error bounds",
+    "graft_bloom" -> "graft_bloom(longCol, expectedItems) - bloom-filter aggregate over 64-bit hashes",
+    "graft_bloom_contains" -> "graft_bloom_contains(bloom, longCol) - membership probe against a bloom literal")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -93,7 +93,9 @@ object SparkEntry {
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     "lake_stats_prune"    -> (LakeAnalytics.windowSeverity _),
-    "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d))
+    "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
+    "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
+    "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -602,6 +604,38 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh3 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        | FROM tok QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id%5=4 AND b.doc_id%5<>4 GROUP BY 1,2)
+        |SELECT p.new_id, p.old_id,
+        | round(CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter),4) AS j
+        |FROM pairs p JOIN sz sa ON p.new_id=sa.doc_id JOIN sz sb ON p.old_id=sb.doc_id
+        |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8
+        |ORDER BY p.new_id, p.old_id""".stripMargin,
+    "contamination_bloom" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh5 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+        |    || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS s
+        | FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        | QUALIFY lead(w,4) OVER win IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh5),
+        |test AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM sh WHERE doc_id >= 20 AND s IN (SELECT s FROM test)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

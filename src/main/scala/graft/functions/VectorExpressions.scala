@@ -335,6 +335,26 @@ object VectorFunctions {
         s"graft_heavy_hitters(col, m) takes 2 arguments, got ${exprs.length}")
       SpaceSavingTopK(exprs(0), litInt("graft_heavy_hitters", exprs(1), "m"))
         .toAggregateExpression()
+    },
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime join filters but registers them internal-only; exposing
+    // them lets an operator build an explicit semi-join prefilter (the
+    // bloom is KBs — broadcastable as a literal) without reimplementing
+    // the sketch.
+    "graft_bloom" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_bloom(longCol, expectedItems) takes 2 arguments, got ${exprs.length}")
+      val est = litInt("graft_bloom", exprs(1), "expectedItems").toLong
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0),
+        org.apache.spark.sql.catalyst.expressions.Literal(est),
+        org.apache.spark.sql.catalyst.expressions.Literal(est * 10L), 0, 0)
+        .toAggregateExpression()
+    },
+    "graft_bloom_contains" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_bloom_contains(bloom, longCol) takes 2 arguments, got ${exprs.length}")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
     })
 
   /** Idempotently register every graft function so operators can use

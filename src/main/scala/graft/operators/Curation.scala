@@ -97,6 +97,38 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** [[contamination]] with a BLOOM-FILTER PREFILTER — the shape that
+    * scales the decontamination scan. The exact broadcast semi-join is
+    * still the last word (bloom false positives are re-checked, so the
+    * result is IDENTICAL to [[contamination]] and shares its oracle),
+    * but the corpus-side shingle stream is first probed against a
+    * KB-sized bloom built from the test set: at 100 TB the prefilter
+    * discards ~all non-contaminated shingles inside the scan stage
+    * with one hash probe each, so the semi-join's input — and the
+    * whole-stage-codegen break it implies — sees only the tiny
+    * might-match residue. Uses Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain (the runtime-join-filter machinery),
+    * exposed as `graft_bloom` / `graft_bloom_contains`; the built
+    * bloom crosses the driver once as a literal, exactly like a
+    * broadcast-join build side (control plane, size independent of
+    * corpus).
+    */
+  def contaminationBloom(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleArr(col("t"), n)).as("s"))
+    val testShingles = sh.filter(col("doc_id") < 20).select(col("s")).distinct().cache()
+    val bloom = testShingles
+      .agg(expr("graft_bloom(xxhash64(s), 8192)").as("bf")).head().getAs[Array[Byte]]("bf")
+    sh.filter(col("doc_id") >= 20)
+      .filter(call_function("graft_bloom_contains", lit(bloom), xxhash64(col("s"))))
+      .join(broadcast(testShingles), Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Connected components over the near-duplicate graph (edges =
     * [[Dedup.ngramJaccard]] J ≥ 0.8 pairs): every document in a
     * near-dup cluster labeled with the cluster's smallest doc_id —
@@ -114,9 +146,12 @@ object Curation {
     val edges = Dedup.ngramJaccard(spark, dir)
       .select(col("da"), col("db")).cache()
     val sym = edges.union(edges.select(col("db").as("da"), col("da").as("db")))
-    var labels = edges
-      .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed with the neighborhood minimum directly — one aggregation
+    // replaces both the node-list distinct and the first propagation
+    var labels = sym
+      .groupBy(col("da"))
+      .agg(least(min(col("db")), col("da")).as("label"))
+      .select(col("da").as("doc_id"), col("label"))
       .localCheckpoint()
     def propagate(ls: DataFrame): DataFrame = {
       val nbrMin = sym
@@ -127,14 +162,19 @@ object Curation {
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
     }
+    // pointer-jumping compression: label <- label(label). Pure
+    // label-table self-join (no edges), halves the rounds a long path
+    // needs — HashMin alone walks one hop per round.
+    def compress(ls: DataFrame): DataFrame =
+      ls.join(ls.select(col("doc_id").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // two propagation rounds per convergence check: halves the driver
-      // round-trips (each check is a full job) at the cost of at most
-      // one redundant no-op round
+      // propagate + compress per convergence check; the check reads the
+      // just-checkpointed result so it costs one cheap local pass
       val once = propagate(labels).select(col("doc_id"), col("new_label").as("label"))
-      val updated = propagate(once).localCheckpoint()
+      val updated = propagate(compress(once)).localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
       iter += 2

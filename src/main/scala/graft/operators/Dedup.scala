@@ -131,6 +131,53 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Incremental dedup: exact 3-gram Jaccard (J ≥ 0.8) of an INCOMING
+    * BATCH against the existing corpus — the steady-state dedup a
+    * 100 TB pipeline actually runs (dedup the day's crawl against the
+    * lake, not the lake against itself). The batch here is the
+    * deterministic `doc_id % 5 == 4` slice so the oracle can replay it.
+    *
+    * Same three stages as [[ngramJaccard]] but BIPARTITE: the
+    * inverted-index join is batch-side × corpus-side, so its cost is
+    * O(batch shingles × matching corpus postings) — proportional to
+    * the new data, never to corpus², and re-running it tomorrow does
+    * not redo today's corpus self-pairs. The df-cap/J-upper-bound
+    * prefilter logic carries over unchanged (caps computed over the
+    * full shingle population).
+    */
+  def incremental(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame = {
+    val isNew = col("doc_id") % 5 === 4
+    val docs = docShingles(spark, dir).cache()
+    val interRare = {
+      val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("s"))
+      val idx = sh.join(rare, Seq("s"), "left_semi")
+      idx.filter(isNew).as("a")
+        .join(idx.filter(!isNew).as("b"), col("a.s") === col("b.s"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter_rare"))
+    }
+    val hA = col("na") - col("na_rare")
+    val hB = col("nb") - col("nb_rare")
+    val interMax = col("inter_rare") + least(hA, hB)
+    val jMax = interMax.cast("double") / (col("na") + col("nb") - interMax)
+    val stats = docs.select(col("doc_id"), size(col("sh")).as("n"))
+      .join(docShingleRareCounts(docs, dfCap), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+    val promising = interRare
+      .join(stats.select(col("doc_id").as("da"), col("n").as("na"),
+        col("n_rare").as("na_rare")), "da")
+      .join(stats.select(col("doc_id").as("db"), col("n").as("nb"),
+        col("n_rare").as("nb_rare")), "db")
+      .filter(jMax >= 0.8)
+      .select(col("da"), col("db"))
+    verifyJaccard(promising, docs)
+      .filter(col("j_exact") >= 0.8)
+      .select(col("da").as("new_id"), col("db").as("old_id"), col("j"))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** Per-document count of sub-cap ("rare") shingles. */
   private def docShingleRareCounts(docs: DataFrame, dfCap: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -74,13 +74,25 @@ object LogCompact {
     // output files are not re-read.
     val t = LogSync.table(spark, root)
     val partCols = layout.getOrElse(inferLayout(spark, root)).filter(t.columns.contains)
+    val hasTs = t.columns.contains("timestamp")
+    // cluster by time while rewriting: range partitioning gives the
+    // output files DISJOINT timestamp ranges (and the in-partition sort
+    // keeps maxRecordsPerFile splits disjoint too), so the manifest
+    // zone-maps written below prune a time-window query to ~the files
+    // that actually overlap it — compaction doubles as the
+    // data-clustering pass (Iceberg's sorted rewrite)
     val consolidated =
-      if (partCols.nonEmpty) t.repartition(partCols.map(col): _*)
-      else {
+      if (partCols.nonEmpty) {
+        val re = t.repartition(partCols.map(col): _*)
+        if (hasTs) re.sortWithinPartitions((partCols :+ "timestamp").map(col): _*) else re
+      } else {
         // unpartitioned lake: size the output file count to
         // maxRecordsPerFile instead of partition dirs
         val target = math.max(1L, (t.count() + maxRecordsPerFile - 1) / maxRecordsPerFile)
-        t.repartition(target.toInt)
+        if (hasTs)
+          t.repartitionByRange(target.toInt, col("timestamp"))
+            .sortWithinPartitions(col("timestamp"))
+        else t.repartition(target.toInt)
       }
     consolidated
       .write.mode(SaveMode.Append)

@@ -184,4 +184,26 @@ object EventStream {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"))
+
+  /** Streaming top talkers: per-hour SpaceSaving heavy-hitter summary
+    * ([[graft.functions.SpaceSavingTopK]]) as a windowed streaming
+    * aggregate. State per open window is O(m) regardless of user
+    * cardinality — the streaming twin of
+    * [[graft.operators.LogAnalytics.heavyHitters]] — and the summary's
+    * `est - err <= true <= est` bound survives micro-batch merges the
+    * same way it survives partition merges in batch. Windows finalize
+    * in append mode once the watermark passes.
+    */
+  def windowedHeavyHitters(events: DataFrame, m: Int = 64): DataFrame = {
+    graft.functions.VectorFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"graft_heavy_hitters(cast(user_id as string), $m)").as("hh"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e.item").as("user_id"),
+        col("e.est").as("est_max"), (col("e.est") - col("e.err")).as("est_min"))
+  }
 }

@@ -52,6 +52,20 @@ class CurationSpec extends SparkSpec {
       s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("contaminationBloom: bloom prefilter changes the plan, never the answer") {
+    val plain = Curation.contamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val df = Curation.contaminationBloom(spark, sf)
+    val bloomed = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(bloomed == plain,
+      "false positives must be re-checked by the exact semi-join")
+    // the probe must sit in the scan-side stage, before the semi-join
+    val plan = planString(df)
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+  }
+
   test("dedupClusters agrees exactly with a local union-find over the same edges") {
     val edges = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))

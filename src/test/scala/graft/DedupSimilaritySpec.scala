@@ -17,6 +17,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall { r => val j = r.getAs[Double]("j"); j >= 0.8 && j <= 1.0 })
   }
 
+  test("incremental: bipartite batch-vs-corpus pairs match a local replay") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def sh(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val shs = docs.map { case (id, t) => id -> sh(t) }.toMap
+    val (batch, corpus) = docs.map(_._1).partition(_ % 5 == 4)
+    val want = (for {
+      a <- batch; b <- corpus
+      inter = (shs(a) & shs(b)).size
+      union = shs(a).size + shs(b).size - inter
+      if union > 0 && inter.toDouble / union >= 0.8
+    } yield (a, b)).toSet
+    val got = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"))).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "synthetic corpus should have cross-batch near-dups")
+  }
+
   test("minhash LSH recalls every exact J>=0.8 pair") {
     val exact = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet

@@ -277,6 +277,55 @@ class LakeSpec extends SparkSpec {
       s"pruning must never change results: got=$got want=$want")
   }
 
+  test("compact: sorted rewrite tightens zone-maps so time windows prune files") {
+    import graft.sources.LogCompact
+    val root = Files.createTempDirectory("graft_sortcompact").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("ts").as("timestamp"),
+        concat(lit("s"), col("user_id") % 4).as("service_name"), col("props").as("body"))
+    val total = ev.count()
+    // hash-repartitioned write: every one of the 8 files spans ~the
+    // whole month, so zone-maps cannot prune a narrow window
+    ev.repartition(8).write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 8)
+    val (k0, t0) = LogSync.statsPruneCounts(spark, root, "2024-01-10", "2024-01-12")
+    assert(k0 == t0, s"interleaved files should all overlap the window: $k0/$t0")
+    val want = LogSync.tableBetween(spark, root, "2024-01-10", "2024-01-12").count()
+    // compaction range-partitions by timestamp: output files get
+    // disjoint time ranges, and the re-statted manifest reflects it
+    LogCompact.compact(spark, root, maxRecordsPerFile = math.max(1L, total / 8))
+    val (k1, t1) = LogSync.statsPruneCounts(spark, root, "2024-01-10", "2024-01-12")
+    assert(t1 >= 8 && k1 < t1,
+      s"sorted rewrite must make the window prunable: kept=$k1 total=$t1")
+    val got = LogSync.tableBetween(spark, root, "2024-01-10", "2024-01-12").count()
+    assert(got == want, "clustering must not change query results")
+  }
+
+  test("windowedHeavyHitters: streamed per-window bounds hold vs exact batch counts") {
+    val dir = Files.createTempDirectory("graft_hhstream").toString
+    Tables.events(spark, sf).limit(4000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .write.mode("append").parquet(dir)
+    val q = EventStream.windowedHeavyHitters(EventStream.read(spark, dir), m = 32)
+      .writeStream.format("memory").queryName("hh_windows")
+      .outputMode("append").start()
+    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("hh_windows").collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("user_id")) ->
+        (r.getAs[Long]("est_min"), r.getAs[Long]("est_max")))
+    assert(got.nonEmpty, "watermark must have closed at least one window")
+    val exact = spark.read.parquet(dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("h"), r.getAs[String]("u")) -> r.getAs[Long]("n")).toMap
+    got.foreach { case (key, (lo, hi)) =>
+      val t = exact.getOrElse(key, 0L)
+      assert(lo <= t && t <= hi, s"window/user $key: bounds [$lo,$hi] exclude true $t")
+    }
+  }
+
   test("windowSeverity equals the direct events aggregate over the window") {
     val got = LakeAnalytics.windowSeverity(spark, sf).collect()
       .map(r => (r.getAs[String]("service_name"), r.getAs[String]("severity_text")) ->
