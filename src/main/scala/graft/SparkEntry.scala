@@ -95,7 +95,8 @@ object SparkEntry {
     "lake_stats_prune"    -> (LakeAnalytics.windowSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
-    "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d))
+    "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
+    "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -604,6 +605,11 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q23_bucketed_join" ->
+      s"""SELECT o_orderpriority, ${m2(DISC_PRICE)} AS revenue,
+         | count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dedup_incremental" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t

@@ -162,22 +162,17 @@ object Curation {
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
     }
-    // pointer-jumping compression: label <- label(label). Pure
-    // label-table self-join (no edges), halves the rounds a long path
-    // needs — HashMin alone walks one hop per round.
-    def compress(ls: DataFrame): DataFrame =
-      ls.join(ls.select(col("doc_id").as("label"), col("label").as("ll")), Seq("label"), "left")
-        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // propagate + compress per convergence check; the check reads the
-      // just-checkpointed result so it costs one cheap local pass
-      val once = propagate(labels).select(col("doc_id"), col("new_label").as("label"))
-      val updated = propagate(compress(once)).localCheckpoint()
+      // near-dup clusters are shallow (J >= 0.8 is nearly transitive),
+      // so plain HashMin converges in a round or two from the seeded
+      // start; a pointer-jumping compression step was measured to cost
+      // more in extra tiny-data shuffles than it saves in rounds here
+      val updated = propagate(labels).localCheckpoint()
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
-      iter += 2
+      iter += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))

@@ -18,6 +18,20 @@ class RelationalSpec extends SparkSpec {
       s"expected pushed l_shipdate filter in:\n$plan")
   }
 
+  test("q23_bucketed_join: join subtree has zero Exchange and zero Sort") {
+    val df = graft.sources.Bucketing.bucketedJoin(spark, sf)
+    val plan = formattedPlan(df)
+    assert(plan.contains("SortMergeJoin"), s"merge hint ignored:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan did not use buckets:\n$plan")
+    // exactly two exchanges total: the groupBy hash and the orderBy
+    // range. An unbucketed SMJ would add one per join input (and a
+    // Sort per side; the only Sorts allowed are the final orderBy and
+    // none under the join)
+    val exchanges = "(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (agg+sort), got $exchanges:\n$plan")
+    assert(df.collect().length == 5)
+  }
+
   test("q2_join_agg: dimension joins broadcast, no fact-side shuffle join") {
     val df = Relational.q2JoinAgg(spark, sf)
     val plan = planString(df)
