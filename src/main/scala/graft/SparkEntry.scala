@@ -96,7 +96,8 @@ object SparkEntry {
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
-    "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _)
+    "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _),
+    "mm_frames"           -> (Multimodal.frames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -605,6 +606,14 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id, strlen(text) AS len FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, len,
+        |  unnest(range(0, CAST(least(8, (len + 255) // 256) AS BIGINT))) AS frame_idx
+        | FROM v)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        | CAST(least(256, len - frame_idx * 256) AS INT) AS n_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q23_bucketed_join" ->
       s"""SELECT o_orderpriority, ${m2(DISC_PRICE)} AS revenue,
          | count(*) AS n_lines

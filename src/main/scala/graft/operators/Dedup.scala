@@ -97,11 +97,21 @@ object Dedup {
     // cached: both sides of the inverted-index self-join reuse the
     // shingle arrays instead of recomputing the parse
     val docs = docShinglesOf(documents).cache()
+    // the capped inverted index is built ONCE and cached: it feeds both
+    // self-join sides, and the per-doc rare counts below — without the
+    // cache the df aggregation over every exploded shingle runs twice
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val idx = sh.join(rare, Seq("s"), "left_semi").cache()
     // Stage 1 (cheap, count-only): per candidate pair, the EXACT
     // intersection count among rare shingles comes straight from the
     // capped-index equi-join aggregate — one shuffle of (da, db, count)
     // rows, no shingle arrays on the wire.
-    val interRare = ngramCandidateCounts(docs, dfCap)
+    val interRare = idx.as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter_rare"))
     // Stage 2 (prefilter): hot shingles were excluded from the index,
     // so the true intersection is inter_rare + inter_hot with
     // inter_hot <= min(hot_a, hot_b) (hot_x = shingles of x above the
@@ -112,8 +122,9 @@ object Dedup {
     val hB = col("nb") - col("nb_rare")
     val interMax = col("inter_rare") + least(hA, hB)
     val jMax = interMax.cast("double") / (col("na") + col("nb") - interMax)
+    val nRare = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
     val stats = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      .join(docShingleRareCounts(docs, dfCap), Seq("doc_id"), "left")
+      .join(nRare, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
     val promising = interRare
       .join(stats.select(col("doc_id").as("da"), col("n").as("na"),
@@ -148,22 +159,21 @@ object Dedup {
   def incremental(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
     val docs = docShingles(spark, dir).cache()
-    val interRare = {
-      val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select(col("s"))
-      val idx = sh.join(rare, Seq("s"), "left_semi")
-      idx.filter(isNew).as("a")
-        .join(idx.filter(!isNew).as("b"), col("a.s") === col("b.s"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter_rare"))
-    }
+    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val idx = sh.join(rare, Seq("s"), "left_semi").cache()
+    val interRare = idx.filter(isNew).as("a")
+      .join(idx.filter(!isNew).as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter_rare"))
     val hA = col("na") - col("na_rare")
     val hB = col("nb") - col("nb_rare")
     val interMax = col("inter_rare") + least(hA, hB)
     val jMax = interMax.cast("double") / (col("na") + col("nb") - interMax)
+    val nRare = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
     val stats = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      .join(docShingleRareCounts(docs, dfCap), Seq("doc_id"), "left")
+      .join(nRare, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
     val promising = interRare
       .join(stats.select(col("doc_id").as("da"), col("n").as("na"),
@@ -176,15 +186,6 @@ object Dedup {
       .filter(col("j_exact") >= 0.8)
       .select(col("da").as("new_id"), col("db").as("old_id"), col("j"))
       .orderBy(col("new_id"), col("old_id"))
-  }
-
-  /** Per-document count of sub-cap ("rare") shingles. */
-  private def docShingleRareCounts(docs: DataFrame, dfCap: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("s"))
-    sh.join(rare, Seq("s"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
   }
 
   /** (da, db, inter_rare) for every pair sharing a sub-cap shingle:

@@ -67,4 +67,57 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_bytes")).as("total_bytes"))
       .orderBy(col("media_type"))
+
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling: each "video" payload fans out into up to
+    * `maxFrames` fixed-stride chunks — the 1:N batch shape of real
+    * frame extraction (ffmpeg unavailable; the chunking IS the stub,
+    * the fan-out/schema/batching are the real plumbing). Frame sizes
+    * are pure byte arithmetic, so the contract query is
+    * oracle-checkable from strlen alone.
+    */
+  def frameSample(media: Dataset[MediaRow], chunk: Int = 256,
+                  maxFrames: Int = 8, batchSize: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val n = math.min(maxFrames.toLong, (r.payload.length + chunk - 1L) / chunk).toInt
+          (0 until n).map { i =>
+            val from = i * chunk
+            val until = math.min(from + chunk, r.payload.length)
+            var h = -3750763034362895579L
+            var j = from
+            while (j < until) { h = (h ^ (r.payload(j) & 0xffL)) * 1099511628211L; j += 1 }
+            Frame(r.doc_id, i, until - from, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** Fixed-size "resize": every payload mapped to exactly `w*h` bytes
+    * (truncate/cycle — the stub for a real bilinear resize), same 1:1
+    * batched shape as [[decodeFeatures]]. Spec asserts the output size
+    * invariant and determinism.
+    */
+  def resizeStub(media: Dataset[MediaRow], w: Int = 16, h: Int = 16): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val target = w * h
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = Array.tabulate[Byte](target) { i =>
+          if (r.payload.isEmpty) 0 else r.payload(i % r.payload.length)
+        }
+        r.copy(payload = out)
+      }
+    }
+  }
+
+  /** Contract query: per-video frame inventory. */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

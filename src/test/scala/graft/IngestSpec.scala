@@ -211,4 +211,37 @@ class IngestSpec extends SparkSpec {
     assert(feats.map(f => f.doc_id -> f.checksum).toMap ==
            again.map(f => f.doc_id -> f.checksum).toMap, "stub decode must be deterministic")
   }
+
+  test("Multimodal: frame sampling fans out 1:N with exact chunk accounting") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.frameSample(media, chunk = 256, maxFrames = 8, batchSize = 16)
+      .collect()
+    assert(frames.nonEmpty)
+    val lens = media.filter(_.media_type == "video").collect()
+      .map(r => r.doc_id -> r.payload.length).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.keySet == lens.keySet, "every video doc yields frames")
+    byDoc.foreach { case (id, fs) =>
+      val len = lens(id)
+      val n = math.min(8, (len + 255) / 256)
+      assert(fs.length == n, s"doc $id: ${fs.length} frames, want $n")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until n),
+        s"doc $id frame indices not contiguous")
+      assert(fs.map(_.n_bytes).sum == math.min(len, 8 * 256),
+        s"doc $id sampled bytes wrong")
+    }
+    // frames of the same doc have distinct content checksums (stride
+    // actually moved through the payload) unless the bytes repeat
+    assert(frames.groupBy(f => (f.doc_id, f.checksum)).size >= byDoc.size)
+  }
+
+  test("Multimodal: resize stub emits exactly w*h bytes per row, deterministically") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resizeStub(media, w = 16, h = 16).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.payload.length == 256))
+    val again = Multimodal.resizeStub(media, w = 16, h = 16).collect()
+      .map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(resized.forall(r => again(r.doc_id) == r.payload.toSeq))
+  }
 }
