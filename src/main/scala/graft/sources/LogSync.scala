@@ -140,7 +140,8 @@ object LogSync {
   }
 
   private def filteredTable(spark: SparkSession, root: String,
-                            asOf: Option[java.sql.Timestamp]): DataFrame = {
+                            asOf: Option[java.sql.Timestamp],
+                            mergeSchema: Boolean = false): DataFrame = {
     val paths = registeredPaths(spark, root, asOf)
     // scan the lake root: partition discovery/pruning stay intact; the
     // `_manifest` dir is skipped by the source (underscore prefix). The
@@ -150,7 +151,8 @@ object LogSync {
     // `_metadata.file_path` column — `input_file_name()` is
     // nondeterministic, and a nondeterministic projection blocks
     // partition/predicate pushdown past it, un-pruning every reader.
-    spark.read.option("basePath", root).parquet(root)
+    spark.read.option("basePath", root)
+      .option("mergeSchema", mergeSchema.toString).parquet(root)
       .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
       .drop("__src")
@@ -159,6 +161,17 @@ object LogSync {
   /** The queryable table: exactly the registered files. */
   def table(spark: SparkSession, root: String): DataFrame =
     filteredTable(spark, root, None)
+
+  /** [[table]] with parquet schema merging: an evolving lake (the
+    * OTLP converter starts emitting a new attribute column) reads as
+    * the UNION schema, old files surfacing null for the new columns —
+    * Iceberg's add-column semantics over raw parquet. Off by default:
+    * merging reads every file footer at planning, which at millions of
+    * files is a real cost — a production deployment would cache the
+    * merged schema in the manifest instead of paying it per query.
+    */
+  def tableMerged(spark: SparkSession, root: String): DataFrame =
+    filteredTable(spark, root, None, mergeSchema = true)
 
   /** Time travel: the table as of a past registration instant — the
     * files whose `registered_at` ≤ the given timestamp. Snapshot reads

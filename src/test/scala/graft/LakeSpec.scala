@@ -277,6 +277,26 @@ class LakeSpec extends SparkSpec {
       s"pruning must never change results: got=$got want=$want")
   }
 
+  test("tableMerged: a column added by later files reads as union schema, nulls for old") {
+    val root = Files.createTempDirectory("graft_evolve").toString
+    val base = Tables.events(spark, sf).limit(200)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        col("props").as("body"))
+    base.write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    // the converter starts emitting a new attribute column
+    base.withColumn("deploy_id", lit("v2"))
+      .write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    val merged = LogSync.tableMerged(spark, root)
+    assert(merged.columns.contains("deploy_id"),
+      "union schema must include the late-added column")
+    val byDeploy = merged.groupBy(col("deploy_id")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("count")).toMap
+    assert(byDeploy == Map(None -> 200L, Some("v2") -> 200L),
+      s"old files must surface null for the new column: $byDeploy")
+  }
+
   test("compact: sorted rewrite tightens zone-maps so time windows prune files") {
     import graft.sources.LogCompact
     val root = Files.createTempDirectory("graft_sortcompact").toString
