@@ -109,7 +109,14 @@ case class SpaceSavingTopK(child: Expression, m: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, (c, e)) => out.writeUTF(k); out.writeLong(c); out.writeLong(e) }
+    buf.foreach { case (k, (c, e)) =>
+      // length-prefixed raw UTF-8, not writeUTF: tracked items can be
+      // arbitrary strings (log bodies, documents) and writeUTF throws
+      // past 65535 encoded bytes
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -117,7 +124,12 @@ case class SpaceSavingTopK(child: Expression, m: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.update(in.readUTF(), (in.readLong(), in.readLong())))
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(k, (in.readLong(), in.readLong()))
+    }
     buf
   }
 

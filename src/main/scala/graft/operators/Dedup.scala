@@ -93,31 +93,33 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame =
     ngramJaccardOn(Tables.documents(spark, dir), dfCap)
 
-  private[graft] def ngramJaccardOn(documents: DataFrame, dfCap: Int): DataFrame = {
-    // cached: both sides of the inverted-index self-join reuse the
-    // shingle arrays instead of recomputing the parse
-    val docs = docShinglesOf(documents).cache()
-    // the capped inverted index is built ONCE and cached: it feeds both
-    // self-join sides, and the per-doc rare counts below — without the
-    // cache the df aggregation over every exploded shingle runs twice
+  /** df-capped inverted index (doc_id, s): shingles in more than
+    * `dfCap` documents are stop-phrases and dropped, so no index
+    * bucket exceeds dfCap² candidate pairs.
+    */
+  private def cappedIndex(docs: DataFrame, dfCap: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("s"))
-    val idx = sh.join(rare, Seq("s"), "left_semi").cache()
-    // Stage 1 (cheap, count-only): per candidate pair, the EXACT
-    // intersection count among rare shingles comes straight from the
-    // capped-index equi-join aggregate — one shuffle of (da, db, count)
-    // rows, no shingle arrays on the wire.
-    val interRare = idx.as("a")
-      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter_rare"))
-    // Stage 2 (prefilter): hot shingles were excluded from the index,
-    // so the true intersection is inter_rare + inter_hot with
-    // inter_hot <= min(hot_a, hot_b) (hot_x = shingles of x above the
-    // cap). J computed with that bound is an UPPER bound on the true
-    // Jaccard — pairs below the threshold at the bound cannot qualify
-    // and are dropped without ever touching their arrays.
+    sh.join(rare, Seq("s"), "left_semi")
+  }
+
+  /** Stages 2+3 shared by the self-join and bipartite variants, given
+    * the stage-1 rare-intersection counts (da, db, inter_rare).
+    *
+    * Stage 2 (prefilter): hot shingles were excluded from the index,
+    * so the true intersection is inter_rare + inter_hot with
+    * inter_hot <= min(hot_a, hot_b) (hot_x = shingles of x above the
+    * cap). J computed with that bound is an UPPER bound on the true
+    * Jaccard — pairs below the threshold at the bound cannot qualify
+    * and are dropped without ever touching their arrays.
+    *
+    * Stage 3 (exact, array-based): full-set Jaccard for survivors only
+    * — hot shingles count again here, so the cap can never change a
+    * reported score, only skip pairs provably below the threshold.
+    */
+  private def boundAndVerify(docs: DataFrame, idx: DataFrame, interRare: DataFrame,
+                             threshold: Double): DataFrame = {
     val hA = col("na") - col("na_rare")
     val hB = col("nb") - col("nb_rare")
     val interMax = col("inter_rare") + least(hA, hB)
@@ -131,14 +133,30 @@ object Dedup {
         col("n_rare").as("na_rare")), "da")
       .join(stats.select(col("doc_id").as("db"), col("n").as("nb"),
         col("n_rare").as("nb_rare")), "db")
-      .filter(jMax >= 0.8)
+      .filter(jMax >= threshold)
       .select(col("da"), col("db"))
-    // Stage 3 (exact, array-based): full-set Jaccard for survivors only
-    // — hot shingles count again here, so the cap can never change a
-    // reported score, only skip pairs provably below the threshold.
     verifyJaccard(promising, docs)
-      .filter(col("j_exact") >= 0.8)
+      .filter(col("j_exact") >= threshold)
       .select(col("da"), col("db"), col("j"))
+  }
+
+  private[graft] def ngramJaccardOn(documents: DataFrame, dfCap: Int): DataFrame = {
+    // cached: both sides of the inverted-index self-join reuse the
+    // shingle arrays instead of recomputing the parse; the capped index
+    // is cached too — it feeds both self-join sides AND the per-doc
+    // rare counts, and without the cache the df aggregation over every
+    // exploded shingle would run twice
+    val docs = docShinglesOf(documents).cache()
+    val idx = cappedIndex(docs, dfCap).cache()
+    // Stage 1 (cheap, count-only): per candidate pair, the EXACT
+    // intersection count among rare shingles comes straight from the
+    // capped-index equi-join aggregate — one shuffle of (da, db, count)
+    // rows, no shingle arrays on the wire.
+    val interRare = idx.as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter_rare"))
+    boundAndVerify(docs, idx, interRare, 0.8)
       .orderBy(col("da"), col("db"))
   }
 
@@ -159,47 +177,23 @@ object Dedup {
   def incremental(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
     val docs = docShingles(spark, dir).cache()
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("s"))
-    val idx = sh.join(rare, Seq("s"), "left_semi").cache()
+    val idx = cappedIndex(docs, dfCap).cache()
     val interRare = idx.filter(isNew).as("a")
       .join(idx.filter(!isNew).as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter_rare"))
-    val hA = col("na") - col("na_rare")
-    val hB = col("nb") - col("nb_rare")
-    val interMax = col("inter_rare") + least(hA, hB)
-    val jMax = interMax.cast("double") / (col("na") + col("nb") - interMax)
-    val nRare = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
-    val stats = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      .join(nRare, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n"), coalesce(col("n_rare"), lit(0L)).as("n_rare"))
-    val promising = interRare
-      .join(stats.select(col("doc_id").as("da"), col("n").as("na"),
-        col("n_rare").as("na_rare")), "da")
-      .join(stats.select(col("doc_id").as("db"), col("n").as("nb"),
-        col("n_rare").as("nb_rare")), "db")
-      .filter(jMax >= 0.8)
-      .select(col("da"), col("db"))
-    verifyJaccard(promising, docs)
-      .filter(col("j_exact") >= 0.8)
+    boundAndVerify(docs, idx, interRare, 0.8)
       .select(col("da").as("new_id"), col("db").as("old_id"), col("j"))
       .orderBy(col("new_id"), col("old_id"))
   }
 
-  /** (da, db, inter_rare) for every pair sharing a sub-cap shingle:
-    * explode shingles, drop stop-shingles (df > dfCap), equi-join on
-    * shingle, count matches. One df aggregation, one semi-join, one
-    * equi-join + aggregate — never an O(docs²) cross product, and no
-    * bucket larger than dfCap².
+  /** (da, db, inter_rare) for every pair sharing a sub-cap shingle
+    * (spec observable for bucket-skew bounds). One df aggregation, one
+    * semi-join, one equi-join + aggregate — never an O(docs²) cross
+    * product.
     */
   private[graft] def ngramCandidateCounts(docs: DataFrame, dfCap: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("s"))
-    val idx = sh.join(rare, Seq("s"), "left_semi")
+    val idx = cappedIndex(docs, dfCap)
     idx.as("a")
       .join(idx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

@@ -31,13 +31,13 @@ object Relational {
   private def one: Column             = lit(1).cast(DecimalType(3, 2))
 
   /** round-in-decimal → double: deterministic across engines. */
-  private def m2(sumOfDecimal: Column): Column = round(sumOfDecimal, 2).cast("double")
+  private[graft] def m2(sumOfDecimal: Column): Column = round(sumOfDecimal, 2).cast("double")
 
   /** exact decimal sum → double quotient, rounded: deterministic avg. */
   private def avg4(c: Column): Column =
     round(sum(dec2(c)).cast("double") / count(lit(1)), 4)
 
-  private def discPrice: Column = dec2(col("l_extendedprice")) * (one - decS(col("l_discount")))
+  private[graft] def discPrice: Column = dec2(col("l_extendedprice")) * (one - decS(col("l_discount")))
 
   /** TPC-H Q1-style pricing summary: wide multi-aggregate scan with a
     * pushed time filter; one shuffle on a 6-value grouping key.

@@ -29,22 +29,30 @@ object Bucketing {
 
   val Buckets = 8
 
+  // table names carry the source-dir hash: two dirs in one session get
+  // distinct bucketed tables instead of silently repointing a shared
+  // name (the memo would then skip the rebuild and read the wrong lake)
+  private def suffix(dir: String): String =
+    Integer.toHexString(dir.hashCode & 0x7fffffff)
+  private[sources] def lineitemTable(dir: String) = s"graft_lineitem_b_${suffix(dir)}"
+  private[sources] def ordersTable(dir: String) = s"graft_orders_b_${suffix(dir)}"
+
   /** Idempotently create bucketed twins of lineitem/orders for `dir`. */
   def ensure(spark: SparkSession, dir: String): Unit =
     built.computeIfAbsent((spark, dir), { _ =>
-      val root = s"/tmp/graft_bucketed_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
-      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      val root = s"/tmp/graft_bucketed_${suffix(dir)}"
+      spark.sql(s"DROP TABLE IF EXISTS ${lineitemTable(dir)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${ordersTable(dir)}")
       Tables.lineitem(spark, dir)
         .write.option("path", s"$root/lineitem")
         .mode("overwrite")
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_lineitem_b")
+        .saveAsTable(lineitemTable(dir))
       Tables.orders(spark, dir)
         .write.option("path", s"$root/orders")
         .mode("overwrite")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_orders_b")
+        .saveAsTable(ordersTable(dir))
     })
 
   /** Revenue by order priority over the bucketed join. The `merge`
@@ -56,14 +64,12 @@ object Bucketing {
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir)
-    val li = spark.table("graft_lineitem_b").hint("merge")
-    val ord = spark.table("graft_orders_b")
-    val discPrice = col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+    val li = spark.table(lineitemTable(dir)).hint("merge")
+    val ord = spark.table(ordersTable(dir))
+    import graft.operators.Relational.{discPrice, m2}
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(m2(sum(discPrice)).as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
   }
 }

@@ -45,7 +45,11 @@ object LogCompact {
     * layout was chosen to avoid.
     */
   def inferLayout(spark: SparkSession, root: String): Seq[String] = {
+    // newest registration wins: after a deliberate re-layout, a
+    // manifest can transiently mix layouts, and an arbitrary limit(1)
+    // would flap between them across compactions
     val sample = spark.read.parquet(s"$root/_manifest")
+      .orderBy(col("registered_at").desc)
       .select("path").limit(1).collect()
     require(sample.nonEmpty, s"empty manifest under $root — nothing to compact")
     val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
@@ -107,11 +111,17 @@ object LogCompact {
     val listed = listParquet(spark, root).map(_._1).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    val fresh = freshPaths.toSeq.toDF("path")
+    val stamped = freshPaths.toSeq.toDF("path")
       .withColumn("registered_at", current_timestamp())
-      .join(LogSync.statsFor(spark, root, freshPaths.toSeq),
+    // empty rewrite (zero-row table → no part files): statsFor would
+    // pass zero paths to spark.read.parquet, which throws
+    val fresh = (if (freshPaths.isEmpty)
+      stamped.withColumn("min_ts", lit(null).cast("timestamp"))
+        .withColumn("max_ts", lit(null).cast("timestamp"))
+    else
+      stamped.join(LogSync.statsFor(spark, root, freshPaths.toSeq),
         LogSync.normPath(col("path")) === col("norm"), "left")
-      .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts"))
+        .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts")))
       .cache()
     val filesAfter = fresh.count()
 

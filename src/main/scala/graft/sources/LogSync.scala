@@ -191,13 +191,22 @@ object LogSync {
     * pruning is always sound. The row-level filter still applies on
     * top for files that straddle the boundary.
     */
+  private def isoTs(iso: String): Column = lit(s"$iso 00:00:00").cast(TimestampType)
+
+  /** Zone-map keep predicate, shared by the actual read path and the
+    * pruning observable so the spec can never certify a predicate the
+    * scan doesn't use: a file survives when its [min_ts, max_ts] may
+    * intersect [from, until), and stat-less files always survive.
+    */
+  private def zoneMapKeep(from: Column, until: Column): Column =
+    col("min_ts").isNull || (col("max_ts") >= from && col("min_ts") < until)
+
   def tableBetween(spark: SparkSession, root: String,
                    fromIso: String, untilIso: String): DataFrame = {
-    val from = lit(s"$fromIso 00:00:00").cast(TimestampType)
-    val until = lit(s"$untilIso 00:00:00").cast(TimestampType)
+    val (from, until) = (isoTs(fromIso), isoTs(untilIso))
     require(hasManifest(spark, root), s"no manifest under $root — run sync first")
     val paths = manifestDf(spark, root)
-      .filter(col("min_ts").isNull || (col("max_ts") >= from && col("min_ts") < until))
+      .filter(zoneMapKeep(from, until))
       .select(normPath(col("path")).as("__registered_path"))
     spark.read.option("basePath", root).parquet(root)
       .withColumn("__src", normPath(col("_metadata.file_path")))
@@ -213,10 +222,7 @@ object LogSync {
   def statsPruneCounts(spark: SparkSession, root: String,
                        fromIso: String, untilIso: String): (Long, Long) = {
     val m = manifestDf(spark, root)
-    val from = lit(s"$fromIso 00:00:00").cast(TimestampType)
-    val until = lit(s"$untilIso 00:00:00").cast(TimestampType)
-    val kept = m.filter(col("min_ts").isNull ||
-      (col("max_ts") >= from && col("min_ts") < until)).count()
+    val kept = m.filter(zoneMapKeep(isoTs(fromIso), isoTs(untilIso))).count()
     (kept, m.count())
   }
 
