@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
     "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _),
+    "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
     "mm_frames"           -> (Multimodal.frames _)
   )
 
@@ -606,6 +607,16 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q24_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.l_suppkey AS suppkey, count(*) AS numwait FROM late s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey=s.l_orderkey AND l2.l_suppkey<>s.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey=s.l_orderkey AND l3.l_suppkey<>s.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 10""".stripMargin,
     "mm_frames" ->
       """WITH v AS (SELECT doc_id, strlen(text) AS len FROM documents WHERE doc_id % 3 = 2),
         |f AS (SELECT doc_id, len,

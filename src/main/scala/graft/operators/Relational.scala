@@ -279,4 +279,37 @@ object Relational {
         col("sum_qty"), col("n_lines"))
       .orderBy(col("returnflag"), col("linestatus"))
   }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for each
+    * LATE line (shipped > 60 days after the order date), the supplier
+    * is blamed only when the order involved ANOTHER supplier (semi
+    * join, equi on orderkey + non-equi supplier guard) and NO other
+    * supplier was also late (anti join on the same shape) — the
+    * double-correlated-subquery pattern, the hardest TPC-H join shape.
+    *
+    * Scale: `late` is derived once and cached (it feeds the probe side
+    * and the anti-join build); every join is an equi-join on
+    * l_orderkey, so the three hash exchanges share one key and AQE can
+    * reuse the exchange. No cross product anywhere.
+    */
+  def q24WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val late = li
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .cache()
+    val others = li.select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
+    val lateOthers = late.select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"))
+    late
+      .join(others,
+        col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"), "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"), "left_anti")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("suppkey"))
+      .limit(10)
+  }
 }

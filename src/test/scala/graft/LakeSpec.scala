@@ -116,6 +116,11 @@ class LakeSpec extends SparkSpec {
       assert(graft.sources.LogSync.table(spark, root).count() == 200,
         "restart with a persistent checkpoint must be a no-op")
     } finally q2.stop()
+    // streaming registration records zone-map stats too: every
+    // manifest entry written by LakeIngest carries min/max timestamps
+    val manifest = spark.read.parquet(s"$root/_manifest")
+    assert(manifest.filter(col("min_ts").isNull || col("max_ts").isNull).count() == 0,
+      "streaming-registered files must carry timestamp zone-maps")
   }
 
   test("LogCompact: compaction preserves the on-disk layout (hour stays a data column)") {
