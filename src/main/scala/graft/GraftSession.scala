@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // pandas-written parquet uses TIMESTAMP(NANOS): read as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // trust sortBy order of one-file-per-bucket tables (off by
+      // default since SPARK-28595 because the file-count check costs
+      // planning time): graft's bucketed writes repartition on the
+      // bucket key precisely to guarantee one file per bucket, which
+      // lets the recurring fact join run with neither Exchange nor Sort
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

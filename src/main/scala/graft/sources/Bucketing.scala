@@ -43,12 +43,19 @@ object Bucketing {
       val root = s"/tmp/graft_bucketed_${suffix(dir)}"
       spark.sql(s"DROP TABLE IF EXISTS ${lineitemTable(dir)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ordersTable(dir)}")
+      // repartition on the bucket key first: each bucket then has
+      // exactly ONE file, which is the condition under which Spark
+      // trusts the written sortBy order and plans the SMJ without
+      // per-side Sort nodes (many files per bucket → ordering across
+      // them is unknown → sorts reappear)
       Tables.lineitem(spark, dir)
+        .repartition(Buckets, col("l_orderkey"))
         .write.option("path", s"$root/lineitem")
         .mode("overwrite")
         .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(lineitemTable(dir))
       Tables.orders(spark, dir)
+        .repartition(Buckets, col("o_orderkey"))
         .write.option("path", s"$root/orders")
         .mode("overwrite")
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")

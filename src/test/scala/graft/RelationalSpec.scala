@@ -29,6 +29,14 @@ class RelationalSpec extends SparkSpec {
     // none under the join)
     val exchanges = "(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(plan).size
     assert(exchanges == 2, s"expected 2 exchanges (agg+sort), got $exchanges:\n$plan")
+    // one file per bucket (ensure() repartitions on the key before the
+    // bucketed write) + bucketedTableScan.outputOrdering → Spark trusts
+    // the written order: in the plan tree everything under the
+    // SortMergeJoin is scans+filters only, no Sort and no Exchange
+    val tree = plan.substring(0, plan.indexOf("\n\n"))
+    val joinSubtree = tree.substring(tree.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Sort (") && !joinSubtree.contains("Exchange ("),
+      s"bucketed SMJ must read pre-sorted buckets directly:\n$tree")
     assert(df.collect().length == 5)
   }
 
