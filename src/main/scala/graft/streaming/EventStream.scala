@@ -185,6 +185,34 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Stream-stream INTERVAL JOIN: purchases attributed to the view
+    * that preceded them by at most `windowMinutes`, per user — the
+    * funnel/attribution query, joining two live streams (here two
+    * filters of one source stream; the state machinery is identical).
+    *
+    * Both sides carry watermarks and the join condition bounds p_ts to
+    * [view_ts, view_ts + window], so Spark can expire buffered rows
+    * once the watermark passes the bound — state is proportional to
+    * the window, not the stream history (the stream-stream-join
+    * requirement at 100 TB/day rates). Inner join: matches emit as
+    * soon as both sides arrive; the watermark only drives cleanup.
+    */
+  def viewToPurchase(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
   /** Streaming top talkers: per-hour SpaceSaving heavy-hitter summary
     * ([[graft.functions.SpaceSavingTopK]]) as a windowed streaming
     * aggregate. State per open window is O(m) regardless of user

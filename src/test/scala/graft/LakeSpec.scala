@@ -326,6 +326,40 @@ class LakeSpec extends SparkSpec {
     assert(got == want, "clustering must not change query results")
   }
 
+  test("viewToPurchase: stream-stream interval join equals the batch join") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    Tables.events(spark, sf).limit(2000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .write.mode("append").parquet(dir)
+    val q = EventStream.viewToPurchase(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("ssj_pairs")
+      .outputMode("append").start()
+    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("ssj_pairs").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("lag_us"))).toSet
+    // Tables.events already emitted µs timestamps, so the rewritten
+    // parquet reads back as TimestampType on both the stream and here
+    val ev = spark.read.parquet(dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val want = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("lag_us"))).toSet
+    assert(want.nonEmpty, "corpus should contain view->purchase pairs within 30 min")
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("windowedHeavyHitters: streamed per-window bounds hold vs exact batch counts") {
     val dir = Files.createTempDirectory("graft_hhstream").toString
     Tables.events(spark, sf).limit(4000)
