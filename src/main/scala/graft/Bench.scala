@@ -24,6 +24,7 @@ object Bench {
       // ingest/registration/bucketed rewrite
       graft.operators.LakeAnalytics.lakeRoot(spark, sfDir)
       graft.sources.Bucketing.ensure(spark, sfDir)
+      graft.operators.IvfIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -98,7 +98,8 @@ object SparkEntry {
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
     "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _),
     "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
-    "mm_frames"           -> (Multimodal.frames _)
+    "mm_frames"           -> (Multimodal.frames _),
+    "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -76,28 +76,39 @@ object Similarity {
     * No SQL oracle (approximate); spec measures recall vs [[annTopk]]
     * at both cell settings.
     */
+  /** Cell centroids: per-label means by default (one-pass reduction),
+    * or k unsupervised Lloyd's cells. Only k×dim crosses the driver.
+    */
+  private[operators] def cellCentroids(spark: SparkSession, dir: String,
+                                       k: Int): Array[(Int, Seq[Double])] =
+    if (k > 0) Clustering.centroids(spark, dir, k)
+    else embCentroids(spark, dir)
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq)
+      }
+      .toArray.sortBy(_._1)
+
+  /** Cell ids ranked by centroid score, best first (normalizing by the
+    * row's own norm is a constant per row — ordering unaffected, so
+    * skip it). Cell id == centroid array index (cents is id-sorted),
+    * so the native top-k index selection IS the ranking — one tight
+    * loop per row instead of an interpreted
+    * zip_with/array_sort-comparator/transform chain.
+    */
+  private[operators] def topCellsExpr(cents: Array[(Int, Seq[Double])])
+                                     (v: Column, n: Int): Column = {
+    val scores = array(cents.map { case (_, c) =>
+      dot(v, typedLit(c)) / sqrt(lit(c.map(x => x * x).sum))
+    }: _*)
+    call_function("graft_topk_idx", scores, lit(n))
+  }
+
   def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
-    val cents: Array[(Int, Seq[Double])] =
-      if (k > 0) Clustering.centroids(spark, dir, k)
-      else embCentroids(spark, dir)
-        .collect()
-        .groupBy(_.getAs[Int]("label"))
-        .map { case (l, rows) =>
-          (l, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq)
-        }
-        .toArray.sortBy(_._1)
-    def cellScores(v: Column): Column =
-      array(cents.map { case (_, c) =>
-        dot(v, typedLit(c)) / sqrt(lit(c.map(x => x * x).sum))
-      }: _*)
-    // cell ids ranked by score, best first (normalize by nrm is a
-    // constant per row — ordering unaffected, so skip it). Cell id ==
-    // centroid array index (cents is id-sorted), so the native top-k
-    // index selection IS the ranking — one tight loop per row instead
-    // of an interpreted zip_with/array_sort-comparator/transform chain.
-    def topCells(v: Column, n: Int): Column =
-      call_function("graft_topk_idx", cellScores(v), lit(n))
+    val cents = cellCentroids(spark, dir, k)
+    def topCells(v: Column, n: Int): Column = topCellsExpr(cents)(v, n)
     val e = withNorm(Tables.embeddings(spark, dir))
       .withColumn("cell", element_at(topCells(col("v"), 1), 1))
       .cache() // probed by queries derived from itself

@@ -17,6 +17,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall { r => val j = r.getAs[Double]("j"); j >= 0.8 && j <= 1.0 })
   }
 
+  test("IvfIndex: disk-backed query equals annIvf exactly; scan prunes to probed cells") {
+    import graft.operators.IvfIndex
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSeq
+    val got = rows(IvfIndex.query(spark, sf))
+    val want = rows(Similarity.annIvf(spark, sf))
+    assert(got == want, "index read must not change the IVF answer")
+    // the probed-cell IN list must reach the scan as a partition filter
+    val plan = formattedPlan(IvfIndex.query(spark, sf))
+    val pf = plan.linesIterator.filter(_.trim.startsWith("PartitionFilters:"))
+      .find(_.contains("cell"))
+      .getOrElse(fail(s"cell filter never reached a scan's PartitionFilters:\n$plan"))
+    assert(pf.contains("IN") || pf.contains("in("), s"expected an IN partition filter: $pf")
+  }
+
   test("incremental: bipartite batch-vs-corpus pairs match a local replay") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
