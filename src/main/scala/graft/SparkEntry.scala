@@ -99,7 +99,8 @@ object SparkEntry {
     "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _),
     "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
     "mm_frames"           -> (Multimodal.frames _),
-    "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d))
+    "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d)),
+    "text_logprob"        -> (TrainPrep.unigramLogprob _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,6 +609,18 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, count(*) AS c_dw FROM tok GROUP BY 1,2),
+        |freq AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM freq)
+        |SELECT doc_id, CAST(sum(c_dw) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(c_dw * CAST(round(ln(c_w / n_total) * 1e6) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(sum(c_dw) AS DOUBLE) * 1e6), 4) AS avg_logprob
+        |FROM tf JOIN freq USING (w) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q24_waiting_suppliers" ->
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey=o_orderkey

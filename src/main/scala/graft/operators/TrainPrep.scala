@@ -133,6 +133,44 @@ object TrainPrep {
       .limit(100)
   }
 
+  /** Unigram log-probability score — the perplexity-filter proxy
+    * (CCNet/Gopher filter corpora by LM perplexity; a unigram LM
+    * trained on the corpus itself is its one-aggregation approximation
+    * that needs no external model): per document, the mean of
+    * ln p(w) = ln(c_w / N) weighted by the document's term counts.
+    * Low scores mark gibberish/rare-token documents.
+    *
+    * Determinism across engines: a float SUM over per-word terms is
+    * order-dependent in the last ulp, which can flip a rounded 4th
+    * decimal between Spark and DuckDB (the q19 lesson). Each word's
+    * ln p is therefore scaled to integer MICRO-NATS first —
+    * `c_dw * round(ln(c_w/N)·1e6)::BIGINT` — so the per-doc sum is
+    * exact integer arithmetic in any order; the single division and
+    * round happen once at the end.
+    *
+    * Scale shape: token explode → (doc, word) counts → word join on
+    * the corpus frequency table (equi-join, shuffle by word) → one
+    * groupBy(doc). Nothing quadratic; N crosses as a broadcast scalar.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c_dw"))
+    val freq = tf.groupBy(col("w")).agg(sum(col("c_dw")).as("c_w"))
+    val n = freq.agg(sum(col("c_w")).as("n_total"))
+    tf.join(freq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("micro_nats",
+        col("c_dw") * expr("CAST(round(ln(c_w / n_total) * 1e6) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("micro_nats")).as("sn"), sum(col("c_dw")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sn").cast("double") / (col("n_tokens").cast("double") * 1e6), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: concatenate documents in deterministic order and
     * cut at a `budget`-token boundary — each document's bin is the
     * segment its first token falls in (the standard pretraining

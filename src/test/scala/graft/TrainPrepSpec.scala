@@ -87,6 +87,33 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogprob: exact local replay of the micro-nat arithmetic") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> localToks(r.getAs[String]("text")))
+    val tf = docs.map { case (id, t) => id -> t.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val freq = tf.flatMap(_._2).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val n = freq.values.sum.toDouble
+    def microNats(cw: Long): Long =
+      BigDecimal(math.log(cw / n) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = tf.map { case (id, counts) =>
+      val sn = counts.map { case (w, c) => c * microNats(freq(w)) }.sum
+      val nTok = counts.values.sum
+      id -> (nTok,
+        BigDecimal(sn.toDouble / (nTok.toDouble * 1e6))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TrainPrep.unigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nt, lp)) =>
+      assert(nt == want(id)._1, s"doc $id token count")
+      assert(math.abs(lp - want(id)._2) < 1e-9, s"doc $id: got $lp want ${want(id)._2}")
+    }
+    // scores are negative log-probs: all strictly below zero
+    assert(got.values.forall(_._2 < 0.0))
+  }
+
   test("packSequences: bins partition each shard; token totals conserved") {
     val got = TrainPrep.packSequences(spark, sf).collect()
     val totalGot = got.map(_.getAs[Long]("n_tokens")).sum
