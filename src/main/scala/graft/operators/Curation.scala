@@ -145,33 +145,45 @@ object Curation {
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     val edges = Dedup.ngramJaccard(spark, dir)
       .select(col("da"), col("db")).cache()
-    val sym = edges.union(edges.select(col("db").as("da"), col("da").as("db")))
-    // seed with the neighborhood minimum directly — one aggregation
-    // replaces both the node-list distinct and the first propagation
-    var labels = sym
-      .groupBy(col("da"))
-      .agg(least(min(col("db")), col("da")).as("label"))
-      .select(col("da").as("doc_id"), col("label"))
-      .localCheckpoint()
-    def propagate(ls: DataFrame): DataFrame = {
-      val nbrMin = sym
-        .join(ls.select(col("doc_id").as("db"), col("label").as("nl")), "db")
+    // symmetric closure PLUS self-loops: with (v, v) present, one
+    // join + groupBy-min over this relation computes min over
+    // N(v) ∪ {v} directly — no second join against the old labels per
+    // round (2 shuffles/iteration instead of 3)
+    val sym = edges
+      .union(edges.select(col("db").as("da"), col("da").as("db")))
+      .union(edges.select(explode(array(col("da"), col("db"))).as("da"))
+        .distinct().withColumn("db", col("da")))
+      .cache()
+    def propagate(ls: DataFrame): DataFrame =
+      sym.join(ls.select(col("doc_id").as("db"), col("label").as("nl")), "db")
         .groupBy(col("da").as("doc_id"))
-        .agg(min(col("nl")).as("nbr_min"))
-      ls.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
-    }
-    var changed = 1L
+        .agg(min(col("nl")).as("label"))
+    // seed = identity labels; the first propagate IS the neighborhood
+    // minimum. Convergence via one scalar: labels only ever decrease,
+    // so the label sum strictly decreases each non-converged round —
+    // comparing sums replaces a per-row old-vs-new join entirely.
+    // Near-dup clusters are shallow (J >= 0.8 is nearly transitive),
+    // so HashMin converges in a round or two; a pointer-jumping
+    // compression step was measured to cost more in extra tiny-data
+    // shuffles than it saves in rounds here.
+    // seed: with self-loops in the relation, min(db) per da IS the
+    // neighborhood minimum over identity labels — the first propagation
+    // round as one aggregation, no join
+    var labels = sym.groupBy(col("da").as("doc_id"))
+      .agg(min(col("db")).as("label"))
+      .localCheckpoint()
+    // decimal(38) sum: exact for any 64-bit id population (a long sum
+    // could wrap at 100 TB id ranges and fake a fixpoint)
+    def labelSum(ls: DataFrame): java.math.BigDecimal =
+      ls.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // near-dup clusters are shallow (J >= 0.8 is nearly transitive),
-      // so plain HashMin converges in a round or two from the seeded
-      // start; a pointer-jumping compression step was measured to cost
-      // more in extra tiny-data shuffles than it saves in rounds here
-      val updated = propagate(labels).localCheckpoint()
-      changed = updated.filter(col("new_label") < col("label")).count()
-      labels = updated.select(col("doc_id"), col("new_label").as("label"))
+    while (!converged && iter < maxIters) {
+      labels = propagate(labels).localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
