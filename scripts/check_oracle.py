@@ -34,6 +34,17 @@ def compare(name, spark_df, duck_df):
     if len(s) != len(d):
         problems.append(f"row count differ: spark={len(s)} duck={len(d)}")
         return problems
+    # The driver's hash gate serializes values, so an int column on one side
+    # vs float on the other (e.g. DuckDB HUGEINT -> float64) hash-mismatches
+    # even when allclose passes. Flag dtype-kind disagreement as a failure.
+    for col in s.columns:
+        ka, kb = s[col].dtype.kind, d[col].dtype.kind
+        if {ka, kb} in ({"i", "f"}, {"u", "f"}):
+            problems.append(
+                f"dtype kind mismatch col {col}: spark={s[col].dtype} duck={d[col].dtype} "
+                f"(int-vs-float hashes differently in the driver)")
+    if problems:
+        return problems
     for order_label, (ss, dd) in {
         "as-is": (s, d),
         "sorted": (s.sort_values(list(s.columns)).reset_index(drop=True),

@@ -31,10 +31,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two renderings of the same summary:
+    //  - full precision -> /tmp/graft_bench.json (survives any stdout
+    //    truncation; round 3 lost the stdout line to the driver's tail
+    //    capture window)
+    //  - compact 2-decimal stdout line (short enough to fit whole in a
+    //    ~2 KB tail capture)
+    def line(fmt: Double => String): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"),
+      line(v => v.toString).getBytes("UTF-8"))
+    println(line(v => f"$v%.2f"))
     spark.stop()
   }
 }

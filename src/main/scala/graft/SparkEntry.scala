@@ -49,16 +49,16 @@ object SparkEntry {
     "q20_topk_custom"  -> (Relational.q20TopKCustom _),
     "q21_correlated_agg" -> (Relational.q21CorrelatedAgg _),
     "emb_kmeans"       -> ((s: SparkSession, d: String) => Clustering.kmeansAssign(s, d)),
-    "logs_recent"              -> (LogAnalytics.recent _),
+    "logs_recent"              -> ((s: SparkSession, d: String) => LogAnalytics.recent(s, d)),
     "logs_severity_by_service" -> (LogAnalytics.severityByService _),
     "logs_timeseries"          -> ((s: SparkSession, d: String) => LogAnalytics.timeseries(s, d)),
     "logs_timeseries_5m"       -> ((s: SparkSession, d: String) =>
                                      LogAnalytics.timeseries(s, d, "5 minutes")),
-    "logs_severity_number"     -> (LogAnalytics.severityNumber _),
-    "logs_trace_lookup"        -> (LogAnalytics.traceLookup _),
+    "logs_severity_number"     -> ((s: SparkSession, d: String) => LogAnalytics.severityNumber(s, d)),
+    "logs_trace_lookup"        -> ((s: SparkSession, d: String) => LogAnalytics.traceLookup(s, d)),
     "lake_severity_by_service" -> (LakeAnalytics.severityByService _),
     "lake_timeseries"          -> (LakeAnalytics.timeseries _),
-    "logs_search"              -> (LogAnalytics.search _),
+    "logs_search"              -> ((s: SparkSession, d: String) => LogAnalytics.search(s, d)),
     "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
     "logs_error_rate"          -> (LogAnalytics.errorRate _),
     "logs_p95_value"           -> (LogAnalytics.p95Value _),
@@ -92,7 +92,10 @@ object SparkEntry {
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
+    "pack_manifest"       -> ((s: SparkSession, d: String) => TrainPrep.packManifest(s, d)),
     "lake_stats_prune"    -> (LakeAnalytics.windowSeverity _),
+    "lake_resource_attrs" -> (LakeAnalytics.resourceAttrs _),
+    "lake_tail"           -> ((s: SparkSession, d: String) => LakeAnalytics.tail(s, d)),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
@@ -365,6 +368,18 @@ object SparkEntry {
         |WHERE user_id % 10 = 3 AND EXTRACT(year FROM ts) = 2024
         |  AND EXTRACT(month FROM ts) = 1 AND EXTRACT(day FROM ts) BETWEEN 10 AND 19
         |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "lake_resource_attrs" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | 'ns-' || CAST(user_id % 3 AS VARCHAR) AS namespace, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_tail" ->
+      """SELECT strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, 'graft' AS scope_name, props AS body
+        |FROM events
+        |WHERE EXTRACT(year FROM ts) = 2024 AND EXTRACT(month FROM ts) = 1
+        |  AND EXTRACT(day FROM ts) BETWEEN 25 AND 31
+        |ORDER BY ts_str DESC, service_name, severity_text, body LIMIT 1000""".stripMargin,
     "logs_search" ->
       """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         | user_id, event_type, props
@@ -600,7 +615,7 @@ object SparkEntry {
         |c AS (SELECT doc_id, source, toks,
         |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
-        |SELECT source, (cum - toks) // 512 AS bin,
+        |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
         | count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_stats_prune" ->

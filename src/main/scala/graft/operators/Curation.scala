@@ -166,22 +166,28 @@ object Curation {
     // so HashMin converges in a round or two; a pointer-jumping
     // compression step was measured to cost more in extra tiny-data
     // shuffles than it saves in rounds here.
+    // decimal(38) sum: exact for any 64-bit id population (a long sum
+    // could wrap at 100 TB id ranges and fake a fixpoint). The sum is
+    // observed ON the materializing localCheckpoint action itself, so
+    // each round is exactly ONE driver job — no separate label-sum
+    // aggregation query per iteration.
+    def checkpointWithSum(ls: DataFrame, tag: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val out = ls
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("ls"))
+        .localCheckpoint()
+      (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
+    }
     // seed: with self-loops in the relation, min(db) per da IS the
     // neighborhood minimum over identity labels — the first propagation
     // round as one aggregation, no join
-    var labels = sym.groupBy(col("da").as("doc_id"))
-      .agg(min(col("db")).as("label"))
-      .localCheckpoint()
-    // decimal(38) sum: exact for any 64-bit id population (a long sum
-    // could wrap at 100 TB id ranges and fake a fixpoint)
-    def labelSum(ls: DataFrame): java.math.BigDecimal =
-      ls.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      sym.groupBy(col("da").as("doc_id")).agg(min(col("db")).as("label")), "seed")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      labels = propagate(labels).localCheckpoint()
-      val s = labelSum(labels)
+      val (next, s) = checkpointWithSum(propagate(labels), s"round$iter")
+      labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1

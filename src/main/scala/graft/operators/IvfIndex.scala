@@ -21,7 +21,11 @@ import graft.sources.Tables
   * it lands in the scan's `PartitionFilters` and the non-probed
   * ~ (k-nprobe)/k of the corpus is never opened (spec-asserted).
   *
-  * Centroids are deterministic (label means), so each session
+  * Cell count scales with the corpus: k ≈ √N (the standard IVF
+  * sizing), built unsupervised via [[Clustering.centroids]] — so the
+  * probed fraction nprobe/√N SHRINKS as the corpus grows instead of
+  * being pinned to a handful of label cells. Centroids are
+  * deterministic (Lloyd's from the first-k seed), so each session
   * recomputes the k×dim control-plane table instead of persisting it;
   * a production index would store it beside the data.
   */
@@ -33,13 +37,18 @@ object IvfIndex {
   private[operators] def root(dir: String): String =
     s"/tmp/graft_ivf_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
 
+  /** √N clamped to [8, 256]: the IVF cell count for an N-vector corpus. */
+  private[graft] def cellCount(n: Long): Int =
+    math.min(256, math.max(8, math.sqrt(n.toDouble).toInt))
+
   /** Idempotently build the cell-partitioned index for `dir`; returns
     * the centroid table (cell id = array index).
     */
   def ensure(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
     built.computeIfAbsent((spark, dir), { _ =>
       VectorFunctions.register(spark)
-      val cents = Similarity.cellCentroids(spark, dir, k = 0)
+      val k = cellCount(Tables.embeddings(spark, dir).count())
+      val cents = Clustering.centroids(spark, dir, k)
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").as("v"), col("label"))
         .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
@@ -49,16 +58,19 @@ object IvfIndex {
       cents
     })
 
-  /** Top-5 cosine neighbors for the standard query set (vec_id < 10),
-    * reading only the probed cell partitions. Ranking is identical to
-    * [[Similarity.annIvf]] at the same nprobe — the spec asserts exact
-    * agreement plus the PartitionFilters pruning.
+  /** Top-5 cosine neighbors for a QUERY SET (a DataFrame with vec_id +
+    * embedding columns — by default the standard vec_id < 10 set read
+    * from the SOURCE table, never by scanning the index), reading only
+    * the probed cell partitions. Ranking is identical to
+    * [[Similarity.annIvf]] at the same nprobe and cell count — the
+    * spec asserts exact agreement plus the PartitionFilters pruning.
     */
-  def query(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+  def query(spark: SparkSession, dir: String, nprobe: Int = 3,
+            querySet: Option[DataFrame] = None): DataFrame = {
     val cents = ensure(spark, dir)
-    val corpus = spark.read.parquet(root(dir))
-    val q = corpus.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val q = querySet.getOrElse(Tables.embeddings(spark, dir).filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
       .withColumn("cell", explode(Similarity.topCellsExpr(cents)(col("qv"), nprobe)))
     // the probe set crosses the driver (|Q|×nprobe ints — control
     // plane) so it can prune as a LITERAL partition filter; a join

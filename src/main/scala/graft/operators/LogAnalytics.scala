@@ -37,11 +37,15 @@ object LogAnalytics {
   /** Recent-logs tail: time filter → ordered tail, newest first. The
     * bound is applied to the raw nanos column (Tables.eventsBetween) so
     * it prunes parquet row groups instead of scanning everything.
+    * Window/limit are parameters (the Grafana `$timeFilter` is
+    * user-chosen); the defaults are the contract-query values.
     */
-  def recent(spark: SparkSession, dir: String): DataFrame =
-    Tables.eventsBetween(spark, dir, "2024-01-28", "2025-01-01")
+  def recent(spark: SparkSession, dir: String,
+             from: String = "2024-01-28", until: String = "2025-01-01",
+             limit: Int = 100): DataFrame =
+    Tables.eventsBetween(spark, dir, from, until)
       .orderBy(col("ts").desc, col("event_id").desc)
-      .limit(100)
+      .limit(limit)
       .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),
               col("event_type"), col("value"), col("props"))
 
@@ -69,11 +73,13 @@ object LogAnalytics {
       .orderBy(col("bucket"), col("event_type"))
 
   /** Log search: substring match on the attributes payload + time
-    * range, ordered view (Grafana "Logs" panel shape).
+    * range, ordered view (Grafana "Logs" panel shape). Needle and
+    * window are parameters; defaults are the contract-query values.
     */
-  def search(spark: SparkSession, dir: String): DataFrame =
-    Tables.eventsBetween(spark, dir, "2024-01-10", "2024-01-20")
-      .filter(col("props").contains("\"k\": 7"))
+  def search(spark: SparkSession, dir: String, needle: String = "\"k\": 7",
+             from: String = "2024-01-10", until: String = "2024-01-20"): DataFrame =
+    Tables.eventsBetween(spark, dir, from, until)
+      .filter(col("props").contains(needle))
       .orderBy(col("ts"), col("event_id"))
       .select(col("event_id"), tsStr(col("ts")).as("ts_str"), col("user_id"),
               col("event_type"), col("props"))
@@ -156,22 +162,18 @@ object LogAnalytics {
     * [[graft.sources.OtlpLogs.parse]] → severity aggregate. The oracle
     * computes the same aggregate directly on `events`, so equality
     * certifies the whole encode→parse→flatten path record-for-record.
+    * Reads the ONE persisted [[otelLogs]] parse shared with
+    * [[severityNumber]]/[[traceLookup]] (projecting only the non-traced
+    * columns) — the ingest path is certified once per session, not
+    * re-encoded per query.
     */
-  def otlpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.OtlpLogs
-    val payloads = Tables.events(spark, dir)
-      .select(OtlpLogs.toOtlpJson(
-        unix_micros(col("ts")),
-        concat(lit("svc-"), col("user_id")),
-        col("event_type"),
-        col("props")).as("payload"))
-    OtlpLogs.parse(payloads, col("payload"))
+  def otlpRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    otelLogs(spark, dir)
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"),
            tsStr(min(col("timestamp"))).as("first_ts"),
            tsStr(max(col("timestamp"))).as("last_ts"))
       .orderBy(col("service_name"), col("severity_text"))
-  }
 
   /** Sketch percentiles (t-digest-style approx_percentile): the
     * fixed-size-state path for latency percentiles at 100 TB. No
@@ -260,24 +262,30 @@ object LogAnalytics {
       OtlpLogs.parse(payloads, col("payload")).persist()
     })
 
-  /** Severity-range filter on the NUMERIC severity (>= WARN): the query
-    * every OTel user runs when text severities vary by SDK. Filters on
-    * severity_number, not severity_text.
+  /** Severity-range filter on the NUMERIC severity (default >= WARN =
+    * 13): the query every OTel user runs when text severities vary by
+    * SDK. Filters on severity_number, not severity_text.
     */
-  def severityNumber(spark: SparkSession, dir: String): DataFrame =
+  def severityNumber(spark: SparkSession, dir: String, minSeverity: Int = 13): DataFrame =
     otelLogs(spark, dir)
-      .filter(col("severity_number") >= 13)
+      .filter(col("severity_number") >= minSeverity)
       .groupBy(col("service_name"), col("severity_number"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_number"), col("severity_text"))
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   /** "Find the logs for this trace": point lookup by trace_id, spans in
     * time order — the debugging query the reference schema's trace_id
-    * column exists for.
+    * column exists for. The trace id is a parameter (a user pastes one
+    * from a trace view); the default is the contract query's trace.
     */
-  def traceLookup(spark: SparkSession, dir: String): DataFrame =
+  def traceLookup(spark: SparkSession, dir: String,
+                  traceId: String = md5Hex("7/2024-01-15")): DataFrame =
     otelLogs(spark, dir)
-      .filter(col("trace_id") === md5(lit("7/2024-01-15")))
+      .filter(col("trace_id") === lit(traceId))
       .select(col("trace_id"), col("span_id"), tsStr(col("timestamp")).as("ts_str"),
               col("severity_text"), col("severity_number"), col("body"))
       .orderBy(col("ts_str"), col("span_id"))

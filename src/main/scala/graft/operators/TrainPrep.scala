@@ -188,4 +188,36 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       .orderBy(col("source"), col("bin"))
   }
+
+  /** The CONSUMABLE form of [[packSequences]]: per (source, bin) the
+    * ordered span list `(doc_id, offset, toks)` — offset is the
+    * document's first-token position inside the bin, so a downstream
+    * tokenizer job can materialize each training sequence by
+    * concatenating exactly these documents at exactly these positions.
+    * A document starts in the bin its first token falls in, hence
+    * every offset is in [0, budget); a document longer than the
+    * remaining budget spills into the next bin's token range without
+    * re-chunking (the standard concat-and-chunk overflow).
+    *
+    * Same plan shape as [[packSequences]] — one per-shard window plus
+    * one aggregate; the span list per bin is bounded by budget (a bin
+    * holds at most `budget` documents), so collect_list state is
+    * bounded regardless of corpus size.
+    */
+  def packManifest(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(win))
+      .withColumn("bin", expr(s"(cum - toks) div $budget"))
+      .withColumn("offset", col("cum") - col("toks") - col("bin") * budget)
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        sort_array(collect_list(struct(col("doc_id"), col("offset"), col("toks"))))
+          .as("spans"),
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
 }

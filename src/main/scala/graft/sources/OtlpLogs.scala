@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   * Everything is `from_json` + `explode` + column expressions — fully
   * codegen'd, no UDFs, linear per record: the parse scales to any
   * number of executors with zero shuffles.
+  *
+  * Limitation: intake is OTLP/JSON only. OTLP/protobuf payload
+  * decoding is transport plumbing (a collector concern) outside this
+  * query engine's surface; the 15-column schema, flatten, and
+  * round-trip certification are transport-independent.
   */
 object OtlpLogs {
 
@@ -113,12 +118,13 @@ object OtlpLogs {
     * correctness query and as a test-data generator.
     */
   def toOtlpJson(timestampUs: Column, serviceName: Column, severityText: Column,
-                 body: Column): Column =
+                 body: Column, extraResourceAttrs: Seq[(String, Column)] = Nil): Column =
     to_json(struct(
       array(struct(
-        struct(array(struct(
-          lit("service.name").as("key"),
-          struct(serviceName.as("stringValue")).as("value"))).as("attributes")).as("resource"),
+        struct(array(
+          (("service.name", serviceName) +: extraResourceAttrs).map { case (k, v) =>
+            struct(lit(k).as("key"), struct(v.as("stringValue")).as("value"))
+          }: _*).as("attributes")).as("resource"),
         array(struct(
           struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
           array(struct(

@@ -22,15 +22,36 @@ class DedupSimilaritySpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
         r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSeq
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val k = IvfIndex.cellCount(n)
+    assert(k >= 8, s"√N cells expected, got k=$k for n=$n")
     val got = rows(IvfIndex.query(spark, sf))
-    val want = rows(Similarity.annIvf(spark, sf))
-    assert(got == want, "index read must not change the IVF answer")
+    val want = rows(Similarity.annIvf(spark, sf, nprobe = 3, k = k))
+    assert(got == want, "index read must not change the IVF answer at the same cells")
     // the probed-cell IN list must reach the scan as a partition filter
     val plan = formattedPlan(IvfIndex.query(spark, sf))
     val pf = plan.linesIterator.filter(_.trim.startsWith("PartitionFilters:"))
       .find(_.contains("cell"))
       .getOrElse(fail(s"cell filter never reached a scan's PartitionFilters:\n$plan"))
     assert(pf.contains("IN") || pf.contains("in("), s"expected an IN partition filter: $pf")
+  }
+
+  test("IvfIndex: a single query probes nprobe/√N cells — real pruning, query set from outside") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val k = IvfIndex.cellCount(spark.read.parquet(s"$sf/embeddings.parquet").count())
+    val one = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") === 0)
+    val df = IvfIndex.query(spark, sf, nprobe = 3, querySet = Some(one))
+    assert(df.count() == 5, "top-5 for the single query")
+    // the IN list on the scan must carry exactly nprobe cell ids — the
+    // scanned fraction is 3/k of the corpus, k ≈ √N
+    val pf = formattedPlan(df).linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).find(_.contains("cell"))
+      .getOrElse(fail("cell filter missing from PartitionFilters"))
+    val inList = "IN \\(([^)]*)\\)".r.findFirstMatchIn(pf).map(_.group(1)).getOrElse("")
+    val nIds = inList.split(",").count(_.trim.nonEmpty)
+    assert(nIds > 0 && nIds <= 3, s"single query must probe <= nprobe cells, got: $pf")
+    assert(3 < k / 2, s"probe set must be well under half the $k cells")
   }
 
   test("incremental: bipartite batch-vs-corpus pairs match a local replay") {

@@ -129,4 +129,30 @@ class TrainPrepSpec extends SparkSpec {
       assert(bins.distinct.length == bins.length, s"$src duplicate bins")
     }
   }
+
+  test("packManifest: span lists replay the exact concat-and-chunk layout") {
+    val budget = 512
+    // local replay: per-source prefix sums in doc_id order
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        localToks(r.getAs[String]("text")).length.toLong))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, toks) =>
+        val start = cum; cum += toks
+        ((src, start / budget), (id, start - (start / budget) * budget, toks))
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1) }
+    val got = TrainPrep.packManifest(spark, sf).collect().map { r =>
+      val spans = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans"))
+        .map(s => (s.getAs[Long]("doc_id"), s.getAs[Long]("offset"), s.getAs[Int]("toks").toLong))
+      ((r.getAs[String]("source"), r.getAs[Long]("bin")), spans)
+    }.toMap
+    assert(got.keySet == want.keySet, "bin sets differ from local replay")
+    got.foreach { case (k, spans) =>
+      assert(spans == want(k), s"spans differ for $k: got $spans want ${want(k)}")
+      // every document starts inside its bin's budget window
+      assert(spans.forall { case (_, off, _) => off >= 0 && off < budget }, s"offset range $k")
+    }
+  }
 }
