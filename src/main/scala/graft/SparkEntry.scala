@@ -103,7 +103,12 @@ object SparkEntry {
     "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
     "mm_frames"           -> (Multimodal.frames _),
     "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d)),
-    "text_logprob"        -> (TrainPrep.unigramLogprob _)
+    "text_logprob"        -> (TrainPrep.unigramLogprob _),
+    "corpus_split"        -> ((s: SparkSession, d: String) => Curation.corpusSplit(s, d)),
+    "corpus_mix"          -> (Curation.corpusMix _),
+    "logs_scope_attrs"    -> (LogAnalytics.scopeAttrs _),
+    "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
+    "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -624,6 +629,32 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id, source,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f0' THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f8' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_toks
+        | FROM documents),
+        |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+        |g AS (SELECT CAST(sum(src_toks) // 2 AS BIGINT) AS budget, count(*) AS ns FROM s),
+        |t AS (SELECT s.source,
+        |  CAST(floor(((CAST(g.budget AS DOUBLE) * (1.0 / CAST(g.ns AS DOUBLE)))
+        |    / CAST(s.src_toks AS DOUBLE)) * 4294967296.0) AS BIGINT) AS th
+        |  FROM s CROSS JOIN g)
+        |SELECT d.doc_id, d.source, d.n_toks FROM d JOIN t ON d.source = t.source
+        |WHERE t.th >= 4294967296
+        |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
+        |ORDER BY d.doc_id""".stripMargin,
+    "logs_scope_attrs" ->
+      """SELECT 'graft' AS scope_name,
+        | '1.' || CAST(user_id % 2 AS VARCHAR) AS scope_version,
+        | 'mod-' || CAST(user_id % 4 AS VARCHAR) AS module, count(*) AS n
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),

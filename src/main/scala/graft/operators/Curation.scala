@@ -195,4 +195,61 @@ object Curation {
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic train/val/test split: the assignment is a pure
+    * function of the document id (first md5 hex byte against fixed
+    * thresholds — 240/8/8 of 256 by default), so it is reproducible
+    * across runs, engines, and repartitions, and any new document
+    * lands in a split without touching existing assignments. A pure
+    * shuffle-free projection: at 100 TB this is a map-only pass.
+    */
+  def corpusSplit(spark: SparkSession, dir: String,
+                  valFrom: String = "f0", testFrom: String = "f8"): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("h2") < valFrom, "train")
+          .when(col("h2") < testFrom, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Token-budget-aware domain mixing — THE training-data operation:
+    * given a token budget and per-source target shares (uniform by
+    * default), keep each source's documents at rate
+    * `share x budget / source_tokens` via a deterministic md5-hash
+    * Bernoulli, so over-represented domains are downsampled toward the
+    * target mixture and the sample is reproducible (and engine-
+    * portable — the oracle replays bit-identical IEEE arithmetic).
+    *
+    * Scale shape: one aggregate for per-source token mass (|sources|
+    * rows — control-plane sized), broadcast back onto the corpus, then
+    * a map-only keep decision. The corpus itself never shuffles.
+    * The hash threshold compares the first 8 md5 hex digits against
+    * `floor(rate * 2^32)` rendered as zero-padded hex — pure string
+    * comparison, no float landing in the output.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("src_toks"))
+    val global = perSource.agg(
+      expr("sum(src_toks) div 2").as("budget"),
+      count(lit(1)).as("ns"))
+    // threshold = floor(((budget * (1/ns)) / src_toks) * 2^32), every
+    // step double-precision in this exact order on both engines
+    val th = floor(
+      ((col("budget").cast("double") * (lit(1.0) / col("ns").cast("double"))) /
+        col("src_toks").cast("double")) * lit(4294967296.0)).cast("long")
+    docs
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(global))
+      .withColumn("th", th)
+      .filter(col("th") >= 4294967296L ||
+        upper(substring(md5(col("doc_id").cast("string")), 1, 8)) <
+          lpad(hex(col("th")), 8, "0"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -258,7 +258,13 @@ object LogAnalytics {
           sevNumOf(col("event_type")),
           col("props"),
           md5(concat(col("user_id").cast("string"), lit("/"), dayStr(col("ts")))),
-          substring(md5(col("event_id").cast("string")), 1, 16)).as("payload"))
+          substring(md5(col("event_id").cast("string")), 1, 16),
+          // per-SDK scope identity: version varies by emitter, and the
+          // instrumentation module rides a scope attribute — so the
+          // scope_version/scope_attributes schema columns carry real,
+          // queryable data end-to-end through encode → parse
+          concat(lit("1."), col("user_id") % 2),
+          Seq("code.namespace" -> concat(lit("mod-"), col("user_id") % 4))).as("payload"))
       OtlpLogs.parse(payloads, col("payload")).persist()
     })
 
@@ -289,4 +295,42 @@ object LogAnalytics {
       .select(col("trace_id"), col("span_id"), tsStr(col("timestamp")).as("ts_str"),
               col("severity_text"), col("severity_number"), col("body"))
       .orderBy(col("ts_str"), col("span_id"))
+
+  /** Per-(scope version, instrumentation module) error counts — the
+    * "which SDK/module emits the errors" query, extracting the module
+    * from the `scope_attributes` JSON column. With this, every one of
+    * the exporter schema's 15 columns is exercised by a contract
+    * query. One codegen'd `from_json` in the scan stage, one agg
+    * shuffle on a low-cardinality key.
+    */
+  def scopeAttrs(spark: SparkSession, dir: String): DataFrame =
+    otelLogs(spark, dir)
+      .withColumn("module",
+        try_element_at(
+          from_json(col("scope_attributes"), "map<string,string>",
+            Map.empty[String, String]),
+          lit("code.namespace")))
+      .filter(col("severity_number") >= 17) // ERROR and up
+      .groupBy(col("scope_name"), col("scope_version"), col("module"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("scope_name"), col("scope_version"), col("module"))
+
+  /** DAU via MERGEABLE HLL sketches (Apache DataSketches, built into
+    * Spark 4): per-(day, service) partial sketches — the granularity
+    * you'd PERSIST at 100 TB — then re-aggregated per day with
+    * `hll_union_agg`. The two-level shape certifies the property exact
+    * distinct counts lack: partials combine across ANY dimension
+    * without rescanning the raw data. No DuckDB oracle (sketch
+    * internals); the spec bounds the estimate against exact DAU and
+    * checks the union equals the single-level sketch estimate.
+    */
+  def dauSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"),
+               (col("user_id") % 10).as("svc"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("dau_est"),
+           count(lit(1)).as("n_partials"))
+      .orderBy(col("day"))
 }

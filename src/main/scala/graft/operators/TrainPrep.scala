@@ -220,4 +220,52 @@ object TrainPrep {
         sum(col("toks")).as("n_tokens"))
       .orderBy(col("source"), col("bin"))
   }
+
+  /** First-fit-decreasing sequence packing — the padding-minimizing
+    * packer training pipelines use when documents must NOT be split
+    * across sequences (contrast [[packSequences]], which chunks).
+    * Global FFD is inherently sequential, so it runs BLOCK-LOCAL: docs
+    * are assigned to fixed-size blocks of `blockSize` docs per source
+    * (deterministic: doc_id rank order), and FFD packs within a block.
+    * Blocks are independent → embarrassingly parallel, state bounded
+    * by blockSize regardless of corpus size; block-local packing costs
+    * a little fill vs global FFD but is the standard distributed
+    * compromise.
+    *
+    * The per-block loop is a `flatMapGroups` over (source, block) —
+    * genuine per-group imperative logic (greedy first-fit), bounded at
+    * blockSize docs per group. Docs longer than `budget` get a
+    * singleton overflow bin (never split).
+    */
+  def packBestFit(spark: SparkSession, dir: String,
+                  budget: Int = 512, blockSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val blocked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("toks"))
+      .withColumn("block", expr(s"(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) div $blockSize"))
+      .as[(Long, String, Int, Long)]
+    blocked.groupByKey { case (_, source, _, block) => (source, block) }
+      .flatMapGroups { (key: (String, Long), rows: Iterator[(Long, String, Int, Long)]) =>
+        val (source, block) = key
+        // first-fit-decreasing: sort by toks desc (doc_id tiebreak for
+        // determinism), place each doc in the first bin with room
+        val docs = rows.map { case (id, _, t, _) => (id, t) }.toArray
+          .sortBy { case (id, t) => (-t, id) }
+        val binToks = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val binDocs = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+        docs.foreach { case (id, t) =>
+          val fit = binToks.indices.find(i => binToks(i) + t <= budget)
+          fit match {
+            case Some(i) => binToks(i) += t; binDocs(i) = id :: binDocs(i)
+            case None    => binToks += t;    binDocs += List(id)
+          }
+        }
+        binToks.indices.iterator.map { i =>
+          (source, block, i.toLong, binDocs(i).sorted.toArray,
+            binDocs(i).length.toLong, binToks(i).toLong)
+        }
+      }
+      .toDF("source", "block", "bin", "doc_ids", "n_docs", "n_tokens")
+      .orderBy(col("source"), col("block"), col("bin"))
+  }
 }

@@ -139,14 +139,21 @@ object OtlpLogs {
     */
   def toOtlpJsonTraced(timestampUs: Column, serviceName: Column, severityText: Column,
                        severityNumber: Column, body: Column,
-                       traceId: Column, spanId: Column): Column =
+                       traceId: Column, spanId: Column,
+                       scopeVersion: Column = lit("1.0"),
+                       scopeAttrs: Seq[(String, Column)] = Nil): Column =
     to_json(struct(
       array(struct(
         struct(array(struct(
           lit("service.name").as("key"),
           struct(serviceName.as("stringValue")).as("value"))).as("attributes")).as("resource"),
         array(struct(
-          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          struct(
+            (Seq(lit("graft").as("name"), scopeVersion.as("version")) ++
+              (if (scopeAttrs.isEmpty) Nil
+               else Seq(array(scopeAttrs.map { case (k, v) =>
+                 struct(lit(k).as("key"), struct(v.as("stringValue")).as("value"))
+               }: _*).as("attributes")))): _*).as("scope"),
           array(struct(
             (timestampUs * 1000).cast("string").as("timeUnixNano"),
             severityText.as("severityText"),

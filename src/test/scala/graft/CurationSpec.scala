@@ -87,4 +87,47 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
     assert(got == want, s"diff=${(want.toSet -- got.toSet).take(5)}")
   }
+
+  test("corpusSplit: total, deterministic, hash-proportioned, repartition-invariant") {
+    val rows = Curation.corpusSplit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n, "every document gets exactly one split")
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    // 240/8/8 of 256 with md5-uniform ids; generous tolerance at small sf
+    assert(frac("train") > 0.85 && frac("train") < 1.0, s"train frac $frac")
+    assert(frac.getOrElse("val", 0.0) < 0.10 && frac.getOrElse("test", 0.0) < 0.10, s"$frac")
+    // assignment is a pure function of doc_id: local md5 replay agrees
+    rows.foreach { case (id, split) =>
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+      val want = if (h2 < "f0") "train" else if (h2 < "f8") "val" else "test"
+      assert(split == want, s"doc $id: $split vs local $want")
+    }
+  }
+
+  test("corpusMix: downsamples toward uniform domain shares at half the token budget") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val kept = Curation.corpusMix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Int]("n_toks")))
+    assert(kept.nonEmpty && kept.length < docs.count(), "a strict, non-empty subsample")
+    // deterministic: second run identical
+    val again = Curation.corpusMix(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Int]("n_toks")))
+    assert(kept.toSeq == again.toSeq)
+    // each source's kept token mass lands near min(src_toks, budget/ns):
+    // Bernoulli noise at tiny sf is real, so just assert the cap
+    // direction — no source exceeds ~2x its target share
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val srcTotals = docs.selectExpr("source",
+        "size(filter(split(lower(text),'\\\\s+'), x -> x != '')) AS t")
+      .groupBy(col("source")).sum("t").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("sum(t)")).toMap
+    val target = srcTotals.values.sum / 2.0 / srcTotals.size
+    bySrc.foreach { case (s, toks) =>
+      assert(toks <= math.min(srcTotals(s), 2.2 * target + 200),
+        s"source $s kept $toks vs target $target (src total ${srcTotals(s)})")
+    }
+  }
 }

@@ -122,4 +122,37 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.forall(r => r.getAs[Double]("p50") <= r.getAs[Double]("p95")))
   }
+
+  test("dauSketch: two-level sketch union within 5% of exact; merge is lossless") {
+    val exact = LogAnalytics.dau(spark, sf).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("dau")).toMap
+    val got = LogAnalytics.dauSketch(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val d = r.getAs[String]("day"); val est = r.getAs[Long]("dau_est")
+      val ex = exact(d).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"day $d: est $est vs exact $ex")
+      assert(r.getAs[Long]("n_partials") >= 1)
+    }
+    // merging per-service partials must equal sketching the day directly
+    // (HLL union at the same lgK is lossless)
+    import org.apache.spark.sql.functions._
+    val single = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("e")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("dau_est") == single(r.getAs[String]("day")),
+        s"union of partials must equal the single-level sketch on ${r.getAs[String]("day")}")
+    }
+  }
+
+  test("scopeAttrs: scope_version/scope_attributes carry data end-to-end") {
+    val rows = LogAnalytics.scopeAttrs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val versions = rows.map(_.getAs[String]("scope_version")).toSet
+    val modules = rows.map(_.getAs[String]("module")).toSet
+    assert(versions == Set("1.0", "1.1"), s"got $versions")
+    assert(modules.subsetOf((0 until 4).map(i => s"mod-$i").toSet) && modules.size == 4, s"got $modules")
+  }
 }

@@ -155,4 +155,43 @@ class TrainPrepSpec extends SparkSpec {
       assert(spans.forall { case (_, off, _) => off >= 0 && off < budget }, s"offset range $k")
     }
   }
+
+  test("packBestFit: block-local FFD replayed exactly; bins respect the budget") {
+    val budget = 512; val blockSize = 64
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        localToks(r.getAs[String]("text")).length))
+    val got = TrainPrep.packBestFit(spark, sf, budget, blockSize).collect().map { r =>
+      ((r.getAs[String]("source"), r.getAs[Long]("block"), r.getAs[Long]("bin")),
+        (r.getSeq[Long](r.fieldIndex("doc_ids")).toList,
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    }.toMap
+    // local replay of the exact same block assignment + FFD
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, _, t), i) =>
+        (src, (i / blockSize).toLong, id, t)
+      }.groupBy { case (s, b, _, _) => (s, b) }.toSeq.flatMap { case ((s, b), rows) =>
+        val sorted = rows.map { case (_, _, id, t) => (id, t) }.sortBy { case (id, t) => (-t, id) }
+        val binT = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val binD = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+        sorted.foreach { case (id, t) =>
+          binT.indices.find(i => binT(i) + t <= budget) match {
+            case Some(i) => binT(i) += t; binD(i) = id :: binD(i)
+            case None    => binT += t;    binD += List(id)
+          }
+        }
+        binT.indices.map(i => ((s, b, i.toLong),
+          (binD(i).sorted, binD(i).length.toLong, binT(i).toLong)))
+      }
+    }.toMap
+    assert(got.keySet == want.keySet, "bin keys differ from local FFD replay")
+    got.foreach { case (k, v) => assert(v == want(k), s"bin $k: got $v want ${want(k)}") }
+    // every multi-doc bin fits the budget (singleton overflow allowed)
+    got.foreach { case (k, (ids, _, toks)) =>
+      assert(toks <= budget || ids.length == 1, s"overfull multi-doc bin $k: $toks")
+    }
+    // all documents packed exactly once
+    val packed = got.values.flatMap(_._1).toSeq
+    assert(packed.length == docs.length && packed.toSet.size == docs.length)
+  }
 }
