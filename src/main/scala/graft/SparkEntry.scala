@@ -108,7 +108,9 @@ object SparkEntry {
     "corpus_mix"          -> (Curation.corpusMix _),
     "logs_scope_attrs"    -> (LogAnalytics.scopeAttrs _),
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
-    "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d))
+    "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
+    "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
+    "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -649,6 +651,46 @@ object SparkEntry {
         |WHERE t.th >= 4294967296
         |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
         |ORDER BY d.doc_id""".stripMargin,
+    "logs_anomaly" ->
+      """WITH b AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1,2),
+        |w AS (SELECT bucket, event_type, n,
+        |  CAST(coalesce(sum(n) OVER f, 0) AS BIGINT) AS trailing_n,
+        |  count(n) OVER f AS trailing_buckets
+        | FROM b WINDOW f AS (PARTITION BY event_type ORDER BY bucket
+        |   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT bucket, event_type, n, trailing_n,
+        | (trailing_buckets = 6 AND n * 6 > trailing_n * 2) AS is_anomaly
+        |FROM w ORDER BY bucket, event_type""".stripMargin,
+    "table_stats" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_qty,
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv_px,
+        |  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS ndv_ln,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf,
+        |  CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_px,
+        |  CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ln,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rf,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_sd,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
+        |  CAST(min(l_linenumber) AS DOUBLE) AS min_ln, CAST(max(l_linenumber) AS DOUBLE) AS max_ln,
+        |  min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        |  min(strftime(l_shipdate,'%Y-%m-%d %H:%M:%S')) AS min_sd,
+        |  max(strftime(l_shipdate,'%Y-%m-%d %H:%M:%S')) AS max_sd
+        | FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, n, null_qty AS n_null, ndv_qty AS n_distinct,
+        | min_qty AS min_num, max_qty AS max_num,
+        | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'l_extendedprice', n, null_px, ndv_px, min_px, max_px, NULL, NULL FROM a
+        |UNION ALL SELECT 'l_linenumber', n, null_ln, ndv_ln, min_ln, max_ln, NULL, NULL FROM a
+        |UNION ALL SELECT 'l_returnflag', n, null_rf, ndv_rf,
+        | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_rf, max_rf FROM a
+        |UNION ALL SELECT 'l_shipdate', n, null_sd, ndv_sd,
+        | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_sd, max_sd FROM a
+        |ORDER BY col_name""".stripMargin,
     "logs_scope_attrs" ->
       """SELECT 'graft' AS scope_name,
         | '1.' || CAST(user_id % 2 AS VARCHAR) AS scope_version,

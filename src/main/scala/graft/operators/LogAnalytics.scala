@@ -324,6 +324,34 @@ object LogAnalytics {
     * internals); the spec bounds the estimate against exact DAU and
     * checks the union equals the single-level sketch estimate.
     */
+  /** Spike detection over the per-type hourly series — the Grafana
+    * alert-rule shape ("volume > 2x trailing average"). The verdict
+    * uses INTEGER cross-multiplication (`n * W > factor * trailing`)
+    * instead of a float mean, so it is exact in any evaluation order
+    * and oracle-portable; an anomaly needs a full trailing window
+    * (first W buckets never alert). One agg shuffle plus one window
+    * per event_type — series cardinality, not event cardinality.
+    */
+  def anomaly(spark: SparkSession, dir: String,
+              trailing: Int = 6, factor: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"))
+      .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_buckets", count(col("n")).over(w))
+      .withColumn("is_anomaly",
+        col("trailing_buckets") === trailing &&
+          col("n") * trailing > col("trailing_n") * factor)
+      .select(col("bucket"), col("event_type"), col("n"),
+              col("trailing_n"), col("is_anomaly"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   def dauSketch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(dayStr(col("ts")).as("day"),

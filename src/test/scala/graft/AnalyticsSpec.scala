@@ -77,4 +77,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == 640)
     assert(rows.forall(r => math.abs(r.getAs[Double]("c")) < 1.0))
   }
+
+  test("table_stats: one scan, per-column metrics match direct queries") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val rows = graft.operators.TableStats.lineitemStats(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice", "l_linenumber",
+      "l_returnflag", "l_shipdate"))
+    val n = li.count()
+    assert(rows.values.forall(_.getAs[Long]("n") == n))
+    val rf = rows("l_returnflag")
+    assert(rf.getAs[Long]("n_distinct") ==
+      li.select(countDistinct(col("l_returnflag"))).head().getLong(0))
+    assert(rf.getAs[String]("min_str") == "A" && rf.getAs[String]("max_str") == "R")
+    val qty = rows("l_quantity")
+    assert(qty.getAs[Double]("min_num") ==
+      li.agg(min(col("l_quantity"))).head().getDouble(0))
+    assert(qty.getAs[Long]("n_null") == 0L)
+    // approx variant: same shape, ndv within 5%
+    graft.operators.TableStats.lineitemStats(spark, sf, exact = false).collect()
+      .foreach { r =>
+        val name = r.getAs[String]("col_name")
+        val approx = r.getAs[Long]("n_distinct").toDouble
+        val ex = rows(name).getAs[Long]("n_distinct").toDouble
+        assert(math.abs(approx - ex) / ex <= 0.10, s"$name ndv approx $approx vs $ex")
+      }
+  }
 }

@@ -147,6 +147,22 @@ class LogAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("anomaly: verdicts replay from the emitted series with integer arithmetic") {
+    val rows = LogAnalytics.anomaly(spark, sf).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("trailing_n"), r.getAs[Boolean]("is_anomaly")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, series) =>
+      val s = series.sortBy(_._1)
+      s.zipWithIndex.foreach { case ((_, _, n, tn, anom), i) =>
+        val prev = s.slice(math.max(0, i - 6), i).map(_._3)
+        assert(tn == prev.sum, "trailing_n must be the previous-6 sum")
+        val want = prev.length == 6 && n * 6 > tn * 2
+        assert(anom == want, s"verdict mismatch at index $i")
+      }
+    }
+  }
+
   test("scopeAttrs: scope_version/scope_attributes carry data end-to-end") {
     val rows = LogAnalytics.scopeAttrs(spark, sf).collect()
     assert(rows.nonEmpty)
