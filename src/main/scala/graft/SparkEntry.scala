@@ -110,7 +110,8 @@ object SparkEntry {
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
     "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
-    "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d))
+    "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
+    "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -290,6 +290,99 @@ case class TopKIndices(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): TopKIndices = copy(child = c)
 }
 
+/** Scalar int8 quantization of a float/double vector (faiss-SQ8-style,
+  * per-vector max-|v| scale): q_i = round(127 * v_i / max|v|), emitted
+  * as BINARY — 4× smaller than float32 at rest and in shuffle/cache.
+  * For COSINE ranking the per-vector scale cancels
+  * (cos ≈ dot8(a,b) / (√dot8(a,a)·√dot8(b,b))), so no scale is stored.
+  * An all-zero vector quantizes to all-zero bytes.
+  */
+case class Quantize8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_quantize8 expects a float/double array, got $t")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx > 0.0) {
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        out(i) = math.round(127.0 * v / mx).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Quantize8 = copy(child = c)
+}
+
+/** Exact integer dot product of two int8-quantized (BINARY) vectors —
+  * the hot inner loop of the quantized ANN scan. Accumulates in long
+  * (max |dim|·127² ≈ 2^24 fits easily), whole-stage-codegen'd: one
+  * multiply-add per byte pair, no boxing, no lambda.
+  */
+case class Dot8(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot8 expects two binary columns, got ${left.dataType} and ${right.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $acc += (long) $a[$i] * (long) $b[$i]; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Dot8 =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
 
   /** One guarded builder per function name, shared by the per-session
@@ -350,6 +443,15 @@ object VectorFunctions {
         org.apache.spark.sql.catalyst.expressions.Literal(est),
         org.apache.spark.sql.catalyst.expressions.Literal(est * 10L), 0, 0)
         .toAggregateExpression()
+    },
+    "graft_quantize8" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_quantize8(vec) takes 1 argument, got ${exprs.length}")
+      Quantize8(exprs.head)
+    },
+    "graft_dot8" -> { exprs =>
+      require(exprs.length == 2, s"graft_dot8(a, b) takes 2 arguments, got ${exprs.length}")
+      Dot8(exprs(0), exprs(1))
     },
     "graft_bloom_contains" -> { exprs =>
       require(exprs.length == 2,

@@ -131,6 +131,57 @@ object Similarity {
     * hamming-1 flips, so the scanned fraction is ~(planes+1)/2^planes —
     * it SHRINKS as the corpus (and with it the plane count) grows.
     */
+  /** Int8-QUANTIZED ANN: the 4×-memory path for a 100 TB embedding
+    * corpus. Pass 1 scans int8 vectors ([[graft.functions.Quantize8]],
+    * BINARY — a quarter of the float32 bytes in storage/cache/shuffle)
+    * and ranks by integer cosine (codegen'd [[graft.functions.Dot8]],
+    * exact long arithmetic — per-vector scales cancel in cosine); the
+    * top-`c` candidates per query are then RERANKED exactly on the
+    * float vectors, reading only the candidate rows (literal `isin`
+    * pushed to the scan — |Q|·c ids, control-plane sized, same pattern
+    * as the IVF probe set). At scale the quantized pass does all the
+    * heavy reading at 1/4 the bytes; the float fetch touches ~|Q|·c
+    * rows. Candidate overfetch c ≫ k absorbs the ≤1/127-per-element
+    * quantization error (spec: recall@5 vs exact ≥ 0.95).
+    */
+  def annQuantized(spark: SparkSession, dir: String, c: Int = 32): DataFrame = {
+    VectorFunctions.register(spark)
+    val q8 = call_function("graft_quantize8", col("embedding"))
+    val e8 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), q8.as("b"))
+      .withColumn("bn", sqrt(call_function("graft_dot8", col("b"), col("b")).cast("double")))
+    val q = e8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("b").as("qb"), col("bn").as("qbn"))
+    val cos8 = call_function("graft_dot8", col("qb"), col("b")).cast("double") /
+      (col("qbn") * col("bn"))
+    // candidate (q_id, vec_id) pairs cross the driver ONCE: |Q|*c rows
+    // — control-plane sized, and the id set prunes the exact-rerank
+    // scan as a literal IN the same way the IVF probe cells do
+    val candPairs = e8.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cos8.as("cos8"))
+      .withColumn("r8", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos8").desc, col("vec_id"))))
+      .filter(col("r8") <= c)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    val cands = candPairs.toDF("q_id", "vec_id")
+    val candIds = candPairs.map(_._2).distinct
+    val ef = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id").isin(candIds: _*) ||
+      col("vec_id") < 10))
+    val qf = ef.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    ef.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qf), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), cosx.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private[operators] def derivePlanes(corpusSize: Long): Int =
     math.min(20, math.max(4,
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, corpusSize / 64)))))

@@ -54,6 +54,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(3 < k / 2, s"probe set must be well under half the $k cells")
   }
 
+  test("annQuantized: int8 scan + exact rerank recalls >= 0.95 of exact top-5") {
+    import graft.operators.Similarity
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = top(Similarity.annTopk(spark, sf))
+    val quant = top(Similarity.annQuantized(spark, sf))
+    assert(quant.size == exact.size, "same (query, k) result shape")
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall@5 $recall")
+    // reranked scores are EXACT cosines: every common pair's cos matches
+    val exactCos = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    Similarity.annQuantized(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos mismatch $k"))
+    }
+  }
+
+  test("quantize8/dot8: self-dot positive, symmetric, bounded by 127^2*dim") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet").limit(20)
+      .select(call_function("graft_quantize8", col("embedding")).as("b"),
+        size(col("embedding")).as("dim"))
+      .select(call_function("graft_dot8", col("b"), col("b")).as("dd"), col("dim"))
+      .collect()
+    rows.foreach { r =>
+      val dd = r.getAs[Long]("dd")
+      assert(dd > 0 && dd <= 127L * 127L * r.getAs[Int]("dim"), s"self-dot $dd")
+    }
+  }
+
   test("incremental: bipartite batch-vs-corpus pairs match a local replay") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
