@@ -111,7 +111,8 @@ object SparkEntry {
     "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
-    "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d))
+    "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
+    "lake_rollup"         -> (LakeAnalytics.rollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -365,6 +366,10 @@ object SparkEntry {
         |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
         |ORDER BY ts_str, span_id""".stripMargin,
     "lake_severity_by_service" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_rollup" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

@@ -120,6 +120,19 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("namespace"))
 
+  /** The MAINTAINED severity rollup ([[graft.sources.Rollup]]):
+    * refresh folds any newly-registered files into the persisted
+    * aggregate, then the rollup is read back — maintenance cost ∝
+    * arrival rate, not lake size. The oracle is the FULL recompute on
+    * `events`, so the hash-match certifies that incremental merge ==
+    * recompute-from-scratch.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    graft.sources.Rollup.refresh(spark, root)
+    graft.sources.Rollup.read(spark, root)
+  }
+
   /** The Grafana "Logs" panel on the REGISTERED LAKE: time-filtered
     * newest-first tail selecting body/scope/severity (reference
     * grafana logs.json "Logs" target: `$timeFilter ORDER BY timestamp

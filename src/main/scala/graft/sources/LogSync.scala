@@ -47,7 +47,11 @@ object LogSync {
     while (it.hasNext) {
       val f = it.next()
       val p = f.getPath.toString
-      if (p.endsWith(".parquet") && !p.contains("/_manifest/")) out += p
+      // skip metadata trees (underscore-prefixed segments below the
+      // root: _manifest, _rollup, ...) — same convention Spark's own
+      // scans use, so sync never registers bookkeeping parquet as data
+      val rel = fs.makeQualified(base).toUri.relativize(f.getPath.toUri).getPath
+      if (rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))) out += p
     }
     out.result()
   }
@@ -126,6 +130,15 @@ object LogSync {
       }
       freshPaths.length
     } finally fresh.unpersist()
+  }
+
+  /** Raw registered data-file paths (the manifest's `path` column) —
+    * the incremental-consumer surface: [[Rollup.refresh]] diffs this
+    * against its own processed set to find this round's new files.
+    */
+  private[sources] def registeredDataPaths(spark: SparkSession, root: String): DataFrame = {
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    spark.read.parquet(manifestPath(root)).select(col("path"))
   }
 
   /** Registered files as a DataFrame filtered to a snapshot bound —

@@ -267,6 +267,39 @@ class LakeSpec extends SparkSpec {
       s"the 00:20 event must bridge both open sessions into one: $sessions")
   }
 
+  test("Rollup: incremental refresh equals full recompute; second refresh reads only new files") {
+    import graft.sources.Rollup
+    val root = Files.createTempDirectory("graft_rollup").toString
+    def batch(n: Int, svc: String) =
+      Tables.events(spark, sf).limit(n)
+        .select(col("ts").as("timestamp"), lit(svc).as("service_name"),
+                col("event_type").as("severity_text"), col("props").as("body"))
+    def fullAgg() = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    def rollupMap() = Rollup.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    // batch 1: 6 files → sync → refresh folds all of them
+    batch(300, "sA").repartition(6).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val p1 = Rollup.refresh(spark, root)
+    assert(p1 == 6, s"first refresh must fold the 6 initial files, got $p1")
+    assert(rollupMap() == fullAgg(), "rollup after batch 1 == full recompute")
+    // batch 2: 3 more files → sync → refresh touches ONLY those 3
+    batch(150, "sB").repartition(3).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val p2 = Rollup.refresh(spark, root)
+    assert(p2 == 3, s"incremental refresh must process exactly the 3 new files, got $p2")
+    assert(rollupMap() == fullAgg(), "merged rollup == full recompute over both batches")
+    // idempotent: nothing new → no work, no new version
+    assert(Rollup.refresh(spark, root) == 0)
+    // a later sync must NOT register rollup bookkeeping parquet as data
+    assert(LogSync.sync(spark, root) == 0,
+      "_rollup metadata files must be invisible to sync")
+    assert(fullAgg().values.sum == 450L)
+  }
+
   test("tableBetween: manifest zone-maps prune files, result equals the direct filter") {
     val root = LakeAnalytics.lakeRoot(spark, sf)
     val (kept, total) = LogSync.statsPruneCounts(spark, root, "2024-01-12", "2024-01-14")
