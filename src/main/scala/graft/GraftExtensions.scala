@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_heavy_hitters" -> "graft_heavy_hitters(col, m) - SpaceSaving top-item summary with error bounds",
     "graft_bloom" -> "graft_bloom(longCol, expectedItems) - bloom-filter aggregate over 64-bit hashes",
     "graft_bloom_contains" -> "graft_bloom_contains(bloom, longCol) - membership probe against a bloom literal",
+    "graft_bloom_any" -> "graft_bloom_any(bloom, hashArray) - does a per-row bloom contain any of the hashes",
     "graft_quantize8" -> "graft_quantize8(vec) - int8 scalar quantization of a float/double array to BINARY",
     "graft_dot8" -> "graft_dot8(a, b) - exact integer dot product of two int8-quantized BINARY vectors")
 

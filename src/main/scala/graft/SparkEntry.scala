@@ -96,6 +96,8 @@ object SparkEntry {
     "lake_stats_prune"    -> (LakeAnalytics.windowSeverity _),
     "lake_resource_attrs" -> (LakeAnalytics.resourceAttrs _),
     "lake_tail"           -> ((s: SparkSession, d: String) => LakeAnalytics.tail(s, d)),
+    "lake_needle"         -> ((s: SparkSession, d: String) => LakeAnalytics.needle(s, d)),
+    "lake_dml"            -> (LakeAnalytics.dmlSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
@@ -393,6 +395,21 @@ object SparkEntry {
         |WHERE EXTRACT(year FROM ts) = 2024 AND EXTRACT(month FROM ts) = 1
         |  AND EXTRACT(day FROM ts) BETWEEN 25 AND 31
         |ORDER BY ts_str DESC, service_name, severity_text, body LIMIT 1000""".stripMargin,
+    "lake_needle" ->
+      """SELECT md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id,
+        | substring(md5(CAST(event_id AS VARCHAR)),1,16) AS span_id,
+        | strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, props AS body
+        |FROM events
+        |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
+        |ORDER BY ts_str, span_id""".stripMargin,
+    "lake_dml" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE NOT (user_id % 10 = 3 AND event_type = 'view')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "logs_search" ->
       """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         | user_id, event_type, props

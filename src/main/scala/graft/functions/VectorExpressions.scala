@@ -383,6 +383,51 @@ case class Dot8(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** `graft_bloom_any(bloom, hashes)` — does the serialized bloom filter
+  * (a [[graft.functions.VectorFunctions]] `graft_bloom` aggregate
+  * result, i.e. Spark's `util.sketch.BloomFilter` wire format) possibly
+  * contain ANY of the 64-bit hashes?
+  *
+  * Unlike Spark's internal `BloomFilterMightContain`, the bloom side is
+  * a per-ROW column, not a required-constant — the shape a file-level
+  * bloom index needs ([[graft.sources.LakeIndex]]: one bloom per data
+  * file, probed with the lookup keys). Deserialization happens once per
+  * bloom row and the k hashes probe the same instance, so a multi-key
+  * probe (DML upsert pruning) costs one deserialize + k probes per
+  * file. Interpreted eval is fine here: the probed relation is the
+  * index (one row per FILE), never the data.
+  */
+case class BloomContainsAny(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_any expects (binary, array<bigint>), got $l and $r")
+    }
+
+  override def nullSafeEval(bloomBytes: Any, hashes: Any): Any = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes.asInstanceOf[Array[Byte]]))
+    val arr = hashes.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (bf.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContainsAny =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
 
   /** One guarded builder per function name, shared by the per-session
@@ -457,6 +502,11 @@ object VectorFunctions {
       require(exprs.length == 2,
         s"graft_bloom_contains(bloom, longCol) takes 2 arguments, got ${exprs.length}")
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+    },
+    "graft_bloom_any" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_bloom_any(bloom, hashArray) takes 2 arguments, got ${exprs.length}")
+      BloomContainsAny(exprs(0), exprs(1))
     })
 
   /** Idempotently register every graft function so operators can use

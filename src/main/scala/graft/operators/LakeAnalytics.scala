@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{LogSync, LogWriter, OtlpLogs, Tables}
+import graft.sources.{LakeIndex, LogSync, LogWriter, OtlpLogs, Tables}
 
 /** End-to-end lake queries over the reference's 15-column OTel schema:
   * the full Quick-Start flow (reference README.md; scripts/sync-logs.sh)
@@ -27,14 +27,26 @@ object LakeAnalytics {
     */
   private def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(OtlpLogs.toOtlpJson(
+      .select(OtlpLogs.toOtlpJsonTraced(
         unix_micros(col("ts")),
         concat(lit("svc-"), col("user_id") % 10),
         col("event_type"),
+        when(col("event_type") === "error", 17)
+          .when(col("event_type") === "signup", 13)
+          .when(col("event_type") === "purchase", 9)
+          .when(col("event_type") === "view", 9)
+          .otherwise(5),
         col("props"),
+        // a user's events on one day share a trace; each event is a
+        // span — gives the lake the high-cardinality point-lookup key
+        // the bloom file index ([[graft.sources.LakeIndex]]) serves
+        md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd"))),
+        substring(md5(col("event_id").cast("string")), 1, 16),
         // the k8s namespace every real OTel resource carries — the
         // attribute the resource_attributes extraction query filters on
-        Seq("k8s.namespace.name" -> concat(lit("ns-"), col("user_id") % 3))).as("payload"))
+        extraResourceAttrs =
+          Seq("k8s.namespace.name" -> concat(lit("ns-"), col("user_id") % 3))).as("payload"))
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -45,9 +57,9 @@ object LakeAnalytics {
     */
   private[graft] def lakeRoot(spark: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, _ => {
-      // v4: envelopes now carry the k8s.namespace.name resource
-      // attribute — bump the path so a pre-namespace lake is rebuilt
-      val root = s"/tmp/graft_lake_v4_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      // v5: envelopes now carry trace/span context and numeric
+      // severity — bump the path so a pre-trace lake is rebuilt
+      val root = s"/tmp/graft_lake_v5_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$root/_built")
@@ -151,4 +163,67 @@ object LakeAnalytics {
         col("service_name"), col("severity_text"), col("scope_name"), col("body"))
       .orderBy(col("ts_str").desc, col("service_name"), col("severity_text"), col("body"))
       .limit(limit)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private val indexed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Trace point lookup over the registered lake THROUGH the per-file
+    * bloom sidecar ([[graft.sources.LakeIndex]]) — the needle query the
+    * reference schema's trace_id column exists for, on a lake whose
+    * directory layout (service/time) cannot encode the key. A
+    * hash-match certifies the whole chain: encode → write → register →
+    * index build → bloom file pruning → scan. `expectedItemsPerFile`
+    * is sized to the day-grain test files; the 100 TB default is the
+    * writer's records-per-file cap.
+    */
+  def needle(spark: SparkSession, dir: String,
+             traceId: String = md5Hex("7/2024-01-15")): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    indexed.computeIfAbsent(root, _ => {
+      LakeIndex.build(spark, root, "trace_id", expectedItemsPerFile = 4096); true
+    })
+    LakeIndex.lookup(spark, root, "trace_id", Seq(traceId))
+      .select(col("trace_id"), col("span_id"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("service_name"), col("severity_text"), col("body"))
+      .orderBy(col("ts_str"), col("span_id"))
+  }
+
+  private val dmlBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A second lake that has LIVED: built from the same payloads, then a
+    * copy-on-write DELETE ([[graft.sources.LakeDml]]) of one service's
+    * 'view' logs — the GDPR-style redaction pass. Queries run against
+    * the post-DML manifest, so a hash-match against the
+    * events-minus-deleted oracle certifies the delete end-to-end
+    * (affected-file detection, complement rewrite, tombstoned manifest
+    * swap, reader semantics).
+    */
+  private[graft] def dmlRoot(spark: SparkSession, dir: String): String =
+    dmlBuilt.computeIfAbsent(dir, _ => {
+      val root = s"/tmp/graft_lakedml_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        graft.sources.LakeDml.delete(spark, root,
+          col("service_name") === "svc-3" && col("severity_text") === "view")
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** Severity counts over the post-DELETE lake ([[dmlRoot]]). */
+  def dmlSeverity(spark: SparkSession, dir: String): DataFrame =
+    LogSync.table(spark, dmlRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
 }

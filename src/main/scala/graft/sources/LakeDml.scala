@@ -1,0 +1,176 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level DML on the registered lake: copy-on-write DELETE and
+  * MERGE-style UPSERT — the right-to-be-forgotten / late-correction
+  * operations an append-only log lake eventually needs (what the
+  * reference would get from Iceberg's `DELETE FROM`/`MERGE INTO` over
+  * its catalog; here re-expressed over the parquet manifest).
+  *
+  * Copy-on-write: only the files that actually CONTAIN affected rows
+  * are rewritten (their complement rows re-written as new files, same
+  * partition layout); every other file keeps its bytes and its manifest
+  * entry. The commit point is the manifest swap — readers flip
+  * atomically-per-read, replaced files stay on disk (invisible) until
+  * [[LogCompact.vacuum]], and like compaction the swap collapses
+  * registration history ([[LogSync.tableAsOf]] restarts at the DML
+  * point — Iceberg snapshot-expiry semantics).
+  *
+  * At 100 TB the cost model is: one pass to FIND affected files (a
+  * metadata-only bloom-sidecar probe when a [[LakeIndex]] exists on the
+  * key, else a data scan with whatever partition/zone-map pruning the
+  * predicate allows) + a rewrite proportional to the affected files,
+  * never a full-lake rewrite.
+  */
+object LakeDml {
+
+  /** filesRemoved/filesAdded are manifest-entry counts; rowsChanged is
+    * deleted rows for [[delete]], matched-and-replaced rows for
+    * [[upsert]] (inserts are `updates.count - rowsChanged`).
+    */
+  case class DmlStats(filesRemoved: Long, filesAdded: Long, rowsChanged: Long)
+
+  /** The registered table with the normalized source-file path of every
+    * row — the per-row file identity DML decisions join on.
+    */
+  private def tableWithSrc(spark: SparkSession, root: String): DataFrame = {
+    val paths = LogSync.activeManifest(spark, root)
+      .select(LogSync.normPath(col("path")).as("__registered_path"))
+    spark.read.option("basePath", root).parquet(root)
+      .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+  }
+
+  /** One job: the distinct source files containing matching rows (file
+    * count bounded — control plane) and the matched-row count.
+    */
+  private def affectedAgg(matched: DataFrame): (Seq[String], Long) = {
+    val row = matched
+      .agg(collect_set(col("__src")).as("files"), count(lit(1)).as("n")).head()
+    (row.getSeq[String](0), row.getLong(1))
+  }
+
+  /** The copy-on-write commit shared by DELETE and UPSERT: rewrite the
+    * affected files through `complement` (the rows that SURVIVE),
+    * append `inserts`, and swap the manifest to (old minus affected)
+    * plus the new files with fresh zone-map stats. Returns
+    * (filesRemoved, filesAdded).
+    */
+  private def commit(spark: SparkSession, root: String, affectedSrcs: Seq[String],
+                     complement: DataFrame => DataFrame,
+                     inserts: Option[DataFrame]): (Long, Long) = {
+    import spark.implicits._
+    val before = LogSync.manifestDf(spark, root).cache()
+    val affected = before
+      .filter(col("removed_at").isNull &&
+        LogSync.normPath(col("path")).isin(affectedSrcs: _*))
+      .select("path").as[String].collect()
+
+    val layout = LogCompact.inferLayout(spark, root)
+    def append(df: DataFrame): Unit =
+      df.write.mode(SaveMode.Append)
+        .partitionBy(layout.filter(df.columns.contains): _*).parquet(root)
+    if (affected.nonEmpty)
+      append(complement(
+        spark.read.option("basePath", root).parquet(affected.toSeq: _*)))
+    inserts.foreach(append)
+
+    // the files the writes just created = on-disk minus the old
+    // manifest (same discovery as compaction; underscore trees are
+    // never listed)
+    val listed = LogSync.listParquet(spark, root).toDF("path")
+    val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
+      .as[String].collect()
+    val stamped = freshPaths.toSeq.toDF("path")
+      .withColumn("registered_at", current_timestamp())
+    val fresh = (if (freshPaths.isEmpty)
+      stamped.withColumn("min_ts", lit(null).cast("timestamp"))
+        .withColumn("max_ts", lit(null).cast("timestamp"))
+    else
+      stamped.join(LogSync.statsFor(spark, root, freshPaths.toSeq),
+        LogSync.normPath(col("path")) === col("norm"), "left")
+        .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts")))
+      .withColumn("removed_at", lit(null).cast("timestamp"))
+
+    // rewritten files are TOMBSTONED, not forgotten — they stay on disk
+    // until vacuum, and a forgotten path would be re-registered (rows
+    // resurrected) by the next sync round
+    val manifestCols = Seq("path", "registered_at", "min_ts", "max_ts", "removed_at")
+    val next = before
+      .withColumn("removed_at",
+        when(LogSync.normPath(col("path")).isin(affectedSrcs: _*) &&
+          col("removed_at").isNull, current_timestamp())
+          .otherwise(col("removed_at")))
+      .select(manifestCols.map(col): _*)
+      .union(fresh.select(manifestCols.map(col): _*))
+    // versioned swap: new readers flip atomically; a plan holding the
+    // old manifest version (a cached Dataset) keeps its consistent
+    // pre-DML snapshot until vacuum ages the version out
+    LogSync.swapManifest(spark, root, next)
+    before.unpersist()
+    (affected.length.toLong, freshPaths.length.toLong)
+  }
+
+  /** Delete every registered row where `predicate` is TRUE (NULL keeps
+    * the row, like SQL DELETE). Only files containing at least one
+    * matching row are rewritten.
+    */
+  def delete(spark: SparkSession, root: String, predicate: Column): DmlStats = {
+    val (files, n) = affectedAgg(tableWithSrc(spark, root).filter(predicate))
+    if (files.isEmpty) return DmlStats(0, 0, 0)
+    val (removed, added) = commit(spark, root, files,
+      complement = _.filter(!coalesce(predicate, lit(false))), inserts = None)
+    DmlStats(removed, added, n)
+  }
+
+  /** MERGE: rows matching `updates` on `keys` are replaced by the
+    * update row; update rows with no match are inserted. `updates` must
+    * carry the table's columns (including the partition-layout
+    * columns). When `useIndex` is set and a [[LakeIndex]] sidecar
+    * exists on `keys.head`, the affected-file search probes the bloom
+    * sidecar instead of scanning the lake: the batch's distinct key
+    * hashes (driver-collected — update batches are control-plane sized;
+    * a lake-scale restatement should use the scan path) are tested
+    * against each file's bloom and only candidate files are read.
+    */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+             keys: Seq[String], useIndex: Boolean = false): DmlStats = {
+    import spark.implicits._
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val dataCols = LogSync.table(spark, root).columns
+    require(dataCols.forall(updates.columns.contains),
+      "updates must carry all table columns; missing " +
+        dataCols.filterNot(updates.columns.contains).mkString(","))
+    val ups = updates.select(dataCols.map(col): _*).cache()
+    try {
+      val keyRel = ups.select(keys.map(col): _*).distinct()
+      val candidates = if (useIndex) {
+        val ic = keys.head
+        graft.functions.VectorFunctions.register(spark)
+        val hashes = ups.select(xxhash64(col(ic)).as("h")).distinct().as[Long].collect()
+        val paths = LogSync.activeManifest(spark, root)
+          .join(spark.read.parquet(s"$root/_index/$ic"), Seq("path"), "left")
+          .filter(col("bloom").isNull ||
+            call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
+          .select("path").as[String].collect()
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", root).parquet(paths.toSeq: _*)
+          .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))))
+      } else Some(tableWithSrc(spark, root))
+      val (files, matched) = candidates match {
+        case None => (Seq.empty[String], 0L)
+        case Some(base) => affectedAgg(base.join(broadcast(keyRel), keys, "left_semi"))
+      }
+      // replace = rewrite matched files WITHOUT the matched keys' rows
+      // (an anti-join — the key set lives in a DataFrame, not a
+      // predicate); insert = append ALL update rows, replacements and
+      // novel keys alike, as new files
+      val (removed, added) = commit(spark, root, files,
+        complement = _.join(broadcast(keyRel), keys, "left_anti"),
+        inserts = Some(ups))
+      DmlStats(removed, added, matched)
+    } finally ups.unpersist()
+  }
+}

@@ -48,7 +48,7 @@ object LogCompact {
     // newest registration wins: after a deliberate re-layout, a
     // manifest can transiently mix layouts, and an arbitrary limit(1)
     // would flap between them across compactions
-    val sample = spark.read.parquet(s"$root/_manifest")
+    val sample = LogSync.activeManifest(spark, root)
       .orderBy(col("registered_at").desc)
       .select("path").limit(1).collect()
     require(sample.nonEmpty, s"empty manifest under $root — nothing to compact")
@@ -66,12 +66,10 @@ object LogCompact {
   def compact(spark: SparkSession, root: String,
               maxRecordsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile,
               layout: Option[Seq[String]] = None): CompactStats = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = new Path(s"$root/_manifest")
-    require(fs.exists(manifest), s"no manifest under $root — run sync first")
+    require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
 
-    val before = spark.read.parquet(manifest.toString).cache()
-    val filesBefore = before.count()
+    val before = LogSync.manifestDf(spark, root).cache()
+    val filesBefore = before.filter(col("removed_at").isNull).count()
 
     // one job: read old registered files, write consolidated ones. The
     // scan's file list is snapshotted at planning, so the appended
@@ -104,9 +102,14 @@ object LogCompact {
       .partitionBy(partCols: _*)
       .parquet(root)
 
-    // the new manifest = everything on disk that the OLD manifest does
-    // not know about (i.e. exactly the files the rewrite just created),
-    // re-statted so zone-map pruning survives compaction
+    // new files = everything on disk that the OLD manifest does not
+    // know about (i.e. exactly the files the rewrite just created),
+    // re-statted so zone-map pruning survives compaction. The replaced
+    // files are TOMBSTONED, not forgotten: they stay on disk until
+    // vacuum, and a manifest that forgot them would let the next sync
+    // round re-register them — every pre-compaction row resurrected.
+    // Tombstones also keep time travel to pre-compaction snapshots
+    // working until vacuum.
     import spark.implicits._
     val listed = listParquet(spark, root).map(_._1).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
@@ -122,53 +125,92 @@ object LogCompact {
       stamped.join(LogSync.statsFor(spark, root, freshPaths.toSeq),
         LogSync.normPath(col("path")) === col("norm"), "left")
         .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts")))
+      .withColumn("removed_at", lit(null).cast("timestamp"))
       .cache()
     val filesAfter = fresh.count()
 
-    val tmp = new Path(s"$root/_manifest_new")
-    fresh.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(manifest, true)
-    fs.rename(tmp, manifest)
+    val manifestCols = Seq("path", "registered_at", "min_ts", "max_ts", "removed_at")
+    val next = before
+      .withColumn("removed_at",
+        when(col("removed_at").isNull, current_timestamp()).otherwise(col("removed_at")))
+      .select(manifestCols.map(col): _*)
+      .union(fresh.select(manifestCols.map(col): _*))
+    // versioned swap: new readers resolve the new manifest atomically;
+    // plans already holding the old version (cached Datasets, running
+    // queries) keep reading it — a consistent pre-compaction snapshot —
+    // until vacuum ages it out
+    LogSync.swapManifest(spark, root, next)
     before.unpersist(); fresh.unpersist()
     CompactStats(filesBefore, filesAfter)
   }
 
-  /** Delete data files on disk that no manifest entry references AND
-    * whose modification time is older than `graceMs` (the
-    * pre-compaction files, after the grace window). The age threshold
-    * is what makes vacuum safe to run concurrently with ingest:
-    * written-but-not-yet-synced files are unregistered too, and only
-    * age distinguishes them from compaction leftovers. The orphan set
-    * is computed distributed (anti-join); only the paths to DELETE
-    * cross the driver — the `mc rm` control-plane analog. Returns the
-    * number removed.
+  /** Delete two classes of garbage, each after its own `graceMs`
+    * window, and return the number of files removed:
+    *
+    *  1. TOMBSTONED files — replaced by compaction or DML
+    *     ([[LogSync]] `removed_at`), aged by their removal time (grace
+    *     = time for in-flight readers that resolved the old manifest,
+    *     and the time-travel horizon). Their manifest rows are purged
+    *     in the same pass (snapshot expiry).
+    *  2. NEVER-REGISTERED files older than `graceMs` by modification
+    *     time — crash leftovers. The age threshold is what makes this
+    *     safe against concurrent ingest: written-but-not-yet-synced
+    *     files are unregistered too, and only age distinguishes them.
+    *
+    * The orphan set is computed distributed (anti-join); only the
+    * paths to DELETE cross the driver — the `mc rm` control-plane
+    * analog.
     */
   def vacuum(spark: SparkSession, root: String,
              graceMs: Long = DefaultVacuumGraceMs): Int = {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = new Path(s"$root/_manifest")
-    require(fs.exists(manifest), s"no manifest under $root — run sync first")
-    val cutoff = System.currentTimeMillis() - graceMs
-    val registered = spark.read.parquet(manifest.toString).select("path")
-    val orphans = listParquet(spark, root)
-      .filter(_._2 <= cutoff).map(_._1).toDF("path")
-      .join(registered, Seq("path"), "left_anti")
+    require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val cutoffMs = System.currentTimeMillis() - graceMs
+    val cutoffTs = new java.sql.Timestamp(cutoffMs)
+    val m = LogSync.manifestDf(spark, root).cache()
+
+    val dead = m.filter(col("removed_at") <= lit(cutoffTs))
+      .select("path").as[String].collect()
+    val neverRegistered = listParquet(spark, root)
+      .filter(_._2 <= cutoffMs).map(_._1).toDF("path")
+      .join(m.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    orphans.foreach(p => fs.delete(new Path(p), false))
-    orphans.length
+
+    (dead ++ neverRegistered).foreach(p => fs.delete(new Path(p), false))
+    if (dead.nonEmpty) {
+      // purge the tombstones whose files are gone — a versioned
+      // manifest swap, same commit point as compaction
+      val next = m.filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs))
+      LogSync.swapManifest(spark, root, next)
+    }
+    // superseded manifest versions: only in-flight readers of older
+    // snapshots need them; age them out like replaced data files
+    val staleDirs = LogSync.staleManifestDirs(spark, root).filter { d =>
+      fs.listStatus(d).forall(_.getModificationTime <= cutoffMs)
+    }
+    staleDirs.foreach(d => fs.delete(d, true))
+    m.unpersist()
+    dead.length + neverRegistered.length
   }
 
-  /** (path, modificationTimeMs) of every data file under `dir`. */
+  /** (path, modificationTimeMs) of every DATA file under `dir`.
+    * Skips every underscore-prefixed subtree (`_manifest`, `_rollup`,
+    * `_index`, ...) — the same convention as [[LogSync.listParquet]]
+    * and Spark's own scans. Matching only `/_manifest` here would make
+    * [[vacuum]] delete other bookkeeping state as "orphans" and
+    * [[compact]] register it as data.
+    */
   private def listParquet(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new Path(dir), true)
+    val base = new Path(dir)
+    val it = fs.listFiles(base, true)
     val out = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      val p = f.getPath.toString
-      if (p.endsWith(".parquet") && !p.contains("/_manifest"))
-        out += ((p, f.getModificationTime))
+      val rel = fs.makeQualified(base).toUri.relativize(f.getPath.toUri).getPath
+      if (rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_")))
+        out += ((f.getPath.toString, f.getModificationTime))
     }
     out.result()
   }

@@ -27,18 +27,89 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, Timestam
   */
 object LogSync {
 
-  private def manifestPath(root: String) = s"$root/_manifest"
+  /** The manifest is VERSIONED: appends (sync) go to the current
+    * version dir; a rewrite (compaction, DML, tombstone purge) writes a
+    * whole new `_manifest_v<N+1>` dir and makes it visible with one
+    * atomic directory rename. Readers resolve the highest version at
+    * query time, so there is never a half-swapped manifest to read,
+    * and a stale plan (cached Dataset, in-flight query) keeps reading
+    * its old — consistent — version until vacuum ages it out, instead
+    * of crashing on deleted files. Single-writer per lake, like the
+    * reference's sync daemon (multi-writer needs a catalog CAS — the
+    * piece Iceberg's REST catalog provides and a bare filesystem
+    * cannot).
+    */
+  private val ManifestVersionRe = "_manifest_v([0-9]+)".r
 
+  private[sources] def manifestVersion(spark: SparkSession, root: String): Int = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root))) return 0
+    fs.listStatus(new Path(root)).flatMap { st =>
+      st.getPath.getName match {
+        case ManifestVersionRe(v) => Some(v.toInt)
+        case _ => None
+      }
+    }.foldLeft(0)((a, b) => math.max(a, b))
+  }
+
+  private[sources] def manifestPath(spark: SparkSession, root: String): String = {
+    val v = manifestVersion(spark, root)
+    if (v == 0) s"$root/_manifest" else s"$root/_manifest_v$v"
+  }
+
+  /** Replace the manifest wholesale: write `next` as version N+1 and
+    * flip it live with an atomic dir rename. The previous version's
+    * files are untouched (stale readers stay consistent) until
+    * [[LogCompact.vacuum]] removes aged-out versions.
+    */
+  private[sources] def swapManifest(spark: SparkSession, root: String,
+                                    next: DataFrame): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vNext = manifestVersion(spark, root) + 1
+    val staging = new Path(s"$root/_manifest_swap")
+    fs.delete(staging, true)
+    next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    require(fs.rename(staging, new Path(s"$root/_manifest_v$vNext")),
+      s"manifest swap rename failed under $root")
+  }
+
+  /** Data dirs of every manifest version EXCEPT the current one (the
+    * vacuum candidates), plus the legacy unversioned dir once versions
+    * exist.
+    */
+  private[sources] def staleManifestDirs(spark: SparkSession, root: String): Seq[Path] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = manifestVersion(spark, root)
+    if (cur == 0) return Seq.empty
+    val versioned = fs.listStatus(new Path(root)).toSeq.map(_.getPath).filter { p =>
+      p.getName match {
+        case ManifestVersionRe(v) => v.toInt < cur
+        case _ => false
+      }
+    }
+    val legacy = new Path(s"$root/_manifest")
+    versioned ++ (if (fs.exists(legacy)) Seq(legacy) else Seq.empty)
+  }
+
+  /** `removed_at` is the tombstone: null = active, non-null = the file
+    * was REPLACED (compaction / DML copy-on-write) at that instant and
+    * is no longer part of the table, but must stay known to [[sync]] —
+    * a replaced file is still on disk until vacuum, and a manifest that
+    * forgot it would re-register it on the next sync round,
+    * resurrecting its rows (Iceberg keeps the same knowledge as
+    * delete-file metadata).
+    */
   private val manifestSchema = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("registered_at", TimestampType, nullable = false),
     StructField("min_ts", TimestampType, nullable = true),
-    StructField("max_ts", TimestampType, nullable = true)))
+    StructField("max_ts", TimestampType, nullable = true),
+    StructField("removed_at", TimestampType, nullable = true)))
 
   /** Control-plane listing (the `mc find` analog). Returns raw FS
     * paths; everything downstream of this is distributed.
     */
-  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+  private[sources] def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(dir)
     if (!fs.exists(base)) return Seq.empty
@@ -56,22 +127,35 @@ object LogSync {
     out.result()
   }
 
-  private def hasManifest(spark: SparkSession, root: String): Boolean = {
-    val p = new Path(manifestPath(root))
+  private[sources] def hasManifest(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(manifestPath(spark, root))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def manifestDf(spark: SparkSession, root: String): DataFrame =
+  private[sources] def manifestDf(spark: SparkSession, root: String): DataFrame =
     if (hasManifest(spark, root)) {
-      // manifests written before file stats existed lack min_ts/max_ts;
-      // surface them as null (= "no stats, never prune this file")
-      val m = spark.read.parquet(manifestPath(root))
-      Seq("min_ts", "max_ts").foldLeft(m) { (df, c) =>
+      // manifests written before file stats / tombstones existed lack
+      // min_ts/max_ts/removed_at; surface them as null (= "no stats,
+      // never prune" / "active")
+      val m = spark.read.parquet(manifestPath(spark, root))
+      Seq("min_ts", "max_ts", "removed_at").foldLeft(m) { (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(TimestampType))
       }
     }
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
+
+  /** Manifest rows that are part of the table NOW (no tombstone). */
+  private[sources] def activeManifest(spark: SparkSession, root: String): DataFrame =
+    manifestDf(spark, root).filter(col("removed_at").isNull)
+
+  /** The current manifest, for inspection/ops: (path, registered_at,
+    * min_ts, max_ts, removed_at) — active rows plus tombstones awaiting
+    * vacuum. Resolves the current version; don't read the `_manifest*`
+    * dirs directly, a rewrite may have superseded them.
+    */
+  def manifest(spark: SparkSession, root: String): DataFrame =
+    manifestDf(spark, root)
 
   /** Canonical path form shared by the manifest and
     * `input_file_name()` (scheme spelling differs: `file:/x` vs
@@ -116,6 +200,9 @@ object LogSync {
   def sync(spark: SparkSession, root: String): Int = {
     import spark.implicits._
     val listed = listParquet(spark, root).toDF("path")
+    // diff against EVERY known path, tombstoned included: a replaced
+    // file is still on disk until vacuum, and treating it as new would
+    // resurrect its (compacted-away / deleted) rows
     val fresh = listed
       .join(manifestDf(spark, root).select(col("path")), Seq("path"), "left_anti")
       .cache()
@@ -125,8 +212,9 @@ object LogSync {
         fresh.withColumn("registered_at", current_timestamp())
           .join(statsFor(spark, root, freshPaths.toSeq),
             normPath(col("path")) === col("norm"), "left")
-          .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts"))
-          .write.mode(SaveMode.Append).parquet(manifestPath(root))
+          .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts"),
+            lit(null).cast(TimestampType).as("removed_at"))
+          .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
       }
       freshPaths.length
     } finally fresh.unpersist()
@@ -138,7 +226,7 @@ object LogSync {
     */
   private[sources] def registeredDataPaths(spark: SparkSession, root: String): DataFrame = {
     require(hasManifest(spark, root), s"no manifest under $root — run sync first")
-    spark.read.parquet(manifestPath(root)).select(col("path"))
+    activeManifest(spark, root).select(col("path"))
   }
 
   /** Registered files as a DataFrame filtered to a snapshot bound —
@@ -147,8 +235,16 @@ object LogSync {
   private def registeredPaths(spark: SparkSession, root: String,
                               asOf: Option[java.sql.Timestamp]): DataFrame = {
     require(hasManifest(spark, root), s"no manifest under $root — run sync first")
-    val m = spark.read.parquet(manifestPath(root))
-    val bounded = asOf.map(ts => m.filter(col("registered_at") <= lit(ts))).getOrElse(m)
+    val m = manifestDf(spark, root)
+    // a snapshot sees the files registered by then and not yet replaced
+    // by then — tombstones make time travel survive compaction/DML (the
+    // replaced files are still on disk until vacuum, which is the
+    // travel horizon)
+    val bounded = asOf match {
+      case Some(ts) => m.filter(col("registered_at") <= lit(ts) &&
+        (col("removed_at").isNull || col("removed_at") > lit(ts)))
+      case None => m.filter(col("removed_at").isNull)
+    }
     bounded.select(normPath(col("path")).as("__registered_path"))
   }
 
@@ -186,10 +282,13 @@ object LogSync {
   def tableMerged(spark: SparkSession, root: String): DataFrame =
     filteredTable(spark, root, None, mergeSchema = true)
 
-  /** Time travel: the table as of a past registration instant — the
-    * files whose `registered_at` ≤ the given timestamp. Snapshot reads
-    * are what the reference gets from Iceberg; the manifest's
-    * registration times give the same capability over raw parquet.
+  /** Time travel: the table as of a past instant — the files
+    * registered by then and not tombstoned by then. Snapshot reads are
+    * what the reference gets from Iceberg; the manifest's
+    * registration/removal times give the same capability over raw
+    * parquet, across compaction and DML rewrites, until
+    * [[LogCompact.vacuum]] deletes the replaced files (= snapshot
+    * expiry: the travel horizon is the vacuum retention).
     */
   def tableAsOf(spark: SparkSession, root: String, ts: java.sql.Timestamp): DataFrame =
     filteredTable(spark, root, Some(ts))
@@ -218,7 +317,7 @@ object LogSync {
                    fromIso: String, untilIso: String): DataFrame = {
     val (from, until) = (isoTs(fromIso), isoTs(untilIso))
     require(hasManifest(spark, root), s"no manifest under $root — run sync first")
-    val paths = manifestDf(spark, root)
+    val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until))
       .select(normPath(col("path")).as("__registered_path"))
     spark.read.option("basePath", root).parquet(root)
@@ -234,7 +333,7 @@ object LogSync {
     */
   def statsPruneCounts(spark: SparkSession, root: String,
                        fromIso: String, untilIso: String): (Long, Long) = {
-    val m = manifestDf(spark, root)
+    val m = activeManifest(spark, root)
     val kept = m.filter(zoneMapKeep(isoTs(fromIso), isoTs(untilIso))).count()
     (kept, m.count())
   }

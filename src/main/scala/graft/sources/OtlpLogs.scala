@@ -141,12 +141,14 @@ object OtlpLogs {
                        severityNumber: Column, body: Column,
                        traceId: Column, spanId: Column,
                        scopeVersion: Column = lit("1.0"),
-                       scopeAttrs: Seq[(String, Column)] = Nil): Column =
+                       scopeAttrs: Seq[(String, Column)] = Nil,
+                       extraResourceAttrs: Seq[(String, Column)] = Nil): Column =
     to_json(struct(
       array(struct(
-        struct(array(struct(
-          lit("service.name").as("key"),
-          struct(serviceName.as("stringValue")).as("value"))).as("attributes")).as("resource"),
+        struct(array(
+          (("service.name", serviceName) +: extraResourceAttrs).map { case (k, v) =>
+            struct(lit(k).as("key"), struct(v.as("stringValue")).as("value"))
+          }: _*).as("attributes")).as("resource"),
         array(struct(
           struct(
             (Seq(lit("graft").as("name"), scopeVersion.as("version")) ++

@@ -118,7 +118,7 @@ class LakeSpec extends SparkSpec {
     } finally q2.stop()
     // streaming registration records zone-map stats too: every
     // manifest entry written by LakeIngest carries min/max timestamps
-    val manifest = spark.read.parquet(s"$root/_manifest")
+    val manifest = graft.sources.LogSync.manifest(spark, root)
     assert(manifest.filter(col("min_ts").isNull || col("max_ts").isNull).count() == 0,
       "streaming-registered files must carry timestamp zone-maps")
   }
@@ -152,12 +152,33 @@ class LakeSpec extends SparkSpec {
       .write.mode("append").parquet(root)
     write(200, "sa"); write(200, "sa")
     graft.sources.LogSync.sync(spark, root)
+    // bookkeeping state under an underscore dir (the Rollup layout):
+    // compaction must not register it as data, vacuum must not delete
+    // it as an orphan
+    spark.range(5).toDF("k").write.parquet(s"$root/_rollup/v1/agg")
     val beforeRows = graft.sources.LogSync.table(spark, root).count()
+    Thread.sleep(50) // clock margin: registration < preCompact < compaction
+    val preCompact = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(50)
     val stats = graft.sources.LogCompact.compact(spark, root)
     assert(stats.filesBefore > stats.filesAfter,
       s"expected consolidation, got $stats")
     assert(graft.sources.LogSync.table(spark, root).count() == beforeRows,
       "compaction must not change the table")
+    // THE resurrection guard: the replaced files are still on disk, and
+    // a sync daemon round landing between compact and vacuum must not
+    // re-register them (that would double every row). Tombstones keep
+    // them known.
+    assert(graft.sources.LogSync.sync(spark, root) == 0,
+      "sync between compact and vacuum must not re-register replaced files")
+    assert(graft.sources.LogSync.table(spark, root).count() == beforeRows,
+      "a sync round must not resurrect compacted-away files")
+    // tombstones also keep pre-compaction snapshots readable (Iceberg
+    // snapshot semantics): a timestamp taken BEFORE the compaction
+    // resolves to the old file set — the consolidated files are
+    // registered later, so every row here comes from replaced files
+    assert(graft.sources.LogSync.tableAsOf(spark, root, preCompact).count() == beforeRows,
+      "time travel across compaction must keep working until vacuum")
     // replaced files still on disk (in-flight reader grace) until vacuum;
     // the DEFAULT grace protects anything recently written (all of these
     // files are seconds old), so a concurrent-ingest vacuum deletes nothing
@@ -169,6 +190,11 @@ class LakeSpec extends SparkSpec {
       "vacuum must not touch registered files")
     assert(graft.sources.LogSync.sync(spark, root) == 0,
       "post-compaction lake is fully registered")
+    assert(spark.read.parquet(s"$root/_rollup/v1/agg").count() == 5,
+      "zero-grace vacuum must leave underscore bookkeeping dirs intact")
+    assert(graft.sources.LogSync.manifest(spark, root)
+      .filter(col("path").contains("/_")).count() == 0,
+      "compaction must not register bookkeeping parquet as data")
   }
 
   test("sessionizeNative: built-in session_window matches the batch sessionizer") {
