@@ -114,7 +114,11 @@ object SparkEntry {
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
     "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
-    "lake_rollup"         -> (LakeAnalytics.rollup _)
+    "lake_rollup"         -> (LakeAnalytics.rollup _),
+    "logs_funnel"         -> ((s: SparkSession, d: String) => Behavior.funnel(s, d)),
+    "logs_retention"      -> (Behavior.retention _),
+    "logs_gap_fill"       -> ((s: SparkSession, d: String) => Behavior.gapFill(s, d)),
+    "logs_patterns"       -> ((s: SparkSession, d: String) => Behavior.patterns(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -799,6 +803,47 @@ object SparkEntry {
         |    ORDER BY list_dot_product(q.qv,n.v)/(q.qn*n.nrm) DESC, n.vec_id) AS rank
         | FROM q JOIN n ON n.vec_id <> q.q_id)
         |SELECT q_id, vec_id, rank, round(cos,4) AS cos
-        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "logs_funnel" ->
+      """WITH s1 AS (SELECT user_id,
+        |  min(ts) FILTER (WHERE event_type = 'view') AS t1 FROM events GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        | FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |   AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        | GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        | FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |   AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 24 HOUR
+        | GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |       count(*) AS n_users
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort FROM ud),
+        |f AS (SELECT cohort, user_id,
+        |   max(CASE WHEN day = cohort + 1 THEN 1 ELSE 0 END) AS f1,
+        |   max(CASE WHEN day = cohort + 7 THEN 1 ELSE 0 END) AS f7
+        | FROM c GROUP BY cohort, user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, count(*) AS n_users,
+        |  CAST(sum(f1) AS BIGINT) AS d1, CAST(sum(f7) AS BIGINT) AS d7
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_gap_fill" ->
+      """WITH axis AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 5 MINUTE, INTERVAL 5 MINUTE)) AS b),
+        |cnt AS (SELECT
+        |  make_timestamp(CAST(floor(epoch_us(ts)/300000000)*300000000 AS BIGINT)) AS b,
+        |  count(*) AS cnt FROM events
+        | WHERE event_type = 'signup' AND ts >= TIMESTAMP '2024-01-05'
+        |   AND ts < TIMESTAMP '2024-01-08'
+        | GROUP BY 1)
+        |SELECT strftime(axis.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       CAST(coalesce(cnt.cnt, 0) AS BIGINT) AS n
+        |FROM axis LEFT JOIN cnt ON axis.b = cnt.b ORDER BY 1""".stripMargin,
+    "logs_patterns" ->
+      """SELECT regexp_replace(event_type || ' ' || props, '[0-9]+', '#', 'g') AS template,
+        |       count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY n DESC, template LIMIT 20""".stripMargin
   )
 }
