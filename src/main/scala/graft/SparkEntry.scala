@@ -118,7 +118,9 @@ object SparkEntry {
     "logs_funnel"         -> ((s: SparkSession, d: String) => Behavior.funnel(s, d)),
     "logs_retention"      -> (Behavior.retention _),
     "logs_gap_fill"       -> ((s: SparkSession, d: String) => Behavior.gapFill(s, d)),
-    "logs_patterns"       -> ((s: SparkSession, d: String) => Behavior.patterns(s, d))
+    "logs_patterns"       -> ((s: SparkSession, d: String) => Behavior.patterns(s, d)),
+    "bpe_pairs"           -> ((s: SparkSession, d: String) => Bpe.pairs(s, d)),
+    "bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -844,6 +846,15 @@ object SparkEntry {
     "logs_patterns" ->
       """SELECT regexp_replace(event_type || ' ' || props, '[0-9]+', '#', 'g') AS template,
         |       count(*) AS n, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY n DESC, template LIMIT 20""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY n DESC, template LIMIT 20""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> len(x) > 0)) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |p AS (SELECT substring(word, i, 2) AS pair, cnt
+        |  FROM v, unnest(generate_series(1, len(word)-1)) AS t(i)
+        |  WHERE len(word) >= 2)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
   )
 }

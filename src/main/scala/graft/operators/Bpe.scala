@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distributed BPE (byte-pair-encoding) tokenizer training primitives
+  * over `documents` — the missing piece between corpus curation and the
+  * tokenizer job a training pipeline hands its shards to.
+  *
+  * The scale structure is the classic one (Sennrich et al. 2016 applied
+  * distributed): the CORPUS is touched exactly once, collapsing to the
+  * word histogram (vocabulary × count). Everything iterative — pair
+  * counting, merge selection, merge application — runs on the
+  * vocabulary, whose cardinality is millions at any corpus size (Heaps'
+  * law), i.e. a control-plane-sized table that fits one executor wave.
+  * A 100 TB corpus costs one scan + one word shuffle; each merge round
+  * is an aggregate over the cached vocabulary.
+  */
+object Bpe {
+
+  /** Letter-run words of the corpus with frequencies — the one
+    * corpus-cardinality operation (scan + word-keyed shuffle with
+    * map-side partial counts).
+    */
+  private[operators] def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Frequency-weighted adjacent character-pair counts — BPE training
+    * round 1's candidate table (and the contract query: top pairs by
+    * weight). Pair fan-out runs on VOCABULARY rows (each word explodes
+    * into len-1 pairs, weighted by the word's corpus count), so the
+    * expensive corpus never re-shuffles; the final aggregate is
+    * pair-cardinality (≤ 26², trivially).
+    */
+  def pairs(spark: SparkSession, dir: String, limit: Int = 50): DataFrame =
+    vocab(spark, dir)
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"),
+        col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(limit)
+
+  /** Learn the first `nMerges` BPE merges. Each round: count adjacent
+    * symbol pairs over the cached vocabulary (weighted by word count),
+    * pick the most frequent (ties broken lexicographically, so the
+    * merge table is deterministic across partitionings and engines),
+    * and apply the merge with a greedy left-to-right pass inside each
+    * word's symbol array.
+    *
+    * Driver crossing per round = ONE (pair, count) row — control
+    * plane. The merge pass is a higher-order `aggregate` over the
+    * symbol array; interpreted, but it runs on vocabulary rows, not
+    * corpus rows, which is why this is acceptable here and would not
+    * be in a per-document hot path (round-1 lesson, SURVEY §7.5).
+    *
+    * Returns the merge table: (rank, left, right, n) — the artifact a
+    * tokenizer ships.
+    */
+  def train(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import spark.implicits._
+    var syms = vocab(spark, dir)
+      .select(expr("transform(split(word, ''), c -> c)").as("syms"), col("cnt"))
+      .filter(size(col("syms")) >= 2)
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < nMerges) {
+      val top = syms
+        .select(explode(expr(
+          """transform(sequence(1, size(syms)-1),
+            |  i -> struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
+            .stripMargin)).as("p"), col("cnt"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) { rank = nMerges }
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, n))
+        // greedy left-to-right merge of (l, r) within each symbol array;
+        // a freshly created merged symbol does not re-merge with the
+        // next symbol in the same pass (standard BPE single-pass rule:
+        // the guard checks the PRE-merge element, so "aaa" -> [aa, a])
+        val merged = syms.withColumn("syms", expr(
+          s"""aggregate(syms, struct(CAST(array() AS array<string>) AS acc, false AS justMerged),
+             |  (st, s) -> CASE WHEN NOT st.justMerged AND size(st.acc) > 0
+             |      AND element_at(st.acc, -1) = '$l' AND s = '$r'
+             |    THEN struct(concat(slice(st.acc, 1, size(st.acc)-1), array('$l' || '$r')), true)
+             |    ELSE struct(concat(st.acc, array(s)), false) END,
+             |  st -> st.acc)""".stripMargin))
+          .filter(size(col("syms")) >= 2)
+          .cache()
+        merged.count() // materialize before dropping the parent
+        syms.unpersist()
+        syms = merged
+        rank += 1
+      }
+    }
+    syms.unpersist()
+    merges.result().toDF("rank", "left", "right", "n")
+      .orderBy(col("rank"))
+  }
+}
