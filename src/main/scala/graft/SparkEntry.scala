@@ -120,7 +120,8 @@ object SparkEntry {
     "logs_gap_fill"       -> ((s: SparkSession, d: String) => Behavior.gapFill(s, d)),
     "logs_patterns"       -> ((s: SparkSession, d: String) => Behavior.patterns(s, d)),
     "bpe_pairs"           -> ((s: SparkSession, d: String) => Bpe.pairs(s, d)),
-    "bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d))
+    "bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d)),
+    "lake_cluster"        -> (LakeAnalytics.clusterWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -855,6 +856,12 @@ object SparkEntry {
         |  FROM v, unnest(generate_series(1, len(word)-1)) AS t(i)
         |  WHERE len(word) >= 2)
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
-        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "lake_cluster" ->
+      """SELECT event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE user_id % 10 = 3
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -226,4 +226,52 @@ object LakeAnalytics {
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
+
+  private val clusterBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake that grew WITHOUT a useful layout and was then re-clustered
+    * in place: the same payloads written FLAT (no partition dirs,
+    * arrival-shuffled so no file is service- or time-local — the shape
+    * of a lake ingested before anyone thought about query patterns),
+    * synced, then rewritten once by [[LogCompact.compact]] with
+    * `clusterBy = (service_name, timestamp)`. After the rewrite each
+    * file covers one service's contiguous time slice, and the
+    * manifest's dual zone maps make [[LogSync.tableFor]] prune like a
+    * partition layout would — the Iceberg clustered-rewrite story for
+    * the 100 TB lake you cannot afford to re-partition by directory.
+    * File size is capped small here so the test-scale lake has enough
+    * files for pruning to be observable.
+    */
+  private[graft] def clusteredRoot(spark: SparkSession, dir: String): String =
+    clusterBuilt.computeIfAbsent(dir, _ => {
+      val root = s"/tmp/graft_lakeclu_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        OtlpLogs.parse(payloads(spark, dir), col("payload"))
+          .repartition(24) // deliberate arrival-order interleave
+          .write.parquet(root)
+        LogSync.sync(spark, root)
+        graft.sources.LogCompact.compact(spark, root,
+          maxRecordsPerFile = 1000, layout = Some(Seq.empty),
+          clusterBy = Some(Seq("service_name", "timestamp")))
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** Severity counts for one service × 10-day window on the
+    * RE-CLUSTERED flat lake via [[LogSync.tableFor]] — both zone maps
+    * (service and time) prune the file set before the scan; the
+    * hash-match certifies pruning never drops a row, the spec asserts
+    * the kept-file fraction actually fell.
+    */
+  def clusterWindow(spark: SparkSession, dir: String): DataFrame =
+    LogSync.tableFor(spark, clusteredRoot(spark, dir),
+        "svc-3", "2024-01-10", "2024-01-20")
+      .groupBy(col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("severity_text"))
 }

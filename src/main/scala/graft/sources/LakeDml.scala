@@ -83,28 +83,19 @@ object LakeDml {
     val listed = LogSync.listParquet(spark, root).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    val stamped = freshPaths.toSeq.toDF("path")
-      .withColumn("registered_at", current_timestamp())
-    val fresh = (if (freshPaths.isEmpty)
-      stamped.withColumn("min_ts", lit(null).cast("timestamp"))
-        .withColumn("max_ts", lit(null).cast("timestamp"))
-    else
-      stamped.join(LogSync.statsFor(spark, root, freshPaths.toSeq),
-        LogSync.normPath(col("path")) === col("norm"), "left")
-        .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts")))
-      .withColumn("removed_at", lit(null).cast("timestamp"))
+    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq)
 
     // rewritten files are TOMBSTONED, not forgotten — they stay on disk
     // until vacuum, and a forgotten path would be re-registered (rows
     // resurrected) by the next sync round
-    val manifestCols = Seq("path", "registered_at", "min_ts", "max_ts", "removed_at")
+    val manifestCols = fresh.columns.toSeq
     val next = before
       .withColumn("removed_at",
         when(LogSync.normPath(col("path")).isin(affectedSrcs: _*) &&
           col("removed_at").isNull, current_timestamp())
           .otherwise(col("removed_at")))
       .select(manifestCols.map(col): _*)
-      .union(fresh.select(manifestCols.map(col): _*))
+      .union(fresh)
     // versioned swap: new readers flip atomically; a plan holding the
     // old manifest version (a cached Dataset) keeps its consistent
     // pre-DML snapshot until vacuum ages the version out

@@ -62,10 +62,25 @@ object LogCompact {
     * (plus `maxRecordsPerFile` splits) and point the manifest at the
     * new files only. The on-disk partition layout is preserved
     * ([[inferLayout]]); pass `layout` to re-partition deliberately.
+    *
+    * `clusterBy` chooses the WITHIN-LAYOUT clustering order (default:
+    * `timestamp`). On an unpartitioned lake, range-partitioning on
+    * e.g. `(service_name, timestamp)` gives the output files disjoint
+    * lexicographic (service, time) slices, so BOTH manifest zone maps
+    * ([[LogSync.tableFor]]) become selective — the Iceberg sorted/
+    * clustered rewrite. Hierarchical sort, not bit-interleaved
+    * Z-order, is the right clustering for this workload: log queries
+    * are service-EQUALITY × time-RANGE, which lexicographic order
+    * serves optimally (each file covers one service's contiguous time
+    * slice; a time-only query still prunes to the window fraction
+    * within every service run). Z-order wins only when independent
+    * RANGE predicates on several columns must all prune, which is not
+    * the log-analytics shape.
     */
   def compact(spark: SparkSession, root: String,
               maxRecordsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile,
-              layout: Option[Seq[String]] = None): CompactStats = {
+              layout: Option[Seq[String]] = None,
+              clusterBy: Option[Seq[String]] = None): CompactStats = {
     require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
 
     val before = LogSync.manifestDf(spark, root).cache()
@@ -76,24 +91,28 @@ object LogCompact {
     // output files are not re-read.
     val t = LogSync.table(spark, root)
     val partCols = layout.getOrElse(inferLayout(spark, root)).filter(t.columns.contains)
-    val hasTs = t.columns.contains("timestamp")
-    // cluster by time while rewriting: range partitioning gives the
-    // output files DISJOINT timestamp ranges (and the in-partition sort
+    val clusterCols = clusterBy
+      .getOrElse(if (t.columns.contains("timestamp")) Seq("timestamp") else Seq.empty)
+      .filter(t.columns.contains)
+    // cluster while rewriting: range partitioning gives the output
+    // files DISJOINT clusterCols ranges (and the in-partition sort
     // keeps maxRecordsPerFile splits disjoint too), so the manifest
-    // zone-maps written below prune a time-window query to ~the files
-    // that actually overlap it — compaction doubles as the
+    // zone-maps written below prune a window/service query to ~the
+    // files that actually overlap it — compaction doubles as the
     // data-clustering pass (Iceberg's sorted rewrite)
     val consolidated =
       if (partCols.nonEmpty) {
         val re = t.repartition(partCols.map(col): _*)
-        if (hasTs) re.sortWithinPartitions((partCols :+ "timestamp").map(col): _*) else re
+        if (clusterCols.nonEmpty)
+          re.sortWithinPartitions((partCols ++ clusterCols).map(col): _*)
+        else re
       } else {
         // unpartitioned lake: size the output file count to
         // maxRecordsPerFile instead of partition dirs
         val target = math.max(1L, (t.count() + maxRecordsPerFile - 1) / maxRecordsPerFile)
-        if (hasTs)
-          t.repartitionByRange(target.toInt, col("timestamp"))
-            .sortWithinPartitions(col("timestamp"))
+        if (clusterCols.nonEmpty)
+          t.repartitionByRange(target.toInt, clusterCols.map(col): _*)
+            .sortWithinPartitions(clusterCols.map(col): _*)
         else t.repartition(target.toInt)
       }
     consolidated
@@ -114,27 +133,15 @@ object LogCompact {
     val listed = listParquet(spark, root).map(_._1).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    val stamped = freshPaths.toSeq.toDF("path")
-      .withColumn("registered_at", current_timestamp())
-    // empty rewrite (zero-row table → no part files): statsFor would
-    // pass zero paths to spark.read.parquet, which throws
-    val fresh = (if (freshPaths.isEmpty)
-      stamped.withColumn("min_ts", lit(null).cast("timestamp"))
-        .withColumn("max_ts", lit(null).cast("timestamp"))
-    else
-      stamped.join(LogSync.statsFor(spark, root, freshPaths.toSeq),
-        LogSync.normPath(col("path")) === col("norm"), "left")
-        .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts")))
-      .withColumn("removed_at", lit(null).cast("timestamp"))
-      .cache()
+    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq).cache()
     val filesAfter = fresh.count()
 
-    val manifestCols = Seq("path", "registered_at", "min_ts", "max_ts", "removed_at")
+    val manifestCols = fresh.columns.toSeq
     val next = before
       .withColumn("removed_at",
         when(col("removed_at").isNull, current_timestamp()).otherwise(col("removed_at")))
       .select(manifestCols.map(col): _*)
-      .union(fresh.select(manifestCols.map(col): _*))
+      .union(fresh)
     // versioned swap: new readers resolve the new manifest atomically;
     // plans already holding the old version (cached Datasets, running
     // queries) keep reading it — a consistent pre-compaction snapshot —

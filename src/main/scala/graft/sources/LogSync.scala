@@ -104,7 +104,18 @@ object LogSync {
     StructField("registered_at", TimestampType, nullable = false),
     StructField("min_ts", TimestampType, nullable = true),
     StructField("max_ts", TimestampType, nullable = true),
+    StructField("min_svc", StringType, nullable = true),
+    StructField("max_svc", StringType, nullable = true),
     StructField("removed_at", TimestampType, nullable = true)))
+
+  /** Stat columns carried per manifest row. Two dimensions: the time
+    * axis every log query filters on, and the service axis
+    * (`service_name` min/max — useful exactly when service is NOT a
+    * partition directory, e.g. a flat or re-clustered lake). Stats are
+    * nullable; a null means "no stats, never prune" so old manifests
+    * and stat-less lakes stay sound.
+    */
+  private[sources] val StatCols = Seq("min_ts", "max_ts", "min_svc", "max_svc")
 
   /** Control-plane listing (the `mc find` analog). Returns raw FS
     * paths; everything downstream of this is distributed.
@@ -135,12 +146,16 @@ object LogSync {
   private[sources] def manifestDf(spark: SparkSession, root: String): DataFrame =
     if (hasManifest(spark, root)) {
       // manifests written before file stats / tombstones existed lack
-      // min_ts/max_ts/removed_at; surface them as null (= "no stats,
-      // never prune" / "active")
-      val m = spark.read.parquet(manifestPath(spark, root))
-      Seq("min_ts", "max_ts", "removed_at").foldLeft(m) { (df, c) =>
-        if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(TimestampType))
+      // min_ts/max_ts/min_svc/max_svc/removed_at; surface them as null
+      // (= "no stats, never prune" / "active"). mergeSchema because a
+      // manifest dir can legitimately hold a mix of old- and new-schema
+      // row files after an upgrade (sync appends); manifest dirs are
+      // file-count-bounded, so reading every footer is control-plane
+      // cost, unlike the data-path mergeSchema caveat on tableMerged.
+      val m = spark.read.option("mergeSchema", "true").parquet(manifestPath(spark, root))
+      manifestSchema.fields.drop(2).foldLeft(m) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
       }
     }
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
@@ -179,16 +194,48 @@ object LogSync {
                                 paths: Seq[String]): DataFrame = {
     import spark.implicits._
     val probe = spark.read.option("basePath", root).parquet(paths: _*)
-    if (probe.columns.contains("timestamp") &&
-        probe.schema("timestamp").dataType == TimestampType) {
+    def has(c: String, t: org.apache.spark.sql.types.DataType): Boolean =
+      probe.columns.contains(c) && probe.schema(c).dataType == t
+    val ts = if (has("timestamp", TimestampType)) col("timestamp")
+             else lit(null).cast(TimestampType)
+    val svc = if (has("service_name", StringType)) col("service_name")
+              else lit(null).cast(StringType)
+    if (has("timestamp", TimestampType) || has("service_name", StringType)) {
       probe
         .groupBy(normPath(col("_metadata.file_path")).as("norm"))
-        .agg(min(col("timestamp")).as("min_ts"), max(col("timestamp")).as("max_ts"))
+        .agg(min(ts).as("min_ts"), max(ts).as("max_ts"),
+             min(svc).as("min_svc"), max(svc).as("max_svc"))
     } else {
       paths.toDF("p").select(normPath(col("p")).as("norm"),
         lit(null).cast(TimestampType).as("min_ts"),
-        lit(null).cast(TimestampType).as("max_ts"))
+        lit(null).cast(TimestampType).as("max_ts"),
+        lit(null).cast(StringType).as("min_svc"),
+        lit(null).cast(StringType).as("max_svc"))
     }
+  }
+
+  /** Fully-statted manifest rows for this round's new files — the
+    * stamping step shared by [[sync]], [[LogCompact.compact]] and
+    * [[graft.sources.LakeDml]] (one place to extend when a stat column
+    * is added). `paths` is always a bounded, driver-resident list (new
+    * files of one round / one rewrite).
+    */
+  private[sources] def freshManifestRows(spark: SparkSession, root: String,
+                                         paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val stamped = paths.toDF("path")
+      .withColumn("registered_at", current_timestamp())
+    val statted =
+      if (paths.isEmpty)
+        StatCols.foldLeft(stamped) { (df, c) =>
+          df.withColumn(c, lit(null).cast(manifestSchema(c).dataType))
+        }
+      else
+        stamped.join(statsFor(spark, root, paths),
+          normPath(col("path")) === col("norm"), "left")
+    statted
+      .withColumn("removed_at", lit(null).cast(TimestampType))
+      .select(manifestSchema.fieldNames.map(col).toSeq: _*)
   }
 
   /** One sync round: returns the number of newly registered files.
@@ -209,11 +256,7 @@ object LogSync {
     try {
       val freshPaths = fresh.as[String].collect() // this round's new files only
       if (freshPaths.nonEmpty) {
-        fresh.withColumn("registered_at", current_timestamp())
-          .join(statsFor(spark, root, freshPaths.toSeq),
-            normPath(col("path")) === col("norm"), "left")
-          .select(col("path"), col("registered_at"), col("min_ts"), col("max_ts"),
-            lit(null).cast(TimestampType).as("removed_at"))
+        freshManifestRows(spark, root, freshPaths.toSeq)
           .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
       }
       freshPaths.length
@@ -335,6 +378,49 @@ object LogSync {
                        fromIso: String, untilIso: String): (Long, Long) = {
     val m = activeManifest(spark, root)
     val kept = m.filter(zoneMapKeep(isoTs(fromIso), isoTs(untilIso))).count()
+    (kept, m.count())
+  }
+
+  /** Service-equality keep predicate over the service zone map: a file
+    * whose [min_svc, max_svc] range cannot contain `service` never
+    * reaches the scan. On a (service, timestamp)-clustered lake
+    * ([[LogCompact.compact]] `clusterBy`) each file covers ~one
+    * service, so this prunes like a partition directory would — without
+    * the directory.
+    */
+  private def svcKeep(service: Column): Column =
+    col("min_svc").isNull || (service >= col("min_svc") && service <= col("max_svc"))
+
+  /** Registered rows for ONE service in a time window, file-pruned by
+    * BOTH manifest zone maps (service min/max AND timestamp min/max)
+    * before the scan semi-join — the two-dimensional data-skipping
+    * read. Row-level filters still apply on top (files can straddle
+    * either boundary), so pruning is sound by construction: it only
+    * ever removes files the row filter would empty anyway.
+    */
+  def tableFor(spark: SparkSession, root: String, service: String,
+               fromIso: String, untilIso: String): DataFrame = {
+    val (from, until) = (isoTs(fromIso), isoTs(untilIso))
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val paths = activeManifest(spark, root)
+      .filter(zoneMapKeep(from, until) && svcKeep(lit(service)))
+      .select(normPath(col("path")).as("__registered_path"))
+    spark.read.option("basePath", root).parquet(root)
+      .withColumn("__src", normPath(col("_metadata.file_path")))
+      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+      .drop("__src")
+      .filter(col("service_name") === service &&
+        col("timestamp") >= from && col("timestamp") < until)
+  }
+
+  /** (kept, total) registered files [[tableFor]] would scan — the
+    * two-dimensional pruning observable.
+    */
+  def forPruneCounts(spark: SparkSession, root: String, service: String,
+                     fromIso: String, untilIso: String): (Long, Long) = {
+    val m = activeManifest(spark, root)
+    val kept = m.filter(zoneMapKeep(isoTs(fromIso), isoTs(untilIso)) &&
+      svcKeep(lit(service))).count()
     (kept, m.count())
   }
 
