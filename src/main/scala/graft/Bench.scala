@@ -23,6 +23,9 @@ object Bench {
       // lake_*/q23 timings measure the query, not the one-time
       // ingest/registration/bucketed rewrite
       graft.operators.LakeAnalytics.lakeRoot(spark, sfDir)
+      graft.operators.LakeAnalytics.dmlRoot(spark, sfDir)
+      graft.operators.LakeAnalytics.clusteredRoot(spark, sfDir)
+      graft.operators.LakeAnalytics.changesRoot(spark, sfDir)
       graft.sources.Bucketing.ensure(spark, sfDir)
       graft.operators.IvfIndex.ensure(spark, sfDir)
     } catch { case _: Throwable => () }

@@ -121,7 +121,16 @@ object SparkEntry {
     "logs_patterns"       -> ((s: SparkSession, d: String) => Behavior.patterns(s, d)),
     "bpe_pairs"           -> ((s: SparkSession, d: String) => Bpe.pairs(s, d)),
     "bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d)),
-    "lake_cluster"        -> (LakeAnalytics.clusterWindow _)
+    "lake_cluster"        -> (LakeAnalytics.clusterWindow _),
+    "logs_histogram"      -> ((s: SparkSession, d: String) => LogAnalytics.histogram(s, d)),
+    "corpus_stats"        -> (Curation.corpusStats _),
+    "text_toxicity"       -> ((s: SparkSession, d: String) => TrainPrep.toxicity(s, d)),
+    "text_line_dedup"     -> ((s: SparkSession, d: String) => TrainPrep.lineDedup(s, d)),
+    "ann_filtered"        -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
+    "q25_full_outer"      -> (Relational.q25FullOuter _),
+    "lake_changes"        -> (LakeAnalytics.changes _),
+    "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
+    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -862,6 +871,83 @@ object SparkEntry {
         |FROM events
         |WHERE user_id % 10 = 3
         |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logs_histogram" ->
+      """SELECT event_type, CAST(floor(value/25.0) AS BIGINT) AS bin,
+        | round(CAST(floor(value/25.0) AS BIGINT)*25.0, 2) AS lo,
+        | round((CAST(floor(value/25.0) AS BIGINT)+1)*25.0, 2) AS hi,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "corpus_stats" ->
+      """WITH d AS (SELECT source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS toks
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_toks,
+        | min(toks) AS min_toks, round(avg(toks),4) AS mean_toks,
+        | round(quantile_cont(toks,0.5),4) AS median_toks,
+        | round(quantile_cont(toks,0.9),4) AS p90_toks, max(toks) AS max_toks
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_toxicity" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
+        | FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n_tokens,
+        |  len(list_filter(tk, x -> list_contains(['slow','crash','kill'], x))) AS n_flagged
+        | FROM t)
+        |SELECT doc_id, n_tokens, n_flagged,
+        | round(CAST(n_flagged AS DOUBLE)/greatest(n_tokens,1), 4) AS flag_frac,
+        | (CAST(n_flagged AS DOUBLE)/greatest(n_tokens,1) <= 0.02) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_line_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' please subscribe to our newsletter today'
+        |  ELSE text END AS a FROM documents),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(a),'\s+'), x->len(x)>0) AS t FROM aug),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |lines AS (SELECT doc_id, (i-1)//5 AS line_id,
+        |  string_agg(w, ' ' ORDER BY i) AS line FROM tok GROUP BY 1,2),
+        |heavy AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+        |  FROM lines GROUP BY 1) WHERE df >= 3),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM heavy)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM lines GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |  md5(string_agg(line, ' ' ORDER BY line_id)) AS scrub_md5 FROM kept GROUP BY 1)
+        |SELECT t.doc_id, t.n_lines,
+        | CAST(t.n_lines - coalesce(ka.n_kept,0) AS BIGINT) AS n_dropped,
+        | coalesce(ka.scrub_md5, md5('')) AS scrub_md5
+        |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x->CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v,v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+        |  FROM n WHERE vec_id < 10),
+        |ranked AS (
+        | SELECT q.q_id, n.label, n.vec_id,
+        |  list_dot_product(q.qv,n.v)/(q.qn*n.nrm) AS cos,
+        |  row_number() OVER (PARTITION BY q.q_id
+        |    ORDER BY list_dot_product(q.qv,n.v)/(q.qn*n.nrm) DESC, n.vec_id) AS rank
+        | FROM q JOIN n ON n.label = q.q_label AND n.vec_id <> q.q_id)
+        |SELECT q_id, label, vec_id, rank, round(cos,4) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q25_full_outer" ->
+      """WITH e AS (SELECT CAST(floor(value/5) AS BIGINT) AS bin, count(*) AS n_error
+        |  FROM events WHERE event_type='error' GROUP BY 1),
+        |p AS (SELECT CAST(floor(value/5) AS BIGINT) AS bin, count(*) AS n_purchase
+        |  FROM events WHERE event_type='purchase' GROUP BY 1)
+        |SELECT coalesce(e.bin, p.bin) AS bin,
+        | coalesce(e.n_error, 0) AS n_error,
+        | coalesce(p.n_purchase, 0) AS n_purchase,
+        | (e.bin IS NULL OR p.bin IS NULL) AS one_sided
+        |FROM e FULL OUTER JOIN p ON e.bin = p.bin
+        |ORDER BY bin""".stripMargin,
+    "lake_changes" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

@@ -47,6 +47,20 @@ object Bpe {
       .orderBy(col("n").desc, col("pair"))
       .limit(limit)
 
+  /** Greedy left-to-right application of ONE merge (l, r) to a `syms`
+    * symbol array; a freshly created merged symbol does not re-merge
+    * with the next symbol in the same pass (standard BPE single-pass
+    * rule: the guard checks the PRE-merge element, so "aaa" → [aa, a]).
+    * `l`/`r` are letter-run substrings ([a-z]+), safe to inline.
+    */
+  private def mergeExpr(l: String, r: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(syms, struct(CAST(array() AS array<string>) AS acc, false AS justMerged),
+       |  (st, s) -> CASE WHEN NOT st.justMerged AND size(st.acc) > 0
+       |      AND element_at(st.acc, -1) = '$l' AND s = '$r'
+       |    THEN struct(concat(slice(st.acc, 1, size(st.acc)-1), array('$l' || '$r')), true)
+       |    ELSE struct(concat(st.acc, array(s)), false) END,
+       |  st -> st.acc)""".stripMargin)
+
   /** Learn the first `nMerges` BPE merges. Each round: count adjacent
     * symbol pairs over the cached vocabulary (weighted by word count),
     * pick the most frequent (ties broken lexicographically, so the
@@ -84,17 +98,7 @@ object Bpe {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, n))
-        // greedy left-to-right merge of (l, r) within each symbol array;
-        // a freshly created merged symbol does not re-merge with the
-        // next symbol in the same pass (standard BPE single-pass rule:
-        // the guard checks the PRE-merge element, so "aaa" -> [aa, a])
-        val merged = syms.withColumn("syms", expr(
-          s"""aggregate(syms, struct(CAST(array() AS array<string>) AS acc, false AS justMerged),
-             |  (st, s) -> CASE WHEN NOT st.justMerged AND size(st.acc) > 0
-             |      AND element_at(st.acc, -1) = '$l' AND s = '$r'
-             |    THEN struct(concat(slice(st.acc, 1, size(st.acc)-1), array('$l' || '$r')), true)
-             |    ELSE struct(concat(st.acc, array(s)), false) END,
-             |  st -> st.acc)""".stripMargin))
+        val merged = syms.withColumn("syms", mergeExpr(l, r))
           .filter(size(col("syms")) >= 2)
           .cache()
         merged.count() // materialize before dropping the parent
@@ -106,5 +110,50 @@ object Bpe {
     syms.unpersist()
     merges.result().toDF("rank", "left", "right", "n")
       .orderBy(col("rank"))
+  }
+
+  /** The learned segmentation of every vocabulary word: (word, syms,
+    * n_sub) after applying the first `nMerges` merges in rank order.
+    * The merge table is control-plane (nMerges rows); the application
+    * is `nMerges` chained array folds in ONE projection over the
+    * vocabulary — no corpus pass at all.
+    */
+  def wordSegments(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    val mergeList = train(spark, dir, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = vocab(spark, dir)
+      .select(col("word"), expr("transform(split(word, ''), c -> c)").as("syms"))
+    mergeList.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("syms", mergeExpr(l, r))
+    }.select(col("word"), col("syms"), size(col("syms")).as("n_sub"))
+  }
+
+  /** ENCODE the corpus with the learned tokenizer — the application
+    * step a training pipeline runs on every shard after [[train]]:
+    * per document, its subword token count (the number every packing
+    * and budget decision consumes) plus character and word counts.
+    *
+    * Scale shape: the corpus is touched once (letter-run explode →
+    * per-(doc, word) counts, one shuffle); the segmentation table is
+    * VOCABULARY-cardinality (Heaps' law — control-plane at any corpus
+    * size), joined on `word` — Catalyst/AQE broadcasts it when small.
+    * No per-document merge loops anywhere: the iterative work runs
+    * once per distinct word, not once per occurrence.
+    */
+  def encode(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val seg = wordSegments(spark, dir, nMerges)
+      .select(col("word"), col("n_sub"), length(col("word")).as("n_chars_w"))
+    tf.join(seg, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+           sum(col("c") * col("n_chars_w")).as("n_chars"),
+           sum(col("c") * col("n_sub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_subwords"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -252,4 +252,25 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_toks"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source corpus profile — the shard report a data pipeline
+    * prints before mixing: document count, token totals, and the
+    * token-length distribution (min/mean/median/p90/max). One exploded
+    * token count per doc (map-only) then one aggregate keyed on
+    * `source`; exact percentiles group ≤ shard-count rows, each group
+    * holding one int per doc — at 100 TB swap `percentile` for
+    * `percentile_approx` without changing the query shape.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(TextAnalysis.toks(col("text"))).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("toks")).as("total_toks"),
+           min(col("toks")).as("min_toks"),
+           round(avg(col("toks")), 4).as("mean_toks"),
+           round(expr("percentile(toks, 0.5)"), 4).as("median_toks"),
+           round(expr("percentile(toks, 0.9)"), 4).as("p90_toks"),
+           max(col("toks")).as("max_toks"))
+      .orderBy(col("source"))
 }

@@ -274,4 +274,67 @@ object LakeAnalytics {
       .groupBy(col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("severity_text"))
+
+  private val changesBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake with HISTORY, for the incremental-read query: the first
+    * half (days ≤ 15) written and synced (append commit 1), the
+    * consumer's high-water mark captured, the second half written and
+    * synced (append commit 2), then the whole lake COMPACTED (a rewrite
+    * commit that tombstones both appends). The mark is persisted in
+    * `_incmark` so the build is reusable across JVMs.
+    */
+  private[graft] def changesRoot(spark: SparkSession, dir: String): String =
+    changesBuilt.computeIfAbsent(dir, _ => {
+      val root = s"/tmp/graft_lakeinc_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        val logs = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")) <= 15), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        val mark = LogSync.highWaterMark(spark, root).get
+        val out = fs.create(new Path(s"$root/_incmark"))
+        // Timestamp.toString keeps the sub-millisecond digits —
+        // getTime (millis) would truncate below registered_at's µs
+        // precision and re-admit the boundary file
+        out.write(mark.toString.getBytes("UTF-8")); out.close()
+        Thread.sleep(100) // registration clock must advance past the mark
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")) >= 16), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        // the rewrite commit the incremental reader must NOT re-consume
+        graft.sources.LogCompact.compact(spark, root)
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  private def incMark(spark: SparkSession, root: String): java.sql.Timestamp = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$root/_incmark"))
+    val bytes = new Array[Byte](64)
+    val n = in.read(bytes); in.close()
+    java.sql.Timestamp.valueOf(new String(bytes, 0, n, "UTF-8").trim)
+  }
+
+  /** INCREMENTAL CONSUMPTION ([[LogSync.tableSince]]): severity counts
+    * over exactly the rows appended after the consumer's mark — here
+    * the second half of the data. The lake was compacted AFTER the
+    * mark, so the hash-match (oracle: events from day 16 on) certifies
+    * all three incremental-read guarantees at once: append commits
+    * after the mark are consumed, the interleaved REWRITE commit's
+    * files are skipped (else every pre-mark row would reappear), and
+    * tombstoned append files remain readable until vacuum.
+    */
+  def changes(spark: SparkSession, dir: String): DataFrame = {
+    val root = changesRoot(spark, dir)
+    LogSync.tableSince(spark, root, incMark(spark, root))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
 }

@@ -361,4 +361,24 @@ object LogAnalytics {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("dau_est"),
            count(lit(1)).as("n_partials"))
       .orderBy(col("day"))
+
+  /** Value histogram per severity — the Grafana histogram-panel shape
+    * (fixed-width bins over a measure, one series per type). Bin id is
+    * `floor(value / width)` computed in IEEE double on both engines, so
+    * the bucket edges are bit-identical to the oracle's. One aggregate
+    * keyed on (type, bin) — ≤ types × bins groups regardless of event
+    * count, partials combined map-side; the low/high bin edges are
+    * derived arithmetic, not extra scans.
+    */
+  def histogram(spark: SparkSession, dir: String, width: Double = 25.0): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+               floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+           m2(sum(dec2(col("value")))).as("sum_value"))
+      .select(col("event_type"), col("bin"),
+              round(col("bin") * width, 2).as("lo"),
+              round((col("bin") + 1) * width, 2).as("hi"),
+              col("n"), col("sum_value"))
+      .orderBy(col("event_type"), col("bin"))
 }

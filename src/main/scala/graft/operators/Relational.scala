@@ -312,4 +312,27 @@ object Relational {
       .orderBy(col("numwait").desc, col("suppkey"))
       .limit(10)
   }
+
+  /** FULL OUTER join — aligning two sparse aggregates where either
+    * side may lack a key (here: the value-bucket histograms of two
+    * event types; the tails genuinely differ, so both null directions
+    * occur). Both inputs aggregate BEFORE the join, so the full-outer
+    * runs on bin-cardinality rows, not event-cardinality — the join
+    * a reporting layer does to align series, at any scale a
+    * control-plane-sized sort-merge.
+    */
+  def q25FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def hist(t: String, as: String) =
+      Tables.events(spark, dir)
+        .filter(col("event_type") === t)
+        .groupBy(floor(col("value") / 5).cast("long").as("bin"))
+        .agg(count(lit(1)).as(as))
+    hist("error", "n_error").join(hist("purchase", "n_purchase"),
+        Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        (col("n_error").isNull || col("n_purchase").isNull).as("one_sided"))
+      .orderBy(col("bin"))
+  }
 }

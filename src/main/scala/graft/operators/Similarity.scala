@@ -219,4 +219,64 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project each embedding onto `outDim` fixed Gaussian directions.
+    * The projection matrix derives from a SEEDED driver-side RNG — a
+    * pure function of (seed, dims), so every run / executor / engine
+    * re-derives the identical matrix and projections are reproducible
+    * (the [[graft.functions.Hyperplanes]] determinism rule).
+    *
+    * Scale shape: map-only — one codegen'd dot product per output
+    * dimension per row, matrix inlined as plan literals (outDim×dim
+    * doubles; a matrix too big to inline would ship as a broadcast
+    * join instead). No shuffle at any corpus size; downstream ANN over
+    * the 8-dim output pays 1/8 the dot-product cost.
+    */
+  def embProject(spark: SparkSession, dir: String,
+                 outDim: Int = 8, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(spark)
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val rng = new java.util.Random(seed)
+    // scale 1/sqrt(outDim): E[|proj(a)-proj(b)|^2] = |a-b|^2 (JL)
+    val planes = Array.fill(outDim)(
+      Array.fill(dim)(rng.nextGaussian() / math.sqrt(outDim.toDouble)))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        array(planes.map(p => call_function("graft_dot", v, typedlit(p.toSeq))).toSeq: _*)
+          .as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** FILTERED vector search — top-k restricted by a metadata predicate
+    * (here: same `label` as the query), the shape every production
+    * vector store calls "hybrid filtering". The predicate rides the
+    * join condition, so it lands in the hash-join key (label equality
+    * → label becomes part of the equi-join key) and each query scans
+    * only its label's stripe of the corpus instead of all of it —
+    * pre-filtering, not post-filtering, so k results survive even
+    * under selective predicates. Corpus streamed, query set broadcast,
+    * exactly as [[annTopk]].
+    */
+  def annFiltered(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"), col("nrm").as("qn"))
+    val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    e.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id"), cosc.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("label"), col("vec_id"), col("rank"),
+              round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 }

@@ -171,6 +171,79 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document LINE deduplication — the C4/RefinedWeb boilerplate
+    * scrub: a "line" occurring in ≥ `minDocs` distinct documents
+    * (navigation chrome, cookie banners, signatures) is removed from
+    * every document. The synthetic corpus has no newlines, so a line
+    * is a fixed `lineTokens`-token chunk, and a deterministic
+    * boilerplate sentence is injected on doc_id % 3 == 0 IDENTICALLY
+    * on the Spark and oracle sides (the [[piiScrub]] pattern) — the
+    * hash-match then certifies both engines find and drop exactly the
+    * same lines. Emits per doc the line counts and the md5 of the
+    * scrubbed reassembly.
+    *
+    * Scale shape: line construction is a map-only `slice`/`transform`
+    * over the token array (no explode shuffle); document frequency is
+    * ONE line-keyed aggregate; the heavy-line set is tiny by
+    * construction (it IS the boilerplate) so the removal join is a
+    * BROADCAST anti-join; reassembly is one doc-keyed aggregate.
+    * Nothing scales worse than one corpus shuffle.
+    */
+  def lineDedup(spark: SparkSession, dir: String,
+                lineTokens: Int = 5, minDocs: Int = 3): DataFrame = {
+    val aug = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" please subscribe to our newsletter today")))
+      .otherwise(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(aug).as("t"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, (size(t) + ${lineTokens - 1}) div $lineTokens - 1),
+           |  j -> array_join(slice(t, j * $lineTokens + 1, $lineTokens), ' '))"""
+          .stripMargin).as("ls"))
+    val lines = docs.select(col("doc_id"), posexplode(col("ls")).as(Seq("line_id", "line")))
+    val heavy = lines.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("line"))
+    val keptAgg = lines.join(broadcast(heavy), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("line_id"), col("line")))),
+            s => s.getField("line")), " ")).as("md5_kept"))
+    docs.select(col("doc_id"), size(col("ls")).as("n_lines"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("md5_kept"), md5(lit(""))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Blocklist words for [[toxicity]] — stand-ins drawn from the
+    * synthetic vocabulary so the filter exercises real hits; a real
+    * pipeline ships its actual unsafe-term list the same way (inlined
+    * for small lists, broadcast join for lexicon-sized ones).
+    */
+  val BlockWords: Seq[String] = Seq("slow", "crash", "kill")
+
+  /** Word-list safety filter (the C4 "bad words" gate): per document,
+    * the number of blocklisted token occurrences, their fraction of all
+    * tokens, and the keep verdict at `maxFrac`. The list is inlined
+    * into the codegen'd predicate — a pure shuffle-free projection;
+    * at 100 TB this is a map-only pass over the corpus.
+    */
+  def toxicity(spark: SparkSession, dir: String, maxFrac: Double = 0.02): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        size(filter(col("t"), x => x.isInCollection(BlockWords))).as("n_flagged"))
+      .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / greatest(col("n_tokens"), lit(1)), 4)
+          .as("flag_frac"),
+        (col("n_flagged").cast("double") / greatest(col("n_tokens"), lit(1)) <= maxFrac)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+
   /** Sequence packing: concatenate documents in deterministic order and
     * cut at a `budget`-token boundary — each document's bin is the
     * segment its first token falls in (the standard pretraining

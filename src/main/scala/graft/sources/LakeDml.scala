@@ -83,7 +83,11 @@ object LakeDml {
     val listed = LogSync.listParquet(spark, root).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq)
+    // DML output files are REWRITE commits to incremental consumers:
+    // the complement files carry pre-existing rows, and merge-inserts
+    // ride the same commit — conservatively skipped by tableSince,
+    // matching Iceberg's skip-overwrite incremental default
+    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq, op = "rewrite")
 
     // rewritten files are TOMBSTONED, not forgotten — they stay on disk
     // until vacuum, and a forgotten path would be re-registered (rows

@@ -133,7 +133,7 @@ object LogCompact {
     val listed = listParquet(spark, root).map(_._1).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq).cache()
+    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq, op = "rewrite").cache()
     val filesAfter = fresh.count()
 
     val manifestCols = fresh.columns.toSeq

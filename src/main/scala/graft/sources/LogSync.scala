@@ -106,7 +106,13 @@ object LogSync {
     StructField("max_ts", TimestampType, nullable = true),
     StructField("min_svc", StringType, nullable = true),
     StructField("max_svc", StringType, nullable = true),
-    StructField("removed_at", TimestampType, nullable = true)))
+    StructField("removed_at", TimestampType, nullable = true),
+    // commit kind that produced the file: "append" (sync of newly
+    // arrived data) vs "rewrite" (compaction / DML copy-on-write — the
+    // rows are NOT new). Null (pre-upgrade manifests) reads as append.
+    // This is the one bit Iceberg's snapshot `operation` field carries
+    // that incremental consumers need: [[tableSince]] skips rewrites.
+    StructField("op", StringType, nullable = true)))
 
   /** Stat columns carried per manifest row. Two dimensions: the time
     * axis every log query filters on, and the service axis
@@ -221,7 +227,8 @@ object LogSync {
     * files of one round / one rewrite).
     */
   private[sources] def freshManifestRows(spark: SparkSession, root: String,
-                                         paths: Seq[String]): DataFrame = {
+                                         paths: Seq[String],
+                                         op: String = "append"): DataFrame = {
     import spark.implicits._
     val stamped = paths.toDF("path")
       .withColumn("registered_at", current_timestamp())
@@ -235,6 +242,7 @@ object LogSync {
           normPath(col("path")) === col("norm"), "left")
     statted
       .withColumn("removed_at", lit(null).cast(TimestampType))
+      .withColumn("op", lit(op))
       .select(manifestSchema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -335,6 +343,38 @@ object LogSync {
     */
   def tableAsOf(spark: SparkSession, root: String, ts: java.sql.Timestamp): DataFrame =
     filteredTable(spark, root, Some(ts))
+
+  /** INCREMENTAL READ: the rows APPENDED after `since` — Iceberg's
+    * incremental-consumption semantics over the manifest. A file
+    * qualifies when it was registered after `since` by an APPEND
+    * commit ([[sync]]); files produced by REWRITE commits (compaction,
+    * DML copy-on-write) are skipped — their rows are not new — and a
+    * qualifying append file is read even if a later rewrite tombstoned
+    * it (the bytes stay on disk until vacuum, exactly like time
+    * travel, so the consumer-lag horizon IS the vacuum retention).
+    * This is the surface an incremental ETL job polls: each round it
+    * processes `tableSince(lastMark)` and advances its mark — cost ∝
+    * arrival rate, never lake size.
+    */
+  def tableSince(spark: SparkSession, root: String, since: java.sql.Timestamp): DataFrame = {
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val paths = manifestDf(spark, root)
+      .filter(col("registered_at") > lit(since) &&
+        (col("op").isNull || col("op") === "append"))
+      .select(normPath(col("path")).as("__registered_path"))
+    spark.read.option("basePath", root).parquet(root)
+      .withColumn("__src", normPath(col("_metadata.file_path")))
+      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+      .drop("__src")
+  }
+
+  /** The newest registration instant — the mark an incremental
+    * consumer records before its next [[tableSince]] poll.
+    */
+  def highWaterMark(spark: SparkSession, root: String): Option[java.sql.Timestamp] = {
+    val r = manifestDf(spark, root).agg(max(col("registered_at"))).head()
+    Option(r.getTimestamp(0))
+  }
 
   /** Registered rows with `timestamp` in `[fromIso, untilIso)`
     * (ISO dates, UTC), with FILE-LEVEL pruning from the manifest's

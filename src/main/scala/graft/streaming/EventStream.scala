@@ -185,6 +185,24 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"))
 
+  /** SLIDING-window severity counts — the smoothed dashboard series
+    * (each event contributes to `length/slide` overlapping windows;
+    * here 1 h windows every 30 min → every event lands in exactly 2).
+    * Same bounded-state guarantees as the tumbling twin: open windows
+    * are limited to watermark lag / slide per key, closed windows are
+    * emitted and dropped.
+    */
+  def slidingSeverityCounts(events: DataFrame,
+                            length: String = "1 hour",
+                            slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+
   /** Stream-stream INTERVAL JOIN: purchases attributed to the view
     * that preceded them by at most `windowMinutes`, per user — the
     * funnel/attribution query, joining two live streams (here two

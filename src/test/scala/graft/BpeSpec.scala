@@ -71,4 +71,54 @@ class BpeSpec extends SparkSpec {
     // every merge must have been the round's argmax: count > 0
     assert(merges.forall(_.getLong(3) > 0))
   }
+
+  /** Local reference encode: apply `merges` in rank order with the
+    * same greedy single-pass rule.
+    */
+  private def localSegment(word: String, merges: Seq[(String, String)]): List[String] = {
+    var syms = word.map(_.toString).toList
+    for ((l, r) <- merges) {
+      def pass(s: List[String]): List[String] = s match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: pass(rest)
+        case a :: rest => a :: pass(rest)
+        case Nil => Nil
+      }
+      syms = pass(syms)
+    }
+    syms
+  }
+
+  test("wordSegments: concatenation invariant and agreement with the local reference") {
+    val nMerges = 8
+    val merges = Bpe.train(spark, sf, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val segs = Bpe.wordSegments(spark, sf, nMerges).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val word = r.getString(0)
+      val syms = r.getSeq[String](1).toList
+      assert(syms.mkString == word, s"merging must preserve concatenation: $word")
+      assert(syms == localSegment(word, merges), s"segmentation of '$word'")
+      assert(r.getAs[Int]("n_sub") == syms.length)
+    }
+    // merges actually fired: some word holds a multi-char symbol
+    assert(segs.exists(_.getSeq[String](1).exists(_.length > 1)))
+  }
+
+  test("encode: zero merges = letter counts; more merges never increase token count") {
+    val zero = Bpe.encode(spark, sf, nMerges = 0).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_subwords"))).toMap
+    zero.values.foreach { case (chars, subs) =>
+      assert(chars == subs, "with no merges every letter is a token")
+    }
+    val eight = Bpe.encode(spark, sf, nMerges = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_subwords")).toMap
+    assert(eight.keySet == zero.keySet)
+    eight.foreach { case (id, subs) =>
+      assert(subs <= zero(id)._2, s"doc $id: merges must not grow the encoding")
+    }
+    // compression happened somewhere (the corpus repeats words heavily)
+    assert(eight.exists { case (id, subs) => subs < zero(id)._2 })
+  }
 }

@@ -130,4 +130,36 @@ class CurationSpec extends SparkSpec {
         s"source $s kept $toks vs target $target (src total ${srcTotals(s)})")
     }
   }
+
+  test("corpusStats: per-source profile matches a local recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "size(filter(split(lower(text),'\\\\s+'), x -> x != '')) AS t")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Int]("t"))
+    // exact interpolated percentile, the percentile()/quantile_cont definition
+    def pct(xs: Seq[Int], q: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val pos = (s.length - 1) * q
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val t = xs.map(_._2)
+      src -> (t.length.toLong, t.map(_.toLong).sum, t.min, t.max,
+        BigDecimal(t.sum.toDouble / t.length).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(pct(t, 0.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(pct(t, 0.9)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = Curation.corpusStats(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, tot, mn, mx, mean, p50, p90) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("total_toks") == tot)
+      assert(r.getAs[Int]("min_toks") == mn && r.getAs[Int]("max_toks") == mx)
+      assert(math.abs(r.getAs[Double]("mean_toks") - mean.toDouble) < 1e-9)
+      assert(math.abs(r.getAs[Double]("median_toks") - p50.toDouble) < 1e-9)
+      assert(math.abs(r.getAs[Double]("p90_toks") - p90.toDouble) < 1e-9)
+    }
+  }
 }

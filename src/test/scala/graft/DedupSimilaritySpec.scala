@@ -264,6 +264,73 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.getSeq[Int](2) == Seq(1, 0), "-Infinity is still selectable")
   }
 
+  test("annFiltered: pre-filter honors the predicate and beats post-filtering") {
+    val got = Similarity.annFiltered(spark, sf).collect()
+    // the query's own label is echoed: every neighbor satisfies the predicate
+    val qLabels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.get(r.fieldIndex("label"))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.get(r.fieldIndex("label")) == qLabels(r.getAs[Long]("q_id")),
+        s"neighbor label must equal query label for q ${r.get(0)}")
+      assert(qLabels(r.getAs[Long]("vec_id")) == r.get(r.fieldIndex("label")))
+    }
+    // per query: ranks contiguous from 1, scores non-increasing
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"q=$q scores not sorted")
+    }
+    // pre-filter == post-filter-with-big-k: restricting annTopk's pool
+    // to same-label rows gives the same top-5 set per query
+    val sameLabelTop = {
+      import org.apache.spark.sql.functions._
+      val e = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.get(r.fieldIndex("label")),
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      e.filter(_._1 < 10).flatMap { case (q, ql, qv) =>
+        e.filter(c => c._2 == ql && c._1 != q)
+          .map(c => (q, c._1, cos(qv, c._3)))
+          .sortBy { case (_, id, c) => (-c, id) }
+          .take(5).map { case (qq, id, _) => (qq, id) }
+      }.toSet
+    }
+    assert(got.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet == sameLabelTop,
+      "filtered top-5 must equal the local same-label brute force")
+  }
+
+  test("embProject: deterministic, linear, and JL-distance-preserving on average") {
+    val a = Similarity.embProject(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("proj")))
+    val b = Similarity.embProject(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("proj")))
+    assert(a.toSeq == b.toSeq, "seeded projection must be bit-identical across runs")
+    assert(a.forall(_._2.length == 8))
+    // JL: projected squared distances are unbiased for the originals —
+    // check the AVERAGE distortion over sampled pairs is near 1 (individual
+    // pairs can distort a lot at outDim=8; the mean cannot)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val proj = a.toMap
+    def d2(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+    val ids = vecs.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      orig = d2(vecs(i).toSeq, vecs(j).toSeq) if orig > 1e-12
+    } yield d2(proj(i), proj(j)) / orig
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.5 && meanRatio < 2.0,
+      s"mean JL distortion $meanRatio out of range over ${ratios.size} pairs")
+  }
+
   test("langId: every document classified; zh only when CJK present") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n")).sum

@@ -121,6 +121,30 @@ class IngestSpec extends SparkSpec {
     assert(got == want, "streaming result must equal batch result")
   }
 
+  test("EventStream: sliding windows — every event lands in exactly length/slide windows") {
+    val dir = Files.createTempDirectory("graft_slide").toString
+    graft.sources.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.slidingSeverityCounts(EventStream.read(spark, dir))
+    val q = streamed.writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("slide_counts").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    // batch twin: each event contributes to the window starting at its
+    // half-hour truncation and the one 30 min earlier
+    val ev = graft.sources.Tables.events(spark, sf)
+    val half = floor(unix_seconds(col("ts")) / 1800L).cast("long") * 1800L
+    val want = ev.select(col("event_type"), explode(array(half, half - 1800L)).as("w0"))
+      .groupBy(date_format(timestamp_seconds(col("w0")), "yyyy-MM-dd HH:mm:ss").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == want, "sliding streaming result must equal the batch twin")
+    val total = got.values.sum
+    assert(total == 2 * ev.count(), "every event in exactly 2 overlapping windows")
+  }
+
   test("EventStream: streaming dedup drops a replayed batch") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     val ev = graft.sources.Tables.events(spark, sf)

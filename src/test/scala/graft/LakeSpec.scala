@@ -500,4 +500,37 @@ class LakeSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     assert(got == want, "zone-map-pruned window query must be lossless")
   }
+
+  test("tableSince: appends after the mark consumed once; rewrites and old appends skipped") {
+    val root = Files.createTempDirectory("graft_inc").toString
+    def write(n: Int, skip: Int) = Tables.events(spark, sf).orderBy("event_id")
+      .offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+              col("props").as("body"))
+      .repartition(4)
+      .write.mode("append").parquet(root)
+    write(60, 0)
+    LogSync.sync(spark, root)
+    val mark0 = LogSync.highWaterMark(spark, root).get
+    // nothing new since the newest registration
+    assert(LogSync.tableSince(spark, root, mark0).count() == 0)
+    Thread.sleep(50)
+    write(40, 60)
+    LogSync.sync(spark, root)
+    val inc = LogSync.tableSince(spark, root, mark0)
+    assert(inc.count() == 40, "incremental read = exactly the second batch")
+    // compaction is a REWRITE commit: it must not re-surface old rows
+    // to an incremental consumer, and the tombstoned second-batch
+    // append files must stay readable (consumer lag < vacuum horizon)
+    Thread.sleep(50)
+    graft.sources.LogCompact.compact(spark, root)
+    assert(LogSync.tableSince(spark, root, mark0).count() == 40,
+      "rewrite commit must be invisible to the incremental reader")
+    // the mark advances past the rewrite: a consumer polling after
+    // compaction sees nothing new
+    val mark1 = LogSync.highWaterMark(spark, root).get
+    assert(LogSync.tableSince(spark, root, mark1).count() == 0)
+    // sanity: the full table still reads exactly once per row
+    assert(LogSync.table(spark, root).count() == 100)
+  }
 }

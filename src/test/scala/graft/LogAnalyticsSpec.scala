@@ -171,4 +171,23 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(versions == Set("1.0", "1.1"), s"got $versions")
     assert(modules.subsetOf((0 until 4).map(i => s"mod-$i").toSet) && modules.size == 4, s"got $modules")
   }
+
+  test("histogram: bins partition each type's events; edges and counts consistent") {
+    val rows = LogAnalytics.histogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(r.getAs[Double]("lo") == bin * 25.0 && r.getAs[Double]("hi") == (bin + 1) * 25.0)
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // per type, the bin counts sum to the type's event count, and a local
+    // rebinning of the raw values agrees bin for bin
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val want = ev.groupBy { case (t, v) => (t, math.floor(v / 25.0).toLong) }
+      .view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) -> r.getAs[Long]("n")).toMap
+    assert(got == want, "histogram bins must match a local recomputation")
+  }
 }

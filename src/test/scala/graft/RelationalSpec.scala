@@ -93,4 +93,27 @@ class RelationalSpec extends SparkSpec {
     val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
     assert(total.getAs[Long]("n_lines") == n)
   }
+
+  test("q25_full_outer: bins cover both sides, totals add up, one_sided marks absences") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    def bins(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(floor(col("value") / 5).cast("long").as("bin")).count()
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    val err = bins("error")
+    val pur = bins("purchase")
+    val got = Relational.q25FullOuter(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("bin")).toSet == (err.keySet ++ pur.keySet),
+      "full outer must cover the union of both key sets")
+    got.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("n_error") == err.getOrElse(b, 0L))
+      assert(r.getAs[Long]("n_purchase") == pur.getOrElse(b, 0L))
+      assert(r.getAs[Boolean]("one_sided") == (!err.contains(b) || !pur.contains(b)))
+    }
+    // the data genuinely exercises both null directions at this sf
+    assert(got.exists(r => r.getAs[Long]("n_error") == 0L) ||
+           got.exists(r => r.getAs[Long]("n_purchase") == 0L),
+      "expected at least one one-sided bin")
+  }
 }

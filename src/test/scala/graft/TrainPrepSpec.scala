@@ -194,4 +194,58 @@ class TrainPrepSpec extends SparkSpec {
     val packed = got.values.flatMap(_._1).toSeq
     assert(packed.length == docs.length && packed.toSet.size == docs.length)
   }
+
+  test("toxicity: flagged counts match local recomputation; pure projection") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = TrainPrep.toxicity(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val t = localToks(docs(r.getAs[Long]("doc_id")))
+      val flagged = t.count(TrainPrep.BlockWords.contains)
+      assert(r.getAs[Int]("n_tokens") == t.length)
+      assert(r.getAs[Int]("n_flagged") == flagged, s"doc ${r.get(0)}")
+      val frac = flagged.toDouble / math.max(t.length, 1)
+      assert(r.getAs[Boolean]("keep") == (frac <= 0.02))
+    }
+    val plan = planString(TrainPrep.toxicity(spark, sf))
+    assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
+      s"toxicity must be shuffle-free except the output sort:\n$plan")
+  }
+
+  test("lineDedup: exact agreement with a local replay; heavy-line join broadcasts") {
+    val lineTokens = 5
+    val minDocs = 3
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // local replay: inject, chunk into 5-token lines, df over distinct
+    // (doc, line), drop lines with df >= minDocs, md5 the reassembly
+    val localLines: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+      val aug = if (id % 3 == 0) text + " please subscribe to our newsletter today" else text
+      id -> localToks(aug).grouped(lineTokens).map(_.mkString(" ")).toSeq
+    }
+    val df = localLines.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val heavy = df.filter(_._2 >= minDocs).keys.toSet
+    assert(heavy.nonEmpty, "injected boilerplate must produce at least one heavy line")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TrainPrep.lineDedup(spark, sf, lineTokens, minDocs).collect()
+    assert(got.length == docs.size)
+    var totalDropped = 0L
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ls = localLines(id)
+      val kept = ls.filterNot(heavy)
+      assert(r.getAs[Int]("n_lines") == ls.length, s"doc $id n_lines")
+      assert(r.getAs[Long]("n_dropped") == (ls.length - kept.length).toLong, s"doc $id n_dropped")
+      assert(r.getAs[String]("scrub_md5") == md5hex(kept.mkString(" ")), s"doc $id md5")
+      totalDropped += r.getAs[Long]("n_dropped")
+    }
+    assert(totalDropped > 0, "the aligned injected lines must be dropped somewhere")
+    // the heavy-line removal must be a broadcast join (tiny build side)
+    val plan = planString(TrainPrep.lineDedup(spark, sf, lineTokens, minDocs))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"heavy-line anti-join must broadcast:\n$plan")
+  }
 }
