@@ -130,7 +130,9 @@ object SparkEntry {
     "q25_full_outer"      -> (Relational.q25FullOuter _),
     "lake_changes"        -> (LakeAnalytics.changes _),
     "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
-    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d))
+    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)),
+    "lake_branch"         -> (LakeAnalytics.branchSeverity _),
+    "text_bigram_logprob" -> (TrainPrep.bigramLogprob _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -948,6 +950,26 @@ object SparkEntry {
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events WHERE ts >= TIMESTAMP '2024-01-16'
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_branch" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |bgr AS (SELECT doc_id, w, lead(w,1) OVER win AS w2
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,1) OVER win IS NOT NULL),
+        |bg AS (SELECT doc_id, w, w2, count(*) AS c_dab FROM bgr GROUP BY 1,2,3),
+        |pair AS (SELECT w, w2, sum(c_dab) AS c2 FROM bg GROUP BY 1,2),
+        |ctx AS (SELECT w, sum(c2) AS c1 FROM pair GROUP BY 1)
+        |SELECT doc_id, CAST(sum(c_dab) AS BIGINT) AS n_bigrams,
+        | round(CAST(sum(c_dab * CAST(round(ln(CAST(c2 AS DOUBLE)/c1)*1e6) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(sum(c_dab) AS DOUBLE) * 1e6), 4) AS avg_logprob
+        |FROM bg JOIN pair USING (w, w2) JOIN ctx USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

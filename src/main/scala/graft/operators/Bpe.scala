@@ -77,8 +77,26 @@ object Bpe {
     * Returns the merge table: (rank, left, right, n) — the artifact a
     * tokenizer ships.
     */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Int, String, String, Long)]]()
+
+  /** The learned merge table, memoized per (corpus, nMerges): training
+    * is deterministic, so [[train]], [[wordSegments]] and [[encode]]
+    * share one run instead of re-learning per call (merge tables are
+    * nMerges rows — cache cost is nil).
+    */
+  private def trainMerges(spark: SparkSession, dir: String,
+                          nMerges: Int): Array[(Int, String, String, Long)] =
+    mergeCache.computeIfAbsent((dir, nMerges), _ => learn(spark, dir, nMerges))
+
   def train(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import spark.implicits._
+    trainMerges(spark, dir, nMerges).toSeq.toDF("rank", "left", "right", "n")
+      .orderBy(col("rank"))
+  }
+
+  private def learn(spark: SparkSession, dir: String,
+                    nMerges: Int): Array[(Int, String, String, Long)] = {
     var syms = vocab(spark, dir)
       .select(expr("transform(split(word, ''), c -> c)").as("syms"), col("cnt"))
       .filter(size(col("syms")) >= 2)
@@ -108,8 +126,7 @@ object Bpe {
       }
     }
     syms.unpersist()
-    merges.result().toDF("rank", "left", "right", "n")
-      .orderBy(col("rank"))
+    merges.result().toArray
   }
 
   /** The learned segmentation of every vocabulary word: (word, syms,
@@ -119,8 +136,7 @@ object Bpe {
     * vocabulary — no corpus pass at all.
     */
   def wordSegments(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
-    val mergeList = train(spark, dir, nMerges).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    val mergeList = trainMerges(spark, dir, nMerges).map(m => (m._2, m._3))
     val words = vocab(spark, dir)
       .select(col("word"), expr("transform(split(word, ''), c -> c)").as("syms"))
     mergeList.foldLeft(words) { case (df, (l, r)) =>

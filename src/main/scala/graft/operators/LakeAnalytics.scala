@@ -286,7 +286,7 @@ object LakeAnalytics {
     */
   private[graft] def changesRoot(spark: SparkSession, dir: String): String =
     changesBuilt.computeIfAbsent(dir, _ => {
-      val root = s"/tmp/graft_lakeinc_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val root = s"/tmp/graft_lakeinc_v3_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$root/_built")
@@ -302,6 +302,9 @@ object LakeAnalytics {
         // getTime (millis) would truncate below registered_at's µs
         // precision and re-admit the boundary file
         out.write(mark.toString.getBytes("UTF-8")); out.close()
+        // zero-copy pin of the first-half state; survives the later
+        // append and compaction untouched
+        LogSync.branch(spark, root, "pre2")
         Thread.sleep(100) // registration clock must advance past the mark
         LogWriter.write(logs.filter(dayofmonth(col("timestamp")) >= 16), root,
           layout = LogWriter.DailyLayout)
@@ -333,6 +336,21 @@ object LakeAnalytics {
   def changes(spark: SparkSession, dir: String): DataFrame = {
     val root = changesRoot(spark, dir)
     LogSync.tableSince(spark, root, incMark(spark, root))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
+  /** BRANCH READ ([[LogSync.branch]]/[[LogSync.tableBranch]]): severity
+    * counts over the zero-copy "pre2" branch pinned before the second
+    * append and the compaction — the hash-match (oracle: events through
+    * day 15) certifies the branch is a consistent first-half snapshot
+    * that later appends and rewrites cannot disturb, reading tombstoned
+    * files as time travel does.
+    */
+  def branchSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = changesRoot(spark, dir)
+    LogSync.tableBranch(spark, root, "pre2")
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))

@@ -185,9 +185,10 @@ object TrainPrep {
     * Scale shape: line construction is a map-only `slice`/`transform`
     * over the token array (no explode shuffle); document frequency is
     * ONE line-keyed aggregate; the heavy-line set is tiny by
-    * construction (it IS the boilerplate) so the removal join is a
-    * BROADCAST anti-join; reassembly is one doc-keyed aggregate.
-    * Nothing scales worse than one corpus shuffle.
+    * construction (it IS the boilerplate) so marking is a BROADCAST
+    * left join; totals + kept counts + scrubbed reassembly all ride
+    * ONE doc-keyed aggregate (collect_list skips the null-mapped heavy
+    * lines). Two corpus passes, two shuffles, no corpus-sized join.
     */
   def lineDedup(spark: SparkSession, dir: String,
                 lineTokens: Int = 5, minDocs: Int = 3): DataFrame = {
@@ -204,18 +205,22 @@ object TrainPrep {
     val heavy = lines.select(col("line"), col("doc_id")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("line"))
-    val keptAgg = lines.join(broadcast(heavy), Seq("line"), "left_anti")
+      .select(col("line"), lit(true).as("hv"))
+    // one pass computes totals, kept count and the scrubbed reassembly:
+    // the broadcast left join marks heavy lines, collect_list skips the
+    // null-mapped (dropped) ones, so no second corpus scan and no
+    // doc-keyed re-join are needed
+    lines.join(broadcast(heavy), Seq("line"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("hv").isNull, 1L).otherwise(0L)).as("n_kept"),
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("line_id"), col("line")))),
-            s => s.getField("line")), " ")).as("md5_kept"))
-    docs.select(col("doc_id"), size(col("ls")).as("n_lines"))
-      .join(keptAgg, Seq("doc_id"), "left")
+          transform(array_sort(collect_list(
+            when(col("hv").isNull, struct(col("line_id"), col("line"))))),
+            s => s.getField("line")), " ")).as("scrub_md5"))
       .select(col("doc_id"), col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("md5_kept"), md5(lit(""))).as("scrub_md5"))
+        (col("n_lines") - col("n_kept")).as("n_dropped"),
+        col("scrub_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -243,6 +248,44 @@ object TrainPrep {
         (col("n_flagged").cast("double") / greatest(col("n_tokens"), lit(1)) <= maxFrac)
           .as("keep"))
       .orderBy(col("doc_id"))
+
+  /** BIGRAM log-probability score — the next step up from
+    * [[unigramLogprob]] toward the real perplexity filter: per
+    * document, the mean of ln p(w_i | w_{i-1}) under the corpus's own
+    * bigram LM (no smoothing needed — every scored bigram was counted
+    * at least once by the document containing it). Gibberish with
+    * plausible words but implausible TRANSITIONS scores low here while
+    * passing the unigram filter.
+    *
+    * Same engine-portability contract as [[unigramLogprob]]: each
+    * bigram's ln p is scaled to integer MICRO-NATS before the per-doc
+    * sum, so the aggregate is exact integer arithmetic in any order.
+    *
+    * Scale shape: one corpus pass (doc-keyed window for bigrams), one
+    * (doc, bigram) aggregate, the corpus bigram/context tables derive
+    * from IT (vocabulary² cardinality at most — no second corpus
+    * scan), then two bigram-keyed equi-joins and one doc aggregate.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(win))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w"), col("w2"))
+      .agg(count(lit(1)).as("c_dab"))
+    val pair = bg.groupBy(col("w"), col("w2")).agg(sum(col("c_dab")).as("c2"))
+    val ctx = pair.groupBy(col("w")).agg(sum(col("c2")).as("c1"))
+    bg.join(pair, Seq("w", "w2")).join(ctx, Seq("w"))
+      .withColumn("micro_nats",
+        col("c_dab") * expr("CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1e6) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("micro_nats")).as("sn"), sum(col("c_dab")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sn").cast("double") / (col("n_bigrams").cast("double") * 1e6), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Sequence packing: concatenate documents in deterministic order and
     * cut at a `budget`-token boundary — each document's bin is the

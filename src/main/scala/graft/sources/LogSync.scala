@@ -299,24 +299,28 @@ object LogSync {
     bounded.select(normPath(col("path")).as("__registered_path"))
   }
 
-  private def filteredTable(spark: SparkSession, root: String,
-                            asOf: Option[java.sql.Timestamp],
-                            mergeSchema: Boolean = false): DataFrame = {
-    val paths = registeredPaths(spark, root, asOf)
-    // scan the lake root: partition discovery/pruning stay intact; the
-    // `_manifest` dir is skipped by the source (underscore prefix). The
-    // manifest is broadcast and applied as a semi-join on the source
-    // file, so unregistered files are invisible without any driver-side
-    // path list. The file identity comes from the DETERMINISTIC
-    // `_metadata.file_path` column — `input_file_name()` is
-    // nondeterministic, and a nondeterministic projection blocks
-    // partition/predicate pushdown past it, un-pruning every reader.
+  /** The shared read shape: scan the lake ROOT (partition
+    * discovery/pruning intact; underscore dirs skipped by the source)
+    * with `paths` — a one-column `__registered_path` keep-set —
+    * applied as a BROADCAST semi-join on the scan's file identity, so
+    * non-kept files are invisible without any driver-side path list.
+    * The identity comes from the DETERMINISTIC `_metadata.file_path`
+    * column — `input_file_name()` is nondeterministic, and a
+    * nondeterministic projection blocks partition/predicate pushdown
+    * past it, un-pruning every reader.
+    */
+  private def keepOnly(spark: SparkSession, root: String, paths: DataFrame,
+                       mergeSchema: Boolean = false): DataFrame =
     spark.read.option("basePath", root)
       .option("mergeSchema", mergeSchema.toString).parquet(root)
       .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
       .drop("__src")
-  }
+
+  private def filteredTable(spark: SparkSession, root: String,
+                            asOf: Option[java.sql.Timestamp],
+                            mergeSchema: Boolean = false): DataFrame =
+    keepOnly(spark, root, registeredPaths(spark, root, asOf), mergeSchema)
 
   /** The queryable table: exactly the registered files. */
   def table(spark: SparkSession, root: String): DataFrame =
@@ -362,10 +366,7 @@ object LogSync {
       .filter(col("registered_at") > lit(since) &&
         (col("op").isNull || col("op") === "append"))
       .select(normPath(col("path")).as("__registered_path"))
-    spark.read.option("basePath", root).parquet(root)
-      .withColumn("__src", normPath(col("_metadata.file_path")))
-      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-      .drop("__src")
+    keepOnly(spark, root, paths)
   }
 
   /** The newest registration instant — the mark an incremental
@@ -403,10 +404,7 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until))
       .select(normPath(col("path")).as("__registered_path"))
-    spark.read.option("basePath", root).parquet(root)
-      .withColumn("__src", normPath(col("_metadata.file_path")))
-      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-      .drop("__src")
+    keepOnly(spark, root, paths)
       .filter(col("timestamp") >= from && col("timestamp") < until)
   }
 
@@ -445,10 +443,7 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until) && svcKeep(lit(service)))
       .select(normPath(col("path")).as("__registered_path"))
-    spark.read.option("basePath", root).parquet(root)
-      .withColumn("__src", normPath(col("_metadata.file_path")))
-      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-      .drop("__src")
+    keepOnly(spark, root, paths)
       .filter(col("service_name") === service &&
         col("timestamp") >= from && col("timestamp") < until)
   }
@@ -462,6 +457,41 @@ object LogSync {
     val kept = m.filter(zoneMapKeep(isoTs(fromIso), isoTs(untilIso)) &&
       svcKeep(lit(service))).count()
     (kept, m.count())
+  }
+
+  /** Create (or overwrite) a named BRANCH: a ZERO-COPY pin of the
+    * current manifest under `_branch_<name>` — no data file is copied
+    * or moved, the branch is just a second keep-set over the same
+    * bytes (Iceberg's branch/tag story). Writers to main (sync,
+    * compaction, DML) never touch the branch, so it stays a
+    * consistent snapshot for experiments and reproducibility pins;
+    * like time travel, a branch reads tombstoned files until vacuum
+    * (the branch-retention horizon IS the vacuum retention).
+    */
+  def branch(spark: SparkSession, root: String, name: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name '$name'")
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$root/_branch_swap_$name")
+    fs.delete(staging, true)
+    manifestDf(spark, root).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val target = new Path(s"$root/_branch_$name")
+    fs.delete(target, true)
+    require(fs.rename(staging, target), s"branch rename failed for '$name'")
+  }
+
+  /** Read a branch: the table exactly as pinned by [[branch]] —
+    * same root scan + broadcast semi-join as [[table]], keep-set from
+    * the branch manifest instead of the live one.
+    */
+  def tableBranch(spark: SparkSession, root: String, name: String): DataFrame = {
+    val p = new Path(s"$root/_branch_$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no branch '$name' under $root")
+    val paths = spark.read.parquet(p.toString)
+      .filter(col("removed_at").isNull)
+      .select(normPath(col("path")).as("__registered_path"))
+    keepOnly(spark, root, paths)
   }
 
   /** The reference daemon's loop (scripts/sync-logs.sh: `while true;

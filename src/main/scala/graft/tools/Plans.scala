@@ -42,7 +42,11 @@ object Plans {
       "corpus_mix" -> "domain mixing: per-source token-mass agg broadcast back onto the corpus, keep decision map-only — the corpus itself never shuffles",
       "logs_dau_sketch" -> "two-level mergeable HLL: partial sketch ObjectHashAggregate per (day,service), union-agg per day — partials persistable and reaggregatable along any dimension",
       "lake_needle" -> "trace point lookup through the per-file bloom sidecar: the index probe is a FILE-count-sized job, the data scan's semi-join keep-set holds only bloom-positive files",
-      "lake_dml" -> "severity agg over the post-DELETE manifest: the copy-on-write rewrite touched only files containing matching rows; readers see active (non-tombstoned) entries only")
+      "lake_dml" -> "severity agg over the post-DELETE manifest: the copy-on-write rewrite touched only files containing matching rows; readers see active (non-tombstoned) entries only",
+      "text_line_dedup" -> "boilerplate-line scrub: lines built map-only (slice/transform, no explode before the df agg), heavy set as BroadcastExchange build side of the anti-join, one doc-keyed reassembly agg",
+      "lake_changes" -> "incremental read: the since-mark append-only path set as broadcast semi-join — scan cost proportional to the new files, never lake size",
+      "ann_filtered" -> "filtered vector search: label equality in the equi-join key (BuildRight broadcast of the query set) — each query meets only its label stripe, pre-filtering not post-filtering",
+      "bpe_encode" -> "tokenizer application: corpus scanned once into (doc,word) counts; the iterative merge folds run on the vocabulary side of the word join, never per occurrence")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

@@ -533,4 +533,35 @@ class LakeSpec extends SparkSpec {
     // sanity: the full table still reads exactly once per row
     assert(LogSync.table(spark, root).count() == 100)
   }
+
+  test("branch: zero-copy pin survives appends and compaction; rebranch moves the pin") {
+    val root = Files.createTempDirectory("graft_branch").toString
+    def write(n: Int, skip: Int) = Tables.events(spark, sf).orderBy("event_id")
+      .offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+              col("props").as("body"))
+      .repartition(3)
+      .write.mode("append").parquet(root)
+    write(60, 0)
+    LogSync.sync(spark, root)
+    LogSync.branch(spark, root, "exp1")
+    val pinned = LogSync.tableBranch(spark, root, "exp1")
+    assert(pinned.count() == 60)
+    // no data was copied: the branch dir holds only manifest rows
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val branchFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_branch_exp1"))
+    assert(branchFiles.forall(_.getLen < 64 * 1024), "branch must be metadata-only")
+    // main evolves: append + compaction; the branch must not move
+    write(40, 60)
+    LogSync.sync(spark, root)
+    Thread.sleep(50)
+    graft.sources.LogCompact.compact(spark, root)
+    assert(LogSync.table(spark, root).count() == 100)
+    assert(LogSync.tableBranch(spark, root, "exp1").count() == 60,
+      "branch must still read the pinned (now tombstoned) files")
+    // re-branching under the same name moves the pin to the current state
+    LogSync.branch(spark, root, "exp1")
+    assert(LogSync.tableBranch(spark, root, "exp1").count() == 100)
+  }
 }

@@ -195,6 +195,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(packed.length == docs.length && packed.toSet.size == docs.length)
   }
 
+  test("bigramLogprob: scores match a local bigram LM over the same corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> localToks(r.getAs[String]("text")))
+    val allBigrams = docs.flatMap { case (_, t) => t.zip(t.tail) }
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = TrainPrep.bigramLogprob(spark, sf).collect()
+    assert(got.length == docs.count(_._2.length >= 2))
+    got.foreach { r =>
+      val t = docs.toMap.apply(r.getAs[Long]("doc_id"))
+      val bgs = t.zip(t.tail)
+      assert(r.getAs[Long]("n_bigrams") == bgs.length)
+      val micro = bgs.map { b =>
+        math.round(math.log(c2(b).toDouble / c1(b._1)) * 1e6)
+      }.sum
+      val want = BigDecimal(micro.toDouble / (bgs.length * 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("avg_logprob") == want, s"doc ${r.get(0)}")
+      // a bigram LM over its own corpus: probabilities <= 1, so scores <= 0
+      assert(r.getAs[Double]("avg_logprob") <= 0.0)
+    }
+  }
+
   test("toxicity: flagged counts match local recomputation; pure projection") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
