@@ -132,7 +132,8 @@ object SparkEntry {
     "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
     "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
-    "text_bigram_logprob" -> (TrainPrep.bigramLogprob _)
+    "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
+    "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -970,6 +971,20 @@ object SparkEntry {
         | round(CAST(sum(c_dab * CAST(round(ln(CAST(c2 AS DOUBLE)/c1)*1e6) AS BIGINT)) AS DOUBLE)
         |   / (CAST(sum(c_dab) AS DOUBLE) * 1e6), 4) AS avg_logprob
         |FROM bg JOIN pair USING (w, w2) JOIN ctx USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk,
+        |  len(regexp_replace(lower(text), '\s+', '', 'g')) AS chars FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n_tokens,
+        |  len(list_filter(tk, x -> list_contains(['the','a','of','to','and','in'], x))) AS stop_n,
+        |  chars FROM t),
+        |f AS (SELECT doc_id, n_tokens,
+        |  CAST(stop_n AS DOUBLE)/n_tokens AS sr,
+        |  CAST(chars AS DOUBLE)/n_tokens AS mw FROM m)
+        |SELECT doc_id, n_tokens, round(sr,4) AS stop_ratio, round(mw,4) AS mean_wlen,
+        | round(1.0/(1.0+exp(-(-1.0 + 0.35*ln(n_tokens) + 4.0*sr - 0.6*(mw-5.0)))),4) AS score,
+        | (1.0/(1.0+exp(-(-1.0 + 0.35*ln(n_tokens) + 4.0*sr - 0.6*(mw-5.0)))) >= 0.5) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

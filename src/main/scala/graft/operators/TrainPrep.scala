@@ -249,6 +249,42 @@ object TrainPrep {
           .as("keep"))
       .orderBy(col("doc_id"))
 
+  /** MODEL-BASED quality score — how a trained quality classifier
+    * (fastText/logistic-regression style, the DCLM/FineWeb-Edu filter
+    * shape) deploys in the engine: fixed offline-trained weights over
+    * cheap per-document features, evaluated as one codegen'd
+    * projection. The weights here are illustrative constants; a real
+    * pipeline substitutes its trained vector — the DEPLOYMENT shape
+    * (features → dot → sigmoid → threshold, map-only, no shuffle) is
+    * what this certifies.
+    */
+  def qualityScore(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val stops = Seq("the", "a", "of", "to", "and", "in")
+    val z = lit(-1.0) +
+      lit(0.35) * log(col("n_tokens")) +
+      lit(4.0) * col("stop_ratio") -
+      lit(0.6) * (col("mean_wlen") - lit(5.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        toks(col("text")).as("t"),
+        length(regexp_replace(lower(col("text")), "\\s+", "")).as("chars"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        size(filter(col("t"), x => x.isInCollection(stops))).as("stop_n"),
+        col("chars"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("stop_n").cast("double") / col("n_tokens"), 4).as("stop_ratio_r"),
+        round(col("chars").cast("double") / col("n_tokens"), 4).as("mean_wlen_r"),
+        (col("stop_n").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("chars").cast("double") / col("n_tokens")).as("mean_wlen"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("stop_ratio_r").as("stop_ratio"),
+        col("mean_wlen_r").as("mean_wlen"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (lit(1.0) / (lit(1.0) + exp(-z)) >= threshold).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BIGRAM log-probability score — the next step up from
     * [[unigramLogprob]] toward the real perplexity filter: per
     * document, the mean of ln p(w_i | w_{i-1}) under the corpus's own

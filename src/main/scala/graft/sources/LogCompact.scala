@@ -90,7 +90,21 @@ object LogCompact {
     // scan's file list is snapshotted at planning, so the appended
     // output files are not re-read.
     val t = LogSync.table(spark, root)
-    val partCols = layout.getOrElse(inferLayout(spark, root)).filter(t.columns.contains)
+    val current = inferLayout(spark, root)
+    val partCols = layout.getOrElse(current).filter(t.columns.contains)
+    // DIRECTORY-layout evolution is structurally impossible on a
+    // path-discovered lake: the replaced files keep their old k=v
+    // depth until vacuum, and Spark's partition discovery rejects a
+    // root mixing directory depths (CONFLICTING_PARTITION_COLUMN_NAMES)
+    // — the table would be unreadable until vacuum. Evolve by
+    // CLUSTERING instead: `clusterBy` + the manifest zone maps give
+    // partition-grade pruning with no directories to conflict
+    // ([[LogSync.tableFor]]), which is how this lake re-organizes for
+    // changed query patterns.
+    require(partCols == current,
+      s"cannot change the directory layout in place ($current -> $partCols): " +
+        "replaced files keep the old depth until vacuum and partition discovery " +
+        "would reject the mix; re-organize with clusterBy (zone-map clustering) instead")
     val clusterCols = clusterBy
       .getOrElse(if (t.columns.contains("timestamp")) Seq("timestamp") else Seq.empty)
       .filter(t.columns.contains)
@@ -164,6 +178,10 @@ object LogCompact {
     *     safe against concurrent ingest: written-but-not-yet-synced
     *     files are unregistered too, and only age distinguishes them.
     *
+    * Files pinned by a live BRANCH ([[LogSync.branch]]) are exempt
+    * from both classes and keep their tombstone rows — the
+    * branch-retention rule; [[LogSync.dropBranch]] releases the pin.
+    *
     * The orphan set is computed distributed (anti-join); only the
     * paths to DELETE cross the driver — the `mc rm` control-plane
     * analog.
@@ -176,21 +194,33 @@ object LogCompact {
     val cutoffMs = System.currentTimeMillis() - graceMs
     val cutoffTs = new java.sql.Timestamp(cutoffMs)
     val m = LogSync.manifestDf(spark, root).cache()
+    // files pinned by any branch are NEVER reclaimed (and their
+    // tombstones never purged) while the branch lives — the
+    // branch-retention rule; dropBranch releases the pin
+    val pinned = LogSync.branchProtectedPaths(spark, root)
+      .withColumn("__pin", lit(true))
+    val marked = m.join(pinned, Seq("path"), "left").cache()
 
-    val dead = m.filter(col("removed_at") <= lit(cutoffTs))
+    val dead = marked
+      .filter(col("removed_at") <= lit(cutoffTs) && col("__pin").isNull)
       .select("path").as[String].collect()
     val neverRegistered = listParquet(spark, root)
       .filter(_._2 <= cutoffMs).map(_._1).toDF("path")
       .join(m.select("path"), Seq("path"), "left_anti")
+      .join(pinned.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
 
     (dead ++ neverRegistered).foreach(p => fs.delete(new Path(p), false))
     if (dead.nonEmpty) {
       // purge the tombstones whose files are gone — a versioned
       // manifest swap, same commit point as compaction
-      val next = m.filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs))
+      val next = marked
+        .filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs) ||
+          col("__pin").isNotNull)
+        .drop("__pin")
       LogSync.swapManifest(spark, root, next)
     }
+    marked.unpersist()
     // superseded manifest versions: only in-flight readers of older
     // snapshots need them; age them out like replaced data files
     val staleDirs = LogSync.staleManifestDirs(spark, root).filter { d =>

@@ -494,6 +494,34 @@ object LogSync {
     keepOnly(spark, root, paths)
   }
 
+  /** Delete a branch — releases its pin; the files it alone was
+    * protecting become reclaimable by the next vacuum.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val p = new Path(s"$root/_branch_$name")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Data paths active in ANY branch — the set [[LogCompact.vacuum]]
+    * must never delete, whatever the main manifest says about them
+    * (Iceberg's branch-retention rule). Branch manifests are
+    * metadata-sized; reading all of them is control-plane cost.
+    */
+  private[sources] def branchProtectedPaths(spark: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(new Path(root))) Seq.empty
+      else fs.listStatus(new Path(root)).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("_branch_") &&
+          !p.getName.startsWith("_branch_swap_"))
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("path", StringType, nullable = false))))
+    else dirs.map(d => spark.read.parquet(d.toString)
+        .filter(col("removed_at").isNull).select(col("path")))
+      .reduce(_ union _).distinct()
+  }
+
   /** The reference daemon's loop (scripts/sync-logs.sh: `while true;
     * do sync; sleep $SYNC_INTERVAL; done`): run [[sync]] every
     * `intervalMillis` until `rounds` rounds have run (rounds < 0 ⇒

@@ -564,4 +564,69 @@ class LakeSpec extends SparkSpec {
     LogSync.branch(spark, root, "exp1")
     assert(LogSync.tableBranch(spark, root, "exp1").count() == 100)
   }
+
+  test("layout evolution is rejected with guidance; zone-map clustering is the evolve path") {
+    val root = Files.createTempDirectory("graft_evolvepart").toString
+    LogWriter.write(
+      Tables.events(spark, sf).limit(200)
+        .select(col("ts").as("timestamp"),
+          concat(lit("svc-"), col("user_id") % 3).as("service_name"),
+          col("props").as("body")),
+      root, layout = LogWriter.DailyLayout)
+    LogSync.sync(spark, root)
+    // cross-depth directory evolution would leave the root unreadable
+    // (old-depth files coexist until vacuum): compact must refuse and
+    // point at the supported path
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LogCompact.compact(spark, root,
+        layout = Some(Seq("service_name")))
+    }
+    assert(e.getMessage.contains("clusterBy"), s"guidance missing: ${e.getMessage}")
+    // the table stayed readable throughout
+    assert(LogSync.table(spark, root).count() == 200)
+    // same-layout compaction with clusterBy (the supported evolution)
+    // still works and keeps results identical
+    val before = LogSync.table(spark, root)
+      .groupBy("service_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Thread.sleep(50)
+    graft.sources.LogCompact.compact(spark, root,
+      clusterBy = Some(Seq("service_name", "timestamp")))
+    val after = LogSync.table(spark, root)
+      .groupBy("service_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, "clustered rewrite must not change query results")
+  }
+
+  test("vacuum honors branch pins; dropBranch releases them") {
+    val root = Files.createTempDirectory("graft_branch_vac").toString
+    def write(n: Int, skip: Int) = Tables.events(spark, sf).orderBy("event_id")
+      .offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+              col("props").as("body"))
+      .repartition(3)
+      .write.mode("append").parquet(root)
+    write(60, 0)
+    LogSync.sync(spark, root)
+    LogSync.branch(spark, root, "pin")
+    write(40, 60)
+    LogSync.sync(spark, root)
+    Thread.sleep(60)
+    graft.sources.LogCompact.compact(spark, root) // tombstones every pre-compaction file
+    Thread.sleep(60)
+    // zero grace: without the pin every tombstoned file would be reclaimed
+    val removedPinned = graft.sources.LogCompact.vacuum(spark, root, graceMs = 0)
+    assert(LogSync.tableBranch(spark, root, "pin").count() == 60,
+      s"branch must survive vacuum (removed $removedPinned files)")
+    assert(LogSync.table(spark, root).count() == 100, "main table intact")
+    // releasing the pin lets the next vacuum reclaim the branch's files
+    LogSync.dropBranch(spark, root, "pin")
+    Thread.sleep(60)
+    val removedAfter = graft.sources.LogCompact.vacuum(spark, root, graceMs = 0)
+    assert(removedAfter > 0, "released files must be reclaimed")
+    assert(LogSync.table(spark, root).count() == 100, "main table still intact")
+    intercept[IllegalArgumentException] {
+      LogSync.tableBranch(spark, root, "pin")
+    }
+  }
 }

@@ -218,6 +218,28 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("qualityScore: sigmoid scorer matches local math; map-only plan") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val stops = Seq("the", "a", "of", "to", "and", "in")
+    val got = TrainPrep.qualityScore(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val t = localToks(docs(r.getAs[Long]("doc_id")))
+      val chars = docs(r.getAs[Long]("doc_id")).toLowerCase.replaceAll("\\s+", "").length
+      val sr = t.count(stops.contains).toDouble / t.length
+      val mw = chars.toDouble / t.length
+      val z = -1.0 + 0.35 * math.log(t.length) + 4.0 * sr - 0.6 * (mw - 5.0)
+      val s = 1.0 / (1.0 + math.exp(-z))
+      assert(r.getAs[Int]("n_tokens") == t.length)
+      assert(math.abs(r.getAs[Double]("score") - s) < 5e-5, s"doc ${r.get(0)}")
+      assert(r.getAs[Boolean]("keep") == (s >= 0.5))
+    }
+    val plan = planString(TrainPrep.qualityScore(spark, sf))
+    assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
+      s"qualityScore must be shuffle-free except the output sort:\n$plan")
+  }
+
   test("toxicity: flagged counts match local recomputation; pure projection") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
