@@ -133,7 +133,8 @@ object SparkEntry {
     "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
     "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
-    "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d))
+    "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d)),
+    "corpus_pipeline"     -> (TrainPrep.pipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -985,6 +986,41 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(sr,4) AS stop_ratio, round(mw,4) AS mean_wlen,
         | round(1.0/(1.0+exp(-(-1.0 + 0.35*ln(n_tokens) + 4.0*sr - 0.6*(mw-5.0)))),4) AS score,
         | (1.0/(1.0+exp(-(-1.0 + 0.35*ln(n_tokens) + 4.0*sr - 0.6*(mw-5.0)))) >= 0.5) AS keep
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "corpus_pipeline" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk,
+        |  len(regexp_replace(lower(text), '\s+', '', 'g')) AS chars FROM documents),
+        |base AS (SELECT doc_id, source, chars, len(tk) AS n_tokens,
+        |  md5(array_to_string(list_sort(list_distinct(tk)),' ')) AS fp,
+        |  CAST(list_contains(tk,'the') AS INT) + CAST(list_contains(tk,'a') AS INT)
+        |   + CAST(list_contains(tk,'of') AS INT) + CAST(list_contains(tk,'to') AS INT)
+        |   + CAST(list_contains(tk,'and') AS INT) + CAST(list_contains(tk,'in') AS INT) AS stop_hits,
+        |  len(list_filter(tk, x -> list_contains(['slow','crash','kill'], x))) AS n_flagged
+        | FROM t),
+        |tok AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk,1) AS i FROM t),
+        |bg AS (SELECT doc_id, w || ' ' || lead(w,1) OVER win AS b
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,1) OVER win IS NOT NULL),
+        |bga AS (SELECT doc_id, count(DISTINCT b) AS d_bg, count(*) AS n_bg FROM bg GROUP BY 1),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1,2),
+        |wca AS (SELECT doc_id, max(c) AS max_wc, sum(c) AS n_words FROM wc GROUP BY 1),
+        |rep AS (SELECT doc_id,
+        |  ((CAST(max_wc AS DOUBLE)/n_words) <= 0.2
+        |    AND (1.0 - CAST(d_bg AS DOUBLE)/n_bg) <= 0.3) AS rep_keep
+        | FROM wca JOIN bga USING (doc_id)),
+        |keepers AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM base),
+        |kept AS (SELECT b.* FROM base b
+        |  JOIN rep USING (doc_id) JOIN keepers USING (doc_id)
+        |  WHERE b.n_tokens BETWEEN 50 AND 100000
+        |    AND (CAST(b.chars AS DOUBLE)/b.n_tokens) BETWEEN 2.0 AND 10.0
+        |    AND b.stop_hits >= 2
+        |    AND (CAST(b.n_flagged AS DOUBLE)/greatest(b.n_tokens,1)) <= 0.02
+        |    AND rep.rep_keep AND doc_id = keepers.keeper)
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f0' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f8' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

@@ -249,6 +249,55 @@ object TrainPrep {
           .as("keep"))
       .orderBy(col("doc_id"))
 
+  /** THE END-TO-END CURATION PIPELINE in one query — the composition a
+    * training-data team actually ships: quality gates
+    * ([[qualityRules]]) ∧ safety gate ([[toxicity]]) ∧ repetition
+    * gates ([[repetition]]) ∧ exact-dedup keeper
+    * ([[TextAnalysis.fingerprintExpr]]) → deterministic split
+    * assignment ([[Curation.corpusSplit]]) → per-(split, source)
+    * shard report (doc/token counts — the numbers the tokenizer job
+    * is handed). Every stage is individually oracle-verified; this
+    * query certifies their COMPOSITION with one hash-match.
+    *
+    * Scale shape: one base projection (all per-row features in a
+    * single pass), the repetition signals' one window pass joined
+    * back doc-keyed, one fingerprint window for the keeper, map-only
+    * split, one final tiny aggregate. Nothing new beyond the stages'
+    * own costs; Catalyst pipelines the gates into the scan.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        toks(col("text")).as("t"),
+        length(regexp_replace(lower(col("text")), "\\s+", "")).as("chars"),
+        TextAnalysis.fingerprintExpr(col("text")).as("fp"))
+      .select(col("doc_id"), col("source"), col("fp"), col("chars"),
+        size(col("t")).as("n_tokens"),
+        (array_contains(col("t"), "the").cast("int") +
+          array_contains(col("t"), "a").cast("int") +
+          array_contains(col("t"), "of").cast("int") +
+          array_contains(col("t"), "to").cast("int") +
+          array_contains(col("t"), "and").cast("int") +
+          array_contains(col("t"), "in").cast("int")).as("stop_hits"),
+        size(filter(col("t"), x => x.isInCollection(BlockWords))).as("n_flagged"))
+    val rep = repetition(spark, dir).select(col("doc_id"), col("keep").as("rep_keep"))
+    base.join(rep, "doc_id")
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(
+        col("n_tokens").between(50, 100000) &&
+        (col("chars").cast("double") / col("n_tokens")).between(2.0, 10.0) &&
+        col("stop_hits") >= 2 &&
+        (col("n_flagged").cast("double") / greatest(col("n_tokens"), lit(1)) <= 0.02) &&
+        col("rep_keep") &&
+        col("doc_id") === col("keeper"))
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("h2") < "f0", "train").when(col("h2") < "f8", "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** MODEL-BASED quality score — how a trained quality classifier
     * (fastText/logistic-regression style, the DCLM/FineWeb-Edu filter
     * shape) deploys in the engine: fixed offline-trained weights over

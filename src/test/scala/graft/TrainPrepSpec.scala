@@ -218,6 +218,39 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("pipeline: composition equals intersecting the individual verified stages") {
+    import org.apache.spark.sql.functions._
+    val quality = TrainPrep.qualityRules(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val tox = TrainPrep.toxicity(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val rep = TrainPrep.repetition(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val fps = graft.operators.TextAnalysis.fingerprint(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp"))
+    val keepers = fps.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val meta = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source",
+        "size(filter(split(lower(text),'\\\\s+'), x -> x != '')) AS n_toks")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("source"), r.getAs[Int]("n_toks")))
+      .toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val kept = quality & tox & rep & keepers
+    assert(kept.nonEmpty, "some documents must survive the full pipeline")
+    val want = kept.toSeq.map { id =>
+      val h2 = md5hex(id.toString).take(2)
+      val split = if (h2 < "f0") "train" else if (h2 < "f8") "val" else "test"
+      (split, meta(id)._1, id, meta(id)._2.toLong)
+    }.groupBy { case (s, src, _, _) => (s, src) }
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._4).sum) }
+    val got = TrainPrep.pipeline(spark, sf).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got == want, s"pipeline must equal the stage intersection\n got=$got\nwant=$want")
+  }
+
   test("qualityScore: sigmoid scorer matches local math; map-only plan") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
