@@ -134,7 +134,8 @@ object SparkEntry {
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
     "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
     "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d)),
-    "corpus_pipeline"     -> (TrainPrep.pipeline _)
+    "corpus_pipeline"     -> (TrainPrep.pipeline _),
+    "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1021,6 +1022,28 @@ object SparkEntry {
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f8' THEN 'val'
         |            ELSE 'test' END AS split,
         |  source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM kept GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM kept GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "logs_alert_bursts" ->
+      """WITH b AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1,2),
+        |w AS (SELECT bucket, event_type, n,
+        |  CAST(coalesce(sum(n) OVER f, 0) AS BIGINT) AS trailing_n,
+        |  count(n) OVER f AS trailing_buckets
+        | FROM b WINDOW f AS (PARTITION BY event_type ORDER BY bucket
+        |   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |a AS (SELECT bucket, event_type, n FROM w
+        |  WHERE trailing_buckets = 6 AND n * 6 > trailing_n * 2),
+        |g AS (SELECT bucket, event_type, n,
+        |  CASE WHEN lag(bucket) OVER t IS NULL
+        |    OR (epoch(CAST(bucket AS TIMESTAMP)) - epoch(CAST(lag(bucket) OVER t AS TIMESTAMP)))/3600 > 3
+        |    THEN 1 ELSE 0 END AS new_burst
+        | FROM a WINDOW t AS (PARTITION BY event_type ORDER BY bucket)),
+        |i AS (SELECT bucket, event_type, n,
+        |  CAST(sum(new_burst) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst
+        | FROM g)
+        |SELECT event_type, burst, min(bucket) AS burst_start, max(bucket) AS burst_end,
+        | count(*) AS n_buckets, max(n) AS peak_n
+        |FROM i GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

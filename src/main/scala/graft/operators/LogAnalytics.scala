@@ -352,6 +352,37 @@ object LogAnalytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Alert BURST GROUPING on top of [[anomaly]] — the alert-fatigue
+    * suppression every on-call rotation configures (Grafana/PagerDuty
+    * grouping): consecutive anomalous buckets within `cooldownHours`
+    * of each other form one burst; one alert per burst, carrying its
+    * start, end, bucket count and peak rate. The burst id is the
+    * classic gap-and-island (lag + conditional cumsum — the
+    * [[sessionize]] machinery applied to the anomaly series); the
+    * series has bucket cardinality, so every window here is
+    * control-plane sized regardless of event volume.
+    */
+  def alertBursts(spark: SparkSession, dir: String,
+                  cooldownHours: Int = 3): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    anomaly(spark, dir)
+      .filter(col("is_anomaly"))
+      .withColumn("prev", lag(col("bucket"), 1).over(byType))
+      .withColumn("gap_h",
+        (unix_timestamp(col("bucket"), "yyyy-MM-dd HH:mm:ss") -
+          unix_timestamp(col("prev"), "yyyy-MM-dd HH:mm:ss")) / 3600)
+      .withColumn("new_burst",
+        when(col("prev").isNull || col("gap_h") > cooldownHours, 1L).otherwise(0L))
+      .withColumn("burst", sum(col("new_burst")).over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("event_type"), col("burst"))
+      .agg(min(col("bucket")).as("burst_start"),
+           max(col("bucket")).as("burst_end"),
+           count(lit(1)).as("n_buckets"),
+           max(col("n")).as("peak_n"))
+      .orderBy(col("event_type"), col("burst"))
+  }
+
   def dauSketch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(dayStr(col("ts")).as("day"),

@@ -172,6 +172,38 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(modules.subsetOf((0 until 4).map(i => s"mod-$i").toSet) && modules.size == 4, s"got $modules")
   }
 
+  test("alertBursts: gap-and-island grouping of the anomaly series matches local replay") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def epoch(s: String) = java.time.LocalDateTime.parse(s, fmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val anomalies = LogAnalytics.anomaly(spark, sf).collect()
+      .filter(_.getAs[Boolean]("is_anomaly"))
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("bucket"), r.getAs[Long]("n")))
+    assume(anomalies.nonEmpty, "need anomalies at this sf to test grouping")
+    val want = anomalies.groupBy(_._1).flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val bursts = collection.mutable.ArrayBuffer.empty[collection.mutable.ArrayBuffer[(String, Long)]]
+      var prev: Option[String] = None
+      sorted.foreach { case (_, b, n) =>
+        if (prev.isEmpty || (epoch(b) - epoch(prev.get)) / 3600 > 3)
+          bursts += collection.mutable.ArrayBuffer((b, n))
+        else bursts.last += ((b, n))
+        prev = Some(b)
+      }
+      bursts.zipWithIndex.map { case (bs, i) =>
+        (t, i + 1L) -> (bs.head._1, bs.last._1, bs.length.toLong, bs.map(_._2).max)
+      }
+    }
+    val got = LogAnalytics.alertBursts(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("burst")) ->
+        (r.getAs[String]("burst_start"), r.getAs[String]("burst_end"),
+          r.getAs[Long]("n_buckets"), r.getAs[Long]("peak_n"))).toMap
+    assert(got == want, "burst grouping must equal the local gap-and-island replay")
+    // one alert per burst: never more alerts than anomalies (at tiny sf
+    // anomalies may all be isolated, so equality is legitimate)
+    assert(got.size <= anomalies.length)
+  }
+
   test("histogram: bins partition each type's events; edges and counts consistent") {
     val rows = LogAnalytics.histogram(spark, sf).collect()
     assert(rows.nonEmpty)
