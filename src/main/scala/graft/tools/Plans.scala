@@ -46,7 +46,8 @@ object Plans {
       "text_line_dedup" -> "boilerplate-line scrub: lines built map-only (slice/transform, no explode before the df agg), heavy set as BroadcastExchange build side of the anti-join, one doc-keyed reassembly agg",
       "lake_changes" -> "incremental read: the since-mark append-only path set as broadcast semi-join — scan cost proportional to the new files, never lake size",
       "ann_filtered" -> "filtered vector search: label equality in the equi-join key (BuildRight broadcast of the query set) — each query meets only its label stripe, pre-filtering not post-filtering",
-      "bpe_encode" -> "tokenizer application: corpus scanned once into (doc,word) counts; the iterative merge folds run on the vocabulary side of the word join, never per occurrence")
+      "bpe_encode" -> "tokenizer application: corpus scanned once into (doc,word) counts; the iterative merge folds run on the vocabulary side of the word join, never per occurrence",
+      "corpus_pipeline" -> "end-to-end curation: all per-row gates fused into the scan projection; one repetition window pass joined doc-keyed; one fingerprint window; tiny final agg")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
