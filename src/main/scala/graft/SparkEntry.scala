@@ -135,7 +135,9 @@ object SparkEntry {
     "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
     "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d)),
     "corpus_pipeline"     -> (TrainPrep.pipeline _),
-    "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d))
+    "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d)),
+    "sample_weighted"     -> ((s: SparkSession, d: String) => Curation.sampleWeighted(s, d)),
+    "logs_compare"        -> (LogAnalytics.compareWindows _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1044,6 +1046,24 @@ object SparkEntry {
         | FROM g)
         |SELECT event_type, burst, min(bucket) AS burst_start, max(bucket) AS burst_end,
         | count(*) AS n_buckets, max(n) AS peak_n
-        |FROM i GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM i GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "sample_weighted" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_toks
+        | FROM documents),
+        |keyed AS (SELECT doc_id, source, n_toks,
+        |  -ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) + 0.5)
+        |      / 4294967296.0) / greatest(n_toks, 1) AS key
+        | FROM d)
+        |SELECT doc_id, source, n_toks, round(key, 8) AS key
+        |FROM keyed ORDER BY key, doc_id LIMIT 20""".stripMargin,
+    "logs_compare" ->
+      """WITH b AS (SELECT strftime(ts,'%Y-%m-%d') AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1,2)
+        |SELECT day, event_type, n,
+        | lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+        | round(CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+        |   / lag(n) OVER (PARTITION BY event_type ORDER BY day) * 100, 2) AS pct_change
+        |FROM b ORDER BY day, event_type""".stripMargin
   )
 }

@@ -253,6 +253,30 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES
+    * with exponential keys): each document gets key `-ln(u)/w` from a
+    * DETERMINISTIC md5-derived uniform `u` and weight `w` = token
+    * count; the k smallest keys are a weighted sample — longer
+    * documents proportionally more likely, yet the draw is a pure
+    * function of doc_id (reproducible across runs, engines and
+    * partitionings, like every sampler in this engine). The
+    * importance-sampling primitive for "sample 1M docs ∝ length".
+    *
+    * Scale shape: key assignment is map-only; the global bottom-k is
+    * Spark's TakeOrdered (per-partition top-k then a k-sized merge) —
+    * no shuffle of the corpus.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)")
+          + 0.5) / 4294967296.0)
+      .withColumn("key", -log(col("u")) / greatest(col("n_toks"), lit(1)).cast("double"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_toks"), round(col("key"), 8).as("key"))
+
   /** Per-source corpus profile — the shard report a data pipeline
     * prints before mixing: document count, token totals, and the
     * token-length distribution (min/mean/median/p90/max). One exploded

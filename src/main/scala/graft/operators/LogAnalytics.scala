@@ -352,6 +352,24 @@ object LogAnalytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Day-over-day comparison — the "vs yesterday" column every
+    * dashboard adds: per (day, severity) counts with the previous
+    * day's count and the percent change (null on each series' first
+    * day). One aggregate to day×type cardinality, then a lag window
+    * over that tiny series — the window never sees event-cardinality
+    * rows.
+    */
+  def compareWindows(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .groupBy(dayStr(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .withColumn("pct_change",
+        round((col("n") - col("prev_n")).cast("double") / col("prev_n") * 100, 2))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Alert BURST GROUPING on top of [[anomaly]] — the alert-fatigue
     * suppression every on-call rotation configures (Grafana/PagerDuty
     * grouping): consecutive anomalous buckets within `cooldownHours`

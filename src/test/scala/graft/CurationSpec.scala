@@ -131,6 +131,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sampleWeighted: exact ES replay, deterministic, biased toward heavy docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "size(filter(split(lower(text),'\\\\s+'), x -> x != '')) AS t")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Int]("t")))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.map { case (id, src, t) =>
+      val u = (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) + 0.5) / 4294967296.0
+      (id, src, t, -math.log(u) / math.max(t, 1))
+    }.sortBy { case (id, _, _, k) => (k, id) }.take(20)
+      .map { case (id, src, t, k) =>
+        (id, src, t, BigDecimal(k).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+    val got = Curation.sampleWeighted(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_toks"), r.getAs[Double]("key"))).toSeq
+    assert(got == want, "must equal the local Efraimidis-Spirakis replay")
+    // importance bias: the length-weighted sample's mean length exceeds
+    // the corpus mean (docs vary in length enough at this sf)
+    val corpusMean = docs.map(_._3.toDouble).sum / docs.length
+    val sampleMean = got.map(_._3.toDouble).sum / got.length
+    assert(sampleMean > corpusMean * 0.9,
+      s"weighted sample mean $sampleMean vs corpus $corpusMean")
+    // deterministic across runs
+    val again = Curation.sampleWeighted(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSeq
+    assert(again == got.map(_._1))
+  }
+
   test("corpusStats: per-source profile matches a local recomputation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("source", "size(filter(split(lower(text),'\\\\s+'), x -> x != '')) AS t")

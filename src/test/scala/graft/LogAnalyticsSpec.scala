@@ -172,6 +172,34 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(modules.subsetOf((0 until 4).map(i => s"mod-$i").toSet) && modules.size == 4, s"got $modules")
   }
 
+  test("compareWindows: prev-day and pct change match a local lag replay") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+      .toMap
+    val got = LogAnalytics.compareWindows(spark, sf).collect()
+    assert(got.length == daily.size)
+    val byType = daily.toSeq.groupBy(_._1._2)
+      .view.mapValues(_.sortBy(_._1._1)).toMap
+    got.foreach { r =>
+      val (d, t, n) = (r.getAs[String]("day"), r.getAs[String]("event_type"), r.getAs[Long]("n"))
+      assert(n == daily((d, t)))
+      val series = byType(t)
+      val idx = series.indexWhere(_._1._1 == d)
+      if (idx == 0) {
+        assert(r.isNullAt(r.fieldIndex("prev_n")) && r.isNullAt(r.fieldIndex("pct_change")),
+          s"first day of $t must have null prev")
+      } else {
+        val prev = series(idx - 1)._2
+        assert(r.getAs[Long]("prev_n") == prev)
+        val pct = BigDecimal((n - prev).toDouble / prev * 100)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("pct_change") == pct, s"($d,$t)")
+      }
+    }
+  }
+
   test("alertBursts: gap-and-island grouping of the anomaly series matches local replay") {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     def epoch(s: String) = java.time.LocalDateTime.parse(s, fmt)
