@@ -36,8 +36,18 @@ object LakeIngest {
     * the lake at `root`. `checkpoint` must be a durable location owned
     * by this query alone (same rule as any Structured Streaming sink).
     */
+  /** With `maintainRollup`, each registered micro-batch is also folded
+    * into the persisted severity rollup ([[graft.sources.Rollup]]) —
+    * STREAMING MATERIALIZED-VIEW MAINTENANCE: the dashboard aggregate
+    * stays current within one batch of the live edge at per-batch cost
+    * (the rollup refresh reads only the batch's files). Refresh after
+    * the marker is safe: [[graft.sources.Rollup.refresh]] is
+    * idempotent (it diffs the manifest against its own processed set),
+    * so replays and missed refreshes self-heal on the next batch.
+    */
   def start(logs: DataFrame, root: String, checkpoint: String,
-            layout: Seq[String] = LogWriter.DailyLayout): StreamingQuery = {
+            layout: Seq[String] = LogWriter.DailyLayout,
+            maintainRollup: Boolean = false): StreamingQuery = {
     require(checkpoint.nonEmpty,
       "LakeIngest.start needs a durable checkpointLocation: batch markers " +
         "are only meaningful relative to a persistent batchId sequence")
@@ -52,6 +62,7 @@ object LakeIngest {
           fs.mkdirs(marker.getParent)
           fs.create(marker).close()
         }
+        if (maintainRollup) graft.sources.Rollup.refresh(spark, root)
         ()
       }
       .option("checkpointLocation", checkpoint)

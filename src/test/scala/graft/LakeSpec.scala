@@ -123,6 +123,35 @@ class LakeSpec extends SparkSpec {
       "streaming-registered files must carry timestamp zone-maps")
   }
 
+  test("LakeIngest(maintainRollup): rollup tracks the stream, equals full recompute per batch") {
+    val src = Files.createTempDirectory("graft_mvsrc").toString
+    val root = Files.createTempDirectory("graft_mvlake").toString
+    def otel(n: Int, svc: String) = Tables.events(spark, sf)
+      .orderBy(col("event_id")).limit(n)
+      .select(col("ts").as("timestamp"), lit(svc).as("service_name"),
+              col("event_type").as("severity_text"), col("props").as("body"))
+    otel(80, "svc-a").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val ckpt = Files.createTempDirectory("graft_mvckpt").toString
+    val q = graft.streaming.LakeIngest.start(
+      spark.readStream.schema(schema).parquet(src), root, ckpt, maintainRollup = true)
+    def rollupMap() = graft.sources.Rollup.read(spark, root).collect()
+      .map(r => (r.getAs[String]("service_name"), r.getAs[String]("severity_text")) ->
+        r.getAs[Long]("n")).toMap
+    def fullMap() = LogSync.table(spark, root)
+      .groupBy("service_name", "severity_text").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    try {
+      q.processAllAvailable()
+      assert(rollupMap() == fullMap(), "rollup == recompute after batch 1")
+      otel(40, "svc-b").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val m = rollupMap()
+      assert(m == fullMap(), "rollup == recompute after batch 2")
+      assert(m.keys.exists(_._1 == "svc-b"), "second batch folded in")
+    } finally q.stop()
+  }
+
   test("LogCompact: compaction preserves the on-disk layout (hour stays a data column)") {
     val root = Files.createTempDirectory("graft_compact_layout").toString
     val logs = Tables.events(spark, sf).limit(300)
