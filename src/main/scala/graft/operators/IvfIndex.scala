@@ -34,7 +34,7 @@ object IvfIndex {
   private val built =
     new ConcurrentHashMap[(SparkSession, String), Array[(Int, Seq[Double])]]()
 
-  private[operators] def root(dir: String): String =
+  private[graft] def root(dir: String): String =
     s"/tmp/graft_ivf_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
 
   /** √N clamped to [8, 256]: the IVF cell count for an N-vector corpus. */
@@ -57,6 +57,30 @@ object IvfIndex {
         .write.mode("overwrite").partitionBy("cell").parquet(root(dir))
       cents
     })
+
+  /** INCREMENTAL index maintenance: assign `newVectors` (vec_id,
+    * embedding, label) to their nearest EXISTING centroid and append
+    * them to the cell partitions — the standard IVF update (inverted
+    * lists grow; centroids stay fixed until a deliberate rebuild, so
+    * the index never needs retraining on arrival). Cost ∝ new data:
+    * assignment is a map-only pass against the broadcast centroid
+    * literals, the write appends only the touched `cell=` partitions,
+    * and queries see the new vectors immediately — the same
+    * steady-state economics as [[graft.sources.LogSync.sync]] for the
+    * lake. Returns the number of vectors appended.
+    */
+  def append(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
+    val cents = ensure(spark, dir)
+    VectorFunctions.register(spark)
+    val assigned = newVectors
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .withColumn("cell",
+        element_at(Similarity.topCellsExpr(cents)(col("v"), 1), 1))
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(root(dir))
+    n
+  }
 
   /** Top-5 cosine neighbors for a QUERY SET (a DataFrame with vec_id +
     * embedding columns — by default the standard vec_id < 10 set read

@@ -54,6 +54,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(3 < k / 2, s"probe set must be well under half the $k cells")
   }
 
+  test("IvfIndex.append: new vectors join their nearest cell, queryable immediately") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    // isolated corpus dir so the shared per-dir index is untouched
+    val tmp = Files.createTempDirectory("graft_ivf_inc").toString
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"), Paths.get(s"$tmp/embeddings.parquet"))
+    IvfIndex.ensure(spark, tmp)
+    val base = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val n0 = spark.read.parquet(IvfIndex.root(tmp)).count()
+    // twins of the first five vectors, new ids — arrival-batch stand-in
+    val twins = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    assert(IvfIndex.append(spark, tmp, twins) == 5)
+    val idx = spark.read.parquet(IvfIndex.root(tmp))
+    assert(idx.count() == n0 + 5, "inverted lists grew by the batch size")
+    // identical embedding => identical nearest centroid => same cell
+    val cellOf = idx.select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    (0 until 5).foreach(i =>
+      assert(cellOf(i + 10000L) == cellOf(i.toLong), s"twin of $i in the wrong cell"))
+    // queryable with no rebuild: each original's twin surfaces at cos 1.0
+    val res = IvfIndex.query(spark, tmp,
+      querySet = Some(base.filter(col("vec_id") < 5))).collect()
+    (0 until 5).foreach { i =>
+      val hits = res.filter(_.getAs[Long]("q_id") == i.toLong)
+      assert(hits.exists(r => r.getAs[Long]("vec_id") == i + 10000L &&
+        r.getAs[Double]("cos") == 1.0), s"appended twin of $i not found")
+    }
+  }
+
   test("annQuantized: int8 scan + exact rerank recalls >= 0.95 of exact top-5") {
     import graft.operators.Similarity
     def top(df: org.apache.spark.sql.DataFrame) = df.collect()
