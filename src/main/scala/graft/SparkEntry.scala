@@ -137,7 +137,8 @@ object SparkEntry {
     "corpus_pipeline"     -> (TrainPrep.pipeline _),
     "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d)),
     "sample_weighted"     -> ((s: SparkSession, d: String) => Curation.sampleWeighted(s, d)),
-    "logs_compare"        -> (LogAnalytics.compareWindows _)
+    "logs_compare"        -> (LogAnalytics.compareWindows _),
+    "q26_unpivot"         -> (Relational.q26Unpivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1064,6 +1065,17 @@ object SparkEntry {
         | lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
         | round(CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
         |   / lag(n) OVER (PARTITION BY event_type ORDER BY day) * 100, 2) AS pct_change
-        |FROM b ORDER BY day, event_type""".stripMargin
+        |FROM b ORDER BY day, event_type""".stripMargin,
+    "q26_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_price,
+        |  CAST(round(sum(CAST(l_discount AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_disc
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        | SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        | UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        | UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin
   )
 }

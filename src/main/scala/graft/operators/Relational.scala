@@ -313,6 +313,26 @@ object Relational {
       .limit(10)
   }
 
+  /** UNPIVOT (wide → long): the reporting inverse of [[q13Pivot]] —
+    * per-returnflag measure sums melted into (flag, measure, value)
+    * rows via `Dataset.unpivot` (Spark's MELT). The unpivot runs on
+    * the already-aggregated wide table (flag-cardinality rows), so the
+    * reshape itself is control-plane sized at any scale; money sums
+    * stay exact DECIMAL until the final rounding.
+    */
+  def q26Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(m2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+           m2(sum(dec2(col("l_extendedprice")))).as("sum_price"),
+           m2(sum(dec2(col("l_discount")))).as("sum_disc"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** FULL OUTER join — aligning two sparse aggregates where either
     * side may lack a key (here: the value-bucket histograms of two
     * event types; the tails genuinely differ, so both null directions

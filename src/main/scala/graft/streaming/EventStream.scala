@@ -231,6 +231,35 @@ object EventStream {
         (unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — attribution INCLUDING
+    * the unconverted: every view emits, purchases within the window
+    * attach, and a view with no purchase emits with a NULL purchase
+    * once the watermark proves none can still arrive (the engine holds
+    * the view in state exactly until `view_ts + window` passes the
+    * purchase-side watermark, then emits the null row — bounded state,
+    * and the null result is CORRECT, not best-effort, because the
+    * watermark closed the interval). The conversion-funnel query
+    * downstream teams actually want: matched AND unmatched in one
+    * stream.
+    */
+  def viewToPurchaseOuter(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        when(col("p_ts").isNotNull,
+          unix_micros(col("p_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
   /** Streaming top talkers: per-hour SpaceSaving heavy-hitter summary
     * ([[graft.functions.SpaceSavingTopK]]) as a windowed streaming
     * aggregate. State per open window is O(m) regardless of user

@@ -448,6 +448,51 @@ class LakeSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("viewToPurchaseOuter: unmatched views emit NULL exactly once after watermark closes") {
+    val dir = Files.createTempDirectory("graft_ssjo").toString
+    Tables.events(spark, sf).limit(2000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .write.mode("append").parquet(dir)
+    val q = EventStream.viewToPurchaseOuter(EventStream.read(spark, dir))
+      .writeStream.format("memory").queryName("ssjo_pairs")
+      .outputMode("append").start()
+    try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+    val rows = spark.table("ssjo_pairs").collect()
+    val matched = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+    val unmatchedIds = rows.filter(_.isNullAt(2)).map(_.getAs[Long]("view_id")).toSeq
+    // batch reference
+    val ev = spark.read.parquet(dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val batchMatched = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id")).collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(matched == batchMatched, "matched pairs identical to the inner/batch join")
+    // the engine may only emit a NULL row once the watermark PROVES no
+    // purchase can arrive: views older than maxTs - 1h - 30min with no
+    // batch match must all have emitted exactly once; newer unmatched
+    // views may legitimately still sit in state at stop
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val horizon = maxTs - (60L + 30L) * 60L * 1000000L
+    val mustEmit = views.filter(unix_micros(col("view_ts")) < horizon)
+      .collect().map(_.getAs[Long]("view_id")).toSet -- batchMatched.map(_._1)
+    assert(mustEmit.nonEmpty, "need some provably-unconverted views at this sf")
+    assert(mustEmit.subsetOf(unmatchedIds.toSet),
+      s"missing null emissions: ${(mustEmit -- unmatchedIds.toSet).take(5)}")
+    assert(unmatchedIds.distinct.size == unmatchedIds.size,
+      "each unconverted view emits exactly once")
+    // no view appears both matched and null-emitted
+    assert((unmatchedIds.toSet & batchMatched.map(_._1)).isEmpty)
+  }
+
   test("anomalyStream: streamed verdicts equal the batch operator on closed buckets") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_anom").toString
