@@ -75,11 +75,13 @@ object SparkEntry {
     "text_stats"          -> (TextAnalysis.stats _),
     "text_langid"         -> (TextAnalysis.langId _),
     "text_fingerprint"    -> (TextAnalysis.fingerprint _),
+    "text_entropy"        -> (TextAnalysis.entropy _),
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"       -> (Dedup.minhash _),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d)),
+    "dedup_semantic"      -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
     "ann_topk"            -> (Similarity.annTopk _),
     "ann_lsh"             -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -103,6 +105,7 @@ object SparkEntry {
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
     "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _),
     "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
+    "q27_hierarchy"       -> (Hierarchy.customerTree _),
     "mm_frames"           -> (Multimodal.frames _),
     "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d)),
     "text_logprob"        -> (TrainPrep.unigramLogprob _),
@@ -112,6 +115,7 @@ object SparkEntry {
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
     "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
+    "logs_trend"          -> ((s: SparkSession, d: String) => LogAnalytics.trend(s, d)),
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
     "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "lake_rollup"         -> (LakeAnalytics.rollup _),
@@ -540,6 +544,22 @@ object SparkEntry {
         | FROM documents)
         |SELECT h, count(*) AS n_docs, min(doc_id) AS keeper
         |FROM f GROUP BY h HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    // integer micro-nats: M(x)=round(1e6*ln x); entropy=(M(n)*n - sum c*M(c)) // n.
+    // Every intermediate is a BIGINT, so the value is order-independent and
+    // bit-exact across engines (see graft.functions.CharEntropy).
+    "text_entropy" ->
+      """WITH f AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents) u
+        |  GROUP BY doc_id, ch),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(c * CAST(round(1000000*ln(c)) AS BIGINT)) AS BIGINT) AS t
+        |      FROM f GROUP BY doc_id)
+        |SELECT doc_id,
+        |  (CAST(round(1000000*ln(n)) AS BIGINT) * n - t) // n AS ent_unats,
+        |  ((CAST(round(1000000*ln(n)) AS BIGINT) * n - t) // n) BETWEEN 2000000 AND 4800000
+        |    AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
@@ -698,6 +718,25 @@ object SparkEntry {
         |WHERE t.th >= 4294967296
         |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
         |ORDER BY d.doc_id""".stripMargin,
+    // alpha = 1/2 makes every term dyadic-exact; left-associated sums match
+    // the Spark expression's order, so ewma is bit-identical with no rounding
+    "logs_trend" ->
+      """WITH b AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1,2),
+        |l AS (SELECT bucket, event_type, n,
+        |  lag(n,1) OVER f AS l1, lag(n,2) OVER f AS l2, lag(n,3) OVER f AS l3,
+        |  lag(n,4) OVER f AS l4, lag(n,5) OVER f AS l5
+        | FROM b WINDOW f AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT bucket, event_type, n,
+        | (CAST(n AS DOUBLE) + coalesce(CAST(l1 AS DOUBLE),0)*0.5
+        |   + coalesce(CAST(l2 AS DOUBLE),0)*0.25 + coalesce(CAST(l3 AS DOUBLE),0)*0.125
+        |   + coalesce(CAST(l4 AS DOUBLE),0)*0.0625 + coalesce(CAST(l5 AS DOUBLE),0)*0.03125)
+        | / (1.0 + (CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END)
+        |   + (CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END)
+        |   + (CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END)
+        |   + (CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END)
+        |   + (CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125 END)) AS ewma
+        |FROM l ORDER BY bucket, event_type""".stripMargin,
     "logs_anomaly" ->
       """WITH b AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1,2),
@@ -766,6 +805,15 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |                  WHERE l3.l_orderkey=s.l_orderkey AND l3.l_suppkey<>s.l_suppkey)
         |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 10""".stripMargin,
+    "q27_hierarchy" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT c_custkey AS id, CAST(0 AS BIGINT) AS depth FROM customer WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, r.depth + 1 FROM customer c
+        |  JOIN r ON (c.c_custkey - 1) // 2 = r.id
+        |  WHERE c.c_custkey > 0)
+        |SELECT depth, count(*) AS n, min(id) AS min_key, max(id) AS max_key
+        |FROM r GROUP BY depth ORDER BY depth""".stripMargin,
     "mm_frames" ->
       """WITH v AS (SELECT doc_id, strlen(text) AS len FROM documents WHERE doc_id % 3 = 2),
         |f AS (SELECT doc_id, len,

@@ -494,6 +494,11 @@ object VectorFunctions {
         s"graft_quantize8(vec) takes 1 argument, got ${exprs.length}")
       Quantize8(exprs.head)
     },
+    "graft_entropy" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_entropy(text) takes 1 argument, got ${exprs.length}")
+      CharEntropy(exprs.head)
+    },
     "graft_dot8" -> { exprs =>
       require(exprs.length == 2, s"graft_dot8(a, b) takes 2 arguments, got ${exprs.length}")
       Dot8(exprs(0), exprs(1))

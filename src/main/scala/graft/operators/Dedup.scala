@@ -341,4 +341,65 @@ object Dedup {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), round(cosc, 4).as("cos"))
       .orderBy(col("va"), col("vb"))
   }
+
+  /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, then
+    * deduplicate WITHIN each cluster only — a pair is only ever
+    * compared if both members land in the same cell, so the quadratic
+    * term is (N/k)² per cluster instead of N² overall. With k ≈ √N the
+    * expected within-cluster work is O(N^1.5 / something) bounded by
+    * cluster occupancy, and at 100 TB the cluster id is a plain
+    * equi-join key — the same bucketing discipline as every other
+    * candidate generator in this file (LSH bands, IVF cells, shingle
+    * buckets).
+    *
+    * Mechanics: centroids are control-plane ([[Clustering.centroids]],
+    * k×dim doubles) and come back as broadcast literals; assignment is
+    * one codegen'd dot-product ranking per row (no join); the
+    * within-cluster pair join is an equi-join on `cell`; a member is
+    * DROPPED when a lower-id member of the same cluster sits within
+    * `threshold` cosine — greedy lowest-id-keeper, deterministic under
+    * any partitioning. AQE's skew-join handles an over-full cell.
+    *
+    * Returns per-cluster occupancy and drop counts (k rows). Not
+    * SQL-expressible (iterative k-means); the spec replays assignment +
+    * greedy drops in local Scala at sf0.001 and asserts the dropped-id
+    * set matches exactly.
+    */
+  def semantic(spark: SparkSession, dir: String, threshold: Double = 0.45,
+               k: Int = 16): DataFrame = {
+    val (e, dropped) = semanticParts(spark, dir, threshold, k)
+    e.select(col("cell"), col("vec_id"))
+      .join(dropped.withColumn("is_dropped", lit(1)), Seq("cell", "vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), count(col("is_dropped")).as("n_dropped"))
+      .orderBy(col("cell"))
+  }
+
+  /** The dropped ids behind [[semantic]] — the spec's replay target. */
+  private[graft] def semanticDropped(spark: SparkSession, dir: String,
+                                     threshold: Double = 0.45, k: Int = 16): DataFrame =
+    semanticParts(spark, dir, threshold, k)._2
+      .select(col("vec_id")).orderBy(col("vec_id"))
+
+  /** (assigned corpus, dropped (cell, vec_id) rows) shared by
+    * [[semantic]] and [[semanticDropped]].
+    */
+  private def semanticParts(spark: SparkSession, dir: String, threshold: Double,
+                            k: Int): (DataFrame, DataFrame) = {
+    VectorFunctions.register(spark)
+    val cents = Clustering.centroids(spark, dir, k)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .withColumn("cell", element_at(Similarity.topCellsExpr(cents)(col("v"), 1), 1))
+      .cache() // self-joined for pairs, then joined again for the summary
+    val cosc = call_function("graft_dot", col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosc >= threshold)
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    (e, dropped)
+  }
 }

@@ -359,6 +359,44 @@ object LogAnalytics {
     * over that tiny series — the window never sees event-cardinality
     * rows.
     */
+  /** EWMA-SMOOTHED rate trend — the dashboard's "smoothed" series and
+    * the baseline every spike detector compares against. A true
+    * (recursive) EWMA is not a SQL window function; the standard
+    * finite-memory form is the `taps`-term geometric lag polynomial
+    * EWMAₜ = Σₖ αᵏ·n₍ₜ₋ₖ₎ / Σₖ αᵏ over the available history.
+    *
+    * α is fixed at 1/2: every product n·2⁻ᵏ is a dyadic rational and
+    * every partial sum fits a double's 53-bit mantissa, so the whole
+    * computation — including the final division — is BIT-EXACT and
+    * order-fixed on any engine; the oracle hash-matches with no
+    * rounding at all (the same determinism-by-construction trick as
+    * the integer micro-nat scores, done in floats). The window runs
+    * over the bucket×type series, never event-cardinality rows.
+    */
+  def trend(spark: SparkSession, dir: String, taps: Int = 5): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val base = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"))
+    val lagCols = (1 to taps).map(k => lag(col("n"), k).over(byType).as(s"l$k"))
+    val withLags = base.select(
+      (Seq(col("bucket"), col("event_type"), col("n")) ++ lagCols): _*)
+    // left-associated sums, matching the oracle SQL's parse order
+    val num = (1 to taps).foldLeft(col("n").cast("double")) { (acc, k) =>
+      acc + coalesce(col(s"l$k").cast("double"), lit(0.0)) * lit(math.pow(0.5, k))
+    }
+    val den = (1 to taps).foldLeft(lit(1.0)) { (acc, k) =>
+      acc + when(col(s"l$k").isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0))
+    }
+    withLags
+      .withColumn("ewma", num / den)
+      .select(col("bucket"), col("event_type"), col("n"), col("ewma"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   def compareWindows(spark: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
     Tables.events(spark, dir)

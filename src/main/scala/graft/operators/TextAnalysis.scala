@@ -138,4 +138,20 @@ object TextAnalysis {
       .withColumn("cluster_n", count(lit(1)).over(byFp))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document character entropy in integer micro-nats
+    * ([[graft.functions.CharEntropy]]) with a keep/flag verdict — the
+    * low/high-entropy noise gate. One codegen'd map pass, no explode,
+    * no shuffle; order-independent integer arithmetic makes the oracle
+    * hash-exact (see the expression's Scaladoc).
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("graft_entropy", col("text")).as("ent_unats"))
+      // natural-language char entropy sits ~2.8–4.5 nats; outside is noise
+      .withColumn("keep", col("ent_unats").between(2000000L, 4800000L))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -47,7 +47,10 @@ object Plans {
       "lake_changes" -> "incremental read: the since-mark append-only path set as broadcast semi-join — scan cost proportional to the new files, never lake size",
       "ann_filtered" -> "filtered vector search: label equality in the equi-join key (BuildRight broadcast of the query set) — each query meets only its label stripe, pre-filtering not post-filtering",
       "bpe_encode" -> "tokenizer application: corpus scanned once into (doc,word) counts; the iterative merge folds run on the vocabulary side of the word join, never per occurrence",
-      "corpus_pipeline" -> "end-to-end curation: all per-row gates fused into the scan projection; one repetition window pass joined doc-keyed; one fingerprint window; tiny final agg")
+      "corpus_pipeline" -> "end-to-end curation: all per-row gates fused into the scan projection; one repetition window pass joined doc-keyed; one fingerprint window; tiny final agg",
+      "dedup_semantic" -> "SemDeDup: centroid assignment map-only (codegen'd dots over broadcast centroid literals), within-cluster pairs via equi-join on the cell id — no all-pairs join at any point",
+      "text_entropy" -> "char entropy: ONE codegen'd map projection (graft_entropy static call), no explode, no shuffle before the output sort",
+      "logs_trend" -> "EWMA trend: one agg to bucket×type cardinality, lag window over the tiny series — never event-cardinality rows")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

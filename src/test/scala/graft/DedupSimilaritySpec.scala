@@ -369,4 +369,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!rows.exists(_.getAs[String]("pred_lang") == "zh"),
       "ASCII-only synthetic corpus must not be classified zh")
   }
+
+  test("semantic dedup: dropped set equals the local SemDeDup replay; summary consistent") {
+    import graft.operators.Clustering
+    val k = 16
+    val tau = 0.45
+    // the same control-plane centroids the operator uses
+    val cents = Clustering.centroids(spark, sf, k)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    // replay assignment: max cosine to centroid (row norm is constant per
+    // row, so it can be skipped). maxBy keeps the FIRST max, matching
+    // graft_topk_idx's earlier-index tie preference.
+    val cn = cents.map { case (_, c) => norm(c.toArray) }
+    def cellOf(v: Array[Double]): Int =
+      cents.indices.maxBy(i => dot(v, cents(i)._2.toArray) / cn(i))
+    val byCell = vecs.groupBy { case (_, v) => cellOf(v) }
+    val expectedDropped = byCell.values.flatMap { members =>
+      val sorted = members.sortBy(_._1)
+      for {
+        j <- sorted.indices
+        if sorted.indices.take(j).exists { i =>
+          val (_, a) = sorted(i); val (_, b) = sorted(j)
+          dot(a, b) / (norm(a) * norm(b)) >= tau
+        }
+      } yield sorted(j)._1
+    }.toSet
+    val gotDropped = Dedup.semanticDropped(spark, sf, tau, k).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(gotDropped == expectedDropped,
+      s"missed ${expectedDropped -- gotDropped}, extra ${gotDropped -- expectedDropped}")
+    // summary: occupancy sums to corpus size, drops sum to the dropped set
+    val summary = Dedup.semantic(spark, sf, tau, k).collect()
+    assert(summary.map(_.getAs[Long]("n")).sum == vecs.length)
+    assert(summary.map(_.getAs[Long]("n_dropped")).sum == expectedDropped.size)
+    assert(expectedDropped.nonEmpty, "corpus has >=0.45 pairs; some must be dropped")
+  }
+
+  test("semantic dedup: pair generation is an equi-join on cell, no all-pairs join") {
+    val plan = planString(Dedup.semantic(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "within-cluster pairs must come from an equi-join on the cell id")
+  }
 }

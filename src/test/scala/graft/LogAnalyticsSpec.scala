@@ -250,4 +250,29 @@ class LogAnalyticsSpec extends SparkSpec {
     val got = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) -> r.getAs[Long]("n")).toMap
     assert(got == want, "histogram bins must match a local recomputation")
   }
+
+  test("trend: ewma equals the local lag-polynomial replay, bit-exact") {
+    val rows = LogAnalytics.trend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay per type from the n series itself
+    val series = rows.groupBy(_.getAs[String]("event_type"))
+    series.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[String]("bucket"))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        var num = r.getAs[Long]("n").toDouble
+        var den = 1.0
+        (1 to 5).foreach { k =>
+          if (i - k >= 0) {
+            num += ordered(i - k).getAs[Long]("n").toDouble * math.pow(0.5, k)
+            den += math.pow(0.5, k)
+          }
+        }
+        assert(r.getAs[Double]("ewma") == num / den,
+          s"bit-exact ewma expected at ${r.getAs[String]("bucket")}")
+      }
+    }
+    // smoothing property: ewma of the first bucket equals its own count
+    val firsts = series.values.map(_.minBy(_.getAs[String]("bucket")))
+    firsts.foreach(r => assert(r.getAs[Double]("ewma") == r.getAs[Long]("n").toDouble))
+  }
 }

@@ -116,4 +116,22 @@ class RelationalSpec extends SparkSpec {
            got.exists(r => r.getAs[Long]("n_purchase") == 0L),
       "expected at least one one-sided bin")
   }
+
+  test("q27_hierarchy: pointer-jumping depths equal the local recursive walk") {
+    import graft.operators.Hierarchy
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    def depthOf(c: Long): Long = if (c == 0L) 0L else 1L + depthOf((c - 1) / 2)
+    val want = keys.groupBy(depthOf).map { case (d, ks) =>
+      (d, ks.length.toLong, ks.min, ks.max)
+    }.toSeq.sortBy(_._1)
+    val got = Hierarchy.customerTree(spark, sf).collect().map(r =>
+      (r.getAs[Long]("depth"), r.getAs[Long]("n"),
+        r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))).toSeq
+    assert(got == want)
+    // pointer jumping must converge in O(log depth) rounds: the max
+    // depth here is ~log2(maxkey); a linear walk would need that many
+    // joins — sanity-check the depth range instead of the round count
+    assert(want.last._1 >= 3, "test tree should be at least 4 levels deep")
+  }
 }

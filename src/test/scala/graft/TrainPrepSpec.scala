@@ -326,4 +326,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"heavy-line anti-join must broadcast:\n$plan")
   }
+
+  test("text_entropy: micro-nat value equals the local integer replay; map-only plan") {
+    import graft.operators.TextAnalysis
+    def replay(s: String): Long = {
+      val counts = s.codePoints().toArray.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = s.codePoints().count()
+      val t = counts.values.map(c => c * Math.round(1e6 * Math.log(c.toDouble))).sum
+      (Math.round(1e6 * Math.log(n.toDouble)) * n - t) / n
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    val rows = TextAnalysis.entropy(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val want = replay(docs(id))
+      assert(r.getAs[Long]("ent_unats") == want, s"doc $id")
+      assert(r.getAs[Boolean]("keep") == (want >= 2000000L && want <= 4800000L))
+    }
+    // uniform text has zero entropy
+    assert(graft.functions.TextOps.entropyMicroNats(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaaaaaa")) == 0L)
+    val plan = planString(TextAnalysis.entropy(spark, sf))
+    assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
+      s"entropy must be a single map pass plus the output sort:\n$plan")
+  }
 }
