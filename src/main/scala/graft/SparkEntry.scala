@@ -133,6 +133,7 @@ object SparkEntry {
     "ann_filtered"        -> ((s: SparkSession, d: String) => Similarity.annFiltered(s, d)),
     "q25_full_outer"      -> (Relational.q25FullOuter _),
     "lake_changes"        -> (LakeAnalytics.changes _),
+    "lake_merged"         -> (LakeAnalytics.mergedSchema _),
     "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
     "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
@@ -1005,6 +1006,11 @@ object SparkEntry {
         | event_type AS severity_text, count(*) AS n
         |FROM events WHERE ts >= TIMESTAMP '2024-01-16'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_merged" ->
+      """SELECT event_type AS severity_text,
+        | CASE WHEN ts < TIMESTAMP '2024-01-16' THEN '(pre-evolution)' ELSE '1.0' END AS ver,
+        | count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_branch" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

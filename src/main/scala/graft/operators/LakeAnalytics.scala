@@ -275,6 +275,49 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("severity_text"))
 
+  private val mergedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose schema EVOLVED mid-life: the first half (days ≤ 15)
+    * written before `scope_version` existed (the column is absent from
+    * those parquet files entirely), the second half with the full
+    * 15-column schema — the Iceberg add-column story on raw parquet.
+    */
+  private[graft] def mergedRoot(spark: SparkSession, dir: String): String =
+    mergedBuilt.computeIfAbsent(dir, _ => {
+      val root = s"/tmp/graft_lakemrg_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        val logs = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")) <= 15)
+          .drop("scope_version"), root, layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")) >= 16), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** SCHEMA-EVOLUTION READ ([[LogSync.tableMerged]]): severity counts
+    * split by the evolved column's presence. Pre-evolution files have
+    * no `scope_version` column at all; the merged read NULL-fills them
+    * while post-evolution rows carry the value — the hash-match
+    * certifies that a column added mid-life reads correctly across the
+    * whole history (the Iceberg add-column semantics, without a
+    * catalog). Nulls are labeled so the output is null-free and the
+    * ordering engine-independent.
+    */
+  def mergedSchema(spark: SparkSession, dir: String): DataFrame =
+    LogSync.tableMerged(spark, mergedRoot(spark, dir))
+      .groupBy(col("severity_text"),
+        coalesce(col("scope_version"), lit("(pre-evolution)")).as("ver"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("severity_text"), col("ver"))
+
   private val changesBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake with HISTORY, for the incremental-read query: the first

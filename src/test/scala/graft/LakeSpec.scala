@@ -703,4 +703,15 @@ class LakeSpec extends SparkSpec {
       LogSync.tableBranch(spark, root, "pin")
     }
   }
+
+  test("lake_merged: pre-evolution files read as NULL scope_version, totals conserved") {
+    import graft.operators.LakeAnalytics
+    val rows = LakeAnalytics.mergedSchema(spark, sf).collect()
+    val vers = rows.map(_.getAs[String]("ver")).toSet
+    assert(vers.contains("(pre-evolution)") && vers.contains("1.0"),
+      s"both schema generations must appear, got $vers")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count(),
+      "merged read must cover every row of both generations")
+  }
 }
