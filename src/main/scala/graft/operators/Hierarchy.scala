@@ -33,30 +33,40 @@ object Hierarchy {
     * ⌈log₂ max-depth⌉; convergence when every pointer reaches a root.
     */
   def depths(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+    // the open-row count rides the materializing localCheckpoint action
+    // itself (the dedupClusters lesson): exactly ONE driver job per
+    // jump round
+    def checkpointWithOpen(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val out = df
+        .observe(obs, sum(when(col("done"), 0L).otherwise(1L)).as("open"))
+        .localCheckpoint()
+      (out, obs.get("open").asInstanceOf[Long])
+    }
     // (id, anc, dist): anc = furthest known ancestor, dist = hops to it.
     // Roots start resolved at depth 0.
-    var cur = edges
-      .select(col("id"), col("parent").as("anc"),
+    var (cur, open) = checkpointWithOpen(
+      edges.select(col("id"), col("parent").as("anc"),
         when(col("parent").isNull, 0L).otherwise(1L).as("dist"),
-        col("parent").isNull.as("done"))
-      .localCheckpoint()
-    var open = cur.filter(!col("done")).count()
+        col("parent").isNull.as("done")), "seed")
+    var round = 0
     while (open > 0) {
       // jump: follow my anc's pointer — my new anc is anc.anc, my new
       // dist adds anc's dist; rows whose anc is already a root finish.
+      // (coalesce guards a dangling parent id: treated as a root so the
+      // loop cannot spin on it.)
       val ptr = cur.select(col("id").as("p_id"), col("anc").as("p_anc"),
         col("dist").as("p_dist"), col("done").as("p_done"))
-      cur = cur.as("c")
+      val next = cur.as("c")
         .join(ptr, col("c.anc") === col("p_id"), "left")
         .select(
           col("c.id").as("id"),
           when(col("c.done"), col("c.anc")).otherwise(col("p_anc")).as("anc"),
           when(col("c.done"), col("c.dist"))
-            .otherwise(col("c.dist") + col("p_dist")).as("dist"),
-          (col("c.done") || col("p_done")).as("done"))
-        .localCheckpoint()
-      open = cur.filter(!col("done")).count()
+            .otherwise(col("c.dist") + coalesce(col("p_dist"), lit(0L))).as("dist"),
+          (col("c.done") || coalesce(col("p_done"), lit(true))).as("done"))
+      val r = checkpointWithOpen(next, s"jump$round")
+      cur = r._1; open = r._2; round += 1
     }
     cur.select(col("id"), col("dist").as("depth"))
   }

@@ -352,5 +352,11 @@ class TrainPrepSpec extends SparkSpec {
     val plan = planString(TextAnalysis.entropy(spark, sf))
     assert(plan.indexOf("Exchange") == plan.lastIndexOf("Exchange"),
       s"entropy must be a single map pass plus the output sort:\n$plan")
+    // the generated static call must actually COMPILE — with fallback
+    // disabled a Janino error would throw instead of silently dropping
+    // the stage to interpreted mode
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try TextAnalysis.entropy(spark, sf).count()
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 }
