@@ -111,6 +111,7 @@ object SparkEntry {
     "text_logprob"        -> (TrainPrep.unigramLogprob _),
     "corpus_split"        -> ((s: SparkSession, d: String) => Curation.corpusSplit(s, d)),
     "corpus_mix"          -> (Curation.corpusMix _),
+    "corpus_upsample"     -> ((s: SparkSession, d: String) => Curation.corpusUpsample(s, d)),
     "logs_scope_attrs"    -> (LogAnalytics.scopeAttrs _),
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
     "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
@@ -719,6 +720,24 @@ object SparkEntry {
         |WHERE t.th >= 4294967296
         |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
         |ORDER BY d.doc_id""".stripMargin,
+    "corpus_upsample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_toks
+        | FROM documents),
+        |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+        |g AS (SELECT CAST(max(src_toks) * 2 AS BIGINT) AS target FROM s),
+        |t AS (SELECT s.source,
+        |  CAST(floor(CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE)) AS BIGINT) AS base,
+        |  CAST(floor((CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE)
+        |    - floor(CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE)))
+        |    * 4294967296.0) AS BIGINT) AS th
+        |  FROM s CROSS JOIN g),
+        |c AS (SELECT d.doc_id, d.source,
+        |  t.base + CASE WHEN upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))
+        |                     < lpad(hex(t.th),8,'0') THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN t ON d.source = t.source)
+        |SELECT doc_id, source, unnest(range(0, copies)) AS epoch
+        |FROM c ORDER BY doc_id, epoch""".stripMargin,
     // alpha = 1/2 makes every term dyadic-exact; left-associated sums match
     // the Spark expression's order, so ewma is bit-identical with no rounding
     "logs_trend" ->

@@ -253,6 +253,44 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** EPOCH-AWARE UPSAMPLING — [[corpusMix]]'s counterpart for the
+    * keep-rate > 1 regime: when a small high-quality source must be
+    * REPEATED to reach its token share (the pile-style "Wikipedia ×
+    * epochs" mix), each document is emitted `copies` times with an
+    * epoch index, where `copies = ⌊rate⌋ + Bernoulli(rate − ⌊rate⌋)`
+    * and `rate = targetFactor × max-source-tokens / src_tokens ≥ 1`.
+    * The Bernoulli draw is the same deterministic md5/2³² threshold as
+    * [[corpusMix]] (bit-identical IEEE arithmetic both engines), so
+    * the exact duplication decisions are a pure function of doc_id —
+    * reproducible across runs, engines and partitionings, and
+    * hash-exact against the oracle.
+    *
+    * Scale shape: one control-plane per-source aggregate broadcast
+    * back onto the corpus, then a map-only `explode(sequence(...))` —
+    * output ∝ epochs, the corpus itself never shuffles.
+    */
+  def corpusUpsample(spark: SparkSession, dir: String, targetFactor: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+    val perSource = docs.groupBy(col("source")).agg(sum(col("n_toks")).as("src_toks"))
+    val global = perSource.agg(
+      (max(col("src_toks")) * targetFactor).as("target"))
+    // rate, ⌊rate⌋ and the 2³²-scaled fraction threshold: every step
+    // double-precision in this exact order on both engines
+    val rate = col("target").cast("double") / col("src_toks").cast("double")
+    val th = floor((rate - floor(rate)) * lit(4294967296.0)).cast("long")
+    docs
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(global))
+      .withColumn("copies",
+        floor(rate).cast("long") +
+          when(upper(substring(md5(col("doc_id").cast("string")), 1, 8)) <
+            lpad(hex(th), 8, "0"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES
     * with exponential keys): each document gets key `-ln(u)/w` from a
     * DETERMINISTIC md5-derived uniform `u` and weight `w` = token

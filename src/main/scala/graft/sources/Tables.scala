@@ -54,4 +54,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** One-call SQL surface: every table as a temp view (events with the
+    * µs timestamp already surfaced) plus the `graft_*` native functions
+    * — after this, the entire engine is drivable from plain
+    * `spark.sql("...")`, the way the reference's users drive ClickHouse.
+    * Registered lakes join in via
+    * `LogSync.table(s, root).createOrReplaceTempView("logs")`.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+    documents(s, d).createOrReplaceTempView("documents")
+    embeddings(s, d).createOrReplaceTempView("embeddings")
+    graft.functions.VectorFunctions.register(s)
+  }
 }

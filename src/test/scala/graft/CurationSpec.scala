@@ -192,4 +192,33 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("p90_toks") - p90.toDouble) < 1e-9)
     }
   }
+
+  test("corpusUpsample: copies equal the local md5 replay; epochs contiguous per doc") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val srcToks = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val target = srcToks.values.max * 2
+    def copiesOf(id: Long, src: String): Long = {
+      val rate = target.toDouble / srcToks(src).toDouble
+      val th = math.floor((rate - math.floor(rate)) * 4294967296.0).toLong
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val u32 = java.lang.Long.parseLong(md5.substring(0, 8), 16)
+      math.floor(rate).toLong + (if (u32 < th) 1L else 0L)
+    }
+    val got = Curation.corpusUpsample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.keySet == docs.map(_._1).toSet, "every document must be emitted")
+    docs.foreach { case (id, src, _) =>
+      val c = copiesOf(id, src)
+      assert(got(id) == (0L until c), s"doc $id: epochs ${got(id)} != 0 until $c")
+    }
+    // rates here are in (2, 3): every doc appears 2 or 3 times
+    assert(got.values.forall(e => e.length == 2 || e.length == 3))
+    assert(got.values.exists(_.length == 3), "fractional upsample must fire somewhere")
+  }
 }

@@ -117,6 +117,30 @@ class RelationalSpec extends SparkSpec {
       "expected at least one one-sided bin")
   }
 
+  test("registerViews: the whole engine drivable from plain spark.sql") {
+    import graft.sources.Tables
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(viaSql == viaDf)
+    // native functions resolve by SQL name after registration
+    val ent = spark.sql(
+      "SELECT graft_entropy(text) AS e FROM documents ORDER BY doc_id LIMIT 1")
+      .collect()(0).getLong(0)
+    assert(ent > 0L)
+  }
+
   test("q27_hierarchy: pointer-jumping depths equal the local recursive walk") {
     import graft.operators.Hierarchy
     val keys = spark.read.parquet(s"$sf/customer.parquet")
