@@ -117,6 +117,7 @@ object SparkEntry {
     "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
     "logs_trend"          -> ((s: SparkSession, d: String) => LogAnalytics.trend(s, d)),
+    "logs_slo_burn"       -> ((s: SparkSession, d: String) => LogAnalytics.sloBurn(s, d)),
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
     "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "lake_rollup"         -> (LakeAnalytics.rollup _),
@@ -757,6 +758,23 @@ object SparkEntry {
         |   + (CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END)
         |   + (CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125 END)) AS ewma
         |FROM l ORDER BY bucket, event_type""".stripMargin,
+    // integer cross-multiplication verdicts (err*4 >= tot*factor for the
+    // 25% budget): exact in any evaluation order on both engines
+    "logs_slo_burn" ->
+      """WITH b AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        | FROM events GROUP BY 1),
+        |w AS (SELECT bucket, total, errors,
+        |  CAST(sum(errors) OVER s AS BIGINT) AS err_s, CAST(sum(total) OVER s AS BIGINT) AS tot_s,
+        |  CAST(sum(errors) OVER l AS BIGINT) AS err_l, CAST(sum(total) OVER l AS BIGINT) AS tot_l,
+        |  count(total) OVER l AS n_l
+        | FROM b WINDOW
+        |  s AS (ORDER BY bucket ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+        |  l AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT bucket, total, errors, err_l, tot_l,
+        | (n_l = 6 AND err_s * 4 >= tot_s * 1 AND err_l * 4 >= tot_l * 1) AS page
+        |FROM w ORDER BY bucket""".stripMargin,
     "logs_anomaly" ->
       """WITH b AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1,2),

@@ -352,6 +352,47 @@ object LogAnalytics {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** MULTI-WINDOW SLO BURN-RATE alert (the Google SRE workbook's
+    * recommended paging rule): with an SLO of `sloPct` (99 ⇒ 1% error
+    * budget), the burn rate over a window is
+    * `(errors/total) / budget-fraction`, and a page fires only when a
+    * SHORT and a LONG window both burn ≥ `factor` — the short window
+    * gives fast detection, the long one suppresses blips. Verdicts are
+    * INTEGER cross-multiplications (`errors × 100 ≥ factor × total`
+    * for a 1% budget) over rolling hourly sums — exact in any
+    * evaluation order, the same determinism discipline as
+    * [[anomaly]]. Both rolling windows run over the hourly series
+    * (bucket cardinality), never event rows.
+    */
+  def sloBurn(spark: SparkSession, dir: String, sloPct: Int = 75,
+              shortH: Int = 1, longH: Int = 6, factor: Int = 1): DataFrame = {
+    // contract defaults are tuned to the synthetic corpus's ~20%
+    // baseline error fraction (a real service pages at e.g. 99.9 SLO /
+    // factor 14.4); the arithmetic is SLO-independent
+    require(100 % (100 - sloPct) == 0, s"error budget must divide 100, got slo=$sloPct")
+    val budgetPctInv = 100 / (100 - sloPct) // 25% budget -> 4
+    def w(h: Int) = Window.orderBy(col("bucket")).rowsBetween(-(h - 1), 0)
+    val hourly = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("total"), col("errors"))
+    hourly
+      .withColumn("err_s", sum(col("errors")).over(w(shortH)))
+      .withColumn("tot_s", sum(col("total")).over(w(shortH)))
+      .withColumn("err_l", sum(col("errors")).over(w(longH)))
+      .withColumn("tot_l", sum(col("total")).over(w(longH)))
+      .withColumn("n_l", count(col("total")).over(w(longH)))
+      .withColumn("page",
+        col("n_l") === longH &&
+          col("err_s") * budgetPctInv >= col("tot_s") * factor &&
+          col("err_l") * budgetPctInv >= col("tot_l") * factor)
+      .select(col("bucket"), col("total"), col("errors"),
+        col("err_l"), col("tot_l"), col("page"))
+      .orderBy(col("bucket"))
+  }
+
   /** Day-over-day comparison — the "vs yesterday" column every
     * dashboard adds: per (day, severity) counts with the previous
     * day's count and the percent change (null on each series' first

@@ -251,6 +251,24 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(got == want, "histogram bins must match a local recomputation")
   }
 
+  test("sloBurn: page verdicts equal the local multi-window replay; selective") {
+    val rows = LogAnalytics.sloBurn(spark, sf).collect()
+      .sortBy(_.getAs[String]("bucket"))
+    assert(rows.nonEmpty)
+    val totals = rows.map(_.getAs[Long]("total"))
+    val errors = rows.map(_.getAs[Long]("errors"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      def winSum(xs: Array[Long], h: Int) = xs.slice(math.max(0, i - h + 1), i + 1).sum
+      val errS = winSum(errors, 1); val totS = winSum(totals, 1)
+      val errL = winSum(errors, 6); val totL = winSum(totals, 6)
+      val want = i >= 5 && errS * 4 >= totS && errL * 4 >= totL
+      assert(r.getAs[Boolean]("page") == want, s"bucket ${r.getAs[String]("bucket")}")
+    }
+    val pages = rows.count(_.getAs[Boolean]("page"))
+    assert(pages > 0, "the corpus has >=25% error hours; some page must fire")
+    assert(pages < rows.length, "paging everywhere means the thresholds are vacuous")
+  }
+
   test("trend: ewma equals the local lag-polynomial replay, bit-exact") {
     val rows = LogAnalytics.trend(spark, sf).collect()
     assert(rows.nonEmpty)
