@@ -28,9 +28,19 @@ object Clustering {
     * The working set is cached for the duration of the loop instead of
     * re-scanning parquet every iteration.
     */
-  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int = 5): Array[(Int, Seq[Double])] = {
+  def centroids(spark: SparkSession, dir: String, k: Int, iters: Int = 5): Array[(Int, Seq[Double])] =
+    centroidsOf(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v")),
+      k, iters)
+
+  /** [[centroids]] over an arbitrary `(vec_id, v)` working set — the
+    * entry point index RETRAINING uses (the corpus then lives in the
+    * index itself, not the source table).
+    */
+  def centroidsOf(spark: SparkSession, vectors: DataFrame, k: Int,
+                  iters: Int = 5): Array[(Int, Seq[Double])] = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val e = vectors.select(col("vec_id"), col("v"))
       .cache()
     try {
       var cents: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,7 +15,7 @@ import graft.sources.Tables
   *
   * [[Similarity.annIvf]] assigns cells inside one query; at 100 TB the
   * assignment pass itself is the dominant cost and must not repeat per
-  * query batch. `build` pays it once, writing the corpus PARTITIONED
+  * query batch. `ensure` pays it once, writing the corpus PARTITIONED
   * BY CELL (`cell=<id>/` directories, exactly a Faiss/SCaNN inverted
   * list as a parquet layout); `query` then reads ONLY the probed
   * cells — the cell filter is a literal IN over partition values, so
@@ -22,76 +23,177 @@ import graft.sources.Tables
   * ~ (k-nprobe)/k of the corpus is never opened (spec-asserted).
   *
   * Cell count scales with the corpus: k ≈ √N (the standard IVF
-  * sizing), built unsupervised via [[Clustering.centroids]] — so the
-  * probed fraction nprobe/√N SHRINKS as the corpus grows instead of
-  * being pinned to a handful of label cells. Centroids are
-  * deterministic (Lloyd's from the first-k seed), so each session
-  * recomputes the k×dim control-plane table instead of persisting it;
-  * a production index would store it beside the data.
+  * sizing), built unsupervised via [[Clustering.centroids]].
+  *
+  * FULL LIFECYCLE: the index lives in VERSIONED directories
+  * (`v<n>/cell=<id>/`) with the centroid table persisted beside the
+  * data (`_centroids`) and an `_active` pointer — the same
+  * swap-don't-mutate discipline as [[graft.sources.LogSync]]'s
+  * manifest. [[append]] grows the active version's inverted lists at
+  * cost ∝ new data; [[cellStats]] exposes the occupancy skew that
+  * accumulates as appended data drifts from the trained centroids;
+  * [[retrain]] re-learns centroids FROM THE INDEX CONTENTS and writes
+  * the next version, flipping the pointer only when complete —
+  * queries in flight keep reading the old version, and a crashed
+  * retrain leaves the active version untouched.
   */
 object IvfIndex {
 
+  /** (activeVersion, centroids) per (session, dir). */
   private val built =
-    new ConcurrentHashMap[(SparkSession, String), Array[(Int, Seq[Double])]]()
+    new ConcurrentHashMap[(SparkSession, String), (Int, Array[(Int, Seq[Double])])]()
 
   private[graft] def root(dir: String): String =
-    s"/tmp/graft_ivf_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+    s"/tmp/graft_ivfv_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+
+  private def versionPath(dir: String, v: Int): String = s"${root(dir)}/v$v"
 
   /** √N clamped to [8, 256]: the IVF cell count for an N-vector corpus. */
   private[graft] def cellCount(n: Long): Int =
     math.min(256, math.max(8, math.sqrt(n.toDouble).toInt))
 
-  /** Idempotently build the cell-partitioned index for `dir`; returns
-    * the centroid table (cell id = array index).
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(root(dir)).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def activeOnDisk(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    val marker = new Path(s"${root(dir)}/_active")
+    if (!f.exists(marker)) None
+    else {
+      val in = f.open(marker)
+      val bytes = new Array[Byte](16)
+      val n = in.read(bytes); in.close()
+      Some(new String(bytes, 0, n, "UTF-8").trim.toInt)
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String, v: Int): Unit = {
+    val out = fs(spark, dir).create(new Path(s"${root(dir)}/_active"), true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** Persist the k×dim control-plane table beside the data it indexed —
+    * a session that did not train the centroids can still query.
     */
-  def ensure(spark: SparkSession, dir: String): Array[(Int, Seq[Double])] =
+  private def writeCentroids(spark: SparkSession, dir: String, v: Int,
+                             cents: Array[(Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    cents.toSeq.flatMap { case (c, vec) => vec.zipWithIndex.map { case (x, d) => (c, d, x) } }
+      .toDF("cell", "dim", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"${versionPath(dir, v)}/_centroids")
+  }
+
+  private def readCentroids(spark: SparkSession, dir: String, v: Int): Array[(Int, Seq[Double])] =
+    spark.read.parquet(s"${versionPath(dir, v)}/_centroids")
+      .collect()
+      .groupBy(_.getAs[Int]("cell"))
+      .map { case (c, rows) =>
+        (c, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("x")).toSeq)
+      }
+      .toArray.sortBy(_._1)
+
+  private def assignedTo(df: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame =
+    df.select(col("vec_id"), col("v"), col("label"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .withColumn("cell", element_at(Similarity.topCellsExpr(cents)(col("v"), 1), 1))
+
+  /** Idempotently build (or load) the index for `dir`; returns
+    * (activeVersion, centroid table) — cell id = array index.
+    */
+  def ensure(spark: SparkSession, dir: String): (Int, Array[(Int, Seq[Double])]) =
     built.computeIfAbsent((spark, dir), { _ =>
       VectorFunctions.register(spark)
-      val k = cellCount(Tables.embeddings(spark, dir).count())
-      val cents = Clustering.centroids(spark, dir, k)
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").as("v"), col("label"))
-        .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-        .withColumn("cell",
-          element_at(Similarity.topCellsExpr(cents)(col("v"), 1), 1))
-        .write.mode("overwrite").partitionBy("cell").parquet(root(dir))
-      cents
+      activeOnDisk(spark, dir) match {
+        case Some(v) => (v, readCentroids(spark, dir, v))
+        case None =>
+          val k = cellCount(Tables.embeddings(spark, dir).count())
+          val cents = Clustering.centroids(spark, dir, k)
+          assignedTo(
+            Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"),
+              col("label")), cents)
+            .write.mode("overwrite").partitionBy("cell").parquet(versionPath(dir, 1))
+          writeCentroids(spark, dir, 1, cents)
+          writeMarker(spark, dir, 1)
+          (1, cents)
+      }
     })
+
+  private[graft] def activePath(spark: SparkSession, dir: String): String =
+    versionPath(dir, ensure(spark, dir)._1)
 
   /** INCREMENTAL index maintenance: assign `newVectors` (vec_id,
     * embedding, label) to their nearest EXISTING centroid and append
-    * them to the cell partitions — the standard IVF update (inverted
-    * lists grow; centroids stay fixed until a deliberate rebuild, so
-    * the index never needs retraining on arrival). Cost ∝ new data:
-    * assignment is a map-only pass against the broadcast centroid
-    * literals, the write appends only the touched `cell=` partitions,
-    * and queries see the new vectors immediately — the same
-    * steady-state economics as [[graft.sources.LogSync.sync]] for the
-    * lake. Returns the number of vectors appended.
+    * them to the active version's cell partitions — the standard IVF
+    * update (inverted lists grow; centroids stay fixed until a
+    * deliberate [[retrain]]). Cost ∝ new data: assignment is a
+    * map-only pass against the broadcast centroid literals, the write
+    * appends only the touched `cell=` partitions, and queries see the
+    * new vectors immediately. Returns the number appended.
     */
   def append(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
-    val cents = ensure(spark, dir)
+    val (_, cents) = ensure(spark, dir)
     VectorFunctions.register(spark)
-    val assigned = newVectors
-      .select(col("vec_id"), col("embedding").as("v"), col("label"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      .withColumn("cell",
-        element_at(Similarity.topCellsExpr(cents)(col("v"), 1), 1))
+    val assigned = assignedTo(newVectors.withColumnRenamed("embedding", "v"), cents)
     val n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(root(dir))
+    assigned.write.mode("append").partitionBy("cell").parquet(activePath(spark, dir))
     n
+  }
+
+  /** Per-cell occupancy of the active version — the retrain trigger.
+    * Reads only the partition column (a columnar no-data scan), so the
+    * health check costs ~nothing at any corpus size. `skew` =
+    * max-cell / mean-cell occupancy; drifted appends push it up.
+    */
+  def cellStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(activePath(spark, dir))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .withColumn("skew",
+        round(max(col("n")).over(Window.partitionBy()) /
+          avg(col("n")).over(Window.partitionBy()), 4))
+      .orderBy(col("cell"))
+
+  /** RETRAIN: re-learn k ≈ √N centroids FROM THE INDEX CONTENTS
+    * (source + everything appended since), reassign every vector, and
+    * write the next version; the `_active` pointer flips only after
+    * data + centroids are fully written. In-flight queries keep
+    * reading the previous version (left on disk, like tombstoned lake
+    * files, until the caller removes it once quiesced via
+    * [[dropVersion]]). Returns the new active version.
+    */
+  def retrain(spark: SparkSession, dir: String): Int = {
+    val (v, _) = ensure(spark, dir)
+    VectorFunctions.register(spark)
+    val idx = spark.read.parquet(versionPath(dir, v))
+      .select(col("vec_id"), col("v"), col("label"))
+    val k = cellCount(idx.count())
+    val cents = Clustering.centroidsOf(spark, idx.select(col("vec_id"), col("v")), k)
+    assignedTo(idx, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(versionPath(dir, v + 1))
+    writeCentroids(spark, dir, v + 1, cents)
+    writeMarker(spark, dir, v + 1)
+    built.put((spark, dir), (v + 1, cents))
+    v + 1
+  }
+
+  /** Remove a superseded version's directory (the expire-snapshots
+    * analog; only safe once readers of that version have quiesced).
+    */
+  def dropVersion(spark: SparkSession, dir: String, v: Int): Unit = {
+    require(activeOnDisk(spark, dir).forall(_ != v), s"v$v is the active version")
+    fs(spark, dir).delete(new Path(versionPath(dir, v)), true)
   }
 
   /** Top-5 cosine neighbors for a QUERY SET (a DataFrame with vec_id +
     * embedding columns — by default the standard vec_id < 10 set read
     * from the SOURCE table, never by scanning the index), reading only
-    * the probed cell partitions. Ranking is identical to
-    * [[Similarity.annIvf]] at the same nprobe and cell count — the
-    * spec asserts exact agreement plus the PartitionFilters pruning.
+    * the probed cell partitions of the active version. On a freshly
+    * built index the ranking is identical to [[Similarity.annIvf]] at
+    * the same nprobe and cell count — the spec asserts exact agreement
+    * plus the PartitionFilters pruning.
     */
   def query(spark: SparkSession, dir: String, nprobe: Int = 3,
             querySet: Option[DataFrame] = None): DataFrame = {
-    val cents = ensure(spark, dir)
+    val (_, cents) = ensure(spark, dir)
     val q = querySet.getOrElse(Tables.embeddings(spark, dir).filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .withColumn("qn", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
@@ -100,7 +202,7 @@ object IvfIndex {
     // plane) so it can prune as a LITERAL partition filter; a join
     // would read every cell and filter after the fact
     val probedCells = q.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val pruned = spark.read.parquet(root(dir))
+    val pruned = spark.read.parquet(activePath(spark, dir))
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val cosc = call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))
     pruned.join(broadcast(q), Seq("cell"))

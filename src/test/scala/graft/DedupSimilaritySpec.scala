@@ -63,12 +63,12 @@ class DedupSimilaritySpec extends SparkSpec {
     Files.copy(Paths.get(s"$sf/embeddings.parquet"), Paths.get(s"$tmp/embeddings.parquet"))
     IvfIndex.ensure(spark, tmp)
     val base = spark.read.parquet(s"$tmp/embeddings.parquet")
-    val n0 = spark.read.parquet(IvfIndex.root(tmp)).count()
+    val n0 = spark.read.parquet(IvfIndex.activePath(spark, tmp)).count()
     // twins of the first five vectors, new ids — arrival-batch stand-in
     val twins = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
     assert(IvfIndex.append(spark, tmp, twins) == 5)
-    val idx = spark.read.parquet(IvfIndex.root(tmp))
+    val idx = spark.read.parquet(IvfIndex.activePath(spark, tmp))
     assert(idx.count() == n0 + 5, "inverted lists grew by the batch size")
     // identical embedding => identical nearest centroid => same cell
     val cellOf = idx.select("vec_id", "cell").collect()
@@ -83,6 +83,43 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(hits.exists(r => r.getAs[Long]("vec_id") == i + 10000L &&
         r.getAs[Double]("cos") == 1.0), s"appended twin of $i not found")
     }
+  }
+
+  test("IvfIndex.retrain: versioned rewrite folds appended data in; old version survives until dropped") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
+    val tmp = Files.createTempDirectory("graft_ivf_rt").toString
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"), Paths.get(s"$tmp/embeddings.parquet"))
+    val (v1, _) = IvfIndex.ensure(spark, tmp)
+    assert(v1 == 1)
+    val base = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val twins = base.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"), col("label"))
+    IvfIndex.append(spark, tmp, twins)
+    val statsBefore = IvfIndex.cellStats(spark, tmp).collect()
+    val total = statsBefore.map(_.getAs[Long]("n")).sum
+    val v1Path = IvfIndex.activePath(spark, tmp)
+
+    val v2 = IvfIndex.retrain(spark, tmp)
+    assert(v2 == 2)
+    // every vector (source + appended) survives the rewrite
+    val after = IvfIndex.cellStats(spark, tmp).collect()
+    assert(after.map(_.getAs[Long]("n")).sum == total)
+    // the superseded version keeps serving in-flight readers until dropped
+    assert(spark.read.parquet(v1Path).count() == total)
+    IvfIndex.dropVersion(spark, tmp, 1)
+    assert(!new java.io.File(v1Path.stripPrefix("file:")).exists)
+    // queries on the retrained index still find the appended twins exactly
+    val res = IvfIndex.query(spark, tmp,
+      querySet = Some(base.filter(col("vec_id") < 8))).collect()
+    (0 until 8).foreach { i =>
+      val hits = res.filter(_.getAs[Long]("q_id") == i.toLong)
+      assert(hits.exists(r => r.getAs[Long]("vec_id") == i + 20000L &&
+        r.getAs[Double]("cos") == 1.0), s"twin of $i lost by retrain")
+    }
+    // dropping the active version must be refused
+    intercept[IllegalArgumentException] { IvfIndex.dropVersion(spark, tmp, 2) }
   }
 
   test("annQuantized: int8 scan + exact rerank recalls >= 0.95 of exact top-5") {
