@@ -118,6 +118,7 @@ object SparkEntry {
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
     "logs_trend"          -> ((s: SparkSession, d: String) => LogAnalytics.trend(s, d)),
     "logs_slo_burn"       -> ((s: SparkSession, d: String) => LogAnalytics.sloBurn(s, d)),
+    "logs_transitions"    -> (LogAnalytics.transitions _),
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
     "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "lake_rollup"         -> (LakeAnalytics.rollup _),
@@ -758,6 +759,16 @@ object SparkEntry {
         |   + (CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END)
         |   + (CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125 END)) AS ewma
         |FROM l ORDER BY bucket, event_type""".stripMargin,
+    // one exact-integer division per row -> bit-identical, no rounding
+    "logs_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1,2)
+        |SELECT prev_type, event_type, n,
+        | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
     // integer cross-multiplication verdicts (err*4 >= tot*factor for the
     // 25% budget): exact in any evaluation order on both engines
     "logs_slo_burn" ->

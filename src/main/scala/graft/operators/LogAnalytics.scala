@@ -137,6 +137,30 @@ object LogAnalytics {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** USER-JOURNEY TRANSITION MATRIX — the Markov view of event flow
+    * (which step follows which, the input to funnel design and
+    * next-action prediction): consecutive event pairs within each
+    * user's stream via one lag window (ties broken by event_id so the
+    * sequence is deterministic on any engine), then one count per
+    * (prev, next) pair and the row-normalized transition probability.
+    * The window shuffles once on user_id; the matrix is
+    * |event types|² rows — control-plane sized at any scale. The
+    * probability is one exact-integer division, so it is bit-identical
+    * across engines with no rounding.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(byPrev).cast("double"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Top-K most active services/users: agg → sort → limit. */
   def topkUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -251,6 +251,25 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(got == want, "histogram bins must match a local recomputation")
   }
 
+  test("transitions: matrix equals the local lag replay; rows stochastic") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id")))
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3.getTime, e._3.getNanos, e._4))
+      ordered.sliding(2).collect { case Array(a, b) => (a._2, b._2) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = LogAnalytics.transitions(spark, sf).collect()
+    val got = rows.map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type"))
+      -> r.getAs[Long]("n")).toMap
+    assert(got == want, "transition counts must match the local replay")
+    rows.groupBy(_.getAs[String]("prev_type")).values.foreach { rs =>
+      val psum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"row must be stochastic, got $psum")
+    }
+  }
+
   test("sloBurn: page verdicts equal the local multi-window replay; selective") {
     val rows = LogAnalytics.sloBurn(spark, sf).collect()
       .sortBy(_.getAs[String]("bucket"))
