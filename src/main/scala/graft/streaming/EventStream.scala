@@ -336,6 +336,74 @@ object EventStream {
       }
   }
 
+  case class TrendPoint(bucket: String, event_type: String, n: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.operators.LogAnalytics.trend]]: the
+    * EWMA-smoothed per-type rate, emitted exactly once per hourly
+    * bucket when the watermark closes it. Same cross-window state
+    * discipline as [[anomalyStream]] (and the same [[AnomState]]
+    * shape: open buckets inside the watermark horizon + the last
+    * `taps` finalized counts per type, TTL-evicted) — a closed
+    * bucket's count becomes the next buckets' lag, which windowed
+    * aggregates can't express. The smoothing arithmetic replicates the
+    * batch operator's dyadic α=1/2 lag polynomial term for term, in
+    * the same left-to-right order, so streamed values equal the batch
+    * series BIT-FOR-BIT (spec-asserted) — the dashboards can switch
+    * between paths without a seam.
+    */
+  def trendStream(events: DataFrame, taps: Int = 5,
+                  ttlHours: Int = 48): org.apache.spark.sql.Dataset[TrendPoint] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hourMs = 3600000L
+    implicit val stateEnc: org.apache.spark.sql.Encoder[AnomState] =
+      org.apache.spark.sql.Encoders.kryo[AnomState]
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts")).as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, TrendPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[(String, java.sql.Timestamp)], state: GroupState[AnomState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(AnomState(Map.empty, Nil, Long.MinValue))
+            var open = st.open
+            var lastSeen = st.lastSeenMs
+            it.foreach { case (_, ts) =>
+              val b = math.floorDiv(ts.getTime, hourMs) * hourMs
+              open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+              lastSeen = math.max(lastSeen, ts.getTime)
+            }
+            val wm = state.getCurrentWatermarkMs()
+            val (closing, stillOpen) = open.partition { case (b, _) => b + hourMs <= wm }
+            var finals = st.finals
+            val points = closing.toSeq.sortBy(_._1).map { case (b, n) =>
+              // lag k = k-th most recent finalized bucket; identical
+              // term order and constants as the batch lag polynomial
+              var num = n.toDouble
+              var den = 1.0
+              val lags = finals.reverse
+              (1 to taps).foreach { k =>
+                if (k <= lags.length) {
+                  num += lags(k - 1)._2.toDouble * math.pow(0.5, k)
+                  den += math.pow(0.5, k)
+                }
+              }
+              finals = (finals :+ (b, n)).takeRight(taps)
+              TrendPoint(
+                java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+                  .withZone(java.time.ZoneOffset.UTC)
+                  .format(java.time.Instant.ofEpochMilli(b)),
+                typ, n, num / den)
+            }
+            state.update(AnomState(stillOpen, finals, lastSeen))
+            state.setTimeoutTimestamp(lastSeen + ttlHours * hourMs)
+            points.iterator
+          }
+      }
+  }
+
   def windowedHeavyHitters(events: DataFrame, m: Int = 64): DataFrame = {
     graft.functions.VectorFunctions.register(events.sparkSession)
     events

@@ -536,6 +536,47 @@ class LakeSpec extends SparkSpec {
     assert(batchRows.nonEmpty) // batch path alive on the standard table too
   }
 
+  test("trendStream: streamed EWMA equals the batch operator bit-for-bit on closed buckets") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_trend").toString
+    // one type, a varied 10-hour series (ramps + a spike)
+    val perHour = Seq(5, 8, 13, 7, 5, 40, 9, 5, 5, 12)
+    var id = 0L
+    def rows(hours: Seq[Int], counts: Seq[Int]) =
+      hours.zip(counts).flatMap { case (h, n) =>
+        (0 until n).map { i =>
+          id += 1
+          (id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:00"),
+            1L, "click", 0.0, "{}")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows(0 until 10, perHour).write.mode("append").parquet(s"$dir/events.parquet")
+    val q = EventStream.trendStream(
+        EventStream.read(spark, s"$dir/events.parquet"))
+      .writeStream.format("memory").queryName("trend_points")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark sentinels (see anomalyStream spec)
+      rows(Seq(30), Seq(1)).write.mode("append").parquet(s"$dir/events.parquet")
+      q.processAllAvailable()
+      rows(Seq(60), Seq(1)).write.mode("append").parquet(s"$dir/events.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trend_points")
+      .filter(col("bucket") < "2024-01-02").collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n"), r.getAs[Double]("ewma")))
+      .sortBy(_._1).toSeq
+    assert(streamed.length == 10, s"all 10 real buckets must close: $streamed")
+    // bit-for-bit agreement with the batch lag polynomial on the same data
+    val batch = graft.operators.LogAnalytics.trend(spark, dir).collect()
+      .filter(r => r.getAs[String]("bucket") < "2024-01-02")
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n"), r.getAs[Double]("ewma")))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"stream and batch EWMA must be identical:\n  stream=$streamed\n  batch=$batch")
+  }
+
   test("windowedHeavyHitters: streamed per-window bounds hold vs exact batch counts") {
     val dir = Files.createTempDirectory("graft_hhstream").toString
     Tables.events(spark, sf).limit(4000)
