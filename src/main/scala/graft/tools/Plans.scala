@@ -50,7 +50,12 @@ object Plans {
       "corpus_pipeline" -> "end-to-end curation: all per-row gates fused into the scan projection; one repetition window pass joined doc-keyed; one fingerprint window; tiny final agg",
       "dedup_semantic" -> "SemDeDup: centroid assignment map-only (codegen'd dots over broadcast centroid literals), within-cluster pairs via equi-join on the cell id — no all-pairs join at any point",
       "text_entropy" -> "char entropy: ONE codegen'd map projection (graft_entropy static call), no explode, no shuffle before the output sort",
-      "logs_trend" -> "EWMA trend: one agg to bucket×type cardinality, lag window over the tiny series — never event-cardinality rows")
+      "logs_trend" -> "EWMA trend: one agg to bucket×type cardinality, lag window over the tiny series — never event-cardinality rows",
+      "corpus_upsample" -> "epoch mixing: per-source token-mass agg broadcast back onto the corpus, copies decided map-only, explode emits epochs — the corpus never shuffles",
+      "lake_merged" -> "schema-evolution read: mergeSchema union across file generations, NULL-filled old files, manifest semi-join intact",
+      "logs_slo_burn" -> "SLO burn: one agg to hourly-bucket cardinality, both rolling windows over the ~720-row series",
+      "logs_transitions" -> "transition matrix: one lag window shuffled on user_id, |types|^2-row aggregate on top",
+      "q27_hierarchy" -> "recursive-CTE equivalent: the shown plan is the final depth histogram; the pointer-jumping rounds (log2(depth) equi-joins, one job each via observe+localCheckpoint) run before it")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
