@@ -99,13 +99,27 @@ object IvfIndex {
 
   /** Idempotently build (or load) the index for `dir`; returns
     * (activeVersion, centroid table) — cell id = array index.
+    *
+    * The cached entry is REVALIDATED against the `_active` marker on
+    * every call (one metadata read — control-plane): if another
+    * session retrained meanwhile, this session reloads the new
+    * centroids instead of appending to / querying a superseded
+    * (possibly dropped) version with stale cell assignments.
     */
-  def ensure(spark: SparkSession, dir: String): (Int, Array[(Int, Seq[Double])]) =
-    built.computeIfAbsent((spark, dir), { _ =>
-      VectorFunctions.register(spark)
-      activeOnDisk(spark, dir) match {
-        case Some(v) => (v, readCentroids(spark, dir, v))
-        case None =>
+  def ensure(spark: SparkSession, dir: String): (Int, Array[(Int, Seq[Double])]) = {
+    VectorFunctions.register(spark)
+    val key = (spark, dir)
+    activeOnDisk(spark, dir) match {
+      case Some(v) =>
+        val cached = built.get(key)
+        if (cached != null && cached._1 == v) cached
+        else {
+          val loaded = (v, readCentroids(spark, dir, v))
+          built.put(key, loaded)
+          loaded
+        }
+      case None =>
+        built.computeIfAbsent(key, { _ =>
           val k = cellCount(Tables.embeddings(spark, dir).count())
           val cents = Clustering.centroids(spark, dir, k)
           assignedTo(
@@ -115,8 +129,9 @@ object IvfIndex {
           writeCentroids(spark, dir, 1, cents)
           writeMarker(spark, dir, 1)
           (1, cents)
-      }
-    })
+        })
+    }
+  }
 
   private[graft] def activePath(spark: SparkSession, dir: String): String =
     versionPath(dir, ensure(spark, dir)._1)
