@@ -276,8 +276,12 @@ object Curation {
     val global = perSource.agg(
       (max(col("src_toks")) * targetFactor).as("target"))
     // rate, ⌊rate⌋ and the 2³²-scaled fraction threshold: every step
-    // double-precision in this exact order on both engines
-    val rate = col("target").cast("double") / col("src_toks").cast("double")
+    // double-precision in this exact order on both engines. A source
+    // whose docs all tokenize empty would make the raw ratio Infinity
+    // (⌊rate⌋ → Long.MaxValue → an unplantable sequence) — emit such a
+    // degenerate source once per doc instead.
+    val rate = when(col("src_toks") === 0L, lit(1.0))
+      .otherwise(col("target").cast("double") / col("src_toks").cast("double"))
     val th = floor((rate - floor(rate)) * lit(4294967296.0)).cast("long")
     docs
       .join(broadcast(perSource), "source")

@@ -51,6 +51,11 @@ object Hierarchy {
         col("parent").isNull.as("done")), "seed")
     var round = 0
     while (open > 0) {
+      // distance doubles per round, so 64 rounds resolve any acyclic
+      // chain; still-open rows after that can only mean a parent CYCLE
+      // in the edge data — fail instead of spinning forever
+      require(round < 64,
+        s"$open rows unresolved after 64 pointer-jump rounds — the edge table contains a cycle")
       // jump: follow my anc's pointer — my new anc is anc.anc, my new
       // dist adds anc's dist; rows whose anc is already a root finish.
       // (coalesce guards a dangling parent id: treated as a root so the

@@ -55,21 +55,32 @@ object IvfIndex {
   private def fs(spark: SparkSession, dir: String) =
     new Path(root(dir)).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The active version is signalled by an EMPTY `_active_v<n>` file
+    * per version, active = max n. A marker is never truncated or
+    * rewritten in place (the failure mode of a single mutable pointer
+    * file: a crash mid-rewrite leaves an empty, unparseable pointer
+    * that never self-heals) — [[writeMarker]] creates the new
+    * version's marker first and only then best-effort-deletes older
+    * ones, so every instant has at least one valid marker and a crash
+    * anywhere leaves the index readable.
+    */
   private def activeOnDisk(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
-    val marker = new Path(s"${root(dir)}/_active")
-    if (!f.exists(marker)) None
-    else {
-      val in = f.open(marker)
-      val bytes = new Array[Byte](16)
-      val n = in.read(bytes); in.close()
-      Some(new String(bytes, 0, n, "UTF-8").trim.toInt)
-    }
+    val r = new Path(root(dir))
+    if (!f.exists(r)) None
+    else f.listStatus(r).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_active_v") => s.stripPrefix("_active_v").toInt }
+      .maxOption
   }
 
   private def writeMarker(spark: SparkSession, dir: String, v: Int): Unit = {
-    val out = fs(spark, dir).create(new Path(s"${root(dir)}/_active"), true)
-    out.write(v.toString.getBytes("UTF-8")); out.close()
+    val f = fs(spark, dir)
+    f.create(new Path(s"${root(dir)}/_active_v$v"), true).close()
+    (1 until v).foreach { old =>
+      try f.delete(new Path(s"${root(dir)}/_active_v$old"), false)
+      catch { case _: java.io.IOException => () } // next writeMarker retries
+    }
   }
 
   /** Persist the k×dim control-plane table beside the data it indexed —
@@ -119,7 +130,10 @@ object IvfIndex {
           loaded
         }
       case None =>
-        built.computeIfAbsent(key, { _ =>
+        // no marker on disk = not built (even if a stale cache entry
+        // survives from a deleted index): compute(), not
+        // computeIfAbsent(), so the rebuild actually runs
+        built.compute(key, { (_, _) =>
           val k = cellCount(Tables.embeddings(spark, dir).count())
           val cents = Clustering.centroids(spark, dir, k)
           assignedTo(
@@ -146,11 +160,14 @@ object IvfIndex {
     * new vectors immediately. Returns the number appended.
     */
   def append(spark: SparkSession, dir: String, newVectors: DataFrame): Long = {
-    val (_, cents) = ensure(spark, dir)
+    // ONE ensure: centroids and target version must come from the same
+    // snapshot, or a concurrent retrain between the two would append
+    // old-centroid cell assignments into the new version's partitions
+    val (v, cents) = ensure(spark, dir)
     VectorFunctions.register(spark)
     val assigned = assignedTo(newVectors.withColumnRenamed("embedding", "v"), cents)
     val n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(activePath(spark, dir))
+    assigned.write.mode("append").partitionBy("cell").parquet(versionPath(dir, v))
     n
   }
 
@@ -208,7 +225,9 @@ object IvfIndex {
     */
   def query(spark: SparkSession, dir: String, nprobe: Int = 3,
             querySet: Option[DataFrame] = None): DataFrame = {
-    val (_, cents) = ensure(spark, dir)
+    // one ensure: probe cells and data path from the same version
+    // snapshot (see append)
+    val (ver, cents) = ensure(spark, dir)
     val q = querySet.getOrElse(Tables.embeddings(spark, dir).filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .withColumn("qn", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
@@ -217,7 +236,7 @@ object IvfIndex {
     // plane) so it can prune as a LITERAL partition filter; a join
     // would read every cell and filter after the fact
     val probedCells = q.select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
-    val pruned = spark.read.parquet(activePath(spark, dir))
+    val pruned = spark.read.parquet(versionPath(dir, ver))
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val cosc = call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))
     pruned.join(broadcast(q), Seq("cell"))

@@ -393,7 +393,8 @@ object LogAnalytics {
     // contract defaults are tuned to the synthetic corpus's ~20%
     // baseline error fraction (a real service pages at e.g. 99.9 SLO /
     // factor 14.4); the arithmetic is SLO-independent
-    require(100 % (100 - sloPct) == 0, s"error budget must divide 100, got slo=$sloPct")
+    require(sloPct >= 1 && sloPct <= 99 && 100 % (100 - sloPct) == 0,
+      s"sloPct must be in [1,99] with an error budget dividing 100, got $sloPct")
     val budgetPctInv = 100 / (100 - sloPct) // 25% budget -> 4
     def w(h: Int) = Window.orderBy(col("bucket")).rowsBetween(-(h - 1), 0)
     val hourly = Tables.events(spark, dir)
