@@ -94,7 +94,14 @@ object SparkEntry {
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
-    "pack_manifest"       -> ((s: SparkSession, d: String) => TrainPrep.packManifest(s, d)),
+    // CONTRACT projection: the driver's pandas compare can't sort/hash
+    // array cells, so the span list is flattened to a canonical string
+    // ("doc_id:offset:toks" joined by ","). The typed array stays in
+    // TrainPrep.packManifest's API and specs; the string form is also
+    // exactly reproducible in DuckDB (string_agg) → full oracle check.
+    "pack_manifest"       -> ((s: SparkSession, d: String) => TrainPrep.packManifest(s, d)
+      .withColumn("spans", org.apache.spark.sql.functions.expr(
+        "array_join(transform(spans, x -> concat(x.doc_id, ':', x.offset, ':', x.toks)), ',')"))),
     "lake_stats_prune"    -> (LakeAnalytics.windowSeverity _),
     "lake_resource_attrs" -> (LakeAnalytics.resourceAttrs _),
     "lake_tail"           -> ((s: SparkSession, d: String) => LakeAnalytics.tail(s, d)),
@@ -114,7 +121,10 @@ object SparkEntry {
     "corpus_upsample"     -> ((s: SparkSession, d: String) => Curation.corpusUpsample(s, d)),
     "logs_scope_attrs"    -> (LogAnalytics.scopeAttrs _),
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
-    "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)),
+    // CONTRACT projection (see pack_manifest): packed doc list → csv string.
+    "pack_bestfit"        -> ((s: SparkSession, d: String) => TrainPrep.packBestFit(s, d)
+      .withColumn("doc_ids", org.apache.spark.sql.functions.expr(
+        "array_join(transform(doc_ids, x -> cast(x as string)), ',')"))),
     "logs_anomaly"        -> ((s: SparkSession, d: String) => LogAnalytics.anomaly(s, d)),
     "logs_trend"          -> ((s: SparkSession, d: String) => LogAnalytics.trend(s, d)),
     "logs_slo_burn"       -> ((s: SparkSession, d: String) => LogAnalytics.sloBurn(s, d)),
@@ -138,13 +148,17 @@ object SparkEntry {
     "lake_changes"        -> (LakeAnalytics.changes _),
     "lake_merged"         -> (LakeAnalytics.mergedSchema _),
     "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
-    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)),
+    // CONTRACT projection (see pack_manifest): projected vector → JSON string
+    // (deterministic: seeded matrix, fixed fold order ⇒ identical doubles).
+    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)
+      .withColumn("proj", org.apache.spark.sql.functions.expr("to_json(proj)"))),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
     "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
     "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d)),
     "corpus_pipeline"     -> (TrainPrep.pipeline _),
     "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d)),
     "sample_weighted"     -> ((s: SparkSession, d: String) => Curation.sampleWeighted(s, d)),
+    "split_leakage"       -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
     "logs_compare"        -> (LogAnalytics.compareWindows _),
     "q26_unpivot"         -> (Relational.q26Unpivot _)
   )
@@ -582,6 +596,34 @@ object SparkEntry {
         |FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
         |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8
         |ORDER BY p.da, p.db""".stripMargin,
+    "split_leakage" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh3 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        | FROM tok QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |je AS (SELECT p.da, p.db
+        |  FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f0' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f8' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |e AS (SELECT j.da, j.db, a.split AS sa, b.split AS sb
+        |  FROM je j JOIN sp a ON j.da=a.doc_id JOIN sp b ON j.db=b.doc_id
+        |  WHERE a.split <> b.split)
+        |SELECT least(sa,sb) AS split_lo, greatest(sa,sb) AS split_hi,
+        | count(*) AS n_edges,
+        | string_agg(CAST(da AS VARCHAR) || ':' || CAST(db AS VARCHAR), ','
+        |   ORDER BY da, db) AS edges
+        |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "corpus_curate" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
@@ -696,6 +738,21 @@ object SparkEntry {
         |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
         | count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "pack_manifest" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS toks
+        | FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |  sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |b AS (SELECT doc_id, source, toks,
+        |  CAST((cum - toks) // 512 AS BIGINT) AS bin,
+        |  CAST((cum - toks) - ((cum - toks) // 512) * 512 AS BIGINT) AS "offset" FROM c)
+        |SELECT source, bin,
+        | string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST("offset" AS VARCHAR)
+        |   || ':' || CAST(toks AS VARCHAR), ',' ORDER BY doc_id, "offset", toks) AS spans,
+        | count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_stats_prune" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
@@ -728,12 +785,12 @@ object SparkEntry {
         | FROM documents),
         |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
         |g AS (SELECT CAST(max(src_toks) * 2 AS BIGINT) AS target FROM s),
-        |t AS (SELECT s.source,
-        |  CAST(floor(CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE)) AS BIGINT) AS base,
-        |  CAST(floor((CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE)
-        |    - floor(CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE)))
-        |    * 4294967296.0) AS BIGINT) AS th
+        |r AS (SELECT s.source,
+        |  CASE WHEN s.src_toks = 0 THEN 1.0
+        |       ELSE CAST(g.target AS DOUBLE) / CAST(s.src_toks AS DOUBLE) END AS rate
         |  FROM s CROSS JOIN g),
+        |t AS (SELECT source, CAST(floor(rate) AS BIGINT) AS base,
+        |  CAST(floor((rate - floor(rate)) * 4294967296.0) AS BIGINT) AS th FROM r),
         |c AS (SELECT d.doc_id, d.source,
         |  t.base + CASE WHEN upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))
         |                     < lpad(hex(t.th),8,'0') THEN 1 ELSE 0 END AS copies

@@ -48,7 +48,11 @@ object TextOps {
       val c = it.next()
       t += c * Math.round(1e6 * Math.log(c.toDouble))
     }
-    (Math.round(1e6 * Math.log(n.toDouble)) * n - t) / n
+    // floorDiv, not '/': matches DuckDB's '//' exactly. The numerator
+    // is non-negative up to per-term rounding (≤ ~n µnat), so a huge
+    // near-uniform doc could dip it below zero, where truncating and
+    // floor division differ by 1.
+    Math.floorDiv(Math.round(1e6 * Math.log(n.toDouble)) * n - t, n)
   }
 }
 

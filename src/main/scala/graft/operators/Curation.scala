@@ -142,9 +142,21 @@ object Curation {
     * COUNT crosses the driver. No SQL oracle (iterative); the spec
     * checks exact agreement with a local union-find at small sf.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20,
+                    loopParallelism: Int = 4): DataFrame = {
     val edges = Dedup.ngramJaccard(spark, dir)
       .select(col("da"), col("db")).cache()
+    // Materialize the edge set at FULL session parallelism (this is the
+    // heavy, corpus-scale part), then run the iteration at
+    // `loopParallelism`: label frames hold one row per vertex of the
+    // near-dup graph (KBs at test scale, «corpus at any scale), and a
+    // 32-task wave per KB-sized round is pure scheduler overhead — the
+    // dominant cost of the whole operator once edges are cached. At
+    // 100 TB raise loopParallelism ∝ near-dup-vertex count.
+    edges.count()
+    val sessionShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParallelism.toString)
+    try {
     // symmetric closure PLUS self-loops: with (v, v) present, one
     // join + groupBy-min over this relation computes min over
     // N(v) ∪ {v} directly — no second join against the old labels per
@@ -194,6 +206,11 @@ object Curation {
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))
+    } finally {
+      // restore session parallelism; `labels` is localCheckpointed so
+      // nothing lazy escapes still pinned to the loop setting
+      spark.conf.set("spark.sql.shuffle.partitions", sessionShufflePartitions)
+    }
   }
 
   /** Deterministic train/val/test split: the assignment is a pure
@@ -213,6 +230,43 @@ object Curation {
           .otherwise("test"))
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
+
+  /** SPLIT-AWARE DECONTAMINATION audit — near-duplicate edges that
+    * STRADDLE train/val/test splits are eval leakage (the reason
+    * pipelines dedup before splitting): a val/test document with a
+    * J ≥ 0.8 twin in train inflates eval scores without any bug in
+    * either stage alone. Composes the [[Dedup.ngramJaccard]] edge set
+    * with [[corpusSplit]]'s assignment: per unordered split pair, the
+    * leaking-edge count and the canonical "da:db" edge list. Both
+    * inputs are deterministic (md5 split, exact Jaccard) so the audit
+    * is fully oracle-checkable.
+    *
+    * Scale shape: the edge set is the dedup stage's shared persisted
+    * intermediate (tiny — near-dup pairs, not the corpus); the split
+    * assignment is a map-only projection; the audit itself is two
+    * broadcast-friendly joins + one 3-row aggregate. The full edge
+    * list per split pair is the audit artifact at test scale; a
+    * 100 TB run keeps the pre-aggregation edge-level rows as the
+    * output table instead (drop the groupBy — same plan minus the
+    * final aggregate) rather than folding millions of ids into one
+    * string cell.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = corpusSplit(spark, dir).select(col("doc_id"), col("split"))
+    Dedup.ngramJaccard(spark, dir)
+      .select(col("da"), col("db"))
+      .join(splits.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(splits.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+               greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_edges"),
+           array_join(
+             transform(sort_array(collect_list(struct(col("da"), col("db")))),
+               x => concat(x.getField("da"), lit(":"), x.getField("db"))),
+             ",").as("edges"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
 
   /** Token-budget-aware domain mixing — THE training-data operation:
     * given a token budget and per-source target shares (uniform by

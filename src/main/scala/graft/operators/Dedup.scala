@@ -91,7 +91,21 @@ object Dedup {
     * J ≥ 0.8 would require ~all of both documents to be stop-phrases.
     */
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame =
-    ngramJaccardOn(Tables.documents(spark, dir), dfCap)
+    edgeCache.computeIfAbsent((spark, dir, dfCap), _ =>
+      ngramJaccardOn(Tables.documents(spark, dir), dfCap).persist())
+
+  /** The near-dup edge set is the SHARED INTERMEDIATE of the whole
+    * dedup stage family — the pairwise report consumes it directly,
+    * [[graft.operators.Curation.dedupClusters]] runs connected
+    * components over it, and the split-leakage audit joins it against
+    * split assignments. Computing it is the expensive part (shingle +
+    * inverted-index passes over the corpus); every consumer after the
+    * first reads the tiny persisted pair list. At 100 TB this is a
+    * materialized table written once per corpus snapshot, exactly like
+    * the OTLP parse shared across the log queries.
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
   /** df-capped inverted index (doc_id, s): shingles in more than
     * `dfCap` documents are stop-phrases and dropped, so no index

@@ -70,7 +70,11 @@ object IvfIndex {
     if (!f.exists(r)) None
     else f.listStatus(r).toSeq
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("_active_v") => s.stripPrefix("_active_v").toInt }
+      .collect { case s if s.startsWith("_active_v") => s.stripPrefix("_active_v") }
+      // toIntOption, not toInt: a stray file matching the prefix (a
+      // copy tool's "_active_v2.tmp", a corrupted name) must be
+      // IGNORED, not brick every ensure/query with NumberFormatException
+      .flatMap(_.toIntOption)
       .maxOption
   }
 
@@ -118,6 +122,11 @@ object IvfIndex {
     * (possibly dropped) version with stale cell assignments.
     */
   def ensure(spark: SparkSession, dir: String): (Int, Array[(Int, Seq[Double])]) = {
+    ensureAttempt(spark, dir, retry = true)
+  }
+
+  private def ensureAttempt(spark: SparkSession, dir: String,
+                            retry: Boolean): (Int, Array[(Int, Seq[Double])]) = {
     VectorFunctions.register(spark)
     val key = (spark, dir)
     activeOnDisk(spark, dir) match {
@@ -125,7 +134,17 @@ object IvfIndex {
         val cached = built.get(key)
         if (cached != null && cached._1 == v) cached
         else {
-          val loaded = (v, readCentroids(spark, dir, v))
+          // TOCTOU: a concurrent retrain+dropVersion can remove v
+          // between the marker read above and this centroid read —
+          // re-resolve the marker once and retry before surfacing
+          val loaded =
+            try (v, readCentroids(spark, dir, v))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException if retry =>
+                return ensureAttempt(spark, dir, retry = false)
+              case _: java.io.FileNotFoundException if retry =>
+                return ensureAttempt(spark, dir, retry = false)
+            }
           built.put(key, loaded)
           loaded
         }

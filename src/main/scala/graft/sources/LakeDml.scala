@@ -32,6 +32,17 @@ object LakeDml {
     */
   case class DmlStats(filesRemoved: Long, filesAdded: Long, rowsChanged: Long)
 
+  /** Ceiling on the affected-file paths a single DML commit collects
+    * to the driver. Manifest-scale planning (Iceberg does the same),
+    * but a full-lake DELETE at 100 TB would cross millions of paths —
+    * past this bound the commit REFUSES with instructions rather than
+    * silently ballooning driver memory (the same honesty discipline as
+    * [[LogCompact]]'s layout-evolution guard): chunk the predicate
+    * (e.g. one partition range per commit) or compact first. ~100k
+    * paths ≈ tens of MB of strings — safely inside any driver heap.
+    */
+  val DefaultMaxRewriteFiles = 100000
+
   /** The registered table with the normalized source-file path of every
     * row — the per-row file identity DML decisions join on.
     */
@@ -112,8 +123,10 @@ object LakeDml {
     * the row, like SQL DELETE). Only files containing at least one
     * matching row are rewritten.
     */
-  def delete(spark: SparkSession, root: String, predicate: Column): DmlStats = {
+  def delete(spark: SparkSession, root: String, predicate: Column,
+             maxRewriteFiles: Int = DefaultMaxRewriteFiles): DmlStats = {
     val (files, n) = affectedAgg(tableWithSrc(spark, root).filter(predicate))
+    requireBounded(files.size, maxRewriteFiles, "DELETE")
     if (files.isEmpty) return DmlStats(0, 0, 0)
     val (removed, added) = commit(spark, root, files,
       complement = _.filter(!coalesce(predicate, lit(false))), inserts = None)
@@ -130,8 +143,15 @@ object LakeDml {
     * a lake-scale restatement should use the scan path) are tested
     * against each file's bloom and only candidate files are read.
     */
+  private def requireBounded(nFiles: Int, bound: Int, op: String): Unit =
+    if (nFiles > bound) throw new IllegalStateException(
+      s"$op matches $nFiles files > maxRewriteFiles=$bound: this is a lake-scale " +
+        "rewrite, not a row-level commit. Chunk the predicate (one partition " +
+        "range per commit), compact first, or raise maxRewriteFiles explicitly.")
+
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             keys: Seq[String], useIndex: Boolean = false): DmlStats = {
+             keys: Seq[String], useIndex: Boolean = false,
+             maxRewriteFiles: Int = DefaultMaxRewriteFiles): DmlStats = {
     import spark.implicits._
     require(keys.nonEmpty, "upsert needs at least one key column")
     val dataCols = LogSync.table(spark, root).columns
@@ -158,6 +178,7 @@ object LakeDml {
         case None => (Seq.empty[String], 0L)
         case Some(base) => affectedAgg(base.join(broadcast(keyRel), keys, "left_semi"))
       }
+      requireBounded(files.size, maxRewriteFiles, "MERGE")
       // replace = rewrite matched files WITHOUT the matched keys' rows
       // (an anti-join — the key set lives in a DataFrame, not a
       // predicate); insert = append ALL update rows, replacements and

@@ -350,6 +350,13 @@ object EventStream {
     * the same left-to-right order, so streamed values equal the batch
     * series BIT-FOR-BIT (spec-asserted) — the dashboards can switch
     * between paths without a seam.
+    *
+    * The bit-for-bit claim holds WITHIN THE TTL HORIZON (same caveat
+    * as [[anomalyStream]]): the `ttlHours` quiet-period timeout evicts
+    * a type's state including its finalized-lag buffer, so a type that
+    * resumes after a longer gap restarts its EWMA from scratch while
+    * the batch operator still lags over pre-gap buckets. Size
+    * `ttlHours` ≥ the longest gap the equality must span.
     */
   def trendStream(events: DataFrame, taps: Int = 5,
                   ttlHours: Int = 48): org.apache.spark.sql.Dataset[TrendPoint] = {

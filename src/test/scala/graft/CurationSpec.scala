@@ -221,4 +221,30 @@ class CurationSpec extends SparkSpec {
     assert(got.values.forall(e => e.length == 2 || e.length == 3))
     assert(got.values.exists(_.length == 3), "fractional upsample must fire somewhere")
   }
+
+  test("splitLeakage: equals the local composition of the edge set with the split map") {
+    // local replay: every J>=0.8 edge whose endpoints land in different
+    // md5-splits, grouped by unordered split pair
+    val splitOf = Curation.corpusSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val edges = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    val expected = edges
+      .filter { case (a, b) => splitOf(a) != splitOf(b) }
+      .groupBy { case (a, b) =>
+        val (x, y) = (splitOf(a), splitOf(b))
+        if (x <= y) (x, y) else (y, x)
+      }
+      .view.mapValues(_.sorted).toMap
+    assert(expected.nonEmpty, "test data must contain at least one leaking edge")
+    val got = Curation.splitLeakage(spark, sf).collect()
+      .map(r => (r.getAs[String]("split_lo"), r.getAs[String]("split_hi")) ->
+        (r.getAs[Long]("n_edges"), r.getAs[String]("edges"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (pair, pairs) =>
+      assert(got(pair)._1 == pairs.length.toLong)
+      assert(got(pair)._2 == pairs.map { case (a, b) => s"$a:$b" }.mkString(","),
+        s"edge list for $pair must match the local replay in (da, db) order")
+    }
+  }
 }

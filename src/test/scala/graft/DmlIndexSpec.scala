@@ -110,6 +110,21 @@ class DmlIndexSpec extends SparkSpec {
     assert(LogSync.table(spark, root).count() == before - toDie)
   }
 
+  test("LakeDml: a commit matching more files than maxRewriteFiles refuses loudly") {
+    val root = mkLake(Seq((100, "s0"), (100, "s1")))
+    val before = LogSync.table(spark, root).count()
+    val nFiles = graft.sources.LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).count()
+    assert(nFiles > 1)
+    val e = intercept[IllegalStateException] {
+      LakeDml.delete(spark, root, lit(true), maxRewriteFiles = 1)
+    }
+    assert(e.getMessage.contains("maxRewriteFiles"),
+      s"refusal must name the bound, got: ${e.getMessage}")
+    assert(LogSync.table(spark, root).count() == before,
+      "a refused commit must leave the lake untouched")
+  }
+
   test("LakeDml.delete: NULL predicate keeps the row (SQL DELETE semantics)") {
     val root = mkLake(Seq((100, "s0")))
     val before = LogSync.table(spark, root).count()
