@@ -149,22 +149,34 @@ object LogSync {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private[sources] def manifestDf(spark: SparkSession, root: String): DataFrame =
-    if (hasManifest(spark, root)) {
-      // manifests written before file stats / tombstones existed lack
-      // min_ts/max_ts/min_svc/max_svc/removed_at; surface them as null
-      // (= "no stats, never prune" / "active"). mergeSchema because a
-      // manifest dir can legitimately hold a mix of old- and new-schema
-      // row files after an upgrade (sync appends); manifest dirs are
-      // file-count-bounded, so reading every footer is control-plane
-      // cost, unlike the data-path mergeSchema caveat on tableMerged.
-      val m = spark.read.option("mergeSchema", "true").parquet(manifestPath(spark, root))
-      manifestSchema.fields.drop(2).foldLeft(m) { (df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }
+  // manifests written before file stats / tombstones existed lack
+  // min_ts/max_ts/min_svc/max_svc/removed_at; surface them as null
+  // (= "no stats, never prune" / "active"). mergeSchema because a
+  // manifest dir can legitimately hold a mix of old- and new-schema
+  // row files after an upgrade (sync appends); manifest dirs are
+  // file-count-bounded, so reading every footer is control-plane
+  // cost, unlike the data-path mergeSchema caveat on tableMerged.
+  private def readManifestDir(spark: SparkSession, path: String): DataFrame = {
+    val m = spark.read.option("mergeSchema", "true").parquet(path)
+    manifestSchema.fields.drop(2).foldLeft(m) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
+  }
+
+  private[graft] def emptyManifest(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
+
+  private[sources] def manifestDf(spark: SparkSession, root: String): DataFrame =
+    if (hasManifest(spark, root)) readManifestDir(spark, manifestPath(spark, root))
+    else emptyManifest(spark)
+
+  /** [[keepOnly]] for cross-package CDC readers: the lake scan
+    * restricted to a `__registered_path` keep-set.
+    */
+  private[graft] def tableForPaths(spark: SparkSession, root: String,
+                                   keep: DataFrame): DataFrame =
+    keepOnly(spark, root, keep)
 
   /** Manifest rows that are part of the table NOW (no tombstone). */
   private[sources] def activeManifest(spark: SparkSession, root: String): DataFrame =
@@ -182,7 +194,7 @@ object LogSync {
     * `input_file_name()` (scheme spelling differs: `file:/x` vs
     * `file:///x`).
     */
-  private[sources] def normPath(c: Column): Column =
+  private[graft] def normPath(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
 
   /** Per-file min/max of the `timestamp` column for exactly `paths` —

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.LogSync
+
+/** STREAMING INCREMENTAL CONSUMPTION of the lake — the readStream twin
+  * of [[LogSync.tableSince]], closing the CDC loop the reference's
+  * stack leaves to an external scheduler (Iceberg's streaming-read /
+  * Delta's change-feed analog over the parquet manifest).
+  *
+  * The consumer's offset is a DURABLE CONSUMED-PATH SET, not a
+  * timestamp: each poll anti-joins the manifest's append-commit rows
+  * against the paths this consumer has already committed — the same
+  * processed-set diff [[graft.sources.Rollup.refresh]] uses, and exact
+  * where a `registered_at` watermark has a same-millisecond race
+  * (files registered in the watermark's exact instant after the poll
+  * read it would be skipped forever). Rewrite files (compaction, DML
+  * copy-on-write) never qualify — their rows are not new — and an
+  * appended file tombstoned after emission is not re-emitted: paths,
+  * once consumed, stay consumed.
+  *
+  * Delivery: [[poll]] computes the increment, the caller processes it,
+  * then [[commit]]s — a crash between them re-emits the uncommitted
+  * rows on the next poll (at-least-once); a processor idempotent per
+  * row/file — the standard `foreachBatch` contract — makes it
+  * exactly-once, which the spec drives literally (two appends + a
+  * compaction, with a replay, land each row exactly once).
+  *
+  * Scale shape: the poll is control-plane — one manifest read and one
+  * anti-join on path; the data read is exactly the new files (cost ∝
+  * arrival rate, never lake size) through the same semi-join-pruned
+  * scan as every manifest reader. The consumed set grows with total
+  * appended files — manifest-scale by construction (the manifest
+  * itself holds the same paths); a production deployment would fold
+  * fully-consumed compacted ranges into a compact watermark row, the
+  * same trim Kafka consumers apply to offset logs.
+  */
+object LakeFollow {
+
+  /** One polled increment: `rows` to process, and the consumed-set
+    * version [[commit]] will advance to. `paths` is the increment's
+    * file list (control-plane: this round's arrivals only).
+    */
+  final case class Increment(nextVersion: Int, paths: Seq[String], rows: DataFrame)
+
+  // The consumed set lives in versioned `_consumed_v<N>` parquet dirs,
+  // newest wins — swap-don't-mutate with an atomic rename, the same
+  // crash-safe discipline as the manifest itself: a crashed commit
+  // leaves a staging dir the next commit overwrites, never a
+  // half-written current version.
+  private val ConsumedRe = "_consumed_v([0-9]+)".r
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest committed consumed-set version (0 = nothing consumed). */
+  def committedVersion(spark: SparkSession, marksDir: String): Int = {
+    val p = new Path(marksDir)
+    val fs = fsOf(spark, marksDir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).flatMap {
+      _.getPath.getName match {
+        case ConsumedRe(v) => Some(v.toInt)
+        case _ => None
+      }
+    }.foldLeft(0)(math.max)
+  }
+
+  private def consumedPaths(spark: SparkSession, marksDir: String): DataFrame = {
+    import spark.implicits._
+    val v = committedVersion(spark, marksDir)
+    if (v == 0) Seq.empty[String].toDF("path")
+    else spark.read.parquet(s"$marksDir/_consumed_v$v").select("path")
+  }
+
+  /** The rows this consumer has not yet committed: manifest append
+    * rows minus the consumed set. The path list is MATERIALIZED once
+    * (the increment must be frozen — a lazy plan re-read at commit
+    * time could silently absorb files synced mid-poll and mark them
+    * consumed unprocessed); `maxFilesPerPoll` bounds that driver
+    * crossing, so the first poll of a pre-existing lake drains the
+    * backlog over successive bounded increments instead of crossing
+    * every path at once — Spark's own `maxFilesPerTrigger` discipline.
+    */
+  def poll(spark: SparkSession, root: String, marksDir: String,
+           maxFilesPerPoll: Int = 10000): Option[Increment] = {
+    import spark.implicits._
+    val freshPaths = LogSync.manifest(spark, root)
+      .filter(col("op").isNull || col("op") === "append")
+      .select(col("path"))
+      .join(consumedPaths(spark, marksDir), Seq("path"), "left_anti")
+      .orderBy(col("path")).limit(maxFilesPerPoll)
+      .as[String].collect().toSeq
+    if (freshPaths.isEmpty) None
+    else {
+      val keep = freshPaths.toDF("path")
+        .select(LogSync.normPath(col("path")).as("__registered_path"))
+      Some(Increment(committedVersion(spark, marksDir) + 1, freshPaths,
+        LogSync.tableForPaths(spark, root, keep)))
+    }
+  }
+
+  /** Durably mark `inc` consumed (call AFTER the batch landed): write
+    * consumed ∪ inc.paths as the next version via staging + atomic
+    * rename, then prune older versions best-effort.
+    */
+  def commit(spark: SparkSession, marksDir: String, inc: Increment): Unit = {
+    import spark.implicits._
+    val fs = fsOf(spark, marksDir)
+    val next = consumedPaths(spark, marksDir)
+      .union(inc.paths.toDF("path")).distinct()
+    val staging = new Path(s"$marksDir/_consumed_swap")
+    fs.delete(staging, true)
+    next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    require(fs.rename(staging, new Path(s"$marksDir/_consumed_v${inc.nextVersion}")),
+      s"consumed-set swap rename failed under $marksDir")
+    (1 until inc.nextVersion).foreach { old =>
+      try fs.delete(new Path(s"$marksDir/_consumed_v$old"), true)
+      catch { case _: java.io.IOException => () } // next commit retries
+    }
+  }
+
+  /** The continuous form: a Structured Streaming query that polls per
+    * micro-batch and hands each increment to `process(rows, increment)`
+    * before committing it. The rate source is the trigger clock only —
+    * offsets live in `marksDir`, so the query is restart-safe under
+    * any checkpoint and two followers with separate marks dirs consume
+    * the same lake independently.
+    */
+  def follow(spark: SparkSession, root: String, marksDir: String,
+             checkpoint: String,
+             process: (DataFrame, Increment) => Unit,
+             pollsPerSecond: Int = 2): StreamingQuery = {
+    require(checkpoint.nonEmpty, "LakeFollow.follow needs a checkpointLocation")
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", pollsPerSecond.toString).load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        poll(spark, root, marksDir).foreach { inc =>
+          process(inc.rows, inc)
+          commit(spark, marksDir, inc)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}
