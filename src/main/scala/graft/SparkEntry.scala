@@ -67,6 +67,7 @@ object SparkEntry {
     "logs_dau"                 -> (LogAnalytics.dau _),
     "logs_approx_dau"          -> (LogAnalytics.approxDau _),
     "logs_otlp_roundtrip"      -> (LogAnalytics.otlpRoundtrip _),
+    "logs_otlp_proto"          -> (LogAnalytics.otlpProtoRoundtrip _),
     "logs_p95_approx"          -> (LogAnalytics.approxP95 _),
     "logs_sample"              -> (LogAnalytics.sample _),
     "q18_salted_agg"           -> ((s: SparkSession, d: String) => Skew.saltedEventAgg(s, d)),
@@ -501,6 +502,14 @@ object SparkEntry {
         | count(DISTINCT user_id) AS dau, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "logs_otlp_roundtrip" ->
+      """SELECT 'svc-' || CAST(user_id AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n,
+        | strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        | strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // same direct aggregate: the protobuf wire round-trip must land the
+    // identical rows as the JSON transport
+    "logs_otlp_proto" ->
       """SELECT 'svc-' || CAST(user_id AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n,
         | strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,

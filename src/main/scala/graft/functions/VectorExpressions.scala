@@ -512,6 +512,16 @@ object VectorFunctions {
       require(exprs.length == 2,
         s"graft_bloom_any(bloom, hashArray) takes 2 arguments, got ${exprs.length}")
       BloomContainsAny(exprs(0), exprs(1))
+    },
+    "graft_otlp_json" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_json(bin) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpProtoToJson(exprs.head)
+    },
+    "graft_otlp_proto" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_proto(struct) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpProtoEncode(exprs.head)
     })
 
   /** Idempotently register every graft function so operators can use

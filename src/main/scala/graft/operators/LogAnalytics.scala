@@ -199,6 +199,40 @@ object LogAnalytics {
            tsStr(max(col("timestamp"))).as("last_ts"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  /** PROTOBUF-transport ingest round-trip proof: events → OTLP
+    * protobuf `LogsData` wire bytes ([[graft.sources.OtlpLogs
+    * .toOtlpProtoTraced]], codegen'd pure-JVM encoder) →
+    * [[graft.sources.OtlpLogs.parseProto]] (wire decode → the shared
+    * JSON-envelope parse) → severity aggregate. The oracle computes
+    * the same aggregate directly on `events`, so the hash-match
+    * certifies the whole protobuf encode→decode→flatten path
+    * record-for-record — the transport the reference's otlp2parquet
+    * accepts and rounds 1-4 documented as a limitation. Encode+decode
+    * are map-only expressions in one stage; the only shuffle is the
+    * final aggregate.
+    */
+  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.OtlpLogs
+    graft.functions.VectorFunctions.register(spark)
+    val payloads = Tables.events(spark, dir)
+      .select(OtlpLogs.toOtlpProtoTraced(
+        unix_micros(col("ts")),
+        concat(lit("svc-"), col("user_id")),
+        col("event_type"),
+        sevNumOf(col("event_type")),
+        col("props"),
+        md5(concat(col("user_id").cast("string"), lit("/"), dayStr(col("ts")))),
+        substring(md5(col("event_id").cast("string")), 1, 16),
+        concat(lit("1."), col("user_id") % 2),
+        concat(lit("mod-"), col("user_id") % 4)).as("payload"))
+    OtlpLogs.parseProto(payloads, col("payload"))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"),
+           tsStr(min(col("timestamp"))).as("first_ts"),
+           tsStr(max(col("timestamp"))).as("last_ts"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   /** Sketch percentiles (t-digest-style approx_percentile): the
     * fixed-size-state path for latency percentiles at 100 TB. No
     * oracle (sketch internals); spec bounds error vs exact.
@@ -396,14 +430,33 @@ object LogAnalytics {
     require(sloPct >= 1 && sloPct <= 99 && 100 % (100 - sloPct) == 0,
       s"sloPct must be in [1,99] with an error budget dividing 100, got $sloPct")
     val budgetPctInv = 100 / (100 - sloPct) // 25% budget -> 4
-    def w(h: Int) = Window.orderBy(col("bucket")).rowsBetween(-(h - 1), 0)
+    // HALO-PARTITIONED rolling windows: the hourly series is
+    // control-plane sized (~10⁴ rows/year), but a bare
+    // Window.orderBy(bucket) executes on ONE task forever — a ceiling
+    // for multi-decade series. Partitioning by year keeps tasks
+    // bounded, and each year's window stays EXACTLY equal to the
+    // unpartitioned result by replicating the previous year's last
+    // longH-1 ROWS into the next year's partition as lookback-only
+    // halo rows (rows, not hours — rowsBetween semantics survive
+    // bucket gaps), dropped after the window pass. (Assumes each year
+    // holds ≥ longH-1 buckets — an hourly series with fewer rows per
+    // YEAR is degenerate for a burn-rate alert.)
+    def w(h: Int) = Window.partitionBy(col("yr")).orderBy(col("bucket"))
+      .rowsBetween(-(h - 1), 0)
     val hourly = Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("total"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-        col("total"), col("errors"))
-    hourly
+        year(col("window.start")).as("yr"), col("total"), col("errors"))
+    val base = hourly.withColumn("halo", lit(false))
+    val halo = hourly
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("yr")).orderBy(col("bucket").desc)))
+      .filter(col("rn") <= longH - 1).drop("rn")
+      .withColumn("yr", col("yr") + 1)
+      .withColumn("halo", lit(true))
+    base.unionByName(halo)
       .withColumn("err_s", sum(col("errors")).over(w(shortH)))
       .withColumn("tot_s", sum(col("total")).over(w(shortH)))
       .withColumn("err_l", sum(col("errors")).over(w(longH)))
@@ -413,6 +466,7 @@ object LogAnalytics {
         col("n_l") === longH &&
           col("err_s") * budgetPctInv >= col("tot_s") * factor &&
           col("err_l") * budgetPctInv >= col("tot_l") * factor)
+      .filter(!col("halo"))
       .select(col("bucket"), col("total"), col("errors"),
         col("err_l"), col("tot_l"), col("page"))
       .orderBy(col("bucket"))

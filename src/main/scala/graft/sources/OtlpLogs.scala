@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * codegen'd, no UDFs, linear per record: the parse scales to any
   * number of executors with zero shuffles.
   *
-  * Limitation: intake is OTLP/JSON only. OTLP/protobuf payload
-  * decoding is transport plumbing (a collector concern) outside this
-  * query engine's surface; the 15-column schema, flatten, and
-  * round-trip certification are transport-independent.
+  * Both OTLP transports are accepted: JSON via [[parse]], protobuf via
+  * [[parseProto]] (a pure-JVM wire decode — [[OtlpProtoOps]] — that
+  * renders the identical envelope and reuses this one parse surface),
+  * so the 15-column schema, flatten, and round-trip certification are
+  * transport-independent in code, not just in principle.
   */
 object OtlpLogs {
 
@@ -72,6 +73,31 @@ object OtlpLogs {
     // would throw on the empty filtered array)
     try_element_at(transform(filter(attrs, a => a.getField("key") === key),
       a => attrValue(a.getField("value"))), lit(1))
+
+  /** Parse a column of OTLP/PROTOBUF `LogsData` payloads into the same
+    * flattened rows as [[parse]]: the wire bytes are decoded to the
+    * OTLP/JSON envelope by the codegen'd [[OtlpProtoToJson]] expression
+    * ([[OtlpProtoOps]], pure-JVM wire walk) and flow through the ONE
+    * shared parse surface — both transports, one column-derivation
+    * path. Map-only, zero shuffles, like the JSON intake.
+    */
+  def parseProto(df: DataFrame, binCol: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    parse(df.select(call_function("graft_otlp_json", binCol).as("payload")), col("payload"))
+  }
+
+  /** The wire twin of [[toOtlpJsonTraced]]: encode one traced record
+    * as protobuf `LogsData` bytes ([[OtlpProtoEncode]]) — the
+    * round-trip certification generator for the protobuf intake.
+    */
+  def toOtlpProtoTraced(timestampUs: Column, serviceName: Column, severityText: Column,
+                        severityNumber: Column, body: Column,
+                        traceId: Column, spanId: Column,
+                        scopeVersion: Column, codeNamespace: Column): Column =
+    call_function("graft_otlp_proto", struct(
+      timestampUs.cast("long"), serviceName.cast("string"), severityText.cast("string"),
+      severityNumber.cast("int"), body.cast("string"), traceId.cast("string"),
+      spanId.cast("string"), scopeVersion.cast("string"), codeNamespace.cast("string")))
 
   /** Parse a column of OTLP/JSON envelopes into flattened log rows. */
   def parse(df: DataFrame, jsonCol: Column): DataFrame = {

@@ -63,6 +63,44 @@ class IngestSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("service_name") == "batched"))
   }
 
+  test("OtlpLogs: protobuf transport equals the JSON transport on all 15 columns") {
+    graft.functions.VectorFunctions.register(spark)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val ts = unix_micros(col("ts"))
+    val svc = concat(lit("svc-"), col("user_id"))
+    val sevNum = (col("user_id") % 20 + 1).cast("int")
+    val trace = md5(col("user_id").cast("string"))
+    val span = substring(md5(col("event_id").cast("string")), 1, 16)
+    val ver = concat(lit("1."), col("user_id") % 2)
+    val ns = concat(lit("mod-"), col("user_id") % 4)
+    val viaJson = OtlpLogs.parse(
+      ev.select(OtlpLogs.toOtlpJsonTraced(ts, svc, col("event_type"), sevNum,
+        col("props"), trace, span, ver, Seq("code.namespace" -> ns)).as("p")),
+      col("p"))
+    val viaProto = OtlpLogs.parseProto(
+      ev.select(OtlpLogs.toOtlpProtoTraced(ts, svc, col("event_type"), sevNum,
+        col("props"), trace, span, ver, ns).as("p")),
+      col("p"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("trace_id"), col("span_id")).collect().toSeq
+    val a = canon(viaJson)
+    val b = canon(viaProto)
+    assert(a.length == ev.count() && a.length == b.length)
+    a.zip(b).foreach { case (j, p) =>
+      assert(j == p, s"transport mismatch:\n json: $j\nproto: $p")
+    }
+    // wire robustness: a truncated payload must not crash the scan in
+    // a way that loses the batch — it throws (collector 4xx analog)
+    val bytes = ev.limit(1).select(OtlpLogs.toOtlpProtoTraced(ts, svc,
+      col("event_type"), sevNum, col("props"), trace, span, ver, ns).as("p"))
+      .collect()(0).getAs[Array[Byte]]("p")
+    val json = graft.sources.OtlpProtoOps.toJson(bytes).toString
+    assert(json.contains("\"resourceLogs\"") && json.contains("\"timeUnixNano\""))
+    intercept[Exception] {
+      graft.sources.OtlpProtoOps.toJson(bytes.take(bytes.length / 2))
+    }
+  }
+
   test("OtlpLogs: malformed payloads quarantine instead of vanishing") {
     import spark.implicits._
     val good = sampleOtlp(5).collect().map(_.getString(0)).toSeq
