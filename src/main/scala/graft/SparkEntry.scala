@@ -132,6 +132,7 @@ object SparkEntry {
     "logs_transitions"    -> (LogAnalytics.transitions _),
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
     "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
+    "ann_pq"              -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "lake_rollup"         -> (LakeAnalytics.rollup _),
     "logs_funnel"         -> ((s: SparkSession, d: String) => Behavior.funnel(s, d)),
     "logs_retention"      -> (Behavior.retention _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d)),
     "sample_weighted"     -> ((s: SparkSession, d: String) => Curation.sampleWeighted(s, d)),
     "split_leakage"       -> ((s: SparkSession, d: String) => Curation.splitLeakage(s, d)),
+    "corpus_split_clean"  -> ((s: SparkSession, d: String) => Curation.corpusSplitClean(s, d)),
     "logs_compare"        -> (LogAnalytics.compareWindows _),
     "q26_unpivot"         -> (Relational.q26Unpivot _)
   )
@@ -633,6 +635,40 @@ object SparkEntry {
         | string_agg(CAST(da AS VARCHAR) || ':' || CAST(db AS VARCHAR), ','
         |   ORDER BY da, db) AS edges
         |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // real WITH RECURSIVE transitive closure replays the engine's
+    // HashMin connected components on the small edge set
+    "corpus_split_clean" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh3 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        | FROM tok QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |je AS (SELECT p.da, p.db
+        |  FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM je UNION SELECT db, da FROM je),
+        |verts AS (SELECT DISTINCT a FROM sym),
+        |r(a, b) AS (SELECT a, a FROM verts
+        |  UNION SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a),
+        |lab AS (SELECT a AS doc_id, min(b) AS cluster FROM r GROUP BY 1),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f0' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f8' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT d.doc_id, d.source, sp.split AS split_orig,
+        | coalesce(ks.split, sp.split) AS split
+        |FROM documents d
+        |JOIN sp ON sp.doc_id = d.doc_id
+        |LEFT JOIN lab ON lab.doc_id = d.doc_id
+        |LEFT JOIN sp ks ON ks.doc_id = lab.cluster
+        |ORDER BY d.doc_id""".stripMargin,
     "corpus_curate" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk

@@ -231,6 +231,40 @@ object Curation {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** SPLIT-LEAKAGE REPAIR — the fix [[splitLeakage]] audits for:
+    * every near-dup CLUSTER must live in ONE split, so each document
+    * connected to a cluster takes the split of the cluster's KEEPER
+    * (minimum doc_id — [[dedupClusters]]'s label), a deterministic
+    * rule that heals every straddling edge in one pass. Documents with
+    * no near-dup edge keep their hash split untouched, so the repair
+    * perturbs the split sizes by at most the near-dup population.
+    *
+    * Output: (doc_id, source, split_orig, split) — the corrected
+    * assignment a pipeline feeds to [[TrainPrep.pipeline]]-style
+    * stages instead of raw [[corpusSplit]].
+    *
+    * Scale shape: cluster labels come from the (tiny) edge-set
+    * iteration; the repair itself is one broadcast-size join of the
+    * label table onto the map-only split projection — the corpus
+    * never shuffles. Oracle: DuckDB replays the clusters with a real
+    * `WITH RECURSIVE` transitive closure (exact on the small edge
+    * set), so the hash-match certifies engine == SQL-semantics
+    * cluster-coherent splitting.
+    */
+  def corpusSplitClean(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"))
+    val splits = corpusSplit(spark, dir)
+    val keeperSplit = splits
+      .select(col("doc_id").as("cluster"), col("split").as("keeper_split"))
+    splits
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(keeperSplit), Seq("cluster"), "left")
+      .select(col("doc_id"), col("source"), col("split").as("split_orig"),
+        coalesce(col("keeper_split"), col("split")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SPLIT-AWARE DECONTAMINATION audit — near-duplicate edges that
     * STRADDLE train/val/test splits are eval leakage (the reason
     * pipelines dedup before splitting): a val/test document with a

@@ -55,7 +55,10 @@ object Plans {
       "lake_merged" -> "schema-evolution read: mergeSchema union across file generations, NULL-filled old files, manifest semi-join intact",
       "logs_slo_burn" -> "SLO burn: one agg to hourly-bucket cardinality, both rolling windows over the ~720-row series",
       "logs_transitions" -> "transition matrix: one lag window shuffled on user_id, |types|^2-row aggregate on top",
-      "q27_hierarchy" -> "recursive-CTE equivalent: the shown plan is the final depth histogram; the pointer-jumping rounds (log2(depth) equi-joins, one job each via observe+localCheckpoint) run before it")
+      "q27_hierarchy" -> "recursive-CTE equivalent: the shown plan is the final depth histogram; the pointer-jumping rounds (log2(depth) equi-joins, one job each via observe+localCheckpoint) run before it",
+      "logs_otlp_proto" -> "protobuf intake round-trip: encode (graft_otlp_proto) and wire decode (graft_otlp_json) are adjacent codegen'd projections in ONE stage — the only shuffle is the final severity aggregate",
+      "split_leakage" -> "split-leakage audit: the tiny near-dup edge table joined twice against the map-only split projection (broadcast-size), 3-row aggregate — the corpus is never rescanned",
+      "dedup_clusters" -> "connected components: the shown plan is the final labels projection; each HashMin round is ONE job over the persisted KB-scale edge set at loop parallelism (4 tasks), lineage truncated per round")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

@@ -222,6 +222,28 @@ class CurationSpec extends SparkSpec {
     assert(got.values.exists(_.length == 3), "fractional upsample must fire somewhere")
   }
 
+  test("corpusSplitClean: repairs every leaking edge; untouched docs keep their split") {
+    val cleaned = Curation.corpusSplitClean(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split_orig"), r.getAs[String]("split"))).toMap
+    val edges = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(edges.nonEmpty)
+    // the whole point: no near-dup edge straddles the CLEANED splits
+    edges.foreach { case (a, b) =>
+      assert(cleaned(a)._2 == cleaned(b)._2,
+        s"edge ($a,$b) still leaks: ${cleaned(a)._2} vs ${cleaned(b)._2}")
+    }
+    // docs outside the near-dup graph are untouched
+    val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    cleaned.foreach { case (id, (orig, cl)) =>
+      if (!inGraph.contains(id)) assert(orig == cl, s"doc $id moved without an edge")
+    }
+    // at least one doc actually moved (the repair is not vacuous here)
+    assert(cleaned.exists { case (_, (o, c)) => o != c },
+      "test corpus must exercise an actual reassignment")
+  }
+
   test("splitLeakage: equals the local composition of the edge set with the split map") {
     // local replay: every J>=0.8 edge whose endpoints land in different
     // md5-splits, grouped by unordered split pair

@@ -122,6 +122,25 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { IvfIndex.dropVersion(spark, tmp, 2) }
   }
 
+  test("annPq: product-quantized ADC + exact rerank recalls >= 0.9 of exact top-5") {
+    import graft.operators.Similarity
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = top(Similarity.annTopk(spark, sf))
+    val pq = top(Similarity.annPq(spark, sf))
+    assert(pq.size == exact.size, "same (query, k) result shape")
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall (16 code bytes per 64-float vector)")
+    assert(recall >= 0.9, s"recall@5 $recall")
+    // reranked scores are EXACT cosines: every common pair's cos matches
+    val exactCos = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    Similarity.annPq(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos mismatch $k"))
+    }
+  }
+
   test("annQuantized: int8 scan + exact rerank recalls >= 0.95 of exact top-5") {
     import graft.operators.Similarity
     def top(df: org.apache.spark.sql.DataFrame) = df.collect()
