@@ -188,6 +188,39 @@ object Dedup {
     * prefilter logic carries over unchanged (caps computed over the
     * full shingle population).
     */
+  /** Near-dup pairs (J ≥ threshold) TOUCHING the new set — new×old ∪
+    * new×new, never old×old — the per-increment unit of STREAMING
+    * dedup ([[graft.streaming.DedupFollow]]). `documents` carries
+    * (doc_id, text, is_new). Same three stages as [[ngramJaccard]];
+    * candidate generation is the bipartite new-vs-old join PLUS the
+    * new-side self-join, so per-increment cost is ∝ new shingles ×
+    * matching postings — old×old candidates are never enumerated, the
+    * property that makes the steady state affordable. Pairs are
+    * canonical (da < db) so accumulated increments union into exactly
+    * the batch edge set.
+    */
+  private[graft] def pairsTouchingOn(documents: DataFrame, dfCap: Int): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), toks(col("text")).as("t"), col("is_new"))
+      .select(col("doc_id"), shingleArr(col("t")).as("sh"), col("is_new"))
+      .cache()
+    val idx = cappedIndex(docs.select(col("doc_id"), col("sh")), dfCap).cache()
+    val flags = docs.select(col("doc_id"), col("is_new"))
+    val newIdx = idx.join(flags.filter(col("is_new")).select("doc_id"), Seq("doc_id"))
+    val oldIdx = idx.join(flags.filter(!col("is_new")).select("doc_id"), Seq("doc_id"))
+    val bipartite = newIdx.as("a").join(oldIdx.as("b"), col("a.s") === col("b.s"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+    val withinNew = newIdx.as("a")
+      .join(newIdx.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val interRare = bipartite.unionByName(withinNew)
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter_rare"))
+    boundAndVerify(docs.select(col("doc_id"), col("sh")), idx, interRare, 0.8)
+      .orderBy(col("da"), col("db"))
+  }
+
   def incremental(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
     val docs = docShingles(spark, dir).cache()

@@ -70,7 +70,7 @@ object LakeFollow {
     }.foldLeft(0)(math.max)
   }
 
-  private def consumedPaths(spark: SparkSession, marksDir: String): DataFrame = {
+  private[graft] def consumedPaths(spark: SparkSession, marksDir: String): DataFrame = {
     import spark.implicits._
     val v = committedVersion(spark, marksDir)
     if (v == 0) Seq.empty[String].toDF("path")

@@ -806,6 +806,39 @@ class LakeSpec extends SparkSpec {
     assert(LakeFollow.poll(spark, root, marks).isEmpty)
   }
 
+  test("DedupFollow: streamed increments' pairs union to the exact batch edge set") {
+    import graft.streaming.{DedupFollow, LakeFollow}
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft_deddup_lake").toString
+    val marks = Files.createTempDirectory("graft_deddup_marks").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    // stream the corpus in three arrival batches (uncapped df so the
+    // per-increment index equals the batch index — see Scaladoc)
+    val cap = 1000000
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long)]
+    Seq(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)).foreach { batch =>
+      batch.write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+      val inc = LakeFollow.poll(spark, root, marks).get
+      val pairs = DedupFollow.incrementPairs(spark, root, marks, inc, dfCap = cap)
+        .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+      pairs.foreach { p =>
+        assert(!streamed.contains(p), s"pair $p emitted by two increments")
+      }
+      streamed ++= pairs
+      LakeFollow.commit(spark, marks, inc)
+    }
+    assert(LakeFollow.poll(spark, root, marks).isEmpty, "stream caught up")
+    val batchEdges = Dedup.ngramJaccardOn(docs, cap).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(batchEdges.nonEmpty)
+    assert(streamed.toSet == batchEdges,
+      s"streamed dedup must equal batch dedup: missing ${batchEdges -- streamed}, " +
+        s"extra ${streamed.toSet -- batchEdges}")
+  }
+
   test("lake_merged: pre-evolution files read as NULL scope_version, totals conserved") {
     import graft.operators.LakeAnalytics
     val rows = LakeAnalytics.mergedSchema(spark, sf).collect()
