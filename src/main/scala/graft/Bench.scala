@@ -36,9 +36,13 @@ object Bench {
       // measure encoding/lookup, not the ~10 one-time merge rounds
       graft.operators.Bpe.train(spark, sfDir, 10).count()
       // materialize the shared near-dup edge set (consumed by
-      // dedup_ngram_jaccard, dedup_clusters and split_leakage) so each
-      // measures its own consumption, not the one-time edge build
+      // dedup_ngram_jaccard, dedup_clusters, split_leakage and
+      // corpus_split_clean) so each measures its own consumption, not
+      // the one-time edge build
       graft.operators.Dedup.ngramJaccard(spark, sfDir).count()
+      // train the memoized PQ codebooks so ann_pq measures
+      // encode+ADC+rerank, not the one-time m k-means runs
+      graft.operators.Similarity.pqCodebooks(spark, sfDir)
     } catch { case t: Throwable =>
       System.err.println(s"[bench] WARMUP FAILED: ${t.getClass.getName}: ${t.getMessage}")
     }

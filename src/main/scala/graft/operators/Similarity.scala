@@ -206,6 +206,30 @@ object Similarity {
     * as [[annQuantized]]. Approximate → rows-only; spec asserts
     * recall@5 vs [[annTopk]].
     */
+  /** Per-subspace PQ codebooks (16 centroids each), MEMOIZED per
+    * (session, corpus, m): training is m independent k-means runs —
+    * build-once state exactly like the BPE merge table and the IVF
+    * centroids; every query after the first reads the cached array.
+    * At 100 TB the codebooks persist beside the encoded corpus (the
+    * [[IvfIndex]] `_centroids` discipline); k·m·sub doubles ≈ KBs.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Array[Array[(Int, Seq[Double])]]]()
+
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String,
+                                 m: Int = 16): Array[Array[(Int, Seq[Double])]] =
+    pqCache.computeIfAbsent((spark, dir, m), { _ =>
+      val base = withNorm(Tables.embeddings(spark, dir))
+      val dim = base.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val sub = dim / m
+      (0 until m).toArray.map { j =>
+        Clustering.centroidsOf(spark,
+          base.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v")),
+          k = 16, iters = 3)
+      }
+    })
+
   def annPq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64): DataFrame = {
     VectorFunctions.register(spark)
     import spark.implicits._
@@ -213,12 +237,7 @@ object Similarity {
     val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    // per-subspace codebooks (16 centroids each) over the sliced corpus
-    val books: Array[Array[(Int, Seq[Double])]] = (0 until m).toArray.map { j =>
-      Clustering.centroidsOf(spark,
-        base.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v")),
-        k = 16, iters = 3)
-    }
+    val books = pqCodebooks(spark, dir, m)
     // encode: codes[j] = argmin_c |x_j - c|^2 via the -2·dot+|c|² trick
     val codeCols = (0 until m).map { j =>
       val xj = slice(col("v"), j * sub + 1, sub)
