@@ -95,6 +95,7 @@ object SparkEntry {
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
+    "text_chunk"          -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
     // CONTRACT projection: the driver's pandas compare can't sort/hash
     // array cells, so the span list is flattened to a canonical string
     // ("doc_id:offset:toks" joined by ","). The typed array stays in
@@ -783,6 +784,19 @@ object SparkEntry {
         |SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
         | count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |n AS (SELECT doc_id, source, t, len(t) AS n FROM d WHERE len(t) > 0),
+        |c AS (SELECT doc_id, source, n, t,
+        |  unnest(range(0, ((n - 1) // 96) + 1)) AS chunk_id FROM n)
+        |SELECT doc_id, source, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | CAST(chunk_id * 96 AS BIGINT) AS start_tok,
+        | CAST(least(128, n - chunk_id * 96) AS BIGINT) AS n_tok,
+        | md5(array_to_string(t[CAST(chunk_id * 96 + 1 AS BIGINT) :
+        |   CAST(least(n, chunk_id * 96 + 128) AS BIGINT)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "pack_manifest" ->
       """WITH d AS (SELECT doc_id, source,
         |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS toks

@@ -390,6 +390,39 @@ object TrainPrep {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** OVERLAPPING-WINDOW CHUNKING — the embedding/RAG prep step every
+    * retrieval pipeline runs before vectorizing: each document splits
+    * into token windows of `budget` tokens at stride `budget-overlap`,
+    * consecutive chunks sharing `overlap` tokens so no semantic unit
+    * is cut without a copy that keeps its context. Chunk starts are
+    * `i·stride < n_toks` — deterministic, engine-portable arithmetic;
+    * the chunk text is the joined token slice and the output carries
+    * its md5 (small rows, content still certified byte-for-byte by the
+    * hash-match).
+    *
+    * Scale shape: one map-only projection (tokenize once, slice per
+    * chunk via explode(sequence)) — output ∝ chunks, no shuffle before
+    * the final ORDER BY; at 100 TB this is the pass that feeds the
+    * embedding model's batch scorer.
+    */
+  def chunk(spark: SparkSession, dir: String,
+            budget: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < budget, s"need 0 <= overlap < budget, got $overlap/$budget")
+    val stride = budget - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("source"), col("t"), col("n"),
+        explode(expr(s"sequence(0L, (n - 1) div $stride)")).as("i"))
+      .select(col("doc_id"), col("source"), col("i").as("chunk_id"),
+        (col("i") * stride).as("start_tok"),
+        least(lit(budget.toLong), col("n").cast("long") - col("i") * stride).as("n_tok"),
+        md5(concat_ws(" ", slice(col("t"), (col("i") * stride + 1).cast("int"), lit(budget))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** The CONSUMABLE form of [[packSequences]]: per (source, bin) the
     * ordered span list `(doc_id, offset, toks)` — offset is the
     * document's first-token position inside the bin, so a downstream

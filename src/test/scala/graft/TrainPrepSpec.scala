@@ -15,6 +15,35 @@ class TrainPrepSpec extends SparkSpec {
   private def localToks(text: String): Seq[String] =
     text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
 
+  test("chunk: stride/overlap layout and chunk content match a local replay") {
+    val budget = 128; val stride = 96
+    val byDoc = TrainPrep.chunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.sortBy(_.getAs[Long]("chunk_id"))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> localToks(r.getAs[String]("text"))).toMap
+    assert(byDoc.keySet == docs.filter(_._2.nonEmpty).keySet, "every non-empty doc chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val t = docs(id); val n = t.length
+      assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq == (0L until chunks.length.toLong),
+        s"doc $id: chunk ids must be contiguous from 0")
+      assert(chunks.length == (n - 1) / stride + 1, s"doc $id: chunk count")
+      chunks.foreach { c =>
+        val start = c.getAs[Long]("start_tok").toInt
+        assert(start == c.getAs[Long]("chunk_id").toInt * stride)
+        assert(c.getAs[Long]("n_tok") == math.min(budget, n - start), s"doc $id chunk len")
+        val want = t.slice(start, math.min(n, start + budget)).mkString(" ")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(want.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        assert(c.getAs[String]("chunk_md5") == md5, s"doc $id chunk $start content")
+      }
+      // the layout covers the whole document: last chunk ends at n
+      val last = chunks.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok") == n.toLong)
+    }
+    // overlap actually occurs: some doc has >= 2 chunks sharing 32 tokens
+    assert(byDoc.values.exists(_.length >= 2), "corpus must exercise multi-chunk docs")
+  }
+
   test("qualityRules: signals and verdict match a local recomputation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
