@@ -32,6 +32,9 @@ object Bench {
       // reused by roundtrip/severity_number/trace_lookup/scope_attrs)
       // so those queries time their own work, not the shared encode
       graft.operators.LogAnalytics.severityNumber(spark, sfDir).count()
+      // same for the protobuf-transport parse (persisted dataset
+      // behind logs_otlp_proto): certify the wire path once
+      graft.operators.LogAnalytics.otlpProtoRoundtrip(spark, sfDir).count()
       // pre-train the memoized BPE merge table so bpe_encode/bpe_train
       // measure encoding/lookup, not the ~10 one-time merge rounds
       graft.operators.Bpe.train(spark, sfDir, 10).count()

