@@ -14,41 +14,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/scan paths so the first measured query
-    // reflects steady state, not session startup.
-    try {
+    // reflects steady state, not session startup. Each warmup is
+    // isolated: one failing must not skip the others — a skipped
+    // warmup silently shifts its one-time build cost into the first
+    // measured query that needs it, the exact contamination warmup
+    // exists to avoid.
+    def warm(name: String)(f: => Any): Unit =
+      try { f; () } catch { case t: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+      }
+    warm("scans") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
       spark.read.parquet(s"$sfDir/events.parquet").limit(1000).count()
-      // build the OTel lake and the bucketed tables once here so the
-      // lake_*/q23 timings measure the query, not the one-time
-      // ingest/registration/bucketed rewrite
-      graft.operators.LakeAnalytics.lakeRoot(spark, sfDir)
-      graft.operators.LakeAnalytics.dmlRoot(spark, sfDir)
-      graft.operators.LakeAnalytics.clusteredRoot(spark, sfDir)
-      graft.operators.LakeAnalytics.changesRoot(spark, sfDir)
-      graft.sources.Bucketing.ensure(spark, sfDir)
-      graft.operators.IvfIndex.ensure(spark, sfDir)
-      // materialize the session-shared OTLP parse (persisted dataset
-      // reused by roundtrip/severity_number/trace_lookup/scope_attrs)
-      // so those queries time their own work, not the shared encode
-      graft.operators.LogAnalytics.severityNumber(spark, sfDir).count()
-      // same for the protobuf-transport parse (persisted dataset
-      // behind logs_otlp_proto): certify the wire path once
-      graft.operators.LogAnalytics.otlpProtoRoundtrip(spark, sfDir).count()
-      // pre-train the memoized BPE merge table so bpe_encode/bpe_train
-      // measure encoding/lookup, not the ~10 one-time merge rounds
-      graft.operators.Bpe.train(spark, sfDir, 10).count()
-      // materialize the shared near-dup edge set (consumed by
-      // dedup_ngram_jaccard, dedup_clusters, split_leakage and
-      // corpus_split_clean) so each measures its own consumption, not
-      // the one-time edge build
-      graft.operators.Dedup.ngramJaccard(spark, sfDir).count()
-      // train the memoized PQ codebooks so ann_pq measures
-      // encode+ADC+rerank, not the one-time m k-means runs
-      graft.operators.Similarity.pqCodebooks(spark, sfDir)
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] WARMUP FAILED: ${t.getClass.getName}: ${t.getMessage}")
     }
+    // build the OTel lake and the bucketed tables once here so the
+    // lake_*/q23 timings measure the query, not the one-time
+    // ingest/registration/bucketed rewrite
+    warm("lake")(graft.operators.LakeAnalytics.lakeRoot(spark, sfDir))
+    warm("dml_lake")(graft.operators.LakeAnalytics.dmlRoot(spark, sfDir))
+    warm("clustered_lake")(graft.operators.LakeAnalytics.clusteredRoot(spark, sfDir))
+    warm("changes_lake")(graft.operators.LakeAnalytics.changesRoot(spark, sfDir))
+    warm("buckets")(graft.sources.Bucketing.ensure(spark, sfDir))
+    warm("ivf")(graft.operators.IvfIndex.ensure(spark, sfDir))
+    // materialize the session-shared OTLP parses (persisted datasets
+    // reused by roundtrip/severity_number/trace_lookup/scope_attrs and
+    // logs_otlp_proto) so those queries time their own work
+    warm("otlp_json")(graft.operators.LogAnalytics.severityNumber(spark, sfDir).count())
+    warm("otlp_proto")(graft.operators.LogAnalytics.otlpProtoRoundtrip(spark, sfDir).count())
+    // pre-train the memoized BPE merge table so bpe_encode/bpe_train
+    // measure encoding/lookup, not the ~10 one-time merge rounds
+    warm("bpe")(graft.operators.Bpe.train(spark, sfDir, 10).count())
+    // materialize the shared near-dup edge set (consumed by
+    // dedup_ngram_jaccard, dedup_clusters, split_leakage and
+    // corpus_split_clean) so each measures its own consumption
+    warm("edges")(graft.operators.Dedup.ngramJaccard(spark, sfDir).count())
+    // train the memoized PQ codebooks so ann_pq measures
+    // encode+ADC+rerank, not the one-time m k-means runs
+    warm("pq")(graft.operators.Similarity.pqCodebooks(spark, sfDir))
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).

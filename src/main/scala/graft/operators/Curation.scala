@@ -142,21 +142,19 @@ object Curation {
     * COUNT crosses the driver. No SQL oracle (iterative); the spec
     * checks exact agreement with a local union-find at small sf.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20,
-                    loopParallelism: Int = 4): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     val edges = Dedup.ngramJaccard(spark, dir)
       .select(col("da"), col("db")).cache()
-    // Materialize the edge set at FULL session parallelism (this is the
-    // heavy, corpus-scale part), then run the iteration at
-    // `loopParallelism`: label frames hold one row per vertex of the
-    // near-dup graph (KBs at test scale, «corpus at any scale), and a
-    // 32-task wave per KB-sized round is pure scheduler overhead — the
-    // dominant cost of the whole operator once edges are cached. At
-    // 100 TB raise loopParallelism ∝ near-dup-vertex count.
+    // Materialize the edge set at FULL session parallelism (this is
+    // the heavy, corpus-scale part). The iteration frames hold one row
+    // per near-dup-graph vertex (KBs at test scale, «corpus at any
+    // scale); their per-round shuffles coalesce to a handful of tasks
+    // under AQE (`coalescePartitions`, on in every graft session), so
+    // the loop never schedules full-width task waves over KB frames —
+    // and no session-global conf is mutated (a conf flip here would
+    // leak to concurrent queries on the same session, e.g. a running
+    // [[graft.streaming.DedupFollow]] micro-batch).
     edges.count()
-    val sessionShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParallelism.toString)
-    try {
     // symmetric closure PLUS self-loops: with (v, v) present, one
     // join + groupBy-min over this relation computes min over
     // N(v) ∪ {v} directly — no second join against the old labels per
@@ -206,11 +204,6 @@ object Curation {
     }
     labels.select(col("doc_id"), col("label").as("cluster"))
       .orderBy(col("doc_id"))
-    } finally {
-      // restore session parallelism; `labels` is localCheckpointed so
-      // nothing lazy escapes still pinned to the loop setting
-      spark.conf.set("spark.sql.shuffle.partitions", sessionShufflePartitions)
-    }
   }
 
   /** Deterministic train/val/test split: the assignment is a pure

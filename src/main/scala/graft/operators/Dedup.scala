@@ -103,6 +103,13 @@ object Dedup {
     * first reads the tiny persisted pair list. At 100 TB this is a
     * materialized table written once per corpus snapshot, exactly like
     * the OTLP parse shared across the log queries.
+    *
+    * CONTRACT: the corpus under `dir` is immutable for the session
+    * (true of every contract table) — the same assumption as the
+    * session-shared OTLP parse. A pipeline whose corpus grows streams
+    * through [[graft.streaming.DedupFollow]] instead, which never
+    * reads this cache (it builds per-increment indexes directly);
+    * a rewritten corpus takes a new dir or session.
     */
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
@@ -217,8 +224,16 @@ object Dedup {
     val interRare = bipartite.unionByName(withinNew)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter_rare"))
-    boundAndVerify(docs.select(col("doc_id"), col("sh")), idx, interRare, 0.8)
+    // materialize the (tiny) pair set, then RELEASE the per-increment
+    // caches: a long-running DedupFollow stream calls this every poll,
+    // and without the unpersist each increment would leave two cached
+    // datasets behind — unbounded executor-storage growth over hours
+    val out = boundAndVerify(docs.select(col("doc_id"), col("sh")), idx, interRare, 0.8)
       .orderBy(col("da"), col("db"))
+      .localCheckpoint()
+    docs.unpersist()
+    idx.unpersist()
+    out
   }
 
   def incremental(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame = {

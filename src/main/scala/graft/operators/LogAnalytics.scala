@@ -441,6 +441,10 @@ object LogAnalytics {
     // factor 14.4); the arithmetic is SLO-independent
     require(sloPct >= 1 && sloPct <= 99 && 100 % (100 - sloPct) == 0,
       s"sloPct must be in [1,99] with an error budget dividing 100, got $sloPct")
+    // the halo replicates longH-1 lookback rows; a short window longer
+    // than the long one would silently lose lookback at year starts
+    require(shortH >= 1 && shortH <= longH,
+      s"need 1 <= shortH <= longH, got shortH=$shortH longH=$longH")
     val budgetPctInv = 100 / (100 - sloPct) // 25% budget -> 4
     // HALO-PARTITIONED rolling windows: the hourly series is
     // control-plane sized (~10⁴ rows/year), but a bare

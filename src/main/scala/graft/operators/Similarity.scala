@@ -212,6 +212,10 @@ object Similarity {
     * centroids; every query after the first reads the cached array.
     * At 100 TB the codebooks persist beside the encoded corpus (the
     * [[IvfIndex]] `_centroids` discipline); k·m·sub doubles ≈ KBs.
+    * Same immutable-corpus-per-session contract as every build-once
+    * cache here (edge set, OTLP parse): a changed corpus takes a new
+    * dir/session — only [[IvfIndex]] carries on-disk versioning,
+    * because only it persists state ACROSS sessions.
     */
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), Array[Array[(Int, Seq[Double])]]]()

@@ -54,13 +54,19 @@ object LakeDml {
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
   }
 
-  /** One job: the distinct source files containing matching rows (file
-    * count bounded — control plane) and the matched-row count.
+  /** One job: (affected file list ≤ bound+1 entries, distinct affected
+    * file count, matched-row count).
     */
-  private def affectedAgg(matched: DataFrame): (Seq[String], Long) = {
+  private def affectedAgg(matched: DataFrame, bound: Int): (Seq[String], Long, Long) = {
+    // the file list is sliced to bound+1 entries INSIDE the aggregate:
+    // the driver never receives more paths than the guard allows, so
+    // the refusal happens BEFORE the crossing it refuses, even when a
+    // predicate matches the whole lake
     val row = matched
-      .agg(collect_set(col("__src")).as("files"), count(lit(1)).as("n")).head()
-    (row.getSeq[String](0), row.getLong(1))
+      .agg(slice(sort_array(collect_set(col("__src"))), 1, bound + 1).as("files"),
+           countDistinct(col("__src")).as("nf"),
+           count(lit(1)).as("n")).head()
+    (row.getSeq[String](0), row.getLong(1), row.getLong(2))
   }
 
   /** The copy-on-write commit shared by DELETE and UPSERT: rewrite the
@@ -125,8 +131,9 @@ object LakeDml {
     */
   def delete(spark: SparkSession, root: String, predicate: Column,
              maxRewriteFiles: Int = DefaultMaxRewriteFiles): DmlStats = {
-    val (files, n) = affectedAgg(tableWithSrc(spark, root).filter(predicate))
-    requireBounded(files.size, maxRewriteFiles, "DELETE")
+    val (files, nFiles, n) =
+      affectedAgg(tableWithSrc(spark, root).filter(predicate), maxRewriteFiles)
+    requireBounded(nFiles, maxRewriteFiles, "DELETE")
     if (files.isEmpty) return DmlStats(0, 0, 0)
     val (removed, added) = commit(spark, root, files,
       complement = _.filter(!coalesce(predicate, lit(false))), inserts = None)
@@ -143,7 +150,7 @@ object LakeDml {
     * a lake-scale restatement should use the scan path) are tested
     * against each file's bloom and only candidate files are read.
     */
-  private def requireBounded(nFiles: Int, bound: Int, op: String): Unit =
+  private def requireBounded(nFiles: Long, bound: Int, op: String): Unit =
     if (nFiles > bound) throw new IllegalStateException(
       s"$op matches $nFiles files > maxRewriteFiles=$bound: this is a lake-scale " +
         "rewrite, not a row-level commit. Chunk the predicate (one partition " +
@@ -174,11 +181,12 @@ object LakeDml {
         else Some(spark.read.option("basePath", root).parquet(paths.toSeq: _*)
           .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))))
       } else Some(tableWithSrc(spark, root))
-      val (files, matched) = candidates match {
-        case None => (Seq.empty[String], 0L)
-        case Some(base) => affectedAgg(base.join(broadcast(keyRel), keys, "left_semi"))
+      val (files, nFiles, matched) = candidates match {
+        case None => (Seq.empty[String], 0L, 0L)
+        case Some(base) =>
+          affectedAgg(base.join(broadcast(keyRel), keys, "left_semi"), maxRewriteFiles)
       }
-      requireBounded(files.size, maxRewriteFiles, "MERGE")
+      requireBounded(nFiles, maxRewriteFiles, "MERGE")
       // replace = rewrite matched files WITHOUT the matched keys' rows
       // (an anti-join — the key set lives in a DataFrame, not a
       // predicate); insert = append ALL update rows, replacements and

@@ -36,11 +36,21 @@ object OtlpProtoOps {
 
   // ---- wire reader -------------------------------------------------
 
+  // Every read is bounds-checked against the reader's OWN end, not
+  // just the buffer: a nested message whose declared length truncates
+  // a field must FAIL (quarantine path), not silently consume the
+  // parent's following bytes; and a negative/oversized skip length
+  // must throw, never move `pos` backward (an unchecked negative
+  // length would loop the decoder forever on adversarial payloads).
   private final class R(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+        s"truncated or malformed field: need $n bytes, ${end - pos} remain")
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
@@ -49,11 +59,13 @@ object OtlpProtoOps {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def fixed32(): Int = {
+      need(4)
       var v = 0; var i = 0
       while (i < 4) { v |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
       pos += 4; v
@@ -61,14 +73,14 @@ object OtlpProtoOps {
     /** length-delimited payload as a sub-reader */
     def sub(): R = {
       val len = varint().toInt
-      require(len >= 0 && pos + len <= end, "malformed length-delimited field")
+      need(len)
       val r = new R(buf, pos, pos + len); pos += len; r
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(); ()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => val len = varint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }
