@@ -65,6 +65,7 @@ object SparkEntry {
     "logs_sessionize"          -> (LogAnalytics.sessionize _),
     "logs_topk_users"          -> (LogAnalytics.topkUsers _),
     "logs_dau"                 -> (LogAnalytics.dau _),
+    "logs_exemplars"           -> ((s: SparkSession, d: String) => LogAnalytics.exemplars(s, d)),
     "logs_approx_dau"          -> (LogAnalytics.approxDau _),
     "logs_otlp_roundtrip"      -> (LogAnalytics.otlpRoundtrip _),
     "logs_otlp_proto"          -> (LogAnalytics.otlpProtoRoundtrip _),
@@ -510,6 +511,14 @@ object SparkEntry {
         | strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         | strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "logs_exemplars" ->
+      """WITH e AS (SELECT event_type, strftime(ts,'%Y-%m-%d') AS day, event_id,
+        |  md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT event_type, day, event_id,
+        |  row_number() OVER (PARTITION BY event_type, day ORDER BY h, event_id) AS rk
+        | FROM e)
+        |SELECT event_type, day, CAST(rk AS INTEGER) AS rk, event_id
+        |FROM r WHERE rk <= 3 ORDER BY event_type, day, rk""".stripMargin,
     // same direct aggregate: the protobuf wire round-trip must land the
     // identical rows as the JSON transport
     "logs_otlp_proto" ->

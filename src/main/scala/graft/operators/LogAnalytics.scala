@@ -169,6 +169,28 @@ object LogAnalytics {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(10)
 
+  /** EXEMPLARS — the link from an aggregate back to raw evidence:
+    * per (event_type, day) bucket, `k` REPRESENTATIVE event ids chosen
+    * by bottom-k-of-md5(event_id) — a deterministic uniform sample
+    * (reproducible across runs, engines, partitionings: the engine's
+    * universal sampling discipline), so "error spiked Tuesday" comes
+    * with concrete events to open, the Grafana exemplar workflow.
+    *
+    * Scale shape: one shuffle keyed on the bucket; the per-bucket sort
+    * is bounded by a rank filter (never a global sort), and the output
+    * is buckets×k rows — control-plane sized regardless of event
+    * volume.
+    */
+  def exemplars(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), dayStr(col("ts")).as("day"), col("event_id"),
+        md5(col("event_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"), col("day")).orderBy(col("h"), col("event_id"))))
+      .filter(col("rk") <= k)
+      .select(col("event_type"), col("day"), col("rk"), col("event_id"))
+      .orderBy(col("event_type"), col("day"), col("rk"))
+
   /** Exact distinct users per day. */
   def dau(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
