@@ -117,6 +117,7 @@ object SparkEntry {
     "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
     "q27_hierarchy"       -> (Hierarchy.customerTree _),
     "mm_frames"           -> (Multimodal.frames _),
+    "mm_dedup"            -> ((s: SparkSession, d: String) => Multimodal.mediaDedup(s, d)),
     "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d)),
     "text_logprob"        -> (TrainPrep.unigramLogprob _),
     "corpus_split"        -> ((s: SparkSession, d: String) => Curation.corpusSplit(s, d)),
@@ -527,6 +528,14 @@ object SparkEntry {
         | strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         | strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // md5 over the payload BYTES == DuckDB md5 over the source string
+    // (payload = the text's UTF-8 encoding); same injected re-crawl
+    "mm_dedup" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 25 = 0)
+        |SELECT md5(text) AS media_md5, count(*) AS n_copies,
+        | CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM m GROUP BY 1 HAVING count(*) > 1 ORDER BY media_md5""".stripMargin,
     "mm_pipeline" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

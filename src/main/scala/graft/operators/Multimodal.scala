@@ -57,6 +57,33 @@ object Multimodal {
     }
   }
 
+  /** EXACT MEDIA DEDUP — the first pass every image/audio corpus runs
+    * (identical bytes re-crawled under different ids): group the
+    * binary payloads by their md5 and report every duplicate cluster
+    * with its keeper (min doc_id) and copy count. The corpus is
+    * augmented with a DETERMINISTIC "re-crawl" replica (every 25th
+    * payload re-ingested under doc_id+10⁷ — the injected-marker
+    * discipline of piiScrub/lineDedup) so duplicate clusters exist at
+    * every test scale and the oracle replays the same injection.
+    *
+    * Scale shape: one shuffle keyed on the 128-bit content hash with
+    * map-side partial counts — [[Dedup.exact]]'s plan applied to
+    * binary columns; payloads never leave the scan stage (only their
+    * md5 shuffles), which is what makes this viable when payloads are
+    * megabytes.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).toDF()
+    val recrawl = media.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    media.unionByName(recrawl)
+      .select(col("doc_id"), md5(col("payload")).as("media_md5"))
+      .groupBy(col("media_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("media_md5"))
+  }
+
   /** End-to-end pipeline aggregate. Byte counts survive the
     * decode stage untouched, so this is oracle-checkable against
     * DuckDB's strlen over the source text.
