@@ -655,7 +655,30 @@ object SparkEntry {
         |   ORDER BY da, db) AS edges
         |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // real WITH RECURSIVE transitive closure replays the engine's
-    // HashMin connected components on the small edge set
+    // HashMin connected components on the small edge set — upgrades
+    // the iterative operator from rows-only to hash-match
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh3 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        | FROM tok QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |je AS (SELECT p.da, p.db
+        |  FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8),
+        |sym AS (SELECT da AS a, db AS b FROM je UNION SELECT db, da FROM je),
+        |verts AS (SELECT DISTINCT a FROM sym),
+        |r(a, b) AS (SELECT a, a FROM verts
+        |  UNION SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_split_clean" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
