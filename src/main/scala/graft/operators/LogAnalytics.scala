@@ -176,20 +176,28 @@ object LogAnalytics {
     * universal sampling discipline), so "error spiked Tuesday" comes
     * with concrete events to open, the Grafana exemplar workflow.
     *
-    * Scale shape: one shuffle keyed on the bucket; the per-bucket sort
-    * is bounded by a rank filter (never a global sort), and the output
-    * is buckets×k rows — control-plane sized regardless of event
-    * volume.
+    * Scale shape: a partial-merging aggregate, NOT a window. The
+    * bottom-k-by-md5 definition is mergeable ([[graft.functions
+    * .BottomKSample]] is a TypedImperativeAggregate with O(k) state),
+    * so each map task keeps k candidates per local bucket and only
+    * those survivors shuffle — a hot (event_type, day) bucket costs
+    * every partition k rows, never "all events of the hot key on one
+    * window task". Same definition ⇒ same oracle hash as the
+    * row_number formulation; only the plan differs (ObjectHashAggregate
+    * with partial merge vs a skewed-key row-cardinality window
+    * Exchange — the named 100 TB scale-killer).
     */
-  def exemplars(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+  def exemplars(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.events(spark, dir)
-      .select(col("event_type"), dayStr(col("ts")).as("day"), col("event_id"),
-        md5(col("event_id").cast("string")).as("h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"), col("day")).orderBy(col("h"), col("event_id"))))
-      .filter(col("rk") <= k)
-      .select(col("event_type"), col("day"), col("rk"), col("event_id"))
+      .select(col("event_type"), dayStr(col("ts")).as("day"), col("event_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr(s"graft_sample(event_id, $k)").as("ids"))
+      .select(col("event_type"), col("day"), posexplode(col("ids")))
+      .select(col("event_type"), col("day"),
+        (col("pos") + 1).cast("int").as("rk"), col("col").as("event_id"))
       .orderBy(col("event_type"), col("day"), col("rk"))
+  }
 
   /** Exact distinct users per day. */
   def dau(spark: SparkSession, dir: String): DataFrame =

@@ -117,6 +117,34 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(a.size == 50 && a == b, "sample must not depend on physical layout")
   }
 
+  test("exemplars: aggregate plan (no row-cardinality window), matches local bottom-k replay") {
+    val df = LogAnalytics.exemplars(spark, sf)
+    // the scale contract: per-bucket evidence sampling must be the
+    // mergeable bottom-k aggregate, never a window shuffling every
+    // event row to one task per (event_type, day)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exemplars must not use a window plan:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the TypedImperativeAggregate bottom-k plan:\n$plan")
+    assert(plan.contains("partial_graft_sample") || plan.contains("partial graft_sample") ||
+      plan.toLowerCase.contains("partial"), "partial (map-side) aggregation expected")
+    // semantics: bottom-k by md5(event_id) within each bucket, rank by hash
+    val got = df.collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+      r.getAs[Int]("rk"), r.getAs[Long]("event_id")))
+    assert(got.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("event_id")))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((t, d), es) =>
+      es.map(_._3).sortBy(id => (md5hex(id.toString), id)).take(3)
+        .zipWithIndex.map { case (id, i) => (t, d, i + 1, id) }
+    }.sortBy(e => (e._1, e._2, e._3))
+    assert(got.sortBy(e => (e._1, e._2, e._3)).toSeq == want,
+      "exemplars must equal the local bottom-k-by-md5 replay")
+  }
+
   test("p95Value: p50 <= p95 per severity") {
     val rows = LogAnalytics.p95Value(spark, sf).collect()
     assert(rows.length == 5)
