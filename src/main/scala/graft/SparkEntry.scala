@@ -136,6 +136,7 @@ object SparkEntry {
     "table_stats"         -> ((s: SparkSession, d: String) => TableStats.lineitemStats(s, d)),
     "ann_quantized"       -> ((s: SparkSession, d: String) => Similarity.annQuantized(s, d)),
     "ann_pq"              -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
+    "ann_ivfpq"           -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "lake_rollup"         -> (LakeAnalytics.rollup _),
     "logs_funnel"         -> ((s: SparkSession, d: String) => Behavior.funnel(s, d)),
     "logs_retention"      -> (Behavior.retention _),

@@ -190,6 +190,34 @@ object IvfIndex {
     n
   }
 
+  /** PQ codes co-located with the inverted lists: `v<n>/_pq_m<m>/
+    * cell=<id>/` holds (vec_id, codes, nrm) — the Faiss IVFPQ layout
+    * as parquet, 16× smaller than the float vectors it mirrors, built
+    * FROM THE INDEX CONTENTS so appended vectors are coded too. The
+    * underscore prefix keeps the codes invisible to readers of the
+    * base version directory (Hadoop hides `_`-prefixed paths), and the
+    * codes die with their version: a [[retrain]] writes v+1 and the
+    * next ensurePq codes the new assignment. Idempotent — the write's
+    * own `_SUCCESS` is the built marker (a partial crashed write has
+    * none and is overwritten). Returns (activeVersion, codesPath).
+    */
+  def ensurePq(spark: SparkSession, dir: String, m: Int = 16): (Int, String) = {
+    val (v, _) = ensure(spark, dir)
+    val path = s"${versionPath(dir, v)}/_pq_m$m"
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(s"$path/_SUCCESS"))) {
+      val books = Similarity.pqCodebooks(spark, dir, m)
+      val idx = spark.read.parquet(versionPath(dir, v))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      val dim = idx.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      Similarity.pqEncoded(idx, books, m, dim / m)
+        .select(col("vec_id"), col("codes"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+    (v, path)
+  }
+
   /** Per-cell occupancy of the active version — the retrain trigger.
     * Reads only the partition column (a columnar no-data scan), so the
     * health check costs ~nothing at any corpus size. `skew` =

@@ -234,6 +234,28 @@ object Similarity {
       }
     })
 
+  /** PQ-encode a frame carrying a vector column `v`: appends `codes`,
+    * the m argmin code bytes vs `books` — codes[j] = argmin_c
+    * |x_j - c|² via the -2·dot+|c|² trick. Map-only; the codebooks
+    * ride as plan literals. Shared by [[annPq]] (in-query encode) and
+    * [[IvfIndex.ensurePq]] (persisted per-cell codes).
+    */
+  private[operators] def pqEncoded(df: DataFrame,
+      books: Array[Array[(Int, Seq[Double])]], m: Int, sub: Int): DataFrame = {
+    val codeCols = (0 until m).map { j =>
+      val xj = slice(col("v"), j * sub + 1, sub)
+      val scores = array(books(j).map { case (_, cent) =>
+        dot(xj, typedlit(cent)) * -2.0 + lit(cent.map(x => x * x).sum)
+      }: _*)
+      (array_position(col(s"__s$j"), array_min(col(s"__s$j"))) - 1).cast("int") -> scores
+    }
+    codeCols.zipWithIndex.foldLeft(df) { case (d, ((_, scores), j)) =>
+      d.withColumn(s"__s$j", scores)
+    }
+      .withColumn("codes", array(codeCols.map(_._1): _*))
+      .drop((0 until m).map(j => s"__s$j"): _*)
+  }
+
   def annPq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64): DataFrame = {
     VectorFunctions.register(spark)
     import spark.implicits._
@@ -242,18 +264,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     val books = pqCodebooks(spark, dir, m)
-    // encode: codes[j] = argmin_c |x_j - c|^2 via the -2·dot+|c|² trick
-    val codeCols = (0 until m).map { j =>
-      val xj = slice(col("v"), j * sub + 1, sub)
-      val scores = array(books(j).map { case (_, cent) =>
-        dot(xj, typedlit(cent)) * -2.0 + lit(cent.map(x => x * x).sum)
-      }: _*)
-      (array_position(col(s"__s$j"), array_min(col(s"__s$j"))) - 1).cast("int") -> scores
-    }
-    val coded = codeCols.zipWithIndex.foldLeft(base) { case (df, ((_, scores), j)) =>
-      df.withColumn(s"__s$j", scores)
-    }
-      .withColumn("codes", array(codeCols.zipWithIndex.map { case ((code, _), _) => code }: _*))
+    val coded = pqEncoded(base, books, m, sub)
       .select(col("vec_id"), col("codes"), col("nrm"))
     // ADC tables per query, computed driver-side: T[j][c] = dot(q_j, book_j[c])
     val qVecs = base.filter(col("vec_id") < 10)
@@ -374,6 +385,101 @@ object Similarity {
     * under selective predicates. Corpus streamed, query set broadcast,
     * exactly as [[annTopk]].
     */
+  /** IVFPQ (Faiss's workhorse configuration — Jégou et al.'s PQ inside
+    * the inverted-file index): the disk-backed IVF inverted lists
+    * ([[IvfIndex]], `cell=<id>/` partitions) with PQ codes persisted
+    * PER CELL ([[IvfIndex.ensurePq]]), so a query reads ~nprobe/k of
+    * the corpus AND reads it 16× smaller than float32 — the scan
+    * fraction × compression product a real 100 TB vector corpus runs.
+    *
+    * The heavy pass ([[ivfPqScores]]) touches only `cell IN (probed)`
+    * partitions (literal partition filter → `PartitionFilters`, spec-
+    * asserted) and scores by pure ADC table lookups — no float dot
+    * anywhere in the probed scan. Per-query state (probe cells, ADC
+    * tables, norm) is computed driver-side from the |Q| collected
+    * query vectors — control-plane sized. Top-`c` candidates per query
+    * rerank EXACTLY on float vectors through the same literal-IN
+    * pruned source scan as [[annQuantized]]/[[annPq]].
+    * Approximate → rows-only; spec asserts recall@5 vs [[annTopk]],
+    * the partition pruning, and the dot-free probed plan.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nprobe: Int = 6,
+               m: Int = 16, c: Int = 64): DataFrame = {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val candPairs = ivfPqScores(spark, dir, nprobe, m)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("r") <= c)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cands = candPairs.toDF("q_id", "vec_id")
+    val candIds = candPairs.map(_._2).distinct
+    val ef = withNorm(Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(candIds: _*) || col("vec_id") < 10))
+    val qf = ef.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    ef.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qf), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), cosx.as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The heavy pass of [[annIvfPq]], exposed unevaluated so the spec
+    * can assert its plan: ADC scores over the probed cells of the
+    * per-cell PQ codes. Probe cells, ADC tables and query norms are
+    * derived driver-side from the |Q| collected query vectors (read
+    * from the SOURCE table, never by scanning the index) and join back
+    * as one broadcast literal frame; the scan side reads only the
+    * probed `cell=` partitions and evaluates only
+    * zip_with/element_at/aggregate — never a float-vector dot.
+    */
+  private[graft] def ivfPqScores(spark: SparkSession, dir: String,
+                                 nprobe: Int = 6, m: Int = 16): DataFrame = {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val (_, cents) = IvfIndex.ensure(spark, dir)
+    val (_, codesPath) = IvfIndex.ensurePq(spark, dir, m)
+    val books = pqCodebooks(spark, dir, m)
+    val qVecs = withNorm(Tables.embeddings(spark, dir)).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble), r.getDouble(2)))
+    val dim = qVecs.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val qData = qVecs.toSeq.map { case (qid, qv, qn) =>
+      // same centroid score as topCellsExpr (dot over centroid norm);
+      // ties by cell id, matching graft_topk_idx's first-wins order
+      val cells = cents.map { case (cid, cv) =>
+        (cid, qv.zip(cv).map { case (a, b) => a * b }.sum /
+          math.sqrt(cv.map(x => x * x).sum))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1).toSeq
+      val tables = (0 until m).map { j =>
+        val qj = qv.slice(j * sub, (j + 1) * sub)
+        books(j).map { case (_, cent) =>
+          qj.zip(cent).map { case (a, b) => a * b }.sum }.toSeq
+      }
+      (qid, cells, tables, qn)
+    }
+    val probed = qData.flatMap(_._2).distinct.sorted
+    val q = qData.flatMap { case (qid, cells, tables, qn) =>
+      cells.map(cell => (qid, cell, tables, qn)) }
+      .toDF("q_id", "cell", "tables", "qn")
+    val adc = expr(
+      "aggregate(zip_with(codes, tables, (cd, t) -> element_at(t, cd + 1)), 0D, (a, x) -> a + x)") /
+      (col("qn") * col("nrm"))
+    spark.read.parquet(codesPath)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+  }
+
   def annFiltered(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)

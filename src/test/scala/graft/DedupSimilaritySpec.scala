@@ -141,6 +141,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq: IVF-pruned ADC + exact rerank recalls >= 0.9 of exact top-5") {
+    import graft.operators.Similarity
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = top(Similarity.annTopk(spark, sf))
+    val ivfpq = top(Similarity.annIvfPq(spark, sf))
+    assert(ivfpq.size == exact.size, "same (query, k) result shape")
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVFPQ recall@5 = $recall (nprobe=6 cells, 16 code bytes/vector)")
+    assert(recall >= 0.9, s"recall@5 $recall")
+    // reranked scores are EXACT cosines: every common pair's cos matches
+    val exactCos = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    Similarity.annIvfPq(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos mismatch $k"))
+    }
+  }
+
+  test("annIvfPq: probed scan prunes via PartitionFilters and evaluates no float dot") {
+    import graft.operators.Similarity
+    val scored = Similarity.ivfPqScores(spark, sf)
+    val plan = formattedPlan(scored)
+    // the probe-cell IN list must land in the codes scan's partition
+    // pruning — the non-probed (k - nprobe)/k of the corpus is never read
+    val pf = plan.linesIterator.filter(_.trim.startsWith("PartitionFilters:"))
+      .find(_.contains("cell"))
+      .getOrElse(fail(s"cell filter never reached PartitionFilters:\n$plan"))
+    assert(pf.contains("IN") || pf.contains("in("), s"expected an IN partition filter: $pf")
+    // the heavy pass is pure table lookups — a float dot in this plan
+    // means the 16x compression bought nothing
+    assert(!plan.contains("graft_dot"), s"probed scan must not evaluate a float dot:\n$plan")
+    assert(scored.count() > 0)
+  }
+
   test("annQuantized: int8 scan + exact rerank recalls >= 0.95 of exact top-5") {
     import graft.operators.Similarity
     def top(df: org.apache.spark.sql.DataFrame) = df.collect()
