@@ -518,6 +518,11 @@ object VectorFunctions {
         s"graft_otlp_json(bin) takes 1 argument, got ${exprs.length}")
       graft.sources.OtlpProtoToJson(exprs.head)
     },
+    "graft_otlp_json_try" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_json_try(bin) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpProtoToJsonTry(exprs.head)
+    },
     "graft_otlp_proto" -> { exprs =>
       require(exprs.length == 1,
         s"graft_otlp_proto(struct) takes 1 argument, got ${exprs.length}")

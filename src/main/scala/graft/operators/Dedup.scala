@@ -91,8 +91,12 @@ object Dedup {
     * J ≥ 0.8 would require ~all of both documents to be stop-phrases.
     */
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int = 100): DataFrame =
-    edgeCache.computeIfAbsent((spark, dir, dfCap), _ =>
-      ngramJaccardOn(Tables.documents(spark, dir), dfCap).persist())
+    edgeCache.computeIfAbsent((spark, dir, dfCap), { key =>
+      graft.SessionCaches.register(spark) { () =>
+        Option(edgeCache.remove(key)).foreach(_.unpersist(false))
+      }
+      ngramJaccardOn(Tables.documents(spark, dir), dfCap).persist()
+    })
 
   /** The near-dup edge set is the SHARED INTERMEDIATE of the whole
     * dedup stage family — the pairwise report consumes it directly,
@@ -211,6 +215,18 @@ object Dedup {
       .select(col("doc_id"), toks(col("text")).as("t"), col("is_new"))
       .select(col("doc_id"), shingleArr(col("t")).as("sh"), col("is_new"))
       .cache()
+    val out = pairsTouchingShingled(docs, dfCap)
+    docs.unpersist()
+    out
+  }
+
+  /** [[pairsTouchingOn]] over PRE-SHINGLED rows (doc_id, sh, is_new) —
+    * the entry point for [[graft.streaming.DedupFollow]]'s incremental
+    * shingle store: the old side arrives already tokenized+shingled
+    * (persisted across polls, extended per commit), so a poll's cost is
+    * the capped-index build + joins, never a corpus-scale re-tokenize.
+    */
+  private[graft] def pairsTouchingShingled(docs: DataFrame, dfCap: Int): DataFrame = {
     val idx = cappedIndex(docs.select(col("doc_id"), col("sh")), dfCap).cache()
     val flags = docs.select(col("doc_id"), col("is_new"))
     val newIdx = idx.join(flags.filter(col("is_new")).select("doc_id"), Seq("doc_id"))
@@ -225,13 +241,12 @@ object Dedup {
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter_rare"))
     // materialize the (tiny) pair set, then RELEASE the per-increment
-    // caches: a long-running DedupFollow stream calls this every poll,
-    // and without the unpersist each increment would leave two cached
-    // datasets behind — unbounded executor-storage growth over hours
+    // index cache: a long-running DedupFollow stream calls this every
+    // poll, and without the unpersist each increment would leave a
+    // cached dataset behind — unbounded executor-storage growth
     val out = boundAndVerify(docs.select(col("doc_id"), col("sh")), idx, interRare, 0.8)
       .orderBy(col("da"), col("db"))
       .localCheckpoint()
-    docs.unpersist()
     idx.unpersist()
     out
   }

@@ -145,6 +145,7 @@ object IvfIndex {
               case _: java.io.FileNotFoundException if retry =>
                 return ensureAttempt(spark, dir, retry = false)
             }
+          graft.SessionCaches.register(spark)(() => { built.remove(key); () })
           built.put(key, loaded)
           loaded
         }
@@ -152,6 +153,7 @@ object IvfIndex {
         // no marker on disk = not built (even if a stale cache entry
         // survives from a deleted index): compute(), not
         // computeIfAbsent(), so the rebuild actually runs
+        graft.SessionCaches.register(spark)(() => { built.remove(key); () })
         built.compute(key, { (_, _) =>
           val k = cellCount(Tables.embeddings(spark, dir).count())
           val cents = Clustering.centroids(spark, dir, k)

@@ -258,7 +258,10 @@ object LogAnalytics {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def otelProtoLogs(spark: SparkSession, dir: String): DataFrame =
-    otelProtoCache.computeIfAbsent((spark, dir), { _ =>
+    otelProtoCache.computeIfAbsent((spark, dir), { key =>
+      graft.SessionCaches.register(spark) { () =>
+        Option(otelProtoCache.remove(key)).foreach(_.unpersist(false))
+      }
       import graft.sources.OtlpLogs
       graft.functions.VectorFunctions.register(spark)
       val payloads = Tables.events(spark, dir)
@@ -348,7 +351,10 @@ object LogAnalytics {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def otelLogs(spark: SparkSession, dir: String): DataFrame =
-    otelCache.computeIfAbsent((spark, dir), { _ =>
+    otelCache.computeIfAbsent((spark, dir), { key =>
+      graft.SessionCaches.register(spark) { () =>
+        Option(otelCache.remove(key)).foreach(_.unpersist(false))
+      }
       import graft.sources.OtlpLogs
       val payloads = Tables.events(spark, dir)
         .select(OtlpLogs.toOtlpJsonTraced(

@@ -222,7 +222,10 @@ object Similarity {
 
   private[graft] def pqCodebooks(spark: SparkSession, dir: String,
                                  m: Int = 16): Array[Array[(Int, Seq[Double])]] =
-    pqCache.computeIfAbsent((spark, dir, m), { _ =>
+    pqCache.computeIfAbsent((spark, dir, m), { key =>
+      // no storage to release (plain arrays) — the cleanup drops the
+      // static map entry so a dead session is not pinned forever
+      graft.SessionCaches.register(spark)(() => { pqCache.remove(key); () })
       val base = withNorm(Tables.embeddings(spark, dir))
       val dim = base.select(size(col("v"))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")

@@ -39,7 +39,8 @@ object Bucketing {
 
   /** Idempotently create bucketed twins of lineitem/orders for `dir`. */
   def ensure(spark: SparkSession, dir: String): Unit =
-    built.computeIfAbsent((spark, dir), { _ =>
+    built.computeIfAbsent((spark, dir), { key =>
+      graft.SessionCaches.register(spark)(() => { built.remove(key); () })
       val root = s"/tmp/graft_bucketed_${suffix(dir)}"
       spark.sql(s"DROP TABLE IF EXISTS ${lineitemTable(dir)}")
       spark.sql(s"DROP TABLE IF EXISTS ${ordersTable(dir)}")

@@ -139,6 +139,26 @@ object OtlpLogs {
        col("payload")), bad)
   }
 
+  /** The protobuf analog of [[parseWithInvalid]]: returns (valid rows,
+    * rejected payloads). A payload is rejected when the wire decode
+    * fails ([[OtlpProtoToJsonTry]] yields null) OR the decoded
+    * envelope fails the same JSON-shape checks as the JSON transport —
+    * one bad collector payload cannot kill the intake job, and nothing
+    * is silently dropped mid-pipeline.
+    */
+  def parseProtoWithInvalid(df: DataFrame, binCol: Column): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val marked = df
+      .select(binCol.as("bin"),
+        call_function("graft_otlp_json_try", binCol).as("payload"))
+      .select(col("bin"), col("payload"), from_json(col("payload"), otlpSchema).as("o"))
+    val bad = marked
+      .filter(col("o").isNull || col("o.resourceLogs").isNull || size(col("o.resourceLogs")) === 0)
+      .select(col("bin").as("payload"))
+    (parse(marked.filter(col("o.resourceLogs").isNotNull && size(col("o.resourceLogs")) > 0),
+       col("payload")), bad)
+  }
+
   /** Render rows of the flattened schema back into minimal OTLP/JSON
     * envelopes (one record per envelope) — used by the round-trip
     * correctness query and as a test-data generator.

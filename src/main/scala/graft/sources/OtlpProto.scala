@@ -44,8 +44,13 @@ object OtlpProtoOps {
   // length would loop the decoder forever on adversarial payloads).
   private final class R(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    // `n > end - pos`, never `pos + n > end`: a declared length near
+    // Int.MaxValue makes `pos + n` wrap negative and sail past the
+    // guard (then fail later as an index error instead of the intended
+    // IllegalArgumentException); `end - pos` is small and non-negative,
+    // so the comparison cannot overflow
     private def need(n: Int): Unit =
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+      if (n < 0 || n > end - pos) throw new IllegalArgumentException(
         s"truncated or malformed field: need $n bytes, ${end - pos} remain")
     def varint(): Long = {
       var shift = 0; var v = 0L
@@ -193,7 +198,16 @@ object OtlpProtoOps {
     sb.append("{\"key\":"); esc(sb, a.key); sb.append(",\"value\":{")
     if (a.v.s != null) { sb.append("\"stringValue\":"); esc(sb, a.v.s) }
     else if (a.v.i != null) { sb.append("\"intValue\":\"").append(a.v.i.longValue).append('"') }
-    else if (a.v.d != null) { sb.append("\"doubleValue\":").append(a.v.d.doubleValue) }
+    else if (a.v.d != null) {
+      // protobuf JSON mapping: non-finite doubles render as the quoted
+      // strings "NaN"/"Infinity"/"-Infinity" — unquoted they are not
+      // JSON and from_json would null the WHOLE envelope, silently
+      // dropping every record in the payload
+      val d = a.v.d.doubleValue
+      sb.append("\"doubleValue\":")
+      if (java.lang.Double.isFinite(d)) sb.append(d)
+      else sb.append('"').append(d).append('"')
+    }
     else if (a.v.b != null) { sb.append("\"boolValue\":").append(a.v.b.booleanValue) }
     sb.append("}}")
   }
@@ -296,6 +310,20 @@ object OtlpProtoOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** [[toJson]] with decode failures as NULL — the protobuf
+    * transport's quarantine primitive ([[OtlpLogs.parseProtoWithInvalid]]):
+    * one malformed collector payload must not kill an intake job, it
+    * must land in the rejected stream like a bad JSON POST does.
+    * Catches only decode-shaped failures, never VM errors.
+    */
+  def tryToJson(bytes: Array[Byte]): UTF8String =
+    try toJson(bytes)
+    catch {
+      case _: IllegalArgumentException      => null
+      case _: IndexOutOfBoundsException     => null
+      case _: NegativeArraySizeException    => null
+    }
+
   // ---- wire writer (test-data generator, mirrors toOtlpJsonTraced) -
 
   private final class W {
@@ -396,6 +424,31 @@ case class OtlpProtoToJson(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.sources.OtlpProtoOps.toJson($c)")
   override protected def withNewChildInternal(newChild: Expression): OtlpProtoToJson =
+    copy(child = newChild)
+}
+
+/** `graft_otlp_json_try(bin)`: like [[OtlpProtoToJson]] but malformed
+  * wire bytes yield NULL instead of failing the task — the decode
+  * result carries its own validity, so intake jobs can split
+  * valid/rejected streams ([[OtlpLogs.parseProtoWithInvalid]]).
+  */
+case class OtlpProtoToJsonTry(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_otlp_json_try expects binary, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    OtlpProtoOps.tryToJson(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // not defineCodeGen: the static call itself can return null (decode
+    // failure), so validity must be re-derived from the result
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sources.OtlpProtoOps.tryToJson($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): OtlpProtoToJsonTry =
     copy(child = newChild)
 }
 

@@ -30,19 +30,93 @@ import graft.sources.LogSync
   */
 object DedupFollow {
 
+  /** Incremental SHINGLE STORE: (covered path set, persisted (doc_id,
+    * sh) shingle frame, extension count) per (session, root, marks).
+    * Without it every poll re-tokenizes and re-shingles the ENTIRE
+    * consumed corpus — per-increment cost grows with corpus size even
+    * though candidate enumeration is bipartite. With it the store is
+    * EXTENDED by exactly the newly committed paths each poll (cost ∝
+    * arrival), and 'cost ∝ arrival rate' holds for the whole poll, not
+    * just the join.
+    *
+    * Correctness never depends on the store: reuse requires the
+    * covered set to be a subset of the current consumed set (verified
+    * with a file-count-sized anti-join each poll); anything else — a
+    * marks trim, a foreign writer, a fresh session — rebuilds from
+    * scratch. Crash replay is safe for free: an uncommitted increment
+    * leaves the consumed set unchanged, so the replayed poll sees the
+    * identical store.
+    */
+  private val shingleStore = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), (DataFrame, DataFrame)]()
+
+  private def shinglesFor(spark: SparkSession, root: String,
+                          paths: DataFrame): DataFrame =
+    Dedup.docShinglesOf(
+      LogSync.tableForPaths(spark, root, paths).select(col("doc_id"), col("text")))
+
+  /** The consumed corpus' shingles, reusing and extending the store.
+    *
+    * Both stored frames are EAGER localCheckpoints — lineage-free by
+    * construction: the consumed-marks store and the lake's data files
+    * are both rewritten underneath us (commit bumps the marks version,
+    * compaction replaces data files), so a stored frame that still
+    * referenced them would fail on recompute. The checkpoint copy per
+    * poll is a sequential memory/disk write ∝ corpus — far cheaper than
+    * the re-tokenize + re-shingle it replaces (and a 100 TB deployment
+    * would persist the store as a real table beside the lake instead).
+    */
+  private def oldShingles(spark: SparkSession, root: String, marksDir: String,
+                          consumed: DataFrame): DataFrame = {
+    val key = (spark, root, marksDir)
+    val st = shingleStore.get(key)
+    if (st == null)
+      graft.SessionCaches.register(spark) { () =>
+        Option(shingleStore.remove(key)).foreach { case (c, s) =>
+          c.unpersist(false); s.unpersist(false)
+        }
+      }
+    val frozen = consumed.localCheckpoint()
+    val fresh = st match {
+      case null =>
+        (frozen, shinglesFor(spark, root, frozen).localCheckpoint())
+      case (covered, sh) =>
+        val vanished = covered.join(frozen, Seq("__registered_path"), "left_anti")
+          .limit(1).count() > 0
+        if (vanished) { // trimmed/foreign-rewritten marks: cache is stale
+          covered.unpersist(false); sh.unpersist(false)
+          (frozen, shinglesFor(spark, root, frozen).localCheckpoint())
+        } else {
+          val missing = frozen.join(covered, Seq("__registered_path"), "left_anti")
+          val merged = sh.unionByName(shinglesFor(spark, root, missing)).localCheckpoint()
+          covered.unpersist(false); sh.unpersist(false)
+          (frozen, merged)
+        }
+    }
+    shingleStore.put(key, fresh)
+    fresh._2
+  }
+
   /** The near-dup pairs one polled increment adds: increment×consumed
     * ∪ increment×increment, J ≥ 0.8, canonical (da, db, j) rows.
     */
   def incrementPairs(spark: SparkSession, root: String, marksDir: String,
                      inc: LakeFollow.Increment, dfCap: Int = 100): DataFrame = {
-    val newDocs = inc.rows.select(col("doc_id"), col("text"))
+    // cache the increment's shingles for the poll (they are read by the
+    // index build, the stats join and the verify join); the old side is
+    // already persisted in the store
+    val newSh = Dedup.docShinglesOf(inc.rows.select(col("doc_id"), col("text")))
       .withColumn("is_new", lit(true))
-    val oldKeep = LakeFollow.consumedPaths(spark, marksDir)
+      .cache()
+    val consumed = LakeFollow.consumedPaths(spark, marksDir)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
-    val oldDocs = LogSync.tableForPaths(spark, root, oldKeep)
-      .select(col("doc_id"), col("text"))
+    val oldSh = oldShingles(spark, root, marksDir, consumed)
       .withColumn("is_new", lit(false))
-    Dedup.pairsTouchingOn(newDocs.unionByName(oldDocs), dfCap)
+    // pairsTouchingShingled localCheckpoints (eager) before returning,
+    // so the increment cache can be released immediately
+    val out = Dedup.pairsTouchingShingled(newSh.unionByName(oldSh), dfCap)
+    newSh.unpersist(false)
+    out
   }
 
   /** The continuous form: follow the lake and hand each increment's

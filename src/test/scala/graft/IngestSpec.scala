@@ -110,6 +110,60 @@ class IngestSpec extends SparkSpec {
     assert(bad.count() == 2)
   }
 
+  test("OtlpLogs: malformed PROTOBUF payloads quarantine instead of killing the job") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf).limit(5)
+    val good = ev.select(OtlpLogs.toOtlpProtoTraced(unix_micros(col("ts")),
+      concat(lit("svc-"), col("user_id")), col("event_type"), lit(9),
+      col("props"), md5(col("user_id").cast("string")),
+      substring(md5(col("event_id").cast("string")), 1, 16),
+      lit("1.0"), lit("mod-0")).as("p"))
+      .collect().map(_.getAs[Array[Byte]]("p")).toSeq
+    // truncated wire bytes + garbage + a length-delimited field whose
+    // declared length is near Int.MaxValue (the need() overflow probe:
+    // pos + n would wrap negative and sail past a naive bounds check)
+    val overflow = Array[Byte](0x0a, 0xf8.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0x07, 0x00)
+    val bad = Seq(good.head.take(good.head.length / 2),
+      Array[Byte](0x7f, 0x00, 0x12), overflow)
+    intercept[IllegalArgumentException] { // strict decode still throws cleanly
+      graft.sources.OtlpProtoOps.toJson(overflow)
+    }
+    val payloads = (good ++ bad).toDF("payload")
+    val (ok, rejected) = OtlpLogs.parseProtoWithInvalid(payloads, col("payload"))
+    assert(ok.count() == 5, "all well-formed payloads parse")
+    assert(rejected.count() == 3, "every malformed payload quarantines")
+    assert(ok.columns.length == 15, "quarantined parse lands the full 15-column schema")
+  }
+
+  test("OtlpProto: non-finite double attributes render as quoted JSON, not bare NaN") {
+    // protobuf JSON mapping: NaN/Infinity must be quoted strings or the
+    // envelope is invalid JSON and from_json nulls EVERY record in it
+    // hand-assemble: ResourceLogs > ScopeLogs > LogRecord{attr{key:"x", double NaN}}
+    val bytes = {
+      def varint(v: Long): Array[Byte] = {
+        var x = v; val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+        (b += x.toByte).toArray
+      }
+      def ld(field: Int, body: Array[Byte]): Array[Byte] =
+        varint((field << 3) | 2) ++ varint(body.length.toLong) ++ body
+      val nanBits = java.lang.Double.doubleToLongBits(Double.NaN)
+      val dv = varint((4 << 3) | 1) ++
+        (0 until 8).map(i => ((nanBits >>> (8 * i)) & 0xff).toByte)
+      val attr = ld(1, "x".getBytes("UTF-8")) ++ ld(2, dv.toArray)
+      val logRecord = varint((1 << 3) | 1) ++ Array.fill(8)(0.toByte) ++ ld(6, attr)
+      ld(1, ld(2, ld(2, logRecord)))
+    }
+    val json = graft.sources.OtlpProtoOps.toJson(bytes).toString
+    assert(json.contains("\"doubleValue\":\"NaN\""), s"NaN must be quoted: $json")
+    // the envelope must be parseable JSON end-to-end
+    import spark.implicits._
+    val (ok, bad) = OtlpLogs.parseWithInvalid(Seq(json).toDF("payload"), col("payload"))
+    assert(bad.count() == 0 && ok.count() == 1, "NaN attr payload must parse, not vanish")
+  }
+
   test("LogWriter + LogSync: partitioned layout, idempotent incremental registration") {
     val root = Files.createTempDirectory("graft_lake").toString
     val logs = OtlpLogs.parse(sampleOtlp(200), col("payload"))
