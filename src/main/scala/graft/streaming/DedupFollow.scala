@@ -108,7 +108,7 @@ object DedupFollow {
     val newSh = Dedup.docShinglesOf(inc.rows.select(col("doc_id"), col("text")))
       .withColumn("is_new", lit(true))
       .cache()
-    val consumed = LakeFollow.consumedPaths(spark, marksDir)
+    val consumed = LakeFollow.consumedPaths(spark, root, marksDir)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
     val oldSh = oldShingles(spark, root, marksDir, consumed)
       .withColumn("is_new", lit(false))

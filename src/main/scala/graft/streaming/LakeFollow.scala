@@ -33,11 +33,24 @@ import graft.sources.LogSync
   * Scale shape: the poll is control-plane — one manifest read and one
   * anti-join on path; the data read is exactly the new files (cost ∝
   * arrival rate, never lake size) through the same semi-join-pruned
-  * scan as every manifest reader. The consumed set grows with total
-  * appended files — manifest-scale by construction (the manifest
-  * itself holds the same paths); a production deployment would fold
-  * fully-consumed compacted ranges into a compact watermark row, the
-  * same trim Kafka consumers apply to offset logs.
+  * scan as every manifest reader.
+  *
+  * BOUNDED OFFSETS: the consumed store does NOT grow with total
+  * appended files. At commit time, consumed paths whose manifest rows
+  * were tombstoned by a rewrite FOLD into one WATERMARK row (the same
+  * trim Kafka consumers apply to offset logs): the watermark is the
+  * largest `removed_at` instant R such that EVERY append tombstoned at
+  * or before R is consumed — those paths' membership is then implied
+  * by their manifest tombstone instead of an explicit row, and [[poll]]
+  * excludes watermark-covered candidates up front. Explicit rows
+  * remain only for live appends and not-yet-consumed tombstoned ones,
+  * so after steady append→consume→compact cycles the store tracks the
+  * LIVE file count, not ingest history. The fold never changes
+  * delivery semantics: a consumed path stays consumed (explicitly or
+  * via the watermark), an unconsumed tombstoned append stays a
+  * candidate (the watermark by construction stops short of it), and a
+  * crash between process and commit replays identically (the store
+  * only changes at commit).
   */
 object LakeFollow {
 
@@ -70,11 +83,45 @@ object LakeFollow {
     }.foldLeft(0)(math.max)
   }
 
-  private[graft] def consumedPaths(spark: SparkSession, marksDir: String): DataFrame = {
+  /** The raw consumed store: (explicit path rows, fold watermark).
+    * Pre-watermark stores (single `path` column) read with wm = None.
+    */
+  private[graft] def consumedStore(spark: SparkSession,
+                                   marksDir: String): (DataFrame, Option[java.sql.Timestamp]) = {
     import spark.implicits._
     val v = committedVersion(spark, marksDir)
-    if (v == 0) Seq.empty[String].toDF("path")
-    else spark.read.parquet(s"$marksDir/_consumed_v$v").select("path")
+    if (v == 0) (Seq.empty[String].toDF("path"), None)
+    else {
+      val df = spark.read.parquet(s"$marksDir/_consumed_v$v")
+      val paths = df.filter(col("path").isNotNull).select("path")
+      val wm =
+        if (df.columns.contains("wm"))
+          Option(df.agg(max(col("wm"))).head().getTimestamp(0))
+        else None
+      (paths, wm)
+    }
+  }
+
+  /** The FULL consumed path set — explicit rows plus the paths the
+    * watermark implies (manifest appends tombstoned at or before it).
+    * This is what corpus-reading consumers ([[DedupFollow]]) need: the
+    * reconstruction is a manifest-scale read, but nothing this size is
+    * ever STORED per consumer. Reconstructed paths read tombstoned
+    * bytes, so the consumer-lag horizon is the vacuum retention —
+    * the same contract as [[graft.sources.LogSync.tableSince]].
+    */
+  private[graft] def consumedPaths(spark: SparkSession, root: String,
+                                   marksDir: String): DataFrame = {
+    val (explicit, wm) = consumedStore(spark, marksDir)
+    wm match {
+      case None => explicit
+      case Some(w) =>
+        explicit.union(
+          LogSync.manifest(spark, root)
+            .filter((col("op").isNull || col("op") === "append") &&
+              col("removed_at").isNotNull && col("removed_at") <= lit(w))
+            .select(col("path"))).distinct()
+    }
   }
 
   /** The rows this consumer has not yet committed: manifest append
@@ -89,10 +136,19 @@ object LakeFollow {
   def poll(spark: SparkSession, root: String, marksDir: String,
            maxFilesPerPoll: Int = 10000): Option[Increment] = {
     import spark.implicits._
-    val freshPaths = LogSync.manifest(spark, root)
+    val (explicitPaths, wm) = consumedStore(spark, marksDir)
+    val appends = LogSync.manifest(spark, root)
       .filter(col("op").isNull || col("op") === "append")
+    // watermark-covered rows (tombstoned at or before it) are consumed
+    // by definition — excluded before the anti-join, so the explicit
+    // set never needs to re-materialize them
+    val candidates = wm match {
+      case Some(w) => appends.filter(col("removed_at").isNull || col("removed_at") > lit(w))
+      case None    => appends
+    }
+    val freshPaths = candidates
       .select(col("path"))
-      .join(consumedPaths(spark, marksDir), Seq("path"), "left_anti")
+      .join(explicitPaths, Seq("path"), "left_anti")
       .orderBy(col("path")).limit(maxFilesPerPoll)
       .as[String].collect().toSeq
     if (freshPaths.isEmpty) None
@@ -104,18 +160,50 @@ object LakeFollow {
     }
   }
 
-  /** Durably mark `inc` consumed (call AFTER the batch landed): write
-    * consumed ∪ inc.paths as the next version via staging + atomic
-    * rename, then prune older versions best-effort.
+  /** Durably mark `inc` consumed (call AFTER the batch landed): union
+    * in `inc.paths`, FOLD every consumed tombstoned path covered by
+    * the advanced watermark out of the explicit set (see the object
+    * Scaladoc — this is what keeps the offset store bounded by live
+    * files instead of ingest history), and write the result as the
+    * next version via staging + atomic rename, then prune older
+    * versions best-effort.
     */
-  def commit(spark: SparkSession, marksDir: String, inc: Increment): Unit = {
+  def commit(spark: SparkSession, root: String, marksDir: String, inc: Increment): Unit = {
     import spark.implicits._
     val fs = fsOf(spark, marksDir)
-    val next = consumedPaths(spark, marksDir)
-      .union(inc.paths.toDF("path")).distinct()
+    val (explicitPaths, wm) = consumedStore(spark, marksDir)
+    val nextAll = explicitPaths.union(inc.paths.toDF("path")).distinct()
+    // tombstoned appends not yet covered by the current watermark —
+    // the fold frontier (manifest-scale aggregates: control-plane)
+    val tomb = LogSync.manifest(spark, root)
+      .filter((col("op").isNull || col("op") === "append") && col("removed_at").isNotNull)
+      .filter(wm.map(w => col("removed_at") > lit(w)).getOrElse(lit(true)))
+      .select(col("path"), col("removed_at"))
+    // the watermark may advance to just below the EARLIEST unconsumed
+    // tombstone (or past everything, if all are consumed)
+    val minUnconsumed = tomb.join(nextAll, Seq("path"), "left_anti")
+      .agg(min(col("removed_at"))).head().getTimestamp(0)
+    val newWm: Option[java.sql.Timestamp] =
+      (if (minUnconsumed == null)
+         Option(tomb.agg(max(col("removed_at"))).head().getTimestamp(0))
+       else
+         Option(tomb.filter(col("removed_at") < lit(minUnconsumed))
+           .agg(max(col("removed_at"))).head().getTimestamp(0))
+      ).orElse(wm) // never regress: tombstones only accumulate
+    val folded = newWm match {
+      case Some(w) => nextAll.join(
+        tomb.filter(col("removed_at") <= lit(w)).select("path"), Seq("path"), "left_anti")
+      case None => nextAll
+    }
+    val pathRows = folded.select(col("path"), lit(null).cast("timestamp").as("wm"))
+    val store = newWm match {
+      case Some(w) => pathRows.unionByName(
+        Seq(Tuple1(w)).toDF("wm").select(lit(null).cast("string").as("path"), col("wm")))
+      case None => pathRows
+    }
     val staging = new Path(s"$marksDir/_consumed_swap")
     fs.delete(staging, true)
-    next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    store.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
     require(fs.rename(staging, new Path(s"$marksDir/_consumed_v${inc.nextVersion}")),
       s"consumed-set swap rename failed under $marksDir")
     (1 until inc.nextVersion).foreach { old =>
@@ -142,7 +230,7 @@ object LakeFollow {
       .foreachBatch { (_: DataFrame, _: Long) =>
         poll(spark, root, marksDir).foreach { inc =>
           process(inc.rows, inc)
-          commit(spark, marksDir, inc)
+          commit(spark, root, marksDir, inc)
         }
         ()
       }

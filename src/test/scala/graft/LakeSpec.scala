@@ -758,7 +758,7 @@ class LakeSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long] // event_ids landed
     def drain(): Unit = LakeFollow.poll(spark, root, marks).foreach { inc =>
       seen ++= inc.rows.select("event_id").collect().map(_.getLong(0))
-      LakeFollow.commit(spark, marks, inc)
+      LakeFollow.commit(spark, root, marks, inc)
     }
     // append 1
     write(60, 0); LogSync.sync(spark, root)
@@ -786,7 +786,7 @@ class LakeSpec extends SparkSpec {
     var inc2 = LakeFollow.poll(spark, root, marks2, maxFilesPerPoll = 1)
     while (inc2.nonEmpty && rounds < 50) {
       assert(inc2.get.paths.length == 1)
-      n2 += inc2.get.rows.count(); LakeFollow.commit(spark, marks2, inc2.get)
+      n2 += inc2.get.rows.count(); LakeFollow.commit(spark, root, marks2, inc2.get)
       rounds += 1
       inc2 = LakeFollow.poll(spark, root, marks2, maxFilesPerPoll = 1)
     }
@@ -803,6 +803,56 @@ class LakeSpec extends SparkSpec {
     try { Thread.sleep(1500); q.processAllAvailable() } finally q.stop()
     assert(seen.size == 100 && buf.size() == 20,
       s"stream consumes exactly the third append, got ${buf.size()}")
+    assert(LakeFollow.poll(spark, root, marks).isEmpty)
+  }
+
+  test("LakeFollow: consumed store folds to a watermark — bounded by live files, replay intact") {
+    import graft.streaming.LakeFollow
+    val root = Files.createTempDirectory("graft_fold_lake").toString
+    val marks = Files.createTempDirectory("graft_fold_marks").toString
+    def write(n: Int, skip: Int): Unit = Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("event_id"), col("ts").as("timestamp"),
+              lit("svc").as("service_name"), col("props").as("body"))
+      .repartition(4)
+      .write.mode("append").parquet(root)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = LakeFollow.poll(spark, root, marks).foreach { inc =>
+      seen ++= inc.rows.select("event_id").collect().map(_.getLong(0))
+      LakeFollow.commit(spark, root, marks, inc)
+    }
+    def explicitRows(): Long = LakeFollow.consumedStore(spark, marks)._1.count()
+    // several append→consume cycles, a compaction between them
+    var appended = 0
+    (0 until 3).foreach { i =>
+      write(20, i * 20); appended += 4; LogSync.sync(spark, root); drain()
+    }
+    val beforeFold = explicitRows()
+    assert(beforeFold == appended, s"pre-compaction store lists all $appended files")
+    Thread.sleep(60)
+    graft.sources.LogCompact.compact(spark, root) // tombstones all 12 appends
+    // next consumed increment triggers the fold at ITS commit
+    write(20, 60); LogSync.sync(spark, root); drain()
+    val afterFold = explicitRows()
+    assert(afterFold == 4,
+      s"tombstoned consumed paths must fold into the watermark: store has $afterFold rows " +
+        s"(was $beforeFold + 4 new)")
+    assert(LakeFollow.consumedStore(spark, marks)._2.nonEmpty, "watermark row written")
+    // the full consumed set is still reconstructible for corpus readers
+    assert(LakeFollow.consumedPaths(spark, root, marks).count() == (appended + 4).toLong,
+      "explicit ∪ watermark-implied must equal the historical consumed set")
+    // no re-emission: every path is consumed explicitly or via watermark
+    assert(LakeFollow.poll(spark, root, marks).isEmpty, "nothing re-emits after the fold")
+    assert(seen.sorted == (0L until 80L), "all rows landed exactly once across the fold")
+    // an unconsumed tombstoned append must BLOCK the watermark, not vanish:
+    // append two files, consume NOTHING, compact, then append+consume one more
+    write(10, 80); LogSync.sync(spark, root)
+    Thread.sleep(60)
+    graft.sources.LogCompact.compact(spark, root)
+    write(10, 90); LogSync.sync(spark, root); drain(); drain()
+    // drains pick up: the unconsumed pre-compaction appends AND the new file
+    assert(seen.sorted == (0L until 100L),
+      "rows appended before an unconsumed compaction still land exactly once")
     assert(LakeFollow.poll(spark, root, marks).isEmpty)
   }
 
@@ -828,7 +878,7 @@ class LakeSpec extends SparkSpec {
         assert(!streamed.contains(p), s"pair $p emitted by two increments")
       }
       streamed ++= pairs
-      LakeFollow.commit(spark, marks, inc)
+      LakeFollow.commit(spark, root, marks, inc)
     }
     assert(LakeFollow.poll(spark, root, marks).isEmpty, "stream caught up")
     val batchEdges = Dedup.ngramJaccardOn(docs, cap).collect()
