@@ -118,6 +118,7 @@ object SparkEntry {
     "q27_hierarchy"       -> (Hierarchy.customerTree _),
     "mm_frames"           -> (Multimodal.frames _),
     "mm_dedup"            -> ((s: SparkSession, d: String) => Multimodal.mediaDedup(s, d)),
+    "mm_neardup"          -> ((s: SparkSession, d: String) => Multimodal.mediaNearDup(s, d)),
     "ann_ivf_index"       -> ((s: SparkSession, d: String) => IvfIndex.query(s, d)),
     "text_logprob"        -> (TrainPrep.unigramLogprob _),
     "corpus_split"        -> ((s: SparkSession, d: String) => Curation.corpusSplit(s, d)),

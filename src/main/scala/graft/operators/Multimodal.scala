@@ -84,6 +84,64 @@ object Multimodal {
       .orderBy(col("media_md5"))
   }
 
+  /** NEAR-DUP MEDIA DEDUP — the similarity pass an LLM multimodal
+    * pipeline runs after [[mediaDedup]]'s exact pass (re-encoded /
+    * lightly-edited media share most bytes but not their md5): 64-bit
+    * SimHash over sliding BYTE SHINGLES of the payload (window-byte
+    * windows every `stride` bytes, taken as hex substrings — all
+    * codegen'd builtins), banded 4 × 16 bits for candidate buckets,
+    * hamming ≤ `maxHamming` on the full signature to verify — the
+    * [[Dedup.simhash]] discipline applied to binary input.
+    *
+    * Scale shape: one signature per payload (constant size regardless
+    * of media size), candidates via a band equi-join — never all-pairs
+    * — and verification is one `bit_count(a^b)` per candidate; the
+    * payload bytes never leave the scan stage, only the 64-bit
+    * signature shuffles (the [[mediaDedup]] megabyte-payload rule).
+    *
+    * The corpus is augmented with a deterministic NEAR-copy replica
+    * (every 25th payload re-ingested with 4 bytes appended under
+    * doc_id+2·10⁷ — a light edit, not a byte-identical re-crawl) so
+    * near-dup structure exists at every test scale. Signatures are
+    * xxhash64-dependent → no SQL oracle; rows-only + spec (recall on
+    * the injected near-copies, no all-pairs join in the plan).
+    */
+  def mediaNearDup(spark: SparkSession, dir: String, window: Int = 8,
+                   stride: Int = 4, maxHamming: Int = 10): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val media = mediaTable(spark, dir).toDF()
+    val nearCopy = media.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+      .withColumn("payload",
+        concat(col("payload"),
+          encode(substring(md5(col("doc_id").cast("string")), 1, 4), "UTF-8")))
+    val hexed = media.unionByName(nearCopy)
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+    // sliding byte windows as hex substrings (2 hex chars per byte)
+    val nWin = greatest(lit(1),
+      ((length(col("hx")) / 2 - window) / stride + 1).cast("int"))
+    val shingles = transform(sequence(lit(0), nWin - 1),
+      i => col("hx").substr(i * stride * 2 + 1, lit(window * 2)))
+    val sigs = hexed
+      .select(col("doc_id"), call_function("graft_simhash", shingles).as("bits"))
+    val bandVal = (k: Int) =>
+      call_function("shiftrightunsigned", col("bits"), lit(k * 16)).bitwiseAND(lit(0xffffL))
+    val buckets = sigs.select(col("doc_id"), col("bits"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"), bandVal(k).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bits"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .cache() // self-joined below
+    val hamming = bit_count(col("a.bits").bitwiseXOR(col("b.bits")))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** End-to-end pipeline aggregate. Byte counts survive the
     * decode stage untouched, so this is oracle-checkable against
     * DuckDB's strlen over the source text.

@@ -360,4 +360,29 @@ class IngestSpec extends SparkSpec {
       .map(r => r.doc_id -> r.payload.toSeq).toMap
     assert(resized.forall(r => again(r.doc_id) == r.payload.toSeq))
   }
+
+  test("Multimodal: near-dup recalls the injected light edits via band buckets, no all-pairs") {
+    val pairs = Multimodal.mediaNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Number]("hamming").longValue))
+    assert(pairs.nonEmpty)
+    // every reported pair is verified on the FULL signature
+    assert(pairs.forall(_._3 <= 10), "hamming verification bound must hold")
+    // the injected near-copies (4 bytes appended) must be recalled:
+    // their shingle sets differ only near the payload tail
+    val injected = Multimodal.mediaTable(spark, sf).toDF()
+      .filter(col("doc_id") % 25 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val found = pairs.collect {
+      case (da, db, _) if injected.contains(da) && db == da + 20000000L => da
+    }.toSet
+    val recall = found.size.toDouble / injected.size
+    info(s"media near-dup recall on injected edits = $recall (${injected.size} injected)")
+    assert(recall >= 0.8, s"banded simhash must recall light edits, got $recall")
+    // candidate generation is an equi-join on (band, bucket), never a
+    // cross/nested-loop join — the scale contract
+    val plan = planString(Multimodal.mediaNearDup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"near-dup candidates must come from the band equi-join:\n$plan")
+  }
 }
