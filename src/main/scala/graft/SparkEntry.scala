@@ -95,6 +95,7 @@ object SparkEntry {
     "text_repetition"     -> (TrainPrep.repetition _),
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
+    "dedup_spans"         -> ((s: SparkSession, d: String) => TrainPrep.spanDedup(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
     "text_chunk"          -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
     // CONTRACT projection: the driver's pandas compare can't sort/hash
@@ -817,6 +818,35 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, s FROM sh5)
         |SELECT s, CAST(count(*) AS BIGINT) AS n_docs FROM sh GROUP BY s
         |HAVING count(*) >= 2 ORDER BY n_docs DESC, s LIMIT 100""".stripMargin,
+    // the injected boilerplate, the k-gram coverage and the scrub are
+    // replayed verbatim: both engines must drop the same positions
+    "dedup_spans" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 1
+        |    THEN text || ' limited time offer click here to claim your free bonus now'
+        |  ELSE text END AS a FROM documents),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(a),'\s+'), x->len(x)>0) AS t FROM aug),
+        |grams AS (SELECT doc_id, t,
+        |  unnest(range(0, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |g2 AS (SELECT doc_id, i, array_to_string(t[i+1:i+5], ' ') AS g FROM grams),
+        |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |  FROM g2 GROUP BY 1) WHERE df >= 2),
+        |starts AS (SELECT doc_id, i FROM g2 WHERE g IN (SELECT g FROM dup)),
+        |offs AS (SELECT doc_id, i, unnest(range(0, 5)) AS off FROM starts),
+        |covered AS (SELECT DISTINCT doc_id, i + off AS p FROM offs),
+        |tok AS (SELECT doc_id, unnest(t) AS w,
+        |  generate_subscripts(t,1) - 1 AS p FROM toks),
+        |kept AS (SELECT tok.doc_id, tok.w, tok.p FROM tok
+        |  LEFT JOIN covered c ON c.doc_id = tok.doc_id AND c.p = tok.p
+        |  WHERE c.p IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |  md5(string_agg(w, ' ' ORDER BY p)) AS scrub_md5 FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks)
+        |SELECT t.doc_id, t.n_tokens,
+        | CAST(t.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        | coalesce(ka.scrub_md5, md5('')) AS scrub_md5
+        |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, source,
         |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS toks

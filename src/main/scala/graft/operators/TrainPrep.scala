@@ -224,6 +224,56 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT SUBSTRING DEDUP (the other half of Lee et al. 2021,
+    * arXiv:2107.06499 — [[dedupPhrases]] reports duplicated n-grams,
+    * this REMOVES them): any span of ≥ `k` consecutive tokens shared
+    * verbatim across ≥ 2 documents is scrubbed from every document.
+    * Overlapping duplicated k-grams chain into maximal spans
+    * automatically: a 30-token span shared by two documents puts every
+    * one of its k-gram starts over the df threshold, so all 30 token
+    * positions are covered and the whole span drops — the
+    * suffix-array pass of the paper re-expressed as n-gram coverage.
+    *
+    * A deterministic boilerplate sentence injected on doc_id % 4 == 1
+    * (the [[lineDedup]] marker discipline, replayed identically in the
+    * oracle) guarantees long cross-document spans at every scale; the
+    * hash-match certifies both engines find and scrub exactly the same
+    * character ranges.
+    *
+    * Scale shape: the gram explode is k× the token stream (the known
+    * cost of exact substring dedup); duplicated-gram detection is one
+    * gram-keyed aggregate; marking is a semi-join back on gram; span
+    * coverage folds to ONE doc-keyed collect_set aggregate, and the
+    * scrub itself is a map-only indexed-lambda filter over the token
+    * array — no token-level join, nothing quadratic, no driver data.
+    */
+  def spanDedup(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val boiler = " limited time offer click here to claim your free bonus now"
+    val aug = when(col("doc_id") % 4 === 1, concat(col("text"), lit(boiler)))
+      .otherwise(col("text"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), toks(aug).as("t"))
+    val gramArr = when(size(col("t")) >= k,
+      expr(s"transform(sequence(0, size(t) - $k), j -> array_join(slice(t, j + 1, $k), ' '))"))
+      .otherwise(array().cast("array<string>"))
+    val g2 = docs.select(col("doc_id"), posexplode(gramArr).as(Seq("i", "g")))
+    val dup = g2.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val starts = g2.join(dup, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("cov",
+        when(col("starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(
+            transform(col("starts"), s => sequence(s, s + k - 1))))))
+      .withColumn("kept", filter(col("t"), (_, idx) => !array_contains(col("cov"), idx)))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(col("cov")).cast("bigint").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Blocklist words for [[toxicity]] — stand-ins drawn from the
     * synthetic vocabulary so the filter exercises real hits; a real
     * pipeline ships its actual unsafe-term list the same way (inlined

@@ -356,6 +356,50 @@ class TrainPrepSpec extends SparkSpec {
       s"heavy-line anti-join must broadcast:\n$plan")
   }
 
+  test("spanDedup: injected spans scrub everywhere; untouched docs keep their exact text") {
+    val boiler = "limited time offer click here to claim your free bonus now"
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = TrainPrep.spanDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("n_removed"), r.getAs[String]("scrub_md5")))
+      .toMap
+    assert(rows.nonEmpty)
+    // local replay: same tokenization + injection + 5-gram coverage
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = docs.map { case (id, text) =>
+      val aug = if (id % 4 == 1) s"$text $boiler" else text
+      id -> aug.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    toks.foreach { case (id, t) =>
+      t.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+        .foreach(g => df(g) = df.getOrElse(g, Set.empty) + id)
+    }
+    val dup = df.collect { case (g, ids) if ids.size >= 2 => g }.toSet
+    toks.foreach { case (id, t) =>
+      val covered = t.sliding(5).zipWithIndex
+        .collect { case (w, i) if w.length == 5 && dup(w.mkString(" ")) => i }
+        .flatMap(i => i until i + 5).toSet
+      val kept = t.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      val (nTok, nRem, md) = rows(id)
+      assert(nTok == t.length, s"doc $id token count")
+      assert(nRem == covered.size.toLong, s"doc $id removed count")
+      assert(md == md5hex(kept.mkString(" ")), s"doc $id scrub hash")
+    }
+    // the injected boilerplate is duplicated across all %4==1 docs, so
+    // its 11 tokens (at least) must be removed from every one of them
+    toks.keys.filter(_ % 4 == 1).foreach { id =>
+      assert(rows(id)._2 >= 11L, s"doc $id must lose the injected span, lost ${rows(id)._2}")
+    }
+    // and some document keeps its text verbatim (no duplicated grams)
+    assert(toks.keys.exists(id => rows(id)._2 == 0L &&
+      rows(id)._3 == md5hex(toks(id).mkString(" "))),
+      "a clean doc must survive byte-identical")
+  }
+
   test("text_entropy: micro-nat value equals the local integer replay; map-only plan") {
     import graft.operators.TextAnalysis
     def replay(s: String): Long = {
