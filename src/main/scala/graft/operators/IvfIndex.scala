@@ -187,8 +187,25 @@ object IvfIndex {
     val (v, cents) = ensure(spark, dir)
     VectorFunctions.register(spark)
     val assigned = assignedTo(newVectors.withColumnRenamed("embedding", "v"), cents)
+      .localCheckpoint() // appended twice below — never recompute between writes
     val n = assigned.count()
     assigned.write.mode("append").partitionBy("cell").parquet(versionPath(dir, v))
+    // any PQ code mirror already built for this version must grow with
+    // its inverted lists, or ADC queries would silently miss appended
+    // vectors; coding the increment costs ∝ new data (map-only)
+    val f = fs(spark, dir)
+    f.listStatus(new Path(versionPath(dir, v))).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_pq_m") => s.stripPrefix("_pq_m") }
+      .flatMap(_.toIntOption)
+      .foreach { m =>
+        val books = Similarity.pqCodebooks(spark, dir, m)
+        val dim = assigned.select(size(col("v"))).head().getInt(0)
+        Similarity.pqEncoded(assigned, books, m, dim / m)
+          .select(col("vec_id"), col("codes"), col("nrm"), col("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"${versionPath(dir, v)}/_pq_m$m")
+      }
     n
   }
 

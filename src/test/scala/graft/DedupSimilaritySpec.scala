@@ -83,6 +83,18 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(hits.exists(r => r.getAs[Long]("vec_id") == i + 10000L &&
         r.getAs[Double]("cos") == 1.0), s"appended twin of $i not found")
     }
+    // a PQ code mirror must grow with the inverted lists it mirrors:
+    // build codes, append more twins, codes cover them too
+    val (_, codesPath) = IvfIndex.ensurePq(spark, tmp)
+    val nCodes0 = spark.read.parquet(codesPath).count()
+    assert(nCodes0 == n0 + 5, "codes cover the whole index at build time")
+    val more = base.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    assert(IvfIndex.append(spark, tmp, more) == 3)
+    val codes = spark.read.parquet(codesPath)
+    assert(codes.count() == n0 + 8, "appended vectors are PQ-coded too")
+    val codedIds = codes.select("vec_id").collect().map(_.getLong(0)).toSet
+    (5 until 8).foreach(i => assert(codedIds.contains(i + 10000L), s"twin of $i uncoded"))
   }
 
   test("IvfIndex.retrain: versioned rewrite folds appended data in; old version survives until dropped") {
