@@ -59,6 +59,8 @@ object Bench {
     // probe (a file-count-sized job), not the one-time index build —
     // the same discipline as every other build-once artifact above
     warm("needle_index")(graft.operators.LakeAnalytics.needle(spark, sfDir).count())
+    // same discipline for the token-bloom sidecar behind lake_grep
+    warm("grep_index")(graft.operators.LakeAnalytics.grep(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).

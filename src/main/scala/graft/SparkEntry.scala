@@ -110,6 +110,7 @@ object SparkEntry {
     "lake_resource_attrs" -> (LakeAnalytics.resourceAttrs _),
     "lake_tail"           -> ((s: SparkSession, d: String) => LakeAnalytics.tail(s, d)),
     "lake_needle"         -> ((s: SparkSession, d: String) => LakeAnalytics.needle(s, d)),
+    "lake_grep"           -> ((s: SparkSession, d: String) => LakeAnalytics.grep(s, d)),
     "lake_dml"            -> (LakeAnalytics.dmlSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
@@ -459,6 +460,13 @@ object SparkEntry {
         |FROM events
         |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
         |ORDER BY ts_str, span_id""".stripMargin,
+    "lake_grep" ->
+      """SELECT strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, props AS body
+        |FROM events
+        |WHERE list_contains(string_split_regex(lower(props), '[^a-z0-9]+'), '69')
+        |ORDER BY ts_str, service_name, severity_text, body""".stripMargin,
     "lake_dml" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

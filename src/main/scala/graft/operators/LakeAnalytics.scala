@@ -192,6 +192,31 @@ object LakeAnalytics {
       .orderBy(col("ts_str"), col("span_id"))
   }
 
+  private val tokIndexed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Keyword search over the registered lake THROUGH the per-file
+    * token-bloom sidecar ([[graft.sources.LakeIndex.buildTokens]]) —
+    * the "which logs mention X" query the reference serves with
+    * ClickHouse's full-scan `body LIKE` (README.md "Search in log
+    * body"), re-expressed so a 100 TB lake scans only the files whose
+    * token vocabulary might contain every search term. A hash-match
+    * certifies encode → write → register → token-index build → bloom
+    * file pruning → row-level token match.
+    */
+  def grep(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("69")): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    tokIndexed.computeIfAbsent(root, _ => {
+      // day-grain test files hold ~hundreds of rows over a ~100-token
+      // vocabulary; the 100 TB default sizes for a full file's vocab
+      LakeIndex.buildTokens(spark, root, "body", expectedTokensPerFile = 4096); true
+    })
+    LakeIndex.grep(spark, root, "body", terms)
+      .select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("service_name"), col("severity_text"), col("body"))
+      .orderBy(col("ts_str"), col("service_name"), col("severity_text"), col("body"))
+  }
+
   private val dmlBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A second lake that has LIVED: built from the same payloads, then a

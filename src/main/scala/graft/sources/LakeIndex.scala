@@ -41,26 +41,43 @@ object LakeIndex {
     * expected item ≈ 1% false positives) — the default matches the
     * writer's file-size cap, so a full file stays within spec.
     */
-  def build(spark: SparkSession, root: String, column: String,
-            expectedItemsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile): Int = {
+  /** Registered-but-unindexed file paths for sidecar `idxName` — this
+    * round's fresh files only, bounded by ingest rate (the same
+    * control-plane shape as LogSync.sync's fresh-file list).
+    */
+  private def unindexedPaths(spark: SparkSession, root: String,
+                             idxName: String): Array[String] = {
     import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
     val registered = LogSync.registeredDataPaths(spark, root)
     val already =
-      if (hasIndex(spark, root, column))
-        spark.read.parquet(indexPath(root, column)).select(col("path"))
+      if (hasIndex(spark, root, idxName))
+        spark.read.parquet(indexPath(root, idxName)).select(col("path"))
       else registered.limit(0)
-    // this round's unindexed files only — bounded by ingest rate (the
-    // same control-plane shape as LogSync.sync's fresh-file list)
-    val todo = registered.join(already, Seq("path"), "left_anti").as[String].collect()
+    registered.join(already, Seq("path"), "left_anti").as[String].collect()
+  }
+
+  /** Append `(path, bloom)` rows for `todo` under sidecar `idxName`;
+    * files whose scan produced no bloom row (empty file) get a null
+    * bloom, which the keep-predicates treat as "might contain" — sound.
+    */
+  private def writeBlooms(spark: SparkSession, root: String, idxName: String,
+                          todo: Array[String], blooms: DataFrame): Unit = {
+    import spark.implicits._
+    todo.toSeq.toDF("path")
+      .join(blooms, LogSync.normPath(col("path")) === col("norm"), "left")
+      .select(col("path"), col("bloom"))
+      .write.mode(SaveMode.Append).parquet(indexPath(root, idxName))
+  }
+
+  def build(spark: SparkSession, root: String, column: String,
+            expectedItemsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile): Int = {
+    graft.functions.VectorFunctions.register(spark)
+    val todo = unindexedPaths(spark, root, column)
     if (todo.isEmpty) return 0
     val blooms = spark.read.option("basePath", root).parquet(todo.toSeq: _*)
       .groupBy(LogSync.normPath(col("_metadata.file_path")).as("norm"))
       .agg(expr(s"graft_bloom(xxhash64($column), $expectedItemsPerFile)").as("bloom"))
-    todo.toSeq.toDF("path")
-      .join(blooms, LogSync.normPath(col("path")) === col("norm"), "left")
-      .select(col("path"), col("bloom"))
-      .write.mode(SaveMode.Append).parquet(indexPath(root, column))
+    writeBlooms(spark, root, column, todo, blooms)
     todo.length
   }
 
@@ -107,6 +124,98 @@ object LakeIndex {
   def pruneCounts(spark: SparkSession, root: String, column: String,
                   values: Seq[String]): (Long, Long) = {
     val kept = keepPaths(spark, root, column, values.map(lit(_))).count()
+    (kept, LogSync.registeredDataPaths(spark, root).count())
+  }
+
+  // ---- full-text token index -------------------------------------------
+
+  /** Lowercased alphanumeric tokens of `c` — the ONE tokenizer shared by
+    * the index build (file side) and [[grep]]'s row predicate. Both
+    * sides must tokenize identically: a mismatch would let bloom pruning
+    * skip a file whose rows the row predicate matches — an unsound
+    * index, not a slow one.
+    */
+  private[graft] def tokensOf(c: Column): Column =
+    array_distinct(filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0))
+
+  private def tokIdxName(column: String) = s"tok_$column"
+
+  /** Keyword search skip-index: one bloom PER REGISTERED FILE over the
+    * DISTINCT TOKENS of `column` — the full-text analog of [[build]].
+    * A lake laid out by service/time cannot prune a "which logs mention
+    * X" search; at 100 TB that search otherwise scans everything. The
+    * sidecar row count is FILE-count-sized and each bloom is sized to a
+    * file's token VOCABULARY (tokens repeat heavily across rows), so
+    * the index stays MBs where the data is TBs. Same incremental /
+    * unindexed-files-survive contract as [[build]].
+    */
+  def buildTokens(spark: SparkSession, root: String, column: String,
+                  expectedTokensPerFile: Long = 1L << 16): Int = {
+    graft.functions.VectorFunctions.register(spark)
+    val todo = unindexedPaths(spark, root, tokIdxName(column))
+    if (todo.isEmpty) return 0
+    val blooms = spark.read.option("basePath", root).parquet(todo.toSeq: _*)
+      // per-row array_distinct before the explode keeps the shuffled
+      // row count at (rows × per-row vocabulary), not token instances
+      .select(LogSync.normPath(col("_metadata.file_path")).as("norm"),
+        explode(tokensOf(col(column))).as("tok"))
+      .groupBy(col("norm"))
+      .agg(expr(s"graft_bloom(xxhash64(tok), $expectedTokensPerFile)").as("bloom"))
+    writeBlooms(spark, root, tokIdxName(column), todo, blooms)
+    todo.length
+  }
+
+  /** Files that might contain EVERY term: the AND of per-term bloom
+    * probes (vs [[bloomKeep]]'s OR over point-lookup keys) — a keyword
+    * search needs all terms present, so each term prunes independently
+    * and the survivor set is the intersection. Unindexed files always
+    * survive (soundness).
+    */
+  private def tokKeepPaths(spark: SparkSession, root: String, column: String,
+                           terms: Seq[String]): DataFrame = {
+    require(hasIndex(spark, root, tokIdxName(column)),
+      s"no token index on $column under $root — run LakeIndex.buildTokens first")
+    val manifest = LogSync.registeredDataPaths(spark, root)
+    val idx = spark.read.parquet(indexPath(root, tokIdxName(column)))
+    val keep = terms
+      .map(t => col("bloom").isNull ||
+        call_function("graft_bloom_any", col("bloom"), array(xxhash64(lit(t)))))
+      .reduce(_ && _)
+    manifest.join(idx, Seq("path"), "left").filter(keep)
+  }
+
+  /** Registered rows whose `column` contains ALL `terms` as tokens,
+    * scanning only bloom-positive (or unindexed) files. Equals
+    * `LogSync.table(root).filter(every term ∈ tokensOf(column))`
+    * exactly — the index only skips files it has positive knowledge
+    * about, and the row-level token predicate applies on top.
+    */
+  def grep(spark: SparkSession, root: String, column: String,
+           terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val norm = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(norm.nonEmpty && norm.forall(_.matches("[a-z0-9]+")),
+      s"grep terms must be non-empty [a-z0-9]+ tokens, got $terms")
+    // Unlike [[lookup]] (whose literal isin prunes row groups via
+    // parquet stats even on a full-lake listing), the token predicate
+    // cannot push down — so the survivor PATHS feed the reader
+    // directly and skipped files are never opened. The collect is a
+    // file-count-sized control-plane crossing, the same bound as
+    // [[build]]'s todo list and LogSync.sync's fresh-file diff.
+    val kept = tokKeepPaths(spark, root, column, norm)
+      .select(col("path")).as[String].collect()
+    val rowKeep = norm.map(t => array_contains(tokensOf(col(column)), t)).reduce(_ && _)
+    if (kept.isEmpty)
+      spark.read.option("basePath", root).parquet(root).filter(lit(false))
+    else
+      spark.read.option("basePath", root).parquet(kept.toSeq: _*).filter(rowKeep)
+  }
+
+  /** (files the grep would scan, total registered files). */
+  def grepPruneCounts(spark: SparkSession, root: String, column: String,
+                      terms: Seq[String]): (Long, Long) = {
+    val kept = tokKeepPaths(spark, root, column,
+      terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct).count()
     (kept, LogSync.registeredDataPaths(spark, root).count())
   }
 }

@@ -74,6 +74,59 @@ class DmlIndexSpec extends SparkSpec {
       "incremental build must pick up exactly the new files")
   }
 
+  test("LakeIndex.grep: equals the direct token filter, prunes files, survives fresh appends") {
+    val root = mkLake(Seq((200, "s0"), (200, "s1"), (150, "s2")))
+    // one batch whose bodies carry a vocabulary no other file has — the
+    // rare-term case token pruning exists for (the 150-row batches all
+    // draw the same event head, so every numeric token repeats per file)
+    Tables.events(spark, sf).limit(40)
+      .select(col("ts").as("timestamp"), lit("s3").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("s3-"), col("event_id")).as("span_id"),
+        lit("""{"marker": rareterm}""").as("body"))
+      .write.mode("append").partitionBy("service_name").parquet(root)
+    LogSync.sync(spark, root)
+    assert(LakeIndex.buildTokens(spark, root, "body", expectedTokensPerFile = 1024) > 0)
+    assert(LakeIndex.buildTokens(spark, root, "body") == 0,
+      "second token build must be incremental (nothing new to index)")
+
+    // a term that lives in few bodies: one specific k value's digits
+    val term = "69"
+    val got = LakeIndex.grep(spark, root, "body", Seq(term))
+      .select("span_id", "body").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val tokenized = array_distinct(split(lower(col("body")), "[^a-z0-9]+"))
+    val want = LogSync.table(spark, root).filter(array_contains(tokenized, term))
+      .select("span_id", "body").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, "token-bloom pruning must never change the answer")
+    assert(want.nonEmpty, "the spec term must actually occur")
+
+    val (kept, total) = LakeIndex.grepPruneCounts(spark, root, "body", Seq("rareterm"))
+    assert(kept < total,
+      s"the token sidecar must skip files for a rare term, kept $kept of $total")
+    assert(LakeIndex.grep(spark, root, "body", Seq("rareterm")).count() == 40)
+
+    // multi-term AND: intersection semantics on both index and row side
+    val and = LakeIndex.grep(spark, root, "body", Seq("k", term))
+      .select("span_id").collect().map(_.getString(0)).toSet
+    assert(and == want.map(_._1), "'k' occurs in every numeric body, so AND with it is a no-op")
+
+    // absent term: zero rows, and (modulo bloom false positives) zero files
+    assert(LakeIndex.grep(spark, root, "body", Seq("zzznope")).count() == 0)
+
+    // fresh files registered after the build survive pruning (soundness)
+    Tables.events(spark, sf).orderBy(col("event_id").desc).limit(25)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("s9-"), col("event_id")).as("span_id"),
+        lit("""{"needle": freshterm}""").as("body"))
+      .write.mode("append").partitionBy("service_name").parquet(root)
+    LogSync.sync(spark, root)
+    assert(LakeIndex.grep(spark, root, "body", Seq("freshterm")).count() == 25,
+      "unindexed files must always survive token pruning")
+    assert(LakeIndex.buildTokens(spark, root, "body") > 0,
+      "incremental token build must pick up exactly the new files")
+  }
+
   test("LakeDml.delete: matching rows gone, untouched files keep their manifest entries") {
     val root = mkLake(Seq((200, "s0"), (200, "s1")))
     val t0 = LogSync.table(spark, root)
