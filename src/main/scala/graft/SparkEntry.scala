@@ -125,6 +125,7 @@ object SparkEntry {
     "text_logprob"        -> (TrainPrep.unigramLogprob _),
     "corpus_split"        -> ((s: SparkSession, d: String) => Curation.corpusSplit(s, d)),
     "corpus_mix"          -> (Curation.corpusMix _),
+    "mix_budget"          -> ((s: SparkSession, d: String) => Curation.mixBudget(s, d)),
     "corpus_upsample"     -> ((s: SparkSession, d: String) => Curation.corpusUpsample(s, d)),
     "logs_scope_attrs"    -> (LogAnalytics.scopeAttrs _),
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
@@ -919,6 +920,16 @@ object SparkEntry {
         |WHERE t.th >= 4294967296
         |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
         |ORDER BY d.doc_id""".stripMargin,
+    "mix_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_toks,
+        |  md5(CAST(doc_id AS VARCHAR)) AS ord
+        | FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |  CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY ord) AS BIGINT) AS cum_toks
+        | FROM d)
+        |SELECT doc_id, source, n_toks, cum_toks FROM c
+        |WHERE cum_toks <= 700 ORDER BY source, cum_toks""".stripMargin,
     "corpus_upsample" ->
       """WITH d AS (SELECT doc_id, source,
         |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_toks

@@ -334,6 +334,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** HARD token-budget prefix per source — [[corpusMix]]'s exact
+    * counterpart: where mix keeps at a RATE (the expected share),
+    * this takes each source's md5-ordered document prefix until the
+    * budget is spent — "exactly B tokens of each domain,
+    * reproducibly", the cut a curriculum/mixture spec hands the
+    * loader. Document-granular: the doc that would cross the budget
+    * is dropped whole.
+    *
+    * Scale shape: the naive plan is a per-source running token sum —
+    * a window ordered by hash with ONE task per source holding that
+    * source's entire corpus slice (the skewed-key scale-killer
+    * class). Decomposed instead over the md5 prefix byte:
+    * (source × 256) bucket totals via one map-side-combined
+    * aggregate, a running total over BUCKETS (a window on a ≤256-row
+    * frame per source — control-plane sized), then the per-row
+    * running sum runs only INSIDE (source, bucket) partitions of
+    * buckets the budget can still reach — deeper buckets are dropped
+    * BEFORE any sort, so the data that ever enters a window is
+    * ∝ budget, not corpus size. The 2-hex-char bucket is a prefix of
+    * the full hash, so (bucket, hash) lexicographic order IS the
+    * global hash order and the decomposed cumulative sum is exact.
+    */
+  def mixBudget(spark: SparkSession, dir: String, budget: Long = 700): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("bkt", substring(col("ord"), 1, 2))
+    val bktTotals = docs.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_toks")).as("bkt_toks"))
+    val wBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val reachable = bktTotals
+      .withColumn("prior", coalesce(sum(col("bkt_toks")).over(wBkt), lit(0L)))
+      .filter(col("prior") < budget)
+      .select(col("source"), col("bkt"), col("prior"))
+    val wDoc = Window.partitionBy(col("source"), col("bkt")).orderBy(col("ord"))
+    docs.join(broadcast(reachable), Seq("source", "bkt"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(wDoc) + col("prior"))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+      .orderBy(col("source"), col("cum_toks"))
+  }
+
   /** EPOCH-AWARE UPSAMPLING — [[corpusMix]]'s counterpart for the
     * keep-rate > 1 regime: when a small high-quality source must be
     * REPEATED to reach its token share (the pile-style "Wikipedia ×

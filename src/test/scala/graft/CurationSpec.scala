@@ -131,6 +131,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixBudget: bucket-decomposed prefix equals the naive global cumsum, maximal") {
+    import org.apache.spark.sql.functions._
+    val budget = 700L
+    val got = Curation.mixBudget(spark, sf, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_toks"), r.getAs[Long]("cum_toks")))
+    // the naive single-window-per-source plan the decomposition replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("ord")
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n_toks"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("cum_toks", sum("n_toks").over(w))
+      .filter(col("cum_toks") <= budget)
+      .select("doc_id", "source", "n_toks", "cum_toks")
+      .orderBy("source", "cum_toks").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_toks"), r.getAs[Long]("cum_toks")))
+    assert(got.toSeq == naive.toSeq,
+      "bucket decomposition must reproduce the global hash-order prefix exactly")
+    // hard cap respected, and maximal: the NEXT doc in each source's
+    // hash order would cross the budget
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (s, rows) => assert(rows.map(_._4).max <= budget) }
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("n_toks"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_toks"), r.getAs[String]("ord")))
+    all.groupBy(_._2).foreach { case (s, rows) =>
+      val keptIds = bySrc.getOrElse(s, Array.empty).map(_._1).toSet
+      val keptToks = bySrc.getOrElse(s, Array.empty).map(_._3.toLong).sum
+      rows.sortBy(_._4).find(r => !keptIds.contains(r._1)).foreach { nxt =>
+        assert(keptToks + nxt._3 > budget,
+          s"source $s: excluded doc ${nxt._1} would still have fit the budget")
+      }
+    }
+  }
+
   test("sampleWeighted: exact ES replay, deterministic, biased toward heavy docs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id", "source",
