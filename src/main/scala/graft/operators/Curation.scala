@@ -206,6 +206,58 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Centrality over the shared near-dup edge set — PageRank with
+    * damping 0.85 in INTEGER MICRO-UNITS: seeded at 1,000,000 per
+    * vertex, then K fixed rounds of
+    * `rank'(v) = 150000 + (85 × Σ_{u∈N(v)} (rank(u) div deg(u))) div 100`
+    * with integer division at every step, so the whole trajectory is a
+    * pure function of the edge set — bit-identical across engines,
+    * which makes a chained-CTE DuckDB oracle hash-match (the floating
+    * PageRank everyone ships can only ever be approximately compared).
+    *
+    * Why a curation pass wants it: within a near-dup family the
+    * highest-centrality member is the canonical copy (the one most
+    * other near-copies orbit) — a sharper keeper choice than min-id —
+    * and rank mass concentrating on one node flags template/
+    * boilerplate families whose pairwise report understates them.
+    *
+    * Scale: distributed PageRank in its join+agg (Pregel) shape — per
+    * round one hash join at EDGE cardinality and one aggregate at
+    * VERTEX cardinality; the near-dup graph is sparse (edges ∝
+    * duplication rate, never corpus²  — candidate generation is the
+    * df-capped inverted index upstream), K is fixed, lineage is
+    * truncated per round, and the KB-sized iteration frames coalesce
+    * under AQE exactly as in [[dedupClusters]].
+    */
+  def dedupRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val edges = Dedup.ngramJaccard(spark, dir).select(col("da"), col("db"))
+    val sym = edges
+      .union(edges.select(col("db").as("da"), col("da").as("db")))
+      .select(col("da").as("src"), col("db").as("dst"))
+      .cache()
+    sym.count()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    var rank = deg.select(col("src").as("id"), lit(1000000L).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(rank.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = deg.select(col("src").as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr("150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100").as("r"))
+        .localCheckpoint()
+    }
+    val out = rank.join(deg, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("deg").as("degree"), col("r").as("rank_micro"))
+      .orderBy(col("doc_id"))
+    sym.unpersist()
+    deg.unpersist()
+    out
+  }
+
   /** Deterministic train/val/test split: the assignment is a pure
     * function of the document id (first md5 hex byte against fixed
     * thresholds — 240/8/8 of 256 by default), so it is reproducible

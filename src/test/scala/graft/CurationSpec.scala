@@ -131,6 +131,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dedupRank: distributed integer PageRank equals a local adjacency replay") {
+    val got = Curation.dedupRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("degree"),
+        r.getAs[Long]("rank_micro")))
+    assert(got.nonEmpty)
+    // local replay over the same edge set with the same integer math
+    val edges = graft.operators.Dedup.ngramJaccard(spark, sf)
+      .select("da", "db").collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var rank: Map[Long, Long] = deg.view.mapValues(_ => 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) in(v) += Math.floorDiv(rank(u), deg(u))
+      rank = deg.view.mapValues(_ => 0L).toMap.map { case (v, _) =>
+        v -> (150000L + Math.floorDiv(85L * in(v), 100L)) }
+    }
+    val want = rank.keys.toSeq.sorted.map(v => (v, deg(v), rank(v)))
+    assert(got.toSeq == want,
+      "the distributed trajectory must be bit-identical to the local replay")
+    // centrality concentrates: some vertex must exceed the isolated-pair
+    // fixpoint (pairs settle near 1e6; hubs above it)
+    assert(got.map(_._3).max > got.map(_._3).min,
+      "rank must differentiate vertices on a non-regular graph")
+  }
+
   test("mixBudget: bucket-decomposed prefix equals the naive global cumsum, maximal") {
     import org.apache.spark.sql.functions._
     val budget = 700L
