@@ -165,6 +165,7 @@ object SparkEntry {
       .withColumn("proj", org.apache.spark.sql.functions.expr("to_json(proj)"))),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
     "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
+    "text_trigram_logprob" -> (TrainPrep.trigramLogprob _),
     "text_quality_score"  -> ((s: SparkSession, d: String) => TrainPrep.qualityScore(s, d)),
     "corpus_pipeline"     -> (TrainPrep.pipeline _),
     "logs_alert_bursts"   -> ((s: SparkSession, d: String) => LogAnalytics.alertBursts(s, d)),
@@ -1337,6 +1338,40 @@ object SparkEntry {
         |   / (CAST(sum(c_dab) AS DOUBLE) * 1e6), 4) AS avg_logprob
         |FROM bg JOIN pair USING (w, w2) JOIN ctx USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_trigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |tgr AS (SELECT doc_id, w, lead(w,1) OVER win AS w2, lead(w,2) OVER win AS w3
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w,2) OVER win IS NOT NULL),
+        |tg AS (SELECT doc_id, w, w2, w3, CAST(count(*) AS BIGINT) AS k FROM tgr GROUP BY 1,2,3,4),
+        |tri AS (SELECT w, w2, w3, CAST(sum(k) AS BIGINT) AS c3 FROM tg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1,2,3),
+        |ctx2 AS (SELECT w, w2, CAST(sum(c3) AS BIGINT) AS n3 FROM tri GROUP BY 1,2),
+        |bi AS (SELECT w2, w3, CAST(sum(c3) AS BIGINT) AS b2 FROM tri GROUP BY 1,2),
+        |ctx1 AS (SELECT w2, CAST(sum(b2) AS BIGINT) AS n1 FROM bi GROUP BY 1),
+        |uni AS (SELECT w3, CAST(sum(c3) AS BIGINT) AS u1 FROM tri GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c3) AS BIGINT) AS nn FROM tri),
+        |sc AS (SELECT g.doc_id, g.k,
+        |  CASE WHEN t.c3 IS NOT NULL
+        |       THEN CAST(round(ln(CAST(t.c3 AS DOUBLE)/c2.n3)*1e6) AS BIGINT)
+        |       WHEN b.b2 IS NOT NULL
+        |       THEN CAST(round(ln(0.5 * CAST(b.b2 AS DOUBLE)/c1.n1)*1e6) AS BIGINT)
+        |       ELSE CAST(round(ln(0.25 * CAST(coalesce(u.u1,1) AS DOUBLE)/n.nn)*1e6) AS BIGINT)
+        |  END AS lp,
+        |  CASE WHEN t.c3 IS NULL THEN g.k ELSE 0 END AS bo
+        | FROM tg g
+        | LEFT JOIN tri t ON g.w=t.w AND g.w2=t.w2 AND g.w3=t.w3
+        | LEFT JOIN ctx2 c2 ON g.w=c2.w AND g.w2=c2.w2
+        | LEFT JOIN bi b ON g.w2=b.w2 AND g.w3=b.w3
+        | LEFT JOIN ctx1 c1 ON g.w2=c1.w2
+        | LEFT JOIN uni u ON g.w3=u.w3
+        | CROSS JOIN nt n)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+        | CAST(sum(bo) AS BIGINT) AS n_backoff,
+        | round(CAST(sum(k * lp) AS DOUBLE)/(CAST(sum(k) AS DOUBLE)*1e6), 4) AS avg_logprob
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_quality_score" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk,

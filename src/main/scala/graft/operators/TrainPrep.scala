@@ -422,6 +422,65 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Trigram LM with STUPID BACKOFF (Brants et al. 2007) in integer
+    * micro-nats — the CCNet-style perplexity filter one rung up from
+    * [[bigramLogprob]], with the property that filter actually needs:
+    * a TRAIN/SCORE split (model counts from even doc_ids, every doc
+    * scored held-out style), so unseen trigrams genuinely back off
+    * instead of the self-scoring degenerate case where every n-gram
+    * was observed.
+    *
+    * Score of trigram (a,b,c): `ln(c3/ctx2)` if the train corpus saw
+    * it, else `ln(α·bi/ctx1)` on the suffix bigram, else
+    * `ln(α²·uni/N)` (OOV words score as count 1). α = 1/2 — dyadic,
+    * so the α products are exact in IEEE doubles and the only
+    * transcendental is the one `ln` both engines round to micro-nats.
+    * All backoff tables derive from the trigram counts (suffix /
+    * continuation marginals), so the model is one aggregation tree.
+    *
+    * Scale: two corpus passes (tokenize+window, then n-gram keyed
+    * equi-joins); every model table is a map-side-combined aggregate
+    * at vocabulary cardinality «corpus size; N is a broadcast scalar.
+    */
+  def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val tg = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(win))
+      .withColumn("w3", lead(col("w"), 2).over(win))
+      .filter(col("w3").isNotNull)
+      .groupBy(col("doc_id"), col("w"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+    val tri = tg.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w"), col("w2"), col("w3")).agg(sum(col("k")).as("c3"))
+    val ctx2 = tri.groupBy(col("w"), col("w2")).agg(sum(col("c3")).as("n3"))
+    val bi = tri.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("b2"))
+    val ctx1 = bi.groupBy(col("w2")).agg(sum(col("b2")).as("n1"))
+    val uni = tri.groupBy(col("w3")).agg(sum(col("c3")).as("u1"))
+    val total = tri.agg(sum(col("c3")).as("nn"))
+    val lp = when(col("c3").isNotNull,
+        expr("CAST(round(ln(CAST(c3 AS DOUBLE)/n3)*1e6) AS BIGINT)"))
+      .when(col("b2").isNotNull,
+        expr("CAST(round(ln(0.5 * CAST(b2 AS DOUBLE)/n1)*1e6) AS BIGINT)"))
+      .otherwise(
+        expr("CAST(round(ln(0.25 * CAST(coalesce(u1,1) AS DOUBLE)/nn)*1e6) AS BIGINT)"))
+    tg.join(tri, Seq("w", "w2", "w3"), "left")
+      .join(ctx2, Seq("w", "w2"), "left")
+      .join(bi, Seq("w2", "w3"), "left")
+      .join(ctx1, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", lp)
+      .withColumn("bo", when(col("c3").isNull, col("k")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_trigrams"), sum(col("bo")).as("n_backoff"),
+        sum(col("k") * col("lp")).as("sn"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
+        round(col("sn").cast("double") / (col("n_trigrams").cast("double") * 1e6), 4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: concatenate documents in deterministic order and
     * cut at a `budget`-token boundary — each document's bin is the
     * segment its first token falls in (the standard pretraining

@@ -247,6 +247,44 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("trigramLogprob: held-out stupid-backoff replayed exactly; backoff fires") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> localToks(r.getAs[String]("text")))
+    def tris(t: Seq[String]) = t.indices.dropRight(2).map(i => (t(i), t(i + 1), t(i + 2)))
+    val trainTris = docs.filter(_._1 % 2 == 0).flatMap { case (_, t) => tris(t) }.toSeq
+    val c3 = trainTris.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n3 = trainTris.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val b2 = trainTris.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val n1 = trainTris.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val u1 = trainTris.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nn = trainTris.length.toLong
+    val got = TrainPrep.trigramLogprob(spark, sf).collect()
+    assert(got.length == docs.count(_._2.length >= 3))
+    var anyBackoff = false
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ts = tris(docs.toMap.apply(id))
+      assert(r.getAs[Long]("n_trigrams") == ts.length)
+      val lps = ts.map { tr =>
+        if (c3.contains(tr))
+          math.round(math.log(c3(tr).toDouble / n3((tr._1, tr._2))) * 1e6)
+        else if (b2.contains((tr._2, tr._3)))
+          math.round(math.log(0.5 * b2((tr._2, tr._3)).toDouble / n1(tr._2)) * 1e6)
+        else
+          math.round(math.log(0.25 * u1.getOrElse(tr._3, 1L).toDouble / nn) * 1e6)
+      }
+      val backoff = ts.count(tr => !c3.contains(tr)).toLong
+      assert(r.getAs[Long]("n_backoff") == backoff, s"doc $id backoff count")
+      if (id % 2 == 0) assert(backoff == 0L, s"train doc $id must never back off")
+      else if (backoff > 0) anyBackoff = true
+      val want = BigDecimal(lps.sum.toDouble / (ts.length * 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("avg_logprob") == want, s"doc $id")
+      assert(r.getAs[Double]("avg_logprob") <= 0.0)
+    }
+    assert(anyBackoff, "held-out docs must exercise the backoff path")
+  }
+
   test("pipeline: composition equals intersecting the individual verified stages") {
     import org.apache.spark.sql.functions._
     val quality = TrainPrep.qualityRules(spark, sf).collect()
