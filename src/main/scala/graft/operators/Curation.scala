@@ -35,11 +35,15 @@ object Curation {
     * one window over the fingerprint for the cluster keeper, one
     * ordered output — two shuffles total regardless of corpus size.
     */
-  def curate(spark: SparkSession, dir: String,
-             minTokens: Int = 20, minQuality: Double = 0.25): DataFrame = {
+  /** The per-document curation SIGNALS (token count, quality score,
+    * content fingerprint) — ONE definition shared by the batch gate
+    * ([[curate]]) and the streaming gate
+    * ([[graft.streaming.CurateFollow]]), so the stream can never
+    * drift from the batch semantics it must agree with.
+    */
+  private[graft] def curateSignalsOf(documents: DataFrame): DataFrame = {
     val t = col("tk")
-    val byFp = Window.partitionBy(col("fp"))
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
       .select(
         col("doc_id"),
@@ -50,6 +54,13 @@ object Curation {
         round(
           least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
           (col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1))) * 0.5, 4))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("fp"))
+  }
+
+  def curate(spark: SparkSession, dir: String,
+             minTokens: Int = 20, minQuality: Double = 0.25): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    curateSignalsOf(Tables.documents(spark, dir))
       .withColumn("keeper", min(col("doc_id")).over(byFp))
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "short")

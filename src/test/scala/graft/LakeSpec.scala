@@ -889,6 +889,43 @@ class LakeSpec extends SparkSpec {
         s"extra ${streamed.toSet -- batchEdges}")
   }
 
+  test("CurateFollow: streamed decisions union to the exact batch gate on ordered arrival") {
+    import graft.streaming.{CurateFollow, LakeFollow}
+    import graft.operators.Curation
+    val root = Files.createTempDirectory("graft_curfollow_lake").toString
+    val marks = Files.createTempDirectory("graft_curfollow_marks").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val ids = docs.select("doc_id").collect().map(_.getAs[Long](0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val streamed = scala.collection.mutable.Map.empty[Long, (Long, Double, String)]
+    Seq(docs.filter(col("doc_id") < cut1),
+        docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        docs.filter(col("doc_id") >= cut2)).foreach { batch =>
+      batch.write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+      val inc = LakeFollow.poll(spark, root, marks).get
+      def decide() = CurateFollow.incrementDecisions(spark, root, marks, inc)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_tokens").toLong, r.getAs[Double]("quality"),
+            r.getAs[String]("reason"))).toMap
+      val d = decide()
+      assert(decide() == d, "pre-commit replay must reproduce identical decisions")
+      d.keys.foreach { id =>
+        assert(!streamed.contains(id), s"doc $id decided by two increments")
+      }
+      streamed ++= d
+      LakeFollow.commit(spark, root, marks, inc)
+    }
+    assert(LakeFollow.poll(spark, root, marks).isEmpty, "stream caught up")
+    val batch = Curation.curate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens").toLong, r.getAs[Double]("quality"),
+          r.getAs[String]("reason"))).toMap
+    assert(batch.values.exists(_._3 == "duplicate"), "corpus must exercise dup path")
+    assert(streamed.toMap == batch,
+      "streamed curation must equal the batch gate on doc_id-ordered arrival")
+  }
+
   test("lake_merged: pre-evolution files read as NULL scope_version, totals conserved") {
     import graft.operators.LakeAnalytics
     val rows = LakeAnalytics.mergedSchema(spark, sf).collect()
