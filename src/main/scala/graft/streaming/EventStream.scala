@@ -411,6 +411,33 @@ object EventStream {
       }
   }
 
+  /** Per-window VALUE QUANTILES — the p50/p95/p99 latency dashboard
+    * series as a stream (the streaming form of `logs_p95_approx`):
+    * `percentile_approx`'s mergeable QuantileSummaries sketch is the
+    * windowed state, so each open window holds a KB-scale sketch
+    * instead of its events, partial merges happen map-side per
+    * micro-batch, and closed windows emit and drop under the
+    * watermark — per-key state bounded regardless of event rate, the
+    * same discipline as [[windowedHeavyHitters]]. Returned quantiles
+    * are true sample elements with rank error ≤ n/accuracy (the spec
+    * asserts the order-statistic bounds against exact batch ranks).
+    */
+  def windowedQuantiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("q"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"),
+        element_at(col("q"), 3).as("p99"),
+        col("n"))
+
   def windowedHeavyHitters(events: DataFrame, m: Int = 64): DataFrame = {
     graft.functions.VectorFunctions.register(events.sparkSession)
     events

@@ -213,6 +213,38 @@ class IngestSpec extends SparkSpec {
     assert(got == want, "streaming result must equal batch result")
   }
 
+  test("EventStream: streamed windowed quantiles honor exact batch rank bounds") {
+    val dir = Files.createTempDirectory("graft_quant").toString
+    graft.sources.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(dir)
+    val streamed = EventStream.windowedQuantiles(EventStream.read(spark, dir))
+    val q = streamed.writeStream.format("memory").queryName("win_quant")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("win_quant").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"),
+          r.getAs[Long]("n")))
+    assert(got.nonEmpty)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("value")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (key, (p50, p95, p99, n)) =>
+      val vs = exact(key)
+      assert(n == vs.length, s"$key count")
+      assert(p50 <= p95 && p95 <= p99, s"$key monotone quantiles")
+      val slack = math.max(1, vs.length / 1000)
+      def bounds(f: Double, x: Double): Unit = {
+        val lo = vs(math.max(0, math.ceil(f * vs.length).toInt - 1 - slack))
+        val hi = vs(math.min(vs.length - 1, math.floor(f * vs.length).toInt + slack))
+        assert(lo <= x && x <= hi, s"$key p$f: $x outside [$lo, $hi]")
+      }
+      bounds(0.5, p50); bounds(0.95, p95); bounds(0.99, p99)
+    }
+  }
+
   test("EventStream: sliding windows — every event lands in exactly length/slide windows") {
     val dir = Files.createTempDirectory("graft_slide").toString
     graft.sources.Tables.events(spark, sf)
