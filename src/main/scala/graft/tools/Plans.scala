@@ -61,7 +61,11 @@ object Plans {
       "dedup_clusters" -> "connected components: the shown plan is the final labels projection; each HashMin round is ONE job over the persisted KB-scale edge set at loop parallelism (4 tasks), lineage truncated per round",
       "text_chunk" -> "RAG chunking: tokenize-once projection + explode(sequence) — 3-column ReadSchema, zero shuffles before the output sort, output ∝ chunks",
       "ann_pq" -> "product quantization: encode = map-only argmin over codebook literals; ADC scores are zip_with table lookups (no float dot in the heavy pass); shown plan is the exact rerank over the literal-IN pruned scan",
-      "corpus_split_clean" -> "leakage repair: broadcast label join onto the map-only split projection — the corpus never shuffles; cluster labels come from the KB-scale edge iteration")
+      "corpus_split_clean" -> "leakage repair: broadcast label join onto the map-only split projection — the corpus never shuffles; cluster labels come from the KB-scale edge iteration",
+      "lake_grep" -> "keyword search through the token-bloom sidecar: survivor paths feed the reader directly (pruned files never opened — the token predicate can't push down), row-level token filter on top",
+      "mix_budget" -> "hard token budget: (source×256) bucket totals via map-side-combined agg, running total over a ≤256-row frame, per-row cumsum window only inside budget-reachable buckets — sorted data ∝ budget, not corpus",
+      "dedup_rank" -> "integer PageRank: shown plan is the final degree join; each of the 5 rounds is one join+agg over the cached degree-annotated edge relation, lineage truncated per round",
+      "text_trigram_logprob" -> "stupid-backoff trigram LM: one tokenize+window pass; model tables are vocabulary-cardinality aggregates; scoring = n-gram-keyed equi-joins + broadcast scalar N, integer micro-nat CASE")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
