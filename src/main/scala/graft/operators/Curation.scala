@@ -259,12 +259,12 @@ object Curation {
     val symDeg = sym.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")).cache()
     symDeg.count()
-    // Per-round localCheckpoint, same as [[dedupClusters]]: the lazy
-    // depth-K alternative (one job for the whole recursion) measured
-    // ~50% SLOWER here — AQE re-optimizes the remaining plan at every
-    // stage boundary, so a deep chain pays quadratic planning for KB
-    // data; truncating lineage each round keeps every round's plan
-    // two-stage flat.
+    // Per-round localCheckpoint, same discipline as [[dedupClusters]]:
+    // the fully lazy depth-K plan measured ~50% slower (AQE
+    // re-optimizes the remaining plan at every stage boundary — deep
+    // chains pay quadratic planning for KB data), and checkpointing
+    // every second round measured the same as every round, so the
+    // simplest lineage-flat form wins.
     var rank = deg.select(col("src").as("id"), lit(1000000L).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
       rank = symDeg
