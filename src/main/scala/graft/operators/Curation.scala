@@ -240,7 +240,23 @@ object Curation {
     * truncated per round, and the KB-sized iteration frames coalesce
     * under AQE exactly as in [[dedupClusters]].
     */
-  def dedupRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def dedupRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame =
+    rankCache.computeIfAbsent((spark, dir, iters), { key =>
+      graft.SessionCaches.register(spark)(() => { rankCache.remove(key); () })
+      dedupRankBuild(spark, dir, iters)
+    })
+
+  /** Build-once memo for [[dedupRank]]: the K-round iteration ends in a
+    * materializing localCheckpoint, so the cached value is a tiny
+    * vertex-cardinality frame with flat lineage — consumers
+    * ([[dedupCanonical]], the contract query, specs) read it for free.
+    * Same immutable-corpus-per-session contract and [[graft
+    * .SessionCaches]] lifecycle as the shared edge set it derives from.
+    */
+  private val rankCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  private def dedupRankBuild(spark: SparkSession, dir: String, iters: Int): DataFrame = {
     val edges = Dedup.ngramJaccard(spark, dir).select(col("da"), col("db"))
     // Two structural reductions vs the textbook loop: (1) the edge
     // relation and per-source degree are loop-INVARIANT — pre-joined
@@ -283,6 +299,43 @@ object Curation {
     symDeg.unpersist()
     deg.unpersist()
     out
+  }
+
+  /** CANONICAL SELECTION — the decision [[dedupRank]] exists to make:
+    * per near-dup cluster, the keeper is the member the rest of the
+    * family orbits — the HIGHEST-CENTRALITY member (ties broken by
+    * minimum doc_id), a sharper choice than [[dedupClusters]]' min-id
+    * label when a family's true original attracted the most
+    * near-copies. Output per cluster: the canonical doc, its rank, and
+    * the family size — the table a curation pipeline joins against to
+    * drop the n_members−1 redundant copies.
+    *
+    * Scale shape: both inputs are vertex-cardinality control frames
+    * (∝ duplicated docs, not corpus), already memoized; the argmax is
+    * two mergeable aggregates (per-cluster max + tie-broken min), no
+    * window, and the per-cluster top table broadcasts back onto the
+    * labeled frame. The corpus itself is never touched.
+    *
+    * Oracle: the DuckDB side composes the recursive-CTE transitive
+    * closure (cluster labels) with the unrolled integer-micro-unit
+    * PageRank chain — both already hash-proven individually — so the
+    * hash-match certifies the full cluster→centrality→keeper
+    * composition, not just the pieces.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val lab = dedupClusters(spark, dir)
+      .join(dedupRank(spark, dir).select(col("doc_id"), col("rank_micro")),
+        Seq("doc_id"))
+    val top = lab.groupBy(col("cluster"))
+      .agg(max(col("rank_micro")).as("rank_micro"),
+           count(lit(1)).as("n_members"))
+    lab.select(col("cluster"), col("doc_id"), col("rank_micro"))
+      .join(broadcast(top), Seq("cluster", "rank_micro"))
+      .groupBy(col("cluster"), col("rank_micro"), col("n_members"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+      .select(col("cluster"), col("canonical_id"),
+        col("rank_micro"), col("n_members"))
+      .orderBy(col("cluster"))
   }
 
   /** Deterministic train/val/test split: the assignment is a pure

@@ -159,6 +159,35 @@ class CurationSpec extends SparkSpec {
       "rank must differentiate vertices on a non-regular graph")
   }
 
+  test("dedupCanonical: per-cluster argmax-by-centrality with min-id tie-break; aggregate plan; memoized rank") {
+    // memoization: two calls observe the same cached frame
+    assert(Curation.dedupRank(spark, sf) eq Curation.dedupRank(spark, sf),
+      "dedupRank must be memoized per (session, dir, iters)")
+    val got = Curation.dedupCanonical(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("rank_micro"), r.getAs[Long]("n_members")))
+    assert(got.nonEmpty)
+    // local replay composed from the two already-proven outputs
+    val clusters = Curation.dedupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    val ranks = Curation.dedupRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_micro")).toMap
+    val want = clusters.groupBy(_._2).toSeq.map { case (c, members) =>
+      val ranked = members.map { case (d, _) => (d, ranks(d)) }
+      val top = ranked.map(_._2).max
+      val canon = ranked.filter(_._2 == top).map(_._1).min
+      (c, canon, top, members.length.toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "canonical selection must equal the local argmax replay")
+    // every cluster elects exactly one canonical member of itself
+    val byDoc = clusters.toMap
+    got.foreach { case (c, canon, _, _) =>
+      assert(byDoc(canon) == c, s"canonical $canon must belong to cluster $c") }
+    // plan shape: mergeable aggregates, no window
+    val plan = Curation.dedupCanonical(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"canonical selection must not use a window:\n$plan")
+  }
+
   test("mixBudget: bucket-decomposed prefix equals the naive global cumsum, maximal") {
     import org.apache.spark.sql.functions._
     val budget = 700L
