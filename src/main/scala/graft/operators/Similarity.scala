@@ -245,18 +245,26 @@ object Similarity {
     */
   private[operators] def pqEncoded(df: DataFrame,
       books: Array[Array[(Int, Seq[Double])]], m: Int, sub: Int): DataFrame = {
-    val codeCols = (0 until m).map { j =>
-      val xj = slice(col("v"), j * sub + 1, sub)
-      val scores = array(books(j).map { case (_, cent) =>
-        dot(xj, typedlit(cent)) * -2.0 + lit(cent.map(x => x * x).sum)
-      }: _*)
-      (array_position(col(s"__s$j"), array_min(col(s"__s$j"))) - 1).cast("int") -> scores
-    }
-    codeCols.zipWithIndex.foldLeft(df) { case (d, ((_, scores), j)) =>
-      d.withColumn(s"__s$j", scores)
-    }
-      .withColumn("codes", array(codeCols.map(_._1): _*))
-      .drop((0 until m).map(j => s"__s$j"): _*)
+    // The codebooks ride as ONE m×k×sub literal (plus the m×k
+    // |c|² table) and the m×k per-centroid scores are nested
+    // higher-order LOOPS over it, not unrolled expressions: the
+    // unrolled form (256 separate dot+literal score columns collapsed
+    // into one projection) generated >64 KB of Java in a single
+    // method, janino refused it, and the whole encode stage silently
+    // fell out of whole-stage codegen into interpreted execution —
+    // the exact fate the map-only encode design is meant to avoid.
+    // Score arithmetic is unchanged (dot·(−2)+|c|², same IEEE order),
+    // so the emitted codes are bit-identical to the unrolled form.
+    val bLit = typedlit(books.map(_.map(_._2.toArray)))
+    val nLit = typedlit(books.map(_.map { case (_, c) => c.map(x => x * x).sum }))
+    df.withColumn("__B", bLit).withColumn("__N", nLit)
+      .withColumn("__S", expr(
+        s"""transform(__B, (bj, j) ->
+           |  zip_with(element_at(__N, j + 1), bj,
+           |    (nc, bc) -> graft_dot(slice(v, j * $sub + 1, $sub), bc) * -2.0D + nc))""".stripMargin))
+      .withColumn("codes",
+        expr("transform(__S, s -> CAST(array_position(s, array_min(s)) AS INT) - 1)"))
+      .drop("__B", "__N", "__S")
   }
 
   def annPq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64): DataFrame = {

@@ -65,6 +65,7 @@ object Plans {
       "lake_grep" -> "keyword search through the token-bloom sidecar: survivor paths feed the reader directly (pruned files never opened — the token predicate can't push down), row-level token filter on top",
       "mix_budget" -> "hard token budget: (source×256) bucket totals via map-side-combined agg, running total over a ≤256-row frame, per-row cumsum window only inside budget-reachable buckets — sorted data ∝ budget, not corpus",
       "dedup_rank" -> "integer PageRank: shown plan is the final degree join; each of the 5 rounds is one join+agg over the cached degree-annotated edge relation, lineage truncated per round",
+      "dedup_canonical" -> "per-cluster keeper: two mergeable aggregates over vertex-cardinality control frames + broadcast top-table join — no window, corpus untouched",
       "text_trigram_logprob" -> "stupid-backoff trigram LM: one tokenize+window pass; model tables are vocabulary-cardinality aggregates; scoring = n-gram-keyed equi-joins + broadcast scalar N, integer micro-nat CASE")
 
     val sb = new StringBuilder
@@ -72,6 +73,7 @@ object Plans {
     sb.append("Evidence for SURVEY.md §5 scale claims. Regenerate with\n")
     sb.append("`sbt \"runMain graft.tools.Plans <sfDir> <out>\"`.\n")
     headline.foreach { case (name, why) =>
+      System.err.println(s"[plans] $name")
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // let AQE finalize so the plan shows the executed shape
       sb.append(s"\n## $name\n\n_${why}_\n\n```\n")
