@@ -35,6 +35,9 @@ object Plans {
       "logs_heavy_hitters" -> "SpaceSaving summary: one partial/final ObjectHashAggregate pair, O(m) state, no per-user shuffle",
       "mm_frames" -> "frame fan-out via batched mapPartitions (DeserializeToObject/MapPartitions/SerializeFromObject), 1:N",
       "ann_ivf_index" -> "disk-backed IVF: probed cells as a literal IN in PartitionFilters — non-probed cell partitions never opened",
+      "ann_ivfpq" -> "IVFPQ: probed cells as PartitionFilters on the persisted code table, heavy pass is ADC table lookups (no float dot), exact rerank via literal-IN pruned scan",
+      "dedup_spans" -> "exact substring dedup: duplicated-gram semi-join, ONE doc-keyed collect_set agg, map-only indexed-lambda scrub — no token-level join",
+      "mm_neardup" -> "media near-dup: banded SimHash over byte shingles as one projection, candidates via (band,bucket) equi-join, hamming verify — only signatures shuffle, payloads stay put",
       "q24_waiting_suppliers" -> "Q21 shape: cached late set, semi+anti joins equi on l_orderkey with non-equi supplier guards",
       "lake_tail" -> "Grafana Logs panel on the lake: year/month/day bounds in PartitionFilters, TakeOrderedAndProject tail — only the window's day dirs are opened",
       "lake_resource_attrs" -> "resource_attributes JSON parsed once in the scan stage (codegen'd from_json), one (service,namespace) agg shuffle",
