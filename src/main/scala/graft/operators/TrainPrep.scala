@@ -481,6 +481,24 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared doc → (doc_id, source, toks) projection: the ONE token
+    * count both batch packers and the streaming packer
+    * ([[graft.streaming.PackFollow]]) consume, so the stream cannot
+    * drift from the batch bin/offset arithmetic.
+    */
+  private[graft] def docToksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), size(toks(col("text"))).as("toks"))
+
+  /** Shared span arithmetic over a frame carrying (toks, cum): bin =
+    * the segment the document's first token falls in, offset = its
+    * position inside that bin. Consumed by [[packManifest]] (corpus
+    * prefix-sum) and [[graft.streaming.PackFollow]] (carry +
+    * increment prefix-sum).
+    */
+  private[graft] def spanify(df: DataFrame, budget: Int): DataFrame =
+    df.withColumn("bin", expr(s"(cum - toks) div $budget"))
+      .withColumn("offset", col("cum") - col("toks") - col("bin") * budget)
+
   /** Sequence packing: concatenate documents in deterministic order and
     * cut at a `budget`-token boundary — each document's bin is the
     * segment its first token falls in (the standard pretraining
@@ -490,8 +508,7 @@ object TrainPrep {
   def packSequences(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
     val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("toks"))
+    docToksOf(Tables.documents(spark, dir))
       .withColumn("cum", sum(col("toks")).over(win))
       .withColumn("bin", expr(s"(cum - toks) div $budget"))
       .groupBy(col("source"), col("bin"))
@@ -550,11 +567,8 @@ object TrainPrep {
   def packManifest(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
     val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("toks"))
-      .withColumn("cum", sum(col("toks")).over(win))
-      .withColumn("bin", expr(s"(cum - toks) div $budget"))
-      .withColumn("offset", col("cum") - col("toks") - col("bin") * budget)
+    spanify(docToksOf(Tables.documents(spark, dir))
+      .withColumn("cum", sum(col("toks")).over(win)), budget)
       .groupBy(col("source"), col("bin"))
       .agg(
         sort_array(collect_list(struct(col("doc_id"), col("offset"), col("toks"))))

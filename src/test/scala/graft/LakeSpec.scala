@@ -926,6 +926,55 @@ class LakeSpec extends SparkSpec {
       "streamed curation must equal the batch gate on doc_id-ordered arrival")
   }
 
+  test("PackFollow: streamed spans equal the batch packer on ordered arrival; carry is per-source") {
+    import graft.streaming.{LakeFollow, PackFollow}
+    import graft.operators.TrainPrep
+    val root = Files.createTempDirectory("graft_packfollow_lake").toString
+    val marks = Files.createTempDirectory("graft_packfollow_marks").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val ids = docs.select("doc_id").collect().map(_.getAs[Long](0)).sorted
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val streamed = scala.collection.mutable.Map.empty[Long, (String, Int, Long, Long)]
+    Seq(docs.filter(col("doc_id") < cut1),
+        docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        docs.filter(col("doc_id") >= cut2)).foreach { batch =>
+      batch.write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+      val inc = LakeFollow.poll(spark, root, marks).get
+      def spans() = PackFollow.incrementSpans(spark, root, marks, inc)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("source"), r.getAs[Int]("toks"),
+            r.getAs[Long]("bin"), r.getAs[Long]("offset"))).toMap
+      val s = spans()
+      assert(spans() == s, "pre-commit replay must reproduce identical spans")
+      s.keys.foreach { id =>
+        assert(!streamed.contains(id), s"doc $id packed by two increments")
+      }
+      streamed ++= s
+      LakeFollow.commit(spark, root, marks, inc)
+    }
+    assert(LakeFollow.poll(spark, root, marks).isEmpty, "stream caught up")
+    // batch twin: the manifest's span lists, exploded to per-doc rows
+    val batch = TrainPrep.packManifest(spark, sf).select(
+        col("source"), col("bin"), explode(col("spans")).as("sp"))
+      .select(col("sp.doc_id"), col("source"), col("sp.toks"),
+        col("bin"), col("sp.offset"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Int]("toks"),
+          r.getAs[Long]("bin"), r.getAs[Long]("offset"))).toMap
+    assert(batch.values.exists(_._3 > 0), "corpus must fill more than one bin")
+    assert(streamed.toMap == batch,
+      "streamed packing must equal the batch packer on doc_id-ordered arrival")
+    // every offset lands inside its bin; carry state is source-cardinality
+    streamed.values.foreach { case (_, _, _, off) =>
+      assert(off >= 0 && off < 512, s"offset $off outside [0, budget)") }
+    val carry = PackFollow.carrySnapshot(spark, root, marks)
+    assert(carry.nonEmpty, "carry store populated after polls")
+    val nSources = docs.select("source").distinct().count()
+    assert(carry.get.count() <= nSources,
+      "carry state must stay at source cardinality")
+  }
+
   test("lake_merged: pre-evolution files read as NULL scope_version, totals conserved") {
     import graft.operators.LakeAnalytics
     val rows = LakeAnalytics.mergedSchema(spark, sf).collect()
