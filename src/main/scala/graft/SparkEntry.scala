@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_clusters"      -> ((s: SparkSession, d: String) => Curation.dedupClusters(s, d)),
     "dedup_rank"          -> ((s: SparkSession, d: String) => Curation.dedupRank(s, d)),
     "dedup_canonical"     -> ((s: SparkSession, d: String) => Curation.dedupCanonical(s, d)),
+    "dedup_keep"          -> ((s: SparkSession, d: String) => Curation.dedupKeep(s, d)),
     "text_quality_rules"  -> (TrainPrep.qualityRules _),
     "text_repetition"     -> (TrainPrep.repetition _),
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),
@@ -806,6 +807,75 @@ object SparkEntry {
         |FROM lab l JOIN top t
         |  ON l.cluster = t.cluster AND l.rank_micro = t.rank_micro
         |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
+    // the corpus-wide materialization of the canonical decision: same
+    // closure+PageRank composition, then a per-document status tag
+    "dedup_keep" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t,1) AS i FROM toks),
+        |sh3 AS (SELECT doc_id,
+        |  w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+        |    || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        | FROM tok QUALIFY lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, s FROM sh3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |je AS (SELECT p.da, p.db
+        |  FROM pairs p JOIN sz sa ON p.da=sa.doc_id JOIN sz sb ON p.db=sb.doc_id
+        |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.8),
+        |symc AS (SELECT da AS a, db AS b FROM je UNION SELECT db, da FROM je),
+        |verts AS (SELECT DISTINCT a FROM symc),
+        |rc(a, b) AS (SELECT a, a FROM verts
+        |  UNION SELECT rc.a, s.b FROM rc JOIN symc s ON rc.b = s.a),
+        |cl AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+        |  FROM rc GROUP BY 1),
+        |sym AS (SELECT da AS src, db AS dst FROM je UNION ALL SELECT db, da FROM je),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT e.dst, sum(r.r // g.deg) AS s FROM sym e
+        |  JOIN r0 r ON e.src=r.id JOIN deg g ON e.src=g.src GROUP BY 1),
+        |r1 AS (SELECT d.src AS id,
+        |  CAST(150000 + (85 * coalesce(c1.s,0)) // 100 AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN c1 ON d.src=c1.dst),
+        |c2 AS (SELECT e.dst, sum(r.r // g.deg) AS s FROM sym e
+        |  JOIN r1 r ON e.src=r.id JOIN deg g ON e.src=g.src GROUP BY 1),
+        |r2 AS (SELECT d.src AS id,
+        |  CAST(150000 + (85 * coalesce(c2.s,0)) // 100 AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN c2 ON d.src=c2.dst),
+        |c3 AS (SELECT e.dst, sum(r.r // g.deg) AS s FROM sym e
+        |  JOIN r2 r ON e.src=r.id JOIN deg g ON e.src=g.src GROUP BY 1),
+        |r3 AS (SELECT d.src AS id,
+        |  CAST(150000 + (85 * coalesce(c3.s,0)) // 100 AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN c3 ON d.src=c3.dst),
+        |c4 AS (SELECT e.dst, sum(r.r // g.deg) AS s FROM sym e
+        |  JOIN r3 r ON e.src=r.id JOIN deg g ON e.src=g.src GROUP BY 1),
+        |r4 AS (SELECT d.src AS id,
+        |  CAST(150000 + (85 * coalesce(c4.s,0)) // 100 AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN c4 ON d.src=c4.dst),
+        |c5 AS (SELECT e.dst, sum(r.r // g.deg) AS s FROM sym e
+        |  JOIN r4 r ON e.src=r.id JOIN deg g ON e.src=g.src GROUP BY 1),
+        |r5 AS (SELECT d.src AS id,
+        |  CAST(150000 + (85 * coalesce(c5.s,0)) // 100 AS BIGINT) AS r
+        |  FROM deg d LEFT JOIN c5 ON d.src=c5.dst),
+        |lab AS (SELECT cl.doc_id, cl.cluster, r5.r AS rank_micro
+        |  FROM cl JOIN r5 ON cl.doc_id = r5.id),
+        |top AS (SELECT cluster, max(rank_micro) AS rank_micro
+        |  FROM lab GROUP BY 1),
+        |canon AS (SELECT t.cluster,
+        |  CAST(min(l.doc_id) AS BIGINT) AS canonical_id
+        |  FROM lab l JOIN top t
+        |    ON l.cluster = t.cluster AND l.rank_micro = t.rank_micro
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  CASE WHEN cl.cluster IS NULL THEN 'unique'
+        |       WHEN d.doc_id = cn.canonical_id THEN 'canonical'
+        |       ELSE 'drop' END AS status
+        |FROM documents d
+        |LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |LEFT JOIN canon cn ON cl.cluster = cn.cluster
+        |ORDER BY d.doc_id""".stripMargin,
     "corpus_split_clean" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS t

@@ -338,6 +338,33 @@ object Curation {
       .orderBy(col("cluster"))
   }
 
+  /** The corpus-wide materialization of [[dedupCanonical]]'s decision —
+    * the pass a pipeline actually feeds downstream: every document
+    * tagged `unique` (no near-dup edge), `canonical` (its cluster's
+    * keeper), or `drop` (a redundant near-copy). Filtering to
+    * status != 'drop' yields the deduplicated corpus with the
+    * centrality-chosen representative of every family retained.
+    *
+    * Scale shape: ONE map-only pass over the corpus — both control
+    * tables (cluster labels and keepers, ∝ duplicated docs) broadcast
+    * onto it; the corpus itself never shuffles, the same discipline as
+    * [[corpusSplitClean]].
+    */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
+    val canon = dedupCanonical(spark, dir).select(col("cluster"), col("canonical_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(canon), Seq("cluster"), "left")
+      .withColumn("status",
+        when(col("cluster").isNull, "unique")
+          .when(col("doc_id") === col("canonical_id"), "canonical")
+          .otherwise("drop"))
+      .select(col("doc_id"), col("source"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split: the assignment is a pure
     * function of the document id (first md5 hex byte against fixed
     * thresholds — 240/8/8 of 256 by default), so it is reproducible

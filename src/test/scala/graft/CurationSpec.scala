@@ -188,6 +188,29 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"canonical selection must not use a window:\n$plan")
   }
 
+  test("dedupKeep: statuses partition the corpus; one canonical per cluster; corpus never shuffles") {
+    val got = Curation.dedupKeep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    val byStatus = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val clusters = Curation.dedupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    val canon = Curation.dedupCanonical(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("canonical_id"))).toMap
+    val clustered = clusters.map(_._1).toSet
+    // total: every doc tagged exactly once
+    assert(got.length == graft.sources.Tables.documents(spark, sf).count())
+    // unique ⇔ no near-dup edge
+    assert(byStatus("unique") == got.map(_._1).toSet -- clustered)
+    // canonical ⇔ the cluster keepers; drop = the other members
+    assert(byStatus("canonical") == canon.values.toSet)
+    assert(byStatus("drop") == clustered -- canon.values.toSet)
+    // the corpus side stays map-only: its scan feeds broadcast joins,
+    // never an exchange keyed by corpus rows before the final sort
+    val plan = Curation.dedupKeep(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"control tables must broadcast onto the corpus:\n$plan")
+  }
+
   test("mixBudget: bucket-decomposed prefix equals the naive global cumsum, maximal") {
     import org.apache.spark.sql.functions._
     val budget = 700L
