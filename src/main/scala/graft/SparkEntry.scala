@@ -94,6 +94,8 @@ object SparkEntry {
     "dedup_rank"          -> ((s: SparkSession, d: String) => Curation.dedupRank(s, d)),
     "dedup_canonical"     -> ((s: SparkSession, d: String) => Curation.dedupCanonical(s, d)),
     "dedup_keep"          -> ((s: SparkSession, d: String) => Curation.dedupKeep(s, d)),
+    "unigram_train"       -> ((s: SparkSession, d: String) => Unigram.train(s, d)),
+    "unigram_encode"      -> ((s: SparkSession, d: String) => Unigram.encode(s, d)),
     "text_quality_rules"  -> (TrainPrep.qualityRules _),
     "text_repetition"     -> (TrainPrep.repetition _),
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),

@@ -445,6 +445,11 @@ object VectorFunctions {
       require(exprs.length == 2, s"graft_dot(a, b) takes 2 arguments, got ${exprs.length}")
       DotProduct(exprs(0), exprs(1))
     },
+    "graft_unigram_segment" -> { exprs =>
+      require(exprs.length == 3,
+        s"graft_unigram_segment(word, pieces, costs) takes 3 arguments, got ${exprs.length}")
+      UnigramSegment(exprs(0), exprs(1), exprs(2))
+    },
     "graft_minhash" -> { exprs =>
       require(exprs.length == 1, s"graft_minhash(hashes) takes 1 argument, got ${exprs.length}")
       MinHashSignature(exprs.head)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Bpe
+import graft.operators.{Bpe, Unigram}
 
 /** BPE training vs a from-first-principles local reference: same
   * tokenization, same greedy single-pass merge rule, same
@@ -103,6 +103,115 @@ class BpeSpec extends SparkSpec {
     }
     // merges actually fired: some word holds a multi-char symbol
     assert(segs.exists(_.getSeq[String](1).exists(_.length > 1)))
+  }
+
+  // ---- unigram (SentencePiece-style) tokenizer ----
+
+  /** Local reference Viterbi with the expression's exact contract:
+    * min cost, UNK single chars at 20e6 micro-nats, ties prefer the
+    * longer final piece (scan l ascending, replace on < or == with
+    * larger l).
+    */
+  private def localViterbi(word: String, costs: Map[String, Long]): List[String] = {
+    val maxLen = (1 +: costs.keys.map(_.length).toSeq).max
+    val n = word.length
+    val inf = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(inf); best(0) = 0L
+    val back = Array.fill(n + 1)(0)
+    for (i <- 1 to n; l <- 1 to math.min(maxLen, i)) {
+      val piece = word.substring(i - l, i)
+      val pc = costs.get(piece) match {
+        case Some(c) => c
+        case None => if (l == 1) 20000000L else inf
+      }
+      if (pc < inf && best(i - l) < inf) {
+        val cand = best(i - l) + pc
+        if (cand < best(i) || (cand == best(i) && l > back(i))) {
+          best(i) = cand; back(i) = l
+        }
+      }
+    }
+    var pos = n; var out = List.empty[String]
+    while (pos > 0) { val l = back(pos); out = word.substring(pos - l, pos) :: out; pos -= l }
+    out
+  }
+
+  /** Local reference trainer: identical seed, hard-EM, pruning and
+    * micro-nat arithmetic as [[graft.operators.Unigram]].
+    */
+  private def localUnigram(texts: Seq[String]): Seq[(String, Long, Long)] = {
+    val words = texts.flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    def micro(total: Long, n: Long): Long =
+      Math.round(1e6 * (StrictMath.log(total.toDouble) - StrictMath.log(n.toDouble)))
+    def costsOf(counts: Seq[(String, Long)]): Map[String, (Long, Long)] = {
+      val total = counts.map(_._2).sum
+      counts.map { case (p, n) => p -> (n, micro(total, n)) }.toMap
+    }
+    val subCounts = collection.mutable.Map.empty[String, Long]
+    for ((w, cnt) <- words; i <- 0 until w.length; l <- 1 to math.min(6, w.length - i))
+      subCounts(w.substring(i, i + l)) = subCounts.getOrElse(w.substring(i, i + l), 0L) + cnt
+    val chars = subCounts.filter(_._1.length == 1).toSeq
+    val multi = subCounts.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(300)
+    var pieces = costsOf(chars ++ multi)
+    for (round <- 1 to 3) {
+      val usage = collection.mutable.Map.empty[String, Long]
+      val costs = pieces.map { case (p, (_, c)) => p -> c }
+      for ((w, cnt) <- words; piece <- localViterbi(w, costs))
+        usage(piece) = usage.getOrElse(piece, 0L) + cnt
+      val kept =
+        if (round < 3) usage.toSeq
+        else {
+          val (cs, ms) = usage.toSeq.partition(_._1.length == 1)
+          cs ++ ms.sortBy { case (p, n) => (-n, p) }.take(150)
+        }
+      pieces = costsOf(kept)
+    }
+    pieces.toSeq.map { case (p, (n, c)) => (p, n, c) }
+      .sortBy { case (p, n, _) => (-n, p) }
+  }
+
+  test("unigram_train matches the local Viterbi-EM replay piece-for-piece") {
+    val distributed = Unigram.train(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val local = localUnigram(texts)
+    assert(distributed.nonEmpty)
+    assert(distributed == local,
+      s"distributed head=${distributed.take(5)} local head=${local.take(5)}")
+    // the model kept something longer than a character
+    assert(distributed.exists(_._1.length > 1))
+  }
+
+  test("unigram segmentation is total and concatenates back to every vocabulary word") {
+    graft.functions.VectorFunctions.register(spark)
+    val pieces = Unigram.train(spark, sf).collect()
+    val ps = pieces.map(_.getString(0)).toSeq
+    val cs = pieces.map(_.getLong(2)).toSeq
+    val segs = graft.sources.Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as("word")).distinct()
+      .select(col("word"),
+        call_function("graft_unigram_segment", col("word"), typedlit(ps), typedlit(cs))
+          .as("pieces"))
+      .collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      assert(r.getSeq[String](1).mkString == r.getString(0),
+        s"segmentation must concatenate to '${r.getString(0)}'")
+    }
+  }
+
+  test("unigram_encode: word count <= subword count <= char count, deterministic") {
+    val rows = Unigram.encode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, s) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_subwords"))
+      assert(w <= s && s <= c, s"doc ${r.getAs[Long]("doc_id")}: $w <= $s <= $c")
+    }
+    val again = Unigram.encode(spark, sf).collect().map(_.toSeq)
+    assert(again.toSeq == rows.map(_.toSeq).toSeq, "encode must be deterministic")
   }
 
   test("encode: zero merges = letter counts; more merges never increase token count") {
