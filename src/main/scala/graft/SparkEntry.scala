@@ -39,6 +39,7 @@ object SparkEntry {
     "q17_conditional_agg" -> (Relational.q17ConditionalAgg _),
     "text_word_freq"      -> (TextAnalysis.wordFreq _),
     "text_tfidf"          -> (TextAnalysis.tfidf _),
+    "text_bm25"           -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "emb_centroids"       -> (Similarity.embCentroids _),
     "q9_asof"          -> (Temporal.q9AsOf _),
     "q10_range_join"   -> (Temporal.q10RangeJoin _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "corpus_split"        -> ((s: SparkSession, d: String) => Curation.corpusSplit(s, d)),
     "corpus_mix"          -> (Curation.corpusMix _),
     "mix_budget"          -> ((s: SparkSession, d: String) => Curation.mixBudget(s, d)),
+    "mix_temperature"     -> (Curation.mixTemperature _),
     "corpus_upsample"     -> ((s: SparkSession, d: String) => Curation.corpusUpsample(s, d)),
     "logs_scope_attrs"    -> (LogAnalytics.scopeAttrs _),
     "logs_dau_sketch"     -> (LogAnalytics.dauSketch _),
@@ -355,6 +357,31 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score_exact DESC, w) AS rnk FROM scored)
         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
+        | FROM documents),
+        |wl AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks FROM wl),
+        |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM (
+        |  SELECT doc_id, dl, unnest(list_filter(tk,
+        |    x -> x IN ('vector','join','stream'))) AS w FROM wl) GROUP BY 1,2,3),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT f.w,
+        |  CAST(round(ln(((CAST(g.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
+        |    / (CAST(f.df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro,
+        |  CAST(g.total_toks AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS avgdl
+        |  FROM dfreq f CROSS JOIN g),
+        |s AS (SELECT tf.doc_id, tf.dl,
+        |  CAST(round(CAST(i.idf_micro AS DOUBLE) *
+        |    ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+        |      + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / i.avgdl))))) AS BIGINT)
+        |    AS score_micro
+        |  FROM tf JOIN idf i ON tf.w = i.w)
+        |SELECT doc_id, dl, CAST(sum(score_micro) AS BIGINT) AS bm25_micro,
+        |  count(*) AS n_terms
+        |FROM s GROUP BY doc_id, dl
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
     "emb_centroids" ->
       """SELECT label, i-1 AS dim, round(avg(CAST(x AS DOUBLE)),4) AS c,
         | count(*) AS n
@@ -1103,6 +1130,24 @@ object SparkEntry {
         |  CAST(floor(((CAST(g.budget AS DOUBLE) * (1.0 / CAST(g.ns AS DOUBLE)))
         |    / CAST(s.src_toks AS DOUBLE)) * 4294967296.0) AS BIGINT) AS th
         |  FROM s CROSS JOIN g)
+        |SELECT d.doc_id, d.source, d.n_toks FROM d JOIN t ON d.source = t.source
+        |WHERE t.th >= 4294967296
+        |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
+        |ORDER BY d.doc_id""".stripMargin,
+    "mix_temperature" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  len(list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0)) AS n_toks
+        | FROM documents),
+        |s AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+        |q AS (SELECT source, src_toks,
+        |  CAST(floor(sqrt(CAST(src_toks AS DOUBLE)) * 65536.0) AS BIGINT) AS w_q FROM s),
+        |g AS (SELECT CAST(sum(src_toks) // 2 AS BIGINT) AS budget,
+        |  CAST(sum(w_q) AS BIGINT) AS sum_w FROM q),
+        |t AS (SELECT q.source,
+        |  CAST(floor(((CAST(g.budget AS DOUBLE)
+        |    * (CAST(q.w_q AS DOUBLE) / CAST(g.sum_w AS DOUBLE)))
+        |    / CAST(q.src_toks AS DOUBLE)) * 4294967296.0) AS BIGINT) AS th
+        |  FROM q CROSS JOIN g)
         |SELECT d.doc_id, d.source, d.n_toks FROM d JOIN t ON d.source = t.source
         |WHERE t.th >= 4294967296
         |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')

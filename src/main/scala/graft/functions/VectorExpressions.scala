@@ -450,6 +450,11 @@ object VectorFunctions {
         s"graft_unigram_segment(word, pieces, costs) takes 3 arguments, got ${exprs.length}")
       UnigramSegment(exprs(0), exprs(1), exprs(2))
     },
+    "graft_wordpiece_segment" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_wordpiece_segment(word, vocab) takes 2 arguments, got ${exprs.length}")
+      WordPieceSegment(exprs(0), exprs(1))
+    },
     "graft_minhash" -> { exprs =>
       require(exprs.length == 1, s"graft_minhash(hashes) takes 1 argument, got ${exprs.length}")
       MinHashSignature(exprs.head)

@@ -578,6 +578,57 @@ object Curation {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** TEMPERATURE-scaled source mixing — the multilingual-LM allocation
+    * rule (α-scaled sampling, as in mBERT/XLM-R data mixing): a global
+    * token budget (half the corpus) is split across sources
+    * proportional to `src_toks^α` with α = 1/2, flattening the source
+    * distribution so small domains keep a larger FRACTION of
+    * themselves than big ones, then each source is down-sampled to its
+    * allocation with the same deterministic md5/2³² Bernoulli
+    * threshold as [[corpusMix]]. A source whose allocation exceeds its
+    * size is kept whole (rate clamps at 1; this operator never
+    * up-samples — compose with [[corpusUpsample]] for epochs > 1).
+    *
+    * Determinism discipline: `sqrt` is IEEE-correctly-rounded on both
+    * engines, but a cross-source SUM of double sqrt values would
+    * depend on summation order — so the sqrt is quantized to integer
+    * 1/65536 units first and the cross-source sum is a BIGINT
+    * (order-independent), after which every double step happens in the
+    * same written order on both engines and the decision is a pure
+    * function of doc_id.
+    *
+    * Scale shape: identical to [[corpusMix]] — two control-plane
+    * aggregates broadcast back onto the corpus, then a map-only
+    * filter; the corpus itself never shuffles.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("src_toks"))
+      // α = 1/2 share weight, quantized so the cross-source sum is exact
+      .withColumn("w_q",
+        floor(sqrt(col("src_toks").cast("double")) * lit(65536.0)).cast("long"))
+    val global = perSource.agg(
+      expr("sum(src_toks) div 2").as("budget"),
+      sum(col("w_q")).as("sum_w"))
+    // rate = (budget * (w_q / sum_w)) / src_toks, every step
+    // double-precision in this exact order on both engines
+    val th = floor(
+      ((col("budget").cast("double") *
+        (col("w_q").cast("double") / col("sum_w").cast("double"))) /
+        col("src_toks").cast("double")) * lit(4294967296.0)).cast("long")
+    docs
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(global))
+      .withColumn("th", th)
+      .filter(col("th") >= 4294967296L ||
+        upper(substring(md5(col("doc_id").cast("string")), 1, 8)) <
+          lpad(hex(col("th")), 8, "0"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES
     * with exponential keys): each document gets key `-ln(u)/w` from a
     * DETERMINISTIC md5-derived uniform `u` and weight `w` = token

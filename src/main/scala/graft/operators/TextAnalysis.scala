@@ -124,6 +124,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** BM25 keyword retrieval (Lucene/Okapi variant, k1 = 1.2, b = 0.75):
+    * top-k documents for a fixed conjunctive term set, the classic
+    * sparse-retrieval baseline next to the ANN dense ladder.
+    *
+    * Determinism discipline: the one transcendental per term —
+    * `ln((N − df + ½)/(df + ½) + 1)` — is rounded to integer
+    * MICRO-NATS (the [[TrainPrep]] logprob convention; both engines'
+    * libm agree far beyond 1e-6 relative), the length normalization is
+    * IEEE-exact division/multiply in one written order, and the final
+    * per-(doc, term) score is rounded back to an integer so the
+    * per-document SUM is order-independent — hash-exact vs the oracle.
+    *
+    * Scale shape: the token array is filtered to query terms BEFORE
+    * exploding, so the exploded relation is ∝ query-term hits, not
+    * corpus tokens; df and the corpus aggregate are control-plane
+    * one-row/|Q|-row frames broadcast back; top-k is TakeOrdered (no
+    * global sort). At 100 TB this is exactly the scatter-gather a
+    * sparse index would do, minus the precomputed postings — compose
+    * with [[graft.sources.LakeIndex]]-style sidecars to skip files
+    * with zero hits.
+    */
+  def bm25(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val qTerms = Seq("vector", "join", "stream")
+    val withLen = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    val global = withLen.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("tk"), x => x.isInCollection(qTerms))).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(global))
+      .withColumn("idf_micro",
+        expr("CAST(round(ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)" +
+          " / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT)"))
+      .withColumn("avgdl",
+        col("total_toks").cast("double") / col("n_docs").cast("double"))
+      .select(col("w"), col("idf_micro"), col("avgdl"))
+    tf.join(broadcast(docFreq), "w")
+      .withColumn("norm",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("score_micro",
+        round(col("idf_micro").cast("double") * col("norm")).cast("long"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("score_micro")).as("bm25_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Canonical document fingerprint: md5 of the sorted distinct
     * lowercase token set (OpenRefine-style fingerprinting), plus the
     * fingerprint's cluster size.

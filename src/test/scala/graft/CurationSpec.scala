@@ -131,6 +131,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixTemperature: α=1/2 allocation equals an exact local replay and flattens shares") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val all = docs.selectExpr("doc_id", "source",
+        "size(filter(split(lower(text),'\\\\s+'), x -> x != '')) AS t")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("t").toLong))
+    // local replay: the decision is a pure function of (doc_id, source totals)
+    val srcTotals = all.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wq = srcTotals.view.mapValues(t => math.floor(math.sqrt(t.toDouble) * 65536.0).toLong).toMap
+    val budget = srcTotals.values.sum / 2
+    val sumW = wq.values.sum
+    val th = srcTotals.map { case (s, toks) =>
+      s -> math.floor(((budget.toDouble * (wq(s).toDouble / sumW.toDouble)) /
+        toks.toDouble) * 4294967296.0).toLong
+    }
+    val wantKept = all.filter { case (id, s, _) =>
+      val h8 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map(b => f"$b%02X").mkString
+      th(s) >= 4294967296L || h8 < f"${th(s)}%08X"
+    }.map(_._1).toSet
+    val got = Curation.mixTemperature(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(got == wantKept, "distributed decisions must equal the local md5 replay")
+    assert(got.nonEmpty && got.size < all.length, "a strict, non-empty subsample")
+    // flattening: the keep RATE min(1, rate) never increases with source size
+    val rate = srcTotals.map { case (s, toks) =>
+      s -> math.min(1.0, th(s).toDouble / 4294967296.0) }
+    val bySize = srcTotals.toSeq.sortBy(_._2).map(_._1)
+    bySize.sliding(2).foreach { case Seq(small, big) =>
+      assert(rate(small) >= rate(big) - 1e-9,
+        s"smaller source $small must keep at least the rate of $big")
+    case _ => ()
+    }
+  }
+
   test("dedupRank: distributed integer PageRank equals a local adjacency replay") {
     val got = Curation.dedupRank(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("degree"),
