@@ -20,17 +20,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 reads only
-    * as a nanos long (spark.sql.legacy.parquet.nanosAsLong). Truncate
-    * to µs and surface a real timestamp — matching DuckDB, which also
-    * truncates ns → its µs-precision TIMESTAMP.
+  /** `events.ts` tolerates every parquet timestamp encoding the
+    * reference stack produces (reference: README.md:94 — otlp2parquet
+    * writes DateTime64(6)-equivalent µs timestamps, isAdjustedToUTC=0):
+    *
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=0) → Spark 4 infers
+    *    TIMESTAMP_NTZ; the session TZ is pinned UTC everywhere
+    *    (GraftSession), so `cast(TimestampType)` is an exact relabel —
+    *    no instant shifts, and `unix_micros`/`window`/watermarks work.
+    *  - TIMESTAMP(NANOS) → Spark reads a nanos long
+    *    (spark.sql.legacy.parquet.nanosAsLong); truncate to µs,
+    *    matching DuckDB's µs-precision TIMESTAMP.
+    *  - TIMESTAMP(MICROS, adjusted) → already TimestampType, pass-through.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Schema-tolerant ts normalization (see [[events]]); applied at the
+    * load seam so every downstream operator sees one `TimestampType`
+    * column regardless of the writer's parquet flavor.
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema(tsCol).dataType match {
+      case LongType         => raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType => raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Events restricted to [from, until) — the time predicate is applied
@@ -41,16 +58,20 @@ object Tables {
     * bounds is exact.
     */
   def eventsBetween(s: SparkSession, d: String, fromIso: String, untilIso: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.functions.{col, lit}
     val raw = table(s, d, "events")
     def nanos(iso: String): Long =
       java.time.LocalDateTime.parse(iso + "T00:00:00")
         .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.filter(col("ts") >= nanos(fromIso) && col("ts") < nanos(untilIso))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      raw.filter(col("ts") >= lit(fromIso) && col("ts") < lit(untilIso))
+    val filtered =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.filter(col("ts") >= nanos(fromIso) && col("ts") < nanos(untilIso))
+      else
+        // String bounds coerce to the column's own timestamp flavor
+        // (TIMESTAMP or TIMESTAMP_NTZ) so the comparison still reaches
+        // the parquet scan as a pushed filter.
+        raw.filter(col("ts") >= lit(fromIso) && col("ts") < lit(untilIso))
+    normalizeTs(filtered)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

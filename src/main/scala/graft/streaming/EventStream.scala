@@ -13,15 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** Streaming DF over a directory of events parquet (ns → µs
-    * conversion applied, matching [[graft.sources.Tables.events]]).
+  /** Streaming DF over a directory of events parquet (ns-long / µs-NTZ
+    * timestamp normalization applied, matching
+    * [[graft.sources.Tables.events]] — watermarks need TimestampType).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(path)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.sources.Tables.normalizeTs(raw)
   }
 
   /** Streaming exact dedup on event_id ONLY: a replayed event with the
