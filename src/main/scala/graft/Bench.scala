@@ -68,6 +68,9 @@ object Bench {
     // pre-train the memoized unigram piece table (Viterbi-EM rounds)
     // so unigram_train/unigram_encode measure lookup/application
     warm("unigram")(graft.operators.Unigram.train(spark, sfDir).count())
+    // pre-train the memoized WordPiece merge table (30 likelihood
+    // rounds) so wordpiece_train/wordpiece_encode measure consumption
+    warm("wordpiece")(graft.operators.Wordpiece.train(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).
@@ -168,5 +171,18 @@ object Bench {
     println(line(v => f"$v%.2f"))
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"failed":${fmtList(failed)},"sf":"$sfDir"}""")
     spark.stop()
+    // A run with ANY failed query must not look healthy: the round-6
+    // artifact recorded 21 analysis failures as fast-looking ~0.06 s
+    // entries and nothing tripped. Banner + nonzero exit make the
+    // driver's rc capture (and any CI wrapper) see red.
+    if (failed.nonEmpty) {
+      System.err.println(
+        "[bench] ########################################################")
+      System.err.println(
+        s"[bench] ## RED: ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
+      System.err.println(
+        "[bench] ########################################################")
+      sys.exit(1)
+    }
   }
 }

@@ -97,6 +97,8 @@ object SparkEntry {
     "dedup_keep"          -> ((s: SparkSession, d: String) => Curation.dedupKeep(s, d)),
     "unigram_train"       -> ((s: SparkSession, d: String) => Unigram.train(s, d)),
     "unigram_encode"      -> ((s: SparkSession, d: String) => Unigram.encode(s, d)),
+    "wordpiece_train"     -> ((s: SparkSession, d: String) => Wordpiece.train(s, d)),
+    "wordpiece_encode"    -> ((s: SparkSession, d: String) => Wordpiece.encode(s, d)),
     "text_quality_rules"  -> (TrainPrep.qualityRules _),
     "text_repetition"     -> (TrainPrep.repetition _),
     "text_pii_scrub"      -> (TrainPrep.piiScrub _),

@@ -59,8 +59,10 @@ case class UnigramSegment(first: Expression, second: Expression, third: Expressi
       s"graft_unigram_segment: ${ps.numElements()} pieces vs ${cs.numElements()} costs")
     val m = new java.util.HashMap[String, java.lang.Long](ps.numElements() * 2)
     var i = 0
+    // skip null entries: the type check admits containsNull arrays
     while (i < ps.numElements()) {
-      m.put(ps.getUTF8String(i).toString, cs.getLong(i))
+      if (!ps.isNullAt(i) && !cs.isNullAt(i))
+        m.put(ps.getUTF8String(i).toString, cs.getLong(i))
       i += 1
     }
     m

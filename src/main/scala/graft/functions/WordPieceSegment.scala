@@ -43,7 +43,11 @@ case class WordPieceSegment(left: Expression, right: Expression)
     val vs = right.eval().asInstanceOf[ArrayData]
     val s = new java.util.HashSet[String](vs.numElements() * 2)
     var i = 0
-    while (i < vs.numElements()) { s.add(vs.getUTF8String(i).toString); i += 1 }
+    // skip null elements: the type check admits containsNull arrays
+    while (i < vs.numElements()) {
+      if (!vs.isNullAt(i)) s.add(vs.getUTF8String(i).toString)
+      i += 1
+    }
     s
   }
 

@@ -153,7 +153,41 @@ object Curation {
     * COUNT crosses the driver. No SQL oracle (iterative); the spec
     * checks exact agreement with a local union-find at small sf.
     */
-  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    clusterCache.computeIfAbsent((spark, dir, maxIters), { key =>
+      graft.SessionCaches.register(spark)(() => { clusterCache.remove(key); () })
+      dedupClustersBuild(spark, dir, maxIters)
+    })
+
+  /** Build-once memo for [[dedupClusters]] — the [[dedupRank]]
+    * `rankCache` discipline applied to the labels: the iteration ends
+    * in a materializing localCheckpoint, so the cached value is a tiny
+    * vertex-cardinality frame with flat lineage, and the
+    * canonical/keep/split_clean chain (which consumes the labels 3×)
+    * pays the HashMin rounds once per (session, corpus) instead of per
+    * query — the round-6 bench showed dedup_keep's cold path paying
+    * the chain ~3× its warm time.
+    */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  /** Conditional broadcast for near-dup control tables — the
+    * [[graft.sources.LakeDml]] `maxRewriteFiles` honesty discipline
+    * applied to join strategy: these frames scale with the NEAR-DUP
+    * POPULATION (∝ duplication rate × corpus), not with a constant, so
+    * at a 100 TB corpus with a typical 10–30% dup rate an unconditional
+    * `broadcast()` hint would ship tens of GBs to every executor (or
+    * OOM the driver). Rows ≤ `maxRows` (~tens of MB of (long, long)
+    * pairs) → broadcast hint; above → NO hint, and the same plan runs
+    * the join as a shuffle join (AQE still free to pick better). The
+    * count is a cheap job: every frame passed here is memoized +
+    * checkpoint-flattened. Spec proves both paths agree.
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame,
+                                      maxRows: Long = 1000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
+  private def dedupClustersBuild(spark: SparkSession, dir: String, maxIters: Int): DataFrame = {
     val edges = Dedup.ngramJaccard(spark, dir)
       .select(col("da"), col("db")).cache()
     // Materialize the edge set at FULL session parallelism (this is
@@ -346,17 +380,22 @@ object Curation {
     * centrality-chosen representative of every family retained.
     *
     * Scale shape: ONE map-only pass over the corpus — both control
-    * tables (cluster labels and keepers, ∝ duplicated docs) broadcast
-    * onto it; the corpus itself never shuffles, the same discipline as
-    * [[corpusSplitClean]].
+    * tables (cluster labels and keepers, ∝ duplicated docs) join onto
+    * it via [[broadcastIfSmall]] (broadcast while they fit, shuffle
+    * join above the guard — the corpus side still never does MORE than
+    * one shuffle); the same discipline as [[corpusSplitClean]].
     */
-  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepImpl(spark, dir, 1000000L)
+
+  private[graft] def dedupKeepImpl(spark: SparkSession, dir: String,
+                                   maxBroadcastRows: Long): DataFrame = {
     val labels = dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
     val canon = dedupCanonical(spark, dir).select(col("cluster"), col("canonical_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
-      .join(broadcast(canon), Seq("cluster"), "left")
+      .join(broadcastIfSmall(labels, maxBroadcastRows), Seq("doc_id"), "left")
+      .join(broadcastIfSmall(canon, maxBroadcastRows), Seq("cluster"), "left")
       .withColumn("status",
         when(col("cluster").isNull, "unique")
           .when(col("doc_id") === col("canonical_id"), "canonical")
@@ -372,14 +411,20 @@ object Curation {
     * lands in a split without touching existing assignments. A pure
     * shuffle-free projection: at 100 TB this is a map-only pass.
     */
+  /** The split rule as a pure expression of an id column — exposed so
+    * consumers can evaluate "the split of doc X" WITHOUT joining the
+    * corpus (e.g. [[corpusSplitClean]] derives the keeper's split
+    * directly from the cluster label).
+    */
+  private def splitExpr(id: Column, valFrom: String, testFrom: String): Column = {
+    val h2 = substring(md5(id.cast("string")), 1, 2)
+    when(h2 < valFrom, "train").when(h2 < testFrom, "val").otherwise("test")
+  }
+
   def corpusSplit(spark: SparkSession, dir: String,
                   valFrom: String = "f0", testFrom: String = "f8"): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
-      .withColumn("split",
-        when(col("h2") < valFrom, "train")
-          .when(col("h2") < testFrom, "val")
-          .otherwise("test"))
+      .withColumn("split", splitExpr(col("doc_id"), valFrom, testFrom))
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
@@ -396,24 +441,30 @@ object Curation {
     * stages instead of raw [[corpusSplit]].
     *
     * Scale shape: cluster labels come from the (tiny) edge-set
-    * iteration; the repair itself is one broadcast-size join of the
-    * label table onto the map-only split projection — the corpus
-    * never shuffles. Oracle: DuckDB replays the clusters with a real
-    * `WITH RECURSIVE` transitive closure (exact on the small edge
-    * set), so the hash-match certifies engine == SQL-semantics
+    * iteration and join onto the map-only split projection via
+    * [[broadcastIfSmall]] (the label table is ∝ the near-dup
+    * population — guarded, not assumed broadcastable); the keeper's
+    * split needs NO second join at all, because the split is a pure
+    * function of the id — `splitExpr(cluster)` IS the keeper's split
+    * (the round-6 form broadcast the whole corpus-sized split
+    * projection keyed by keeper id to compute the same value). The
+    * corpus never shuffles. Oracle: DuckDB replays the clusters with
+    * a real `WITH RECURSIVE` transitive closure (exact on the small
+    * edge set), so the hash-match certifies engine == SQL-semantics
     * cluster-coherent splitting.
     */
-  def corpusSplitClean(spark: SparkSession, dir: String): DataFrame = {
+  def corpusSplitClean(spark: SparkSession, dir: String): DataFrame =
+    corpusSplitCleanImpl(spark, dir, 1000000L)
+
+  private[graft] def corpusSplitCleanImpl(spark: SparkSession, dir: String,
+                                          maxBroadcastRows: Long): DataFrame = {
     val labels = dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster"))
-    val splits = corpusSplit(spark, dir)
-    val keeperSplit = splits
-      .select(col("doc_id").as("cluster"), col("split").as("keeper_split"))
-    splits
-      .join(broadcast(labels), Seq("doc_id"), "left")
-      .join(broadcast(keeperSplit), Seq("cluster"), "left")
+    corpusSplit(spark, dir)
+      .join(broadcastIfSmall(labels, maxBroadcastRows), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("split").as("split_orig"),
-        coalesce(col("keeper_split"), col("split")).as("split"))
+        when(col("cluster").isNull, col("split"))
+          .otherwise(splitExpr(col("cluster"), "f0", "f8")).as("split"))
       .orderBy(col("doc_id"))
   }
 

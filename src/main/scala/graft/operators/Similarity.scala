@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.plans.TopK
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table.
@@ -30,6 +30,40 @@ object Similarity {
     df.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
 
+  /** Final per-query top-k of a scored (q_id[, extra...], vec_id, cos)
+    * frame through the bounded-heap operator
+    * ([[graft.plans.TopKPerGroupExec]], rank emitted by the operator
+    * itself) — NOT `row_number().over(partitionBy(q_id))`: the window
+    * form sorts each query's ENTIRE candidate list in one task (a
+    * corpus-sized sort per query at |Q|=10, a scale-killer for a real
+    * query batch), where the heap does one O(n log k) scan and holds
+    * k rows per query.
+    */
+  private def rankedTop(scored: DataFrame, k: Int = 5,
+                        extra: Seq[String] = Nil): DataFrame =
+    TopK.perGroupRanked(scored, Seq("q_id"), "cos", "vec_id", k)
+      .select((col("q_id") +: extra.map(col)) ++
+        Seq(col("vec_id"), col("rank"), round(col("cos"), 4).as("cos")): _*)
+      .orderBy(col("q_id"), col("rank"))
+
+  /** Exact cosine rerank of a DISTRIBUTED candidate set (q_id, vec_id):
+    * the float corpus streams once; the candidate set and the query
+    * frame ride as broadcast hash joins. No driver collect and no
+    * literal-IN anywhere — |Q|·c candidate rows never cross the
+    * driver, the shape that survives a real query batch (the previous
+    * collect-into-`isin` form was control-plane-sized only at |Q|=10).
+    */
+  private def exactRerank(spark: SparkSession, dir: String,
+                          cands: DataFrame, k: Int = 5): DataFrame = {
+    val ef = withNorm(Tables.embeddings(spark, dir))
+    val qf = ef.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    rankedTop(ef.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qf), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), cosx.as("cos")), k)
+  }
+
   /** Exact cosine top-5 neighbors for query vectors (vec_id < 10). */
   def annTopk(spark: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(spark)
@@ -40,13 +74,8 @@ object Similarity {
     // stream the CORPUS, broadcast the tiny query set: the build side of
     // the nested-loop join must be the 10-row side — broadcasting the
     // corpus would ship the whole table to every executor at 100 TB
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosc.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    rankedTop(e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosc.as("cos")))
   }
 
   /** Per-label centroids, one row per (label, dimension): posexplode →
@@ -116,14 +145,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
               explode(topCells(col("v"), nprobe)).as("cell"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    q.join(e, Seq("cell"))
+    rankedTop(q.join(e, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosc.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .select(col("q_id"), col("vec_id"), cosc.as("cos")))
   }
 
   /** Plane count sized to the corpus: 2^planes buckets targeting ~64
@@ -136,13 +160,14 @@ object Similarity {
     * BINARY — a quarter of the float32 bytes in storage/cache/shuffle)
     * and ranks by integer cosine (codegen'd [[graft.functions.Dot8]],
     * exact long arithmetic — per-vector scales cancel in cosine); the
-    * top-`c` candidates per query are then RERANKED exactly on the
-    * float vectors, reading only the candidate rows (literal `isin`
-    * pushed to the scan — |Q|·c ids, control-plane sized, same pattern
-    * as the IVF probe set). At scale the quantized pass does all the
-    * heavy reading at 1/4 the bytes; the float fetch touches ~|Q|·c
-    * rows. Candidate overfetch c ≫ k absorbs the ≤1/127-per-element
-    * quantization error (spec: recall@5 vs exact ≥ 0.95).
+    * top-`c` candidates per query (bounded-heap [[graft.plans.TopK]],
+    * no per-query sort) stay a DISTRIBUTED frame and are RERANKED
+    * exactly on the float vectors via a broadcast hash join — no
+    * driver collect, no literal-IN, so the shape holds for a real
+    * query batch, not just |Q|=10. At scale the quantized pass does
+    * all the heavy reading at 1/4 the bytes. Candidate overfetch
+    * c ≫ k absorbs the ≤1/127-per-element quantization error (spec:
+    * recall@5 vs exact ≥ 0.95).
     */
   def annQuantized(spark: SparkSession, dir: String, c: Int = 32): DataFrame = {
     VectorFunctions.register(spark)
@@ -154,32 +179,15 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("b").as("qb"), col("bn").as("qbn"))
     val cos8 = call_function("graft_dot8", col("qb"), col("b")).cast("double") /
       (col("qbn") * col("bn"))
-    // candidate (q_id, vec_id) pairs cross the driver ONCE: |Q|*c rows
-    // — control-plane sized, and the id set prunes the exact-rerank
-    // scan as a literal IN the same way the IVF probe cells do
-    val candPairs = e8.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cos8.as("cos8"))
-      .withColumn("r8", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos8").desc, col("vec_id"))))
-      .filter(col("r8") <= c)
+    // top-c candidates per query via the bounded-heap operator — the
+    // candidate set STAYS a DataFrame (|Q|·c rows, broadcast into the
+    // rerank join); nothing crosses the driver
+    val cands = TopK.perGroup(
+        e8.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cos8.as("cos8")),
+        keys = Seq("q_id"), score = "cos8", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    import spark.implicits._
-    val cands = candPairs.toDF("q_id", "vec_id")
-    val candIds = candPairs.map(_._2).distinct
-    val ef = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id").isin(candIds: _*) ||
-      col("vec_id") < 10))
-    val qf = ef.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    ef.join(broadcast(cands), Seq("vec_id"))
-      .join(broadcast(qf), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), cosx.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    exactRerank(spark, dir, cands)
   }
 
   /** PRODUCT-QUANTIZED ANN (Jégou et al.'s PQ — the memory-bound
@@ -201,8 +209,9 @@ object Similarity {
     * lookups — `zip_with(codes, tables, element_at)` + `aggregate` —
     * never a float-vector dot, which is what makes the heavy pass
     * cheap at scale. Exact norms ride along so the ADC score ranks
-    * cosine, not raw inner product. Top-c candidates per query rerank
-    * EXACTLY on float vectors through the same literal-IN pruned scan
+    * cosine, not raw inner product. Top-c candidates per query
+    * (bounded-heap [[graft.plans.TopK]]) stay distributed and rerank
+    * EXACTLY on float vectors through the same broadcast-join rerank
     * as [[annQuantized]]. Approximate → rows-only; spec asserts
     * recall@5 vs [[annTopk]].
     */
@@ -293,29 +302,12 @@ object Similarity {
     val adc = expr(
       "aggregate(zip_with(codes, tables, (cd, t) -> element_at(t, cd + 1)), 0D, (a, x) -> a + x)") /
       (col("qn") * col("nrm"))
-    val candPairs = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), adc.as("adc"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("r") <= c)
+    val cands = TopK.perGroup(
+        coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), adc.as("adc")),
+        keys = Seq("q_id"), score = "adc", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    base.unpersist() // candidates are materialized; the rerank reads the source scan
-    val cands = candPairs.toDF("q_id", "vec_id")
-    val candIds = candPairs.map(_._2).distinct
-    val ef = withNorm(Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(candIds: _*) || col("vec_id") < 10))
-    val qf = ef.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    ef.join(broadcast(cands), Seq("vec_id"))
-      .join(broadcast(qf), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), cosx.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    exactRerank(spark, dir, cands)
   }
 
   private[operators] def derivePlanes(corpusSize: Long): Int =
@@ -346,14 +338,9 @@ object Similarity {
       .withColumn("bucket", col("qb").bitwiseXOR(col("flip")))
       .drop("flip", "qb")
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    qProbed.join(e, Seq("bucket"))
+    rankedTop(qProbed.join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosc.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .select(col("q_id"), col("vec_id"), cosc.as("cos")))
   }
 
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
@@ -409,36 +396,19 @@ object Similarity {
     * anywhere in the probed scan. Per-query state (probe cells, ADC
     * tables, norm) is computed driver-side from the |Q| collected
     * query vectors — control-plane sized. Top-`c` candidates per query
-    * rerank EXACTLY on float vectors through the same literal-IN
-    * pruned source scan as [[annQuantized]]/[[annPq]].
+    * (bounded-heap [[graft.plans.TopK]]) stay distributed and rerank
+    * EXACTLY on float vectors through the same broadcast-join rerank
+    * as [[annQuantized]]/[[annPq]].
     * Approximate → rows-only; spec asserts recall@5 vs [[annTopk]],
     * the partition pruning, and the dot-free probed plan.
     */
   def annIvfPq(spark: SparkSession, dir: String, nprobe: Int = 6,
                m: Int = 16, c: Int = 64): DataFrame = {
     VectorFunctions.register(spark)
-    import spark.implicits._
-    val candPairs = ivfPqScores(spark, dir, nprobe, m)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("r") <= c)
+    val cands = TopK.perGroup(ivfPqScores(spark, dir, nprobe, m),
+        keys = Seq("q_id"), score = "adc", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val cands = candPairs.toDF("q_id", "vec_id")
-    val candIds = candPairs.map(_._2).distinct
-    val ef = withNorm(Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(candIds: _*) || col("vec_id") < 10))
-    val qf = ef.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    ef.join(broadcast(cands), Seq("vec_id"))
-      .join(broadcast(qf), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"), cosx.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    exactRerank(spark, dir, cands)
   }
 
   /** The heavy pass of [[annIvfPq]], exposed unevaluated so the spec
@@ -500,14 +470,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
               col("v").as("qv"), col("nrm").as("qn"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    e.join(broadcast(q),
+    rankedTop(e.join(broadcast(q),
         col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("label"), col("vec_id"), cosc.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("label"), col("vec_id"), col("rank"),
-              round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .select(col("q_id"), col("label"), col("vec_id"), cosc.as("cos")),
+      k, extra = Seq("label"))
   }
 }

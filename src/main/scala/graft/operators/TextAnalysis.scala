@@ -125,8 +125,9 @@ object TextAnalysis {
   }
 
   /** BM25 keyword retrieval (Lucene/Okapi variant, k1 = 1.2, b = 0.75):
-    * top-k documents for a fixed conjunctive term set, the classic
-    * sparse-retrieval baseline next to the ANN dense ladder.
+    * top-k documents for a fixed query term set (disjunctive — any
+    * matching term scores), the classic sparse-retrieval baseline next
+    * to the ANN dense ladder.
     *
     * Determinism discipline: the one transcendental per term —
     * `ln((N − df + ½)/(df + ½) + 1)` — is rounded to integer
@@ -136,27 +137,38 @@ object TextAnalysis {
     * per-(doc, term) score is rounded back to an integer so the
     * per-document SUM is order-independent — hash-exact vs the oracle.
     *
-    * Scale shape: the token array is filtered to query terms BEFORE
-    * exploding, so the exploded relation is ∝ query-term hits, not
-    * corpus tokens; df and the corpus aggregate are control-plane
-    * one-row/|Q|-row frames broadcast back; top-k is TakeOrdered (no
-    * global sort). At 100 TB this is exactly the scatter-gather a
-    * sparse index would do, minus the precomputed postings — compose
-    * with [[graft.sources.LakeIndex]]-style sidecars to skip files
-    * with zero hits.
+    * Scale shape: the corpus is tokenized ONCE into a NARROW per-doc
+    * frame (doc_id, dl, one tf per query term — per-term counts via
+    * `size(tk) − size(array_remove(tk, term))`, all codegen'd builtins,
+    * no interpreted lambda anywhere; round-1 lesson, SURVEY §7.5),
+    * cached and shared by the corpus aggregate and the hit relation.
+    * The explode is |Q| structs per document filtered to tf > 0 — ∝
+    * query hits, never corpus tokens — and there is NO per-(doc, term)
+    * shuffle at all: tf is computed in the map pass. df and the corpus
+    * aggregate are |Q|-row/one-row control-plane frames broadcast
+    * back; top-k is TakeOrdered (no global sort). At 100 TB this is
+    * exactly the scatter-gather a sparse index would do, minus the
+    * precomputed postings — compose with
+    * [[graft.sources.LakeIndex]]-style sidecars to skip files with
+    * zero hits.
     */
   def bm25(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val qTerms = Seq("vector", "join", "stream")
-    val withLen = Tables.documents(spark, dir)
+    // one tokenize pass → narrow numeric frame, cached (bytes ∝ docs,
+    // not tokens: the token array is dropped inside the same projection)
+    val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
-    val global = withLen.agg(
+      .select(col("doc_id") +: size(col("tk")).as("dl") +:
+        qTerms.map(t => (size(col("tk")) - size(array_remove(col("tk"), t)))
+          .cast("long").as(s"tf_$t")): _*)
+      .cache()
+    val global = perDoc.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
-    val tf = withLen
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("tk"), x => x.isInCollection(qTerms))).as("w"))
-      .groupBy(col("doc_id"), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(array(
+        qTerms.map(t => struct(lit(t).as("w"), col(s"tf_$t").as("tf"))): _*)).as("x"))
+      .select(col("doc_id"), col("dl"), col("x.w").as("w"), col("x.tf").as("tf"))
+      .filter(col("tf") > 0)
     val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(global))
       .withColumn("idf_micro",

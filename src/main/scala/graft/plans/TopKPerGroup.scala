@@ -30,14 +30,23 @@ import org.apache.spark.sql.graft.GraftSqlBridge
   * tiebreak must be a unique long per row within a key group.
   */
 case class TopKPerGroup(keys: Seq[Expression], score: Expression, tiebreak: Expression,
-                        k: Int, child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+                        k: Int, child: LogicalPlan,
+                        rankAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rank is PRODUCED here, not read from the child — without this the
+  // Option[Attribute] constructor arg lands in `references` and
+  // CheckAnalysis rejects the plan as "missing from input"
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroup = copy(child = c)
 }
 
 case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, tiebreak: Expression,
-                            k: Int, child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+                            k: Int, child: SparkPlan,
+                            rankAttr: Option[Attribute] = None) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
@@ -47,6 +56,8 @@ case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, tiebreak: 
     val scoreExpr = score
     val tieExpr = tiebreak
     val childOutput = child.output
+    val outAttrs = output
+    val withRank = rankAttr.isDefined
     val limit = k
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -78,8 +89,23 @@ case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, tiebreak: 
           }
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
-        heap.toArray.sortBy(e => (-e._1, e._2)).iterator.map(_._3: InternalRow)
+      if (!withRank)
+        heaps.iterator.flatMap { case (_, heap) =>
+          heap.toArray.sortBy(e => (-e._1, e._2)).iterator.map(_._3: InternalRow)
+        }
+      else {
+        // append rank 1..k per key during the final per-heap k-sort —
+        // ranking comes free from the heap, no Window/sort downstream
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        heaps.iterator.flatMap { case (_, heap) =>
+          heap.toArray.sortBy(e => (-e._1, e._2)).iterator.zipWithIndex.map {
+            case (e, i) =>
+              rankRow.update(0, i + 1)
+              proj(joined(e._3, rankRow)): InternalRow
+          }
+        }
       }
     }
   }
@@ -90,8 +116,8 @@ case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, tiebreak: 
 /** Planner strategy mapping the logical node to the exec node. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(keys, score, tie, k, child) =>
-      TopKPerGroupExec(keys, score, tie, k, planLater(child)) :: Nil
+    case TopKPerGroup(keys, score, tie, k, child, rankAttr) =>
+      TopKPerGroupExec(keys, score, tie, k, planLater(child), rankAttr) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +131,20 @@ object TopK {
     * into a column first.
     */
   def perGroup(df: DataFrame, keys: Seq[String], score: String, tiebreak: String,
-               k: Int): DataFrame = {
+               k: Int): DataFrame =
+    build(df, keys, score, tiebreak, k, rankCol = None)
+
+  /** [[perGroup]] plus an appended IntegerType `rankCol` (1..k per key,
+    * by score desc / tiebreak asc) — the rank falls out of the
+    * operator's own final per-heap k-sort, so consumers that need it
+    * (the ANN contract queries) pay NO Window node and no extra sort.
+    */
+  def perGroupRanked(df: DataFrame, keys: Seq[String], score: String, tiebreak: String,
+                     k: Int, rankCol: String = "rank"): DataFrame =
+    build(df, keys, score, tiebreak, k, rankCol = Some(rankCol))
+
+  private def build(df: DataFrame, keys: Seq[String], score: String, tiebreak: String,
+                    k: Int, rankCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -123,7 +162,10 @@ object TopK {
     val tieType = attr(tiebreak).dataType
     require(tieType == org.apache.spark.sql.types.LongType,
       s"TopK.perGroup tiebreak column '$tiebreak' must be LongType, got $tieType")
+    val rankAttr = rankCol.map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.IntegerType, nullable = false)())
     GraftSqlBridge.ofRows(spark,
-      TopKPerGroup(keys.map(attr), attr(score), attr(tiebreak), k, childPlan))
+      TopKPerGroup(keys.map(attr), attr(score), attr(tiebreak), k, childPlan, rankAttr))
   }
 }

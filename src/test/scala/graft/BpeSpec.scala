@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Unigram}
+import graft.operators.{Bpe, Unigram, Wordpiece}
 
 /** BPE training vs a from-first-principles local reference: same
   * tokenization, same greedy single-pass merge rule, same
@@ -211,6 +211,102 @@ class BpeSpec extends SparkSpec {
       assert(w <= s && s <= c, s"doc ${r.getAs[Long]("doc_id")}: $w <= $s <= $c")
     }
     val again = Unigram.encode(spark, sf).collect().map(_.toSeq)
+    assert(again.toSeq == rows.map(_.toSeq).toSeq, "encode must be deterministic")
+  }
+
+  // ---- WordPiece (BERT-style) tokenizer ----
+
+  /** Local reference trainer with the operator's exact contract:
+    * ##-prefixed symbols, likelihood score n/(cl·cr) decided by BigInt
+    * cross-multiplication, ties (left, right) ascending, greedy
+    * single-pass merge.
+    */
+  private def localWordpiece(texts: Seq[String],
+                             nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    def toSyms(w: String): List[String] =
+      w.zipWithIndex.map { case (c, i) => if (i == 0) c.toString else "##" + c }.toList
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => toSyms(w) -> ws.size.toLong }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val symCnt = collection.mutable.Map.empty[String, Long]
+      for ((syms, cnt) <- vocab; s <- syms)
+        symCnt(s) = symCnt.getOrElse(s, 0L) + cnt
+      val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- vocab; Seq(a, b) <- syms.sliding(2))
+        pairCnt((a, b)) = pairCnt.getOrElse((a, b), 0L) + cnt
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        case class C(l: String, r: String, n: Long, cl: Long, cr: Long)
+        val cands = pairCnt.toSeq.map { case ((l, r), n) => C(l, r, n, symCnt(l), symCnt(r)) }
+        def pref(a: C, b: C): Boolean = {
+          val lhs = BigInt(a.n) * BigInt(b.cl) * BigInt(b.cr)
+          val rhs = BigInt(b.n) * BigInt(a.cl) * BigInt(a.cr)
+          if (lhs != rhs) lhs > rhs
+          else if (a.l != b.l) a.l < b.l else a.r < b.r
+        }
+        val top = cands.reduceLeft((x, y) => if (pref(y, x)) y else x)
+        val piece = top.l + top.r.stripPrefix("##")
+        merges += ((rank, top.l, top.r, piece, top.n))
+        def mergeWord(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == top.l && b == top.r => piece :: mergeWord(rest)
+          case a :: rest => a :: mergeWord(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.groupMapReduce { case (syms, _) => mergeWord(syms) } { case (_, c) => c }(_ + _)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  test("wordpiece_train matches the local likelihood-argmax replay merge-for-merge") {
+    val distributed = Wordpiece.train(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val local = localWordpiece(texts, 30)
+    assert(distributed.nonEmpty)
+    assert(distributed.toSeq == local,
+      s"distributed head=${distributed.take(5).toSeq} local head=${local.take(5)}")
+    // continuation pieces exist (the ##-prefix discipline is real)
+    assert(distributed.exists(_._4.startsWith("##")))
+  }
+
+  test("wordpiece greedy segmentation concatenates back to every vocabulary word") {
+    graft.functions.VectorFunctions.register(spark)
+    val vocabLit = typedlit(Wordpiece.trainModel(spark, sf).vocab.toSeq)
+    val segs = graft.sources.Tables.documents(spark, sf)
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as("word")).distinct()
+      .select(col("word"),
+        call_function("graft_wordpiece_segment", col("word"), vocabLit).as("pieces"))
+      .collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val pieces = r.getSeq[String](1)
+      assert(pieces.head != "[UNK]",
+        s"corpus word '${r.getString(0)}' must never UNK (alphabet covers it)")
+      val rebuilt = pieces.head + pieces.tail.map(_.stripPrefix("##")).mkString
+      assert(rebuilt == r.getString(0),
+        s"segmentation must concatenate to '${r.getString(0)}', got $pieces")
+      // every non-initial piece carries the continuation prefix
+      pieces.tail.foreach(p => assert(p.startsWith("##"), s"'$p' in $pieces"))
+    }
+  }
+
+  test("wordpiece_encode: word count <= subword count <= char count, deterministic") {
+    val rows = Wordpiece.encode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, s) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_subwords"))
+      assert(w <= s && s <= c, s"doc ${r.getAs[Long]("doc_id")}: $w <= $s <= $c")
+    }
+    // merges actually compress: some document beats the char encoding
+    assert(rows.exists(r => r.getAs[Long]("n_subwords") < r.getAs[Long]("n_chars")))
+    val again = Wordpiece.encode(spark, sf).collect().map(_.toSeq)
     assert(again.toSeq == rows.map(_.toSeq).toSeq, "encode must be deterministic")
   }
 

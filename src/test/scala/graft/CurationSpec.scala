@@ -247,6 +247,21 @@ class CurationSpec extends SparkSpec {
       s"control tables must broadcast onto the corpus:\n$plan")
   }
 
+  test("broadcast-size guard: forced shuffle-join path agrees with the broadcast path") {
+    // maxBroadcastRows = 0 forces broadcastIfSmall's fallback (no
+    // broadcast hint; at this sf AQE may still choose broadcast on its
+    // own, which is exactly the intended division of labor) — results
+    // must be identical either way
+    val keepB = Curation.dedupKeep(spark, sf).collect().map(_.toSeq)
+    val keepS = Curation.dedupKeepImpl(spark, sf, 0L)
+    assert(keepS.collect().map(_.toSeq).toSeq == keepB.toSeq,
+      "dedupKeep: shuffle-join fallback must agree with broadcast path")
+    val cleanB = Curation.corpusSplitClean(spark, sf).collect().map(_.toSeq)
+    val cleanS = Curation.corpusSplitCleanImpl(spark, sf, 0L)
+    assert(cleanS.collect().map(_.toSeq).toSeq == cleanB.toSeq,
+      "corpusSplitClean: shuffle-join fallback must agree with broadcast path")
+  }
+
   test("mixBudget: bucket-decomposed prefix equals the naive global cumsum, maximal") {
     import org.apache.spark.sql.functions._
     val budget = 700L

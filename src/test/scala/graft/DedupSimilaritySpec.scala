@@ -188,6 +188,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(scored.count() > 0)
   }
 
+  test("ANN family plans: bounded-heap TopK everywhere, no Window, no rank sort") {
+    import graft.operators.Similarity
+    // every candidate cut and final ranking runs through the custom
+    // bounded-heap operator: a Window(row_number) would sort each
+    // query's ENTIRE candidate list in one task — the per-q_id plan
+    // the round-6 verdict flagged as the family's scale-killer. The
+    // candidate set also stays a DataFrame end-to-end (no driver
+    // collect into an isin literal), which the TopK node's presence
+    // INSIDE one connected plan certifies: a collect would split the
+    // lineage into two separate plans.
+    for ((name, df) <- Seq(
+        "ann_topk" -> Similarity.annTopk(spark, sf),
+        "ann_ivf" -> Similarity.annIvf(spark, sf),
+        "ann_lsh" -> Similarity.annLsh(spark, sf),
+        "ann_quantized" -> Similarity.annQuantized(spark, sf),
+        "ann_pq" -> Similarity.annPq(spark, sf),
+        "ann_ivfpq" -> Similarity.annIvfPq(spark, sf),
+        "ann_filtered" -> Similarity.annFiltered(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: Window node in plan:\n$plan")
+      assert(plan.contains("TopKPerGroup"), s"$name: expected TopKPerGroupExec:\n$plan")
+    }
+    // the rerank'd variants carry TWO TopK nodes in ONE plan:
+    // candidate cut + final ranking, with no lineage break between
+    for ((name, df) <- Seq(
+        "ann_quantized" -> Similarity.annQuantized(spark, sf),
+        "ann_pq" -> Similarity.annPq(spark, sf),
+        "ann_ivfpq" -> Similarity.annIvfPq(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val n = plan.sliding("TopKPerGroup".length).count(_ == "TopKPerGroup")
+      assert(n >= 2, s"$name: candidate cut + rerank must BOTH be TopK nodes (got $n):\n$plan")
+    }
+  }
+
   test("annQuantized: int8 scan + exact rerank recalls >= 0.95 of exact top-5") {
     import graft.operators.Similarity
     def top(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{IcebergExport, LogSync, Tables}
+
+/** The exported Iceberg metadata is validated at the FORMAT level by
+  * reading the Avro manifests back with the independent Avro library
+  * (container framing, schemas, field-ids) and cross-checking every
+  * count/path/partition value against the lake's own manifest — the
+  * strongest check available without an Iceberg client in the
+  * container (zero egress).
+  */
+class IcebergExportSpec extends SparkSpec {
+
+  private def avroRecords(path: String): (Seq[GenericRecord], Map[String, String]) = {
+    val f = new java.io.File(path.replaceFirst("^file:/+", "/"))
+    val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    try {
+      val metaKeys = r.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro.")) // container-internal keys
+      val meta = metaKeys.map(k => k -> r.getMetaString(k)).toMap
+      (Iterator.continually(r).takeWhile(_ => r.hasNext).map(_.next()).toList, meta)
+    } finally r.close()
+  }
+
+  private def buildLake(): String = {
+    val root = Files.createTempDirectory("graft_iceberg").toString
+    Tables.events(spark, sf).limit(300)
+      .select(col("ts").as("timestamp"),
+        concat(lit("s"), col("user_id") % 3).as("service_name"),
+        col("props").as("body"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    root
+  }
+
+  test("export writes spec-shaped v2 metadata; avro manifests round-trip and match the lake") {
+    val root = buildLake()
+    val mdPath = IcebergExport.export(spark, root)
+    val fsRoot = new java.io.File(root)
+    val metaDir = new java.io.File(fsRoot, "_iceberg/metadata")
+    // version pointer (HadoopCatalog convention)
+    val hint = new String(Files.readAllBytes(
+      new java.io.File(metaDir, "version-hint.text").toPath), "UTF-8")
+    assert(hint == "1")
+    val md = new String(Files.readAllBytes(
+      new java.io.File(metaDir, "v1.metadata.json").toPath), "UTF-8")
+    assert(mdPath.endsWith("v1.metadata.json"))
+    assert(md.contains("\"format-version\":2"))
+    assert(md.contains("\"current-snapshot-id\""))
+    assert(md.contains("schema.name-mapping.default"),
+      "Spark parquet has no field-ids; the name mapping is mandatory for real readers")
+    assert(md.contains("\"transform\":\"identity\"") && md.contains("\"service_name\""),
+      "hive service_name= dirs must export as an identity partition field")
+    // follow the snapshot's manifest list
+    val listPath = "\"manifest-list\":\"([^\"]+)\"".r
+      .findFirstMatchIn(md).map(_.group(1)).getOrElse(fail("no manifest-list in metadata"))
+    val (listEntries, listMeta) = avroRecords(listPath)
+    assert(listMeta("format-version") == "2")
+    assert(listEntries.length == 1)
+    val activeFiles = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).collect()
+    assert(listEntries.head.get("added_data_files_count").asInstanceOf[Int]
+      == activeFiles.length)
+    val tableRows = LogSync.table(spark, root).count()
+    assert(listEntries.head.get("added_rows_count").asInstanceOf[Long] == tableRows,
+      "manifest-list row count must equal the actual table count")
+    // follow the manifest: one ADDED entry per active file, paths and
+    // partition values matching the lake manifest
+    val manifestPath = listEntries.head.get("manifest_path").toString
+    val (entries, mMeta) = avroRecords(manifestPath)
+    assert(mMeta("format-version") == "2" && mMeta("content") == "data")
+    assert(mMeta("schema").contains("\"schema-id\":0"))
+    assert(entries.length == activeFiles.length)
+    val wantPaths = activeFiles.map(r =>
+      r.getAs[String]("path").replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")).toSet
+    var rowSum = 0L
+    entries.foreach { e =>
+      assert(e.get("status").asInstanceOf[Int] == 1) // ADDED
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val p = df.get("file_path").toString.replaceFirst("^file:/+", "/")
+      assert(wantPaths.contains(p), s"exported $p not an active lake file")
+      assert(df.get("file_format").toString == "PARQUET")
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val svc = part.get("service_name").toString
+      assert(p.contains(s"service_name=$svc"),
+        "identity partition value must equal the file's hive dir value")
+      rowSum += df.get("record_count").asInstanceOf[Long]
+    }
+    assert(rowSum == tableRows, "per-file footer row counts must sum to the table count")
+    // re-export bumps the metadata version, pointer follows
+    IcebergExport.export(spark, root)
+    assert(new String(Files.readAllBytes(
+      new java.io.File(metaDir, "version-hint.text").toPath), "UTF-8") == "2")
+    assert(new java.io.File(metaDir, "v2.metadata.json").exists())
+    // the export dir is invisible to graft's own readers
+    assert(LogSync.table(spark, root).count() == tableRows)
+    assert(LogSync.sync(spark, root) == 0,
+      "export metadata must never be re-registered as data")
+  }
+}
