@@ -305,12 +305,13 @@ object IvfIndex {
     val pruned = spark.read.parquet(versionPath(dir, ver))
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
     val cosc = call_function("graft_dot", col("qv"), col("v")) / (col("qn") * col("nrm"))
-    pruned.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosc.as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+    // bounded-heap top-k with operator-emitted rank — same
+    // de-windowed shape as the whole [[Similarity]] ANN family
+    graft.plans.TopK.perGroupRanked(
+        pruned.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cosc.as("cos")),
+        keys = Seq("q_id"), score = "cos", tiebreak = "vec_id", k = 5)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }

@@ -35,13 +35,13 @@ object Plans {
       "logs_heavy_hitters" -> "SpaceSaving summary: one partial/final ObjectHashAggregate pair, O(m) state, no per-user shuffle",
       "mm_frames" -> "frame fan-out via batched mapPartitions (DeserializeToObject/MapPartitions/SerializeFromObject), 1:N",
       "ann_ivf_index" -> "disk-backed IVF: probed cells as a literal IN in PartitionFilters — non-probed cell partitions never opened",
-      "ann_ivfpq" -> "IVFPQ: probed cells as PartitionFilters on the persisted code table, heavy pass is ADC table lookups (no float dot), exact rerank via literal-IN pruned scan",
+      "ann_ivfpq" -> "IVFPQ: probed cells as PartitionFilters on the persisted code table, heavy pass is ADC table lookups (no float dot); candidate cut + exact rerank both TopKPerGroupExec, candidates broadcast-joined — no Window, no driver collect",
       "dedup_spans" -> "exact substring dedup: duplicated-gram semi-join, ONE doc-keyed collect_set agg, map-only indexed-lambda scrub — no token-level join",
       "mm_neardup" -> "media near-dup: banded SimHash over byte shingles as one projection, candidates via (band,bucket) equi-join, hamming verify — only signatures shuffle, payloads stay put",
       "q24_waiting_suppliers" -> "Q21 shape: cached late set, semi+anti joins equi on l_orderkey with non-equi supplier guards",
       "lake_tail" -> "Grafana Logs panel on the lake: year/month/day bounds in PartitionFilters, TakeOrderedAndProject tail — only the window's day dirs are opened",
       "lake_resource_attrs" -> "resource_attributes JSON parsed once in the scan stage (codegen'd from_json), one (service,namespace) agg shuffle",
-      "ann_quantized" -> "int8 rerank pass: candidate ids as a literal pushed filter on the float scan, both candidate sets broadcast — the quantized heavy pass reads 1/4 the bytes",
+      "ann_quantized" -> "int8 ANN: quantized heavy pass reads 1/4 the bytes; top-c cut and final ranking are bounded-heap TopKPerGroupExec nodes, candidate set broadcast into the float rerank join — no per-query Window sort anywhere",
       "corpus_mix" -> "domain mixing: per-source token-mass agg broadcast back onto the corpus, keep decision map-only — the corpus itself never shuffles",
       "logs_dau_sketch" -> "two-level mergeable HLL: partial sketch ObjectHashAggregate per (day,service), union-agg per day — partials persistable and reaggregatable along any dimension",
       "lake_needle" -> "trace point lookup through the per-file bloom sidecar: the index probe is a FILE-count-sized job, the data scan's semi-join keep-set holds only bloom-positive files",
@@ -63,13 +63,16 @@ object Plans {
       "split_leakage" -> "split-leakage audit: the tiny near-dup edge table joined twice against the map-only split projection (broadcast-size), 3-row aggregate — the corpus is never rescanned",
       "dedup_clusters" -> "connected components: the shown plan is the final labels projection; each HashMin round is ONE job over the persisted KB-scale edge set at loop parallelism (4 tasks), lineage truncated per round",
       "text_chunk" -> "RAG chunking: tokenize-once projection + explode(sequence) — 3-column ReadSchema, zero shuffles before the output sort, output ∝ chunks",
-      "ann_pq" -> "product quantization: encode = map-only argmin over codebook literals; ADC scores are zip_with table lookups (no float dot in the heavy pass); shown plan is the exact rerank over the literal-IN pruned scan",
+      "ann_pq" -> "product quantization: encode = map-only argmin over codebook literals; ADC scores are zip_with table lookups (no float dot in the heavy pass); candidate cut + exact rerank both TopKPerGroupExec with a broadcast candidate join",
       "corpus_split_clean" -> "leakage repair: broadcast label join onto the map-only split projection — the corpus never shuffles; cluster labels come from the KB-scale edge iteration",
       "lake_grep" -> "keyword search through the token-bloom sidecar: survivor paths feed the reader directly (pruned files never opened — the token predicate can't push down), row-level token filter on top",
       "mix_budget" -> "hard token budget: (source×256) bucket totals via map-side-combined agg, running total over a ≤256-row frame, per-row cumsum window only inside budget-reachable buckets — sorted data ∝ budget, not corpus",
       "dedup_rank" -> "integer PageRank: shown plan is the final degree join; each of the 5 rounds is one join+agg over the cached degree-annotated edge relation, lineage truncated per round",
       "dedup_canonical" -> "per-cluster keeper: two mergeable aggregates over vertex-cardinality control frames + broadcast top-table join — no window, corpus untouched",
-      "text_trigram_logprob" -> "stupid-backoff trigram LM: one tokenize+window pass; model tables are vocabulary-cardinality aggregates; scoring = n-gram-keyed equi-joins + broadcast scalar N, integer micro-nat CASE")
+      "text_trigram_logprob" -> "stupid-backoff trigram LM: one tokenize+window pass; model tables are vocabulary-cardinality aggregates; scoring = n-gram-keyed equi-joins + broadcast scalar N, integer micro-nat CASE",
+      "text_bm25" -> "BM25: ONE tokenize pass into a narrow cached per-doc frame (per-term tf via size/array_remove builtins — no interpreted lambda, no per-(doc,term) shuffle); |Q|-struct explode filtered to hits; df/corpus aggs broadcast back; TakeOrdered top-k",
+      "wordpiece_encode" -> "WordPiece application: greedy longest-match segmentation (graft_wordpiece_segment, vocab as one literal) on the VOCABULARY side of the word join — corpus scanned once into (doc,word) counts, segmentation once per distinct word",
+      "dedup_keep" -> "corpus-wide keep/drop tagging: one map-only corpus pass; cluster-label and keeper control tables joined via the size-guarded broadcast (shuffle-join fallback above threshold)")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

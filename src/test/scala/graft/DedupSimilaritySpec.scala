@@ -205,6 +205,7 @@ class DedupSimilaritySpec extends SparkSpec {
         "ann_quantized" -> Similarity.annQuantized(spark, sf),
         "ann_pq" -> Similarity.annPq(spark, sf),
         "ann_ivfpq" -> Similarity.annIvfPq(spark, sf),
+        "ann_ivf_index" -> graft.operators.IvfIndex.query(spark, sf),
         "ann_filtered" -> Similarity.annFiltered(spark, sf))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$name: Window node in plan:\n$plan")
