@@ -1,0 +1,119 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.serving.OtlpHttp
+import graft.sources.{LogSync, OtlpLogs}
+
+/** The live OTLP/HTTP edge driven by a REAL HTTP client (the JDK
+  * exporter-side API): protocol codes, both transports, quarantine,
+  * and the landed lake matching what was posted.
+  */
+class OtlpHttpSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: Array[Byte],
+                   contentType: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def jsonEnvelope(us: Long, svc: String, sev: String, body: String): String =
+    s"""{"resourceLogs":[{"resource":{"attributes":[
+       |{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeLogs":[{"scope":{"name":"graft-test","version":"1"},
+       |"logRecords":[{"timeUnixNano":"${us * 1000}","severityText":"$sev",
+       |"severityNumber":9,"body":{"stringValue":"$body"},
+       |"traceId":"0af7651916cd43dd8448eb211c80319c","spanId":"b7ad6b7169203331",
+       |"attributes":[]}]}]}]}""".stripMargin.replace("\n", "")
+
+  test("OTLP/HTTP endpoint: both transports land in the lake; protocol codes correct") {
+    val root = Files.createTempDirectory("graft_otlp_http").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val port = server.port
+      // protocol edges first
+      assert(post(port, "/v1/metrics", "{}".getBytes, "application/json").statusCode() == 404)
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+      assert(post(port, "/v1/logs", "not json at all".getBytes, "application/json")
+        .statusCode() == 400, "garbage JSON must be rejected at request time")
+      assert(post(port, "/v1/logs", Array[Byte](0x7f, 0x00, 0x13),
+        "application/x-protobuf").statusCode() == 400,
+        "undecodable protobuf must be rejected at request time")
+      // valid JSON transport
+      val baseUs = 1705060800000000L // 2024-01-12T12:00:00Z in micros
+      for (i <- 0 until 5)
+        assert(post(port, "/v1/logs",
+          jsonEnvelope(baseUs + i * 1000000L, s"svc-${i % 2}", "INFO", s"json row $i").getBytes,
+          "application/json").statusCode() == 200)
+      // valid protobuf transport: encode with the engine's own wire codec
+      graft.functions.VectorFunctions.register(spark)
+      val protoBytes = spark.range(3)
+        .select(OtlpLogs.toOtlpProtoTraced(
+          lit(baseUs + 100000000L) + col("id") * 1000000L, lit("svc-proto"), lit("WARN"),
+          lit(13), concat(lit("proto row "), col("id")),
+          lit("0af7651916cd43dd8448eb211c80319c"), lit("b7ad6b7169203331"),
+          lit("1"), lit("graft.test")).as("bin"))
+        .collect().map(_.getAs[Array[Byte]]("bin"))
+      protoBytes.foreach { b =>
+        assert(post(port, "/v1/logs", b, "application/x-protobuf").statusCode() == 200)
+      }
+      // shape-invalid but request-time-passable JSON → quarantined, not dropped
+      assert(post(port, "/v1/logs", """{"resourceLogs":[]}""".getBytes,
+        "application/json").statusCode() == 200)
+      assert(server.pending == 9)
+      val (rows, quarantined) = server.flush()
+      assert(rows == 8, s"5 json + 3 proto rows must land, got $rows")
+      assert(quarantined == 1, "the empty-envelope payload must be quarantined")
+      assert(server.pending == 0)
+      assert(server.flush() == ((0L, 0L)), "empty flush is a no-op")
+      // the lake agrees with what was posted, via the normal read path
+      val t = LogSync.table(spark, root)
+      assert(t.count() == 8)
+      val bySvc = t.groupBy(col("service_name")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySvc == Map("svc-0" -> 3L, "svc-1" -> 2L, "svc-proto" -> 3L))
+      assert(t.filter(col("severity_text") === "WARN").count() == 3)
+      // quarantine holds exactly the rejected payload bytes
+      val q = spark.read.parquet(s"$root/_quarantine/http").collect()
+      assert(q.length == 1)
+      assert(new String(q.head.getAs[Array[Byte]]("payload"), "UTF-8")
+        == """{"resourceLogs":[]}""")
+    } finally server.stop()
+  }
+
+  test("auto-flush timer lands posted rows without an explicit flush call") {
+    val root = Files.createTempDirectory("graft_otlp_http_auto").toString
+    val server = OtlpHttp.start(spark, root, autoFlushMillis = 300L)
+    try {
+      assert(post(server.port, "/v1/logs",
+        jsonEnvelope(1705060800000000L, "svc-a", "INFO", "auto").getBytes,
+        "application/json").statusCode() == 200)
+      val deadline = System.currentTimeMillis() + 30000
+      var landed = false
+      while (!landed && System.currentTimeMillis() < deadline) {
+        // LogSync.table refuses until the first sync registered the
+        // manifest, and a poll can also sample the root mid-commit
+        // (manifest dir visible, data rename not yet) — both read as
+        // "not landed yet" and the next sample sees the final state
+        landed = try LogSync.table(spark, root).count() == 1
+                 catch {
+                   case _: IllegalArgumentException => false
+                   case _: org.apache.spark.sql.AnalysisException => false
+                 }
+        if (!landed) Thread.sleep(200)
+      }
+      assert(landed, "timer flush must register the posted row")
+    } finally server.stop()
+  }
+}
