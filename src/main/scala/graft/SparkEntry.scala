@@ -167,11 +167,19 @@ object SparkEntry {
     "lake_changes"        -> (LakeAnalytics.changes _),
     "lake_merged"         -> (LakeAnalytics.mergedSchema _),
     "bpe_encode"          -> ((s: SparkSession, d: String) => Bpe.encode(s, d)),
-    // CONTRACT projection (see pack_manifest): projected vector → JSON string
-    // (deterministic: seeded matrix, fixed fold order ⇒ identical doubles).
-    "emb_pca"             -> ((s: SparkSession, d: String) => Pca.embPca(s, d)),
-    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)
+    // CONTRACT projection (see pack_manifest): projected vector → flat
+    // string. emb_pca stays JSON/rows-only (its basis comes from a
+    // driver-side eigensolve over Spark double sums — not SQL-
+    // replayable); emb_project flattens to INTEGER-MICRO components
+    // (floor(p·1e6) — format-free), because its seeded matrix IS a
+    // pure function of (seed, dims) that the DuckDB oracle re-derives
+    // term-for-term: the dot is replayed in the same left-to-right
+    // IEEE order, so the hash-match certifies bit-identical doubles.
+    "emb_pca"             -> ((s: SparkSession, d: String) => Pca.embPca(s, d)
       .withColumn("proj", org.apache.spark.sql.functions.expr("to_json(proj)"))),
+    "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)
+      .withColumn("proj", org.apache.spark.sql.functions.expr(
+        "concat_ws(',', transform(proj, p -> CAST(floor(p * 1000000D) AS STRING)))"))),
     "lake_branch"         -> (LakeAnalytics.branchSeverity _),
     "text_bigram_logprob" -> (TrainPrep.bigramLogprob _),
     "text_trigram_logprob" -> (TrainPrep.trigramLogprob _),
@@ -185,10 +193,34 @@ object SparkEntry {
     "q26_unpivot"         -> (Relational.q26Unpivot _)
   )
 
+  /** The `emb_project` oracle is GENERATED, not hand-written: the JL
+    * matrix is a pure function of (seed=42, outDim=8, dim=64) — the
+    * same `java.util.Random.nextGaussian` stream the operator derives
+    * (Similarity.embProject) — so the SQL embeds the 8×64 plane
+    * literals and replays each dot with `list_dot_product` over the
+    * double-cast embedding, flooring to integer micros exactly like
+    * the contract projection. Dim is pinned to the testdata's 64; a
+    * different corpus dim fails loudly, not wrongly.
+    */
+  private def embProjectOracle: String = {
+    val (outDim, dim, seed) = (8, 64, 42L)
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(outDim)(
+      Array.fill(dim)(rng.nextGaussian() / math.sqrt(outDim.toDouble)))
+    val comps = planes.map { p =>
+      s"CAST(floor(list_dot_product(v, [${p.mkString(", ")}]) * 1000000) AS BIGINT)"
+    }
+    s"""WITH e AS (SELECT vec_id, label,
+       | list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+       |SELECT vec_id, label, concat_ws(',', ${comps.mkString(", ")}) AS proj
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "emb_project" -> embProjectOracle,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty,
