@@ -74,6 +74,9 @@ object Bench {
     // fit the memoized PCA model (one corpus moment pass + driver
     // Jacobi) so emb_pca measures the map-only projection
     warm("pca")(graft.operators.Pca.fit(spark, sfDir))
+    // train the rotated-corpus PQ codebooks once so ann_opq measures
+    // encode+ADC+rerank like ann_pq
+    warm("opq")(graft.operators.Opq.annOpq(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).

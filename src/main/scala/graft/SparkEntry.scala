@@ -177,6 +177,7 @@ object SparkEntry {
     // IEEE order, so the hash-match certifies bit-identical doubles.
     "emb_pca"             -> ((s: SparkSession, d: String) => Pca.embPca(s, d)
       .withColumn("proj", org.apache.spark.sql.functions.expr("to_json(proj)"))),
+    "ann_opq"             -> ((s: SparkSession, d: String) => Opq.annOpq(s, d)),
     "emb_project"         -> ((s: SparkSession, d: String) => Similarity.embProject(s, d)
       .withColumn("proj", org.apache.spark.sql.functions.expr(
         "concat_ws(',', transform(proj, p -> CAST(floor(p * 1000000D) AS STRING)))"))),

@@ -43,8 +43,10 @@ object Clustering {
     val e = vectors.select(col("vec_id"), col("v"))
       .cache()
     try {
+      // element type is float for raw embeddings, double for derived
+      // working sets (e.g. OPQ-rotated vectors) — accept both
       var cents: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble))
+        .map(_.getSeq[Number](1).map(_.doubleValue()))
       (0 until iters).foreach { _ =>
         val scores = array(cents.map { c =>
           val cNorm2 = c.map(x => x * x).sum

@@ -26,7 +26,7 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
 
@@ -53,8 +53,8 @@ object Similarity {
     * driver, the shape that survives a real query batch (the previous
     * collect-into-`isin` form was control-plane-sized only at |Q|=10).
     */
-  private def exactRerank(spark: SparkSession, dir: String,
-                          cands: DataFrame, k: Int = 5): DataFrame = {
+  private[operators] def exactRerank(spark: SparkSession, dir: String,
+                                     cands: DataFrame, k: Int = 5): DataFrame = {
     val ef = withNorm(Tables.embeddings(spark, dir))
     val qf = ef.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -231,11 +231,19 @@ object Similarity {
 
   private[graft] def pqCodebooks(spark: SparkSession, dir: String,
                                  m: Int = 16): Array[Array[(Int, Seq[Double])]] =
-    pqCache.computeIfAbsent((spark, dir, m), { key =>
+    pqCodebooksOf(spark, dir, withNorm(Tables.embeddings(spark, dir)), m)
+
+  /** [[pqCodebooks]] over an arbitrary `(vec_id, v)` working set keyed
+    * by `cacheKey` — the entry point [[Opq]] uses to train codebooks
+    * on the ROTATED corpus instead of the raw one.
+    */
+  private[graft] def pqCodebooksOf(spark: SparkSession, cacheKey: String,
+                                   base: DataFrame,
+                                   m: Int): Array[Array[(Int, Seq[Double])]] =
+    pqCache.computeIfAbsent((spark, cacheKey, m), { key =>
       // no storage to release (plain arrays) — the cleanup drops the
       // static map entry so a dead session is not pinned forever
       graft.SessionCaches.register(spark)(() => { pqCache.remove(key); () })
-      val base = withNorm(Tables.embeddings(spark, dir))
       val dim = base.select(size(col("v"))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
       val sub = dim / m

@@ -206,6 +206,7 @@ class DedupSimilaritySpec extends SparkSpec {
         "ann_pq" -> Similarity.annPq(spark, sf),
         "ann_ivfpq" -> Similarity.annIvfPq(spark, sf),
         "ann_ivf_index" -> graft.operators.IvfIndex.query(spark, sf),
+        "ann_opq" -> graft.operators.Opq.annOpq(spark, sf),
         "ann_filtered" -> Similarity.annFiltered(spark, sf))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"$name: Window node in plan:\n$plan")
@@ -216,7 +217,8 @@ class DedupSimilaritySpec extends SparkSpec {
     for ((name, df) <- Seq(
         "ann_quantized" -> Similarity.annQuantized(spark, sf),
         "ann_pq" -> Similarity.annPq(spark, sf),
-        "ann_ivfpq" -> Similarity.annIvfPq(spark, sf))) {
+        "ann_ivfpq" -> Similarity.annIvfPq(spark, sf),
+        "ann_opq" -> graft.operators.Opq.annOpq(spark, sf))) {
       val plan = df.queryExecution.executedPlan.toString
       val n = plan.sliding("TopKPerGroup".length).count(_ == "TopKPerGroup")
       assert(n >= 2, s"$name: candidate cut + rerank must BOTH be TopK nodes (got $n):\n$plan")
@@ -238,6 +240,44 @@ class DedupSimilaritySpec extends SparkSpec {
     Similarity.annQuantized(spark, sf).collect().foreach { r =>
       val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
       exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos mismatch $k"))
+    }
+  }
+
+  test("ann_opq: rotated PQ recalls >= 0.9 of exact top-5; allocation balances variance") {
+    import graft.operators.{Opq, Similarity}
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = top(Similarity.annTopk(spark, sf))
+    val opq = top(Opq.annOpq(spark, sf))
+    assert(opq.size == exact.size, "same (query, k) result shape")
+    val recall = (exact & opq).size.toDouble / exact.size
+    info(s"OPQ recall@5 = $recall (PCA rotation + eigenvalue allocation, 16 bytes/vec)")
+    assert(recall >= 0.9, s"recall@5 $recall")
+    // reranked scores are EXACT cosines in the ORIGINAL space
+    val exactCos = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos")).toMap
+    Opq.annOpq(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cos"), s"cos mismatch $k"))
+    }
+    // the rotation is the permuted orthonormal PCA basis, and the
+    // greedy allocation spreads per-subspace log-variance sums
+    // STRICTLY tighter than the naive contiguous chunking of the
+    // descending spectrum (which parks the top-sub directions in one
+    // codebook — the imbalance OPQ's allocation exists to avoid)
+    val m = Opq.model(spark, sf)
+    val dim = m.rot.length
+    val sub = dim / 16
+    def lg(v: Double) = math.log(math.max(v, 1e-12))
+    val sums = m.eigvals.grouped(sub).map(_.map(lg).sum).toSeq
+    val contiguous = graft.operators.Pca.fit(spark, sf).eigvals
+      .grouped(sub).map(_.map(lg).sum).toSeq
+    info(f"allocation log-variance spread: greedy ${sums.max - sums.min}%.2f vs contiguous ${contiguous.max - contiguous.min}%.2f")
+    assert(sums.max - sums.min < contiguous.max - contiguous.min,
+      "greedy allocation must balance better than contiguous chunking")
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = m.rot(i).zip(m.rot(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9)
     }
   }
 
