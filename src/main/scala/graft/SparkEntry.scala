@@ -58,6 +58,7 @@ object SparkEntry {
     "logs_severity_number"     -> ((s: SparkSession, d: String) => LogAnalytics.severityNumber(s, d)),
     "logs_trace_lookup"        -> ((s: SparkSession, d: String) => LogAnalytics.traceLookup(s, d)),
     "lake_severity_by_service" -> (LakeAnalytics.severityByService _),
+    "lake_iceberg"        -> (LakeAnalytics.icebergSeverity _),
     "lake_timeseries"          -> (LakeAnalytics.timeseries _),
     "logs_search"              -> ((s: SparkSession, d: String) => LogAnalytics.search(s, d)),
     "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
@@ -494,6 +495,12 @@ object SparkEntry {
         |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
         |ORDER BY ts_str, span_id""".stripMargin,
     "lake_severity_by_service" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the Iceberg-metadata read path must surface the SAME table —
+    // identical oracle as lake_severity_by_service
+    "lake_iceberg" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

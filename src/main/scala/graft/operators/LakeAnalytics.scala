@@ -88,6 +88,22 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  /** [[severityByService]] read through the EXPORTED ICEBERG METADATA
+    * ([[IcebergExport.readTable]]: version-hint → metadata.json →
+    * Avro manifest chain) instead of the live manifest — the
+    * interop-certification query: its hash-match against the same
+    * events-derived oracle proves the exported Iceberg chain describes
+    * exactly the registered table, every round, at sf0.01.
+    */
+  def icebergSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    graft.sources.IcebergExport.ensureExport(spark, root)
+    graft.sources.IcebergExport.readTable(spark, root)
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   /** Hourly series for one service over a 10-day window — the Grafana
     * "Logs by Service" panel with its `$timeFilter`, expressed on the
     * partition columns so the scan prunes to

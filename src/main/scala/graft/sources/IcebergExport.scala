@@ -3,10 +3,10 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.file.DataFileWriter
-import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericData, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -324,5 +324,63 @@ object IcebergExport {
     hint.write(version.toString.getBytes("UTF-8"))
     hint.close()
     mdPath.toString
+  }
+
+  /** One export per (session, lake) — the guard contract queries use
+    * so repeated runs read one metadata version instead of minting a
+    * new snapshot per query.
+    */
+  private val exportedOnce =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def ensureExport(spark: SparkSession, root: String): String =
+    exportedOnce.computeIfAbsent((spark, root), { key =>
+      graft.SessionCaches.register(spark)(() => { exportedOnce.remove(key); () })
+      export(spark, root)
+    })
+
+  private def readAvro(spark: SparkSession, uri: String): Seq[GenericRecord] = {
+    val p = new Path(uri.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/"))
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val r = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try Iterator.continually(r).takeWhile(_ => r.hasNext).map(_.next()).toList
+    finally r.close()
+  }
+
+  /** Read the table back THROUGH the exported metadata — an
+    * independent read path that trusts only the Iceberg chain
+    * (`version-hint` → `v<N>.metadata.json` → manifest-list Avro →
+    * manifest Avro → data files), exactly the walk a FileSystem-
+    * catalog Iceberg client does. The resolved file set feeds the
+    * same root-scan + broadcast-semi-join shape as [[LogSync.table]]
+    * (partition columns and pruning intact); metadata resolution is
+    * control-plane (two Avro files + one JSON).
+    *
+    * This is the certification path for [[export]]: a contract query
+    * over it hash-matching the DuckDB oracle proves the exported
+    * metadata describes exactly the registered table.
+    */
+  def readTable(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val metaDir = new Path(s"$root/_iceberg/metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(fs.exists(hintPath), s"no Iceberg export under $root — run export first")
+    def readText(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val version = readText(hintPath).trim.toInt
+    val md = readText(new Path(metaDir, s"v$version.metadata.json"))
+    val listUri = "\"manifest-list\":\"([^\"]+)\"".r.findFirstMatchIn(md)
+      .map(_.group(1)).getOrElse(sys.error(s"no manifest-list in v$version metadata"))
+    val files = readAvro(spark, listUri).flatMap { mf =>
+      readAvro(spark, mf.get("manifest_path").toString)
+        .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+    }
+    LogSync.tableForPaths(spark, root,
+      files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")))
   }
 }

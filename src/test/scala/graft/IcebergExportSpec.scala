@@ -105,4 +105,19 @@ class IcebergExportSpec extends SparkSpec {
     assert(LogSync.sync(spark, root) == 0,
       "export metadata must never be re-registered as data")
   }
+
+  test("readTable: the Iceberg-metadata read path surfaces exactly the registered table") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    val viaIceberg = IcebergExport.readTable(spark, root)
+    val direct = LogSync.table(spark, root)
+    assert(viaIceberg.count() == direct.count())
+    val a = viaIceberg.select("timestamp", "service_name", "body")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = direct.select("timestamp", "service_name", "body")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq, "iceberg-chain read must equal the manifest read row-for-row")
+    // partition columns survive the read path (basePath discovery)
+    assert(viaIceberg.columns.contains("service_name"))
+  }
 }
