@@ -356,7 +356,21 @@ object Curation {
     * hash-match certifies the full cluster→centrality→keeper
     * composition, not just the pieces.
     */
-  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonCache.computeIfAbsent((spark, dir), { key =>
+      graft.SessionCaches.register(spark)(() => { canonCache.remove(key); () })
+      dedupCanonicalBuild(spark, dir).localCheckpoint()
+    })
+
+  /** Build-once memo: the keeper table is consumed by the contract
+    * query AND by [[dedupKeep]] (where [[broadcastIfSmall]]'s count
+    * would otherwise execute the whole aggregation chain a second
+    * time); the checkpoint flattens it to a cluster-cardinality frame.
+    */
+  private val canonCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def dedupCanonicalBuild(spark: SparkSession, dir: String): DataFrame = {
     val lab = dedupClusters(spark, dir)
       .join(dedupRank(spark, dir).select(col("doc_id"), col("rank_micro")),
         Seq("doc_id"))

@@ -108,7 +108,7 @@ object Pca {
     * eigenvector matrix with eigenvectors as COLUMNS). Sweeps until
     * the off-diagonal mass is ~machine-zero.
     */
-  private def jacobi(mIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def jacobi(mIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = mIn.length
     val a = mIn.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
@@ -121,7 +121,11 @@ object Pca {
     while (off() > 1e-18 && sweep < 64) {
       for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-30) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        // sign must be ±1 even at theta == 0 (equal diagonal entries:
+        // the 45° rotation case) — signum(0.0) = 0 would make the
+        // pivot a no-op and leave the block undiagonalized forever
+        val sgn = if (theta >= 0) 1.0 else -1.0
+        val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
         val c = 1.0 / math.sqrt(t * t + 1.0)
         val s = t * c
         for (i <- 0 until d) {

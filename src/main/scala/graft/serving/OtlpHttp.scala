@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{LogSync, LogWriter, OtlpLogs, OtlpProtoOps}
+import graft.sources.{LogSync, LogWriter, OtlpLogs}
 
 /** LIVE OTLP/HTTP intake — the reference's listening edge
   * (docker-compose.yaml:93-101: otel-collector accepts OTLP over HTTP
@@ -64,9 +64,14 @@ object OtlpHttp {
             val body = ex.getRequestBody.readAllBytes()
             val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
             if (ct.contains("protobuf")) {
-              if (body.nonEmpty && OtlpProtoOps.tryToJson(body) != null) {
-                protoQ.add(body); (200, "{}")
-              } else (400, """{"error":"undecodable protobuf payload"}""")
+              // cheap STRUCTURAL gate only (outer framing: field-1
+              // length-delimited tag + a varint length that fits the
+              // body) — a full wire decode per POST would run on one
+              // of 4 handler threads and then run AGAIN at flush;
+              // deeper corruption is caught there and quarantined,
+              // never silently dropped
+              if (protoFraming(body)) { protoQ.add(body); (200, "{}") }
+              else (400, """{"error":"undecodable protobuf payload"}""")
             } else {
               val s = new String(body, "UTF-8")
               // cheap request-time gate; full envelope validation (and
@@ -118,13 +123,40 @@ object OtlpHttp {
       (nValid, badN)
     }
 
-    /** Final flush, then close the socket and any auto-flush timer. */
+    /** Close the socket WAITING for in-flight handlers (a payload the
+      * server 200-acked must land — `stop(0)` would let a dispatched
+      * handler enqueue after the final drain and silently lose it),
+      * then flush whatever they enqueued, then release the pools.
+      */
     def stop(): Unit = {
       scheduler.foreach { s => s.shutdown(); s.awaitTermination(5, TimeUnit.SECONDS); () }
-      server.stop(0)
+      server.stop(1) // seconds to let dispatched exchanges finish
       flush()
+      server.getExecutor match {
+        case e: java.util.concurrent.ExecutorService => e.shutdown()
+        case _ =>
+      }
       ()
     }
+  }
+
+  /** Minimal OTLP `LogsData`/`ExportLogsServiceRequest` outer framing:
+    * tag 0x0a (field 1, length-delimited) followed by a varint length
+    * that fits inside the body. O(1), no allocation.
+    */
+  private def protoFraming(b: Array[Byte]): Boolean = {
+    if (b.length < 2 || b(0) != 0x0a) return false
+    var pos = 1
+    var len = 0L
+    var shift = 0
+    while (pos < b.length && shift <= 35) {
+      val x = b(pos) & 0xff
+      len |= (x & 0x7fL) << shift
+      pos += 1
+      if ((x & 0x80) == 0) return len <= b.length - pos
+      shift += 7
+    }
+    false
   }
 
   /** Start listening on `port` (0 = ephemeral, read it back from

@@ -86,17 +86,24 @@ object IcebergExport {
   private final case class FileEntry(uri: String, size: Long, rows: Long,
                                      partValues: Seq[String])
 
+  /** Canonical URI for exported metadata: bare local paths gain the
+    * `file://` scheme (external readers need absolute URIs); any
+    * OTHER scheme (s3a, hdfs, …) passes through untouched — stripping
+    * it would point readers at a nonexistent local path.
+    */
   private def fileUri(p: String): String = {
-    val abs = p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
-    if (abs.startsWith("/")) "file://" + abs else p
+    val scheme = new Path(p).toUri.getScheme
+    if (scheme == null) "file://" + p
+    else if (scheme == "file") "file://" + new Path(p).toUri.getPath
+    else p
   }
 
   /** Hive `k=v` segments of a file path relative to the lake root, in
-    * path order.
+    * path order (URI paths compared scheme-free, so any FS works).
     */
   private def partSegments(root: String, file: String): Seq[(String, String)] = {
     val rootAbs = new Path(root).toUri.getPath
-    val fileAbs = new Path(file.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")).toUri.getPath
+    val fileAbs = new Path(file).toUri.getPath
     val rel = if (fileAbs.startsWith(rootAbs)) fileAbs.drop(rootAbs.length) else fileAbs
     rel.split('/').toSeq.filter(_.contains('='))
       .map { seg => val i = seg.indexOf('='); (seg.take(i), seg.drop(i + 1)) }
@@ -110,9 +117,15 @@ object IcebergExport {
     require(active.nonEmpty, s"nothing to export: no active files under $root")
     // partition columns: union of k=v keys in first-seen order
     val partCols = active.flatMap(p => partSegments(root, p).map(_._1)).distinct
-    // data columns from the physical file schema (partition dirs are
-    // NOT physical columns); ids 1..n data, then partition columns
-    val physical = spark.read.parquet(fileUri(active.head)).schema
+    // data columns from the MERGED physical schema of every active
+    // file (a schema-evolved lake must export the union — LogSync's
+    // lake_merged add-column semantics; a first-file-only schema
+    // would silently drop late columns from external readers).
+    // Explicit file list, no basePath: partition dirs stay out of the
+    // physical schema and are appended separately below. Reading every
+    // footer is the export's file-count-bounded control-plane cost.
+    val physical = spark.read.option("mergeSchema", "true")
+      .parquet(active.map(fileUri): _*).schema
     val dataFields = physical.fields.toSeq.zipWithIndex.map { case (f, i) =>
       Field(i + 1, f.name, icebergType(f.dataType))
     }
@@ -120,7 +133,7 @@ object IcebergExport {
       Field(dataFields.length + 1 + i, c, "string")
     }
     val files = active.map { p =>
-      val fsPath = new Path(p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/"))
+      val fsPath = new Path(p) // scheme-aware: resolves the file's own FS
       val fs = fsPath.getFileSystem(conf)
       val size = fs.getFileStatus(fsPath).getLen
       // row count from the parquet footer only — no data pages read
@@ -229,7 +242,11 @@ object IcebergExport {
     fs.mkdirs(metaDir)
     val version = nextVersion(spark, metaDir)
     val now = System.currentTimeMillis()
-    val snapshotId = now
+    // unique across exports of this table even within one millisecond:
+    // version strictly increases and now never decreases, so now + v
+    // can't repeat (a collision would need the clock to step back
+    // exactly as far as the version stepped forward)
+    val snapshotId = now + version
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg:$root".getBytes("UTF-8")).toString
     val seq = version.toLong
@@ -266,8 +283,10 @@ object IcebergExport {
         e
       })
 
-    // manifest list: one entry pointing at the manifest
-    val listPath = new Path(metaDir, f"snap-$snapshotId-1-$uuid.avro")
+    // manifest list: one entry pointing at the manifest. The VERSION
+    // in the filename keeps it unique per export — same-millisecond
+    // exports must not overwrite the previous snapshot's list
+    val listPath = new Path(metaDir, f"snap-$snapshotId-$version-$uuid.avro")
     val totalRows = st.files.map(_.rows).sum
     writeAvro(spark, listPath, manifestListSchema,
       Map("format-version" -> "2", "snapshot-id" -> snapshotId.toString,
@@ -326,21 +345,31 @@ object IcebergExport {
     mdPath.toString
   }
 
-  /** One export per (session, lake) — the guard contract queries use
-    * so repeated runs read one metadata version instead of minting a
-    * new snapshot per query.
+  /** One export per (session, lake, LAKE STATE) — the guard contract
+    * queries use so repeated runs read one metadata version instead of
+    * minting a new snapshot per query, WITHOUT going stale on a
+    * growing lake: the memo key carries a staleness token derived from
+    * the live manifest (its version + active-row count + newest
+    * registration instant — a control-plane aggregate), so a
+    * LakeIngest/OtlpHttp flush into the same root triggers a fresh
+    * export on the next query and `lake_iceberg` can never diverge
+    * from `lake_severity_by_service` on the same lake.
     */
   private val exportedOnce =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
 
-  def ensureExport(spark: SparkSession, root: String): String =
-    exportedOnce.computeIfAbsent((spark, root), { key =>
+  def ensureExport(spark: SparkSession, root: String): String = {
+    val m = LogSync.manifest(spark, root)
+    val head = m.agg(count(when(col("removed_at").isNull, 1)), max(col("registered_at"))).head()
+    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}"
+    exportedOnce.computeIfAbsent((spark, root, token), { key =>
       graft.SessionCaches.register(spark)(() => { exportedOnce.remove(key); () })
       export(spark, root)
     })
+  }
 
   private def readAvro(spark: SparkSession, uri: String): Seq[GenericRecord] = {
-    val p = new Path(uri.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/"))
+    val p = new Path(uri) // scheme-aware: resolves the URI's own FS
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
     val r = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try Iterator.continually(r).takeWhile(_ => r.hasNext).map(_.next()).toList

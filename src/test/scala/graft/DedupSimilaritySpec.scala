@@ -281,6 +281,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("jacobi: diagonalizes the equal-diagonal 45-degree block (signum(0) regression)") {
+    // [[v,v],[v,v]] has equal diagonal entries: theta = 0, and a
+    // signum-based rotation sign would make every pivot a no-op
+    val (vals, vecs) = graft.operators.Pca.jacobi(
+      Array(Array(2.0, 2.0), Array(2.0, 2.0)))
+    assert(vals.sorted.zip(Seq(0.0, 4.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      s"eigenvalues ${vals.toSeq} must be {0, 4}")
+    // columns are orthonormal eigenvectors
+    val dot01 = (0 until 2).map(i => vecs(i)(0) * vecs(i)(1)).sum
+    assert(math.abs(dot01) < 1e-12)
+  }
+
   test("emb_pca: orthonormal basis, eigenvalues = projected variance, beats uniform spread") {
     import graft.operators.Pca
     val m = Pca.fit(spark, sf)
