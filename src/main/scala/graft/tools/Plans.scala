@@ -72,7 +72,9 @@ object Plans {
       "text_trigram_logprob" -> "stupid-backoff trigram LM: one tokenize+window pass; model tables are vocabulary-cardinality aggregates; scoring = n-gram-keyed equi-joins + broadcast scalar N, integer micro-nat CASE",
       "text_bm25" -> "BM25: ONE tokenize pass into a narrow cached per-doc frame (per-term tf via size/array_remove builtins — no interpreted lambda, no per-(doc,term) shuffle); |Q|-struct explode filtered to hits; df/corpus aggs broadcast back; TakeOrdered top-k",
       "wordpiece_encode" -> "WordPiece application: greedy longest-match segmentation (graft_wordpiece_segment, vocab as one literal) on the VOCABULARY side of the word join — corpus scanned once into (doc,word) counts, segmentation once per distinct word",
-      "dedup_keep" -> "corpus-wide keep/drop tagging: one map-only corpus pass; cluster-label and keeper control tables joined via the size-guarded broadcast (shuffle-join fallback above threshold)")
+      "dedup_keep" -> "corpus-wide keep/drop tagging: one map-only corpus pass; cluster-label and keeper control tables joined via the size-guarded broadcast (shuffle-join fallback above threshold)",
+      "ann_opq" -> "OPQ rotated PQ: rotation = codegen'd dots against permuted-PCA-basis literals with constant centering (map-only), ADC over rotated codes, TopK candidate cut + broadcast-join exact rerank on raw floats",
+      "lake_iceberg" -> "severity aggregate through the EXPORTED Iceberg metadata chain (version-hint -> metadata.json -> Avro manifests -> file keep-set): same root-scan + broadcast semi-join as the manifest read — interop certified by the shared oracle")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
