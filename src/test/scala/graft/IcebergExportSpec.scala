@@ -106,6 +106,29 @@ class IcebergExportSpec extends SparkSpec {
       "export metadata must never be re-registered as data")
   }
 
+  test("schema evolution: export carries the UNION schema, not the first file's") {
+    val root = buildLake()
+    // evolve: later files gain a column the originals lack
+    Tables.events(spark, sf).limit(50)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+        col("props").as("body"), lit("zone-a").as("deployment_zone"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    IcebergExport.export(spark, root)
+    val metaDir = new java.io.File(new java.io.File(root), "_iceberg/metadata")
+    val v = new String(Files.readAllBytes(
+      new java.io.File(metaDir, "version-hint.text").toPath), "UTF-8").trim
+    val md = new String(Files.readAllBytes(
+      new java.io.File(metaDir, s"v$v.metadata.json").toPath), "UTF-8")
+    assert(md.contains("\"deployment_zone\""),
+      "a column added by later files must appear in the exported schema")
+    assert(md.contains("\"body\""), "original columns stay present")
+    // and the read-back path surfaces it (null for pre-evolution rows)
+    val t = IcebergExport.readTable(spark, root)
+    assert(t.columns.contains("body"))
+    assert(t.count() == 350)
+  }
+
   test("readTable: the Iceberg-metadata read path surfaces exactly the registered table") {
     val root = buildLake()
     IcebergExport.export(spark, root)
