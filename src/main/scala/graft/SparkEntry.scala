@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_keep"          -> ((s: SparkSession, d: String) => Curation.dedupKeep(s, d)),
     "unigram_train"       -> ((s: SparkSession, d: String) => Unigram.train(s, d)),
     "unigram_encode"      -> ((s: SparkSession, d: String) => Unigram.encode(s, d)),
+    "corpus_lang_mix"     -> ((s: SparkSession, d: String) => Curation.langMix(s, d)),
     "wordpiece_train"     -> ((s: SparkSession, d: String) => Wordpiece.train(s, d)),
     "wordpiece_encode"    -> ((s: SparkSession, d: String) => Wordpiece.encode(s, d)),
     "text_quality_rules"  -> (TrainPrep.qualityRules _),
@@ -223,6 +224,41 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "emb_project" -> embProjectOracle,
+    // corpus_lang_mix: the langid CASE composed with the quantized-
+    // sqrt temperature-mix arithmetic, replayed end-to-end
+    "corpus_lang_mix" ->
+      """WITH t0 AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text),'\s+'), x->len(x)>0) AS tk
+        | FROM documents),
+        |t1 AS (SELECT doc_id, text, len(tk) AS n_toks,
+        |  len(list_filter(tk, x -> x IN ('the','a','and','of','to','is'))) AS s_en,
+        |  len(list_filter(tk, x -> x IN ('el','los','las','una','y','que'))) AS s_es,
+        |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(tk, x -> x IN ('le','les','des','et','est','une'))) AS s_fr,
+        |  regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS zh
+        | FROM t0),
+        |d AS (SELECT doc_id, n_toks,
+        | CASE WHEN zh THEN 'zh'
+        |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+        |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+        |      WHEN s_fr > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS pred_lang
+        | FROM t1),
+        |s AS (SELECT pred_lang, CAST(sum(n_toks) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+        |q AS (SELECT pred_lang, src_toks,
+        |  CAST(floor(sqrt(CAST(src_toks AS DOUBLE)) * 65536.0) AS BIGINT) AS w_q FROM s),
+        |g AS (SELECT CAST(sum(src_toks) // 2 AS BIGINT) AS budget,
+        |  CAST(sum(w_q) AS BIGINT) AS sum_w FROM q),
+        |t AS (SELECT q.pred_lang,
+        |  CAST(floor(((CAST(g.budget AS DOUBLE)
+        |    * (CAST(q.w_q AS DOUBLE) / CAST(g.sum_w AS DOUBLE)))
+        |    / CAST(q.src_toks AS DOUBLE)) * 4294967296.0) AS BIGINT) AS th
+        |  FROM q CROSS JOIN g)
+        |SELECT d.doc_id, d.pred_lang, d.n_toks FROM d JOIN t ON d.pred_lang = t.pred_lang
+        |WHERE t.th >= 4294967296
+        |   OR upper(substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) < lpad(hex(t.th),8,'0')
+        |ORDER BY d.doc_id""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          | ${m2("CAST(l_quantity AS DECIMAL(12,2))")} AS sum_qty,

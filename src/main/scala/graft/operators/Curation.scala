@@ -694,6 +694,49 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** DETECTED-LANGUAGE temperature mixing — [[mixTemperature]] keyed
+    * by [[TextAnalysis.predLangExpr]]'s per-document language instead
+    * of the source column: the multilingual pipeline's real allocation
+    * step (α-sample per LANGUAGE so low-resource languages keep a
+    * larger fraction — mBERT/XLM-R's exact recipe), composed from two
+    * already-oracle-proven pieces and hash-checked END-TO-END (the
+    * DuckDB oracle replays the langid CASE and the quantized-sqrt mix
+    * arithmetic in one statement).
+    *
+    * Scale shape: identical to [[mixTemperature]] — the language
+    * predicate rides the same map-only projection that counts tokens
+    * (one corpus pass), two control-plane aggregates broadcast back,
+    * keep decision a pure function of doc_id; the corpus never
+    * shuffles.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        TextAnalysis.predLangExpr(col("text"), col("tk")).as("pred_lang"),
+        size(col("tk")).as("n_toks"))
+    val perLang = docs.groupBy(col("pred_lang"))
+      .agg(sum(col("n_toks")).as("src_toks"))
+      .withColumn("w_q",
+        floor(sqrt(col("src_toks").cast("double")) * lit(65536.0)).cast("long"))
+    val global = perLang.agg(
+      expr("sum(src_toks) div 2").as("budget"),
+      sum(col("w_q")).as("sum_w"))
+    val th = floor(
+      ((col("budget").cast("double") *
+        (col("w_q").cast("double") / col("sum_w").cast("double"))) /
+        col("src_toks").cast("double")) * lit(4294967296.0)).cast("long")
+    docs
+      .join(broadcast(perLang), "pred_lang")
+      .crossJoin(broadcast(global))
+      .withColumn("th", th)
+      .filter(col("th") >= 4294967296L ||
+        upper(substring(md5(col("doc_id").cast("string")), 1, 8)) <
+          lpad(hex(col("th")), 8, "0"))
+      .select(col("doc_id"), col("pred_lang"), col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES
     * with exponential keys): each document gets key `-ln(u)/w` from a
     * DETERMINISTIC md5-derived uniform `u` and weight `w` = token

@@ -66,27 +66,31 @@ object TextAnalysis {
   /** Language ID via stopword-marker hits + CJK detection; reported as
     * a (labeled lang × predicted lang) confusion matrix.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("tk") // tokenized once below — five marker scans reuse it
+  /** The per-document language predicate (`text` raw + its token
+    * array) — shared by the confusion-matrix query and
+    * [[Curation.langMix]]'s detected-language mixing.
+    */
+  private[operators] def predLangExpr(text: Column, t: Column): Column = {
     val en = hits(t, Seq("the", "a", "and", "of", "to", "is"))
     val es = hits(t, Seq("el", "los", "las", "una", "y", "que"))
     val de = hits(t, Seq("der", "die", "das", "und", "ist", "nicht"))
     val fr = hits(t, Seq("le", "les", "des", "et", "est", "une"))
-    val zh = col("text").rlike("[\\u4e00-\\u9fff]")
-    val pred =
-      when(zh, "zh")
-        .when(en >= es && en >= de && en >= fr && en > 0, "en")
-        .when(es >= de && es >= fr && es > 0, "es")
-        .when(de >= fr && de > 0, "de")
-        .when(fr > 0, "fr")
-        .otherwise("unknown")
+    val zh = text.rlike("[\\u4e00-\\u9fff]")
+    when(zh, "zh")
+      .when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"), col("text"), toks(col("text")).as("tk"))
-      .select(col("lang"), pred.as("pred_lang"))
+      .select(col("lang"), predLangExpr(col("text"), col("tk")).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
-  }
 
   /** Global token frequency: top-50 corpus vocabulary. explode →
     * groupBy(token) is the canonical map-side-combining word count.
