@@ -77,6 +77,9 @@ object Bench {
     // train the rotated-corpus PQ codebooks once so ann_opq measures
     // encode+ADC+rerank like ann_pq
     warm("opq")(graft.operators.Opq.annOpq(spark, sfDir).count())
+    // mint the one-per-lake-state Iceberg metadata export once so
+    // lake_iceberg measures the metadata-chain READ, not the export
+    warm("iceberg")(graft.operators.LakeAnalytics.icebergSeverity(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).
