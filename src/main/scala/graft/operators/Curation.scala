@@ -378,7 +378,7 @@ object Curation {
       .agg(max(col("rank_micro")).as("rank_micro"),
            count(lit(1)).as("n_members"))
     lab.select(col("cluster"), col("doc_id"), col("rank_micro"))
-      .join(broadcast(top), Seq("cluster", "rank_micro"))
+      .join(broadcastIfSmall(top), Seq("cluster", "rank_micro"))
       .groupBy(col("cluster"), col("rank_micro"), col("n_members"))
       .agg(min(col("doc_id")).as("canonical_id"))
       .select(col("cluster"), col("canonical_id"),
