@@ -92,6 +92,42 @@ class OtlpHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("HTTP intake feeds the CDC follow path: each flush is one consumable increment") {
+    // the full reference pipeline live: exporter POST → lake →
+    // downstream incremental consumer (collector → parquet →
+    // ClickHouse-consumer analog), with exactly-once increments
+    val root = Files.createTempDirectory("graft_otlp_cdc").toString
+    val marks = Files.createTempDirectory("graft_otlp_cdc_marks").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val baseUs = 1705060800000000L
+      for (i <- 0 until 3)
+        assert(post(server.port, "/v1/logs",
+          jsonEnvelope(baseUs + i * 1000000L, "svc-a", "INFO", s"batch1 $i").getBytes,
+          "application/json").statusCode() == 200)
+      assert(server.flush()._1 == 3)
+      val inc1 = graft.streaming.LakeFollow.poll(spark, root, marks)
+        .getOrElse(fail("first flush must surface as an increment"))
+      assert(inc1.rows.count() == 3)
+      graft.streaming.LakeFollow.commit(spark, root, marks, inc1)
+      // second batch: the next poll sees ONLY the new rows
+      for (i <- 0 until 2)
+        assert(post(server.port, "/v1/logs",
+          jsonEnvelope(baseUs + 100000000L + i * 1000000L, "svc-b", "WARN", s"batch2 $i").getBytes,
+          "application/json").statusCode() == 200)
+      assert(server.flush()._1 == 2)
+      val inc2 = graft.streaming.LakeFollow.poll(spark, root, marks)
+        .getOrElse(fail("second flush must surface as an increment"))
+      assert(inc2.rows.count() == 2)
+      assert(inc2.rows.select("service_name").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("svc-b"),
+        "the second increment carries only the second batch")
+      graft.streaming.LakeFollow.commit(spark, root, marks, inc2)
+      assert(graft.streaming.LakeFollow.poll(spark, root, marks).isEmpty,
+        "a committed follow has nothing new to consume")
+    } finally server.stop()
+  }
+
   test("auto-flush timer lands posted rows without an explicit flush call") {
     val root = Files.createTempDirectory("graft_otlp_http_auto").toString
     val server = OtlpHttp.start(spark, root, autoFlushMillis = 300L)
