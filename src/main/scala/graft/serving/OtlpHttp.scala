@@ -48,12 +48,24 @@ object OtlpHttp {
 
   final class Server private[OtlpHttp] (spark: SparkSession, root: String,
                                         server: HttpServer,
-                                        scheduler: Option[java.util.concurrent.ScheduledExecutorService]) {
+                                        scheduler: Option[java.util.concurrent.ScheduledExecutorService],
+                                        maxPendingBytes: Long) {
     private val jsonQ = new ConcurrentLinkedQueue[String]()
     private val protoQ = new ConcurrentLinkedQueue[Array[Byte]]()
+    // BACKPRESSURE: the buffer is driver-resident, so it must be
+    // BOUNDED — above the high-water mark the endpoint answers 429
+    // (retryable per the OTLP/HTTP spec; a conforming exporter backs
+    // off and retries, losing nothing) instead of growing until OOM
+    private val pendingBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
     def port: Int = server.getAddress.getPort
     def pending: Int = jsonQ.size + protoQ.size
+
+    private def admit(n: Long): Boolean = {
+      val after = pendingBytes.addAndGet(n)
+      if (after > maxPendingBytes) { pendingBytes.addAndGet(-n); false }
+      else true
+    }
 
     private[OtlpHttp] def handle(ex: HttpExchange): Unit = {
       try {
@@ -70,14 +82,23 @@ object OtlpHttp {
               // of 4 handler threads and then run AGAIN at flush;
               // deeper corruption is caught there and quarantined,
               // never silently dropped
-              if (protoFraming(body)) { protoQ.add(body); (200, "{}") }
-              else (400, """{"error":"undecodable protobuf payload"}""")
+              if (!protoFraming(body))
+                (400, """{"error":"undecodable protobuf payload"}""")
+              else if (!admit(body.length.toLong))
+                (429, """{"error":"intake buffer full, retry later"}""")
+              else { protoQ.add(body); (200, "{}") }
             } else {
               val s = new String(body, "UTF-8")
               // cheap request-time gate; full envelope validation (and
               // quarantine) happens at flush
-              if (s.contains("resourceLogs")) { jsonQ.add(s); (200, "{}") }
-              else (400, """{"error":"not an OTLP logs envelope"}""")
+              if (!s.contains("resourceLogs"))
+                (400, """{"error":"not an OTLP logs envelope"}""")
+              // measure the DECODED string's UTF-8 size so admit and
+              // the flush-side release use the same number even for
+              // payloads with invalid byte sequences
+              else if (!admit(s.getBytes("UTF-8").length.toLong))
+                (429, """{"error":"intake buffer full, retry later"}""")
+              else { jsonQ.add(s); (200, "{}") }
             }
           }
         val bytes = resp._2.getBytes("UTF-8")
@@ -97,6 +118,10 @@ object OtlpHttp {
       val js = Iterator.continually(jsonQ.poll()).takeWhile(_ != null).toSeq
       val ps = Iterator.continually(protoQ.poll()).takeWhile(_ != null).toSeq
       if (js.isEmpty && ps.isEmpty) return (0L, 0L)
+      // release the drained payloads' budget — new POSTs are admitted
+      // again while this flush's Spark job runs
+      pendingBytes.addAndGet(
+        -(js.map(_.getBytes("UTF-8").length.toLong).sum + ps.map(_.length.toLong).sum))
       val parsed = Seq(
         if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
         else None,
@@ -162,10 +187,13 @@ object OtlpHttp {
   /** Start listening on `port` (0 = ephemeral, read it back from
     * [[Server.port]]). `autoFlushMillis > 0` flushes on a daemon timer
     * (the collector's batch interval); 0 leaves flushing to the
-    * caller.
+    * caller. `maxPendingBytes` bounds the driver-resident buffer —
+    * above it the endpoint answers 429 until a flush drains
+    * (backpressure, not OOM).
     */
   def start(spark: SparkSession, root: String, port: Int = 0,
-            autoFlushMillis: Long = 0L): Server = {
+            autoFlushMillis: Long = 0L,
+            maxPendingBytes: Long = 256L * 1024 * 1024): Server = {
     val http = HttpServer.create(new InetSocketAddress(port), 0)
     val scheduler =
       if (autoFlushMillis > 0)
@@ -173,7 +201,7 @@ object OtlpHttp {
           val t = new Thread(r, "otlp-http-flush"); t.setDaemon(true); t
         })
       else None
-    val server = new Server(spark, root, http, scheduler)
+    val server = new Server(spark, root, http, scheduler, maxPendingBytes)
     http.createContext("/", (ex: HttpExchange) => server.handle(ex))
     http.setExecutor(Executors.newFixedThreadPool(4, { r =>
       val t = new Thread(r, "otlp-http"); t.setDaemon(true); t

@@ -92,6 +92,25 @@ class OtlpHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("backpressure: over the pending-bytes bound the endpoint 429s until a flush drains") {
+    val root = Files.createTempDirectory("graft_otlp_bp").toString
+    val env = jsonEnvelope(1705060800000000L, "svc-bp", "INFO", "x" * 200)
+    // bound sized to admit exactly two of these envelopes
+    val server = OtlpHttp.start(spark, root,
+      maxPendingBytes = 2L * env.getBytes("UTF-8").length)
+    try {
+      assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 200)
+      assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 200)
+      assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 429,
+        "the third payload must be pushed back, not buffered")
+      assert(server.pending == 2)
+      assert(server.flush()._1 == 2)
+      // the drain released the budget: intake resumes
+      assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 200)
+      assert(server.flush()._1 == 1)
+    } finally server.stop()
+  }
+
   test("HTTP intake feeds the CDC follow path: each flush is one consumable increment") {
     // the full reference pipeline live: exporter POST → lake →
     // downstream incremental consumer (collector → parquet →
