@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
     "dedup_spans"         -> ((s: SparkSession, d: String) => TrainPrep.spanDedup(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
+    "pack_epoch_order"    -> ((s: SparkSession, d: String) => TrainPrep.epochOrder(s, d)),
     "text_chunk"          -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
     // CONTRACT projection: the driver's pandas compare can't sort/hash
     // array cells, so the span list is flattened to a canonical string
@@ -224,6 +225,16 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "emb_project" -> embProjectOracle,
+    // pack_epoch_order: the oracle runs the NAIVE global row_number
+    // per epoch — the decomposed plan must equal it hash-for-hash
+    "pack_epoch_order" ->
+      """WITH k AS (SELECT doc_id, e.epoch,
+        |  md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ord
+        | FROM documents CROSS JOIN (SELECT unnest(range(3)) AS epoch) e)
+        |SELECT epoch,
+        | row_number() OVER (PARTITION BY epoch ORDER BY ord, doc_id) AS position,
+        | doc_id
+        |FROM k ORDER BY epoch, position""".stripMargin,
     // corpus_lang_mix: the langid CASE composed with the quantized-
     // sqrt temperature-mix arithmetic, replayed end-to-end
     "corpus_lang_mix" ->

@@ -625,4 +625,46 @@ object TrainPrep {
       .toDF("source", "block", "bin", "doc_ids", "n_docs", "n_tokens")
       .orderBy(col("source"), col("block"), col("bin"))
   }
+
+  /** PER-EPOCH TRAINING ORDER — the data-loader's "global shuffle per
+    * epoch", deterministic: each epoch orders the whole corpus by
+    * `md5(epoch:doc_id)` (a fresh pseudo-random permutation per epoch,
+    * reproducible across runs/engines/partitionings — a crashed epoch
+    * resumes at a position instead of rerolling the order).
+    *
+    * Scale shape — [[Curation.mixBudget]]'s bucket decomposition
+    * applied to RANKING: the naive plan is `row_number() OVER
+    * (PARTITION BY epoch ORDER BY ord)` — ONE task sorting the whole
+    * corpus per epoch, the skewed-key window class this repo never
+    * ships. Instead the md5 prefix byte splits each epoch into 256
+    * buckets whose lexicographic (bucket, ord) order IS the global
+    * md5 order: per-(epoch, bucket) counts are a map-side-combined
+    * control-plane agg (256×epochs rows), bucket START offsets come
+    * from a running sum over that tiny frame, and the per-row rank is
+    * a window over (epoch, bucket) — 256-way parallel, each partition
+    * ~corpus/256. `position = bucket_offset + rank_in_bucket` equals
+    * the global rank exactly, which the DuckDB oracle (one naive
+    * global `row_number` per epoch) certifies hash-for-hash.
+    */
+  def epochOrder(spark: SparkSession, dir: String, epochs: Int = 3): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
+      .withColumn("ord",
+        md5(concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("bucket", substring(col("ord"), 1, 2))
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("epoch"), col("bucket"), col("offset"))
+    keyed
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("epoch"), col("bucket"))
+          .orderBy(col("ord"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .select(col("epoch"), (col("offset") + col("r")).as("position"), col("doc_id"))
+      .orderBy(col("epoch"), col("position"))
+  }
 }

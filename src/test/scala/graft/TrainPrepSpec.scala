@@ -185,6 +185,32 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("epochOrder: each epoch is a full permutation in exact md5 order; epochs differ") {
+    val rows = TrainPrep.epochOrder(spark, sf).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.foreach { case (e, rs) =>
+      // positions are exactly 1..N and every doc appears once
+      assert(rs.map(_._2).sorted.toSeq == (1L to n).toSeq, s"epoch $e positions")
+      assert(rs.map(_._3).distinct.length == n, s"epoch $e docs")
+      // the bucket-decomposed position equals the LOCAL naive rank
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def ord(id: Long) = md.digest(s"$e:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val naive = rs.map(_._3).sortBy(id => (ord(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      rs.foreach { case (_, pos, id) =>
+        assert(naive(id) == pos, s"epoch $e doc $id: $pos vs naive ${naive(id)}")
+      }
+    }
+    // distinct epochs produce genuinely different orders
+    val o0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val o1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(o0 != o1, "epoch permutations must differ")
+  }
+
   test("packBestFit: block-local FFD replayed exactly; bins respect the budget") {
     val budget = 512; val blockSize = 64
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
