@@ -184,14 +184,29 @@ object TrainPrep {
     *
     * Scale shape: line construction is a map-only `slice`/`transform`
     * over the token array (no explode shuffle); document frequency is
-    * ONE line-keyed aggregate; the heavy-line set is tiny by
-    * construction (it IS the boilerplate) so marking is a BROADCAST
-    * left join; totals + kept counts + scrubbed reassembly all ride
-    * ONE doc-keyed aggregate (collect_list skips the null-mapped heavy
-    * lines). Two corpus passes, two shuffles, no corpus-sized join.
+    * ONE line-keyed aggregate; the heavy-line set scales with the
+    * BOILERPLATE VOLUME — small relative to the corpus but not
+    * constant, so marking goes through [[Curation.broadcastIfSmall]]
+    * (broadcast left join while the set fits, plain shuffle join
+    * above, AQE free to re-decide); the heavy set is
+    * localCheckpoint-materialized first so the size probe and the join
+    * pay its aggregation once. Totals + kept counts + scrubbed
+    * reassembly all ride ONE doc-keyed aggregate (collect_list skips
+    * the null-mapped heavy lines). Two corpus passes, two shuffles, no
+    * corpus-sized join.
     */
   def lineDedup(spark: SparkSession, dir: String,
-                lineTokens: Int = 5, minDocs: Int = 3): DataFrame = {
+                lineTokens: Int = 5, minDocs: Int = 3): DataFrame =
+    lineDedupImpl(spark, dir, lineTokens, minDocs)
+
+  /** [[lineDedup]] with the broadcast-size guard exposed — the
+    * [[Curation.dedupKeepImpl]] spec seam: `maxBroadcastRows = 0`
+    * forces the shuffle-join fallback so the both-paths-agree spec can
+    * certify the guard without a corpus big enough to trip it.
+    */
+  private[graft] def lineDedupImpl(spark: SparkSession, dir: String,
+                                   lineTokens: Int = 5, minDocs: Int = 3,
+                                   maxBroadcastRows: Long = 1000000L): DataFrame = {
     val aug = when(col("doc_id") % 3 === 0,
       concat(col("text"), lit(" please subscribe to our newsletter today")))
       .otherwise(col("text"))
@@ -207,10 +222,11 @@ object TrainPrep {
       .filter(col("df") >= minDocs)
       .select(col("line"), lit(true).as("hv"))
     // one pass computes totals, kept count and the scrubbed reassembly:
-    // the broadcast left join marks heavy lines, collect_list skips the
-    // null-mapped (dropped) ones, so no second corpus scan and no
+    // the size-guarded left join marks heavy lines, collect_list skips
+    // the null-mapped (dropped) ones, so no second corpus scan and no
     // doc-keyed re-join are needed
-    lines.join(broadcast(heavy), Seq("line"), "left")
+    lines.join(Curation.broadcastIfSmall(heavy.localCheckpoint(), maxBroadcastRows),
+        Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_lines"),
         sum(when(col("hv").isNull, 1L).otherwise(0L)).as("n_kept"),

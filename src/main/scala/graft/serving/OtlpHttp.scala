@@ -25,13 +25,36 @@ import graft.sources.{LogSync, LogWriter, OtlpLogs}
   *
   * Protocol behavior (the part a real exporter sees):
   *  - 200 + `{}` on accepted payloads (export-level acceptance; OTLP
-  *    allows asynchronous processing after acknowledgment);
+  *    allows asynchronous processing after acknowledgment); an empty
+  *    `ExportLogsServiceRequest` (`{}` / empty `resourceLogs`) is
+  *    spec-legal and answers 200 as a full success — there is nothing
+  *    to land, so it is dropped at the door, not 400'd;
+  *  - `Content-Encoding: gzip` bodies are inflated BEFORE the framing
+  *    gate on both transports (stock OTLP exporters default to gzip;
+  *    the reference's collector edge, docker-compose.yaml:93-101,
+  *    accepts it natively) — the DECOMPRESSED size is what counts
+  *    against `maxPendingBytes`, inflation is stream-bounded by that
+  *    same cap (a gzip bomb gets 413 without ever materializing), and
+  *    a corrupt gzip stream gets 400;
   *  - 400 on payloads that cannot possibly decode (non-JSON body on
   *    the JSON transport, undecodable bytes on the protobuf one);
   *  - 404/405 for wrong path/method.
   * Envelope-shape rejects that pass the cheap request-time check are
   * quarantined at flush (written under `_quarantine/http/`), never
   * silently dropped — the same discipline as the batch intake.
+  *
+  * Durability: a payload the server 200-acked must land. If a flush's
+  * write/sync/quarantine step throws (disk full, transient FS error),
+  * every drained payload whose rows are NOT yet durable on disk is
+  * re-enqueued (and its bytes re-admitted) for the next flush; once
+  * [[LogWriter.write]] has committed the batch's parquet (the v1
+  * committer exposes no files on job abort), payloads are NOT
+  * re-enqueued — a retry would double-write rows, because
+  * [[LogSync.sync]] registers by directory scan — and a sync failure
+  * after a durable write heals on the next flush (or [[Server.stop]]),
+  * which re-runs sync even with an empty buffer. Quarantine dumps are
+  * written before the valid-row commit, so the only duplication a
+  * retry can cause is raw bytes in the forensic `_quarantine` bin.
   *
   * Scale honesty: this is the SINGLE-NODE listening edge, exactly what
   * the reference runs (one collector container) — the buffer is
@@ -57,6 +80,10 @@ object OtlpHttp {
     // (retryable per the OTLP/HTTP spec; a conforming exporter backs
     // off and retries, losing nothing) instead of growing until OOM
     private val pendingBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // set when a durable write's manifest registration failed — the
+    // next flush (or stop) re-runs the scan-based sync even if the
+    // buffer is empty, so committed rows never stay unregistered
+    @volatile private var pendingSync = false
 
     def port: Int = server.getAddress.getPort
     def pending: Int = jsonQ.size + protoQ.size
@@ -73,8 +100,15 @@ object OtlpHttp {
           if (ex.getRequestURI.getPath != "/v1/logs") (404, """{"error":"unknown path"}""")
           else if (ex.getRequestMethod != "POST") (405, """{"error":"POST only"}""")
           else {
-            val body = ex.getRequestBody.readAllBytes()
+            val raw = ex.getRequestBody.readAllBytes()
+            val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+              .getOrElse("").toLowerCase
+            val inflated: Either[(Int, String), Array[Byte]] =
+              if (enc.contains("gzip")) gunzipBounded(raw, maxPendingBytes) else Right(raw)
             val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+            inflated match {
+              case Left(err) => err
+              case Right(body) =>
             if (ct.contains("protobuf")) {
               // cheap STRUCTURAL gate only (outer framing: field-1
               // length-delimited tag + a varint length that fits the
@@ -90,8 +124,11 @@ object OtlpHttp {
             } else {
               val s = new String(body, "UTF-8")
               // cheap request-time gate; full envelope validation (and
-              // quarantine) happens at flush
-              if (!s.contains("resourceLogs"))
+              // quarantine) happens at flush. An empty request `{}` is
+              // a spec-legal ExportLogsServiceRequest with zero
+              // records: full success, nothing to buffer.
+              if (s.trim == "{}") (200, "{}")
+              else if (!s.contains("resourceLogs"))
                 (400, """{"error":"not an OTLP logs envelope"}""")
               // measure the DECODED string's UTF-8 size so admit and
               // the flush-side release use the same number even for
@@ -99,6 +136,7 @@ object OtlpHttp {
               else if (!admit(s.getBytes("UTF-8").length.toLong))
                 (429, """{"error":"intake buffer full, retry later"}""")
               else { jsonQ.add(s); (200, "{}") }
+            }
             }
           }
         val bytes = resp._2.getBytes("UTF-8")
@@ -117,35 +155,64 @@ object OtlpHttp {
       import spark.implicits._
       val js = Iterator.continually(jsonQ.poll()).takeWhile(_ != null).toSeq
       val ps = Iterator.continually(protoQ.poll()).takeWhile(_ != null).toSeq
-      if (js.isEmpty && ps.isEmpty) return (0L, 0L)
+      if (js.isEmpty && ps.isEmpty) {
+        // heal a prior sync failure: the rows are committed, only the
+        // manifest registration is missing
+        if (pendingSync) { LogSync.sync(spark, root); pendingSync = false }
+        return (0L, 0L)
+      }
       // release the drained payloads' budget — new POSTs are admitted
       // again while this flush's Spark job runs
-      pendingBytes.addAndGet(
-        -(js.map(_.getBytes("UTF-8").length.toLong).sum + ps.map(_.length.toLong).sum))
-      val parsed = Seq(
-        if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
-        else None,
-        if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
-        else None).flatten
-      val valid = parsed.map(_._1).reduce(_ unionByName _).cache()
-      val nValid = valid.count()
-      if (nValid > 0) {
-        LogWriter.write(valid, root, layout = LogWriter.DailyLayout)
-        LogSync.sync(spark, root)
+      val released =
+        js.map(_.getBytes("UTF-8").length.toLong).sum + ps.map(_.length.toLong).sum
+      pendingBytes.addAndGet(-released)
+      // true once the batch's valid rows are committed parquet — past
+      // that point a re-enqueue would DOUBLE-write them (sync registers
+      // by directory scan), so the catch below re-enqueues only before
+      var rowsDurable = false
+      try {
+        val parsed = Seq(
+          if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
+          else None,
+          if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
+          else None).flatten
+        val valid = parsed.map(_._1).reduce(_ unionByName _).cache()
+        val nValid = valid.count()
+        // shape-invalid envelopes first: quarantined as their raw
+        // bytes, the batch intake's no-silent-drop rule. Ordered
+        // BEFORE the valid-row commit so a failure-retry can at worst
+        // duplicate raw bytes in the forensic bin, never lake rows.
+        val badN = parsed.map { case (_, bad) =>
+          val badBin = bad.select(
+            (if (bad.schema("payload").dataType == org.apache.spark.sql.types.StringType)
+               encode(col("payload"), "UTF-8") else col("payload")).as("payload"))
+          val n = badBin.count()
+          if (n > 0)
+            badBin.write.mode(SaveMode.Append).parquet(s"$root/_quarantine/http")
+          n
+        }.sum
+        if (nValid > 0) {
+          LogWriter.write(valid, root, layout = LogWriter.DailyLayout)
+          rowsDurable = true
+          try LogSync.sync(spark, root)
+          catch { case t: Throwable => pendingSync = true; throw t }
+        }
+        valid.unpersist()
+        (nValid, badN)
+      } catch {
+        case t: Throwable =>
+          if (!rowsDurable) {
+            // nothing of this batch reached the lake (the v1 committer
+            // exposes no files on job abort): put every drained
+            // payload back — tail order, no ordering contract — and
+            // restore its budget (may transiently overshoot the cap;
+            // the endpoint just answers 429 until the retry drains)
+            js.foreach(jsonQ.add)
+            ps.foreach(protoQ.add)
+            pendingBytes.addAndGet(released)
+          }
+          throw t
       }
-      valid.unpersist()
-      // shape-invalid envelopes: quarantined as their raw bytes, the
-      // batch intake's no-silent-drop rule
-      val badN = parsed.map { case (_, bad) =>
-        val badBin = bad.select(
-          (if (bad.schema("payload").dataType == org.apache.spark.sql.types.StringType)
-             encode(col("payload"), "UTF-8") else col("payload")).as("payload"))
-        val n = badBin.count()
-        if (n > 0)
-          badBin.write.mode(SaveMode.Append).parquet(s"$root/_quarantine/http")
-        n
-      }.sum
-      (nValid, badN)
     }
 
     /** Close the socket WAITING for in-flight handlers (a payload the
@@ -156,14 +223,56 @@ object OtlpHttp {
     def stop(): Unit = {
       scheduler.foreach { s => s.shutdown(); s.awaitTermination(5, TimeUnit.SECONDS); () }
       server.stop(1) // seconds to let dispatched exchanges finish
-      flush()
+      // a handler that outlives stop()'s grace window can still
+      // 200-ack and enqueue — wait for the handler pool to fully
+      // drain BEFORE the final flush, so nothing lands after it
       server.getExecutor match {
-        case e: java.util.concurrent.ExecutorService => e.shutdown()
+        case e: java.util.concurrent.ExecutorService =>
+          e.shutdown(); e.awaitTermination(10, TimeUnit.SECONDS); ()
         case _ =>
+      }
+      // nothing can enqueue now; drain until empty (flush re-enqueues
+      // on failure, so retry a transient error a couple of times —
+      // the last attempt propagates, acked payloads must not vanish
+      // silently)
+      var attempts = 0
+      while ((pending > 0 || pendingSync) && attempts < 3) {
+        attempts += 1
+        try { flush(); () }
+        catch {
+          case t: Throwable if attempts < 3 =>
+            System.err.println(s"[otlp-http] stop-flush retry: ${t.getMessage}")
+        }
       }
       ()
     }
   }
+
+  /** Bounded gzip inflation for `Content-Encoding: gzip` request
+    * bodies: streams through a fixed 64 KB chunk and aborts with 413
+    * the moment the decompressed size passes `limit` — a gzip bomb
+    * never materializes more than one chunk past the intake cap. A
+    * corrupt stream (bad magic, truncated deflate, CRC mismatch) is a
+    * client error: 400. JDK `java.util.zip` only.
+    */
+  private def gunzipBounded(b: Array[Byte],
+                            limit: Long): Either[(Int, String), Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 2))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      var over = false
+      while (n >= 0 && !over) {
+        out.write(buf, 0, n)
+        if (out.size.toLong > limit) over = true else n = in.read(buf)
+      }
+      if (over) Left((413, """{"error":"decompressed payload exceeds intake capacity"}"""))
+      else Right(out.toByteArray)
+    } catch {
+      case _: java.io.IOException =>
+        Left((400, """{"error":"undecodable gzip body"}"""))
+    }
 
   /** Minimal OTLP `LogsData`/`ExportLogsServiceRequest` outer framing:
     * tag 0x0a (field 1, length-delimited) followed by a varint length

@@ -92,6 +92,82 @@ class OtlpHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  private def postGz(port: Int, body: Array[Byte], contentType: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+        .header("Content-Type", contentType)
+        .header("Content-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(gzipBytes(body))).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("gzip transport: Content-Encoding: gzip bodies land on both transports") {
+    val root = Files.createTempDirectory("graft_otlp_gz").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val port = server.port
+      val baseUs = 1705060800000000L
+      // gzipped JSON
+      assert(postGz(port, jsonEnvelope(baseUs, "svc-gz", "INFO", "gzipped json").getBytes,
+        "application/json").statusCode() == 200)
+      // gzipped protobuf, encoded with the engine's own wire codec
+      graft.functions.VectorFunctions.register(spark)
+      val protoBytes = spark.range(2)
+        .select(OtlpLogs.toOtlpProtoTraced(
+          lit(baseUs + 1000000L) + col("id") * 1000000L, lit("svc-gz"), lit("WARN"),
+          lit(13), concat(lit("gz proto "), col("id")),
+          lit("0af7651916cd43dd8448eb211c80319c"), lit("b7ad6b7169203331"),
+          lit("1"), lit("graft.test")).as("bin"))
+        .collect().map(_.getAs[Array[Byte]]("bin"))
+      protoBytes.foreach { b =>
+        assert(postGz(port, b, "application/x-protobuf").statusCode() == 200)
+      }
+      // corrupt gzip stream → client error, not a buffered payload
+      val corrupt = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+          .header("Content-Type", "application/json")
+          .header("Content-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray("not gzip".getBytes)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(corrupt.statusCode() == 400)
+      // spec-legal empty export request: full success, nothing buffered
+      assert(post(port, "/v1/logs", "{}".getBytes, "application/json").statusCode() == 200)
+      assert(server.pending == 3, "empty envelope and corrupt gzip must not buffer")
+      val (rows, quarantined) = server.flush()
+      assert(rows == 3 && quarantined == 0)
+      val t = LogSync.table(spark, root)
+      assert(t.count() == 3)
+      assert(t.filter(col("severity_text") === "WARN").count() == 2)
+    } finally server.stop()
+  }
+
+  test("flush durability: a failed write re-enqueues acked payloads; stop() drains them") {
+    val tmp = Files.createTempDirectory("graft_otlp_dur")
+    val root = s"$tmp/lake"
+    // a regular FILE at the lake root blocks parquet dir creation —
+    // the flush's write step throws before anything is durable
+    Files.createFile(java.nio.file.Paths.get(root))
+    val server = OtlpHttp.start(spark, root)
+    try {
+      assert(post(server.port, "/v1/logs",
+        jsonEnvelope(1705060800000000L, "svc-dur", "INFO", "must not vanish").getBytes,
+        "application/json").statusCode() == 200)
+      assert(server.pending == 1)
+      intercept[Throwable] { server.flush() }
+      assert(server.pending == 1,
+        "the 200-acked payload must be re-enqueued after a failed flush")
+      // heal the lake path; stop() must drain the re-enqueued payload
+      Files.delete(java.nio.file.Paths.get(root))
+    } finally server.stop()
+    assert(LogSync.table(spark, root).count() == 1,
+      "the acked payload must land once the path heals")
+  }
+
   test("backpressure: over the pending-bytes bound the endpoint 429s until a flush drains") {
     val root = Files.createTempDirectory("graft_otlp_bp").toString
     val env = jsonEnvelope(1705060800000000L, "svc-bp", "INFO", "x" * 200)

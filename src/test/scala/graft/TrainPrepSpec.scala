@@ -420,6 +420,16 @@ class TrainPrepSpec extends SparkSpec {
       s"heavy-line anti-join must broadcast:\n$plan")
   }
 
+  test("lineDedup broadcast guard: forced shuffle-join path agrees with the broadcast path") {
+    // maxBroadcastRows = 0 forces broadcastIfSmall's fallback (no
+    // broadcast hint; AQE may still pick broadcast at this sf, which
+    // is the intended division of labor) — results must be identical
+    val b = TrainPrep.lineDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val s = TrainPrep.lineDedupImpl(spark, sf, maxBroadcastRows = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(s == b, "lineDedup: shuffle-join fallback must agree with broadcast path")
+  }
+
   test("spanDedup: injected spans scrub everywhere; untouched docs keep their exact text") {
     val boiler = "limited time offer click here to claim your free bonus now"
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
