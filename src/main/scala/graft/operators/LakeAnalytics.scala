@@ -104,6 +104,71 @@ object LakeAnalytics {
       .orderBy(col("service_name"), col("severity_text"))
   }
 
+  /** [[icebergSeverity]] over a lake built in TWO sync+export rounds
+    * ([[graft.sources.IcebergExport]]'s incremental path): the first
+    * half of the month lands and exports, then the rest lands and the
+    * second export writes ONE delta manifest, carrying the first
+    * snapshot's manifest forward with `parent-snapshot-id` chaining —
+    * O(new files) per export. The builder REQUIRES the chain actually
+    * formed (a silent fallback to restatement would pass the count),
+    * and the oracle hash-match then certifies that reading through the
+    * two-manifest chain surfaces exactly the full table.
+    */
+  def icebergIncSeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, incRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
+  private val builtInc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-phase lake fixture for [[icebergIncSeverity]]: day ≤ 15 lands
+    * first (sync + export #1), the rest second (sync + export #2 —
+    * the DELTA export). Marker-idempotent like [[lakeRoot]].
+    */
+  private def incRoot(spark: SparkSession, dir: String): String =
+    builtInc.computeIfAbsent(dir, _ => {
+      val root = s"/tmp/graft_lake_inc_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        val logs = OtlpLogs.parse(payloads(spark, dir), col("payload")).cache()
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")) <= 15), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        graft.sources.IcebergExport.export(spark, root)
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")) > 15), root,
+          layout = LogWriter.DailyLayout)
+        logs.unpersist()
+        LogSync.sync(spark, root)
+        val md2 = graft.sources.IcebergExport.export(spark, root)
+        val in = fs.open(new Path(md2))
+        val mdText = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        require(mdText.contains("\"parent-snapshot-id\""),
+          "second export must be an incremental delta chained to the first snapshot")
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** Per-region counts over an EXTERNALLY-written Iceberg v1 table
+    * ([[graft.sources.IcebergFixture]]: independent writer shape —
+    * bare v1 schema, typed manifest-only partition values, stale
+    * snapshot listed first, no version-hint) read through
+    * [[graft.sources.IcebergExport.readExternal]]. The oracle runs on
+    * the ORIGINAL `nation` parquet, so the hash-match certifies the
+    * whole foreign-table walk: metadata fallback, snapshot anchoring,
+    * v1 manifests, and manifest-sourced partition-column attach.
+    */
+  def icebergExternalRegions(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readExternal(spark,
+        graft.sources.IcebergFixture.externalNationTable(spark, dir))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("mn"))
+      .orderBy(col("n_regionkey"))
+
   /** Hourly series for one service over a 10-day window — the Grafana
     * "Logs by Service" panel with its `$timeFilter`, expressed on the
     * partition columns so the scan prunes to

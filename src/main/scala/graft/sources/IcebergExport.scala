@@ -78,7 +78,7 @@ object IcebergExport {
     case _ => "string"
   }
 
-  private final case class Field(id: Int, name: String, tpe: String)
+  private[graft] final case class Field(id: Int, name: String, tpe: String)
 
   /** The exported table state, resolved once per export. */
   private final case class State(fields: Seq[Field], partCols: Seq[String],
@@ -207,7 +207,7 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
-  private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
+  private[graft] def writeAvro(spark: SparkSession, path: Path, schema: Schema,
                         meta: Map[String, String],
                         records: Iterator[GenericRecord]): Long = {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -234,6 +234,24 @@ object IcebergExport {
     * invisible to graft's own data scans). Returns the path of the
     * written `v<N>.metadata.json`. Idempotent in the catalog sense:
     * each call is a new metadata version describing the current state.
+    *
+    * INCREMENTAL like a real Iceberg writer: when the lake only GREW
+    * since the previous export (the overwhelmingly common case — sync
+    * registers appends), the new snapshot writes ONE manifest holding
+    * only the new files and a manifest list that carries the previous
+    * snapshot's manifest entries forward verbatim, with
+    * `parent-snapshot-id` chaining and snapshot history retained in
+    * the metadata — O(new files) per export, not O(lake). A no-change
+    * export re-points a fresh metadata version at the SAME snapshot
+    * (no new manifest objects at all). Only when files DISAPPEARED
+    * (compaction/DML rewrite/vacuum) or the partition layout changed
+    * does the export fall back to a full restatement — and then it
+    * also DROPS prior snapshot history, because retained snapshots
+    * would reference files [[LogCompact.vacuum]] is about to delete;
+    * the summary says `overwrite` so catalog clients see the
+    * discontinuity. Simplification kept from day one: `schemas` holds
+    * only the current schema under schema-id 0 (time-travel readers
+    * of historic snapshots see today's union schema).
     */
   def export(spark: SparkSession, root: String): String = {
     val st = resolve(spark, root)
@@ -249,9 +267,58 @@ object IcebergExport {
     val snapshotId = now + version
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg:$root".getBytes("UTF-8")).toString
-    val seq = version.toLong
 
-    // manifest file: one ADDED entry per active data file
+    // previous export, resolved structurally; a corrupt prior chain
+    // falls back to a clean full restatement rather than failing the
+    // export
+    val prev: Option[Chain] =
+      if (version > 1 && fs.exists(new Path(metaDir, "version-hint.text")))
+        try Some(resolveChain(spark, metaDir))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    val prevUris = prev.map(_.files.map(f => normUri(f.uri)).toSet).getOrElse(Set.empty)
+    val curUris = st.files.map(f => normUri(f.uri)).toSet
+    val newFiles = st.files.filterNot(f => prevUris.contains(normUri(f.uri)))
+    val removed = prevUris -- curUris
+    val deltaEligible = prev.exists(p => p.snapshotId.nonEmpty &&
+      p.listRecords.nonEmpty && removed.isEmpty &&
+      p.partFields.map(_._1) == st.partCols)
+    val prevMd = prev.map(_.md)
+
+    def writeText(name: String, content: String): Path = {
+      val p = new Path(metaDir, name)
+      val out = fs.create(p, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+      p
+    }
+    def finish(metadata: String): String = {
+      val mdPath = writeText(s"v$version.metadata.json", metadata)
+      writeText("version-hint.text", version.toString) // HadoopCatalog pointer
+      mdPath.toString
+    }
+    def prevMetadataLogJson: String = prevMd.map { md =>
+      val carried = md.opt("metadata-log").map(_.arr).getOrElse(Vector.empty)
+        .map(IcebergJson.render)
+      val entry = s"""{"timestamp-ms":${md("last-updated-ms").long},""" +
+        s""""metadata-file":${jstr(fileUri(new Path(metaDir, s"v${version - 1}.metadata.json").toString))}}"""
+      (carried :+ entry).mkString(",")
+    }.getOrElse("")
+
+    if (deltaEligible && newFiles.isEmpty) {
+      // no-change export: a fresh metadata version pointing at the
+      // SAME snapshot — no new manifest, list, or snapshot objects
+      val md = prevMd.get.asInstanceOf[IcebergJson.JObj]
+      return finish(IcebergJson.render(
+        IcebergJson.updated(md, "last-updated-ms", IcebergJson.JNum(now.toString))))
+    }
+
+    val seq = prevMd.map(_("last-sequence-number").long + 1).getOrElse(1L)
+    val delta = deltaEligible // newFiles.nonEmpty here
+    val exportFiles = if (delta) newFiles else st.files
+
+    // manifest file: one ADDED entry per exported data file (delta:
+    // only the files new since the previous snapshot)
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -264,7 +331,7 @@ object IcebergExport {
       "format-version" -> "2",
       "content" -> "data")
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, manifestMeta,
-      st.files.iterator.map { f =>
+      exportFiles.iterator.map { f =>
         val part = new GenericData.Record(partSchema)
         st.partCols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
         val d = new GenericData.Record(dfSchema)
@@ -283,31 +350,58 @@ object IcebergExport {
         e
       })
 
-    // manifest list: one entry pointing at the manifest. The VERSION
-    // in the filename keeps it unique per export — same-millisecond
-    // exports must not overwrite the previous snapshot's list
+    // manifest list: the previous snapshot's entries carried forward
+    // verbatim (delta only) + one entry for the new manifest. The
+    // VERSION in the filename keeps it unique per export — same-
+    // millisecond exports must not overwrite the previous snapshot's
+    // list
     val listPath = new Path(metaDir, f"snap-$snapshotId-$version-$uuid.avro")
-    val totalRows = st.files.map(_.rows).sum
+    val addedRows = exportFiles.map(_.rows).sum
+    val parentId = if (delta) prev.get.snapshotId.get.toString else "null"
+    val newListRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", fileUri(manifestPath.toString))
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_data_files_count", exportFiles.length)
+      r.put("existing_data_files_count", 0)
+      r.put("deleted_data_files_count", 0)
+      r.put("added_rows_count", addedRows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val carried = if (delta) prev.get.listRecords else Seq.empty
     writeAvro(spark, listPath, manifestListSchema,
       Map("format-version" -> "2", "snapshot-id" -> snapshotId.toString,
-        "sequence-number" -> seq.toString, "parent-snapshot-id" -> "null"),
-      Iterator {
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", fileUri(manifestPath.toString))
-        r.put("manifest_length", manifestLen)
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", seq)
-        r.put("min_sequence_number", seq)
-        r.put("added_snapshot_id", snapshotId)
-        r.put("added_data_files_count", st.files.length)
-        r.put("existing_data_files_count", 0)
-        r.put("deleted_data_files_count", 0)
-        r.put("added_rows_count", totalRows)
-        r.put("existing_rows_count", 0L)
-        r.put("deleted_rows_count", 0L)
-        r
-      })
+        "sequence-number" -> seq.toString, "parent-snapshot-id" -> parentId),
+      carried.iterator ++ Iterator.single(newListRecord))
+
+    val operation = if (removed.nonEmpty) "overwrite" else "append"
+    val parentField = if (delta) s""""parent-snapshot-id":$parentId,""" else ""
+    val newSnapshotJson =
+      s"""{"sequence-number":$seq,"snapshot-id":$snapshotId,$parentField
+         |"timestamp-ms":$now,"summary":{"operation":"$operation",
+         |"added-data-files":"${exportFiles.length}","added-records":"$addedRows"},
+         |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":0}"""
+        .stripMargin.replace("\n", "")
+    // delta: retain prior snapshot history; restatement: drop it (the
+    // restated metadata no longer references the removed files)
+    val snapshotsJson =
+      if (delta)
+        (prevMd.get("snapshots").arr.map(IcebergJson.render) :+ newSnapshotJson).mkString(",")
+      else newSnapshotJson
+    val snapshotLogJson = {
+      val entry = s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}"""
+      if (delta)
+        (prevMd.get.opt("snapshot-log").map(_.arr).getOrElse(Vector.empty)
+          .map(IcebergJson.render) :+ entry).mkString(",")
+      else entry
+    }
 
     val metadata =
       s"""{
@@ -327,22 +421,11 @@ object IcebergExport {
          |"properties":{"schema.name-mapping.default":${jstr(nameMappingJson(st.fields))}},
          |"current-snapshot-id":$snapshotId,
          |"refs":{"main":{"snapshot-id":$snapshotId,"type":"branch"}},
-         |"snapshots":[{"sequence-number":$seq,"snapshot-id":$snapshotId,
-         |"timestamp-ms":$now,"summary":{"operation":"append",
-         |"added-data-files":"${st.files.length}","added-records":"$totalRows"},
-         |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":0}],
-         |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapshotId}],
-         |"metadata-log":[]
+         |"snapshots":[$snapshotsJson],
+         |"snapshot-log":[$snapshotLogJson],
+         |"metadata-log":[$prevMetadataLogJson]
          |}""".stripMargin
-    val mdPath = new Path(metaDir, s"v$version.metadata.json")
-    val out = fs.create(mdPath, true)
-    out.write(metadata.getBytes("UTF-8"))
-    out.close()
-    // HadoopCatalog current-version pointer
-    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-    hint.write(version.toString.getBytes("UTF-8"))
-    hint.close()
-    mdPath.toString
+    finish(metadata)
   }
 
   /** One export per (session, lake, LAKE STATE) — the guard contract
@@ -376,14 +459,175 @@ object IcebergExport {
     finally r.close()
   }
 
+  // ---- generic chain resolution (read side) ----
+
+  /** One data file surfaced by the metadata walk: URI, identity
+    * partition values keyed by partition-field NAME (raw Avro values —
+    * Utf8/Int/Long/…), footer row count when the manifest carried one.
+    */
+  private[graft] final case class ChainFile(uri: String,
+                                            partValues: Map[String, Any])
+
+  /** A resolved Iceberg FileSystem-table chain. `schemaFields` are the
+    * CURRENT schema's primitive columns (id, name, iceberg type name);
+    * `partFields` the default spec's identity fields (name →
+    * source-id). `files` is the current snapshot's active data-file
+    * set across every manifest in its manifest list.
+    */
+  private[graft] final case class Chain(md: IcebergJson.V,
+                                        formatVersion: Int,
+                                        schemaFields: Seq[Field],
+                                        partFields: Seq[(String, Int)],
+                                        snapshotId: Option[Long],
+                                        listRecords: Seq[GenericRecord],
+                                        files: Seq[ChainFile])
+
+  private def readText(spark: SparkSession, p: Path): String = {
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Resolve `metaDir`'s current table state by the spec walk a
+    * FileSystem-catalog client performs: `version-hint.text` (falling
+    * back to the highest `v<N>.metadata.json` when the hint is absent
+    * — some writers skip it) → metadata.json → the snapshots entry
+    * whose id equals `current-snapshot-id` (ANCHORED — never "the
+    * first manifest-list string in the file", which reads the wrong
+    * snapshot as soon as history is retained) → manifest-list Avro →
+    * manifest Avro → data files.
+    *
+    * Accepts format versions 1 and 2, schemas under either the v2
+    * `schemas`/`current-schema-id` form or the v1 single `schema`,
+    * specs under `partition-specs`/`default-spec-id` or the v1 flat
+    * `partition-spec`, and v1 snapshots with inline `manifests` in
+    * place of a manifest list. REJECTS LOUDLY (require) what this
+    * reader cannot honor silently: non-identity partition transforms,
+    * nested column types, delete manifests, and row-level delete
+    * files — each would otherwise surface wrong rows, not an error.
+    */
+  private[graft] def resolveChain(spark: SparkSession, metaDir: Path): Chain = {
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val mdPath =
+      if (fs.exists(hintPath))
+        new Path(metaDir, s"v${readText(spark, hintPath).trim.toInt}.metadata.json")
+      else {
+        require(fs.exists(metaDir), s"no Iceberg metadata dir at $metaDir")
+        val Re = "v([0-9]+)\\.metadata\\.json".r
+        val vs = fs.listStatus(metaDir).flatMap(_.getPath.getName match {
+          case Re(v) => Some(v.toInt); case _ => None
+        })
+        require(vs.nonEmpty, s"no version-hint.text and no v<N>.metadata.json under $metaDir")
+        new Path(metaDir, s"v${vs.max}.metadata.json")
+      }
+    val md = IcebergJson.parse(readText(spark, mdPath))
+    val fv = md("format-version").int
+    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
+
+    // current schema: v2 schemas[current-schema-id] or v1 bare schema
+    val schemaObj = md.opt("schemas") match {
+      case Some(ss) =>
+        val want = md("current-schema-id").long
+        ss.arr.find(_("schema-id").long == want)
+          .getOrElse(sys.error(s"current-schema-id $want has no schemas entry"))
+      case None => md("schema")
+    }
+    val schemaFields = schemaObj("fields").arr.map { f =>
+      val tpe = f("type") match {
+        case IcebergJson.JStr(s) => s
+        case other => sys.error(
+          s"nested column type ${IcebergJson.render(other)} unsupported by this reader " +
+            s"(column ${f("name").str})")
+      }
+      Field(f("id").int, f("name").str, tpe)
+    }
+
+    // default partition spec: identity transforms only
+    val specFields = md.opt("partition-specs") match {
+      case Some(specs) =>
+        val want = md("default-spec-id").long
+        specs.arr.find(_("spec-id").long == want)
+          .getOrElse(sys.error(s"default-spec-id $want has no partition-specs entry"))
+          .apply("fields").arr
+      case None => md.opt("partition-spec").map(_.arr).getOrElse(Vector.empty)
+    }
+    val partFields = specFields.map { f =>
+      val tr = f("transform").str
+      require(tr == "identity",
+        s"non-identity partition transform '$tr' on field ${f("name").str} — " +
+          "this reader honors identity partitions only")
+      (f("name").str, f("source-id").int)
+    }
+
+    // current snapshot, ANCHORED by id (none / -1 = legal empty table)
+    val snapId = md.opt("current-snapshot-id").map(_.long).filter(_ != -1L)
+    val (listRecords, files) = snapId match {
+      case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile])
+      case Some(id) =>
+        val snap = md("snapshots").arr.find(_("snapshot-id").long == id)
+          .getOrElse(sys.error(s"current-snapshot-id $id has no snapshots entry"))
+        def has(r: GenericRecord, f: String): Boolean = r.getSchema.getField(f) != null
+        // v2: one manifest-list file; v1 may inline manifest paths
+        val (records, manifestPaths) = snap.opt("manifest-list") match {
+          case Some(lst) =>
+            val rs = readAvro(spark, lst.str)
+            rs.foreach { r =>
+              require(!has(r, "content") || r.get("content").asInstanceOf[Int] == 0,
+                s"delete manifest in ${lst.str} — row-level deletes unsupported by this reader")
+            }
+            (rs, rs.map(_.get("manifest_path").toString))
+          case None =>
+            (Seq.empty[GenericRecord], snap("manifests").arr.map(_.str))
+        }
+        val fileSeq = manifestPaths.flatMap { mp =>
+          readAvro(spark, mp)
+            .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+            .map { e =>
+              val d = e.get("data_file").asInstanceOf[GenericRecord]
+              require(!has(d, "content") || d.get("content").asInstanceOf[Int] == 0,
+                s"delete file ${d.get("file_path")} — row-level deletes unsupported")
+              val part = Option(d.get("partition")).map(_.asInstanceOf[GenericRecord])
+              val pv = partFields.map { case (name, _) =>
+                name -> part.flatMap(p =>
+                  if (p.getSchema.getField(name) != null) Option(p.get(name)) else None)
+                  .orNull
+              }.toMap
+              ChainFile(d.get("file_path").toString, pv)
+            }
+        }
+        (records, fileSeq)
+    }
+    Chain(md, fv, schemaFields, partFields, snapId, listRecords, files)
+  }
+
+  /** Iceberg primitive type name → Spark type (the read-side inverse
+    * of [[icebergType]]; unknown names surface loudly rather than as a
+    * silently-wrong column).
+    */
+  private def sparkTypeFor(t: String): DataType = t match {
+    case "string" | "uuid" => StringType
+    case "long" => LongType
+    case "int" => IntegerType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "boolean" => BooleanType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case "date" => DateType
+    case "binary" => BinaryType
+    case d if d.startsWith("decimal(") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(',').map(_.trim.toInt)
+      DecimalType(p, s)
+    case other => sys.error(s"unsupported Iceberg column type '$other'")
+  }
+
   /** Read the table back THROUGH the exported metadata — an
     * independent read path that trusts only the Iceberg chain
-    * (`version-hint` → `v<N>.metadata.json` → manifest-list Avro →
-    * manifest Avro → data files), exactly the walk a FileSystem-
-    * catalog Iceberg client does. The resolved file set feeds the
-    * same root-scan + broadcast-semi-join shape as [[LogSync.table]]
+    * ([[resolveChain]]'s walk), exactly what a FileSystem-catalog
+    * Iceberg client does. The resolved file set feeds the same
+    * root-scan + broadcast-semi-join shape as [[LogSync.table]]
     * (partition columns and pruning intact); metadata resolution is
-    * control-plane (two Avro files + one JSON).
+    * control-plane (a few Avro files + one JSON).
     *
     * This is the certification path for [[export]]: a contract query
     * over it hash-matching the DuckDB oracle proves the exported
@@ -393,23 +637,84 @@ object IcebergExport {
     import spark.implicits._
     val metaDir = new Path(s"$root/_iceberg/metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hintPath = new Path(metaDir, "version-hint.text")
-    require(fs.exists(hintPath), s"no Iceberg export under $root — run export first")
-    def readText(p: Path): String = {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    val version = readText(hintPath).trim.toInt
-    val md = readText(new Path(metaDir, s"v$version.metadata.json"))
-    val listUri = "\"manifest-list\":\"([^\"]+)\"".r.findFirstMatchIn(md)
-      .map(_.group(1)).getOrElse(sys.error(s"no manifest-list in v$version metadata"))
-    val files = readAvro(spark, listUri).flatMap { mf =>
-      readAvro(spark, mf.get("manifest_path").toString)
-        .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-        .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
-    }
+    require(fs.exists(new Path(metaDir, "version-hint.text")),
+      s"no Iceberg export under $root — run export first")
+    val files = resolveChain(spark, metaDir).files.map(_.uri)
     LogSync.tableForPaths(spark, root,
       files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")))
   }
+
+  /** Read an EXTERNALLY-written Iceberg FileSystem table (standard
+    * layout: `<location>/metadata/` + data files wherever the
+    * manifests point) — the missing read half of the reference's
+    * catalog flow (scripts/sync-logs.sh:1-86 registers tables that
+    * ClickHouse then reads; graft can now consume such a table
+    * directly). Trusts ONLY the spec chain via [[resolveChain]]:
+    * v1/v2 metadata, identity partitions, no delete files — anything
+    * else rejects loudly there.
+    *
+    * Identity partition VALUES come from the manifests (authoritative
+    * per the spec — external writers need not use hive-style dirs), and
+    * are attached by a file→values broadcast join on
+    * `input_file_name()`: control-plane cardinality (one row per data
+    * file) against a full-parallelism scan, so the shape survives any
+    * table size. Values are cast to the source column's declared type;
+    * `date` values written as epoch-day ints are honored. Columns read
+    * by NAME (the exported name-mapping convention); id-based column
+    * renames are beyond this reader.
+    */
+  def readExternal(spark: SparkSession, location: String): DataFrame = {
+    val chain = resolveChain(spark, new Path(s"$location/metadata"))
+    val typeOf = chain.schemaFields.map(f => f.id -> f.tpe).toMap
+    val partNames = chain.partFields.map(_._1)
+    if (chain.files.isEmpty) {
+      // legal empty table: an empty frame with the declared schema
+      val struct = StructType(chain.schemaFields.map(f =>
+        StructField(f.name, sparkTypeFor(f.tpe), nullable = true)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+    }
+    val data = spark.read.parquet(chain.files.map(f => fileUri(f.uri)): _*)
+    // identity-partition columns present IN the data files (many
+    // writers keep them) need no attach; hive-style writers strip
+    // them, and for those the manifest values are authoritative
+    val attach = partNames.filterNot(data.columns.contains)
+    if (attach.isEmpty) data
+    else {
+      // file → partition-value map, one row per data file. Raw Avro
+      // values stringify on the driver (epoch-day ints for date
+      // columns render as ISO dates) and cast to the declared type
+      // after the join.
+      def renderVal(v: Any, tpe: String): String = v match {
+        case null => null
+        case i: java.lang.Integer if tpe == "date" =>
+          java.time.LocalDate.ofEpochDay(i.longValue).toString
+        case l: java.lang.Long if tpe == "date" =>
+          java.time.LocalDate.ofEpochDay(l).toString
+        case other => other.toString
+      }
+      val srcType = chain.partFields.map { case (name, srcId) =>
+        name -> typeOf.getOrElse(srcId,
+          sys.error(s"partition field $name: source-id $srcId not in current schema"))
+      }.toMap
+      val mapRows = chain.files.map { f =>
+        org.apache.spark.sql.Row.fromSeq(
+          normUri(f.uri) +: attach.map(n => renderVal(f.partValues(n), srcType(n))))
+      }
+      val mapSchema = StructType(StructField("__graft_file", StringType) +:
+        attach.map(n => StructField(n, StringType, nullable = true)))
+      val mapDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+      val joined = data
+        .withColumn("__graft_file", LogSync.normPath(input_file_name()))
+        .join(broadcast(mapDf), Seq("__graft_file"))
+        .drop("__graft_file")
+      attach.foldLeft(joined) { (df, n) =>
+        df.withColumn(n, col(n).cast(sparkTypeFor(srcType(n))))
+      }
+    }
+  }
+
+  private def normUri(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
 }

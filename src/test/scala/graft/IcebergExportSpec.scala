@@ -129,6 +129,100 @@ class IcebergExportSpec extends SparkSpec {
     assert(t.count() == 350)
   }
 
+  test("incremental export: an append adds one delta manifest and reuses the previous one") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    val metaDir = new java.io.File(new java.io.File(root), "_iceberg/metadata")
+    def readMd(v: Int) = new String(Files.readAllBytes(
+      new java.io.File(metaDir, s"v$v.metadata.json").toPath), "UTF-8")
+    val md1 = readMd(1)
+    val list1 = "\"manifest-list\":\"([^\"]+)\"".r
+      .findFirstMatchIn(md1).get.group(1)
+    val manifest1 = avroRecords(list1)._1.head.get("manifest_path").toString
+    val snap1 = "\"current-snapshot-id\":(\\d+)".r.findFirstMatchIn(md1).get.group(1)
+    // append new files and re-export
+    Tables.events(spark, sf).limit(50)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+        col("props").as("body"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    val added = LogSync.sync(spark, root)
+    assert(added >= 1)
+    IcebergExport.export(spark, root)
+    val md2 = readMd(2)
+    // parent chain + retained history
+    assert(md2.contains(s""""parent-snapshot-id":$snap1"""),
+      "the delta snapshot must chain to the previous one")
+    assert("\"snapshot-id\":(\\d+)".r.findAllMatchIn(md2).size >= 2,
+      "prior snapshot history must be retained")
+    // the CURRENT snapshot's list: the v1 manifest carried verbatim +
+    // exactly one new delta manifest holding only the new files
+    val lists2 = "\"manifest-list\":\"([^\"]+)\"".r
+      .findAllMatchIn(md2).map(_.group(1)).toSeq
+    val (entries2, _) = avroRecords(lists2.last)
+    assert(entries2.length == 2, "one carried + one delta manifest")
+    assert(entries2.head.get("manifest_path").toString == manifest1,
+      "the previous manifest must be REUSED, not rewritten")
+    assert(entries2.last.get("added_data_files_count").asInstanceOf[Int] == added,
+      "the delta manifest must hold only the newly-registered files")
+    // read-back through the chain is still the full table
+    assert(IcebergExport.readTable(spark, root).count() == 350)
+    // a no-change export re-points a new version at the SAME snapshot
+    IcebergExport.export(spark, root)
+    val md3 = readMd(3)
+    def cur(s: String) = "\"current-snapshot-id\":(\\d+)".r.findFirstMatchIn(s).get.group(1)
+    assert(cur(md3) == cur(md2), "no-change export must not mint a snapshot")
+    assert(new String(Files.readAllBytes(
+      new java.io.File(metaDir, "version-hint.text").toPath), "UTF-8") == "3")
+    // a REMOVAL (DML rewrite drops files) falls back to a restatement
+    assert(graft.sources.LakeDml.delete(spark, root,
+      col("service_name") === "s9").filesRemoved >= 1)
+    IcebergExport.export(spark, root)
+    val md4 = readMd(4)
+    assert(md4.contains("\"operation\":\"overwrite\""),
+      "file removal must surface as a restated overwrite snapshot")
+    assert(IcebergExport.readTable(spark, root).count()
+      == LogSync.table(spark, root).count())
+  }
+
+  test("readExternal rejects what it cannot honor: non-identity transforms") {
+    val loc = Files.createTempDirectory("graft_ice_rej").toString
+    new java.io.File(s"$loc/metadata").mkdirs()
+    val md =
+      s"""{"format-version":1,"table-uuid":"u","location":"file://$loc",
+         |"last-updated-ms":1,"last-column-id":1,
+         |"schema":{"type":"struct","fields":[
+         |{"id":1,"name":"k","required":false,"type":"int"}]},
+         |"partition-spec":[{"name":"k_bucket","transform":"bucket[4]",
+         |"source-id":1,"field-id":1000}],
+         |"properties":{},"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
+    Files.write(new java.io.File(s"$loc/metadata/v1.metadata.json").toPath,
+      md.getBytes("UTF-8"))
+    val e = intercept[Exception] { IcebergExport.readExternal(spark, loc) }
+    assert(e.getMessage.contains("non-identity"),
+      s"bucket transform must reject loudly, got: ${e.getMessage}")
+  }
+
+  test("readExternal: an empty table (current-snapshot-id -1) reads as zero typed rows") {
+    val loc = Files.createTempDirectory("graft_ice_empty").toString
+    new java.io.File(s"$loc/metadata").mkdirs()
+    val md =
+      s"""{"format-version":2,"table-uuid":"u","location":"file://$loc",
+         |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":false,"type":"long"},
+         |{"id":2,"name":"v","required":false,"type":"string"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"properties":{},
+         |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
+    Files.write(new java.io.File(s"$loc/metadata/v1.metadata.json").toPath,
+      md.getBytes("UTF-8"))
+    val t = IcebergExport.readExternal(spark, loc)
+    assert(t.count() == 0)
+    assert(t.schema.map(f => f.name -> f.dataType.typeName).toSeq
+      == Seq("k" -> "long", "v" -> "string"))
+  }
+
   test("readTable: the Iceberg-metadata read path surfaces exactly the registered table") {
     val root = buildLake()
     IcebergExport.export(spark, root)
