@@ -133,12 +133,22 @@ object Bench {
     val sortedTimes = firstPass.map(_._3).sorted
     val median = sortedTimes(sortedTimes.length / 2)
     val threshold = math.max(5.0, 8.0 * median)
+    // The TPC-H join pair where rounds 6-7 measured burst-throttle
+    // noise with UNCHANGED plans (q2 0.50→1.14 s, q3 0.49→1.84 s) —
+    // and because BENCH_PREV refreshes from the headline numbers, one
+    // throttled round poisons the 3x-vs-prior trigger into silence
+    // for the next. These two always take min-of-2 once past a small
+    // floor, so their committed baselines converge back to steady
+    // state instead of ratcheting up. Cost: at most two extra ~1 s
+    // runs per bench.
+    val noiseSensitive = Set("q2_join_agg", "q3_topn")
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, fn, t) =>
       // the 0.3 s slack keeps JIT/cache jitter on sub-100ms queries
       // from triggering retries that measure nothing
       val slowVsPrev = prev.get(name).exists(p => t > 3.0 * p && t - p > 0.3)
-      if ((t > threshold || slowVsPrev) && !failed.contains(name)) {
+      val noisy = noiseSensitive.contains(name) && t > 0.75
+      if ((t > threshold || slowVsPrev || noisy) && !failed.contains(name)) {
         val t2 = time(name, fn)
         retried(name) = (t, t2)
         System.err.println(f"[bench] $name retried: $t%.1f then $t2%.1f s")

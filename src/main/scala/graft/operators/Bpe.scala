@@ -25,10 +25,57 @@ object Bpe {
     * map-side partial counts).
     */
   private[operators] def vocab(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    vocabOf(Tables.documents(spark, dir))
+
+  private def vocabOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
         w => length(w) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Ceiling on the documents the TOKENIZER TRAINERS read. The word /
+    * symbol / piece histograms every trainer collects are
+    * vocabulary-cardinality — fine under Heaps' law at millions of
+    * docs, but a raw-100 TB-corpus vocabulary (~10⁸ types, long-tail
+    * noise) would not fit a driver. Above the cap, training reads the
+    * deterministic bottom-`cap`-by-hash document sample (the
+    * `graft_sample` machinery — stable across runs, partitionings and
+    * engines), which bounds every downstream collect by the sampled
+    * corpus' vocabulary; tokenizer statistics converge long before
+    * millions of documents, which is why every production tokenizer
+    * trains on a sample. ENCODING is never sampled — segmentation
+    * tables keep full-vocabulary coverage.
+    */
+  val DefaultTrainDocCap: Long = 2000000L
+
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The trainer-side document set: everything at or under `maxDocs`
+    * (the same frame, same plan — zero cost at test scale), the
+    * bottom-`maxDocs`-by-hash sample above it (one control-plane
+    * aggregate producing the id set, broadcast-joined back).
+    */
+  private[graft] def trainingDocs(spark: SparkSession, dir: String,
+                                  maxDocs: Long = DefaultTrainDocCap): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    if (maxDocs <= 0) return all
+    val n: Long = docCountCache.computeIfAbsent(dir, _ => all.count())
+    if (n <= maxDocs) all
+    else {
+      graft.functions.VectorFunctions.register(spark)
+      val ids = all.agg(expr(s"graft_sample(doc_id, $maxDocs)").as("ids"))
+        .select(explode(col("ids")).as("doc_id"))
+      all.join(broadcast(ids), Seq("doc_id"))
+    }
+  }
+
+  /** [[vocab]] over the capped trainer document set — what the three
+    * trainers ingest; analysis/encode queries keep the full [[vocab]].
+    */
+  private[graft] def trainingVocab(spark: SparkSession, dir: String,
+                                   maxDocs: Long = DefaultTrainDocCap): DataFrame =
+    vocabOf(trainingDocs(spark, dir, maxDocs))
 
   /** Frequency-weighted adjacent character-pair counts — BPE training
     * round 1's candidate table (and the contract query: top pairs by
@@ -78,26 +125,28 @@ object Bpe {
     * tokenizer ships.
     */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Int, String, String, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Array[(Int, String, String, Long)]]()
 
-  /** The learned merge table, memoized per (corpus, nMerges): training
-    * is deterministic, so [[train]], [[wordSegments]] and [[encode]]
-    * share one run instead of re-learning per call (merge tables are
-    * nMerges rows — cache cost is nil).
+  /** The learned merge table, memoized per (corpus, nMerges, doc cap):
+    * training is deterministic, so [[train]], [[wordSegments]] and
+    * [[encode]] share one run instead of re-learning per call (merge
+    * tables are nMerges rows — cache cost is nil).
     */
-  private def trainMerges(spark: SparkSession, dir: String,
-                          nMerges: Int): Array[(Int, String, String, Long)] =
-    mergeCache.computeIfAbsent((dir, nMerges), _ => learn(spark, dir, nMerges))
+  private def trainMerges(spark: SparkSession, dir: String, nMerges: Int,
+                          maxTrainDocs: Long = DefaultTrainDocCap): Array[(Int, String, String, Long)] =
+    mergeCache.computeIfAbsent((dir, nMerges, maxTrainDocs),
+      _ => learn(spark, dir, nMerges, maxTrainDocs))
 
-  def train(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+  def train(spark: SparkSession, dir: String, nMerges: Int = 10,
+            maxTrainDocs: Long = DefaultTrainDocCap): DataFrame = {
     import spark.implicits._
-    trainMerges(spark, dir, nMerges).toSeq.toDF("rank", "left", "right", "n")
+    trainMerges(spark, dir, nMerges, maxTrainDocs).toSeq.toDF("rank", "left", "right", "n")
       .orderBy(col("rank"))
   }
 
-  private def learn(spark: SparkSession, dir: String,
-                    nMerges: Int): Array[(Int, String, String, Long)] = {
-    var syms = vocab(spark, dir)
+  private def learn(spark: SparkSession, dir: String, nMerges: Int,
+                    maxTrainDocs: Long): Array[(Int, String, String, Long)] = {
+    var syms = trainingVocab(spark, dir, maxTrainDocs)
       .select(expr("transform(split(word, ''), c -> c)").as("syms"), col("cnt"))
       .filter(size(col("syms")) >= 2)
       .cache()

@@ -661,8 +661,16 @@ object TrainPrep {
     * ~corpus/256. `position = bucket_offset + rank_in_bucket` equals
     * the global rank exactly, which the DuckDB oracle (one naive
     * global `row_number` per epoch) certifies hash-for-hash.
+    *
+    * `sorted = false` (the LIBRARY default) returns the frame
+    * UNSORTED: the position column already IS the product — a data
+    * loader range-partitions or looks positions up by key, and a
+    * global range sort of corpus×epochs rows purely for presentation
+    * is wasted work at scale. The CONTRACT query keeps `sorted = true`
+    * because the oracle compare is row-order-sensitive.
     */
-  def epochOrder(spark: SparkSession, dir: String, epochs: Int = 3): DataFrame = {
+  def epochOrder(spark: SparkSession, dir: String, epochs: Int = 3,
+                 sorted: Boolean = false): DataFrame = {
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(s"sequence(0, ${epochs - 1})")).as("epoch"))
       .withColumn("ord",
@@ -675,12 +683,12 @@ object TrainPrep {
           Window.partitionBy(col("epoch")).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("epoch"), col("bucket"), col("offset"))
-    keyed
+    val positioned = keyed
       .withColumn("r", row_number().over(
         Window.partitionBy(col("epoch"), col("bucket"))
           .orderBy(col("ord"), col("doc_id"))))
       .join(broadcast(offsets), Seq("epoch", "bucket"))
       .select(col("epoch"), (col("offset") + col("r")).as("position"), col("doc_id"))
-      .orderBy(col("epoch"), col("position"))
+    if (sorted) positioned.orderBy(col("epoch"), col("position")) else positioned
   }
 }

@@ -33,7 +33,8 @@ import graft.functions.VectorFunctions
 object Unigram {
 
   final case class Params(maxPieceLen: Int = 6, seedSize: Int = 300,
-                          iters: Int = 3, vocabSize: Int = 150)
+                          iters: Int = 3, vocabSize: Int = 150,
+                          maxTrainDocs: Long = Bpe.DefaultTrainDocCap)
 
   /** micro-nat cost of a piece with count `n` out of `total`. */
   private def microNats(total: Long, n: Long): Long =
@@ -66,7 +67,7 @@ object Unigram {
   private def learn(spark: SparkSession, dir: String,
                     p: Params): Array[(String, Long, Long)] = {
     VectorFunctions.register(spark)
-    val words = Bpe.vocab(spark, dir).cache()
+    val words = Bpe.trainingVocab(spark, dir, p.maxTrainDocs).cache()
     // Seed candidates: every substring of every vocabulary word up to
     // maxPieceLen, weighted by word count — a vocabulary-rows × L²
     // explode, never a corpus operation. Keep ALL single characters

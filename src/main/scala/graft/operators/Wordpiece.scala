@@ -31,7 +31,8 @@ import graft.functions.VectorFunctions
   */
 object Wordpiece {
 
-  final case class Params(nMerges: Int = 30)
+  final case class Params(nMerges: Int = 30,
+                          maxTrainDocs: Long = Bpe.DefaultTrainDocCap)
 
   /** A trained model: the initial `##`-prefixed alphabet actually
     * observed, plus the learned merges (rank, left, right, piece,
@@ -93,7 +94,7 @@ object Wordpiece {
     // collapsed plan (and even its treeString rendering) up
     // combinatorially — the un-checkpointed form OOM'd the driver at
     // round ~20 before a single row moved.
-    var syms = Bpe.vocab(spark, dir)
+    var syms = Bpe.trainingVocab(spark, dir, p.maxTrainDocs)
       .select(expr(
         "transform(split(word, ''), (c, i) -> IF(i = 0, c, concat('##', c)))").as("syms"),
         col("cnt"))

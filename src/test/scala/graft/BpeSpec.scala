@@ -326,4 +326,31 @@ class BpeSpec extends SparkSpec {
     // compression happened somewhere (the corpus repeats words heavily)
     assert(eight.exists { case (id, subs) => subs < zero(id)._2 })
   }
+
+  test("trainer doc cap: bounded deterministic sample; default cap leaves test corpora whole") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    // the default cap exceeds every test corpus → the trainers read the
+    // FULL corpus, so trained-on-"sample" == trained-on-full by
+    // construction (no filter in the plan)
+    assert(n < Bpe.DefaultTrainDocCap)
+    assert(Bpe.trainingDocs(spark, sf).count() == n)
+    // above the cap: exactly `cap` documents, and the bottom-k-by-hash
+    // selection is stable across calls (the graft_sample contract)
+    val cap = n / 2
+    def ids() = Bpe.trainingDocs(spark, sf, cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids()
+    assert(s1.size == cap, s"sample must hold exactly $cap docs, got ${s1.size}")
+    assert(ids() == s1, "the training sample must be deterministic")
+    // a capped trainer still learns a well-formed merge table, and it
+    // equals the local reference trained on the SAME sampled docs —
+    // sampling bounds the input, it does not change the algorithm
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(s1)).select("text")
+      .collect().map(_.getString(0)).toSeq
+    val want = localTrain(texts, 5)
+    val got = Bpe.train(spark, sf, 5, maxTrainDocs = cap).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"), r.getAs[Long]("n"))).toSeq
+    assert(got == want, "capped training must equal the local replay on the sampled docs")
+  }
 }

@@ -209,6 +209,16 @@ class TrainPrepSpec extends SparkSpec {
     val o0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
     val o1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
     assert(o0 != o1, "epoch permutations must differ")
+    // the LIBRARY path (sorted = false, the default) pays no GLOBAL
+    // range sort — the only Sort nodes are the window's local
+    // per-partition sorts; the contract path (sorted = true) keeps it
+    val globalSort = "Sort \\[[^\\]]*\\], true".r
+    val lib = planString(TrainPrep.epochOrder(spark, sf))
+    assert(globalSort.findFirstIn(lib).isEmpty,
+      s"library epochOrder must not globally sort:\n$lib")
+    val contract = planString(TrainPrep.epochOrder(spark, sf, sorted = true))
+    assert(globalSort.findFirstIn(contract).nonEmpty,
+      "contract epochOrder keeps the presentation sort")
   }
 
   test("packBestFit: block-local FFD replayed exactly; bins respect the budget") {
