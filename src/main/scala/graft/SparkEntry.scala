@@ -59,6 +59,8 @@ object SparkEntry {
     "logs_trace_lookup"        -> ((s: SparkSession, d: String) => LogAnalytics.traceLookup(s, d)),
     "lake_severity_by_service" -> (LakeAnalytics.severityByService _),
     "lake_iceberg"        -> (LakeAnalytics.icebergSeverity _),
+    "lake_iceberg_inc"    -> (LakeAnalytics.icebergIncSeverity _),
+    "lake_iceberg_ext"    -> (LakeAnalytics.icebergExternalRegions _),
     "lake_timeseries"          -> (LakeAnalytics.timeseries _),
     "logs_search"              -> ((s: SparkSession, d: String) => LogAnalytics.search(s, d)),
     "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
@@ -86,7 +88,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_embedding"     -> ((s: SparkSession, d: String) => Dedup.embeddingPairs(s, d)),
     "dedup_semantic"      -> ((s: SparkSession, d: String) => Dedup.semantic(s, d)),
-    "ann_topk"            -> (Similarity.annTopk _),
+    "ann_topk"            -> ((s: SparkSession, d: String) => Similarity.annTopk(s, d)),
     "ann_lsh"             -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "ann_ivf"             -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "corpus_curate"       -> ((s: SparkSession, d: String) => Curation.curate(s, d)),
@@ -107,7 +109,8 @@ object SparkEntry {
     "dedup_phrases"       -> ((s: SparkSession, d: String) => TrainPrep.dedupPhrases(s, d)),
     "dedup_spans"         -> ((s: SparkSession, d: String) => TrainPrep.spanDedup(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => TrainPrep.packSequences(s, d)),
-    "pack_epoch_order"    -> ((s: SparkSession, d: String) => TrainPrep.epochOrder(s, d)),
+    "pack_epoch_order"    -> ((s: SparkSession, d: String) =>
+                                TrainPrep.epochOrder(s, d, sorted = true)),
     "text_chunk"          -> ((s: SparkSession, d: String) => TrainPrep.chunk(s, d)),
     // CONTRACT projection: the driver's pandas compare can't sort/hash
     // array cells, so the span list is flattened to a canonical string
@@ -551,6 +554,18 @@ object SparkEntry {
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the incremental (two-snapshot, delta-manifest) export chain must
+    // surface the SAME full table — identical oracle again
+    "lake_iceberg_inc" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the externally-written v1 fixture is nation re-partitioned by
+    // region with manifest-only partition values; the oracle reads the
+    // ORIGINAL nation parquet
+    "lake_iceberg_ext" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_rollup" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

@@ -72,29 +72,55 @@ object Opq {
       Model(order, rot, centers, order.map(p.eigvals))
     })
 
-  /** The rotated, centered working set (vec_id, v: array<double>, nrm)
-    * — [[Similarity.withNorm]]'s shape over the OPQ basis.
+  /** Rotate an arbitrary `(vec_id, embedding)` frame onto the OPQ
+    * basis: (vec_id, v: array<double>, nrm) —
+    * [[Similarity.withNorm]]'s shape. Map-only; rotation rides as plan
+    * literals.
     */
-  private def rotated(spark: SparkSession, dir: String, m: Int): DataFrame = {
+  private def rotatedOf(spark: SparkSession, dir: String, m: Int,
+                        src: DataFrame): DataFrame = {
     VectorFunctions.register(spark)
     val mod = model(spark, dir, m)
     val vd = transform(col("embedding"), x => x.cast("double"))
     val cols = mod.rot.zip(mod.centers).map { case (c, ctr) =>
       call_function("graft_dot", vd, typedlit(c.toSeq)) - lit(ctr)
     }
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), array(cols.toSeq: _*).as("v"))
+    src.select(col("vec_id"), array(cols.toSeq: _*).as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
   }
+
+  /** The rotated CORPUS, cached and MEMOIZED per (session, corpus, m)
+    * — the executor-storage twin of [[model]]'s driver cache. The
+    * SessionCaches hook both drops the map entry and UNPERSISTS the
+    * frame, so the corpus-sized array<double> storage is released with
+    * the session instead of pinning executor memory for its lifetime
+    * (the round-7 leak: a per-call `.cache()` nobody released).
+    */
+  private val rotatedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  private def rotatedCorpus(spark: SparkSession, dir: String, m: Int): DataFrame =
+    rotatedCache.computeIfAbsent((spark, dir, m), { key =>
+      graft.SessionCaches.register(spark)(() => {
+        Option(rotatedCache.remove(key)).foreach(_.unpersist())
+        ()
+      })
+      rotatedOf(spark, dir, m, Tables.embeddings(spark, dir)).cache()
+    })
 
   /** Rotated-PQ ANN: ADC over OPQ codes → bounded-heap top-c → exact
     * rerank on the raw float vectors. Same output contract as
     * [[Similarity.annPq]], better codes at the same bytes.
+    * `queries`: optional `(vec_id, embedding)` frame of YOUR query
+    * vectors (rotated onto the OPQ basis before ADC); default is the
+    * contract demo set (corpus `vec_id < 10`). Driver-side ADC state
+    * is |Q|-bounded (the collected rotated query rows).
     */
-  def annOpq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64): DataFrame = {
+  def annOpq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64,
+             queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     import spark.implicits._
-    val base = rotated(spark, dir, m).cache()
+    val base = rotatedCorpus(spark, dir, m)
     val dim = base.select(size(col("v"))).head().getInt(0)
     val sub = dim / m
     val books = Similarity.pqCodebooksOf(spark, s"$dir#opq", base, m)
@@ -102,7 +128,8 @@ object Opq {
       .select(col("vec_id"), col("codes"), col("nrm"))
     // per-query ADC tables from the ROTATED query rows (same arithmetic
     // as the corpus side — collected, |Q| rows, control-plane)
-    val qVecs = base.filter(col("vec_id") < 10)
+    val qVecs = queries.map(rotatedOf(spark, dir, m, _))
+      .getOrElse(base.filter(col("vec_id") < 10))
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     val qTables = qVecs.toSeq.map { case (qid, qv, qn) =>
@@ -122,6 +149,6 @@ object Opq {
           .select(col("q_id"), col("vec_id"), adc.as("adc")),
         keys = Seq("q_id"), score = "adc", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-    Similarity.exactRerank(spark, dir, cands)
+    Similarity.exactRerank(spark, dir, cands, queries = queries)
   }
 }

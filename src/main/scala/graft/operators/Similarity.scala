@@ -46,6 +46,16 @@ object Similarity {
         Seq(col("vec_id"), col("rank"), round(col("cos"), 4).as("cos")): _*)
       .orderBy(col("q_id"), col("rank"))
 
+  /** The ANN query set: a caller-provided `(vec_id, embedding)` frame,
+    * or (None — the contract/demo default every oracle and bench run
+    * uses) the corpus vectors with `vec_id < 10`. Everything derived
+    * from it driver-side (ADC tables, probe lists) is |Q|-bounded.
+    */
+  private def querySet(spark: SparkSession, dir: String,
+                       queries: Option[DataFrame]): DataFrame =
+    withNorm(queries.getOrElse(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 10)))
+
   /** Exact cosine rerank of a DISTRIBUTED candidate set (q_id, vec_id):
     * the float corpus streams once; the candidate set and the query
     * frame ride as broadcast hash joins. No driver collect and no
@@ -54,9 +64,10 @@ object Similarity {
     * collect-into-`isin` form was control-plane-sized only at |Q|=10).
     */
   private[operators] def exactRerank(spark: SparkSession, dir: String,
-                                     cands: DataFrame, k: Int = 5): DataFrame = {
+                                     cands: DataFrame, k: Int = 5,
+                                     queries: Option[DataFrame] = None): DataFrame = {
     val ef = withNorm(Tables.embeddings(spark, dir))
-    val qf = ef.filter(col("vec_id") < 10)
+    val qf = querySet(spark, dir, queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cosx = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
     rankedTop(ef.join(broadcast(cands), Seq("vec_id"))
@@ -64,11 +75,15 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), cosx.as("cos")), k)
   }
 
-  /** Exact cosine top-5 neighbors for query vectors (vec_id < 10). */
-  def annTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact cosine top-5 neighbors for the query set (default: the
+    * contract `vec_id < 10` demo vectors; pass `queries` for your own
+    * `(vec_id, embedding)` frame).
+    */
+  def annTopk(spark: SparkSession, dir: String,
+              queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val e = withNorm(Tables.embeddings(spark, dir))
-    val q = e.filter(col("vec_id") < 10)
+    val q = querySet(spark, dir, queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
     // stream the CORPUS, broadcast the tiny query set: the build side of
@@ -134,14 +149,15 @@ object Similarity {
     call_function("graft_topk_idx", scores, lit(n))
   }
 
-  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 0): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, nprobe: Int = 3, k: Int = 0,
+             queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val cents = cellCentroids(spark, dir, k)
     def topCells(v: Column, n: Int): Column = topCellsExpr(cents)(v, n)
     val e = withNorm(Tables.embeddings(spark, dir))
       .withColumn("cell", element_at(topCells(col("v"), 1), 1))
       .cache() // probed by queries derived from itself
-    val q = e.filter(col("vec_id") < 10)
+    val q = queries.map(withNorm).getOrElse(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
               explode(topCells(col("v"), nprobe)).as("cell"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
@@ -169,13 +185,15 @@ object Similarity {
     * c ≫ k absorbs the ≤1/127-per-element quantization error (spec:
     * recall@5 vs exact ≥ 0.95).
     */
-  def annQuantized(spark: SparkSession, dir: String, c: Int = 32): DataFrame = {
+  def annQuantized(spark: SparkSession, dir: String, c: Int = 32,
+                   queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val q8 = call_function("graft_quantize8", col("embedding"))
-    val e8 = Tables.embeddings(spark, dir)
+    def quantize(df: DataFrame): DataFrame = df
       .select(col("vec_id"), q8.as("b"))
       .withColumn("bn", sqrt(call_function("graft_dot8", col("b"), col("b")).cast("double")))
-    val q = e8.filter(col("vec_id") < 10)
+    val e8 = quantize(Tables.embeddings(spark, dir))
+    val q = queries.map(quantize).getOrElse(e8.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("b").as("qb"), col("bn").as("qbn"))
     val cos8 = call_function("graft_dot8", col("qb"), col("b")).cast("double") /
       (col("qbn") * col("bn"))
@@ -187,7 +205,7 @@ object Similarity {
           .select(col("q_id"), col("vec_id"), cos8.as("cos8")),
         keys = Seq("q_id"), score = "cos8", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-    exactRerank(spark, dir, cands)
+    exactRerank(spark, dir, cands, queries = queries)
   }
 
   /** PRODUCT-QUANTIZED ANN (Jégou et al.'s PQ — the memory-bound
@@ -284,7 +302,8 @@ object Similarity {
       .drop("__B", "__N", "__S")
   }
 
-  def annPq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64): DataFrame = {
+  def annPq(spark: SparkSession, dir: String, m: Int = 16, c: Int = 64,
+            queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     import spark.implicits._
     val base = withNorm(Tables.embeddings(spark, dir)).cache()
@@ -294,8 +313,9 @@ object Similarity {
     val books = pqCodebooks(spark, dir, m)
     val coded = pqEncoded(base, books, m, sub)
       .select(col("vec_id"), col("codes"), col("nrm"))
-    // ADC tables per query, computed driver-side: T[j][c] = dot(q_j, book_j[c])
-    val qVecs = base.filter(col("vec_id") < 10)
+    // ADC tables per query, computed driver-side (|Q|-bounded):
+    // T[j][c] = dot(q_j, book_j[c])
+    val qVecs = queries.map(withNorm).getOrElse(base.filter(col("vec_id") < 10))
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble), r.getDouble(2)))
     val qTables = qVecs.toSeq.map { case (qid, qv, qn) =>
@@ -315,7 +335,7 @@ object Similarity {
           .select(col("q_id"), col("vec_id"), adc.as("adc")),
         keys = Seq("q_id"), score = "adc", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-    exactRerank(spark, dir, cands)
+    exactRerank(spark, dir, cands, queries = queries)
   }
 
   private[operators] def derivePlanes(corpusSize: Long): Int =
@@ -328,15 +348,17 @@ object Similarity {
     * derives the count from the corpus size (one count() over the
     * cached signature side — a control-plane job).
     */
-  def annLsh(spark: SparkSession, dir: String, planes: Int = 0): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, planes: Int = 0,
+             queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     val base = withNorm(Tables.embeddings(spark, dir))
     val nPlanes = if (planes > 0) planes else derivePlanes(base.count())
-    val e = base
-      .withColumn("bucket",
-        element_at(call_function("graft_hyperplanes", col("v"), lit(nPlanes), lit(1)), 1))
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("bucket",
+      element_at(call_function("graft_hyperplanes", col("v"), lit(nPlanes), lit(1)), 1))
+    val e = bucketed(base)
       .cache() // corpus side is probed by queries derived from itself
-    val q = e.filter(col("vec_id") < 10)
+    val q = queries.map(qs => bucketed(withNorm(qs)))
+      .getOrElse(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
               col("bucket").as("qb"))
     // multiprobe set: own bucket + flip each plane bit
@@ -411,12 +433,13 @@ object Similarity {
     * the partition pruning, and the dot-free probed plan.
     */
   def annIvfPq(spark: SparkSession, dir: String, nprobe: Int = 6,
-               m: Int = 16, c: Int = 64): DataFrame = {
+               m: Int = 16, c: Int = 64,
+               queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
-    val cands = TopK.perGroup(ivfPqScores(spark, dir, nprobe, m),
+    val cands = TopK.perGroup(ivfPqScores(spark, dir, nprobe, m, queries),
         keys = Seq("q_id"), score = "adc", tiebreak = "vec_id", k = c)
       .select(col("q_id"), col("vec_id"))
-    exactRerank(spark, dir, cands)
+    exactRerank(spark, dir, cands, queries = queries)
   }
 
   /** The heavy pass of [[annIvfPq]], exposed unevaluated so the spec
@@ -429,13 +452,14 @@ object Similarity {
     * zip_with/element_at/aggregate — never a float-vector dot.
     */
   private[graft] def ivfPqScores(spark: SparkSession, dir: String,
-                                 nprobe: Int = 6, m: Int = 16): DataFrame = {
+                                 nprobe: Int = 6, m: Int = 16,
+                                 queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
     import spark.implicits._
     val (_, cents) = IvfIndex.ensure(spark, dir)
     val (_, codesPath) = IvfIndex.ensurePq(spark, dir, m)
     val books = pqCodebooks(spark, dir, m)
-    val qVecs = withNorm(Tables.embeddings(spark, dir)).filter(col("vec_id") < 10)
+    val qVecs = querySet(spark, dir, queries)
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble), r.getDouble(2)))
     val dim = qVecs.head._2.length
@@ -469,12 +493,15 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), adc.as("adc"))
   }
 
-  def annFiltered(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annFiltered(spark: SparkSession, dir: String, k: Int = 5,
+                  queries: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    def labeled(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-    val q = e.filter(col("vec_id") < 10)
+    val e = labeled(Tables.embeddings(spark, dir))
+    // the filtered variant's query set carries the metadata column too
+    val q = queries.map(labeled).getOrElse(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
               col("v").as("qv"), col("nrm").as("qn"))
     val cosc = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))

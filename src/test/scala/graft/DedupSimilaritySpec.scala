@@ -172,6 +172,49 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN query-set parameter: a non-contract query frame works across the family") {
+    import graft.operators.Opq
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    // a query set the contract never uses: 10 corpus vectors far from
+    // the vec_id<10 demo set. Every operator must accept it, return
+    // one top-5 block per query, and the approximate ones must recall
+    // the exact results computed over the SAME set.
+    val qs = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 40 && col("vec_id") < 50)
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = top(Similarity.annTopk(spark, sf, queries = Some(qs)))
+    assert(exact.map(_._1) == (40L until 50L).toSet,
+      "exact top-k must answer for exactly the provided queries")
+    assert(exact.size == 50)
+    def recallOf(df: org.apache.spark.sql.DataFrame, tag: String,
+                 floor: Double): Unit = {
+      val got = top(df)
+      assert(got.map(_._1) == (40L until 50L).toSet, s"$tag answers wrong queries")
+      val recall = (exact & got).size.toDouble / exact.size
+      info(s"$tag recall@5 on the non-contract set = $recall")
+      assert(recall >= floor, s"$tag recall $recall < $floor")
+    }
+    recallOf(Similarity.annQuantized(spark, sf, queries = Some(qs)), "int8", 0.9)
+    recallOf(Similarity.annPq(spark, sf, queries = Some(qs)), "pq", 0.8)
+    // harder queries probe more cells — the standard recall/cost knob
+    recallOf(Similarity.annIvfPq(spark, sf, nprobe = 12, queries = Some(qs)), "ivfpq", 0.8)
+    recallOf(Opq.annOpq(spark, sf, queries = Some(qs)), "opq", 0.8)
+    recallOf(Similarity.annLsh(spark, sf, queries = Some(qs)), "lsh", 0.2)
+    recallOf(Similarity.annIvf(spark, sf, queries = Some(qs)), "ivf", 0.2)
+    // the filtered variant restricts to the query's own label stripe
+    val filt = Similarity.annFiltered(spark, sf, queries = Some(qs)).collect()
+    val labelOf = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(filt.map(_.getAs[Long]("q_id")).toSet == (40L until 50L).toSet)
+    filt.foreach { r =>
+      assert(r.getAs[Int]("label") == labelOf(r.getAs[Long]("q_id")),
+        "filtered results must stay in the query's label stripe")
+    }
+  }
+
   test("annIvfPq: probed scan prunes via PartitionFilters and evaluates no float dot") {
     import graft.operators.Similarity
     val scored = Similarity.ivfPqScores(spark, sf)
