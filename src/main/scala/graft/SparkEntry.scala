@@ -61,6 +61,8 @@ object SparkEntry {
     "lake_iceberg"        -> (LakeAnalytics.icebergSeverity _),
     "lake_iceberg_inc"    -> (LakeAnalytics.icebergIncSeverity _),
     "lake_iceberg_ext"    -> (LakeAnalytics.icebergExternalRegions _),
+    "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
+    "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
     "lake_timeseries"          -> (LakeAnalytics.timeseries _),
     "logs_search"              -> ((s: SparkSession, d: String) => LogAnalytics.search(s, d)),
     "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
@@ -566,6 +568,20 @@ object SparkEntry {
     "lake_iceberg_ext" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v2 merge-on-read fixture: nation minus the position-deleted keys
+    // {2,7} and the equality-deleted keys {11,14}; the STALE equality
+    // delete naming key 20 (sequence not above the data file's) must
+    // NOT apply — the oracle keeps key 20
+    "lake_iceberg_mor" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
+        |FROM nation WHERE n_nationkey NOT IN (2, 7, 11, 14)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the live REST-catalog round-trip must surface the SAME table —
+    // identical oracle as lake_severity_by_service
+    "lake_iceberg_rest" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_rollup" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

@@ -104,6 +104,43 @@ object LakeAnalytics {
       .orderBy(col("service_name"), col("severity_text"))
   }
 
+  private val restServers =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.serving.IceRestCatalog.Server]()
+
+  /** [[severityByService]] THROUGH A LIVE REST CATALOG — the full
+    * reference topology in one query: the lake's Iceberg export is
+    * registered in an in-process [[graft.serving.IceRestCatalog]]
+    * server (the reference's `ice-rest-catalog`), and the read side
+    * discovers it the way ClickHouse's `DataLakeCatalog` does —
+    * `loadTable` over HTTP → metadata-location → spec chain walk →
+    * distributed scan. The hash-match against the same events oracle
+    * certifies the whole catalog round-trip, live, every round. The
+    * server is session-memoized (one listener, stopped with the
+    * session); registration re-points at the current export each call
+    * (control-plane: one map put + one GET).
+    */
+  def icebergRestSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    graft.sources.IcebergExport.ensureExport(spark, root)
+    val srv = restServers.computeIfAbsent(spark, { s =>
+      val started = graft.serving.IceRestCatalog.start(s)
+      graft.SessionCaches.register(s)(() => {
+        restServers.remove(s); started.stop()
+      })
+      started
+    })
+    // point otel.logs at the newest metadata version (version-hint)
+    val metaDir = new Path(s"$root/_iceberg/metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(metaDir, "version-hint.text"))
+    val v = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    srv.put(Seq("otel"), "logs", s"$root/_iceberg/metadata/v$v.metadata.json")
+    graft.serving.IceRestCatalog.load(spark, srv.uri, Seq("otel"), "logs")
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   /** [[icebergSeverity]] over a lake built in TWO sync+export rounds
     * ([[graft.sources.IcebergExport]]'s incremental path): the first
     * half of the month lands and exports, then the rest lands and the
@@ -165,6 +202,22 @@ object LakeAnalytics {
   def icebergExternalRegions(spark: SparkSession, dir: String): DataFrame =
     graft.sources.IcebergExport.readExternal(spark,
         graft.sources.IcebergFixture.externalNationTable(spark, dir))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("mn"))
+      .orderBy(col("n_regionkey"))
+
+  /** Per-region counts over the v2 MERGE-ON-READ fixture
+    * ([[graft.sources.IcebergFixture.externalNationMorTable]]: one
+    * data file plus position, equality, and sequence-stale equality
+    * delete files). The oracle is nation minus the deleted keys, so
+    * the hash-match certifies position deletes by (file, row ordinal),
+    * null-safe equality deletes, and the strictly-greater sequence
+    * rule (the stale delete must NOT drop key 20) — the read half of
+    * upsert-writing Iceberg engines the reference's catalog serves.
+    */
+  def icebergMorRegions(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readExternal(spark,
+        graft.sources.IcebergFixture.externalNationMorTable(spark, dir))
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n"), min(col("n_name")).as("mn"))
       .orderBy(col("n_regionkey"))

@@ -190,7 +190,7 @@ object IcebergExport {
        |  {"name":"file_size_in_bytes","type":"long","field-id":104}
        |]}}]}""".stripMargin)
 
-  private val manifestListSchema: Schema = new Schema.Parser().parse(
+  private[graft] val manifestListSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
@@ -463,16 +463,31 @@ object IcebergExport {
 
   /** One data file surfaced by the metadata walk: URI, identity
     * partition values keyed by partition-field NAME (raw Avro values —
-    * Utf8/Int/Long/…), footer row count when the manifest carried one.
+    * Utf8/Int/Long/…), and the file's DATA SEQUENCE NUMBER (v2 MOR
+    * ordering; inherited from the manifest when the entry leaves it
+    * null, 0 for v1 chains that predate sequencing).
     */
   private[graft] final case class ChainFile(uri: String,
-                                            partValues: Map[String, Any])
+                                            partValues: Map[String, Any],
+                                            seq: Long = 0L)
+
+  /** One row-level DELETE file (v2 merge-on-read): `content` 1 =
+    * position deletes (`file_path`+`pos` rows), 2 = equality deletes
+    * (rows of the columns named by `equalityIds`). `seq` orders it
+    * against data files: position deletes apply to data sequence ≤
+    * theirs, equality deletes to data sequence STRICTLY below theirs
+    * (the spec's same-snapshot visibility rules).
+    */
+  private[graft] final case class DeleteFile(uri: String, content: Int,
+                                             equalityIds: Seq[Int], seq: Long)
 
   /** A resolved Iceberg FileSystem-table chain. `schemaFields` are the
     * CURRENT schema's primitive columns (id, name, iceberg type name);
     * `partFields` the default spec's identity fields (name →
     * source-id). `files` is the current snapshot's active data-file
-    * set across every manifest in its manifest list.
+    * set across every manifest in its manifest list; `deleteFiles` the
+    * snapshot's live row-level delete files (empty for v1 / COW
+    * tables).
     */
   private[graft] final case class Chain(md: IcebergJson.V,
                                         formatVersion: Int,
@@ -480,7 +495,8 @@ object IcebergExport {
                                         partFields: Seq[(String, Int)],
                                         snapshotId: Option[Long],
                                         listRecords: Seq[GenericRecord],
-                                        files: Seq[ChainFile])
+                                        files: Seq[ChainFile],
+                                        deleteFiles: Seq[DeleteFile] = Seq.empty)
 
   private def readText(spark: SparkSession, p: Path): String = {
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
@@ -499,11 +515,14 @@ object IcebergExport {
     * Accepts format versions 1 and 2, schemas under either the v2
     * `schemas`/`current-schema-id` form or the v1 single `schema`,
     * specs under `partition-specs`/`default-spec-id` or the v1 flat
-    * `partition-spec`, and v1 snapshots with inline `manifests` in
-    * place of a manifest list. REJECTS LOUDLY (require) what this
-    * reader cannot honor silently: non-identity partition transforms,
-    * nested column types, delete manifests, and row-level delete
-    * files — each would otherwise surface wrong rows, not an error.
+    * `partition-spec`, v1 snapshots with inline `manifests` in place
+    * of a manifest list, and v2 ROW-LEVEL DELETES (position and
+    * equality delete files surface on [[Chain.deleteFiles]] with their
+    * sequence numbers — [[readChain]] applies them). REJECTS LOUDLY
+    * (require) what this reader cannot honor silently: non-identity
+    * partition transforms, nested column types, and unknown file
+    * content kinds — each would otherwise surface wrong rows, not an
+    * error.
     */
   private[graft] def resolveChain(spark: SparkSession, metaDir: Path): Chain = {
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -520,6 +539,14 @@ object IcebergExport {
         require(vs.nonEmpty, s"no version-hint.text and no v<N>.metadata.json under $metaDir")
         new Path(metaDir, s"v${vs.max}.metadata.json")
       }
+    resolveChainAt(spark, mdPath)
+  }
+
+  /** [[resolveChain]] anchored at one specific `metadata.json` — the
+    * entry point a CATALOG hands a client (REST `loadTable` returns a
+    * metadata-location, not a directory to walk).
+    */
+  private[graft] def resolveChainAt(spark: SparkSession, mdPath: Path): Chain = {
     val md = IcebergJson.parse(readText(spark, mdPath))
     val fv = md("format-version").int
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
@@ -561,43 +588,66 @@ object IcebergExport {
 
     // current snapshot, ANCHORED by id (none / -1 = legal empty table)
     val snapId = md.opt("current-snapshot-id").map(_.long).filter(_ != -1L)
-    val (listRecords, files) = snapId match {
-      case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile])
+    val (listRecords, files, deletes) = snapId match {
+      case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile], Seq.empty[DeleteFile])
       case Some(id) =>
         val snap = md("snapshots").arr.find(_("snapshot-id").long == id)
           .getOrElse(sys.error(s"current-snapshot-id $id has no snapshots entry"))
         def has(r: GenericRecord, f: String): Boolean = r.getSchema.getField(f) != null
-        // v2: one manifest-list file; v1 may inline manifest paths
-        val (records, manifestPaths) = snap.opt("manifest-list") match {
+        def longOf(r: GenericRecord, f: String): Option[Long] =
+          if (has(r, f)) Option(r.get(f)).map(_.asInstanceOf[Long]) else None
+        // v2: one manifest-list file; v1 may inline manifest paths.
+        // Each manifest carries (path, isDelete, its list-level
+        // sequence number) — entries with a null sequence inherit it.
+        val (records, manifests) = snap.opt("manifest-list") match {
           case Some(lst) =>
             val rs = readAvro(spark, lst.str)
-            rs.foreach { r =>
-              require(!has(r, "content") || r.get("content").asInstanceOf[Int] == 0,
-                s"delete manifest in ${lst.str} — row-level deletes unsupported by this reader")
-            }
-            (rs, rs.map(_.get("manifest_path").toString))
+            (rs, rs.map { r =>
+              val isDelete = has(r, "content") && r.get("content").asInstanceOf[Int] == 1
+              (r.get("manifest_path").toString, isDelete,
+                longOf(r, "sequence_number").getOrElse(0L))
+            })
           case None =>
-            (Seq.empty[GenericRecord], snap("manifests").arr.map(_.str))
+            (Seq.empty[GenericRecord], snap("manifests").arr.map(p => (p.str, false, 0L)))
         }
-        val fileSeq = manifestPaths.flatMap { mp =>
-          readAvro(spark, mp)
+        val walked = manifests.map { case (mp, isDelete, mSeq) =>
+          val live = readAvro(spark, mp)
             .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-            .map { e =>
-              val d = e.get("data_file").asInstanceOf[GenericRecord]
-              require(!has(d, "content") || d.get("content").asInstanceOf[Int] == 0,
-                s"delete file ${d.get("file_path")} — row-level deletes unsupported")
-              val part = Option(d.get("partition")).map(_.asInstanceOf[GenericRecord])
-              val pv = partFields.map { case (name, _) =>
-                name -> part.flatMap(p =>
-                  if (p.getSchema.getField(name) != null) Option(p.get(name)) else None)
-                  .orNull
-              }.toMap
-              ChainFile(d.get("file_path").toString, pv)
+          val dataFiles = scala.collection.mutable.ArrayBuffer.empty[ChainFile]
+          val delFiles = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
+          live.foreach { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val seq = longOf(e, "sequence_number").getOrElse(mSeq)
+            val content = if (has(d, "content")) d.get("content").asInstanceOf[Int] else 0
+            content match {
+              case 0 =>
+                require(!isDelete, s"data file ${d.get("file_path")} in a delete manifest")
+                val part = Option(d.get("partition")).map(_.asInstanceOf[GenericRecord])
+                val pv = partFields.map { case (name, _) =>
+                  name -> part.flatMap(p =>
+                    if (p.getSchema.getField(name) != null) Option(p.get(name)) else None)
+                    .orNull
+                }.toMap
+                dataFiles += ChainFile(d.get("file_path").toString, pv, seq)
+              case 1 | 2 => // position / equality delete file (v2 MOR)
+                val eqIds =
+                  if (has(d, "equality_ids")) Option(d.get("equality_ids"))
+                    .map(_.asInstanceOf[java.util.List[Integer]].asScala.toSeq.map(_.toInt))
+                    .getOrElse(Seq.empty)
+                  else Seq.empty
+                require(content == 1 || eqIds.nonEmpty,
+                  s"equality delete file ${d.get("file_path")} lists no equality_ids")
+                delFiles += DeleteFile(d.get("file_path").toString, content, eqIds, seq)
+              case other => sys.error(
+                s"unknown content=$other for file ${d.get("file_path")} — " +
+                  "not readable as data or row-level deletes")
             }
+          }
+          (dataFiles.toSeq, delFiles.toSeq)
         }
-        (records, fileSeq)
+        (records, walked.flatMap(_._1), walked.flatMap(_._2))
     }
-    Chain(md, fv, schemaFields, partFields, snapId, listRecords, files)
+    Chain(md, fv, schemaFields, partFields, snapId, listRecords, files, deletes)
   }
 
   /** Iceberg primitive type name → Spark type (the read-side inverse
@@ -650,8 +700,9 @@ object IcebergExport {
     * catalog flow (scripts/sync-logs.sh:1-86 registers tables that
     * ClickHouse then reads; graft can now consume such a table
     * directly). Trusts ONLY the spec chain via [[resolveChain]]:
-    * v1/v2 metadata, identity partitions, no delete files — anything
-    * else rejects loudly there.
+    * v1/v2 metadata, identity partitions, v2 row-level deletes
+    * applied merge-on-read ([[readChain]]) — anything else rejects
+    * loudly there.
     *
     * Identity partition VALUES come from the manifests (authoritative
     * per the spec — external writers need not use hive-style dirs), and
@@ -663,9 +714,32 @@ object IcebergExport {
     * by NAME (the exported name-mapping convention); id-based column
     * renames are beyond this reader.
     */
-  def readExternal(spark: SparkSession, location: String): DataFrame = {
-    val chain = resolveChain(spark, new Path(s"$location/metadata"))
+  def readExternal(spark: SparkSession, location: String): DataFrame =
+    readChain(spark, resolveChain(spark, new Path(s"$location/metadata")))
+
+  /** Materialize a resolved [[Chain]] as a DataFrame: scan the data
+    * files, attach manifest-sourced identity partition values, and
+    * APPLY v2 row-level deletes (merge-on-read):
+    *
+    *  - every per-file attribute (partition values, data sequence
+    *    number) joins in through ONE broadcast map of one row per data
+    *    file — control-plane cardinality against a full-parallelism
+    *    scan;
+    *  - position deletes anti-join on (`_metadata.file_path`,
+    *    `_metadata.row_index`) — the row ordinal comes from the scan
+    *    itself, no window or zipWithIndex pass — for data files with
+    *    sequence ≤ the delete file's;
+    *  - equality deletes anti-join null-safely (`<=>`) on the columns
+    *    their `equality_ids` name, for data rows with sequence
+    *    STRICTLY below the delete file's (the spec rule that makes an
+    *    upsert's own insert survive its delete);
+    *  - delete-file scans are sized by the DELETED population, and the
+    *    anti-joins shuffle only when the delete side does — at 100 TB
+    *    the common case (deletes ≪ data) broadcasts under AQE.
+    */
+  private[graft] def readChain(spark: SparkSession, chain: Chain): DataFrame = {
     val typeOf = chain.schemaFields.map(f => f.id -> f.tpe).toMap
+    val nameOf = chain.schemaFields.map(f => f.id -> f.name).toMap
     val partNames = chain.partFields.map(_._1)
     if (chain.files.isEmpty) {
       // legal empty table: an empty frame with the declared schema
@@ -674,17 +748,19 @@ object IcebergExport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
-    val data = spark.read.parquet(chain.files.map(f => fileUri(f.uri)): _*)
+    val raw = spark.read.parquet(chain.files.map(f => fileUri(f.uri)): _*)
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
     // them, and for those the manifest values are authoritative
-    val attach = partNames.filterNot(data.columns.contains)
-    if (attach.isEmpty) data
-    else {
-      // file → partition-value map, one row per data file. Raw Avro
-      // values stringify on the driver (epoch-day ints for date
-      // columns render as ISO dates) and cast to the declared type
-      // after the join.
+    val attach = partNames.filterNot(raw.columns.contains)
+    val hasDeletes = chain.deleteFiles.nonEmpty
+    val posDeletes = chain.deleteFiles.filter(_.content == 1)
+
+    val attached: DataFrame = if (attach.isEmpty && !hasDeletes) raw else {
+      // file → (partition values, sequence) map, one row per data
+      // file. Raw Avro values stringify on the driver (epoch-day ints
+      // for date columns render as ISO dates) and cast to the declared
+      // type after the join.
       def renderVal(v: Any, tpe: String): String = v match {
         case null => null
         case i: java.lang.Integer if tpe == "date" =>
@@ -699,20 +775,64 @@ object IcebergExport {
       }.toMap
       val mapRows = chain.files.map { f =>
         org.apache.spark.sql.Row.fromSeq(
-          normUri(f.uri) +: attach.map(n => renderVal(f.partValues(n), srcType(n))))
+          (normUri(f.uri) +: attach.map(n => renderVal(f.partValues(n), srcType(n)))) :+ f.seq)
       }
-      val mapSchema = StructType(StructField("__graft_file", StringType) +:
-        attach.map(n => StructField(n, StringType, nullable = true)))
+      val mapSchema = StructType((StructField("__graft_file", StringType) +:
+        attach.map(n => StructField(n, StringType, nullable = true))) :+
+        StructField("__graft_seq", LongType, nullable = false))
       val mapDf = spark.createDataFrame(
         spark.sparkContext.parallelize(mapRows, 1), mapSchema)
-      val joined = data
-        .withColumn("__graft_file", LogSync.normPath(input_file_name()))
-        .join(broadcast(mapDf), Seq("__graft_file"))
-        .drop("__graft_file")
+      // _metadata.file_path, not input_file_name(): deterministic, so
+      // it doesn't pin the projection against later pushdown, and it
+      // stays consistent with the row_index used by position deletes
+      val withFile = raw
+        .withColumn("__graft_file", LogSync.normPath(col("_metadata.file_path")))
+      val withPos =
+        if (posDeletes.nonEmpty)
+          withFile.withColumn("__graft_pos", col("_metadata.row_index"))
+        else withFile
+      val joined = withPos.join(broadcast(mapDf), Seq("__graft_file"))
       attach.foldLeft(joined) { (df, n) =>
         df.withColumn(n, col(n).cast(sparkTypeFor(srcType(n))))
       }
     }
+
+    val afterDeletes: DataFrame = if (!hasDeletes) attached else {
+      // equality deletes, grouped by their equality-column set: one
+      // union of delete rows per set, one null-safe anti-join each
+      val eqApplied = chain.deleteFiles.filter(_.content == 2)
+        .groupBy(_.equalityIds).foldLeft(attached) { case (df, (ids, dels)) =>
+          val cols = ids.map(id => nameOf.getOrElse(id,
+            sys.error(s"equality delete names field-id $id, not in current schema")))
+          cols.foreach(c => require(df.columns.contains(c),
+            s"equality delete column '$c' absent from the data scan"))
+          val delRows = dels.map { d =>
+            spark.read.parquet(fileUri(d.uri))
+              .select(cols.map(c => col(c).as(s"__gd_$c")) :+
+                lit(d.seq).as("__graft_dseq"): _*)
+          }.reduce(_ unionByName _)
+          val cond = cols.map(c => col(c) <=> col(s"__gd_$c"))
+            .reduce(_ && _) && col("__graft_seq") < col("__graft_dseq")
+          df.join(delRows, cond, "left_anti")
+        }
+      // position deletes: delete rows carry the TARGET data file path
+      // and row ordinal; their own sequence joins in from a per-file
+      // literal (delete-file count is control-plane)
+      if (posDeletes.isEmpty) eqApplied else {
+        val posRows = posDeletes.map { d =>
+          spark.read.parquet(fileUri(d.uri))
+            .select(LogSync.normPath(col("file_path")).as("__gd_file"),
+              col("pos").cast(LongType).as("__gd_pos"),
+              lit(d.seq).as("__graft_dseq"))
+        }.reduce(_ unionByName _)
+        eqApplied.join(posRows,
+          col("__graft_file") === col("__gd_file") &&
+            col("__graft_pos") === col("__gd_pos") &&
+            col("__graft_seq") <= col("__graft_dseq"),
+          "left_anti")
+      }
+    }
+    afterDeletes.drop("__graft_file", "__graft_pos", "__graft_seq")
   }
 
   private def normUri(p: String): String =

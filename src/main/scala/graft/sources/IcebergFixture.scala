@@ -151,4 +151,195 @@ object IcebergFixture {
       }
       loc
     })
+
+  // ---- v2 merge-on-read fixture ----
+
+  private val builtMor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A v2 MERGE-ON-READ table over the full `nation` rows — the
+    * certification fixture for [[IcebergExport.readChain]]'s row-level
+    * delete application. TWO data files (sequence 1; split at
+    * nationkey 13 so both hold rows at the deleted ordinals) plus
+    * three delete files an external v2 writer (upsert/DELETE engines)
+    * would leave:
+    *
+    *  - a POSITION delete file (sequence 2) deleting the rows of
+    *    nationkeys 2 and 7 by (file_path, pos) — positions measured
+    *    from the written parquet itself via `_metadata.row_index`, so
+    *    the fixture never guesses row order, and naming FILE A only,
+    *    so a reader that ignored file_path would wrongly drop file B's
+    *    ordinals too;
+    *  - an EQUALITY delete file (sequence 2, equality_ids =
+    *    [n_nationkey]) deleting keys 11 and 14 — one key per data
+    *    file, so equality deletes are proven global;
+    *  - a STALE equality delete file (sequence 1 — NOT strictly above
+    *    the data sequence) naming key 20: per the spec it must NOT
+    *    apply, so key 20 surviving certifies sequence-aware
+    *    application, not blanket anti-joins.
+    *
+    * Manifest entries leave `sequence_number` null so inheritance from
+    * the manifest-list entry is exercised; the delete files live in
+    * two delete manifests (content=1) keyed by their sequence.
+    * Expected content: nation minus keys {2, 7, 11, 14}.
+    */
+  def externalNationMorTable(spark: SparkSession, dir: String): String =
+    builtMor.computeIfAbsent(dir, _ => {
+      val loc = s"/tmp/graft_ice_mor_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(loc).getFileSystem(conf)
+      val marker = new Path(s"$loc/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(new Path(loc), true)
+        fs.mkdirs(new Path(s"$loc/data"))
+        fs.mkdirs(new Path(s"$loc/metadata"))
+
+        def writeOne(df: org.apache.spark.sql.DataFrame, target: Path): String = {
+          val stage = s"$loc/_stage_${target.getName}"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new Path(stage)).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part file under $stage"))
+          require(fs.rename(part, target), s"rename of $part failed")
+          fs.delete(new Path(stage), true)
+          s"file://${target.toUri.getPath}"
+        }
+
+        val nation = Tables.nation(spark, dir)
+        // TWO data files, so position deletes are proven FILE-SCOPED:
+        // the delete rows name file A's ordinals only — a reader that
+        // ignored file_path would also drop the same ordinals from
+        // file B and fail the oracle hash
+        val dataUriA = writeOne(
+          nation.filter(col("n_nationkey") < 13).orderBy(col("n_nationkey")),
+          new Path(s"$loc/data/nation-a.parquet"))
+        val dataUriB = writeOne(
+          nation.filter(col("n_nationkey") >= 13).orderBy(col("n_nationkey")),
+          new Path(s"$loc/data/nation-b.parquet"))
+        val rowsA = nation.filter(col("n_nationkey") < 13).count()
+        val rowsB = nation.filter(col("n_nationkey") >= 13).count()
+        require(rowsB > 2, "file B needs rows at the deleted ordinals for the scope check")
+        // positions of the position-deleted keys, measured from the
+        // file (no assumption that key == ordinal)
+        val posOf = spark.read.parquet(dataUriA)
+          .select(col("n_nationkey"), col("_metadata.row_index").as("pos"))
+          .filter(col("n_nationkey").isin(2, 7))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        require(posOf.size == 2, s"expected keys 2 and 7 in nation, got $posOf")
+        import spark.implicits._
+        val posDelUri = writeOne(
+          posOf.values.toSeq.sorted.map(p => (dataUriA, p)).toDF("file_path", "pos"),
+          new Path(s"$loc/data/pos-del.parquet"))
+        val eqNewUri = writeOne(Seq(11, 14).toDF("n_nationkey"),
+          new Path(s"$loc/data/eq-del-new.parquet"))
+        val eqStaleUri = writeOne(Seq(20).toDF("n_nationkey"),
+          new Path(s"$loc/data/eq-del-stale.parquet"))
+
+        // v2 manifest entries: content + equality_ids, sequence_number
+        // left NULL (inherited from the manifest-list entry)
+        val entrySchema = new Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"],"default":null},
+            |{"name":"sequence_number","type":["null","long"],"default":null},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |{"name":"content","type":"int"},
+            |{"name":"file_path","type":"string"},
+            |{"name":"file_format","type":"string"},
+            |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+            |{"name":"record_count","type":"long"},
+            |{"name":"file_size_in_bytes","type":"long"},
+            |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+            |"default":null}]}}]}""".stripMargin)
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val snap = 3333L
+        def entry(uri: String, content: Int, eqIds: Seq[Int], nRows: Long): GenericRecord = {
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", content)
+          d.put("file_path", uri)
+          d.put("file_format", "PARQUET")
+          d.put("partition", new GenericData.Record(partSchema))
+          d.put("record_count", nRows)
+          d.put("file_size_in_bytes",
+            fs.getFileStatus(new Path(uri.stripPrefix("file://"))).getLen)
+          if (eqIds.nonEmpty)
+            d.put("equality_ids", java.util.Arrays.asList(eqIds.map(Int.box): _*))
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snap)
+          e.put("data_file", d)
+          e
+        }
+        def manifest(name: String, entries: Seq[GenericRecord]): (Path, Long) = {
+          val p = new Path(s"$loc/metadata/$name")
+          val len = IcebergExport.writeAvro(spark, p, entrySchema, Map.empty,
+            entries.iterator)
+          (p, len)
+        }
+        val (mData, lenData) = manifest("m-data.avro", Seq(
+          entry(dataUriA, 0, Seq.empty, rowsA),
+          entry(dataUriB, 0, Seq.empty, rowsB)))
+        val (mDel2, lenDel2) = manifest("m-del2.avro", Seq(
+          entry(posDelUri, 1, Seq.empty, 2),
+          entry(eqNewUri, 2, Seq(1), 2)))
+        val (mDel1, lenDel1) = manifest("m-del1.avro",
+          Seq(entry(eqStaleUri, 2, Seq(1), 1)))
+
+        val listSchema = IcebergExport.manifestListSchema
+        def listRec(p: Path, len: Long, content: Int, seq: Long,
+                    added: Int, addedRows: Long): GenericRecord = {
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", s"file://${p.toUri.getPath}")
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snap)
+          r.put("added_data_files_count", added)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          r.put("added_rows_count", addedRows)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+        }
+        val listPath = new Path(s"$loc/metadata/snap-mor.avro")
+        IcebergExport.writeAvro(spark, listPath, listSchema,
+          Map("format-version" -> "2", "snapshot-id" -> snap.toString),
+          Iterator(
+            listRec(mData, lenData, 0, 1L, 2, rowsA + rowsB),
+            listRec(mDel1, lenDel1, 1, 1L, 1, 1),
+            listRec(mDel2, lenDel2, 1, 2L, 2, 4)))
+
+        val metadata =
+          s"""{"format-version":2,
+             |"table-uuid":"60000000-7000-8000-9000-a00000000000",
+             |"location":"file://$loc",
+             |"last-sequence-number":2,
+             |"last-updated-ms":2,
+             |"last-column-id":3,
+             |"current-schema-id":0,
+             |"schemas":[{"type":"struct","schema-id":0,"fields":[
+             |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+             |{"id":2,"name":"n_name","required":false,"type":"string"},
+             |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}],
+             |"default-spec-id":0,
+             |"partition-specs":[{"spec-id":0,"fields":[]}],
+             |"last-partition-id":999,
+             |"properties":{},
+             |"current-snapshot-id":$snap,
+             |"snapshots":[{"snapshot-id":$snap,"timestamp-ms":2,"sequence-number":2,
+             |"manifest-list":"file://${listPath.toUri.getPath}","schema-id":0}]}"""
+            .stripMargin
+        val out = fs.create(new Path(s"$loc/metadata/v1.metadata.json"), true)
+        out.write(metadata.getBytes("UTF-8"))
+        out.close()
+        val hint = fs.create(new Path(s"$loc/metadata/version-hint.text"), true)
+        hint.write("1".getBytes("UTF-8"))
+        hint.close()
+        fs.create(marker).close()
+      }
+      loc
+    })
 }

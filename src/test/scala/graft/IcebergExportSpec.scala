@@ -223,6 +223,30 @@ class IcebergExportSpec extends SparkSpec {
       == Seq("k" -> "long", "v" -> "string"))
   }
 
+  test("merge-on-read: position, equality, and sequence-stale deletes apply per spec") {
+    val loc = graft.sources.IcebergFixture.externalNationMorTable(spark, sf)
+    val t = IcebergExport.readExternal(spark, loc)
+    // helper columns never leak into the surfaced schema
+    assert(t.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    val keys = t.select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val all = Tables.nation(spark, sf)
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    assert(keys == all -- Set(2, 7, 11, 14),
+      s"expected exactly keys {2,7,11,14} deleted; got ${(all -- keys).toSeq.sorted}")
+    // the stale equality delete (sequence == data sequence) names key
+    // 20: the strictly-greater rule must keep it
+    assert(keys.contains(20), "stale equality delete wrongly applied")
+    // position deletes are FILE-scoped: file B (keys >= 13) holds rows
+    // at the same ordinals the delete names in file A — all of file B
+    // except the equality-deleted key 14 must survive
+    assert((all.filter(_ >= 13) - 14).subsetOf(keys),
+      "position deletes leaked beyond their target file")
+    // surviving rows are untouched (no column corruption through the
+    // anti-join chain)
+    val row = t.filter(col("n_nationkey") === 20).collect()
+    assert(row.length == 1 && row.head.getAs[String]("n_name").startsWith("NATION"))
+  }
+
   test("readTable: the Iceberg-metadata read path surfaces exactly the registered table") {
     val root = buildLake()
     IcebergExport.export(spark, root)
