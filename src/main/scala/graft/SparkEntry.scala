@@ -63,6 +63,7 @@ object SparkEntry {
     "lake_iceberg_ext"    -> (LakeAnalytics.icebergExternalRegions _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
+    "lake_iceberg_tt"     -> (LakeAnalytics.icebergTimeTravel _),
     "lake_timeseries"          -> (LakeAnalytics.timeseries _),
     "logs_search"              -> ((s: SparkSession, d: String) => LogAnalytics.search(s, d)),
     "logs_json_attrs"          -> (LogAnalytics.jsonAttrs _),
@@ -582,6 +583,13 @@ object SparkEntry {
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // time travel to the FIRST snapshot of the incremental fixture:
+    // that export covered exactly the day <= 15 half of the month
+    "lake_iceberg_tt" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events WHERE EXTRACT(day FROM ts) <= 15
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_rollup" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

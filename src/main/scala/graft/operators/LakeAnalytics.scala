@@ -157,6 +157,31 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  /** TIME TRAVEL over the incremental fixture: the same severity
+    * aggregate read at the FIRST retained snapshot (the oldest entry
+    * of the exported history) — the Iceberg `snapshot-id` /
+    * `as-of-timestamp` read every warehouse client offers. The first
+    * export covered exactly the day ≤ 15 half of the month, so the
+    * oracle is the same events aggregate WITH that predicate: the
+    * hash-match certifies that anchoring a historic snapshot walks
+    * that snapshot's manifest chain, not the current one, and that
+    * tombstone-free historic files stay readable. Snapshot selection
+    * is control-plane (one metadata read, no data cost).
+    */
+  def icebergTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = incRoot(spark, dir)
+    // the chain root = the parentless snapshot (same-millisecond
+    // exports make timestamp order ambiguous; parentage is not)
+    val first = graft.sources.IcebergExport.snapshots(spark, root)
+      .find(_._3.isEmpty)
+      .getOrElse(sys.error("no parentless snapshot in the incremental fixture"))
+    graft.sources.IcebergExport.readTable(spark, root,
+        Some(graft.sources.IcebergExport.BySnapshotId(first._1)))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   private val builtInc = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Two-phase lake fixture for [[icebergIncSeverity]]: day ≤ 15 lands

@@ -524,7 +524,8 @@ object IcebergExport {
     * content kinds — each would otherwise surface wrong rows, not an
     * error.
     */
-  private[graft] def resolveChain(spark: SparkSession, metaDir: Path): Chain = {
+  private[graft] def resolveChain(spark: SparkSession, metaDir: Path,
+                                  asOf: Option[SnapshotRef] = None): Chain = {
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hintPath = new Path(metaDir, "version-hint.text")
     val mdPath =
@@ -539,14 +540,29 @@ object IcebergExport {
         require(vs.nonEmpty, s"no version-hint.text and no v<N>.metadata.json under $metaDir")
         new Path(metaDir, s"v${vs.max}.metadata.json")
       }
-    resolveChainAt(spark, mdPath)
+    resolveChainAt(spark, mdPath, asOf)
   }
+
+  /** TIME-TRAVEL anchor: pick a snapshot by exact id, or the latest
+    * snapshot committed at-or-before a timestamp (the spec's
+    * `snapshot-log` semantics).
+    */
+  sealed trait SnapshotRef
+  final case class BySnapshotId(id: Long) extends SnapshotRef
+  final case class AsOfTimestampMs(ms: Long) extends SnapshotRef
 
   /** [[resolveChain]] anchored at one specific `metadata.json` — the
     * entry point a CATALOG hands a client (REST `loadTable` returns a
-    * metadata-location, not a directory to walk).
+    * metadata-location, not a directory to walk). `asOf` re-anchors
+    * the walk on a RETAINED HISTORIC snapshot instead of the current
+    * one (Iceberg time travel): same manifest chain mechanics, just a
+    * different `snapshots` entry — a control-plane choice, no data
+    * cost. Current-schema simplification applies (the spec permits
+    * reading historic snapshots under the current schema; this reader
+    * does exactly that, like its export writes).
     */
-  private[graft] def resolveChainAt(spark: SparkSession, mdPath: Path): Chain = {
+  private[graft] def resolveChainAt(spark: SparkSession, mdPath: Path,
+                                    asOf: Option[SnapshotRef] = None): Chain = {
     val md = IcebergJson.parse(readText(spark, mdPath))
     val fv = md("format-version").int
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
@@ -586,8 +602,27 @@ object IcebergExport {
       (f("name").str, f("source-id").int)
     }
 
-    // current snapshot, ANCHORED by id (none / -1 = legal empty table)
-    val snapId = md.opt("current-snapshot-id").map(_.long).filter(_ != -1L)
+    // current snapshot, ANCHORED by id (none / -1 = legal empty
+    // table); `asOf` re-anchors on retained history
+    val snapId: Option[Long] = asOf match {
+      case None => md.opt("current-snapshot-id").map(_.long).filter(_ != -1L)
+      case Some(BySnapshotId(id)) =>
+        require(md("snapshots").arr.exists(_("snapshot-id").long == id),
+          s"snapshot $id is not retained in ${mdPath.getName}")
+        Some(id)
+      case Some(AsOfTimestampMs(ms)) =>
+        // snapshot-log is the spec's commit-time record; fall back to
+        // the snapshots' own timestamp-ms for writers that omit it
+        val log = md.opt("snapshot-log").map(_.arr).filter(_.nonEmpty)
+          .getOrElse(md("snapshots").arr)
+        val at = log.filter(_("timestamp-ms").long <= ms)
+        require(at.nonEmpty,
+          s"no snapshot at or before timestamp $ms in ${mdPath.getName}")
+        // the log is chronological (spec): the LAST matching entry is
+        // the latest commit — robust to same-millisecond commits,
+        // where maxBy-on-timestamp would tie on the older one
+        Some(at.last("snapshot-id").long)
+    }
     val (listRecords, files, deletes) = snapId match {
       case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile], Seq.empty[DeleteFile])
       case Some(id) =>
@@ -683,15 +718,31 @@ object IcebergExport {
     * over it hash-matching the DuckDB oracle proves the exported
     * metadata describes exactly the registered table.
     */
-  def readTable(spark: SparkSession, root: String): DataFrame = {
+  def readTable(spark: SparkSession, root: String,
+                asOf: Option[SnapshotRef] = None): DataFrame = {
     import spark.implicits._
     val metaDir = new Path(s"$root/_iceberg/metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(metaDir, "version-hint.text")),
       s"no Iceberg export under $root — run export first")
-    val files = resolveChain(spark, metaDir).files.map(_.uri)
+    val files = resolveChain(spark, metaDir, asOf).files.map(_.uri)
     LogSync.tableForPaths(spark, root,
       files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")))
+  }
+
+  /** Snapshot history of an exported/external table, oldest first:
+    * (snapshot-id, timestamp-ms, parent-snapshot-id) — the
+    * control-plane listing a caller uses to pick a [[SnapshotRef]]
+    * for time travel.
+    */
+  def snapshots(spark: SparkSession, location: String): Seq[(Long, Long, Option[Long])] = {
+    val metaDir = new Path(s"$location/metadata")
+    val dir = if (metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(metaDir)) metaDir else new Path(s"$location/_iceberg/metadata")
+    resolveChain(spark, dir).md("snapshots").arr.map { s =>
+      (s("snapshot-id").long, s("timestamp-ms").long,
+        s.opt("parent-snapshot-id").map(_.long))
+    }.sortBy(_._2)
   }
 
   /** Read an EXTERNALLY-written Iceberg FileSystem table (standard
@@ -714,8 +765,9 @@ object IcebergExport {
     * by NAME (the exported name-mapping convention); id-based column
     * renames are beyond this reader.
     */
-  def readExternal(spark: SparkSession, location: String): DataFrame =
-    readChain(spark, resolveChain(spark, new Path(s"$location/metadata")))
+  def readExternal(spark: SparkSession, location: String,
+                   asOf: Option[SnapshotRef] = None): DataFrame =
+    readChain(spark, resolveChain(spark, new Path(s"$location/metadata"), asOf))
 
   /** Materialize a resolved [[Chain]] as a DataFrame: scan the data
     * files, attach manifest-sourced identity partition values, and

@@ -223,6 +223,42 @@ class IcebergExportSpec extends SparkSpec {
       == Seq("k" -> "long", "v" -> "string"))
   }
 
+  test("time travel: a retained snapshot reads its own file set; bad anchors reject") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    val n1 = LogSync.table(spark, root).count()
+    // grow the lake; second export is an incremental delta snapshot
+    Tables.events(spark, sf).limit(50)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+        col("props").as("body"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    IcebergExport.export(spark, root)
+    val snaps = IcebergExport.snapshots(spark, root)
+    assert(snaps.length == 2)
+    val first = snaps.find(_._3.isEmpty).get
+    val second = snaps.find(_._3.nonEmpty).get
+    assert(second._3.contains(first._1), "delta must chain to the root snapshot")
+    // anchored read at the old snapshot = the pre-append table
+    assert(IcebergExport.readTable(spark, root,
+      Some(IcebergExport.BySnapshotId(first._1))).count() == n1)
+    // current read (and the explicit current id) = the grown table
+    assert(IcebergExport.readTable(spark, root).count() == n1 + 50)
+    assert(IcebergExport.readTable(spark, root,
+      Some(IcebergExport.BySnapshotId(second._1))).count() == n1 + 50)
+    // timestamp anchor: at-or-after the second commit = current
+    assert(IcebergExport.readTable(spark, root,
+      Some(IcebergExport.AsOfTimestampMs(second._2))).count() == n1 + 50)
+    // unknown snapshot id and a too-early timestamp reject loudly
+    assert(intercept[Exception] {
+      IcebergExport.readTable(spark, root, Some(IcebergExport.BySnapshotId(42L)))
+    }.getMessage.contains("not retained"))
+    assert(intercept[Exception] {
+      IcebergExport.readTable(spark, root,
+        Some(IcebergExport.AsOfTimestampMs(first._2 - 1)))
+    }.getMessage.contains("no snapshot at or before"))
+  }
+
   test("merge-on-read: position, equality, and sequence-stale deletes apply per spec") {
     val loc = graft.sources.IcebergFixture.externalNationMorTable(spark, sf)
     val t = IcebergExport.readExternal(spark, loc)
