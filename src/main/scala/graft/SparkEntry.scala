@@ -57,6 +57,10 @@ object SparkEntry {
                                      LogAnalytics.timeseries(s, d, "5 minutes")),
     "logs_severity_number"     -> ((s: SparkSession, d: String) => LogAnalytics.severityNumber(s, d)),
     "logs_trace_lookup"        -> ((s: SparkSession, d: String) => LogAnalytics.traceLookup(s, d)),
+    "trace_spans"              -> ((s: SparkSession, d: String) => TraceAnalytics.traceSpans(s, d)),
+    "trace_service_graph"      -> (TraceAnalytics.serviceGraph _),
+    "trace_summary"            -> (TraceAnalytics.traceSummary _),
+    "trace_critical_path"      -> (TraceAnalytics.criticalPath _),
     "lake_severity_by_service" -> (LakeAnalytics.severityByService _),
     "lake_iceberg"        -> (LakeAnalytics.icebergSeverity _),
     "lake_iceberg_inc"    -> (LakeAnalytics.icebergIncSeverity _),
@@ -547,6 +551,90 @@ object SparkEntry {
         |FROM events
         |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
         |ORDER BY ts_str, span_id""".stripMargin,
+    // ---- traces family: the shared span synthesis is replayed
+    // verbatim in each oracle (base → trace_id, spans → rank/ids/
+    // service tier/duration; heap parent = idx // 2) ----
+    "trace_spans" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    md5(CAST(event_id AS VARCHAR)) AS span_id,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base WHERE trace_id = md5('7/2024-01-15'))
+        |SELECT c.idx AS idx, c.span_id AS span_id, p.span_id AS parent_span_id,
+        |  c.service AS service, c.operation AS operation, c.dur_ms AS dur_ms
+        |FROM spans c LEFT JOIN spans p ON p.idx = c.idx // 2
+        |ORDER BY idx""".stripMargin,
+    "trace_service_graph" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT p.service AS parent_service, c.service AS service,
+        |  count(*) AS calls, CAST(SUM(c.dur_ms) AS BIGINT) AS callee_ms
+        |FROM spans c JOIN spans p
+        |  ON p.trace_id = c.trace_id AND p.idx = c.idx // 2
+        |WHERE c.idx > 1
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "trace_summary" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT trace_id, count(*) AS n_spans,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |  MAX(CASE WHEN idx = 1 THEN service END) AS root_service,
+        |  CAST(SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |FROM spans GROUP BY trace_id ORDER BY trace_id""".stripMargin,
+    "trace_critical_path" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |walk AS (
+        |  SELECT trace_id, idx, dur_ms AS path_ms, idx AS cur FROM spans
+        |  UNION ALL
+        |  SELECT w.trace_id, w.idx, w.path_ms + s.dur_ms, s.idx
+        |  FROM walk w JOIN spans s
+        |    ON s.trace_id = w.trace_id AND s.idx = w.cur // 2
+        |  WHERE w.cur > 1)
+        |SELECT w.trace_id AS trace_id,
+        |  CAST(MAX(w.path_ms) AS BIGINT) AS critical_ms,
+        |  CAST(MAX(n.n) AS BIGINT) AS n_spans
+        |FROM walk w JOIN (
+        |  SELECT trace_id, count(*) AS n FROM spans GROUP BY trace_id) n
+        |  ON n.trace_id = w.trace_id
+        |WHERE w.cur = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_severity_by_service" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** DISTRIBUTED TRACE analytics — the traces signal of the OTel triple
+  * (the reference pipes logs only, but its schema carries trace/span
+  * context precisely so log rows join a tracing backend:
+  * README schema rows `TraceId`/`SpanId`; grafana logs.json surfaces
+  * them as columns). This family builds the span model those columns
+  * point INTO and runs the standard APM queries over it.
+  *
+  * Span synthesis (deterministic, shared by every query and replayed
+  * verbatim by the DuckDB oracles): each event is a span;
+  * `trace_id = md5(user_id '/' yyyy-MM-dd)` — the SAME trace key the
+  * log side stamps ([[LogAnalytics.traceLookup]]), so logs and spans
+  * correlate; span index = arrival rank within the trace; parent =
+  * HEAP parent (`idx div 2` — span 1 is the root), giving a balanced
+  * call tree whose depth grows log₂ with trace size; the service tier
+  * is a function of the operation (view/click → web, signup → auth,
+  * purchase → checkout, error → backend), so traces cross services
+  * the way real request trees do.
+  *
+  * Scale shape: one shuffle by `trace_id` ranks spans inside their
+  * trace (windows partition on the trace key — trace cardinality =
+  * active user-days, span-per-trace bounded by per-user daily
+  * activity, so no skewed giant partition); parent edges are an
+  * equi-join on (trace_id, parent idx) — co-partitioned with the
+  * ranking shuffle; the critical-path walk iterates the heap-parent
+  * chain log₂(max depth) times (each round one co-partitioned join),
+  * never materializing per-trace recursion state on the driver.
+  */
+object TraceAnalytics {
+
+  /** The span table: (trace_id, idx, span_id, parent_span_id,
+    * service, operation, ts, dur_ms). `dur_ms` uses
+    * truncate(value×100 + 0.5) — identical double arithmetic in Spark
+    * and DuckDB, no round-half ambiguity.
+    */
+  private[graft] def spans(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("trace_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("trace_id",
+        md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd"))))
+      .withColumn("idx", row_number().over(w))
+      .withColumn("span_id", md5(col("event_id").cast("string")))
+      .withColumn("service", serviceOf(col("event_type")))
+      .withColumn("operation", col("event_type"))
+      .withColumn("dur_ms", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .select(col("trace_id"), col("idx"), col("span_id"), col("service"),
+        col("operation"), col("ts"), col("dur_ms"))
+  }
+
+  private def serviceOf(op: Column): Column =
+    when(op.isin("view", "click"), "web")
+      .when(op === "signup", "auth")
+      .when(op === "purchase", "checkout")
+      .otherwise("backend")
+
+  /** Spans of ONE trace, tree-structured (the trace-view panel): each
+    * span with its parent's span id attached. The trace filter lands
+    * BEFORE the window, so the rank runs over one trace's rows — a
+    * point lookup, not a corpus window ([[graft.sources.LakeIndex]]
+    * covers the file-pruning side of the same lookup on a lake).
+    */
+  def traceSpans(spark: SparkSession, dir: String,
+                 userDay: String = "7/2024-01-15"): DataFrame = {
+    val mine = Tables.events(spark, dir)
+      .withColumn("trace_id",
+        md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd"))))
+      .filter(col("trace_id") === md5(lit(userDay)))
+    val w = Window.partitionBy(col("trace_id")).orderBy(col("ts"), col("event_id"))
+    val s = mine
+      .withColumn("idx", row_number().over(w))
+      .withColumn("span_id", md5(col("event_id").cast("string")))
+      .withColumn("service", serviceOf(col("event_type")))
+      .withColumn("dur_ms", floor(col("value") * 100 + lit(0.5)).cast("long"))
+    s.as("c")
+      .withColumn("pidx", (col("c.idx") / 2).cast("int"))
+      .join(s.select(col("idx").as("pidx"),
+        col("span_id").as("parent_span_id")).as("p"), Seq("pidx"), "left")
+      .select(col("c.idx").as("idx"), col("c.span_id").as("span_id"),
+        col("parent_span_id"), col("c.service").as("service"),
+        col("c.event_type").as("operation"), col("c.dur_ms").as("dur_ms"))
+      .orderBy(col("idx"))
+  }
+
+  /** The SERVICE GRAPH (the APM service-map panel): caller→callee
+    * edges with call counts and callee latency, from parent→child
+    * span pairs across every trace. One trace-keyed window + one
+    * co-partitioned equi-join on (trace_id, parent idx) + one
+    * low-cardinality aggregate — no per-trace driver work.
+    */
+  def serviceGraph(spark: SparkSession, dir: String): DataFrame = {
+    val s = spans(spark, dir)
+    s.as("c").filter(col("c.idx") > 1)
+      .withColumn("pidx", (col("c.idx") / 2).cast("int"))
+      .join(s.select(col("trace_id"), col("idx").as("pidx"),
+        col("service").as("parent_service")).as("p"), Seq("trace_id", "pidx"))
+      .groupBy(col("parent_service"), col("c.service").as("service"))
+      .agg(count(lit(1)).as("calls"),
+        sum(col("c.dur_ms")).as("callee_ms"))
+      .orderBy(col("parent_service"), col("service"))
+  }
+
+  /** Per-trace rollup (the trace-search result row): span count,
+    * total span work, wall span (first to last event), root service,
+    * error span count. Trace-cardinality output, one shuffle.
+    */
+  def traceSummary(spark: SparkSession, dir: String): DataFrame =
+    spans(spark, dir)
+      .groupBy(col("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("dur_ms")).as("total_ms"),
+        max(when(col("idx") === 1, col("service"))).as("root_service"),
+        sum(when(col("operation") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .orderBy(col("trace_id"))
+
+  /** CRITICAL PATH per trace: the maximum root-to-span cost in the
+    * heap-parent tree — the "where did the latency go" number. The
+    * ancestor chain of span `idx` is idx, idx÷2, idx÷4, …, 1, so the
+    * walk needs ⌈log₂(deepest index)⌉ rounds; each round advances
+    * every span's cursor one hop via a co-partitioned equi-join and
+    * folds the parent's duration into the path sum. The round count
+    * is a control-plane aggregate (max idx), NOT a data-dependent
+    * driver loop per trace; at 100 TB spans-per-trace is bounded by
+    * per-user daily activity, so rounds ≈ log₂(a few thousand) ≤ 12.
+    * Oracle: DuckDB recursive CTE replays the same walk.
+    */
+  def criticalPath(spark: SparkSession, dir: String): DataFrame = {
+    val s = spans(spark, dir)
+      .select(col("trace_id"), col("idx"), col("dur_ms"))
+      .localCheckpoint() // reused every round; cut the lineage once
+    val maxIdx = s.agg(max(col("idx"))).head().getInt(0)
+    val rounds = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxIdx.toLong))
+    var walk = s.select(col("trace_id"), col("idx"),
+      col("dur_ms").as("path_ms"), col("idx").as("cur"))
+    for (_ <- 1 until rounds) {
+      // advance cursors still above the root one hop; spans already
+      // at the root pass through unchanged
+      val live = walk.filter(col("cur") > 1)
+        .withColumn("pcur", (col("cur") / 2).cast("int"))
+        .join(s.select(col("trace_id"), col("idx").as("pcur"),
+          col("dur_ms").as("p_ms")), Seq("trace_id", "pcur"))
+        .select(col("trace_id"), col("idx"),
+          (col("path_ms") + col("p_ms")).as("path_ms"), col("pcur").as("cur"))
+      walk = live.unionByName(walk.filter(col("cur") === 1)).localCheckpoint()
+    }
+    walk.groupBy(col("trace_id"))
+      .agg(max(col("path_ms")).as("critical_ms"), count(lit(1)).as("n_spans"))
+      .orderBy(col("trace_id"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TraceAnalytics
+
+class TraceAnalyticsSpec extends SparkSpec {
+
+  test("span synthesis: contiguous heap ranks, one root per trace, log and span ids correlate") {
+    val s = TraceAnalytics.spans(spark, sf).cache()
+    // ranks are 1..n per trace (contiguous: max == count), exactly one root
+    val byTrace = s.groupBy("trace_id")
+      .agg(count(lit(1)).as("n"), max(col("idx")).as("mx"),
+        sum(when(col("idx") === 1, 1).otherwise(0)).as("roots"))
+    assert(byTrace.filter(col("n") =!= col("mx") || col("roots") =!= 1).count() == 0)
+    // trace key equals the log side's md5(user/day) convention: the
+    // lookup trace exists on both surfaces
+    val logTrace = graft.operators.LogAnalytics.traceLookup(spark, sf)
+      .select("trace_id").distinct().collect().map(_.getString(0))
+    assert(logTrace.length == 1)
+    assert(s.filter(col("trace_id") === logTrace.head).count() > 0,
+      "the span table must contain the trace the log lookup returns")
+    s.unpersist()
+    ()
+  }
+
+  test("traceSpans: every non-root has a parent at idx div 2; tree is well-formed") {
+    val t = TraceAnalytics.traceSpans(spark, sf).collect()
+    assert(t.nonEmpty)
+    val byIdx = t.map(r => r.getAs[Int]("idx") -> r).toMap
+    t.foreach { r =>
+      val idx = r.getAs[Int]("idx")
+      if (idx == 1) assert(r.getAs[String]("parent_span_id") == null)
+      else assert(r.getAs[String]("parent_span_id")
+        == byIdx(idx / 2).getAs[String]("span_id"))
+    }
+  }
+
+  test("serviceGraph: edge call total equals non-root span count; tiers partition operations") {
+    val edges = TraceAnalytics.serviceGraph(spark, sf).collect()
+    val s = TraceAnalytics.spans(spark, sf)
+    val nonRoot = s.filter(col("idx") > 1).count()
+    assert(edges.map(_.getAs[Long]("calls")).sum == nonRoot,
+      "every non-root span is exactly one caller->callee edge")
+    val tiers = edges.flatMap(r =>
+      Seq(r.getAs[String]("parent_service"), r.getAs[String]("service"))).toSet
+    assert(tiers.subsetOf(Set("web", "auth", "checkout", "backend")))
+  }
+
+  test("criticalPath: bounded by total work, at least the deepest single span") {
+    val cp = TraceAnalytics.criticalPath(spark, sf)
+    val sm = TraceAnalytics.traceSummary(spark, sf)
+    val joined = cp.join(sm, "trace_id")
+      .select(col("trace_id"), col("critical_ms"), col("total_ms"),
+        cp("n_spans").as("na"), sm("n_spans").as("nb")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("critical_ms") <= r.getAs[Long]("total_ms"),
+        "a root-to-span path can never exceed the trace's total work")
+      assert(r.getAs[Long]("na") == r.getAs[Long]("nb"),
+        "the walk must retain every span exactly once")
+    }
+    // single-span traces: critical path == the root's own duration
+    val single = TraceAnalytics.spans(spark, sf)
+      .groupBy("trace_id").agg(count(lit(1)).as("n"), sum("dur_ms").as("d"))
+      .filter(col("n") === 1)
+      .join(cp, "trace_id")
+    assert(single.filter(col("critical_ms") =!= col("d")).count() == 0)
+  }
+
+  test("plan shape: the point lookup filters before ranking; graph joins are not nested-loop") {
+    // traceSpans: the trace filter must run BELOW the window (the
+    // rank covers one trace's rows, not the corpus). In the bottom-up
+    // numbered formatted plan the Filter node carrying the md5
+    // predicate gets a HIGHER node id than the Window it feeds.
+    val plan = formattedPlan(TraceAnalytics.traceSpans(spark, sf))
+    val filterId = "\\((\\d+)\\) Filter".r.findAllMatchIn(plan)
+      .map(_.group(1).toInt).toSeq
+    val windowId = "\\((\\d+)\\) Window".r.findFirstMatchIn(plan)
+      .map(_.group(1).toInt).getOrElse(fail("no Window node"))
+    assert(filterId.exists(_ < windowId),
+      s"trace filter must sit below the window (filters=$filterId window=$windowId)")
+    // serviceGraph: parent edge attach is an equi-join (hash or
+    // sort-merge), never a nested loop over span pairs
+    val g = planString(TraceAnalytics.serviceGraph(spark, sf))
+    assert(!g.contains("NestedLoop"), "service graph must join on equi keys")
+  }
+}
