@@ -89,6 +89,12 @@ object Bench {
     // not the one-time fixture construction
     warm("iceberg_inc")(graft.operators.LakeAnalytics.icebergIncSeverity(spark, sfDir).count())
     warm("iceberg_ext")(graft.operators.LakeAnalytics.icebergExternalRegions(spark, sfDir).count())
+    // same discipline for the round-8 interop fixtures: build the MOR
+    // fixture, start+register the REST catalog once — the measured
+    // queries then time the MOR anti-join scan / the loadTable GET +
+    // chain read, not fixture construction or server startup
+    warm("iceberg_mor")(graft.operators.LakeAnalytics.icebergMorRegions(spark, sfDir).count())
+    warm("iceberg_rest")(graft.operators.LakeAnalytics.icebergRestSeverity(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the
     // name + exception go to stderr and into the summary's "failed"
     // list (a regression can't hide as a healthy number).

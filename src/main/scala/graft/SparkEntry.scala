@@ -61,6 +61,10 @@ object SparkEntry {
     "trace_service_graph"      -> (TraceAnalytics.serviceGraph _),
     "trace_summary"            -> (TraceAnalytics.traceSummary _),
     "trace_critical_path"      -> (TraceAnalytics.criticalPath _),
+    "metrics_rate"             -> (MetricAnalytics.rate _),
+    "metrics_gauge"            -> (MetricAnalytics.gauge _),
+    "metrics_histogram"        -> (MetricAnalytics.histogram _),
+    "metrics_hist_p95"         -> ((s: SparkSession, d: String) => MetricAnalytics.histogramQuantile(s, d)),
     "lake_severity_by_service" -> (LakeAnalytics.severityByService _),
     "lake_iceberg"        -> (LakeAnalytics.icebergSeverity _),
     "lake_iceberg_inc"    -> (LakeAnalytics.icebergIncSeverity _),
@@ -635,6 +639,74 @@ object SparkEntry {
         |  ON n.trace_id = w.trace_id
         |WHERE w.cur = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- metrics family: counter samples are daily-resetting
+    // cumulative integer-cent sums; the oracles replay the synthesis
+    // and the PromQL reset-correction / quantile formulas verbatim ----
+    "metrics_rate" ->
+      """WITH base AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |    ts, event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+        |  FROM events),
+        |samples AS (
+        |  SELECT *, SUM(vi) OVER (PARTITION BY service, day ORDER BY ts, event_id) AS cum
+        |  FROM base),
+        |deltas AS (
+        |  SELECT *, LAG(cum) OVER (PARTITION BY service ORDER BY ts, event_id) AS prev
+        |  FROM samples)
+        |SELECT service, day, hour,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR cum < prev THEN cum ELSE cum - prev END) AS BIGINT) AS increase_c
+        |FROM deltas GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "metrics_gauge" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |  count(*) AS n,
+        |  MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_c,
+        |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
+        |  ROUND(AVG(value), 4) AS avg_v
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "metrics_histogram" ->
+      """WITH b AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
+        |         WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
+        |         WHEN value <= 100 THEN 100.0 WHEN value <= 500 THEN 500.0
+        |    END AS le
+        |  FROM events),
+        |g AS (SELECT service, le, count(*) AS bucket_n FROM b
+        |      WHERE le IS NOT NULL GROUP BY 1,2)
+        |SELECT service, le,
+        |  CAST(SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS BIGINT) AS cum_n
+        |FROM g ORDER BY 1,2""".stripMargin,
+    "metrics_hist_p95" ->
+      """WITH b AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
+        |         WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
+        |         WHEN value <= 100 THEN 100.0 WHEN value <= 500 THEN 500.0
+        |    END AS le
+        |  FROM events),
+        |g AS (SELECT service, le, count(*) AS bucket_n FROM b
+        |      WHERE le IS NOT NULL GROUP BY 1,2),
+        |h AS (SELECT service, le,
+        |        SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS cum_n
+        |      FROM g),
+        |t AS (SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |        count(*) AS total FROM events GROUP BY 1),
+        |x AS (SELECT h.service, h.le, h.cum_n,
+        |        COALESCE(LAG(h.le) OVER (PARTITION BY h.service ORDER BY h.le), 0.0) AS lo,
+        |        COALESCE(LAG(h.cum_n) OVER (PARTITION BY h.service ORDER BY h.le), 0) AS cum_before,
+        |        0.95 * t.total AS rnk
+        |      FROM h JOIN t ON t.service = h.service),
+        |e AS (SELECT service,
+        |        lo + (le - lo) * (rnk - cum_before) / (cum_n - cum_before) AS est,
+        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY le) AS rn
+        |      FROM x WHERE cum_n >= rnk)
+        |SELECT t.service AS service, ROUND(COALESCE(e.est, 500.0), 4) AS p95
+        |FROM t LEFT JOIN e ON e.service = t.service AND e.rn = 1
+        |ORDER BY service""".stripMargin,
     "lake_severity_by_service" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** METRICS analytics — the third OTel signal, completing the
+  * logs/traces/metrics triple the reference's collector edge speaks
+  * (its otel-collector image serves all three receivers;
+  * docker-compose.yaml:92-101 wires the logs pipeline). The queries
+  * here are the backend half a metrics consumer needs: counter RATE
+  * with reset correction, gauge rollups, explicit-bucket histograms,
+  * and the PromQL `histogram_quantile` estimator over them.
+  *
+  * Sample synthesis (deterministic, replayed verbatim by the DuckDB
+  * oracles): each event is one sample of its service's series
+  * (`service = svc-(user%10)`, the log side's service key); counter
+  * samples are the DAILY-RESETTING cumulative sum of integer-cent
+  * values — the process-restart model that makes rate()'s reset
+  * correction load-bearing; gauges are the raw values; histograms
+  * bucket values against fixed explicit boundaries.
+  *
+  * Scale shape: counters window over (service, day) — series × day
+  * cardinality partitions, never one global sort; rate's lag+correct
+  * runs in the same series-keyed window shuffle; histogram bucketing
+  * is a map-only projection into a (service × boundaries)-cardinality
+  * aggregate; the quantile estimator then works on that tiny frame.
+  * All counter arithmetic is exact integer cents — bit-identical
+  * across engines, no float-association drift.
+  */
+object MetricAnalytics {
+
+  /** Explicit histogram bucket upper bounds (le), in cents' units of
+    * the raw value (1.0 = value 1.0). Values above the top boundary
+    * count toward the quantile's total but no finite bucket —
+    * the Prometheus +Inf bucket, carried implicitly as total-count.
+    */
+  private[graft] val Boundaries: Seq[Double] = Seq(1, 5, 10, 50, 100, 500)
+
+  private def vi = floor(col("value") * 100 + lit(0.5)).cast("long")
+  private def svc = concat(lit("svc-"), (col("user_id") % 10).cast("string"))
+
+  /** Counter samples: per-service daily-resetting cumulative
+    * integer-cent sums (the restart model), sample-per-event.
+    */
+  private[graft] def counterSamples(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("service"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("service", svc)
+      .withColumn("day", dayofmonth(col("ts")))
+      .withColumn("vi", vi)
+      .withColumn("cum", sum(col("vi")).over(w))
+      .select(col("service"), col("day"), hour(col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("cum"))
+  }
+
+  /** PromQL-style `increase()` per (service, day, hour) computed FROM
+    * the cumulative samples (the way a metrics backend must — it never
+    * sees the raw deltas): consecutive-sample delta via one lag over
+    * the service series; a negative delta is a COUNTER RESET and
+    * contributes the post-reset cumulative value (the PromQL
+    * correction); the series' first sample counts from zero. The
+    * daily reset makes every day boundary exercise the correction.
+    * Exact integers; the spec proves per-(service, day) totals equal
+    * the direct sum of that day's values — reset correction loses
+    * nothing.
+    */
+  def rate(spark: SparkSession, dir: String): DataFrame = {
+    val wSeries = Window.partitionBy(col("service")).orderBy(col("ts"), col("event_id"))
+    counterSamples(spark, dir)
+      .withColumn("prev", lag(col("cum"), 1).over(wSeries))
+      .withColumn("inc",
+        when(col("prev").isNull || col("cum") < col("prev"), col("cum"))
+          .otherwise(col("cum") - col("prev")))
+      .groupBy(col("service"), col("day"), col("hour"))
+      .agg(sum(col("inc")).as("increase_c"))
+      .orderBy(col("service"), col("day"), col("hour"))
+  }
+
+  /** Gauge rollup per (service, day, hour): sample count, min/max in
+    * exact cents, mean rounded to 4 dp on both sides.
+    */
+  def gauge(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("service", svc)
+      .withColumn("vi", vi)
+      .groupBy(col("service"), dayofmonth(col("ts")).as("day"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), min(col("vi")).as("min_c"),
+        max(col("vi")).as("max_c"), round(avg(col("value")), 4).as("avg_v"))
+      .orderBy(col("service"), col("day"), col("hour"))
+
+  /** Explicit-bucket histogram in the Prometheus CUMULATIVE-le form
+    * (what `histogram_quantile` consumes): per (service, le) the count
+    * of samples ≤ le. Bucketing is a map-only projection (no
+    * per-boundary explode); the cumulative shape comes from one
+    * window over the (service × boundaries)-cardinality aggregate.
+    * Samples above the top boundary appear in no finite bucket (the
+    * implicit +Inf bucket is the series total).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val le = Boundaries.foldRight(lit(null).cast("double")) { (b, acc) =>
+      when(col("value") <= b, lit(b)).otherwise(acc)
+    }
+    val wCum = Window.partitionBy(col("service")).orderBy(col("le"))
+    Tables.events(spark, dir)
+      .withColumn("service", svc)
+      .withColumn("le", le)
+      .filter(col("le").isNotNull)
+      .groupBy(col("service"), col("le"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .withColumn("cum_n", sum(col("bucket_n")).over(wCum))
+      .select(col("service"), col("le"), col("cum_n"))
+      .orderBy(col("service"), col("le"))
+  }
+
+  /** PromQL `histogram_quantile(q, …)` over the explicit buckets, per
+    * service: rank = q × total samples; the target bucket is the
+    * first with cumulative count ≥ rank; the estimate interpolates
+    * linearly inside it (lower bound 0 for the first bucket). A rank
+    * falling past the top finite bucket (the +Inf bucket) clamps to
+    * the top boundary — the PromQL convention. Runs entirely on the
+    * (service × boundaries)-cardinality frame; the only corpus-scaled
+    * work is the histogram aggregate itself.
+    */
+  def histogramQuantile(spark: SparkSession, dir: String,
+                        q: Double = 0.95): DataFrame = {
+    val buckets = histogram(spark, dir)
+    val totals = Tables.events(spark, dir)
+      .withColumn("service", svc)
+      .groupBy(col("service")).agg(count(lit(1)).as("total"))
+    val wLe = Window.partitionBy(col("service")).orderBy(col("le"))
+    val hit = buckets
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(wLe), lit(0.0)))
+      .withColumn("cum_before", coalesce(lag(col("cum_n"), 1).over(wLe), lit(0L)))
+      .join(totals, "service")
+      .withColumn("rank", lit(q) * col("total"))
+      .filter(col("cum_n") >= col("rank"))
+      .groupBy(col("service"))
+      .agg(min_by(
+        col("lo") + (col("le") - col("lo")) *
+          (col("rank") - col("cum_before")) / (col("cum_n") - col("cum_before")),
+        col("le")).as("est"))
+    // services whose rank exceeds every finite cumulative count clamp
+    // to the top boundary
+    totals.join(hit, Seq("service"), "left")
+      .select(col("service"),
+        round(coalesce(col("est"), lit(Boundaries.last)), 4).as(s"p${(q * 100).toInt}"))
+      .orderBy(col("service"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MetricAnalytics
+
+class MetricAnalyticsSpec extends SparkSpec {
+
+  test("rate: increases follow the exact PromQL reset model, day for day") {
+    // The PromQL reset rule is precise, including its documented
+    // limitation: a day whose FIRST sample is below the previous
+    // day's closing total is a DETECTED reset and conserves the day's
+    // true sum exactly; a first sample at-or-above it is an
+    // UNDETECTED reset and undercounts by exactly that previous
+    // total. Replay the model locally and require equality per
+    // (service, day) — and that detection is the overwhelming case.
+    import org.apache.spark.sql.expressions.Window
+    val perDay = graft.sources.Tables.events(spark, sf)
+      .withColumn("service", concat(lit("svc-"), (col("user_id") % 10).cast("string")))
+      .withColumn("day", dayofmonth(col("ts")))
+      .withColumn("vi", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .groupBy(col("service"), col("day"))
+      .agg(sum(col("vi")).as("want"),
+        min_by(col("vi"), struct(col("ts"), col("event_id"))).as("first_vi"))
+      .withColumn("prev_total", lag(col("want"), 1).over(
+        Window.partitionBy(col("service")).orderBy(col("day"))))
+      .collect()
+      .map(r => (r.getAs[String]("service"), r.getAs[Int]("day")) ->
+        (r.getAs[Long]("want"), r.getAs[Long]("first_vi"),
+          Option(r.get(r.fieldIndex("prev_total"))).map(_.asInstanceOf[Long])))
+      .toMap
+    val got = MetricAnalytics.rate(spark, sf)
+      .groupBy(col("service"), col("day"))
+      .agg(sum(col("increase_c")).as("got")).collect()
+      .map(r => (r.getAs[String]("service"), r.getAs[Int]("day")) -> r.getAs[Long]("got"))
+      .toMap
+    assert(got.keySet == perDay.keySet)
+    var undetected = 0
+    got.foreach { case (key, g) =>
+      val (want, firstVi, prevTotal) = perDay(key)
+      val expected = prevTotal match {
+        case Some(p) if firstVi >= p => undetected += 1; want - p // undetected reset
+        case _ => want // first day, or detected reset
+      }
+      assert(g == expected, s"$key: got $g, model says $expected (want=$want)")
+    }
+    // density sanity: detection dominates even on the sparse sf0.001
+    // corpus (~17% of day boundaries have a tiny previous-day total);
+    // at production sample rates the undetected case vanishes
+    assert(undetected < got.size / 4,
+      s"undetected resets must be the minority case ($undetected of ${got.size})")
+  }
+
+  test("histogram: cumulative-le counts are monotone and equal direct threshold counts") {
+    val h = MetricAnalytics.histogram(spark, sf).collect()
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("service", concat(lit("svc-"), (col("user_id") % 10).cast("string")))
+    h.groupBy(_.getAs[String]("service")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Double]("le"))
+      assert(sorted.map(_.getAs[Long]("cum_n")).toSeq ==
+        sorted.map(_.getAs[Long]("cum_n")).sorted.toSeq, "cum_n must be monotone in le")
+    }
+    // spot-check one (service, le) cell against a direct count
+    val cell = h.find(r => r.getAs[Double]("le") == 100.0).get
+    val direct = events.filter(col("service") === cell.getAs[String]("service") &&
+      col("value") <= 100.0).count()
+    assert(cell.getAs[Long]("cum_n") == direct)
+  }
+
+  test("histogramQuantile: the estimate lands in the bucket holding the exact order statistic") {
+    val p95 = MetricAnalytics.histogramQuantile(spark, sf).collect()
+      .map(r => r.getAs[String]("service") -> r.getAs[Double]("p95")).toMap
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("service", concat(lit("svc-"), (col("user_id") % 10).cast("string")))
+      .select(col("service"), col("value")).collect()
+      .groupBy(_.getAs[String]("service"))
+    events.foreach { case (svc, rows) =>
+      val vs = rows.map(_.getAs[Double]("value")).sorted
+      val exact = vs((math.ceil(0.95 * vs.length) - 1).toInt.max(0))
+      val bs = MetricAnalytics.Boundaries
+      def bucketOf(v: Double): Int = bs.indexWhere(v <= _) match {
+        case -1 => bs.length; case i => i
+      }
+      assert(bucketOf(p95(svc)) == bucketOf(exact).min(bs.length - 1),
+        s"$svc: estimate ${p95(svc)} not in the exact statistic's bucket ($exact)")
+    }
+  }
+
+  test("plan shape: counter windows stay series-keyed — no single-partition global sort") {
+    val plan = planString(MetricAnalytics.rate(spark, sf))
+    assert(!plan.contains("SinglePartition"),
+      "rate must window per series (service/day keys), never one global partition")
+  }
+}
