@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{LogSync, LogWriter, OtlpLogs}
+import graft.sources.{LogSync, LogWriter, OtlpLogs, OtlpTraces}
 
 /** LIVE OTLP/HTTP intake — the reference's listening edge
   * (docker-compose.yaml:93-101: otel-collector accepts OTLP over HTTP
@@ -15,7 +15,10 @@ import graft.sources.{LogSync, LogWriter, OtlpLogs}
   * OTLP/HTTP protocol (opentelemetry-proto; POST /v1/logs with
   * `application/json` or `application/x-protobuf` — the
   * `ExportLogsServiceRequest` wire shape is field-compatible with
-  * `LogsData`, so the same hand-rolled codec decodes both), buffers
+  * `LogsData`, so the same hand-rolled codec decodes both; POST
+  * /v1/traces with `application/json` — spans land in their own
+  * LogSync lake under `<root>/_traces` via [[OtlpTraces]], protobuf
+  * traces answer 415 rather than silently dropping), buffers
   * payloads in memory, and FLUSHES them through the existing lake
   * pipeline: quarantined parse ([[OtlpLogs.parseWithInvalid]] /
   * [[OtlpLogs.parseProtoWithInvalid]]) → partitioned
@@ -75,6 +78,12 @@ object OtlpHttp {
                                         maxPendingBytes: Long) {
     private val jsonQ = new ConcurrentLinkedQueue[String]()
     private val protoQ = new ConcurrentLinkedQueue[Array[Byte]]()
+    // /v1/traces intake (JSON transport): spans land in their own
+    // lake under <root>/_traces — underscore-prefixed, so the LOG
+    // lake's scans never see span files; the span lake is a full
+    // LogSync-managed table of its own
+    private val spanQ = new ConcurrentLinkedQueue[String]()
+    private val tracesRoot = s"$root/_traces"
     // BACKPRESSURE: the buffer is driver-resident, so it must be
     // BOUNDED — above the high-water mark the endpoint answers 429
     // (retryable per the OTLP/HTTP spec; a conforming exporter backs
@@ -84,9 +93,10 @@ object OtlpHttp {
     // next flush (or stop) re-runs the scan-based sync even if the
     // buffer is empty, so committed rows never stay unregistered
     @volatile private var pendingSync = false
+    @volatile private var pendingSyncTraces = false
 
     def port: Int = server.getAddress.getPort
-    def pending: Int = jsonQ.size + protoQ.size
+    def pending: Int = jsonQ.size + protoQ.size + spanQ.size
 
     private def admit(n: Long): Boolean = {
       val after = pendingBytes.addAndGet(n)
@@ -96,10 +106,35 @@ object OtlpHttp {
 
     private[OtlpHttp] def handle(ex: HttpExchange): Unit = {
       try {
+        val path = ex.getRequestURI.getPath
         val resp: (Int, String) =
-          if (ex.getRequestURI.getPath != "/v1/logs") (404, """{"error":"unknown path"}""")
+          if (path != "/v1/logs" && path != "/v1/traces")
+            (404, """{"error":"unknown path"}""")
           else if (ex.getRequestMethod != "POST") (405, """{"error":"POST only"}""")
-          else {
+          else if (path == "/v1/traces") {
+            val raw = ex.getRequestBody.readAllBytes()
+            val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+              .getOrElse("").toLowerCase
+            val inflated: Either[(Int, String), Array[Byte]] =
+              if (enc.contains("gzip")) gunzipBounded(raw, maxPendingBytes) else Right(raw)
+            val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+            inflated match {
+              case Left(err) => err
+              case Right(_) if ct.contains("protobuf") =>
+                // honest scope: the traces intake speaks the JSON
+                // transport; 415 tells a conforming exporter to switch
+                // encodings rather than silently losing spans
+                (415, """{"error":"traces intake accepts application/json only"}""")
+              case Right(body) =>
+                val s = new String(body, "UTF-8")
+                if (s.trim == "{}") (200, "{}") // spec-legal empty export
+                else if (!s.contains("resourceSpans"))
+                  (400, """{"error":"not an OTLP traces envelope"}""")
+                else if (!admit(s.getBytes("UTF-8").length.toLong))
+                  (429, """{"error":"intake buffer full, retry later"}""")
+                else { spanQ.add(s); (200, "{}") }
+            }
+          } else {
             val raw = ex.getRequestBody.readAllBytes()
             val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
               .getOrElse("").toLowerCase
@@ -146,12 +181,55 @@ object OtlpHttp {
       } finally ex.close()
     }
 
-    /** Drain the buffer through parse → write → sync. Returns
-      * (valid rows landed, payloads quarantined). Serialized: OTLP
+    /** Drain the buffers through parse → write → sync — the log batch
+      * first, then the span batch into its own lake; each phase keeps
+      * the 200-ack durability contract independently (a span-phase
+      * failure re-enqueues only span payloads; the committed log rows
+      * stay committed). Returns (valid rows landed, payloads
+      * quarantined) summed over both signals. Serialized: OTLP
       * exporters keep POSTing while a flush runs; their payloads land
       * in the next one.
       */
     def flush(): (Long, Long) = synchronized {
+      val (lr, lq) = flushLogs()
+      val (tr, tq) = flushTraces()
+      (lr + tr, lq + tq)
+    }
+
+    private def flushTraces(): (Long, Long) = {
+      import spark.implicits._
+      val ss = Iterator.continually(spanQ.poll()).takeWhile(_ != null).toSeq
+      if (ss.isEmpty) {
+        if (pendingSyncTraces) { LogSync.sync(spark, tracesRoot); pendingSyncTraces = false }
+        return (0L, 0L)
+      }
+      val released = ss.map(_.getBytes("UTF-8").length.toLong).sum
+      pendingBytes.addAndGet(-released)
+      var rowsDurable = false
+      try {
+        val (valid0, bad) = OtlpTraces.parseWithInvalid(ss.toDF("payload"), col("payload"))
+        val valid = valid0.cache()
+        val nValid = valid.count()
+        val badN = bad.count()
+        if (badN > 0)
+          bad.select(encode(col("payload"), "UTF-8").as("payload"))
+            .write.mode(SaveMode.Append).parquet(s"$tracesRoot/_quarantine/http")
+        if (nValid > 0) {
+          LogWriter.write(valid, tracesRoot, layout = LogWriter.DailyLayout)
+          rowsDurable = true
+          try LogSync.sync(spark, tracesRoot)
+          catch { case t: Throwable => pendingSyncTraces = true; throw t }
+        }
+        valid.unpersist()
+        (nValid, badN)
+      } catch {
+        case t: Throwable =>
+          if (!rowsDurable) { ss.foreach(spanQ.add); pendingBytes.addAndGet(released) }
+          throw t
+      }
+    }
+
+    private def flushLogs(): (Long, Long) = {
       import spark.implicits._
       val js = Iterator.continually(jsonQ.poll()).takeWhile(_ != null).toSeq
       val ps = Iterator.continually(protoQ.poll()).takeWhile(_ != null).toSeq
@@ -236,7 +314,7 @@ object OtlpHttp {
       // the last attempt propagates, acked payloads must not vanish
       // silently)
       var attempts = 0
-      while ((pending > 0 || pendingSync) && attempts < 3) {
+      while ((pending > 0 || pendingSync || pendingSyncTraces) && attempts < 3) {
         attempts += 1
         try { flush(); () }
         catch {

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OTLP/JSON TRACES ingestion — the `/v1/traces` twin of [[OtlpLogs]]
+  * (the reference's collector image serves all three OTLP signals on
+  * the same port; docker-compose.yaml:92-101 wires logs, and a stock
+  * SDK pointed at the same endpoint sends spans in exactly this
+  * envelope: resourceSpans → scopeSpans → spans).
+  *
+  * Output: a flattened snake_case span schema in the style of the
+  * OpenTelemetry ClickHouse exporter's traces table — timestamps from
+  * the span's start/end nanos, duration in nanoseconds, service from
+  * resource attributes, trace/span/parent ids, kind, status, and the
+  * attribute maps as canonical JSON strings.
+  *
+  * Same execution shape as the log parse: `from_json` + `explode` +
+  * column expressions — fully codegen'd, map-only, zero shuffles.
+  */
+object OtlpTraces {
+
+  private val attrType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", StringType),
+      StructField("doubleValue", DoubleType),
+      StructField("boolValue", BooleanType)))))))
+
+  private val spanType = new StructType()
+    .add("traceId", StringType)
+    .add("spanId", StringType)
+    .add("parentSpanId", StringType)
+    .add("name", StringType)
+    .add("kind", IntegerType)
+    .add("startTimeUnixNano", StringType) // OTLP/JSON encodes int64 as string
+    .add("endTimeUnixNano", StringType)
+    .add("status", new StructType()
+      .add("code", IntegerType).add("message", StringType))
+    .add("attributes", attrType)
+
+  private val scopeSpansType = new StructType()
+    .add("scope", new StructType()
+      .add("name", StringType).add("version", StringType))
+    .add("spans", ArrayType(spanType))
+
+  /** Schema of one OTLP/HTTP traces envelope. */
+  val otlpSchema: StructType = new StructType()
+    .add("resourceSpans", ArrayType(new StructType()
+      .add("resource", new StructType().add("attributes", attrType))
+      .add("scopeSpans", ArrayType(scopeSpansType))))
+
+  private def attrValue(v: Column): Column =
+    coalesce(v.getField("stringValue"), v.getField("intValue"),
+      v.getField("doubleValue").cast("string"), v.getField("boolValue").cast("string"))
+
+  private def attrsJson(attrs: Column): Column =
+    when(attrs.isNotNull,
+      to_json(map_from_entries(transform(attrs,
+        a => struct(a.getField("key").as("key"), attrValue(a.getField("value")).as("value"))))))
+
+  private def resourceAttr(attrs: Column, key: String): Column =
+    try_element_at(transform(filter(attrs, a => a.getField("key") === key),
+      a => attrValue(a.getField("value"))), lit(1))
+
+  /** Parse a column of OTLP/JSON trace envelopes into flattened span
+    * rows. `timestamp` (span start, µs precision) leads the schema so
+    * the span lake shares [[LogWriter]]'s time-partitioned layouts.
+    */
+  def parse(df: DataFrame, jsonCol: Column): DataFrame = {
+    val rattrs = col("rs.resource.attributes")
+    df.select(from_json(jsonCol, otlpSchema).as("o"))
+      .select(explode(col("o.resourceSpans")).as("rs"))
+      .select(col("rs"), explode(col("rs.scopeSpans")).as("ss"))
+      .select(col("rs"), col("ss"), explode(col("ss.spans")).as("sp"))
+      .select(
+        timestamp_micros(expr("CAST(sp.startTimeUnixNano AS BIGINT) div 1000")).as("timestamp"),
+        (col("sp.endTimeUnixNano").cast("long") -
+          col("sp.startTimeUnixNano").cast("long")).as("duration_ns"),
+        coalesce(resourceAttr(rattrs, "service.name"), lit("unknown")).as("service_name"),
+        col("sp.traceId").as("trace_id"),
+        col("sp.spanId").as("span_id"),
+        col("sp.parentSpanId").as("parent_span_id"),
+        col("sp.name").as("span_name"),
+        coalesce(col("sp.kind"), lit(0)).as("span_kind"),
+        coalesce(col("sp.status.code"), lit(0)).as("status_code"),
+        col("sp.status.message").as("status_message"),
+        col("ss.scope.name").as("scope_name"),
+        col("ss.scope.version").as("scope_version"),
+        attrsJson(rattrs).as("resource_attributes"),
+        attrsJson(col("sp.attributes")).as("span_attributes"))
+  }
+
+  /** (valid span rows, shape-invalid envelopes) — the quarantine split
+    * the HTTP edge's no-silent-drop contract needs, mirroring
+    * [[OtlpLogs.parseWithInvalid]].
+    */
+  def parseWithInvalid(df: DataFrame, jsonCol: Column): (DataFrame, DataFrame) = {
+    val marked = df.select(jsonCol.as("payload"), from_json(jsonCol, otlpSchema).as("o"))
+    val bad = marked
+      .filter(col("o").isNull || col("o.resourceSpans").isNull ||
+        size(col("o.resourceSpans")) === 0)
+      .select(col("payload"))
+    (parse(marked.filter(col("o.resourceSpans").isNotNull &&
+       size(col("o.resourceSpans")) > 0), col("payload")), bad)
+  }
+
+  /** Render one span per envelope as minimal OTLP/JSON — the test-data
+    * generator and round-trip certifier (the traces twin of
+    * [[OtlpLogs.toOtlpJsonTraced]]).
+    */
+  def toOtlpJson(startUs: Column, endUs: Column, serviceName: Column,
+                 traceId: Column, spanId: Column, parentSpanId: Column,
+                 spanName: Column, kind: Column, statusCode: Column): Column =
+    to_json(struct(
+      array(struct(
+        struct(array(
+          struct(lit("service.name").as("key"),
+            struct(serviceName.as("stringValue")).as("value"))).as("attributes"))
+          .as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            traceId.as("traceId"),
+            spanId.as("spanId"),
+            parentSpanId.as("parentSpanId"),
+            spanName.as("name"),
+            kind.cast("int").as("kind"),
+            (startUs * 1000).cast("string").as("startTimeUnixNano"),
+            (endUs * 1000).cast("string").as("endTimeUnixNano"),
+            struct(statusCode.cast("int").as("code")).as("status"))).as("spans")))
+          .as("scopeSpans"))).as("resourceSpans")))
+}

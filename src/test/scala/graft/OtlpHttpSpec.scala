@@ -98,6 +98,84 @@ class OtlpHttpSpec extends SparkSpec {
     g.write(b); g.close(); bos.toByteArray
   }
 
+  test("traces intake: /v1/traces spans land in their own lake; the log lake is untouched") {
+    val root = Files.createTempDirectory("graft_otlp_traces").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val port = server.port
+      // protocol edges: method guard, garbage, spec-legal empty
+      // export, protobuf scope honesty
+      val get = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/traces")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get.statusCode() == 405)
+      assert(post(port, "/v1/traces", "no spans here".getBytes, "application/json")
+        .statusCode() == 400)
+      assert(post(port, "/v1/traces", "{}".getBytes, "application/json").statusCode() == 200)
+      assert(post(port, "/v1/traces", Array[Byte](0x0a, 0x02),
+        "application/x-protobuf").statusCode() == 415,
+        "protobuf traces must answer 415, not silently drop")
+      // real span envelopes through the engine's own generator —
+      // a 3-span trace: root + two children
+      val baseUs = 1705060800000000L
+      val envs = spark.range(3)
+        .select(graft.sources.OtlpTraces.toOtlpJson(
+          lit(baseUs) + col("id") * 1000000L,
+          lit(baseUs) + col("id") * 1000000L + lit(500000L) + col("id") * 1000L,
+          lit("svc-traced"),
+          lit("0af7651916cd43dd8448eb211c80319c"),
+          concat(lit("span000000000000"), col("id")),
+          when(col("id") === 0, lit(null).cast("string"))
+            .otherwise(lit("span0000000000000")),
+          concat(lit("op-"), col("id") % 2), lit(2), lit(0)).as("env"))
+        .collect().map(_.getString(0))
+      envs.init.foreach { e =>
+        assert(post(port, "/v1/traces", e.getBytes, "application/json").statusCode() == 200)
+      }
+      // the last one arrives gzipped — same contract as the log side
+      val gz = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/traces"))
+          .header("Content-Type", "application/json")
+          .header("Content-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(gzipBytes(envs.last.getBytes)))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(gz.statusCode() == 200)
+      // shape-invalid but request-passable: quarantined at flush
+      assert(post(port, "/v1/traces", """{"resourceSpans":[]}""".getBytes,
+        "application/json").statusCode() == 200)
+      // one LOG envelope too: both signals drain in one flush, each
+      // into its own lake
+      assert(post(port, "/v1/logs",
+        jsonEnvelope(baseUs, "svc-logside", "INFO", "log row").getBytes,
+        "application/json").statusCode() == 200)
+      val (rows, quarantined) = server.flush()
+      assert(rows == 4, s"1 log row + 3 spans must land, got $rows")
+      assert(quarantined == 1)
+      // span lake: flattened schema, durations, parent chain
+      val spans = LogSync.table(spark, s"$root/_traces")
+      assert(spans.count() == 3)
+      val byId = spans.collect().map(r => r.getAs[String]("span_id") -> r).toMap
+      assert(byId.keySet == Set("span0000000000000", "span0000000000001", "span0000000000002"))
+      assert(byId("span0000000000000").getAs[String]("parent_span_id") == null)
+      assert(byId("span0000000000001").getAs[String]("parent_span_id")
+        == "span0000000000000")
+      assert(byId("span0000000000001").getAs[Long]("duration_ns") == 501000000L)
+      assert(spans.select("service_name").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("svc-traced"))
+      // the LOG lake holds only the log row — span files are invisible
+      // to it (underscore-prefixed subdir)
+      val logs = LogSync.table(spark, root)
+      assert(logs.count() == 1)
+      assert(logs.head.getAs[String]("service_name") == "svc-logside")
+      // span quarantine is separate from the log quarantine
+      val q = spark.read.parquet(s"$root/_traces/_quarantine/http").collect()
+      assert(q.length == 1)
+      assert(new String(q.head.getAs[Array[Byte]]("payload"), "UTF-8")
+        == """{"resourceSpans":[]}""")
+    } finally server.stop()
+  }
+
   private def postGz(port: Int, body: Array[Byte], contentType: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
