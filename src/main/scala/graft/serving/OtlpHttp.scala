@@ -7,7 +7,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{LogSync, LogWriter, OtlpLogs, OtlpTraces}
+import graft.sources.{LogSync, LogWriter, OtlpLogs, OtlpMetrics, OtlpTraces}
 
 /** LIVE OTLP/HTTP intake — the reference's listening edge
   * (docker-compose.yaml:93-101: otel-collector accepts OTLP over HTTP
@@ -78,12 +78,14 @@ object OtlpHttp {
                                         maxPendingBytes: Long) {
     private val jsonQ = new ConcurrentLinkedQueue[String]()
     private val protoQ = new ConcurrentLinkedQueue[Array[Byte]]()
-    // /v1/traces intake (JSON transport): spans land in their own
-    // lake under <root>/_traces — underscore-prefixed, so the LOG
-    // lake's scans never see span files; the span lake is a full
-    // LogSync-managed table of its own
+    // /v1/traces and /v1/metrics intakes (JSON transport): spans and
+    // metric points land in their own lakes under <root>/_traces and
+    // <root>/_metrics — underscore-prefixed, so the LOG lake's scans
+    // never see them; each is a full LogSync-managed table of its own
     private val spanQ = new ConcurrentLinkedQueue[String]()
+    private val metricQ = new ConcurrentLinkedQueue[String]()
     private val tracesRoot = s"$root/_traces"
+    private val metricsRoot = s"$root/_metrics"
     // BACKPRESSURE: the buffer is driver-resident, so it must be
     // BOUNDED — above the high-water mark the endpoint answers 429
     // (retryable per the OTLP/HTTP spec; a conforming exporter backs
@@ -94,9 +96,10 @@ object OtlpHttp {
     // buffer is empty, so committed rows never stay unregistered
     @volatile private var pendingSync = false
     @volatile private var pendingSyncTraces = false
+    @volatile private var pendingSyncMetrics = false
 
     def port: Int = server.getAddress.getPort
-    def pending: Int = jsonQ.size + protoQ.size + spanQ.size
+    def pending: Int = jsonQ.size + protoQ.size + spanQ.size + metricQ.size
 
     private def admit(n: Long): Boolean = {
       val after = pendingBytes.addAndGet(n)
@@ -107,34 +110,40 @@ object OtlpHttp {
     private[OtlpHttp] def handle(ex: HttpExchange): Unit = {
       try {
         val path = ex.getRequestURI.getPath
+        // the JSON-only signal intakes share one request gate: the
+        // envelope root field differs, the protocol edges don't
+        def jsonSignal(signal: String, rootField: String,
+                       q: ConcurrentLinkedQueue[String]): (Int, String) = {
+          val raw = ex.getRequestBody.readAllBytes()
+          val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .getOrElse("").toLowerCase
+          val inflated: Either[(Int, String), Array[Byte]] =
+            if (enc.contains("gzip")) gunzipBounded(raw, maxPendingBytes) else Right(raw)
+          val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          inflated match {
+            case Left(err) => err
+            case Right(_) if ct.contains("protobuf") =>
+              // honest scope: these intakes speak the JSON transport;
+              // 415 tells a conforming exporter to switch encodings
+              // rather than silently losing data
+              (415, s"""{"error":"$signal intake accepts application/json only"}""")
+            case Right(body) =>
+              val s = new String(body, "UTF-8")
+              if (s.trim == "{}") (200, "{}") // spec-legal empty export
+              else if (!s.contains(rootField))
+                (400, s"""{"error":"not an OTLP $signal envelope"}""")
+              else if (!admit(s.getBytes("UTF-8").length.toLong))
+                (429, """{"error":"intake buffer full, retry later"}""")
+              else { q.add(s); (200, "{}") }
+          }
+        }
         val resp: (Int, String) =
-          if (path != "/v1/logs" && path != "/v1/traces")
+          if (path != "/v1/logs" && path != "/v1/traces" && path != "/v1/metrics")
             (404, """{"error":"unknown path"}""")
           else if (ex.getRequestMethod != "POST") (405, """{"error":"POST only"}""")
-          else if (path == "/v1/traces") {
-            val raw = ex.getRequestBody.readAllBytes()
-            val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-              .getOrElse("").toLowerCase
-            val inflated: Either[(Int, String), Array[Byte]] =
-              if (enc.contains("gzip")) gunzipBounded(raw, maxPendingBytes) else Right(raw)
-            val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-            inflated match {
-              case Left(err) => err
-              case Right(_) if ct.contains("protobuf") =>
-                // honest scope: the traces intake speaks the JSON
-                // transport; 415 tells a conforming exporter to switch
-                // encodings rather than silently losing spans
-                (415, """{"error":"traces intake accepts application/json only"}""")
-              case Right(body) =>
-                val s = new String(body, "UTF-8")
-                if (s.trim == "{}") (200, "{}") // spec-legal empty export
-                else if (!s.contains("resourceSpans"))
-                  (400, """{"error":"not an OTLP traces envelope"}""")
-                else if (!admit(s.getBytes("UTF-8").length.toLong))
-                  (429, """{"error":"intake buffer full, retry later"}""")
-                else { spanQ.add(s); (200, "{}") }
-            }
-          } else {
+          else if (path == "/v1/traces") jsonSignal("traces", "resourceSpans", spanQ)
+          else if (path == "/v1/metrics") jsonSignal("metrics", "resourceMetrics", metricQ)
+          else {
             val raw = ex.getRequestBody.readAllBytes()
             val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
               .getOrElse("").toLowerCase
@@ -192,39 +201,52 @@ object OtlpHttp {
       */
     def flush(): (Long, Long) = synchronized {
       val (lr, lq) = flushLogs()
-      val (tr, tq) = flushTraces()
-      (lr + tr, lq + tq)
+      val (tr, tq) = flushJsonSignal(spanQ, tracesRoot,
+        OtlpTraces.parseWithInvalid,
+        () => pendingSyncTraces, pendingSyncTraces = _)
+      val (mr, mq) = flushJsonSignal(metricQ, metricsRoot,
+        OtlpMetrics.parseWithInvalid,
+        () => pendingSyncMetrics, pendingSyncMetrics = _)
+      (lr + tr + mr, lq + tq + mq)
     }
 
-    private def flushTraces(): (Long, Long) = {
+    /** One JSON-signal drain (traces, metrics): the same
+      * parse → quarantine → write → sync pipeline and 200-ack
+      * durability contract as the log phase, against the signal's own
+      * lake root and sync-heal flag.
+      */
+    private def flushJsonSignal(q: ConcurrentLinkedQueue[String], signalRoot: String,
+        parser: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) =>
+          (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        getPending: () => Boolean, setPending: Boolean => Unit): (Long, Long) = {
       import spark.implicits._
-      val ss = Iterator.continually(spanQ.poll()).takeWhile(_ != null).toSeq
+      val ss = Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
       if (ss.isEmpty) {
-        if (pendingSyncTraces) { LogSync.sync(spark, tracesRoot); pendingSyncTraces = false }
+        if (getPending()) { LogSync.sync(spark, signalRoot); setPending(false) }
         return (0L, 0L)
       }
       val released = ss.map(_.getBytes("UTF-8").length.toLong).sum
       pendingBytes.addAndGet(-released)
       var rowsDurable = false
       try {
-        val (valid0, bad) = OtlpTraces.parseWithInvalid(ss.toDF("payload"), col("payload"))
+        val (valid0, bad) = parser(ss.toDF("payload"), col("payload"))
         val valid = valid0.cache()
         val nValid = valid.count()
         val badN = bad.count()
         if (badN > 0)
           bad.select(encode(col("payload"), "UTF-8").as("payload"))
-            .write.mode(SaveMode.Append).parquet(s"$tracesRoot/_quarantine/http")
+            .write.mode(SaveMode.Append).parquet(s"$signalRoot/_quarantine/http")
         if (nValid > 0) {
-          LogWriter.write(valid, tracesRoot, layout = LogWriter.DailyLayout)
+          LogWriter.write(valid, signalRoot, layout = LogWriter.DailyLayout)
           rowsDurable = true
-          try LogSync.sync(spark, tracesRoot)
-          catch { case t: Throwable => pendingSyncTraces = true; throw t }
+          try LogSync.sync(spark, signalRoot)
+          catch { case t: Throwable => setPending(true); throw t }
         }
         valid.unpersist()
         (nValid, badN)
       } catch {
         case t: Throwable =>
-          if (!rowsDurable) { ss.foreach(spanQ.add); pendingBytes.addAndGet(released) }
+          if (!rowsDurable) { ss.foreach(q.add); pendingBytes.addAndGet(released) }
           throw t
       }
     }
@@ -314,7 +336,7 @@ object OtlpHttp {
       // the last attempt propagates, acked payloads must not vanish
       // silently)
       var attempts = 0
-      while ((pending > 0 || pendingSync || pendingSyncTraces) && attempts < 3) {
+      while ((pending > 0 || pendingSync || pendingSyncTraces || pendingSyncMetrics) && attempts < 3) {
         attempts += 1
         try { flush(); () }
         catch {

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OTLP/JSON METRICS ingestion — the `/v1/metrics` leg of the intake
+  * (completing the three OTLP signals on one socket, the shape of the
+  * reference's collector edge). Envelope: resourceMetrics →
+  * scopeMetrics → metrics, each metric carrying ONE of the data
+  * kinds; this reader flattens the three kinds every stock SDK emits:
+  *
+  *  - `gauge` / `sum` number data points → one row per point with a
+  *    double `value` (OTLP/JSON writes int points as the string
+  *    `asInt`; both forms coalesce), the sum's monotonic flag and
+  *    temporality preserved;
+  *  - `histogram` data points → one row per point with point-level
+  *    `count`/`hsum` and the bucket counts + explicit bounds kept as
+  *    JSON arrays — nothing a backend needs is dropped.
+  *
+  * One row per data point, `timestamp` first so the metric lake
+  * shares [[LogWriter]]'s partitioned layouts. Same execution shape
+  * as the other signals: `from_json` + `explode` + expressions,
+  * map-only, zero shuffles.
+  */
+object OtlpMetrics {
+
+  private val attrType = ArrayType(StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("intValue", StringType),
+      StructField("doubleValue", DoubleType),
+      StructField("boolValue", BooleanType)))))))
+
+  private val numberPointType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("asDouble", DoubleType)
+    .add("asInt", StringType) // OTLP/JSON encodes int64 as string
+    .add("attributes", attrType)
+
+  private val histPointType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("count", StringType)
+    .add("sum", DoubleType)
+    .add("bucketCounts", ArrayType(StringType))
+    .add("explicitBounds", ArrayType(DoubleType))
+    .add("attributes", attrType)
+
+  private val metricType = new StructType()
+    .add("name", StringType)
+    .add("unit", StringType)
+    .add("gauge", new StructType()
+      .add("dataPoints", ArrayType(numberPointType)))
+    .add("sum", new StructType()
+      .add("dataPoints", ArrayType(numberPointType))
+      .add("aggregationTemporality", IntegerType)
+      .add("isMonotonic", BooleanType))
+    .add("histogram", new StructType()
+      .add("dataPoints", ArrayType(histPointType))
+      .add("aggregationTemporality", IntegerType))
+
+  /** Schema of one OTLP/HTTP metrics envelope. */
+  val otlpSchema: StructType = new StructType()
+    .add("resourceMetrics", ArrayType(new StructType()
+      .add("resource", new StructType().add("attributes", attrType))
+      .add("scopeMetrics", ArrayType(new StructType()
+        .add("scope", new StructType()
+          .add("name", StringType).add("version", StringType))
+        .add("metrics", ArrayType(metricType))))))
+
+  private def attrValue(v: Column): Column =
+    coalesce(v.getField("stringValue"), v.getField("intValue"),
+      v.getField("doubleValue").cast("string"), v.getField("boolValue").cast("string"))
+
+  private def attrsJson(attrs: Column): Column =
+    when(attrs.isNotNull,
+      to_json(map_from_entries(transform(attrs,
+        a => struct(a.getField("key").as("key"), attrValue(a.getField("value")).as("value"))))))
+
+  private def resourceAttr(attrs: Column, key: String): Column =
+    try_element_at(transform(filter(attrs, a => a.getField("key") === key),
+      a => attrValue(a.getField("value"))), lit(1))
+
+  /** Parse a column of OTLP/JSON metric envelopes into flattened
+    * data-point rows (kind ∈ gauge | sum | histogram).
+    */
+  def parse(df: DataFrame, jsonCol: Column): DataFrame = {
+    val exploded = df.select(from_json(jsonCol, otlpSchema).as("o"))
+      .select(explode(col("o.resourceMetrics")).as("rm"))
+      .select(col("rm"), explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("rm"), col("sm"), explode(col("sm.metrics")).as("m"))
+
+    def base(kind: String) = Seq(
+      timestamp_micros(expr("CAST(dp.timeUnixNano AS BIGINT) div 1000")).as("timestamp"),
+      coalesce(resourceAttr(col("rm.resource.attributes"), "service.name"),
+        lit("unknown")).as("service_name"),
+      col("m.name").as("metric_name"),
+      col("m.unit").as("unit"),
+      lit(kind).as("kind"),
+      col("sm.scope.name").as("scope_name"),
+      attrsJson(col("rm.resource.attributes")).as("resource_attributes"))
+
+    def numberRows(field: String, kind: String) = exploded
+      .filter(col(s"m.$field.dataPoints").isNotNull)
+      .select(col("rm"), col("sm"), col("m"),
+        explode(col(s"m.$field.dataPoints")).as("dp"))
+      .select(base(kind) ++ Seq(
+        coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"),
+        (if (kind == "sum") coalesce(col("m.sum.isMonotonic"), lit(false))
+         else lit(null).cast("boolean")).as("is_monotonic"),
+        lit(null).cast("long").as("point_count"),
+        lit(null).cast("double").as("point_sum"),
+        lit(null).cast("string").as("bucket_counts"),
+        lit(null).cast("string").as("explicit_bounds"),
+        attrsJson(col("dp.attributes")).as("attributes")): _*)
+
+    val histRows = exploded
+      .filter(col("m.histogram.dataPoints").isNotNull)
+      .select(col("rm"), col("sm"), col("m"),
+        explode(col("m.histogram.dataPoints")).as("dp"))
+      .select(base("histogram") ++ Seq(
+        lit(null).cast("double").as("value"),
+        lit(null).cast("boolean").as("is_monotonic"),
+        col("dp.count").cast("long").as("point_count"),
+        col("dp.sum").as("point_sum"),
+        to_json(col("dp.bucketCounts")).as("bucket_counts"),
+        to_json(col("dp.explicitBounds")).as("explicit_bounds"),
+        attrsJson(col("dp.attributes")).as("attributes")): _*)
+
+    numberRows("gauge", "gauge")
+      .unionByName(numberRows("sum", "sum"))
+      .unionByName(histRows)
+  }
+
+  /** (valid data-point rows, shape-invalid envelopes) — the
+    * quarantine split, mirroring [[OtlpLogs.parseWithInvalid]].
+    */
+  def parseWithInvalid(df: DataFrame, jsonCol: Column): (DataFrame, DataFrame) = {
+    val marked = df.select(jsonCol.as("payload"), from_json(jsonCol, otlpSchema).as("o"))
+    val bad = marked
+      .filter(col("o").isNull || col("o.resourceMetrics").isNull ||
+        size(col("o.resourceMetrics")) === 0)
+      .select(col("payload"))
+    (parse(marked.filter(col("o.resourceMetrics").isNotNull &&
+       size(col("o.resourceMetrics")) > 0), col("payload")), bad)
+  }
+}

@@ -40,7 +40,7 @@ class OtlpHttpSpec extends SparkSpec {
     try {
       val port = server.port
       // protocol edges first
-      assert(post(port, "/v1/metrics", "{}".getBytes, "application/json").statusCode() == 404)
+      assert(post(port, "/v1/nope", "{}".getBytes, "application/json").statusCode() == 404)
       val get = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
@@ -173,6 +173,57 @@ class OtlpHttpSpec extends SparkSpec {
       assert(q.length == 1)
       assert(new String(q.head.getAs[Array[Byte]]("payload"), "UTF-8")
         == """{"resourceSpans":[]}""")
+    } finally server.stop()
+  }
+
+  test("metrics intake: gauge, sum, and histogram points flatten into the metric lake") {
+    val root = Files.createTempDirectory("graft_otlp_metrics").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val port = server.port
+      assert(post(port, "/v1/metrics", "nope".getBytes, "application/json")
+        .statusCode() == 400)
+      assert(post(port, "/v1/metrics", "{}".getBytes, "application/json")
+        .statusCode() == 200)
+      assert(post(port, "/v1/metrics", Array[Byte](0x0a),
+        "application/x-protobuf").statusCode() == 415)
+      val baseNs = 1705060800000000000L
+      val env =
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"svc-m"}}]},
+           |"scopeMetrics":[{"scope":{"name":"graft-test","version":"1"},"metrics":[
+           |{"name":"cpu.load","unit":"1","gauge":{"dataPoints":[
+           |  {"timeUnixNano":"$baseNs","asDouble":0.75,"attributes":[]},
+           |  {"timeUnixNano":"${baseNs + 1000000000L}","asDouble":0.5,"attributes":[]}]}},
+           |{"name":"requests","unit":"{req}","sum":{"dataPoints":[
+           |  {"timeUnixNano":"$baseNs","asInt":"42","attributes":[]}],
+           |  "aggregationTemporality":2,"isMonotonic":true}},
+           |{"name":"latency","unit":"ms","histogram":{"dataPoints":[
+           |  {"timeUnixNano":"$baseNs","count":"7","sum":35.5,
+           |   "bucketCounts":["3","3","1"],"explicitBounds":[1.0,5.0],
+           |   "attributes":[]}],"aggregationTemporality":2}}
+           |]}]}]}""".stripMargin.replace("\n", "")
+      assert(post(port, "/v1/metrics", env.getBytes, "application/json").statusCode() == 200)
+      // shape-invalid but request-passable → quarantined at flush
+      assert(post(port, "/v1/metrics", """{"resourceMetrics":[]}""".getBytes,
+        "application/json").statusCode() == 200)
+      val (rows, quarantined) = server.flush()
+      assert(rows == 4, s"2 gauge + 1 sum + 1 histogram points must land, got $rows")
+      assert(quarantined == 1)
+      val m = LogSync.table(spark, s"$root/_metrics")
+      assert(m.count() == 4)
+      val byKind = m.groupBy(col("kind")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byKind == Map("gauge" -> 2L, "sum" -> 1L, "histogram" -> 1L))
+      val sum = m.filter(col("kind") === "sum").head
+      assert(sum.getAs[Double]("value") == 42.0, "asInt points must coalesce to value")
+      assert(sum.getAs[Boolean]("is_monotonic"))
+      assert(sum.getAs[String]("metric_name") == "requests")
+      val hist = m.filter(col("kind") === "histogram").head
+      assert(hist.getAs[Long]("point_count") == 7L)
+      assert(hist.getAs[String]("bucket_counts") == """["3","3","1"]""")
+      assert(hist.getAs[String]("explicit_bounds") == "[1.0,5.0]")
+      assert(m.select("service_name").distinct().head.getString(0) == "svc-m")
     } finally server.stop()
   }
 
