@@ -136,7 +136,10 @@ object TraceAnalytics {
     val s = spans(spark, dir)
       .select(col("trace_id"), col("idx"), col("dur_ms"))
       .localCheckpoint() // reused every round; cut the lineage once
-    val maxIdx = s.agg(max(col("idx"))).head().getInt(0)
+    // empty corpus: max(idx) aggregates to NULL — one round over the
+    // empty frame yields the correctly-typed empty result
+    val maxRow = s.agg(max(col("idx"))).head()
+    val maxIdx = if (maxRow.isNullAt(0)) 1 else maxRow.getInt(0)
     val rounds = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxIdx.toLong))
     var walk = s.select(col("trace_id"), col("idx"),
       col("dur_ms").as("path_ms"), col("idx").as("cur"))

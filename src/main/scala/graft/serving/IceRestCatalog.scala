@@ -89,11 +89,25 @@ object IceRestCatalog {
     private def readBody(ex: HttpExchange): String =
       new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
+    // RFC-3986 percent-decoding: URLDecoder speaks the form-encoding
+    // dialect where '+' means space, but URL path segments keep '+'
+    // literal (pyiceberg/trino clients percent-encode spaces as %20) —
+    // protect literal plus before delegating
     private def decode(seg: String): String =
-      java.net.URLDecoder.decode(seg, UTF_8)
+      java.net.URLDecoder.decode(seg.replace("+", "%2B"), UTF_8)
 
     private def nsJson(key: String): String =
       key.split(NsSep(0)).toSeq.map(jstr).mkString("[", ",", "]")
+
+    /** Interpret the request body; any failure (unparsable JSON,
+      * missing field, wrong shape) is the client's 400.
+      */
+    private def fromBody[T](body: String)(f: IcebergJson.V => T): Either[(Int, String), T] =
+      try Right(f(IcebergJson.parse(body)))
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          Left(err(400, "BadRequestException", s"undecodable request: ${t.getMessage}"))
+      }
 
     private def loadTableJson(loc: String): Either[(Int, String), String] = {
       val p = new Path(loc)
@@ -123,13 +137,17 @@ object IceRestCatalog {
           (200, s"""{"namespaces":[${all.map(nsJson).mkString(",")}]}""")
 
         case ("POST", List("v1", "namespaces")) =>
-          val req = IcebergJson.parse(body)
-          val levels = req("namespace").arr.map(_.str)
-          if (levels.isEmpty) err(400, "BadRequestException", "empty namespace")
-          else if (!namespaces.add(levels.mkString(NsSep)))
-            err(409, "AlreadyExistsException",
-              s"namespace ${levels.mkString(".")} already exists")
-          else (200, s"""{"namespace":${nsJson(levels.mkString(NsSep))},"properties":{}}""")
+          // a body the CLIENT got wrong (unparsable JSON, missing
+          // fields) is a 400; failures past this point are 500s
+          fromBody(body)(req => req("namespace").arr.map(_.str)) match {
+            case Left(e) => e
+            case Right(levels) =>
+              if (levels.isEmpty) err(400, "BadRequestException", "empty namespace")
+              else if (!namespaces.add(levels.mkString(NsSep)))
+                err(409, "AlreadyExistsException",
+                  s"namespace ${levels.mkString(".")} already exists")
+              else (200, s"""{"namespace":${nsJson(levels.mkString(NsSep))},"properties":{}}""")
+          }
 
         case ("GET", List("v1", "namespaces", ns)) =>
           val key = decode(ns)
@@ -160,16 +178,15 @@ object IceRestCatalog {
           val key = decode(ns)
           if (!namespaces.contains(key))
             err(404, "NoSuchNamespaceException", s"namespace not found: $key")
-          else {
-            val req = IcebergJson.parse(body)
-            val name = req("name").str
-            val loc = req("metadata-location").str
-            if (tables.putIfAbsent((key, name), loc) != null)
-              err(409, "AlreadyExistsException", s"table exists: $name")
-            else loadTableJson(loc) match {
-              case Right(ok) => (200, ok)
-              case Left(e) => tables.remove((key, name)); e
-            }
+          else fromBody(body)(req => (req("name").str, req("metadata-location").str)) match {
+            case Left(e) => e
+            case Right((name, loc)) =>
+              if (tables.putIfAbsent((key, name), loc) != null)
+                err(409, "AlreadyExistsException", s"table exists: $name")
+              else loadTableJson(loc) match {
+                case Right(ok) => (200, ok)
+                case Left(e) => tables.remove((key, name)); e
+              }
           }
 
         case ("GET", List("v1", "namespaces", ns, "tables", t)) =>
@@ -199,8 +216,13 @@ object IceRestCatalog {
         val (code, resp) =
           try route(ex.getRequestMethod, ex.getRequestURI.getRawPath, readBody(ex))
           catch {
+            // 400 is reserved for requests the CLIENT got wrong (the
+            // route marks those itself); anything that escapes route()
+            // — corrupt registered metadata, FS errors, bugs — is a
+            // SERVER failure and must say so, or a spec-conforming
+            // client treats it as its own non-retryable mistake
             case scala.util.control.NonFatal(t) =>
-              err(400, "BadRequestException", s"undecodable request: ${t.getMessage}")
+              err(500, "InternalServerError", s"${t.getClass.getSimpleName}: ${t.getMessage}")
           }
         val bytes = resp.getBytes(UTF_8)
         if (code == 204 || bytes.isEmpty || ex.getRequestMethod == "HEAD") {
@@ -238,15 +260,20 @@ object IceRestCatalog {
     (resp.statusCode(), resp.body())
   }
 
-  private def nsPath(ns: Seq[String]): String =
-    java.net.URLEncoder.encode(ns.mkString(NsSep), UTF_8)
+  /** RFC-3986 segment encoding: URLEncoder's form dialect writes
+    * spaces as '+', which a percent-decoding server reads back as a
+    * literal plus — emit %20 instead.
+    */
+  private def encodeSeg(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8).replace("+", "%20")
+
+  private def nsPath(ns: Seq[String]): String = encodeSeg(ns.mkString(NsSep))
 
   /** `loadTable` against any REST catalog at `catalogUri`, returning
     * the table's `metadata-location`. Control-plane: one HTTP GET.
     */
   def metadataLocation(catalogUri: String, ns: Seq[String], table: String): String = {
-    val uri = s"$catalogUri/v1/namespaces/${nsPath(ns)}/tables/" +
-      java.net.URLEncoder.encode(table, UTF_8)
+    val uri = s"$catalogUri/v1/namespaces/${nsPath(ns)}/tables/" + encodeSeg(table)
     val (code, body) = get(uri)
     require(code == 200, s"loadTable $uri failed: HTTP $code $body")
     IcebergJson.parse(body)("metadata-location").str

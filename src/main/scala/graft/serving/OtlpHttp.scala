@@ -200,14 +200,24 @@ object OtlpHttp {
       * in the next one.
       */
     def flush(): (Long, Long) = synchronized {
-      val (lr, lq) = flushLogs()
-      val (tr, tq) = flushJsonSignal(spanQ, tracesRoot,
-        OtlpTraces.parseWithInvalid,
-        () => pendingSyncTraces, pendingSyncTraces = _)
-      val (mr, mq) = flushJsonSignal(metricQ, metricsRoot,
-        OtlpMetrics.parseWithInvalid,
-        () => pendingSyncMetrics, pendingSyncMetrics = _)
-      (lr + tr + mr, lq + tq + mq)
+      // the three signal pipelines are INDEPENDENT (own lakes, own
+      // durability state): a persistent log-lake failure must not
+      // starve the healthy trace/metric drains — run every phase,
+      // then rethrow the first error (later ones suppressed on it)
+      var rows = 0L; var quarantined = 0L
+      var firstError: Throwable = null
+      def phase(f: => (Long, Long)): Unit =
+        try { val (r, q) = f; rows += r; quarantined += q }
+        catch { case t: Throwable =>
+          if (firstError == null) firstError = t else firstError.addSuppressed(t)
+        }
+      phase(flushLogs())
+      phase(flushJsonSignal(spanQ, tracesRoot, OtlpTraces.parseWithInvalid,
+        () => pendingSyncTraces, pendingSyncTraces = _))
+      phase(flushJsonSignal(metricQ, metricsRoot, OtlpMetrics.parseWithInvalid,
+        () => pendingSyncMetrics, pendingSyncMetrics = _))
+      if (firstError != null) throw firstError
+      (rows, quarantined)
     }
 
     /** One JSON-signal drain (traces, metrics): the same
@@ -228,9 +238,9 @@ object OtlpHttp {
       val released = ss.map(_.getBytes("UTF-8").length.toLong).sum
       pendingBytes.addAndGet(-released)
       var rowsDurable = false
+      val (valid0, bad) = parser(ss.toDF("payload"), col("payload"))
+      val valid = valid0.cache()
       try {
-        val (valid0, bad) = parser(ss.toDF("payload"), col("payload"))
-        val valid = valid0.cache()
         val nValid = valid.count()
         val badN = bad.count()
         if (badN > 0)
@@ -242,13 +252,13 @@ object OtlpHttp {
           try LogSync.sync(spark, signalRoot)
           catch { case t: Throwable => setPending(true); throw t }
         }
-        valid.unpersist()
         (nValid, badN)
       } catch {
         case t: Throwable =>
           if (!rowsDurable) { ss.foreach(q.add); pendingBytes.addAndGet(released) }
           throw t
-      }
+      } finally valid.unpersist() // also on the failure path — a
+      // retry loop must not accumulate cached copies of failed batches
     }
 
     private def flushLogs(): (Long, Long) = {
@@ -270,13 +280,13 @@ object OtlpHttp {
       // that point a re-enqueue would DOUBLE-write them (sync registers
       // by directory scan), so the catch below re-enqueues only before
       var rowsDurable = false
+      val parsed = Seq(
+        if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
+        else None,
+        if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
+        else None).flatten
+      val valid = parsed.map(_._1).reduce(_ unionByName _).cache()
       try {
-        val parsed = Seq(
-          if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
-          else None,
-          if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
-          else None).flatten
-        val valid = parsed.map(_._1).reduce(_ unionByName _).cache()
         val nValid = valid.count()
         // shape-invalid envelopes first: quarantined as their raw
         // bytes, the batch intake's no-silent-drop rule. Ordered
@@ -297,7 +307,6 @@ object OtlpHttp {
           try LogSync.sync(spark, root)
           catch { case t: Throwable => pendingSync = true; throw t }
         }
-        valid.unpersist()
         (nValid, badN)
       } catch {
         case t: Throwable =>
@@ -312,7 +321,8 @@ object OtlpHttp {
             pendingBytes.addAndGet(released)
           }
           throw t
-      }
+      } finally valid.unpersist() // also on failure — retries must
+      // not accumulate cached copies of failed batches
     }
 
     /** Close the socket WAITING for in-flight handlers (a payload the

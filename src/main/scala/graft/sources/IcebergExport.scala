@@ -476,10 +476,14 @@ object IcebergExport {
     * (rows of the columns named by `equalityIds`). `seq` orders it
     * against data files: position deletes apply to data sequence ≤
     * theirs, equality deletes to data sequence STRICTLY below theirs
-    * (the spec's same-snapshot visibility rules).
+    * (the spec's same-snapshot visibility rules). `partValues` is the
+    * delete file's own identity-partition record when its manifest
+    * carried one (Some = the delete is PARTITION-SCOPED and applies
+    * only to matching data rows; None = a global/unpartitioned delete).
     */
   private[graft] final case class DeleteFile(uri: String, content: Int,
-                                             equalityIds: Seq[Int], seq: Long)
+                                             equalityIds: Seq[Int], seq: Long,
+                                             partValues: Option[Map[String, Any]] = None)
 
   /** A resolved Iceberg FileSystem-table chain. `schemaFields` are the
     * CURRENT schema's primitive columns (id, name, iceberg type name);
@@ -611,17 +615,24 @@ object IcebergExport {
           s"snapshot $id is not retained in ${mdPath.getName}")
         Some(id)
       case Some(AsOfTimestampMs(ms)) =>
-        // snapshot-log is the spec's commit-time record; fall back to
-        // the snapshots' own timestamp-ms for writers that omit it
-        val log = md.opt("snapshot-log").map(_.arr).filter(_.nonEmpty)
-          .getOrElse(md("snapshots").arr)
-        val at = log.filter(_("timestamp-ms").long <= ms)
+        // snapshot-log is the spec's commit-time record — chronological,
+        // so the LAST matching entry is the latest commit (robust to
+        // same-millisecond commits, where maxBy-on-timestamp would tie
+        // on the older one). Writers that omit the log fall back to
+        // the snapshots array, whose ORDER the spec does not constrain
+        // — there, pick the max timestamp (file order breaks ties).
+        val (entries, chronological) =
+          md.opt("snapshot-log").map(_.arr).filter(_.nonEmpty) match {
+            case Some(log) => (log, true)
+            case None => (md("snapshots").arr, false)
+          }
+        val at = entries.filter(_("timestamp-ms").long <= ms)
         require(at.nonEmpty,
           s"no snapshot at or before timestamp $ms in ${mdPath.getName}")
-        // the log is chronological (spec): the LAST matching entry is
-        // the latest commit — robust to same-millisecond commits,
-        // where maxBy-on-timestamp would tie on the older one
-        Some(at.last("snapshot-id").long)
+        val pick =
+          if (chronological) at.last
+          else at.zipWithIndex.maxBy { case (s, i) => (s("timestamp-ms").long, i) }._1
+        Some(pick("snapshot-id").long)
     }
     val (listRecords, files, deletes) = snapId match {
       case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile], Seq.empty[DeleteFile])
@@ -654,15 +665,16 @@ object IcebergExport {
             val d = e.get("data_file").asInstanceOf[GenericRecord]
             val seq = longOf(e, "sequence_number").getOrElse(mSeq)
             val content = if (has(d, "content")) d.get("content").asInstanceOf[Int] else 0
+            def partOf: Option[Map[String, Any]] =
+              Option(d.get("partition")).map(_.asInstanceOf[GenericRecord]).map { p =>
+                partFields.map { case (name, _) =>
+                  name -> (if (p.getSchema.getField(name) != null) p.get(name) else null)
+                }.toMap
+              }
             content match {
               case 0 =>
                 require(!isDelete, s"data file ${d.get("file_path")} in a delete manifest")
-                val part = Option(d.get("partition")).map(_.asInstanceOf[GenericRecord])
-                val pv = partFields.map { case (name, _) =>
-                  name -> part.flatMap(p =>
-                    if (p.getSchema.getField(name) != null) Option(p.get(name)) else None)
-                    .orNull
-                }.toMap
+                val pv = partOf.getOrElse(partFields.map(_._1 -> (null: Any)).toMap)
                 dataFiles += ChainFile(d.get("file_path").toString, pv, seq)
               case 1 | 2 => // position / equality delete file (v2 MOR)
                 val eqIds =
@@ -672,7 +684,14 @@ object IcebergExport {
                   else Seq.empty
                 require(content == 1 || eqIds.nonEmpty,
                   s"equality delete file ${d.get("file_path")} lists no equality_ids")
-                delFiles += DeleteFile(d.get("file_path").toString, content, eqIds, seq)
+                // a partition record with any field present scopes the
+                // delete to that partition (the spec: a delete file
+                // belongs to a partition spec; an empty/absent record
+                // means an unpartitioned spec = global)
+                val scoped = partOf.filter(pv =>
+                  partFields.nonEmpty && pv.values.exists(_ != null))
+                delFiles += DeleteFile(d.get("file_path").toString, content, eqIds, seq,
+                  scoped)
               case other => sys.error(
                 s"unknown content=$other for file ${d.get("file_path")} — " +
                   "not readable as data or row-level deletes")
@@ -725,7 +744,14 @@ object IcebergExport {
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(metaDir, "version-hint.text")),
       s"no Iceberg export under $root — run export first")
-    val files = resolveChain(spark, metaDir, asOf).files.map(_.uri)
+    val chain = resolveChain(spark, metaDir, asOf)
+    // graft's own export never writes delete files; if the chain under
+    // this root carries any (an external engine rewrote it), this
+    // lake-scan path would silently resurrect deleted rows — reject
+    // loudly and point at the MOR-capable reader instead
+    require(chain.deleteFiles.isEmpty,
+      s"the chain under $root carries row-level deletes — read it with readExternal")
+    val files = chain.files.map(_.uri)
     LogSync.tableForPaths(spark, root,
       files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")))
   }
@@ -800,6 +826,22 @@ object IcebergExport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
+    // raw Avro partition values stringify on the driver (epoch-day
+    // ints for date columns render as ISO dates) and cast to the
+    // declared source type after joining — shared by the per-file
+    // attach map and the delete-file partition scopes
+    def renderVal(v: Any, tpe: String): String = v match {
+      case null => null
+      case i: java.lang.Integer if tpe == "date" =>
+        java.time.LocalDate.ofEpochDay(i.longValue).toString
+      case l: java.lang.Long if tpe == "date" =>
+        java.time.LocalDate.ofEpochDay(l).toString
+      case other => other.toString
+    }
+    lazy val srcType = chain.partFields.map { case (name, srcId) =>
+      name -> typeOf.getOrElse(srcId,
+        sys.error(s"partition field $name: source-id $srcId not in current schema"))
+    }.toMap
     val raw = spark.read.parquet(chain.files.map(f => fileUri(f.uri)): _*)
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
@@ -807,24 +849,15 @@ object IcebergExport {
     val attach = partNames.filterNot(raw.columns.contains)
     val hasDeletes = chain.deleteFiles.nonEmpty
     val posDeletes = chain.deleteFiles.filter(_.content == 1)
+    // a partition-scoped delete constrains data rows on the partition
+    // columns — which therefore must be readable on the data side
+    chain.deleteFiles.flatMap(_.partValues).flatMap(_.keys).distinct.foreach { p =>
+      require(raw.columns.contains(p) || attach.contains(p),
+        s"partition-scoped delete needs partition column '$p' on the scan")
+    }
 
     val attached: DataFrame = if (attach.isEmpty && !hasDeletes) raw else {
-      // file → (partition values, sequence) map, one row per data
-      // file. Raw Avro values stringify on the driver (epoch-day ints
-      // for date columns render as ISO dates) and cast to the declared
-      // type after the join.
-      def renderVal(v: Any, tpe: String): String = v match {
-        case null => null
-        case i: java.lang.Integer if tpe == "date" =>
-          java.time.LocalDate.ofEpochDay(i.longValue).toString
-        case l: java.lang.Long if tpe == "date" =>
-          java.time.LocalDate.ofEpochDay(l).toString
-        case other => other.toString
-      }
-      val srcType = chain.partFields.map { case (name, srcId) =>
-        name -> typeOf.getOrElse(srcId,
-          sys.error(s"partition field $name: source-id $srcId not in current schema"))
-      }.toMap
+      // file → (partition values, sequence) map, one row per data file
       val mapRows = chain.files.map { f =>
         org.apache.spark.sql.Row.fromSeq(
           (normUri(f.uri) +: attach.map(n => renderVal(f.partValues(n), srcType(n)))) :+ f.seq)
@@ -851,20 +884,38 @@ object IcebergExport {
 
     val afterDeletes: DataFrame = if (!hasDeletes) attached else {
       // equality deletes, grouped by their equality-column set: one
-      // union of delete rows per set, one null-safe anti-join each
+      // union of delete rows per set, one null-safe anti-join each.
+      // A PARTITION-SCOPED delete file (its manifest entry carries a
+      // partition record) applies only to data rows of that partition
+      // — the scope travels as typed literal columns on the delete
+      // rows, so one union still serves mixed global/scoped files.
       val eqApplied = chain.deleteFiles.filter(_.content == 2)
         .groupBy(_.equalityIds).foldLeft(attached) { case (df, (ids, dels)) =>
           val cols = ids.map(id => nameOf.getOrElse(id,
             sys.error(s"equality delete names field-id $id, not in current schema")))
           cols.foreach(c => require(df.columns.contains(c),
             s"equality delete column '$c' absent from the data scan"))
+          val scopeCols = dels.flatMap(_.partValues).flatMap(_.keys).distinct
           val delRows = dels.map { d =>
+            val scope = scopeCols.map { p =>
+              d.partValues match {
+                case Some(pv) =>
+                  lit(renderVal(pv.getOrElse(p, null), srcType(p)))
+                    .cast(sparkTypeFor(srcType(p))).as(s"__gdp_$p")
+                case None => lit(null).cast(sparkTypeFor(srcType(p))).as(s"__gdp_$p")
+              }
+            }
+            val scoped = lit(d.partValues.nonEmpty).as("__gd_scoped")
             spark.read.parquet(fileUri(d.uri))
-              .select(cols.map(c => col(c).as(s"__gd_$c")) :+
-                lit(d.seq).as("__graft_dseq"): _*)
+              .select(cols.map(c => col(c).as(s"__gd_$c")) ++ scope ++
+                Seq(scoped, lit(d.seq).as("__graft_dseq")): _*)
           }.reduce(_ unionByName _)
+          val scopeCond = scopeCols
+            .map(p => col(p) <=> col(s"__gdp_$p"))
+            .foldLeft(lit(true))(_ && _)
           val cond = cols.map(c => col(c) <=> col(s"__gd_$c"))
-            .reduce(_ && _) && col("__graft_seq") < col("__graft_dseq")
+            .reduce(_ && _) && col("__graft_seq") < col("__graft_dseq") &&
+            (!col("__gd_scoped") || scopeCond)
           df.join(delRows, cond, "left_anti")
         }
       // position deletes: delete rows carry the TARGET data file path

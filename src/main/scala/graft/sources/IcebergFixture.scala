@@ -342,4 +342,145 @@ object IcebergFixture {
       }
       loc
     })
+
+  private val builtScoped = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A PARTITIONED v2 table whose equality delete is PARTITION-SCOPED
+    * — the case where ignoring the delete file's partition record
+    * silently deletes rows in other partitions. Synthetic content so
+    * the same ids exist in BOTH partitions:
+    *
+    *   grp=1: ids {1,2,3}   grp=2: ids {1,2,3}
+    *
+    * One data file per grp (sequence 1, ids present in the files, so
+    * no attach is needed), plus an equality delete file
+    * (equality_ids=[id], sequence 2) whose manifest entry carries the
+    * partition record `grp=1` and whose rows name id 2. A correct
+    * reader removes ONLY (grp=1, id=2); a reader that drops the scope
+    * also removes (grp=2, id=2).
+    */
+  def externalScopedDeleteTable(spark: SparkSession): String =
+    builtScoped.computeIfAbsent("x", _ => {
+      val loc = "/tmp/graft_ice_scoped_v1"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(loc).getFileSystem(conf)
+      val marker = new Path(s"$loc/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(new Path(loc), true)
+        fs.mkdirs(new Path(s"$loc/data"))
+        fs.mkdirs(new Path(s"$loc/metadata"))
+        import spark.implicits._
+        def writeOne(df: org.apache.spark.sql.DataFrame, target: Path): String = {
+          val stage = s"$loc/_stage_${target.getName}"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new Path(stage)).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part file under $stage"))
+          require(fs.rename(part, target), s"rename of $part failed")
+          fs.delete(new Path(stage), true)
+          s"file://${target.toUri.getPath}"
+        }
+        val g1 = writeOne(Seq((1, 1), (2, 1), (3, 1)).toDF("id", "grp"),
+          new Path(s"$loc/data/g1.parquet"))
+        val g2 = writeOne(Seq((1, 2), (2, 2), (3, 2)).toDF("id", "grp"),
+          new Path(s"$loc/data/g2.parquet"))
+        val del = writeOne(Seq(2).toDF("id"), new Path(s"$loc/data/eq-del.parquet"))
+
+        val entrySchema = new Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"],"default":null},
+            |{"name":"sequence_number","type":["null","long"],"default":null},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |{"name":"content","type":"int"},
+            |{"name":"file_path","type":"string"},
+            |{"name":"file_format","type":"string"},
+            |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+            |{"name":"grp","type":["null","int"],"default":null}]}},
+            |{"name":"record_count","type":"long"},
+            |{"name":"file_size_in_bytes","type":"long"},
+            |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+            |"default":null}]}}]}""".stripMargin)
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val snap = 4444L
+        def entry(uri: String, content: Int, grp: Option[Int],
+                  eqIds: Seq[Int], n: Long): GenericRecord = {
+          val part = new GenericData.Record(partSchema)
+          grp.foreach(g => part.put("grp", g))
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", content)
+          d.put("file_path", uri)
+          d.put("file_format", "PARQUET")
+          d.put("partition", part)
+          d.put("record_count", n)
+          d.put("file_size_in_bytes",
+            fs.getFileStatus(new Path(uri.stripPrefix("file://"))).getLen)
+          if (eqIds.nonEmpty)
+            d.put("equality_ids", java.util.Arrays.asList(eqIds.map(Int.box): _*))
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snap)
+          e.put("data_file", d)
+          e
+        }
+        def manifest(name: String, entries: Seq[GenericRecord]): (Path, Long) = {
+          val p = new Path(s"$loc/metadata/$name")
+          (p, IcebergExport.writeAvro(spark, p, entrySchema, Map.empty, entries.iterator))
+        }
+        val (mData, lenData) = manifest("m-data.avro", Seq(
+          entry(g1, 0, Some(1), Seq.empty, 3),
+          entry(g2, 0, Some(2), Seq.empty, 3)))
+        val (mDel, lenDel) = manifest("m-del.avro", Seq(
+          entry(del, 2, Some(1), Seq(1), 1))) // SCOPED to grp=1
+        val listSchema = IcebergExport.manifestListSchema
+        def listRec(p: Path, len: Long, content: Int, seq: Long): GenericRecord = {
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", s"file://${p.toUri.getPath}")
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snap)
+          r.put("added_data_files_count", 1)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          r.put("added_rows_count", 1L)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+        }
+        val listPath = new Path(s"$loc/metadata/snap-scoped.avro")
+        IcebergExport.writeAvro(spark, listPath, listSchema,
+          Map("format-version" -> "2", "snapshot-id" -> snap.toString),
+          Iterator(listRec(mData, lenData, 0, 1L), listRec(mDel, lenDel, 1, 2L)))
+        val metadata =
+          s"""{"format-version":2,
+             |"table-uuid":"70000000-8000-9000-a000-b00000000000",
+             |"location":"file://$loc",
+             |"last-sequence-number":2,"last-updated-ms":2,"last-column-id":2,
+             |"current-schema-id":0,
+             |"schemas":[{"type":"struct","schema-id":0,"fields":[
+             |{"id":1,"name":"id","required":false,"type":"int"},
+             |{"id":2,"name":"grp","required":false,"type":"int"}]}],
+             |"default-spec-id":0,
+             |"partition-specs":[{"spec-id":0,"fields":[
+             |{"name":"grp","transform":"identity","source-id":2,"field-id":1000}]}],
+             |"last-partition-id":1000,
+             |"properties":{},
+             |"current-snapshot-id":$snap,
+             |"snapshots":[{"snapshot-id":$snap,"timestamp-ms":2,"sequence-number":2,
+             |"manifest-list":"file://${listPath.toUri.getPath}","schema-id":0}]}"""
+            .stripMargin
+        val out = fs.create(new Path(s"$loc/metadata/v1.metadata.json"), true)
+        out.write(metadata.getBytes("UTF-8"))
+        out.close()
+        val hint = fs.create(new Path(s"$loc/metadata/version-hint.text"), true)
+        hint.write("1".getBytes("UTF-8"))
+        hint.close()
+        fs.create(marker).close()
+      }
+      loc
+    })
 }

@@ -25,13 +25,7 @@ import org.apache.spark.sql.types._
   */
 object OtlpLogs {
 
-  private val attrType = ArrayType(StructType(Seq(
-    StructField("key", StringType),
-    StructField("value", StructType(Seq(
-      StructField("stringValue", StringType),
-      StructField("intValue", StringType),   // OTLP/JSON encodes int64 as string
-      StructField("doubleValue", DoubleType),
-      StructField("boolValue", BooleanType)))))))
+  private def attrType = OtlpAttrs.attrType
 
   private val logRecordType = new StructType()
     .add("timeUnixNano", StringType)
@@ -56,23 +50,10 @@ object OtlpLogs {
   val otlpSchema: StructType = new StructType()
     .add("resourceLogs", ArrayType(resourceLogsType))
 
-  private def attrValue(v: Column): Column =
-    coalesce(v.getField("stringValue"), v.getField("intValue"),
-      v.getField("doubleValue").cast("string"), v.getField("boolValue").cast("string"))
-
-  /** attribute list → canonical JSON object string (the reference
-    * stores resource/log/scope attributes as JSON strings).
-    */
-  private def attrsJson(attrs: Column): Column =
-    when(attrs.isNotNull,
-      to_json(map_from_entries(transform(attrs,
-        a => struct(a.getField("key").as("key"), attrValue(a.getField("value")).as("value"))))))
+  private def attrsJson(attrs: Column): Column = OtlpAttrs.attrsJson(attrs)
 
   private def resourceAttr(attrs: Column, key: String): Column =
-    // try_element_at: a missing attribute yields NULL (ANSI element_at
-    // would throw on the empty filtered array)
-    try_element_at(transform(filter(attrs, a => a.getField("key") === key),
-      a => attrValue(a.getField("value"))), lit(1))
+    OtlpAttrs.resourceAttr(attrs, key)
 
   /** Parse a column of OTLP/PROTOBUF `LogsData` payloads into the same
     * flattened rows as [[parse]]: the wire bytes are decoded to the

@@ -25,13 +25,7 @@ import org.apache.spark.sql.types._
   */
 object OtlpMetrics {
 
-  private val attrType = ArrayType(StructType(Seq(
-    StructField("key", StringType),
-    StructField("value", StructType(Seq(
-      StructField("stringValue", StringType),
-      StructField("intValue", StringType),
-      StructField("doubleValue", DoubleType),
-      StructField("boolValue", BooleanType)))))))
+  private def attrType = OtlpAttrs.attrType
 
   private val numberPointType = new StructType()
     .add("timeUnixNano", StringType)
@@ -69,18 +63,10 @@ object OtlpMetrics {
           .add("name", StringType).add("version", StringType))
         .add("metrics", ArrayType(metricType))))))
 
-  private def attrValue(v: Column): Column =
-    coalesce(v.getField("stringValue"), v.getField("intValue"),
-      v.getField("doubleValue").cast("string"), v.getField("boolValue").cast("string"))
-
-  private def attrsJson(attrs: Column): Column =
-    when(attrs.isNotNull,
-      to_json(map_from_entries(transform(attrs,
-        a => struct(a.getField("key").as("key"), attrValue(a.getField("value")).as("value"))))))
+  private def attrsJson(attrs: Column): Column = OtlpAttrs.attrsJson(attrs)
 
   private def resourceAttr(attrs: Column, key: String): Column =
-    try_element_at(transform(filter(attrs, a => a.getField("key") === key),
-      a => attrValue(a.getField("value"))), lit(1))
+    OtlpAttrs.resourceAttr(attrs, key)
 
   /** Parse a column of OTLP/JSON metric envelopes into flattened
     * data-point rows (kind ∈ gauge | sum | histogram).
@@ -109,6 +95,11 @@ object OtlpMetrics {
         coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"),
         (if (kind == "sum") coalesce(col("m.sum.isMonotonic"), lit(false))
          else lit(null).cast("boolean")).as("is_monotonic"),
+        // temporality decides whether rate() needs reset correction
+        // (cumulative=2) or a plain sum (delta=1) — irrecoverable
+        // after ingest, so it must land (gauges have none)
+        (if (kind == "sum") col("m.sum.aggregationTemporality")
+         else lit(null).cast("int")).as("temporality"),
         lit(null).cast("long").as("point_count"),
         lit(null).cast("double").as("point_sum"),
         lit(null).cast("string").as("bucket_counts"),
@@ -122,6 +113,7 @@ object OtlpMetrics {
       .select(base("histogram") ++ Seq(
         lit(null).cast("double").as("value"),
         lit(null).cast("boolean").as("is_monotonic"),
+        col("m.histogram.aggregationTemporality").as("temporality"),
         col("dp.count").cast("long").as("point_count"),
         col("dp.sum").as("point_sum"),
         to_json(col("dp.bucketCounts")).as("bucket_counts"),

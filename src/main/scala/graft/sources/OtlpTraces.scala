@@ -21,13 +21,7 @@ import org.apache.spark.sql.types._
   */
 object OtlpTraces {
 
-  private val attrType = ArrayType(StructType(Seq(
-    StructField("key", StringType),
-    StructField("value", StructType(Seq(
-      StructField("stringValue", StringType),
-      StructField("intValue", StringType),
-      StructField("doubleValue", DoubleType),
-      StructField("boolValue", BooleanType)))))))
+  private def attrType = OtlpAttrs.attrType
 
   private val spanType = new StructType()
     .add("traceId", StringType)
@@ -52,18 +46,10 @@ object OtlpTraces {
       .add("resource", new StructType().add("attributes", attrType))
       .add("scopeSpans", ArrayType(scopeSpansType))))
 
-  private def attrValue(v: Column): Column =
-    coalesce(v.getField("stringValue"), v.getField("intValue"),
-      v.getField("doubleValue").cast("string"), v.getField("boolValue").cast("string"))
-
-  private def attrsJson(attrs: Column): Column =
-    when(attrs.isNotNull,
-      to_json(map_from_entries(transform(attrs,
-        a => struct(a.getField("key").as("key"), attrValue(a.getField("value")).as("value"))))))
+  private def attrsJson(attrs: Column): Column = OtlpAttrs.attrsJson(attrs)
 
   private def resourceAttr(attrs: Column, key: String): Column =
-    try_element_at(transform(filter(attrs, a => a.getField("key") === key),
-      a => attrValue(a.getField("value"))), lit(1))
+    OtlpAttrs.resourceAttr(attrs, key)
 
   /** Parse a column of OTLP/JSON trace envelopes into flattened span
     * rows. `timestamp` (span start, µs precision) leads the schema so

@@ -283,6 +283,15 @@ class IcebergExportSpec extends SparkSpec {
     assert(row.length == 1 && row.head.getAs[String]("n_name").startsWith("NATION"))
   }
 
+  test("merge-on-read: a partition-scoped equality delete touches only its partition") {
+    val loc = graft.sources.IcebergFixture.externalScopedDeleteTable(spark)
+    val rows = IcebergExport.readExternal(spark, loc)
+      .collect().map(r => (r.getAs[Int]("grp"), r.getAs[Int]("id"))).toSet
+    // the delete (id=2, scoped grp=1) must remove (1,2) and NOTHING in grp=2
+    assert(rows == Set((1, 1), (1, 3), (2, 1), (2, 2), (2, 3)),
+      s"partition-scoped delete leaked: $rows")
+  }
+
   test("readTable: the Iceberg-metadata read path surfaces exactly the registered table") {
     val root = buildLake()
     IcebergExport.export(spark, root)
