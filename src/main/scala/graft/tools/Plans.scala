@@ -74,7 +74,13 @@ object Plans {
       "wordpiece_encode" -> "WordPiece application: greedy longest-match segmentation (graft_wordpiece_segment, vocab as one literal) on the VOCABULARY side of the word join — corpus scanned once into (doc,word) counts, segmentation once per distinct word",
       "dedup_keep" -> "corpus-wide keep/drop tagging: one map-only corpus pass; cluster-label and keeper control tables joined via the size-guarded broadcast (shuffle-join fallback above threshold)",
       "ann_opq" -> "OPQ rotated PQ: rotation = codegen'd dots against permuted-PCA-basis literals with constant centering (map-only), ADC over rotated codes, TopK candidate cut + broadcast-join exact rerank on raw floats",
-      "lake_iceberg" -> "severity aggregate through the EXPORTED Iceberg metadata chain (version-hint -> metadata.json -> Avro manifests -> file keep-set): same root-scan + broadcast semi-join as the manifest read — interop certified by the shared oracle")
+      "lake_iceberg" -> "severity aggregate through the EXPORTED Iceberg metadata chain (version-hint -> metadata.json -> Avro manifests -> file keep-set): same root-scan + broadcast semi-join as the manifest read — interop certified by the shared oracle",
+      "lake_iceberg_mor" -> "v2 merge-on-read: per-file (partition, sequence) via ONE broadcast map on _metadata.file_path; equality deletes null-safe anti-join (seq strictly below, partition-scope literals), position deletes anti-join on (file, row_index) — delete side sized by the deleted population",
+      "lake_iceberg_rest" -> "live REST-catalog round-trip: loadTable GET -> metadata-location -> chain walk (control-plane) -> the same distributed scan as the direct read; no data moves through the catalog",
+      "trace_service_graph" -> "APM service map: one trace-keyed rank window, parent edge equi-join co-partitioned on (trace_id, pidx), tier^2-cardinality aggregate",
+      "trace_critical_path" -> "heap-tree critical path: shown plan is the final per-trace max; each of the log2(depth) rounds advances every span one hop via a co-partitioned join (localCheckpoint-truncated)",
+      "metrics_rate" -> "PromQL increase(): cumulative window per (service, day), reset-corrected lag per service series — series-keyed exchanges only, no global sort (plan-spec'd)",
+      "metrics_hist_p95" -> "histogram_quantile: corpus work is ONE map-only bucket projection + (service x le) aggregate; lag/interpolation windows run on the boundaries-cardinality frame")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
