@@ -451,6 +451,100 @@ object IcebergExport {
     })
   }
 
+  final case class ExpireStats(snapshotsDropped: Int, metadataDeleted: Int,
+                               avroDeleted: Int)
+
+  /** METADATA MAINTENANCE for the incremental export — the
+    * expire-snapshots/expire-metadata half every real catalog runs:
+    * each export mints a new `v<N>.metadata.json` and delta snapshots
+    * accumulate manifests, so an append-only lake's metadata dir
+    * otherwise grows without bound.
+    *
+    *  1. SNAPSHOT EXPIRY: when history exceeds `keepSnapshots`, a new
+    *     metadata version is written whose `snapshots`/`snapshot-log`
+    *     keep only the newest `keepSnapshots` entries (always
+    *     including the current snapshot) — same current-snapshot-id,
+    *     nothing about the data changes.
+    *  2. METADATA VERSION EXPIRY: metadata.json files older than the
+    *     newest `keepMetadataVersions` are deleted.
+    *  3. ORPHAN SWEEP: every Avro object under the metadata dir that
+    *     no SURVIVING metadata version references (walking ALL their
+    *     retained snapshots' manifest-lists and manifests) is deleted.
+    *
+    * Touches ONLY `<root>/_iceberg/metadata` — data files are
+    * [[LogCompact.vacuum]]'s jurisdiction. Cost is control-plane:
+    * O(surviving metadata versions × their manifests). Time travel
+    * reach shrinks to the retained history — the same trade every
+    * `expireSnapshots` call makes.
+    */
+  def expireMetadata(spark: SparkSession, root: String,
+                     keepMetadataVersions: Int = 3,
+                     keepSnapshots: Int = 1): ExpireStats = {
+    require(keepMetadataVersions >= 1 && keepSnapshots >= 1,
+      "must keep at least one metadata version and one snapshot")
+    val metaDir = new Path(s"$root/_iceberg/metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(metaDir, "version-hint.text")
+    require(fs.exists(hintPath), s"no Iceberg export under $root — nothing to expire")
+    var version = readText(spark, hintPath).trim.toInt
+    val md = IcebergJson.parse(readText(spark,
+      new Path(metaDir, s"v$version.metadata.json")))
+
+    // 1. snapshot expiry → one new metadata version with trimmed history
+    val snaps = md("snapshots").arr
+    val dropped =
+      if (snaps.length <= keepSnapshots) 0
+      else {
+        val curId = md.opt("current-snapshot-id").map(_.long)
+          .getOrElse(sys.error("no current-snapshot-id"))
+        // keep the newest by sequence/commit order = array tail, but
+        // always the current snapshot
+        val kept = snaps.takeRight(keepSnapshots)
+        require(kept.exists(_("snapshot-id").long == curId),
+          "the current snapshot must be inside the kept history tail")
+        val keptIds = kept.map(_("snapshot-id").long).toSet
+        val trimmedLog = md.opt("snapshot-log").map(_.arr).getOrElse(Vector.empty)
+          .filter(e => keptIds.contains(e("snapshot-id").long))
+        var next = IcebergJson.updated(md.asInstanceOf[IcebergJson.JObj],
+          "snapshots", IcebergJson.JArr(kept))
+        next = IcebergJson.updated(next, "snapshot-log", IcebergJson.JArr(trimmedLog))
+        next = IcebergJson.updated(next, "last-updated-ms",
+          IcebergJson.JNum(System.currentTimeMillis().toString))
+        version += 1
+        val out = fs.create(new Path(metaDir, s"v$version.metadata.json"), true)
+        out.write(IcebergJson.render(next).getBytes("UTF-8")); out.close()
+        val h = fs.create(hintPath, true)
+        h.write(version.toString.getBytes("UTF-8")); h.close()
+        snaps.length - kept.length
+      }
+
+    // 2. metadata version expiry
+    val Re = "v([0-9]+)\\.metadata\\.json".r
+    val versions = fs.listStatus(metaDir).flatMap(_.getPath.getName match {
+      case Re(v) => Some(v.toInt); case _ => None
+    }).sorted.toSeq
+    val keptVersions = versions.takeRight(keepMetadataVersions)
+    val mdDeleted = versions.dropRight(keepMetadataVersions).map { v =>
+      fs.delete(new Path(metaDir, s"v$v.metadata.json"), false); 1
+    }.sum
+
+    // 3. orphan sweep: every avro a surviving version still references
+    val referenced = keptVersions.flatMap { v =>
+      val m = IcebergJson.parse(readText(spark, new Path(metaDir, s"v$v.metadata.json")))
+      m("snapshots").arr.flatMap { s =>
+        s.opt("manifest-list").map(_.str).toSeq.flatMap { lst =>
+          lst +: readAvro(spark, lst).map(_.get("manifest_path").toString)
+        } ++ s.opt("manifests").map(_.arr.map(_.str)).getOrElse(Vector.empty)
+      }
+    }.map(u => new Path(u).getName).toSet
+    val avroDeleted = fs.listStatus(metaDir)
+      .filter(st => st.getPath.getName.endsWith(".avro") &&
+        !referenced.contains(st.getPath.getName))
+      .map { st => fs.delete(st.getPath, false); 1 }.sum
+
+    ExpireStats(dropped, mdDeleted, avroDeleted)
+  }
+
   private def readAvro(spark: SparkSession, uri: String): Seq[GenericRecord] = {
     val p = new Path(uri) // scheme-aware: resolves the URI's own FS
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)

@@ -184,6 +184,53 @@ class IcebergExportSpec extends SparkSpec {
       == LogSync.table(spark, root).count())
   }
 
+  test("expireMetadata: bounded metadata, trimmed history, current chain untouched") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    // three more incremental exports, each after an append
+    for (i <- 0 until 3) {
+      Tables.events(spark, sf).limit(20)
+        .select(col("ts").as("timestamp"), lit(s"sx$i").as("service_name"),
+          col("props").as("body"))
+        .write.partitionBy("service_name").mode("append").parquet(root)
+      assert(LogSync.sync(spark, root) >= 1)
+      IcebergExport.export(spark, root)
+    }
+    val metaDir = new java.io.File(new java.io.File(root), "_iceberg/metadata")
+    def versions = metaDir.listFiles.map(_.getName)
+      .filter(_.matches("v[0-9]+\\.metadata\\.json")).sorted.toSeq
+    def avros = metaDir.listFiles.map(_.getName).count(_.endsWith(".avro"))
+    assert(versions.size == 4 && IcebergExport.snapshots(spark, root).size == 4)
+    val totalBefore = IcebergExport.readTable(spark, root).count()
+    val avrosBefore = avros
+
+    val stats = IcebergExport.expireMetadata(spark, root,
+      keepMetadataVersions = 1, keepSnapshots = 1)
+    // snapshot trim wrote v5; expiry keeps only it
+    assert(stats.snapshotsDropped == 3)
+    assert(versions == Seq("v5.metadata.json"), versions.toString)
+    assert(IcebergExport.snapshots(spark, root).size == 1)
+    // the current snapshot's manifest-list carries every DATA manifest
+    // forward (incremental chain), so the manifests all survive; the
+    // three superseded snapshots' manifest-LISTS are the orphans
+    assert(stats.avroDeleted == 3, stats.toString)
+    assert(avros == avrosBefore - stats.avroDeleted)
+    // the data surface is untouched
+    assert(IcebergExport.readTable(spark, root).count() == totalBefore)
+    assert(LogSync.table(spark, root).count() == totalBefore)
+    // the export lifecycle continues: another append lands as a DELTA
+    // on the trimmed chain
+    Tables.events(spark, sf).limit(10)
+      .select(col("ts").as("timestamp"), lit("sx9").as("service_name"),
+        col("props").as("body"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.readTable(spark, root).count() == totalBefore + 10)
+    assert(IcebergExport.snapshots(spark, root).size == 2,
+      "post-expiry export must chain a delta onto the trimmed history")
+  }
+
   test("readExternal rejects what it cannot honor: non-identity transforms") {
     val loc = Files.createTempDirectory("graft_ice_rej").toString
     new java.io.File(s"$loc/metadata").mkdirs()
