@@ -90,6 +90,36 @@ object TraceAnalytics {
       .orderBy(col("idx"))
   }
 
+  /** The service graph over ANY span table carrying real parent ids —
+    * the library API for spans ingested through the OTLP edge
+    * ([[graft.serving.OtlpHttp]]'s `/v1/traces` lake) or any source
+    * with (trace_id, span_id, parent_span_id, service, dur_ms)
+    * columns. Caller→callee edges from child⋈parent on
+    * (trace_id, parent_span_id = span_id) — co-partitioned equi-join,
+    * tier²-cardinality aggregate, same shape as the synthesized
+    * contract twin below.
+    */
+  def serviceGraphEdges(spanTable: DataFrame): DataFrame =
+    spanTable.as("c").filter(col("c.parent_span_id").isNotNull)
+      .join(spanTable.select(col("trace_id"), col("span_id").as("__psid"),
+        col("service").as("parent_service")).as("p"),
+        col("c.trace_id") === col("p.trace_id") &&
+          col("c.parent_span_id") === col("__psid"))
+      .groupBy(col("parent_service"), col("c.service").as("service"))
+      .agg(count(lit(1)).as("calls"), sum(col("c.dur_ms")).as("callee_ms"))
+      .orderBy(col("parent_service"), col("service"))
+
+  /** [[serviceGraphEdges]] over the OTLP-ingested span lake (the
+    * `<root>/_traces` table [[graft.serving.OtlpHttp]] writes):
+    * durations arrive in nanoseconds and services under
+    * `service_name` — mapped here onto the span model.
+    */
+  def serviceGraphFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
+    serviceGraphEdges(graft.sources.LogSync.table(spark, tracesRoot)
+      .select(col("trace_id"), col("span_id"), col("parent_span_id"),
+        col("service_name").as("service"),
+        (col("duration_ns") / 1000000L).cast("long").as("dur_ms")))
+
   /** The SERVICE GRAPH (the APM service-map panel): caller→callee
     * edges with call counts and callee latency, from parent→child
     * span pairs across every trace. One trace-keyed window + one

@@ -68,6 +68,42 @@ class TraceAnalyticsSpec extends SparkSpec {
     assert(single.filter(col("critical_ms") =!= col("d")).count() == 0)
   }
 
+  test("serviceGraphFromLake: OTLP-ingested spans drive the same service map") {
+    val root = java.nio.file.Files.createTempDirectory("graft_trace_lake").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseUs = 1705060800000000L
+      // web root → auth child → auth grandchild: expect web→auth(1), auth→auth(1)
+      val spans = Seq(
+        ("root000000000000", null, "svc-web", 500000L),
+        ("child00000000001", "root000000000000", "svc-auth", 200000L),
+        ("child00000000002", "child00000000001", "svc-auth", 100000L))
+      import spark.implicits._
+      spans.zipWithIndex.foreach { case ((sid, pid, svc, durUs), i) =>
+        val env = spark.range(1).select(graft.sources.OtlpTraces.toOtlpJson(
+          lit(baseUs + i), lit(baseUs + i + durUs), lit(svc),
+          lit("11111111111111111111111111111111"), lit(sid),
+          if (pid == null) lit(null).cast("string") else lit(pid),
+          lit("op"), lit(2), lit(0)).as("env")).head.getString(0)
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${server.port}/v1/traces"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(env)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+      }
+      server.flush()
+      val edges = graft.operators.TraceAnalytics
+        .serviceGraphFromLake(spark, s"$root/_traces").collect()
+        .map(r => (r.getAs[String]("parent_service"), r.getAs[String]("service"),
+          r.getAs[Long]("calls"), r.getAs[Long]("callee_ms"))).toSet
+      assert(edges == Set(("svc-web", "svc-auth", 1L, 200L),
+        ("svc-auth", "svc-auth", 1L, 100L)), edges.toString)
+    } finally server.stop()
+  }
+
   test("plan shape: the point lookup filters before ranking; graph joins are not nested-loop") {
     // traceSpans: the trace filter must run BELOW the window (the
     // rank covers one trace's rows, not the corpus). In the bottom-up
