@@ -80,6 +80,48 @@ object MetricAnalytics {
       .orderBy(col("service"), col("day"), col("hour"))
   }
 
+  /** PromQL `increase()` over ANY cumulative-counter sample table —
+    * the library API for points ingested through the OTLP edge
+    * ([[graft.serving.OtlpHttp]]'s `/v1/metrics` lake) or any source
+    * with (series identity columns, `ts`, ordering tiebreak, `value`)
+    * rows. Same reset rule as the contract twin: consecutive-sample
+    * lag per series, a drop contributes the post-reset value, the
+    * first sample counts from zero; bucketed by the caller's bucket
+    * expression. Series-keyed window shuffles only.
+    */
+  def increaseOf(samples: DataFrame, seriesCols: Seq[String],
+                 bucket: org.apache.spark.sql.Column,
+                 order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val wSeries = Window.partitionBy(seriesCols.map(col): _*).orderBy(order: _*)
+    samples
+      .withColumn("__prev", lag(col("value"), 1).over(wSeries))
+      .withColumn("__inc",
+        when(col("__prev").isNull || col("value") < col("__prev"), col("value"))
+          .otherwise(col("value") - col("__prev")))
+      .groupBy(seriesCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(sum(col("__inc")).as("increase"))
+      .orderBy(seriesCols.map(col) :+ col("bucket"): _*)
+  }
+
+  /** [[increaseOf]] over the OTLP-ingested metric lake (the
+    * `<root>/_metrics` table [[graft.serving.OtlpHttp]] writes):
+    * hourly increase of one monotonic-sum metric, series =
+    * (service, metric). Delta-temporality sums (temporality=1) are
+    * already increments — the reset rule degenerates to identity on
+    * them only when values never dip, so callers split on the landed
+    * `temporality` column; this entry point takes the CUMULATIVE
+    * (temporality=2) points, the PromQL-shaped case.
+    */
+  def increaseFromLake(spark: SparkSession, metricsRoot: String,
+                       metricName: String): DataFrame =
+    increaseOf(
+      graft.sources.LogSync.table(spark, metricsRoot)
+        .filter(col("kind") === "sum" && col("metric_name") === metricName &&
+          col("is_monotonic") && col("temporality") === 2),
+      Seq("service_name", "metric_name"),
+      date_trunc("hour", col("timestamp")),
+      Seq(col("timestamp")))
+
   /** Gauge rollup per (service, day, hour): sample count, min/max in
     * exact cents, mean rounded to 4 dp on both sides.
     */

@@ -86,6 +86,45 @@ class MetricAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("increaseFromLake: OTLP-ingested cumulative counters yield reset-corrected increases") {
+    val root = java.nio.file.Files.createTempDirectory("graft_metric_lake").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseNs = 1705060800000000000L // 2024-01-12T12:00:00Z
+      // cumulative monotonic sum: 10, 25 in hour 12; RESET (40 -> 5),
+      // then 9 in hour 13. Expect hour12: 10 + 15 + 15 = 40? No —
+      // samples land where they are: h12 = [10, 25, 40], h13 = [5, 9]
+      // → inc h12 = 10+15+15 = 40, h13 = 5 (reset) + 4 = 9
+      val points = Seq((0L, 10L), (600L, 25L), (1200L, 40L),
+        (3700L, 5L), (3900L, 9L))
+      val dps = points.map { case (s, v) =>
+        s"""{"timeUnixNano":"${baseNs + s * 1000000000L}","asInt":"$v","attributes":[]}"""
+      }.mkString(",")
+      val env =
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"svc-c"}}]},
+           |"scopeMetrics":[{"scope":{"name":"g","version":"1"},"metrics":[
+           |{"name":"requests","unit":"{req}","sum":{"dataPoints":[$dps],
+           |"aggregationTemporality":2,"isMonotonic":true}}]}]}]}"""
+          .stripMargin.replace("\n", "")
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${server.port}/v1/metrics"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(env)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      server.flush()
+      val inc = graft.operators.MetricAnalytics
+        .increaseFromLake(spark, s"$root/_metrics", "requests").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket").toInstant.toString ->
+          r.getAs[Double]("increase")).toMap
+      assert(inc == Map("2024-01-12T12:00:00Z" -> 40.0, "2024-01-12T13:00:00Z" -> 9.0),
+        inc.toString)
+    } finally server.stop()
+  }
+
   test("plan shape: counter windows stay series-keyed — no single-partition global sort") {
     val plan = planString(MetricAnalytics.rate(spark, sf))
     assert(!plan.contains("SinglePartition"),
