@@ -61,6 +61,7 @@ object SparkEntry {
     "trace_service_graph"      -> (TraceAnalytics.serviceGraph _),
     "trace_summary"            -> (TraceAnalytics.traceSummary _),
     "trace_critical_path"      -> (TraceAnalytics.criticalPath _),
+    "trace_latency"            -> (TraceAnalytics.latencyByService _),
     "metrics_rate"             -> (MetricAnalytics.rate _),
     "metrics_gauge"            -> (MetricAnalytics.gauge _),
     "metrics_histogram"        -> (MetricAnalytics.histogram _),
@@ -639,6 +640,25 @@ object SparkEntry {
         |  ON n.trace_id = w.trace_id
         |WHERE w.cur = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "trace_latency" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT service, operation,
+        |  round(quantile_cont(dur_ms, 0.5), 4) AS p50_ms,
+        |  round(quantile_cont(dur_ms, 0.95), 4) AS p95_ms,
+        |  count(*) AS calls,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
+        |FROM spans GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // ---- metrics family: counter samples are daily-resetting
     // cumulative integer-cent sums; the oracles replay the synthesis
     // and the PromQL reset-correction / quantile formulas verbatim ----

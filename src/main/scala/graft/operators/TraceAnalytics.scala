@@ -151,6 +151,24 @@ object TraceAnalytics {
         sum(when(col("operation") === "error", 1L).otherwise(0L)).as("n_errors"))
       .orderBy(col("trace_id"))
 
+  /** Span-duration latency panel per (service, operation) — the APM
+    * "p50/p95 by endpoint" view: exact percentiles over the span
+    * durations (`percentile` is a mergeable aggregate — map-side
+    * partials, one shuffle to tier×operation cardinality) plus call
+    * counts and total time. The window in the span synthesis is the
+    * only trace-keyed pass; the percentile aggregate itself never
+    * sorts the corpus.
+    */
+  def latencyByService(spark: SparkSession, dir: String): DataFrame =
+    spans(spark, dir)
+      .groupBy(col("service"), col("operation"))
+      .agg(
+        round(expr("percentile(dur_ms, 0.5)"), 4).as("p50_ms"),
+        round(expr("percentile(dur_ms, 0.95)"), 4).as("p95_ms"),
+        count(lit(1)).as("calls"),
+        sum(col("dur_ms")).as("total_ms"))
+      .orderBy(col("service"), col("operation"))
+
   /** CRITICAL PATH per trace: the maximum root-to-span cost in the
     * heap-parent tree — the "where did the latency go" number. The
     * ancestor chain of span `idx` is idx, idx÷2, idx÷4, …, 1, so the
