@@ -113,14 +113,24 @@ object MetricAnalytics {
     * (temporality=2) points, the PromQL-shaped case.
     */
   def increaseFromLake(spark: SparkSession, metricsRoot: String,
-                       metricName: String): DataFrame =
+                       metricName: String): DataFrame = {
+    val t0 = graft.sources.LogSync.table(spark, metricsRoot)
+    // legacy lake files may predate the temporality column; an absent
+    // or null temporality on a monotonic sum is treated as cumulative
+    // (the OTLP default shape for monotonic counters) rather than
+    // silently dropping the points
+    val t = if (t0.columns.contains("temporality")) t0
+            else t0.withColumn("temporality", lit(null).cast("int"))
     increaseOf(
-      graft.sources.LogSync.table(spark, metricsRoot)
-        .filter(col("kind") === "sum" && col("metric_name") === metricName &&
-          col("is_monotonic") && col("temporality") === 2),
+      t.filter(col("kind") === "sum" && col("metric_name") === metricName &&
+        col("is_monotonic") &&
+        (col("temporality").isNull || col("temporality") === 2)),
       Seq("service_name", "metric_name"),
       date_trunc("hour", col("timestamp")),
-      Seq(col("timestamp")))
+      // value as the tiebreak: deterministic lag order even when two
+      // samples share a timestamp across an agent restart
+      Seq(col("timestamp"), col("value")))
+  }
 
   /** Gauge rollup per (service, day, hour): sample count, min/max in
     * exact cents, mean rounded to 4 dp on both sides.

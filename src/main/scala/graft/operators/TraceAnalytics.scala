@@ -118,7 +118,10 @@ object TraceAnalytics {
     serviceGraphEdges(graft.sources.LogSync.table(spark, tracesRoot)
       .select(col("trace_id"), col("span_id"), col("parent_span_id"),
         col("service_name").as("service"),
-        (col("duration_ns") / 1000000L).cast("long").as("dur_ms")))
+        // round-half-up like every other duration path (truncation
+        // would zero sub-ms spans and under-report callee_ms)
+        floor(col("duration_ns") / lit(1000000.0) + lit(0.5))
+          .cast("long").as("dur_ms")))
 
   /** The SERVICE GRAPH (the APM service-map panel): caller→callee
     * edges with call counts and callee latency, from parent→child

@@ -216,10 +216,14 @@ object IceRestCatalog {
         val (code, resp) =
           try route(ex.getRequestMethod, ex.getRequestURI.getRawPath, readBody(ex))
           catch {
+            // malformed percent-encoding in a path segment is the
+            // client's error (URLDecoder throws IllegalArgumentException)
+            case t: IllegalArgumentException =>
+              err(400, "BadRequestException", s"bad request: ${t.getMessage}")
             // 400 is reserved for requests the CLIENT got wrong (the
-            // route marks those itself); anything that escapes route()
-            // — corrupt registered metadata, FS errors, bugs — is a
-            // SERVER failure and must say so, or a spec-conforming
+            // route marks those itself); anything else that escapes
+            // route() — corrupt registered metadata, FS errors, bugs —
+            // is a SERVER failure and must say so, or a spec-conforming
             // client treats it as its own non-retryable mistake
             case scala.util.control.NonFatal(t) =>
               err(500, "InternalServerError", s"${t.getClass.getSimpleName}: ${t.getMessage}")

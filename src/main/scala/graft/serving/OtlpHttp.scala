@@ -208,7 +208,9 @@ object OtlpHttp {
       var firstError: Throwable = null
       def phase(f: => (Long, Long)): Unit =
         try { val (r, q) = f; rows += r; quarantined += q }
-        catch { case t: Throwable =>
+        catch { case scala.util.control.NonFatal(t) =>
+          // fatal errors (OOM, interrupt) propagate immediately — no
+          // point launching further Spark phases on a broken JVM
           if (firstError == null) firstError = t else firstError.addSuppressed(t)
         }
       phase(flushLogs())
@@ -238,9 +240,13 @@ object OtlpHttp {
       val released = ss.map(_.getBytes("UTF-8").length.toLong).sum
       pendingBytes.addAndGet(-released)
       var rowsDurable = false
-      val (valid0, bad) = parser(ss.toDF("payload"), col("payload"))
-      val valid = valid0.cache()
+      // plan construction stays INSIDE the try: an analysis failure
+      // (or a session racing shutdown) must hit the re-enqueue path —
+      // these payloads are already 200-acked
+      var valid: org.apache.spark.sql.DataFrame = null
       try {
+        val (valid0, bad) = parser(ss.toDF("payload"), col("payload"))
+        valid = valid0.cache()
         val nValid = valid.count()
         val badN = bad.count()
         if (badN > 0)
@@ -257,8 +263,8 @@ object OtlpHttp {
         case t: Throwable =>
           if (!rowsDurable) { ss.foreach(q.add); pendingBytes.addAndGet(released) }
           throw t
-      } finally valid.unpersist() // also on the failure path — a
-      // retry loop must not accumulate cached copies of failed batches
+      } finally if (valid != null) valid.unpersist() // also on the
+      // failure path — retries must not accumulate cached copies
     }
 
     private def flushLogs(): (Long, Long) = {
@@ -280,13 +286,16 @@ object OtlpHttp {
       // that point a re-enqueue would DOUBLE-write them (sync registers
       // by directory scan), so the catch below re-enqueues only before
       var rowsDurable = false
-      val parsed = Seq(
-        if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
-        else None,
-        if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
-        else None).flatten
-      val valid = parsed.map(_._1).reduce(_ unionByName _).cache()
+      // plan construction inside the try (see flushJsonSignal): an
+      // analysis failure must re-enqueue the 200-acked payloads
+      var valid: org.apache.spark.sql.DataFrame = null
       try {
+        val parsed = Seq(
+          if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
+          else None,
+          if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
+          else None).flatten
+        valid = parsed.map(_._1).reduce(_ unionByName _).cache()
         val nValid = valid.count()
         // shape-invalid envelopes first: quarantined as their raw
         // bytes, the batch intake's no-silent-drop rule. Ordered
@@ -321,8 +330,8 @@ object OtlpHttp {
             pendingBytes.addAndGet(released)
           }
           throw t
-      } finally valid.unpersist() // also on failure — retries must
-      // not accumulate cached copies of failed batches
+      } finally if (valid != null) valid.unpersist() // also on
+      // failure — retries must not accumulate cached copies
     }
 
     /** Close the socket WAITING for in-flight handlers (a payload the

@@ -497,9 +497,14 @@ object IcebergExport {
       else {
         val curId = md.opt("current-snapshot-id").map(_.long)
           .getOrElse(sys.error("no current-snapshot-id"))
-        // keep the newest by sequence/commit order = array tail, but
-        // always the current snapshot
-        val kept = snaps.takeRight(keepSnapshots)
+        // newest by (sequence-number, timestamp) — NOT array position:
+        // the spec doesn't constrain the snapshots array's order, and
+        // trusting it could expire the newest history of an
+        // externally-written table (same rule as resolveChain's
+        // timestamp fallback)
+        val kept = snaps.sortBy(s =>
+          (s.opt("sequence-number").map(_.long).getOrElse(0L),
+            s("timestamp-ms").long)).takeRight(keepSnapshots)
         require(kept.exists(_("snapshot-id").long == curId),
           "the current snapshot must be inside the kept history tail")
         val keptIds = kept.map(_("snapshot-id").long).toSet
@@ -759,16 +764,23 @@ object IcebergExport {
             val d = e.get("data_file").asInstanceOf[GenericRecord]
             val seq = longOf(e, "sequence_number").getOrElse(mSeq)
             val content = if (has(d, "content")) d.get("content").asInstanceOf[Int] else 0
-            def partOf: Option[Map[String, Any]] =
+            // fields PRESENT in the record's own schema — presence is
+            // what distinguishes a value that happens to be NULL (a
+            // null-valued partition, still binding) from a field the
+            // record simply doesn't carry
+            def presentPart: Map[String, Any] =
               Option(d.get("partition")).map(_.asInstanceOf[GenericRecord]).map { p =>
-                partFields.map { case (name, _) =>
-                  name -> (if (p.getSchema.getField(name) != null) p.get(name) else null)
+                partFields.collect { case (name, _)
+                  if p.getSchema.getField(name) != null => name -> p.get(name)
                 }.toMap
-              }
+              }.getOrElse(Map.empty)
             content match {
               case 0 =>
                 require(!isDelete, s"data file ${d.get("file_path")} in a delete manifest")
-                val pv = partOf.getOrElse(partFields.map(_._1 -> (null: Any)).toMap)
+                val present = presentPart
+                val pv = partFields.map { case (name, _) =>
+                  name -> present.getOrElse(name, null)
+                }.toMap
                 dataFiles += ChainFile(d.get("file_path").toString, pv, seq)
               case 1 | 2 => // position / equality delete file (v2 MOR)
                 val eqIds =
@@ -778,12 +790,12 @@ object IcebergExport {
                   else Seq.empty
                 require(content == 1 || eqIds.nonEmpty,
                   s"equality delete file ${d.get("file_path")} lists no equality_ids")
-                // a partition record with any field present scopes the
-                // delete to that partition (the spec: a delete file
-                // belongs to a partition spec; an empty/absent record
-                // means an unpartitioned spec = global)
-                val scoped = partOf.filter(pv =>
-                  partFields.nonEmpty && pv.values.exists(_ != null))
+                // a partition record CARRYING any of the table's
+                // partition fields scopes the delete to that partition
+                // — even when the bound value is null (a null-valued
+                // partition is still one partition); an empty/absent
+                // record means an unpartitioned spec = global
+                val scoped = Some(presentPart).filter(_.nonEmpty)
                 delFiles += DeleteFile(d.get("file_path").toString, content, eqIds, seq,
                   scoped)
               case other => sys.error(
@@ -991,25 +1003,27 @@ object IcebergExport {
             s"equality delete column '$c' absent from the data scan"))
           val scopeCols = dels.flatMap(_.partValues).flatMap(_.keys).distinct
           val delRows = dels.map { d =>
-            val scope = scopeCols.map { p =>
-              d.partValues match {
-                case Some(pv) =>
-                  lit(renderVal(pv.getOrElse(p, null), srcType(p)))
-                    .cast(sparkTypeFor(srcType(p))).as(s"__gdp_$p")
-                case None => lit(null).cast(sparkTypeFor(srcType(p))).as(s"__gdp_$p")
-              }
+            // per field: does THIS file's partition record bind it
+            // (possibly to null), and to what value — a file
+            // constrains only the fields its record carries
+            val scope = scopeCols.flatMap { p =>
+              val bound = d.partValues.exists(_.contains(p))
+              Seq(
+                lit(bound).as(s"__gdps_$p"),
+                (if (bound)
+                   lit(renderVal(d.partValues.flatMap(_.get(p)).orNull, srcType(p)))
+                     .cast(sparkTypeFor(srcType(p)))
+                 else lit(null).cast(sparkTypeFor(srcType(p)))).as(s"__gdp_$p"))
             }
-            val scoped = lit(d.partValues.nonEmpty).as("__gd_scoped")
             spark.read.parquet(fileUri(d.uri))
               .select(cols.map(c => col(c).as(s"__gd_$c")) ++ scope ++
-                Seq(scoped, lit(d.seq).as("__graft_dseq")): _*)
+                Seq(lit(d.seq).as("__graft_dseq")): _*)
           }.reduce(_ unionByName _)
           val scopeCond = scopeCols
-            .map(p => col(p) <=> col(s"__gdp_$p"))
+            .map(p => !col(s"__gdps_$p") || (col(p) <=> col(s"__gdp_$p")))
             .foldLeft(lit(true))(_ && _)
           val cond = cols.map(c => col(c) <=> col(s"__gd_$c"))
-            .reduce(_ && _) && col("__graft_seq") < col("__graft_dseq") &&
-            (!col("__gd_scoped") || scopeCond)
+            .reduce(_ && _) && col("__graft_seq") < col("__graft_dseq") && scopeCond
           df.join(delRows, cond, "left_anti")
         }
       // position deletes: delete rows carry the TARGET data file path

@@ -48,11 +48,14 @@ object OtlpMetrics {
       .add("dataPoints", ArrayType(numberPointType)))
     .add("sum", new StructType()
       .add("dataPoints", ArrayType(numberPointType))
-      .add("aggregationTemporality", IntegerType)
+      // StringType: OTLP/JSON writes enums as integers, but proto3
+      // canonical JSON (some SDKs) writes the NAME — a string field
+      // accepts both tokens; [[temporalityOf]] normalizes
+      .add("aggregationTemporality", StringType)
       .add("isMonotonic", BooleanType))
     .add("histogram", new StructType()
       .add("dataPoints", ArrayType(histPointType))
-      .add("aggregationTemporality", IntegerType))
+      .add("aggregationTemporality", StringType))
 
   /** Schema of one OTLP/HTTP metrics envelope. */
   val otlpSchema: StructType = new StructType()
@@ -67,6 +70,16 @@ object OtlpMetrics {
 
   private def resourceAttr(attrs: Column, key: String): Column =
     OtlpAttrs.resourceAttr(attrs, key)
+
+  /** Normalize an aggregationTemporality token to the enum int: OTLP
+    * integers ("1"/"2") pass through, proto3-canonical names map, and
+    * anything else lands NULL rather than poisoning the envelope.
+    */
+  private def temporalityOf(raw: Column): Column =
+    when(raw.rlike("^[0-9]+$"), raw.cast("int"))
+      .when(raw.contains("DELTA"), lit(1))
+      .when(raw.contains("CUMULATIVE"), lit(2))
+      .otherwise(lit(null).cast("int"))
 
   /** Parse a column of OTLP/JSON metric envelopes into flattened
     * data-point rows (kind ∈ gauge | sum | histogram).
@@ -98,7 +111,7 @@ object OtlpMetrics {
         // temporality decides whether rate() needs reset correction
         // (cumulative=2) or a plain sum (delta=1) — irrecoverable
         // after ingest, so it must land (gauges have none)
-        (if (kind == "sum") col("m.sum.aggregationTemporality")
+        (if (kind == "sum") temporalityOf(col("m.sum.aggregationTemporality"))
          else lit(null).cast("int")).as("temporality"),
         lit(null).cast("long").as("point_count"),
         lit(null).cast("double").as("point_sum"),
@@ -113,7 +126,7 @@ object OtlpMetrics {
       .select(base("histogram") ++ Seq(
         lit(null).cast("double").as("value"),
         lit(null).cast("boolean").as("is_monotonic"),
-        col("m.histogram.aggregationTemporality").as("temporality"),
+        temporalityOf(col("m.histogram.aggregationTemporality")).as("temporality"),
         col("dp.count").cast("long").as("point_count"),
         col("dp.sum").as("point_sum"),
         to_json(col("dp.bucketCounts")).as("bucket_counts"),
