@@ -62,7 +62,11 @@ object SparkEntry {
     "trace_summary"            -> (TraceAnalytics.traceSummary _),
     "trace_critical_path"      -> (TraceAnalytics.criticalPath _),
     "trace_latency"            -> (TraceAnalytics.latencyByService _),
+    "trace_logs"               -> (TraceAnalytics.traceLogs _),
+    "trace_tail_sample"        -> ((s: SparkSession, d: String) => TraceAnalytics.tailSample(s, d)),
+    "trace_self_time"          -> (TraceAnalytics.selfTime _),
     "metrics_rate"             -> (MetricAnalytics.rate _),
+    "metrics_exemplars"        -> (MetricAnalytics.exemplars _),
     "metrics_gauge"            -> (MetricAnalytics.gauge _),
     "metrics_histogram"        -> (MetricAnalytics.histogram _),
     "metrics_hist_p95"         -> ((s: SparkSession, d: String) => MetricAnalytics.histogramQuantile(s, d)),
@@ -659,6 +663,82 @@ object SparkEntry {
         |  count(*) AS calls,
         |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
         |FROM spans GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // cross-signal: spans left-joined to their WARN+ log records on
+    // the (trace_id, 16-hex span prefix) context both syntheses stamp;
+    // the oracle replays both sides and the prefix join verbatim
+    "trace_logs" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    md5(CAST(event_id AS VARCHAR)) AS span_id,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    strftime(ts,'%Y-%m-%d') AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |logs AS (
+        |  SELECT trace_id, substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS l_span_id
+        |  FROM base
+        |  WHERE CASE WHEN event_type = 'error' THEN 17
+        |             WHEN event_type = 'signup' THEN 13
+        |             WHEN event_type IN ('purchase','view') THEN 9
+        |             ELSE 5 END >= 13)
+        |SELECT s.service AS service, s.day AS day, count(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN l.l_span_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_warn,
+        |  CAST(COALESCE(SUM(CASE WHEN l.l_span_id IS NOT NULL THEN s.dur_ms END), 0) AS BIGINT) AS warn_ms
+        |FROM spans s LEFT JOIN logs l
+        |  ON l.trace_id = s.trace_id AND l.l_span_id = substr(s.span_id, 1, 16)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // tail sampling: decision = pure function of the aggregated trace
+    // (error > slow > md5-prefix hash rule), replayed verbatim
+    "trace_tail_sample" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id, event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |t AS (
+        |  SELECT trace_id, count(*) AS n_spans,
+        |    CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |    SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS n_errors
+        |  FROM spans GROUP BY 1)
+        |SELECT trace_id, n_spans, total_ms,
+        |  CASE WHEN n_errors > 0 THEN 'error'
+        |       WHEN total_ms >= 3000 THEN 'slow'
+        |       WHEN substr(md5(trace_id), 1, 2) < '2a' THEN 'prob' END AS reason
+        |FROM t
+        |WHERE n_errors > 0 OR total_ms >= 3000 OR substr(md5(trace_id), 1, 2) < '2a'
+        |ORDER BY trace_id""".stripMargin,
+    // self time: dur − Σ children dur via one heap-parent-keyed
+    // aggregate joined back; negative = child overlap, kept as-is
+    "trace_self_time" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |kids AS (
+        |  SELECT trace_id, idx // 2 AS idx, SUM(dur_ms) AS child_ms
+        |  FROM spans WHERE idx > 1 GROUP BY 1, 2)
+        |SELECT s.service AS service, count(*) AS n_spans,
+        |  CAST(SUM(s.dur_ms) AS BIGINT) AS total_ms,
+        |  CAST(SUM(s.dur_ms - COALESCE(k.child_ms, 0)) AS BIGINT) AS self_ms
+        |FROM spans s LEFT JOIN kids k
+        |  ON k.trace_id = s.trace_id AND k.idx = s.idx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ---- metrics family: counter samples are daily-resetting
     // cumulative integer-cent sums; the oracles replay the synthesis
     // and the PromQL reset-correction / quantile formulas verbatim ----
@@ -678,6 +758,19 @@ object SparkEntry {
         |SELECT service, day, hour,
         |  CAST(SUM(CASE WHEN prev IS NULL OR cum < prev THEN cum ELSE cum - prev END) AS BIGINT) AS increase_c
         |FROM deltas GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // exemplars: the deterministic peak pick rides the same
+    // fixed-width lpad(value)||trace_id max-encoding on both engines
+    "metrics_exemplars" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |  count(*) AS n,
+        |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
+        |  substr(MAX(
+        |    lpad(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 12, '0')
+        |      || md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))),
+        |    13) AS exemplar_trace_id
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "metrics_gauge" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
         |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,

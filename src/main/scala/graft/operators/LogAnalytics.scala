@@ -374,6 +374,14 @@ object LogAnalytics {
       OtlpLogs.parse(payloads, col("payload")).persist()
     })
 
+  /** The shared OTel log parse for cross-signal consumers
+    * ([[TraceAnalytics.traceLogs]] joins these rows against the span
+    * model on the trace/span ids both syntheses stamp). Same memoized
+    * frame the log family queries read — no extra parse pass.
+    */
+  private[graft] def otelLogsShared(spark: SparkSession, dir: String): DataFrame =
+    otelLogs(spark, dir)
+
   /** Severity-range filter on the NUMERIC severity (default >= WARN =
     * 13): the query every OTel user runs when text severities vary by
     * SDK. Filters on severity_number, not severity_text.

@@ -145,6 +145,37 @@ object MetricAnalytics {
         max(col("vi")).as("max_c"), round(avg(col("value")), 4).as("avg_v"))
       .orderBy(col("service"), col("day"), col("hour"))
 
+  /** OTel EXEMPLARS: per (service, day, hour) bucket, alongside the
+    * sample count and max, the trace id of the bucket's PEAK sample —
+    * the metrics→traces hop ("this latency bucket spiked; show me a
+    * trace from inside it") OTLP data points carry natively. The
+    * exemplar trace key is the SAME md5(user/day) id the log and span
+    * syntheses stamp, so the surfaced id resolves in
+    * [[TraceAnalytics.traceSpans]] and [[LogAnalytics.traceLookup]]
+    * directly — all three signals meet on one key.
+    *
+    * The peak pick must be deterministic under value ties, so the
+    * argmax rides a single `max` over the fixed-width
+    * `lpad(value)∥trace_id` encoding (ties break to the
+    * lexicographically largest trace id) — a plain mergeable
+    * aggregate, map-side-combined, identical in any evaluation order
+    * and replayed verbatim by the oracle. Map-only projection + ONE
+    * aggregate shuffle to bucket cardinality.
+    */
+  def exemplars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("service", svc)
+      .withColumn("vi", vi)
+      .withColumn("trace_id",
+        md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd"))))
+      .groupBy(col("service"), dayofmonth(col("ts")).as("day"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), max(col("vi")).as("max_c"),
+        substring(max(concat(lpad(col("vi").cast("string"), 12, "0"),
+          col("trace_id"))), 13, 32).as("exemplar_trace_id"))
+      .orderBy(col("service"), col("day"), col("hour"))
+
   /** Explicit-bucket histogram in the Prometheus CUMULATIVE-le form
     * (what `histogram_quantile` consumes): per (service, le) the count
     * of samples ≤ le. Bucketing is a map-only projection (no

@@ -172,6 +172,96 @@ object TraceAnalytics {
         sum(col("dur_ms")).as("total_ms"))
       .orderBy(col("service"), col("operation"))
 
+  /** TAIL-BASED SAMPLING — the OTel tail-sampling processor's
+    * decision, made the way only a backend can (after the whole trace
+    * is visible): keep every trace with an ERROR span, every trace
+    * slower than `slowMs` total, and a deterministic hash sample of
+    * the rest. The probabilistic leg is the md5-PREFIX rule
+    * (`md5(trace_id) < hexCut` over the first two hex digits — e.g.
+    * "2a" keeps 42/256 ≈ 16%), so the decision is a pure function of
+    * the trace id: replayable on both engines, consistent across
+    * re-runs, and exactly the property a distributed sampler needs
+    * (any node decides any trace identically, no coordination).
+    *
+    * Scale shape: ONE trace-keyed aggregate makes every decision
+    * (error-count, total, and the hash rule are all mergeable);
+    * output is kept-trace-cardinality. No join back to spans here —
+    * exporting the kept spans is the existing manifest semi-join
+    * pattern ([[graft.sources.LogSync.table]]) with this frame as
+    * the keep set.
+    */
+  def tailSample(spark: SparkSession, dir: String,
+                 slowMs: Long = 3000, hexCut: String = "2a"): DataFrame =
+    spans(spark, dir)
+      .groupBy(col("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("dur_ms")).as("total_ms"),
+        sum(when(col("operation") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("reason",
+        when(col("n_errors") > 0, "error")
+          .when(col("total_ms") >= slowMs, "slow")
+          .when(substring(md5(col("trace_id")), 1, 2) < hexCut, "prob"))
+      .filter(col("reason").isNotNull)
+      .select(col("trace_id"), col("n_spans"), col("total_ms"), col("reason"))
+      .orderBy(col("trace_id"))
+
+  /** PER-SERVICE SELF TIME — the flamegraph aggregate: how much of a
+    * service's span time is its OWN work vs waiting on children
+    * (`self = dur − Σ children dur`; negative when children overlap
+    * the parent, surfaced as-is — the overlap is real concurrency
+    * information). The children's contribution comes from ONE
+    * aggregate over the heap-parent key (trace_id, idx div 2) joined
+    * back co-partitioned on (trace_id, idx) — no per-trace recursion,
+    * no window beyond the synthesis rank; final frame is
+    * tier-cardinality.
+    */
+  def selfTime(spark: SparkSession, dir: String): DataFrame = {
+    val s = spans(spark, dir)
+    val childSums = s.filter(col("idx") > 1)
+      .groupBy(col("trace_id"), (col("idx") / 2).cast("int").as("idx"))
+      .agg(sum(col("dur_ms")).as("child_ms"))
+    s.join(childSums, Seq("trace_id", "idx"), "left")
+      .groupBy(col("service"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("dur_ms")).as("total_ms"),
+        sum(col("dur_ms") - coalesce(col("child_ms"), lit(0L))).as("self_ms"))
+      .orderBy(col("service"))
+  }
+
+  /** CROSS-SIGNAL CORRELATION, corpus-wide: every span left-joined to
+    * its WARN-and-up log record through the SAME (trace_id, span_id)
+    * context both signals stamp — the "do my logs actually land on my
+    * traces" audit an OTel deployment runs after wiring trace context
+    * into its log SDKs, and the aggregate behind "which services emit
+    * warnings from inside which spans". The log side carries the
+    * 16-hex span id OTLP logs use; the span side the full 32-hex id —
+    * the join matches on the log-length prefix, exactly the
+    * truncation a log SDK applies.
+    *
+    * Scale shape: BOTH sides are corpus-sized, so this is the one
+    * genuinely large⋈large join in the trace family — an equi-join
+    * hash-partitioned on (trace_id, span prefix) (one shuffle each
+    * side, no broadcast of a corpus-scaled table), then a
+    * service×day-cardinality aggregate. Each span matches ≤1 log row
+    * (span ids are unique), so the join never amplifies.
+    */
+  def traceLogs(spark: SparkSession, dir: String): DataFrame = {
+    val s = spans(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val warn = LogAnalytics.otelLogsShared(spark, dir)
+      .filter(col("severity_number") >= 13)
+      .select(col("trace_id").as("l_trace_id"), col("span_id").as("l_span_id"))
+    s.join(warn,
+        col("trace_id") === col("l_trace_id") &&
+          substring(col("span_id"), 1, 16) === col("l_span_id"), "left")
+      .groupBy(col("service"), col("day"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("l_span_id").isNotNull, 1L).otherwise(0L)).as("n_warn"),
+        coalesce(sum(when(col("l_span_id").isNotNull, col("dur_ms"))), lit(0L))
+          .as("warn_ms"))
+      .orderBy(col("service"), col("day"))
+  }
+
   /** CRITICAL PATH per trace: the maximum root-to-span cost in the
     * heap-parent tree — the "where did the latency go" number. The
     * ancestor chain of span `idx` is idx, idx÷2, idx÷4, …, 1, so the

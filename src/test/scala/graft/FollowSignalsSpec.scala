@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{LakeFollow, MetricFollow, TraceFollow}
+
+/** The trace/metric members of the follow family: streamed service-map
+  * edges and streamed reset-corrected increase over the signal lakes
+  * the OTLP edge writes — each spec drives the REAL intake (HTTP POST
+  * → flush → lake files) and holds the streams to the follow family's
+  * twin-equality bar: the union of all increments' outputs equals the
+  * one-shot batch operator over the full lake.
+  */
+class FollowSignalsSpec extends SparkSpec {
+
+  private def post(client: java.net.http.HttpClient, port: Int,
+                   path: String, body: String): Int =
+    client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+
+  private def metricEnv(svc: String, name: String,
+                        points: Seq[(Long, Long)], baseNs: Long): String = {
+    val dps = points.map { case (s, v) =>
+      s"""{"timeUnixNano":"${baseNs + s * 1000000000L}","asInt":"$v","attributes":[]}"""
+    }.mkString(",")
+    s"""{"resourceMetrics":[{"resource":{"attributes":[
+       |{"key":"service.name","value":{"stringValue":"$svc"}}]},
+       |"scopeMetrics":[{"scope":{"name":"g","version":"1"},"metrics":[
+       |{"name":"$name","unit":"{req}","sum":{"dataPoints":[$dps],
+       |"aggregationTemporality":2,"isMonotonic":true}}]}]}]}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  private def spanEnv(sid: String, pid: String, svc: String,
+                      startUs: Long, durUs: Long): String =
+    spark.range(1).select(graft.sources.OtlpTraces.toOtlpJson(
+      lit(startUs), lit(startUs + durUs), lit(svc),
+      lit("11111111111111111111111111111111"), lit(sid),
+      if (pid == null) lit(null).cast("string") else lit(pid),
+      lit("op"), lit(2), lit(0)).as("env")).head.getString(0)
+
+  test("MetricFollow: summed increment deltas equal batch increase, reset across the poll boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mfollow").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft_mfollow_marks").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseNs = 1705060800000000000L // 2024-01-12T12:00:00Z
+      val lake = s"$root/_metrics"
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+      def drain(): Unit = LakeFollow.poll(spark, lake, marks).foreach { inc =>
+        val out = MetricFollow.incrementIncrease(spark, lake, marks, inc, "requests")
+        // pre-commit crash replay: the same increment emits identically
+        val replay = MetricFollow.incrementIncrease(spark, lake, marks, inc, "requests")
+        assert(out.collect().toSeq == replay.collect().toSeq,
+          "replay before commit must emit the identical deltas")
+        emitted += out
+        LakeFollow.commit(spark, lake, marks, inc)
+      }
+
+      // poll 1: two samples in hour 12 (10 → 25)
+      assert(post(client, server.port, "/v1/metrics",
+        metricEnv("svc-c", "requests", Seq((0L, 10L), (600L, 25L)), baseNs)) == 200)
+      server.flush(); drain()
+      // poll 2: 40 still in hour 12, then a RESET (40 → 5) landing in
+      // hour 13 ACROSS the poll boundary, then 9
+      assert(post(client, server.port, "/v1/metrics",
+        metricEnv("svc-c", "requests", Seq((1200L, 40L), (3700L, 5L), (3900L, 9L)), baseNs)) == 200)
+      server.flush(); drain()
+
+      assert(emitted.size == 2, "two flushes, two increments")
+      val streamed = emitted.reduce(_ unionByName _)
+        .groupBy(col("service_name"), col("metric_name"), col("bucket"))
+        .agg(sum(col("increase")).as("increase"))
+      val batch = graft.operators.MetricAnalytics
+        .increaseFromLake(spark, lake, "requests")
+        .select(col("service_name"), col("metric_name"), col("bucket"), col("increase"))
+      assert(streamed.collect().toSet == batch.collect().toSet,
+        "stream-of-deltas and batch disagree")
+      // the boundary seam specifically: poll 2 lagged 40 against the
+      // CARRIED 25, not from zero
+      val h12 = emitted(1).filter(col("bucket") === lit("2024-01-12 12:00:00").cast("timestamp"))
+        .collect()
+      assert(h12.length == 1 && h12.head.getAs[Double]("increase") == 15.0,
+        s"second poll must contribute 40-25=15 to hour 12: ${h12.toSeq}")
+    } finally server.stop()
+  }
+
+  test("MetricFollow: out-of-order samples are rejected, not folded in") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mfollow_ooo").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft_mfollow_ooo_marks").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseNs = 1705060800000000000L
+      val lake = s"$root/_metrics"
+      assert(post(client, server.port, "/v1/metrics",
+        metricEnv("svc-o", "requests", Seq((0L, 10L), (600L, 25L)), baseNs)) == 200)
+      server.flush()
+      val i1 = LakeFollow.poll(spark, lake, marks).get
+      MetricFollow.incrementIncrease(spark, lake, marks, i1, "requests").collect()
+      LakeFollow.commit(spark, lake, marks, i1)
+      // a sample BEHIND the carry (ts 300 < carried 600) must be
+      // refused by the Prometheus rule and surfaced in __rejected
+      assert(post(client, server.port, "/v1/metrics",
+        metricEnv("svc-o", "requests", Seq((300L, 17L), (1200L, 31L)), baseNs)) == 200)
+      server.flush()
+      val i2 = LakeFollow.poll(spark, lake, marks).get
+      val out = MetricFollow.incrementIncrease(spark, lake, marks, i2, "requests").collect()
+      LakeFollow.commit(spark, lake, marks, i2)
+      assert(out.forall(_.getAs[Long]("__rejected") == 1L),
+        s"the late sample must be counted rejected: ${out.toSeq}")
+      assert(out.map(_.getAs[Double]("increase")).sum == 6.0,
+        s"only 31-25=6 may land; the late 17 must not contribute: ${out.toSeq}")
+    } finally server.stop()
+  }
+
+  test("TraceFollow: child-before-parent across polls; edge-delta union equals the batch map") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tfollow").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft_tfollow_marks").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseUs = 1705060800000000L
+      val lake = s"$root/_traces"
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+      def drain(): Unit = LakeFollow.poll(spark, lake, marks).foreach { inc =>
+        emitted += TraceFollow.incrementEdges(spark, lake, marks, inc)
+        LakeFollow.commit(spark, lake, marks, inc)
+      }
+
+      // poll 1: the CHILD ships first (its exporter flushed early);
+      // no edge can complete yet
+      assert(post(client, server.port, "/v1/traces",
+        spanEnv("child00000000001", "root000000000000", "svc-auth",
+          baseUs + 1, 200000L)) == 200)
+      server.flush(); drain()
+      assert(emitted.head.count() == 0, "no parent yet — no edge")
+
+      // poll 2: the parent arrives, plus a same-poll pair
+      // (auth → backend), so both completion orders are exercised
+      assert(post(client, server.port, "/v1/traces",
+        spanEnv("root000000000000", null, "svc-web", baseUs, 500000L)) == 200)
+      assert(post(client, server.port, "/v1/traces",
+        spanEnv("child00000000002", "child00000000001", "svc-backend",
+          baseUs + 2, 100000L)) == 200)
+      server.flush(); drain()
+
+      assert(emitted.size == 2)
+      val streamed = emitted.reduce(_ unionByName _)
+        .groupBy(col("parent_service"), col("service"))
+        .agg(sum(col("calls")).as("calls"), sum(col("callee_ms")).as("callee_ms"))
+      val batch = graft.operators.TraceAnalytics.serviceGraphFromLake(spark, lake)
+      assert(streamed.collect().toSet == batch.collect().toSet,
+        "edge-delta union and the batch service map disagree")
+      // the pending store drains once state advances to the consumed
+      // set: the once-pending child resolved
+      assert(LakeFollow.poll(spark, lake, marks).isEmpty)
+      val (_, pend) = TraceFollow.refreshedState(spark, lake, marks, 3600L * 1000)
+      assert(pend.count() == 0,
+        "every child's parent is consumed — pending must be empty")
+    } finally server.stop()
+  }
+
+  test("TraceFollow: a child whose parent never arrives expires past the horizon") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tfollow_exp").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft_tfollow_exp_marks").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseUs = 1705060800000000L
+      val lake = s"$root/_traces"
+      val horizonMs = 60L * 1000
+      // an orphan child, then (next poll) an unrelated span two
+      // horizons later: the orphan is expired, not resolved
+      assert(post(client, server.port, "/v1/traces",
+        spanEnv("orphan0000000001", "never000arriving", "svc-a",
+          baseUs, 1000L)) == 200)
+      server.flush()
+      val i1 = LakeFollow.poll(spark, lake, marks).get
+      val e1 = TraceFollow.incrementEdges(spark, lake, marks, i1, horizonMs)
+      assert(e1.count() == 0)
+      LakeFollow.commit(spark, lake, marks, i1)
+
+      assert(post(client, server.port, "/v1/traces",
+        spanEnv("late000000000001", null, "svc-b",
+          baseUs + 3 * horizonMs * 1000, 1000L)) == 200)
+      server.flush()
+      val i2 = LakeFollow.poll(spark, lake, marks).get
+      val e2 = TraceFollow.incrementEdges(spark, lake, marks, i2, horizonMs)
+      assert(e2.count() == 0, "the late span is a root — no edge")
+      // __expired is carried on emitted rows; with none emitted, the
+      // observable is the pending store after the advance
+      LakeFollow.commit(spark, lake, marks, i2)
+      val (_, pend) = TraceFollow.refreshedState(spark, lake, marks, horizonMs)
+      assert(pend.filter(col("parent_span_id") === "never000arriving").count() == 0,
+        "the orphan must have been horizon-expired from the pending store")
+    } finally server.stop()
+  }
+}

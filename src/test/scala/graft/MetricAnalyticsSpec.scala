@@ -125,6 +125,36 @@ class MetricAnalyticsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("exemplars: the surfaced trace holds the bucket's peak sample and resolves cross-signal") {
+    val ex = MetricAnalytics.exemplars(spark, sf).cache()
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("service", concat(lit("svc-"), (col("user_id") % 10).cast("string")))
+      .withColumn("vi", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .withColumn("trace_id",
+        md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd"))))
+      .select(col("service"), dayofmonth(col("ts")).as("day"),
+        hour(col("ts")).as("hour"), col("vi"), col("trace_id"))
+    // the exemplar trace must contain a sample equal to the bucket max
+    // in ITS OWN bucket (the exemplar is in-bucket, not global)
+    val bad = ex.join(events,
+        Seq("service", "day", "hour"))
+      .filter(col("trace_id") === col("exemplar_trace_id") &&
+        col("vi") === col("max_c"))
+      .groupBy(col("service"), col("day"), col("hour")).count()
+      .join(ex, Seq("service", "day", "hour"), "right_outer")
+      .filter(col("count").isNull)
+    assert(bad.count() == 0, "every exemplar must hold its bucket's peak")
+    // the exemplar id resolves in the span model — the metrics→traces hop
+    val spanTraces = graft.operators.TraceAnalytics.spans(spark, sf)
+      .select(col("trace_id")).distinct()
+    assert(ex.join(spanTraces,
+      ex("exemplar_trace_id") === spanTraces("trace_id"), "left_anti").count() == 0,
+      "every exemplar trace id must exist on the traces surface")
+    ex.unpersist()
+    ()
+  }
+
   test("plan shape: counter windows stay series-keyed — no single-partition global sort") {
     val plan = planString(MetricAnalytics.rate(spark, sf))
     assert(!plan.contains("SinglePartition"),

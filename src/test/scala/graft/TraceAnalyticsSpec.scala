@@ -104,6 +104,61 @@ class TraceAnalyticsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("traceLogs: WARN+ log rows land on exactly their spans; join never amplifies") {
+    val tl = TraceAnalytics.traceLogs(spark, sf).cache()
+    val events = graft.sources.Tables.events(spark, sf)
+    // join amplification check: span totals must survive the left join
+    val nSpans = tl.agg(sum(col("n_spans"))).head().getLong(0)
+    assert(nSpans == events.count(), "every event is a span exactly once")
+    // every WARN+ event (error=17, signup=13) correlates: the global
+    // n_warn equals the severity-filtered event count
+    val nWarn = tl.agg(sum(col("n_warn"))).head().getLong(0)
+    val direct = events.filter(col("event_type").isin("error", "signup")).count()
+    assert(nWarn == direct, s"warn correlation lost rows: $nWarn != $direct")
+    // warn_ms only counts matched spans
+    assert(tl.filter(col("warn_ms") =!= 0 && col("n_warn") === 0).count() == 0)
+    tl.unpersist()
+    ()
+  }
+
+  test("tailSample: every error/slow trace kept, hash leg deterministic, reasons prioritized") {
+    val kept = TraceAnalytics.tailSample(spark, sf).cache()
+    val all = TraceAnalytics.spans(spark, sf)
+      .groupBy("trace_id")
+      .agg(sum(col("dur_ms")).as("total_ms"),
+        sum(when(col("operation") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .cache()
+    // completeness: no error or slow trace may be dropped
+    val mustKeep = all.filter(col("n_errors") > 0 || col("total_ms") >= 3000)
+    assert(mustKeep.join(kept, Seq("trace_id"), "left_anti").count() == 0)
+    // reason priority: an error trace is never labeled slow/prob
+    assert(kept.join(all.filter(col("n_errors") > 0), "trace_id")
+      .filter(col("reason") =!= "error").count() == 0)
+    // determinism: a second evaluation keeps the identical trace set
+    val again = TraceAnalytics.tailSample(spark, sf)
+    assert(kept.select("trace_id").except(again.select("trace_id")).count() == 0)
+    assert(again.select("trace_id").except(kept.select("trace_id")).count() == 0)
+    // the hash leg keeps a strict, plausible subset (rate ~16%)
+    val probKept = kept.filter(col("reason") === "prob").count()
+    val probPool = all.filter(col("n_errors") === 0 && col("total_ms") < 3000).count()
+    assert(probKept > 0 && probKept < probPool,
+      s"hash sample kept $probKept of $probPool")
+    kept.unpersist(); all.unpersist()
+    ()
+  }
+
+  test("selfTime: per-service self+children reconciles — global self sum equals root-only work") {
+    val st = TraceAnalytics.selfTime(spark, sf).collect()
+    val spansDf = TraceAnalytics.spans(spark, sf)
+    // Σ self over all services == Σ dur − Σ (non-root dur) == since every
+    // non-root span's duration is subtracted exactly once from its parent
+    val totals = spansDf.agg(sum(col("dur_ms")),
+      sum(when(col("idx") > 1, col("dur_ms")).otherwise(0L))).head()
+    val expectSelf = totals.getLong(0) - totals.getLong(1)
+    assert(st.map(_.getAs[Long]("self_ms")).sum == expectSelf)
+    assert(st.map(_.getAs[Long]("total_ms")).sum == totals.getLong(0))
+  }
+
   test("plan shape: the point lookup filters before ranking; graph joins are not nested-loop") {
     // traceSpans: the trace filter must run BELOW the window (the
     // rank covers one trace's rows, not the corpus). In the bottom-up
