@@ -759,17 +759,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN prev IS NULL OR cum < prev THEN cum ELSE cum - prev END) AS BIGINT) AS increase_c
         |FROM deltas GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     // exemplars: the deterministic peak pick rides the same
-    // fixed-width lpad(value)||trace_id max-encoding on both engines
+    // (value, trace_id) struct max on both engines — struct ordering
+    // is field-by-field, so ties break to the largest trace id and
+    // negative/any-magnitude values order numerically
     "metrics_exemplars" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
         |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
         |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
         |  count(*) AS n,
         |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
-        |  substr(MAX(
-        |    lpad(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 12, '0')
-        |      || md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))),
-        |    13) AS exemplar_trace_id
+        |  (MAX(struct_pack(
+        |    vi := CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+        |    tid := md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))))).tid
+        |    AS exemplar_trace_id
         |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "metrics_gauge" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,

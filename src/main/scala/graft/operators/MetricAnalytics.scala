@@ -42,18 +42,26 @@ object MetricAnalytics {
   private def vi = floor(col("value") * 100 + lit(0.5)).cast("long")
   private def svc = concat(lit("svc-"), (col("user_id") % 10).cast("string"))
 
+  /** The raw per-sample frame both the cumulative synthesis and the
+    * halo totals derive from: (service, day, hour, ts, event_id, vi).
+    */
+  private def counterBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("service", svc)
+      .withColumn("day", dayofmonth(col("ts")))
+      .withColumn("vi", vi)
+      .select(col("service"), col("day"), hour(col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("vi"))
+
   /** Counter samples: per-service daily-resetting cumulative
     * integer-cent sums (the restart model), sample-per-event.
     */
   private[graft] def counterSamples(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("service"), col("day"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("service", svc)
-      .withColumn("day", dayofmonth(col("ts")))
-      .withColumn("vi", vi)
+    counterBase(spark, dir)
       .withColumn("cum", sum(col("vi")).over(w))
-      .select(col("service"), col("day"), hour(col("ts")).as("hour"),
+      .select(col("service"), col("day"), col("hour"),
         col("ts"), col("event_id"), col("cum"))
   }
 
@@ -69,9 +77,35 @@ object MetricAnalytics {
     * nothing.
     */
   def rate(spark: SparkSession, dir: String): DataFrame = {
-    val wSeries = Window.partitionBy(col("service")).orderBy(col("ts"), col("event_id"))
-    counterSamples(spark, dir)
-      .withColumn("prev", lag(col("cum"), 1).over(wSeries))
+    // DAY-CHUNK + HALO: the corpus-scaled lag partitions on
+    // (service, day) — inheriting counterSamples' exchange, with
+    // partition count scaling as series × days instead of pinning at
+    // service cardinality (10 giant single-task sorts at 100×) — and
+    // each day's FIRST sample seeds its lag from the previous day's
+    // closing total (the halo), carried on a series×day-cardinality
+    // side frame. Byte-identical to a service-only lag over the whole
+    // series, INCLUDING PromQL's undetected-reset case (a day opening
+    // at-or-above the previous close reads as a continuation, not a
+    // reset — the documented PromQL limitation the spec models); a
+    // bare (service, day) window would silently erase it.
+    val wDay = Window.partitionBy(col("service"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val samples = counterSamples(spark, dir)
+    // closing totals come from a direct groupBy-sum, NOT a second
+    // window pass: map-side partial aggregation means this branch's
+    // exchange carries only series×day rows (its scan is pruned to
+    // three columns), then one lag over the tiny frame gives each day
+    // its halo
+    val halo = counterBase(spark, dir)
+      .groupBy(col("service"), col("day"))
+      .agg(sum(col("vi")).as("__day_total"))
+      .withColumn("__prev_day_total", lag(col("__day_total"), 1).over(
+        Window.partitionBy(col("service")).orderBy(col("day"))))
+      .select(col("service"), col("day"), col("__prev_day_total"))
+    samples
+      .join(broadcast(halo), Seq("service", "day"))
+      .withColumn("prev",
+        coalesce(lag(col("cum"), 1).over(wDay), col("__prev_day_total")))
       .withColumn("inc",
         when(col("prev").isNull || col("cum") < col("prev"), col("cum"))
           .otherwise(col("cum") - col("prev")))
@@ -88,6 +122,14 @@ object MetricAnalytics {
     * lag per series, a drop contributes the post-reset value, the
     * first sample counts from zero; bucketed by the caller's bucket
     * expression. Series-keyed window shuffles only.
+    *
+    * SCALE ASSUMPTION: one window partition holds a whole series, so
+    * per-series sample volume must fit a task (true for real metric
+    * series — a 1 s-scraped counter is ~86k samples/day). For
+    * pathologically hot series, chunk the lag by a coarser time key
+    * and seed each chunk's first lag from the previous chunk's
+    * closing value — the day-chunk + halo pattern [[rate]] implements
+    * (and [[LogAnalytics.sloBurn]]'s day-window halo).
     */
   def increaseOf(samples: DataFrame, seriesCols: Seq[String],
                  bucket: org.apache.spark.sql.Column,
@@ -155,12 +197,15 @@ object MetricAnalytics {
     * directly — all three signals meet on one key.
     *
     * The peak pick must be deterministic under value ties, so the
-    * argmax rides a single `max` over the fixed-width
-    * `lpad(value)∥trace_id` encoding (ties break to the
-    * lexicographically largest trace id) — a plain mergeable
-    * aggregate, map-side-combined, identical in any evaluation order
-    * and replayed verbatim by the oracle. Map-only projection + ONE
-    * aggregate shuffle to bucket cardinality.
+    * argmax rides a single `max` over a `(vi, trace_id)` STRUCT —
+    * struct ordering compares field-by-field, so the max is the
+    * peak-value sample with ties broken to the lexicographically
+    * largest trace id. A plain mergeable aggregate, map-side-combined,
+    * identical in any evaluation order, correct for any value domain
+    * (negative values and values of any magnitude order numerically,
+    * unlike a fixed-width string encoding), and replayed verbatim by
+    * the oracle's struct max. Map-only projection + ONE aggregate
+    * shuffle to bucket cardinality.
     */
   def exemplars(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -172,8 +217,8 @@ object MetricAnalytics {
       .groupBy(col("service"), dayofmonth(col("ts")).as("day"),
         hour(col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"), max(col("vi")).as("max_c"),
-        substring(max(concat(lpad(col("vi").cast("string"), 12, "0"),
-          col("trace_id"))), 13, 32).as("exemplar_trace_id"))
+        max(struct(col("vi"), col("trace_id")))
+          .getField("trace_id").as("exemplar_trace_id"))
       .orderBy(col("service"), col("day"), col("hour"))
 
   /** Explicit-bucket histogram in the Prometheus CUMULATIVE-le form

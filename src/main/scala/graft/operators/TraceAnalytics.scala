@@ -191,7 +191,15 @@ object TraceAnalytics {
     * the keep set.
     */
   def tailSample(spark: SparkSession, dir: String,
-                 slowMs: Long = 3000, hexCut: String = "2a"): DataFrame =
+                 slowMs: Long = 3000, hexCut: String = "2a"): DataFrame = {
+    // hexCut compares lexicographically against a lowercase 2-char md5
+    // prefix — validate it's exactly that shape so e.g. "2A" (keeps
+    // ~0%: uppercase sorts below all lowercase hex) or a 1/3-char cut
+    // can't silently change the keep rate
+    require(hexCut.length == 2 && hexCut.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"hexCut must be exactly 2 lowercase hex chars (keep rate = " +
+        s"parseInt(hexCut,16)/256); got '$hexCut'")
     spans(spark, dir)
       .groupBy(col("trace_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -204,6 +212,7 @@ object TraceAnalytics {
       .filter(col("reason").isNotNull)
       .select(col("trace_id"), col("n_spans"), col("total_ms"), col("reason"))
       .orderBy(col("trace_id"))
+  }
 
   /** PER-SERVICE SELF TIME — the flamegraph aggregate: how much of a
     * service's span time is its OWN work vs waiting on children

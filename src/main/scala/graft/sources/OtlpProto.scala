@@ -42,7 +42,7 @@ object OtlpProtoOps {
   // parent's following bytes; and a negative/oversized skip length
   // must throw, never move `pos` backward (an unchecked negative
   // length would loop the decoder forever on adversarial payloads).
-  private final class R(val buf: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class R(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     // `n > end - pos`, never `pos + n > end`: a declared length near
     // Int.MaxValue makes `pos + n` wrap negative and sail past the
@@ -90,11 +90,11 @@ object OtlpProtoOps {
     }
   }
 
-  private def utf8(r: R): String = {
+  private[sources] def utf8(r: R): String = {
     val s = new String(r.buf, r.pos, r.end - r.pos, "UTF-8"); r.pos = r.end; s
   }
 
-  private def hex(r: R): String = {
+  private[sources] def hex(r: R): String = {
     val sb = new java.lang.StringBuilder((r.end - r.pos) * 2)
     var i = r.pos
     while (i < r.end) { sb.append(f"${r.buf(i) & 0xff}%02x"); i += 1 }
@@ -104,15 +104,15 @@ object OtlpProtoOps {
 
   // ---- decoded model (bounded: one envelope's tree) ----------------
 
-  private final case class PVal(s: String, b: java.lang.Boolean, i: java.lang.Long,
+  private[sources] final case class PVal(s: String, b: java.lang.Boolean, i: java.lang.Long,
                                 d: java.lang.Double)
-  private final case class PAttr(key: String, v: PVal)
+  private[sources] final case class PAttr(key: String, v: PVal)
   private final case class PLog(timeNs: Long, obsNs: Long, sevNum: Int, sevText: String,
                                 body: PVal, traceHex: String, spanHex: String,
                                 attrs: List[PAttr])
-  private final case class PScope(name: String, version: String, attrs: List[PAttr])
+  private[sources] final case class PScope(name: String, version: String, attrs: List[PAttr])
 
-  private def readAnyValue(r: R): PVal = {
+  private[sources] def readAnyValue(r: R): PVal = {
     var v = PVal(null, null, null, null)
     while (r.hasMore) {
       val tag = r.varint().toInt
@@ -127,7 +127,7 @@ object OtlpProtoOps {
     v
   }
 
-  private def readKeyValue(r: R): PAttr = {
+  private[sources] def readKeyValue(r: R): PAttr = {
     var key = ""; var v = PVal(null, null, null, null)
     while (r.hasMore) {
       val tag = r.varint().toInt
@@ -159,7 +159,7 @@ object OtlpProtoOps {
     log
   }
 
-  private def readScope(r: R): PScope = {
+  private[sources] def readScope(r: R): PScope = {
     var s = PScope(null, null, Nil)
     while (r.hasMore) {
       val tag = r.varint().toInt
@@ -175,7 +175,7 @@ object OtlpProtoOps {
 
   // ---- JSON rendering (the OtlpLogs.otlpSchema envelope shape) -----
 
-  private def esc(sb: java.lang.StringBuilder, s: String): Unit = {
+  private[sources] def esc(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
     var i = 0
     while (i < s.length) {
@@ -194,7 +194,7 @@ object OtlpProtoOps {
     sb.append('"')
   }
 
-  private def attrJson(sb: java.lang.StringBuilder, a: PAttr): Unit = {
+  private[sources] def attrJson(sb: java.lang.StringBuilder, a: PAttr): Unit = {
     sb.append("{\"key\":"); esc(sb, a.key); sb.append(",\"value\":{")
     if (a.v.s != null) { sb.append("\"stringValue\":"); esc(sb, a.v.s) }
     else if (a.v.i != null) { sb.append("\"intValue\":\"").append(a.v.i.longValue).append('"') }
@@ -212,7 +212,7 @@ object OtlpProtoOps {
     sb.append("}}")
   }
 
-  private def attrsJson(sb: java.lang.StringBuilder, name: String, attrs: List[PAttr],
+  private[sources] def attrsJson(sb: java.lang.StringBuilder, name: String, attrs: List[PAttr],
                         leading: Boolean): Unit =
     if (attrs.nonEmpty) {
       if (leading) sb.append(',')
@@ -326,7 +326,7 @@ object OtlpProtoOps {
 
   // ---- wire writer (test-data generator, mirrors toOtlpJsonTraced) -
 
-  private final class W {
+  private[sources] final class W {
     private var buf = new Array[Byte](128)
     var len = 0
     private def ensure(n: Int): Unit =
@@ -353,7 +353,7 @@ object OtlpProtoOps {
     def result: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
-  private def hexBytes(hex: String): Array[Byte] = {
+  private[sources] def hexBytes(hex: String): Array[Byte] = {
     val out = new Array[Byte](hex.length / 2)
     var i = 0
     while (i < out.length) {
@@ -362,7 +362,7 @@ object OtlpProtoOps {
     out
   }
 
-  private def strAttr(w: W, field: Int, key: String, value: String): Unit =
+  private[sources] def strAttr(w: W, field: Int, key: String, value: String): Unit =
     w.msg(field) { kv =>
       kv.str(1, key)
       kv.msg(2)(_.str(1, value))

@@ -131,9 +131,14 @@ object MetricFollow {
     * increase DELTAS a downstream store folds by summing per
     * (series, bucket); `__rejected` counts the out-of-order points
     * the Prometheus rule refused (constant per emitted row, a
-    * surfaced diagnostic rather than a silent drop). Deterministic
-    * given the consumed set and the increment (crash replay emits
-    * identically). Eagerly materialized so increment caches release.
+    * surfaced diagnostic rather than a silent drop). When rejections
+    * occur but the accepted points produce ZERO output rows, one
+    * all-null SENTINEL row (null series/bucket, increase 0) carries
+    * the count — the diagnostic survives even an all-late increment;
+    * summing folds are unaffected (0 contribution, and the null
+    * series never collides with a real one). Deterministic given the
+    * consumed set and the increment (crash replay emits identically).
+    * Eagerly materialized so increment caches release.
     */
   def incrementIncrease(spark: SparkSession, root: String, marksDir: String,
                         inc: LakeFollow.Increment,
@@ -161,7 +166,7 @@ object MetricFollow {
       lit(true).as("__seed"))
     val w = Window.partitionBy(col("service_name"), col("metric_name"))
       .orderBy(col("timestamp"), col("value"))
-    val out = gated.filter(!col("__late"))
+    val emittedRows = gated.filter(!col("__late"))
       .select(col("service_name"), col("metric_name"),
         col("timestamp"), col("value"), lit(false).as("__seed"))
       .unionByName(seeds)
@@ -175,7 +180,18 @@ object MetricFollow {
       .agg(sum(col("__inc")).as("increase"))
       .withColumn("__rejected", lit(rejected))
       .orderBy(col("service_name"), col("metric_name"), col("bucket"))
-      .localCheckpoint()
+    // an all-late increment emits nothing — carry the rejection count
+    // on one all-null sentinel row so the diagnostic is never lost
+    val withSentinel =
+      if (rejected > 0 && emittedRows.limit(1).count() == 0)
+        emittedRows.unionByName(spark.range(1).select(
+          lit(null).cast("string").as("service_name"),
+          lit(null).cast("string").as("metric_name"),
+          lit(null).cast("timestamp").as("bucket"),
+          lit(0.0).as("increase"),
+          lit(rejected).as("__rejected")))
+      else emittedRows
+    val out = withSentinel.localCheckpoint()
     pts.unpersist(false)
     out
   }

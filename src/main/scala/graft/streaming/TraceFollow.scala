@@ -164,8 +164,11 @@ object TraceFollow {
     * (parent_service, service, calls, callee_ms, __expired) — deltas a
     * downstream store folds by summing per edge; `__expired` counts
     * the pending children this increment's horizon advance timed out
-    * (a surfaced diagnostic, constant per emitted row). Deterministic
-    * given the consumed set and the increment.
+    * (a surfaced diagnostic, constant per emitted row). When
+    * expirations occur but the increment completes ZERO edges, one
+    * all-null sentinel row (null edge, calls 0) carries the count so
+    * the diagnostic is never lost; summing folds are unaffected.
+    * Deterministic given the consumed set and the increment.
     */
   def incrementEdges(spark: SparkSession, root: String, marksDir: String,
                      inc: LakeFollow.Increment,
@@ -200,12 +203,23 @@ object TraceFollow {
         unresolved.filter(col("ts") < lit(cut)).count()
       }
 
-    val out = resolved
+    val edges = resolved
       .groupBy(col("parent_service"), col("service"))
       .agg(count(lit(1)).as("calls"), sum(col("dur_ms")).as("callee_ms"))
       .withColumn("__expired", lit(expired))
       .orderBy(col("parent_service"), col("service"))
-      .localCheckpoint()
+    // an increment that completes no edge but expires pending
+    // children still surfaces the count, on one all-null sentinel
+    val withSentinel =
+      if (expired > 0 && edges.limit(1).count() == 0)
+        edges.unionByName(spark.range(1).select(
+          lit(null).cast("string").as("parent_service"),
+          lit(null).cast("string").as("service"),
+          lit(0L).as("calls"),
+          lit(null).cast("long").as("callee_ms"),
+          lit(expired).as("__expired")))
+      else edges
+    val out = withSentinel.localCheckpoint()
     newSpans.unpersist(false)
     out
   }

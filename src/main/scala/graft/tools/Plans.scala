@@ -79,7 +79,7 @@ object Plans {
       "lake_iceberg_rest" -> "live REST-catalog round-trip: loadTable GET -> metadata-location -> chain walk (control-plane) -> the same distributed scan as the direct read; no data moves through the catalog",
       "trace_service_graph" -> "APM service map: one trace-keyed rank window, parent edge equi-join co-partitioned on (trace_id, pidx), tier^2-cardinality aggregate",
       "trace_critical_path" -> "heap-tree critical path: shown plan is the final per-trace max; each of the log2(depth) rounds advances every span one hop via a co-partitioned join (localCheckpoint-truncated)",
-      "metrics_rate" -> "PromQL increase(): cumulative window per (service, day), reset-corrected lag per service series — series-keyed exchanges only, no global sort (plan-spec'd)",
+      "metrics_rate" -> "PromQL increase(): day-chunk + halo — cum AND lag windows per (service, day) on one exchange; previous-day closing totals broadcast back as the seed (plan-spec asserts all sample-ordered windows are (service, day)-keyed)",
       "metrics_hist_p95" -> "histogram_quantile: corpus work is ONE map-only bucket projection + (service x le) aggregate; lag/interpolation windows run on the boundaries-cardinality frame",
       "trace_logs" -> "cross-signal spans JOIN logs: the trace family's one large-large join — hash-partitioned equi-join on (trace_id, 16-hex span prefix), one shuffle each side, no corpus broadcast, <=1 match per span; service x day aggregate",
       "metrics_exemplars" -> "OTel exemplars: map-only projection + ONE aggregate shuffle; the peak-sample trace id is a mergeable max over the fixed-width lpad(value)||trace_id encoding — no window, no second pass")

@@ -118,6 +118,19 @@ class FollowSignalsSpec extends SparkSpec {
         s"the late sample must be counted rejected: ${out.toSeq}")
       assert(out.map(_.getAs[Double]("increase")).sum == 6.0,
         s"only 31-25=6 may land; the late 17 must not contribute: ${out.toSeq}")
+      // an ALL-late increment emits no increase rows — the rejection
+      // count must still surface, on one all-null sentinel row
+      assert(post(client, server.port, "/v1/metrics",
+        metricEnv("svc-o", "requests", Seq((450L, 19L), (900L, 28L)), baseNs)) == 200)
+      server.flush()
+      val i3 = LakeFollow.poll(spark, lake, marks).get
+      val out3 = MetricFollow.incrementIncrease(spark, lake, marks, i3, "requests")
+        .collect()
+      LakeFollow.commit(spark, lake, marks, i3)
+      assert(out3.length == 1 && out3.head.isNullAt(0) &&
+        out3.head.getAs[Double]("increase") == 0.0 &&
+        out3.head.getAs[Long]("__rejected") == 2L,
+        s"all-late increment must surface __rejected on a sentinel: ${out3.toSeq}")
     } finally server.stop()
   }
 
@@ -195,9 +208,14 @@ class FollowSignalsSpec extends SparkSpec {
       server.flush()
       val i2 = LakeFollow.poll(spark, lake, marks).get
       val e2 = TraceFollow.incrementEdges(spark, lake, marks, i2, horizonMs)
-      assert(e2.count() == 0, "the late span is a root — no edge")
-      // __expired is carried on emitted rows; with none emitted, the
-      // observable is the pending store after the advance
+        .collect()
+      // the late span is a root — no edge — but the horizon advance
+      // expires the orphan, and the count must survive a zero-edge
+      // increment: one all-null sentinel row carries it
+      assert(e2.length == 1 && e2.head.isNullAt(0) && e2.head.isNullAt(1) &&
+        e2.head.getAs[Long]("calls") == 0L &&
+        e2.head.getAs[Long]("__expired") == 1L,
+        s"zero-edge increment must surface __expired on a sentinel: ${e2.toSeq}")
       LakeFollow.commit(spark, lake, marks, i2)
       val (_, pend) = TraceFollow.refreshedState(spark, lake, marks, horizonMs)
       assert(pend.filter(col("parent_span_id") === "never000arriving").count() == 0,

@@ -159,5 +159,22 @@ class MetricAnalyticsSpec extends SparkSpec {
     val plan = planString(MetricAnalytics.rate(spark, sf))
     assert(!plan.contains("SinglePartition"),
       "rate must window per series (service/day keys), never one global partition")
+    // every CORPUS-SCALED window (the ones ordering by event_id) must
+    // partition on (service, day) — a service-only lag window passes
+    // the SinglePartition check while still pinning partition count at
+    // service cardinality (10 giant single-task sorts at 100×). The
+    // day-chunk + halo design keeps the sample-ordered windows
+    // series×day-keyed; the only service-partitioned window left is
+    // the lag over the series×day-cardinality halo frame (orders by
+    // day, not event_id).
+    val corpusWindows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("event_id")).toSeq
+    assert(corpusWindows.nonEmpty, "expected sample-ordered windows in the rate plan")
+    corpusWindows.foreach { l =>
+      assert(l.contains("windowspecdefinition(service") &&
+        l.replaceAll("windowspecdefinition\\(service#\\d+, day#\\d+.*", "OK").endsWith("OK"),
+        s"every sample-ordered window must partition on (service, day), got: $l")
+    }
   }
 }
