@@ -67,6 +67,8 @@ object SparkEntry {
     "trace_self_time"          -> (TraceAnalytics.selfTime _),
     "metrics_rate"             -> (MetricAnalytics.rate _),
     "metrics_exemplars"        -> (MetricAnalytics.exemplars _),
+    "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
+    "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "metrics_gauge"            -> (MetricAnalytics.gauge _),
     "metrics_histogram"        -> (MetricAnalytics.histogram _),
     "metrics_hist_p95"         -> ((s: SparkSession, d: String) => MetricAnalytics.histogramQuantile(s, d)),
@@ -773,6 +775,34 @@ object SparkEntry {
         |    tid := md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))))).tid
         |    AS exemplar_trace_id
         |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    // protobuf wire round-trips: the oracle replays the synthesis +
+    // aggregate directly, so the hash-match certifies the
+    // encode→wire→decode→flatten path record-for-record
+    "trace_otlp_proto" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id, ts,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service_name,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT service_name, count(*) AS n_spans,
+        |  CAST(SUM(dur_ms) * 1000000 AS BIGINT) AS total_dur_ns,
+        |  count(DISTINCT trace_id) AS n_traces,
+        |  strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin,
+    "metrics_otlp_proto" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "metrics_gauge" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
         |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,

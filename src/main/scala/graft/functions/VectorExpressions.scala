@@ -537,6 +537,36 @@ object VectorFunctions {
       require(exprs.length == 1,
         s"graft_otlp_proto(struct) takes 1 argument, got ${exprs.length}")
       graft.sources.OtlpProtoEncode(exprs.head)
+    },
+    "graft_otlp_trace_json" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_trace_json(bin) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpTraceProtoToJson(exprs.head)
+    },
+    "graft_otlp_trace_json_try" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_trace_json_try(bin) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpTraceProtoToJsonTry(exprs.head)
+    },
+    "graft_otlp_metric_json" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_metric_json(bin) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpMetricProtoToJson(exprs.head)
+    },
+    "graft_otlp_metric_json_try" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_metric_json_try(bin) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpMetricProtoToJsonTry(exprs.head)
+    },
+    "graft_otlp_span_proto" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_span_proto(struct) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpSpanProtoEncode(exprs.head)
+    },
+    "graft_otlp_sum_proto" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_otlp_sum_proto(struct) takes 1 argument, got ${exprs.length}")
+      graft.sources.OtlpSumProtoEncode(exprs.head)
     })
 
   /** Idempotently register every graft function so operators can use

@@ -279,4 +279,33 @@ object MetricAnalytics {
         round(coalesce(col("est"), lit(Boundaries.last)), 4).as(s"p${(q * 100).toInt}"))
       .orderBy(col("service"))
   }
+
+  /** PROTOBUF-transport ingest round-trip proof for the metrics
+    * signal: each event as one cumulative monotonic-sum data point
+    * encoded to OTLP `MetricsData` wire bytes
+    * ([[graft.sources.OtlpMetrics.toOtlpProtoSum]]) →
+    * [[graft.sources.OtlpMetrics.parseProto]] (wire decode → the
+    * shared JSON-envelope parse) → per-(service, day, hour)
+    * aggregate. The oracle computes the same aggregate from `events`
+    * directly, so the hash-match certifies the protobuf
+    * encode→decode→flatten path point-for-point, including the
+    * monotonic flag and temporality surviving the wire. Map-only
+    * encode+decode; the only shuffle is the final aggregate.
+    */
+  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.OtlpMetrics
+    graft.functions.VectorFunctions.register(spark)
+    val payloads = Tables.events(spark, dir)
+      .select(OtlpMetrics.toOtlpProtoSum(
+        unix_micros(col("ts")), svc, lit("requests"), lit("{req}"),
+        col("value"), lit(true), lit(2)).as("bin"))
+    OtlpMetrics.parseProto(payloads, col("bin"))
+      .filter(col("kind") === "sum" && col("is_monotonic") && col("temporality") === 2)
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_c"),
+        date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+        date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+      .orderBy(col("service_name"))
+  }
 }

@@ -308,4 +308,35 @@ object TraceAnalytics {
       .agg(max(col("path_ms")).as("critical_ms"), count(lit(1)).as("n_spans"))
       .orderBy(col("trace_id"))
   }
+
+  /** PROTOBUF-transport ingest round-trip proof for the traces
+    * signal: the span model encoded to OTLP `TracesData` wire bytes
+    * ([[graft.sources.OtlpTraces.toOtlpProto]], codegen'd pure-JVM
+    * encoder) → [[graft.sources.OtlpTraces.parseProto]] (wire decode
+    * → the shared JSON-envelope parse) → per-service aggregate. The
+    * oracle computes the same aggregate from the span synthesis
+    * directly, so the hash-match certifies the whole protobuf
+    * encode→decode→flatten path span-for-span — the transport a
+    * stock OTLP exporter defaults to. Encode+decode are map-only
+    * expressions in one stage; the only shuffles are the synthesis
+    * rank window and the final aggregate.
+    */
+  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.OtlpTraces
+    graft.functions.VectorFunctions.register(spark)
+    val payloads = spans(spark, dir)
+      .select(OtlpTraces.toOtlpProto(
+        unix_micros(col("ts")),
+        unix_micros(col("ts")) + col("dur_ms") * 1000L,
+        col("service"), col("trace_id"), col("span_id"),
+        lit(null).cast("string"), col("operation"), lit(2), lit(0)).as("bin"))
+    OtlpTraces.parseProto(payloads, col("bin"))
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("duration_ns")).as("total_dur_ns"),
+        countDistinct(col("trace_id")).as("n_traces"),
+        date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+        date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+      .orderBy(col("service_name"))
+  }
 }

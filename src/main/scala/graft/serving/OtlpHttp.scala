@@ -12,16 +12,18 @@ import graft.sources.{LogSync, LogWriter, OtlpLogs, OtlpMetrics, OtlpTraces}
 /** LIVE OTLP/HTTP intake — the reference's listening edge
   * (docker-compose.yaml:93-101: otel-collector accepts OTLP over HTTP
   * on :4318 and batches to parquet): a socket that speaks the PUBLIC
-  * OTLP/HTTP protocol (opentelemetry-proto; POST /v1/logs with
+  * OTLP/HTTP protocol (opentelemetry-proto) on ALL THREE signals and
+  * BOTH transports: POST /v1/logs, /v1/traces, /v1/metrics with
   * `application/json` or `application/x-protobuf` — the
-  * `ExportLogsServiceRequest` wire shape is field-compatible with
-  * `LogsData`, so the same hand-rolled codec decodes both; POST
-  * /v1/traces with `application/json` — spans land in their own
-  * LogSync lake under `<root>/_traces` via [[OtlpTraces]], protobuf
-  * traces answer 415 rather than silently dropping), buffers
-  * payloads in memory, and FLUSHES them through the existing lake
-  * pipeline: quarantined parse ([[OtlpLogs.parseWithInvalid]] /
-  * [[OtlpLogs.parseProtoWithInvalid]]) → partitioned
+  * `Export*ServiceRequest` wire shapes are field-compatible with
+  * `LogsData`/`TracesData`/`MetricsData`, so the hand-rolled codecs
+  * ([[graft.sources.OtlpProtoOps]] / [[graft.sources
+  * .OtlpProtoSignalOps]]) decode both framings; spans land in their
+  * own LogSync lake under `<root>/_traces` via [[OtlpTraces]], metric
+  * points under `<root>/_metrics` via [[OtlpMetrics]]. The server
+  * buffers payloads in memory and FLUSHES them through the existing
+  * lake pipeline: quarantined parse (each signal's
+  * `parseWithInvalid` / `parseProtoWithInvalid`) → partitioned
   * [[LogWriter.write]] → [[LogSync.sync]] (one atomic manifest
   * registration per flush — readers never see a half-written batch,
   * exactly like [[graft.streaming.LakeIngest]]'s micro-batches).
@@ -78,12 +80,14 @@ object OtlpHttp {
                                         maxPendingBytes: Long) {
     private val jsonQ = new ConcurrentLinkedQueue[String]()
     private val protoQ = new ConcurrentLinkedQueue[Array[Byte]]()
-    // /v1/traces and /v1/metrics intakes (JSON transport): spans and
+    // /v1/traces and /v1/metrics intakes (both transports): spans and
     // metric points land in their own lakes under <root>/_traces and
     // <root>/_metrics — underscore-prefixed, so the LOG lake's scans
     // never see them; each is a full LogSync-managed table of its own
     private val spanQ = new ConcurrentLinkedQueue[String]()
+    private val spanProtoQ = new ConcurrentLinkedQueue[Array[Byte]]()
     private val metricQ = new ConcurrentLinkedQueue[String]()
+    private val metricProtoQ = new ConcurrentLinkedQueue[Array[Byte]]()
     private val tracesRoot = s"$root/_traces"
     private val metricsRoot = s"$root/_metrics"
     // BACKPRESSURE: the buffer is driver-resident, so it must be
@@ -99,7 +103,8 @@ object OtlpHttp {
     @volatile private var pendingSyncMetrics = false
 
     def port: Int = server.getAddress.getPort
-    def pending: Int = jsonQ.size + protoQ.size + spanQ.size + metricQ.size
+    def pending: Int = jsonQ.size + protoQ.size + spanQ.size + spanProtoQ.size +
+      metricQ.size + metricProtoQ.size
 
     private def admit(n: Long): Boolean = {
       val after = pendingBytes.addAndGet(n)
@@ -110,10 +115,12 @@ object OtlpHttp {
     private[OtlpHttp] def handle(ex: HttpExchange): Unit = {
       try {
         val path = ex.getRequestURI.getPath
-        // the JSON-only signal intakes share one request gate: the
-        // envelope root field differs, the protocol edges don't
-        def jsonSignal(signal: String, rootField: String,
-                       q: ConcurrentLinkedQueue[String]): (Int, String) = {
+        // ALL THREE signal intakes share one request gate for BOTH
+        // transports: the envelope root field and queues differ, the
+        // protocol edges don't
+        def signalIntake(signal: String, rootField: String,
+                         jq: ConcurrentLinkedQueue[String],
+                         pq: ConcurrentLinkedQueue[Array[Byte]]): (Int, String) = {
           val raw = ex.getRequestBody.readAllBytes()
           val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
             .getOrElse("").toLowerCase
@@ -122,67 +129,44 @@ object OtlpHttp {
           val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
           inflated match {
             case Left(err) => err
-            case Right(_) if ct.contains("protobuf") =>
-              // honest scope: these intakes speak the JSON transport;
-              // 415 tells a conforming exporter to switch encodings
-              // rather than silently losing data
-              (415, s"""{"error":"$signal intake accepts application/json only"}""")
+            case Right(body) if ct.contains("protobuf") =>
+              // cheap STRUCTURAL gate only (outer framing: field-1
+              // length-delimited tag + a varint length that fits the
+              // body — identical across LogsData/TracesData/
+              // MetricsData) — a full wire decode per POST would run
+              // on one of 4 handler threads and then run AGAIN at
+              // flush; deeper corruption is caught there and
+              // quarantined, never silently dropped
+              if (!protoFraming(body))
+                (400, s"""{"error":"undecodable protobuf payload"}""")
+              else if (!admit(body.length.toLong))
+                (429, """{"error":"intake buffer full, retry later"}""")
+              else { pq.add(body); (200, "{}") }
             case Right(body) =>
               val s = new String(body, "UTF-8")
-              if (s.trim == "{}") (200, "{}") // spec-legal empty export
+              // cheap request-time gate; full envelope validation (and
+              // quarantine) happens at flush. An empty request `{}` is
+              // a spec-legal export with zero records: full success,
+              // nothing to buffer. Measure the DECODED string's UTF-8
+              // size so admit and the flush-side release use the same
+              // number even for payloads with invalid byte sequences.
+              if (s.trim == "{}") (200, "{}")
               else if (!s.contains(rootField))
                 (400, s"""{"error":"not an OTLP $signal envelope"}""")
               else if (!admit(s.getBytes("UTF-8").length.toLong))
                 (429, """{"error":"intake buffer full, retry later"}""")
-              else { q.add(s); (200, "{}") }
+              else { jq.add(s); (200, "{}") }
           }
         }
         val resp: (Int, String) =
           if (path != "/v1/logs" && path != "/v1/traces" && path != "/v1/metrics")
             (404, """{"error":"unknown path"}""")
           else if (ex.getRequestMethod != "POST") (405, """{"error":"POST only"}""")
-          else if (path == "/v1/traces") jsonSignal("traces", "resourceSpans", spanQ)
-          else if (path == "/v1/metrics") jsonSignal("metrics", "resourceMetrics", metricQ)
-          else {
-            val raw = ex.getRequestBody.readAllBytes()
-            val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
-              .getOrElse("").toLowerCase
-            val inflated: Either[(Int, String), Array[Byte]] =
-              if (enc.contains("gzip")) gunzipBounded(raw, maxPendingBytes) else Right(raw)
-            val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-            inflated match {
-              case Left(err) => err
-              case Right(body) =>
-            if (ct.contains("protobuf")) {
-              // cheap STRUCTURAL gate only (outer framing: field-1
-              // length-delimited tag + a varint length that fits the
-              // body) — a full wire decode per POST would run on one
-              // of 4 handler threads and then run AGAIN at flush;
-              // deeper corruption is caught there and quarantined,
-              // never silently dropped
-              if (!protoFraming(body))
-                (400, """{"error":"undecodable protobuf payload"}""")
-              else if (!admit(body.length.toLong))
-                (429, """{"error":"intake buffer full, retry later"}""")
-              else { protoQ.add(body); (200, "{}") }
-            } else {
-              val s = new String(body, "UTF-8")
-              // cheap request-time gate; full envelope validation (and
-              // quarantine) happens at flush. An empty request `{}` is
-              // a spec-legal ExportLogsServiceRequest with zero
-              // records: full success, nothing to buffer.
-              if (s.trim == "{}") (200, "{}")
-              else if (!s.contains("resourceLogs"))
-                (400, """{"error":"not an OTLP logs envelope"}""")
-              // measure the DECODED string's UTF-8 size so admit and
-              // the flush-side release use the same number even for
-              // payloads with invalid byte sequences
-              else if (!admit(s.getBytes("UTF-8").length.toLong))
-                (429, """{"error":"intake buffer full, retry later"}""")
-              else { jsonQ.add(s); (200, "{}") }
-            }
-            }
-          }
+          else if (path == "/v1/traces")
+            signalIntake("traces", "resourceSpans", spanQ, spanProtoQ)
+          else if (path == "/v1/metrics")
+            signalIntake("metrics", "resourceMetrics", metricQ, metricProtoQ)
+          else signalIntake("logs", "resourceLogs", jsonQ, protoQ)
         val bytes = resp._2.getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(resp._1, bytes.length)
@@ -213,68 +197,40 @@ object OtlpHttp {
           // point launching further Spark phases on a broken JVM
           if (firstError == null) firstError = t else firstError.addSuppressed(t)
         }
-      phase(flushLogs())
-      phase(flushJsonSignal(spanQ, tracesRoot, OtlpTraces.parseWithInvalid,
+      phase(flushSignal(jsonQ, protoQ, root,
+        OtlpLogs.parseWithInvalid, OtlpLogs.parseProtoWithInvalid,
+        () => pendingSync, pendingSync = _))
+      phase(flushSignal(spanQ, spanProtoQ, tracesRoot,
+        OtlpTraces.parseWithInvalid, OtlpTraces.parseProtoWithInvalid,
         () => pendingSyncTraces, pendingSyncTraces = _))
-      phase(flushJsonSignal(metricQ, metricsRoot, OtlpMetrics.parseWithInvalid,
+      phase(flushSignal(metricQ, metricProtoQ, metricsRoot,
+        OtlpMetrics.parseWithInvalid, OtlpMetrics.parseProtoWithInvalid,
         () => pendingSyncMetrics, pendingSyncMetrics = _))
       if (firstError != null) throw firstError
       (rows, quarantined)
     }
 
-    /** One JSON-signal drain (traces, metrics): the same
-      * parse → quarantine → write → sync pipeline and 200-ack
-      * durability contract as the log phase, against the signal's own
-      * lake root and sync-heal flag.
+    private type Parser = (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) =>
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+
+    /** One signal's drain, BOTH transports (logs, traces, metrics all
+      * share this shape now): parse each transport's batch through its
+      * quarantining parser, union the valid rows behind the signal's
+      * one flatten, write + sync against the signal's own lake root
+      * and sync-heal flag — the 200-ack durability contract held per
+      * signal.
       */
-    private def flushJsonSignal(q: ConcurrentLinkedQueue[String], signalRoot: String,
-        parser: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) =>
-          (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+    private def flushSignal(jq: ConcurrentLinkedQueue[String],
+        pq: ConcurrentLinkedQueue[Array[Byte]], signalRoot: String,
+        jsonParser: Parser, protoParser: Parser,
         getPending: () => Boolean, setPending: Boolean => Unit): (Long, Long) = {
       import spark.implicits._
-      val ss = Iterator.continually(q.poll()).takeWhile(_ != null).toSeq
-      if (ss.isEmpty) {
-        if (getPending()) { LogSync.sync(spark, signalRoot); setPending(false) }
-        return (0L, 0L)
-      }
-      val released = ss.map(_.getBytes("UTF-8").length.toLong).sum
-      pendingBytes.addAndGet(-released)
-      var rowsDurable = false
-      // plan construction stays INSIDE the try: an analysis failure
-      // (or a session racing shutdown) must hit the re-enqueue path —
-      // these payloads are already 200-acked
-      var valid: org.apache.spark.sql.DataFrame = null
-      try {
-        val (valid0, bad) = parser(ss.toDF("payload"), col("payload"))
-        valid = valid0.cache()
-        val nValid = valid.count()
-        val badN = bad.count()
-        if (badN > 0)
-          bad.select(encode(col("payload"), "UTF-8").as("payload"))
-            .write.mode(SaveMode.Append).parquet(s"$signalRoot/_quarantine/http")
-        if (nValid > 0) {
-          LogWriter.write(valid, signalRoot, layout = LogWriter.DailyLayout)
-          rowsDurable = true
-          try LogSync.sync(spark, signalRoot)
-          catch { case t: Throwable => setPending(true); throw t }
-        }
-        (nValid, badN)
-      } catch {
-        case t: Throwable =>
-          if (!rowsDurable) { ss.foreach(q.add); pendingBytes.addAndGet(released) }
-          throw t
-      } finally if (valid != null) valid.unpersist() // also on the
-      // failure path — retries must not accumulate cached copies
-    }
-
-    private def flushLogs(): (Long, Long) = {
-      import spark.implicits._
-      val js = Iterator.continually(jsonQ.poll()).takeWhile(_ != null).toSeq
-      val ps = Iterator.continually(protoQ.poll()).takeWhile(_ != null).toSeq
+      val js = Iterator.continually(jq.poll()).takeWhile(_ != null).toSeq
+      val ps = Iterator.continually(pq.poll()).takeWhile(_ != null).toSeq
       if (js.isEmpty && ps.isEmpty) {
         // heal a prior sync failure: the rows are committed, only the
         // manifest registration is missing
-        if (pendingSync) { LogSync.sync(spark, root); pendingSync = false }
+        if (getPending()) { LogSync.sync(spark, signalRoot); setPending(false) }
         return (0L, 0L)
       }
       // release the drained payloads' budget — new POSTs are admitted
@@ -286,14 +242,15 @@ object OtlpHttp {
       // that point a re-enqueue would DOUBLE-write them (sync registers
       // by directory scan), so the catch below re-enqueues only before
       var rowsDurable = false
-      // plan construction inside the try (see flushJsonSignal): an
-      // analysis failure must re-enqueue the 200-acked payloads
+      // plan construction inside the try: an analysis failure (or a
+      // session racing shutdown) must hit the re-enqueue path — these
+      // payloads are already 200-acked
       var valid: org.apache.spark.sql.DataFrame = null
       try {
         val parsed = Seq(
-          if (js.nonEmpty) Some(OtlpLogs.parseWithInvalid(js.toDF("payload"), col("payload")))
+          if (js.nonEmpty) Some(jsonParser(js.toDF("payload"), col("payload")))
           else None,
-          if (ps.nonEmpty) Some(OtlpLogs.parseProtoWithInvalid(ps.toDF("bin"), col("bin")))
+          if (ps.nonEmpty) Some(protoParser(ps.toDF("bin"), col("bin")))
           else None).flatten
         valid = parsed.map(_._1).reduce(_ unionByName _).cache()
         val nValid = valid.count()
@@ -307,14 +264,14 @@ object OtlpHttp {
                encode(col("payload"), "UTF-8") else col("payload")).as("payload"))
           val n = badBin.count()
           if (n > 0)
-            badBin.write.mode(SaveMode.Append).parquet(s"$root/_quarantine/http")
+            badBin.write.mode(SaveMode.Append).parquet(s"$signalRoot/_quarantine/http")
           n
         }.sum
         if (nValid > 0) {
-          LogWriter.write(valid, root, layout = LogWriter.DailyLayout)
+          LogWriter.write(valid, signalRoot, layout = LogWriter.DailyLayout)
           rowsDurable = true
-          try LogSync.sync(spark, root)
-          catch { case t: Throwable => pendingSync = true; throw t }
+          try LogSync.sync(spark, signalRoot)
+          catch { case t: Throwable => setPending(true); throw t }
         }
         (nValid, badN)
       } catch {
@@ -325,8 +282,8 @@ object OtlpHttp {
             // payload back — tail order, no ordering contract — and
             // restore its budget (may transiently overshoot the cap;
             // the endpoint just answers 429 until the retry drains)
-            js.foreach(jsonQ.add)
-            ps.foreach(protoQ.add)
+            js.foreach(jq.add)
+            ps.foreach(pq.add)
             pendingBytes.addAndGet(released)
           }
           throw t

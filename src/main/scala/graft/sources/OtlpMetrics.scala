@@ -41,6 +41,20 @@ object OtlpMetrics {
     .add("explicitBounds", ArrayType(DoubleType))
     .add("attributes", attrType)
 
+  private val expBucketsType = new StructType()
+    .add("offset", IntegerType)
+    .add("bucketCounts", ArrayType(StringType))
+
+  private val expPointType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("count", StringType)
+    .add("sum", DoubleType)
+    .add("scale", IntegerType)
+    .add("zeroCount", StringType)
+    .add("positive", expBucketsType)
+    .add("negative", expBucketsType)
+    .add("attributes", attrType)
+
   private val metricType = new StructType()
     .add("name", StringType)
     .add("unit", StringType)
@@ -55,6 +69,9 @@ object OtlpMetrics {
       .add("isMonotonic", BooleanType))
     .add("histogram", new StructType()
       .add("dataPoints", ArrayType(histPointType))
+      .add("aggregationTemporality", StringType))
+    .add("exponentialHistogram", new StructType()
+      .add("dataPoints", ArrayType(expPointType))
       .add("aggregationTemporality", StringType))
 
   /** Schema of one OTLP/HTTP metrics envelope. */
@@ -133,9 +150,91 @@ object OtlpMetrics {
         to_json(col("dp.explicitBounds")).as("explicit_bounds"),
         attrsJson(col("dp.attributes")).as("attributes")): _*)
 
+    // exponential-histogram points land under the SAME landed schema:
+    // kind = "exp_histogram", point-level count/sum in their columns,
+    // and the base-2 structure (scale, zeroCount, positive/negative
+    // offset + bucket runs) as one canonical JSON object in
+    // `bucket_counts` — no lake schema evolution, and consumers
+    // re-read it with [[expStructSchema]]; `explicit_bounds` is null
+    // (an exponential histogram has none)
+    val expRows = exploded
+      .filter(col("m.exponentialHistogram.dataPoints").isNotNull)
+      .select(col("rm"), col("sm"), col("m"),
+        explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
+      .select(base("exp_histogram") ++ Seq(
+        lit(null).cast("double").as("value"),
+        lit(null).cast("boolean").as("is_monotonic"),
+        temporalityOf(col("m.exponentialHistogram.aggregationTemporality")).as("temporality"),
+        col("dp.count").cast("long").as("point_count"),
+        col("dp.sum").as("point_sum"),
+        to_json(struct(
+          col("dp.scale").as("scale"),
+          col("dp.zeroCount").cast("long").as("zeroCount"),
+          struct(coalesce(col("dp.positive.offset"), lit(0)).as("offset"),
+            coalesce(col("dp.positive.bucketCounts").cast("array<long>"),
+              array().cast("array<long>")).as("bucketCounts")).as("positive"),
+          struct(coalesce(col("dp.negative.offset"), lit(0)).as("offset"),
+            coalesce(col("dp.negative.bucketCounts").cast("array<long>"),
+              array().cast("array<long>")).as("bucketCounts")).as("negative")))
+          .as("bucket_counts"),
+        lit(null).cast("string").as("explicit_bounds"),
+        attrsJson(col("dp.attributes")).as("attributes")): _*)
+
     numberRows("gauge", "gauge")
       .unionByName(numberRows("sum", "sum"))
       .unionByName(histRows)
+      .unionByName(expRows)
+  }
+
+  /** Schema of the `bucket_counts` JSON object on `exp_histogram`
+    * rows — consumers `from_json(col("bucket_counts"), expStructSchema)`
+    * to get the typed base-2 structure back.
+    */
+  val expStructSchema: StructType = new StructType()
+    .add("scale", IntegerType)
+    .add("zeroCount", LongType)
+    .add("positive", new StructType()
+      .add("offset", IntegerType).add("bucketCounts", ArrayType(LongType)))
+    .add("negative", new StructType()
+      .add("offset", IntegerType).add("bucketCounts", ArrayType(LongType)))
+
+  /** Parse a column of protobuf `MetricsData` payloads: wire decode
+    * ([[OtlpProtoSignalOps.toMetricJson]]) into the same envelope
+    * shape, then the one shared [[parse]].
+    */
+  def parseProto(df: DataFrame, binCol: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    parse(df.select(call_function("graft_otlp_metric_json", binCol).as("payload")),
+      col("payload"))
+  }
+
+  /** One monotonic sum data point per envelope as protobuf
+    * `MetricsData` bytes — the round-trip generator.
+    */
+  def toOtlpProtoSum(timeUs: Column, serviceName: Column, metricName: Column,
+                     unit: Column, value: Column, isMonotonic: Column,
+                     temporality: Column): Column =
+    call_function("graft_otlp_sum_proto", struct(
+      timeUs.cast("long"), serviceName.cast("string"), metricName.cast("string"),
+      unit.cast("string"), value.cast("double"), isMonotonic.cast("boolean"),
+      temporality.cast("int")))
+
+  /** (valid data-point rows, undecodable payloads) for the protobuf
+    * transport — decode failures AND shape-invalid decodes both land
+    * in the rejected stream as their raw bytes.
+    */
+  def parseProtoWithInvalid(df: DataFrame, binCol: Column): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val marked = df
+      .select(binCol.as("bin"),
+        call_function("graft_otlp_metric_json_try", binCol).as("payload"))
+      .select(col("bin"), col("payload"), from_json(col("payload"), otlpSchema).as("o"))
+    val bad = marked
+      .filter(col("o").isNull || col("o.resourceMetrics").isNull ||
+        size(col("o.resourceMetrics")) === 0)
+      .select(col("bin").as("payload"))
+    (parse(marked.filter(col("o.resourceMetrics").isNotNull &&
+       size(col("o.resourceMetrics")) > 0), col("payload")), bad)
   }
 
   /** (valid data-point rows, shape-invalid envelopes) — the

@@ -326,7 +326,7 @@ object OtlpProtoOps {
 
   // ---- wire writer (test-data generator, mirrors toOtlpJsonTraced) -
 
-  private[sources] final class W {
+  private[graft] final class W {
     private var buf = new Array[Byte](128)
     var len = 0
     private def ensure(n: Int): Unit =
@@ -353,7 +353,7 @@ object OtlpProtoOps {
     def result: Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
-  private[sources] def hexBytes(hex: String): Array[Byte] = {
+  private[graft] def hexBytes(hex: String): Array[Byte] = {
     val out = new Array[Byte](hex.length / 2)
     var i = 0
     while (i < out.length) {
@@ -362,7 +362,7 @@ object OtlpProtoOps {
     out
   }
 
-  private[sources] def strAttr(w: W, field: Int, key: String, value: String): Unit =
+  private[graft] def strAttr(w: W, field: Int, key: String, value: String): Unit =
     w.msg(field) { kv =>
       kv.str(1, key)
       kv.msg(2)(_.str(1, value))

@@ -79,6 +79,46 @@ object OtlpTraces {
         attrsJson(col("sp.attributes")).as("span_attributes"))
   }
 
+  /** Parse a column of protobuf `TracesData` payloads: wire decode
+    * ([[OtlpProtoSignalOps.toTraceJson]]) into the SAME envelope shape,
+    * then the one shared [[parse]] — the transport twins stay behind a
+    * single flatten, like the log signal.
+    */
+  def parseProto(df: DataFrame, binCol: Column): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    parse(df.select(call_function("graft_otlp_trace_json", binCol).as("payload")),
+      col("payload"))
+  }
+
+  /** The wire twin of [[toOtlpJson]]: one span per envelope as
+    * protobuf `TracesData` bytes — round-trip generator.
+    */
+  def toOtlpProto(startUs: Column, endUs: Column, serviceName: Column,
+                  traceId: Column, spanId: Column, parentSpanId: Column,
+                  spanName: Column, kind: Column, statusCode: Column): Column =
+    call_function("graft_otlp_span_proto", struct(
+      startUs.cast("long"), endUs.cast("long"), serviceName.cast("string"),
+      traceId.cast("string"), spanId.cast("string"), parentSpanId.cast("string"),
+      spanName.cast("string"), kind.cast("int"), statusCode.cast("int")))
+
+  /** (valid span rows, undecodable payloads) for the protobuf
+    * transport — decode failures AND shape-invalid decodes both land
+    * in the rejected stream as their raw bytes.
+    */
+  def parseProtoWithInvalid(df: DataFrame, binCol: Column): (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val marked = df
+      .select(binCol.as("bin"),
+        call_function("graft_otlp_trace_json_try", binCol).as("payload"))
+      .select(col("bin"), col("payload"), from_json(col("payload"), otlpSchema).as("o"))
+    val bad = marked
+      .filter(col("o").isNull || col("o.resourceSpans").isNull ||
+        size(col("o.resourceSpans")) === 0)
+      .select(col("bin").as("payload"))
+    (parse(marked.filter(col("o.resourceSpans").isNotNull &&
+       size(col("o.resourceSpans")) > 0), col("payload")), bad)
+  }
+
   /** (valid span rows, shape-invalid envelopes) — the quarantine split
     * the HTTP edge's no-silent-drop contract needs, mirroring
     * [[OtlpLogs.parseWithInvalid]].

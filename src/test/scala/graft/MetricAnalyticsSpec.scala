@@ -155,6 +155,23 @@ class MetricAnalyticsSpec extends SparkSpec {
     ()
   }
 
+  test("otlpProtoRoundtrip: the metrics wire path loses nothing vs the direct aggregate") {
+    val viaWire = MetricAnalytics.otlpProtoRoundtrip(spark, sf).collect()
+    val direct = graft.sources.Tables.events(spark, sf)
+      .withColumn("service_name",
+        concat(lit("svc-"), (col("user_id") % 10).cast("string")))
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_c"))
+      .orderBy(col("service_name")).collect()
+    assert(viaWire.length == direct.length)
+    viaWire.zip(direct).foreach { case (w, d) =>
+      assert(w.getAs[String]("service_name") == d.getAs[String]("service_name"))
+      assert(w.getAs[Long]("n") == d.getAs[Long]("n"))
+      assert(w.getAs[Long]("sum_c") == d.getAs[Long]("sum_c"))
+    }
+  }
+
   test("plan shape: counter windows stay series-keyed — no single-partition global sort") {
     val plan = planString(MetricAnalytics.rate(spark, sf))
     assert(!plan.contains("SinglePartition"),

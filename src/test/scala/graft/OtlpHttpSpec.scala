@@ -113,8 +113,8 @@ class OtlpHttpSpec extends SparkSpec {
         .statusCode() == 400)
       assert(post(port, "/v1/traces", "{}".getBytes, "application/json").statusCode() == 200)
       assert(post(port, "/v1/traces", Array[Byte](0x0a, 0x02),
-        "application/x-protobuf").statusCode() == 415,
-        "protobuf traces must answer 415, not silently drop")
+        "application/x-protobuf").statusCode() == 400,
+        "framing-invalid protobuf traces must be rejected at request time")
       // real span envelopes through the engine's own generator —
       // a 3-span trace: root + two children
       val baseUs = 1705060800000000L
@@ -186,7 +186,8 @@ class OtlpHttpSpec extends SparkSpec {
       assert(post(port, "/v1/metrics", "{}".getBytes, "application/json")
         .statusCode() == 200)
       assert(post(port, "/v1/metrics", Array[Byte](0x0a),
-        "application/x-protobuf").statusCode() == 415)
+        "application/x-protobuf").statusCode() == 400,
+        "framing-invalid protobuf metrics must be rejected at request time")
       val baseNs = 1705060800000000000L
       val env =
         s"""{"resourceMetrics":[{"resource":{"attributes":[
@@ -224,6 +225,181 @@ class OtlpHttpSpec extends SparkSpec {
       assert(hist.getAs[String]("bucket_counts") == """["3","3","1"]""")
       assert(hist.getAs[String]("explicit_bounds") == "[1.0,5.0]")
       assert(m.select("service_name").distinct().head.getString(0) == "svc-m")
+    } finally server.stop()
+  }
+
+  test("protobuf transport: traces and metrics land end-to-end, incl. packed + exponential histograms") {
+    val root = Files.createTempDirectory("graft_otlp_pb").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val port = server.port
+      graft.functions.VectorFunctions.register(spark)
+      val baseUs = 1705060800000000L
+      // spans over the wire — one plain, one gzipped (the stock
+      // exporter default: http/protobuf + gzip)
+      val spanBins = spark.range(2).select(graft.sources.OtlpTraces.toOtlpProto(
+          lit(baseUs) + col("id") * 1000000L,
+          lit(baseUs) + col("id") * 1000000L + lit(250000L),
+          lit("svc-pb"), lit("0af7651916cd43dd8448eb211c80319c"),
+          concat(lit("bb0000000000000"), col("id")),
+          when(col("id") === 0, lit(null).cast("string"))
+            .otherwise(lit("bb00000000000000")),
+          concat(lit("op-"), col("id")), lit(2), lit(0)).as("bin"))
+        .collect().map(_.getAs[Array[Byte]]("bin"))
+      assert(post(port, "/v1/traces", spanBins(0), "application/x-protobuf")
+        .statusCode() == 200)
+      val gzr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/traces"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "gzip")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(gzipBytes(spanBins(1)))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(gzr.statusCode() == 200)
+      // a cumulative monotonic sum point over the wire
+      val sumBin = spark.range(1).select(graft.sources.OtlpMetrics.toOtlpProtoSum(
+          lit(baseUs), lit("svc-pb"), lit("requests"), lit("{req}"),
+          lit(41.5), lit(true), lit(2)).as("bin")).head.getAs[Array[Byte]]("bin")
+      assert(post(port, "/v1/metrics", sumBin, "application/x-protobuf")
+        .statusCode() == 200)
+      // hand-assembled MetricsData in the shapes a conforming proto3
+      // writer emits: PACKED bucket counts/bounds, and an exponential
+      // histogram with ZIGZAG scale/offset
+      import graft.sources.OtlpProtoOps
+      def packedFixed64(vs: Seq[Long]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 * vs.size)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(bb.putLong); bb.array
+      }
+      def zz(n: Int): Long = ((n << 1) ^ (n >> 31)).toLong
+      def metricsData(build: OtlpProtoOps.W => Unit): Array[Byte] = {
+        val top = new OtlpProtoOps.W
+        top.msg(1) { rm =>
+          rm.msg(1)(res => OtlpProtoOps.strAttr(res, 1, "service.name", "svc-pb"))
+          rm.msg(2) { sm => sm.msg(1)(_.str(1, "graft")); sm.msg(2)(build) }
+        }
+        top.result
+      }
+      val timeNs = baseUs * 1000L
+      val histBin = metricsData { m =>
+        m.str(1, "latency"); m.str(3, "ms")
+        m.msg(9) { h =>
+          h.msg(1) { dp =>
+            dp.fixed64(3, timeNs)
+            dp.fixed64(4, 7L)
+            dp.fixed64(5, java.lang.Double.doubleToLongBits(35.5))
+            dp.bytes(6, packedFixed64(Seq(3L, 3L, 1L)))
+            dp.bytes(7, packedFixed64(Seq(
+              java.lang.Double.doubleToLongBits(1.0),
+              java.lang.Double.doubleToLongBits(5.0))))
+          }
+          h.tag(2, 0); h.vint(2L)
+        }
+      }
+      assert(post(port, "/v1/metrics", histBin, "application/x-protobuf")
+        .statusCode() == 200)
+      val expBin = metricsData { m =>
+        m.str(1, "latency.exp"); m.str(3, "ms")
+        m.msg(10) { e =>
+          e.msg(1) { dp =>
+            dp.fixed64(3, timeNs)
+            dp.fixed64(4, 9L)
+            dp.fixed64(5, java.lang.Double.doubleToLongBits(12.5))
+            dp.tag(6, 0); dp.vint(zz(2))  // scale = 2
+            dp.fixed64(7, 1L)             // zero_count
+            dp.msg(8) { b =>
+              b.tag(1, 0); b.vint(zz(-3)) // offset = -3
+              b.bytes(2, Array[Byte](1, 2, 3)) // packed varints 1,2,3
+            }
+          }
+          e.tag(2, 0); e.vint(2L)
+        }
+      }
+      assert(post(port, "/v1/metrics", expBin, "application/x-protobuf")
+        .statusCode() == 200)
+      // valid framing, corrupt interior: enqueued, then QUARANTINED
+      // at flush (decode failure is a data fact, not a crash)
+      assert(post(port, "/v1/metrics", Array[Byte](0x0a, 0x03, 0x0a, 0xff.toByte, 0x01),
+        "application/x-protobuf").statusCode() == 200)
+      val (rows, quarantined) = server.flush()
+      assert(rows == 5, s"2 spans + sum + hist + exp points must land, got $rows")
+      assert(quarantined == 1, "the corrupt-interior payload must be quarantined")
+      // span lake: wire fields survived
+      val spans = LogSync.table(spark, s"$root/_traces")
+      assert(spans.count() == 2)
+      val byId = spans.collect().map(r => r.getAs[String]("span_id") -> r).toMap
+      assert(byId.keySet == Set("bb00000000000000", "bb00000000000001"))
+      assert(byId("bb00000000000000").getAs[String]("parent_span_id") == null)
+      assert(byId("bb00000000000001").getAs[String]("parent_span_id") == "bb00000000000000")
+      assert(byId("bb00000000000001").getAs[Long]("duration_ns") == 250000000L)
+      assert(byId("bb00000000000000").getAs[String]("trace_id")
+        == "0af7651916cd43dd8448eb211c80319c")
+      assert(byId("bb00000000000000").getAs[Int]("span_kind") == 2)
+      assert(spans.select("service_name").distinct().head.getString(0) == "svc-pb")
+      // metric lake: all three kinds, packed runs decoded, zigzag right
+      val m = LogSync.table(spark, s"$root/_metrics")
+      assert(m.count() == 3)
+      val s = m.filter(col("kind") === "sum").head
+      assert(s.getAs[Double]("value") == 41.5 && s.getAs[Boolean]("is_monotonic") &&
+        s.getAs[Int]("temporality") == 2)
+      val h = m.filter(col("kind") === "histogram").head
+      assert(h.getAs[Long]("point_count") == 7L)
+      assert(h.getAs[String]("bucket_counts") == """["3","3","1"]""")
+      assert(h.getAs[String]("explicit_bounds") == "[1.0,5.0]")
+      val e = m.filter(col("kind") === "exp_histogram")
+        .select(col("point_count"), col("point_sum"), col("temporality"),
+          from_json(col("bucket_counts"),
+            graft.sources.OtlpMetrics.expStructSchema).as("x"))
+        .select(col("point_count"), col("point_sum"), col("temporality"),
+          col("x.scale"), col("x.zeroCount"),
+          col("x.positive.offset").as("p_off"),
+          col("x.positive.bucketCounts").as("p_counts"),
+          col("x.negative.bucketCounts").as("n_counts")).head
+      assert(e.getAs[Long]("point_count") == 9L)
+      assert(e.getAs[Double]("point_sum") == 12.5)
+      assert(e.getAs[Int]("temporality") == 2)
+      assert(e.getAs[Int]("scale") == 2)
+      assert(e.getAs[Long]("zeroCount") == 1L)
+      assert(e.getAs[Int]("p_off") == -3)
+      assert(e.getAs[scala.collection.Seq[Long]]("p_counts").toSeq == Seq(1L, 2L, 3L))
+      assert(e.getAs[scala.collection.Seq[Long]]("n_counts").isEmpty)
+      // quarantine holds the corrupt wire bytes
+      val q = spark.read.parquet(s"$root/_metrics/_quarantine/http").collect()
+      assert(q.length == 1 &&
+        q.head.getAs[Array[Byte]]("payload").toSeq ==
+          Seq[Byte](0x0a, 0x03, 0x0a, 0xff.toByte, 0x01))
+    } finally server.stop()
+  }
+
+  test("metrics intake: exponential histogram points land from the JSON transport too") {
+    val root = Files.createTempDirectory("graft_otlp_expjson").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val baseNs = 1705060800000000000L
+      val env =
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"svc-ej"}}]},
+           |"scopeMetrics":[{"scope":{"name":"graft-test"},"metrics":[
+           |{"name":"latency.exp","unit":"ms","exponentialHistogram":{"dataPoints":[
+           |  {"timeUnixNano":"$baseNs","count":"4","sum":6.5,"scale":1,
+           |   "zeroCount":"0","positive":{"offset":2,"bucketCounts":["1","3"]},
+           |   "attributes":[]}],"aggregationTemporality":2}}
+           |]}]}]}""".stripMargin.replace("\n", "")
+      assert(post(server.port, "/v1/metrics", env.getBytes, "application/json")
+        .statusCode() == 200)
+      assert(server.flush()._1 == 1)
+      val e = LogSync.table(spark, s"$root/_metrics")
+        .filter(col("kind") === "exp_histogram")
+        .select(col("metric_name"), col("point_count"),
+          from_json(col("bucket_counts"),
+            graft.sources.OtlpMetrics.expStructSchema).as("x"))
+        .select(col("metric_name"), col("point_count"), col("x.scale"),
+          col("x.positive.offset").as("p_off"),
+          col("x.positive.bucketCounts").as("p_counts")).head
+      assert(e.getAs[String]("metric_name") == "latency.exp")
+      assert(e.getAs[Long]("point_count") == 4L)
+      assert(e.getAs[Int]("scale") == 1)
+      assert(e.getAs[Int]("p_off") == 2)
+      assert(e.getAs[scala.collection.Seq[Long]]("p_counts").toSeq == Seq(1L, 3L))
     } finally server.stop()
   }
 

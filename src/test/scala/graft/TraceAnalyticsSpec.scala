@@ -176,4 +176,28 @@ class TraceAnalyticsSpec extends SparkSpec {
     val g = planString(TraceAnalytics.serviceGraph(spark, sf))
     assert(!g.contains("NestedLoop"), "service graph must join on equi keys")
   }
+
+  test("otlpProtoRoundtrip: the wire path loses nothing vs the direct synthesis aggregate") {
+    import org.apache.spark.sql.functions._
+    val viaWire = TraceAnalytics.otlpProtoRoundtrip(spark, sf).collect()
+    val direct = graft.sources.Tables.events(spark, sf)
+      .withColumn("service_name",
+        when(col("event_type").isin("view", "click"), "web")
+          .when(col("event_type") === "signup", "auth")
+          .when(col("event_type") === "purchase", "checkout")
+          .otherwise("backend"))
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long") * 1000000L).as("total_dur_ns"),
+        countDistinct(md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd")))).as("n_traces"))
+      .orderBy(col("service_name")).collect()
+    assert(viaWire.length == direct.length)
+    viaWire.zip(direct).foreach { case (w, d) =>
+      assert(w.getAs[String]("service_name") == d.getAs[String]("service_name"))
+      assert(w.getAs[Long]("n_spans") == d.getAs[Long]("n_spans"))
+      assert(w.getAs[Long]("total_dur_ns") == d.getAs[Long]("total_dur_ns"))
+      assert(w.getAs[Long]("n_traces") == d.getAs[Long]("n_traces"))
+    }
+  }
 }
