@@ -68,6 +68,7 @@ object SparkEntry {
     "metrics_rate"             -> (MetricAnalytics.rate _),
     "metrics_exemplars"        -> (MetricAnalytics.exemplars _),
     "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
+    "metrics_exp_p95"          -> ((s: SparkSession, d: String) => MetricAnalytics.expQuantile(s, d)),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "metrics_gauge"            -> (MetricAnalytics.gauge _),
     "metrics_histogram"        -> (MetricAnalytics.histogram _),
@@ -803,6 +804,37 @@ object SparkEntry {
         |  strftime(min(ts),'%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts),'%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exponential-histogram quantile: scale-0 base-2 buckets via EXACT
+    // integer bit length (no float log at boundaries), same rank walk
+    // and linear interpolation on both engines
+    "metrics_exp_p95" ->
+      """WITH base AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+        |  FROM events),
+        |pos AS (
+        |  SELECT service, CAST(length(printf('%b', vi)) - 1 AS INTEGER) AS idx,
+        |    count(*) AS bucket_n
+        |  FROM base WHERE vi >= 1 GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT service, count(*) AS total,
+        |    SUM(CASE WHEN vi = 0 THEN 1 ELSE 0 END) AS zero_n
+        |  FROM base GROUP BY 1),
+        |cum AS (
+        |  SELECT service, idx, bucket_n,
+        |    COALESCE(SUM(bucket_n) OVER (PARTITION BY service ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM pos),
+        |hit AS (
+        |  SELECT c.service,
+        |    MIN_BY(POW(2.0, idx) + (POW(2.0, idx + 1) - POW(2.0, idx)) *
+        |      (0.95 * t.total - t.zero_n - c.cum_before) / c.bucket_n, idx) AS est
+        |  FROM cum c JOIN tot t USING (service)
+        |  WHERE t.zero_n + c.cum_before + c.bucket_n >= 0.95 * t.total
+        |  GROUP BY 1)
+        |SELECT t.service AS service,
+        |  ROUND(CASE WHEN t.zero_n >= 0.95 * t.total THEN 0.0 ELSE h.est END, 4) AS p95_c
+        |FROM tot t LEFT JOIN hit h USING (service) ORDER BY 1""".stripMargin,
     "metrics_gauge" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
         |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,

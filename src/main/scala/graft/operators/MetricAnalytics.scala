@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,11 +148,10 @@ object MetricAnalytics {
   /** [[increaseOf]] over the OTLP-ingested metric lake (the
     * `<root>/_metrics` table [[graft.serving.OtlpHttp]] writes):
     * hourly increase of one monotonic-sum metric, series =
-    * (service, metric). Delta-temporality sums (temporality=1) are
-    * already increments — the reset rule degenerates to identity on
-    * them only when values never dip, so callers split on the landed
-    * `temporality` column; this entry point takes the CUMULATIVE
-    * (temporality=2) points, the PromQL-shaped case.
+    * (service, metric). This entry point takes the CUMULATIVE
+    * (temporality=2) points, the PromQL-shaped case;
+    * delta-temporality sums take [[increaseFromLakeDelta]] (a plain
+    * windowless sum — each point already is an increment).
     */
   def increaseFromLake(spark: SparkSession, metricsRoot: String,
                        metricName: String): DataFrame = {
@@ -279,6 +278,140 @@ object MetricAnalytics {
         round(coalesce(col("est"), lit(Boundaries.last)), 4).as(s"p${(q * 100).toInt}"))
       .orderBy(col("service"))
   }
+
+  /** PromQL `increase()` for DELTA-temporality sums
+    * (temporality = 1): each point already IS an increment, so the
+    * bucket increase is a plain windowless sum — no lag, no reset
+    * rule, map-side combined; the cheapest possible shape (one
+    * aggregate shuffle to series×bucket cardinality). The spec proves
+    * it equals the cumulative twin on an equivalent stream (same
+    * underlying deltas exported both ways).
+    */
+  def increaseFromLakeDelta(spark: SparkSession, metricsRoot: String,
+                            metricName: String): DataFrame = {
+    val t0 = graft.sources.LogSync.table(spark, metricsRoot)
+    val t = if (t0.columns.contains("temporality")) t0
+            else t0.withColumn("temporality", lit(null).cast("int"))
+    t.filter(col("kind") === "sum" && col("metric_name") === metricName &&
+        col("is_monotonic") && col("temporality") === 1)
+      .groupBy(col("service_name"), col("metric_name"),
+        date_trunc("hour", col("timestamp")).as("bucket"))
+      .agg(sum(col("value")).as("increase"))
+      .orderBy(col("service_name"), col("metric_name"), col("bucket"))
+  }
+
+  /** EXPONENTIAL-histogram quantile — the Prometheus native-histogram
+    * estimator over the contract synthesis: every sample lands in the
+    * scale-0 base-2 bucket `idx = floor(log2(vi))`, computed EXACTLY
+    * via integer bit length (`length(bin(vi)) - 1` — no float log at
+    * bucket boundaries, bit-identical across engines); the quantile
+    * walks the cumulative bucket counts and interpolates linearly
+    * inside `[2^idx, 2^(idx+1))`, with ranks inside the zero bucket
+    * answering 0 — the native-histogram analogue of
+    * [[histogramQuantile]].
+    *
+    * Scale shape: one map-only projection + ONE aggregate shuffle to
+    * (service × ~⌈log₂ max⌉)-cardinality; the rank walk runs on that
+    * tiny frame.
+    */
+  def expQuantile(spark: SparkSession, dir: String, q: Double = 0.95): DataFrame = {
+    val base = counterBase(spark, dir).select(col("service"), col("vi"))
+    val buckets = base.filter(col("vi") >= 1)
+      .withColumn("idx", (length(bin(col("vi"))) - 1).cast("int"))
+      .groupBy(col("service"), col("idx"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val totals = base.groupBy(col("service"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("vi") === 0, 1L).otherwise(0L)).as("zero_n"))
+    val wIdx = Window.partitionBy(col("service")).orderBy(col("idx"))
+    val hit = buckets
+      .withColumn("cum_before", coalesce(sum(col("bucket_n")).over(
+        wIdx.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(totals, "service")
+      .withColumn("rank", lit(q) * col("total"))
+      .filter(col("zero_n") + col("cum_before") + col("bucket_n") >= col("rank"))
+      .groupBy(col("service"))
+      .agg(min_by(
+        pow(lit(2.0), col("idx")) +
+          (pow(lit(2.0), col("idx") + 1) - pow(lit(2.0), col("idx"))) *
+          (col("rank") - col("zero_n") - col("cum_before")) / col("bucket_n"),
+        col("idx")).as("est"))
+    totals
+      .withColumn("rank", lit(q) * col("total"))
+      .join(hit, Seq("service"), "left")
+      .select(col("service"),
+        round(when(col("zero_n") >= col("rank"), lit(0.0)).otherwise(col("est")), 4)
+          .as(s"p${(q * 100).toInt}_c"))
+      .orderBy(col("service"))
+  }
+
+  /** [[expQuantile]]'s library twin over INGESTED exponential-histogram
+    * points (the `kind = "exp_histogram"` rows the OTLP edge lands,
+    * base-2 structure in `bucket_counts` —
+    * [[graft.sources.OtlpMetrics.expStructSchema]]). Points of one
+    * series may arrive at DIFFERENT scales (SDKs rescale under
+    * pressure): merged at the series' MINIMUM scale — a bucket at
+    * scale s maps onto coarse index `idx >> (s − minScale)`
+    * (arithmetic shift: exact pair-merging, correct for negative
+    * indexes) — then the same rank walk with bounds
+    * `(2^(idx·2^−scale), 2^((idx+1)·2^−scale)]`. Zero-bucket ranks
+    * answer 0.
+    *
+    * Scale shape: bucket runs explode to (points × run length) rows,
+    * aggregate to series×idx cardinality; everything downstream is
+    * tiny. Estimator error is the bucket's relative width
+    * (≤ 2^(2^−minScale) − 1), the native-histogram guarantee.
+    */
+  def expQuantileOf(points: DataFrame, q: Double = 0.95): DataFrame = {
+    val parsed = points
+      .select(col("service_name"),
+        from_json(col("bucket_counts"),
+          graft.sources.OtlpMetrics.expStructSchema).as("x"),
+        col("point_count"))
+      .select(col("service_name"), col("x.scale").as("scale"),
+        col("x.zeroCount").as("zero_n"),
+        col("x.positive.offset").as("off"),
+        col("x.positive.bucketCounts").as("counts"),
+        col("point_count"))
+    val minScale = parsed.groupBy(col("service_name"))
+      .agg(min(col("scale")).as("min_scale"))
+    val buckets = parsed.join(broadcast(minScale), "service_name")
+      .select(col("service_name"), col("min_scale"), col("scale"), col("off"),
+        posexplode(col("counts")).as(Seq("pos", "cnt")))
+      .filter(col("cnt") > 0)
+      .withColumn("idx",
+        expr("shiftright(off + pos, scale - min_scale)").cast("int"))
+      .groupBy(col("service_name"), col("min_scale"), col("idx"))
+      .agg(sum(col("cnt")).as("bucket_n"))
+    val totals = parsed.groupBy(col("service_name"))
+      .agg(sum(col("point_count")).as("total"), sum(col("zero_n")).as("zero_total"))
+    val wIdx = Window.partitionBy(col("service_name")).orderBy(col("idx"))
+    def bound(i: Column): Column = pow(lit(2.0), i * pow(lit(2.0), -col("min_scale")))
+    val hit = buckets
+      .withColumn("cum_before", coalesce(sum(col("bucket_n")).over(
+        wIdx.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(totals, "service_name")
+      .withColumn("rank", lit(q) * col("total"))
+      .filter(col("zero_total") + col("cum_before") + col("bucket_n") >= col("rank"))
+      .groupBy(col("service_name"))
+      .agg(min_by(
+        bound(col("idx")) + (bound(col("idx") + 1) - bound(col("idx"))) *
+          (col("rank") - col("zero_total") - col("cum_before")) / col("bucket_n"),
+        col("idx")).as("est"))
+    totals
+      .withColumn("rank", lit(q) * col("total"))
+      .join(hit, Seq("service_name"), "left")
+      .select(col("service_name"),
+        when(col("zero_total") >= col("rank"), lit(0.0)).otherwise(col("est"))
+          .as(s"p${(q * 100).toInt}"))
+      .orderBy(col("service_name"))
+  }
+
+  /** [[expQuantileOf]] over the OTLP-ingested metric lake. */
+  def expQuantileFromLake(spark: SparkSession, metricsRoot: String,
+                          metricName: String, q: Double = 0.95): DataFrame =
+    expQuantileOf(graft.sources.LogSync.table(spark, metricsRoot)
+      .filter(col("kind") === "exp_histogram" && col("metric_name") === metricName), q)
 
   /** PROTOBUF-transport ingest round-trip proof for the metrics
     * signal: each event as one cumulative monotonic-sum data point

@@ -125,6 +125,81 @@ class MetricAnalyticsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("delta temporality: windowless-sum increase equals the cumulative twin on the same stream") {
+    val root = java.nio.file.Files.createTempDirectory("graft_metric_delta").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseNs = 1705060800000000000L
+      // one underlying increment stream exported BOTH ways: cumulative
+      // samples (with a reset) and the equivalent per-sample deltas
+      val cum = Seq((0L, 10L), (600L, 25L), (1200L, 40L), (3700L, 5L), (3900L, 9L))
+      val deltas = Seq((0L, 10L), (600L, 15L), (1200L, 15L), (3700L, 5L), (3900L, 4L))
+      def env(name: String, temp: Int, pts: Seq[(Long, Long)]): String = {
+        val dps = pts.map { case (s, v) =>
+          s"""{"timeUnixNano":"${baseNs + s * 1000000000L}","asInt":"$v","attributes":[]}"""
+        }.mkString(",")
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"svc-d"}}]},
+           |"scopeMetrics":[{"scope":{"name":"g","version":"1"},"metrics":[
+           |{"name":"$name","unit":"{req}","sum":{"dataPoints":[$dps],
+           |"aggregationTemporality":$temp,"isMonotonic":true}}]}]}]}"""
+          .stripMargin.replace("\n", "")
+      }
+      def post(body: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${server.port}/v1/metrics"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(post(env("req.cum", 2, cum)) == 200)
+      assert(post(env("req.delta", 1, deltas)) == 200)
+      server.flush()
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[java.sql.Timestamp]("bucket").toInstant.toString ->
+          r.getAs[Double]("increase")).toMap
+      val viaCum = asMap(graft.operators.MetricAnalytics
+        .increaseFromLake(spark, s"$root/_metrics", "req.cum"))
+      val viaDelta = asMap(graft.operators.MetricAnalytics
+        .increaseFromLakeDelta(spark, s"$root/_metrics", "req.delta"))
+      assert(viaCum == viaDelta, s"cum=$viaCum delta=$viaDelta")
+      assert(viaDelta == Map("2024-01-12T12:00:00Z" -> 40.0, "2024-01-12T13:00:00Z" -> 9.0))
+      // the delta path must NOT consume cumulative points or vice versa
+      assert(graft.operators.MetricAnalytics
+        .increaseFromLakeDelta(spark, s"$root/_metrics", "req.cum").count() == 0)
+      assert(graft.operators.MetricAnalytics
+        .increaseFromLake(spark, s"$root/_metrics", "req.delta").count() == 0)
+    } finally server.stop()
+  }
+
+  test("expQuantileOf: multi-scale points merge at the min scale; estimate lands in its bucket") {
+    import spark.implicits._
+    // series svc-x: a scale-2 point and a scale-1 point — the scale-2
+    // indexes must pair-merge (idx >> 1) before the rank walk.
+    // scale-1 buckets: (2^(idx/2), 2^((idx+1)/2)]. Merged counts:
+    // coarse idx2 = 20, idx3 = 20, idx4 = 2 (cum 20/40/42); rank =
+    // 0.95 × 42 = 39.9 → target bucket coarse idx 3 = (2.83, 4].
+    val rows = Seq(
+      // scale 2, offset 4: idx 4..7 → coarse (scale1) idx 2..3: 20 samples
+      ("svc-x", 20L,
+        """{"scale":2,"zeroCount":0,"positive":{"offset":4,"bucketCounts":[5,5,5,5]},"negative":{"offset":0,"bucketCounts":[]}}"""),
+      // scale 1, offset 2: idx 2,3 → 20 samples; idx 4 → 2 samples
+      ("svc-x", 22L,
+        """{"scale":1,"zeroCount":0,"positive":{"offset":2,"bucketCounts":[10,10,2]},"negative":{"offset":0,"bucketCounts":[]}}"""))
+      .toDF("service_name", "point_count", "bucket_counts")
+    val out = graft.operators.MetricAnalytics.expQuantileOf(rows, 0.95).collect()
+    assert(out.length == 1)
+    val p95 = out.head.getAs[Double]("p95")
+    assert(p95 > math.pow(2, 1.5) && p95 <= 4.0,
+      s"p95 $p95 must interpolate inside coarse bucket idx 3 (2.83, 4]")
+    // a zero-heavy series answers 0 for ranks inside the zero bucket
+    val zeroRows = Seq(("svc-z", 100L,
+      """{"scale":0,"zeroCount":99,"positive":{"offset":0,"bucketCounts":[1]},"negative":{"offset":0,"bucketCounts":[]}}"""))
+      .toDF("service_name", "point_count", "bucket_counts")
+    val z = graft.operators.MetricAnalytics.expQuantileOf(zeroRows, 0.95).head
+    assert(z.getAs[Double]("p95") == 0.0)
+  }
+
   test("exemplars: the surfaced trace holds the bucket's peak sample and resolves cross-signal") {
     val ex = MetricAnalytics.exemplars(spark, sf).cache()
     val events = graft.sources.Tables.events(spark, sf)
