@@ -61,6 +61,49 @@ object TraceAnalytics {
       .when(op === "purchase", "checkout")
       .otherwise("backend")
 
+  // ---- the general span model ---------------------------------------
+  //
+  // Every trace operator below runs on ONE span-model shape:
+  //   (trace_id, __key, __pkey, service, operation, ts, dur_ms,
+  //    is_error, is_root)
+  // where `__key` identifies a span inside its trace and `__pkey`
+  // points at its parent's `__key` (null at the root). The contract
+  // synthesis exploits its heap structure (__key = idx, __pkey =
+  // idx div 2 — integer keys, no parent lookup needed); the lake
+  // mapping uses the OTLP ids the exporters stamped. Operators are
+  // agnostic to the key type, so the certified contract plans and the
+  // real-APM lake plans are the SAME code.
+
+  /** The synthesis in model shape (contract plans unchanged: the heap
+    * keys make `__pkey` a pure projection, no join).
+    */
+  private[graft] def synthModel(spark: SparkSession, dir: String): DataFrame =
+    spans(spark, dir)
+      .withColumn("__key", col("idx"))
+      .withColumn("__pkey", when(col("idx") > 1, (col("idx") / 2).cast("int")))
+      .withColumn("is_error", col("operation") === "error")
+      .withColumn("is_root", col("idx") === 1)
+
+  /** The OTLP-ingested span lake (`<root>/_traces`, written by
+    * [[graft.serving.OtlpHttp]]) in model shape: durations arrive in
+    * nanoseconds (round-half-up to ms — truncation would zero sub-ms
+    * spans), services under `service_name`, operations under
+    * `span_name`, error = OTLP `STATUS_CODE_ERROR` (2), root = no
+    * parent id.
+    */
+  def spansFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
+    graft.sources.LogSync.table(spark, tracesRoot)
+      .select(col("trace_id"),
+        col("span_id").as("__key"),
+        col("parent_span_id").as("__pkey"),
+        col("service_name").as("service"),
+        col("span_name").as("operation"),
+        col("timestamp").as("ts"),
+        floor(col("duration_ns") / lit(1000000.0) + lit(0.5))
+          .cast("long").as("dur_ms"),
+        (col("status_code") === 2).as("is_error"),
+        col("parent_span_id").isNull.as("is_root"))
+
   /** Spans of ONE trace, tree-structured (the trace-view panel): each
     * span with its parent's span id attached. The trace filter lands
     * BEFORE the window, so the rank runs over one trace's rows — a
@@ -146,13 +189,21 @@ object TraceAnalytics {
     * error span count. Trace-cardinality output, one shuffle.
     */
   def traceSummary(spark: SparkSession, dir: String): DataFrame =
-    spans(spark, dir)
+    traceSummaryOf(synthModel(spark, dir))
+
+  /** [[traceSummary]] on any span-model frame. */
+  def traceSummaryOf(model: DataFrame): DataFrame =
+    model
       .groupBy(col("trace_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("dur_ms")).as("total_ms"),
-        max(when(col("idx") === 1, col("service"))).as("root_service"),
-        sum(when(col("operation") === "error", 1L).otherwise(0L)).as("n_errors"))
+        max(when(col("is_root"), col("service"))).as("root_service"),
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"))
       .orderBy(col("trace_id"))
+
+  /** [[traceSummary]] over the OTLP-ingested span lake. */
+  def traceSummaryFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
+    traceSummaryOf(spansFromLake(spark, tracesRoot))
 
   /** Span-duration latency panel per (service, operation) — the APM
     * "p50/p95 by endpoint" view: exact percentiles over the span
@@ -163,7 +214,11 @@ object TraceAnalytics {
     * sorts the corpus.
     */
   def latencyByService(spark: SparkSession, dir: String): DataFrame =
-    spans(spark, dir)
+    latencyOf(synthModel(spark, dir))
+
+  /** [[latencyByService]] on any span-model frame. */
+  def latencyOf(model: DataFrame): DataFrame =
+    model
       .groupBy(col("service"), col("operation"))
       .agg(
         round(expr("percentile(dur_ms, 0.5)"), 4).as("p50_ms"),
@@ -171,6 +226,12 @@ object TraceAnalytics {
         count(lit(1)).as("calls"),
         sum(col("dur_ms")).as("total_ms"))
       .orderBy(col("service"), col("operation"))
+
+  /** [[latencyByService]] over the OTLP-ingested span lake — the real
+    * APM p50/p95-by-endpoint panel.
+    */
+  def latencyFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
+    latencyOf(spansFromLake(spark, tracesRoot))
 
   /** TAIL-BASED SAMPLING — the OTel tail-sampling processor's
     * decision, made the way only a backend can (after the whole trace
@@ -191,7 +252,12 @@ object TraceAnalytics {
     * the keep set.
     */
   def tailSample(spark: SparkSession, dir: String,
-                 slowMs: Long = 3000, hexCut: String = "2a"): DataFrame = {
+                 slowMs: Long = 3000, hexCut: String = "2a"): DataFrame =
+    tailSampleOf(synthModel(spark, dir), slowMs, hexCut)
+
+  /** [[tailSample]] on any span-model frame. */
+  def tailSampleOf(model: DataFrame, slowMs: Long = 3000,
+                   hexCut: String = "2a"): DataFrame = {
     // hexCut compares lexicographically against a lowercase 2-char md5
     // prefix — validate it's exactly that shape so e.g. "2A" (keeps
     // ~0%: uppercase sorts below all lowercase hex) or a 1/3-char cut
@@ -200,11 +266,11 @@ object TraceAnalytics {
       (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
       s"hexCut must be exactly 2 lowercase hex chars (keep rate = " +
         s"parseInt(hexCut,16)/256); got '$hexCut'")
-    spans(spark, dir)
+    model
       .groupBy(col("trace_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("dur_ms")).as("total_ms"),
-        sum(when(col("operation") === "error", 1L).otherwise(0L)).as("n_errors"))
+        sum(when(col("is_error"), 1L).otherwise(0L)).as("n_errors"))
       .withColumn("reason",
         when(col("n_errors") > 0, "error")
           .when(col("total_ms") >= slowMs, "slow")
@@ -213,6 +279,14 @@ object TraceAnalytics {
       .select(col("trace_id"), col("n_spans"), col("total_ms"), col("reason"))
       .orderBy(col("trace_id"))
   }
+
+  /** [[tailSample]] over the OTLP-ingested span lake — the decision
+    * frame a tail-sampling exporter keeps; exporting the kept spans is
+    * the manifest semi-join with this as the keep set.
+    */
+  def tailSampleFromLake(spark: SparkSession, tracesRoot: String,
+                         slowMs: Long = 3000, hexCut: String = "2a"): DataFrame =
+    tailSampleOf(spansFromLake(spark, tracesRoot), slowMs, hexCut)
 
   /** PER-SERVICE SELF TIME — the flamegraph aggregate: how much of a
     * service's span time is its OWN work vs waiting on children
@@ -224,18 +298,30 @@ object TraceAnalytics {
     * no window beyond the synthesis rank; final frame is
     * tier-cardinality.
     */
-  def selfTime(spark: SparkSession, dir: String): DataFrame = {
-    val s = spans(spark, dir)
-    val childSums = s.filter(col("idx") > 1)
-      .groupBy(col("trace_id"), (col("idx") / 2).cast("int").as("idx"))
+  def selfTime(spark: SparkSession, dir: String): DataFrame =
+    selfTimeOf(synthModel(spark, dir))
+
+  /** [[selfTime]] on any span-model frame: children aggregate on the
+    * parent pointer (trace_id, __pkey), joined back co-partitioned on
+    * (trace_id, __key) — no per-trace recursion.
+    */
+  def selfTimeOf(model: DataFrame): DataFrame = {
+    val childSums = model.filter(col("__pkey").isNotNull)
+      .groupBy(col("trace_id"), col("__pkey").as("__key"))
       .agg(sum(col("dur_ms")).as("child_ms"))
-    s.join(childSums, Seq("trace_id", "idx"), "left")
+    model.join(childSums, Seq("trace_id", "__key"), "left")
       .groupBy(col("service"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("dur_ms")).as("total_ms"),
         sum(col("dur_ms") - coalesce(col("child_ms"), lit(0L))).as("self_ms"))
       .orderBy(col("service"))
   }
+
+  /** [[selfTime]] over the OTLP-ingested span lake — the flamegraph
+    * self-vs-wait aggregate on real spans.
+    */
+  def selfTimeFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
+    selfTimeOf(spansFromLake(spark, tracesRoot))
 
   /** CROSS-SIGNAL CORRELATION, corpus-wide: every span left-joined to
     * its WARN-and-up log record through the SAME (trace_id, span_id)
@@ -308,6 +394,48 @@ object TraceAnalytics {
       .agg(max(col("path_ms")).as("critical_ms"), count(lit(1)).as("n_spans"))
       .orderBy(col("trace_id"))
   }
+
+  /** [[criticalPath]] on any span-model frame — POINTER JUMPING over
+    * arbitrary parent pointers (the heap walk above exploits the
+    * synthesis' integer keys; real spans carry opaque ids): state
+    * (trace_id, __key, jump, acc) starts at (span, parent, own dur)
+    * and each round composes the chain with ITSELF — acc += acc at
+    * jump, jump = jump at jump — so the walked distance DOUBLES per
+    * round and ⌈log₂ depth⌉ co-partitioned self-joins complete every
+    * root-to-span sum (vs depth rounds for one-hop walking). A jump
+    * landing on a MISSING key (an orphan child whose parent never
+    * arrived) terminates there: the partial path is the honest answer
+    * for a torn trace; `maxRounds` bounds the loop against cyclic
+    * garbage (2^40 depth covers any real trace).
+    */
+  def criticalPathOf(model: DataFrame, maxRounds: Int = 40): DataFrame = {
+    var state = model.select(col("trace_id"), col("__key"),
+        col("__pkey").as("jump"),
+        coalesce(col("dur_ms"), lit(0L)).as("acc"))
+      .localCheckpoint()
+    var rounds = 0
+    var open = state.filter(col("jump").isNotNull).limit(1).count() > 0
+    while (open && rounds < maxRounds) {
+      rounds += 1
+      val hop = state.select(col("trace_id"), col("__key").as("jump"),
+        col("jump").as("__jump2"), col("acc").as("__acc2"))
+      state = state.join(hop, Seq("trace_id", "jump"), "left")
+        .select(col("trace_id"), col("__key"),
+          // matched: advance to the parent's jump (doubling); missed
+          // (complete, or dangling parent): terminate
+          when(col("__acc2").isNotNull, col("__jump2")).as("jump"),
+          (col("acc") + coalesce(col("__acc2"), lit(0L))).as("acc"))
+        .localCheckpoint()
+      open = state.filter(col("jump").isNotNull).limit(1).count() > 0
+    }
+    state.groupBy(col("trace_id"))
+      .agg(max(col("acc")).as("critical_ms"), count(lit(1)).as("n_spans"))
+      .orderBy(col("trace_id"))
+  }
+
+  /** [[criticalPath]] over the OTLP-ingested span lake. */
+  def criticalPathFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
+    criticalPathOf(spansFromLake(spark, tracesRoot))
 
   /** PROTOBUF-transport ingest round-trip proof for the traces
     * signal: the span model encoded to OTLP `TracesData` wire bytes

@@ -177,6 +177,89 @@ class TraceAnalyticsSpec extends SparkSpec {
     assert(!g.contains("NestedLoop"), "service graph must join on equi keys")
   }
 
+  test("lake twins: all five trace operators run off OTLP-ingested spans") {
+    val root = java.nio.file.Files.createTempDirectory("graft_trace_twins").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseUs = 1705060800000000L
+      val tA = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+      val tB = "bbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb"
+      val tC = "cccccccccccccccccccccccccccccccc"
+      // (trace, span, parent, service, op, durUs, status)
+      val fixture = Seq(
+        (tA, "ra00000000000000", null, "svc-web", "GET /", 500000L, 0),
+        (tA, "ca00000000000001", "ra00000000000000", "svc-auth", "verify", 200000L, 0),
+        (tA, "ca00000000000002", "ca00000000000001", "svc-db", "select", 100000L, 0),
+        (tA, "ca00000000000003", "ra00000000000000", "svc-auth", "verify", 50000L, 2),
+        (tB, "rb00000000000000", null, "svc-batch", "run", 4000000L, 0),
+        // orphan: parent never exported — partial chains must be honest
+        (tC, "cc00000000000001", "missing000000000", "svc-web", "GET /x", 70000L, 0))
+      fixture.zipWithIndex.foreach { case ((tid, sid, pid, svc, op, durUs, status), i) =>
+        val env = spark.range(1).select(graft.sources.OtlpTraces.toOtlpJson(
+          lit(baseUs + i), lit(baseUs + i + durUs), lit(svc), lit(tid), lit(sid),
+          if (pid == null) lit(null).cast("string") else lit(pid),
+          lit(op), lit(2), lit(status)).as("env")).head.getString(0)
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${server.port}/v1/traces"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(env)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+      }
+      server.flush()
+      val lake = s"$root/_traces"
+
+      val summary = TraceAnalytics.traceSummaryFromLake(spark, lake).collect()
+        .map(r => r.getAs[String]("trace_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("total_ms"),
+            r.getAs[String]("root_service"), r.getAs[Long]("n_errors")))).toMap
+      assert(summary(tA) == ((4L, 850L, "svc-web", 1L)))
+      assert(summary(tB) == ((1L, 4000L, "svc-batch", 0L)))
+      assert(summary(tC) == ((1L, 70L, null, 0L)), "an orphan trace has no root")
+
+      val lat = TraceAnalytics.latencyFromLake(spark, lake).collect()
+        .map(r => (r.getAs[String]("service"), r.getAs[String]("operation")) ->
+          ((r.getAs[Double]("p50_ms"), r.getAs[Long]("calls")))).toMap
+      assert(lat(("svc-auth", "verify")) == ((125.0, 2L)))
+      assert(lat(("svc-batch", "run")) == ((4000.0, 1L)))
+
+      val self = TraceAnalytics.selfTimeFromLake(spark, lake).collect()
+        .map(r => r.getAs[String]("service") ->
+          ((r.getAs[Long]("total_ms"), r.getAs[Long]("self_ms")))).toMap
+      // web root: 500 − (200 + 50) = 250; orphan web span: 70 self
+      assert(self("svc-web") == ((570L, 320L)))
+      // auth: 200 − 100 (db child) + 50 = 150
+      assert(self("svc-auth") == ((250L, 150L)))
+      assert(self("svc-db") == ((100L, 100L)))
+
+      val kept = TraceAnalytics.tailSampleFromLake(spark, lake,
+          slowMs = 3000, hexCut = "00").collect()
+        .map(r => r.getAs[String]("trace_id") -> r.getAs[String]("reason")).toMap
+      assert(kept == Map(tA -> "error", tB -> "slow"),
+        s"error + slow kept, the orphan dropped by the 0-rate hash leg: $kept")
+
+      val crit = TraceAnalytics.criticalPathFromLake(spark, lake).collect()
+        .map(r => r.getAs[String]("trace_id") ->
+          ((r.getAs[Long]("critical_ms"), r.getAs[Long]("n_spans")))).toMap
+      // A: 500 + 200 + 100 = 800 beats the error path 500 + 50
+      assert(crit(tA) == ((800L, 4L)))
+      assert(crit(tB) == ((4000L, 1L)))
+      assert(crit(tC) == ((70L, 1L)), "the torn chain answers its partial path")
+    } finally server.stop()
+  }
+
+  test("criticalPathOf: pointer jumping equals the heap walk on the whole synthesis") {
+    // the general-parent-pointer algorithm and the contract's
+    // heap-index walk must agree trace for trace
+    val viaHeap = TraceAnalytics.criticalPath(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaJump = TraceAnalytics.criticalPathOf(TraceAnalytics.synthModel(spark, sf))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaJump == viaHeap)
+  }
+
   test("otlpProtoRoundtrip: the wire path loses nothing vs the direct synthesis aggregate") {
     import org.apache.spark.sql.functions._
     val viaWire = TraceAnalytics.otlpProtoRoundtrip(spark, sf).collect()
