@@ -77,6 +77,7 @@ object SparkEntry {
     "lake_iceberg"        -> (LakeAnalytics.icebergSeverity _),
     "lake_iceberg_inc"    -> (LakeAnalytics.icebergIncSeverity _),
     "lake_iceberg_ext"    -> (LakeAnalytics.icebergExternalRegions _),
+    "lake_iceberg_day"    -> (LakeAnalytics.icebergExternalDays _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
     "lake_iceberg_tt"     -> (LakeAnalytics.icebergTimeTravel _),
@@ -906,6 +907,15 @@ object SparkEntry {
     "lake_iceberg_ext" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // day-transform fixture holds exactly the two fixture days of
+    // events; the oracle filters the original parquet to the same days
+    "lake_iceberg_day" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-13'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // v2 merge-on-read fixture: nation minus the position-deleted keys
     // {2,7} and the equality-deleted keys {11,14}; the STALE equality
     // delete naming key 20 (sequence not above the data file's) must

@@ -231,6 +231,24 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"), min(col("n_name")).as("mn"))
       .orderBy(col("n_regionkey"))
 
+  /** Daily aggregate over the DAY-TRANSFORM fixture
+    * ([[graft.sources.IcebergFixture.externalDayPartitionedTable]]: a
+    * standard writer's `PARTITIONED BY (days(ts))` layout — the
+    * source column stays in the data files, manifests carry epoch-day
+    * ints). The oracle runs on the ORIGINAL events parquet filtered
+    * to the fixture's two days, so the hash-match certifies that
+    * non-identity transforms resolve, do NOT attach phantom columns,
+    * and surface exactly the snapshot's rows.
+    */
+  def icebergExternalDays(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readExternal(spark,
+        graft.sources.IcebergFixture.externalDayPartitionedTable(spark, dir))
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_c"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy(col("day"))
+
   /** Per-region counts over the v2 MERGE-ON-READ fixture
     * ([[graft.sources.IcebergFixture.externalNationMorTable]]: one
     * data file plus position, equality, and sequence-stale equality

@@ -282,7 +282,8 @@ object IcebergExport {
     val removed = prevUris -- curUris
     val deltaEligible = prev.exists(p => p.snapshotId.nonEmpty &&
       p.listRecords.nonEmpty && removed.isEmpty &&
-      p.partFields.map(_._1) == st.partCols)
+      p.partFields.forall(_.transform == "identity") &&
+      p.partFields.map(_.name) == st.partCols)
     val prevMd = prev.map(_.md)
 
     def writeText(name: String, content: String): Path = {
@@ -584,18 +585,27 @@ object IcebergExport {
                                              equalityIds: Seq[Int], seq: Long,
                                              partValues: Option[Map[String, Any]] = None)
 
+  /** One default-spec partition field: its name, source column id,
+    * and TRANSFORM (`identity`, `day`, `hour`, `month`, `year`,
+    * `bucket[N]`, `truncate[W]`, `void` — the spec's set). Only
+    * identity fields attach as data columns; the others are
+    * metadata-derived values whose source column stays in the data
+    * files.
+    */
+  private[graft] final case class PartField(name: String, srcId: Int,
+                                            transform: String)
+
   /** A resolved Iceberg FileSystem-table chain. `schemaFields` are the
     * CURRENT schema's primitive columns (id, name, iceberg type name);
-    * `partFields` the default spec's identity fields (name →
-    * source-id). `files` is the current snapshot's active data-file
-    * set across every manifest in its manifest list; `deleteFiles` the
-    * snapshot's live row-level delete files (empty for v1 / COW
-    * tables).
+    * `partFields` the default spec's partition fields. `files` is the
+    * current snapshot's active data-file set across every manifest in
+    * its manifest list; `deleteFiles` the snapshot's live row-level
+    * delete files (empty for v1 / COW tables).
     */
   private[graft] final case class Chain(md: IcebergJson.V,
                                         formatVersion: Int,
                                         schemaFields: Seq[Field],
-                                        partFields: Seq[(String, Int)],
+                                        partFields: Seq[PartField],
                                         snapshotId: Option[Long],
                                         listRecords: Seq[GenericRecord],
                                         files: Seq[ChainFile],
@@ -621,11 +631,14 @@ object IcebergExport {
     * `partition-spec`, v1 snapshots with inline `manifests` in place
     * of a manifest list, and v2 ROW-LEVEL DELETES (position and
     * equality delete files surface on [[Chain.deleteFiles]] with their
-    * sequence numbers — [[readChain]] applies them). REJECTS LOUDLY
-    * (require) what this reader cannot honor silently: non-identity
-    * partition transforms, nested column types, and unknown file
-    * content kinds — each would otherwise surface wrong rows, not an
-    * error.
+    * sequence numbers — [[readChain]] applies them). Partition
+    * transforms: identity, day, hour, month, year, bucket[N],
+    * truncate[W], void are all accepted (only identity fields attach
+    * as columns; the others keep their source column in the data
+    * files). REJECTS LOUDLY (require) what this reader cannot honor
+    * silently: unknown transforms, nested column types, and unknown
+    * file content kinds — each would otherwise surface wrong rows,
+    * not an error.
     */
   private[graft] def resolveChain(spark: SparkSession, metaDir: Path,
                                   asOf: Option[SnapshotRef] = None): Chain = {
@@ -699,10 +712,16 @@ object IcebergExport {
     }
     val partFields = specFields.map { f =>
       val tr = f("transform").str
-      require(tr == "identity",
-        s"non-identity partition transform '$tr' on field ${f("name").str} — " +
-          "this reader honors identity partitions only")
-      (f("name").str, f("source-id").int)
+      // the spec's transform set: identity attaches as a column; the
+      // time/bucket/truncate families keep their source column in the
+      // data files and carry derived values in the manifests — all
+      // readable; anything unknown would surface wrong rows, so it
+      // rejects loudly
+      require(tr == "identity" || tr == "day" || tr == "hour" ||
+        tr == "month" || tr == "year" || tr == "void" ||
+        tr.matches("bucket\\[[0-9]+\\]") || tr.matches("truncate\\[[0-9]+\\]"),
+        s"unknown partition transform '$tr' on field ${f("name").str}")
+      PartField(f("name").str, f("source-id").int, tr)
     }
 
     // current snapshot, ANCHORED by id (none / -1 = legal empty
@@ -770,16 +789,16 @@ object IcebergExport {
             // record simply doesn't carry
             def presentPart: Map[String, Any] =
               Option(d.get("partition")).map(_.asInstanceOf[GenericRecord]).map { p =>
-                partFields.collect { case (name, _)
-                  if p.getSchema.getField(name) != null => name -> p.get(name)
+                partFields.collect { case f
+                  if p.getSchema.getField(f.name) != null => f.name -> p.get(f.name)
                 }.toMap
               }.getOrElse(Map.empty)
             content match {
               case 0 =>
                 require(!isDelete, s"data file ${d.get("file_path")} in a delete manifest")
                 val present = presentPart
-                val pv = partFields.map { case (name, _) =>
-                  name -> present.getOrElse(name, null)
+                val pv = partFields.map { f =>
+                  f.name -> present.getOrElse(f.name, null)
                 }.toMap
                 dataFiles += ChainFile(d.get("file_path").toString, pv, seq)
               case 1 | 2 => // position / equality delete file (v2 MOR)
@@ -883,9 +902,10 @@ object IcebergExport {
     * catalog flow (scripts/sync-logs.sh:1-86 registers tables that
     * ClickHouse then reads; graft can now consume such a table
     * directly). Trusts ONLY the spec chain via [[resolveChain]]:
-    * v1/v2 metadata, identity partitions, v2 row-level deletes
-    * applied merge-on-read ([[readChain]]) — anything else rejects
-    * loudly there.
+    * v1/v2 metadata, the spec's partition-transform set
+    * (identity/day/hour/month/year/bucket/truncate/void), v2
+    * row-level deletes applied merge-on-read ([[readChain]]) —
+    * anything else rejects loudly there.
     *
     * Identity partition VALUES come from the manifests (authoritative
     * per the spec — external writers need not use hive-style dirs), and
@@ -924,7 +944,11 @@ object IcebergExport {
   private[graft] def readChain(spark: SparkSession, chain: Chain): DataFrame = {
     val typeOf = chain.schemaFields.map(f => f.id -> f.tpe).toMap
     val nameOf = chain.schemaFields.map(f => f.id -> f.name).toMap
-    val partNames = chain.partFields.map(_._1)
+    // only IDENTITY fields can attach as data columns; transformed
+    // fields (day/hour/bucket/...) carry derived values whose source
+    // column stays in the data files
+    val identityNames = chain.partFields.filter(_.transform == "identity").map(_.name)
+    val partByName = chain.partFields.map(f => f.name -> f).toMap
     if (chain.files.isEmpty) {
       // legal empty table: an empty frame with the declared schema
       val struct = StructType(chain.schemaFields.map(f =>
@@ -944,22 +968,70 @@ object IcebergExport {
         java.time.LocalDate.ofEpochDay(l).toString
       case other => other.toString
     }
-    lazy val srcType = chain.partFields.map { case (name, srcId) =>
-      name -> typeOf.getOrElse(srcId,
-        sys.error(s"partition field $name: source-id $srcId not in current schema"))
+    lazy val srcType = chain.partFields.map { f =>
+      f.name -> typeOf.getOrElse(f.srcId,
+        sys.error(s"partition field ${f.name}: source-id ${f.srcId} not in current schema"))
     }.toMap
+    def srcCol(f: PartField): org.apache.spark.sql.Column =
+      col(nameOf.getOrElse(f.srcId,
+        sys.error(s"partition field ${f.name}: source-id ${f.srcId} not in current schema")))
+    // DATA-side expression of a partition field's transform — what a
+    // partition-scoped delete compares against (iceberg.apache.org/spec
+    // transform semantics); bucket needs the spec's murmur3, which this
+    // reader does not evaluate row-side — scoped deletes on bucket
+    // fields reject loudly rather than guessing
+    def transformCol(f: PartField): org.apache.spark.sql.Column = f.transform match {
+      case "identity" => srcCol(f).cast(sparkTypeFor(srcType(f.name)))
+      case "day"      => to_date(srcCol(f))
+      case "hour"     => floor(unix_micros(srcCol(f)) / lit(3600000000L)).cast("int")
+      case "month"    => ((year(srcCol(f)) - 1970) * 12 + month(srcCol(f)) - 1).cast("int")
+      case "year"     => (year(srcCol(f)) - 1970).cast("int")
+      case "void"     => lit(null)
+      case t if t.startsWith("truncate") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        if (srcType(f.name) == "string") substring(srcCol(f), 1, w)
+        else srcCol(f) - pmod(srcCol(f), lit(w.toLong))
+      case t => sys.error(
+        s"cannot evaluate transform '$t' on the data side — a delete scoped " +
+          s"on partition field ${f.name} is not honorable by this reader")
+    }
+    // typed literal for a manifest partition value under the field's
+    // transform (day values are epoch-day ints; the time family ints)
+    def transformLit(f: PartField, v: Any): org.apache.spark.sql.Column = f.transform match {
+      case "identity" =>
+        lit(renderVal(v, srcType(f.name))).cast(sparkTypeFor(srcType(f.name)))
+      case "day" =>
+        lit(renderVal(v, "date")).cast(DateType)
+      case "hour" | "month" | "year" =>
+        lit(if (v == null) null else v.toString).cast(IntegerType)
+      case "void" => lit(null)
+      case t if t.startsWith("truncate") =>
+        if (srcType(f.name) == "string") lit(if (v == null) null else v.toString)
+        else lit(if (v == null) null else v.toString).cast(sparkTypeFor(srcType(f.name)))
+      case t => sys.error(s"no literal form for transform '$t'")
+    }
     val raw = spark.read.parquet(chain.files.map(f => fileUri(f.uri)): _*)
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
     // them, and for those the manifest values are authoritative
-    val attach = partNames.filterNot(raw.columns.contains)
+    val attach = identityNames.filterNot(raw.columns.contains)
     val hasDeletes = chain.deleteFiles.nonEmpty
     val posDeletes = chain.deleteFiles.filter(_.content == 1)
     // a partition-scoped delete constrains data rows on the partition
     // columns — which therefore must be readable on the data side
     chain.deleteFiles.flatMap(_.partValues).flatMap(_.keys).distinct.foreach { p =>
-      require(raw.columns.contains(p) || attach.contains(p),
-        s"partition-scoped delete needs partition column '$p' on the scan")
+      val f = partByName.getOrElse(p, sys.error(s"delete scoped on unknown partition field '$p'"))
+      if (f.transform == "identity")
+        require(raw.columns.contains(p) || attach.contains(p),
+          s"partition-scoped delete needs partition column '$p' on the scan")
+      else {
+        // derived scope: the SOURCE column must be scannable, and the
+        // transform evaluable (rejects loudly for bucket)
+        require(raw.columns.contains(nameOf.getOrElse(f.srcId, "?")),
+          s"partition-scoped delete on '$p' needs source column on the scan")
+        transformCol(f)
+        ()
+      }
     }
 
     val attached: DataFrame = if (attach.isEmpty && !hasDeletes) raw else {
@@ -1007,20 +1079,28 @@ object IcebergExport {
             // (possibly to null), and to what value — a file
             // constrains only the fields its record carries
             val scope = scopeCols.flatMap { p =>
+              val f = partByName(p)
               val bound = d.partValues.exists(_.contains(p))
               Seq(
                 lit(bound).as(s"__gdps_$p"),
-                (if (bound)
-                   lit(renderVal(d.partValues.flatMap(_.get(p)).orNull, srcType(p)))
-                     .cast(sparkTypeFor(srcType(p)))
-                 else lit(null).cast(sparkTypeFor(srcType(p)))).as(s"__gdp_$p"))
+                (if (bound) transformLit(f, d.partValues.flatMap(_.get(p)).orNull)
+                 else transformLit(f, null)).as(s"__gdp_$p"))
             }
             spark.read.parquet(fileUri(d.uri))
               .select(cols.map(c => col(c).as(s"__gd_$c")) ++ scope ++
                 Seq(lit(d.seq).as("__graft_dseq")): _*)
           }.reduce(_ unionByName _)
+          // identity scopes compare the (attached) partition column;
+          // transformed scopes compare the transform of the source
+          // column — both null-safely, a null-valued partition is
+          // still one partition
           val scopeCond = scopeCols
-            .map(p => !col(s"__gdps_$p") || (col(p) <=> col(s"__gdp_$p")))
+            .map { p =>
+              val f = partByName(p)
+              val dataSide =
+                if (f.transform == "identity") col(p) else transformCol(f)
+              !col(s"__gdps_$p") || (dataSide <=> col(s"__gdp_$p"))
+            }
             .foldLeft(lit(true))(_ && _)
           val cond = cols.map(c => col(c) <=> col(s"__gd_$c"))
             .reduce(_ && _) && col("__graft_seq") < col("__graft_dseq") && scopeCond

@@ -359,6 +359,260 @@ object IcebergFixture {
     * reader removes ONLY (grp=1, id=2); a reader that drops the scope
     * also removes (grp=2, id=2).
     */
+  private val builtDay = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** An externally-shaped v1 table over two days of `events`,
+    * partitioned by the NON-IDENTITY transform `day(ts)` — the layout
+    * a standard Iceberg log/event writer overwhelmingly produces
+    * (`PARTITIONED BY (days(ts))`): the source column `ts` STAYS in
+    * the data files, the manifests carry the derived epoch-day ints.
+    * A reader that only honors identity transforms cannot open this
+    * table at all; one that attached `ts_day` as a data column would
+    * invent a column no data file has. Certified by
+    * `lake_iceberg_day` against the raw events oracle.
+    */
+  def externalDayPartitionedTable(spark: SparkSession, dir: String): String =
+    builtDay.computeIfAbsent(dir, _ => {
+      val loc = s"/tmp/graft_ice_ext_day_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(loc).getFileSystem(conf)
+      val marker = new Path(s"$loc/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(new Path(loc), true)
+        fs.mkdirs(new Path(s"$loc/data"))
+        fs.mkdirs(new Path(s"$loc/metadata"))
+        val events = Tables.events(spark, dir)
+        val days = Seq("2024-01-12", "2024-01-13")
+        val dataFiles: Seq[(String, Int, Long)] = days.map { day =>
+          val stage = s"$loc/_stage_$day"
+          events.filter(to_date(col("ts")) === lit(day))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new Path(stage)).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part file under $stage"))
+          val target = new Path(s"$loc/data/d$day.parquet")
+          require(fs.rename(part, target), s"rename of $part failed")
+          fs.delete(new Path(stage), true)
+          val epochDay = java.time.LocalDate.parse(day).toEpochDay.toInt
+          val rows = events.filter(to_date(col("ts")) === lit(day)).count()
+          (s"file://${target.toUri.getPath}", epochDay, rows)
+        }
+        val entrySchema = new Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"],"default":null},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |{"name":"file_path","type":"string"},
+            |{"name":"file_format","type":"string"},
+            |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+            |{"name":"ts_day","type":["null","int"],"default":null}]}},
+            |{"name":"record_count","type":"long"},
+            |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+        val listSchema = new Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |{"name":"manifest_path","type":"string"},
+            |{"name":"manifest_length","type":"long"},
+            |{"name":"partition_spec_id","type":"int"},
+            |{"name":"added_snapshot_id","type":["null","long"],"default":null}]}"""
+            .stripMargin)
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val snap = 4242L
+        val entries = dataFiles.map { case (uri, epochDay, rows) =>
+          val part = new GenericData.Record(partSchema)
+          part.put("ts_day", epochDay)
+          val d = new GenericData.Record(dfSchema)
+          d.put("file_path", uri)
+          d.put("file_format", "PARQUET")
+          d.put("partition", part)
+          d.put("record_count", rows)
+          d.put("file_size_in_bytes",
+            fs.getFileStatus(new Path(uri.stripPrefix("file://"))).getLen)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snap)
+          e.put("data_file", d)
+          e
+        }
+        val m = new Path(s"$loc/metadata/00000-m0.avro")
+        val len = IcebergExport.writeAvro(spark, m, entrySchema, Map.empty,
+          entries.iterator)
+        val listPath = new Path(s"$loc/metadata/snap-day.avro")
+        IcebergExport.writeAvro(spark, listPath, listSchema, Map.empty, Iterator.single {
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", s"file://${m.toUri.getPath}")
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", 0)
+          r.put("added_snapshot_id", snap)
+          r
+        })
+        val metadata =
+          s"""{"format-version":1,
+             |"table-uuid":"90000000-a000-b000-c000-d00000000000",
+             |"location":"file://$loc",
+             |"last-updated-ms":1,
+             |"last-column-id":6,
+             |"schema":{"type":"struct","fields":[
+             |{"id":1,"name":"event_id","required":false,"type":"long"},
+             |{"id":2,"name":"ts","required":false,"type":"timestamp"},
+             |{"id":3,"name":"user_id","required":false,"type":"long"},
+             |{"id":4,"name":"event_type","required":false,"type":"string"},
+             |{"id":5,"name":"value","required":false,"type":"double"},
+             |{"id":6,"name":"props","required":false,"type":"string"}]},
+             |"partition-spec":[{"name":"ts_day","transform":"day",
+             |"source-id":2,"field-id":1000}],
+             |"properties":{},
+             |"current-snapshot-id":$snap,
+             |"snapshots":[{"snapshot-id":$snap,"timestamp-ms":1,
+             |"manifest-list":"file://${listPath.toUri.getPath}"}]}""".stripMargin
+        val out = fs.create(new Path(s"$loc/metadata/v1.metadata.json"), true)
+        out.write(metadata.getBytes("UTF-8"))
+        out.close()
+        val hint = fs.create(new Path(s"$loc/metadata/version-hint.text"), true)
+        hint.write("1".getBytes("UTF-8"))
+        hint.close()
+        fs.create(marker).close()
+      }
+      loc
+    })
+
+  private val builtDayScoped = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A v2 table partitioned by `day(ts)` carrying an equality delete
+    * SCOPED to one day — the case where the reader must EVALUATE the
+    * transform on the data side (`to_date(ts)` vs the manifest's
+    * epoch-day value): the delete (id = 2) applies only to the first
+    * day's rows; the second day's id = 2 must survive.
+    */
+  def externalDayScopedDeleteTable(spark: SparkSession): String =
+    builtDayScoped.computeIfAbsent("x", _ => {
+      val loc = "/tmp/graft_ice_dayscoped_v2"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(loc).getFileSystem(conf)
+      val marker = new Path(s"$loc/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(new Path(loc), true)
+        fs.mkdirs(new Path(s"$loc/data"))
+        fs.mkdirs(new Path(s"$loc/metadata"))
+        import spark.implicits._
+        def writeOne(df: org.apache.spark.sql.DataFrame, target: Path): String = {
+          val stage = s"$loc/_stage_${target.getName}"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.listStatus(new Path(stage)).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part file under $stage"))
+          require(fs.rename(part, target), s"rename of $part failed")
+          fs.delete(new Path(stage), true)
+          s"file://${target.toUri.getPath}"
+        }
+        def t(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+        val day1 = "2024-01-12"; val day2 = "2024-01-13"
+        val d1 = writeOne(Seq(1, 2, 3).map(i => (i, t(s"${day1}T10:0$i:00Z")))
+          .toDF("id", "ts"), new Path(s"$loc/data/d1.parquet"))
+        val d2 = writeOne(Seq(1, 2, 3).map(i => (i, t(s"${day2}T10:0$i:00Z")))
+          .toDF("id", "ts"), new Path(s"$loc/data/d2.parquet"))
+        val del = writeOne(Seq(2).toDF("id"), new Path(s"$loc/data/eq-del.parquet"))
+        val epoch1 = java.time.LocalDate.parse(day1).toEpochDay.toInt
+        val epoch2 = java.time.LocalDate.parse(day2).toEpochDay.toInt
+
+        val entrySchema = new Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int"},
+            |{"name":"snapshot_id","type":["null","long"],"default":null},
+            |{"name":"sequence_number","type":["null","long"],"default":null},
+            |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            |{"name":"content","type":"int"},
+            |{"name":"file_path","type":"string"},
+            |{"name":"file_format","type":"string"},
+            |{"name":"partition","type":{"type":"record","name":"r102","fields":[
+            |{"name":"ts_day","type":["null","int"],"default":null}]}},
+            |{"name":"record_count","type":"long"},
+            |{"name":"file_size_in_bytes","type":"long"},
+            |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+            |"default":null}]}}]}""".stripMargin)
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val snap = 5555L
+        def entry(uri: String, content: Int, day: Option[Int],
+                  eqIds: Seq[Int], n: Long): GenericRecord = {
+          val part = new GenericData.Record(partSchema)
+          day.foreach(d => part.put("ts_day", d))
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", content)
+          d.put("file_path", uri)
+          d.put("file_format", "PARQUET")
+          d.put("partition", part)
+          d.put("record_count", n)
+          d.put("file_size_in_bytes",
+            fs.getFileStatus(new Path(uri.stripPrefix("file://"))).getLen)
+          if (eqIds.nonEmpty)
+            d.put("equality_ids", java.util.Arrays.asList(eqIds.map(Int.box): _*))
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snap)
+          e.put("data_file", d)
+          e
+        }
+        def manifest(name: String, entries: Seq[GenericRecord]): (Path, Long) = {
+          val p = new Path(s"$loc/metadata/$name")
+          (p, IcebergExport.writeAvro(spark, p, entrySchema, Map.empty, entries.iterator))
+        }
+        val (mData, lenData) = manifest("m-data.avro", Seq(
+          entry(d1, 0, Some(epoch1), Seq.empty, 3),
+          entry(d2, 0, Some(epoch2), Seq.empty, 3)))
+        val (mDel, lenDel) = manifest("m-del.avro", Seq(
+          entry(del, 2, Some(epoch1), Seq(1), 1))) // SCOPED to day 1
+        val listSchema = IcebergExport.manifestListSchema
+        def listRec(p: Path, len: Long, content: Int, seq: Long): GenericRecord = {
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", s"file://${p.toUri.getPath}")
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", 0)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snap)
+          r.put("added_data_files_count", 1)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          r.put("added_rows_count", 1L)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+        }
+        val listPath = new Path(s"$loc/metadata/snap-dayscoped.avro")
+        IcebergExport.writeAvro(spark, listPath, listSchema,
+          Map("format-version" -> "2", "snapshot-id" -> snap.toString),
+          Iterator(listRec(mData, lenData, 0, 1L), listRec(mDel, lenDel, 1, 2L)))
+        val metadata =
+          s"""{"format-version":2,
+             |"table-uuid":"a0000000-b000-c000-d000-e00000000000",
+             |"location":"file://$loc",
+             |"last-sequence-number":2,"last-updated-ms":2,"last-column-id":2,
+             |"current-schema-id":0,
+             |"schemas":[{"type":"struct","schema-id":0,"fields":[
+             |{"id":1,"name":"id","required":false,"type":"int"},
+             |{"id":2,"name":"ts","required":false,"type":"timestamp"}]}],
+             |"default-spec-id":0,
+             |"partition-specs":[{"spec-id":0,"fields":[
+             |{"name":"ts_day","transform":"day","source-id":2,"field-id":1000}]}],
+             |"last-partition-id":1000,
+             |"properties":{},
+             |"current-snapshot-id":$snap,
+             |"snapshots":[{"snapshot-id":$snap,"timestamp-ms":2,"sequence-number":2,
+             |"manifest-list":"file://${listPath.toUri.getPath}","schema-id":0}]}"""
+            .stripMargin
+        val out = fs.create(new Path(s"$loc/metadata/v1.metadata.json"), true)
+        out.write(metadata.getBytes("UTF-8"))
+        out.close()
+        val hint = fs.create(new Path(s"$loc/metadata/version-hint.text"), true)
+        hint.write("1".getBytes("UTF-8"))
+        hint.close()
+        fs.create(marker).close()
+      }
+      loc
+    })
+
   def externalScopedDeleteTable(spark: SparkSession): String =
     builtScoped.computeIfAbsent("x", _ => {
       val loc = "/tmp/graft_ice_scoped_v1"

@@ -231,22 +231,57 @@ class IcebergExportSpec extends SparkSpec {
       "post-expiry export must chain a delta onto the trimmed history")
   }
 
-  test("readExternal rejects what it cannot honor: non-identity transforms") {
-    val loc = Files.createTempDirectory("graft_ice_rej").toString
-    new java.io.File(s"$loc/metadata").mkdirs()
-    val md =
-      s"""{"format-version":1,"table-uuid":"u","location":"file://$loc",
-         |"last-updated-ms":1,"last-column-id":1,
-         |"schema":{"type":"struct","fields":[
-         |{"id":1,"name":"k","required":false,"type":"int"}]},
-         |"partition-spec":[{"name":"k_bucket","transform":"bucket[4]",
-         |"source-id":1,"field-id":1000}],
-         |"properties":{},"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
-    Files.write(new java.io.File(s"$loc/metadata/v1.metadata.json").toPath,
-      md.getBytes("UTF-8"))
-    val e = intercept[Exception] { IcebergExport.readExternal(spark, loc) }
-    assert(e.getMessage.contains("non-identity"),
-      s"bucket transform must reject loudly, got: ${e.getMessage}")
+  test("partition transforms: the spec set resolves; unknown transforms reject loudly") {
+    def mdFor(transform: String): String = {
+      val loc = Files.createTempDirectory("graft_ice_tr").toString
+      new java.io.File(s"$loc/metadata").mkdirs()
+      val md =
+        s"""{"format-version":1,"table-uuid":"u","location":"file://$loc",
+           |"last-updated-ms":1,"last-column-id":1,
+           |"schema":{"type":"struct","fields":[
+           |{"id":1,"name":"k","required":false,"type":"int"}]},
+           |"partition-spec":[{"name":"k_p","transform":"$transform",
+           |"source-id":1,"field-id":1000}],
+           |"properties":{},"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
+      Files.write(new java.io.File(s"$loc/metadata/v1.metadata.json").toPath,
+        md.getBytes("UTF-8"))
+      loc
+    }
+    // the whole spec transform set resolves (empty tables read as
+    // zero typed rows — the transform no longer gates the open)
+    Seq("identity", "day", "hour", "month", "year", "bucket[4]",
+        "truncate[10]", "void").foreach { tr =>
+      assert(IcebergExport.readExternal(spark, mdFor(tr)).count() == 0,
+        s"transform '$tr' must resolve")
+    }
+    // an unknown transform would surface wrong rows — loud rejection
+    val e = intercept[Exception] { IcebergExport.readExternal(spark, mdFor("zorder")) }
+    assert(e.getMessage.contains("unknown partition transform"),
+      s"unknown transform must reject loudly, got: ${e.getMessage}")
+  }
+
+  test("day-transform table: no phantom partition column; exactly the snapshot's rows") {
+    val loc = graft.sources.IcebergFixture.externalDayPartitionedTable(spark, sf)
+    val t = IcebergExport.readExternal(spark, loc)
+    assert(!t.columns.contains("ts_day"),
+      "a transformed field must NOT attach as a data column")
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between("2024-01-12", "2024-01-13"))
+    assert(t.count() == direct.count())
+    assert(t.select(sum(col("event_id"))).head.getLong(0) ==
+      direct.select(sum(col("event_id"))).head.getLong(0))
+  }
+
+  test("merge-on-read: a delete scoped on a day-transform partition evaluates the transform") {
+    val loc = graft.sources.IcebergFixture.externalDayScopedDeleteTable(spark)
+    val rows = IcebergExport.readExternal(spark, loc)
+      .select(col("id"), to_date(col("ts")).cast("string").as("day"))
+      .collect().map(r => (r.getAs[String]("day"), r.getAs[Int]("id"))).toSet
+    // the delete (id=2, scoped ts_day=2024-01-12) removes only day 1's
+    // id=2; day 2's id=2 must survive
+    assert(rows == Set(("2024-01-12", 1), ("2024-01-12", 3),
+      ("2024-01-13", 1), ("2024-01-13", 2), ("2024-01-13", 3)),
+      s"day-scoped delete applied wrongly: $rows")
   }
 
   test("readExternal: an empty table (current-snapshot-id -1) reads as zero typed rows") {
