@@ -551,12 +551,108 @@ object IcebergExport {
     ExpireStats(dropped, mdDeleted, avroDeleted)
   }
 
-  private def readAvro(spark: SparkSession, uri: String): Seq[GenericRecord] = {
+  private def readAvro(spark: SparkSession, uri: String): Seq[GenericRecord] =
+    readAvroConf(spark.sparkContext.hadoopConfiguration, uri)
+
+  /** Conf-keyed Avro read — callable from EXECUTORS (the distributed
+    * attach-map build ships manifests, not file lists).
+    */
+  private def readAvroConf(conf: org.apache.hadoop.conf.Configuration,
+                           uri: String): Seq[GenericRecord] = {
     val p = new Path(uri) // scheme-aware: resolves the URI's own FS
-    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val in = p.getFileSystem(conf).open(p)
     val r = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try Iterator.continually(r).takeWhile(_ => r.hasNext).map(_.next()).toList
     finally r.close()
+  }
+
+  /** Raw partition values stringified (epoch-day ints for date
+    * columns render as ISO dates), cast to the declared source type
+    * after joining — shared by the per-file attach map (built on
+    * EXECUTORS) and the delete-file partition scopes (driver).
+    */
+  private def renderVal(v: Any, tpe: String): String = v match {
+    case null => null
+    case i: java.lang.Integer if tpe == "date" =>
+      java.time.LocalDate.ofEpochDay(i.longValue).toString
+    case l: java.lang.Long if tpe == "date" =>
+      java.time.LocalDate.ofEpochDay(l).toString
+    case other => other.toString
+  }
+
+  /** Avro → plain JVM partition values (Utf8 → String, ByteBuffer →
+    * bytes) so [[ChainFile]]s serialize cleanly across executors.
+    */
+  private def plainValue(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.nio.ByteBuffer =>
+      java.util.Arrays.copyOfRange(b.array, b.position, b.limit)
+    case other => other
+  }
+
+  /** Walk ONE manifest's live entries into data/delete files — the
+    * shared per-manifest logic of [[resolveChainAt]] (driver) and
+    * [[readChain]]'s DISTRIBUTED attach-map build (executors): status
+    * ≠ 2 filtering, sequence inheritance from the list entry,
+    * partition-record presence semantics, content routing. Pure
+    * function of (conf, manifest, partFields) — one logic, two call
+    * sites, no drift.
+    */
+  private def walkManifest(conf: org.apache.hadoop.conf.Configuration,
+                           mp: String, isDelete: Boolean, mSeq: Long,
+                           partFields: Seq[PartField]): (Seq[ChainFile], Seq[DeleteFile]) = {
+    def has(r: GenericRecord, f: String): Boolean = r.getSchema.getField(f) != null
+    def longOf(r: GenericRecord, f: String): Option[Long] =
+      if (has(r, f)) Option(r.get(f)).map(_.asInstanceOf[Long]) else None
+    val live = readAvroConf(conf, mp)
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+    val dataFiles = scala.collection.mutable.ArrayBuffer.empty[ChainFile]
+    val delFiles = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
+    live.foreach { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      val seq = longOf(e, "sequence_number").getOrElse(mSeq)
+      val content = if (has(d, "content")) d.get("content").asInstanceOf[Int] else 0
+      // fields PRESENT in the record's own schema — presence is what
+      // distinguishes a value that happens to be NULL (a null-valued
+      // partition, still binding) from a field the record simply
+      // doesn't carry
+      def presentPart: Map[String, Any] =
+        Option(d.get("partition")).map(_.asInstanceOf[GenericRecord]).map { p =>
+          partFields.collect { case f
+            if p.getSchema.getField(f.name) != null => f.name -> plainValue(p.get(f.name))
+          }.toMap
+        }.getOrElse(Map.empty)
+      content match {
+        case 0 =>
+          require(!isDelete, s"data file ${d.get("file_path")} in a delete manifest")
+          val present = presentPart
+          val pv = partFields.map { f =>
+            f.name -> present.getOrElse(f.name, null)
+          }.toMap
+          dataFiles += ChainFile(d.get("file_path").toString, pv, seq)
+        case 1 | 2 => // position / equality delete file (v2 MOR)
+          val eqIds =
+            if (has(d, "equality_ids")) Option(d.get("equality_ids"))
+              .map(_.asInstanceOf[java.util.List[Integer]].asScala.toSeq.map(_.toInt))
+              .getOrElse(Seq.empty)
+            else Seq.empty
+          require(content == 1 || eqIds.nonEmpty,
+            s"equality delete file ${d.get("file_path")} lists no equality_ids")
+          // a partition record CARRYING any of the table's partition
+          // fields scopes the delete to that partition — even when the
+          // bound value is null (a null-valued partition is still one
+          // partition); an empty/absent record means an unpartitioned
+          // spec = global
+          val scoped = Some(presentPart).filter(_.nonEmpty)
+          delFiles += DeleteFile(d.get("file_path").toString, content, eqIds, seq,
+            scoped)
+        case other => sys.error(
+          s"unknown content=$other for file ${d.get("file_path")} — " +
+            "not readable as data or row-level deletes")
+      }
+    }
+    (dataFiles.toSeq, delFiles.toSeq)
   }
 
   // ---- generic chain resolution (read side) ----
@@ -602,6 +698,13 @@ object IcebergExport {
     * its manifest list; `deleteFiles` the snapshot's live row-level
     * delete files (empty for v1 / COW tables).
     */
+  /** One manifest of the current snapshot: path, delete-manifest
+    * flag, list-level sequence number — control-plane cardinality,
+    * what the distributed attach-map build ships to executors.
+    */
+  private[graft] final case class ManifestRef(path: String, isDelete: Boolean,
+                                              seq: Long)
+
   private[graft] final case class Chain(md: IcebergJson.V,
                                         formatVersion: Int,
                                         schemaFields: Seq[Field],
@@ -609,7 +712,8 @@ object IcebergExport {
                                         snapshotId: Option[Long],
                                         listRecords: Seq[GenericRecord],
                                         files: Seq[ChainFile],
-                                        deleteFiles: Seq[DeleteFile] = Seq.empty)
+                                        deleteFiles: Seq[DeleteFile] = Seq.empty,
+                                        manifests: Seq[ManifestRef] = Seq.empty)
 
   private def readText(spark: SparkSession, p: Path): String = {
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
@@ -752,8 +856,9 @@ object IcebergExport {
           else at.zipWithIndex.maxBy { case (s, i) => (s("timestamp-ms").long, i) }._1
         Some(pick("snapshot-id").long)
     }
-    val (listRecords, files, deletes) = snapId match {
-      case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile], Seq.empty[DeleteFile])
+    val (listRecords, files, deletes, manifestRefs) = snapId match {
+      case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile],
+        Seq.empty[DeleteFile], Seq.empty[ManifestRef])
       case Some(id) =>
         val snap = md("snapshots").arr.find(_("snapshot-id").long == id)
           .getOrElse(sys.error(s"current-snapshot-id $id has no snapshots entry"))
@@ -774,59 +879,16 @@ object IcebergExport {
           case None =>
             (Seq.empty[GenericRecord], snap("manifests").arr.map(p => (p.str, false, 0L)))
         }
-        val walked = manifests.map { case (mp, isDelete, mSeq) =>
-          val live = readAvro(spark, mp)
-            .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-          val dataFiles = scala.collection.mutable.ArrayBuffer.empty[ChainFile]
-          val delFiles = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
-          live.foreach { e =>
-            val d = e.get("data_file").asInstanceOf[GenericRecord]
-            val seq = longOf(e, "sequence_number").getOrElse(mSeq)
-            val content = if (has(d, "content")) d.get("content").asInstanceOf[Int] else 0
-            // fields PRESENT in the record's own schema — presence is
-            // what distinguishes a value that happens to be NULL (a
-            // null-valued partition, still binding) from a field the
-            // record simply doesn't carry
-            def presentPart: Map[String, Any] =
-              Option(d.get("partition")).map(_.asInstanceOf[GenericRecord]).map { p =>
-                partFields.collect { case f
-                  if p.getSchema.getField(f.name) != null => f.name -> p.get(f.name)
-                }.toMap
-              }.getOrElse(Map.empty)
-            content match {
-              case 0 =>
-                require(!isDelete, s"data file ${d.get("file_path")} in a delete manifest")
-                val present = presentPart
-                val pv = partFields.map { f =>
-                  f.name -> present.getOrElse(f.name, null)
-                }.toMap
-                dataFiles += ChainFile(d.get("file_path").toString, pv, seq)
-              case 1 | 2 => // position / equality delete file (v2 MOR)
-                val eqIds =
-                  if (has(d, "equality_ids")) Option(d.get("equality_ids"))
-                    .map(_.asInstanceOf[java.util.List[Integer]].asScala.toSeq.map(_.toInt))
-                    .getOrElse(Seq.empty)
-                  else Seq.empty
-                require(content == 1 || eqIds.nonEmpty,
-                  s"equality delete file ${d.get("file_path")} lists no equality_ids")
-                // a partition record CARRYING any of the table's
-                // partition fields scopes the delete to that partition
-                // — even when the bound value is null (a null-valued
-                // partition is still one partition); an empty/absent
-                // record means an unpartitioned spec = global
-                val scoped = Some(presentPart).filter(_.nonEmpty)
-                delFiles += DeleteFile(d.get("file_path").toString, content, eqIds, seq,
-                  scoped)
-              case other => sys.error(
-                s"unknown content=$other for file ${d.get("file_path")} — " +
-                  "not readable as data or row-level deletes")
-            }
-          }
-          (dataFiles.toSeq, delFiles.toSeq)
+        val refs = manifests.map { case (mp, isDelete, mSeq) =>
+          ManifestRef(mp, isDelete, mSeq)
         }
-        (records, walked.flatMap(_._1), walked.flatMap(_._2))
+        val walked = refs.map(r =>
+          walkManifest(spark.sparkContext.hadoopConfiguration,
+            r.path, r.isDelete, r.seq, partFields))
+        (records, walked.flatMap(_._1), walked.flatMap(_._2), refs)
     }
-    Chain(md, fv, schemaFields, partFields, snapId, listRecords, files, deletes)
+    Chain(md, fv, schemaFields, partFields, snapId, listRecords, files, deletes,
+      manifestRefs)
   }
 
   /** Iceberg primitive type name → Spark type (the read-side inverse
@@ -956,18 +1018,6 @@ object IcebergExport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
-    // raw Avro partition values stringify on the driver (epoch-day
-    // ints for date columns render as ISO dates) and cast to the
-    // declared source type after joining — shared by the per-file
-    // attach map and the delete-file partition scopes
-    def renderVal(v: Any, tpe: String): String = v match {
-      case null => null
-      case i: java.lang.Integer if tpe == "date" =>
-        java.time.LocalDate.ofEpochDay(i.longValue).toString
-      case l: java.lang.Long if tpe == "date" =>
-        java.time.LocalDate.ofEpochDay(l).toString
-      case other => other.toString
-    }
     lazy val srcType = chain.partFields.map { f =>
       f.name -> typeOf.getOrElse(f.srcId,
         sys.error(s"partition field ${f.name}: source-id ${f.srcId} not in current schema"))
@@ -1035,16 +1085,45 @@ object IcebergExport {
     }
 
     val attached: DataFrame = if (attach.isEmpty && !hasDeletes) raw else {
-      // file → (partition values, sequence) map, one row per data file
-      val mapRows = chain.files.map { f =>
-        org.apache.spark.sql.Row.fromSeq(
-          (normUri(f.uri) +: attach.map(n => renderVal(f.partValues(n), srcType(n)))) :+ f.seq)
-      }
+      // file → (partition values, sequence) map, one row per data
+      // file, built DISTRIBUTED: executors re-walk the snapshot's
+      // data manifests (one task per manifest — the same walkManifest
+      // logic the resolve used) instead of shipping a
+      // driver-materialized O(files) array through one partition. At
+      // million-file scale the map job parallelizes over manifests
+      // and the driver holds only the manifest refs.
       val mapSchema = StructType((StructField("__graft_file", StringType) +:
         attach.map(n => StructField(n, StringType, nullable = true))) :+
         StructField("__graft_seq", LongType, nullable = false))
-      val mapDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+      val dataManifests = chain.manifests.filterNot(_.isDelete)
+      val mapDf =
+        if (dataManifests.isEmpty)
+          // chains resolved without manifest refs (v1 inline
+          // `manifests` with no files, or tests) fall back to the
+          // driver rows — files is small whenever refs are absent
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(chain.files.map { f =>
+              org.apache.spark.sql.Row.fromSeq(
+                (normUri(f.uri) +: attach.map(n =>
+                  renderVal(f.partValues(n), srcType(n)))) :+ f.seq)
+            }, math.max(1, chain.files.length / 10000)), mapSchema)
+        else {
+          val scm = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val pf = chain.partFields
+          val attachTypes = attach.map(n => n -> srcType(n))
+          val rows = spark.sparkContext
+            .parallelize(dataManifests, dataManifests.length)
+            .flatMap { m =>
+              walkManifest(scm.value, m.path, m.isDelete, m.seq, pf)._1.map { f =>
+                org.apache.spark.sql.Row.fromSeq(
+                  (normUri(f.uri) +: attachTypes.map { case (n, t) =>
+                    renderVal(f.partValues(n), t)
+                  }) :+ f.seq)
+              }
+            }
+          spark.createDataFrame(rows, mapSchema)
+        }
       // _metadata.file_path, not input_file_name(): deterministic, so
       // it doesn't pin the projection against later pushdown, and it
       // stays consistent with the row_index used by position deletes
