@@ -198,6 +198,34 @@ object IceRestCatalog {
             }
           }
 
+        // updateTable COMMIT (the spec's CommitTableRequest): validate
+        // requirements against the CURRENT metadata, apply the updates
+        // structurally, write the next metadata version, swap the
+        // pointer — atomically (one commit at a time per server), so a
+        // losing concurrent writer gets the spec's 409 and retries on
+        // fresh state. The catalog stays control-plane: the snapshot's
+        // data/manifest files were written by the CLIENT; only the
+        // few-KB metadata document is produced here.
+        case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
+          val key = decode(ns); val name = decode(t)
+          Option(tables.get((key, name))) match {
+            case None => err(404, "NoSuchTableException", s"table not found: $name")
+            case Some(loc) => commitLock.synchronized {
+              fromBody(body) { req =>
+                (req.opt("requirements").map(_.arr).getOrElse(Vector.empty),
+                  req("updates").arr)
+              } match {
+                case Left(e) => e
+                case Right((reqs, updates)) =>
+                  try commitTable(key, name, loc, reqs, updates)
+                  catch {
+                    case e: CommitFailed => err(409, "CommitFailedException", e.getMessage)
+                    case e: BadUpdate => err(400, "BadRequestException", e.getMessage)
+                  }
+              }
+            }
+          }
+
         case ("HEAD", List("v1", "namespaces", ns, "tables", t)) =>
           if (tables.containsKey((decode(ns), decode(t)))) (204, "")
           else (404, "")
@@ -209,6 +237,127 @@ object IceRestCatalog {
         case ("GET" | "HEAD", _) => err(404, "NotFoundException", s"no route: $path")
         case _ => err(405, "MethodNotAllowed", s"$method not supported on $path")
       }
+    }
+
+    private val commitLock = new Object
+    private final class CommitFailed(msg: String) extends RuntimeException(msg)
+    private final class BadUpdate(msg: String) extends RuntimeException(msg)
+
+    /** Apply one CommitTableRequest under [[commitLock]]: requirements
+      * → update application → next `v<N>.metadata.json` beside the
+      * current one → pointer swap. Supported requirements:
+      * `assert-table-uuid`, `assert-ref-snapshot-id` (branch `main` =
+      * the current snapshot; absent snapshot-id asserts no current).
+      * Supported updates: `add-snapshot`, `set-snapshot-ref` (main
+      * branch), `set-properties`, `remove-properties`. Anything else
+      * is the client's 400 — silently ignoring an update would commit
+      * state the writer didn't ask for.
+      */
+    private def commitTable(key: String, name: String, loc: String,
+                            reqs: Vector[IcebergJson.V],
+                            updates: Vector[IcebergJson.V]): (Int, String) = {
+      import IcebergJson.{JArr, JNum, JObj, JStr, V}
+      val p = new Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val raw = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val md = IcebergJson.parse(raw)
+
+      reqs.foreach { r =>
+        r("type").str match {
+          case "assert-table-uuid" =>
+            val want = r("uuid").str
+            val have = md("table-uuid").str
+            if (want != have)
+              throw new CommitFailed(s"table-uuid is $have, requirement asserts $want")
+          case "assert-ref-snapshot-id" =>
+            val ref = r("ref").str
+            if (ref != "main")
+              throw new BadUpdate(s"only the main branch is served, got ref '$ref'")
+            val current = md.opt("current-snapshot-id").map(_.long).filter(_ != -1L)
+            val want = r.opt("snapshot-id").map(_.long)
+            if (current != want)
+              throw new CommitFailed(
+                s"ref main is at ${current.getOrElse("absent")}, " +
+                  s"requirement asserts ${want.getOrElse("absent")}")
+          case other => throw new BadUpdate(s"unsupported requirement type '$other'")
+        }
+      }
+
+      var out: V = md
+      updates.foreach { u =>
+        u("action").str match {
+          case "add-snapshot" =>
+            val snap = u("snapshot")
+            val snaps = out.opt("snapshots").getOrElse(JArr(Vector.empty))
+            out = IcebergJson.set(out, "snapshots", IcebergJson.append(snaps, snap))
+            // v2 bookkeeping rides the snapshot itself
+            snap.opt("sequence-number").foreach { sq =>
+              val last = out.opt("last-sequence-number").map(_.long).getOrElse(0L)
+              if (sq.long > last)
+                out = IcebergJson.set(out, "last-sequence-number", JNum(sq.long.toString))
+            }
+            snap.opt("timestamp-ms").foreach { ts =>
+              out = IcebergJson.set(out, "last-updated-ms", JNum(ts.long.toString))
+            }
+          case "set-snapshot-ref" =>
+            if (u("ref-name").str != "main")
+              throw new BadUpdate("only the main branch is served")
+            val id = u("snapshot-id").long
+            require(out.opt("snapshots").exists(_.arr.exists(_("snapshot-id").long == id)),
+              s"set-snapshot-ref names unknown snapshot $id")
+            out = IcebergJson.set(out, "current-snapshot-id", JNum(id.toString))
+            val ts = out("snapshots").arr.find(_("snapshot-id").long == id)
+              .flatMap(_.opt("timestamp-ms")).map(_.long)
+              .getOrElse(System.currentTimeMillis())
+            val logEntry = IcebergJson.set(
+              IcebergJson.set(JObj(Map.empty), "snapshot-id", JNum(id.toString)),
+              "timestamp-ms", JNum(ts.toString))
+            val log = out.opt("snapshot-log").getOrElse(JArr(Vector.empty))
+            out = IcebergJson.set(out, "snapshot-log", IcebergJson.append(log, logEntry))
+          case "set-properties" =>
+            val props = out.opt("properties").getOrElse(JObj(Map.empty))
+            var np = props
+            u("updates") match {
+              case o: JObj => o.fields.foreach { case (k, v) =>
+                np = IcebergJson.set(np, k, v)
+              }
+              case _ => throw new BadUpdate("set-properties.updates must be an object")
+            }
+            out = IcebergJson.set(out, "properties", np)
+          case "remove-properties" =>
+            val props = out.opt("properties").getOrElse(JObj(Map.empty))
+            var np: JObj = props match {
+              case o: JObj => o
+              case _ => JObj(Map.empty)
+            }
+            u("removals").arr.foreach(k => np = IcebergJson.remove(np, k.str))
+            out = IcebergJson.set(out, "properties", np)
+          case other =>
+            throw new BadUpdate(s"unsupported update action '$other' — " +
+              "this catalog applies add-snapshot/set-snapshot-ref/" +
+              "set-properties/remove-properties")
+        }
+      }
+
+      // next metadata version beside the current document
+      val dir = p.getParent
+      val Re = "v([0-9]+)\\.metadata\\.json".r
+      val cur = p.getName match { case Re(n) => n.toInt; case _ => 0 }
+      var next = cur + 1
+      while (fs.exists(new Path(dir, s"v$next.metadata.json"))) next += 1
+      val newLoc = new Path(dir, s"v$next.metadata.json")
+      val os = fs.create(newLoc, false)
+      os.write(IcebergJson.render(out).getBytes(UTF_8))
+      os.close()
+      // FileSystem-convention readers walking the directory see the
+      // committed version too
+      val hint = fs.create(new Path(dir, "version-hint.text"), true)
+      hint.write(next.toString.getBytes(UTF_8))
+      hint.close()
+      val locStr = s"file://${newLoc.toUri.getPath}"
+      tables.put((key, name), locStr)
+      (200, s"""{"metadata-location":${jstr(locStr)},"metadata":${IcebergJson.render(out)}}""")
     }
 
     private[serving] def handle(ex: HttpExchange): Unit = {
@@ -293,5 +442,65 @@ object IceRestCatalog {
     val loc = metadataLocation(catalogUri, ns, table)
     IcebergExport.readChain(spark,
       IcebergExport.resolveChainAt(spark, new Path(loc)))
+  }
+
+  private def post(uri: String, body: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** Raw `updateTable` commit: POST requirements + updates (JSON
+    * fragments) to the catalog; returns the committed
+    * metadata-location, or throws with the catalog's error (409 =
+    * CommitFailedException — a concurrent writer won; re-resolve and
+    * retry).
+    */
+  def commit(catalogUri: String, ns: Seq[String], table: String,
+             requirementsJson: String, updatesJson: String): String = {
+    val uri = s"$catalogUri/v1/namespaces/${nsPath(ns)}/tables/" + encodeSeg(table)
+    val (code, body) = post(uri,
+      s"""{"requirements":$requirementsJson,"updates":$updatesJson}""")
+    require(code == 200, s"commit $uri failed: HTTP $code $body")
+    IcebergJson.parse(body)("metadata-location").str
+  }
+
+  /** Commit a lake's NEWEST exported snapshot THROUGH the catalog —
+    * the reference's `ice insert` flow (scripts/sync-logs.sh:67: each
+    * sync commits the new state via the catalog) instead of the
+    * FileSystem version-hint convention: read the local export's
+    * current snapshot ([[IcebergExport.export]] has already written
+    * the manifests/manifest list — data-plane stays client-side),
+    * then POST the spec's CommitTableRequest — requirements pin the
+    * table uuid and the parent snapshot (optimistic concurrency: a
+    * racing commit 409s), updates are `add-snapshot` +
+    * `set-snapshot-ref main`. The CATALOG writes the canonical next
+    * metadata document and answers its location.
+    */
+  def commitExportedSnapshot(spark: SparkSession, catalogUri: String,
+                             ns: Seq[String], table: String,
+                             root: String): String = {
+    val chain = IcebergExport.resolveChain(spark,
+      new Path(s"$root/_iceberg/metadata"))
+    val snapId = chain.snapshotId.getOrElse(
+      sys.error(s"no current snapshot under $root — export first"))
+    val snap = chain.md("snapshots").arr.find(_("snapshot-id").long == snapId)
+      .getOrElse(sys.error(s"snapshot $snapId missing from the export metadata"))
+    val uuid = chain.md("table-uuid").str
+    val parent = snap.opt("parent-snapshot-id").map(_.long)
+    val reqs =
+      s"""[{"type":"assert-table-uuid","uuid":${jstr(uuid)}},
+         |{"type":"assert-ref-snapshot-id","ref":"main"${
+        parent.map(p => s""","snapshot-id":$p""").getOrElse("")}}]"""
+        .stripMargin.replace("\n", "")
+    val updates =
+      s"""[{"action":"add-snapshot","snapshot":${IcebergJson.render(snap)}},
+         |{"action":"set-snapshot-ref","ref-name":"main","type":"branch",
+         |"snapshot-id":$snapId}]""".stripMargin.replace("\n", "")
+    commit(catalogUri, ns, table, reqs, updates)
   }
 }

@@ -169,6 +169,33 @@ private[graft] object IcebergJson {
     n
   }
 
+  /** Functional field set on an object (insertion order preserved;
+    * new keys append) — the REST catalog's commit applier mutates
+    * metadata structurally with these, never by string surgery.
+    */
+  def set(v: V, k: String, value: V): JObj = v match {
+    case o @ JObj(f) =>
+      val n = JObj(f + (k -> value))
+      n.order = if (f.contains(k)) o.order else o.order :+ k
+      n
+    case _ => sys.error(s"not a JSON object (setting '$k')")
+  }
+
+  /** Functional field removal (no-op when absent). */
+  def remove(v: V, k: String): JObj = v match {
+    case o @ JObj(f) =>
+      val n = JObj(f - k)
+      n.order = o.order.filterNot(_ == k)
+      n
+    case _ => sys.error(s"not a JSON object (removing '$k')")
+  }
+
+  /** Append to an array value. */
+  def append(v: V, item: V): JArr = v match {
+    case JArr(xs) => JArr(xs :+ item)
+    case _ => sys.error("not a JSON array (appending)")
+  }
+
   /** Render back to compact JSON — object key order preserved from the
     * parse, so carried-forward fragments (prior `snapshots` entries in
     * an incremental export's metadata) re-serialize byte-stable.

@@ -110,6 +110,63 @@ class IceRestCatalogSpec extends SparkSpec {
     assert(keys == all -- Set(2, 7, 11, 14))
   }
 
+  test("updateTable commit: export → commit → loadTable → read round-trip over HTTP") {
+    import graft.sources.LogSync
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_commit").toString
+    def append(n: Int, tag: String): Unit = {
+      Tables.events(spark, sf).limit(n)
+        .select(col("ts").as("timestamp"),
+          concat(lit(tag), col("user_id") % 2).as("service_name"),
+          col("props").as("body"))
+        .write.partitionBy("service_name").mode("append").parquet(root)
+      assert(LogSync.sync(spark, root) >= 1)
+    }
+    append(100, "c")
+    IcebergExport.export(spark, root)
+    assert(send("POST", "/v1/namespaces", """{"namespace":["commit"]}""")._1 == 200)
+    // register the INITIAL export through the REST register endpoint
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$root/_iceberg/metadata/version-hint.text")).trim.toInt
+    assert(send("POST", "/v1/namespaces/commit/register",
+      s"""{"name":"logs","metadata-location":"$root/_iceberg/metadata/v$hint.metadata.json"}""")
+      ._1 == 200)
+    val n1 = IceRestCatalog.load(spark, server.uri, Seq("commit"), "logs").count()
+    assert(n1 == 100)
+
+    // grow the lake, export the delta snapshot locally, COMMIT it
+    // through the catalog (the `ice insert` flow)
+    append(60, "d")
+    IcebergExport.export(spark, root)
+    val committedLoc = IceRestCatalog.commitExportedSnapshot(
+      spark, server.uri, Seq("commit"), "logs", root)
+    // the catalog wrote the canonical next version and re-pointed
+    assert(committedLoc != s"$root/_iceberg/metadata/v$hint.metadata.json")
+    val lt = IcebergJson.parse(send("GET", "/v1/namespaces/commit/tables/logs")._2)
+    assert(lt("metadata-location").str == committedLoc)
+    // loadTable → scan sees the appended rows
+    assert(IceRestCatalog.load(spark, server.uri, Seq("commit"), "logs").count() == 160)
+    // the committed metadata retains history: old + new snapshot
+    assert(lt("metadata")("snapshots").arr.length == 2)
+    assert(lt("metadata").opt("snapshot-log").exists(_.arr.nonEmpty))
+
+    // optimistic concurrency: replaying the SAME commit must 409 —
+    // ref main moved past the asserted parent
+    val e = intercept[IllegalArgumentException] {
+      IceRestCatalog.commitExportedSnapshot(
+        spark, server.uri, Seq("commit"), "logs", root)
+    }
+    assert(e.getMessage.contains("409"), s"replayed commit must 409: ${e.getMessage}")
+
+    // unknown update actions are the client's 400, never silently applied
+    val bad = send("POST", "/v1/namespaces/commit/tables/logs",
+      """{"requirements":[],"updates":[{"action":"upgrade-format-version","format-version":3}]}""")
+    assert(bad._1 == 400 && bad._2.contains("unsupported update action"), bad.toString)
+    // unknown requirement types likewise
+    val badReq = send("POST", "/v1/namespaces/commit/tables/logs",
+      """{"requirements":[{"type":"assert-default-spec-id","default-spec-id":0}],"updates":[]}""")
+    assert(badReq._1 == 400, badReq.toString)
+  }
+
   test("the contract query topology: lake export registered and re-read live") {
     val df = graft.operators.LakeAnalytics.icebergRestSeverity(spark, sf)
     val direct = graft.operators.LakeAnalytics.severityByService(spark, sf)
