@@ -156,13 +156,21 @@ object Bench {
     // floor, so their committed baselines converge back to steady
     // state instead of ratcheting up. Cost: at most two extra ~1 s
     // runs per bench.
-    val noiseSensitive = Set("q2_join_agg", "q3_topn")
+    // r8 added the ANN pair to the pinned set: a TimeQuery isolation
+    // probe measured ann_ivf/ann_pq steady state at 0.8-0.9 s while
+    // the r8 bench recorded 1.41/1.27 s — same burst-throttle shape,
+    // sub-3x so the vs-prev trigger can't see it. Floors sit just
+    // above each query's isolated steady state so a clean run pays
+    // nothing.
+    val noiseSensitive = Map(
+      "q2_join_agg" -> 0.75, "q3_topn" -> 0.75,
+      "ann_ivf" -> 1.1, "ann_pq" -> 1.1)
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, fn, t) =>
       // the 0.3 s slack keeps JIT/cache jitter on sub-100ms queries
       // from triggering retries that measure nothing
       val slowVsPrev = prev.get(name).exists(p => t > 3.0 * p && t - p > 0.3)
-      val noisy = noiseSensitive.contains(name) && t > 0.75
+      val noisy = noiseSensitive.get(name).exists(t > _)
       if ((t > threshold || slowVsPrev || noisy) && !failed.contains(name)) {
         val t2 = time(name, fn)
         retried(name) = (t, t2)
