@@ -558,6 +558,11 @@ object VectorFunctions {
         s"graft_otlp_metric_json_try(bin) takes 1 argument, got ${exprs.length}")
       graft.sources.OtlpMetricProtoToJsonTry(exprs.head)
     },
+    "graft_iceberg_bucket" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_iceberg_bucket(value, n) takes 2 arguments, got ${exprs.length}")
+      graft.sources.IcebergBucket(exprs(0), exprs(1))
+    },
     "graft_otlp_span_proto" -> { exprs =>
       require(exprs.length == 1,
         s"graft_otlp_span_proto(struct) takes 1 argument, got ${exprs.length}")

@@ -983,6 +983,24 @@ object IcebergExport {
                    asOf: Option[SnapshotRef] = None): DataFrame =
     readChain(spark, resolveChain(spark, new Path(s"$location/metadata"), asOf))
 
+  /** [[readExternal]] with MANIFEST-LEVEL PARTITION PRUNING: `keep`
+    * sees each data file's partition values (field name → raw
+    * manifest value: identity values in source form, `day` fields as
+    * epoch-day ints, `bucket` as the bucket index, …) and files
+    * answering false never reach the scan — the pruning a pushed-down
+    * partition predicate buys, exposed directly. At 100 TB a
+    * day-ranged query over a `day(ts)` table scans only its days'
+    * files; everything else (identity attach, row-level deletes)
+    * applies unchanged. The predicate must be conservative — keep on
+    * unknown — like any partition filter.
+    */
+  def readExternalPruned(spark: SparkSession, location: String,
+                         keep: Map[String, Any] => Boolean,
+                         asOf: Option[SnapshotRef] = None): DataFrame = {
+    val chain = resolveChain(spark, new Path(s"$location/metadata"), asOf)
+    readChain(spark, chain.copy(files = chain.files.filter(f => keep(f.partValues))))
+  }
+
   /** Materialize a resolved [[Chain]] as a DataFrame: scan the data
     * files, attach manifest-sourced identity partition values, and
     * APPLY v2 row-level deletes (merge-on-read):
@@ -1027,9 +1045,9 @@ object IcebergExport {
         sys.error(s"partition field ${f.name}: source-id ${f.srcId} not in current schema")))
     // DATA-side expression of a partition field's transform — what a
     // partition-scoped delete compares against (iceberg.apache.org/spec
-    // transform semantics); bucket needs the spec's murmur3, which this
-    // reader does not evaluate row-side — scoped deletes on bucket
-    // fields reject loudly rather than guessing
+    // transform semantics); bucket evaluates the spec's own
+    // murmur3_x86_32 layouts via [[IcebergBucket]] (Spark's hash() is
+    // a different seed/layout and would bucket every row wrong)
     def transformCol(f: PartField): org.apache.spark.sql.Column = f.transform match {
       case "identity" => srcCol(f).cast(sparkTypeFor(srcType(f.name)))
       case "day"      => to_date(srcCol(f))
@@ -1041,6 +1059,10 @@ object IcebergExport {
         val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
         if (srcType(f.name) == "string") substring(srcCol(f), 1, w)
         else srcCol(f) - pmod(srcCol(f), lit(w.toLong))
+      case t if t.startsWith("bucket") =>
+        val n = t.stripPrefix("bucket[").stripSuffix("]").toInt
+        graft.functions.VectorFunctions.register(spark)
+        call_function("graft_iceberg_bucket", srcCol(f), lit(n))
       case t => sys.error(
         s"cannot evaluate transform '$t' on the data side — a delete scoped " +
           s"on partition field ${f.name} is not honorable by this reader")
@@ -1053,6 +1075,8 @@ object IcebergExport {
       case "day" =>
         lit(renderVal(v, "date")).cast(DateType)
       case "hour" | "month" | "year" =>
+        lit(if (v == null) null else v.toString).cast(IntegerType)
+      case t if t.startsWith("bucket") =>
         lit(if (v == null) null else v.toString).cast(IntegerType)
       case "void" => lit(null)
       case t if t.startsWith("truncate") =>

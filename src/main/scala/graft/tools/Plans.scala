@@ -82,7 +82,10 @@ object Plans {
       "metrics_rate" -> "PromQL increase(): day-chunk + halo — cum AND lag windows per (service, day) on one exchange; previous-day closing totals broadcast back as the seed (plan-spec asserts all sample-ordered windows are (service, day)-keyed)",
       "metrics_hist_p95" -> "histogram_quantile: corpus work is ONE map-only bucket projection + (service x le) aggregate; lag/interpolation windows run on the boundaries-cardinality frame",
       "trace_logs" -> "cross-signal spans JOIN logs: the trace family's one large-large join — hash-partitioned equi-join on (trace_id, 16-hex span prefix), one shuffle each side, no corpus broadcast, <=1 match per span; service x day aggregate",
-      "metrics_exemplars" -> "OTel exemplars: map-only projection + ONE aggregate shuffle; the peak-sample trace id is a mergeable max over the fixed-width lpad(value)||trace_id encoding — no window, no second pass")
+      "metrics_exemplars" -> "OTel exemplars: map-only projection + ONE aggregate shuffle; the peak-sample trace id is a mergeable max over a (value, trace_id) struct — no window, no second pass",
+      "metrics_exp_p95" -> "exponential-histogram quantile: corpus work is ONE map-only exact-integer bucket projection (length(bin(vi))-1) + (service x idx) aggregate; rank walk on the tiny frame",
+      "trace_otlp_proto" -> "traces wire round-trip: encode+decode are codegen'd map-only expressions in one stage; shuffles are the synthesis rank window + the final aggregate",
+      "lake_iceberg_day" -> "day-transform external table: manifest-driven file set, NO phantom partition column attach; scan + broadcast attach map built one-task-per-manifest")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

@@ -272,6 +272,40 @@ class IcebergExportSpec extends SparkSpec {
       direct.select(sum(col("event_id"))).head.getLong(0))
   }
 
+  test("bucket transform: the spec's murmur3 vectors; the expression buckets rows") {
+    import graft.sources.IcebergBucketOps
+    // the Iceberg spec's published hash vectors (Appendix B)
+    assert(IcebergBucketOps.hashLong(34L) == 2017239379)
+    assert(IcebergBucketOps.murmur3("iceberg".getBytes("UTF-8")) == 1210000089)
+    assert(IcebergBucketOps.hashLong(
+      java.time.LocalDate.parse("2017-11-16").toEpochDay) == -653330422)
+    assert(IcebergBucketOps.hashLong(1510871468000000L) == -2047944441)
+    // the codegen'd expression over int/long/string columns
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq((34, 34L, "iceberg")).toDF("i", "l", "s")
+      .selectExpr("graft_iceberg_bucket(i, 16) AS bi",
+        "graft_iceberg_bucket(l, 16) AS bl",
+        "graft_iceberg_bucket(s, 16) AS bs").head
+    assert(r.getInt(0) == (2017239379 & Int.MaxValue) % 16)
+    assert(r.getInt(1) == r.getInt(0), "int and long 34 must land in one bucket")
+    assert(r.getInt(2) == (1210000089 & Int.MaxValue) % 16)
+  }
+
+  test("readExternalPruned: partition values prune files before the scan") {
+    val loc = graft.sources.IcebergFixture.externalDayPartitionedTable(spark, sf)
+    val day1 = java.time.LocalDate.parse("2024-01-12").toEpochDay.toInt
+    val pruned = IcebergExport.readExternalPruned(spark, loc,
+      keep = pv => pv.get("ts_day").forall(_ == day1))
+    val direct = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit("2024-01-12"))
+    assert(pruned.count() == direct.count(),
+      "pruning to day 1 must surface exactly day 1's rows")
+    assert(pruned.select(to_date(col("ts"))).distinct().count() == 1)
+    // pruning everything reads as an empty, correctly-typed frame
+    assert(IcebergExport.readExternalPruned(spark, loc, _ => false).count() == 0)
+  }
+
   test("merge-on-read: a delete scoped on a day-transform partition evaluates the transform") {
     val loc = graft.sources.IcebergFixture.externalDayScopedDeleteTable(spark)
     val rows = IcebergExport.readExternal(spark, loc)
