@@ -93,6 +93,9 @@ object Bench {
     // fixture, start+register the REST catalog once — the measured
     // queries then time the MOR anti-join scan / the loadTable GET +
     // chain read, not fixture construction or server startup
+    // build the ingested span lake once so the six trace_lake_* twins
+    // measure lake reads, not the one-time envelope->parse->write
+    warm("traces_lake")(graft.operators.TraceAnalytics.tracesLakeRoot(spark, sfDir))
     warm("iceberg_mor")(graft.operators.LakeAnalytics.icebergMorRegions(spark, sfDir).count())
     warm("iceberg_rest")(graft.operators.LakeAnalytics.icebergRestSeverity(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the

@@ -70,6 +70,12 @@ object SparkEntry {
     "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
     "metrics_exp_p95"          -> ((s: SparkSession, d: String) => MetricAnalytics.expQuantile(s, d)),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
+    "trace_lake_latency"       -> (TraceAnalytics.lakeLatency _),
+    "trace_lake_graph"         -> (TraceAnalytics.lakeServiceGraph _),
+    "trace_lake_summary"       -> (TraceAnalytics.lakeSummary _),
+    "trace_lake_tail"          -> (TraceAnalytics.lakeTailSample _),
+    "trace_lake_self"          -> (TraceAnalytics.lakeSelfTime _),
+    "trace_lake_critical"      -> (TraceAnalytics.lakeCriticalPath _),
     "metrics_gauge"            -> (MetricAnalytics.gauge _),
     "metrics_histogram"        -> (MetricAnalytics.histogram _),
     "metrics_hist_p95"         -> ((s: SparkSession, d: String) => MetricAnalytics.histogramQuantile(s, d)),
@@ -605,7 +611,45 @@ object SparkEntry {
         |  ON p.trace_id = c.trace_id AND p.idx = c.idx // 2
         |WHERE c.idx > 1
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "trace_lake_graph" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT p.service AS parent_service, c.service AS service,
+        |  count(*) AS calls, CAST(SUM(c.dur_ms) AS BIGINT) AS callee_ms
+        |FROM spans c JOIN spans p
+        |  ON p.trace_id = c.trace_id AND p.idx = c.idx // 2
+        |WHERE c.idx > 1
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "trace_summary" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT trace_id, count(*) AS n_spans,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |  MAX(CASE WHEN idx = 1 THEN service END) AS root_service,
+        |  CAST(SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |FROM spans GROUP BY trace_id ORDER BY trace_id""".stripMargin,
+    "trace_lake_summary" ->
       """WITH base AS (
         |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
         |  FROM events),
@@ -648,7 +692,53 @@ object SparkEntry {
         |  ON n.trace_id = w.trace_id
         |WHERE w.cur = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "trace_lake_critical" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |walk AS (
+        |  SELECT trace_id, idx, dur_ms AS path_ms, idx AS cur FROM spans
+        |  UNION ALL
+        |  SELECT w.trace_id, w.idx, w.path_ms + s.dur_ms, s.idx
+        |  FROM walk w JOIN spans s
+        |    ON s.trace_id = w.trace_id AND s.idx = w.cur // 2
+        |  WHERE w.cur > 1)
+        |SELECT w.trace_id AS trace_id,
+        |  CAST(MAX(w.path_ms) AS BIGINT) AS critical_ms,
+        |  CAST(MAX(n.n) AS BIGINT) AS n_spans
+        |FROM walk w JOIN (
+        |  SELECT trace_id, count(*) AS n FROM spans GROUP BY trace_id) n
+        |  ON n.trace_id = w.trace_id
+        |WHERE w.cur = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "trace_latency" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT service, operation,
+        |  round(quantile_cont(dur_ms, 0.5), 4) AS p50_ms,
+        |  round(quantile_cont(dur_ms, 0.95), 4) AS p95_ms,
+        |  count(*) AS calls,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
+        |FROM spans GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // same oracle as trace_latency: the lake-surface twin must
+    // reproduce the synthesis aggregate bit for bit through the full
+    // envelope->parse->write->sync->read path
+    "trace_lake_latency" ->
       """WITH base AS (
         |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
         |  FROM events),
@@ -719,9 +809,51 @@ object SparkEntry {
         |FROM t
         |WHERE n_errors > 0 OR total_ms >= 3000 OR substr(md5(trace_id), 1, 2) < '2a'
         |ORDER BY trace_id""".stripMargin,
+    "trace_lake_tail" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id, event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |t AS (
+        |  SELECT trace_id, count(*) AS n_spans,
+        |    CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |    SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS n_errors
+        |  FROM spans GROUP BY 1)
+        |SELECT trace_id, n_spans, total_ms,
+        |  CASE WHEN n_errors > 0 THEN 'error'
+        |       WHEN total_ms >= 3000 THEN 'slow'
+        |       WHEN substr(md5(trace_id), 1, 2) < '2a' THEN 'prob' END AS reason
+        |FROM t
+        |WHERE n_errors > 0 OR total_ms >= 3000 OR substr(md5(trace_id), 1, 2) < '2a'
+        |ORDER BY trace_id""".stripMargin,
     // self time: dur − Σ children dur via one heap-parent-keyed
     // aggregate joined back; negative = child overlap, kept as-is
     "trace_self_time" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |kids AS (
+        |  SELECT trace_id, idx // 2 AS idx, SUM(dur_ms) AS child_ms
+        |  FROM spans WHERE idx > 1 GROUP BY 1, 2)
+        |SELECT s.service AS service, count(*) AS n_spans,
+        |  CAST(SUM(s.dur_ms) AS BIGINT) AS total_ms,
+        |  CAST(SUM(s.dur_ms - COALESCE(k.child_ms, 0)) AS BIGINT) AS self_ms
+        |FROM spans s LEFT JOIN kids k
+        |  ON k.trace_id = s.trace_id AND k.idx = s.idx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "trace_lake_self" ->
       """WITH base AS (
         |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
         |  FROM events),

@@ -437,6 +437,82 @@ object TraceAnalytics {
   def criticalPathFromLake(spark: SparkSession, tracesRoot: String): DataFrame =
     criticalPathOf(spansFromLake(spark, tracesRoot))
 
+  private val lakeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A SPAN LAKE built from the synthesis through the REAL ingest
+    * path — OTLP/JSON envelopes ([[graft.sources.OtlpTraces
+    * .toOtlpJson]]) → the shared parse → partitioned
+    * [[graft.sources.LogWriter.write]] → [[graft.sources.LogSync
+    * .sync]] — memoized per sf dir under /tmp (marker-idempotent),
+    * the traces analog of `LakeAnalytics.lakeRoot`. What the lake
+    * twins' contract certification runs against.
+    */
+  private[graft] def tracesLakeRoot(spark: SparkSession, dir: String): String =
+    lakeBuilt.computeIfAbsent(dir, _ => {
+      import graft.sources.{LogSync, LogWriter, OtlpTraces}
+      val root = s"/tmp/graft_trace_lake_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        // real parent SPAN IDS on the wire (one co-partitioned
+        // self-join at build time): the lake carries the tree the way
+        // exporters ship it, so every lake twin — graph, self-time,
+        // critical path — runs on genuine opaque pointers
+        val s = spans(spark, dir)
+        val withParent = s
+          .withColumn("pidx", (col("idx") / 2).cast("int"))
+          .join(s.select(col("trace_id"), col("idx").as("pidx"),
+            col("span_id").as("parent_span_id")), Seq("trace_id", "pidx"), "left")
+        val envs = withParent.select(OtlpTraces.toOtlpJson(
+          unix_micros(col("ts")),
+          unix_micros(col("ts")) + col("dur_ms") * 1000L,
+          col("service"), col("trace_id"), col("span_id"),
+          when(col("idx") > 1, col("parent_span_id")),
+          col("operation"), lit(2),
+          when(col("operation") === "error", 2).otherwise(0)).as("payload"))
+        LogWriter.write(OtlpTraces.parse(envs, col("payload")), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** `trace_lake_latency`: [[latencyFromLake]] over the ingested span
+    * lake — the SAME oracle as `trace_latency`, so the hash-match
+    * certifies envelope → parse → partitioned write → sync →
+    * lake read → model mapping → exact percentiles END-TO-END on the
+    * lake surface (the synthesis twin certifies only the in-memory
+    * plan). Durations survive bit-exactly: ms → µs span bounds → ns
+    * lake column → round-half-up back to ms.
+    */
+  def lakeLatency(spark: SparkSession, dir: String): DataFrame =
+    latencyFromLake(spark, tracesLakeRoot(spark, dir))
+
+  /** The remaining lake twins as contract queries, each reusing its
+    * synthesis twin's oracle verbatim: the hash-matches certify that
+    * the GENERAL operators (opaque parent ids, pointer jumping,
+    * status-code error detection) reproduce the specialized
+    * heap-walk results bit for bit on a lake that went through the
+    * real ingest path.
+    */
+  def lakeServiceGraph(spark: SparkSession, dir: String): DataFrame =
+    serviceGraphFromLake(spark, tracesLakeRoot(spark, dir))
+
+  def lakeSummary(spark: SparkSession, dir: String): DataFrame =
+    traceSummaryFromLake(spark, tracesLakeRoot(spark, dir))
+
+  def lakeTailSample(spark: SparkSession, dir: String): DataFrame =
+    tailSampleFromLake(spark, tracesLakeRoot(spark, dir))
+
+  def lakeSelfTime(spark: SparkSession, dir: String): DataFrame =
+    selfTimeFromLake(spark, tracesLakeRoot(spark, dir))
+
+  def lakeCriticalPath(spark: SparkSession, dir: String): DataFrame =
+    criticalPathFromLake(spark, tracesLakeRoot(spark, dir))
+
   /** PROTOBUF-transport ingest round-trip proof for the traces
     * signal: the span model encoded to OTLP `TracesData` wire bytes
     * ([[graft.sources.OtlpTraces.toOtlpProto]], codegen'd pure-JVM
