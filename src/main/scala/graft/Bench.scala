@@ -96,6 +96,7 @@ object Bench {
     // build the ingested span lake once so the six trace_lake_* twins
     // measure lake reads, not the one-time envelope->parse->write
     warm("traces_lake")(graft.operators.TraceAnalytics.tracesLakeRoot(spark, sfDir))
+    warm("metrics_lake")(graft.operators.MetricAnalytics.metricsLakeRoot(spark, sfDir))
     warm("iceberg_mor")(graft.operators.LakeAnalytics.icebergMorRegions(spark, sfDir).count())
     warm("iceberg_rest")(graft.operators.LakeAnalytics.icebergRestSeverity(spark, sfDir).count())
     // A failed query must be LOUD, not a fast-looking ~0s entry: the

@@ -69,6 +69,7 @@ object SparkEntry {
     "metrics_exemplars"        -> (MetricAnalytics.exemplars _),
     "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
     "metrics_exp_p95"          -> ((s: SparkSession, d: String) => MetricAnalytics.expQuantile(s, d)),
+    "metrics_lake_rate"        -> (MetricAnalytics.lakeRate _),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "trace_lake_latency"       -> (TraceAnalytics.lakeLatency _),
     "trace_lake_graph"         -> (TraceAnalytics.lakeServiceGraph _),
@@ -940,6 +941,24 @@ object SparkEntry {
     // exponential-histogram quantile: scale-0 base-2 buckets via EXACT
     // integer bit length (no float log at boundaries), same rank walk
     // and linear interpolation on both engines
+    // the lake twin's lag orders by (timestamp, value) — replayed
+    // verbatim ((ts, cum)); increase lands as DOUBLE on both sides
+    "metrics_lake_rate" ->
+      """WITH base AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |    ts, event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vi
+        |  FROM events),
+        |samples AS (
+        |  SELECT *, SUM(vi) OVER (PARTITION BY service, day ORDER BY ts, event_id) AS cum
+        |  FROM base),
+        |deltas AS (
+        |  SELECT *, LAG(cum) OVER (PARTITION BY service ORDER BY ts, cum) AS prev
+        |  FROM samples)
+        |SELECT service AS service_name, 'requests' AS metric_name,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR cum < prev THEN cum ELSE cum - prev END) AS DOUBLE) AS increase
+        |FROM deltas GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "metrics_exp_p95" ->
       """WITH base AS (
         |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,

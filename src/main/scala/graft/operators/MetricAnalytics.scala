@@ -413,6 +413,53 @@ object MetricAnalytics {
     expQuantileOf(graft.sources.LogSync.table(spark, metricsRoot)
       .filter(col("kind") === "exp_histogram" && col("metric_name") === metricName), q)
 
+  private val lakeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A METRIC LAKE built from the synthesis through the REAL wire
+    * ingest path: each cumulative counter sample encoded as a
+    * protobuf `MetricsData` envelope ([[graft.sources.OtlpMetrics
+    * .toOtlpProtoSum]]) → wire decode → the shared parse →
+    * partitioned write → sync; memoized per sf dir (the metrics
+    * analog of `TraceAnalytics.tracesLakeRoot`, through the
+    * HARDER transport).
+    */
+  private[graft] def metricsLakeRoot(spark: SparkSession, dir: String): String =
+    lakeBuilt.computeIfAbsent(dir, _ => {
+      import graft.sources.{LogSync, LogWriter, OtlpMetrics}
+      graft.functions.VectorFunctions.register(spark)
+      val root = s"/tmp/graft_metric_lake_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_built")
+      if (!fs.exists(marker)) {
+        fs.delete(rootPath, true)
+        val bins = counterSamples(spark, dir).select(OtlpMetrics.toOtlpProtoSum(
+          unix_micros(col("ts")), col("service"), lit("requests"), lit("{req}"),
+          col("cum").cast("double"), lit(true), lit(2)).as("bin"))
+        LogWriter.write(OtlpMetrics.parseProto(bins, col("bin")), root,
+          layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+        fs.create(marker).close()
+      }
+      root
+    })
+
+  /** `metrics_lake_rate`: [[increaseFromLake]] over the wire-ingested
+    * metric lake — hourly PromQL increase of the daily-resetting
+    * cumulative series, certified against an oracle that replays the
+    * synthesis + the LAKE's lag rule (per-series order by
+    * (timestamp, value)). The hash-match certifies protobuf encode →
+    * wire decode → flatten → partitioned write → sync → lake read →
+    * reset-corrected increase END-TO-END — the full path of a stock
+    * http/protobuf metrics exporter against this backend.
+    */
+  def lakeRate(spark: SparkSession, dir: String): DataFrame =
+    increaseFromLake(spark, metricsLakeRoot(spark, dir), "requests")
+      .select(col("service_name"), col("metric_name"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("increase"))
+      .orderBy(col("service_name"), col("metric_name"), col("bucket"))
+
   /** PROTOBUF-transport ingest round-trip proof for the metrics
     * signal: each event as one cumulative monotonic-sum data point
     * encoded to OTLP `MetricsData` wire bytes
