@@ -70,6 +70,7 @@ object SparkEntry {
     "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
     "metrics_exp_p95"          -> ((s: SparkSession, d: String) => MetricAnalytics.expQuantile(s, d)),
     "metrics_lake_rate"        -> (MetricAnalytics.lakeRate _),
+    "metrics_lake_hist_p95"    -> (MetricAnalytics.lakeHistP95 _),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "trace_lake_latency"       -> (TraceAnalytics.lakeLatency _),
     "trace_lake_graph"         -> (TraceAnalytics.lakeServiceGraph _),
@@ -1010,6 +1011,35 @@ object SparkEntry {
         |  CAST(SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS BIGINT) AS cum_n
         |FROM g ORDER BY 1,2""".stripMargin,
     "metrics_hist_p95" ->
+      """WITH b AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
+        |         WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
+        |         WHEN value <= 100 THEN 100.0 WHEN value <= 500 THEN 500.0
+        |    END AS le
+        |  FROM events),
+        |g AS (SELECT service, le, count(*) AS bucket_n FROM b
+        |      WHERE le IS NOT NULL GROUP BY 1,2),
+        |h AS (SELECT service, le,
+        |        SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS cum_n
+        |      FROM g),
+        |t AS (SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |        count(*) AS total FROM events GROUP BY 1),
+        |x AS (SELECT h.service, h.le, h.cum_n,
+        |        COALESCE(LAG(h.le) OVER (PARTITION BY h.service ORDER BY h.le), 0.0) AS lo,
+        |        COALESCE(LAG(h.cum_n) OVER (PARTITION BY h.service ORDER BY h.le), 0) AS cum_before,
+        |        0.95 * t.total AS rnk
+        |      FROM h JOIN t ON t.service = h.service),
+        |e AS (SELECT service,
+        |        lo + (le - lo) * (rnk - cum_before) / (cum_n - cum_before) AS est,
+        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY le) AS rn
+        |      FROM x WHERE cum_n >= rnk)
+        |SELECT t.service AS service, ROUND(COALESCE(e.est, 500.0), 4) AS p95
+        |FROM t LEFT JOIN e ON e.service = t.service AND e.rn = 1
+        |ORDER BY service""".stripMargin,
+    // same oracle as metrics_hist_p95: merged per-hour ingested
+    // histogram points must reproduce the one-shot quantile exactly
+    "metrics_lake_hist_p95" ->
       """WITH b AS (
         |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
         |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0

@@ -413,6 +413,65 @@ object MetricAnalytics {
     expQuantileOf(graft.sources.LogSync.table(spark, metricsRoot)
       .filter(col("kind") === "exp_histogram" && col("metric_name") === metricName), q)
 
+  /** `histogram_quantile` over INGESTED explicit-bucket histogram
+    * points (the `kind = "histogram"` rows the OTLP edge lands) — the
+    * consumer a metrics backend runs on real exported histograms:
+    * per-point bucket runs MERGE per series (counts sum bucket for
+    * bucket across points/windows — the aggregation explicit-bucket
+    * histograms exist to make cheap), then the same rank walk +
+    * linear interpolation as [[histogramQuantile]]. The trailing
+    * +Inf overflow entry (OTLP carries size(bounds)+1 counts)
+    * contributes to the total only; ranks past the last finite
+    * cumulative clamp to the series' top DECLARED bound.
+    *
+    * Scale shape: bucket runs explode to (points × bounds) rows,
+    * aggregate to series×bounds cardinality; the walk runs on that
+    * tiny frame. One corpus-scaled aggregate, no window over points.
+    */
+  def histQuantileOf(points: DataFrame, q: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    // bucket counts land as a JSON array of STRINGS (OTLP writes
+    // fixed64 as strings) — parse as strings, cast the array to longs
+    val parsed = points.select(col("service_name"), col("point_count"),
+      from_json(col("bucket_counts"), ArrayType(StringType))
+        .cast("array<long>").as("counts"),
+      from_json(col("explicit_bounds"), ArrayType(DoubleType)).as("bounds"))
+    val buckets = parsed
+      .select(col("service_name"), col("bounds"),
+        posexplode(col("counts")).as(Seq("i", "cnt")))
+      .filter(col("i") < size(col("bounds")) && col("cnt") > 0)
+      .select(col("service_name"),
+        expr("bounds[CAST(i AS INT)]").as("le"), col("cnt"))
+      .groupBy(col("service_name"), col("le"))
+      .agg(sum(col("cnt")).as("bucket_n"))
+    val totals = parsed.groupBy(col("service_name"))
+      .agg(sum(col("point_count")).as("total"),
+        max(element_at(col("bounds"), size(col("bounds")))).as("top_le"))
+    val wLe = Window.partitionBy(col("service_name")).orderBy(col("le"))
+    val hit = buckets
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(wLe), lit(0.0)))
+      .withColumn("cum_before", coalesce(sum(col("bucket_n")).over(
+        wLe.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(totals.select(col("service_name"), col("total")), "service_name")
+      .withColumn("rank", lit(q) * col("total"))
+      .filter(col("cum_before") + col("bucket_n") >= col("rank"))
+      .groupBy(col("service_name"))
+      .agg(min_by(
+        col("lo") + (col("le") - col("lo")) *
+          (col("rank") - col("cum_before")) / col("bucket_n"),
+        col("le")).as("est"))
+    totals.join(hit, Seq("service_name"), "left")
+      .select(col("service_name"),
+        round(coalesce(col("est"), col("top_le")), 4).as(s"p${(q * 100).toInt}"))
+      .orderBy(col("service_name"))
+  }
+
+  /** [[histQuantileOf]] over the OTLP-ingested metric lake. */
+  def histQuantileFromLake(spark: SparkSession, metricsRoot: String,
+                           metricName: String, q: Double = 0.95): DataFrame =
+    histQuantileOf(graft.sources.LogSync.table(spark, metricsRoot)
+      .filter(col("kind") === "histogram" && col("metric_name") === metricName), q)
+
   private val lakeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A METRIC LAKE built from the synthesis through the REAL wire
@@ -427,7 +486,7 @@ object MetricAnalytics {
     lakeBuilt.computeIfAbsent(dir, _ => {
       import graft.sources.{LogSync, LogWriter, OtlpMetrics}
       graft.functions.VectorFunctions.register(spark)
-      val root = s"/tmp/graft_metric_lake_v1_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
+      val root = s"/tmp/graft_metric_lake_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(s"$root/_built")
@@ -437,6 +496,29 @@ object MetricAnalytics {
           unix_micros(col("ts")), col("service"), lit("requests"), lit("{req}"),
           col("cum").cast("double"), lit(true), lit(2)).as("bin"))
         LogWriter.write(OtlpMetrics.parseProto(bins, col("bin")), root,
+          layout = LogWriter.DailyLayout)
+        // plus per-(service, hour) explicit-bucket HISTOGRAM points of
+        // the same value stream (JSON transport — both transports land
+        // in one lake, like a mixed exporter fleet): size(bounds)+1
+        // bucket counts, the trailing +Inf overflow
+        val bs = Boundaries
+        val hourly = Tables.events(spark, dir)
+          .withColumn("service", svc)
+          .groupBy(col("service"), date_trunc("hour", col("ts")).as("hb"))
+          .agg(count(lit(1)).as("n"),
+            (round(sum(col("value")), 6).as("s") +:
+              bs.zipWithIndex.map { case (b, i) =>
+                val lowOk = if (i == 0) lit(true) else col("value") > bs(i - 1)
+                sum(when(lowOk && col("value") <= b, 1L).otherwise(0L)).as(s"b$i")
+              } :+
+              sum(when(col("value") > bs.last, 1L).otherwise(0L)).as("bover")): _*)
+        val countsArr = array(
+          (bs.indices.map(i => col(s"b$i").cast("string")) :+
+            col("bover").cast("string")): _*)
+        val histEnvs = hourly.select(OtlpMetrics.toOtlpJsonHistogram(
+          unix_micros(col("hb")), col("service"), lit("latency"), lit("ms"),
+          col("n"), col("s"), countsArr, typedLit(bs)).as("payload"))
+        LogWriter.write(OtlpMetrics.parse(histEnvs, col("payload")), root,
           layout = LogWriter.DailyLayout)
         LogSync.sync(spark, root)
         fs.create(marker).close()
@@ -459,6 +541,18 @@ object MetricAnalytics {
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("increase"))
       .orderBy(col("service_name"), col("metric_name"), col("bucket"))
+
+  /** `metrics_lake_hist_p95`: [[histQuantileFromLake]] over the
+    * ingested histogram points — the SAME oracle as
+    * `metrics_hist_p95`, so the hash-match certifies envelope →
+    * parse → write → sync → bucket-run merge → quantile end-to-end
+    * (per-hour points merge back to exactly the per-service
+    * histogram the one-shot contract computes).
+    */
+  def lakeHistP95(spark: SparkSession, dir: String): DataFrame =
+    histQuantileFromLake(spark, metricsLakeRoot(spark, dir), "latency")
+      .select(col("service_name").as("service"), col("p95"))
+      .orderBy(col("service"))
 
   /** PROTOBUF-transport ingest round-trip proof for the metrics
     * signal: each event as one cumulative monotonic-sum data point

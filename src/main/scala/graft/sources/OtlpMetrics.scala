@@ -219,6 +219,37 @@ object OtlpMetrics {
       unit.cast("string"), value.cast("double"), isMonotonic.cast("boolean"),
       temporality.cast("int")))
 
+  /** One explicit-bucket HISTOGRAM data point per envelope as
+    * OTLP/JSON — the histogram twin of [[toOtlpProtoSum]] on the JSON
+    * transport (a statsd-style per-window exporter's shape):
+    * `bucketCounts` carries size(bounds)+1 entries, the trailing one
+    * the +Inf overflow, per the OTLP data model.
+    */
+  def toOtlpJsonHistogram(timeUs: Column, serviceName: Column,
+                          metricName: Column, unit: Column,
+                          count: Column, hsum: Column,
+                          bucketCounts: Column, bounds: Column): Column =
+    to_json(struct(
+      array(struct(
+        struct(array(
+          struct(lit("service.name").as("key"),
+            struct(serviceName.as("stringValue")).as("value"))).as("attributes"))
+          .as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            metricName.as("name"),
+            unit.as("unit"),
+            struct(
+              array(struct(
+                (timeUs * 1000).cast("string").as("timeUnixNano"),
+                count.cast("string").as("count"),
+                hsum.cast("double").as("sum"),
+                bucketCounts.as("bucketCounts"),
+                bounds.as("explicitBounds"))).as("dataPoints"),
+              lit(2).as("aggregationTemporality")).as("histogram"))).as("metrics")))
+          .as("scopeMetrics"))).as("resourceMetrics")))
+
   /** (valid data-point rows, undecodable payloads) for the protobuf
     * transport — decode failures AND shape-invalid decodes both land
     * in the rejected stream as their raw bytes.

@@ -200,6 +200,32 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(z.getAs[Double]("p95") == 0.0)
   }
 
+  test("histQuantileOf: per-point runs merge; +Inf-heavy series clamp to the top bound") {
+    import spark.implicits._
+    val rows = Seq(
+      // two points of one series: counts merge bucket for bucket
+      ("svc-h", 10L, """["4","4","2"]""", "[1.0,5.0]"),
+      ("svc-h", 10L, """["6","2","2"]""", "[1.0,5.0]"),
+      // a series whose p95 rank falls in the +Inf overflow: clamp to 5.0
+      ("svc-inf", 100L, """["1","1","98"]""", "[1.0,5.0]"))
+      .toDF("service_name", "point_count", "bucket_counts", "explicit_bounds")
+    val out = graft.operators.MetricAnalytics.histQuantileOf(rows, 0.95).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // svc-h merged: le1=10, le5=6, inf=4; total 20, rank 19 > 16 finite
+    // cum → clamp 5.0
+    assert(out("svc-inf") == 5.0, s"rank in +Inf must clamp to the top bound: $out")
+    assert(out("svc-h") == 5.0,
+      s"merged finite cum (16) below rank 19 must clamp too: $out")
+    // and a series where the rank lands inside a finite bucket
+    val mid = Seq(("svc-m", 20L, """["10","9","1"]""", "[1.0,5.0]"))
+      .toDF("service_name", "point_count", "bucket_counts", "explicit_bounds")
+    val m = graft.operators.MetricAnalytics.histQuantileOf(mid, 0.95).head.getDouble(1)
+    // rank 19, bucket (1,5]: 1 + 4*(19-10)/9 = 5.0 boundary; use 0.5:
+    val m50 = graft.operators.MetricAnalytics.histQuantileOf(mid, 0.5).head.getDouble(1)
+    assert(m50 > 0.0 && m50 <= 1.0, s"rank 10 lands in the first bucket: $m50")
+    assert(m > 1.0 && m <= 5.0, s"rank 19 lands in the second bucket: $m")
+  }
+
   test("exemplars: the surfaced trace holds the bucket's peak sample and resolves cross-signal") {
     val ex = MetricAnalytics.exemplars(spark, sf).cache()
     val events = graft.sources.Tables.events(spark, sf)
