@@ -254,6 +254,166 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  // Oracles shared VERBATIM by a synthesis query and its lake twin
+  // (binding one string to both keys keeps the "same oracle" claim
+  // structurally true — an edit cannot silently diverge the pair)
+  private val oracleTraceServiceGraph =
+    """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT p.service AS parent_service, c.service AS service,
+        |  count(*) AS calls, CAST(SUM(c.dur_ms) AS BIGINT) AS callee_ms
+        |FROM spans c JOIN spans p
+        |  ON p.trace_id = c.trace_id AND p.idx = c.idx // 2
+        |WHERE c.idx > 1
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  private val oracleTraceSummary =
+    """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT trace_id, count(*) AS n_spans,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |  MAX(CASE WHEN idx = 1 THEN service END) AS root_service,
+        |  CAST(SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |FROM spans GROUP BY trace_id ORDER BY trace_id""".stripMargin
+
+  private val oracleTraceTailSample =
+    """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id, event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |t AS (
+        |  SELECT trace_id, count(*) AS n_spans,
+        |    CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+        |    SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS n_errors
+        |  FROM spans GROUP BY 1)
+        |SELECT trace_id, n_spans, total_ms,
+        |  CASE WHEN n_errors > 0 THEN 'error'
+        |       WHEN total_ms >= 3000 THEN 'slow'
+        |       WHEN substr(md5(trace_id), 1, 2) < '2a' THEN 'prob' END AS reason
+        |FROM t
+        |WHERE n_errors > 0 OR total_ms >= 3000 OR substr(md5(trace_id), 1, 2) < '2a'
+        |ORDER BY trace_id""".stripMargin
+
+  private val oracleTraceSelfTime =
+    """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |kids AS (
+        |  SELECT trace_id, idx // 2 AS idx, SUM(dur_ms) AS child_ms
+        |  FROM spans WHERE idx > 1 GROUP BY 1, 2)
+        |SELECT s.service AS service, count(*) AS n_spans,
+        |  CAST(SUM(s.dur_ms) AS BIGINT) AS total_ms,
+        |  CAST(SUM(s.dur_ms - COALESCE(k.child_ms, 0)) AS BIGINT) AS self_ms
+        |FROM spans s LEFT JOIN kids k
+        |  ON k.trace_id = s.trace_id AND k.idx = s.idx
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val oracleTraceCriticalPath =
+    """WITH RECURSIVE base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base),
+        |walk AS (
+        |  SELECT trace_id, idx, dur_ms AS path_ms, idx AS cur FROM spans
+        |  UNION ALL
+        |  SELECT w.trace_id, w.idx, w.path_ms + s.dur_ms, s.idx
+        |  FROM walk w JOIN spans s
+        |    ON s.trace_id = w.trace_id AND s.idx = w.cur // 2
+        |  WHERE w.cur > 1)
+        |SELECT w.trace_id AS trace_id,
+        |  CAST(MAX(w.path_ms) AS BIGINT) AS critical_ms,
+        |  CAST(MAX(n.n) AS BIGINT) AS n_spans
+        |FROM walk w JOIN (
+        |  SELECT trace_id, count(*) AS n FROM spans GROUP BY trace_id) n
+        |  ON n.trace_id = w.trace_id
+        |WHERE w.cur = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val oracleTraceLatency =
+    """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base)
+        |SELECT service, operation,
+        |  round(quantile_cont(dur_ms, 0.5), 4) AS p50_ms,
+        |  round(quantile_cont(dur_ms, 0.95), 4) AS p95_ms,
+        |  count(*) AS calls,
+        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
+        |FROM spans GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  private val oracleMetricsHistP95 =
+    """WITH b AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
+        |         WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
+        |         WHEN value <= 100 THEN 100.0 WHEN value <= 500 THEN 500.0
+        |    END AS le
+        |  FROM events),
+        |g AS (SELECT service, le, count(*) AS bucket_n FROM b
+        |      WHERE le IS NOT NULL GROUP BY 1,2),
+        |h AS (SELECT service, le,
+        |        SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS cum_n
+        |      FROM g),
+        |t AS (SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |        count(*) AS total FROM events GROUP BY 1),
+        |x AS (SELECT h.service, h.le, h.cum_n,
+        |        COALESCE(LAG(h.le) OVER (PARTITION BY h.service ORDER BY h.le), 0.0) AS lo,
+        |        COALESCE(LAG(h.cum_n) OVER (PARTITION BY h.service ORDER BY h.le), 0) AS cum_before,
+        |        0.95 * t.total AS rnk
+        |      FROM h JOIN t ON t.service = h.service),
+        |e AS (SELECT service,
+        |        lo + (le - lo) * (rnk - cum_before) / (cum_n - cum_before) AS est,
+        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY le) AS rn
+        |      FROM x WHERE cum_n >= rnk)
+        |SELECT t.service AS service, ROUND(COALESCE(e.est, 500.0), 4) AS p95
+        |FROM t LEFT JOIN e ON e.service = t.service AND e.rn = 1
+        |ORDER BY service""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "emb_project" -> embProjectOracle,
     // pack_epoch_order: the oracle runs the NAIVE global row_number
@@ -594,171 +754,17 @@ object SparkEntry {
         |  c.service AS service, c.operation AS operation, c.dur_ms AS dur_ms
         |FROM spans c LEFT JOIN spans p ON p.idx = c.idx // 2
         |ORDER BY idx""".stripMargin,
-    "trace_service_graph" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base)
-        |SELECT p.service AS parent_service, c.service AS service,
-        |  count(*) AS calls, CAST(SUM(c.dur_ms) AS BIGINT) AS callee_ms
-        |FROM spans c JOIN spans p
-        |  ON p.trace_id = c.trace_id AND p.idx = c.idx // 2
-        |WHERE c.idx > 1
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "trace_lake_graph" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base)
-        |SELECT p.service AS parent_service, c.service AS service,
-        |  count(*) AS calls, CAST(SUM(c.dur_ms) AS BIGINT) AS callee_ms
-        |FROM spans c JOIN spans p
-        |  ON p.trace_id = c.trace_id AND p.idx = c.idx // 2
-        |WHERE c.idx > 1
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "trace_summary" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    event_type AS operation,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base)
-        |SELECT trace_id, count(*) AS n_spans,
-        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
-        |  MAX(CASE WHEN idx = 1 THEN service END) AS root_service,
-        |  CAST(SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
-        |FROM spans GROUP BY trace_id ORDER BY trace_id""".stripMargin,
-    "trace_lake_summary" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    event_type AS operation,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base)
-        |SELECT trace_id, count(*) AS n_spans,
-        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
-        |  MAX(CASE WHEN idx = 1 THEN service END) AS root_service,
-        |  CAST(SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
-        |FROM spans GROUP BY trace_id ORDER BY trace_id""".stripMargin,
-    "trace_critical_path" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base),
-        |walk AS (
-        |  SELECT trace_id, idx, dur_ms AS path_ms, idx AS cur FROM spans
-        |  UNION ALL
-        |  SELECT w.trace_id, w.idx, w.path_ms + s.dur_ms, s.idx
-        |  FROM walk w JOIN spans s
-        |    ON s.trace_id = w.trace_id AND s.idx = w.cur // 2
-        |  WHERE w.cur > 1)
-        |SELECT w.trace_id AS trace_id,
-        |  CAST(MAX(w.path_ms) AS BIGINT) AS critical_ms,
-        |  CAST(MAX(n.n) AS BIGINT) AS n_spans
-        |FROM walk w JOIN (
-        |  SELECT trace_id, count(*) AS n FROM spans GROUP BY trace_id) n
-        |  ON n.trace_id = w.trace_id
-        |WHERE w.cur = 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "trace_lake_critical" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base),
-        |walk AS (
-        |  SELECT trace_id, idx, dur_ms AS path_ms, idx AS cur FROM spans
-        |  UNION ALL
-        |  SELECT w.trace_id, w.idx, w.path_ms + s.dur_ms, s.idx
-        |  FROM walk w JOIN spans s
-        |    ON s.trace_id = w.trace_id AND s.idx = w.cur // 2
-        |  WHERE w.cur > 1)
-        |SELECT w.trace_id AS trace_id,
-        |  CAST(MAX(w.path_ms) AS BIGINT) AS critical_ms,
-        |  CAST(MAX(n.n) AS BIGINT) AS n_spans
-        |FROM walk w JOIN (
-        |  SELECT trace_id, count(*) AS n FROM spans GROUP BY trace_id) n
-        |  ON n.trace_id = w.trace_id
-        |WHERE w.cur = 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "trace_latency" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    event_type AS operation,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base)
-        |SELECT service, operation,
-        |  round(quantile_cont(dur_ms, 0.5), 4) AS p50_ms,
-        |  round(quantile_cont(dur_ms, 0.95), 4) AS p95_ms,
-        |  count(*) AS calls,
-        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
-        |FROM spans GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "trace_service_graph" -> oracleTraceServiceGraph,
+    "trace_lake_graph" -> oracleTraceServiceGraph,
+    "trace_summary" -> oracleTraceSummary,
+    "trace_lake_summary" -> oracleTraceSummary,
+    "trace_critical_path" -> oracleTraceCriticalPath,
+    "trace_lake_critical" -> oracleTraceCriticalPath,
+    "trace_latency" -> oracleTraceLatency,
     // same oracle as trace_latency: the lake-surface twin must
     // reproduce the synthesis aggregate bit for bit through the full
     // envelope->parse->write->sync->read path
-    "trace_lake_latency" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    event_type AS operation,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base)
-        |SELECT service, operation,
-        |  round(quantile_cont(dur_ms, 0.5), 4) AS p50_ms,
-        |  round(quantile_cont(dur_ms, 0.95), 4) AS p95_ms,
-        |  count(*) AS calls,
-        |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms
-        |FROM spans GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "trace_lake_latency" -> oracleTraceLatency,
     // cross-signal: spans left-joined to their WARN+ log records on
     // the (trace_id, 16-hex span prefix) context both syntheses stamp;
     // the oracle replays both sides and the prefix join verbatim
@@ -791,92 +797,12 @@ object SparkEntry {
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // tail sampling: decision = pure function of the aggregated trace
     // (error > slow > md5-prefix hash rule), replayed verbatim
-    "trace_tail_sample" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id, event_type AS operation,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base),
-        |t AS (
-        |  SELECT trace_id, count(*) AS n_spans,
-        |    CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
-        |    SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS n_errors
-        |  FROM spans GROUP BY 1)
-        |SELECT trace_id, n_spans, total_ms,
-        |  CASE WHEN n_errors > 0 THEN 'error'
-        |       WHEN total_ms >= 3000 THEN 'slow'
-        |       WHEN substr(md5(trace_id), 1, 2) < '2a' THEN 'prob' END AS reason
-        |FROM t
-        |WHERE n_errors > 0 OR total_ms >= 3000 OR substr(md5(trace_id), 1, 2) < '2a'
-        |ORDER BY trace_id""".stripMargin,
-    "trace_lake_tail" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id, event_type AS operation,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base),
-        |t AS (
-        |  SELECT trace_id, count(*) AS n_spans,
-        |    CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
-        |    SUM(CASE WHEN operation = 'error' THEN 1 ELSE 0 END) AS n_errors
-        |  FROM spans GROUP BY 1)
-        |SELECT trace_id, n_spans, total_ms,
-        |  CASE WHEN n_errors > 0 THEN 'error'
-        |       WHEN total_ms >= 3000 THEN 'slow'
-        |       WHEN substr(md5(trace_id), 1, 2) < '2a' THEN 'prob' END AS reason
-        |FROM t
-        |WHERE n_errors > 0 OR total_ms >= 3000 OR substr(md5(trace_id), 1, 2) < '2a'
-        |ORDER BY trace_id""".stripMargin,
+    "trace_tail_sample" -> oracleTraceTailSample,
+    "trace_lake_tail" -> oracleTraceTailSample,
     // self time: dur − Σ children dur via one heap-parent-keyed
     // aggregate joined back; negative = child overlap, kept as-is
-    "trace_self_time" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base),
-        |kids AS (
-        |  SELECT trace_id, idx // 2 AS idx, SUM(dur_ms) AS child_ms
-        |  FROM spans WHERE idx > 1 GROUP BY 1, 2)
-        |SELECT s.service AS service, count(*) AS n_spans,
-        |  CAST(SUM(s.dur_ms) AS BIGINT) AS total_ms,
-        |  CAST(SUM(s.dur_ms - COALESCE(k.child_ms, 0)) AS BIGINT) AS self_ms
-        |FROM spans s LEFT JOIN kids k
-        |  ON k.trace_id = s.trace_id AND k.idx = s.idx
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "trace_lake_self" ->
-      """WITH base AS (
-        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
-        |  FROM events),
-        |spans AS (
-        |  SELECT trace_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
-        |    CASE WHEN event_type IN ('view','click') THEN 'web'
-        |         WHEN event_type = 'signup' THEN 'auth'
-        |         WHEN event_type = 'purchase' THEN 'checkout'
-        |         ELSE 'backend' END AS service,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
-        |  FROM base),
-        |kids AS (
-        |  SELECT trace_id, idx // 2 AS idx, SUM(dur_ms) AS child_ms
-        |  FROM spans WHERE idx > 1 GROUP BY 1, 2)
-        |SELECT s.service AS service, count(*) AS n_spans,
-        |  CAST(SUM(s.dur_ms) AS BIGINT) AS total_ms,
-        |  CAST(SUM(s.dur_ms - COALESCE(k.child_ms, 0)) AS BIGINT) AS self_ms
-        |FROM spans s LEFT JOIN kids k
-        |  ON k.trace_id = s.trace_id AND k.idx = s.idx
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "trace_self_time" -> oracleTraceSelfTime,
+    "trace_lake_self" -> oracleTraceSelfTime,
     // ---- metrics family: counter samples are daily-resetting
     // cumulative integer-cent sums; the oracles replay the synthesis
     // and the PromQL reset-correction / quantile formulas verbatim ----
@@ -1010,62 +936,10 @@ object SparkEntry {
         |SELECT service, le,
         |  CAST(SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS BIGINT) AS cum_n
         |FROM g ORDER BY 1,2""".stripMargin,
-    "metrics_hist_p95" ->
-      """WITH b AS (
-        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
-        |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
-        |         WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
-        |         WHEN value <= 100 THEN 100.0 WHEN value <= 500 THEN 500.0
-        |    END AS le
-        |  FROM events),
-        |g AS (SELECT service, le, count(*) AS bucket_n FROM b
-        |      WHERE le IS NOT NULL GROUP BY 1,2),
-        |h AS (SELECT service, le,
-        |        SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS cum_n
-        |      FROM g),
-        |t AS (SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
-        |        count(*) AS total FROM events GROUP BY 1),
-        |x AS (SELECT h.service, h.le, h.cum_n,
-        |        COALESCE(LAG(h.le) OVER (PARTITION BY h.service ORDER BY h.le), 0.0) AS lo,
-        |        COALESCE(LAG(h.cum_n) OVER (PARTITION BY h.service ORDER BY h.le), 0) AS cum_before,
-        |        0.95 * t.total AS rnk
-        |      FROM h JOIN t ON t.service = h.service),
-        |e AS (SELECT service,
-        |        lo + (le - lo) * (rnk - cum_before) / (cum_n - cum_before) AS est,
-        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY le) AS rn
-        |      FROM x WHERE cum_n >= rnk)
-        |SELECT t.service AS service, ROUND(COALESCE(e.est, 500.0), 4) AS p95
-        |FROM t LEFT JOIN e ON e.service = t.service AND e.rn = 1
-        |ORDER BY service""".stripMargin,
+    "metrics_hist_p95" -> oracleMetricsHistP95,
     // same oracle as metrics_hist_p95: merged per-hour ingested
     // histogram points must reproduce the one-shot quantile exactly
-    "metrics_lake_hist_p95" ->
-      """WITH b AS (
-        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
-        |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 5 THEN 5.0
-        |         WHEN value <= 10 THEN 10.0 WHEN value <= 50 THEN 50.0
-        |         WHEN value <= 100 THEN 100.0 WHEN value <= 500 THEN 500.0
-        |    END AS le
-        |  FROM events),
-        |g AS (SELECT service, le, count(*) AS bucket_n FROM b
-        |      WHERE le IS NOT NULL GROUP BY 1,2),
-        |h AS (SELECT service, le,
-        |        SUM(bucket_n) OVER (PARTITION BY service ORDER BY le) AS cum_n
-        |      FROM g),
-        |t AS (SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
-        |        count(*) AS total FROM events GROUP BY 1),
-        |x AS (SELECT h.service, h.le, h.cum_n,
-        |        COALESCE(LAG(h.le) OVER (PARTITION BY h.service ORDER BY h.le), 0.0) AS lo,
-        |        COALESCE(LAG(h.cum_n) OVER (PARTITION BY h.service ORDER BY h.le), 0) AS cum_before,
-        |        0.95 * t.total AS rnk
-        |      FROM h JOIN t ON t.service = h.service),
-        |e AS (SELECT service,
-        |        lo + (le - lo) * (rnk - cum_before) / (cum_n - cum_before) AS est,
-        |        ROW_NUMBER() OVER (PARTITION BY service ORDER BY le) AS rn
-        |      FROM x WHERE cum_n >= rnk)
-        |SELECT t.service AS service, ROUND(COALESCE(e.est, 500.0), 4) AS p95
-        |FROM t LEFT JOIN e ON e.service = t.service AND e.rn = 1
-        |ORDER BY service""".stripMargin,
+    "metrics_lake_hist_p95" -> oracleMetricsHistP95,
     "lake_severity_by_service" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

@@ -370,40 +370,66 @@ object MetricAnalytics {
         col("point_count"))
       .select(col("service_name"), col("x.scale").as("scale"),
         col("x.zeroCount").as("zero_n"),
-        col("x.positive.offset").as("off"),
-        col("x.positive.bucketCounts").as("counts"),
+        col("x.positive.offset").as("p_off"),
+        col("x.positive.bucketCounts").as("p_counts"),
+        col("x.negative.offset").as("n_off"),
+        col("x.negative.bucketCounts").as("n_counts"),
         col("point_count"))
     val minScale = parsed.groupBy(col("service_name"))
       .agg(min(col("scale")).as("min_scale"))
-    val buckets = parsed.join(broadcast(minScale), "service_name")
-      .select(col("service_name"), col("min_scale"), col("scale"), col("off"),
-        posexplode(col("counts")).as(Seq("pos", "cnt")))
-      .filter(col("cnt") > 0)
-      .withColumn("idx",
-        expr("shiftright(off + pos, scale - min_scale)").cast("int"))
-      .groupBy(col("service_name"), col("min_scale"), col("idx"))
-      .agg(sum(col("cnt")).as("bucket_n"))
+    // ONE ordered bucket lattice per series: negative buckets (grp −1,
+    // walked most-negative first, i.e. descending index), the zero
+    // bucket (grp 0), positive buckets (grp +1, ascending index) —
+    // so the rank walk covers the REAL line order; a positive-only
+    // walk would shift or null quantiles for series with negative
+    // values while still counting them in the total
+    def side(offCol: String, countsCol: String, grp: Int) =
+      parsed.join(broadcast(minScale), "service_name")
+        .select(col("service_name"), col("min_scale"), col("scale"),
+          col(offCol).as("off"), posexplode(col(countsCol)).as(Seq("pos", "cnt")))
+        .filter(col("cnt") > 0)
+        .withColumn("idx",
+          expr("shiftright(off + pos, scale - min_scale)").cast("int"))
+        .groupBy(col("service_name"), col("min_scale"), col("idx"))
+        .agg(sum(col("cnt")).as("bucket_n"))
+        .withColumn("grp", lit(grp))
+    val zeroRows = parsed.groupBy(col("service_name"))
+      .agg(sum(col("zero_n")).as("bucket_n"))
+      .filter(col("bucket_n") > 0)
+      .join(broadcast(minScale), "service_name")
+      .select(col("service_name"), col("min_scale"), lit(0).as("idx"),
+        col("bucket_n"), lit(0).as("grp"))
+    val buckets = side("n_off", "n_counts", -1)
+      .unionByName(zeroRows)
+      .unionByName(side("p_off", "p_counts", 1))
+      // line order: negatives descending idx, then zero, then
+      // positives ascending
+      .withColumn("ord", when(col("grp") === -1, -col("idx")).otherwise(col("idx")))
     val totals = parsed.groupBy(col("service_name"))
-      .agg(sum(col("point_count")).as("total"), sum(col("zero_n")).as("zero_total"))
-    val wIdx = Window.partitionBy(col("service_name")).orderBy(col("idx"))
-    def bound(i: Column): Column = pow(lit(2.0), i * pow(lit(2.0), -col("min_scale")))
+      .agg(sum(col("point_count")).as("total"))
+    val wOrd = Window.partitionBy(col("service_name"))
+      .orderBy(col("grp"), col("ord"))
+    def pow2(i: Column): Column = pow(lit(2.0), i * pow(lit(2.0), -col("min_scale")))
+    // bucket edges on the real line: positive (2^(i·s), 2^((i+1)·s)],
+    // negative the mirror [−2^((i+1)·s), −2^(i·s)), zero [0, 0]
+    val lo = when(col("grp") === 1, pow2(col("idx")))
+      .when(col("grp") === 0, lit(0.0))
+      .otherwise(-pow2(col("idx") + 1))
+    val up = when(col("grp") === 1, pow2(col("idx") + 1))
+      .when(col("grp") === 0, lit(0.0))
+      .otherwise(-pow2(col("idx")))
     val hit = buckets
       .withColumn("cum_before", coalesce(sum(col("bucket_n")).over(
-        wIdx.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(totals, "service_name")
       .withColumn("rank", lit(q) * col("total"))
-      .filter(col("zero_total") + col("cum_before") + col("bucket_n") >= col("rank"))
+      .filter(col("cum_before") + col("bucket_n") >= col("rank"))
       .groupBy(col("service_name"))
       .agg(min_by(
-        bound(col("idx")) + (bound(col("idx") + 1) - bound(col("idx"))) *
-          (col("rank") - col("zero_total") - col("cum_before")) / col("bucket_n"),
-        col("idx")).as("est"))
-    totals
-      .withColumn("rank", lit(q) * col("total"))
-      .join(hit, Seq("service_name"), "left")
-      .select(col("service_name"),
-        when(col("zero_total") >= col("rank"), lit(0.0)).otherwise(col("est"))
-          .as(s"p${(q * 100).toInt}"))
+        lo + (up - lo) * (col("rank") - col("cum_before")) / col("bucket_n"),
+        struct(col("grp"), col("ord"))).as("est"))
+    totals.join(hit, Seq("service_name"), "left")
+      .select(col("service_name"), col("est").as(s"p${(q * 100).toInt}"))
       .orderBy(col("service_name"))
   }
 
@@ -444,9 +470,14 @@ object MetricAnalytics {
         expr("bounds[CAST(i AS INT)]").as("le"), col("cnt"))
       .groupBy(col("service_name"), col("le"))
       .agg(sum(col("cnt")).as("bucket_n"))
+    // count/sum-only points carry "explicitBounds":[] (spec-legal):
+    // they contribute to the total but declare no bound — guard the
+    // element_at (index 0 throws) and let an all-+Inf series answer a
+    // null quantile honestly
     val totals = parsed.groupBy(col("service_name"))
       .agg(sum(col("point_count")).as("total"),
-        max(element_at(col("bounds"), size(col("bounds")))).as("top_le"))
+        max(when(size(col("bounds")) > 0,
+          element_at(col("bounds"), size(col("bounds"))))).as("top_le"))
     val wLe = Window.partitionBy(col("service_name")).orderBy(col("le"))
     val hit = buckets
       .withColumn("lo", coalesce(lag(col("le"), 1).over(wLe), lit(0.0)))
@@ -483,48 +514,41 @@ object MetricAnalytics {
     * HARDER transport).
     */
   private[graft] def metricsLakeRoot(spark: SparkSession, dir: String): String =
-    lakeBuilt.computeIfAbsent(dir, _ => {
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v2", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpMetrics}
       graft.functions.VectorFunctions.register(spark)
-      val root = s"/tmp/graft_metric_lake_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(s"$root/_built")
-      if (!fs.exists(marker)) {
-        fs.delete(rootPath, true)
-        val bins = counterSamples(spark, dir).select(OtlpMetrics.toOtlpProtoSum(
-          unix_micros(col("ts")), col("service"), lit("requests"), lit("{req}"),
-          col("cum").cast("double"), lit(true), lit(2)).as("bin"))
-        LogWriter.write(OtlpMetrics.parseProto(bins, col("bin")), root,
-          layout = LogWriter.DailyLayout)
-        // plus per-(service, hour) explicit-bucket HISTOGRAM points of
-        // the same value stream (JSON transport — both transports land
-        // in one lake, like a mixed exporter fleet): size(bounds)+1
-        // bucket counts, the trailing +Inf overflow
-        val bs = Boundaries
-        val hourly = Tables.events(spark, dir)
-          .withColumn("service", svc)
-          .groupBy(col("service"), date_trunc("hour", col("ts")).as("hb"))
-          .agg(count(lit(1)).as("n"),
-            (round(sum(col("value")), 6).as("s") +:
-              bs.zipWithIndex.map { case (b, i) =>
-                val lowOk = if (i == 0) lit(true) else col("value") > bs(i - 1)
-                sum(when(lowOk && col("value") <= b, 1L).otherwise(0L)).as(s"b$i")
-              } :+
-              sum(when(col("value") > bs.last, 1L).otherwise(0L)).as("bover")): _*)
-        val countsArr = array(
-          (bs.indices.map(i => col(s"b$i").cast("string")) :+
-            col("bover").cast("string")): _*)
-        val histEnvs = hourly.select(OtlpMetrics.toOtlpJsonHistogram(
-          unix_micros(col("hb")), col("service"), lit("latency"), lit("ms"),
-          col("n"), col("s"), countsArr, typedLit(bs)).as("payload"))
-        LogWriter.write(OtlpMetrics.parse(histEnvs, col("payload")), root,
-          layout = LogWriter.DailyLayout)
-        LogSync.sync(spark, root)
-        fs.create(marker).close()
-      }
-      root
-    })
+      val bins = counterSamples(spark, dir).select(OtlpMetrics.toOtlpProtoSum(
+        unix_micros(col("ts")), col("service"), lit("requests"), lit("{req}"),
+        col("cum").cast("double"), lit(true), lit(2)).as("bin"))
+      LogWriter.write(OtlpMetrics.parseProto(bins, col("bin")), root,
+        layout = LogWriter.DailyLayout)
+      // plus per-(service, hour) explicit-bucket HISTOGRAM points of
+      // the same value stream (JSON transport — both transports land
+      // in one lake, like a mixed exporter fleet): size(bounds)+1
+      // bucket counts, the trailing +Inf overflow
+      val bs = Boundaries
+      val hourly = Tables.events(spark, dir)
+        .withColumn("service", svc)
+        .groupBy(col("service"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 6).as("s") +:
+            bs.zipWithIndex.map { case (b, i) =>
+              val lowOk = if (i == 0) lit(true) else col("value") > bs(i - 1)
+              sum(when(lowOk && col("value") <= b, 1L).otherwise(0L)).as(s"b$i")
+            } :+
+            sum(when(col("value") > bs.last, 1L).otherwise(0L)).as("bover")): _*)
+      val countsArr = array(
+        (bs.indices.map(i => col(s"b$i").cast("string")) :+
+          col("bover").cast("string")): _*)
+      val histEnvs = hourly.select(OtlpMetrics.toOtlpJsonHistogram(
+        unix_micros(col("hb")), col("service"), lit("latency"), lit("ms"),
+        col("n"), col("s"), countsArr, typedLit(bs)).as("payload"))
+      LogWriter.write(OtlpMetrics.parse(histEnvs, col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      ()
+    }
+
 
   /** `metrics_lake_rate`: [[increaseFromLake]] over the wire-ingested
     * metric lake — hourly PromQL increase of the daily-resetting

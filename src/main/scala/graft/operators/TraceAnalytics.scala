@@ -448,37 +448,29 @@ object TraceAnalytics {
     * twins' contract certification runs against.
     */
   private[graft] def tracesLakeRoot(spark: SparkSession, dir: String): String =
-    lakeBuilt.computeIfAbsent(dir, _ => {
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_trace_lake_v2", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpTraces}
-      val root = s"/tmp/graft_trace_lake_v2_${Integer.toHexString(dir.hashCode & 0x7fffffff)}"
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(s"$root/_built")
-      if (!fs.exists(marker)) {
-        fs.delete(rootPath, true)
-        // real parent SPAN IDS on the wire (one co-partitioned
-        // self-join at build time): the lake carries the tree the way
-        // exporters ship it, so every lake twin — graph, self-time,
-        // critical path — runs on genuine opaque pointers
-        val s = spans(spark, dir)
-        val withParent = s
-          .withColumn("pidx", (col("idx") / 2).cast("int"))
-          .join(s.select(col("trace_id"), col("idx").as("pidx"),
-            col("span_id").as("parent_span_id")), Seq("trace_id", "pidx"), "left")
-        val envs = withParent.select(OtlpTraces.toOtlpJson(
-          unix_micros(col("ts")),
-          unix_micros(col("ts")) + col("dur_ms") * 1000L,
-          col("service"), col("trace_id"), col("span_id"),
-          when(col("idx") > 1, col("parent_span_id")),
-          col("operation"), lit(2),
-          when(col("operation") === "error", 2).otherwise(0)).as("payload"))
-        LogWriter.write(OtlpTraces.parse(envs, col("payload")), root,
-          layout = LogWriter.DailyLayout)
-        LogSync.sync(spark, root)
-        fs.create(marker).close()
-      }
-      root
-    })
+      // real parent SPAN IDS on the wire (one co-partitioned
+      // self-join at build time): the lake carries the tree the way
+      // exporters ship it, so every lake twin — graph, self-time,
+      // critical path — runs on genuine opaque pointers
+      val s = spans(spark, dir)
+      val withParent = s
+        .withColumn("pidx", (col("idx") / 2).cast("int"))
+        .join(s.select(col("trace_id"), col("idx").as("pidx"),
+          col("span_id").as("parent_span_id")), Seq("trace_id", "pidx"), "left")
+      val envs = withParent.select(OtlpTraces.toOtlpJson(
+        unix_micros(col("ts")),
+        unix_micros(col("ts")) + col("dur_ms") * 1000L,
+        col("service"), col("trace_id"), col("span_id"),
+        when(col("idx") > 1, col("parent_span_id")),
+        col("operation"), lit(2),
+        when(col("operation") === "error", 2).otherwise(0)).as("payload"))
+      LogWriter.write(OtlpTraces.parse(envs, col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      ()
+    }
 
   /** `trace_lake_latency`: [[latencyFromLake]] over the ingested span
     * lake — the SAME oracle as `trace_latency`, so the hash-match

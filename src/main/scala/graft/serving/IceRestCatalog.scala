@@ -208,21 +208,27 @@ object IceRestCatalog {
         // few-KB metadata document is produced here.
         case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
           val key = decode(ns); val name = decode(t)
-          Option(tables.get((key, name))) match {
-            case None => err(404, "NoSuchTableException", s"table not found: $name")
-            case Some(loc) => commitLock.synchronized {
-              fromBody(body) { req =>
-                (req.opt("requirements").map(_.arr).getOrElse(Vector.empty),
-                  req("updates").arr)
-              } match {
-                case Left(e) => e
-                case Right((reqs, updates)) =>
-                  try commitTable(key, name, loc, reqs, updates)
-                  catch {
-                    case e: CommitFailed => err(409, "CommitFailedException", e.getMessage)
-                    case e: BadUpdate => err(400, "BadRequestException", e.getMessage)
-                  }
-              }
+          // the metadata-location must be read INSIDE the lock: a
+          // lookup outside it would let the loser of a concurrent
+          // commit validate requirements against the pre-winner
+          // metadata, pass them, and silently overwrite the winner's
+          // snapshot instead of getting its 409
+          commitLock.synchronized {
+            Option(tables.get((key, name))) match {
+              case None => err(404, "NoSuchTableException", s"table not found: $name")
+              case Some(loc) =>
+                fromBody(body) { req =>
+                  (req.opt("requirements").map(_.arr).getOrElse(Vector.empty),
+                    req("updates").arr)
+                } match {
+                  case Left(e) => e
+                  case Right((reqs, updates)) =>
+                    try commitTable(key, name, loc, reqs, updates)
+                    catch {
+                      case e: CommitFailed => err(409, "CommitFailedException", e.getMessage)
+                      case e: BadUpdate => err(400, "BadRequestException", e.getMessage)
+                    }
+                }
             }
           }
 

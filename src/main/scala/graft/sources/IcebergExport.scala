@@ -587,7 +587,13 @@ object IcebergExport {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
     case b: java.nio.ByteBuffer =>
-      java.util.Arrays.copyOfRange(b.array, b.position, b.limit)
+      // respect arrayOffset (heap buffers can be offset views of a
+      // shared backing array) and handle direct/read-only buffers,
+      // which have no accessible array at all
+      if (b.hasArray)
+        java.util.Arrays.copyOfRange(b.array,
+          b.arrayOffset + b.position, b.arrayOffset + b.limit)
+      else { val d = new Array[Byte](b.remaining); b.duplicate.get(d); d }
     case other => other
   }
 

@@ -238,15 +238,15 @@ object OtlpProtoSignalOps {
         // — accept both, like any conforming reader
         case (6, 2) =>
           val run = r.sub()
-          var cs = p.counts
-          while (run.hasMore) cs = cs :+ run.fixed64()
-          p = p.copy(counts = cs)
+          val cs = scala.collection.mutable.ListBuffer.empty[Long]
+          while (run.hasMore) cs += run.fixed64()
+          p = p.copy(counts = p.counts ++ cs)
         case (6, 1) => p = p.copy(counts = p.counts :+ r.fixed64())
         case (7, 2) =>
           val run = r.sub()
-          var bs = p.bounds
-          while (run.hasMore) bs = bs :+ java.lang.Double.longBitsToDouble(run.fixed64())
-          p = p.copy(bounds = bs)
+          val bs = scala.collection.mutable.ListBuffer.empty[Double]
+          while (run.hasMore) bs += java.lang.Double.longBitsToDouble(run.fixed64())
+          p = p.copy(bounds = p.bounds ++ bs)
         case (7, 1) =>
           p = p.copy(bounds = p.bounds :+ java.lang.Double.longBitsToDouble(r.fixed64()))
         case (9, 2) => p = p.copy(attrs = p.attrs :+ readKeyValue(r.sub()))
@@ -264,9 +264,9 @@ object OtlpProtoSignalOps {
         case (1, 0) => b = b.copy(offset = zigzag(r.varint()))
         case (2, 2) =>
           val run = r.sub()
-          var cs = b.counts
-          while (run.hasMore) cs = cs :+ run.varint()
-          b = b.copy(counts = cs)
+          val cs = scala.collection.mutable.ListBuffer.empty[Long]
+          while (run.hasMore) cs += run.varint()
+          b = b.copy(counts = b.counts ++ cs)
         case (2, 0) => b = b.copy(counts = b.counts :+ r.varint())
         case (_, w) => r.skip(w)
       }

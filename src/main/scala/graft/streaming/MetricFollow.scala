@@ -180,18 +180,21 @@ object MetricFollow {
       .agg(sum(col("__inc")).as("increase"))
       .withColumn("__rejected", lit(rejected))
       .orderBy(col("service_name"), col("metric_name"), col("bucket"))
+    // checkpoint FIRST, then probe emptiness on the checkpointed
+    // frame — probing the raw plan would run the whole window +
+    // aggregate pipeline twice whenever rejections occur
+    val ck = emittedRows.localCheckpoint()
     // an all-late increment emits nothing — carry the rejection count
     // on one all-null sentinel row so the diagnostic is never lost
-    val withSentinel =
-      if (rejected > 0 && emittedRows.limit(1).count() == 0)
-        emittedRows.unionByName(spark.range(1).select(
+    val out =
+      if (rejected > 0 && ck.limit(1).count() == 0)
+        ck.unionByName(spark.range(1).select(
           lit(null).cast("string").as("service_name"),
           lit(null).cast("string").as("metric_name"),
           lit(null).cast("timestamp").as("bucket"),
           lit(0.0).as("increase"),
           lit(rejected).as("__rejected")))
-      else emittedRows
-    val out = withSentinel.localCheckpoint()
+      else ck
     pts.unpersist(false)
     out
   }

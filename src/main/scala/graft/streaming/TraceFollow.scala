@@ -208,18 +208,20 @@ object TraceFollow {
       .agg(count(lit(1)).as("calls"), sum(col("dur_ms")).as("callee_ms"))
       .withColumn("__expired", lit(expired))
       .orderBy(col("parent_service"), col("service"))
+    // checkpoint FIRST, then probe emptiness on the checkpointed
+    // frame (probing the raw plan would re-run the join + aggregate)
+    val ck = edges.localCheckpoint()
     // an increment that completes no edge but expires pending
     // children still surfaces the count, on one all-null sentinel
-    val withSentinel =
-      if (expired > 0 && edges.limit(1).count() == 0)
-        edges.unionByName(spark.range(1).select(
+    val out =
+      if (expired > 0 && ck.limit(1).count() == 0)
+        ck.unionByName(spark.range(1).select(
           lit(null).cast("string").as("parent_service"),
           lit(null).cast("string").as("service"),
           lit(0L).as("calls"),
           lit(null).cast("long").as("callee_ms"),
           lit(expired).as("__expired")))
-      else edges
-    val out = withSentinel.localCheckpoint()
+      else ck
     newSpans.unpersist(false)
     out
   }

@@ -200,6 +200,27 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(z.getAs[Double]("p95") == 0.0)
   }
 
+  test("expQuantileOf: negative buckets join the rank walk in real line order") {
+    import spark.implicits._
+    // scale 0: negative offset 1, counts [10] → 10 samples in [−4, −2);
+    // positive offset 0, counts [10] → 10 samples in (1, 2]
+    val rows = Seq(("svc-n", 20L,
+      """{"scale":0,"zeroCount":0,"positive":{"offset":0,"bucketCounts":[10]},"negative":{"offset":1,"bucketCounts":[10]}}"""))
+      .toDF("service_name", "point_count", "bucket_counts")
+    def p(q: Double) = graft.operators.MetricAnalytics.expQuantileOf(rows, q)
+      .head.getDouble(1)
+    val p25 = p(0.25) // rank 5: inside the negative bucket
+    assert(p25 > -4.0 && p25 < -2.0, s"rank 5 must land in [−4, −2): $p25")
+    val p75 = p(0.75) // rank 15: inside the positive bucket
+    assert(p75 > 1.0 && p75 <= 2.0, s"rank 15 must land in (1, 2]: $p75")
+    // a count/sum-only histogram point (empty bounds) must not crash
+    // the explicit-bucket walk and answers null for an all-+Inf series
+    val emptyBounds = Seq(("svc-e", 5L, """["5"]""", "[]"))
+      .toDF("service_name", "point_count", "bucket_counts", "explicit_bounds")
+    val e = graft.operators.MetricAnalytics.histQuantileOf(emptyBounds, 0.95).head
+    assert(e.isNullAt(1), "an all-+Inf series has no estimable quantile")
+  }
+
   test("histQuantileOf: per-point runs merge; +Inf-heavy series clamp to the top bound") {
     import spark.implicits._
     val rows = Seq(
