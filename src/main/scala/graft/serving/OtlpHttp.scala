@@ -169,6 +169,10 @@ object OtlpHttp {
           else signalIntake("logs", "resourceLogs", jsonQ, protoQ)
         val bytes = resp._2.getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
+        // the OTLP/HTTP spec's throttling signal: a conforming
+        // exporter honors Retry-After on 429 instead of hammering the
+        // backpressured edge with its own backoff guess
+        if (resp._1 == 429) ex.getResponseHeaders.set("Retry-After", "1")
         ex.sendResponseHeaders(resp._1, bytes.length)
         ex.getResponseBody.write(bytes)
       } finally ex.close()

@@ -482,8 +482,11 @@ class OtlpHttpSpec extends SparkSpec {
     try {
       assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 200)
       assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 200)
-      assert(post(server.port, "/v1/logs", env.getBytes, "application/json").statusCode() == 429,
+      val over = post(server.port, "/v1/logs", env.getBytes, "application/json")
+      assert(over.statusCode() == 429,
         "the third payload must be pushed back, not buffered")
+      assert(over.headers().firstValue("Retry-After").isPresent,
+        "429 must carry the spec's Retry-After throttle signal")
       assert(server.pending == 2)
       assert(server.flush()._1 == 2)
       // the drain released the budget: intake resumes
