@@ -42,6 +42,8 @@ object Bench {
     // logs_otlp_proto) so those queries time their own work
     warm("otlp_json")(graft.operators.LogAnalytics.severityNumber(spark, sfDir).count())
     warm("otlp_proto")(graft.operators.LogAnalytics.otlpProtoRoundtrip(spark, sfDir).count())
+    warm("otlp_proto_spans")(graft.operators.TraceAnalytics.otlpProtoRoundtrip(spark, sfDir).count())
+    warm("otlp_proto_points")(graft.operators.MetricAnalytics.otlpProtoRoundtrip(spark, sfDir).count())
     // pre-train the memoized BPE merge table so bpe_encode/bpe_train
     // measure encoding/lookup, not the ~10 one-time merge rounds
     warm("bpe")(graft.operators.Bpe.train(spark, sfDir, 10).count())

@@ -590,14 +590,8 @@ object MetricAnalytics {
     * monotonic flag and temporality surviving the wire. Map-only
     * encode+decode; the only shuffle is the final aggregate.
     */
-  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.OtlpMetrics
-    graft.functions.VectorFunctions.register(spark)
-    val payloads = Tables.events(spark, dir)
-      .select(OtlpMetrics.toOtlpProtoSum(
-        unix_micros(col("ts")), svc, lit("requests"), lit("{req}"),
-        col("value"), lit(true), lit(2)).as("bin"))
-    OtlpMetrics.parseProto(payloads, col("bin"))
+  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    protoPoints(spark, dir)
       .filter(col("kind") === "sum" && col("is_monotonic") && col("temporality") === 2)
       .groupBy(col("service_name"))
       .agg(count(lit(1)).as("n"),
@@ -605,5 +599,25 @@ object MetricAnalytics {
         date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
         date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
       .orderBy(col("service_name"))
-  }
+
+  /** The wire-parsed data-point frame, persisted once per session —
+    * the [[LogAnalytics]] `otelProtoLogs` discipline: the protobuf
+    * encode→decode path is certified once, not re-run per query.
+    */
+  private val protoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def protoPoints(spark: SparkSession, dir: String): DataFrame =
+    protoCache.computeIfAbsent((spark, dir), { key =>
+      graft.SessionCaches.register(spark) { () =>
+        Option(protoCache.remove(key)).foreach(_.unpersist(false))
+      }
+      import graft.sources.OtlpMetrics
+      graft.functions.VectorFunctions.register(spark)
+      val payloads = Tables.events(spark, dir)
+        .select(OtlpMetrics.toOtlpProtoSum(
+          unix_micros(col("ts")), svc, lit("requests"), lit("{req}"),
+          col("value"), lit(true), lit(2)).as("bin"))
+      OtlpMetrics.parseProto(payloads, col("bin")).persist()
+    })
 }

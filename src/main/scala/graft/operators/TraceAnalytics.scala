@@ -517,16 +517,8 @@ object TraceAnalytics {
     * expressions in one stage; the only shuffles are the synthesis
     * rank window and the final aggregate.
     */
-  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.OtlpTraces
-    graft.functions.VectorFunctions.register(spark)
-    val payloads = spans(spark, dir)
-      .select(OtlpTraces.toOtlpProto(
-        unix_micros(col("ts")),
-        unix_micros(col("ts")) + col("dur_ms") * 1000L,
-        col("service"), col("trace_id"), col("span_id"),
-        lit(null).cast("string"), col("operation"), lit(2), lit(0)).as("bin"))
-    OtlpTraces.parseProto(payloads, col("bin"))
+  def otlpProtoRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    protoSpans(spark, dir)
       .groupBy(col("service_name"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("duration_ns")).as("total_dur_ns"),
@@ -534,5 +526,27 @@ object TraceAnalytics {
         date_format(min(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
         date_format(max(col("timestamp")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
       .orderBy(col("service_name"))
-  }
+
+  /** The wire-parsed span frame, persisted once per session — the
+    * [[LogAnalytics]] `otelProtoLogs` discipline: the protobuf
+    * encode→decode path is certified once, not re-run per query.
+    */
+  private val protoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def protoSpans(spark: SparkSession, dir: String): DataFrame =
+    protoCache.computeIfAbsent((spark, dir), { key =>
+      graft.SessionCaches.register(spark) { () =>
+        Option(protoCache.remove(key)).foreach(_.unpersist(false))
+      }
+      import graft.sources.OtlpTraces
+      graft.functions.VectorFunctions.register(spark)
+      val payloads = spans(spark, dir)
+        .select(OtlpTraces.toOtlpProto(
+          unix_micros(col("ts")),
+          unix_micros(col("ts")) + col("dur_ms") * 1000L,
+          col("service"), col("trace_id"), col("span_id"),
+          lit(null).cast("string"), col("operation"), lit(2), lit(0)).as("bin"))
+      OtlpTraces.parseProto(payloads, col("bin")).persist()
+    })
 }
