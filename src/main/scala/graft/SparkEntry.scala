@@ -70,6 +70,7 @@ object SparkEntry {
     "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
     "metrics_exp_p95"          -> ((s: SparkSession, d: String) => MetricAnalytics.expQuantile(s, d)),
     "metrics_lake_rate"        -> (MetricAnalytics.lakeRate _),
+    "metrics_lake_exemplars"   -> (MetricAnalytics.lakeExemplars _),
     "metrics_lake_hist_p95"    -> (MetricAnalytics.lakeHistP95 _),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "trace_lake_latency"       -> (TraceAnalytics.lakeLatency _),
@@ -413,6 +414,18 @@ object SparkEntry {
         |SELECT t.service AS service, ROUND(COALESCE(e.est, 500.0), 4) AS p95
         |FROM t LEFT JOIN e ON e.service = t.service AND e.rn = 1
         |ORDER BY service""".stripMargin
+
+  private val oracleMetricsExemplars =
+    """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |  count(*) AS n,
+        |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
+        |  (MAX(struct_pack(
+        |    vi := CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+        |    tid := md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))))).tid
+        |    AS exemplar_trace_id
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "emb_project" -> embProjectOracle,
@@ -826,17 +839,8 @@ object SparkEntry {
     // (value, trace_id) struct max on both engines — struct ordering
     // is field-by-field, so ties break to the largest trace id and
     // negative/any-magnitude values order numerically
-    "metrics_exemplars" ->
-      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
-        |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
-        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
-        |  count(*) AS n,
-        |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
-        |  (MAX(struct_pack(
-        |    vi := CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
-        |    tid := md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))))).tid
-        |    AS exemplar_trace_id
-        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "metrics_exemplars" -> oracleMetricsExemplars,
+    "metrics_lake_exemplars" -> oracleMetricsExemplars,
     // protobuf wire round-trips: the oracle replays the synthesis +
     // aggregate directly, so the hash-match certifies the
     // encode→wire→decode→flatten path record-for-record

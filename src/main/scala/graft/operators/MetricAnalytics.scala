@@ -503,6 +503,32 @@ object MetricAnalytics {
     histQuantileOf(graft.sources.LogSync.table(spark, metricsRoot)
       .filter(col("kind") === "histogram" && col("metric_name") === metricName), q)
 
+  /** PEAK EXEMPLARS over INGESTED data points — the real-data twin of
+    * the synthesized [[exemplars]] query: per (service, metric, day,
+    * hour), the trace id of the bucket's peak exemplar value via the
+    * same mergeable `(value, trace_id)` struct max. The exemplars
+    * column is the canonical JSON array the intake lands
+    * ([[graft.sources.OtlpMetrics.exemplarSchema]]); lakes written
+    * before the column existed read as exemplar-free.
+    */
+  def exemplarsFromLake(spark: SparkSession, metricsRoot: String,
+                        metricName: String): DataFrame = {
+    val t0 = graft.sources.LogSync.table(spark, metricsRoot)
+    val t = if (t0.columns.contains("exemplars")) t0
+            else t0.withColumn("exemplars", lit(null).cast("string"))
+    t.filter(col("metric_name") === metricName && col("exemplars").isNotNull)
+      .select(col("service_name"), col("metric_name"), col("timestamp"),
+        explode(from_json(col("exemplars"),
+          graft.sources.OtlpMetrics.exemplarSchema)).as("e"))
+      .groupBy(col("service_name"), col("metric_name"),
+        dayofmonth(col("timestamp")).as("day"), hour(col("timestamp")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        max(col("e.value")).as("max_v"),
+        max(struct(col("e.value"), col("e.traceId")))
+          .getField("traceId").as("exemplar_trace_id"))
+      .orderBy(col("service_name"), col("metric_name"), col("day"), col("hour"))
+  }
+
   private val lakeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A METRIC LAKE built from the synthesis through the REAL wire
@@ -514,12 +540,25 @@ object MetricAnalytics {
     * HARDER transport).
     */
   private[graft] def metricsLakeRoot(spark: SparkSession, dir: String): String =
-    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v2", spark) { root =>
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v3", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpMetrics}
       graft.functions.VectorFunctions.register(spark)
-      val bins = counterSamples(spark, dir).select(OtlpMetrics.toOtlpProtoSum(
+      // each sample carries one EXEMPLAR: the event's own value and
+      // the md5(user/day) trace key all three signals share — the
+      // wire-ingested twin of the synthesized exemplars query
+      val w = Window.partitionBy(col("service"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val samples = Tables.events(spark, dir)
+        .withColumn("service", svc)
+        .withColumn("day", dayofmonth(col("ts")))
+        .withColumn("vi", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("cum", sum(col("vi")).over(w))
+        .withColumn("xtrace", md5(concat(col("user_id").cast("string"), lit("/"),
+          date_format(col("ts"), "yyyy-MM-dd"))))
+      val bins = samples.select(OtlpMetrics.toOtlpProtoSum(
         unix_micros(col("ts")), col("service"), lit("requests"), lit("{req}"),
-        col("cum").cast("double"), lit(true), lit(2)).as("bin"))
+        col("cum").cast("double"), lit(true), lit(2),
+        col("xtrace"), col("vi").cast("double")).as("bin"))
       LogWriter.write(OtlpMetrics.parseProto(bins, col("bin")), root,
         layout = LogWriter.DailyLayout)
       // plus per-(service, hour) explicit-bucket HISTOGRAM points of
@@ -577,6 +616,18 @@ object MetricAnalytics {
     histQuantileFromLake(spark, metricsLakeRoot(spark, dir), "latency")
       .select(col("service_name").as("service"), col("p95"))
       .orderBy(col("service"))
+
+  /** `metrics_lake_exemplars`: [[exemplarsFromLake]] over the
+    * wire-ingested lake — the SAME oracle as `metrics_exemplars`, so
+    * the hash-match certifies exemplar encode → wire decode → JSON
+    * landing → typed re-read → struct-max argmax end-to-end.
+    */
+  def lakeExemplars(spark: SparkSession, dir: String): DataFrame =
+    exemplarsFromLake(spark, metricsLakeRoot(spark, dir), "requests")
+      .select(col("service_name").as("service"), col("day"), col("hour"),
+        col("n"), col("max_v").cast("long").as("max_c"),
+        col("exemplar_trace_id"))
+      .orderBy(col("service"), col("day"), col("hour"))
 
   /** PROTOBUF-transport ingest round-trip proof for the metrics
     * signal: each event as one cumulative monotonic-sum data point

@@ -27,10 +27,18 @@ object OtlpMetrics {
 
   private def attrType = OtlpAttrs.attrType
 
+  private val exemplarType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("asDouble", DoubleType)
+    .add("asInt", StringType)
+    .add("traceId", StringType)
+    .add("spanId", StringType)
+
   private val numberPointType = new StructType()
     .add("timeUnixNano", StringType)
     .add("asDouble", DoubleType)
     .add("asInt", StringType) // OTLP/JSON encodes int64 as string
+    .add("exemplars", ArrayType(exemplarType))
     .add("attributes", attrType)
 
   private val histPointType = new StructType()
@@ -39,6 +47,7 @@ object OtlpMetrics {
     .add("sum", DoubleType)
     .add("bucketCounts", ArrayType(StringType))
     .add("explicitBounds", ArrayType(DoubleType))
+    .add("exemplars", ArrayType(exemplarType))
     .add("attributes", attrType)
 
   private val expBucketsType = new StructType()
@@ -117,6 +126,18 @@ object OtlpMetrics {
       col("sm.scope.name").as("scope_name"),
       attrsJson(col("rm.resource.attributes")).as("resource_attributes"))
 
+    // the data point's EXEMPLARS — the metrics→traces hop carried on
+    // the wire — land as one canonical JSON array (null when absent),
+    // derived POST-parse so both transports produce byte-identical
+    // values; consumers re-read with [[exemplarSchema]]
+    def exemplarsJson(dp: Column): Column =
+      when(dp.isNotNull && size(dp) > 0, to_json(transform(dp, e =>
+        struct(e.getField("traceId").as("traceId"),
+          e.getField("spanId").as("spanId"),
+          e.getField("timeUnixNano").as("ts"),
+          coalesce(e.getField("asDouble"),
+            e.getField("asInt").cast("double")).as("value")))))
+
     def numberRows(field: String, kind: String) = exploded
       .filter(col(s"m.$field.dataPoints").isNotNull)
       .select(col("rm"), col("sm"), col("m"),
@@ -134,6 +155,7 @@ object OtlpMetrics {
         lit(null).cast("double").as("point_sum"),
         lit(null).cast("string").as("bucket_counts"),
         lit(null).cast("string").as("explicit_bounds"),
+        exemplarsJson(col("dp.exemplars")).as("exemplars"),
         attrsJson(col("dp.attributes")).as("attributes")): _*)
 
     val histRows = exploded
@@ -148,6 +170,7 @@ object OtlpMetrics {
         col("dp.sum").as("point_sum"),
         to_json(col("dp.bucketCounts")).as("bucket_counts"),
         to_json(col("dp.explicitBounds")).as("explicit_bounds"),
+        exemplarsJson(col("dp.exemplars")).as("exemplars"),
         attrsJson(col("dp.attributes")).as("attributes")): _*)
 
     // exponential-histogram points land under the SAME landed schema:
@@ -178,6 +201,7 @@ object OtlpMetrics {
               array().cast("array<long>")).as("bucketCounts")).as("negative")))
           .as("bucket_counts"),
         lit(null).cast("string").as("explicit_bounds"),
+        lit(null).cast("string").as("exemplars"),
         attrsJson(col("dp.attributes")).as("attributes")): _*)
 
     numberRows("gauge", "gauge")
@@ -198,6 +222,17 @@ object OtlpMetrics {
     .add("negative", new StructType()
       .add("offset", IntegerType).add("bucketCounts", ArrayType(LongType)))
 
+  /** Schema of the `exemplars` JSON array on data-point rows —
+    * consumers `from_json(col("exemplars"), exemplarSchema)` for the
+    * typed metrics→traces hop.
+    */
+  val exemplarSchema: org.apache.spark.sql.types.ArrayType =
+    ArrayType(new StructType()
+      .add("traceId", StringType)
+      .add("spanId", StringType)
+      .add("ts", StringType)
+      .add("value", DoubleType))
+
   /** Parse a column of protobuf `MetricsData` payloads: wire decode
     * ([[OtlpProtoSignalOps.toMetricJson]]) into the same envelope
     * shape, then the one shared [[parse]].
@@ -213,11 +248,14 @@ object OtlpMetrics {
     */
   def toOtlpProtoSum(timeUs: Column, serviceName: Column, metricName: Column,
                      unit: Column, value: Column, isMonotonic: Column,
-                     temporality: Column): Column =
+                     temporality: Column,
+                     exemplarTrace: Column = lit(null),
+                     exemplarValue: Column = lit(null)): Column =
     call_function("graft_otlp_sum_proto", struct(
       timeUs.cast("long"), serviceName.cast("string"), metricName.cast("string"),
       unit.cast("string"), value.cast("double"), isMonotonic.cast("boolean"),
-      temporality.cast("int")))
+      temporality.cast("int"), exemplarTrace.cast("string"),
+      exemplarValue.cast("double")))
 
   /** One explicit-bucket HISTOGRAM data point per envelope as
     * OTLP/JSON — the histogram twin of [[toOtlpProtoSum]] on the JSON

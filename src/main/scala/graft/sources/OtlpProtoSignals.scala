@@ -193,11 +193,13 @@ object OtlpProtoSignalOps {
 
   // ---- metrics -----------------------------------------------------
 
+  private final case class PExem(timeNs: Long, d: java.lang.Double, i: java.lang.Long,
+                                 traceHex: String, spanHex: String)
   private final case class PNum(timeNs: Long, d: java.lang.Double, i: java.lang.Long,
-                                attrs: List[PAttr])
+                                attrs: List[PAttr], exem: List[PExem] = Nil)
   private final case class PHist(timeNs: Long, count: Long, sum: java.lang.Double,
                                  counts: List[Long], bounds: List[Double],
-                                 attrs: List[PAttr])
+                                 attrs: List[PAttr], exem: List[PExem] = Nil)
   private final case class PBuckets(offset: Int, counts: List[Long])
   private final case class PExp(timeNs: Long, count: Long, sum: java.lang.Double,
                                 scale: Int, zero: Long, pos: PBuckets, neg: PBuckets,
@@ -210,6 +212,22 @@ object OtlpProtoSignalOps {
 
   private def zigzag(v: Long): Int = (((v >>> 1) ^ -(v & 1L))).toInt
 
+  private def readExemplar(r: R): PExem = {
+    var e = PExem(0L, null, null, null, null)
+    while (r.hasMore) {
+      val tag = r.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (2, 1) => e = e.copy(timeNs = r.fixed64())
+        case (3, 1) => e = e.copy(d = java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (4, 2) => e = e.copy(spanHex = hex(r.sub()))
+        case (5, 2) => e = e.copy(traceHex = hex(r.sub()))
+        case (6, 1) => e = e.copy(i = r.fixed64()) // sfixed64
+        case (_, w) => r.skip(w)
+      }
+    }
+    e
+  }
+
   private def readNum(r: R): PNum = {
     var p = PNum(0L, null, null, Nil)
     while (r.hasMore) {
@@ -217,6 +235,7 @@ object OtlpProtoSignalOps {
       (tag >> 3, tag & 7) match {
         case (3, 1) => p = p.copy(timeNs = r.fixed64())
         case (4, 1) => p = p.copy(d = java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (5, 2) => p = p.copy(exem = p.exem :+ readExemplar(r.sub()))
         case (6, 1) => p = p.copy(i = r.fixed64()) // sfixed64
         case (7, 2) => p = p.copy(attrs = p.attrs :+ readKeyValue(r.sub()))
         case (_, w) => r.skip(w)
@@ -249,6 +268,7 @@ object OtlpProtoSignalOps {
           p = p.copy(bounds = p.bounds ++ bs)
         case (7, 1) =>
           p = p.copy(bounds = p.bounds :+ java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (8, 2) => p = p.copy(exem = p.exem :+ readExemplar(r.sub()))
         case (9, 2) => p = p.copy(attrs = p.attrs :+ readKeyValue(r.sub()))
         case (_, w) => r.skip(w)
       }
@@ -353,12 +373,31 @@ object OtlpProtoSignalOps {
     if (java.lang.Double.isFinite(d)) sb.append(d)
     else sb.append('"').append(d).append('"')
 
+  private def exemJson(sb: java.lang.StringBuilder, es: List[PExem]): Unit =
+    if (es.nonEmpty) {
+      sb.append(",\"exemplars\":[")
+      var first = true
+      es.foreach { e =>
+        if (!first) sb.append(','); first = false
+        sb.append("{\"timeUnixNano\":\"")
+          .append(java.lang.Long.toUnsignedString(e.timeNs)).append('"')
+        if (e.d != null) { sb.append(",\"asDouble\":"); dbl(sb, e.d.doubleValue) }
+        else if (e.i != null)
+          sb.append(",\"asInt\":\"").append(e.i.longValue).append('"')
+        if (e.traceHex != null) { sb.append(",\"traceId\":"); esc(sb, e.traceHex) }
+        if (e.spanHex != null) { sb.append(",\"spanId\":"); esc(sb, e.spanHex) }
+        sb.append('}')
+      }
+      sb.append(']')
+    }
+
   private def numJson(sb: java.lang.StringBuilder, p: PNum): Unit = {
     sb.append("{\"timeUnixNano\":\"")
       .append(java.lang.Long.toUnsignedString(p.timeNs)).append('"')
     if (p.d != null) { sb.append(",\"asDouble\":"); dbl(sb, p.d.doubleValue) }
     else if (p.i != null)
       sb.append(",\"asInt\":\"").append(p.i.longValue).append('"')
+    exemJson(sb, p.exem)
     attrsJson(sb, "attributes", p.attrs, leading = true)
     sb.append('}')
   }
@@ -381,6 +420,7 @@ object OtlpProtoSignalOps {
       dbl(sb, b)
     }
     sb.append(']')
+    exemJson(sb, p.exem)
     attrsJson(sb, "attributes", p.attrs, leading = true)
     sb.append('}')
   }
@@ -556,7 +596,9 @@ object OtlpProtoSignalOps {
 
   /** Encode ONE cumulative/delta sum data point as a protobuf
     * `MetricsData` envelope. Struct fields: (timeUs, serviceName,
-    * metricName, unit, value, isMonotonic, temporality).
+    * metricName, unit, value, isMonotonic, temporality, exemplarTrace,
+    * exemplarValue) — the trailing pair nullable; a non-null trace id
+    * attaches one EXEMPLAR to the point (the metrics→traces hop).
     */
   def encodeSumFromRow(row: InternalRow): Array[Byte] = {
     val timeUs = row.getLong(0)
@@ -566,6 +608,9 @@ object OtlpProtoSignalOps {
     val value = row.getDouble(4)
     val mono = row.getBoolean(5)
     val temporality = row.getInt(6)
+    val exemTrace = row.getUTF8String(7)
+    val exemValue = if (row.isNullAt(8)) null
+                    else java.lang.Double.valueOf(row.getDouble(8))
     val top = new W
     top.msg(1) { rm => // ResourceMetrics
       rm.msg(1) { res =>
@@ -580,6 +625,12 @@ object OtlpProtoSignalOps {
             s.msg(1) { dp => // NumberDataPoint
               dp.fixed64(3, timeUs * 1000L)
               dp.fixed64(4, java.lang.Double.doubleToLongBits(value))
+              if (exemTrace != null) dp.msg(5) { ex => // Exemplar
+                ex.fixed64(2, timeUs * 1000L)
+                if (exemValue != null)
+                  ex.fixed64(3, java.lang.Double.doubleToLongBits(exemValue.doubleValue))
+                ex.bytes(5, hexBytes(exemTrace.toString))
+              }
             }
             s.tag(2, 0); s.vint(temporality.toLong)
             if (mono) { s.tag(3, 0); s.vint(1L) }
@@ -688,9 +739,9 @@ case class OtlpSpanProtoEncode(child: Expression) extends UnaryExpression {
 case class OtlpSumProtoEncode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case s: StructType if s.length == 7 => TypeCheckResult.TypeCheckSuccess
+    case s: StructType if s.length == 9 => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_otlp_sum_proto expects a 7-field struct, got $t")
+      s"graft_otlp_sum_proto expects a 9-field struct, got $t")
   }
   override def nullSafeEval(input: Any): Any =
     OtlpProtoSignalOps.encodeSumFromRow(input.asInstanceOf[InternalRow])

@@ -194,7 +194,10 @@ class OtlpHttpSpec extends SparkSpec {
            |{"key":"service.name","value":{"stringValue":"svc-m"}}]},
            |"scopeMetrics":[{"scope":{"name":"graft-test","version":"1"},"metrics":[
            |{"name":"cpu.load","unit":"1","gauge":{"dataPoints":[
-           |  {"timeUnixNano":"$baseNs","asDouble":0.75,"attributes":[]},
+           |  {"timeUnixNano":"$baseNs","asDouble":0.75,
+           |   "exemplars":[{"timeUnixNano":"$baseNs","asDouble":0.9,
+           |     "traceId":"0af7651916cd43dd8448eb211c80319c",
+           |     "spanId":"b7ad6b7169203331"}],"attributes":[]},
            |  {"timeUnixNano":"${baseNs + 1000000000L}","asDouble":0.5,"attributes":[]}]}},
            |{"name":"requests","unit":"{req}","sum":{"dataPoints":[
            |  {"timeUnixNano":"$baseNs","asInt":"42","attributes":[]}],
@@ -225,6 +228,16 @@ class OtlpHttpSpec extends SparkSpec {
       assert(hist.getAs[String]("bucket_counts") == """["3","3","1"]""")
       assert(hist.getAs[String]("explicit_bounds") == "[1.0,5.0]")
       assert(m.select("service_name").distinct().head.getString(0) == "svc-m")
+      // the gauge point's EXEMPLAR lands as the canonical JSON array
+      // and re-reads typed — the metrics→traces hop on real data
+      val ex = m.filter(col("kind") === "gauge" && col("exemplars").isNotNull)
+        .select(explode(from_json(col("exemplars"),
+          graft.sources.OtlpMetrics.exemplarSchema)).as("e"))
+        .select(col("e.traceId"), col("e.spanId"), col("e.value")).collect()
+      assert(ex.length == 1)
+      assert(ex.head.getString(0) == "0af7651916cd43dd8448eb211c80319c")
+      assert(ex.head.getString(1) == "b7ad6b7169203331")
+      assert(ex.head.getDouble(2) == 0.9)
     } finally server.stop()
   }
 
