@@ -39,13 +39,43 @@ object OtlpProtoSignalOps {
 
   // ---- traces ------------------------------------------------------
 
+  private final case class PEvent(timeNs: Long, name: String, attrs: List[PAttr])
+  private final case class PLink(traceHex: String, spanHex: String)
   private final case class PSpan(traceHex: String, spanHex: String, parentHex: String,
                                  name: String, kind: Int, startNs: Long, endNs: Long,
-                                 statusCode: Int, statusMsg: String, attrs: List[PAttr])
+                                 statusCode: Int, statusMsg: String, attrs: List[PAttr],
+                                 events: List[PEvent] = Nil, links: List[PLink] = Nil)
 
   // proto3 empty-bytes fields read as zero-length — normalize to null
   // so a root span's absent parentSpanId renders as absent, not ""
   private def hexOrNull(r: R): String = { val h = hex(r); if (h.isEmpty) null else h }
+
+  private def readEvent(r: R): PEvent = {
+    var e = PEvent(0L, null, Nil)
+    while (r.hasMore) {
+      val tag = r.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 1) => e = e.copy(timeNs = r.fixed64())
+        case (2, 2) => e = e.copy(name = utf8(r.sub()))
+        case (3, 2) => e = e.copy(attrs = e.attrs :+ readKeyValue(r.sub()))
+        case (_, w) => r.skip(w)
+      }
+    }
+    e
+  }
+
+  private def readLink(r: R): PLink = {
+    var l = PLink(null, null)
+    while (r.hasMore) {
+      val tag = r.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => l = l.copy(traceHex = hexOrNull(r.sub()))
+        case (2, 2) => l = l.copy(spanHex = hexOrNull(r.sub()))
+        case (_, w) => r.skip(w)
+      }
+    }
+    l
+  }
 
   private def readSpan(r: R): PSpan = {
     var s = PSpan(null, null, null, null, 0, 0L, 0L, 0, null, Nil)
@@ -60,6 +90,8 @@ object OtlpProtoSignalOps {
         case (7, 1)  => s = s.copy(startNs = r.fixed64())
         case (8, 1)  => s = s.copy(endNs = r.fixed64())
         case (9, 2)  => s = s.copy(attrs = s.attrs :+ readKeyValue(r.sub()))
+        case (11, 2) => s = s.copy(events = s.events :+ readEvent(r.sub()))
+        case (13, 2) => s = s.copy(links = s.links :+ readLink(r.sub()))
         case (15, 2) =>
           val st = r.sub()
           while (st.hasMore) {
@@ -108,6 +140,37 @@ object OtlpProtoSignalOps {
       sb.append("{\"code\":").append(sp.statusCode)
       if (sp.statusMsg != null) { sb.append(",\"message\":"); esc(sb, sp.statusMsg) }
       sb.append('}')
+    }
+    if (sp.events.nonEmpty) field("events") {
+      sb.append('[')
+      var first = true
+      sp.events.foreach { e =>
+        if (!first) sb.append(','); first = false
+        sb.append("{\"timeUnixNano\":\"")
+          .append(java.lang.Long.toUnsignedString(e.timeNs)).append('"')
+        if (e.name != null) { sb.append(",\"name\":"); esc(sb, e.name) }
+        attrsJson(sb, "attributes", e.attrs, leading = true)
+        sb.append('}')
+      }
+      sb.append(']')
+    }
+    if (sp.links.nonEmpty) field("links") {
+      sb.append('[')
+      var first = true
+      sp.links.foreach { l =>
+        if (!first) sb.append(','); first = false
+        sb.append('{')
+        var lead2 = false
+        if (l.traceHex != null) {
+          sb.append("\"traceId\":"); esc(sb, l.traceHex); lead2 = true
+        }
+        if (l.spanHex != null) {
+          if (lead2) sb.append(',')
+          sb.append("\"spanId\":"); esc(sb, l.spanHex)
+        }
+        sb.append('}')
+      }
+      sb.append(']')
     }
     attrsJson(sb, "attributes", sp.attrs, leading = lead)
     sb.append('}')

@@ -23,6 +23,15 @@ object OtlpTraces {
 
   private def attrType = OtlpAttrs.attrType
 
+  private val spanEventType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("name", StringType)
+    .add("attributes", attrType)
+
+  private val spanLinkType = new StructType()
+    .add("traceId", StringType)
+    .add("spanId", StringType)
+
   private val spanType = new StructType()
     .add("traceId", StringType)
     .add("spanId", StringType)
@@ -33,6 +42,8 @@ object OtlpTraces {
     .add("endTimeUnixNano", StringType)
     .add("status", new StructType()
       .add("code", IntegerType).add("message", StringType))
+    .add("events", ArrayType(spanEventType))
+    .add("links", ArrayType(spanLinkType))
     .add("attributes", attrType)
 
   private val scopeSpansType = new StructType()
@@ -76,7 +87,56 @@ object OtlpTraces {
         col("ss.scope.name").as("scope_name"),
         col("ss.scope.version").as("scope_version"),
         attrsJson(rattrs).as("resource_attributes"),
-        attrsJson(col("sp.attributes")).as("span_attributes"))
+        attrsJson(col("sp.attributes")).as("span_attributes"),
+        // SPAN EVENTS (the in-span log records OTel SDKs attach —
+        // exceptions, messages) and LINKS (causal references to other
+        // traces: batch consumers, follows-from) land as canonical
+        // JSON arrays, null when absent; re-read typed with
+        // [[eventSchema]]/[[linkSchema]]
+        when(col("sp.events").isNotNull && size(col("sp.events")) > 0,
+          to_json(transform(col("sp.events"), e =>
+            struct(e.getField("timeUnixNano").as("ts"),
+              e.getField("name").as("name"),
+              OtlpAttrs.attrsJson(e.getField("attributes")).as("attributes")))))
+          .as("span_events"),
+        when(col("sp.links").isNotNull && size(col("sp.links")) > 0,
+          to_json(transform(col("sp.links"), l =>
+            struct(l.getField("traceId").as("traceId"),
+              l.getField("spanId").as("spanId")))))
+          .as("span_links"))
+  }
+
+  /** Schema of one `span_events` JSON entry (after
+    * `from_json(col, eventSchema)`).
+    */
+  val eventSchema: ArrayType = ArrayType(new StructType()
+    .add("ts", StringType)
+    .add("name", StringType)
+    .add("attributes", StringType))
+
+  /** Schema of one `span_links` JSON entry. */
+  val linkSchema: ArrayType = ArrayType(new StructType()
+    .add("traceId", StringType)
+    .add("spanId", StringType))
+
+  /** SPAN EVENTS exploded to log-like rows — the "span events are
+    * logs" view a backend serves next to the log lake: one row per
+    * event with its span context attached (timestamp from the event's
+    * own nanos), map-only.
+    */
+  def spanEvents(spanTable: DataFrame): DataFrame = {
+    // lakes written before the events column existed read event-free
+    val t = if (spanTable.columns.contains("span_events")) spanTable
+            else spanTable.withColumn("span_events", lit(null).cast("string"))
+    t.filter(col("span_events").isNotNull)
+      .select(col("trace_id"), col("span_id"), col("service_name"),
+        col("span_name"),
+        explode(from_json(col("span_events"), eventSchema)).as("e"))
+      .select(
+        timestamp_micros(expr("CAST(e.ts AS BIGINT) div 1000")).as("timestamp"),
+        col("service_name"), col("trace_id"), col("span_id"),
+        col("span_name"), col("e.name").as("event_name"),
+        col("e.attributes").as("event_attributes"))
   }
 
   /** Parse a column of protobuf `TracesData` payloads: wire decode

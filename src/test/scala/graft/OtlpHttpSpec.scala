@@ -383,6 +383,83 @@ class OtlpHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("span events and links land from both transports; spanEvents serves the log-like view") {
+    val root = Files.createTempDirectory("graft_otlp_ev").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val port = server.port
+      val baseNs = 1705060800000000000L
+      // JSON transport: one span carrying an exception EVENT and a
+      // causal LINK to another trace
+      val jsonEnv =
+        s"""{"resourceSpans":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"svc-ev"}}]},
+           |"scopeSpans":[{"scope":{"name":"graft"},"spans":[
+           |{"traceId":"aa000000000000000000000000000001","spanId":"aa00000000000001",
+           |"name":"op-json","kind":2,
+           |"startTimeUnixNano":"$baseNs","endTimeUnixNano":"${baseNs + 1000000L}",
+           |"events":[{"timeUnixNano":"${baseNs + 500000L}","name":"exception",
+           |  "attributes":[{"key":"exception.type","value":{"stringValue":"IOException"}}]}],
+           |"links":[{"traceId":"bb000000000000000000000000000002","spanId":"bb00000000000002"}],
+           |"attributes":[]}]}]}]}""".stripMargin.replace("\n", "")
+      assert(post(port, "/v1/traces", jsonEnv.getBytes, "application/json")
+        .statusCode() == 200)
+      // WIRE transport: the same shapes hand-assembled (Event field 11,
+      // Link field 13 of the Span message)
+      import graft.sources.OtlpProtoOps
+      val top = new OtlpProtoOps.W
+      top.msg(1) { rs =>
+        rs.msg(1)(res => OtlpProtoOps.strAttr(res, 1, "service.name", "svc-ev"))
+        rs.msg(2) { ss =>
+          ss.msg(1)(_.str(1, "graft"))
+          ss.msg(2) { sp =>
+            sp.bytes(1, OtlpProtoOps.hexBytes("cc000000000000000000000000000003"))
+            sp.bytes(2, OtlpProtoOps.hexBytes("cc00000000000003"))
+            sp.str(5, "op-wire")
+            sp.fixed64(7, baseNs + 2000000L)
+            sp.fixed64(8, baseNs + 3000000L)
+            sp.msg(11) { ev =>
+              ev.fixed64(1, baseNs + 2500000L)
+              ev.str(2, "retry")
+              OtlpProtoOps.strAttr(ev, 3, "retry.count", "2")
+            }
+            sp.msg(13) { l =>
+              l.bytes(1, OtlpProtoOps.hexBytes("dd000000000000000000000000000004"))
+              l.bytes(2, OtlpProtoOps.hexBytes("dd00000000000004"))
+            }
+          }
+        }
+      }
+      assert(post(port, "/v1/traces", top.result, "application/x-protobuf")
+        .statusCode() == 200)
+      assert(server.flush()._1 == 2)
+      val spans = LogSync.table(spark, s"$root/_traces")
+      val byOp = spans.collect().map(r => r.getAs[String]("span_name") -> r).toMap
+      // links re-read typed from both transports
+      def links(op: String) = spark.range(1)
+        .select(from_json(lit(byOp(op).getAs[String]("span_links")),
+          graft.sources.OtlpTraces.linkSchema).as("l"))
+        .select(explode(col("l")).as("x"))
+        .select(col("x.traceId"), col("x.spanId")).head
+      assert(links("op-json").getString(0) == "bb000000000000000000000000000002")
+      assert(links("op-wire").getString(0) == "dd000000000000000000000000000004")
+      assert(links("op-wire").getString(1) == "dd00000000000004")
+      // the log-like span-events view: one row per event, span context
+      // attached, event time from the event's own nanos
+      val ev = graft.sources.OtlpTraces.spanEvents(spans).collect()
+        .map(r => r.getAs[String]("event_name") -> r).toMap
+      assert(ev.keySet == Set("exception", "retry"))
+      assert(ev("exception").getAs[String]("span_id") == "aa00000000000001")
+      assert(ev("exception").getAs[String]("event_attributes")
+        .contains("IOException"))
+      assert(ev("retry").getAs[String]("service_name") == "svc-ev")
+      assert(ev("retry").getAs[java.sql.Timestamp]("timestamp").toInstant
+        .toEpochMilli == (baseNs + 2500000L) / 1000000L)
+      // spans WITHOUT events/links land null, not empty arrays
+      assert(byOp("op-json").getAs[String]("span_events") != null)
+    } finally server.stop()
+  }
+
   test("metrics intake: exponential histogram points land from the JSON transport too") {
     val root = Files.createTempDirectory("graft_otlp_expjson").toString
     val server = OtlpHttp.start(spark, root)
