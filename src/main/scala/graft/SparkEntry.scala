@@ -71,6 +71,7 @@ object SparkEntry {
     "metrics_exp_p95"          -> ((s: SparkSession, d: String) => MetricAnalytics.expQuantile(s, d)),
     "metrics_lake_rate"        -> (MetricAnalytics.lakeRate _),
     "metrics_lake_exemplars"   -> (MetricAnalytics.lakeExemplars _),
+    "metrics_lake_gauge"       -> (MetricAnalytics.lakeGauge _),
     "metrics_lake_hist_p95"    -> (MetricAnalytics.lakeHistP95 _),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "trace_lake_latency"       -> (TraceAnalytics.lakeLatency _),
@@ -425,6 +426,16 @@ object SparkEntry {
         |    vi := CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
         |    tid := md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d'))))).tid
         |    AS exemplar_trace_id
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+
+  private val oracleMetricsGauge =
+    """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |  count(*) AS n,
+        |  MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_c,
+        |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
+        |  ROUND(AVG(value), 4) AS avg_v
         |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -918,15 +929,8 @@ object SparkEntry {
         |SELECT t.service AS service,
         |  ROUND(CASE WHEN t.zero_n >= 0.95 * t.total THEN 0.0 ELSE h.est END, 4) AS p95_c
         |FROM tot t LEFT JOIN hit h USING (service) ORDER BY 1""".stripMargin,
-    "metrics_gauge" ->
-      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
-        |  CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
-        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
-        |  count(*) AS n,
-        |  MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_c,
-        |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
-        |  ROUND(AVG(value), 4) AS avg_v
-        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "metrics_gauge" -> oracleMetricsGauge,
+    "metrics_lake_gauge" -> oracleMetricsGauge,
     "metrics_histogram" ->
       """WITH b AS (
         |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,

@@ -540,7 +540,7 @@ object MetricAnalytics {
     * HARDER transport).
     */
   private[graft] def metricsLakeRoot(spark: SparkSession, dir: String): String =
-    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v3", spark) { root =>
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v4", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpMetrics}
       graft.functions.VectorFunctions.register(spark)
       // each sample carries one EXEMPLAR: the event's own value and
@@ -579,6 +579,15 @@ object MetricAnalytics {
       val countsArr = array(
         (bs.indices.map(i => col(s"b$i").cast("string")) :+
           col("bover").cast("string")): _*)
+      // and per-event GAUGE points (metric "cpu") so the gauge kind is
+      // certified end-to-end too
+      val gaugeEnvs = Tables.events(spark, dir)
+        .withColumn("service", svc)
+        .select(OtlpMetrics.toOtlpJsonGauge(
+          unix_micros(col("ts")), col("service"), lit("cpu"), lit("1"),
+          col("value")).as("payload"))
+      LogWriter.write(OtlpMetrics.parse(gaugeEnvs, col("payload")), root,
+        layout = LogWriter.DailyLayout)
       val histEnvs = hourly.select(OtlpMetrics.toOtlpJsonHistogram(
         unix_micros(col("hb")), col("service"), lit("latency"), lit("ms"),
         col("n"), col("s"), countsArr, typedLit(bs)).as("payload"))
@@ -616,6 +625,22 @@ object MetricAnalytics {
     histQuantileFromLake(spark, metricsLakeRoot(spark, dir), "latency")
       .select(col("service_name").as("service"), col("p95"))
       .orderBy(col("service"))
+
+  /** `metrics_lake_gauge`: the gauge rollup over INGESTED gauge
+    * points — SAME oracle as `metrics_gauge`, certifying the gauge
+    * kind (envelope → parse → write → sync → read → rollup)
+    * end-to-end.
+    */
+  def lakeGauge(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.LogSync.table(spark, metricsLakeRoot(spark, dir))
+      .filter(col("kind") === "gauge" && col("metric_name") === "cpu")
+      .groupBy(col("service_name").as("service"),
+        dayofmonth(col("timestamp")).as("day"), hour(col("timestamp")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        min(floor(col("value") * 100 + lit(0.5)).cast("long")).as("min_c"),
+        max(floor(col("value") * 100 + lit(0.5)).cast("long")).as("max_c"),
+        round(avg(col("value")), 4).as("avg_v"))
+      .orderBy(col("service"), col("day"), col("hour"))
 
   /** `metrics_lake_exemplars`: [[exemplarsFromLake]] over the
     * wire-ingested lake — the SAME oracle as `metrics_exemplars`, so

@@ -257,6 +257,29 @@ object OtlpMetrics {
       temporality.cast("int"), exemplarTrace.cast("string"),
       exemplarValue.cast("double")))
 
+  /** One GAUGE data point per envelope as OTLP/JSON — the
+    * simplest exporter shape (a scraped instantaneous value).
+    */
+  def toOtlpJsonGauge(timeUs: Column, serviceName: Column,
+                      metricName: Column, unit: Column,
+                      value: Column): Column =
+    to_json(struct(
+      array(struct(
+        struct(array(
+          struct(lit("service.name").as("key"),
+            struct(serviceName.as("stringValue")).as("value"))).as("attributes"))
+          .as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            metricName.as("name"),
+            unit.as("unit"),
+            struct(array(struct(
+              (timeUs * 1000).cast("string").as("timeUnixNano"),
+              value.cast("double").as("asDouble"))).as("dataPoints"))
+              .as("gauge"))).as("metrics")))
+          .as("scopeMetrics"))).as("resourceMetrics")))
+
   /** One explicit-bucket HISTOGRAM data point per envelope as
     * OTLP/JSON — the histogram twin of [[toOtlpProtoSum]] on the JSON
     * transport (a statsd-style per-window exporter's shape):
