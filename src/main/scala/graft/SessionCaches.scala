@@ -39,4 +39,22 @@ object SessionCaches {
     * observable).
     */
   private[graft] def trackedSessions: Int = cleanups.size
+
+  /** The build-once PERSISTED-FRAME memo every session cache shares
+    * (OTLP parses, proto round-trip frames, …): compute + persist on
+    * first use per (session, key), register the unpersist cleanup,
+    * serve the cached frame afterwards — one copy of the pattern
+    * instead of a hand-rolled block per cache (the persisted twin of
+    * [[graft.sources.FixtureBuild.once]]).
+    */
+  def memoPersist[K](cache: ConcurrentHashMap[(SparkSession, K),
+                       org.apache.spark.sql.DataFrame],
+                     spark: SparkSession, k: K)
+                    (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cache.computeIfAbsent((spark, k), { key =>
+      register(spark) { () =>
+        Option(cache.remove(key)).foreach(_.unpersist(false))
+      }
+      build.persist()
+    })
 }

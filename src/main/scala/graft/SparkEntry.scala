@@ -435,7 +435,8 @@ object SparkEntry {
         |  count(*) AS n,
         |  MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_c,
         |  MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_c,
-        |  ROUND(AVG(value), 4) AS avg_v
+        |  ((SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 200 + count(*))
+        |    // (2 * count(*))) / 10000.0 AS avg_v
         |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(

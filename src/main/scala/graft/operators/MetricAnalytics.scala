@@ -51,7 +51,7 @@ object MetricAnalytics {
       .withColumn("day", dayofmonth(col("ts")))
       .withColumn("vi", vi)
       .select(col("service"), col("day"), hour(col("ts")).as("hour"),
-        col("ts"), col("event_id"), col("vi"))
+        col("ts"), col("event_id"), col("user_id"), col("vi"))
 
   /** Counter samples: per-service daily-resetting cumulative
     * integer-cent sums (the restart model), sample-per-event.
@@ -62,7 +62,7 @@ object MetricAnalytics {
     counterBase(spark, dir)
       .withColumn("cum", sum(col("vi")).over(w))
       .select(col("service"), col("day"), col("hour"),
-        col("ts"), col("event_id"), col("cum"))
+        col("ts"), col("event_id"), col("user_id"), col("vi"), col("cum"))
   }
 
   /** PromQL-style `increase()` per (service, day, hour) computed FROM
@@ -183,7 +183,16 @@ object MetricAnalytics {
       .groupBy(col("service"), dayofmonth(col("ts")).as("day"),
         hour(col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"), min(col("vi")).as("min_c"),
-        max(col("vi")).as("max_c"), round(avg(col("value")), 4).as("avg_v"))
+        max(col("vi")).as("max_c"), sum(col("vi")).as("__sum_vi"))
+      // mean to 4 dp in EXACT integer arithmetic (half-up on the true
+      // rational): avg(double) partial-sums in engine-specific order,
+      // and even round(sameDouble, 4) differs across engines at .5
+      // boundaries (Spark rounds the shortest-decimal form, DuckDB
+      // the scaled binary value — seen at sf0.1: 37.44875 going both
+      // ways). (sum·200 + n) div (2n) / 10⁴ is bit-identical anywhere.
+      .withColumn("avg_v",
+        expr("(__sum_vi * 200 + n) div (2 * n)") / lit(10000.0))
+      .drop("__sum_vi")
       .orderBy(col("service"), col("day"), col("hour"))
 
   /** OTel EXEMPLARS: per (service, day, hour) bucket, alongside the
@@ -516,16 +525,22 @@ object MetricAnalytics {
     val t0 = graft.sources.LogSync.table(spark, metricsRoot)
     val t = if (t0.columns.contains("exemplars")) t0
             else t0.withColumn("exemplars", lit(null).cast("string"))
+    // per-POINT peak first (array_max over (value, trace) structs —
+    // real SDKs attach several exemplars to one point), then the
+    // bucket fold: `n` counts DATA POINTS carrying exemplars, not
+    // exploded exemplar rows, matching the synthesized twin's
+    // sample-count semantics
     t.filter(col("metric_name") === metricName && col("exemplars").isNotNull)
       .select(col("service_name"), col("metric_name"), col("timestamp"),
-        explode(from_json(col("exemplars"),
-          graft.sources.OtlpMetrics.exemplarSchema)).as("e"))
+        array_max(transform(
+          from_json(col("exemplars"), graft.sources.OtlpMetrics.exemplarSchema),
+          e => struct(e.getField("value").as("value"),
+            e.getField("traceId").as("traceId")))).as("peak"))
       .groupBy(col("service_name"), col("metric_name"),
         dayofmonth(col("timestamp")).as("day"), hour(col("timestamp")).as("hour"))
       .agg(count(lit(1)).as("n"),
-        max(col("e.value")).as("max_v"),
-        max(struct(col("e.value"), col("e.traceId")))
-          .getField("traceId").as("exemplar_trace_id"))
+        max(col("peak.value")).as("max_v"),
+        max(col("peak")).getField("traceId").as("exemplar_trace_id"))
       .orderBy(col("service_name"), col("metric_name"), col("day"), col("hour"))
   }
 
@@ -545,14 +560,10 @@ object MetricAnalytics {
       graft.functions.VectorFunctions.register(spark)
       // each sample carries one EXEMPLAR: the event's own value and
       // the md5(user/day) trace key all three signals share — the
-      // wire-ingested twin of the synthesized exemplars query
-      val w = Window.partitionBy(col("service"), col("day"))
-        .orderBy(col("ts"), col("event_id"))
-      val samples = Tables.events(spark, dir)
-        .withColumn("service", svc)
-        .withColumn("day", dayofmonth(col("ts")))
-        .withColumn("vi", floor(col("value") * 100 + lit(0.5)).cast("long"))
-        .withColumn("cum", sum(col("vi")).over(w))
+      // wire-ingested twin of the synthesized exemplars query. The
+      // samples are counterSamples ITSELF (one cum definition in the
+      // codebase — the fixture cannot drift from the synthesis)
+      val samples = counterSamples(spark, dir)
         .withColumn("xtrace", md5(concat(col("user_id").cast("string"), lit("/"),
           date_format(col("ts"), "yyyy-MM-dd"))))
       val bins = samples.select(OtlpMetrics.toOtlpProtoSum(
@@ -637,9 +648,13 @@ object MetricAnalytics {
       .groupBy(col("service_name").as("service"),
         dayofmonth(col("timestamp")).as("day"), hour(col("timestamp")).as("hour"))
       .agg(count(lit(1)).as("n"),
-        min(floor(col("value") * 100 + lit(0.5)).cast("long")).as("min_c"),
-        max(floor(col("value") * 100 + lit(0.5)).cast("long")).as("max_c"),
-        round(avg(col("value")), 4).as("avg_v"))
+        min(vi).as("min_c"),
+        max(vi).as("max_c"),
+        sum(vi).as("__sum_vi"))
+      // same exact-cents mean as [[gauge]] — see the rationale there
+      .withColumn("avg_v",
+        expr("(__sum_vi * 200 + n) div (2 * n)") / lit(10000.0))
+      .drop("__sum_vi")
       .orderBy(col("service"), col("day"), col("hour"))
 
   /** `metrics_lake_exemplars`: [[exemplarsFromLake]] over the
@@ -684,16 +699,13 @@ object MetricAnalytics {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def protoPoints(spark: SparkSession, dir: String): DataFrame =
-    protoCache.computeIfAbsent((spark, dir), { key =>
-      graft.SessionCaches.register(spark) { () =>
-        Option(protoCache.remove(key)).foreach(_.unpersist(false))
-      }
+    graft.SessionCaches.memoPersist(protoCache, spark, dir) {
       import graft.sources.OtlpMetrics
       graft.functions.VectorFunctions.register(spark)
       val payloads = Tables.events(spark, dir)
         .select(OtlpMetrics.toOtlpProtoSum(
           unix_micros(col("ts")), svc, lit("requests"), lit("{req}"),
           col("value"), lit(true), lit(2)).as("bin"))
-      OtlpMetrics.parseProto(payloads, col("bin")).persist()
-    })
+      OtlpMetrics.parseProto(payloads, col("bin"))
+    }
 }

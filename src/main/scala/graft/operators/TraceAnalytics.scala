@@ -535,10 +535,7 @@ object TraceAnalytics {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def protoSpans(spark: SparkSession, dir: String): DataFrame =
-    protoCache.computeIfAbsent((spark, dir), { key =>
-      graft.SessionCaches.register(spark) { () =>
-        Option(protoCache.remove(key)).foreach(_.unpersist(false))
-      }
+    graft.SessionCaches.memoPersist(protoCache, spark, dir) {
       import graft.sources.OtlpTraces
       graft.functions.VectorFunctions.register(spark)
       val payloads = spans(spark, dir)
@@ -547,6 +544,6 @@ object TraceAnalytics {
           unix_micros(col("ts")) + col("dur_ms") * 1000L,
           col("service"), col("trace_id"), col("span_id"),
           lit(null).cast("string"), col("operation"), lit(2), lit(0)).as("bin"))
-      OtlpTraces.parseProto(payloads, col("bin")).persist()
-    })
+      OtlpTraces.parseProto(payloads, col("bin"))
+    }
 }

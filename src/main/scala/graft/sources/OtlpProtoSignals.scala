@@ -282,8 +282,8 @@ object OtlpProtoSignalOps {
       (tag >> 3, tag & 7) match {
         case (2, 1) => e = e.copy(timeNs = r.fixed64())
         case (3, 1) => e = e.copy(d = java.lang.Double.longBitsToDouble(r.fixed64()))
-        case (4, 2) => e = e.copy(spanHex = hex(r.sub()))
-        case (5, 2) => e = e.copy(traceHex = hex(r.sub()))
+        case (4, 2) => e = e.copy(spanHex = hexOrNull(r.sub()))
+        case (5, 2) => e = e.copy(traceHex = hexOrNull(r.sub()))
         case (6, 1) => e = e.copy(i = r.fixed64()) // sfixed64
         case (_, w) => r.skip(w)
       }
@@ -795,7 +795,7 @@ case class OtlpSpanProtoEncode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_otlp_sum_proto(struct(...))`: one sum data point (7-field
+/** `graft_otlp_sum_proto(struct(...))`: one sum data point (9-field
   * struct, see [[OtlpProtoSignalOps.encodeSumFromRow]]) →
   * `MetricsData` bytes.
   */

@@ -432,7 +432,16 @@ class OtlpHttpSpec extends SparkSpec {
       }
       assert(post(port, "/v1/traces", top.result, "application/x-protobuf")
         .statusCode() == 200)
-      assert(server.flush()._1 == 2)
+      // and one span WITHOUT events/links — absence must land as NULL
+      // columns, not empty arrays
+      val bare = spark.range(1).select(graft.sources.OtlpTraces.toOtlpJson(
+        lit(baseNs / 1000L + 9000000L), lit(baseNs / 1000L + 9500000L),
+        lit("svc-ev"), lit("ee000000000000000000000000000005"),
+        lit("ee00000000000005"), lit(null).cast("string"),
+        lit("op-bare"), lit(2), lit(0)).as("env")).head.getString(0)
+      assert(post(port, "/v1/traces", bare.getBytes, "application/json")
+        .statusCode() == 200)
+      assert(server.flush()._1 == 3)
       val spans = LogSync.table(spark, s"$root/_traces")
       val byOp = spans.collect().map(r => r.getAs[String]("span_name") -> r).toMap
       // links re-read typed from both transports
@@ -456,7 +465,11 @@ class OtlpHttpSpec extends SparkSpec {
       assert(ev("retry").getAs[java.sql.Timestamp]("timestamp").toInstant
         .toEpochMilli == (baseNs + 2500000L) / 1000000L)
       // spans WITHOUT events/links land null, not empty arrays
-      assert(byOp("op-json").getAs[String]("span_events") != null)
+      assert(byOp("op-bare").getAs[String]("span_events") == null)
+      assert(byOp("op-bare").getAs[String]("span_links") == null)
+      // ...and the log-like view skips them rather than exploding
+      // zero-length arrays (only the two event-carrying spans emit)
+      assert(ev.size == 2)
     } finally server.stop()
   }
 
