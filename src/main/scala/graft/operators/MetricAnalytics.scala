@@ -465,9 +465,33 @@ object MetricAnalytics {
     */
   def histQuantileOf(points: DataFrame, q: Double = 0.95): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    // TEMPORALITY decides the merge rule: DELTA points (temporality 1,
+    // or absent) are per-window counts — they SUM bucket for bucket;
+    // CUMULATIVE points (2) carry counts-since-start — summing them
+    // would multiply every sample by the point count, so only the
+    // series' LATEST point stands (ties break on higher counts,
+    // matching the counter newest-sample rule)
+    val cols = Seq(col("service_name"), col("point_count"),
+      col("bucket_counts"), col("explicit_bounds"))
+    val merged =
+      if (!points.columns.contains("temporality")) points.select(cols: _*)
+      else {
+        val deltas = points
+          .filter(col("temporality").isNull || col("temporality") =!= 2)
+          .select(cols: _*)
+        val latestCum = points.filter(col("temporality") === 2)
+          .groupBy(col("service_name"))
+          .agg(max(struct(col("timestamp"), col("point_count").as("point_count"),
+            col("bucket_counts").as("bucket_counts"),
+            col("explicit_bounds").as("explicit_bounds"))).as("m"))
+          .select(col("service_name"), col("m.point_count").as("point_count"),
+            col("m.bucket_counts").as("bucket_counts"),
+            col("m.explicit_bounds").as("explicit_bounds"))
+        deltas.unionByName(latestCum)
+      }
     // bucket counts land as a JSON array of STRINGS (OTLP writes
     // fixed64 as strings) — parse as strings, cast the array to longs
-    val parsed = points.select(col("service_name"), col("point_count"),
+    val parsed = merged.select(col("service_name"), col("point_count"),
       from_json(col("bucket_counts"), ArrayType(StringType))
         .cast("array<long>").as("counts"),
       from_json(col("explicit_bounds"), ArrayType(DoubleType)).as("bounds"))
@@ -555,7 +579,7 @@ object MetricAnalytics {
     * HARDER transport).
     */
   private[graft] def metricsLakeRoot(spark: SparkSession, dir: String): String =
-    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v4", spark) { root =>
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v5", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpMetrics}
       graft.functions.VectorFunctions.register(spark)
       // each sample carries one EXEMPLAR: the event's own value and
@@ -575,7 +599,9 @@ object MetricAnalytics {
       // plus per-(service, hour) explicit-bucket HISTOGRAM points of
       // the same value stream (JSON transport — both transports land
       // in one lake, like a mixed exporter fleet): size(bounds)+1
-      // bucket counts, the trailing +Inf overflow
+      // bucket counts, the trailing +Inf overflow; DELTA temporality —
+      // each point is one hour's window, the shape whose bucket runs
+      // legitimately SUM
       val bs = Boundaries
       val hourly = Tables.events(spark, dir)
         .withColumn("service", svc)

@@ -289,7 +289,8 @@ object OtlpMetrics {
   def toOtlpJsonHistogram(timeUs: Column, serviceName: Column,
                           metricName: Column, unit: Column,
                           count: Column, hsum: Column,
-                          bucketCounts: Column, bounds: Column): Column =
+                          bucketCounts: Column, bounds: Column,
+                          temporality: Int = 1): Column =
     to_json(struct(
       array(struct(
         struct(array(
@@ -308,7 +309,7 @@ object OtlpMetrics {
                 hsum.cast("double").as("sum"),
                 bucketCounts.as("bucketCounts"),
                 bounds.as("explicitBounds"))).as("dataPoints"),
-              lit(2).as("aggregationTemporality")).as("histogram"))).as("metrics")))
+              lit(temporality).as("aggregationTemporality")).as("histogram"))).as("metrics")))
           .as("scopeMetrics"))).as("resourceMetrics")))
 
   /** (valid data-point rows, undecodable payloads) for the protobuf

@@ -221,6 +221,36 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(e.isNullAt(1), "an all-+Inf series has no estimable quantile")
   }
 
+  test("histQuantileOf: cumulative-temporality points take the latest, never sum") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-12T12:00:00Z"))
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-12T13:00:00Z"))
+    // a cumulative series: the later point CONTAINS the earlier one;
+    // summing would double-count — only the latest stands. A delta
+    // series alongside must still sum.
+    val rows = Seq(
+      ("svc-c", t0, 10L, """["8","2"]""", "[1.0,5.0]", 2),
+      ("svc-c", t1, 20L, """["15","5"]""", "[1.0,5.0]", 2),
+      ("svc-d", t0, 10L, """["8","2"]""", "[1.0,5.0]", 1),
+      ("svc-d", t1, 10L, """["7","3"]""", "[1.0,5.0]", 1))
+      .toDF("service_name", "timestamp", "point_count", "bucket_counts",
+        "explicit_bounds", "temporality")
+    val out = graft.operators.MetricAnalytics.histQuantileOf(rows, 0.5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // cumulative: latest point only → total 20, rank 10 ≤ 15 at le=1
+    assert(out("svc-c") > 0.0 && out("svc-c") <= 1.0,
+      s"latest cumulative point's rank 10 lands in (0,1]: ${out("svc-c")}")
+    // delta: merged 15 at le=1, total 20 → rank 10 in the first bucket
+    assert(out("svc-d") > 0.0 && out("svc-d") <= 1.0, out.toString)
+    // proof the cumulative path did NOT sum: p95 rank = 19 of total 20
+    // → still inside the latest point's finite buckets (cum 20 ≥ 19)
+    val p95 = graft.operators.MetricAnalytics.histQuantileOf(
+      rows.filter(col("service_name") === "svc-c"), 0.95)
+      .head.getDouble(1)
+    assert(p95 > 1.0 && p95 <= 5.0,
+      s"summed cumulative counts would push rank past the finite buckets: $p95")
+  }
+
   test("histQuantileOf: per-point runs merge; +Inf-heavy series clamp to the top bound") {
     import spark.implicits._
     val rows = Seq(
