@@ -85,7 +85,9 @@ object Plans {
       "metrics_exemplars" -> "OTel exemplars: map-only projection + ONE aggregate shuffle; the peak-sample trace id is a mergeable max over a (value, trace_id) struct — no window, no second pass",
       "metrics_exp_p95" -> "exponential-histogram quantile: corpus work is ONE map-only exact-integer bucket projection (length(bin(vi))-1) + (service x idx) aggregate; rank walk on the tiny frame",
       "trace_otlp_proto" -> "traces wire round-trip: encode+decode are codegen'd map-only expressions in one stage; shuffles are the synthesis rank window + the final aggregate",
-      "lake_iceberg_day" -> "day-transform external table: manifest-driven file set, NO phantom partition column attach; scan + broadcast attach map built one-task-per-manifest")
+      "lake_iceberg_day" -> "day-transform external table: manifest-driven file set, NO phantom partition column attach; scan + broadcast attach map built one-task-per-manifest",
+      "trace_lake_critical" -> "pointer jumping over opaque span ids: shown plan is the final per-trace max; each of the log2(depth) rounds composes the checkpointed chain with itself (acc += acc at jump, jump = jump at jump)",
+      "metrics_lake_rate" -> "ingested-lake increase(): manifest semi-join scan -> series-keyed lag window -> bucket aggregate; the certification twin of the synthesis rate plan")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
