@@ -199,6 +199,44 @@ object MetricFollow {
     out
   }
 
+  /** One polled increment's DELTA-HISTOGRAM bucket deltas:
+    * (service_name, metric_name, le, bucket_n) — per-window histogram
+    * points are ADDITIVE, so this consumer is STATELESS (no carry
+    * store at all): a downstream quantile store folds by summing per
+    * (series, le), and the union of every increment's deltas equals
+    * the batch bucket table (spec-driven). Cumulative-temporality
+    * points are excluded — they carry counts-since-start, a
+    * latest-point semantics ([[graft.operators.MetricAnalytics
+    * .histQuantileOf]]'s rule), not additive deltas; a cumulative
+    * stream needs the [[incrementIncrease]]-style carry instead.
+    * The trailing +Inf overflow entry surfaces as le = null (counted
+    * by the store toward totals, never a finite bucket).
+    */
+  def incrementHistBuckets(inc: LakeFollow.Increment,
+                           metricName: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    val rows = inc.rows
+    val t = if (rows.columns.contains("temporality")) rows
+            else rows.withColumn("temporality", lit(null).cast("int"))
+    t.filter(col("kind") === "histogram" && col("metric_name") === metricName &&
+        (col("temporality").isNull || col("temporality") =!= 2))
+      .select(col("service_name"), col("metric_name"),
+        from_json(col("bucket_counts"), ArrayType(StringType))
+          .cast("array<long>").as("counts"),
+        from_json(col("explicit_bounds"), ArrayType(DoubleType)).as("bounds"))
+      .select(col("service_name"), col("metric_name"), col("bounds"),
+        posexplode(col("counts")).as(Seq("i", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("service_name"), col("metric_name"),
+        when(col("i") < size(col("bounds")),
+          expr("bounds[CAST(i AS INT)]")).as("le"),
+        col("cnt"))
+      .groupBy(col("service_name"), col("metric_name"), col("le"))
+      .agg(sum(col("cnt")).as("bucket_n"))
+      .orderBy(col("service_name"), col("metric_name"), col("le"))
+      .localCheckpoint()
+  }
+
   /** The continuous form: follow the metric lake and hand each
     * increment's increase rows to `sink` before the increment commits
     * (process-then-commit at-least-once, identical replay on crash).

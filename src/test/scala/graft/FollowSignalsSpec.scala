@@ -134,6 +134,55 @@ class FollowSignalsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("MetricFollow: delta-histogram bucket deltas are stateless and fold to the batch table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hfollow").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft_hfollow_marks").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseNs = 1705060800000000000L
+      val lake = s"$root/_metrics"
+      def histEnv(svc: String, offsetS: Long, counts: Seq[Long]): String = {
+        val cs = counts.map(c => "\"" + c + "\"").mkString(",")
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"$svc"}}]},
+           |"scopeMetrics":[{"scope":{"name":"g"},"metrics":[
+           |{"name":"lat","unit":"ms","histogram":{"dataPoints":[
+           |  {"timeUnixNano":"${baseNs + offsetS * 1000000000L}","count":"${counts.sum}",
+           |   "sum":1.0,"bucketCounts":[$cs],"explicitBounds":[1.0,5.0],
+           |   "attributes":[]}],"aggregationTemporality":1}}]}]}]}"""
+          .stripMargin.replace("\n", "")
+      }
+      def post(body: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${server.port}/v1/metrics"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      def drain(): Unit = LakeFollow.poll(spark, lake, marks).foreach { inc =>
+        emitted += MetricFollow.incrementHistBuckets(inc, "lat")
+        LakeFollow.commit(spark, lake, marks, inc)
+      }
+      // two flushes: the deltas must fold across increments — no state
+      assert(post(histEnv("svc-h", 0L, Seq(3, 2, 1))) == 200)
+      server.flush(); drain()
+      assert(post(histEnv("svc-h", 600L, Seq(4, 0, 2))) == 200)
+      // a CUMULATIVE point must be excluded from the delta fold
+      assert(post(histEnv("svc-h", 700L, Seq(9, 9, 9))
+        .replace(""""aggregationTemporality":1""", """"aggregationTemporality":2""")) == 200)
+      server.flush(); drain()
+      assert(emitted.size == 2)
+      val folded = emitted.reduce(_ unionByName _)
+        .groupBy(col("service_name"), col("le"))
+        .agg(sum(col("bucket_n")).as("n")).collect()
+        .map(r => (Option(r.get(r.fieldIndex("le"))).map(_.asInstanceOf[Double]),
+          r.getAs[Long]("n"))).toMap
+      // le=1: 3+4, le=5: 2+0, +Inf (null le): 1+2 — cumulative excluded
+      assert(folded == Map(Some(1.0) -> 7L, Some(5.0) -> 2L, None -> 3L), folded.toString)
+    } finally server.stop()
+  }
+
   test("TraceFollow: child-before-parent across polls; edge-delta union equals the batch map") {
     val root = java.nio.file.Files.createTempDirectory("graft_tfollow").toString
     val marks = java.nio.file.Files.createTempDirectory("graft_tfollow_marks").toString
