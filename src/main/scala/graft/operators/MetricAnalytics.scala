@@ -465,21 +465,28 @@ object MetricAnalytics {
     */
   def histQuantileOf(points: DataFrame, q: Double = 0.95): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
-    // TEMPORALITY decides the merge rule: DELTA points (temporality 1,
-    // or absent) are per-window counts — they SUM bucket for bucket;
-    // CUMULATIVE points (2) carry counts-since-start — summing them
-    // would multiply every sample by the point count, so only the
-    // series' LATEST point stands (ties break on higher counts,
-    // matching the counter newest-sample rule)
+    // TEMPORALITY decides the merge rule: DELTA points (temporality 1)
+    // are per-window counts — they SUM bucket for bucket; CUMULATIVE
+    // points (2) carry counts-since-start — summing them would
+    // multiply every sample by the point count, so only the series'
+    // LATEST point stands (ties break on higher counts, matching the
+    // counter newest-sample rule). Null/UNSPECIFIED(0)/unrecognized
+    // take the CUMULATIVE rule too — OTLP SDKs default histograms to
+    // cumulative and proto3 renders an unset enum as 0, so the unknown
+    // cases must not be summed (same default [[increaseFromLake]]
+    // applies to sums). A frame WITHOUT the column is the caller
+    // asserting delta runs (the bare-runs API shape); lake rows always
+    // carry the column.
     val cols = Seq(col("service_name"), col("point_count"),
       col("bucket_counts"), col("explicit_bounds"))
     val merged =
       if (!points.columns.contains("temporality")) points.select(cols: _*)
       else {
         val deltas = points
-          .filter(col("temporality").isNull || col("temporality") =!= 2)
+          .filter(col("temporality") === 1)
           .select(cols: _*)
-        val latestCum = points.filter(col("temporality") === 2)
+        val latestCum = points
+          .filter(col("temporality").isNull || col("temporality") =!= 1)
           .groupBy(col("service_name"))
           .agg(max(struct(col("timestamp"), col("point_count").as("point_count"),
             col("bucket_counts").as("bucket_counts"),

@@ -361,7 +361,9 @@ object IceRestCatalog {
       val hint = fs.create(new Path(dir, "version-hint.text"), true)
       hint.write(next.toString.getBytes(UTF_8))
       hint.close()
-      val locStr = s"file://${newLoc.toUri.getPath}"
+      // preserve the registered scheme/authority (s3a://, hdfs://, …) —
+      // hardcoding file:// would repoint a remote table at a local path
+      val locStr = fs.makeQualified(newLoc).toUri.toString
       tables.put((key, name), locStr)
       (200, s"""{"metadata-location":${jstr(locStr)},"metadata":${IcebergJson.render(out)}}""")
     }
@@ -396,10 +398,13 @@ object IceRestCatalog {
   }
 
   /** Start a catalog server on `port` (0 = ephemeral; read it back
-    * from [[Server.port]]).
+    * from [[Server.port]]). Binds loopback only by default — the
+    * endpoints mutate catalog state (commit/drop) with no auth, so a
+    * non-loopback bind must be an explicit opt-in via `bindHost`.
     */
-  def start(spark: SparkSession, port: Int = 0): Server = {
-    val http = HttpServer.create(new InetSocketAddress(port), 0)
+  def start(spark: SparkSession, port: Int = 0,
+            bindHost: String = "127.0.0.1"): Server = {
+    val http = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
     val server = new Server(spark, http)
     http.createContext("/", (ex: HttpExchange) => server.handle(ex))
     http.setExecutor(Executors.newFixedThreadPool(2, { r =>

@@ -382,8 +382,11 @@ object OtlpHttp {
     */
   def start(spark: SparkSession, root: String, port: Int = 0,
             autoFlushMillis: Long = 0L,
-            maxPendingBytes: Long = 256L * 1024 * 1024): Server = {
-    val http = HttpServer.create(new InetSocketAddress(port), 0)
+            maxPendingBytes: Long = 256L * 1024 * 1024,
+            bindHost: String = "127.0.0.1"): Server = {
+    // loopback by default; a real collector edge opts into
+    // bindHost = "0.0.0.0" explicitly
+    val http = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
     val scheduler =
       if (autoFlushMillis > 0)
         Some(Executors.newSingleThreadScheduledExecutor { r =>

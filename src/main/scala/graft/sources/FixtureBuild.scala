@@ -11,11 +11,27 @@ import org.apache.spark.sql.SparkSession
   * place instead of a copy per builder.
   */
 object FixtureBuild {
+  /** Bump when any memoized builder's output closure changes shape —
+    * part of the directory key, so stale fixtures from an older build
+    * rebuild instead of silently serving the old lake.
+    */
+  private val BuilderVersion = "v10"
+
+  private def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
+  }
+
   def once(cache: java.util.concurrent.ConcurrentHashMap[String, String],
            key: String, prefix: String, spark: SparkSession)
           (build: String => Unit): String =
     cache.computeIfAbsent(key, _ => {
-      val root = s"/tmp/${prefix}_${Integer.toHexString(key.hashCode & 0x7fffffff)}"
+      // full content hash (not 32-bit hashCode — collisions between sf
+      // dirs would cross-serve lakes) under a per-user subdir, so a
+      // foreign user's marker can't shadow ours on a shared /tmp
+      val user = sys.props.getOrElse("user.name", "unknown")
+      val digest = sha256Hex(s"$BuilderVersion|$prefix|$key")
+      val root = s"/tmp/graft_$user/${prefix}_$digest"
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new Path(s"$root/_built")

@@ -204,11 +204,19 @@ object MetricFollow {
     * points are ADDITIVE, so this consumer is STATELESS (no carry
     * store at all): a downstream quantile store folds by summing per
     * (series, le), and the union of every increment's deltas equals
-    * the batch bucket table (spec-driven). Cumulative-temporality
-    * points are excluded — they carry counts-since-start, a
-    * latest-point semantics ([[graft.operators.MetricAnalytics
-    * .histQuantileOf]]'s rule), not additive deltas; a cumulative
-    * stream needs the [[incrementIncrease]]-style carry instead.
+    * the batch bucket table (spec-driven). ONLY explicit
+    * DELTA-temporality (1) points join the fold: cumulative (2) AND
+    * null/UNSPECIFIED points — OTLP SDKs default histograms to
+    * cumulative and proto3 renders an unset enum as 0 — carry
+    * counts-since-start, a latest-point semantics
+    * ([[graft.operators.MetricAnalytics.histQuantileOf]]'s rule), not
+    * additive deltas; a cumulative stream needs the
+    * [[incrementIncrease]]-style carry instead. The exclusion is
+    * SURFACED, not silent: `__dropped_cumulative` counts the dropped
+    * points (constant per emitted row; an all-dropped increment
+    * emits one all-null sentinel row carrying the count — the
+    * [[incrementIncrease]] `__rejected` discipline, so a
+    * cumulative-exporting fleet is distinguishable from no-data).
     * The trailing +Inf overflow entry surfaces as le = null (counted
     * by the store toward totals, never a finite bucket).
     */
@@ -216,10 +224,14 @@ object MetricFollow {
                            metricName: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
     val rows = inc.rows
+    val spark = rows.sparkSession
     val t = if (rows.columns.contains("temporality")) rows
             else rows.withColumn("temporality", lit(null).cast("int"))
-    t.filter(col("kind") === "histogram" && col("metric_name") === metricName &&
-        (col("temporality").isNull || col("temporality") =!= 2))
+    val hist = t.filter(col("kind") === "histogram" &&
+      col("metric_name") === metricName).cache()
+    val dropped = hist
+      .filter(col("temporality").isNull || col("temporality") =!= 1).count()
+    val ck = hist.filter(col("temporality") === 1)
       .select(col("service_name"), col("metric_name"),
         from_json(col("bucket_counts"), ArrayType(StringType))
           .cast("array<long>").as("counts"),
@@ -233,8 +245,18 @@ object MetricFollow {
         col("cnt"))
       .groupBy(col("service_name"), col("metric_name"), col("le"))
       .agg(sum(col("cnt")).as("bucket_n"))
+      .withColumn("__dropped_cumulative", lit(dropped))
       .orderBy(col("service_name"), col("metric_name"), col("le"))
       .localCheckpoint()
+    hist.unpersist(false)
+    if (dropped > 0 && ck.limit(1).count() == 0)
+      ck.unionByName(spark.range(1).select(
+        lit(null).cast("string").as("service_name"),
+        lit(null).cast("string").as("metric_name"),
+        lit(null).cast("double").as("le"),
+        lit(0L).as("bucket_n"),
+        lit(dropped).as("__dropped_cumulative")))
+    else ck
   }
 
   /** The continuous form: follow the metric lake and hand each

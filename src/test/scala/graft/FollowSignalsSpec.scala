@@ -173,6 +173,10 @@ class FollowSignalsSpec extends SparkSpec {
         .replace(""""aggregationTemporality":1""", """"aggregationTemporality":2""")) == 200)
       server.flush(); drain()
       assert(emitted.size == 2)
+      // the exclusion is observable, not silent: increment 2 dropped
+      // exactly one cumulative point
+      assert(emitted(0).collect().forall(_.getAs[Long]("__dropped_cumulative") == 0L))
+      assert(emitted(1).collect().forall(_.getAs[Long]("__dropped_cumulative") == 1L))
       val folded = emitted.reduce(_ unionByName _)
         .groupBy(col("service_name"), col("le"))
         .agg(sum(col("bucket_n")).as("n")).collect()
@@ -180,6 +184,18 @@ class FollowSignalsSpec extends SparkSpec {
           r.getAs[Long]("n"))).toMap
       // le=1: 3+4, le=5: 2+0, +Inf (null le): 1+2 — cumulative excluded
       assert(folded == Map(Some(1.0) -> 7L, Some(5.0) -> 2L, None -> 3L), folded.toString)
+      // an ALL-cumulative increment emits nothing foldable — the drop
+      // count must still surface, on one all-null sentinel row (a
+      // cumulative-exporting fleet is distinguishable from no-data)
+      assert(post(histEnv("svc-h", 800L, Seq(5, 5, 5))
+        .replace(""""aggregationTemporality":1""", """"aggregationTemporality":2""")) == 200)
+      server.flush(); drain()
+      assert(emitted.size == 3)
+      val sentinel = emitted(2).collect()
+      assert(sentinel.length == 1 && sentinel.head.isNullAt(0) &&
+        sentinel.head.getAs[Long]("bucket_n") == 0L &&
+        sentinel.head.getAs[Long]("__dropped_cumulative") == 1L,
+        s"all-dropped increment must surface the count on a sentinel: ${sentinel.toSeq}")
     } finally server.stop()
   }
 

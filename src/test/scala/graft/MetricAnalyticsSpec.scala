@@ -251,6 +251,37 @@ class MetricAnalyticsSpec extends SparkSpec {
       s"summed cumulative counts would push rank past the finite buckets: $p95")
   }
 
+  test("histQuantileOf: null/UNSPECIFIED temporality takes the cumulative rule, like the sum paths") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-12T12:00:00Z"))
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-12T13:00:00Z"))
+    // an exporter that omits temporality (proto3 unset enum = 0;
+    // OTLP SDKs default histograms to CUMULATIVE): the later point
+    // CONTAINS the earlier one. Summing would inflate every sample —
+    // the null/0 cases must take the latest-point rule, agreeing with
+    // increaseFromLake's null ⇒ cumulative default on the same lake.
+    for (temp <- Seq(null.asInstanceOf[Integer], Integer.valueOf(0))) {
+      val rows = Seq(
+        ("svc-u", t0, 10L, """["8","2"]""", "[1.0,5.0]", temp),
+        ("svc-u", t1, 20L, """["15","5"]""", "[1.0,5.0]", temp))
+        .toDF("service_name", "timestamp", "point_count", "bucket_counts",
+          "explicit_bounds", "temporality")
+      // latest point only: total 20, p95 rank 19 ≤ 20 finite cum →
+      // inside (1, 5]. A summed path would see total 30, rank 28.5
+      // past the finite cum 30... use p50 too: rank 10 ≤ 15 at le=1
+      val p50 = graft.operators.MetricAnalytics.histQuantileOf(rows, 0.5)
+        .head.getDouble(1)
+      assert(p50 > 0.0 && p50 <= 1.0,
+        s"temporality=$temp must take the latest point (rank 10 in (0,1]): $p50")
+      // and the point-count total proves no summing: p95 of the latest
+      // point (total 20, rank 19) interpolates inside (1,5]
+      val p95 = graft.operators.MetricAnalytics.histQuantileOf(rows, 0.95)
+        .head.getDouble(1)
+      assert(p95 > 1.0 && p95 <= 5.0,
+        s"temporality=$temp summed would distort the rank walk: $p95")
+    }
+  }
+
   test("histQuantileOf: per-point runs merge; +Inf-heavy series clamp to the top bound") {
     import spark.implicits._
     val rows = Seq(
