@@ -168,9 +168,15 @@ object Bench {
     // sub-3x so the vs-prev trigger can't see it. Floors sit just
     // above each query's isolated steady state so a clean run pays
     // nothing.
+    // r9 added three more with the same signature (untouched plans,
+    // sub-2 s absolute, >0.4 s jumps vs r8: text_langid 0.55→1.47 s
+    // with a 3.07 s first attempt, trace_spans 0.41→1.14 s,
+    // q4_exists 0.39→0.93 s) — floors just above their r8 steady
+    // state so BENCH_PREV can't ratchet up.
     val noiseSensitive = Map(
       "q2_join_agg" -> 0.75, "q3_topn" -> 0.75,
-      "ann_ivf" -> 1.1, "ann_pq" -> 1.1)
+      "ann_ivf" -> 1.1, "ann_pq" -> 1.1,
+      "text_langid" -> 0.8, "trace_spans" -> 0.6, "q4_exists" -> 0.6)
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, fn, t) =>
       // the 0.3 s slack keeps JIT/cache jitter on sub-100ms queries

@@ -65,6 +65,9 @@ object SparkEntry {
     "trace_logs"               -> (TraceAnalytics.traceLogs _),
     "trace_tail_sample"        -> ((s: SparkSession, d: String) => TraceAnalytics.tailSample(s, d)),
     "trace_self_time"          -> (TraceAnalytics.selfTime _),
+    "trace_lake_spans"         -> ((s: SparkSession, d: String) => TraceAnalytics.lakeTraceSpans(s, d)),
+    "trace_span_events"        -> (TraceAnalytics.lakeSpanEvents _),
+    "trace_span_links"         -> (TraceAnalytics.lakeSpanLinks _),
     "metrics_rate"             -> (MetricAnalytics.rate _),
     "metrics_exemplars"        -> (MetricAnalytics.exemplars _),
     "metrics_otlp_proto"       -> (MetricAnalytics.otlpProtoRoundtrip _),
@@ -88,6 +91,7 @@ object SparkEntry {
     "lake_iceberg_inc"    -> (LakeAnalytics.icebergIncSeverity _),
     "lake_iceberg_ext"    -> (LakeAnalytics.icebergExternalRegions _),
     "lake_iceberg_day"    -> (LakeAnalytics.icebergExternalDays _),
+    "lake_iceberg_dml"    -> (LakeAnalytics.morSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
     "lake_iceberg_tt"     -> (LakeAnalytics.icebergTimeTravel _),
@@ -779,6 +783,28 @@ object SparkEntry {
         |  c.service AS service, c.operation AS operation, c.dur_ms AS dur_ms
         |FROM spans c LEFT JOIN spans p ON p.idx = c.idx // 2
         |ORDER BY idx""".stripMargin,
+    // the same trace's tree read as a bloom-routed point lookup on
+    // the ingested lake (no idx — the lake orders by span id); parent
+    // ids are the REAL pointers the wire carried
+    "trace_lake_spans" ->
+      """WITH base AS (
+        |  SELECT *, md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    md5(CAST(event_id AS VARCHAR)) AS span_id,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service,
+        |    event_type AS operation,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM base WHERE trace_id = md5('7/2024-01-15'))
+        |SELECT c.span_id AS span_id, p.span_id AS parent_span_id,
+        |  c.service AS service, c.operation AS operation, c.dur_ms AS dur_ms
+        |FROM spans c LEFT JOIN spans p ON p.idx = c.idx // 2
+        |ORDER BY span_id""".stripMargin,
     "trace_service_graph" -> oracleTraceServiceGraph,
     "trace_lake_graph" -> oracleTraceServiceGraph,
     "trace_summary" -> oracleTraceSummary,
@@ -827,6 +853,50 @@ object SparkEntry {
     // self time: dur − Σ children dur via one heap-parent-keyed
     // aggregate joined back; negative = child overlap, kept as-is
     "trace_self_time" -> oracleTraceSelfTime,
+    // span events: error spans and dur_ms ≡ 0 (mod 7) spans carry one
+    // "exception" event whose type is a deterministic function of
+    // dur_ms — the oracle replays the synthesis rules; the Spark side
+    // reads what BOTH wire transports landed in the span lake
+    "trace_span_events" ->
+      """WITH spans AS (
+        |  SELECT CASE WHEN event_type IN ('view','click') THEN 'web'
+        |              WHEN event_type = 'signup' THEN 'auth'
+        |              WHEN event_type = 'purchase' THEN 'checkout'
+        |              ELSE 'backend' END AS service,
+        |         event_type AS operation,
+        |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS dur_ms
+        |  FROM events)
+        |SELECT service,
+        |  CASE WHEN dur_ms % 3 = 0 THEN 'TimeoutError'
+        |       WHEN dur_ms % 3 = 1 THEN 'ConnectionError'
+        |       ELSE 'ValueError' END AS exc_type,
+        |  count(*) AS n
+        |FROM spans
+        |WHERE operation = 'error' OR dur_ms % 7 = 0
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // links: each root span links to the same user's previous-day
+    // trace; resolved = that trace exists in the lake (the user had
+    // events the day before)
+    "trace_span_links" ->
+      """WITH base AS (
+        |  SELECT *,
+        |    md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id,
+        |    md5(CAST(user_id AS VARCHAR) || '/' ||
+        |        strftime(ts - INTERVAL 1 DAY,'%Y-%m-%d')) AS prev_trace_id
+        |  FROM events),
+        |spans AS (
+        |  SELECT trace_id, prev_trace_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY ts, event_id) AS INTEGER) AS idx,
+        |    CASE WHEN event_type IN ('view','click') THEN 'web'
+        |         WHEN event_type = 'signup' THEN 'auth'
+        |         WHEN event_type = 'purchase' THEN 'checkout'
+        |         ELSE 'backend' END AS service
+        |  FROM base),
+        |roots AS (SELECT service, prev_trace_id AS target FROM spans WHERE idx = 1)
+        |SELECT service,
+        |  (target IN (SELECT DISTINCT trace_id FROM spans)) AS resolved,
+        |  count(*) AS n
+        |FROM roots GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "trace_lake_self" -> oracleTraceSelfTime,
     // ---- metrics family: counter samples are daily-resetting
     // cumulative integer-cent sums; the oracles replay the synthesis
@@ -984,6 +1054,14 @@ object SparkEntry {
     // {2,7} and the equality-deleted keys {11,14}; the STALE equality
     // delete naming key 20 (sequence not above the data file's) must
     // NOT apply — the oracle keeps key 20
+    // the graft-WRITTEN v2 position-delete snapshot, read back through
+    // the MOR chain — post-delete events oracle (svc-7 signups gone)
+    "lake_iceberg_dml" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE NOT (user_id % 10 = 7 AND event_type = 'signup')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_iceberg_mor" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
         |FROM nation WHERE n_nationkey NOT IN (2, 7, 11, 14)

@@ -429,6 +429,47 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val morBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose redaction ran MERGE-ON-READ: the same payloads, then
+    * [[graft.sources.LakeDml.deleteMor]] of one service's 'signup'
+    * logs — NO data file rewritten, the matched row positions recorded
+    * as Iceberg v2-shaped position-delete files — then a fresh
+    * [[graft.sources.IcebergExport.export]] chaining them as a real v2
+    * DELETE snapshot. The `lake_iceberg_dml` query reads the table
+    * back THROUGH that exported chain ([[IcebergExport.readTable]]'s
+    * merge-on-read path: scan + per-file sequence attach + position
+    * anti-join), so its hash-match against the events-minus-deleted
+    * oracle certifies write-side deletes end-to-end: position capture,
+    * delete-file write, sidecar registration, delete-manifest export,
+    * spec-rule application on read. At 100 TB this is the path that
+    * makes a one-row redaction O(1 row), not O(file): the CoW twin
+    * ([[dmlRoot]]) rewrites whole files; this one writes bytes
+    * proportional to the deleted rows and defers materialization to
+    * the next compaction.
+    */
+  private[graft] def morRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(morBuilt, dir, "graft_lakemor", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      val stats = graft.sources.LakeDml.deleteMor(spark, root,
+        col("service_name") === "svc-7" && col("severity_text") === "signup")
+      require(stats.filesRemoved == 0 && stats.rowsChanged > 0,
+        s"MOR fixture must delete rows without rewriting files: $stats")
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** Severity counts read through the graft-WRITTEN v2 delete
+    * snapshot ([[morRoot]]) — the merge-on-read interop certification.
+    */
+  def morSeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, morRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
   private val clusterBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake that grew WITHOUT a useful layout and was then re-clustered

@@ -448,6 +448,32 @@ object MetricAnalytics {
     expQuantileOf(graft.sources.LogSync.table(spark, metricsRoot)
       .filter(col("kind") === "exp_histogram" && col("metric_name") === metricName), q)
 
+  /** Quantile surface for INGESTED SUMMARY points (the legacy metric
+    * kind prometheus client bridges still emit): summaries carry
+    * PRE-COMPUTED quantile/value pairs, so there is no rank walk —
+    * per series, take the LATEST point (summaries are cumulative-style
+    * snapshots; there is no temporality field to consult) and surface
+    * the value at the requested quantile (exact match within 1e-9 —
+    * a summary only answers the quantiles its exporter chose). One
+    * series-keyed aggregate; map-only otherwise.
+    */
+  def summaryQuantileFromLake(spark: SparkSession, metricsRoot: String,
+                              metricName: String, q: Double = 0.95): DataFrame = {
+    val t = graft.sources.LogSync.table(spark, metricsRoot)
+      .filter(col("kind") === "summary" && col("metric_name") === metricName)
+    t.groupBy(col("service_name"))
+      .agg(max(struct(col("timestamp"),
+        col("bucket_counts").as("bucket_counts"))).as("m"))
+      .select(col("service_name"),
+        try_element_at(
+          filter(
+            from_json(col("m.bucket_counts"),
+              graft.sources.OtlpMetrics.summaryQuantileSchema),
+            x => abs(x.getField("quantile") - lit(q)) < lit(1e-9)),
+          lit(1)).getField("value").as(s"p${(q * 100).toInt}"))
+      .orderBy(col("service_name"))
+  }
+
   /** `histogram_quantile` over INGESTED explicit-bucket histogram
     * points (the `kind = "histogram"` rows the OTLP edge lands) — the
     * consumer a metrics backend runs on real exported histograms:

@@ -448,8 +448,9 @@ object TraceAnalytics {
     * twins' contract certification runs against.
     */
   private[graft] def tracesLakeRoot(spark: SparkSession, dir: String): String =
-    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_trace_lake_v2", spark) { root =>
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_trace_lake_v3", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpTraces}
+      graft.functions.VectorFunctions.register(spark)
       // real parent SPAN IDS on the wire (one co-partitioned
       // self-join at build time): the lake carries the tree the way
       // exporters ship it, so every lake twin — graph, self-time,
@@ -459,14 +460,52 @@ object TraceAnalytics {
         .withColumn("pidx", (col("idx") / 2).cast("int"))
         .join(s.select(col("trace_id"), col("idx").as("pidx"),
           col("span_id").as("parent_span_id")), Seq("trace_id", "pidx"), "left")
-      val envs = withParent.select(OtlpTraces.toOtlpJson(
-        unix_micros(col("ts")),
-        unix_micros(col("ts")) + col("dur_ms") * 1000L,
-        col("service"), col("trace_id"), col("span_id"),
-        when(col("idx") > 1, col("parent_span_id")),
-        col("operation"), lit(2),
-        when(col("operation") === "error", 2).otherwise(0)).as("payload"))
-      LogWriter.write(OtlpTraces.parse(envs, col("payload")), root,
+      // SPAN EVENTS: error spans and every dur_ms ≡ 0 (mod 7) span
+      // carry one "exception" event (the recordException shape) with a
+      // deterministic exception.type — replayable in the DuckDB
+      // oracle. LINKS: each ROOT span links to the same user's
+      // PREVIOUS-day trace (the batch-consumer / follows-from shape) —
+      // resolvable when that day had events, dangling otherwise.
+      val prevKeys = graft.sources.Tables.events(spark, dir)
+        .select(md5(concat(col("user_id").cast("string"), lit("/"),
+            date_format(col("ts"), "yyyy-MM-dd"))).as("trace_id"),
+          md5(concat(col("user_id").cast("string"), lit("/"),
+            date_format(date_sub(col("ts"), 1), "yyyy-MM-dd"))).as("prev_trace_id"))
+        .distinct()
+      val enriched = withParent
+        .join(prevKeys, Seq("trace_id"))
+        .withColumn("exc_type",
+          when(col("operation") === "error" || col("dur_ms") % 7 === 0,
+            when(col("dur_ms") % 3 === 0, "TimeoutError")
+              .when(col("dur_ms") % 3 === 1, "ConnectionError")
+              .otherwise("ValueError")))
+        .withColumn("exc_msg",
+          when(col("exc_type").isNotNull, concat(lit("exc-"), col("operation"))))
+        .withColumn("link_trace", when(col("idx") === 1, col("prev_trace_id")))
+      // BOTH transports feed one lake (a mixed exporter fleet), split
+      // by span-id hash so roots (with links) and exception spans ride
+      // both wires: half ship protobuf TracesData, half OTLP/JSON —
+      // every trace_lake_* twin and the two event/link queries below
+      // certify the two wire paths land identical rows
+      val startUs = unix_micros(col("ts"))
+      val endUs = unix_micros(col("ts")) + col("dur_ms") * 1000L
+      val parent = when(col("idx") > 1, col("parent_span_id"))
+      val status = when(col("operation") === "error", 2).otherwise(0)
+      val jsonEnvs = enriched.filter(crc32(col("span_id")) % 2 === 1)
+        .select(OtlpTraces.toOtlpJson(
+          startUs, endUs, col("service"), col("trace_id"), col("span_id"),
+          parent, col("operation"), lit(2), status,
+          col("exc_type"), col("exc_msg"), col("link_trace"),
+          lit(null).cast("string")).as("payload"))
+      val protoBins = enriched.filter(crc32(col("span_id")) % 2 === 0)
+        .select(OtlpTraces.toOtlpProtoEvents(
+          startUs, endUs, col("service"), col("trace_id"), col("span_id"),
+          parent, col("operation"), lit(2), status,
+          col("exc_type"), col("exc_msg"), col("link_trace"),
+          lit(null).cast("string")).as("bin"))
+      LogWriter.write(OtlpTraces.parse(jsonEnvs, col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogWriter.write(OtlpTraces.parseProto(protoBins, col("bin")), root,
         layout = LogWriter.DailyLayout)
       LogSync.sync(spark, root)
       ()
@@ -504,6 +543,90 @@ object TraceAnalytics {
 
   def lakeCriticalPath(spark: SparkSession, dir: String): DataFrame =
     criticalPathFromLake(spark, tracesLakeRoot(spark, dir))
+
+  private val spanIndexed =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** `trace_lake_spans`: the trace-view panel as a POINT LOOKUP on the
+    * ingested span lake, routed through the [[graft.sources.LakeIndex]]
+    * bloom sidecar on `trace_id` (the `lake_needle` pattern) — at
+    * 100 TB the lookup opens only the bloom-positive files instead of
+    * scanning the corpus for one trace (the synthesized `trace_spans`
+    * computes its trace key and so cannot push the filter; the real
+    * lake CAN, and this query proves the routed path end-to-end).
+    * Spec asserts the kept-file fraction actually falls
+    * (bloom-negative files never reach the scan).
+    */
+  def lakeTraceSpans(spark: SparkSession, dir: String,
+                     userDay: String = "7/2024-01-15"): DataFrame = {
+    val root = tracesLakeRoot(spark, dir)
+    spanIndexed.computeIfAbsent(root, _ => {
+      graft.sources.LakeIndex.build(spark, root, "trace_id",
+        expectedItemsPerFile = 4096); true
+    })
+    graft.sources.LakeIndex.lookup(spark, root, "trace_id", Seq(md5Hex(userDay)))
+      .select(col("span_id"), col("parent_span_id"),
+        col("service_name").as("service"), col("span_name").as("operation"),
+        floor(col("duration_ns") / lit(1000000.0) + lit(0.5))
+          .cast("long").as("dur_ms"))
+      .orderBy(col("span_id"))
+  }
+
+  /** `trace_span_events`: top EXCEPTION TYPES per service — the
+    * exception-analysis panel every APM ships — off
+    * [[graft.sources.OtlpTraces.spanEvents]] over the ingested span
+    * lake: span events (OTel `recordException`'s in-span log records)
+    * land as canonical JSON arrays on both transports, explode to the
+    * log-like view, and the `exception.type` attribute aggregates per
+    * service. Map-only until the (service × type)-cardinality
+    * aggregate; the oracle replays the synthesis rules, so the
+    * hash-match certifies event encode (JSON AND protobuf wire) →
+    * intake → landing → typed re-read → attribute extraction
+    * end-to-end.
+    */
+  def lakeSpanEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.OtlpTraces.spanEvents(
+        graft.sources.LogSync.table(spark, tracesLakeRoot(spark, dir)))
+      .filter(col("event_name") === "exception")
+      .select(col("service_name").as("service"),
+        from_json(col("event_attributes"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+          .getItem("exception.type").as("exc_type"))
+      .groupBy(col("service"), col("exc_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service"), col("exc_type"))
+
+  /** `trace_span_links`: trace→trace CAUSALITY — each root span links
+    * to the same user's previous-day trace (the batch-consumer /
+    * follows-from shape OTel links exist for); per service, how many
+    * links RESOLVE to a trace present in the lake vs dangle. The
+    * resolve probe is a broadcast-free left-semi-shaped join on the
+    * distinct trace-id relation (trace cardinality = user-days);
+    * everything else is map-only + a tiny aggregate. Certifies link
+    * encode (both wires) → landing → typed re-read → cross-trace
+    * resolution.
+    */
+  def lakeSpanLinks(spark: SparkSession, dir: String): DataFrame = {
+    val root = tracesLakeRoot(spark, dir)
+    val t = graft.sources.LogSync.table(spark, root)
+    val linked = t.filter(col("span_links").isNotNull)
+      .select(col("service_name").as("service"),
+        explode(from_json(col("span_links"),
+          graft.sources.OtlpTraces.linkSchema)).as("l"))
+      .select(col("service"), col("l.traceId").as("target"))
+    val known = t.select(col("trace_id").as("target")).distinct()
+      .withColumn("__hit", lit(true))
+    linked.join(known, Seq("target"), "left")
+      .groupBy(col("service"),
+        coalesce(col("__hit"), lit(false)).as("resolved"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service"), col("resolved"))
+  }
 
   /** PROTOBUF-transport ingest round-trip proof for the traces
     * signal: the span model encoded to OTLP `TracesData` wire bytes

@@ -82,6 +82,7 @@ object IcebergExport {
 
   /** The exported table state, resolved once per export. */
   private final case class State(fields: Seq[Field], partCols: Seq[String],
+                                 deletes: Seq[LogSync.PosDeleteEntry],
                                  files: Seq[FileEntry])
   private final case class FileEntry(uri: String, size: Long, rows: Long,
                                      partValues: Seq[String])
@@ -144,7 +145,11 @@ object IcebergExport {
       val segs = partSegments(root, p).toMap
       FileEntry(fileUri(p), size, rows, partCols.map(c => segs.getOrElse(c, null)))
     }
-    State(dataFields ++ partFields, partCols, files)
+    // active MOR position-delete files ride along with their
+    // manifest-recorded stats (no footer reads — LakeDml.deleteMor
+    // statted them at write time)
+    State(dataFields ++ partFields, partCols,
+      LogSync.posDeleteEntries(spark, root), files)
   }
 
   // ---- Iceberg schema / spec JSON fragments (shared by
@@ -189,6 +194,30 @@ object IcebergExport {
        |  {"name":"record_count","type":"long","field-id":103},
        |  {"name":"file_size_in_bytes","type":"long","field-id":104}
        |]}}]}""".stripMargin)
+
+  /** Manifest-entry schema for DELETE manifests: same shape as the
+    * data entry, but the partition record is EMPTY — graft's position
+    * deletes are global (their `file_path` rows name exact data files,
+    * which is scope enough), written under an unpartitioned spec
+    * (spec-id 1) exactly as the spec shapes unscoped deletes. An
+    * empty record also reads back as "global" through [[walkManifest]]
+    * — an all-null PARTITIONED record would instead scope the delete
+    * to the null partition and drop it for every real one.
+    */
+  private val deleteEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
 
   private[graft] val manifestListSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -280,8 +309,18 @@ object IcebergExport {
     val curUris = st.files.map(f => normUri(f.uri)).toSet
     val newFiles = st.files.filterNot(f => prevUris.contains(normUri(f.uri)))
     val removed = prevUris -- curUris
+    // MOR position-delete files diff the same way data files do: new
+    // ones chain as a DELETE snapshot; a VANISHED one (vacuumDeletes /
+    // compaction reclaimed it) forces a restatement, because carried
+    // manifests would keep referencing it
+    val prevDelUris = prev.map(_.deleteFiles.map(f => normUri(f.uri)).toSet)
+      .getOrElse(Set.empty)
+    val curDelUris = st.deletes.map(d => normUri(fileUri(d.path))).toSet
+    val newDeletes = st.deletes.filterNot(d =>
+      prevDelUris.contains(normUri(fileUri(d.path))))
+    val removedDeletes = prevDelUris -- curDelUris
     val deltaEligible = prev.exists(p => p.snapshotId.nonEmpty &&
-      p.listRecords.nonEmpty && removed.isEmpty &&
+      p.listRecords.nonEmpty && removed.isEmpty && removedDeletes.isEmpty &&
       p.partFields.forall(_.transform == "identity") &&
       p.partFields.map(_.name) == st.partCols)
     val prevMd = prev.map(_.md)
@@ -306,7 +345,7 @@ object IcebergExport {
       (carried :+ entry).mkString(",")
     }.getOrElse("")
 
-    if (deltaEligible && newFiles.isEmpty) {
+    if (deltaEligible && newFiles.isEmpty && newDeletes.isEmpty) {
       // no-change export: a fresh metadata version pointing at the
       // SAME snapshot — no new manifest, list, or snapshot objects
       val md = prevMd.get.asInstanceOf[IcebergJson.JObj]
@@ -315,11 +354,13 @@ object IcebergExport {
     }
 
     val seq = prevMd.map(_("last-sequence-number").long + 1).getOrElse(1L)
-    val delta = deltaEligible // newFiles.nonEmpty here
+    val delta = deltaEligible // newFiles or newDeletes nonEmpty here
     val exportFiles = if (delta) newFiles else st.files
+    val exportDeletes = if (delta) newDeletes else st.deletes
 
     // manifest file: one ADDED entry per exported data file (delta:
-    // only the files new since the previous snapshot)
+    // only the files new since the previous snapshot). A delta that
+    // only added DELETES writes no data manifest at all.
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -331,25 +372,59 @@ object IcebergExport {
       "partition-spec-id" -> "0",
       "format-version" -> "2",
       "content" -> "data")
-    val manifestLen = writeAvro(spark, manifestPath, entrySchema, manifestMeta,
-      exportFiles.iterator.map { f =>
-        val part = new GenericData.Record(partSchema)
-        st.partCols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
-        val d = new GenericData.Record(dfSchema)
-        d.put("content", 0)
-        d.put("file_path", f.uri)
-        d.put("file_format", "PARQUET")
-        d.put("partition", part)
-        d.put("record_count", f.rows)
-        d.put("file_size_in_bytes", f.size)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", seq)
-        e.put("file_sequence_number", seq)
-        e.put("data_file", d)
-        e
-      })
+    val manifestLen =
+      if (exportFiles.isEmpty) 0L
+      else writeAvro(spark, manifestPath, entrySchema, manifestMeta,
+        exportFiles.iterator.map { f =>
+          val part = new GenericData.Record(partSchema)
+          st.partCols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", 0)
+          d.put("file_path", f.uri)
+          d.put("file_format", "PARQUET")
+          d.put("partition", part)
+          d.put("record_count", f.rows)
+          d.put("file_size_in_bytes", f.size)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", seq)
+          e.put("file_sequence_number", seq)
+          e.put("data_file", d)
+          e
+        })
+
+    // DELETE manifest: one content=1 (position deletes) entry per
+    // exported delete file, under the unpartitioned spec (spec-id 1,
+    // empty partition record = a global delete — the rows themselves
+    // name exact data files). Position deletes apply to data files
+    // with sequence ≤ theirs, so seq covers every carried data file
+    // and, in a restatement, the same-seq restated files too.
+    val deleteManifestPath = new Path(metaDir, f"graft-d$version%05d.avro")
+    val delDfSchema = deleteEntrySchema.getField("data_file").schema()
+    val delPartSchema = delDfSchema.getField("partition").schema()
+    val deleteManifestLen =
+      if (exportDeletes.isEmpty) 0L
+      else writeAvro(spark, deleteManifestPath, deleteEntrySchema,
+        Map("schema" -> schemaJson(st.fields), "schema-id" -> "0",
+          "partition-spec" -> "[]", "partition-spec-id" -> "1",
+          "format-version" -> "2", "content" -> "deletes"),
+        exportDeletes.iterator.map { del =>
+          val d = new GenericData.Record(delDfSchema)
+          d.put("content", 1) // POSITION_DELETES
+          d.put("file_path", fileUri(del.path))
+          d.put("file_format", "PARQUET")
+          d.put("partition", new GenericData.Record(delPartSchema))
+          d.put("record_count", del.rows)
+          d.put("file_size_in_bytes", del.bytes)
+          val e = new GenericData.Record(deleteEntrySchema)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", seq)
+          e.put("file_sequence_number", seq)
+          e.put("data_file", d)
+          e
+        })
 
     // manifest list: the previous snapshot's entries carried forward
     // verbatim (delta only) + one entry for the new manifest. The
@@ -358,36 +433,72 @@ object IcebergExport {
     // list
     val listPath = new Path(metaDir, f"snap-$snapshotId-$version-$uuid.avro")
     val addedRows = exportFiles.map(_.rows).sum
+    val deletedRows = exportDeletes.map(_.rows).sum
     val parentId = if (delta) prev.get.snapshotId.get.toString else "null"
-    val newListRecord = {
-      val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", fileUri(manifestPath.toString))
-      r.put("manifest_length", manifestLen)
-      r.put("partition_spec_id", 0)
-      r.put("content", 0)
-      r.put("sequence_number", seq)
-      r.put("min_sequence_number", seq)
-      r.put("added_snapshot_id", snapshotId)
-      r.put("added_data_files_count", exportFiles.length)
-      r.put("existing_data_files_count", 0)
-      r.put("deleted_data_files_count", 0)
-      r.put("added_rows_count", addedRows)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      r
+    val newListRecords = {
+      val data =
+        if (exportFiles.isEmpty) Seq.empty
+        else {
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", fileUri(manifestPath.toString))
+          r.put("manifest_length", manifestLen)
+          r.put("partition_spec_id", 0)
+          r.put("content", 0)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r.put("added_data_files_count", exportFiles.length)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          r.put("added_rows_count", addedRows)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          Seq(r)
+        }
+      val del =
+        if (exportDeletes.isEmpty) Seq.empty
+        else {
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", fileUri(deleteManifestPath.toString))
+          r.put("manifest_length", deleteManifestLen)
+          r.put("partition_spec_id", 1)
+          r.put("content", 1) // DELETES manifest
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r.put("added_data_files_count", exportDeletes.length)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          r.put("added_rows_count", deletedRows)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          Seq(r)
+        }
+      data ++ del
     }
     val carried = if (delta) prev.get.listRecords else Seq.empty
     writeAvro(spark, listPath, manifestListSchema,
       Map("format-version" -> "2", "snapshot-id" -> snapshotId.toString,
         "sequence-number" -> seq.toString, "parent-snapshot-id" -> parentId),
-      carried.iterator ++ Iterator.single(newListRecord))
+      carried.iterator ++ newListRecords.iterator)
 
-    val operation = if (removed.nonEmpty) "overwrite" else "append"
+    // the spec's summary operations: a data restatement is an
+    // overwrite; a deletes-only commit is a delete; data + deletes in
+    // one commit is an overwrite; pure growth is an append
+    val operation =
+      if (removed.nonEmpty) "overwrite"
+      else if (exportDeletes.nonEmpty && exportFiles.isEmpty) "delete"
+      else if (exportDeletes.nonEmpty) "overwrite"
+      else "append"
     val parentField = if (delta) s""""parent-snapshot-id":$parentId,""" else ""
+    val deleteSummary =
+      if (exportDeletes.isEmpty) ""
+      else s""","added-delete-files":"${exportDeletes.length}",""" +
+        s""""added-position-deletes":"$deletedRows""""
     val newSnapshotJson =
       s"""{"sequence-number":$seq,"snapshot-id":$snapshotId,$parentField
          |"timestamp-ms":$now,"summary":{"operation":"$operation",
-         |"added-data-files":"${exportFiles.length}","added-records":"$addedRows"},
+         |"added-data-files":"${exportFiles.length}","added-records":"$addedRows"$deleteSummary},
          |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":0}"""
         .stripMargin.replace("\n", "")
     // delta: retain prior snapshot history; restatement: drop it (the
@@ -415,7 +526,8 @@ object IcebergExport {
          |"current-schema-id":0,
          |"schemas":[${schemaJson(st.fields)}],
          |"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":${specFieldsJson(st)}}],
+         |"partition-specs":[{"spec-id":0,"fields":${specFieldsJson(st)}}${
+           if (st.deletes.nonEmpty) """,{"spec-id":1,"fields":[]}""" else ""}],
          |"last-partition-id":${999 + st.partCols.length},
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
@@ -445,7 +557,12 @@ object IcebergExport {
   def ensureExport(spark: SparkSession, root: String): String = {
     val m = LogSync.manifest(spark, root)
     val head = m.agg(count(when(col("removed_at").isNull, 1)), max(col("registered_at"))).head()
-    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}"
+    // the delete registry is part of the table state: a deleteMor
+    // commit must invalidate the memo even though the DATA manifest
+    // didn't move
+    val delToken = LogSync.posDeleteEntries(spark, root)
+      .map(e => s"${e.path}#${e.rows}").sorted.mkString("|").hashCode
+    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}:$delToken"
     exportedOnce.computeIfAbsent((spark, root, token), { key =>
       graft.SessionCaches.register(spark)(() => { exportedOnce.remove(key); () })
       export(spark, root)
@@ -938,12 +1055,13 @@ object IcebergExport {
     require(fs.exists(new Path(metaDir, "version-hint.text")),
       s"no Iceberg export under $root — run export first")
     val chain = resolveChain(spark, metaDir, asOf)
-    // graft's own export never writes delete files; if the chain under
-    // this root carries any (an external engine rewrote it), this
-    // lake-scan path would silently resurrect deleted rows — reject
-    // loudly and point at the MOR-capable reader instead
-    require(chain.deleteFiles.isEmpty,
-      s"the chain under $root carries row-level deletes — read it with readExternal")
+    // a chain with row-level deletes (graft's own deleteMor export, or
+    // an external engine's rewrite) takes the MOR-capable reader —
+    // the lake-scan fast path below would silently resurrect deleted
+    // rows. Note the schema nuance: readChain attaches identity
+    // partition values from the manifests (declared types), while the
+    // fast path gets them from Spark's partition discovery.
+    if (chain.deleteFiles.nonEmpty) return readChain(spark, chain)
     val files = chain.files.map(_.uri)
     LogSync.tableForPaths(spark, root,
       files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")))

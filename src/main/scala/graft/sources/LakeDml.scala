@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,9 +50,13 @@ object LakeDml {
   private def tableWithSrc(spark: SparkSession, root: String): DataFrame = {
     val paths = LogSync.activeManifest(spark, root)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
-    spark.read.option("basePath", root).parquet(root)
+    val kept = spark.read.option("basePath", root).parquet(root)
       .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+    // rows already MOR-deleted must be invisible to DML decisions: a
+    // CoW rewrite that scanned them would RESURRECT them in the
+    // complement, and a MOR delete would re-record them
+    LogSync.applyPosDeletes(spark, kept, LogSync.posDeleteEntries(spark, root))
   }
 
   /** One job: (affected file list ≤ bound+1 entries, distinct affected
@@ -89,9 +94,16 @@ object LakeDml {
     def append(df: DataFrame): Unit =
       df.write.mode(SaveMode.Append)
         .partitionBy(layout.filter(df.columns.contains): _*).parquet(root)
-    if (affected.nonEmpty)
-      append(complement(
-        spark.read.option("basePath", root).parquet(affected.toSeq: _*)))
+    if (affected.nonEmpty) {
+      // the complement read must honor existing MOR position deletes:
+      // a raw re-read of the affected files would resurrect rows an
+      // earlier deleteMor removed
+      val raw = spark.read.option("basePath", root).parquet(affected.toSeq: _*)
+        .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+      val morApplied = LogSync.applyPosDeletes(spark, raw,
+        LogSync.posDeleteEntries(spark, root)).drop("__src")
+      append(complement(morApplied))
+    }
     inserts.foreach(append)
 
     // the files the writes just created = on-disk minus the old
@@ -123,6 +135,106 @@ object LakeDml {
     LogSync.swapManifest(spark, root, next)
     before.unpersist()
     (affected.length.toLong, freshPaths.length.toLong)
+  }
+
+  /** MERGE-ON-READ delete: record the matching rows' positions in
+    * Iceberg v2-shaped POSITION-DELETE files instead of rewriting any
+    * data file. Cost is O(deleted rows) — one predicate scan plus a
+    * write sized by the matches — where [[delete]] (copy-on-write)
+    * pays a rewrite of every touched FILE; at 100 TB a one-row
+    * deleteMor writes one tiny delete file where CoW rewrites a
+    * 512 MB data file. The trade moves to read time: every subsequent
+    * [[LogSync.table]] scan anti-joins the accumulated delete rows
+    * (broadcast while small, shuffle past the cap), until a
+    * [[LogCompact.compact]] materializes them back into clean files —
+    * exactly Iceberg's MOR-then-compact lifecycle. CoW [[delete]]
+    * stays available as the compaction-style alternative for
+    * predicates that gut whole files.
+    *
+    * Delete files land under `<root>/_deletes/` (underscore tree:
+    * invisible to data scans and [[LogSync.sync]]) as parquet rows of
+    * (`file_path`, `pos`) — the v2 position-delete schema, rows sorted
+    * by (file_path, pos) per the spec — and register in the versioned
+    * `_dmanifest` sidecar with write-time row/byte stats.
+    * [[graft.sources.IcebergExport.export]] chains them as a real v2
+    * delete snapshot; [[LogSync.tableAsOf]] time-travels across them
+    * by registration instant, like data files.
+    *
+    * Returns DmlStats(filesRemoved = 0 — no data file is touched,
+    * filesAdded = delete files written, rowsChanged = rows deleted).
+    */
+  def deleteMor(spark: SparkSession, root: String, predicate: Column): DmlStats = {
+    import spark.implicits._
+    // file_path in the spec's URI form, matching the Iceberg export's
+    // manifest entries (`file:///x`, not Spark's `file:/x`) so
+    // external MOR readers string-match it; graft's own read path
+    // normalizes both forms anyway
+    val matched = tableWithSrc(spark, root).filter(predicate)
+      .select(regexp_replace(col("_metadata.file_path"),
+          "^file:/(?!/)", "file:///").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val n = matched.count()
+    if (n == 0) return DmlStats(0, 0, 0)
+    // ~4M positions per delete file: each output file is one sorted
+    // (file_path, pos) range — individually a spec-valid sorted
+    // position-delete file, collectively disjoint
+    val nOut = math.max(1L, (n + 4000000L - 1) / 4000000L).toInt
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitDir = s"$root/_deletes/d${System.currentTimeMillis()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    matched
+      .repartitionByRange(nOut, col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.parquet(commitDir)
+    val written = fs.listStatus(new Path(commitDir)).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    // per-file row counts from the footers (control-plane: nOut files)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rowsOf = written.map { case (p, len) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val cnt = try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+      (p, cnt, len)
+    }
+    LogSync.appendDeleteManifest(spark, root,
+      rowsOf.toDF("path", "rows", "bytes")
+        .withColumn("registered_at", current_timestamp())
+        .withColumn("removed_at", lit(null).cast("timestamp")))
+    DmlStats(0, rowsOf.length.toLong, n)
+  }
+
+  /** Maintenance: tombstone delete files whose referenced data files
+    * are ALL gone from the active manifest (their rows are inert —
+    * compaction or CoW DML already materialized or superseded them).
+    * O(active delete rows); physical removal happens via
+    * [[LogCompact.vacuum]] after the grace period. Returns the number
+    * of delete files tombstoned.
+    */
+  def vacuumDeletes(spark: SparkSession, root: String): Int = {
+    import spark.implicits._
+    val entries = LogSync.posDeleteEntries(spark, root)
+    if (entries.isEmpty) return 0
+    val active = LogSync.activeManifest(spark, root)
+      .select(LogSync.normPath(col("path")).as("__active"))
+    // a delete FILE stays live while ANY of its target files is active
+    val live = spark.read.parquet(entries.map(_.path): _*)
+      .select(LogSync.normPath(col("file_path")).as("__target"),
+        LogSync.normPath(col("_metadata.file_path")).as("__del"))
+      .join(broadcast(active), col("__target") === col("__active"), "left_semi")
+      .select(col("__del")).distinct().as[String].collect().toSet
+    val dead = entries.map(e => LogSync.normPathStr(e.path)).toSet -- live
+    if (dead.isEmpty) return 0
+    val next = LogSync.deleteManifestDf(spark, root)
+      .withColumn("removed_at",
+        when(LogSync.normPath(col("path")).isin(dead.toSeq: _*) &&
+          col("removed_at").isNull, current_timestamp())
+          .otherwise(col("removed_at")))
+    LogSync.swapDeleteManifest(spark, root, next)
+    dead.size
   }
 
   /** Delete every registered row where `predicate` is TRUE (NULL keeps
@@ -178,8 +290,10 @@ object LakeDml {
             call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
           .select("path").as[String].collect()
         if (paths.isEmpty) None
-        else Some(spark.read.option("basePath", root).parquet(paths.toSeq: _*)
-          .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))))
+        else Some(LogSync.applyPosDeletes(spark,
+          spark.read.option("basePath", root).parquet(paths.toSeq: _*)
+            .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
+          LogSync.posDeleteEntries(spark, root)))
       } else Some(tableWithSrc(spark, root))
       val (files, nFiles, matched) = candidates match {
         case None => (Seq.empty[String], 0L, 0L)

@@ -161,6 +161,21 @@ object LogCompact {
     // queries) keep reading it — a consistent pre-compaction snapshot —
     // until vacuum ages it out
     LogSync.swapManifest(spark, root, next)
+    // compaction read the table MOR-applied, so every active position
+    // delete is now MATERIALIZED in the fresh files; tombstone the
+    // delete registry (after the data swap — a crash between leaves
+    // the delete rows pointing at tombstoned files, i.e. inert) so
+    // readers stop paying the anti-join and vacuum can reclaim them.
+    // Historic (pre-compaction) reads still apply them: the tombstone
+    // carries removed_at, the same time-travel rule as data files.
+    if (LogSync.hasDeleteManifest(spark, root) &&
+        LogSync.posDeleteEntries(spark, root).nonEmpty) {
+      LogSync.swapDeleteManifest(spark, root,
+        LogSync.deleteManifestDf(spark, root)
+          .withColumn("removed_at",
+            when(col("removed_at").isNull, current_timestamp())
+              .otherwise(col("removed_at"))))
+    }
     before.unpersist(); fresh.unpersist()
     CompactStats(filesBefore, filesAfter)
   }
@@ -228,7 +243,30 @@ object LogCompact {
     }
     staleDirs.foreach(d => fs.delete(d, true))
     m.unpersist()
-    dead.length + neverRegistered.length
+
+    // MOR position-delete files follow the same lifecycle: tombstoned
+    // (by compaction or vacuumDeletes) + aged + not pinned by any
+    // branch → physically removed, manifest row purged
+    var deadDeletes = 0
+    if (LogSync.hasDeleteManifest(spark, root)) {
+      val dm = LogSync.deleteManifestDf(spark, root).cache()
+      val deadDel = dm
+        .filter(col("removed_at") <= lit(cutoffTs))
+        .join(pinned, Seq("path"), "left_anti")
+        .select("path").as[String].collect()
+      deadDel.foreach(p => fs.delete(new Path(p), false))
+      deadDeletes = deadDel.length
+      if (deadDel.nonEmpty) {
+        LogSync.swapDeleteManifest(spark, root, dm
+          .filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs)))
+      }
+      dm.unpersist()
+      val staleDel = LogSync.staleDeleteManifestDirs(spark, root).filter { d =>
+        fs.listStatus(d).forall(_.getModificationTime <= cutoffMs)
+      }
+      staleDel.foreach(d => fs.delete(d, true))
+    }
+    dead.length + neverRegistered.length + deadDeletes
   }
 
   /** (path, modificationTimeMs) of every DATA file under `dir`.

@@ -144,7 +144,7 @@ object LogSync {
     out.result()
   }
 
-  private[sources] def hasManifest(spark: SparkSession, root: String): Boolean = {
+  private[graft] def hasManifest(spark: SparkSession, root: String): Boolean = {
     val p = new Path(manifestPath(spark, root))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -171,6 +171,142 @@ object LogSync {
     if (hasManifest(spark, root)) readManifestDir(spark, manifestPath(spark, root))
     else emptyManifest(spark)
 
+  // ---- position-delete sidecar (merge-on-read row deletes) ----
+
+  /** The MOR delete registry mirrors the data manifest's versioning:
+    * appends go to the current `_dmanifest[_v<N>]` dir, rewrites
+    * (tombstone purge, compaction) swap a whole new version with one
+    * atomic rename. One row per POSITION-DELETE FILE under
+    * `<root>/_deletes/` (Iceberg v2 shape: parquet rows of
+    * `file_path` + `pos` naming deleted row ordinals of specific data
+    * files). `rows`/`bytes` are write-time stats — the control-plane
+    * numbers the read path's broadcast-vs-shuffle decision and the
+    * Iceberg export's manifest entries need without reopening files.
+    */
+  private[sources] val deleteManifestSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("registered_at", TimestampType, nullable = false),
+    StructField("removed_at", TimestampType, nullable = true)))
+
+  private val DeleteManifestVersionRe = "_dmanifest_v([0-9]+)".r
+
+  private def deleteManifestVersion(spark: SparkSession, root: String): Int = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root))) return 0
+    fs.listStatus(new Path(root)).flatMap { st =>
+      st.getPath.getName match {
+        case DeleteManifestVersionRe(v) => Some(v.toInt)
+        case _ => None
+      }
+    }.foldLeft(0)((a, b) => math.max(a, b))
+  }
+
+  private[sources] def deleteManifestPath(spark: SparkSession, root: String): String = {
+    val v = deleteManifestVersion(spark, root)
+    if (v == 0) s"$root/_dmanifest" else s"$root/_dmanifest_v$v"
+  }
+
+  private[sources] def hasDeleteManifest(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(deleteManifestPath(spark, root))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[sources] def deleteManifestDf(spark: SparkSession, root: String): DataFrame =
+    if (hasDeleteManifest(spark, root))
+      spark.read.parquet(deleteManifestPath(spark, root))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteManifestSchema)
+
+  private[sources] def appendDeleteManifest(spark: SparkSession, root: String,
+                                            rows: DataFrame): Unit =
+    rows.select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
+      .write.mode(SaveMode.Append).parquet(deleteManifestPath(spark, root))
+
+  private[sources] def swapDeleteManifest(spark: SparkSession, root: String,
+                                          next: DataFrame): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vNext = deleteManifestVersion(spark, root) + 1
+    val staging = new Path(s"$root/_dmanifest_swap")
+    fs.delete(staging, true)
+    next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    require(fs.rename(staging, new Path(s"$root/_dmanifest_v$vNext")),
+      s"delete-manifest swap rename failed under $root")
+  }
+
+  /** Superseded delete-manifest versions — vacuum candidates, same
+    * retention rule as [[staleManifestDirs]].
+    */
+  private[sources] def staleDeleteManifestDirs(spark: SparkSession,
+                                               root: String): Seq[Path] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = deleteManifestVersion(spark, root)
+    if (cur == 0) return Seq.empty
+    val versioned = fs.listStatus(new Path(root)).toSeq.map(_.getPath).filter { p =>
+      p.getName match {
+        case DeleteManifestVersionRe(v) => v.toInt < cur
+        case _ => false
+      }
+    }
+    val legacy = new Path(s"$root/_dmanifest")
+    versioned ++ (if (fs.exists(legacy)) Seq(legacy) else Seq.empty)
+  }
+
+  /** One active position-delete file: (path, rows, bytes). */
+  private[graft] final case class PosDeleteEntry(path: String, rows: Long,
+                                                 bytes: Long)
+
+  /** The snapshot-bounded ACTIVE delete-file set — control-plane
+    * cardinality (one row per delete FILE; files are bounded by DML
+    * commits and folded by [[LakeDml.vacuumDeletes]] / compaction,
+    * never by row count). Driver-resident by design: the read path
+    * must name these paths explicitly anyway (they live under the
+    * underscore tree no data scan lists).
+    */
+  private[graft] def posDeleteEntries(spark: SparkSession, root: String,
+                                      asOf: Option[java.sql.Timestamp] = None
+                                     ): Seq[PosDeleteEntry] = {
+    if (!hasDeleteManifest(spark, root)) return Seq.empty
+    val m = deleteManifestDf(spark, root)
+    val bounded = asOf match {
+      case Some(ts) => m.filter(col("registered_at") <= lit(ts) &&
+        (col("removed_at").isNull || col("removed_at") > lit(ts)))
+      case None => m.filter(col("removed_at").isNull)
+    }
+    bounded.select(col("path"), col("rows"), col("bytes")).collect()
+      .map(r => PosDeleteEntry(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** Broadcast the delete rows only while they plausibly fit every
+    * executor (manifest `bytes` is compressed parquet; the in-memory
+    * relation is larger — stay well under the usual 8 GB broadcast
+    * ceiling). Past the cap the anti-join shuffles, which is the
+    * correct shape once deletions are data-scale.
+    */
+  private val BroadcastDeleteBytesCap = 64L * 1024 * 1024
+
+  /** Apply the position deletes in `entries` to a scan carrying
+    * `__src` (normalized `_metadata.file_path`): anti-join on
+    * (file, row ordinal). `_metadata.row_index` is the parquet row
+    * ordinal Spark's scan surfaces — exactly the `pos` the delete
+    * files record, no window or zipWithIndex pass.
+    */
+  private[sources] def applyPosDeletes(spark: SparkSession, df: DataFrame,
+                                       entries: Seq[PosDeleteEntry]): DataFrame = {
+    if (entries.isEmpty) return df
+    val delRows = spark.read.parquet(entries.map(_.path): _*)
+      .select(normPath(col("file_path")).as("__del_file"),
+        col("pos").cast("long").as("__del_pos"))
+    val sized =
+      if (entries.map(_.bytes).sum <= BroadcastDeleteBytesCap) broadcast(delRows)
+      else delRows
+    df.withColumn("__pos", col("_metadata.row_index"))
+      .join(sized, col("__src") === col("__del_file") &&
+        col("__pos") === col("__del_pos"), "left_anti")
+      .drop("__pos")
+  }
+
   /** [[keepOnly]] for cross-package CDC readers: the lake scan
     * restricted to a `__registered_path` keep-set.
     */
@@ -196,6 +332,10 @@ object LogSync {
     */
   private[graft] def normPath(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
+
+  /** [[normPath]] for driver-side strings (same canonical form). */
+  private[graft] def normPathStr(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
 
   /** Per-file min/max of the `timestamp` column for exactly `paths` —
     * Iceberg-style zone-map stats, computed by the one data-plane read
@@ -322,17 +462,20 @@ object LogSync {
     * past it, un-pruning every reader.
     */
   private def keepOnly(spark: SparkSession, root: String, paths: DataFrame,
-                       mergeSchema: Boolean = false): DataFrame =
-    spark.read.option("basePath", root)
+                       mergeSchema: Boolean = false,
+                       deletes: Seq[PosDeleteEntry] = Seq.empty): DataFrame = {
+    val kept = spark.read.option("basePath", root)
       .option("mergeSchema", mergeSchema.toString).parquet(root)
       .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-      .drop("__src")
+    applyPosDeletes(spark, kept, deletes).drop("__src")
+  }
 
   private def filteredTable(spark: SparkSession, root: String,
                             asOf: Option[java.sql.Timestamp],
                             mergeSchema: Boolean = false): DataFrame =
-    keepOnly(spark, root, registeredPaths(spark, root, asOf), mergeSchema)
+    keepOnly(spark, root, registeredPaths(spark, root, asOf), mergeSchema,
+      deletes = posDeleteEntries(spark, root, asOf))
 
   /** The queryable table: exactly the registered files. */
   def table(spark: SparkSession, root: String): DataFrame =
@@ -378,6 +521,11 @@ object LogSync {
       .filter(col("registered_at") > lit(since) &&
         (col("op").isNull || col("op") === "append"))
       .select(normPath(col("path")).as("__registered_path"))
+    // MOR position deletes are deliberately NOT applied: this surface
+    // reads APPEND commits only (delete commits are skipped the same
+    // way rewrites are — Iceberg's incremental-append default), so a
+    // consumer sees each appended row exactly once even if it is
+    // later deleted
     keepOnly(spark, root, paths)
   }
 
@@ -416,7 +564,7 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until))
       .select(normPath(col("path")).as("__registered_path"))
-    keepOnly(spark, root, paths)
+    keepOnly(spark, root, paths, deletes = posDeleteEntries(spark, root))
       .filter(col("timestamp") >= from && col("timestamp") < until)
   }
 
@@ -455,7 +603,7 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until) && svcKeep(lit(service)))
       .select(normPath(col("path")).as("__registered_path"))
-    keepOnly(spark, root, paths)
+    keepOnly(spark, root, paths, deletes = posDeleteEntries(spark, root))
       .filter(col("service_name") === service &&
         col("timestamp") >= from && col("timestamp") < until)
   }
@@ -490,6 +638,20 @@ object LogSync {
     val target = new Path(s"$root/_branch_$name")
     fs.delete(target, true)
     require(fs.rename(staging, target), s"branch rename failed for '$name'")
+    // pin the MOR delete state too: a branch must keep answering the
+    // rows it answered at creation, so deletes registered LATER must
+    // not leak into it (and its pinned delete files must survive
+    // vacuum — see branchProtectedPaths)
+    if (hasDeleteManifest(spark, root)) {
+      val dstaging = new Path(s"$root/_branch_del_swap_$name")
+      fs.delete(dstaging, true)
+      deleteManifestDf(spark, root).write.mode(SaveMode.Overwrite)
+        .parquet(dstaging.toString)
+      val dtarget = new Path(s"$root/_branch_del_$name")
+      fs.delete(dtarget, true)
+      require(fs.rename(dstaging, dtarget),
+        s"branch delete-manifest rename failed for '$name'")
+    }
   }
 
   /** Read a branch: the table exactly as pinned by [[branch]] —
@@ -503,15 +665,25 @@ object LogSync {
     val paths = spark.read.parquet(p.toString)
       .filter(col("removed_at").isNull)
       .select(normPath(col("path")).as("__registered_path"))
-    keepOnly(spark, root, paths)
+    // the branch's PINNED delete snapshot, not the live registry:
+    // deletes committed after the branch must not rewrite its history
+    val dp = new Path(s"$root/_branch_del_$name")
+    val deletes =
+      if (!fs.exists(dp)) Seq.empty
+      else spark.read.parquet(dp.toString)
+        .filter(col("removed_at").isNull)
+        .select(col("path"), col("rows"), col("bytes")).collect()
+        .map(r => PosDeleteEntry(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    keepOnly(spark, root, paths, deletes = deletes)
   }
 
   /** Delete a branch — releases its pin; the files it alone was
     * protecting become reclaimable by the next vacuum.
     */
   def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
-    val p = new Path(s"$root/_branch_$name")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/_branch_$name"), true)
+    fs.delete(new Path(s"$root/_branch_del_$name"), true)
   }
 
   /** Data paths active in ANY branch — the set [[LogCompact.vacuum]]
@@ -525,7 +697,8 @@ object LogSync {
       if (!fs.exists(new Path(root))) Seq.empty
       else fs.listStatus(new Path(root)).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("_branch_") &&
-          !p.getName.startsWith("_branch_swap_"))
+          !p.getName.startsWith("_branch_swap_") &&
+          !p.getName.startsWith("_branch_del_swap_"))
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("path", StringType, nullable = false))))

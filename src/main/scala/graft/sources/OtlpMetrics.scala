@@ -64,6 +64,15 @@ object OtlpMetrics {
     .add("negative", expBucketsType)
     .add("attributes", attrType)
 
+  private val summaryPointType = new StructType()
+    .add("timeUnixNano", StringType)
+    .add("count", StringType)
+    .add("sum", DoubleType)
+    .add("quantileValues", ArrayType(new StructType()
+      .add("quantile", DoubleType)
+      .add("value", DoubleType)))
+    .add("attributes", attrType)
+
   private val metricType = new StructType()
     .add("name", StringType)
     .add("unit", StringType)
@@ -82,6 +91,8 @@ object OtlpMetrics {
     .add("exponentialHistogram", new StructType()
       .add("dataPoints", ArrayType(expPointType))
       .add("aggregationTemporality", StringType))
+    .add("summary", new StructType()
+      .add("dataPoints", ArrayType(summaryPointType)))
 
   /** Schema of one OTLP/HTTP metrics envelope. */
   val otlpSchema: StructType = new StructType()
@@ -204,10 +215,32 @@ object OtlpMetrics {
         lit(null).cast("string").as("exemplars"),
         attrsJson(col("dp.attributes")).as("attributes")): _*)
 
+    // SUMMARY points (the legacy kind prometheus client bridges still
+    // emit): kind = "summary", point-level count/sum in their columns,
+    // and the pre-computed quantile/value pairs as one canonical JSON
+    // array in `bucket_counts` (re-read with [[summaryQuantileSchema]]).
+    // Summaries define no temporality (always cumulative-style
+    // snapshots) and no bounds.
+    val summaryRows = exploded
+      .filter(col("m.summary.dataPoints").isNotNull)
+      .select(col("rm"), col("sm"), col("m"),
+        explode(col("m.summary.dataPoints")).as("dp"))
+      .select(base("summary") ++ Seq(
+        lit(null).cast("double").as("value"),
+        lit(null).cast("boolean").as("is_monotonic"),
+        lit(null).cast("int").as("temporality"),
+        col("dp.count").cast("long").as("point_count"),
+        col("dp.sum").as("point_sum"),
+        to_json(col("dp.quantileValues")).as("bucket_counts"),
+        lit(null).cast("string").as("explicit_bounds"),
+        lit(null).cast("string").as("exemplars"),
+        attrsJson(col("dp.attributes")).as("attributes")): _*)
+
     numberRows("gauge", "gauge")
       .unionByName(numberRows("sum", "sum"))
       .unionByName(histRows)
       .unionByName(expRows)
+      .unionByName(summaryRows)
   }
 
   /** Schema of the `bucket_counts` JSON object on `exp_histogram`
@@ -221,6 +254,15 @@ object OtlpMetrics {
       .add("offset", IntegerType).add("bucketCounts", ArrayType(LongType)))
     .add("negative", new StructType()
       .add("offset", IntegerType).add("bucketCounts", ArrayType(LongType)))
+
+  /** Schema of the `bucket_counts` JSON array on `summary` rows —
+    * consumers `from_json(col("bucket_counts"), summaryQuantileSchema)`
+    * for the typed quantile/value pairs.
+    */
+  val summaryQuantileSchema: org.apache.spark.sql.types.ArrayType =
+    ArrayType(new StructType()
+      .add("quantile", DoubleType)
+      .add("value", DoubleType))
 
   /** Schema of the `exemplars` JSON array on data-point rows —
     * consumers `from_json(col("exemplars"), exemplarSchema)` for the

@@ -29,11 +29,11 @@ import OtlpProtoOps.{R, W, PAttr, attrsJson, esc, hex, hexBytes, readKeyValue, r
   * sint32 for the exponential-histogram `scale`/`offset`.
   *
   * Metric kinds decoded: gauge, sum (temporality + monotonic
-  * preserved), explicit-bucket histogram, and EXPONENTIAL histogram
-  * (scale/zero-count/positive/negative bucket runs) — the shape OTel
-  * SDKs increasingly default to. Summary and exemplars are outside
-  * the landed schema's vocabulary and are skipped, like the JSON
-  * intake.
+  * preserved), explicit-bucket histogram, EXPONENTIAL histogram
+  * (scale/zero-count/positive/negative bucket runs), SUMMARY
+  * (quantile/value pairs — the legacy kind prometheus client bridges
+  * still emit), and EXEMPLARS on number/histogram points (the
+  * metrics→traces hop) — every kind the metrics proto defines.
   */
 object OtlpProtoSignalOps {
 
@@ -267,11 +267,17 @@ object OtlpProtoSignalOps {
   private final case class PExp(timeNs: Long, count: Long, sum: java.lang.Double,
                                 scale: Int, zero: Long, pos: PBuckets, neg: PBuckets,
                                 attrs: List[PAttr])
+  private final case class PQuant(q: Double, v: Double)
+  private final case class PSummary(timeNs: Long, count: Long,
+                                    sum: java.lang.Double,
+                                    quantiles: List[PQuant],
+                                    attrs: List[PAttr])
   private final case class PMetric(name: String, unit: String,
                                    gauge: List[PNum], sum: List[PNum],
                                    sumTemp: Int, sumMono: Boolean,
                                    hist: List[PHist], histTemp: Int,
-                                   exp: List[PExp], expTemp: Int)
+                                   exp: List[PExp], expTemp: Int,
+                                   summary: List[PSummary] = Nil)
 
   private def zigzag(v: Long): Int = (((v >>> 1) ^ -(v & 1L))).toInt
 
@@ -300,6 +306,37 @@ object OtlpProtoSignalOps {
         case (4, 1) => p = p.copy(d = java.lang.Double.longBitsToDouble(r.fixed64()))
         case (5, 2) => p = p.copy(exem = p.exem :+ readExemplar(r.sub()))
         case (6, 1) => p = p.copy(i = r.fixed64()) // sfixed64
+        case (7, 2) => p = p.copy(attrs = p.attrs :+ readKeyValue(r.sub()))
+        case (_, w) => r.skip(w)
+      }
+    }
+    p
+  }
+
+  /** SummaryDataPoint: attributes=7, time_unix_nano=3 (fixed64),
+    * count=4 (fixed64), sum=5 (double), quantile_values=6
+    * (ValueAtQuantile: quantile=1 double, value=2 double).
+    */
+  private def readSummary(r: R): PSummary = {
+    var p = PSummary(0L, 0L, null, Nil, Nil)
+    while (r.hasMore) {
+      val tag = r.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (3, 1) => p = p.copy(timeNs = r.fixed64())
+        case (4, 1) => p = p.copy(count = r.fixed64())
+        case (5, 1) => p = p.copy(sum = java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (6, 2) =>
+          val qv = r.sub()
+          var q = 0.0; var v = 0.0
+          while (qv.hasMore) {
+            val t2 = qv.varint().toInt
+            (t2 >> 3, t2 & 7) match {
+              case (1, 1) => q = java.lang.Double.longBitsToDouble(qv.fixed64())
+              case (2, 1) => v = java.lang.Double.longBitsToDouble(qv.fixed64())
+              case (_, w) => qv.skip(w)
+            }
+          }
+          p = p.copy(quantiles = p.quantiles :+ PQuant(q, v))
         case (7, 2) => p = p.copy(attrs = p.attrs :+ readKeyValue(r.sub()))
         case (_, w) => r.skip(w)
       }
@@ -423,6 +460,15 @@ object OtlpProtoSignalOps {
               case (_, w) => e.skip(w)
             }
           }
+        case (11, 2) => // Summary (legacy prometheus-bridge exporters)
+          val s = r.sub()
+          while (s.hasMore) {
+            val t2 = s.varint().toInt
+            (t2 >> 3, t2 & 7) match {
+              case (1, 2) => m = m.copy(summary = m.summary :+ readSummary(s.sub()))
+              case (_, w) => s.skip(w)
+            }
+          }
         case (_, w) => r.skip(w)
       }
     }
@@ -539,6 +585,27 @@ object OtlpProtoSignalOps {
     if (m.exp.nonEmpty) {
       key("exponentialHistogram"); points(m.exp, m.expTemp, None)(expJson(sb, _))
     }
+    if (m.summary.nonEmpty) {
+      key("summary"); points(m.summary, 0, None)(summaryJson(sb, _))
+    }
+    sb.append('}')
+  }
+
+  private def summaryJson(sb: java.lang.StringBuilder, p: PSummary): Unit = {
+    sb.append("{\"timeUnixNano\":\"")
+      .append(java.lang.Long.toUnsignedString(p.timeNs)).append('"')
+    sb.append(",\"count\":\"").append(java.lang.Long.toUnsignedString(p.count)).append('"')
+    if (p.sum != null) { sb.append(",\"sum\":"); dbl(sb, p.sum.doubleValue) }
+    sb.append(",\"quantileValues\":[")
+    var first = true
+    p.quantiles.foreach { q =>
+      if (!first) sb.append(','); first = false
+      sb.append("{\"quantile\":"); dbl(sb, q.q)
+      sb.append(",\"value\":"); dbl(sb, q.v)
+      sb.append('}')
+    }
+    sb.append(']')
+    attrsJson(sb, "attributes", p.attrs, leading = true)
     sb.append('}')
   }
 
@@ -635,6 +702,16 @@ object OtlpProtoSignalOps {
     val name = row.getUTF8String(6)
     val kind = row.getInt(7)
     val statusCode = row.getInt(8)
+    // optional trailing fields (13-field struct form): one "exception"
+    // span Event (exception.type/message attributes, time = span end)
+    // and one causal Link — the wire twins of [[OtlpTraces.toOtlpJson]]'s
+    // events/links parameters
+    def strAt(i: Int) =
+      if (row.numFields > i && !row.isNullAt(i)) row.getUTF8String(i) else null
+    val excType = strAt(9)
+    val excMsg = strAt(10)
+    val linkTrace = strAt(11)
+    val linkSpan = strAt(12)
     val top = new W
     top.msg(1) { rs => // ResourceSpans
       rs.msg(1) { res =>
@@ -650,6 +727,16 @@ object OtlpProtoSignalOps {
           if (kind != 0) { sp.tag(6, 0); sp.vint(kind.toLong) }
           sp.fixed64(7, startUs * 1000L)
           sp.fixed64(8, endUs * 1000L)
+          if (excType != null) sp.msg(11) { ev => // Event
+            ev.fixed64(1, endUs * 1000L)
+            ev.str(2, "exception")
+            strAttr(ev, 3, "exception.type", excType.toString)
+            if (excMsg != null) strAttr(ev, 3, "exception.message", excMsg.toString)
+          }
+          if (linkTrace != null) sp.msg(13) { ln => // Link
+            ln.bytes(1, hexBytes(linkTrace.toString))
+            if (linkSpan != null) ln.bytes(2, hexBytes(linkSpan.toString))
+          }
           if (statusCode != 0) sp.msg(15) { st => st.tag(3, 0); st.vint(statusCode.toLong) }
         }
       }
@@ -777,15 +864,17 @@ case class OtlpMetricProtoToJsonTry(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `graft_otlp_span_proto(struct(...))`: one span (9-field struct,
-  * see [[OtlpProtoSignalOps.encodeSpanFromRow]]) → `TracesData` bytes.
+/** `graft_otlp_span_proto(struct(...))`: one span (9-field struct, or
+  * 13 fields with the optional exception-event/link tail — see
+  * [[OtlpProtoSignalOps.encodeSpanFromRow]]) → `TracesData` bytes.
   */
 case class OtlpSpanProtoEncode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case s: StructType if s.length == 9 => TypeCheckResult.TypeCheckSuccess
+    case s: StructType if s.length == 9 || s.length == 13 =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_otlp_span_proto expects a 9-field struct, got $t")
+      s"graft_otlp_span_proto expects a 9- or 13-field struct, got $t")
   }
   override def nullSafeEval(input: Any): Any =
     OtlpProtoSignalOps.encodeSpanFromRow(input.asInstanceOf[InternalRow])

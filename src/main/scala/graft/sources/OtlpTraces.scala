@@ -161,6 +161,21 @@ object OtlpTraces {
       traceId.cast("string"), spanId.cast("string"), parentSpanId.cast("string"),
       spanName.cast("string"), kind.cast("int"), statusCode.cast("int")))
 
+  /** [[toOtlpProto]] with the optional exception-event / causal-link
+    * tail (the wire twin of [[toOtlpJson]]'s trailing parameters).
+    */
+  def toOtlpProtoEvents(startUs: Column, endUs: Column, serviceName: Column,
+                        traceId: Column, spanId: Column, parentSpanId: Column,
+                        spanName: Column, kind: Column, statusCode: Column,
+                        excType: Column, excMsg: Column,
+                        linkTrace: Column, linkSpan: Column): Column =
+    call_function("graft_otlp_span_proto", struct(
+      startUs.cast("long"), endUs.cast("long"), serviceName.cast("string"),
+      traceId.cast("string"), spanId.cast("string"), parentSpanId.cast("string"),
+      spanName.cast("string"), kind.cast("int"), statusCode.cast("int"),
+      excType.cast("string"), excMsg.cast("string"),
+      linkTrace.cast("string"), linkSpan.cast("string")))
+
   /** (valid span rows, undecodable payloads) for the protobuf
     * transport — decode failures AND shape-invalid decodes both land
     * in the rejected stream as their raw bytes.
@@ -199,7 +214,11 @@ object OtlpTraces {
     */
   def toOtlpJson(startUs: Column, endUs: Column, serviceName: Column,
                  traceId: Column, spanId: Column, parentSpanId: Column,
-                 spanName: Column, kind: Column, statusCode: Column): Column =
+                 spanName: Column, kind: Column, statusCode: Column,
+                 excType: Column = lit(null).cast("string"),
+                 excMsg: Column = lit(null).cast("string"),
+                 linkTrace: Column = lit(null).cast("string"),
+                 linkSpan: Column = lit(null).cast("string")): Column =
     to_json(struct(
       array(struct(
         struct(array(
@@ -216,6 +235,24 @@ object OtlpTraces {
             kind.cast("int").as("kind"),
             (startUs * 1000).cast("string").as("startTimeUnixNano"),
             (endUs * 1000).cast("string").as("endTimeUnixNano"),
-            struct(statusCode.cast("int").as("code")).as("status"))).as("spans")))
+            struct(statusCode.cast("int").as("code")).as("status"),
+            // one "exception" span event when excType is set — the
+            // shape OTel SDKs emit from recordException (event time =
+            // span end; exception.type/message attributes); to_json
+            // omits the null-valued key for event-free spans
+            when(excType.isNotNull, array(struct(
+              (endUs * 1000).cast("string").as("timeUnixNano"),
+              lit("exception").as("name"),
+              array(
+                struct(lit("exception.type").as("key"),
+                  struct(excType.as("stringValue")).as("value")),
+                struct(lit("exception.message").as("key"),
+                  struct(excMsg.as("stringValue")).as("value"))).as("attributes"))))
+              .as("events"),
+            // one causal link when linkTrace is set (batch consumers,
+            // follows-from)
+            when(linkTrace.isNotNull, array(struct(
+              linkTrace.as("traceId"), linkSpan.as("spanId")))).as("links")))
+            .as("spans")))
           .as("scopeSpans"))).as("resourceSpans")))
 }

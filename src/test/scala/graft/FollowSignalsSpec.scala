@@ -287,4 +287,52 @@ class FollowSignalsSpec extends SparkSpec {
         "the orphan must have been horizon-expired from the pending store")
     } finally server.stop()
   }
+
+  test("SignalLakeMaintenance: a flush-grown signal lake compacts in steady state; twins unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val server = graft.serving.OtlpHttp.start(spark, root)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val baseNs = 1705060800000000000L
+      // six flushes = six append commits of small files (the shape a
+      // 10 s-interval edge produces all day)
+      for (i <- 0 until 6) {
+        assert(post(client, server.port, "/v1/metrics",
+          metricEnv(s"svc-m${i % 2}", "requests",
+            Seq((i * 60L, 10L + i), (i * 60L + 30L, 12L + i)), baseNs)) == 200)
+        server.flush()
+      }
+      val lake = s"$root/_metrics"
+      graft.sources.IcebergExport.export(spark, lake)
+      val filesBefore = graft.sources.LogSync.manifest(spark, lake)
+        .filter(col("removed_at").isNull).count()
+      assert(filesBefore >= 6, s"each flush must append files: $filesBefore")
+      def results() = graft.sources.LogSync.table(spark, lake)
+        .groupBy(col("service_name"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          max(col("timestamp")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getTimestamp(3))).sortBy(_._1).toSeq
+      val want = results()
+      val stats = graft.streaming.SignalLakeMaintenance.run(spark, lake,
+        minFilesToCompact = 2, vacuumGraceMs = 0L)
+      assert(stats.compacted.nonEmpty, "past the threshold the round must compact")
+      assert(stats.vacuumed > 0, "zero-grace vacuum must reclaim the replaced files")
+      assert(stats.expired.nonEmpty, "an exported lake must get metadata expiry")
+      val filesAfter = graft.sources.LogSync.manifest(spark, lake)
+        .filter(col("removed_at").isNull).count()
+      assert(filesAfter < filesBefore,
+        s"file count must be bounded: $filesBefore -> $filesAfter")
+      assert(results() == want, "maintenance must not change the table")
+      // an idle second round pays nothing: below the threshold, no
+      // compaction, nothing to vacuum
+      val again = graft.streaming.SignalLakeMaintenance.run(spark, lake,
+        minFilesToCompact = 64, vacuumGraceMs = 0L)
+      assert(again.compacted.isEmpty)
+      // and the increase twin still answers off the compacted lake
+      val inc = graft.operators.MetricAnalytics.increaseFromLake(
+        spark, lake, "requests")
+      assert(inc.count() > 0)
+    } finally server.stop()
+  }
 }

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{IcebergExport, LakeDml, LogCompact, LogSync, Tables}
+
+/** Merge-on-read position deletes: [[graft.sources.LakeDml.deleteMor]]
+  * writes Iceberg v2-shaped position-delete files instead of
+  * copy-on-write rewrites; [[graft.sources.LogSync.table]] applies
+  * them; [[graft.sources.IcebergExport.export]] chains them as a real
+  * v2 delete snapshot readable via the MOR reader.
+  */
+class IcebergMorSpec extends SparkSpec {
+
+  private def mkLake(batches: Seq[(Int, String)]): String = {
+    val root = Files.createTempDirectory("graft_mor").toString
+    batches.foreach { case (n, svc) =>
+      Tables.events(spark, sf).limit(n)
+        .select(col("ts").as("timestamp"), lit(svc).as("service_name"),
+          col("event_type").as("severity_text"),
+          concat(lit(svc), lit("-"), col("event_id")).as("span_id"),
+          col("props").as("body"))
+        .write.mode("append").partitionBy("service_name").parquet(root)
+    }
+    LogSync.sync(spark, root)
+    root
+  }
+
+  test("deleteMor: no data file rewritten; table() excludes exactly the matched rows") {
+    val root = mkLake(Seq((200, "s0"), (150, "s1")))
+    val before = LogSync.table(spark, root).count()
+    val toDelete = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view" && col("service_name") === "s0").count()
+    assert(toDelete > 0, "fixture must have rows to delete")
+    val filesBefore = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).count()
+
+    val stats = LakeDml.deleteMor(spark, root,
+      col("severity_text") === "view" && col("service_name") === "s0")
+    assert(stats.rowsChanged == toDelete)
+    assert(stats.filesRemoved == 0, "MOR must not touch any data file")
+    assert(stats.filesAdded >= 1, "must register at least one delete file")
+
+    val filesAfter = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).count()
+    assert(filesAfter == filesBefore, "the data manifest must be untouched")
+    assert(LogSync.table(spark, root).count() == before - toDelete)
+    assert(LogSync.table(spark, root)
+      .filter(col("severity_text") === "view" && col("service_name") === "s0")
+      .count() == 0)
+    // other services' rows untouched
+    assert(LogSync.table(spark, root)
+      .filter(col("severity_text") === "view" && col("service_name") === "s1")
+      .count() > 0)
+
+    // idempotence: the matched rows are already invisible, so a second
+    // identical deleteMor records nothing
+    val again = LakeDml.deleteMor(spark, root,
+      col("severity_text") === "view" && col("service_name") === "s0")
+    assert(again.rowsChanged == 0 && again.filesAdded == 0)
+  }
+
+  test("deleteMor: time travel crosses the delete like a data commit") {
+    val root = mkLake(Seq((150, "s0")))
+    val before = LogSync.table(spark, root).count()
+    val preTs = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    Thread.sleep(20)
+    val postTs = new java.sql.Timestamp(System.currentTimeMillis())
+    assert(LogSync.tableAsOf(spark, root, preTs).count() == before,
+      "a pre-delete snapshot must still answer the deleted rows")
+    assert(LogSync.tableAsOf(spark, root, postTs).count() ==
+      LogSync.table(spark, root).count())
+  }
+
+  test("deleteMor then CoW: the complement rewrite must not resurrect MOR-deleted rows") {
+    val root = mkLake(Seq((200, "s0")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    val afterMor = LogSync.table(spark, root).count()
+    val purchases = LogSync.table(spark, root)
+      .filter(col("severity_text") === "purchase").count()
+    // CoW delete on a DIFFERENT predicate rewrites the same files the
+    // MOR delete targeted — the complement must be MOR-applied
+    val stats = LakeDml.delete(spark, root, col("severity_text") === "purchase")
+    assert(stats.rowsChanged == purchases)
+    assert(LogSync.table(spark, root).count() == afterMor - purchases)
+    assert(LogSync.table(spark, root).filter(col("severity_text") === "view").count() == 0,
+      "CoW rewrite resurrected MOR-deleted rows")
+  }
+
+  test("compact materializes MOR deletes; vacuum reclaims the delete files") {
+    val root = mkLake(Seq((200, "s0"), (150, "s1")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    val want = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    LogCompact.compact(spark, root)
+    val got = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "compaction must preserve the MOR-applied table")
+    // the registry is tombstoned: no active delete files remain
+    assert(graft.sources.LogSync.posDeleteEntries(spark, root).isEmpty)
+    // vacuum with no grace removes the tombstoned delete files
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_deletes")))
+    LogCompact.vacuum(spark, root, graceMs = 0L)
+    val remaining = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_deletes"))
+      .flatMap(d => if (d.isDirectory) fs.listStatus(d.getPath).toSeq else Seq(d))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(remaining == 0, s"vacuum must reclaim tombstoned delete files, $remaining left")
+    assert(got == LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
+  test("branch pins the delete state: later deleteMor does not leak into the branch") {
+    val root = mkLake(Seq((150, "s0")))
+    val before = LogSync.table(spark, root).count()
+    LogSync.branch(spark, root, "pre")
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    assert(LogSync.tableBranch(spark, root, "pre").count() == before,
+      "a branch created before the delete must still answer all rows")
+    // and a branch created AFTER pins the post-delete state
+    LogSync.branch(spark, root, "post")
+    assert(LogSync.tableBranch(spark, root, "post").count() ==
+      LogSync.table(spark, root).count())
+    LogSync.dropBranch(spark, root, "pre")
+    LogSync.dropBranch(spark, root, "post")
+  }
+
+  test("export chains a v2 delete snapshot; readTable applies it merge-on-read") {
+    val root = mkLake(Seq((200, "s0"), (150, "s1")))
+    val totalRows = LogSync.table(spark, root).count()
+    // export BEFORE the delete so the delete rides a DELTA snapshot
+    IcebergExport.export(spark, root)
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    IcebergExport.export(spark, root)
+
+    val chain = IcebergExport.snapshots(spark, root)
+    assert(chain.length == 2, s"delta export must retain history: $chain")
+    assert(chain.last._3.contains(chain.head._1), "parent-snapshot-id must chain")
+
+    // the current snapshot's summary says delete, not overwrite
+    val mdDir = new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata")
+    val fs = mdDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new String(fs.open(new org.apache.hadoop.fs.Path(mdDir, "version-hint.text"))
+      .readAllBytes(), "UTF-8").trim
+    val mdTxt = new String(fs.open(
+      new org.apache.hadoop.fs.Path(mdDir, s"v$hint.metadata.json")).readAllBytes(), "UTF-8")
+    assert(mdTxt.contains(""""operation":"delete""""),
+      "a deletes-only commit must say operation=delete")
+    assert(mdTxt.contains(""""added-position-deletes""""))
+
+    // readTable (MOR path) equals the live post-delete table
+    val want = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = IcebergExport.readTable(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "exported MOR chain must read back the post-delete table")
+
+    // TIME TRAVEL to the pre-delete snapshot still answers every row
+    val preTotal = IcebergExport.readTable(spark, root,
+      Some(IcebergExport.BySnapshotId(chain.head._1))).count()
+    assert(preTotal == totalRows,
+      "the pre-delete snapshot must still answer the deleted rows")
+    assert(LogSync.table(spark, root).count() ==
+      totalRows - LogSync.posDeleteEntries(spark, root).map(_.rows).sum)
+  }
+
+  test("vacuumDeletes tombstones delete files whose targets were all rewritten") {
+    val root = mkLake(Seq((200, "s0")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    assert(LakeDml.vacuumDeletes(spark, root) == 0,
+      "live targets: nothing to tombstone yet")
+    // CoW delete rewrites every file containing purchases — which in a
+    // one-service lake is every file the MOR delete targeted too
+    LakeDml.delete(spark, root, col("severity_text") === "purchase")
+    val want = LogSync.table(spark, root).count()
+    assert(LakeDml.vacuumDeletes(spark, root) >= 1)
+    assert(LogSync.posDeleteEntries(spark, root).isEmpty)
+    assert(LogSync.table(spark, root).count() == want,
+      "tombstoning inert delete files must not change the table")
+  }
+}

@@ -506,6 +506,80 @@ class OtlpHttpSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("metrics intake: SUMMARY points land from BOTH transports; quantile reader answers") {
+    val root = Files.createTempDirectory("graft_otlp_summary").toString
+    val server = OtlpHttp.start(spark, root)
+    try {
+      val baseNs = 1705060800000000000L
+      // JSON transport: a legacy prometheus-bridge summary with
+      // pre-computed quantiles
+      val env =
+        s"""{"resourceMetrics":[{"resource":{"attributes":[
+           |{"key":"service.name","value":{"stringValue":"svc-sj"}}]},
+           |"scopeMetrics":[{"scope":{"name":"graft-test"},"metrics":[
+           |{"name":"rpc.latency","unit":"ms","summary":{"dataPoints":[
+           |  {"timeUnixNano":"$baseNs","count":"100","sum":512.5,
+           |   "quantileValues":[{"quantile":0.5,"value":3.25},
+           |                     {"quantile":0.95,"value":9.75}],
+           |   "attributes":[]},
+           |  {"timeUnixNano":"${baseNs + 1000000000L}","count":"120","sum":600.0,
+           |   "quantileValues":[{"quantile":0.5,"value":3.5},
+           |                     {"quantile":0.95,"value":11.25}],
+           |   "attributes":[]}
+           |]}}]}]}]}""".stripMargin.replace("\n", "")
+      assert(post(server.port, "/v1/metrics", env.getBytes, "application/json")
+        .statusCode() == 200)
+      // WIRE transport: the same shape hand-assembled (Summary =
+      // Metric field 11; SummaryDataPoint time=3/count=4/sum=5,
+      // ValueAtQuantile quantile=1/value=2)
+      import graft.sources.OtlpProtoOps
+      val sumBin = {
+        val top = new OtlpProtoOps.W
+        top.msg(1) { rm =>
+          rm.msg(1)(res => OtlpProtoOps.strAttr(res, 1, "service.name", "svc-sw"))
+          rm.msg(2) { sm =>
+            sm.msg(1)(_.str(1, "graft"))
+            sm.msg(2) { m =>
+              m.str(1, "rpc.latency"); m.str(3, "ms")
+              m.msg(11) { s =>
+                s.msg(1) { dp =>
+                  dp.fixed64(3, baseNs)
+                  dp.fixed64(4, 40L)
+                  dp.fixed64(5, java.lang.Double.doubleToLongBits(80.0))
+                  dp.msg(6) { qv =>
+                    qv.fixed64(1, java.lang.Double.doubleToLongBits(0.95))
+                    qv.fixed64(2, java.lang.Double.doubleToLongBits(7.5))
+                  }
+                }
+              }
+            }
+          }
+        }
+        top.result
+      }
+      assert(post(server.port, "/v1/metrics", sumBin, "application/x-protobuf")
+        .statusCode() == 200)
+      assert(server.flush()._1 == 3, "2 JSON + 1 wire summary points must land")
+      val t = LogSync.table(spark, s"$root/_metrics").filter(col("kind") === "summary")
+      assert(t.count() == 3)
+      val wire = t.filter(col("service_name") === "svc-sw").head
+      assert(wire.getAs[Long]("point_count") == 40L)
+      assert(wire.getAs[Double]("point_sum") == 80.0)
+      // the reader surfaces the LATEST snapshot's value at the asked
+      // quantile, per series
+      val p95 = graft.operators.MetricAnalytics.summaryQuantileFromLake(
+        spark, s"$root/_metrics", "rpc.latency", 0.95).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(p95 == Map("svc-sj" -> 11.25, "svc-sw" -> 7.5),
+        s"latest-point quantile extraction: $p95")
+      // an unexported quantile answers null, not a fabricated value
+      val p99 = graft.operators.MetricAnalytics.summaryQuantileFromLake(
+        spark, s"$root/_metrics", "rpc.latency", 0.99).collect()
+      assert(p99.forall(_.isNullAt(1)),
+        "a summary only answers the quantiles its exporter chose")
+    } finally server.stop()
+  }
+
   private def postGz(port: Int, body: Array[Byte], contentType: String): HttpResponse[String] =
     client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))

@@ -283,4 +283,39 @@ class TraceAnalyticsSpec extends SparkSpec {
       assert(w.getAs[Long]("n_traces") == d.getAs[Long]("n_traces"))
     }
   }
+
+  test("trace_lake_spans: the bloom sidecar prunes files; lookup equals the direct filter") {
+    val root = TraceAnalytics.tracesLakeRoot(spark, sf)
+    val got = TraceAnalytics.lakeTraceSpans(spark, sf).collect() // builds the index
+    assert(got.nonEmpty)
+    val traceId = java.security.MessageDigest.getInstance("MD5")
+      .digest("7/2024-01-15".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // bloom-negative files never reach the scan
+    val (kept, total) = graft.sources.LakeIndex.pruneCounts(
+      spark, root, "trace_id", Seq(traceId))
+    assert(kept < total,
+      s"the point lookup must prune the file set, kept $kept of $total")
+    // and pruning never changes the answer
+    val want = graft.sources.LogSync.table(spark, root)
+      .filter(col("trace_id") === traceId).count()
+    assert(got.length.toLong == want)
+  }
+
+  test("span events and links survive BOTH wire transports into the lake") {
+    val root = TraceAnalytics.tracesLakeRoot(spark, sf)
+    val t = graft.sources.LogSync.table(spark, root)
+    val ev = graft.sources.OtlpTraces.spanEvents(t)
+      .filter(col("event_name") === "exception")
+    assert(ev.count() > 0, "the fixture must land exception events")
+    // the transport split is by span-id hash, so both wires must have
+    // contributed events (crc32 parity partitions the id space)
+    val sides = ev.select((crc32(col("span_id")) % 2).as("side")).distinct().count()
+    assert(sides == 2, "exception events must arrive via BOTH transports")
+    // links: every root span carries exactly one link; non-roots none
+    val links = t.filter(col("span_links").isNotNull)
+    assert(links.filter(col("parent_span_id").isNotNull).count() == 0,
+      "only root spans link to the previous-day trace")
+    assert(links.count() == t.filter(col("parent_span_id").isNull).count(),
+      "every root span must carry its link")
+  }
 }
