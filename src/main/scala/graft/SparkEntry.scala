@@ -92,6 +92,7 @@ object SparkEntry {
     "lake_iceberg_ext"    -> (LakeAnalytics.icebergExternalRegions _),
     "lake_iceberg_day"    -> (LakeAnalytics.icebergExternalDays _),
     "lake_iceberg_dml"    -> (LakeAnalytics.morSeverity _),
+    "lake_iceberg_merge"  -> (LakeAnalytics.mergeMorSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
     "lake_iceberg_tt"     -> (LakeAnalytics.icebergTimeTravel _),
@@ -1061,6 +1062,16 @@ object SparkEntry {
         | event_type AS severity_text, count(*) AS n
         |FROM events
         |WHERE NOT (user_id % 10 = 7 AND event_type = 'signup')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // MOR MERGE: svc-2 signups reclassified 'converted' by upsertMor
+    // (position-delete + append), read back through the mixed-delta
+    // exported chain
+    "lake_iceberg_merge" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | CASE WHEN user_id % 10 = 2 AND event_type = 'signup'
+        |      THEN 'converted' ELSE event_type END AS severity_text,
+        | count(*) AS n
+        |FROM events
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_iceberg_mor" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn

@@ -470,6 +470,51 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val mergeMorBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake corrected by MERGE-ON-READ upsert
+    * ([[graft.sources.LakeDml.upsertMor]]): svc-2's 'signup' rows are
+    * RECLASSIFIED to severity 'converted' — keyed on span_id, the
+    * matched originals position-deleted (no data file rewritten), the
+    * corrected rows appended — then exported, so the chain carries a
+    * MIXED delta snapshot (delete manifest + data manifest in one
+    * commit). The update frame derives from the PAYLOADS, not the
+    * live table, so the fixture is deterministic and the DuckDB
+    * oracle replays it as a CASE on the events synthesis.
+    */
+  private[graft] def mergeMorRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(mergeMorBuilt, dir, "graft_lakemerge", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      val updates = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .filter(col("service_name") === "svc-2" && col("severity_text") === "signup")
+        .withColumn("severity_text", lit("converted"))
+        // the registered table carries the layout-derived columns —
+        // update rows must supply them the way LogWriter derives them
+        .withColumn("year", year(col("timestamp")))
+        .withColumn("month", month(col("timestamp")))
+        .withColumn("day", dayofmonth(col("timestamp")))
+        .withColumn("hour", hour(col("timestamp")))
+      val stats = graft.sources.LakeDml.upsertMor(spark, root, updates, Seq("span_id"))
+      require(stats.filesRemoved == 0 && stats.rowsChanged > 0,
+        s"MOR merge fixture must replace rows without rewriting files: $stats")
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** `lake_iceberg_merge`: severity counts through the exported chain
+    * of [[mergeMorRoot]] — hash-matching the reclassified oracle
+    * certifies the WRITE half of MOR merge (position capture on the
+    * matched keys, delete-file write, update append, mixed-delta
+    * export, spec-rule application on read) end-to-end.
+    */
+  def mergeMorSeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, mergeMorRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
   private val clusterBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake that grew WITHOUT a useful layout and was then re-clustered

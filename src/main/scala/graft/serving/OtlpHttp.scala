@@ -28,6 +28,13 @@ import graft.sources.{LogSync, LogWriter, OtlpLogs, OtlpMetrics, OtlpTraces}
   * registration per flush — readers never see a half-written batch,
   * exactly like [[graft.streaming.LakeIngest]]'s micro-batches).
   *
+  * SCOPE: OTLP/HTTP only, deliberately — the reference compose
+  * exposes ONLY the collector's HTTP port (:4318;
+  * docker-compose.yaml:95-96 maps no :4317), so OTLP/gRPC is outside
+  * the reference's own surface; the wire PAYLOADS are identical
+  * protobuf either way, and this edge already decodes them — a gRPC
+  * front-end would add only HTTP/2 framing, not new decode paths.
+  *
   * Protocol behavior (the part a real exporter sees):
   *  - 200 + `{}` on accepted payloads (export-level acceptance; OTLP
   *    allows asynchronous processing after acknowledgment); an empty

@@ -163,18 +163,31 @@ object LakeDml {
     * Returns DmlStats(filesRemoved = 0 — no data file is touched,
     * filesAdded = delete files written, rowsChanged = rows deleted).
     */
-  def deleteMor(spark: SparkSession, root: String, predicate: Column): DmlStats = {
+  /** The table with the spec-URI file identity and row ordinal
+    * materialized as ordinary columns (`__dfile`/`__dpos`) — joins
+    * and projections downstream would otherwise lose `_metadata`
+    * resolution. file_path takes the URI form the Iceberg export's
+    * manifest entries carry (`file:///x`, not Spark's `file:/x`) so
+    * external MOR readers string-match it; graft's own read path
+    * normalizes both forms anyway.
+    */
+  private def tableWithPos(spark: SparkSession, root: String): DataFrame =
+    tableWithSrc(spark, root)
+      .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+        "^file:/(?!/)", "file:///"))
+      .withColumn("__dpos", col("_metadata.row_index"))
+
+  /** Write one position-delete commit for `matched` (a frame carrying
+    * [[tableWithPos]]'s `__dfile`/`__dpos` columns) and register it in
+    * the `_dmanifest` sidecar. Returns (delete files written, rows).
+    */
+  private def writePositionDeletes(spark: SparkSession, root: String,
+                                   matched: DataFrame): (Long, Long) = {
     import spark.implicits._
-    // file_path in the spec's URI form, matching the Iceberg export's
-    // manifest entries (`file:///x`, not Spark's `file:/x`) so
-    // external MOR readers string-match it; graft's own read path
-    // normalizes both forms anyway
-    val matched = tableWithSrc(spark, root).filter(predicate)
-      .select(regexp_replace(col("_metadata.file_path"),
-          "^file:/(?!/)", "file:///").as("file_path"),
-        col("_metadata.row_index").as("pos"))
-    val n = matched.count()
-    if (n == 0) return DmlStats(0, 0, 0)
+    val positions = matched
+      .select(col("__dfile").as("file_path"), col("__dpos").as("pos"))
+    val n = positions.count()
+    if (n == 0) return (0L, 0L)
     // ~4M positions per delete file: each output file is one sorted
     // (file_path, pos) range — individually a spec-valid sorted
     // position-delete file, collectively disjoint
@@ -182,7 +195,7 @@ object LakeDml {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitDir = s"$root/_deletes/d${System.currentTimeMillis()}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    matched
+    positions
       .repartitionByRange(nOut, col("file_path"), col("pos"))
       .sortWithinPartitions(col("file_path"), col("pos"))
       .write.parquet(commitDir)
@@ -204,7 +217,48 @@ object LakeDml {
       rowsOf.toDF("path", "rows", "bytes")
         .withColumn("registered_at", current_timestamp())
         .withColumn("removed_at", lit(null).cast("timestamp")))
-    DmlStats(0, rowsOf.length.toLong, n)
+    (rowsOf.length.toLong, n)
+  }
+
+  def deleteMor(spark: SparkSession, root: String, predicate: Column): DmlStats = {
+    val (files, n) = writePositionDeletes(spark, root,
+      tableWithPos(spark, root).filter(predicate))
+    DmlStats(0, files, n)
+  }
+
+  /** MERGE-ON-READ upsert: rows matching `updates` on `keys` are
+    * position-DELETED (no data file rewritten) and ALL update rows —
+    * replacements and novel keys alike — append as new files. The
+    * MOR twin of [[upsert]]: a matched row costs one (file, pos)
+    * delete entry instead of its whole file's rewrite; the appended
+    * files register through the ordinary manifest with op="rewrite"
+    * (their replaced rows are not NEW data — [[LogSync.tableSince]]
+    * consumers skip them, the same conservative rule as CoW merge).
+    * filesAdded counts delete files + appended data files.
+    */
+  def upsertMor(spark: SparkSession, root: String, updates: DataFrame,
+                keys: Seq[String]): DmlStats = {
+    require(keys.nonEmpty, "upsertMor needs at least one key column")
+    val dataCols = LogSync.table(spark, root).columns
+    require(dataCols.forall(updates.columns.contains),
+      "updates must carry all table columns; missing " +
+        dataCols.filterNot(updates.columns.contains).mkString(","))
+    val ups = updates.select(dataCols.map(col): _*).cache()
+    try {
+      // EAGER materialization: `updates` may read the very table this
+      // merge mutates; once the position deletes register, a lazy
+      // re-evaluation would see the matched rows already deleted and
+      // silently drop them from the insert half
+      ups.count()
+      val keyRel = ups.select(keys.map(col): _*).distinct()
+      val (delFiles, matched) = writePositionDeletes(spark, root,
+        tableWithPos(spark, root).join(broadcast(keyRel), keys, "left_semi"))
+      // the shared CoW commit with an EMPTY affected set appends the
+      // update rows and registers them (op="rewrite"), no tombstones
+      val (_, added) = commit(spark, root, Seq.empty,
+        complement = identity, inserts = Some(ups))
+      DmlStats(0, delFiles + added, matched)
+    } finally ups.unpersist()
   }
 
   /** Maintenance: tombstone delete files whose referenced data files

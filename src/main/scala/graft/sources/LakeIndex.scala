@@ -111,9 +111,13 @@ object LakeIndex {
     val lits = values.map(lit(_))
     val paths = keepPaths(spark, root, column, lits)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
-    spark.read.option("basePath", root).parquet(root)
+    val kept = spark.read.option("basePath", root).parquet(root)
       .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+    // MOR position deletes apply here too — a needle lookup must not
+    // resurrect a deleteMor'd row (the GDPR-redaction hole a
+    // bloom-routed side door would otherwise open)
+    LogSync.applyPosDeletes(spark, kept, LogSync.posDeleteEntries(spark, root))
       .drop("__src")
       .filter(col(column).isin(values: _*))
   }
@@ -207,8 +211,14 @@ object LakeIndex {
     val rowKeep = norm.map(t => array_contains(tokensOf(col(column)), t)).reduce(_ && _)
     if (kept.isEmpty)
       spark.read.option("basePath", root).parquet(root).filter(lit(false))
-    else
-      spark.read.option("basePath", root).parquet(kept.toSeq: _*).filter(rowKeep)
+    else {
+      // MOR position deletes apply here too (see [[lookup]])
+      val raw = spark.read.option("basePath", root).parquet(kept.toSeq: _*)
+        .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+      LogSync.applyPosDeletes(spark, raw,
+          LogSync.posDeleteEntries(spark, root))
+        .drop("__src").filter(rowKeep)
+    }
   }
 
   /** (files the grep would scan, total registered files). */

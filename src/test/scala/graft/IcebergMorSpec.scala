@@ -174,6 +174,64 @@ class IcebergMorSpec extends SparkSpec {
       totalRows - LogSync.posDeleteEntries(spark, root).map(_.rows).sum)
   }
 
+  test("upsertMor: matched rows position-deleted, updates appended, no file rewritten") {
+    val root = mkLake(Seq((200, "s0")))
+    val before = LogSync.table(spark, root).count()
+    val filesBefore = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).count()
+    // update 5 existing keys (body changes) + 2 novel keys
+    val existing = LogSync.table(spark, root).limit(5)
+      .select(col("timestamp"), col("service_name"), col("severity_text"),
+        col("span_id"), lit("UPDATED").as("body"))
+    val novel = LogSync.table(spark, root).limit(2)
+      .select(col("timestamp"), col("service_name"), col("severity_text"),
+        concat(lit("novel-"), col("span_id")).as("span_id"),
+        lit("NEW").as("body"))
+    val ups = existing.unionByName(novel)
+    val stats = LakeDml.upsertMor(spark, root, ups, Seq("span_id"))
+    assert(stats.rowsChanged == 5, s"$stats")
+    assert(stats.filesRemoved == 0, "MOR merge must not rewrite any data file")
+    val t = LogSync.table(spark, root)
+    assert(t.count() == before - 5 + 7)
+    assert(t.filter(col("body") === "UPDATED").count() == 5,
+      "matched keys must answer the update row")
+    assert(t.filter(col("body") === "NEW").count() == 2)
+    // replaced files are NOT tombstoned — they live on, minus positions
+    val tombstoned = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNotNull).count()
+    assert(tombstoned == 0, "MOR merge must not tombstone data files")
+    assert(LogSync.manifest(spark, root).filter(col("removed_at").isNull).count()
+      > filesBefore, "the appended update files must register")
+    // and the export chains the mixed commit; readTable agrees
+    graft.sources.IcebergExport.export(spark, root)
+    assert(graft.sources.IcebergExport.readTable(spark, root).count() == t.count())
+  }
+
+  test("bloom lookup and grep apply MOR deletes — no side-door resurrection") {
+    val root = mkLake(Seq((200, "s0")))
+    graft.sources.LakeIndex.build(spark, root, "span_id")
+    graft.sources.LakeIndex.buildTokens(spark, root, "body")
+    val victim = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view").limit(1)
+      .select("span_id").head.getString(0)
+    assert(graft.sources.LakeIndex.lookup(spark, root, "span_id", Seq(victim))
+      .count() == 1)
+    LakeDml.deleteMor(spark, root, col("span_id") === victim)
+    assert(graft.sources.LakeIndex.lookup(spark, root, "span_id", Seq(victim))
+      .count() == 0, "a deleteMor'd row must not resurrect through the bloom lookup")
+    // grep: pick a token that appeared only in the victim row? tokens
+    // repeat; assert set equality with the MOR-applied table instead
+    val term = "k"
+    val viaGrep = graft.sources.LakeIndex.grep(spark, root, "body", Seq(term))
+      .select("span_id").collect().map(_.getString(0)).toSet
+    val direct = LogSync.table(spark, root)
+      .filter(array_contains(
+        graft.sources.LakeIndex.tokensOf(col("body")), term))
+      .select("span_id").collect().map(_.getString(0)).toSet
+    assert(viaGrep == direct, "grep must equal the MOR-applied direct filter")
+    assert(!viaGrep.contains(victim))
+  }
+
   test("vacuumDeletes tombstones delete files whose targets were all rewritten") {
     val root = mkLake(Seq((200, "s0")))
     LakeDml.deleteMor(spark, root, col("severity_text") === "view")
