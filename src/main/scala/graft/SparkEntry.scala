@@ -76,6 +76,7 @@ object SparkEntry {
     "metrics_lake_exemplars"   -> (MetricAnalytics.lakeExemplars _),
     "metrics_lake_gauge"       -> (MetricAnalytics.lakeGauge _),
     "metrics_lake_hist_p95"    -> (MetricAnalytics.lakeHistP95 _),
+    "metrics_lake_summary"     -> (MetricAnalytics.lakeSummary _),
     "trace_otlp_proto"         -> (TraceAnalytics.otlpProtoRoundtrip _),
     "trace_lake_latency"       -> (TraceAnalytics.lakeLatency _),
     "trace_lake_graph"         -> (TraceAnalytics.lakeServiceGraph _),
@@ -1020,6 +1021,18 @@ object SparkEntry {
     // same oracle as metrics_hist_p95: merged per-hour ingested
     // histogram points must reproduce the one-shot quantile exactly
     "metrics_lake_hist_p95" -> oracleMetricsHistP95,
+    // the Summary kind: per-(service, day) summaries carry the day's
+    // max in the 0.95 slot; the reader takes each series' LATEST
+    // point — so the oracle is the latest day's max per service
+    "metrics_lake_summary" ->
+      """WITH e AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    CAST(ts AS DATE) AS d, value
+        |  FROM events),
+        |last AS (SELECT service, max(d) AS md FROM e GROUP BY 1)
+        |SELECT e.service AS service, max(e.value) AS p95
+        |FROM e JOIN last ON e.service = last.service AND e.d = last.md
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "lake_severity_by_service" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n

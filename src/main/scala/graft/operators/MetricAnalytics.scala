@@ -612,7 +612,7 @@ object MetricAnalytics {
     * HARDER transport).
     */
   private[graft] def metricsLakeRoot(spark: SparkSession, dir: String): String =
-    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v5", spark) { root =>
+    graft.sources.FixtureBuild.once(lakeBuilt, dir, "graft_metric_lake_v6", spark) { root =>
       import graft.sources.{LogSync, LogWriter, OtlpMetrics}
       graft.functions.VectorFunctions.register(spark)
       // each sample carries one EXEMPLAR: the event's own value and
@@ -662,6 +662,23 @@ object MetricAnalytics {
         unix_micros(col("hb")), col("service"), lit("latency"), lit("ms"),
         col("n"), col("s"), countsArr, typedLit(bs)).as("payload"))
       LogWriter.write(OtlpMetrics.parse(histEnvs, col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      // plus per-(service, day) SUMMARY points (the legacy
+      // prometheus-bridge kind): pre-computed quantile values that are
+      // DETERMINISTIC functions of the window (p95 slot carries the
+      // day's max — replayable in the DuckDB oracle), count/sum from
+      // the same aggregate
+      val daily = Tables.events(spark, dir)
+        .withColumn("service", svc)
+        .groupBy(col("service"), date_trunc("day", col("ts")).as("db"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("s"),
+          max(col("value")).as("mx"))
+      val summaryEnvs = daily.select(OtlpMetrics.toOtlpJsonSummary(
+        unix_micros(col("db")), col("service"), lit("latency_summary"),
+        lit("ms"), col("n"), col("s"),
+        array(struct(lit(0.95).as("quantile"), col("mx").as("value"))))
+        .as("payload"))
+      LogWriter.write(OtlpMetrics.parse(summaryEnvs, col("payload")), root,
         layout = LogWriter.DailyLayout)
       LogSync.sync(spark, root)
       ()
@@ -715,6 +732,21 @@ object MetricAnalytics {
         expr("(__sum_vi * 200 + n) div (2 * n)") / lit(10000.0))
       .drop("__sum_vi")
       .orderBy(col("service"), col("day"), col("hour"))
+
+  /** `metrics_lake_summary`: [[summaryQuantileFromLake]] over the
+    * ingested SUMMARY points — the fixture's per-(service, day)
+    * summaries carry the day's max in the 0.95 slot (a deterministic
+    * pre-computed quantile, the way a prometheus-bridge exporter
+    * ships whatever its client library computed), so the oracle
+    * replays: each service's LATEST day's max value. Certifies the
+    * Summary kind envelope → parse → write → sync → latest-point
+    * quantile extraction end-to-end.
+    */
+  def lakeSummary(spark: SparkSession, dir: String): DataFrame =
+    summaryQuantileFromLake(spark, metricsLakeRoot(spark, dir),
+        "latency_summary", 0.95)
+      .select(col("service_name").as("service"), col("p95"))
+      .orderBy(col("service"))
 
   /** `metrics_lake_exemplars`: [[exemplarsFromLake]] over the
     * wire-ingested lake — the SAME oracle as `metrics_exemplars`, so

@@ -322,6 +322,34 @@ object OtlpMetrics {
               .as("gauge"))).as("metrics")))
           .as("scopeMetrics"))).as("resourceMetrics")))
 
+  /** One SUMMARY data point per envelope as OTLP/JSON — the legacy
+    * prometheus-bridge exporter shape: pre-computed quantile/value
+    * pairs (`quantiles` = an array<struct<quantile:double,
+    * value:double>> column) with the window's count and sum.
+    */
+  def toOtlpJsonSummary(timeUs: Column, serviceName: Column,
+                        metricName: Column, unit: Column,
+                        count: Column, ssum: Column,
+                        quantiles: Column): Column =
+    to_json(struct(
+      array(struct(
+        struct(array(
+          struct(lit("service.name").as("key"),
+            struct(serviceName.as("stringValue")).as("value"))).as("attributes"))
+          .as("resource"),
+        array(struct(
+          struct(lit("graft").as("name"), lit("1.0").as("version")).as("scope"),
+          array(struct(
+            metricName.as("name"),
+            unit.as("unit"),
+            struct(array(struct(
+              (timeUs * 1000).cast("string").as("timeUnixNano"),
+              count.cast("string").as("count"),
+              ssum.cast("double").as("sum"),
+              quantiles.as("quantileValues"))).as("dataPoints"))
+              .as("summary"))).as("metrics")))
+          .as("scopeMetrics"))).as("resourceMetrics")))
+
   /** One explicit-bucket HISTOGRAM data point per envelope as
     * OTLP/JSON — the histogram twin of [[toOtlpProtoSum]] on the JSON
     * transport (a statsd-style per-window exporter's shape):
