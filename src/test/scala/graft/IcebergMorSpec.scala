@@ -232,6 +232,25 @@ class IcebergMorSpec extends SparkSpec {
     assert(!viaGrep.contains(victim))
   }
 
+  test("plan shape: delete-free lakes scan clean; small delete sets broadcast the anti-join") {
+    val root = mkLake(Seq((200, "s0")))
+    // no delete manifest → the read plan carries NO anti-join at all
+    // (every existing lake pays zero for the MOR capability)
+    val clean = LogSync.table(spark, root).queryExecution.executedPlan.toString
+    assert(!clean.contains("LeftAnti"),
+      s"a delete-free lake must not pay the anti-join:\n$clean")
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    // small delete set → BROADCAST anti-join (the common case at any
+    // scale: deletes ≪ data), never a corpus shuffle
+    val plan = LogSync.table(spark, root).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"deletes must apply:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("broadcast"),
+      s"a small delete set must ride a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the delete anti-join must not shuffle the corpus for a tiny delete set:\n$plan")
+  }
+
   test("vacuumDeletes tombstones delete files whose targets were all rewritten") {
     val root = mkLake(Seq((200, "s0")))
     LakeDml.deleteMor(spark, root, col("severity_text") === "view")
