@@ -87,7 +87,13 @@ object Plans {
       "trace_otlp_proto" -> "traces wire round-trip: encode+decode are codegen'd map-only expressions in one stage; shuffles are the synthesis rank window + the final aggregate",
       "lake_iceberg_day" -> "day-transform external table: manifest-driven file set, NO phantom partition column attach; scan + broadcast attach map built one-task-per-manifest",
       "trace_lake_critical" -> "pointer jumping over opaque span ids: shown plan is the final per-trace max; each of the log2(depth) rounds composes the checkpointed chain with itself (acc += acc at jump, jump = jump at jump)",
-      "metrics_lake_rate" -> "ingested-lake increase(): manifest semi-join scan -> series-keyed lag window -> bucket aggregate; the certification twin of the synthesis rate plan")
+      "metrics_lake_rate" -> "ingested-lake increase(): manifest semi-join scan -> series-keyed lag window -> bucket aggregate; the certification twin of the synthesis rate plan",
+      "lake_iceberg_dml" -> "graft-WRITTEN v2 delete snapshot read merge-on-read: per-file sequence via the broadcast attach map, position deletes as a BROADCAST anti-join on (file, row_index) — delete side sized by the deleted rows, the data scan never reshuffles",
+      "lake_iceberg_merge" -> "MOR merge readback: mixed delta snapshot (delete manifest + appended update files) — same broadcast-anti-join shape; matched originals invisible, update rows scanned like any data file",
+      "trace_lake_spans" -> "bloom-routed trace point lookup on the ingested span lake: the keep-set holds only bloom-positive files (index probe is a file-count-sized job), trace_id literal filter pushed to the scan on top",
+      "trace_span_events" -> "span-event exception analysis: landed JSON arrays explode map-only (generate after the manifest semi-join scan), attribute extraction codegen'd from_json, one (service x type)-cardinality aggregate",
+      "trace_span_links" -> "trace->trace causality: map-only link explode + distinct trace-id relation join (user-day cardinality), tiny (service x resolved) aggregate — the span corpus never shuffles for the explode side",
+      "metrics_lake_summary" -> "Summary-kind quantile surface: manifest semi-join scan -> ONE series-keyed max-struct aggregate (latest snapshot) -> map-only quantile extraction from the landed JSON pairs")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
