@@ -1055,16 +1055,25 @@ object IcebergExport {
     require(fs.exists(new Path(metaDir, "version-hint.text")),
       s"no Iceberg export under $root — run export first")
     val chain = resolveChain(spark, metaDir, asOf)
-    // a chain with row-level deletes (graft's own deleteMor export, or
-    // an external engine's rewrite) takes the MOR-capable reader —
-    // the lake-scan fast path below would silently resurrect deleted
-    // rows. Note the schema nuance: readChain attaches identity
-    // partition values from the manifests (declared types), while the
-    // fast path gets them from Spark's partition discovery.
-    if (chain.deleteFiles.nonEmpty) return readChain(spark, chain)
+    // EQUALITY or partition-SCOPED deletes (an external engine rewrote
+    // this root) need the full MOR reader; graft's own exports write
+    // only GLOBAL POSITION deletes, which the lake-scan fast path
+    // applies directly — keeping the schema STABLE (partition columns
+    // keep their discovery-inferred types whether or not the table
+    // carries deletes; readChain would flip them to the declared
+    // string form). Sequence numbers need no check here: position
+    // deletes bind by exact file path, and paths are never reused.
+    if (chain.deleteFiles.exists(d => d.content != 1 || d.partValues.nonEmpty))
+      return readChain(spark, chain)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val delEntries = chain.deleteFiles.map { d =>
+      val p = new Path(d.uri)
+      LogSync.PosDeleteEntry(d.uri, 0L, p.getFileSystem(conf).getFileStatus(p).getLen)
+    }
     val files = chain.files.map(_.uri)
     LogSync.tableForPaths(spark, root,
-      files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")))
+      files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")),
+      deletes = delEntries)
   }
 
   /** Snapshot history of an exported/external table, oldest first:

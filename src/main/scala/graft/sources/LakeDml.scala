@@ -184,10 +184,14 @@ object LakeDml {
   private def writePositionDeletes(spark: SparkSession, root: String,
                                    matched: DataFrame): (Long, Long) = {
     import spark.implicits._
+    // persist: the matched scan (predicate/semi-join over the lake,
+    // MOR anti-join on top) is the dominant cost — sizing via count()
+    // and then writing must not pay it twice
     val positions = matched
       .select(col("__dfile").as("file_path"), col("__dpos").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = positions.count()
-    if (n == 0) return (0L, 0L)
+    if (n == 0) { positions.unpersist(); return (0L, 0L) }
     // ~4M positions per delete file: each output file is one sorted
     // (file_path, pos) range — individually a spec-valid sorted
     // position-delete file, collectively disjoint
@@ -195,10 +199,23 @@ object LakeDml {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitDir = s"$root/_deletes/d${System.currentTimeMillis()}_" +
       java.util.UUID.randomUUID().toString.take(8)
+    // the Iceberg spec's RESERVED field ids for position-delete
+    // columns (file_path = 2147483546, pos = 2147483545): stamped as
+    // parquet field-id metadata (Spark's writer emits them with
+    // spark.sql.parquet.fieldId.write.enabled, default on) so
+    // EXTERNAL engines — which bind delete columns by id, not name —
+    // can apply the exported delete files
+    val fileMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
     positions
+      .select(col("file_path").as("file_path", fileMeta),
+        col("pos").as("pos", posMeta))
       .repartitionByRange(nOut, col("file_path"), col("pos"))
       .sortWithinPartitions(col("file_path"), col("pos"))
       .write.parquet(commitDir)
+    positions.unpersist()
     val written = fs.listStatus(new Path(commitDir)).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.toString, s.getLen))
@@ -243,13 +260,14 @@ object LakeDml {
     require(dataCols.forall(updates.columns.contains),
       "updates must carry all table columns; missing " +
         dataCols.filterNot(updates.columns.contains).mkString(","))
-    val ups = updates.select(dataCols.map(col): _*).cache()
+    // LINEAGE-TRUNCATED materialization, not cache(): `updates` may
+    // read the very table this merge mutates; once the position
+    // deletes register, a recompute (cache-block loss on a real
+    // cluster) would see the matched rows already deleted and
+    // SILENTLY drop them from the insert half — localCheckpoint
+    // fails loudly on block loss instead of corrupting
+    val ups = updates.select(dataCols.map(col): _*).localCheckpoint(true)
     try {
-      // EAGER materialization: `updates` may read the very table this
-      // merge mutates; once the position deletes register, a lazy
-      // re-evaluation would see the matched rows already deleted and
-      // silently drop them from the insert half
-      ups.count()
       val keyRel = ups.select(keys.map(col): _*).distinct()
       val (delFiles, matched) = writePositionDeletes(spark, root,
         tableWithPos(spark, root).join(broadcast(keyRel), keys, "left_semi"))
@@ -258,7 +276,7 @@ object LakeDml {
       val (_, added) = commit(spark, root, Seq.empty,
         complement = identity, inserts = Some(ups))
       DmlStats(0, delFiles + added, matched)
-    } finally ups.unpersist()
+    } finally { ups.unpersist(); () }
   }
 
   /** Maintenance: tombstone delete files whose referenced data files

@@ -257,8 +257,16 @@ object LogCompact {
       deadDel.foreach(p => fs.delete(new Path(p), false))
       deadDeletes = deadDel.length
       if (deadDel.nonEmpty) {
+        // purge ONLY the rows whose files were actually deleted:
+        // branch-PINNED tombstones must keep their manifest rows (the
+        // branch-retention rule the data-path purge enforces via
+        // __pin) or the branch's historical reads stop applying them
+        // and the still-on-disk file becomes untracked after dropBranch
         LogSync.swapDeleteManifest(spark, root, dm
-          .filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs)))
+          .join(pinned.withColumnRenamed("__pin", "__dpin"), Seq("path"), "left")
+          .filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs) ||
+            col("__dpin").isNotNull)
+          .drop("__dpin"))
       }
       dm.unpersist()
       val staleDel = LogSync.staleDeleteManifestDirs(spark, root).filter { d =>

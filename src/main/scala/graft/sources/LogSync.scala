@@ -213,7 +213,7 @@ object LogSync {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private[sources] def deleteManifestDf(spark: SparkSession, root: String): DataFrame =
+  private[graft] def deleteManifestDf(spark: SparkSession, root: String): DataFrame =
     if (hasDeleteManifest(spark, root))
       spark.read.parquet(deleteManifestPath(spark, root))
     else
@@ -311,8 +311,10 @@ object LogSync {
     * restricted to a `__registered_path` keep-set.
     */
   private[graft] def tableForPaths(spark: SparkSession, root: String,
-                                   keep: DataFrame): DataFrame =
-    keepOnly(spark, root, keep)
+                                   keep: DataFrame,
+                                   deletes: Seq[PosDeleteEntry] = Seq.empty
+                                  ): DataFrame =
+    keepOnly(spark, root, keep, deletes = deletes)
 
   /** Manifest rows that are part of the table NOW (no tombstone). */
   private[sources] def activeManifest(spark: SparkSession, root: String): DataFrame =

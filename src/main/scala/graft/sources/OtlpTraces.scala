@@ -243,11 +243,18 @@ object OtlpTraces {
             when(excType.isNotNull, array(struct(
               (endUs * 1000).cast("string").as("timeUnixNano"),
               lit("exception").as("name"),
-              array(
+              // message entry only when set — the PROTO twin omits an
+              // absent exception.message, and both transports must
+              // land byte-identical event attributes
+              when(excMsg.isNotNull, array(
                 struct(lit("exception.type").as("key"),
                   struct(excType.as("stringValue")).as("value")),
                 struct(lit("exception.message").as("key"),
-                  struct(excMsg.as("stringValue")).as("value"))).as("attributes"))))
+                  struct(excMsg.as("stringValue")).as("value"))))
+                .otherwise(array(
+                  struct(lit("exception.type").as("key"),
+                    struct(excType.as("stringValue")).as("value"))))
+                .as("attributes"))))
               .as("events"),
             // one causal link when linkTrace is set (batch consumers,
             // follows-from)

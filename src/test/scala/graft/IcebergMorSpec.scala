@@ -232,6 +232,75 @@ class IcebergMorSpec extends SparkSpec {
     assert(!viaGrep.contains(victim))
   }
 
+  test("delete files carry the spec's reserved parquet field ids (external engines bind by id)") {
+    val root = mkLake(Seq((100, "s0")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_deletes"))
+      .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      delFile, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    def idOf(name: String): Int =
+      schema.getType(Seq(name): _*).getId.intValue
+    assert(idOf("file_path") == 2147483546 && idOf("pos") == 2147483545,
+      s"position-delete columns must carry the spec's reserved field ids: $schema")
+  }
+
+  test("branch-pinned delete files survive vacuum; dropBranch releases them") {
+    val root = mkLake(Seq((150, "s0")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    val postDelete = LogSync.table(spark, root).count()
+    LogSync.branch(spark, root, "keepme")
+    // compaction materializes + tombstones the registry; a zero-grace
+    // vacuum must NOT reclaim the branch-pinned delete file nor purge
+    // its manifest row
+    graft.sources.LogCompact.compact(spark, root)
+    graft.sources.LogCompact.vacuum(spark, root, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def delFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_deletes"))
+      .flatMap(d => if (d.isDirectory) fs.listStatus(d.getPath).toSeq else Seq(d))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(delFiles() > 0, "the pinned delete file must survive vacuum")
+    assert(LogSync.deleteManifestDf(spark, root).count() > 0,
+      "the pinned delete file's manifest row must survive the purge")
+    assert(LogSync.tableBranch(spark, root, "keepme").count() == postDelete,
+      "the branch must still answer the post-delete table")
+    // releasing the pin lets the next vacuum reclaim file AND row
+    LogSync.dropBranch(spark, root, "keepme")
+    graft.sources.LogCompact.vacuum(spark, root, graceMs = 0L)
+    assert(delFiles() == 0, "after dropBranch the delete file is reclaimable")
+    assert(LogSync.deleteManifestDf(spark, root)
+      .filter(col("removed_at").isNotNull).count() == 0,
+      "reclaimed delete files' tombstone rows are purged")
+  }
+
+  test("exception events without a message land identically on both transports") {
+    import graft.sources.OtlpTraces
+    val base = 1705060800000000L
+    def row(enc: org.apache.spark.sql.Column) = spark.range(1).select(enc.as("p"))
+    val json = OtlpTraces.parse(row(OtlpTraces.toOtlpJson(
+      lit(base), lit(base + 1000L), lit("svc"), lit("a" * 32), lit("b" * 16),
+      lit(null).cast("string"), lit("op"), lit(2), lit(2),
+      lit("TimeoutError"), lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"))), col("p"))
+    graft.functions.VectorFunctions.register(spark)
+    val proto = OtlpTraces.parseProto(row(OtlpTraces.toOtlpProtoEvents(
+      lit(base), lit(base + 1000L), lit("svc"), lit("a" * 32), lit("b" * 16),
+      lit(null).cast("string"), lit("op"), lit(2), lit(2),
+      lit("TimeoutError"), lit(null).cast("string"),
+      lit(null).cast("string"), lit(null).cast("string"))), col("p"))
+    val j = json.select("span_events").head.getString(0)
+    val w = proto.select("span_events").head.getString(0)
+    assert(j == w, s"transports must land byte-identical events:\nJSON:  $j\nwire: $w")
+    assert(!j.contains("exception.message"),
+      "an absent message must not land a phantom attribute key")
+  }
+
   test("plan shape: delete-free lakes scan clean; small delete sets broadcast the anti-join") {
     val root = mkLake(Seq((200, "s0")))
     // no delete manifest → the read plan carries NO anti-join at all
