@@ -44,6 +44,11 @@ object LakeDml {
     */
   val DefaultMaxRewriteFiles = 100000
 
+  /** Active delete-file count at which a maintenance round folds the
+    * position-delete commits ([[compactDeletes]]).
+    */
+  val DeleteCompactionThreshold = 8
+
   /** The registered table with the normalized source-file path of every
     * row — the per-row file identity DML decisions join on.
     */
@@ -277,6 +282,38 @@ object LakeDml {
         complement = identity, inserts = Some(ups))
       DmlStats(0, delFiles + added, matched)
     } finally { ups.unpersist(); () }
+  }
+
+  /** Maintenance: fold the accumulated position-delete files into ONE
+    * sorted commit — Iceberg's rewrite-position-deletes action. Every
+    * [[deleteMor]]/[[upsertMor]] adds delete files, and each read
+    * anti-joins their union; long before the DATA is worth compacting,
+    * the delete side alone can be (100 tiny delete commits = 100 file
+    * opens per scan). Cost is O(total delete rows); the swap
+    * tombstones the old files (same time-travel rule as data — a
+    * historic read applies the originals until vacuum) and registers
+    * the merged commit. Returns (delete files before, after); no-op
+    * below 2 active files.
+    */
+  def compactDeletes(spark: SparkSession, root: String): (Int, Int) = {
+    val entries = LogSync.posDeleteEntries(spark, root)
+    if (entries.length < 2) return (entries.length, entries.length)
+    val merged = spark.read.parquet(entries.map(_.path): _*)
+      .select(col("file_path"), col("pos"))
+      .withColumn("__dfile", col("file_path")).withColumn("__dpos", col("pos"))
+    val (files, _) = writePositionDeletes(spark, root, merged)
+    // tombstone the originals in the SAME swap that already holds the
+    // merged commit's append (appendDeleteManifest ran inside
+    // writePositionDeletes; the swap below rewrites the whole registry
+    // with the originals tombstoned — readers flip atomically)
+    val olds = entries.map(e => LogSync.normPathStr(e.path)).toSet
+    LogSync.swapDeleteManifest(spark, root,
+      LogSync.deleteManifestDf(spark, root)
+        .withColumn("removed_at",
+          when(LogSync.normPath(col("path")).isin(olds.toSeq: _*) &&
+            col("removed_at").isNull, current_timestamp())
+            .otherwise(col("removed_at"))))
+    (entries.length, files.toInt)
   }
 
   /** Maintenance: tombstone delete files whose referenced data files

@@ -55,6 +55,14 @@ object SignalLakeMaintenance {
       if (active >= minFilesToCompact)
         Some(LogCompact.compact(spark, root, maxRecordsPerFile = maxRecordsPerFile))
       else None
+    // when the DATA wasn't worth rewriting, the delete side alone may
+    // be: fold accumulated position-delete commits into one file
+    // (data compaction already materializes + tombstones them all)
+    if (compacted.isEmpty &&
+        graft.sources.LakeDml.DeleteCompactionThreshold <=
+          LogSync.posDeleteEntries(spark, root).length) {
+      graft.sources.LakeDml.compactDeletes(spark, root); ()
+    }
     val vacuumed = LogCompact.vacuum(spark, root, graceMs = vacuumGraceMs)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -232,6 +232,26 @@ class IcebergMorSpec extends SparkSpec {
     assert(!viaGrep.contains(victim))
   }
 
+  test("compactDeletes folds delete commits into one file; table and history unchanged") {
+    val root = mkLake(Seq((200, "s0")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    LakeDml.deleteMor(spark, root, col("severity_text") === "purchase")
+    LakeDml.deleteMor(spark, root, col("severity_text") === "signup")
+    assert(LogSync.posDeleteEntries(spark, root).length == 3)
+    val want = LogSync.table(spark, root).count()
+    val preTs = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    val (before, after) = LakeDml.compactDeletes(spark, root)
+    assert(before == 3 && after == 1, s"3 delete commits must fold to 1: $before -> $after")
+    assert(LogSync.posDeleteEntries(spark, root).length == 1)
+    assert(LogSync.table(spark, root).count() == want,
+      "folding delete files must not change the table")
+    // a historic read still applies the ORIGINAL delete files
+    assert(LogSync.tableAsOf(spark, root, preTs).count() == want)
+    // idempotent below the threshold
+    assert(LakeDml.compactDeletes(spark, root) == (1, 1))
+  }
+
   test("delete files carry the spec's reserved parquet field ids (external engines bind by id)") {
     val root = mkLake(Seq((100, "s0")))
     LakeDml.deleteMor(spark, root, col("severity_text") === "view")
