@@ -88,8 +88,8 @@ object Plans {
       "lake_iceberg_day" -> "day-transform external table: manifest-driven file set, NO phantom partition column attach; scan + broadcast attach map built one-task-per-manifest",
       "trace_lake_critical" -> "pointer jumping over opaque span ids: shown plan is the final per-trace max; each of the log2(depth) rounds composes the checkpointed chain with itself (acc += acc at jump, jump = jump at jump)",
       "metrics_lake_rate" -> "ingested-lake increase(): manifest semi-join scan -> series-keyed lag window -> bucket aggregate; the certification twin of the synthesis rate plan",
-      "lake_iceberg_dml" -> "graft-WRITTEN v2 delete snapshot read merge-on-read: per-file sequence via the broadcast attach map, position deletes as a BROADCAST anti-join on (file, row_index) — delete side sized by the deleted rows, the data scan never reshuffles",
-      "lake_iceberg_merge" -> "MOR merge readback: mixed delta snapshot (delete manifest + appended update files) — same broadcast-anti-join shape; matched originals invisible, update rows scanned like any data file",
+      "lake_iceberg_dml" -> "graft-WRITTEN v2 delete snapshot read merge-on-read on the FAST PATH (global position deletes): keep-set LeftSemi + delete LeftAnti, both broadcast — partition-discovery types stable, delete side sized by the deleted rows, the data scan never reshuffles",
+      "lake_iceberg_merge" -> "MOR merge readback: mixed delta snapshot (delete manifest + appended update files) — same broadcast LeftSemi/LeftAnti shape; matched originals invisible, update rows scanned like any data file",
       "trace_lake_spans" -> "bloom-routed trace point lookup on the ingested span lake: the keep-set holds only bloom-positive files (index probe is a file-count-sized job), trace_id literal filter pushed to the scan on top",
       "trace_span_events" -> "span-event exception analysis: landed JSON arrays explode map-only (generate after the manifest semi-join scan), attribute extraction codegen'd from_json, one (service x type)-cardinality aggregate",
       "trace_span_links" -> "trace->trace causality: map-only link explode + distinct trace-id relation join (user-day cardinality), tiny (service x resolved) aggregate — the span corpus never shuffles for the explode side",
