@@ -299,6 +299,46 @@ class IcebergMorSpec extends SparkSpec {
       "reclaimed delete files' tombstone rows are purged")
   }
 
+  test("the exported delete manifest round-trips through a plain Avro reader") {
+    val root = mkLake(Seq((150, "s0")))
+    val stats = LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    IcebergExport.export(spark, root)
+    val mdDir = new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata")
+    val fs = mdDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delManifest = fs.listStatus(mdDir).map(_.getPath)
+      .find(_.getName.matches("graft-d\\d+\\.avro"))
+      .getOrElse(fail("export must write a delete manifest"))
+    // a generic Avro reader (no graft code) must see spec-shaped
+    // entries: ADDED status, content=1 (position deletes), an EMPTY
+    // partition record (global — an all-null partitioned record would
+    // scope to the null partition), and the registered stats
+    val reader = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.mapred.FsInput(delManifest,
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(reader.getMetaString("content") == "deletes")
+      assert(reader.getMetaString("partition-spec-id") == "1")
+      val entries = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.avro.generic.GenericRecord]
+      while (reader.hasNext) entries += reader.next()
+      assert(entries.nonEmpty)
+      var totalRows = 0L
+      entries.foreach { e =>
+        assert(e.get("status").asInstanceOf[Int] == 1)
+        val d = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        assert(d.get("content").asInstanceOf[Int] == 1)
+        assert(d.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .getSchema.getFields.isEmpty, "delete partition record must be EMPTY")
+        assert(d.get("file_path").toString.startsWith("file://"))
+        totalRows += d.get("record_count").asInstanceOf[Long]
+      }
+      assert(totalRows == stats.rowsChanged,
+        "manifest record counts must equal the deleted rows")
+    } finally reader.close()
+  }
+
   test("exception events without a message land identically on both transports") {
     import graft.sources.OtlpTraces
     val base = 1705060800000000L
