@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * folded in) + a tiny `_current` pointer file, written last — readers
   * only ever see a fully-written version (the manifest commit pattern
   * in miniature).
+  *
+  * ROW-LEVEL DELETES: the rollup is an APPEND-FOLLOWING consumer, so
+  * a [[LakeDml.deleteMor]] (or CoW delete) after a fold leaves the
+  * deleted rows' counts in the rollup — the same staleness an Iceberg
+  * materialized view has until its next full refresh. After row-level
+  * DML, rebuild ([[build]] recomputes from the live — MOR-applied —
+  * table) rather than trusting the incremental path.
   */
 object Rollup {
 
