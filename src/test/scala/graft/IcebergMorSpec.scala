@@ -232,6 +232,38 @@ class IcebergMorSpec extends SparkSpec {
     assert(!viaGrep.contains(victim))
   }
 
+  test("property: deleteMor equals the logical filter for layered predicates") {
+    // three stacked deletes on one lake must compose exactly like the
+    // conjunction of their negations — including positions shifting
+    // meaning as earlier deletes hide rows
+    val root = mkLake(Seq((200, "s0"), (150, "s1")))
+    val original = LogSync.table(spark, root)
+      .select("span_id").collect().map(_.getString(0)).toSet
+    val preds = Seq(
+      col("severity_text") === "view" && col("service_name") === "s0",
+      col("severity_text").isin("purchase", "signup"),
+      col("span_id").substr(-1, 1).isin("0", "4", "8"))
+    var expected = original
+    preds.foreach { p =>
+      val toGo = LogSync.table(spark, root).filter(p)
+        .select("span_id").collect().map(_.getString(0)).toSet
+      LakeDml.deleteMor(spark, root, p)
+      expected = expected -- toGo
+      val got = LogSync.table(spark, root)
+        .select("span_id").collect().map(_.getString(0)).toSet
+      assert(got == expected,
+        s"layered MOR deletes must equal the logical filter; diff=${
+          (got -- expected).take(3)} / ${(expected -- got).take(3)}")
+    }
+    // and the whole stack survives a fold + a compaction
+    LakeDml.compactDeletes(spark, root)
+    assert(LogSync.table(spark, root)
+      .select("span_id").collect().map(_.getString(0)).toSet == expected)
+    LogCompact.compact(spark, root)
+    assert(LogSync.table(spark, root)
+      .select("span_id").collect().map(_.getString(0)).toSet == expected)
+  }
+
   test("compactDeletes folds delete commits into one file; table and history unchanged") {
     val root = mkLake(Seq((200, "s0")))
     LakeDml.deleteMor(spark, root, col("severity_text") === "view")
