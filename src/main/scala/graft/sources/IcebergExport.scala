@@ -80,12 +80,15 @@ object IcebergExport {
 
   private[graft] final case class Field(id: Int, name: String, tpe: String)
 
-  /** The exported table state, resolved once per export. */
+  /** The exported table state, resolved once per export. `seq` on
+    * both files and deletes is the INTERNAL commit sequence — the
+    * ordering the export's snapshot grouping must preserve externally.
+    */
   private final case class State(fields: Seq[Field], partCols: Seq[String],
-                                 deletes: Seq[LogSync.PosDeleteEntry],
+                                 deletes: Seq[LogSync.DeleteEntry],
                                  files: Seq[FileEntry])
   private final case class FileEntry(uri: String, size: Long, rows: Long,
-                                     partValues: Seq[String])
+                                     partValues: Seq[String], seq: Long = 0L)
 
   /** Canonical URI for exported metadata: bare local paths gain the
     * `file://` scheme (external readers need absolute URIs); any
@@ -110,21 +113,38 @@ object IcebergExport {
       .map { seg => val i = seg.indexOf('='); (seg.take(i), seg.drop(i + 1)) }
   }
 
-  private def resolve(spark: SparkSession, root: String): State = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Active data-file paths of the lake, sorted — the export's file
+    * universe and the anchor for its field-id assignment.
+    */
+  private def activePaths(spark: SparkSession, root: String): Seq[String] = {
     val active = LogSync.manifest(spark, root)
       .filter(col("removed_at").isNull)
       .select(col("path")).collect().map(_.getString(0)).toSeq.sorted
     require(active.nonEmpty, s"nothing to export: no active files under $root")
+    active
+  }
+
+  /** The export's schema resolution, shared by [[resolve]] and the
+    * equality-delete writer ([[graft.sources.LakeDml.deleteEq]] stamps
+    * its delete parquet columns with these SAME field ids — external
+    * engines bind delete columns by id, so writer and exporter must
+    * agree): data columns from the MERGED physical schema of every
+    * active file (a schema-evolved lake must export the union —
+    * LogSync's lake_merged add-column semantics; a first-file-only
+    * schema would silently drop late columns from external readers),
+    * ids = 1-based merged position; partition-directory columns
+    * appended after. Explicit file list, no basePath: partition dirs
+    * stay out of the physical schema. Reading every footer is a
+    * file-count-bounded control-plane cost (Spark merges schemas
+    * distributed). Id STABILITY across schema evolution holds because
+    * this lake only ever ADDS columns (merge appends new names after
+    * existing ones) — a rename/drop would reassign ids, which the
+    * export's single-schema simplification already accepts.
+    */
+  private[sources] def schemaFieldsFor(spark: SparkSession, root: String,
+                                       active: Seq[String]): (Seq[Field], Seq[String]) = {
     // partition columns: union of k=v keys in first-seen order
     val partCols = active.flatMap(p => partSegments(root, p).map(_._1)).distinct
-    // data columns from the MERGED physical schema of every active
-    // file (a schema-evolved lake must export the union — LogSync's
-    // lake_merged add-column semantics; a first-file-only schema
-    // would silently drop late columns from external readers).
-    // Explicit file list, no basePath: partition dirs stay out of the
-    // physical schema and are appended separately below. Reading every
-    // footer is the export's file-count-bounded control-plane cost.
     val physical = spark.read.option("mergeSchema", "true")
       .parquet(active.map(fileUri): _*).schema
     val dataFields = physical.fields.toSeq.zipWithIndex.map { case (f, i) =>
@@ -133,6 +153,23 @@ object IcebergExport {
     val partFields = partCols.zipWithIndex.map { case (c, i) =>
       Field(dataFields.length + 1 + i, c, "string")
     }
+    (dataFields ++ partFields, partCols)
+  }
+
+  /** Column name → Iceberg field id under the export's assignment. */
+  private[sources] def exportFieldIds(spark: SparkSession, root: String): Map[String, Int] =
+    schemaFieldsFor(spark, root, activePaths(spark, root))
+      ._1.map(f => f.name -> f.id).toMap
+
+  private def resolve(spark: SparkSession, root: String): State = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val active = activePaths(spark, root)
+    val (allFields, partCols) = schemaFieldsFor(spark, root, active)
+    // per-file internal commit sequence (null = pre-upgrade = 0)
+    val seqOf = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull)
+      .select(col("path"), coalesce(col("seq"), lit(0L))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val files = active.map { p =>
       val fsPath = new Path(p) // scheme-aware: resolves the file's own FS
       val fs = fsPath.getFileSystem(conf)
@@ -143,13 +180,13 @@ object IcebergExport {
       val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
                  finally reader.close()
       val segs = partSegments(root, p).toMap
-      FileEntry(fileUri(p), size, rows, partCols.map(c => segs.getOrElse(c, null)))
+      FileEntry(fileUri(p), size, rows, partCols.map(c => segs.getOrElse(c, null)),
+        seqOf.getOrElse(p, 0L))
     }
-    // active MOR position-delete files ride along with their
-    // manifest-recorded stats (no footer reads — LakeDml.deleteMor
-    // statted them at write time)
-    State(dataFields ++ partFields, partCols,
-      LogSync.posDeleteEntries(spark, root), files)
+    // active MOR delete files (position AND equality) ride along with
+    // their manifest-recorded stats and sequence numbers (no footer
+    // reads — LakeDml statted them at write time)
+    State(allFields, partCols, LogSync.deleteEntries(spark, root), files)
   }
 
   // ---- Iceberg schema / spec JSON fragments (shared by
@@ -196,13 +233,16 @@ object IcebergExport {
        |]}}]}""".stripMargin)
 
   /** Manifest-entry schema for DELETE manifests: same shape as the
-    * data entry, but the partition record is EMPTY — graft's position
-    * deletes are global (their `file_path` rows name exact data files,
-    * which is scope enough), written under an unpartitioned spec
-    * (spec-id 1) exactly as the spec shapes unscoped deletes. An
-    * empty record also reads back as "global" through [[walkManifest]]
-    * — an all-null PARTITIONED record would instead scope the delete
-    * to the null partition and drop it for every real one.
+    * data entry, but the partition record is EMPTY — graft's row-level
+    * deletes are global (position rows name exact data files, which is
+    * scope enough; equality rows bind by key everywhere), written
+    * under an unpartitioned spec (spec-id 1) exactly as the spec
+    * shapes unscoped deletes. An empty record also reads back as
+    * "global" through [[walkManifest]] — an all-null PARTITIONED
+    * record would instead scope the delete to the null partition and
+    * drop it for every real one. `equality_ids` (the spec's field 135,
+    * element 136) names the key columns of content=2 equality-delete
+    * files by field id; null for position deletes.
     */
   private val deleteEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
@@ -216,7 +256,9 @@ object IcebergExport {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],
+      |   "default":null,"field-id":135}
       |]}}]}""".stripMargin)
 
   private[graft] val manifestListSchema: Schema = new Schema.Parser().parse(
@@ -289,11 +331,6 @@ object IcebergExport {
     fs.mkdirs(metaDir)
     val version = nextVersion(spark, metaDir)
     val now = System.currentTimeMillis()
-    // unique across exports of this table even within one millisecond:
-    // version strictly increases and now never decreases, so now + v
-    // can't repeat (a collision would need the clock to step back
-    // exactly as far as the version stepped forward)
-    val snapshotId = now + version
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-iceberg:$root".getBytes("UTF-8")).toString
 
@@ -353,18 +390,49 @@ object IcebergExport {
         IcebergJson.updated(md, "last-updated-ms", IcebergJson.JNum(now.toString))))
     }
 
-    val seq = prevMd.map(_("last-sequence-number").long + 1).getOrElse(1L)
     val delta = deltaEligible // newFiles or newDeletes nonEmpty here
     val exportFiles = if (delta) newFiles else st.files
     val exportDeletes = if (delta) newDeletes else st.deletes
 
-    // manifest file: one ADDED entry per exported data file (delta:
-    // only the files new since the previous snapshot). A delta that
-    // only added DELETES writes no data manifest at all.
+    // ---- SNAPSHOT GROUPING: preserve the internal commit order ----
+    // One external snapshot can hold several internal commits ONLY
+    // when collapsing them to one external sequence number cannot
+    // change which rows a delete removes. Position deletes never
+    // constrain the grouping (they bind by exact file path, rule ≤);
+    // an EQUALITY delete applies to data STRICTLY BELOW its sequence,
+    // so folding it into a snapshot that already holds earlier data
+    // files would externally UN-apply it to exactly that data — the
+    // interleaving-consistency rule: start a new snapshot whenever an
+    // equality delete arrives over accumulated data. An upsertEq's
+    // same-commit delete+insert pair stays together (same internal
+    // seq), which is precisely the spec's same-snapshot visibility.
+    // Restatements run through the SAME grouping over the full active
+    // set, so surviving equality deletes keep sitting sequence-wise
+    // between the data commits they separate — a single-sequence
+    // restatement would stop applying them to every restated file.
+    final case class Grp(files: Seq[FileEntry], deletes: Seq[LogSync.DeleteEntry])
+    val seqGroups: Seq[Grp] = {
+      val seqs = (exportFiles.map(_.seq) ++ exportDeletes.map(_.seq))
+        .distinct.sorted
+      seqs.map(s => Grp(exportFiles.filter(_.seq == s),
+        exportDeletes.filter(_.seq == s)))
+    }
+    val buckets = scala.collection.mutable.ArrayBuffer.empty[Grp]
+    seqGroups.foreach { g =>
+      if (buckets.nonEmpty &&
+          !(g.deletes.exists(_.isEq) && buckets.last.files.nonEmpty))
+        buckets(buckets.length - 1) = Grp(
+          buckets.last.files ++ g.files, buckets.last.deletes ++ g.deletes)
+      else buckets += g
+    }
+    require(buckets.length < 1000,
+      s"${buckets.length} interleaved commit groups in one export — export more often")
+
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
-    val manifestPath = new Path(metaDir, f"graft-m$version%05d.avro")
+    val delDfSchema = deleteEntrySchema.getField("data_file").schema()
+    val delPartSchema = delDfSchema.getField("partition").schema()
     val manifestMeta = Map(
       "schema" -> schemaJson(st.fields),
       "schema-id" -> "0",
@@ -372,155 +440,190 @@ object IcebergExport {
       "partition-spec-id" -> "0",
       "format-version" -> "2",
       "content" -> "data")
-    val manifestLen =
-      if (exportFiles.isEmpty) 0L
-      else writeAvro(spark, manifestPath, entrySchema, manifestMeta,
-        exportFiles.iterator.map { f =>
-          val part = new GenericData.Record(partSchema)
-          st.partCols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
-          val d = new GenericData.Record(dfSchema)
-          d.put("content", 0)
-          d.put("file_path", f.uri)
-          d.put("file_format", "PARQUET")
-          d.put("partition", part)
-          d.put("record_count", f.rows)
-          d.put("file_size_in_bytes", f.size)
-          val e = new GenericData.Record(entrySchema)
-          e.put("status", 1) // ADDED
-          e.put("snapshot_id", snapshotId)
-          e.put("sequence_number", seq)
-          e.put("file_sequence_number", seq)
-          e.put("data_file", d)
-          e
-        })
+    val idOf = st.fields.map(f => f.name -> f.id).toMap
 
-    // DELETE manifest: one content=1 (position deletes) entry per
-    // exported delete file, under the unpartitioned spec (spec-id 1,
-    // empty partition record = a global delete — the rows themselves
-    // name exact data files). Position deletes apply to data files
-    // with sequence ≤ theirs, so seq covers every carried data file
-    // and, in a restatement, the same-seq restated files too.
-    val deleteManifestPath = new Path(metaDir, f"graft-d$version%05d.avro")
-    val delDfSchema = deleteEntrySchema.getField("data_file").schema()
-    val delPartSchema = delDfSchema.getField("partition").schema()
-    val deleteManifestLen =
-      if (exportDeletes.isEmpty) 0L
-      else writeAvro(spark, deleteManifestPath, deleteEntrySchema,
-        Map("schema" -> schemaJson(st.fields), "schema-id" -> "0",
-          "partition-spec" -> "[]", "partition-spec-id" -> "1",
-          "format-version" -> "2", "content" -> "deletes"),
-        exportDeletes.iterator.map { del =>
-          val d = new GenericData.Record(delDfSchema)
-          d.put("content", 1) // POSITION_DELETES
-          d.put("file_path", fileUri(del.path))
-          d.put("file_format", "PARQUET")
-          d.put("partition", new GenericData.Record(delPartSchema))
-          d.put("record_count", del.rows)
-          d.put("file_size_in_bytes", del.bytes)
-          val e = new GenericData.Record(deleteEntrySchema)
-          e.put("status", 1) // ADDED
-          e.put("snapshot_id", snapshotId)
-          e.put("sequence_number", seq)
-          e.put("file_sequence_number", seq)
-          e.put("data_file", d)
-          e
-        })
+    // one external snapshot per bucket, sequence/parent/history
+    // chained in order; the common non-interleaved case is exactly
+    // one bucket — identical shape to the single-snapshot export
+    var chainSeq = prevMd.map(_("last-sequence-number").long).getOrElse(0L)
+    var parentId: Option[Long] = if (delta) prev.get.snapshotId else None
+    var carried: Seq[GenericRecord] = if (delta) prev.get.listRecords else Seq.empty
+    val newSnapshotJsons = Seq.newBuilder[String]
+    val newLogEntries = Seq.newBuilder[String]
+    var lastSnapshotId = 0L
 
-    // manifest list: the previous snapshot's entries carried forward
-    // verbatim (delta only) + one entry for the new manifest. The
-    // VERSION in the filename keeps it unique per export — same-
-    // millisecond exports must not overwrite the previous snapshot's
-    // list
-    val listPath = new Path(metaDir, f"snap-$snapshotId-$version-$uuid.avro")
-    val addedRows = exportFiles.map(_.rows).sum
-    val deletedRows = exportDeletes.map(_.rows).sum
-    val parentId = if (delta) prev.get.snapshotId.get.toString else "null"
-    val newListRecords = {
-      val data =
-        if (exportFiles.isEmpty) Seq.empty
-        else {
-          val r = new GenericData.Record(manifestListSchema)
-          r.put("manifest_path", fileUri(manifestPath.toString))
-          r.put("manifest_length", manifestLen)
-          r.put("partition_spec_id", 0)
-          r.put("content", 0)
-          r.put("sequence_number", seq)
-          r.put("min_sequence_number", seq)
-          r.put("added_snapshot_id", snapshotId)
-          r.put("added_data_files_count", exportFiles.length)
-          r.put("existing_data_files_count", 0)
-          r.put("deleted_data_files_count", 0)
-          r.put("added_rows_count", addedRows)
-          r.put("existing_rows_count", 0L)
-          r.put("deleted_rows_count", 0L)
-          Seq(r)
-        }
-      val del =
-        if (exportDeletes.isEmpty) Seq.empty
-        else {
-          val r = new GenericData.Record(manifestListSchema)
-          r.put("manifest_path", fileUri(deleteManifestPath.toString))
-          r.put("manifest_length", deleteManifestLen)
-          r.put("partition_spec_id", 1)
-          r.put("content", 1) // DELETES manifest
-          r.put("sequence_number", seq)
-          r.put("min_sequence_number", seq)
-          r.put("added_snapshot_id", snapshotId)
-          r.put("added_data_files_count", exportDeletes.length)
-          r.put("existing_data_files_count", 0)
-          r.put("deleted_data_files_count", 0)
-          r.put("added_rows_count", deletedRows)
-          r.put("existing_rows_count", 0L)
-          r.put("deleted_rows_count", 0L)
-          Seq(r)
-        }
-      data ++ del
+    buckets.zipWithIndex.foreach { case (b, gi) =>
+      chainSeq += 1
+      val seq = chainSeq
+      // unique across exports of this table even within one
+      // millisecond: version strictly increases (by ≥1 per export, ×
+      // 1000 here) and now never decreases, while gi < 1000 — so ids
+      // strictly increase within and across exports (a collision
+      // would need the clock to step back further than the version
+      // stepped forward)
+      val snapshotId = now + version.toLong * 1000 + gi
+      lastSnapshotId = snapshotId
+
+      // manifest file: one ADDED entry per exported data file of this
+      // bucket. A deletes-only bucket writes no data manifest at all.
+      val manifestPath = new Path(metaDir, f"graft-m$version%05d-$gi.avro")
+      val manifestLen =
+        if (b.files.isEmpty) 0L
+        else writeAvro(spark, manifestPath, entrySchema, manifestMeta,
+          b.files.iterator.map { f =>
+            val part = new GenericData.Record(partSchema)
+            st.partCols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
+            val d = new GenericData.Record(dfSchema)
+            d.put("content", 0)
+            d.put("file_path", f.uri)
+            d.put("file_format", "PARQUET")
+            d.put("partition", part)
+            d.put("record_count", f.rows)
+            d.put("file_size_in_bytes", f.size)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", d)
+            e
+          })
+
+      // DELETE manifest: content=1 (position) and content=2
+      // (equality, with the spec's `equality_ids` naming the key
+      // columns' field ids) entries under the unpartitioned spec
+      // (spec-id 1, empty partition record = a global delete).
+      // Position deletes apply to data files with sequence ≤ theirs
+      // (the rows name exact files); equality deletes to sequence
+      // STRICTLY below — which the bucketing above keeps faithful to
+      // the internal commit order.
+      val deleteManifestPath = new Path(metaDir, f"graft-d$version%05d-$gi.avro")
+      val deleteManifestLen =
+        if (b.deletes.isEmpty) 0L
+        else writeAvro(spark, deleteManifestPath, deleteEntrySchema,
+          Map("schema" -> schemaJson(st.fields), "schema-id" -> "0",
+            "partition-spec" -> "[]", "partition-spec-id" -> "1",
+            "format-version" -> "2", "content" -> "deletes"),
+          b.deletes.iterator.map { del =>
+            val d = new GenericData.Record(delDfSchema)
+            d.put("content", if (del.isEq) 2 else 1)
+            d.put("file_path", fileUri(del.path))
+            d.put("file_format", "PARQUET")
+            d.put("partition", new GenericData.Record(delPartSchema))
+            d.put("record_count", del.rows)
+            d.put("file_size_in_bytes", del.bytes)
+            if (del.isEq) {
+              val ids = del.eqCols.map(c => Int.box(idOf.getOrElse(c,
+                sys.error(s"equality delete column '$c' not in export schema"))))
+              d.put("equality_ids", java.util.Arrays.asList(ids: _*))
+            }
+            val e = new GenericData.Record(deleteEntrySchema)
+            e.put("status", 1) // ADDED
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", d)
+            e
+          })
+
+      // manifest list: everything accumulated so far (previous
+      // snapshot's entries in a delta, earlier buckets of this
+      // export) + this bucket's manifests. The VERSION and bucket
+      // index in the filename keep it unique per export.
+      val listPath = new Path(metaDir, f"snap-$snapshotId-$version-$uuid.avro")
+      val addedRows = b.files.map(_.rows).sum
+      val deletedRows = b.deletes.map(_.rows).sum
+      val newListRecords = {
+        val data =
+          if (b.files.isEmpty) Seq.empty
+          else {
+            val r = new GenericData.Record(manifestListSchema)
+            r.put("manifest_path", fileUri(manifestPath.toString))
+            r.put("manifest_length", manifestLen)
+            r.put("partition_spec_id", 0)
+            r.put("content", 0)
+            r.put("sequence_number", seq)
+            r.put("min_sequence_number", seq)
+            r.put("added_snapshot_id", snapshotId)
+            r.put("added_data_files_count", b.files.length)
+            r.put("existing_data_files_count", 0)
+            r.put("deleted_data_files_count", 0)
+            r.put("added_rows_count", addedRows)
+            r.put("existing_rows_count", 0L)
+            r.put("deleted_rows_count", 0L)
+            Seq(r)
+          }
+        val del =
+          if (b.deletes.isEmpty) Seq.empty
+          else {
+            val r = new GenericData.Record(manifestListSchema)
+            r.put("manifest_path", fileUri(deleteManifestPath.toString))
+            r.put("manifest_length", deleteManifestLen)
+            r.put("partition_spec_id", 1)
+            r.put("content", 1) // DELETES manifest
+            r.put("sequence_number", seq)
+            r.put("min_sequence_number", seq)
+            r.put("added_snapshot_id", snapshotId)
+            r.put("added_data_files_count", b.deletes.length)
+            r.put("existing_data_files_count", 0)
+            r.put("deleted_data_files_count", 0)
+            r.put("added_rows_count", deletedRows)
+            r.put("existing_rows_count", 0L)
+            r.put("deleted_rows_count", 0L)
+            Seq(r)
+          }
+        data ++ del
+      }
+      val parentStr = parentId.map(_.toString).getOrElse("null")
+      writeAvro(spark, listPath, manifestListSchema,
+        Map("format-version" -> "2", "snapshot-id" -> snapshotId.toString,
+          "sequence-number" -> seq.toString, "parent-snapshot-id" -> parentStr),
+        carried.iterator ++ newListRecords.iterator)
+      carried = carried ++ newListRecords
+
+      // the spec's summary operations: a data restatement is an
+      // overwrite; a deletes-only commit is a delete; data + deletes
+      // in one commit is an overwrite; pure growth is an append
+      val operation =
+        if (!delta && gi == 0 && removed.nonEmpty) "overwrite"
+        else if (b.deletes.nonEmpty && b.files.isEmpty) "delete"
+        else if (b.deletes.nonEmpty) "overwrite"
+        else "append"
+      val parentField =
+        if (parentId.nonEmpty) s""""parent-snapshot-id":$parentStr,""" else ""
+      val posDeleted = b.deletes.filterNot(_.isEq).map(_.rows).sum
+      val eqDeleted = b.deletes.filter(_.isEq).map(_.rows).sum
+      val deleteSummary =
+        if (b.deletes.isEmpty) ""
+        else s""","added-delete-files":"${b.deletes.length}",""" +
+          s""""added-position-deletes":"$posDeleted",""" +
+          s""""added-equality-deletes":"$eqDeleted""""
+      newSnapshotJsons +=
+        s"""{"sequence-number":$seq,"snapshot-id":$snapshotId,$parentField
+           |"timestamp-ms":$now,"summary":{"operation":"$operation",
+           |"added-data-files":"${b.files.length}","added-records":"$addedRows"$deleteSummary},
+           |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":0}"""
+          .stripMargin.replace("\n", "")
+      newLogEntries += s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}"""
+      parentId = Some(snapshotId)
     }
-    val carried = if (delta) prev.get.listRecords else Seq.empty
-    writeAvro(spark, listPath, manifestListSchema,
-      Map("format-version" -> "2", "snapshot-id" -> snapshotId.toString,
-        "sequence-number" -> seq.toString, "parent-snapshot-id" -> parentId),
-      carried.iterator ++ newListRecords.iterator)
 
-    // the spec's summary operations: a data restatement is an
-    // overwrite; a deletes-only commit is a delete; data + deletes in
-    // one commit is an overwrite; pure growth is an append
-    val operation =
-      if (removed.nonEmpty) "overwrite"
-      else if (exportDeletes.nonEmpty && exportFiles.isEmpty) "delete"
-      else if (exportDeletes.nonEmpty) "overwrite"
-      else "append"
-    val parentField = if (delta) s""""parent-snapshot-id":$parentId,""" else ""
-    val deleteSummary =
-      if (exportDeletes.isEmpty) ""
-      else s""","added-delete-files":"${exportDeletes.length}",""" +
-        s""""added-position-deletes":"$deletedRows""""
-    val newSnapshotJson =
-      s"""{"sequence-number":$seq,"snapshot-id":$snapshotId,$parentField
-         |"timestamp-ms":$now,"summary":{"operation":"$operation",
-         |"added-data-files":"${exportFiles.length}","added-records":"$addedRows"$deleteSummary},
-         |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":0}"""
-        .stripMargin.replace("\n", "")
     // delta: retain prior snapshot history; restatement: drop it (the
     // restated metadata no longer references the removed files)
-    val snapshotsJson =
-      if (delta)
-        (prevMd.get("snapshots").arr.map(IcebergJson.render) :+ newSnapshotJson).mkString(",")
-      else newSnapshotJson
-    val snapshotLogJson = {
-      val entry = s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}"""
-      if (delta)
-        (prevMd.get.opt("snapshot-log").map(_.arr).getOrElse(Vector.empty)
-          .map(IcebergJson.render) :+ entry).mkString(",")
-      else entry
-    }
+    val snapshotsJson = (
+      (if (delta) prevMd.get("snapshots").arr.map(IcebergJson.render)
+       else Vector.empty) ++ newSnapshotJsons.result()).mkString(",")
+    val snapshotLogJson = (
+      (if (delta) prevMd.get.opt("snapshot-log").map(_.arr).getOrElse(Vector.empty)
+        .map(IcebergJson.render)
+       else Vector.empty) ++ newLogEntries.result()).mkString(",")
 
     val metadata =
       s"""{
          |"format-version":2,
          |"table-uuid":${jstr(uuid)},
          |"location":${jstr(fileUri(new Path(root).toString))},
-         |"last-sequence-number":$seq,
+         |"last-sequence-number":$chainSeq,
          |"last-updated-ms":$now,
          |"last-column-id":${st.fields.map(_.id).max},
          |"current-schema-id":0,
@@ -532,8 +635,8 @@ object IcebergExport {
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"schema.name-mapping.default":${jstr(nameMappingJson(st.fields))}},
-         |"current-snapshot-id":$snapshotId,
-         |"refs":{"main":{"snapshot-id":$snapshotId,"type":"branch"}},
+         |"current-snapshot-id":$lastSnapshotId,
+         |"refs":{"main":{"snapshot-id":$lastSnapshotId,"type":"branch"}},
          |"snapshots":[$snapshotsJson],
          |"snapshot-log":[$snapshotLogJson],
          |"metadata-log":[$prevMetadataLogJson]
@@ -557,11 +660,17 @@ object IcebergExport {
   def ensureExport(spark: SparkSession, root: String): String = {
     val m = LogSync.manifest(spark, root)
     val head = m.agg(count(when(col("removed_at").isNull, 1)), max(col("registered_at"))).head()
-    // the delete registry is part of the table state: a deleteMor
-    // commit must invalidate the memo even though the DATA manifest
-    // didn't move
-    val delToken = LogSync.posDeleteEntries(spark, root)
-      .map(e => s"${e.path}#${e.rows}").sorted.mkString("|").hashCode
+    // the delete registry (both kinds) is part of the table state: a
+    // deleteMor/deleteEq commit must invalidate the memo even though
+    // the DATA manifest didn't move. SHA-256 of the joined entry
+    // list, not String.hashCode — a 32-bit collision between two
+    // distinct delete states would silently skip a needed re-export
+    // and serve a stale chain.
+    val delToken = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(LogSync.deleteEntries(spark, root)
+        .map(e => s"${e.path}#${e.rows}#${e.kind}#${e.seq}").sorted.mkString("|")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}:$delToken"
     exportedOnce.computeIfAbsent((spark, root, token), { key =>
       graft.SessionCaches.register(spark)(() => { exportedOnce.remove(key); () })
@@ -1068,7 +1177,7 @@ object IcebergExport {
     val conf = spark.sparkContext.hadoopConfiguration
     val delEntries = chain.deleteFiles.map { d =>
       val p = new Path(d.uri)
-      LogSync.PosDeleteEntry(d.uri, 0L, p.getFileSystem(conf).getFileStatus(p).getLen)
+      LogSync.DeleteEntry(d.uri, 0L, p.getFileSystem(conf).getFileStatus(p).getLen)
     }
     val files = chain.files.map(_.uri)
     LogSync.tableForPaths(spark, root,

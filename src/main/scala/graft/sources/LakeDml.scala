@@ -58,11 +58,26 @@ object LakeDml {
     val kept = spark.read.option("basePath", root).parquet(root)
       .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-    // rows already MOR-deleted must be invisible to DML decisions: a
-    // CoW rewrite that scanned them would RESURRECT them in the
-    // complement, and a MOR delete would re-record them
-    LogSync.applyPosDeletes(spark, kept, LogSync.posDeleteEntries(spark, root))
+    // rows already MOR-deleted (position OR equality) must be
+    // invisible to DML decisions: a CoW rewrite that scanned them
+    // would RESURRECT them in the complement, and a MOR delete would
+    // re-record them
+    LogSync.applyDeletes(spark, kept, root, LogSync.deleteEntries(spark, root))
   }
+
+  /** Broadcast hint for the distinct update-key relation only while it
+    * is control-plane sized; past the cap NO hint — the semi/anti
+    * joins shuffle (AQE free to re-pick). An unguarded `broadcast()`
+    * here would ship a lake-scale restatement's millions of keys into
+    * every executor; the docstring's "update batches are small" is an
+    * expectation, not an invariant, so the guard enforces it the same
+    * way [[graft.operators.Curation.broadcastIfSmall]] does for
+    * near-dup control tables. The count is one cheap job over the
+    * already-materialized update frame.
+    */
+  private[sources] val MaxBroadcastKeys = 1000000L
+  private def keyRelSized(keyRel: DataFrame, maxRows: Long = MaxBroadcastKeys): DataFrame =
+    if (keyRel.count() <= maxRows) broadcast(keyRel) else keyRel
 
   /** One job: (affected file list ≤ bound+1 entries, distinct affected
     * file count, matched-row count).
@@ -87,41 +102,82 @@ object LakeDml {
     */
   private def commit(spark: SparkSession, root: String, affectedSrcs: Seq[String],
                      complement: DataFrame => DataFrame,
-                     inserts: Option[DataFrame]): (Long, Long) = {
+                     inserts: Option[DataFrame],
+                     seq: Option[Long] = None): (Long, Long) = {
     import spark.implicits._
     val before = LogSync.manifestDf(spark, root).cache()
+    // sequence captured at commit PLANNING, before the complement read
+    // resolves the deletes it will materialize — the same defensive
+    // ordering as [[LogCompact.compact]]'s planning capture
+    val commitSeq = seq.getOrElse(LogSync.nextSeq(spark, root))
     val affected = before
       .filter(col("removed_at").isNull &&
         LogSync.normPath(col("path")).isin(affectedSrcs: _*))
       .select("path").as[String].collect()
 
     val layout = LogCompact.inferLayout(spark, root)
-    def append(df: DataFrame): Unit =
-      df.write.mode(SaveMode.Append)
-        .partitionBy(layout.filter(df.columns.contains): _*).parquet(root)
-    if (affected.nonEmpty) {
-      // the complement read must honor existing MOR position deletes:
-      // a raw re-read of the affected files would resurrect rows an
-      // earlier deleteMor removed
-      val raw = spark.read.option("basePath", root).parquet(affected.toSeq: _*)
-        .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-      val morApplied = LogSync.applyPosDeletes(spark, raw,
-        LogSync.posDeleteEntries(spark, root)).drop("__src")
-      append(complement(morApplied))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // STAGED append: write into a per-commit underscore dir (invisible
+    // to data scans and sync) and move the produced files into the
+    // lake keeping their k=v subpaths. The moved list IS the commit's
+    // output — O(files written) discovery, where a full-lake listing
+    // diff is O(lake) driver paths per row-level commit at 100 TB, and
+    // would also misregister any file that ARRIVED (written, not yet
+    // synced) during the commit as DML output, burying a genuine
+    // append under op="rewrite" where tableSince consumers never see
+    // it. A crash mid-move leaves unregistered files that vacuum's
+    // never-registered sweep reclaims — same exposure as any
+    // append-then-crash.
+    def appendStaged(df: DataFrame): Seq[String] = {
+      val staging = new Path(s"$root/_dml_stage_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(layout.filter(df.columns.contains): _*)
+        .parquet(staging.toString)
+      val it = fs.listFiles(staging, true)
+      val moved = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = fs.makeQualified(staging).toUri
+          .relativize(f.getPath.toUri).getPath
+        if (rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))) {
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(f.getPath, dest),
+            s"DML staged move failed: ${f.getPath} -> $dest")
+          // register the QUALIFIED form — the same string sync's
+          // listing produces, so the raw-equality diff never
+          // re-registers a DML output file
+          moved += fs.makeQualified(dest).toString
+        }
+      }
+      fs.delete(staging, true)
+      moved.result()
     }
-    inserts.foreach(append)
-
-    // the files the writes just created = on-disk minus the old
-    // manifest (same discovery as compaction; underscore trees are
-    // never listed)
-    val listed = LogSync.listParquet(spark, root).toDF("path")
-    val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
-      .as[String].collect()
+    val complementPaths =
+      if (affected.isEmpty) Seq.empty[String]
+      else {
+        // the complement read must honor existing MOR deletes (position
+        // AND equality): a raw re-read of the affected files would
+        // resurrect rows an earlier deleteMor/deleteEq removed
+        val raw = spark.read.option("basePath", root).parquet(affected.toSeq: _*)
+          .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+        val morApplied = LogSync.applyDeletes(spark, raw, root,
+          LogSync.deleteEntries(spark, root)).drop("__src")
+        appendStaged(complement(morApplied))
+      }
+    val insertPaths = inserts.map(appendStaged).getOrElse(Seq.empty)
+    val freshPaths = complementPaths ++ insertPaths
     // DML output files are REWRITE commits to incremental consumers:
     // the complement files carry pre-existing rows, and merge-inserts
     // ride the same commit — conservatively skipped by tableSince,
-    // matching Iceberg's skip-overwrite incremental default
-    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq, op = "rewrite")
+    // matching Iceberg's skip-overwrite incremental default. Their
+    // data sequence is FRESH (strictly above every active equality
+    // delete's): the rewrite materialized those deletes, so they must
+    // stop applying to the restated rows — exactly the spec's
+    // restatement sequencing.
+    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq,
+      op = "rewrite", seq = Some(commitSeq))
 
     // rewritten files are TOMBSTONED, not forgotten — they stay on disk
     // until vacuum, and a forgotten path would be re-registered (rows
@@ -187,7 +243,8 @@ object LakeDml {
     * the `_dmanifest` sidecar. Returns (delete files written, rows).
     */
   private def writePositionDeletes(spark: SparkSession, root: String,
-                                   matched: DataFrame): (Long, Long) = {
+                                   matched: DataFrame,
+                                   seq: Option[Long] = None): (Long, Long) = {
     import spark.implicits._
     // persist: the matched scan (predicate/semi-join over the lake,
     // MOR anti-join on top) is the dominant cost — sizing via count()
@@ -238,7 +295,10 @@ object LakeDml {
     LogSync.appendDeleteManifest(spark, root,
       rowsOf.toDF("path", "rows", "bytes")
         .withColumn("registered_at", current_timestamp())
-        .withColumn("removed_at", lit(null).cast("timestamp")))
+        .withColumn("removed_at", lit(null).cast("timestamp"))
+        .withColumn("kind", lit("pos"))
+        .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
+        .withColumn("eq_cols", lit(null).cast("string")))
     (rowsOf.length.toLong, n)
   }
 
@@ -246,6 +306,134 @@ object LakeDml {
     val (files, n) = writePositionDeletes(spark, root,
       tableWithPos(spark, root).filter(predicate))
     DmlStats(0, files, n)
+  }
+
+  /** Write one EQUALITY-delete commit: `keyRows` (already distinct or
+    * not — deduped here) lands as Iceberg v2-shaped equality-delete
+    * parquet under `<root>/_deletes/e<ts>_<uuid>/`, columns stamped
+    * with the EXPORT's field ids ([[IcebergExport.exportFieldIds]] —
+    * external engines bind delete columns by id, so the writer and the
+    * exporter must agree), rows sorted by the key columns, registered
+    * with kind="eq" and the EXPLICIT sequence `seq`. Returns (delete
+    * files written, distinct key rows).
+    */
+  private def writeEqualityDeletes(spark: SparkSession, root: String,
+                                   keyRows: DataFrame, seq: Long): (Long, Long) = {
+    import spark.implicits._
+    val cols = keyRows.columns.toSeq
+    require(cols.nonEmpty, "equality delete needs at least one key column")
+    val keys = keyRows.distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = keys.count()
+    if (n == 0) { keys.unpersist(); return (0L, 0L) }
+    val fieldId = IcebergExport.exportFieldIds(spark, root)
+    cols.foreach(c => require(fieldId.contains(c),
+      s"equality column '$c' is not a column of the lake at $root"))
+    val nOut = math.max(1L, (n + 4000000L - 1) / 4000000L).toInt
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitDir = s"$root/_deletes/e${System.currentTimeMillis()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    keys
+      .select(cols.map { c =>
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", fieldId(c).toLong).build()
+        col(c).as(c, meta)
+      }: _*)
+      .repartitionByRange(nOut, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.parquet(commitDir)
+    keys.unpersist()
+    val written = fs.listStatus(new Path(commitDir)).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rowsOf = written.map { case (p, len) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val cnt = try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+      (p, cnt, len)
+    }
+    LogSync.appendDeleteManifest(spark, root,
+      rowsOf.toDF("path", "rows", "bytes")
+        .withColumn("registered_at", current_timestamp())
+        .withColumn("removed_at", lit(null).cast("timestamp"))
+        .withColumn("kind", lit("eq"))
+        .withColumn("seq", lit(seq))
+        .withColumn("eq_cols", lit(cols.mkString(","))))
+    (rowsOf.length.toLong, n)
+  }
+
+  /** EQUALITY delete — the streaming-CDC deletion primitive: every
+    * registered row whose `keyRows`-column values match SOME key row
+    * is deleted, at a cost of O(distinct keys) — NO lake scan at all,
+    * where [[deleteMor]] pays a predicate scan to find positions and
+    * [[delete]] additionally rewrites every touched file. This is why
+    * Flink-CDC engines write equality deletes: a keyed retraction
+    * stream commits in time proportional to the BATCH, not the table.
+    *
+    * The trade moves further toward read time than [[deleteMor]]'s:
+    * every subsequent scan anti-joins the key rows null-safely against
+    * data files whose sequence is STRICTLY BELOW the delete's (the v2
+    * rule — data appended AFTER the delete, including an upsert's own
+    * inserts at the same sequence, survives). [[LogCompact.compact]]
+    * materializes and retires them like position deletes;
+    * [[IcebergExport.export]] chains them as content=2 equality-delete
+    * files with `equality_ids` under interleaving-consistent snapshot
+    * sequencing.
+    *
+    * Returns DmlStats(filesRemoved = 0, filesAdded = delete files
+    * written, rowsChanged = DISTINCT KEY rows — the matched-row count
+    * is unknowable without the scan this operation exists to avoid).
+    */
+  def deleteEq(spark: SparkSession, root: String, keyRows: DataFrame): DmlStats = {
+    require(LogSync.hasManifest(spark, root),
+      s"no manifest under $root — run sync first")
+    val (files, n) = writeEqualityDeletes(spark, root, keyRows,
+      LogSync.nextSeq(spark, root))
+    DmlStats(0, files, n)
+  }
+
+  /** EQUALITY-delete upsert — the Flink-CDC streaming-upsert shape:
+    * ONE commit writes (a) an equality delete on the update rows' key
+    * columns and (b) the update rows as appended data files, both at
+    * the SAME sequence number. The delete retracts every matching row
+    * of any EARLIER commit (strictly-below rule); the inserts survive
+    * their own delete (same sequence is not below). Cost is
+    * O(update batch) — no scan, no position lookup: this is what
+    * [[upsertMor]]'s predicate scan buys its exact positions with,
+    * and at 100 TB the difference between a CDC consumer keeping up
+    * and falling behind.
+    *
+    * Unlike [[upsertMor]], rows are retracted by KEY even when no
+    * matching row exists (a no-op delete), so rowsChanged counts
+    * distinct keys, not matched rows. The appended files register as
+    * op="rewrite" (same conservative [[LogSync.tableSince]] rule as
+    * every merge path).
+    */
+  def upsertEq(spark: SparkSession, root: String, updates: DataFrame,
+               keys: Seq[String]): DmlStats = {
+    require(keys.nonEmpty, "upsertEq needs at least one key column")
+    val dataCols = LogSync.table(spark, root).columns
+    require(dataCols.forall(updates.columns.contains),
+      "updates must carry all table columns; missing " +
+        dataCols.filterNot(updates.columns.contains).mkString(","))
+    // lineage truncation, same rationale as upsertMor: once the
+    // equality delete registers, a recompute of `updates` reading this
+    // very table would see its matched rows already deleted
+    val ups = updates.select(dataCols.map(col): _*).localCheckpoint(true)
+    try {
+      val seq = LogSync.nextSeq(spark, root)
+      val (delFiles, nKeys) = writeEqualityDeletes(spark, root,
+        ups.select(keys.map(col): _*), seq)
+      // append the update rows AT THE SAME SEQUENCE — the same-commit
+      // rule that makes them survive their own delete
+      val (_, added) = commit(spark, root, Seq.empty,
+        complement = identity, inserts = Some(ups), seq = Some(seq))
+      DmlStats(0, delFiles + added, nKeys)
+    } finally { ups.unpersist(); () }
   }
 
   /** MERGE-ON-READ upsert: rows matching `updates` on `keys` are
@@ -273,9 +461,9 @@ object LakeDml {
     // fails loudly on block loss instead of corrupting
     val ups = updates.select(dataCols.map(col): _*).localCheckpoint(true)
     try {
-      val keyRel = ups.select(keys.map(col): _*).distinct()
+      val keyRel = keyRelSized(ups.select(keys.map(col): _*).distinct())
       val (delFiles, matched) = writePositionDeletes(spark, root,
-        tableWithPos(spark, root).join(broadcast(keyRel), keys, "left_semi"))
+        tableWithPos(spark, root).join(keyRel, keys, "left_semi"))
       // the shared CoW commit with an EMPTY affected set appends the
       // update rows and registers them (op="rewrite"), no tombstones
       val (_, added) = commit(spark, root, Seq.empty,
@@ -388,7 +576,7 @@ object LakeDml {
         dataCols.filterNot(updates.columns.contains).mkString(","))
     val ups = updates.select(dataCols.map(col): _*).cache()
     try {
-      val keyRel = ups.select(keys.map(col): _*).distinct()
+      val keyRel = keyRelSized(ups.select(keys.map(col): _*).distinct())
       val candidates = if (useIndex) {
         val ic = keys.head
         graft.functions.VectorFunctions.register(spark)
@@ -399,15 +587,15 @@ object LakeDml {
             call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
           .select("path").as[String].collect()
         if (paths.isEmpty) None
-        else Some(LogSync.applyPosDeletes(spark,
+        else Some(LogSync.applyDeletes(spark,
           spark.read.option("basePath", root).parquet(paths.toSeq: _*)
             .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
-          LogSync.posDeleteEntries(spark, root)))
+          root, LogSync.deleteEntries(spark, root)))
       } else Some(tableWithSrc(spark, root))
       val (files, nFiles, matched) = candidates match {
         case None => (Seq.empty[String], 0L, 0L)
         case Some(base) =>
-          affectedAgg(base.join(broadcast(keyRel), keys, "left_semi"), maxRewriteFiles)
+          affectedAgg(base.join(keyRel, keys, "left_semi"), maxRewriteFiles)
       }
       requireBounded(nFiles, maxRewriteFiles, "MERGE")
       // replace = rewrite matched files WITHOUT the matched keys' rows
@@ -415,7 +603,7 @@ object LakeDml {
       // predicate); insert = append ALL update rows, replacements and
       // novel keys alike, as new files
       val (removed, added) = commit(spark, root, files,
-        complement = _.join(broadcast(keyRel), keys, "left_anti"),
+        complement = _.join(keyRel, keys, "left_anti"),
         inserts = Some(ups))
       DmlStats(removed, added, matched)
     } finally ups.unpersist()

@@ -114,10 +114,11 @@ object LakeIndex {
     val kept = spark.read.option("basePath", root).parquet(root)
       .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-    // MOR position deletes apply here too — a needle lookup must not
-    // resurrect a deleteMor'd row (the GDPR-redaction hole a
-    // bloom-routed side door would otherwise open)
-    LogSync.applyPosDeletes(spark, kept, LogSync.posDeleteEntries(spark, root))
+    // MOR deletes (position AND equality) apply here too — a needle
+    // lookup must not resurrect a deleteMor'd/deleteEq'd row (the
+    // GDPR-redaction hole a bloom-routed side door would otherwise
+    // open)
+    LogSync.applyDeletes(spark, kept, root, LogSync.deleteEntries(spark, root))
       .drop("__src")
       .filter(col(column).isin(values: _*))
   }
@@ -212,11 +213,11 @@ object LakeIndex {
     if (kept.isEmpty)
       spark.read.option("basePath", root).parquet(root).filter(lit(false))
     else {
-      // MOR position deletes apply here too (see [[lookup]])
+      // MOR deletes apply here too (see [[lookup]])
       val raw = spark.read.option("basePath", root).parquet(kept.toSeq: _*)
         .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-      LogSync.applyPosDeletes(spark, raw,
-          LogSync.posDeleteEntries(spark, root))
+      LogSync.applyDeletes(spark, raw, root,
+          LogSync.deleteEntries(spark, root))
         .drop("__src").filter(rowKeep)
     }
   }

@@ -86,6 +86,23 @@ object LogCompact {
     val before = LogSync.manifestDf(spark, root).cache()
     val filesBefore = before.filter(col("removed_at").isNull).count()
 
+    // capture the delete-file set AND the commit sequence NOW — the
+    // deletes are exactly what the scan below materializes, so the
+    // post-rewrite tombstone pass retires EXACTLY these, never a
+    // delete committed between scan planning and the swap; and the
+    // fresh files register AT the planning-time sequence, so an
+    // interleaved EQUALITY delete (strictly higher seq) keeps
+    // applying to them — its rows were NOT materialized. Under the
+    // stated single-writer rule the capture changes nothing; in a
+    // crash-interleaved case it turns "late delete silently discarded
+    // as materialized" into "late delete stays active": an equality
+    // delete keeps deleting outright, and a position delete — inert
+    // on the rewritten files by path — remains visible to time
+    // travel, to vacuumDeletes, and to an operator who can re-issue
+    // it, rather than vanishing as if it never happened.
+    val materializedDeletes = LogSync.deleteEntries(spark, root)
+    val planningSeq = LogSync.nextSeq(spark, root)
+
     // one job: read old registered files, write consolidated ones. The
     // scan's file list is snapshotted at planning, so the appended
     // output files are not re-read.
@@ -147,7 +164,8 @@ object LogCompact {
     val listed = listParquet(spark, root).map(_._1).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
-    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq, op = "rewrite").cache()
+    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq,
+      op = "rewrite", seq = Some(planningSeq)).cache()
     val filesAfter = fresh.count()
 
     val manifestCols = fresh.columns.toSeq
@@ -161,19 +179,23 @@ object LogCompact {
     // queries) keep reading it — a consistent pre-compaction snapshot —
     // until vacuum ages it out
     LogSync.swapManifest(spark, root, next)
-    // compaction read the table MOR-applied, so every active position
-    // delete is now MATERIALIZED in the fresh files; tombstone the
-    // delete registry (after the data swap — a crash between leaves
-    // the delete rows pointing at tombstoned files, i.e. inert) so
-    // readers stop paying the anti-join and vacuum can reclaim them.
-    // Historic (pre-compaction) reads still apply them: the tombstone
-    // carries removed_at, the same time-travel rule as data files.
-    if (LogSync.hasDeleteManifest(spark, root) &&
-        LogSync.posDeleteEntries(spark, root).nonEmpty) {
+    // compaction read the table MOR-applied, so every delete CAPTURED
+    // AT PLANNING (position and equality) is now MATERIALIZED in the
+    // fresh files; tombstone exactly those registry rows (after the
+    // data swap — a crash between leaves the delete rows pointing at
+    // tombstoned files, i.e. inert) so readers stop paying the
+    // anti-joins and vacuum can reclaim the files. A delete committed
+    // AFTER the capture is not touched — see the planning-capture
+    // note above. Historic (pre-compaction) reads still apply the
+    // tombstoned ones: the tombstone carries removed_at, the same
+    // time-travel rule as data files.
+    if (materializedDeletes.nonEmpty) {
+      val mat = materializedDeletes.map(e => LogSync.normPathStr(e.path))
       LogSync.swapDeleteManifest(spark, root,
         LogSync.deleteManifestDf(spark, root)
           .withColumn("removed_at",
-            when(col("removed_at").isNull, current_timestamp())
+            when(LogSync.normPath(col("path")).isin(mat: _*) &&
+              col("removed_at").isNull, current_timestamp())
               .otherwise(col("removed_at"))))
     }
     before.unpersist(); fresh.unpersist()
@@ -255,6 +277,15 @@ object LogCompact {
         .join(pinned, Seq("path"), "left_anti")
         .select("path").as[String].collect()
       deadDel.foreach(p => fs.delete(new Path(p), false))
+      // a delete COMMIT dir (_deletes/d<ts>_<uuid> or e<ts>_<uuid>)
+      // whose parquet files are all reclaimed is pure leftover
+      // (_SUCCESS marker + empty dir) — without this sweep they
+      // accumulate one per DML commit forever on a DML-heavy lake
+      deadDel.map(p => new Path(p).getParent).distinct.foreach { dir =>
+        if (fs.exists(dir) &&
+            !fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")))
+          fs.delete(dir, true)
+      }
       deadDeletes = deadDel.length
       if (deadDel.nonEmpty) {
         // purge ONLY the rows whose files were actually deleted:

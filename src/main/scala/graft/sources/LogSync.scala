@@ -112,7 +112,15 @@ object LogSync {
     // rows are NOT new). Null (pre-upgrade manifests) reads as append.
     // This is the one bit Iceberg's snapshot `operation` field carries
     // that incremental consumers need: [[tableSince]] skips rewrites.
-    StructField("op", StringType, nullable = true)))
+    StructField("op", StringType, nullable = true),
+    // the file's DATA SEQUENCE NUMBER — Iceberg v2's commit-order
+    // token, EXPLICIT and monotone per lake ([[nextSeq]]: max over
+    // both manifests + 1), never a timestamp (registration instants
+    // tie within a millisecond and the equality-delete strictly-below
+    // rule would flip on the tie). All files of one commit share one
+    // seq. Null (pre-upgrade manifests) reads as 0 — correctly BELOW
+    // any explicitly-sequenced delete, since those files predate it.
+    StructField("seq", org.apache.spark.sql.types.LongType, nullable = true)))
 
   /** Stat columns carried per manifest row. Two dimensions: the time
     * axis every log query filters on, and the service axis
@@ -188,7 +196,21 @@ object LogSync {
     StructField("rows", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("registered_at", TimestampType, nullable = false),
-    StructField("removed_at", TimestampType, nullable = true)))
+    StructField("removed_at", TimestampType, nullable = true),
+    // delete KIND: "pos" (v2 position deletes — `file_path`+`pos`
+    // rows) or "eq" (v2 EQUALITY deletes — key rows of the columns in
+    // `eq_cols`). Null (pre-upgrade registries) reads as "pos".
+    StructField("kind", StringType, nullable = true),
+    // the delete file's sequence number from the same monotone
+    // counter as the data manifest's `seq`. Position deletes bind by
+    // exact file path so their seq is informational internally (and
+    // ordering for export); EQUALITY deletes apply to data files with
+    // seq STRICTLY BELOW theirs — the spec rule that lets an upsert's
+    // own insert (same seq) survive its delete. Null reads as 0.
+    StructField("seq", org.apache.spark.sql.types.LongType, nullable = true),
+    // comma-joined equality column NAMES for kind="eq"; null for
+    // position deletes. Resolved to Iceberg field ids at export time.
+    StructField("eq_cols", StringType, nullable = true)))
 
   private val DeleteManifestVersionRe = "_dmanifest_v([0-9]+)".r
 
@@ -213,10 +235,19 @@ object LogSync {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // registries written before kind/seq/eq_cols existed lack those
+  // columns; mergeSchema (a registry dir can mix old- and new-schema
+  // row files after an upgrade — appendDeleteManifest appends) +
+  // null backfill, same discipline as [[readManifestDir]]
   private[graft] def deleteManifestDf(spark: SparkSession, root: String): DataFrame =
-    if (hasDeleteManifest(spark, root))
-      spark.read.parquet(deleteManifestPath(spark, root))
-    else
+    if (hasDeleteManifest(spark, root)) {
+      val m = spark.read.option("mergeSchema", "true")
+        .parquet(deleteManifestPath(spark, root))
+      deleteManifestSchema.fields.drop(5).foldLeft(m) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteManifestSchema)
 
   private[sources] def appendDeleteManifest(spark: SparkSession, root: String,
@@ -253,20 +284,28 @@ object LogSync {
     versioned ++ (if (fs.exists(legacy)) Seq(legacy) else Seq.empty)
   }
 
-  /** One active position-delete file: (path, rows, bytes). */
-  private[graft] final case class PosDeleteEntry(path: String, rows: Long,
-                                                 bytes: Long)
-
-  /** The snapshot-bounded ACTIVE delete-file set — control-plane
-    * cardinality (one row per delete FILE; files are bounded by DML
-    * commits and folded by [[LakeDml.vacuumDeletes]] / compaction,
-    * never by row count). Driver-resident by design: the read path
-    * must name these paths explicitly anyway (they live under the
-    * underscore tree no data scan lists).
+  /** One active row-level delete file: position (`kind="pos"`,
+    * `file_path`+`pos` rows) or equality (`kind="eq"`, key rows of
+    * `eqCols`, applying to data files with seq STRICTLY below `seq`).
     */
-  private[graft] def posDeleteEntries(spark: SparkSession, root: String,
-                                      asOf: Option[java.sql.Timestamp] = None
-                                     ): Seq[PosDeleteEntry] = {
+  private[graft] final case class DeleteEntry(path: String, rows: Long,
+                                              bytes: Long,
+                                              kind: String = "pos",
+                                              seq: Long = 0L,
+                                              eqCols: Seq[String] = Seq.empty) {
+    def isEq: Boolean = kind == "eq"
+  }
+
+  /** The snapshot-bounded ACTIVE delete-file set (both kinds) —
+    * control-plane cardinality (one row per delete FILE; files are
+    * bounded by DML commits and folded by [[LakeDml.vacuumDeletes]] /
+    * compaction, never by row count). Driver-resident by design: the
+    * read path must name these paths explicitly anyway (they live
+    * under the underscore tree no data scan lists).
+    */
+  private[graft] def deleteEntries(spark: SparkSession, root: String,
+                                   asOf: Option[java.sql.Timestamp] = None
+                                  ): Seq[DeleteEntry] = {
     if (!hasDeleteManifest(spark, root)) return Seq.empty
     val m = deleteManifestDf(spark, root)
     val bounded = asOf match {
@@ -274,8 +313,38 @@ object LogSync {
         (col("removed_at").isNull || col("removed_at") > lit(ts)))
       case None => m.filter(col("removed_at").isNull)
     }
-    bounded.select(col("path"), col("rows"), col("bytes")).collect()
-      .map(r => PosDeleteEntry(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    bounded.select(col("path"), col("rows"), col("bytes"),
+        coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
+        col("eq_cols")).collect()
+      .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4),
+        Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty)))
+      .toSeq
+  }
+
+  /** [[deleteEntries]] restricted to POSITION deletes — the surface
+    * for maintenance that folds/retires by target file
+    * ([[LakeDml.compactDeletes]]/[[LakeDml.vacuumDeletes]]); equality
+    * deletes have no file targets and retire via compaction.
+    */
+  private[graft] def posDeleteEntries(spark: SparkSession, root: String,
+                                      asOf: Option[java.sql.Timestamp] = None
+                                     ): Seq[DeleteEntry] =
+    deleteEntries(spark, root, asOf).filterNot(_.isEq)
+
+  /** The next commit's sequence number: one past the highest ever
+    * assigned across BOTH manifests (data and delete). Two
+    * control-plane aggregates; monotone under the lake's single-writer
+    * rule. Tombstoned rows count too — a sequence must never be
+    * reused even after the file that held it is vacuumed.
+    */
+  private[sources] def nextSeq(spark: SparkSession, root: String): Long = {
+    def maxSeq(df: DataFrame): Long =
+      if (!df.columns.contains("seq")) 0L
+      else Option(df.agg(max(coalesce(col("seq"), lit(0L)))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    math.max(maxSeq(manifestDf(spark, root)),
+      maxSeq(deleteManifestDf(spark, root))) + 1
   }
 
   /** Broadcast the delete rows only while they plausibly fit every
@@ -286,25 +355,72 @@ object LogSync {
     */
   private val BroadcastDeleteBytesCap = 64L * 1024 * 1024
 
-  /** Apply the position deletes in `entries` to a scan carrying
-    * `__src` (normalized `_metadata.file_path`): anti-join on
-    * (file, row ordinal). `_metadata.row_index` is the parquet row
-    * ordinal Spark's scan surfaces — exactly the `pos` the delete
-    * files record, no window or zipWithIndex pass.
+  /** Apply the row-level deletes in `entries` to a scan carrying
+    * `__src` (normalized `_metadata.file_path`).
+    *
+    * POSITION deletes anti-join on (file, row ordinal) —
+    * `_metadata.row_index` is the parquet row ordinal Spark's scan
+    * surfaces, exactly the `pos` the delete files record, no window or
+    * zipWithIndex pass. No sequence check needed: they bind by exact
+    * file path and paths are never reused.
+    *
+    * EQUALITY deletes anti-join null-safely (`<=>`) on their key
+    * columns, restricted to data files whose sequence number is
+    * STRICTLY BELOW the delete's (the v2 rule that lets an upsert's
+    * same-commit insert survive its own delete). The per-row data
+    * sequence attaches from `root`'s manifest — a control-plane
+    * broadcast (one row per known file, tombstones included so
+    * time-travel/branch reads resolve too; seq is immutable per
+    * file). A lake with no equality deletes never pays the attach.
+    *
+    * Both sides are sized by the DELETED population (manifest
+    * `bytes`): broadcast under the cap, shuffle past it.
     */
-  private[sources] def applyPosDeletes(spark: SparkSession, df: DataFrame,
-                                       entries: Seq[PosDeleteEntry]): DataFrame = {
+  private[sources] def applyDeletes(spark: SparkSession, df: DataFrame,
+                                    root: String,
+                                    entries: Seq[DeleteEntry]): DataFrame = {
     if (entries.isEmpty) return df
-    val delRows = spark.read.parquet(entries.map(_.path): _*)
-      .select(normPath(col("file_path")).as("__del_file"),
-        col("pos").cast("long").as("__del_pos"))
-    val sized =
-      if (entries.map(_.bytes).sum <= BroadcastDeleteBytesCap) broadcast(delRows)
-      else delRows
-    df.withColumn("__pos", col("_metadata.row_index"))
-      .join(sized, col("__src") === col("__del_file") &&
-        col("__pos") === col("__del_pos"), "left_anti")
-      .drop("__pos")
+    val (eqs, poss) = entries.partition(_.isEq)
+    def sized(rel: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= BroadcastDeleteBytesCap) broadcast(rel) else rel
+    val posApplied =
+      if (poss.isEmpty) df
+      else {
+        val delRows = spark.read.parquet(poss.map(_.path): _*)
+          .select(normPath(col("file_path")).as("__del_file"),
+            col("pos").cast("long").as("__del_pos"))
+        df.withColumn("__pos", col("_metadata.row_index"))
+          .join(sized(delRows, poss.map(_.bytes).sum),
+            col("__src") === col("__del_file") &&
+              col("__pos") === col("__del_pos"), "left_anti")
+          .drop("__pos")
+      }
+    if (eqs.isEmpty) posApplied
+    else {
+      // per-row data sequence from the manifest (path is unique
+      // across active + tombstoned rows; null seq = pre-upgrade = 0)
+      val seqRel = manifestDf(spark, root)
+        .select(normPath(col("path")).as("__seq_src"),
+          coalesce(col("seq"), lit(0L)).as("__data_seq"))
+      val withSeq = posApplied.join(broadcast(seqRel),
+        col("__src") === col("__seq_src"), "left")
+        .drop("__seq_src")
+        .withColumn("__data_seq", coalesce(col("__data_seq"), lit(0L)))
+      // one anti-join per distinct equality-column set; files sharing
+      // a set union with per-file seq literals
+      val applied = eqs.groupBy(_.eqCols).foldLeft(withSeq) {
+        case (acc, (cols, files)) =>
+          val delRows = files.map { e =>
+            spark.read.parquet(e.path)
+              .select(cols.map(c => col(c).as(s"__eqd_$c")) :+
+                lit(e.seq).as("__eq_seq"): _*)
+          }.reduce(_ unionByName _)
+          val cond = cols.map(c => col(c) <=> col(s"__eqd_$c"))
+            .reduce(_ && _) && col("__data_seq") < col("__eq_seq")
+          acc.join(sized(delRows, files.map(_.bytes).sum), cond, "left_anti")
+      }
+      applied.drop("__data_seq")
+    }
   }
 
   /** [[keepOnly]] for cross-package CDC readers: the lake scan
@@ -312,7 +428,7 @@ object LogSync {
     */
   private[graft] def tableForPaths(spark: SparkSession, root: String,
                                    keep: DataFrame,
-                                   deletes: Seq[PosDeleteEntry] = Seq.empty
+                                   deletes: Seq[DeleteEntry] = Seq.empty
                                   ): DataFrame =
     keepOnly(spark, root, keep, deletes = deletes)
 
@@ -382,8 +498,10 @@ object LogSync {
     */
   private[sources] def freshManifestRows(spark: SparkSession, root: String,
                                          paths: Seq[String],
-                                         op: String = "append"): DataFrame = {
+                                         op: String = "append",
+                                         seq: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val commitSeq = seq.getOrElse(nextSeq(spark, root))
     val stamped = paths.toDF("path")
       .withColumn("registered_at", current_timestamp())
     val statted =
@@ -397,6 +515,7 @@ object LogSync {
     statted
       .withColumn("removed_at", lit(null).cast(TimestampType))
       .withColumn("op", lit(op))
+      .withColumn("seq", lit(commitSeq))
       .select(manifestSchema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -465,19 +584,19 @@ object LogSync {
     */
   private def keepOnly(spark: SparkSession, root: String, paths: DataFrame,
                        mergeSchema: Boolean = false,
-                       deletes: Seq[PosDeleteEntry] = Seq.empty): DataFrame = {
+                       deletes: Seq[DeleteEntry] = Seq.empty): DataFrame = {
     val kept = spark.read.option("basePath", root)
       .option("mergeSchema", mergeSchema.toString).parquet(root)
       .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-    applyPosDeletes(spark, kept, deletes).drop("__src")
+    applyDeletes(spark, kept, root, deletes).drop("__src")
   }
 
   private def filteredTable(spark: SparkSession, root: String,
                             asOf: Option[java.sql.Timestamp],
                             mergeSchema: Boolean = false): DataFrame =
     keepOnly(spark, root, registeredPaths(spark, root, asOf), mergeSchema,
-      deletes = posDeleteEntries(spark, root, asOf))
+      deletes = deleteEntries(spark, root, asOf))
 
   /** The queryable table: exactly the registered files. */
   def table(spark: SparkSession, root: String): DataFrame =
@@ -566,7 +685,7 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until))
       .select(normPath(col("path")).as("__registered_path"))
-    keepOnly(spark, root, paths, deletes = posDeleteEntries(spark, root))
+    keepOnly(spark, root, paths, deletes = deleteEntries(spark, root))
       .filter(col("timestamp") >= from && col("timestamp") < until)
   }
 
@@ -605,7 +724,7 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until) && svcKeep(lit(service)))
       .select(normPath(col("path")).as("__registered_path"))
-    keepOnly(spark, root, paths, deletes = posDeleteEntries(spark, root))
+    keepOnly(spark, root, paths, deletes = deleteEntries(spark, root))
       .filter(col("service_name") === service &&
         col("timestamp") >= from && col("timestamp") < until)
   }
@@ -672,10 +791,21 @@ object LogSync {
     val dp = new Path(s"$root/_branch_del_$name")
     val deletes =
       if (!fs.exists(dp)) Seq.empty
-      else spark.read.parquet(dp.toString)
-        .filter(col("removed_at").isNull)
-        .select(col("path"), col("rows"), col("bytes")).collect()
-        .map(r => PosDeleteEntry(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      else {
+        val raw = spark.read.option("mergeSchema", "true").parquet(dp.toString)
+        val filled = deleteManifestSchema.fields.drop(5).foldLeft(raw) { (df, f) =>
+          if (df.columns.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        filled.filter(col("removed_at").isNull)
+          .select(col("path"), col("rows"), col("bytes"),
+            coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
+            col("eq_cols")).collect()
+          .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getLong(4),
+            Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty)))
+          .toSeq
+      }
     keepOnly(spark, root, paths, deletes = deletes)
   }
 

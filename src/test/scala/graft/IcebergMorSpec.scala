@@ -338,7 +338,7 @@ class IcebergMorSpec extends SparkSpec {
     val mdDir = new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata")
     val fs = mdDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delManifest = fs.listStatus(mdDir).map(_.getPath)
-      .find(_.getName.matches("graft-d\\d+\\.avro"))
+      .find(_.getName.matches("graft-d\\d+-\\d+\\.avro"))
       .getOrElse(fail("export must write a delete manifest"))
     // a generic Avro reader (no graft code) must see spec-shaped
     // entries: ADDED status, content=1 (position deletes), an EMPTY
