@@ -94,6 +94,7 @@ object SparkEntry {
     "lake_iceberg_day"    -> (LakeAnalytics.icebergExternalDays _),
     "lake_iceberg_dml"    -> (LakeAnalytics.morSeverity _),
     "lake_iceberg_merge"  -> (LakeAnalytics.mergeMorSeverity _),
+    "lake_iceberg_eqdml"  -> (LakeAnalytics.eqMorSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
     "lake_iceberg_tt"     -> (LakeAnalytics.icebergTimeTravel _),
@@ -1085,6 +1086,18 @@ object SparkEntry {
         |      THEN 'converted' ELSE event_type END AS severity_text,
         | count(*) AS n
         |FROM events
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // EQUALITY-delete DML: svc-3 views reclassified 'vip' by upsertEq
+    // (keyed retraction + same-sequence appends), svc-6 errors
+    // retracted by deleteEq, read back through the exported chain of
+    // interleaving-consistent snapshots (content=2 + equality_ids)
+    "lake_iceberg_eqdml" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | CASE WHEN user_id % 10 = 3 AND event_type = 'view'
+        |      THEN 'vip' ELSE event_type END AS severity_text,
+        | count(*) AS n
+        |FROM events
+        |WHERE NOT (user_id % 10 = 6 AND event_type = 'error')
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_iceberg_mor" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn

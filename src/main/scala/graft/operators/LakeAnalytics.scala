@@ -515,6 +515,63 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val eqMorBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake corrected by EQUALITY-delete DML — the streaming-CDC
+    * shape ([[graft.sources.LakeDml.upsertEq]]/
+    * [[graft.sources.LakeDml.deleteEq]]): svc-3's 'view' rows are
+    * reclassified to 'vip' by an equality-delete upsert (ONE commit,
+    * keyed retraction + appended replacements at the SAME sequence
+    * number — O(batch), no lake scan, no position lookup), then
+    * svc-6's 'error' rows are retracted outright by a keyed
+    * [[graft.sources.LakeDml.deleteEq]], then the chain re-exports.
+    * The second export carries the interleaving: data files at the
+    * upsert's sequence plus TWO equality deletes, which the export's
+    * snapshot grouping splits into sequence-consistent snapshots —
+    * the upsert's inserts share their delete's sequence (and so
+    * survive it, strictly-below), the later delete sits strictly
+    * above them (and so applies).
+    */
+  private[graft] def eqMorRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(eqMorBuilt, dir, "graft_lakeeq", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      val updates = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .filter(col("service_name") === "svc-3" && col("severity_text") === "view")
+        .withColumn("severity_text", lit("vip"))
+        .withColumn("year", year(col("timestamp")))
+        .withColumn("month", month(col("timestamp")))
+        .withColumn("day", dayofmonth(col("timestamp")))
+        .withColumn("hour", hour(col("timestamp")))
+      val up = graft.sources.LakeDml.upsertEq(spark, root, updates, Seq("span_id"))
+      require(up.filesRemoved == 0 && up.rowsChanged > 0,
+        s"equality-merge fixture must retract by key without touching files: $up")
+      val victims = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .filter(col("service_name") === "svc-6" && col("severity_text") === "error")
+        .select(col("span_id"))
+      val del = graft.sources.LakeDml.deleteEq(spark, root, victims)
+      require(del.filesRemoved == 0 && del.rowsChanged > 0,
+        s"equality-delete fixture must retract rows: $del")
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** `lake_iceberg_eqdml`: severity counts through the exported chain
+    * of [[eqMorRoot]] — hash-matching the reclassified-minus-retracted
+    * oracle certifies the EQUALITY-delete write path end-to-end:
+    * keyed delete parquet with export field ids, explicit sequence
+    * numbers, strictly-below application in graft's own read,
+    * same-sequence insert survival, interleaving-consistent snapshot
+    * export (content=2 entries with equality_ids), and the external
+    * MOR read-back.
+    */
+  def eqMorSeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, eqMorRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
   private val clusterBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake that grew WITHOUT a useful layout and was then re-clustered

@@ -156,10 +156,29 @@ object IcebergExport {
     (dataFields ++ partFields, partCols)
   }
 
-  /** Column name → Iceberg field id under the export's assignment. */
-  private[sources] def exportFieldIds(spark: SparkSession, root: String): Map[String, Int] =
-    schemaFieldsFor(spark, root, activePaths(spark, root))
-      ._1.map(f => f.name -> f.id).toMap
+  private val fieldIdsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      Map[String, Int]]()
+
+  /** Column name → Iceberg field id under the export's assignment.
+    * Memoized per data-manifest head state (version + active count +
+    * newest registration — the [[ensureExport]] token shape, since
+    * plain syncs append without bumping the version): the assignment
+    * depends only on the active file set, and the equality-delete
+    * writer calls this once per DELETE COMMIT — a CDC stream issuing
+    * thousands of keyed retractions must not pay the schema-merge job
+    * over every active footer each time.
+    */
+  private[graft] def exportFieldIds(spark: SparkSession, root: String): Map[String, Int] = {
+    val head = LogSync.manifest(spark, root)
+      .agg(count(when(col("removed_at").isNull, 1)), max(col("registered_at"))).head()
+    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}"
+    fieldIdsMemo.computeIfAbsent((spark, root, token), { key =>
+      graft.SessionCaches.register(spark)(() => { fieldIdsMemo.remove(key); () })
+      schemaFieldsFor(spark, root, activePaths(spark, root))
+        ._1.map(f => f.name -> f.id).toMap
+    })
+  }
 
   private def resolve(spark: SparkSession, root: String): State = {
     val conf = spark.sparkContext.hadoopConfiguration

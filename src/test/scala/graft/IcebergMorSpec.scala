@@ -412,6 +412,264 @@ class IcebergMorSpec extends SparkSpec {
       s"the delete anti-join must not shuffle the corpus for a tiny delete set:\n$plan")
   }
 
+  test("deleteEq: keyed retraction; data appended AFTER the delete survives (strictly-below)") {
+    val root = mkLake(Seq((200, "s0")))
+    val victims = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view").select("span_id")
+    val nVictims = victims.count()
+    val before = LogSync.table(spark, root).count()
+    val filesBefore = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).count()
+
+    val stats = LakeDml.deleteEq(spark, root, victims)
+    assert(stats.filesRemoved == 0, "equality delete must not touch any data file")
+    assert(stats.rowsChanged == nVictims, "rowsChanged counts distinct keys")
+    assert(LogSync.manifest(spark, root).filter(col("removed_at").isNull).count()
+      == filesBefore, "the data manifest must be untouched")
+    assert(LogSync.table(spark, root).count() == before - nVictims)
+    assert(LogSync.table(spark, root)
+      .filter(col("severity_text") === "view").count() == 0)
+
+    // a row RE-ADDED after the delete shares a deleted key but a
+    // strictly higher data sequence — the v2 rule keeps it visible
+    val one = victims.limit(1).head.getString(0)
+    Tables.events(spark, sf).limit(1)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        lit("view").as("severity_text"), lit(one).as("span_id"),
+        lit("REBORN").as("body"))
+      .write.mode("append").partitionBy("service_name").parquet(root)
+    LogSync.sync(spark, root)
+    val reborn = LogSync.table(spark, root).filter(col("span_id") === one)
+    assert(reborn.count() == 1 && reborn.head.getAs[String]("body") == "REBORN",
+      "a re-added key must survive an EARLIER equality delete")
+  }
+
+  test("upsertEq: one keyed commit; inserts survive their own delete (tie sequence)") {
+    val root = mkLake(Seq((200, "s0")))
+    val before = LogSync.table(spark, root).count()
+    val existing = LogSync.table(spark, root).limit(5)
+      .select(col("timestamp"), col("service_name"), col("severity_text"),
+        col("span_id"), lit("UPDATED").as("body"))
+    val novel = LogSync.table(spark, root).limit(2)
+      .select(col("timestamp"), col("service_name"), col("severity_text"),
+        concat(lit("novel-"), col("span_id")).as("span_id"),
+        lit("NEW").as("body"))
+    val keys = existing.unionByName(novel).select("span_id")
+      .collect().map(_.getString(0)).toSet
+
+    val stats = LakeDml.upsertEq(spark, root, existing.unionByName(novel), Seq("span_id"))
+    assert(stats.filesRemoved == 0, "equality merge must not rewrite any data file")
+    assert(stats.rowsChanged == 7, "rowsChanged counts distinct retraction keys")
+    val t = LogSync.table(spark, root)
+    assert(t.count() == before - 5 + 7)
+    assert(t.filter(col("body") === "UPDATED").count() == 5,
+      "matched keys must answer exactly the update rows")
+    assert(t.filter(col("body") === "NEW").count() == 2)
+    // the tie rule, directly: the delete and the inserted files share
+    // one sequence number, and the inserts are visible
+    val delSeqs = LogSync.deleteEntries(spark, root).filter(_.isEq).map(_.seq)
+    assert(delSeqs.nonEmpty)
+    val insSeqs = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull && col("op") === "rewrite")
+      .select("seq").collect().map(_.getLong(0)).toSet
+    assert(delSeqs.toSet.subsetOf(insSeqs),
+      s"upsertEq's delete (${delSeqs}) and inserts ($insSeqs) must share a sequence")
+    // each updated key answers EXACTLY one row (old retracted, new kept)
+    val dup = t.filter(col("span_id").isin(keys.toSeq: _*))
+      .groupBy("span_id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "no key may answer both the old and the new row")
+  }
+
+  test("deleteEq is null-safe: a null key row retracts rows whose key IS NULL") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mor").toString
+    Tables.events(spark, sf).limit(50)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        col("event_type").as("severity_text"),
+        when(col("event_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("e"), col("event_id"))).as("span_id"),
+        col("props").as("body"))
+      .write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val nullRows = LogSync.table(spark, root).filter(col("span_id").isNull).count()
+    assert(nullRows > 0, "fixture must carry null keys")
+    LakeDml.deleteEq(spark, root, Seq(Option.empty[String]).toDF("span_id"))
+    assert(LogSync.table(spark, root).filter(col("span_id").isNull).count() == 0,
+      "a null equality key must retract null-keyed rows (<=> semantics)")
+    assert(LogSync.table(spark, root).count() == 50 - nullRows,
+      "non-null keys must be untouched by a null retraction")
+  }
+
+  test("deleteEq: time travel crosses the delete; compaction materializes it") {
+    val root = mkLake(Seq((150, "s0")))
+    val before = LogSync.table(spark, root).count()
+    val preTs = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    val victims = LogSync.table(spark, root)
+      .filter(col("severity_text") === "purchase").select("span_id")
+    LakeDml.deleteEq(spark, root, victims)
+    val after = LogSync.table(spark, root).count()
+    assert(after < before)
+    assert(LogSync.tableAsOf(spark, root, preTs).count() == before,
+      "a pre-delete snapshot must still answer the retracted rows")
+    // compaction materializes the equality delete and retires it
+    LogCompact.compact(spark, root)
+    assert(LogSync.deleteEntries(spark, root).isEmpty,
+      "compaction must tombstone the materialized equality delete")
+    assert(LogSync.table(spark, root).count() == after)
+    assert(LogSync.table(spark, root)
+      .filter(col("severity_text") === "purchase").count() == 0,
+      "restated files must not resurrect equality-deleted rows")
+  }
+
+  test("deleteEq then CoW on another predicate: no resurrection through the complement") {
+    val root = mkLake(Seq((200, "s0")))
+    val victims = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view").select("span_id")
+    LakeDml.deleteEq(spark, root, victims)
+    val afterEq = LogSync.table(spark, root).count()
+    val purchases = LogSync.table(spark, root)
+      .filter(col("severity_text") === "purchase").count()
+    LakeDml.delete(spark, root, col("severity_text") === "purchase")
+    assert(LogSync.table(spark, root).count() == afterEq - purchases)
+    assert(LogSync.table(spark, root).filter(col("severity_text") === "view").count() == 0,
+      "CoW rewrite resurrected equality-deleted rows")
+    // the restated files carry a sequence ABOVE the equality delete's,
+    // so the (still-active) delete no longer applies to them — yet the
+    // rows it retracted stay gone because the rewrite materialized it
+    val eqSeq = LogSync.deleteEntries(spark, root).filter(_.isEq).map(_.seq).max
+    val restatedSeqs = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull && col("op") === "rewrite")
+      .select("seq").collect().map(_.getLong(0))
+    assert(restatedSeqs.nonEmpty && restatedSeqs.forall(_ > eqSeq),
+      s"restated files (seq $restatedSeqs) must sit strictly above the delete ($eqSeq)")
+  }
+
+  test("export groups interleaved commits into sequence-consistent snapshots") {
+    import spark.implicits._
+    val root = mkLake(Seq((200, "s0")))
+    IcebergExport.export(spark, root)
+    val preChain = IcebergExport.snapshots(spark, root).length
+    // delete K, then APPEND a batch re-adding one key of K — one
+    // export must carry both, and the re-added row must survive the
+    // (sequence-earlier) delete both internally and externally
+    val victims = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view").select("span_id")
+    val one = victims.limit(1).head.getString(0)
+    LakeDml.deleteEq(spark, root, victims)
+    Tables.events(spark, sf).limit(1)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        lit("view").as("severity_text"), lit(one).as("span_id"),
+        lit("REBORN").as("body"))
+      .write.mode("append").partitionBy("service_name").parquet(root)
+    LogSync.sync(spark, root)
+    IcebergExport.export(spark, root)
+
+    val want = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val ext = IcebergExport.readTable(spark, root)
+    val got = ext.groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "exported chain must equal the live table")
+    assert(ext.filter(col("span_id") === one).count() == 1,
+      "the re-added key must survive the earlier equality delete externally")
+
+    // now the REVERSE interleaving: append data, THEN equality-delete
+    // over it — the export must START A NEW SNAPSHOT for the delete
+    // (folding it into the data's snapshot would un-apply it)
+    val two = LogSync.table(spark, root)
+      .filter(col("severity_text") === "purchase").limit(1)
+      .select("span_id").head.getString(0)
+    Tables.events(spark, sf).limit(3)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        lit("late").as("severity_text"),
+        concat(lit("late-"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .write.mode("append").partitionBy("service_name").parquet(root)
+    LogSync.sync(spark, root)
+    LakeDml.deleteEq(spark, root, Seq(two).toDF("span_id"))
+    IcebergExport.export(spark, root)
+    val chain = IcebergExport.snapshots(spark, root)
+    assert(chain.length >= preChain + 3,
+      s"data-then-eq-delete must split into separate snapshots: ${chain.length}")
+    val want2 = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got2 = IcebergExport.readTable(spark, root)
+      .groupBy(col("service_name"), col("severity_text")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 == want2, "reverse interleaving must read back exactly")
+    assert(IcebergExport.readTable(spark, root)
+      .filter(col("span_id") === two).count() == 0,
+      "the later equality delete must apply to the earlier data externally")
+  }
+
+  test("equality delete files carry the EXPORT's field ids; manifests carry content=2 + equality_ids") {
+    val root = mkLake(Seq((100, "s0")))
+    val victims = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view").select("span_id")
+    LakeDml.deleteEq(spark, root, victims)
+    IcebergExport.export(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    // the delete parquet's span_id column carries the export's id
+    val wantId = graft.sources.IcebergExport.exportFieldIds(spark, root)("span_id")
+    val delFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_deletes"))
+      .filter(_.getPath.getName.startsWith("e"))
+      .flatMap(d => fs.listStatus(d.getPath)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delFile, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schema = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    assert(schema.getType(Seq("span_id"): _*).getId.intValue == wantId,
+      s"equality-delete column must carry the export's field id $wantId: $schema")
+    // a plain Avro reader sees a content=2 entry naming that id
+    val mdDir = new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata")
+    val eqEntries = fs.listStatus(mdDir).map(_.getPath)
+      .filter(_.getName.matches("graft-d\\d+-\\d+\\.avro"))
+      .flatMap { p =>
+        val reader = new org.apache.avro.file.DataFileReader(
+          new org.apache.avro.mapred.FsInput(p, conf),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.avro.generic.GenericRecord]
+          while (reader.hasNext) buf += reader.next()
+          buf.toSeq
+        } finally reader.close()
+      }
+      .map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .filter(_.get("content").asInstanceOf[Int] == 2)
+    assert(eqEntries.nonEmpty, "export must write a content=2 equality-delete entry")
+    eqEntries.foreach { d =>
+      val ids = d.get("equality_ids").asInstanceOf[java.util.List[Int]]
+      assert(ids != null && ids.size == 1 && ids.get(0) == wantId,
+        s"equality_ids must name the export's field id $wantId: $ids")
+    }
+  }
+
+  test("pos-delete maintenance leaves equality deletes alone; they retire via compaction") {
+    val root = mkLake(Seq((200, "s0")))
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    LakeDml.deleteMor(spark, root, col("severity_text") === "signup")
+    val victims = LogSync.table(spark, root)
+      .filter(col("severity_text") === "purchase").select("span_id")
+    LakeDml.deleteEq(spark, root, victims)
+    val want = LogSync.table(spark, root).count()
+    // compactDeletes folds the two position commits, never the eq one
+    val (nb, na) = LakeDml.compactDeletes(spark, root)
+    assert(nb == 2 && na == 1, s"pos-delete fold: $nb -> $na")
+    assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 1,
+      "equality deletes must survive a position-delete fold")
+    assert(LogSync.table(spark, root).count() == want)
+    // vacuumDeletes (target-file based) must not tombstone eq entries
+    LakeDml.vacuumDeletes(spark, root)
+    assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 1)
+    assert(LogSync.table(spark, root).count() == want)
+  }
+
   test("vacuumDeletes tombstones delete files whose targets were all rewritten") {
     val root = mkLake(Seq((200, "s0")))
     LakeDml.deleteMor(spark, root, col("severity_text") === "view")
