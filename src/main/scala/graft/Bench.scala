@@ -162,28 +162,26 @@ object Bench {
     // floor, so their committed baselines converge back to steady
     // state instead of ratcheting up. Cost: at most two extra ~1 s
     // runs per bench.
-    // r8 added the ANN pair to the pinned set: a TimeQuery isolation
-    // probe measured ann_ivf/ann_pq steady state at 0.8-0.9 s while
-    // the r8 bench recorded 1.41/1.27 s — same burst-throttle shape,
-    // sub-3x so the vs-prev trigger can't see it. Floors sit just
-    // above each query's isolated steady state so a clean run pays
-    // nothing.
-    // r9 added three more with the same signature (untouched plans,
-    // sub-2 s absolute, >0.4 s jumps vs r8: text_langid 0.55→1.47 s
-    // with a 3.07 s first attempt, trace_spans 0.41→1.14 s,
-    // q4_exists 0.39→0.93 s) — floors just above their r8 steady
-    // state so BENCH_PREV can't ratchet up.
-    val noiseSensitive = Map(
-      "q2_join_agg" -> 0.75, "q3_topn" -> 0.75,
-      "ann_ivf" -> 1.1, "ann_pq" -> 1.1,
-      "text_langid" -> 0.8, "trace_spans" -> 0.6, "q4_exists" -> 0.6)
+    // r8/r9 grew a hand-pinned per-query floor list here (q2/q3, the
+    // ANN pair, text_langid/trace_spans/q4_exists) — every round's
+    // burst-throttle noise added entries, and each floor sat far
+    // enough above steady state to hide a real sub-floor regression
+    // from the retry. r11 replaces the list with the general rule the
+    // floors were approximating: retry whenever a query runs >1.5x
+    // its committed BENCH_PREV value (with the same 0.3 s slack).
+    // BENCH_PREV holds min-of-attempts steady states, so 1.5x of it
+    // IS "just above observed steady state" for every query at once,
+    // self-updating as plans change — no exemption list to maintain,
+    // and a genuine 1.5x regression shows up as two consistent slow
+    // attempts in "retried" instead of silently ratcheting the
+    // baseline. Worst-case cost stays bounded: only noisy queries pay
+    // a second sub-2 s run.
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = firstPass.map { case (name, fn, t) =>
       // the 0.3 s slack keeps JIT/cache jitter on sub-100ms queries
       // from triggering retries that measure nothing
-      val slowVsPrev = prev.get(name).exists(p => t > 3.0 * p && t - p > 0.3)
-      val noisy = noiseSensitive.get(name).exists(t > _)
-      if ((t > threshold || slowVsPrev || noisy) && !failed.contains(name)) {
+      val slowVsPrev = prev.get(name).exists(p => t > 1.5 * p && t - p > 0.3)
+      if ((t > threshold || slowVsPrev) && !failed.contains(name)) {
         val t2 = time(name, fn)
         retried(name) = (t, t2)
         System.err.println(f"[bench] $name retried: $t%.1f then $t2%.1f s")

@@ -50,13 +50,26 @@ object LakeDml {
   val DeleteCompactionThreshold = 8
 
   /** The registered table with the normalized source-file path of every
-    * row — the per-row file identity DML decisions join on.
+    * row — the per-row file identity DML decisions join on. With
+    * `withPos`, the position-delete identity columns (`__dfile`,
+    * `__dpos`) materialize too — BEFORE applyDeletes, because once a
+    * lake holds an equality delete that plan contains an outer join
+    * against a second scan and any later `_metadata` reference
+    * resolves ambiguously (see applyDeletes' seqRel note).
     */
-  private def tableWithSrc(spark: SparkSession, root: String): DataFrame = {
+  private def tableWithSrc(spark: SparkSession, root: String,
+                           withPos: Boolean = false): DataFrame = {
     val paths = LogSync.activeManifest(spark, root)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
-    val kept = spark.read.option("basePath", root).parquet(root)
+    val raw = spark.read.option("basePath", root).parquet(root)
       .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+    val withMeta =
+      if (!withPos) raw
+      else raw
+        .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+          "^file:/(?!/)", "file:///"))
+        .withColumn("__dpos", col("_metadata.row_index"))
+    val kept = withMeta
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
     // rows already MOR-deleted (position OR equality) must be
     // invisible to DML decisions: a CoW rewrite that scanned them
@@ -233,10 +246,7 @@ object LakeDml {
     * normalizes both forms anyway.
     */
   private def tableWithPos(spark: SparkSession, root: String): DataFrame =
-    tableWithSrc(spark, root)
-      .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
-        "^file:/(?!/)", "file:///"))
-      .withColumn("__dpos", col("_metadata.row_index"))
+    tableWithSrc(spark, root, withPos = true)
 
   /** Write one position-delete commit for `matched` (a frame carrying
     * [[tableWithPos]]'s `__dfile`/`__dpos` columns) and register it in
@@ -244,7 +254,8 @@ object LakeDml {
     */
   private def writePositionDeletes(spark: SparkSession, root: String,
                                    matched: DataFrame,
-                                   seq: Option[Long] = None): (Long, Long) = {
+                                   seq: Option[Long] = None,
+                                   op: String = "delete"): (Long, Long) = {
     import spark.implicits._
     // persist: the matched scan (predicate/semi-join over the lake,
     // MOR anti-join on top) is the dominant cost — sizing via count()
@@ -298,7 +309,8 @@ object LakeDml {
         .withColumn("removed_at", lit(null).cast("timestamp"))
         .withColumn("kind", lit("pos"))
         .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
-        .withColumn("eq_cols", lit(null).cast("string")))
+        .withColumn("eq_cols", lit(null).cast("string"))
+        .withColumn("op", lit(op)))
     (rowsOf.length.toLong, n)
   }
 
@@ -329,6 +341,13 @@ object LakeDml {
     val fieldId = IcebergExport.exportFieldIds(spark, root)
     cols.foreach(c => require(fieldId.contains(c),
       s"equality column '$c' is not a column of the lake at $root"))
+    // key columns land with the TABLE's types: a caller key frame with
+    // a narrower type (int vs long) would otherwise write a delete
+    // file whose physical type disagrees with the field id it claims —
+    // graft's own <=> join would coerce, an external id-binding reader
+    // would not
+    val tableType = LogSync.table(spark, root).schema
+      .map(f => f.name -> f.dataType).toMap
     val nOut = math.max(1L, (n + 4000000L - 1) / 4000000L).toInt
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitDir = s"$root/_deletes/e${System.currentTimeMillis()}_" +
@@ -337,7 +356,7 @@ object LakeDml {
       .select(cols.map { c =>
         val meta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", fieldId(c).toLong).build()
-        col(c).as(c, meta)
+        col(c).cast(tableType(c)).as(c, meta)
       }: _*)
       .repartitionByRange(nOut, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
@@ -362,7 +381,8 @@ object LakeDml {
         .withColumn("removed_at", lit(null).cast("timestamp"))
         .withColumn("kind", lit("eq"))
         .withColumn("seq", lit(seq))
-        .withColumn("eq_cols", lit(cols.mkString(","))))
+        .withColumn("eq_cols", lit(cols.mkString(",")))
+        .withColumn("op", lit("delete")))
     (rowsOf.length.toLong, n)
   }
 
@@ -489,7 +509,9 @@ object LakeDml {
     val merged = spark.read.parquet(entries.map(_.path): _*)
       .select(col("file_path"), col("pos"))
       .withColumn("__dfile", col("file_path")).withColumn("__dpos", col("pos"))
-    val (files, _) = writePositionDeletes(spark, root, merged)
+    // op="fold": same retractions, new file — deletesSince must not
+    // surface them a second time
+    val (files, _) = writePositionDeletes(spark, root, merged, op = "fold")
     // tombstone the originals in the SAME swap that already holds the
     // merged commit's append (appendDeleteManifest ran inside
     // writePositionDeletes; the swap below rewrites the whole registry

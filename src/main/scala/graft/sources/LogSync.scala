@@ -210,7 +210,15 @@ object LogSync {
     StructField("seq", org.apache.spark.sql.types.LongType, nullable = true),
     // comma-joined equality column NAMES for kind="eq"; null for
     // position deletes. Resolved to Iceberg field ids at export time.
-    StructField("eq_cols", StringType, nullable = true)))
+    StructField("eq_cols", StringType, nullable = true),
+    // how this delete file came to be: "delete" (a genuine DML
+    // retraction commit) or "fold" ([[LakeDml.compactDeletes]]
+    // consolidating earlier commits — same CONTENT, not a new
+    // retraction). [[deletesSince]] skips folds so a changelog
+    // consumer sees each retraction exactly once, the same
+    // conservative rule [[tableSince]] applies to data rewrites.
+    // Null (pre-upgrade registries) reads as "delete".
+    StructField("op", StringType, nullable = true)))
 
   private val DeleteManifestVersionRe = "_dmanifest_v([0-9]+)".r
 
@@ -398,7 +406,15 @@ object LogSync {
     if (eqs.isEmpty) posApplied
     else {
       // per-row data sequence from the manifest (path is unique
-      // across active + tombstoned rows; null seq = pre-upgrade = 0)
+      // across active + tombstoned rows; null seq = pre-upgrade = 0).
+      // NOTE: this LEFT OUTER join leaks the manifest scan's hidden
+      // `_metadata` column into the joined plan (outer joins propagate
+      // both children's metadata columns, unlike the semi/anti joins
+      // everywhere else in the read path) — so callers must
+      // materialize any `_metadata` reference as a real column BEFORE
+      // the scan enters applyDeletes (LakeDml.tableWithPos does), or
+      // resolution turns ambiguous the moment a lake holds an
+      // equality delete.
       val seqRel = manifestDf(spark, root)
         .select(normPath(col("path")).as("__seq_src"),
           coalesce(col("seq"), lit(0L)).as("__data_seq"))
@@ -655,6 +671,89 @@ object LogSync {
     */
   def highWaterMark(spark: SparkSession, root: String): Option[java.sql.Timestamp] = {
     val r = manifestDf(spark, root).agg(max(col("registered_at"))).head()
+    Option(r.getTimestamp(0))
+  }
+
+  /** CHANGELOG READ (opt-in): the rows RETRACTED by row-level delete
+    * commits registered after `since` — the surface a downstream
+    * dedup/rollup/index consumer pairs with [[tableSince]] when
+    * append-only increments are not enough (tableSince deliberately
+    * never reports deletions; without this, a derived store keeps
+    * counting rows the lake retracted).
+    *
+    * POSITION-delete commits surface the FULL deleted rows, tagged
+    * `__delete_kind = "pos"`: the recorded (file, pos) pairs join back
+    * to their target files, which outlive the delete until vacuum —
+    * the consumer-lag horizon is the vacuum retention, exactly
+    * [[tableSince]]'s rule. EQUALITY-delete commits surface the
+    * retraction KEYS (`__delete_kind = "eq"`, key columns populated,
+    * every other column null) — the keyed-retraction shape CDC streams
+    * carry; materializing full rows would cost the scan
+    * [[LakeDml.deleteEq]] exists to avoid, and a consumer that needs
+    * them can join the keys against [[tableAsOf]] at its previous
+    * mark. Delete-file FOLDS ([[LakeDml.compactDeletes]], op="fold")
+    * are skipped — same content, already surfaced by the original
+    * commits — and a delete later materialized by compaction still
+    * surfaces (the retraction happened; the registry tombstone only
+    * marks the FILE retired). Mark with [[deleteHighWaterMark]].
+    *
+    * Cost ∝ delete commits since the mark + the data files position
+    * deletes target — never lake size.
+    */
+  def deletesSince(spark: SparkSession, root: String,
+                   since: java.sql.Timestamp): DataFrame = {
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val tableCols = table(spark, root).schema
+    val empty = table(spark, root).limit(0)
+      .withColumn("__delete_kind", lit("").cast(StringType))
+    if (!hasDeleteManifest(spark, root)) return empty
+    val entries = deleteManifestDf(spark, root)
+      .filter(col("registered_at") > lit(since) &&
+        coalesce(col("op"), lit("delete")) =!= "fold")
+      .select(col("path"), col("rows"), col("bytes"),
+        coalesce(col("kind"), lit("pos")), col("eq_cols")).collect()
+      .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), 0L,
+        Option(r.getString(4)).map(_.split(',').toSeq).getOrElse(Seq.empty)))
+      .toSeq
+    if (entries.isEmpty) return empty
+    val (eqs, poss) = entries.partition(_.isEq)
+    val posRows = if (poss.isEmpty) None else {
+      import spark.implicits._
+      val delRows = spark.read.parquet(poss.map(_.path): _*)
+      // the targeted data files only — bounded by the deletes' spread
+      val targets = delRows.select(col("file_path")).distinct()
+        .as[String].collect().toSeq
+      val raw = spark.read.option("basePath", root).parquet(targets: _*)
+        .withColumn("__src", normPath(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val keyRel = delRows.select(normPath(col("file_path")).as("__del_file"),
+        col("pos").cast("long").as("__del_pos"))
+      val sized = if (poss.map(_.bytes).sum <= BroadcastDeleteBytesCap)
+        broadcast(keyRel) else keyRel
+      Some(raw.join(sized, col("__src") === col("__del_file") &&
+          col("__pos") === col("__del_pos"), "left_semi")
+        .select(tableCols.map(f => col(f.name)): _*)
+        .withColumn("__delete_kind", lit("pos")))
+    }
+    val eqRows = eqs.groupBy(_.eqCols).map { case (keyCols, files) =>
+      spark.read.parquet(files.map(_.path): _*)
+        .select(tableCols.map { f =>
+          if (keyCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        .withColumn("__delete_kind", lit("eq"))
+    }
+    (posRows.toSeq ++ eqRows).reduce(_ unionByName _)
+  }
+
+  /** The newest delete-registry registration instant — the mark a
+    * [[deletesSince]] consumer records before its next poll (the data
+    * manifest's [[highWaterMark]] does not move on delete commits).
+    */
+  def deleteHighWaterMark(spark: SparkSession, root: String): Option[java.sql.Timestamp] = {
+    if (!hasDeleteManifest(spark, root)) return None
+    val r = deleteManifestDf(spark, root).agg(max(col("registered_at"))).head()
     Option(r.getTimestamp(0))
   }
 

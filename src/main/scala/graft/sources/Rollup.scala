@@ -25,12 +25,21 @@ import org.apache.spark.sql.functions._
   * only ever see a fully-written version (the manifest commit pattern
   * in miniature).
   *
-  * ROW-LEVEL DELETES: the rollup is an APPEND-FOLLOWING consumer, so
-  * a [[LakeDml.deleteMor]] (or CoW delete) after a fold leaves the
-  * deleted rows' counts in the rollup — the same staleness an Iceberg
-  * materialized view has until its next full refresh. After row-level
-  * DML, rebuild ([[build]] recomputes from the live — MOR-applied —
-  * table) rather than trusting the incremental path.
+  * ROW-LEVEL DELETES AND RESTATEMENTS are DETECTED, not trusted to a
+  * caller reading scaladoc: [[refresh]] rebuilds from the live
+  * (MOR-applied) table whenever (a) a path it previously folded is
+  * now tombstoned — compaction or copy-on-write DML replaced a file
+  * whose rows are already in the aggregate, so an incremental fold of
+  * the replacement would double-count — or (b) the row-level delete
+  * registry changed since the last fold — a [[LakeDml.deleteMor]] /
+  * [[LakeDml.deleteEq]] retracted rows whose counts the aggregate
+  * still carries, invisibly to any path diff. Each version records
+  * the registry state it folded under (`dmltoken`); versions written
+  * before the token existed rebuild once iff the registry is
+  * non-empty. The rebuild is one aggregation over the live table —
+  * the same order of work the compaction/DML that invalidated the
+  * rollup already did; steady-state (append-only) refreshes stay
+  * proportional to arrival.
   */
 object Rollup {
 
@@ -54,9 +63,40 @@ object Rollup {
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The delete-registry state a fold ran under: SHA-256 over the
+    * ACTIVE delete entries (path, rows, kind, seq). Any registry
+    * movement — a new deleteMor/deleteEq commit, a fold, a
+    * compaction's tombstones — changes it. Control-plane cost.
+    */
+  private def deleteToken(spark: SparkSession, root: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(LogSync.deleteEntries(spark, root)
+        .map(e => s"${e.path}#${e.rows}#${e.kind}#${e.seq}").sorted.mkString("|")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def writeText(spark: SparkSession, path: String, body: String): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
+  }
+
   /** Fold every not-yet-processed registered file into the rollup;
     * returns how many files were processed. Idempotent: a refresh with
-    * nothing new writes no version.
+    * nothing new writes no version. REBUILDS instead of folding when
+    * the lake restated files the rollup already counted or the
+    * row-level delete registry moved (see class doc) — incremental
+    * merging is only sound while history is append-only.
     */
   def refresh(spark: SparkSession, root: String): Int = {
     import spark.implicits._
@@ -65,6 +105,37 @@ object Rollup {
     val processed =
       if (cur > 0) spark.read.parquet(s"${rollupRoot(root)}/v$cur/paths")
       else Seq.empty[String].toDF("path")
+    val token = deleteToken(spark, root)
+    val foldedUnder =
+      if (cur > 0) readText(spark, s"${rollupRoot(root)}/v$cur/dmltoken")
+      else None
+    // (a) a folded path was tombstoned (compaction / CoW DML replaced
+    // it); (b) the delete registry moved since the fold (row-level
+    // retractions the aggregate still counts). A pre-token version
+    // (foldedUnder None) is trusted only against an EMPTY registry.
+    val emptyToken = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val restated = cur > 0 && {
+      val tombstoned = LogSync.manifestDf(spark, root)
+        .filter(col("removed_at").isNotNull).select(col("path"))
+      processed.join(tombstoned, Seq("path"), "left_semi").limit(1).count() > 0 ||
+        foldedUnder.getOrElse(emptyToken) != token
+    }
+    if (restated) {
+      // rebuild from the LIVE table: MOR-applied (position AND
+      // equality deletes), restatements resolved by the manifest
+      val next = cur + 1
+      LogSync.table(spark, root)
+        .groupBy(col("service_name"), col("severity_text"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/agg")
+      val active = registered.as[String].collect().toSeq
+      active.toDF("path")
+        .write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/paths")
+      writeText(spark, s"${rollupRoot(root)}/v$next/dmltoken", token)
+      writeMarker(spark, root, next)
+      return active.length
+    }
     val fresh = registered.join(processed, Seq("path"), "left_anti")
       .as[String].collect().toSeq
     if (fresh.isEmpty) return 0
@@ -82,6 +153,7 @@ object Rollup {
     merged.write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/agg")
     processed.select(col("path")).unionByName(fresh.toDF("path"))
       .write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/paths")
+    writeText(spark, s"${rollupRoot(root)}/v$next/dmltoken", token)
     writeMarker(spark, root, next)
     fresh.length
   }

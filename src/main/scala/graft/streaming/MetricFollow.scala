@@ -199,6 +199,17 @@ object MetricFollow {
     out
   }
 
+  /** [[incrementHistBuckets]]' result: the additive bucket deltas plus
+    * the increment's excluded-point count OUT-OF-BAND. Earlier rounds
+    * denormalized the count onto every emitted row
+    * (`__dropped_cumulative`) and emitted an all-null sentinel row for
+    * all-dropped increments — a downstream store summing the column
+    * overcounted drops by the row count, and one keyed on
+    * (service, le) ingested a null-keyed junk series. A stat belongs
+    * beside the frame, not inside it.
+    */
+  final case class HistDeltas(buckets: DataFrame, droppedCumulative: Long)
+
   /** One polled increment's DELTA-HISTOGRAM bucket deltas:
     * (service_name, metric_name, le, bucket_n) — per-window histogram
     * points are ADDITIVE, so this consumer is STATELESS (no carry
@@ -212,19 +223,17 @@ object MetricFollow {
     * ([[graft.operators.MetricAnalytics.histQuantileOf]]'s rule), not
     * additive deltas; a cumulative stream needs the
     * [[incrementIncrease]]-style carry instead. The exclusion is
-    * SURFACED, not silent: `__dropped_cumulative` counts the dropped
-    * points (constant per emitted row; an all-dropped increment
-    * emits one all-null sentinel row carrying the count — the
-    * [[incrementIncrease]] `__rejected` discipline, so a
-    * cumulative-exporting fleet is distinguishable from no-data).
-    * The trailing +Inf overflow entry surfaces as le = null (counted
-    * by the store toward totals, never a finite bucket).
+    * SURFACED, not silent: [[HistDeltas.droppedCumulative]] carries
+    * the count out-of-band (an all-dropped increment returns an empty
+    * frame with a non-zero count — a cumulative-exporting fleet stays
+    * distinguishable from no-data). The trailing +Inf overflow entry
+    * surfaces as le = null (counted by the store toward totals, never
+    * a finite bucket).
     */
   def incrementHistBuckets(inc: LakeFollow.Increment,
-                           metricName: String): DataFrame = {
+                           metricName: String): HistDeltas = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
     val rows = inc.rows
-    val spark = rows.sparkSession
     val t = if (rows.columns.contains("temporality")) rows
             else rows.withColumn("temporality", lit(null).cast("int"))
     val hist = t.filter(col("kind") === "histogram" &&
@@ -245,18 +254,10 @@ object MetricFollow {
         col("cnt"))
       .groupBy(col("service_name"), col("metric_name"), col("le"))
       .agg(sum(col("cnt")).as("bucket_n"))
-      .withColumn("__dropped_cumulative", lit(dropped))
       .orderBy(col("service_name"), col("metric_name"), col("le"))
       .localCheckpoint()
     hist.unpersist(false)
-    if (dropped > 0 && ck.limit(1).count() == 0)
-      ck.unionByName(spark.range(1).select(
-        lit(null).cast("string").as("service_name"),
-        lit(null).cast("string").as("metric_name"),
-        lit(null).cast("double").as("le"),
-        lit(0L).as("bucket_n"),
-        lit(dropped).as("__dropped_cumulative")))
-    else ck
+    HistDeltas(ck, dropped)
   }
 
   /** The continuous form: follow the metric lake and hand each

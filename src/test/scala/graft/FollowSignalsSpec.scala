@@ -159,7 +159,7 @@ class FollowSignalsSpec extends SparkSpec {
           .header("Content-Type", "application/json")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
         java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
-      val emitted = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[MetricFollow.HistDeltas]
       def drain(): Unit = LakeFollow.poll(spark, lake, marks).foreach { inc =>
         emitted += MetricFollow.incrementHistBuckets(inc, "lat")
         LakeFollow.commit(spark, lake, marks, inc)
@@ -173,11 +173,12 @@ class FollowSignalsSpec extends SparkSpec {
         .replace(""""aggregationTemporality":1""", """"aggregationTemporality":2""")) == 200)
       server.flush(); drain()
       assert(emitted.size == 2)
-      // the exclusion is observable, not silent: increment 2 dropped
-      // exactly one cumulative point
-      assert(emitted(0).collect().forall(_.getAs[Long]("__dropped_cumulative") == 0L))
-      assert(emitted(1).collect().forall(_.getAs[Long]("__dropped_cumulative") == 1L))
-      val folded = emitted.reduce(_ unionByName _)
+      // the exclusion is observable, not silent — and OUT-OF-BAND:
+      // increment 2 dropped exactly one cumulative point, with no
+      // per-row denormalization a store could double-count
+      assert(emitted(0).droppedCumulative == 0L)
+      assert(emitted(1).droppedCumulative == 1L)
+      val folded = emitted.map(_.buckets).reduce(_ unionByName _)
         .groupBy(col("service_name"), col("le"))
         .agg(sum(col("bucket_n")).as("n")).collect()
         .map(r => (Option(r.get(r.fieldIndex("le"))).map(_.asInstanceOf[Double]),
@@ -185,17 +186,15 @@ class FollowSignalsSpec extends SparkSpec {
       // le=1: 3+4, le=5: 2+0, +Inf (null le): 1+2 — cumulative excluded
       assert(folded == Map(Some(1.0) -> 7L, Some(5.0) -> 2L, None -> 3L), folded.toString)
       // an ALL-cumulative increment emits nothing foldable — the drop
-      // count must still surface, on one all-null sentinel row (a
-      // cumulative-exporting fleet is distinguishable from no-data)
+      // count still surfaces beside the EMPTY frame (a
+      // cumulative-exporting fleet is distinguishable from no-data),
+      // with no null-keyed sentinel row for a store to ingest
       assert(post(histEnv("svc-h", 800L, Seq(5, 5, 5))
         .replace(""""aggregationTemporality":1""", """"aggregationTemporality":2""")) == 200)
       server.flush(); drain()
       assert(emitted.size == 3)
-      val sentinel = emitted(2).collect()
-      assert(sentinel.length == 1 && sentinel.head.isNullAt(0) &&
-        sentinel.head.getAs[Long]("bucket_n") == 0L &&
-        sentinel.head.getAs[Long]("__dropped_cumulative") == 1L,
-        s"all-dropped increment must surface the count on a sentinel: ${sentinel.toSeq}")
+      assert(emitted(2).buckets.count() == 0 && emitted(2).droppedCumulative == 1L,
+        "all-dropped increment must surface the count out-of-band")
     } finally server.stop()
   }
 
@@ -334,5 +333,55 @@ class FollowSignalsSpec extends SparkSpec {
         spark, lake, "requests")
       assert(inc.count() > 0)
     } finally server.stop()
+  }
+
+  test("maintenance under DML: delete commits fold while a follower stays exactly-once") {
+    import graft.sources.{LakeDml, LogSync, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_dmlmaint").toString
+    val marks = java.nio.file.Files.createTempDirectory("graft_dmlmaint_marks").toString
+    def batch(n: Int, tag: String) = Tables.events(spark, sf)
+      .orderBy(col("event_id")).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit(tag), lit("-"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    val consumed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drain(): Unit = LakeFollow.poll(spark, root, marks).foreach { inc =>
+      consumed ++= inc.rows.select("span_id").collect().map(_.getString(0))
+      LakeFollow.commit(spark, root, marks, inc)
+    }
+    batch(60, "b0").write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    drain()
+    assert(consumed.size == 60)
+    // a DML-heavy interval: many tiny keyed deletions, each its own
+    // delete commit — the shape a GDPR/redaction queue produces
+    val victims = consumed.take(LakeDml.DeleteCompactionThreshold)
+    victims.foreach { v =>
+      LakeDml.deleteMor(spark, root, col("span_id") === v)
+    }
+    assert(LogSync.posDeleteEntries(spark, root).length == victims.length)
+    // maintenance with data compaction OUT of reach: the delete-side
+    // fold alone must trigger (SignalLakeMaintenance's compactDeletes
+    // branch), and the zero-grace vacuum rides the same round
+    val stats = graft.streaming.SignalLakeMaintenance.run(spark, root,
+      minFilesToCompact = 100000, vacuumGraceMs = 0L)
+    assert(stats.compacted.isEmpty, "data compaction must not have run")
+    assert(LogSync.posDeleteEntries(spark, root).length == 1,
+      "the delete commits must fold into one file")
+    assert(LogSync.table(spark, root).count() == 60 - victims.length)
+    assert(LogSync.table(spark, root)
+      .filter(col("span_id").isin(victims.toSeq: _*)).count() == 0)
+    // the follower crosses the fold exactly-once: a fresh append is
+    // the ONLY thing the next polls deliver — the fold's rewritten
+    // delete file, the tombstoned originals, and the DML commits are
+    // all invisible to the append-only increment stream
+    batch(40, "b1").write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    drain(); drain()
+    assert(consumed.size == 100, s"expected 60+40 rows once each, got ${consumed.size}")
+    assert(consumed.distinct.size == consumed.size,
+      "no row may be delivered twice across the fold")
+    assert(consumed.count(_.startsWith("b1-")) == 40)
   }
 }

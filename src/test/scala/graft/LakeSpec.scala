@@ -149,6 +149,15 @@ class LakeSpec extends SparkSpec {
       val m = rollupMap()
       assert(m == fullMap(), "rollup == recompute after batch 2")
       assert(m.keys.exists(_._1 == "svc-b"), "second batch folded in")
+      // a MOR delete BETWEEN micro-batches: the next batch's refresh
+      // must detect the registry movement and rebuild — the streaming
+      // materialized view never serves deleted rows' counts
+      graft.sources.LakeDml.deleteMor(spark, root,
+        col("service_name") === "svc-a" && col("severity_text") === "view")
+      otel(20, "svc-c").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(rollupMap() == fullMap(),
+        "rollup == recompute after a deleteMor between batches")
     } finally q.stop()
   }
 
@@ -353,6 +362,113 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.sync(spark, root) == 0,
       "_rollup metadata files must be invisible to sync")
     assert(fullAgg().values.sum == 450L)
+  }
+
+  test("Rollup: row-level DML and restatements trigger a rebuild — counts never stale") {
+    import graft.sources.{LakeDml, LogCompact, Rollup}
+    val root = Files.createTempDirectory("graft_rollup_dml").toString
+    Tables.events(spark, sf).limit(300)
+      .select(col("ts").as("timestamp"),
+        concat(lit("s"), col("user_id") % 2).as("service_name"),
+        col("event_type").as("severity_text"), col("props").as("body"))
+      .repartition(4).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    def fullAgg() = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    def rollupMap() = Rollup.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(Rollup.refresh(spark, root) == 4)
+    assert(rollupMap() == fullAgg())
+    // 1. MOR position delete after the fold → refresh must rebuild
+    LakeDml.deleteMor(spark, root,
+      col("service_name") === "s0" && col("severity_text") === "view")
+    assert(Rollup.refresh(spark, root) > 0, "registry movement must trigger a rebuild")
+    assert(rollupMap() == fullAgg(), "rollup must equal recompute after deleteMor")
+    // 2. equality delete → rebuild again
+    import spark.implicits._
+    LakeDml.deleteEq(spark, root, Seq("purchase").toDF("severity_text"))
+    Rollup.refresh(spark, root)
+    assert(rollupMap() == fullAgg(), "rollup must equal recompute after deleteEq")
+    assert(!rollupMap().exists(_._1._2 == "purchase"))
+    // 3. compaction restates every folded file → rebuild, still equal
+    LogCompact.compact(spark, root)
+    Rollup.refresh(spark, root)
+    assert(rollupMap() == fullAgg(), "rollup must equal recompute after compaction")
+    // 4. CoW delete → rebuild, still equal
+    LakeDml.delete(spark, root, col("severity_text") === "signup")
+    Rollup.refresh(spark, root)
+    assert(rollupMap() == fullAgg(), "rollup must equal recompute after CoW delete")
+    // 5. appends AFTER the dust settles stay incremental (fold, not rebuild:
+    // processed count == the new files only) and idempotent
+    Tables.events(spark, sf).limit(50)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+        col("event_type").as("severity_text"), col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    assert(Rollup.refresh(spark, root) == 1,
+      "a plain append after DML must fold incrementally, not rebuild")
+    assert(rollupMap() == fullAgg())
+    assert(Rollup.refresh(spark, root) == 0)
+  }
+
+  test("deletesSince: retractions between polls surface exactly once; folds don't") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_delcdc").toString
+    Tables.events(spark, sf).limit(200)
+      .select(col("ts").as("timestamp"),
+        concat(lit("s"), col("user_id") % 2).as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .repartition(3).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val mark0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    // nothing deleted yet → empty changelog
+    assert(LogSync.deletesSince(spark, root, mark0).count() == 0)
+
+    // a position delete surfaces the FULL deleted rows
+    val wantGone = LogSync.table(spark, root)
+      .filter(col("severity_text") === "view" && col("service_name") === "s0")
+      .select("span_id").collect().map(_.getString(0)).toSet
+    LakeDml.deleteMor(spark, root,
+      col("severity_text") === "view" && col("service_name") === "s0")
+    val inc1 = LogSync.deletesSince(spark, root, mark0)
+    assert(inc1.filter(col("__delete_kind") === "pos").count() == wantGone.size)
+    assert(inc1.select("span_id").collect().map(_.getString(0)).toSet == wantGone,
+      "the changelog must carry the deleted rows themselves")
+    assert(inc1.filter(col("body").isNull).count() == 0,
+      "position retractions carry full rows")
+    val mark1 = LogSync.deleteHighWaterMark(spark, root).get
+
+    // an equality delete surfaces its KEYS (other columns null)
+    Thread.sleep(20)
+    LakeDml.deleteEq(spark, root, Seq("e3", "e4").toDF("span_id"))
+    val inc2 = LogSync.deletesSince(spark, root, mark1)
+    assert(inc2.count() == 2 &&
+      inc2.filter(col("__delete_kind") === "eq").count() == 2)
+    assert(inc2.select("span_id").collect().map(_.getString(0)).toSet == Set("e3", "e4"))
+    assert(inc2.filter(col("body").isNotNull).count() == 0,
+      "equality retractions are keyed — non-key columns are null")
+    // the earlier retraction does NOT resurface after its mark
+    assert(inc2.filter(col("__delete_kind") === "pos").count() == 0)
+    val mark2 = LogSync.deleteHighWaterMark(spark, root).get
+
+    // a fold re-files earlier retractions — the changelog must skip it
+    Thread.sleep(20)
+    LakeDml.deleteMor(spark, root, col("severity_text") === "signup")
+    LakeDml.compactDeletes(spark, root)
+    val inc3 = LogSync.deletesSince(spark, root, mark2)
+    val signups = inc3.filter(col("severity_text") === "signup").count()
+    assert(inc3.count() == signups && signups > 0,
+      s"after a fold, only the NEW retraction surfaces: ${inc3.count()} vs $signups")
+    // and the full history from mark0 still reads each retraction once
+    val all = LogSync.deletesSince(spark, root, mark0)
+    assert(all.count() == wantGone.size + 2 + signups,
+      "each retraction surfaces exactly once across the whole history")
   }
 
   test("tableBetween: manifest zone-maps prune files, result equals the direct filter") {
