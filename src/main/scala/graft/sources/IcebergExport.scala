@@ -150,11 +150,29 @@ object IcebergExport {
     val dataFields = physical.fields.toSeq.zipWithIndex.map { case (f, i) =>
       Field(i + 1, f.name, icebergType(f.dataType))
     }
+    // partition-directory columns get ids from a FIXED base, not
+    // appended after the data columns: a later add-column evolution
+    // grows the data ids into 1..D+1 and would SHIFT appended
+    // partition ids — but equality-delete files stamped with a
+    // partition column's id at write time are immutable, so a shifted
+    // assignment would make exported `equality_ids` disagree with the
+    // ids embedded in the delete parquet (external engines bind by
+    // id; graft's own name-binding reader would mask it). The fixed
+    // base keeps every column's id stable under the only evolution
+    // this lake performs (adding data columns).
+    require(dataFields.length < PartFieldIdBase,
+      s"export supports < $PartFieldIdBase data columns, got ${dataFields.length}")
     val partFields = partCols.zipWithIndex.map { case (c, i) =>
-      Field(dataFields.length + 1 + i, c, "string")
+      Field(PartFieldIdBase + i, c, "string")
     }
     (dataFields ++ partFields, partCols)
   }
+
+  /** Schema-id base for partition-directory columns (the partition
+    * SPEC's own field-ids start at 1000 per the spec's convention —
+    * a different namespace; this base only has to dodge data ids).
+    */
+  private[sources] val PartFieldIdBase = 10000
 
   private val fieldIdsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
@@ -173,6 +191,10 @@ object IcebergExport {
     val head = LogSync.manifest(spark, root)
       .agg(count(when(col("removed_at").isNull, 1)), max(col("registered_at"))).head()
     val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}"
+    // superseded head states can never be hit again — evict them so
+    // the memo stays O(lakes), not O(sync rounds in the session)
+    fieldIdsMemo.keySet.removeIf(k =>
+      k._1 == spark && k._2 == root && k._3 != token)
     fieldIdsMemo.computeIfAbsent((spark, root, token), { key =>
       graft.SessionCaches.register(spark)(() => { fieldIdsMemo.remove(key); () })
       schemaFieldsFor(spark, root, activePaths(spark, root))
@@ -431,10 +453,14 @@ object IcebergExport {
     // restatement would stop applying them to every restated file.
     final case class Grp(files: Seq[FileEntry], deletes: Seq[LogSync.DeleteEntry])
     val seqGroups: Seq[Grp] = {
-      val seqs = (exportFiles.map(_.seq) ++ exportDeletes.map(_.seq))
-        .distinct.sorted
-      seqs.map(s => Grp(exportFiles.filter(_.seq == s),
-        exportDeletes.filter(_.seq == s)))
+      // one pass per list (a per-seq filter scan would be quadratic in
+      // distinct commit count — real for a lake built by many small
+      // syncs)
+      val filesBySeq = exportFiles.groupBy(_.seq)
+      val delsBySeq = exportDeletes.groupBy(_.seq)
+      (filesBySeq.keySet ++ delsBySeq.keySet).toSeq.sorted.map { s =>
+        Grp(filesBySeq.getOrElse(s, Seq.empty), delsBySeq.getOrElse(s, Seq.empty))
+      }
     }
     val buckets = scala.collection.mutable.ArrayBuffer.empty[Grp]
     seqGroups.foreach { g =>

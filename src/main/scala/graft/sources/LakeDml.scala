@@ -138,9 +138,15 @@ object LakeDml {
     // would also misregister any file that ARRIVED (written, not yet
     // synced) during the commit as DML output, burying a genuine
     // append under op="rewrite" where tableSince consumers never see
-    // it. A crash mid-move leaves unregistered files that vacuum's
-    // never-registered sweep reclaims — same exposure as any
-    // append-then-crash.
+    // it. CRASH STORY: every destination path is JOURNALED under
+    // `_dml_pending/` BEFORE the first rename and the journal is
+    // removed only after the manifest swap — so a crashed or
+    // partially-moved commit's files are (a) excluded from sync's
+    // fresh diff (no resurrection-by-append of restated rows) and
+    // (b) reclaimed by vacuum's never-registered sweep after the
+    // grace, journal included. A crash before any rename leaves only
+    // the staging dir, which vacuum also ages out.
+    val journals = Seq.newBuilder[Path]
     def appendStaged(df: DataFrame): Seq[String] = {
       val staging = new Path(s"$root/_dml_stage_" +
         java.util.UUID.randomUUID().toString.take(8))
@@ -148,24 +154,34 @@ object LakeDml {
         .partitionBy(layout.filter(df.columns.contains): _*)
         .parquet(staging.toString)
       val it = fs.listFiles(staging, true)
-      val moved = Seq.newBuilder[String]
+      val moves = Seq.newBuilder[(Path, Path)]
       while (it.hasNext) {
         val f = it.next()
         val rel = fs.makeQualified(staging).toUri
           .relativize(f.getPath.toUri).getPath
-        if (rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))) {
-          val dest = new Path(root, rel)
-          fs.mkdirs(dest.getParent)
-          require(fs.rename(f.getPath, dest),
-            s"DML staged move failed: ${f.getPath} -> $dest")
-          // register the QUALIFIED form — the same string sync's
-          // listing produces, so the raw-equality diff never
-          // re-registers a DML output file
-          moved += fs.makeQualified(dest).toString
-        }
+        if (rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_")))
+          moves += (f.getPath -> new Path(root, rel))
+      }
+      // the QUALIFIED form — the same string sync's listing produces,
+      // so both the journal exclusion and the manifest registration
+      // compare equal to a listed path
+      val planned = moves.result().map { case (src, dest) =>
+        (src, dest, fs.makeQualified(dest).toString)
+      }
+      val journal = new Path(s"$root/_dml_pending/p" +
+        java.util.UUID.randomUUID().toString.take(8))
+      fs.mkdirs(journal.getParent)
+      val out = fs.create(journal, true)
+      try out.write(planned.map(_._3).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      journals += journal
+      planned.foreach { case (src, dest, _) =>
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(src, dest),
+          s"DML staged move failed: $src -> $dest")
       }
       fs.delete(staging, true)
-      moved.result()
+      planned.map(_._3)
     }
     val complementPaths =
       if (affected.isEmpty) Seq.empty[String]
@@ -207,6 +223,10 @@ object LakeDml {
     // old manifest version (a cached Dataset) keeps its consistent
     // pre-DML snapshot until vacuum ages the version out
     LogSync.swapManifest(spark, root, next)
+    // registered — the pending journals have done their job (a crash
+    // from here on leaves journals listing REGISTERED paths, which
+    // sync's anti-join ignores anyway and vacuum ages out)
+    journals.result().foreach(j => fs.delete(j, false))
     before.unpersist()
     (affected.length.toLong, freshPaths.length.toLong)
   }
@@ -345,9 +365,14 @@ object LakeDml {
     // a narrower type (int vs long) would otherwise write a delete
     // file whose physical type disagrees with the field id it claims —
     // graft's own <=> join would coerce, an external id-binding reader
-    // would not
-    val tableType = LogSync.table(spark, root).schema
+    // would not. MERGED schema, matching the field-id universe: a
+    // late-evolution column can pass the fieldId require but miss
+    // table()'s sampled-footer schema, and that mismatch must fail
+    // loudly, not as a bare NoSuchElementException.
+    val tableType = LogSync.tableMerged(spark, root).schema
       .map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(tableType.contains(c),
+      s"equality column '$c' resolves a field id but no merged-schema type at $root"))
     val nOut = math.max(1L, (n + 4000000L - 1) / 4000000L).toInt
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitDir = s"$root/_deletes/e${System.currentTimeMillis()}_" +
@@ -417,8 +442,8 @@ object LakeDml {
   }
 
   /** EQUALITY-delete upsert — the Flink-CDC streaming-upsert shape:
-    * ONE commit writes (a) an equality delete on the update rows' key
-    * columns and (b) the update rows as appended data files, both at
+    * one logical commit writes (a) the update rows as appended data
+    * files and (b) an equality delete on their key columns, both at
     * the SAME sequence number. The delete retracts every matching row
     * of any EARLIER commit (strictly-below rule); the inserts survive
     * their own delete (same sequence is not below). Cost is
@@ -426,6 +451,16 @@ object LakeDml {
     * [[upsertMor]]'s predicate scan buys its exact positions with,
     * and at 100 TB the difference between a CDC consumer keeping up
     * and falling behind.
+    *
+    * ORDERING under the two-registry reality (the data manifest and
+    * the delete registry move in two steps; there is no cross-sidecar
+    * atomic swap): the INSERTS land first, the delete second. A
+    * failure between the steps leaves old+new rows visible (transient
+    * duplicate keys) — never the retracted-with-no-replacement state
+    * the inverse order would expose — and RE-RUNNING the same upsert
+    * heals it: the re-run's delete sits at a higher sequence, so it
+    * retracts both the old rows and the first attempt's inserts, and
+    * the re-run's inserts replace them.
     *
     * Unlike [[upsertMor]], rows are retracted by KEY even when no
     * matching row exists (a no-op delete), so rowsChanged counts
@@ -446,12 +481,13 @@ object LakeDml {
     val ups = updates.select(dataCols.map(col): _*).localCheckpoint(true)
     try {
       val seq = LogSync.nextSeq(spark, root)
-      val (delFiles, nKeys) = writeEqualityDeletes(spark, root,
-        ups.select(keys.map(col): _*), seq)
-      // append the update rows AT THE SAME SEQUENCE — the same-commit
-      // rule that makes them survive their own delete
+      // inserts FIRST, at the shared sequence (failure-ordering above)
       val (_, added) = commit(spark, root, Seq.empty,
         complement = identity, inserts = Some(ups), seq = Some(seq))
+      // the delete at the SAME sequence — the same-commit rule that
+      // makes the inserts survive it
+      val (delFiles, nKeys) = writeEqualityDeletes(spark, root,
+        ups.select(keys.map(col): _*), seq)
       DmlStats(0, delFiles + added, nKeys)
     } finally { ups.unpersist(); () }
   }

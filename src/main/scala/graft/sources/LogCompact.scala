@@ -264,6 +264,37 @@ object LogCompact {
       fs.listStatus(d).forall(_.getModificationTime <= cutoffMs)
     }
     staleDirs.foreach(d => fs.delete(d, true))
+
+    // crashed DML commits: (a) staging dirs (`_dml_stage_*`) that
+    // never reached the move phase — underscore trees, so no other
+    // sweep sees them; (b) `_dml_pending` journals, deletable once
+    // every listed destination is either gone from disk (this call's
+    // never-registered sweep reclaims them after the grace) or
+    // REGISTERED (the crash fell between manifest swap and journal
+    // cleanup) — a journal naming a still-unregistered on-disk file
+    // must survive, or the next sync would register the restated rows
+    // as a fresh append
+    fs.listStatus(new Path(root)).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_dml_stage_") &&
+        s.getModificationTime <= cutoffMs)
+      .foreach(s => fs.delete(s.getPath, true))
+    val pendingDir = new Path(LogSync.pendingDmlDir(root))
+    if (fs.exists(pendingDir)) {
+      import spark.implicits._
+      fs.listStatus(pendingDir).iterator
+        .filter(_.getModificationTime <= cutoffMs)
+        .foreach { j =>
+          val in = fs.open(j.getPath)
+          val paths = try new String(in.readAllBytes(), "UTF-8").split('\n')
+            .map(_.trim).filter(_.nonEmpty).toSeq finally in.close()
+          val onDisk = paths.filter(p => fs.exists(new Path(p)))
+          val unregistered =
+            if (onDisk.isEmpty) 0L
+            else onDisk.toDF("path")
+              .join(m.select("path"), Seq("path"), "left_anti").count()
+          if (unregistered == 0L) fs.delete(j.getPath, false)
+        }
+    }
     m.unpersist()
 
     // MOR position-delete files follow the same lifecycle: tombstoned

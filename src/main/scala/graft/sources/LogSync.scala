@@ -157,6 +157,32 @@ object LogSync {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** In-flight DML output declarations: before [[LakeDml]] moves a
+    * staged commit's files into live data space it journals their
+    * destination paths under `<root>/_dml_pending/` and removes the
+    * journal only AFTER the manifest registers them. [[sync]] excludes
+    * every journaled path from its fresh-file diff — a crashed DML
+    * commit's moved-but-unregistered files would otherwise register as
+    * APPENDS and duplicate the still-active originals they restate.
+    * Control-plane: one tiny file per in-flight commit; the
+    * never-registered vacuum sweep reclaims crashed commits' files
+    * after the grace, and [[LogCompact.vacuum]] ages out the journals
+    * themselves.
+    */
+  private[sources] def pendingDmlDir(root: String) = s"$root/_dml_pending"
+
+  private[sources] def pendingDmlPaths(spark: SparkSession, root: String): Set[String] = {
+    val dir = new Path(pendingDmlDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).iterator.flatMap { s =>
+      val in = fs.open(s.getPath)
+      try new String(in.readAllBytes(), "UTF-8").split('\n').iterator
+        .map(_.trim).filter(_.nonEmpty).map(normPathStr).toSeq
+      finally in.close()
+    }.toSet
+  }
+
   // manifests written before file stats / tombstones existed lack
   // min_ts/max_ts/min_svc/max_svc/removed_at; surface them as null
   // (= "no stats, never prune" / "active"). mergeSchema because a
@@ -422,15 +448,23 @@ object LogSync {
         col("__src") === col("__seq_src"), "left")
         .drop("__seq_src")
         .withColumn("__data_seq", coalesce(col("__data_seq"), lit(0L)))
-      // one anti-join per distinct equality-column set; files sharing
-      // a set union with per-file seq literals
+      // one anti-join per distinct equality-column set. All files of
+      // a set read in ONE scan (a CDC stream leaves one delete file
+      // per retraction commit — a per-file union chain would grow the
+      // plan linearly in commit count until compaction); each row's
+      // own delete sequence attaches via a broadcast of the
+      // control-plane (file → seq) list, built as a local relation so
+      // no second `_metadata` enters the plan
+      import spark.implicits._
       val applied = eqs.groupBy(_.eqCols).foldLeft(withSeq) {
         case (acc, (cols, files)) =>
-          val delRows = files.map { e =>
-            spark.read.parquet(e.path)
-              .select(cols.map(c => col(c).as(s"__eqd_$c")) :+
-                lit(e.seq).as("__eq_seq"): _*)
-          }.reduce(_ unionByName _)
+          val delSeqRel = files.map(e => (normPathStr(e.path), e.seq))
+            .toDF("__eqd_file", "__eq_seq")
+          val delRows = spark.read.parquet(files.map(_.path): _*)
+            .withColumn("__eqd_src", normPath(col("_metadata.file_path")))
+            .join(broadcast(delSeqRel), col("__eqd_src") === col("__eqd_file"))
+            .select(cols.map(c => col(c).as(s"__eqd_$c")) :+
+              col("__eq_seq"): _*)
           val cond = cols.map(c => col(c) <=> col(s"__eqd_$c"))
             .reduce(_ && _) && col("__data_seq") < col("__eq_seq")
           acc.join(sized(delRows, files.map(_.bytes).sum), cond, "left_anti")
@@ -543,7 +577,11 @@ object LogSync {
     */
   def sync(spark: SparkSession, root: String): Int = {
     import spark.implicits._
-    val listed = listParquet(spark, root).toDF("path")
+    // in-flight (or crashed) DML output is NOT a fresh append — see
+    // [[pendingDmlPaths]]
+    val pending = pendingDmlPaths(spark, root)
+    val listed = listParquet(spark, root)
+      .filterNot(p => pending.contains(normPathStr(p))).toDF("path")
     // diff against EVERY known path, tombstoned included: a replaced
     // file is still on disk until vacuum, and treating it as new would
     // resurrect its (compacted-away / deleted) rows

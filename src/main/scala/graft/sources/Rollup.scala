@@ -113,14 +113,20 @@ object Rollup {
     // it); (b) the delete registry moved since the fold (row-level
     // retractions the aggregate still counts). A pre-token version
     // (foldedUnder None) is trusted only against an EMPTY registry.
+    // A FIRST refresh (cur == 0) over a lake that already holds
+    // row-level deletes must also rebuild: the incremental fold reads
+    // files RAW, would count the retracted rows, and would then
+    // record the current token — making the overcount permanent.
     val emptyToken = java.security.MessageDigest.getInstance("SHA-256")
       .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val restated = cur > 0 && {
-      val tombstoned = LogSync.manifestDf(spark, root)
-        .filter(col("removed_at").isNotNull).select(col("path"))
-      processed.join(tombstoned, Seq("path"), "left_semi").limit(1).count() > 0 ||
-        foldedUnder.getOrElse(emptyToken) != token
-    }
+    val restated =
+      if (cur == 0) token != emptyToken
+      else {
+        val tombstoned = LogSync.manifestDf(spark, root)
+          .filter(col("removed_at").isNotNull).select(col("path"))
+        processed.join(tombstoned, Seq("path"), "left_semi").limit(1).count() > 0 ||
+          foldedUnder.getOrElse(emptyToken) != token
+      }
     if (restated) {
       // rebuild from the LIVE table: MOR-applied (position AND
       // equality deletes), restatements resolved by the manifest

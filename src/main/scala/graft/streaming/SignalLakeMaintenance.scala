@@ -51,8 +51,17 @@ object SignalLakeMaintenance {
       return Stats(None, 0, None) // nothing flushed yet
     val active = LogSync.manifest(spark, root)
       .filter(col("removed_at").isNull).count()
+    // EQUALITY deletes cannot fold the way position deletes do: a
+    // merged file needs ONE sequence number, and lifting an older
+    // delete's keys to a newer sequence would retract data committed
+    // between them. Their only retirement is materialization — so an
+    // eq-heavy lake (the CDC retraction stream) forces a DATA
+    // compaction once enough accumulate, bounding every read's
+    // per-key-set delete scan at the threshold.
+    val eqDeletes = LogSync.deleteEntries(spark, root).count(_.isEq)
     val compacted =
-      if (active >= minFilesToCompact)
+      if (active >= minFilesToCompact ||
+          eqDeletes >= graft.sources.LakeDml.DeleteCompactionThreshold)
         Some(LogCompact.compact(spark, root, maxRecordsPerFile = maxRecordsPerFile))
       else None
     // when the DATA wasn't worth rewriting, the delete side alone may

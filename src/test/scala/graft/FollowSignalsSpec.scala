@@ -383,5 +383,25 @@ class FollowSignalsSpec extends SparkSpec {
     assert(consumed.distinct.size == consumed.size,
       "no row may be delivered twice across the fold")
     assert(consumed.count(_.startsWith("b1-")) == 40)
+
+    // an EQUALITY-delete pileup (the CDC retraction stream) cannot
+    // fold — maintenance must force a data compaction to materialize
+    // it, and the follower must stay exactly-once across THAT too
+    import spark.implicits._
+    val eqVictims = consumed.filter(_.startsWith("b1-"))
+      .take(LakeDml.DeleteCompactionThreshold)
+    eqVictims.foreach(v =>
+      LakeDml.deleteEq(spark, root, Seq(v).toDF("span_id")))
+    val want = LogSync.table(spark, root).count()
+    val stats2 = graft.streaming.SignalLakeMaintenance.run(spark, root,
+      minFilesToCompact = 100000, vacuumGraceMs = 0L)
+    assert(stats2.compacted.nonEmpty,
+      "accumulated equality deletes must force a materializing compaction")
+    assert(LogSync.deleteEntries(spark, root).isEmpty,
+      "compaction must retire the equality deletes")
+    assert(LogSync.table(spark, root).count() == want)
+    drain()
+    assert(consumed.size == 100,
+      "the materializing compaction must deliver nothing new to the follower")
   }
 }

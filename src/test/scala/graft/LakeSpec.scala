@@ -379,8 +379,15 @@ class LakeSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     def rollupMap() = Rollup.read(spark, root).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    // 0. a delete BEFORE the first refresh: the first fold must not
+    // count the retracted rows (and must not lock the overcount in by
+    // recording the registry token against a raw fold)
+    LakeDml.deleteMor(spark, root,
+      col("service_name") === "s1" && col("severity_text") === "view")
     assert(Rollup.refresh(spark, root) == 4)
-    assert(rollupMap() == fullAgg())
+    assert(rollupMap() == fullAgg(),
+      "the FIRST refresh must already apply MOR deletes")
+    assert(!rollupMap().contains(("s1", "view")))
     // 1. MOR position delete after the fold → refresh must rebuild
     LakeDml.deleteMor(spark, root,
       col("service_name") === "s0" && col("severity_text") === "view")
@@ -411,6 +418,53 @@ class LakeSpec extends SparkSpec {
       "a plain append after DML must fold incrementally, not rebuild")
     assert(rollupMap() == fullAgg())
     assert(Rollup.refresh(spark, root) == 0)
+  }
+
+  test("a crashed DML commit neither resurrects rows via sync nor leaks files") {
+    import graft.sources.{LakeDml, LogCompact}
+    val root = Files.createTempDirectory("graft_dmlcrash").toString
+    Tables.events(spark, sf).limit(100)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        col("event_type").as("severity_text"), col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val want = LogSync.table(spark, root).count()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // a COMPLETED DML commit leaves no pending journal behind
+    LakeDml.delete(spark, root, col("severity_text") === "view")
+    val afterDelete = LogSync.table(spark, root).count()
+    val pendingDir = new org.apache.hadoop.fs.Path(s"$root/_dml_pending")
+    assert(!fs.exists(pendingDir) || fs.listStatus(pendingDir).isEmpty,
+      "a committed DML must clean up its pending journal")
+
+    // simulate a CRASH between the staged move and the manifest swap:
+    // a restated copy of a registered file sits in live space, its
+    // destination journaled, the manifest untouched
+    val victim = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path").head.getString(0)
+    val orphan = new org.apache.hadoop.fs.Path(root, "part-crashed-dml.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(victim),
+      fs, orphan, false, spark.sparkContext.hadoopConfiguration)
+    val journal = new org.apache.hadoop.fs.Path(s"$root/_dml_pending/pcrash")
+    fs.mkdirs(journal.getParent)
+    val out = fs.create(journal, true)
+    out.write(fs.makeQualified(orphan).toString.getBytes("UTF-8")); out.close()
+
+    // sync must NOT register the journaled orphan (it would duplicate
+    // every surviving row of the restated file)
+    assert(LogSync.sync(spark, root) == 0,
+      "sync must exclude journaled in-flight DML output")
+    assert(LogSync.table(spark, root).count() == afterDelete)
+
+    // vacuum (after grace) reclaims the orphan AND its journal
+    LogCompact.vacuum(spark, root, graceMs = 0L)
+    assert(!fs.exists(orphan), "vacuum must reclaim the crashed commit's file")
+    assert(!fs.exists(journal), "vacuum must age out the satisfied journal")
+    assert(LogSync.sync(spark, root) == 0)
+    assert(LogSync.table(spark, root).count() == afterDelete)
+    assert(want > afterDelete)
   }
 
   test("deletesSince: retractions between polls surface exactly once; folds don't") {
