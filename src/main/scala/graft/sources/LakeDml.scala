@@ -197,16 +197,22 @@ object LakeDml {
       }
     val insertPaths = inserts.map(appendStaged).getOrElse(Seq.empty)
     val freshPaths = complementPaths ++ insertPaths
-    // DML output files are REWRITE commits to incremental consumers:
-    // the complement files carry pre-existing rows, and merge-inserts
-    // ride the same commit — conservatively skipped by tableSince,
-    // matching Iceberg's skip-overwrite incremental default. Their
+    // COMPLEMENT files are REWRITE commits to incremental consumers —
+    // they carry pre-existing rows, skipped by tableSince (Iceberg's
+    // skip-overwrite incremental default). INSERT files register as
+    // op="upsert": their rows are NEW VALUES (an upsert's
+    // replacements and novel keys), still excluded from tableSince's
+    // append stream — a replacement is not an append — but surfaced
+    // by [[LogSync.upsertsSince]], so a changelog consumer gets the
+    // full CDC triple (appends + upserts + deletes). Both kinds'
     // data sequence is FRESH (strictly above every active equality
     // delete's): the rewrite materialized those deletes, so they must
     // stop applying to the restated rows — exactly the spec's
     // restatement sequencing.
-    val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq,
-      op = "rewrite", seq = Some(commitSeq))
+    val fresh = LogSync.freshManifestRows(spark, root, complementPaths.toSeq,
+        op = "rewrite", seq = Some(commitSeq))
+      .unionByName(LogSync.freshManifestRows(spark, root, insertPaths.toSeq,
+        op = "upsert", seq = Some(commitSeq)))
 
     // rewritten files are TOMBSTONED, not forgotten — they stay on disk
     // until vacuum, and a forgotten path would be re-registered (rows
@@ -465,8 +471,9 @@ object LakeDml {
     * Unlike [[upsertMor]], rows are retracted by KEY even when no
     * matching row exists (a no-op delete), so rowsChanged counts
     * distinct keys, not matched rows. The appended files register as
-    * op="rewrite" (same conservative [[LogSync.tableSince]] rule as
-    * every merge path).
+    * op="upsert": excluded from [[LogSync.tableSince]]'s append
+    * stream (a replacement is not an append), surfaced by
+    * [[LogSync.upsertsSince]].
     */
   def upsertEq(spark: SparkSession, root: String, updates: DataFrame,
                keys: Seq[String]): DmlStats = {
@@ -497,10 +504,12 @@ object LakeDml {
     * replacements and novel keys alike — append as new files. The
     * MOR twin of [[upsert]]: a matched row costs one (file, pos)
     * delete entry instead of its whole file's rewrite; the appended
-    * files register through the ordinary manifest with op="rewrite"
+    * files register through the ordinary manifest with op="upsert"
     * (their replaced rows are not NEW data — [[LogSync.tableSince]]
-    * consumers skip them, the same conservative rule as CoW merge).
-    * filesAdded counts delete files + appended data files.
+    * consumers skip them, the same conservative rule as CoW merge —
+    * while [[LogSync.upsertsSince]] surfaces them as the changelog's
+    * new values). filesAdded counts delete files + appended data
+    * files.
     */
   def upsertMor(spark: SparkSession, root: String, updates: DataFrame,
                 keys: Seq[String]): DmlStats = {

@@ -712,6 +712,28 @@ object LogSync {
     Option(r.getTimestamp(0))
   }
 
+  /** UPSERT increments: the rows WRITTEN by upsert commits
+    * ([[LakeDml.upsert]]/[[LakeDml.upsertMor]]/[[LakeDml.upsertEq]] —
+    * replacements and novel keys alike, registered op="upsert")
+    * after `since`. [[tableSince]] deliberately excludes them (a
+    * replacement is not an append; Iceberg's incremental-append rule)
+    * — this surface completes the CDC TRIPLE: a derived store polls
+    * [[tableSince]] for appends, THIS for new row values, and
+    * [[deletesSince]] for retractions, and can maintain itself by key
+    * without ever rescanning the lake. Rows are read as INSERTED
+    * (later deletes don't mask a changelog entry — the same
+    * tombstone-tolerant rule as tableSince); mark with
+    * [[highWaterMark]] (upsert registrations move the data manifest).
+    */
+  def upsertsSince(spark: SparkSession, root: String,
+                   since: java.sql.Timestamp): DataFrame = {
+    require(hasManifest(spark, root), s"no manifest under $root — run sync first")
+    val paths = manifestDf(spark, root)
+      .filter(col("registered_at") > lit(since) && col("op") === "upsert")
+      .select(normPath(col("path")).as("__registered_path"))
+    keepOnly(spark, root, paths)
+  }
+
   /** CHANGELOG READ (opt-in): the rows RETRACTED by row-level delete
     * commits registered after `since` — the surface a downstream
     * dedup/rollup/index consumer pairs with [[tableSince]] when
@@ -783,6 +805,64 @@ object LogSync {
         .withColumn("__delete_kind", lit("eq"))
     }
     (posRows.toSeq ++ eqRows).reduce(_ unionByName _)
+  }
+
+  /** [[deletesSince]] with equality retractions MATERIALIZED to full
+    * rows: each equality-delete commit's keys semi-join (null-safely)
+    * the snapshot JUST BEFORE that commit registered — exactly the
+    * rows the delete removed, because a later commit's snapshot
+    * already has every earlier delete applied (no double-surfacing)
+    * and rows re-added after a delete sit outside its snapshot.
+    * Position retractions pass through from [[deletesSince]]
+    * unchanged.
+    *
+    * PRICED opt-in: this pays ONE snapshot-bounded scan per
+    * equality-delete commit in the window — the very scan
+    * [[LakeDml.deleteEq]] exists to avoid — so it fits review-rate
+    * retractions (a GDPR queue), not a high-rate CDC stream; stream
+    * consumers should take the keys from [[deletesSince]] and join
+    * their own store.
+    */
+  def deletedRowsSince(spark: SparkSession, root: String,
+                       since: java.sql.Timestamp): DataFrame = {
+    val posRows = deletesSince(spark, root, since)
+      .filter(col("__delete_kind") === "pos")
+    if (!hasDeleteManifest(spark, root)) return posRows
+    val eqCommits = deleteManifestDf(spark, root)
+      .filter(col("registered_at") > lit(since) &&
+        coalesce(col("op"), lit("delete")) =!= "fold" &&
+        coalesce(col("kind"), lit("pos")) === "eq")
+      .select(col("path"), col("registered_at"), col("eq_cols"), col("bytes"),
+        coalesce(col("seq"), lit(0L)))
+      .collect()
+      .groupBy(r => (r.getTimestamp(1), r.getString(2), r.getLong(4))).toSeq
+      .sortBy(_._1._1.getTime)
+    val eqRows = eqCommits.map { case ((ts, eqColsStr, delSeq), rows) =>
+      val keyCols = eqColsStr.split(',').toSeq
+      val keys = spark.read.parquet(rows.map(_.getString(0)): _*)
+        .select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
+      val sizedKeys =
+        if (rows.map(_.getLong(3)).sum <= BroadcastDeleteBytesCap) broadcast(keys)
+        else keys
+      // the pre-delete snapshot, SEQUENCE-bounded on top of the time
+      // bound: an upsertEq's same-commit inserts share the delete's
+      // sequence (and may register a tick earlier) — the time bound
+      // alone would surface those surviving rows as deleted. Files
+      // with seq >= the delete's are exactly what strictly-below
+      // exempts.
+      val preTs = new java.sql.Timestamp(ts.getTime - 1)
+      val keepPaths = manifestDf(spark, root)
+        .filter(col("registered_at") <= lit(preTs) &&
+          (col("removed_at").isNull || col("removed_at") > lit(preTs)) &&
+          coalesce(col("seq"), lit(0L)) < lit(delSeq))
+        .select(normPath(col("path")).as("__registered_path"))
+      val snapshot = keepOnly(spark, root, keepPaths,
+        deletes = deleteEntries(spark, root, Some(preTs)))
+      val cond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      snapshot.join(sizedKeys, cond, "left_semi")
+        .withColumn("__delete_kind", lit("eq"))
+    }
+    (posRows +: eqRows).reduce(_ unionByName _)
   }
 
   /** The newest delete-registry registration instant — the mark a

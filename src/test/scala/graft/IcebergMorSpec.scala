@@ -470,7 +470,7 @@ class IcebergMorSpec extends SparkSpec {
     val delSeqs = LogSync.deleteEntries(spark, root).filter(_.isEq).map(_.seq)
     assert(delSeqs.nonEmpty)
     val insSeqs = LogSync.manifest(spark, root)
-      .filter(col("removed_at").isNull && col("op") === "rewrite")
+      .filter(col("removed_at").isNull && col("op") === "upsert")
       .select("seq").collect().map(_.getLong(0)).toSet
     assert(delSeqs.toSet.subsetOf(insSeqs),
       s"upsertEq's delete (${delSeqs}) and inserts ($insSeqs) must share a sequence")

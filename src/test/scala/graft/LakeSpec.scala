@@ -525,6 +525,84 @@ class LakeSpec extends SparkSpec {
       "each retraction surfaces exactly once across the whole history")
   }
 
+  test("CDC triple: appends, upserts, and retractions each surface on their own channel") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdctriple").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(60)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val mark0 = LogSync.highWaterMark(spark, root).get
+    Thread.sleep(20)
+
+    // an UPSERT: replaced values surface on upsertsSince, NOT on the
+    // append stream
+    val targets = LogSync.table(spark, root).limit(5)
+      .select(col("timestamp"), col("service_name"), col("severity_text"),
+        col("span_id"), lit("UPDATED").as("body"))
+    val novel = LogSync.table(spark, root).limit(1)
+      .select(col("timestamp"), col("service_name"), col("severity_text"),
+        lit("novel-1").as("span_id"), lit("NEW").as("body"))
+    LakeDml.upsertMor(spark, root, targets.unionByName(novel), Seq("span_id"))
+    assert(LogSync.tableSince(spark, root, mark0).count() == 0,
+      "replacements must not masquerade as appends")
+    val ups = LogSync.upsertsSince(spark, root, mark0)
+    assert(ups.count() == 6)
+    assert(ups.select("body").collect().map(_.getString(0)).toSet ==
+      Set("UPDATED", "NEW"))
+
+    // an EQUALITY retraction: keys on deletesSince, FULL rows (the
+    // post-upsert values!) on deletedRowsSince
+    val dmark = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    val victimKeys = ups.filter(col("body") === "UPDATED").limit(2)
+      .select("span_id").collect().map(_.getString(0)).toSeq
+    LakeDml.deleteEq(spark, root, victimKeys.toDF("span_id"))
+    val keyed = LogSync.deletesSince(spark, root, dmark)
+    assert(keyed.count() == 2 && keyed.filter(col("body").isNull).count() == 2)
+    val full = LogSync.deletedRowsSince(spark, root, dmark)
+    assert(full.count() == 2, s"materialized retractions: ${full.count()}")
+    assert(full.select("body").collect().map(_.getString(0)).toSet == Set("UPDATED"),
+      "materialization must surface the CURRENT (upserted) values, not originals")
+    assert(full.select("span_id").collect().map(_.getString(0)).toSet ==
+      victimKeys.toSet)
+
+    // an upsertEq whose delete ties its own inserts: the surviving
+    // inserts must NOT materialize as deleted
+    Thread.sleep(20)
+    val dmark2 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    val reclass = LogSync.table(spark, root).filter(col("body") === "UPDATED")
+      .limit(1).select(col("timestamp"), col("service_name"),
+        col("severity_text"), col("span_id"), lit("V2").as("body"))
+    val key2 = reclass.select("span_id").head.getString(0)
+    LakeDml.upsertEq(spark, root, reclass, Seq("span_id"))
+    val full2 = LogSync.deletedRowsSince(spark, root, dmark2)
+    assert(full2.count() == 1 &&
+      full2.head.getAs[String]("body") == "UPDATED",
+      s"only the retracted OLD row may materialize: ${full2.collect().toSeq}")
+    assert(LogSync.table(spark, root)
+      .filter(col("span_id") === key2).head.getAs[String]("body") == "V2")
+
+    // a RE-ADDED key after the retraction window surfaces as an
+    // append, and never retro-enters the retraction channel
+    Thread.sleep(20)
+    Tables.events(spark, sf).limit(1)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        lit("view").as("severity_text"), lit(victimKeys.head).as("span_id"),
+        lit("REBORN").as("body"))
+      .write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    assert(LogSync.deletedRowsSince(spark, root, dmark)
+      .filter(col("body") === "REBORN").count() == 0)
+    assert(LogSync.tableSince(spark, root, mark0)
+      .filter(col("body") === "REBORN").count() == 1)
+  }
+
   test("tableBetween: manifest zone-maps prune files, result equals the direct filter") {
     val root = LakeAnalytics.lakeRoot(spark, sf)
     val (kept, total) = LogSync.statsPruneCounts(spark, root, "2024-01-12", "2024-01-14")
