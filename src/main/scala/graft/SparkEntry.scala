@@ -95,6 +95,7 @@ object SparkEntry {
     "lake_iceberg_dml"    -> (LakeAnalytics.morSeverity _),
     "lake_iceberg_merge"  -> (LakeAnalytics.mergeMorSeverity _),
     "lake_iceberg_eqdml"  -> (LakeAnalytics.eqMorSeverity _),
+    "lake_retention"      -> (LakeAnalytics.retentionSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
     "lake_iceberg_tt"     -> (LakeAnalytics.icebergTimeTravel _),
@@ -1103,6 +1104,14 @@ object SparkEntry {
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
         |FROM nation WHERE n_nationkey NOT IN (2, 7, 11, 14)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RETENTION: everything before Jan 16 noon expired — full days
+    // dropped metadata-only, the straddling day split by a position
+    // delete — read back through the re-exported chain
+    "lake_retention" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-16 12:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // the live REST-catalog round-trip must surface the SAME table —
     // identical oracle as lake_severity_by_service
     "lake_iceberg_rest" ->

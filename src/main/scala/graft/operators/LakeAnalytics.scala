@@ -572,6 +572,48 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val retentionBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake aged past its retention policy and expired
+    * ([[graft.sources.LakeDml.expireBefore]] at a MID-DAY cutoff): the
+    * daily-partitioned payloads lake loses every row before
+    * Jan 16 12:00 — the fully-covered day files drop METADATA-ONLY
+    * (one manifest swap, zone-map + null-count proof, no data byte
+    * read), the straddling Jan 16 files shed their morning rows
+    * through a position-delete commit — then the chain re-exports.
+    * The `require`s pin BOTH paths firing: a fixture where everything
+    * went through the row path (or everything dropped) would certify
+    * only half the operator. At 100 TB this is the nightly TTL job:
+    * O(manifest) planning + a scan of the handful of cutoff-straddling
+    * files, never the lake.
+    */
+  private[graft] def retentionRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(retentionBuilt, dir, "graft_lakeret", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      val stats = graft.sources.LakeDml.expireBefore(spark, root,
+        java.sql.Timestamp.valueOf("2024-01-16 12:00:00"))
+      require(stats.filesRemoved > 0,
+        s"retention fixture must drop whole files by metadata: $stats")
+      require(stats.filesAdded > 0,
+        s"retention fixture must split the cutoff day by rows: $stats")
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** `lake_retention`: severity counts through the exported chain of
+    * [[retentionRoot]] — hash-matching the ts-filtered oracle
+    * certifies the retention delete end-to-end: the metadata-only
+    * file drops (manifest restatement in the export), the boundary
+    * position deletes, and the external read-back, in one number.
+    */
+  def retentionSeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, retentionRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
   private val clusterBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake that grew WITHOUT a useful layout and was then re-clustered

@@ -675,4 +675,106 @@ object LakeDml {
       DmlStats(removed, added, matched)
     } finally ups.unpersist()
   }
+
+  /** RETENTION / TTL delete on the time axis: remove every row whose
+    * `timestamp` falls in `[from, until)` (unbounded below when `from`
+    * is None), with the cost model a 100 TB lake needs:
+    *
+    *  - files whose manifest zone-map PROVES every row is in range
+    *    (`min_ts >= from && max_ts < until`, and `null_ts = 0` —
+    *    min/max are blind to null timestamps, and a null never matches
+    *    a range predicate, so a file with null-ts rows is never
+    *    all-inside) are dropped METADATA-ONLY: their manifest rows are
+    *    tombstoned in one swap, no data byte is read or written —
+    *    Iceberg's metadata-delete fast path. The whole decision is a
+    *    manifest-sized job; the driver never holds the dropped paths,
+    *    so a month-wide drop over millions of files is one swap.
+    *  - BOUNDARY files (zone-map overlaps the range but can't prove
+    *    containment, or stat-less pre-upgrade files) go through the
+    *    row-level MOR path: ONLY those files are scanned, matched rows
+    *    land as position-delete files ([[deleteMor]]'s shape). On a
+    *    time-clustered lake a retention cutoff leaves a handful of
+    *    straddling files, so the scan is O(boundary), not O(lake).
+    *
+    * Crash story: boundary position deletes commit first, the
+    * metadata tombstone swap is the commit point for the drops —
+    * either half alone leaves a consistent table and a rerun
+    * completes the other (the operation is idempotent: dropped files
+    * are no longer active, already-deleted positions re-match
+    * nothing).
+    *
+    * Interplay: tombstones keep time travel intact until vacuum
+    * ([[LogSync.tableAsOf]] before the drop still sees the rows);
+    * pending MOR deletes against dropped files become inert and fold
+    * away via [[vacuumDeletes]]; [[graft.sources.Rollup.refresh]]
+    * detects the tombstones and rebuilds; a fresh
+    * [[IcebergExport.export]] restates the chain without the dropped
+    * entries. Like CoW [[delete]] (and unlike [[deleteMor]]/
+    * [[deleteEq]]), drops are restatement-class for CDC consumers:
+    * [[LogSync.deletesSince]] does not surface them.
+    *
+    * Returns DmlStats(filesRemoved = files dropped metadata-only,
+    * filesAdded = boundary delete files written, rowsChanged =
+    * dropped-file PHYSICAL rows (write-time manifest stat — counts
+    * rows a pending MOR delete already hid, documented upper bound) +
+    * boundary rows deleted).
+    */
+  def deleteRange(spark: SparkSession, root: String,
+                  from: Option[java.sql.Timestamp],
+                  until: java.sql.Timestamp,
+                  maxBoundaryFiles: Int = DefaultMaxRewriteFiles): DmlStats = {
+    import spark.implicits._
+    val lowerFull = from.map(ts => col("min_ts") >= lit(ts)).getOrElse(lit(true))
+    val lowerOverlap = from.map(ts => col("max_ts") >= lit(ts)).getOrElse(lit(true))
+    val isFull = col("min_ts").isNotNull && col("null_ts") === 0 &&
+      lowerFull && col("max_ts") < lit(until)
+    val mayOverlap = col("min_ts").isNull ||
+      (lowerOverlap && col("min_ts") < lit(until))
+    val active = LogSync.activeManifest(spark, root)
+
+    // boundary files: may hold in-range rows, not provably all-inside.
+    // Driver-resident list (bounded): on a time-clustered lake these
+    // are the straddling files at the cutoff, not the lake. The count
+    // guards BEFORE the collect — the refusal happens before the
+    // crossing it refuses (affectedAgg's discipline).
+    val boundaryRel = active.filter(mayOverlap && !isFull).select("path")
+    requireBounded(boundaryRel.count(), maxBoundaryFiles, "RETENTION boundary")
+    val boundary = boundaryRel.as[String].collect()
+    val (delFiles, delRows) =
+      if (boundary.isEmpty) (0L, 0L)
+      else {
+        val raw = spark.read.option("basePath", root).parquet(boundary.toSeq: _*)
+          .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+          .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+            "^file:/(?!/)", "file:///"))
+          .withColumn("__dpos", col("_metadata.row_index"))
+        val live = LogSync.applyDeletes(spark, raw, root,
+          LogSync.deleteEntries(spark, root))
+        val pred = from.map(ts => col("timestamp") >= lit(ts))
+          .getOrElse(lit(true)) && col("timestamp") < lit(until)
+        writePositionDeletes(spark, root, live.filter(pred))
+      }
+
+    // the metadata-only drop: tombstone every provably-all-inside
+    // active file in ONE manifest swap. count/sum first (two numbers
+    // to the driver — never the paths).
+    val aggRow = active.filter(isFull)
+      .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+    val (nDrop, droppedRows) = (aggRow.getLong(0), aggRow.getLong(1))
+    if (nDrop > 0) {
+      val before = LogSync.manifestDf(spark, root)
+      LogSync.swapManifest(spark, root,
+        before.withColumn("removed_at",
+          when(col("removed_at").isNull && isFull, current_timestamp())
+            .otherwise(col("removed_at"))))
+    }
+    DmlStats(nDrop, delFiles, droppedRows + delRows)
+  }
+
+  /** Expire everything strictly before `cutoff` — the retention-policy
+    * entry point: `expireBefore(spark, root, now - 90d)`.
+    */
+  def expireBefore(spark: SparkSession, root: String,
+                   cutoff: java.sql.Timestamp): DmlStats =
+    deleteRange(spark, root, None, cutoff)
 }

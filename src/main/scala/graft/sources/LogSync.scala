@@ -120,7 +120,17 @@ object LogSync {
     // rule would flip on the tie). All files of one commit share one
     // seq. Null (pre-upgrade manifests) reads as 0 — correctly BELOW
     // any explicitly-sequenced delete, since those files predate it.
-    StructField("seq", org.apache.spark.sql.types.LongType, nullable = true)))
+    StructField("seq", org.apache.spark.sql.types.LongType, nullable = true),
+    // write-time PHYSICAL row count of the file (what Iceberg's
+    // record_count carries) and the count of rows whose `timestamp`
+    // is NULL — the two numbers [[graft.sources.LakeDml.deleteRange]]
+    // needs to drop a file METADATA-ONLY: the zone-map [min_ts,
+    // max_ts] ignores nulls, so a file is provably all-inside a time
+    // range only when null_ts = 0. Null (pre-upgrade manifests /
+    // stat-less lakes) reads as unknown = never droppable by
+    // metadata, always sound.
+    StructField("rows", org.apache.spark.sql.types.LongType, nullable = true),
+    StructField("null_ts", org.apache.spark.sql.types.LongType, nullable = true)))
 
   /** Stat columns carried per manifest row. Two dimensions: the time
     * axis every log query filters on, and the service axis
@@ -129,7 +139,8 @@ object LogSync {
     * nullable; a null means "no stats, never prune" so old manifests
     * and stat-less lakes stay sound.
     */
-  private[sources] val StatCols = Seq("min_ts", "max_ts", "min_svc", "max_svc")
+  private[sources] val StatCols =
+    Seq("min_ts", "max_ts", "min_svc", "max_svc", "rows", "null_ts")
 
   /** Control-plane listing (the `mc find` analog). Returns raw FS
     * paths; everything downstream of this is distributed.
@@ -530,13 +541,20 @@ object LogSync {
       probe
         .groupBy(normPath(col("_metadata.file_path")).as("norm"))
         .agg(min(ts).as("min_ts"), max(ts).as("max_ts"),
-             min(svc).as("min_svc"), max(svc).as("max_svc"))
+             min(svc).as("min_svc"), max(svc).as("max_svc"),
+             count(lit(1)).as("rows"),
+             (count(lit(1)) - count(ts)).as("null_ts"))
     } else {
+      // stat-less lakes get null rows/null_ts too (probing counts
+      // would be a read this branch exists to avoid) — null = unknown,
+      // so the metadata-drop fast path never fires on them
       paths.toDF("p").select(normPath(col("p")).as("norm"),
         lit(null).cast(TimestampType).as("min_ts"),
         lit(null).cast(TimestampType).as("max_ts"),
         lit(null).cast(StringType).as("min_svc"),
-        lit(null).cast(StringType).as("max_svc"))
+        lit(null).cast(StringType).as("max_svc"),
+        lit(null).cast("long").as("rows"),
+        lit(null).cast("long").as("null_ts"))
     }
   }
 

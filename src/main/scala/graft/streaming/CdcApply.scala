@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.LakeDml
+
+/** STREAMING CDC APPLY — maintain a registered lake from a changelog
+  * stream (rows tagged insert/update/delete), the upsert-sink shape
+  * Flink-CDC engines pair with Iceberg v2 equality deletes and the
+  * reason [[graft.sources.LakeDml.deleteEq]]/[[LakeDml.upsertEq]]
+  * exist: every micro-batch lands as at most TWO O(batch) commits —
+  * one `upsertEq` carrying the batch's surviving inserts/updates, one
+  * `deleteEq` carrying its deletes — no table scan, no position
+  * lookup, commit cost proportional to the batch, never the lake.
+  * Downstream, the full CDC triple re-emerges:
+  * [[graft.sources.LogSync.tableSince]] (appends from other writers),
+  * [[graft.sources.LogSync.upsertsSince]] (this sink's new values) and
+  * [[graft.sources.LogSync.deletesSince]] (its retractions).
+  *
+  * Batch-local conflict resolution: a micro-batch may carry several
+  * changes for one key. With `seqCol` (the upstream changelog's
+  * LSN/offset/ts column) only each key's LATEST change applies —
+  * resolved by one batch-sized window, dropped before the write (it
+  * is changelog metadata, not a table column). Without `seqCol` the
+  * batch must already be key-unique; the apply REFUSES a batch with
+  * conflicting rows rather than picking a nondeterministic winner.
+  * After resolution upsert-keys and delete-keys are disjoint, so the
+  * two commits cannot race each other's rows.
+  *
+  * Delivery: `foreachBatch` is at-least-once; a per-batch marker
+  * (same discipline as [[LakeIngest]], created after both commits)
+  * makes retries no-ops. The remaining window — a crash between the
+  * commits and the marker — replays one batch, and the replay is
+  * STATE-idempotent: re-upserting the same values retracts the first
+  * copy through the fresh equality delete, re-deleting matches
+  * nothing; the table converges, only commit history carries the
+  * duplicate (folded by the next compaction). The checkpoint is
+  * mandatory for the same batchId-identity reason as [[LakeIngest]].
+  *
+  * Delete rows need only their key columns populated (non-key columns
+  * are ignored); insert/update rows must carry every table column.
+  */
+object CdcApply {
+
+  val OpInsert = "I"
+  val OpUpdate = "U"
+  val OpDelete = "D"
+
+  def start(changes: DataFrame, root: String, keys: Seq[String],
+            checkpoint: String, opCol: String = "op",
+            seqCol: Option[String] = None): StreamingQuery = {
+    require(keys.nonEmpty, "CdcApply needs at least one key column")
+    require(checkpoint.nonEmpty,
+      "CdcApply.start needs a durable checkpointLocation: batch markers " +
+        "are only meaningful relative to a persistent batchId sequence")
+    val spark = changes.sparkSession
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new Path(s"$root/_cdc_batches/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          applyBatch(batch, root, keys, opCol, seqCol)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker).close()
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** One changelog batch applied to the lake — also the BATCH entry
+    * point (backfilling a day of CDC from a file dump is the same
+    * operation). Package-visible for the streaming wrapper and specs.
+    */
+  private[graft] def applyBatch(batch: DataFrame, root: String,
+                                keys: Seq[String], opCol: String,
+                                seqCol: Option[String]): Unit = {
+    val spark = batch.sparkSession
+    val resolved = (seqCol match {
+      case Some(sc) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sc).desc)
+        batch.withColumn("__cdc_rn", row_number().over(w))
+          .filter(col("__cdc_rn") === 1).drop("__cdc_rn", sc)
+      case None =>
+        val conflicted = batch.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        require(conflicted.isEmpty,
+          "CDC batch carries multiple changes for one key and no seqCol " +
+            "was given — pass the changelog's ordering column so the " +
+            "latest change wins deterministically")
+        batch
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ops = upper(col(opCol))
+      val dels = resolved.filter(ops === OpDelete).select(keys.map(col): _*)
+      val ups = resolved.filter(ops.isin(OpInsert, OpUpdate)).drop(opCol)
+      if (!ups.isEmpty) LakeDml.upsertEq(spark, root, ups, keys)
+      if (!dels.isEmpty) LakeDml.deleteEq(spark, root, dels)
+    } finally { resolved.unpersist(); () }
+  }
+}

@@ -94,7 +94,8 @@ object Plans {
       "trace_span_events" -> "span-event exception analysis: landed JSON arrays explode map-only (generate after the manifest semi-join scan), attribute extraction codegen'd from_json, one (service x type)-cardinality aggregate",
       "trace_span_links" -> "trace->trace causality: map-only link explode + distinct trace-id relation join (user-day cardinality), tiny (service x resolved) aggregate — the span corpus never shuffles for the explode side",
       "metrics_lake_summary" -> "Summary-kind quantile surface: manifest semi-join scan -> ONE series-keyed max-struct aggregate (latest snapshot) -> map-only quantile extraction from the landed JSON pairs",
-      "lake_iceberg_eqdml" -> "EQUALITY-delete readback: one data scan + per-file sequence attach (broadcast map) + null-safe LeftAnti per key-column set gated on data_seq < delete_seq — upsertEq inserts (same seq) survive, the later deleteEq applies; no corpus shuffle, delete side sized by the retraction keys")
+      "lake_iceberg_eqdml" -> "EQUALITY-delete readback: one data scan + per-file sequence attach (broadcast map) + null-safe LeftAnti per key-column set gated on data_seq < delete_seq — upsertEq inserts (same seq) survive, the later deleteEq applies; no corpus shuffle, delete side sized by the retraction keys",
+      "lake_retention" -> "TTL-expired lake readback: the dropped day files are GONE from the scan's file list (metadata-only restatement — nothing anti-joins them), only the cutoff-straddling day pays a position-delete LeftAnti; the surviving scan + aggregate is the same plan as an unexpired lake")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

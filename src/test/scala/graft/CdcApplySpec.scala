@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{LogSync, Tables}
+import graft.streaming.CdcApply
+
+/** [[CdcApply]] — the streaming CDC upsert sink over the
+  * equality-delete DML primitives.
+  */
+class CdcApplySpec extends SparkSpec {
+
+  private val tableSchema = StructType(Seq(
+    StructField("timestamp", TimestampType), StructField("service_name", StringType),
+    StructField("severity_text", StringType), StructField("span_id", StringType),
+    StructField("body", StringType)))
+  private val changeSchema = StructType(
+    StructField("op", StringType) +: tableSchema.fields.toSeq)
+
+  private def seedLake(n: Int): String = {
+    val root = Files.createTempDirectory("graft_cdcsink").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    root
+  }
+
+  test("changelog stream maintains the lake; restart replays nothing; CDC channels fire") {
+    import spark.implicits._
+    val root = seedLake(40)
+    val src = Files.createTempDirectory("graft_cdcsrc").toString
+    val ckpt = Files.createTempDirectory("graft_cdcckpt").toString
+    val base = LogSync.table(spark, root).persist()
+    val ids = base.select("span_id").as[String].collect().sorted.toSeq
+    val mark0 = LogSync.highWaterMark(spark, root).get
+    val dmark0 = new Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+
+    // batch 1: update 3 keys, insert 2 novel keys, delete 2 keys
+    val upd = base.filter(col("span_id").isin(ids.take(3): _*))
+      .select(lit("U").as("op"), col("timestamp"), col("service_name"),
+        col("severity_text"), col("span_id"), lit("UPD").as("body"))
+    val ins = base.limit(2)
+      .select(lit("I").as("op"), col("timestamp"), col("service_name"),
+        col("severity_text"),
+        concat(lit("novel-"), col("span_id")).as("span_id"),
+        lit("NEW").as("body"))
+    val del = ids.slice(3, 5).map(k => ("d", k)).toDF("op", "key")
+      .select(col("op"), lit(null).cast(TimestampType).as("timestamp"),
+        lit(null).cast(StringType).as("service_name"),
+        lit(null).cast(StringType).as("severity_text"),
+        col("key").as("span_id"), lit(null).cast(StringType).as("body"))
+    upd.unionByName(ins).unionByName(del)
+      .write.mode("append").parquet(src)
+
+    val q = CdcApply.start(
+      spark.readStream.schema(changeSchema).parquet(src),
+      root, Seq("span_id"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val t1 = LogSync.table(spark, root)
+    assert(t1.count() == 40 - 2 + 2)
+    assert(t1.filter(col("body") === "UPD").count() == 3)
+    assert(t1.filter(col("span_id").isin(ids.slice(3, 5): _*)).count() == 0)
+    assert(t1.filter(col("body") === "NEW").count() == 2)
+
+    // the CDC triple on the way OUT: replacements on upsertsSince
+    // (not on tableSince), retraction keys on deletesSince
+    assert(LogSync.tableSince(spark, root, mark0).count() == 0)
+    assert(LogSync.upsertsSince(spark, root, mark0).count() == 5)
+    val dels = LogSync.deletesSince(spark, root, dmark0)
+    assert(dels.select("span_id").as[String].collect().toSet ==
+      ids.slice(3, 5).toSet)
+
+    // batch 2 arrives; a RESTARTED query (same checkpoint) applies it
+    // once and replays nothing from batch 1
+    base.filter(col("span_id") === ids.head)
+      .select(lit("D").as("op"), col("timestamp"), col("service_name"),
+        col("severity_text"), col("span_id"), col("body"))
+      .write.mode("append").parquet(src)
+    val q2 = CdcApply.start(
+      spark.readStream.schema(changeSchema).parquet(src),
+      root, Seq("span_id"), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val t2 = LogSync.table(spark, root)
+    assert(t2.count() == 40 - 3 + 2)
+    assert(t2.filter(col("span_id") === ids.head).count() == 0)
+    assert(t2.filter(col("body") === "UPD").count() == 2,
+      "batch-1 updates must not double-apply on restart")
+    base.unpersist()
+  }
+
+  test("seqCol picks each key's latest change; delete-then-update survives") {
+    import spark.implicits._
+    val root = seedLake(20)
+    val ids = LogSync.table(spark, root)
+      .select("span_id").as[String].collect().sorted.toSeq
+    val (kDies, kLives) = (ids.head, ids(1))
+    val row = LogSync.table(spark, root).filter(col("span_id").isin(kDies, kLives))
+    // kDies: U@1 then D@2 (dies); kLives: D@1 then U@2 (lives, body=WINS)
+    val changes = row.select(lit("U").as("op"), col("timestamp"),
+        col("service_name"), col("severity_text"), col("span_id"),
+        lit("WINS").as("body"),
+        when(col("span_id") === kDies, lit(1L)).otherwise(lit(2L)).as("lsn"))
+      .unionByName(row.select(lit("D").as("op"), col("timestamp"),
+        col("service_name"), col("severity_text"), col("span_id"),
+        col("body"),
+        when(col("span_id") === kDies, lit(2L)).otherwise(lit(1L)).as("lsn")))
+    CdcApply.applyBatch(changes, root, Seq("span_id"), "op", Some("lsn"))
+    val t = LogSync.table(spark, root)
+    assert(t.filter(col("span_id") === kDies).count() == 0, "U@1 < D@2: dies")
+    assert(t.filter(col("span_id") === kLives).head.getAs[String]("body") == "WINS",
+      "D@1 < U@2: the update wins")
+    assert(t.count() == 19)
+  }
+
+  test("a conflicted batch without seqCol is refused, not resolved arbitrarily") {
+    import spark.implicits._
+    val root = seedLake(10)
+    val k = LogSync.table(spark, root).select("span_id").as[String].head()
+    val row = LogSync.table(spark, root).filter(col("span_id") === k)
+    val conflicted = row.select(lit("U").as("op"), col("timestamp"),
+        col("service_name"), col("severity_text"), col("span_id"),
+        lit("A").as("body"))
+      .unionByName(row.select(lit("D").as("op"), col("timestamp"),
+        col("service_name"), col("severity_text"), col("span_id"), col("body")))
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.applyBatch(conflicted, root, Seq("span_id"), "op", None)
+    }
+    assert(e.getMessage.contains("seqCol"))
+  }
+}
