@@ -95,6 +95,7 @@ object SparkEntry {
     "lake_iceberg_dml"    -> (LakeAnalytics.morSeverity _),
     "lake_iceberg_merge"  -> (LakeAnalytics.mergeMorSeverity _),
     "lake_iceberg_eqdml"  -> (LakeAnalytics.eqMorSeverity _),
+    "lake_cdc_apply"      -> (LakeAnalytics.cdcApplySeverity _),
     "lake_retention"      -> (LakeAnalytics.retentionSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
@@ -1100,6 +1101,24 @@ object SparkEntry {
         |FROM events
         |WHERE NOT (user_id % 10 = 6 AND event_type = 'error')
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the CDC sink's two-batch changelog replayed in SQL: svc-5 view →
+    // 'flagged' (lsn-2 winner; the even-event half deleted by batch 2),
+    // svc-8 purchase deleted, svc-9 signup twinned as 'replayed'
+    // inserts, svc-0 error → 'triaged' — read back through the
+    // re-exported chain after eq→pos delete conversion
+    "lake_cdc_apply" ->
+      """SELECT service_name, severity_text, count(*) AS n FROM (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        |    CASE WHEN user_id % 10 = 5 AND event_type = 'view' THEN 'flagged'
+        |         WHEN user_id % 10 = 0 AND event_type = 'error' THEN 'triaged'
+        |         ELSE event_type END AS severity_text
+        |  FROM events
+        |  WHERE NOT (user_id % 10 = 8 AND event_type = 'purchase')
+        |    AND NOT (user_id % 10 = 5 AND event_type = 'view' AND event_id % 2 = 0)
+        |  UNION ALL
+        |  SELECT 'svc-9' AS service_name, 'replayed' AS severity_text
+        |  FROM events WHERE user_id % 10 = 9 AND event_type = 'signup'
+        |) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_iceberg_mor" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
         |FROM nation WHERE n_nationkey NOT IN (2, 7, 11, 14)

@@ -572,6 +572,101 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val cdcApplyBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake MAINTAINED BY A CDC CHANGELOG —
+    * [[graft.streaming.CdcApply.applyBatch]], the batch entry point of
+    * the streaming upsert sink, driven with a deterministic two-batch
+    * changelog that exercises every changelog rule the sink promises:
+    *
+    *  - batch 1 (LSN-ordered): svc-5 'view' rows get TWO updates per
+    *    key — a decoy at lsn 1 ('tmp') and the winner at lsn 2
+    *    ('flagged'); latest-wins resolution must land only 'flagged'.
+    *    svc-8 'purchase' rows are deleted by key; svc-9 'signup' rows
+    *    insert novel 'replayed' twins (fresh `cdc-` keys).
+    *  - batch 2 (key-unique, no LSN): the even-event half of the
+    *    'flagged' keys is deleted — a retraction of rows batch 1
+    *    itself upserted, which only works if batch 2's equality
+    *    delete sequences strictly above batch 1's inserts — and
+    *    svc-0 'error' reclassifies to 'triaged'.
+    *
+    * Then the accumulated equality deletes (two per batch: the
+    * upsert's internal retraction + the genuine delete) are retired by
+    * [[graft.sources.LakeDml.convertEqDeletes]] — the CDC steady
+    * state's maintenance step, NO data rewrite — and the chain
+    * re-exports. The final read goes through the exported Iceberg
+    * metadata, so the hash-match certifies the whole CDC apply →
+    * eq-DML → conversion → export → external-read pipeline in one
+    * number.
+    */
+  private[graft] def cdcApplyRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(cdcApplyBuilt, dir, "graft_lakecdc", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      val parsed = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .withColumn("year", year(col("timestamp")))
+        .withColumn("month", month(col("timestamp")))
+        .withColumn("day", dayofmonth(col("timestamp")))
+        .withColumn("hour", hour(col("timestamp")))
+      def tagged(df: DataFrame, op: String, lsn: Long): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("lsn", lit(lsn))
+      val sv5view = parsed.filter(col("service_name") === "svc-5" &&
+        col("severity_text") === "view")
+      val batch1 = tagged(sv5view.withColumn("severity_text", lit("tmp")), "U", 1L)
+        .unionByName(tagged(
+          sv5view.withColumn("severity_text", lit("flagged")), "U", 2L))
+        .unionByName(tagged(parsed.filter(col("service_name") === "svc-8" &&
+          col("severity_text") === "purchase"), "D", 1L))
+        .unionByName(tagged(parsed.filter(col("service_name") === "svc-9" &&
+            col("severity_text") === "signup")
+          .withColumn("span_id", concat(lit("cdc-"), col("span_id")))
+          .withColumn("severity_text", lit("replayed")), "I", 1L))
+      graft.streaming.CdcApply.applyBatch(batch1, root, Seq("span_id"), "op",
+        Some("lsn"))
+      // batch 2 keys derive from the EVENTS side (span_id is
+      // md5(event_id) — the same derivation [[payloads]] encodes), so
+      // the oracle can replay the even-half split in SQL
+      val delKeys = Tables.events(spark, dir)
+        .filter(col("user_id") % 10 === 5 && col("event_type") === "view" &&
+          col("event_id") % 2 === 0)
+        .select(substring(md5(col("event_id").cast("string")), 1, 16).as("span_id"))
+      val batch2 = sv5view.join(delKeys, Seq("span_id"), "left_semi")
+        .withColumn("op", lit("D"))
+        .unionByName(parsed.filter(col("service_name") === "svc-0" &&
+            col("severity_text") === "error")
+          .withColumn("severity_text", lit("triaged"))
+          .withColumn("op", lit("U")))
+      graft.streaming.CdcApply.applyBatch(batch2, root, Seq("span_id"), "op", None)
+      val t = LogSync.table(spark, root)
+      require(t.filter(col("severity_text") === "tmp").count() == 0,
+        "lsn resolution must drop the decoy update entirely")
+      require(t.filter(col("severity_text") === "flagged").count() > 0 &&
+        t.filter(col("severity_text") === "replayed").count() > 0,
+        "CDC fixture must land upserts and inserts")
+      // the steady-state retirement: all four eq deletes (two
+      // upsert-born, two genuine) convert to position deletes — no
+      // data file rewritten — before the certified export
+      val (retired, posRows) = graft.sources.LakeDml.convertEqDeletes(spark, root)
+      require(retired == 4 && posRows > 0,
+        s"conversion must retire all CDC eq deletes: ($retired, $posRows)")
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** `lake_cdc_apply`: severity counts through the exported chain of
+    * [[cdcApplyRoot]] — hash-matching the SQL-replayed changelog
+    * certifies the streaming CDC sink's batch semantics (latest-wins
+    * LSN resolution, upsert/delete disjointness, cross-batch
+    * sequencing) AND the equality→position delete conversion, through
+    * the external read.
+    */
+  def cdcApplySeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, cdcApplyRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
   private val retentionBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake aged past its retention policy and expired

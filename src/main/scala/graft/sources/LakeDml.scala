@@ -118,6 +118,9 @@ object LakeDml {
                      inserts: Option[DataFrame],
                      seq: Option[Long] = None): (Long, Long) = {
     import spark.implicits._
+    // the CAS base: the manifest version this commit plans against —
+    // the swap below refuses if another writer advanced it
+    val baseVersion = LogSync.manifestVersion(spark, root)
     val before = LogSync.manifestDf(spark, root).cache()
     // sequence captured at commit PLANNING, before the complement read
     // resolves the deletes it will materialize — the same defensive
@@ -227,8 +230,10 @@ object LakeDml {
       .union(fresh)
     // versioned swap: new readers flip atomically; a plan holding the
     // old manifest version (a cached Dataset) keeps its consistent
-    // pre-DML snapshot until vacuum ages the version out
-    LogSync.swapManifest(spark, root, next)
+    // pre-DML snapshot until vacuum ages the version out. CAS on the
+    // planning-time version: an interleaved rewrite raises instead of
+    // silently losing this commit's (or the other's) files
+    LogSync.swapManifest(spark, root, next, Some(baseVersion))
     // registered — the pending journals have done their job (a crash
     // from here on leaves journals listing REGISTERED paths, which
     // sync's anti-join ignores anyway and vacuum ages out)
@@ -356,7 +361,8 @@ object LakeDml {
     * files written, distinct key rows).
     */
   private def writeEqualityDeletes(spark: SparkSession, root: String,
-                                   keyRows: DataFrame, seq: Long): (Long, Long) = {
+                                   keyRows: DataFrame, seq: Long,
+                                   op: String = "delete"): (Long, Long) = {
     import spark.implicits._
     val cols = keyRows.columns.toSeq
     require(cols.nonEmpty, "equality delete needs at least one key column")
@@ -413,7 +419,7 @@ object LakeDml {
         .withColumn("kind", lit("eq"))
         .withColumn("seq", lit(seq))
         .withColumn("eq_cols", lit(cols.mkString(",")))
-        .withColumn("op", lit("delete")))
+        .withColumn("op", lit(op)))
     (rowsOf.length.toLong, n)
   }
 
@@ -492,9 +498,14 @@ object LakeDml {
       val (_, added) = commit(spark, root, Seq.empty,
         complement = identity, inserts = Some(ups), seq = Some(seq))
       // the delete at the SAME sequence — the same-commit rule that
-      // makes the inserts survive it
+      // makes the inserts survive it. op="upsert": this retraction is
+      // the upsert's INTERNAL old-value removal, not a genuine delete
+      // — [[LogSync.deletesSince]] excludes it by default (the new
+      // values already surface on [[LogSync.upsertsSince]]; a keyed
+      // consumer replaces by key), mirroring the data manifest's
+      // op="upsert" tagging of the insert half.
       val (delFiles, nKeys) = writeEqualityDeletes(spark, root,
-        ups.select(keys.map(col): _*), seq)
+        ups.select(keys.map(col): _*), seq, op = "upsert")
       DmlStats(0, delFiles + added, nKeys)
     } finally { ups.unpersist(); () }
   }
@@ -527,10 +538,14 @@ object LakeDml {
     val ups = updates.select(dataCols.map(col): _*).localCheckpoint(true)
     try {
       val keyRel = keyRelSized(ups.select(keys.map(col): _*).distinct())
+      // op="upsert": these position deletes are the upsert's internal
+      // old-value retraction, excluded from [[LogSync.deletesSince]]'s
+      // default stream — same contract as [[upsertEq]]'s equality half
       val (delFiles, matched) = writePositionDeletes(spark, root,
-        tableWithPos(spark, root).join(keyRel, keys, "left_semi"))
+        tableWithPos(spark, root).join(keyRel, keys, "left_semi"),
+        op = "upsert")
       // the shared CoW commit with an EMPTY affected set appends the
-      // update rows and registers them (op="rewrite"), no tombstones
+      // update rows and registers them (op="upsert"), no tombstones
       val (_, added) = commit(spark, root, Seq.empty,
         complement = identity, inserts = Some(ups))
       DmlStats(0, delFiles + added, matched)
@@ -562,13 +577,103 @@ object LakeDml {
     // writePositionDeletes; the swap below rewrites the whole registry
     // with the originals tombstoned — readers flip atomically)
     val olds = entries.map(e => LogSync.normPathStr(e.path)).toSet
+    val regVersion = LogSync.deleteManifestVersion(spark, root)
     LogSync.swapDeleteManifest(spark, root,
       LogSync.deleteManifestDf(spark, root)
         .withColumn("removed_at",
           when(LogSync.normPath(col("path")).isin(olds.toSeq: _*) &&
             col("removed_at").isNull, current_timestamp())
-            .otherwise(col("removed_at"))))
+            .otherwise(col("removed_at"))),
+      Some(regVersion))
     (entries.length, files.toInt)
+  }
+
+  /** Maintenance: CONVERT active equality deletes to position deletes
+    * — Iceberg's convert-equality-deletes rewrite action, the
+    * scale-safe retirement path for the CDC steady state. Equality
+    * deletes cannot FOLD (one merged file needs ONE sequence, and
+    * lifting an older delete's keys to a newer sequence would retract
+    * data committed between the originals), and retiring them through
+    * a full data compaction is an O(lake) rewrite every
+    * [[DeleteCompactionThreshold]] retraction batches — infeasible at
+    * 100 TB when [[graft.streaming.CdcApply]] lands a batch per poll.
+    * Conversion is the third way: for each distinct key-column set,
+    * ONE scan restricted to the data files any of its deletes can
+    * affect (active AND sequence strictly below the set's newest
+    * delete — a fresh post-delete file is never read), matching rows
+    * null-safely under each delete's own strictly-below rule, and the
+    * matched (file, pos) pairs land as ordinary position-delete files
+    * — sequence-safe by construction (position deletes bind by exact
+    * path). No data file is rewritten; cost is O(candidate files
+    * scanned + matched rows), and the per-scan anti-join burden drops
+    * from one eq join per commit to the folded position joins.
+    *
+    * The new position files register op="fold" — same retractions,
+    * already surfaced by the original eq commits, so
+    * [[LogSync.deletesSince]] consumers never see them twice — and
+    * the eq registry entries are tombstoned in one swap. Historic
+    * reads ([[LogSync.tableAsOf]], branches) keep applying the
+    * original eq files until vacuum, the standard tombstone rule.
+    *
+    * Crash story: position deletes commit first, the registry swap
+    * retiring the eq entries is the commit point. A crash between
+    * leaves BOTH active — rows doubly deleted, which the anti-join
+    * read makes idempotent — and a rerun completes the swap (its
+    * rescan re-matches the same rows; duplicate positions are a set
+    * union to every reader).
+    *
+    * Returns (equality delete files retired, position rows written).
+    */
+  def convertEqDeletes(spark: SparkSession, root: String): (Int, Long) = {
+    import spark.implicits._
+    val eqs = LogSync.deleteEntries(spark, root).filter(_.isEq)
+    if (eqs.isEmpty) return (0, 0L)
+    var posRows = 0L
+    eqs.groupBy(_.eqCols).foreach { case (cols, files) =>
+      val maxSeq = files.map(_.seq).max
+      // candidate keep-set: manifest-pruned BEFORE the scan (the same
+      // broadcast-or-shuffle semi-join shape as the read path — no
+      // driver-side path list), carrying each file's sequence for the
+      // per-delete strictly-below match
+      val mdf = LogSync.activeManifest(spark, root)
+        .filter(coalesce(col("seq"), lit(0L)) < lit(maxSeq))
+      val candRel = mdf.select(LogSync.normPath(col("path")).as("__seq_src"),
+        coalesce(col("seq"), lit(0L)).as("__data_seq"))
+      val sizedCand =
+        if (mdf.count() <= LogSync.seqBroadcastRowCap(spark)) broadcast(candRel)
+        else candRel
+      val scan = spark.read.option("basePath", root).parquet(root)
+        .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+        .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+          "^file:/(?!/)", "file:///"))
+        .withColumn("__dpos", col("_metadata.row_index"))
+        .join(sizedCand, col("__src") === col("__seq_src"))
+      val delSeqRel = files.map(e => (LogSync.normPathStr(e.path), e.seq))
+        .toDF("__eqd_file", "__eq_seq")
+      val delRows = spark.read.parquet(files.map(_.path): _*)
+        .withColumn("__eqd_src", LogSync.normPath(col("_metadata.file_path")))
+        .join(broadcast(delSeqRel), col("__eqd_src") === col("__eqd_file"))
+        .select(cols.map(c => col(c).as(s"__eqd_$c")) :+ col("__eq_seq"): _*)
+      val cond = cols.map(c => col(c) <=> col(s"__eqd_$c"))
+        .reduce(_ && _) && col("__data_seq") < col("__eq_seq")
+      // semi-join: a row deleted by SEVERAL eq commits records once;
+      // a row an earlier position delete already hid may re-record —
+      // harmless, deletes are a set union to every reader
+      val matched = scan.join(delRows, cond, "left_semi")
+      val (_, n) = writePositionDeletes(spark, root, matched, op = "fold")
+      posRows += n
+    }
+    // the commit point: retire the eq entries in one registry swap
+    val olds = eqs.map(e => LogSync.normPathStr(e.path))
+    val regVersion = LogSync.deleteManifestVersion(spark, root)
+    LogSync.swapDeleteManifest(spark, root,
+      LogSync.deleteManifestDf(spark, root)
+        .withColumn("removed_at",
+          when(LogSync.normPath(col("path")).isin(olds: _*) &&
+            col("removed_at").isNull, current_timestamp())
+            .otherwise(col("removed_at"))),
+      Some(regVersion))
+    (eqs.length, posRows)
   }
 
   /** Maintenance: tombstone delete files whose referenced data files
@@ -592,12 +697,13 @@ object LakeDml {
       .select(col("__del")).distinct().as[String].collect().toSet
     val dead = entries.map(e => LogSync.normPathStr(e.path)).toSet -- live
     if (dead.isEmpty) return 0
+    val regVersion = LogSync.deleteManifestVersion(spark, root)
     val next = LogSync.deleteManifestDf(spark, root)
       .withColumn("removed_at",
         when(LogSync.normPath(col("path")).isin(dead.toSeq: _*) &&
           col("removed_at").isNull, current_timestamp())
           .otherwise(col("removed_at")))
-    LogSync.swapDeleteManifest(spark, root, next)
+    LogSync.swapDeleteManifest(spark, root, next, Some(regVersion))
     dead.size
   }
 
@@ -762,11 +868,13 @@ object LakeDml {
       .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
     val (nDrop, droppedRows) = (aggRow.getLong(0), aggRow.getLong(1))
     if (nDrop > 0) {
+      val baseVersion = LogSync.manifestVersion(spark, root)
       val before = LogSync.manifestDf(spark, root)
       LogSync.swapManifest(spark, root,
         before.withColumn("removed_at",
           when(col("removed_at").isNull && isFull, current_timestamp())
-            .otherwise(col("removed_at"))))
+            .otherwise(col("removed_at"))),
+        Some(baseVersion))
     }
     DmlStats(nDrop, delFiles, droppedRows + delRows)
   }

@@ -83,23 +83,31 @@ object LogCompact {
               clusterBy: Option[Seq[String]] = None): CompactStats = {
     require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
 
+    // the CAS base for both swaps below: the versions this rewrite
+    // plans against
+    val baseVersion = LogSync.manifestVersion(spark, root)
     val before = LogSync.manifestDf(spark, root).cache()
     val filesBefore = before.filter(col("removed_at").isNull).count()
 
     // capture the delete-file set AND the commit sequence NOW — the
     // deletes are exactly what the scan below materializes, so the
     // post-rewrite tombstone pass retires EXACTLY these, never a
-    // delete committed between scan planning and the swap; and the
-    // fresh files register AT the planning-time sequence, so an
-    // interleaved EQUALITY delete (strictly higher seq) keeps
-    // applying to them — its rows were NOT materialized. Under the
-    // stated single-writer rule the capture changes nothing; in a
-    // crash-interleaved case it turns "late delete silently discarded
-    // as materialized" into "late delete stays active": an equality
-    // delete keeps deleting outright, and a position delete — inert
-    // on the rewritten files by path — remains visible to time
-    // travel, to vacuumDeletes, and to an operator who can re-issue
-    // it, rather than vanishing as if it never happened.
+    // delete committed between scan planning and the swap. What the
+    // capture does and does NOT buy under a rule violation (the lake
+    // is SINGLE-WRITER; this is the crash-interleaving story, not a
+    // concurrency license): a position delete committed mid-compaction
+    // is inert on the rewritten files by path but remains visible to
+    // time travel, to vacuumDeletes, and to an operator who can
+    // re-issue it, rather than vanishing as if materialized. An
+    // EQUALITY delete committed mid-compaction is NOT protected: its
+    // nextSeq is computed before the compaction registers its output,
+    // so it lands at exactly planningSeq — TYING the restated files'
+    // sequence — and the strictly-below rule makes it inert on the
+    // restated rows (they resurrect). Detecting that tie needs a
+    // reserved-sequence registry entry at planning or a registry CAS,
+    // neither of which a bare filesystem gives; the manifest-swap CAS
+    // ([[LogSync.swapManifest]] expectedVersion) catches interleaved
+    // DATA writers, and the delete registry stays single-writer.
     val materializedDeletes = LogSync.deleteEntries(spark, root)
     val planningSeq = LogSync.nextSeq(spark, root)
 
@@ -177,8 +185,9 @@ object LogCompact {
     // versioned swap: new readers resolve the new manifest atomically;
     // plans already holding the old version (cached Datasets, running
     // queries) keep reading it — a consistent pre-compaction snapshot —
-    // until vacuum ages it out
-    LogSync.swapManifest(spark, root, next)
+    // until vacuum ages it out. CAS against the planning version: an
+    // interleaved rewrite raises rather than losing a commit
+    LogSync.swapManifest(spark, root, next, Some(baseVersion))
     // compaction read the table MOR-applied, so every delete CAPTURED
     // AT PLANNING (position and equality) is now MATERIALIZED in the
     // fresh files; tombstone exactly those registry rows (after the
@@ -191,12 +200,14 @@ object LogCompact {
     // time-travel rule as data files.
     if (materializedDeletes.nonEmpty) {
       val mat = materializedDeletes.map(e => LogSync.normPathStr(e.path))
+      val regVersion = LogSync.deleteManifestVersion(spark, root)
       LogSync.swapDeleteManifest(spark, root,
         LogSync.deleteManifestDf(spark, root)
           .withColumn("removed_at",
             when(LogSync.normPath(col("path")).isin(mat: _*) &&
               col("removed_at").isNull, current_timestamp())
-              .otherwise(col("removed_at"))))
+              .otherwise(col("removed_at"))),
+        Some(regVersion))
     }
     before.unpersist(); fresh.unpersist()
     CompactStats(filesBefore, filesAfter)
@@ -230,6 +241,7 @@ object LogCompact {
     require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
     val cutoffMs = System.currentTimeMillis() - graceMs
     val cutoffTs = new java.sql.Timestamp(cutoffMs)
+    val baseVersion = LogSync.manifestVersion(spark, root)
     val m = LogSync.manifestDf(spark, root).cache()
     // files pinned by any branch are NEVER reclaimed (and their
     // tombstones never purged) while the branch lives — the
@@ -255,7 +267,7 @@ object LogCompact {
         .filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs) ||
           col("__pin").isNotNull)
         .drop("__pin")
-      LogSync.swapManifest(spark, root, next)
+      LogSync.swapManifest(spark, root, next, Some(baseVersion))
     }
     marked.unpersist()
     // superseded manifest versions: only in-flight readers of older
@@ -302,6 +314,7 @@ object LogCompact {
     // branch → physically removed, manifest row purged
     var deadDeletes = 0
     if (LogSync.hasDeleteManifest(spark, root)) {
+      val regVersion = LogSync.deleteManifestVersion(spark, root)
       val dm = LogSync.deleteManifestDf(spark, root).cache()
       val deadDel = dm
         .filter(col("removed_at") <= lit(cutoffTs))
@@ -328,7 +341,7 @@ object LogCompact {
           .join(pinned.withColumnRenamed("__pin", "__dpin"), Seq("path"), "left")
           .filter(col("removed_at").isNull || col("removed_at") > lit(cutoffTs) ||
             col("__dpin").isNotNull)
-          .drop("__dpin"))
+          .drop("__dpin"), Some(regVersion))
       }
       dm.unpersist()
       val staleDel = LogSync.staleDeleteManifestDirs(spark, root).filter { d =>

@@ -57,19 +57,60 @@ object LogSync {
     if (v == 0) s"$root/_manifest" else s"$root/_manifest_v$v"
   }
 
+  /** Raised when a manifest swap detects another writer advanced the
+    * version since this commit planned against it — the single-writer
+    * rule, ENFORCED instead of merely documented: without the check
+    * two interleaved rewrites each produce a full next-manifest and
+    * the second swap silently discards the first's files (lost
+    * commit). Retryable: re-plan the whole operation against the new
+    * manifest and commit again (what Iceberg's REST catalog does with
+    * a 409, re-expressed as a filesystem version CAS).
+    */
+  final class ManifestConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   /** Replace the manifest wholesale: write `next` as version N+1 and
     * flip it live with an atomic dir rename. The previous version's
     * files are untouched (stale readers stay consistent) until
     * [[LogCompact.vacuum]] removes aged-out versions.
+    *
+    * `expectVersion` is the CAS guard: the version the writer READ
+    * when it planned the rewrite it is now committing. The swap
+    * refuses — loudly, with [[ManifestConflictException]] — when the
+    * live version moved past it, and the target-exists check on the
+    * rename narrows the remaining race to the rename itself (atomic
+    * on the filesystems this lake targets). Callers that rewrite the
+    * manifest from a read snapshot MUST pass it; None is reserved for
+    * flows that append-then-swap within one already-guarded commit.
+    *
+    * Honest scope: the CAS catches interleaved REWRITES (DML, compact,
+    * vacuum — the lost-manifest failure). A concurrent [[sync]] APPEND
+    * to the current version dir does not bump the version, so an
+    * append racing a swap can still lose its rows — syncs and rewrites
+    * share the single-writer rule (one maintenance owner per lake),
+    * as they do in the reference's sync daemon.
     */
   private[sources] def swapManifest(spark: SparkSession, root: String,
-                                    next: DataFrame): Unit = {
+                                    next: DataFrame,
+                                    expectVersion: Option[Int] = None): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vNext = manifestVersion(spark, root) + 1
+    val cur = manifestVersion(spark, root)
+    expectVersion.foreach { v =>
+      if (cur != v) throw new ManifestConflictException(
+        s"manifest swap conflict under $root: planned against version $v but " +
+          s"found $cur — another writer committed since (the lake is " +
+          "single-writer); re-plan the operation against the new manifest " +
+          "and retry")
+    }
+    val vNext = cur + 1
     val staging = new Path(s"$root/_manifest_swap")
     fs.delete(staging, true)
     next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    require(fs.rename(staging, new Path(s"$root/_manifest_v$vNext")),
+    val target = new Path(s"$root/_manifest_v$vNext")
+    if (fs.exists(target)) throw new ManifestConflictException(
+      s"manifest swap conflict under $root: version $vNext already exists — " +
+        "another writer won the race; re-plan and retry")
+    require(fs.rename(staging, target),
       s"manifest swap rename failed under $root")
   }
 
@@ -249,17 +290,20 @@ object LogSync {
     // position deletes. Resolved to Iceberg field ids at export time.
     StructField("eq_cols", StringType, nullable = true),
     // how this delete file came to be: "delete" (a genuine DML
-    // retraction commit) or "fold" ([[LakeDml.compactDeletes]]
-    // consolidating earlier commits — same CONTENT, not a new
-    // retraction). [[deletesSince]] skips folds so a changelog
-    // consumer sees each retraction exactly once, the same
-    // conservative rule [[tableSince]] applies to data rewrites.
-    // Null (pre-upgrade registries) reads as "delete".
+    // retraction commit), "upsert" (the INTERNAL old-value retraction
+    // of [[LakeDml.upsertEq]]/[[LakeDml.upsertMor]] — not a genuine
+    // delete; the replacement values surface on [[upsertsSince]]), or
+    // "fold" ([[LakeDml.compactDeletes]] consolidating earlier commits
+    // — same CONTENT, not a new retraction). [[deletesSince]] skips
+    // folds (a changelog consumer sees each retraction exactly once,
+    // the same conservative rule [[tableSince]] applies to data
+    // rewrites) and, by default, upsert-born retractions too. Null
+    // (pre-upgrade registries) reads as "delete".
     StructField("op", StringType, nullable = true)))
 
   private val DeleteManifestVersionRe = "_dmanifest_v([0-9]+)".r
 
-  private def deleteManifestVersion(spark: SparkSession, root: String): Int = {
+  private[sources] def deleteManifestVersion(spark: SparkSession, root: String): Int = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root))) return 0
     fs.listStatus(new Path(root)).flatMap { st =>
@@ -300,14 +344,29 @@ object LogSync {
     rows.select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
       .write.mode(SaveMode.Append).parquet(deleteManifestPath(spark, root))
 
+  /** [[swapManifest]]'s CAS discipline for the delete registry:
+    * `expectVersion` is the registry version the rewrite planned
+    * against; the target-exists check narrows the rename race.
+    */
   private[sources] def swapDeleteManifest(spark: SparkSession, root: String,
-                                          next: DataFrame): Unit = {
+                                          next: DataFrame,
+                                          expectVersion: Option[Int] = None): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vNext = deleteManifestVersion(spark, root) + 1
+    val cur = deleteManifestVersion(spark, root)
+    expectVersion.foreach { v =>
+      if (cur != v) throw new ManifestConflictException(
+        s"delete-manifest swap conflict under $root: planned against version " +
+          s"$v but found $cur — another writer committed since; re-plan and retry")
+    }
+    val vNext = cur + 1
     val staging = new Path(s"$root/_dmanifest_swap")
     fs.delete(staging, true)
     next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    require(fs.rename(staging, new Path(s"$root/_dmanifest_v$vNext")),
+    val target = new Path(s"$root/_dmanifest_v$vNext")
+    if (fs.exists(target)) throw new ManifestConflictException(
+      s"delete-manifest swap conflict under $root: version $vNext already " +
+        "exists — another writer won the race; re-plan and retry")
+    require(fs.rename(staging, target),
       s"delete-manifest swap rename failed under $root")
   }
 
@@ -337,7 +396,8 @@ object LogSync {
                                               bytes: Long,
                                               kind: String = "pos",
                                               seq: Long = 0L,
-                                              eqCols: Seq[String] = Seq.empty) {
+                                              eqCols: Seq[String] = Seq.empty,
+                                              op: String = "delete") {
     def isEq: Boolean = kind == "eq"
   }
 
@@ -360,10 +420,11 @@ object LogSync {
     }
     bounded.select(col("path"), col("rows"), col("bytes"),
         coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
-        col("eq_cols")).collect()
+        col("eq_cols"), coalesce(col("op"), lit("delete"))).collect()
       .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getLong(4),
-        Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty)))
+        Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty),
+        r.getString(6)))
       .toSeq
   }
 
@@ -400,6 +461,21 @@ object LogSync {
     */
   private val BroadcastDeleteBytesCap = 64L * 1024 * 1024
 
+  /** Row cap for broadcasting MANIFEST-cardinality relations (the
+    * per-file sequence attach, conversion candidate sets): one row
+    * per known file INCLUDING tombstones, so it grows with history
+    * until vacuum — at a multi-million-file lake an unconditional
+    * broadcast would pressure every executor and the driver. Under
+    * the cap the attach broadcasts (a ~100-byte row per file; 1M rows
+    * ≈ low hundreds of MB, inside the usual ceiling); past it the
+    * join SHUFFLES, the correct shape at that scale. Conf-tunable
+    * (`graft.lake.seqBroadcastRowCap`) so specs can force the shuffle
+    * path and assert both paths agree.
+    */
+  private[sources] def seqBroadcastRowCap(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lake.seqBroadcastRowCap")
+      .map(_.toLong).getOrElse(1000000L)
+
   /** Apply the row-level deletes in `entries` to a scan carrying
     * `__src` (normalized `_metadata.file_path`).
     *
@@ -413,10 +489,11 @@ object LogSync {
     * columns, restricted to data files whose sequence number is
     * STRICTLY BELOW the delete's (the v2 rule that lets an upsert's
     * same-commit insert survive its own delete). The per-row data
-    * sequence attaches from `root`'s manifest — a control-plane
-    * broadcast (one row per known file, tombstones included so
-    * time-travel/branch reads resolve too; seq is immutable per
-    * file). A lake with no equality deletes never pays the attach.
+    * sequence attaches from `root`'s manifest (one row per known
+    * file, tombstones included so time-travel/branch reads resolve
+    * too; seq is immutable per file) — broadcast under
+    * [[seqBroadcastRowCap]], shuffled past it. A lake with no
+    * equality deletes never pays the attach.
     *
     * Both sides are sized by the DELETED population (manifest
     * `bytes`): broadcast under the cap, shuffle past it.
@@ -452,10 +529,16 @@ object LogSync {
       // the scan enters applyDeletes (LakeDml.tableWithPos does), or
       // resolution turns ambiguous the moment a lake holds an
       // equality delete.
-      val seqRel = manifestDf(spark, root)
-        .select(normPath(col("path")).as("__seq_src"),
-          coalesce(col("seq"), lit(0L)).as("__data_seq"))
-      val withSeq = posApplied.join(broadcast(seqRel),
+      val mdf = manifestDf(spark, root)
+      val seqRel = mdf.select(normPath(col("path")).as("__seq_src"),
+        coalesce(col("seq"), lit(0L)).as("__data_seq"))
+      // size-guarded like every other join in this path: the attach
+      // relation has manifest cardinality — broadcast under the row
+      // cap (one cheap control-plane count), shuffle past it
+      val sizedSeqRel =
+        if (mdf.count() <= seqBroadcastRowCap(spark)) broadcast(seqRel)
+        else seqRel
+      val withSeq = posApplied.join(sizedSeqRel,
         col("__src") === col("__seq_src"), "left")
         .drop("__seq_src")
         .withColumn("__data_seq", coalesce(col("__data_seq"), lit(0L)))
@@ -759,6 +842,20 @@ object LogSync {
     * never reports deletions; without this, a derived store keeps
     * counting rows the lake retracted).
     *
+    * THE CDC RETRACTION CONTRACT (one rule across all three
+    * channels): a keyed consumer maintains itself from
+    * [[tableSince]] (appends), [[upsertsSince]] (replacement values —
+    * replace by key) and THIS (genuine retractions — remove by key).
+    * An upsert's INTERNAL old-value retraction ([[LakeDml.upsertEq]]/
+    * [[LakeDml.upsertMor]] register it op="upsert" in the delete
+    * registry) is NOT a genuine delete — the key still exists with a
+    * new value, already surfaced on upsertsSince — so this stream
+    * EXCLUDES it by default; a consumer that wants the full physical
+    * retraction stream (e.g. an audit trail) passes
+    * `includeUpserts = true` and can tell the kinds apart by the
+    * `__delete_op` column ("delete" vs "upsert").
+    * [[deletedRowsSince]] applies the same rule.
+    *
     * POSITION-delete commits surface the FULL deleted rows, tagged
     * `__delete_kind = "pos"`: the recorded (file, pos) pairs join back
     * to their target files, which outlive the delete until vacuum —
@@ -779,26 +876,32 @@ object LogSync {
     * deletes target — never lake size.
     */
   def deletesSince(spark: SparkSession, root: String,
-                   since: java.sql.Timestamp): DataFrame = {
+                   since: java.sql.Timestamp,
+                   includeUpserts: Boolean = false): DataFrame = {
     require(hasManifest(spark, root), s"no manifest under $root — run sync first")
     val tableCols = table(spark, root).schema
     val empty = table(spark, root).limit(0)
       .withColumn("__delete_kind", lit("").cast(StringType))
+      .withColumn("__delete_op", lit("").cast(StringType))
     if (!hasDeleteManifest(spark, root)) return empty
+    val opFilter =
+      if (includeUpserts) coalesce(col("op"), lit("delete")) =!= "fold"
+      else coalesce(col("op"), lit("delete")) === "delete"
     val entries = deleteManifestDf(spark, root)
-      .filter(col("registered_at") > lit(since) &&
-        coalesce(col("op"), lit("delete")) =!= "fold")
+      .filter(col("registered_at") > lit(since) && opFilter)
       .select(col("path"), col("rows"), col("bytes"),
-        coalesce(col("kind"), lit("pos")), col("eq_cols")).collect()
+        coalesce(col("kind"), lit("pos")), col("eq_cols"),
+        coalesce(col("op"), lit("delete"))).collect()
       .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), 0L,
-        Option(r.getString(4)).map(_.split(',').toSeq).getOrElse(Seq.empty)))
+        Option(r.getString(4)).map(_.split(',').toSeq).getOrElse(Seq.empty),
+        r.getString(5)))
       .toSeq
     if (entries.isEmpty) return empty
     val (eqs, poss) = entries.partition(_.isEq)
-    val posRows = if (poss.isEmpty) None else {
+    val posRows = poss.groupBy(_.op).map { case (op, files) =>
       import spark.implicits._
-      val delRows = spark.read.parquet(poss.map(_.path): _*)
+      val delRows = spark.read.parquet(files.map(_.path): _*)
       // the targeted data files only — bounded by the deletes' spread
       val targets = delRows.select(col("file_path")).distinct()
         .as[String].collect().toSeq
@@ -807,20 +910,23 @@ object LogSync {
         .withColumn("__pos", col("_metadata.row_index"))
       val keyRel = delRows.select(normPath(col("file_path")).as("__del_file"),
         col("pos").cast("long").as("__del_pos"))
-      val sized = if (poss.map(_.bytes).sum <= BroadcastDeleteBytesCap)
+      val sized = if (files.map(_.bytes).sum <= BroadcastDeleteBytesCap)
         broadcast(keyRel) else keyRel
-      Some(raw.join(sized, col("__src") === col("__del_file") &&
+      raw.join(sized, col("__src") === col("__del_file") &&
           col("__pos") === col("__del_pos"), "left_semi")
         .select(tableCols.map(f => col(f.name)): _*)
-        .withColumn("__delete_kind", lit("pos")))
+        .withColumn("__delete_kind", lit("pos"))
+        .withColumn("__delete_op", lit(op))
     }
-    val eqRows = eqs.groupBy(_.eqCols).map { case (keyCols, files) =>
-      spark.read.parquet(files.map(_.path): _*)
-        .select(tableCols.map { f =>
-          if (keyCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
-        .withColumn("__delete_kind", lit("eq"))
+    val eqRows = eqs.groupBy(e => (e.eqCols, e.op)).map {
+      case ((keyCols, op), files) =>
+        spark.read.parquet(files.map(_.path): _*)
+          .select(tableCols.map { f =>
+            if (keyCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          .withColumn("__delete_kind", lit("eq"))
+          .withColumn("__delete_op", lit(op))
     }
     (posRows.toSeq ++ eqRows).reduce(_ unionByName _)
   }
@@ -840,45 +946,59 @@ object LogSync {
     * retractions (a GDPR queue), not a high-rate CDC stream; stream
     * consumers should take the keys from [[deletesSince]] and join
     * their own store.
+    *
+    * Same retraction contract as [[deletesSince]]: upsert-born
+    * retractions (op="upsert") are excluded by default — pass
+    * `includeUpserts = true` to materialize the OLD rows an upsert
+    * replaced (tagged `__delete_op = "upsert"`).
     */
   def deletedRowsSince(spark: SparkSession, root: String,
-                       since: java.sql.Timestamp): DataFrame = {
-    val posRows = deletesSince(spark, root, since)
+                       since: java.sql.Timestamp,
+                       includeUpserts: Boolean = false): DataFrame = {
+    val posRows = deletesSince(spark, root, since, includeUpserts)
       .filter(col("__delete_kind") === "pos")
     if (!hasDeleteManifest(spark, root)) return posRows
+    val opFilter =
+      if (includeUpserts) coalesce(col("op"), lit("delete")) =!= "fold"
+      else coalesce(col("op"), lit("delete")) === "delete"
     val eqCommits = deleteManifestDf(spark, root)
-      .filter(col("registered_at") > lit(since) &&
-        coalesce(col("op"), lit("delete")) =!= "fold" &&
+      .filter(col("registered_at") > lit(since) && opFilter &&
         coalesce(col("kind"), lit("pos")) === "eq")
       .select(col("path"), col("registered_at"), col("eq_cols"), col("bytes"),
-        coalesce(col("seq"), lit(0L)))
+        coalesce(col("seq"), lit(0L)), coalesce(col("op"), lit("delete")))
       .collect()
-      .groupBy(r => (r.getTimestamp(1), r.getString(2), r.getLong(4))).toSeq
+      .groupBy(r => (r.getTimestamp(1), r.getString(2), r.getLong(4),
+        r.getString(5))).toSeq
       .sortBy(_._1._1.getTime)
-    val eqRows = eqCommits.map { case ((ts, eqColsStr, delSeq), rows) =>
+    val eqRows = eqCommits.map { case ((ts, eqColsStr, delSeq, op), rows) =>
       val keyCols = eqColsStr.split(',').toSeq
       val keys = spark.read.parquet(rows.map(_.getString(0)): _*)
         .select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
       val sizedKeys =
         if (rows.map(_.getLong(3)).sum <= BroadcastDeleteBytesCap) broadcast(keys)
         else keys
-      // the pre-delete snapshot, SEQUENCE-bounded on top of the time
-      // bound: an upsertEq's same-commit inserts share the delete's
-      // sequence (and may register a tick earlier) — the time bound
-      // alone would surface those surviving rows as deleted. Files
-      // with seq >= the delete's are exactly what strictly-below
-      // exempts.
-      val preTs = new java.sql.Timestamp(ts.getTime - 1)
+      // the pre-delete snapshot, SEQUENCE-bounded: files with
+      // seq >= the delete's are exactly what the strictly-below rule
+      // exempts (an upsertEq's same-commit inserts share the delete's
+      // sequence even when they register a tick earlier), so the seq
+      // bound alone excludes them; the time bound uses the delete's
+      // own registration instant (`<= ts`, not ts-1 — a data commit
+      // sequenced before the delete but registered in the same
+      // millisecond must stay in the snapshot, its rows may be
+      // exactly what the delete retracted). Earlier deletes apply to
+      // the snapshot by the same seq rule (strictly below this one),
+      // never this delete itself.
       val keepPaths = manifestDf(spark, root)
-        .filter(col("registered_at") <= lit(preTs) &&
-          (col("removed_at").isNull || col("removed_at") > lit(preTs)) &&
+        .filter(col("registered_at") <= lit(ts) &&
+          (col("removed_at").isNull || col("removed_at") > lit(ts)) &&
           coalesce(col("seq"), lit(0L)) < lit(delSeq))
         .select(normPath(col("path")).as("__registered_path"))
       val snapshot = keepOnly(spark, root, keepPaths,
-        deletes = deleteEntries(spark, root, Some(preTs)))
+        deletes = deleteEntries(spark, root, Some(ts)).filter(_.seq < delSeq))
       val cond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
       snapshot.join(sizedKeys, cond, "left_semi")
         .withColumn("__delete_kind", lit("eq"))
+        .withColumn("__delete_op", lit(op))
     }
     (posRows +: eqRows).reduce(_ unionByName _)
   }

@@ -135,12 +135,16 @@ object Rollup {
         .groupBy(col("service_name"), col("severity_text"))
         .agg(count(lit(1)).cast("long").as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/agg")
-      val active = registered.as[String].collect().toSeq
-      active.toDF("path")
+      // the processed-paths bookkeeping writes DISTRIBUTED — a rebuild
+      // happens against the whole lake, and collecting every active
+      // path would be an O(lake) driver crossing (the incremental
+      // branch below collects only this round's arrivals, which is
+      // bounded by ingest rate); only the COUNT crosses the driver
+      registered.select(col("path"))
         .write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/paths")
       writeText(spark, s"${rollupRoot(root)}/v$next/dmltoken", token)
       writeMarker(spark, root, next)
-      return active.length
+      return registered.count().toInt
     }
     val fresh = registered.join(processed, Seq("path"), "left_anti")
       .as[String].collect().toSeq

@@ -25,9 +25,11 @@ import graft.sources.LakeDml
   * changes for one key. With `seqCol` (the upstream changelog's
   * LSN/offset/ts column) only each key's LATEST change applies —
   * resolved by one batch-sized window, dropped before the write (it
-  * is changelog metadata, not a table column). Without `seqCol` the
-  * batch must already be key-unique; the apply REFUSES a batch with
-  * conflicting rows rather than picking a nondeterministic winner.
+  * is changelog metadata, not a table column); a TIE at the winning
+  * sequence is refused — the ordering column cannot resolve it.
+  * Without `seqCol` the batch must already be key-unique; the apply
+  * REFUSES a batch with conflicting rows rather than picking a
+  * nondeterministic winner.
   * After resolution upsert-keys and delete-keys are disjoint, so the
   * two commits cannot race each other's rows.
   *
@@ -83,9 +85,21 @@ object CdcApply {
     val spark = batch.sparkSession
     val resolved = (seqCol match {
       case Some(sc) =>
+        // rank(), not row_number(): a TIE at a key's winning sequence
+        // (two changes, same LSN) is a conflict the ordering column
+        // cannot resolve — both rows rank 1 and the batch is REFUSED,
+        // the same determinism rule as the no-seqCol path, instead of
+        // an arbitrary row_number winner
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sc).desc)
-        batch.withColumn("__cdc_rn", row_number().over(w))
-          .filter(col("__cdc_rn") === 1).drop("__cdc_rn", sc)
+        val winners = batch.withColumn("__cdc_rk", rank().over(w))
+          .filter(col("__cdc_rk") === 1)
+        val tied = winners.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        require(tied.isEmpty,
+          s"CDC batch carries multiple changes for one key at the same " +
+            s"'$sc' value — ties are unresolvable; ensure (key, $sc) " +
+            "uniqueness upstream")
+        winners.drop("__cdc_rk", sc)
       case None =>
         val conflicted = batch.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)

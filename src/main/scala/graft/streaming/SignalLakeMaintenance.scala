@@ -51,22 +51,30 @@ object SignalLakeMaintenance {
       return Stats(None, 0, None) // nothing flushed yet
     val active = LogSync.manifest(spark, root)
       .filter(col("removed_at").isNull).count()
-    // EQUALITY deletes cannot fold the way position deletes do: a
-    // merged file needs ONE sequence number, and lifting an older
-    // delete's keys to a newer sequence would retract data committed
-    // between them. Their only retirement is materialization — so an
-    // eq-heavy lake (the CDC retraction stream) forces a DATA
-    // compaction once enough accumulate, bounding every read's
-    // per-key-set delete scan at the threshold.
-    val eqDeletes = LogSync.deleteEntries(spark, root).count(_.isEq)
+    // EQUALITY deletes cannot fold the way position deletes do (one
+    // merged file needs ONE sequence, and lifting an older delete's
+    // keys to a newer sequence would retract data committed between
+    // them) — they retire by CONVERSION to position deletes instead
+    // ([[graft.sources.LakeDml.convertEqDeletes]]): one scan bounded
+    // to the seq-below candidate files, O(matched) position rows, NO
+    // data rewrite. On the CDC steady state (a retraction batch per
+    // poll) this replaces what used to be a full-lake compaction
+    // every [[graft.sources.LakeDml.DeleteCompactionThreshold]] eq
+    // commits — the O(lake)-every-8-batches cost a 100 TB lake
+    // cannot pay; data compaction still runs when file-count churn
+    // independently warrants it.
+    if (LogSync.deleteEntries(spark, root).count(_.isEq) >=
+        graft.sources.LakeDml.DeleteCompactionThreshold) {
+      graft.sources.LakeDml.convertEqDeletes(spark, root); ()
+    }
     val compacted =
-      if (active >= minFilesToCompact ||
-          eqDeletes >= graft.sources.LakeDml.DeleteCompactionThreshold)
+      if (active >= minFilesToCompact)
         Some(LogCompact.compact(spark, root, maxRecordsPerFile = maxRecordsPerFile))
       else None
     // when the DATA wasn't worth rewriting, the delete side alone may
-    // be: fold accumulated position-delete commits into one file
-    // (data compaction already materializes + tombstones them all)
+    // be: fold accumulated position-delete commits (the converted eq
+    // deletes land here too) into one file (data compaction already
+    // materializes + tombstones them all)
     if (compacted.isEmpty &&
         graft.sources.LakeDml.DeleteCompactionThreshold <=
           LogSync.posDeleteEntries(spark, root).length) {

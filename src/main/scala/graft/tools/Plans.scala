@@ -95,7 +95,8 @@ object Plans {
       "trace_span_links" -> "trace->trace causality: map-only link explode + distinct trace-id relation join (user-day cardinality), tiny (service x resolved) aggregate — the span corpus never shuffles for the explode side",
       "metrics_lake_summary" -> "Summary-kind quantile surface: manifest semi-join scan -> ONE series-keyed max-struct aggregate (latest snapshot) -> map-only quantile extraction from the landed JSON pairs",
       "lake_iceberg_eqdml" -> "EQUALITY-delete readback: one data scan + per-file sequence attach (broadcast map) + null-safe LeftAnti per key-column set gated on data_seq < delete_seq — upsertEq inserts (same seq) survive, the later deleteEq applies; no corpus shuffle, delete side sized by the retraction keys",
-      "lake_retention" -> "TTL-expired lake readback: the dropped day files are GONE from the scan's file list (metadata-only restatement — nothing anti-joins them), only the cutoff-straddling day pays a position-delete LeftAnti; the surviving scan + aggregate is the same plan as an unexpired lake")
+      "lake_retention" -> "TTL-expired lake readback: the dropped day files are GONE from the scan's file list (metadata-only restatement — nothing anti-joins them), only the cutoff-straddling day pays a position-delete LeftAnti; the surviving scan + aggregate is the same plan as an unexpired lake",
+      "lake_cdc_apply" -> "CDC-maintained lake readback AFTER eq→pos delete conversion: the equality anti-join chain is GONE (retired to folded position deletes), so the plan is one data scan + ONE position-delete LeftAnti on (file, pos) + the aggregate — per-scan delete cost no longer grows with CDC commit count, and no data file was rewritten to get there")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

@@ -122,6 +122,30 @@ class CdcApplySpec extends SparkSpec {
     assert(t.count() == 19)
   }
 
+  test("a TIE at the winning seq is refused — the ordering column cannot resolve it") {
+    import spark.implicits._
+    val root = seedLake(10)
+    val k = LogSync.table(spark, root).select("span_id").as[String].head()
+    val row = LogSync.table(spark, root).filter(col("span_id") === k)
+    def change(op: String, body: String, lsn: Long) =
+      row.select(lit(op).as("op"), col("timestamp"), col("service_name"),
+        col("severity_text"), col("span_id"), lit(body).as("body"),
+        lit(lsn).as("lsn"))
+    // lsn 1 is superseded (harmless); the U/D pair at lsn 2 ties
+    val tied = change("U", "A", 2L)
+      .unionByName(change("D", "x", 2L))
+      .unionByName(change("U", "B", 1L))
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.applyBatch(tied, root, Seq("span_id"), "op", Some("lsn"))
+    }
+    assert(e.getMessage.contains("unresolvable"))
+    // a superseded old-seq duplicate alone is NOT a conflict
+    val fine = change("U", "WINS", 2L).unionByName(change("D", "x", 1L))
+    CdcApply.applyBatch(fine, root, Seq("span_id"), "op", Some("lsn"))
+    assert(LogSync.table(spark, root).filter(col("span_id") === k)
+      .head.getAs[String]("body") == "WINS")
+  }
+
   test("a conflicted batch without seqCol is refused, not resolved arbitrarily") {
     import spark.implicits._
     val root = seedLake(10)

@@ -385,23 +385,32 @@ class FollowSignalsSpec extends SparkSpec {
     assert(consumed.count(_.startsWith("b1-")) == 40)
 
     // an EQUALITY-delete pileup (the CDC retraction stream) cannot
-    // fold — maintenance must force a data compaction to materialize
-    // it, and the follower must stay exactly-once across THAT too
+    // fold — maintenance retires it by CONVERSION to position deletes
+    // (no data rewrite), and the follower must stay exactly-once
+    // across that too
     import spark.implicits._
     val eqVictims = consumed.filter(_.startsWith("b1-"))
       .take(LakeDml.DeleteCompactionThreshold)
     eqVictims.foreach(v =>
       LakeDml.deleteEq(spark, root, Seq(v).toDF("span_id")))
     val want = LogSync.table(spark, root).count()
+    val dataBefore = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path")
+      .collect().map(_.getString(0)).toSet
     val stats2 = graft.streaming.SignalLakeMaintenance.run(spark, root,
       minFilesToCompact = 100000, vacuumGraceMs = 0L)
-    assert(stats2.compacted.nonEmpty,
-      "accumulated equality deletes must force a materializing compaction")
-    assert(LogSync.deleteEntries(spark, root).isEmpty,
-      "compaction must retire the equality deletes")
+    assert(stats2.compacted.isEmpty,
+      "equality deletes must retire WITHOUT a forced data compaction")
+    assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0,
+      "conversion must retire the equality deletes")
+    val dataAfter = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path")
+      .collect().map(_.getString(0)).toSet
+    assert(dataAfter == dataBefore,
+      "conversion must not rewrite, add, or drop any data file")
     assert(LogSync.table(spark, root).count() == want)
     drain()
     assert(consumed.size == 100,
-      "the materializing compaction must deliver nothing new to the follower")
+      "the conversion must deliver nothing new to the follower")
   }
 }

@@ -571,8 +571,11 @@ class LakeSpec extends SparkSpec {
     assert(full.select("span_id").collect().map(_.getString(0)).toSet ==
       victimKeys.toSet)
 
-    // an upsertEq whose delete ties its own inserts: the surviving
-    // inserts must NOT materialize as deleted
+    // an upsertEq's INTERNAL retraction is not a genuine delete: the
+    // default retraction channels stay silent (the new value surfaces
+    // on upsertsSince — a keyed consumer replaces by key), while the
+    // opt-in full stream materializes ONLY the retracted OLD row —
+    // never the same-sequence surviving inserts
     Thread.sleep(20)
     val dmark2 = new java.sql.Timestamp(System.currentTimeMillis())
     Thread.sleep(20)
@@ -581,9 +584,18 @@ class LakeSpec extends SparkSpec {
         col("severity_text"), col("span_id"), lit("V2").as("body"))
     val key2 = reclass.select("span_id").head.getString(0)
     LakeDml.upsertEq(spark, root, reclass, Seq("span_id"))
-    val full2 = LogSync.deletedRowsSince(spark, root, dmark2)
+    assert(LogSync.deletesSince(spark, root, dmark2).count() == 0,
+      "upsert-born retractions must not surface as genuine deletes")
+    assert(LogSync.deletedRowsSince(spark, root, dmark2).count() == 0,
+      "nor materialize on the default full-row channel")
+    assert(LogSync.upsertsSince(spark, root, dmark2)
+      .filter(col("span_id") === key2).count() == 1,
+      "the replacement value is the upsert channel's job")
+    val full2 = LogSync.deletedRowsSince(spark, root, dmark2,
+      includeUpserts = true)
     assert(full2.count() == 1 &&
-      full2.head.getAs[String]("body") == "UPDATED",
+      full2.head.getAs[String]("body") == "UPDATED" &&
+      full2.head.getAs[String]("__delete_op") == "upsert",
       s"only the retracted OLD row may materialize: ${full2.collect().toSeq}")
     assert(LogSync.table(spark, root)
       .filter(col("span_id") === key2).head.getAs[String]("body") == "V2")
@@ -601,6 +613,100 @@ class LakeSpec extends SparkSpec {
       .filter(col("body") === "REBORN").count() == 0)
     assert(LogSync.tableSince(spark, root, mark0)
       .filter(col("body") === "REBORN").count() == 1)
+  }
+
+  test("convertEqDeletes: a CDC retraction stream retires eq deletes with NO data rewrite") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_eqconvert").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(120)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(3).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val mark0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    val ids = LogSync.table(spark, root)
+      .select("span_id").as[String].collect().sorted.toSeq
+
+    // the CdcApply steady state: 3× the old forced-compaction
+    // threshold of alternating upsert/delete retraction commits
+    val nCommits = 3 * LakeDml.DeleteCompactionThreshold
+    (0 until nCommits).foreach { i =>
+      if (i % 2 == 0) {
+        val k = ids(i / 2)
+        val up = LogSync.table(spark, root).filter(col("span_id") === k)
+          .select(col("timestamp"), col("service_name"),
+            col("severity_text"), col("span_id"),
+            lit(s"U$i").as("body"))
+        LakeDml.upsertEq(spark, root, up, Seq("span_id"))
+      } else LakeDml.deleteEq(spark, root,
+        Seq(ids(60 + i / 2)).toDF("span_id"))
+    }
+    val eqActive = LogSync.deleteEntries(spark, root).count(_.isEq)
+    assert(eqActive == nCommits,
+      s"each commit leaves one active eq delete: $eqActive")
+
+    // state BEFORE conversion: full table content, active data file
+    // set, and the changelog a lagging consumer would read
+    val before = LogSync.table(spark, root)
+      .select("span_id", "body").orderBy("span_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val dataBefore = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path")
+      .collect().map(_.getString(0)).toSet
+    val delsBefore = LogSync.deletesSince(spark, root, mark0)
+      .select("span_id").as[String].collect().sorted.toSeq
+
+    val (retired, posRows) = LakeDml.convertEqDeletes(spark, root)
+    assert(retired == nCommits && posRows > 0)
+    assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0,
+      "the per-scan eq anti-join count must drop to zero")
+    val dataAfter = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path")
+      .collect().map(_.getString(0)).toSet
+    assert(dataAfter == dataBefore,
+      "conversion must not rewrite, add, or drop any data file")
+    val after = LogSync.table(spark, root)
+      .select("span_id", "body").orderBy("span_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(after == before, "reads must be value-identical across conversion")
+    // the changelog still surfaces each original retraction exactly
+    // once (converted position files are op="fold", skipped)
+    val delsAfter = LogSync.deletesSince(spark, root, mark0)
+      .select("span_id").as[String].collect().sorted.toSeq
+    assert(delsAfter == delsBefore,
+      "a lagging deletesSince consumer must see the same retractions")
+    // idempotent: nothing left to convert
+    assert(LakeDml.convertEqDeletes(spark, root) == ((0, 0L)))
+  }
+
+  test("eq-delete sequence attach: forced-shuffle path agrees with the broadcast path") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_seqcap").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(60)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val ids = LogSync.table(spark, root)
+      .select("span_id").as[String].collect().sorted.toSeq
+    LakeDml.deleteEq(spark, root, ids.take(3).toDF("span_id"))
+    def readAll(): Seq[String] = LogSync.table(spark, root)
+      .select("span_id").as[String].collect().sorted.toSeq
+    val viaBroadcast = readAll()
+    assert(viaBroadcast.size == 57)
+    // force the manifest-cardinality attach past its broadcast cap:
+    // the anti-join must shuffle and produce the identical table
+    spark.conf.set("graft.lake.seqBroadcastRowCap", "0")
+    try assert(readAll() == viaBroadcast,
+      "the shuffled sequence attach must agree with the broadcast one")
+    finally spark.conf.unset("graft.lake.seqBroadcastRowCap")
   }
 
   test("tableBetween: manifest zone-maps prune files, result equals the direct filter") {
