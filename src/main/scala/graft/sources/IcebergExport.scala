@@ -136,10 +136,23 @@ object IcebergExport {
     * appended after. Explicit file list, no basePath: partition dirs
     * stay out of the physical schema. Reading every footer is a
     * file-count-bounded control-plane cost (Spark merges schemas
-    * distributed). Id STABILITY across schema evolution holds because
-    * this lake only ever ADDS columns (merge appends new names after
-    * existing ones) — a rename/drop would reassign ids, which the
-    * export's single-schema simplification already accepts.
+    * distributed).
+    *
+    * Id STABILITY is PERSISTED, not recomputed: ids once assigned live
+    * in the append-only `_field_ids` sidecar (name TAB id per line;
+    * underscore-prefixed: invisible to data scans and sync) and never
+    * move. Recomputing ids from merged position each call — the old
+    * scheme — trusted Spark's parallel schema merge to return the
+    * same field ORDER every time, which it does not guarantee on an
+    * evolved lake; a shifted assignment would make the ids embedded in
+    * equality-delete parquet disagree with the `equality_ids` a later
+    * export writes (external engines bind by id — graft's own
+    * name-binding read would mask the corruption). The FIRST call
+    * seeds the sidecar from the current merged order (continuity with
+    * pre-sidecar exports); later-appearing columns append in SORTED
+    * name order — deterministic whatever order the merge returns.
+    * Renames/drops stay unsupported (a dropped name keeps its id
+    * reserved forever; a rename is a drop + add).
     */
   private[sources] def schemaFieldsFor(spark: SparkSession, root: String,
                                        active: Seq[String]): (Seq[Field], Seq[String]) = {
@@ -147,8 +160,43 @@ object IcebergExport {
     val partCols = active.flatMap(p => partSegments(root, p).map(_._1)).distinct
     val physical = spark.read.option("mergeSchema", "true")
       .parquet(active.map(fileUri): _*).schema
-    val dataFields = physical.fields.toSeq.zipWithIndex.map { case (f, i) =>
-      Field(i + 1, f.name, icebergType(f.dataType))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new Path(s"$root/_field_ids")
+    val existing: Seq[(String, Int)] =
+      if (!fs.exists(sidecar)) Seq.empty
+      else {
+        val in = fs.open(sidecar)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+          val i = l.lastIndexOf('\t')
+          (l.take(i), l.drop(i + 1).toInt)
+        }
+      }
+    val known = existing.map(_._1).toSet
+    val fresh = physical.fields.map(_.name).filterNot(known).toSeq
+    val newNames = if (existing.isEmpty) fresh else fresh.sorted
+    val nextId = (existing.map(_._2) :+ 0).max + 1
+    val assigned = existing ++ newNames.zipWithIndex.map {
+      case (n, i) => (n, nextId + i)
+    }
+    if (newNames.nonEmpty) {
+      // write-tmp-then-rename: readers see the old complete sidecar or
+      // the new one, never a partial line
+      val tmp = new Path(s"$root/_field_ids_tmp")
+      val out = fs.create(tmp, true)
+      try out.write(assigned.map { case (n, id) => s"$n\t$id" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(sidecar, false)
+      require(fs.rename(tmp, sidecar),
+        s"field-id sidecar rename failed under $root")
+    }
+    val typeOf = physical.fields.map(f => f.name -> icebergType(f.dataType)).toMap
+    // sidecar order IS id order; names absent from the current merge
+    // (a wiped-and-rebuilt fixture) keep their ids reserved but don't
+    // surface as schema fields
+    val dataFields = assigned.collect {
+      case (n, id) if typeOf.contains(n) => Field(id, n, typeOf(n))
     }
     // partition-directory columns get ids from a FIXED base, not
     // appended after the data columns: a later add-column evolution
@@ -160,8 +208,9 @@ object IcebergExport {
     // id; graft's own name-binding reader would mask it). The fixed
     // base keeps every column's id stable under the only evolution
     // this lake performs (adding data columns).
-    require(dataFields.length < PartFieldIdBase,
-      s"export supports < $PartFieldIdBase data columns, got ${dataFields.length}")
+    require(assigned.forall(_._2 < PartFieldIdBase),
+      s"export supports data-column ids < $PartFieldIdBase, got " +
+        s"${assigned.map(_._2).max}")
     val partFields = partCols.zipWithIndex.map { case (c, i) =>
       Field(PartFieldIdBase + i, c, "string")
     }
@@ -233,8 +282,8 @@ object IcebergExport {
   // ---- Iceberg schema / spec JSON fragments (shared by
   // metadata.json and the Avro files' key-value metadata) ----
 
-  private def schemaJson(fields: Seq[Field]): String =
-    s"""{"type":"struct","schema-id":0,"fields":[${
+  private def schemaJson(fields: Seq[Field], schemaId: Int = 0): String =
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[${
       fields.map(f => s"""{"id":${f.id},"name":${jstr(f.name)},"required":false,"type":${jstr(f.tpe)}}""")
         .mkString(",")}]}"""
 
@@ -361,9 +410,13 @@ object IcebergExport {
     * also DROPS prior snapshot history, because retained snapshots
     * would reference files [[LogCompact.vacuum]] is about to delete;
     * the summary says `overwrite` so catalog clients see the
-    * discontinuity. Simplification kept from day one: `schemas` holds
-    * only the current schema under schema-id 0 (time-travel readers
-    * of historic snapshots see today's union schema).
+    * discontinuity. Schema EVOLUTION across delta exports keeps a
+    * real schemas HISTORY: a changed field set mints a new `schemas`
+    * entry (id = max prior + 1) and becomes `current-schema-id`,
+    * prior snapshots keep the schema-id they were exported under, and
+    * field ids never move (`_field_ids` sidecar) — so a time-travel
+    * reader resolves each snapshot's own column set. A restatement
+    * drops snapshot history and restarts the schema list at id 0.
     */
   def export(spark: SparkSession, root: String): String = {
     val st = resolve(spark, root)
@@ -473,14 +526,49 @@ object IcebergExport {
     require(buckets.length < 1000,
       s"${buckets.length} interleaved commit groups in one export — export more often")
 
+    // ---- SCHEMA-ID: bump on evolution, stamp per snapshot ----
+    // A delta export over an evolved lake (new columns appeared since
+    // the previous export) mints a NEW schemas entry at
+    // max(prior ids)+1 and becomes current; prior snapshots keep the
+    // schema-id they were exported under (their JSON carries forward
+    // verbatim below), so a time-travel reader resolves each
+    // snapshot's own schema instead of the newest one claiming the
+    // whole history. Field IDS never move (the `_field_ids` sidecar),
+    // so old-schema readers bind the shared columns identically. A
+    // restatement drops snapshot history wholesale and restarts the
+    // schema list at id 0 — consistent, since nothing references the
+    // old entries anymore.
+    def fieldSetOf(schemaObj: IcebergJson.V): Set[(Long, String, String)] =
+      schemaObj("fields").arr.map(f =>
+        (f("id").long, f("name").str, f("type").str)).toSet
+    val curFieldSet = st.fields.map(f => (f.id.toLong, f.name, f.tpe)).toSet
+    val (schemasJsonStr, curSchemaId) =
+      if (!delta) (schemaJson(st.fields, 0), 0)
+      else {
+        val prevSchemas = prevMd.get.opt("schemas").map(_.arr)
+          .getOrElse(Vector.empty)
+        val prevCurId = prevMd.get.opt("current-schema-id")
+          .map(_.long.toInt).getOrElse(0)
+        val unchanged = prevSchemas
+          .find(s => s("schema-id").long.toInt == prevCurId)
+          .exists(s => fieldSetOf(s) == curFieldSet)
+        if (unchanged)
+          (prevSchemas.map(IcebergJson.render).mkString(","), prevCurId)
+        else {
+          val newId = (prevSchemas.map(_("schema-id").long.toInt) :+ 0).max + 1
+          ((prevSchemas.map(IcebergJson.render) :+
+            schemaJson(st.fields, newId)).mkString(","), newId)
+        }
+      }
+
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val delDfSchema = deleteEntrySchema.getField("data_file").schema()
     val delPartSchema = delDfSchema.getField("partition").schema()
     val manifestMeta = Map(
-      "schema" -> schemaJson(st.fields),
-      "schema-id" -> "0",
+      "schema" -> schemaJson(st.fields, curSchemaId),
+      "schema-id" -> curSchemaId.toString,
       "partition-spec" -> specFieldsJson(st),
       "partition-spec-id" -> "0",
       "format-version" -> "2",
@@ -546,7 +634,8 @@ object IcebergExport {
       val deleteManifestLen =
         if (b.deletes.isEmpty) 0L
         else writeAvro(spark, deleteManifestPath, deleteEntrySchema,
-          Map("schema" -> schemaJson(st.fields), "schema-id" -> "0",
+          Map("schema" -> schemaJson(st.fields, curSchemaId),
+            "schema-id" -> curSchemaId.toString,
             "partition-spec" -> "[]", "partition-spec-id" -> "1",
             "format-version" -> "2", "content" -> "deletes"),
           b.deletes.iterator.map { del =>
@@ -647,7 +736,7 @@ object IcebergExport {
         s"""{"sequence-number":$seq,"snapshot-id":$snapshotId,$parentField
            |"timestamp-ms":$now,"summary":{"operation":"$operation",
            |"added-data-files":"${b.files.length}","added-records":"$addedRows"$deleteSummary},
-           |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":0}"""
+           |"manifest-list":${jstr(fileUri(listPath.toString))},"schema-id":$curSchemaId}"""
           .stripMargin.replace("\n", "")
       newLogEntries += s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}"""
       parentId = Some(snapshotId)
@@ -671,8 +760,8 @@ object IcebergExport {
          |"last-sequence-number":$chainSeq,
          |"last-updated-ms":$now,
          |"last-column-id":${st.fields.map(_.id).max},
-         |"current-schema-id":0,
-         |"schemas":[${schemaJson(st.fields)}],
+         |"current-schema-id":$curSchemaId,
+         |"schemas":[$schemasJsonStr],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":${specFieldsJson(st)}}${
            if (st.deletes.nonEmpty) """,{"spec-id":1,"fields":[]}""" else ""}],
@@ -1225,9 +1314,19 @@ object IcebergExport {
       LogSync.DeleteEntry(d.uri, 0L, p.getFileSystem(conf).getFileStatus(p).getLen)
     }
     val files = chain.files.map(_.uri)
-    LogSync.tableForPaths(spark, root,
+    val fast = LogSync.tableForPaths(spark, root,
       files.toDF("path").select(LogSync.normPath(col("path")).as("__registered_path")),
       deletes = delEntries)
+    // the lake-scan's sampled schema can MISS a late-added column on
+    // a schema-evolved chain (inference reads one footer; older files
+    // predate the column) — the metadata's declared schema is
+    // authoritative, so when any declared data column is absent the
+    // read routes through [[readChain]], which completes the scan
+    // schema from the declaration and fills it per-file
+    val dataNames = chain.schemaFields.map(_.name).toSet --
+      chain.partFields.map(_.name).toSet
+    if (dataNames.subsetOf(fast.columns.toSet)) fast
+    else readChain(spark, chain)
   }
 
   /** Snapshot history of an exported/external table, oldest first:
@@ -1371,7 +1470,26 @@ object IcebergExport {
         else lit(if (v == null) null else v.toString).cast(sparkTypeFor(srcType(f.name)))
       case t => sys.error(s"no literal form for transform '$t'")
     }
-    val raw = spark.read.parquet(chain.files.map(f => fileUri(f.uri)): _*)
+    // the read schema is sampled-then-completed: Spark's inference
+    // samples footers, and on a schema-EVOLVED chain the sample can
+    // miss a late-added column entirely (a snapshot's older files
+    // predate it) — the METADATA's declared schema is authoritative,
+    // so any declared data column absent from the inferred schema is
+    // appended with its declared type; the parquet reader then fills
+    // it per-file (null where a file predates the column, values
+    // where it exists). Identity-partition fields stay OUT of the
+    // completion: hive-style writers strip them from the files and
+    // the manifest attach below is their authoritative source — a
+    // null completion here would mask it.
+    val chainPaths = chain.files.map(f => fileUri(f.uri))
+    val inferred = spark.read.parquet(chainPaths: _*).schema
+    val declaredMissing = chain.schemaFields.filter(f =>
+      !inferred.fieldNames.contains(f.name) && !identityNames.contains(f.name))
+    val readSchema =
+      if (declaredMissing.isEmpty) inferred
+      else StructType(inferred.fields ++ declaredMissing.map(f =>
+        StructField(f.name, sparkTypeFor(f.tpe), nullable = true)))
+    val raw = spark.read.schema(readSchema).parquet(chainPaths: _*)
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
     // them, and for those the manifest values are authoritative

@@ -8,7 +8,7 @@ import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{IcebergExport, LogSync, Tables}
+import graft.sources.{IcebergExport, IcebergJson, LogSync, Tables}
 
 /** The exported Iceberg metadata is validated at the FORMAT level by
   * reading the Avro manifests back with the independent Avro library
@@ -421,5 +421,66 @@ class IcebergExportSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "iceberg-chain read must equal the manifest read row-for-row")
     // partition columns survive the read path (basePath discovery)
     assert(viaIceberg.columns.contains("service_name"))
+  }
+
+  test("schema evolution: delta export bumps schema-id, old snapshots keep theirs, ids never move") {
+    val root = Files.createTempDirectory("graft_schemaevo").toString
+    Tables.events(spark, sf).limit(100)
+      .select(col("ts").as("timestamp"), lit("s0").as("service_name"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    IcebergExport.export(spark, root)
+    // the converter starts emitting a new column; the next export is
+    // an incremental DELTA over an evolved union schema
+    Tables.events(spark, sf).limit(60)
+      .select(col("ts").as("timestamp"), lit("s1").as("service_name"),
+        col("props").as("body"), lit("v2").as("deploy_id"))
+      .coalesce(1).write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    IcebergExport.export(spark, root)
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val metaDir = new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata")
+    val hint = readText(new org.apache.hadoop.fs.Path(metaDir, "version-hint.text")).trim
+    val md = IcebergJson.parse(readText(
+      new org.apache.hadoop.fs.Path(metaDir, s"v$hint.metadata.json")))
+
+    // the schema HISTORY: two entries, the evolved one current
+    val schemas = md("schemas").arr
+    assert(schemas.length == 2, s"expected a schemas history, got ${schemas.length}")
+    assert(md("current-schema-id").long == 1L)
+    def idsOf(s: IcebergJson.V): Map[String, Long] =
+      s("fields").arr.map(f => f("name").str -> f("id").long).toMap
+    val bySid = schemas.map(s => s("schema-id").long -> idsOf(s)).toMap
+    assert(!bySid(0L).contains("deploy_id") && bySid(1L).contains("deploy_id"))
+    // ids of the shared columns are IDENTICAL across entries — the
+    // sidecar guarantee an id-binding delete reader depends on
+    bySid(0L).foreach { case (n, id) =>
+      assert(bySid(1L)(n) == id, s"field id of '$n' moved across evolution")
+    }
+    // each snapshot claims the schema it was exported under
+    val snapSchemaIds = md("snapshots").arr
+      .sortBy(_("sequence-number").long).map(_("schema-id").long)
+    assert(snapSchemaIds == Vector(0L, 1L),
+      s"old snapshots must keep their schema-id: $snapSchemaIds")
+    // time travel through the pre-evolution snapshot reads exactly
+    // the old rows; the current read carries the union schema
+    val first = IcebergExport.snapshots(spark, root).find(_._3.isEmpty).get
+    assert(IcebergExport.readTable(spark, root,
+      Some(IcebergExport.BySnapshotId(first._1))).count() == 100)
+    val cur = IcebergExport.readTable(spark, root)
+    assert(cur.count() == 160 && cur.columns.contains("deploy_id"))
+    assert(cur.filter(col("deploy_id").isNull).count() == 100,
+      "pre-evolution rows surface null for the late column")
+    // the sidecar itself is append-only on disk
+    val sidecar = readText(new org.apache.hadoop.fs.Path(s"$root/_field_ids"))
+    assert(sidecar.contains("deploy_id\t"),
+      s"late column must be appended to the persisted id map: $sidecar")
   }
 }
