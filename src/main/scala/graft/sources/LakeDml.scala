@@ -624,23 +624,62 @@ object LakeDml {
     *
     * Returns (equality delete files retired, position rows written).
     */
+  /** Keys per group above which conversion skips the bloom probe (the
+    * hash list crosses the driver as a literal — fine for a CDC
+    * retraction backlog, wrong for a lake-scale restatement, which
+    * should just pay the seq-bounded scan).
+    */
+  private val IndexProbeMaxKeys = 100000L
+
+  /** The candidate (file → seq) relation for converting ONE
+    * equality-delete group: active data files with sequence STRICTLY
+    * below the group's newest delete (later files are exempt by the
+    * spec rule), further BLOOM-PRUNED when a [[LakeIndex]] sidecar
+    * exists on one of the key columns and the group's key population
+    * is control-plane sized — a row must match the keys on EVERY
+    * column, so pruning by one indexed column alone is sound. On a
+    * span-indexed 100 TB lake this turns the conversion scan from
+    * "every pre-delete file" into "~the files that hold the keys"
+    * (plus the bloom's false positives); files with no index entry
+    * always survive the prune.
+    */
+  private[graft] def convertCandidateRel(spark: SparkSession, root: String,
+                                         cols: Seq[String],
+                                         files: Seq[LogSync.DeleteEntry]): DataFrame = {
+    import spark.implicits._
+    val maxSeq = files.map(_.seq).max
+    var mdf = LogSync.activeManifest(spark, root)
+      .filter(coalesce(col("seq"), lit(0L)) < lit(maxSeq))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxCol = cols.find(c => fs.exists(new Path(s"$root/_index/$c")))
+    idxCol.foreach { ic =>
+      // manifest row stats bound the key population without a job
+      if (files.map(_.rows).sum <= IndexProbeMaxKeys) {
+        graft.functions.VectorFunctions.register(spark)
+        val hashes = spark.read.parquet(files.map(_.path): _*)
+          .select(xxhash64(col(ic)).as("h")).distinct().as[Long].collect()
+        mdf = mdf.join(spark.read.parquet(s"$root/_index/$ic"), Seq("path"), "left")
+          .filter(col("bloom").isNull ||
+            call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
+      }
+    }
+    mdf.select(LogSync.normPath(col("path")).as("__seq_src"),
+      coalesce(col("seq"), lit(0L)).as("__data_seq"))
+  }
+
   def convertEqDeletes(spark: SparkSession, root: String): (Int, Long) = {
     import spark.implicits._
     val eqs = LogSync.deleteEntries(spark, root).filter(_.isEq)
     if (eqs.isEmpty) return (0, 0L)
     var posRows = 0L
     eqs.groupBy(_.eqCols).foreach { case (cols, files) =>
-      val maxSeq = files.map(_.seq).max
-      // candidate keep-set: manifest-pruned BEFORE the scan (the same
-      // broadcast-or-shuffle semi-join shape as the read path — no
-      // driver-side path list), carrying each file's sequence for the
-      // per-delete strictly-below match
-      val mdf = LogSync.activeManifest(spark, root)
-        .filter(coalesce(col("seq"), lit(0L)) < lit(maxSeq))
-      val candRel = mdf.select(LogSync.normPath(col("path")).as("__seq_src"),
-        coalesce(col("seq"), lit(0L)).as("__data_seq"))
+      // candidate keep-set: manifest-pruned (seq + bloom) BEFORE the
+      // scan — the same broadcast-or-shuffle semi-join shape as the
+      // read path, no driver-side path list
+      val candRel = convertCandidateRel(spark, root, cols, files)
       val sizedCand =
-        if (mdf.count() <= LogSync.seqBroadcastRowCap(spark)) broadcast(candRel)
+        if (candRel.count() <= LogSync.seqBroadcastRowCap(spark))
+          broadcast(candRel)
         else candRel
       val scan = spark.read.option("basePath", root).parquet(root)
         .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))

@@ -683,6 +683,44 @@ class LakeSpec extends SparkSpec {
     assert(LakeDml.convertEqDeletes(spark, root) == ((0, 0L)))
   }
 
+  test("convertEqDeletes: a key-column bloom index prunes the candidate scan") {
+    import graft.sources.{LakeDml, LakeIndex}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_eqconvidx").toString
+    // three single-file batches with disjoint key prefixes — the
+    // shape a span-indexed lake has, where a retraction batch's keys
+    // live in a handful of files
+    Seq("a", "b", "c").foreach { tag =>
+      Tables.events(spark, sf).orderBy(col("event_id")).limit(40)
+        .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+          col("event_type").as("severity_text"),
+          concat(lit(tag), col("event_id")).as("span_id"),
+          col("props").as("body"))
+        .coalesce(1).write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+    }
+    LakeIndex.build(spark, root, "span_id")
+    val victims = LogSync.table(spark, root)
+      .filter(col("span_id").startsWith("a")).limit(2)
+      .select("span_id").as[String].collect().toSeq
+    LakeDml.deleteEq(spark, root, victims.toDF("span_id"))
+    val want = LogSync.table(spark, root).count()
+    val eqs = LogSync.deleteEntries(spark, root).filter(_.isEq)
+    val total = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).count()
+    val cand = LakeDml.convertCandidateRel(spark, root, Seq("span_id"), eqs)
+      .count()
+    assert(cand < total && cand >= 1,
+      s"bloom probe must prune the candidate files: $cand of $total")
+    // pruning never changes the outcome
+    val (retired, posRows) = LakeDml.convertEqDeletes(spark, root)
+    assert(retired == 1 && posRows == 2)
+    assert(LogSync.table(spark, root).count() == want)
+    assert(LogSync.table(spark, root)
+      .filter(col("span_id").isin(victims: _*)).count() == 0)
+    assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0)
+  }
+
   test("eq-delete sequence attach: forced-shuffle path agrees with the broadcast path") {
     import graft.sources.LakeDml
     import spark.implicits._
