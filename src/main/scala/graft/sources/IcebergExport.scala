@@ -154,6 +154,53 @@ object IcebergExport {
     * Renames/drops stay unsupported (a dropped name keeps its id
     * reserved forever; a rename is a drop + add).
     */
+  /** Parsed `_field_ids` sidecar rows: (name, id, Spark catalogString
+    * when recorded). Accepts the two-column pre-type format (type
+    * reads as None — the next [[schemaFieldsFor]] upgrades the line).
+    */
+  private def readFieldIdSidecar(spark: SparkSession,
+                                 root: String): Seq[(String, Int, Option[String])] = {
+    val sidecar = new Path(s"$root/_field_ids")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sidecar)) return Seq.empty
+    val in = fs.open(sidecar)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array(n, id) => (n, id.toInt, None)
+        case Array(n, id, t) => (n, id.toInt, Some(t).filter(_.nonEmpty))
+        case _ => sys.error(s"malformed _field_ids line under $root: '$l'")
+      }
+    }
+  }
+
+  /** (field id, Spark type) for `cols` from the persisted sidecar
+    * ALONE — the NO-FOOTER-MERGE path the equality-delete writer takes
+    * on its steady state: a CDC retraction stream commits thousands of
+    * keyed deletes, and paying a merged-schema job over every active
+    * footer per commit (the fallback path) is a per-batch planning
+    * cost that grows with the LAKE at 100 TB, not the batch. Returns
+    * None when the sidecar is absent, any column is missing or
+    * untyped, or a recorded type fails to parse — callers fall back to
+    * the merged-schema path, which refreshes the sidecar so the next
+    * commit is fast.
+    */
+  private[graft] def fieldInfoFromSidecar(spark: SparkSession, root: String,
+                                          cols: Seq[String]
+                                         ): Option[Map[String, (Int, DataType)]] = {
+    val rows = readFieldIdSidecar(spark, root)
+    if (rows.isEmpty) return None
+    val byName = rows.map(r => r._1 -> r).toMap
+    val resolved = cols.flatMap { c =>
+      byName.get(c).flatMap { case (_, id, t) =>
+        t.flatMap(s => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromDDL(s)).toOption)
+          .map(dt => c -> (id, dt))
+      }
+    }
+    if (resolved.length == cols.length) Some(resolved.toMap) else None
+  }
+
   private[sources] def schemaFieldsFor(spark: SparkSession, root: String,
                                        active: Seq[String]): (Seq[Field], Seq[String]) = {
     // partition columns: union of k=v keys in first-seen order
@@ -161,31 +208,30 @@ object IcebergExport {
     val physical = spark.read.option("mergeSchema", "true")
       .parquet(active.map(fileUri): _*).schema
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sidecar = new Path(s"$root/_field_ids")
-    val existing: Seq[(String, Int)] =
-      if (!fs.exists(sidecar)) Seq.empty
-      else {
-        val in = fs.open(sidecar)
-        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { l =>
-          val i = l.lastIndexOf('\t')
-          (l.take(i), l.drop(i + 1).toInt)
-        }
-      }
+    val existing = readFieldIdSidecar(spark, root)
     val known = existing.map(_._1).toSet
     val fresh = physical.fields.map(_.name).filterNot(known).toSeq
     val newNames = if (existing.isEmpty) fresh else fresh.sorted
     val nextId = (existing.map(_._2) :+ 0).max + 1
-    val assigned = existing ++ newNames.zipWithIndex.map {
-      case (n, i) => (n, nextId + i)
-    }
-    if (newNames.nonEmpty) {
+    val sparkTypeOf = physical.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val assigned: Seq[(String, Int, Option[String])] =
+      existing.map { case (n, id, t) => (n, id, t.orElse(sparkTypeOf.get(n))) } ++
+        newNames.zipWithIndex.map { case (n, i) =>
+          (n, nextId + i, sparkTypeOf.get(n))
+        }
+    // rewrite when names were added OR a previously-untyped line can
+    // now carry its Spark type (the type column is what lets the
+    // equality-delete writer skip the footer merge entirely)
+    if (newNames.nonEmpty ||
+        existing.exists(e => e._3.isEmpty && sparkTypeOf.contains(e._1))) {
       // write-tmp-then-rename: readers see the old complete sidecar or
       // the new one, never a partial line
+      val sidecar = new Path(s"$root/_field_ids")
       val tmp = new Path(s"$root/_field_ids_tmp")
       val out = fs.create(tmp, true)
-      try out.write(assigned.map { case (n, id) => s"$n\t$id" }
-        .mkString("\n").getBytes("UTF-8"))
+      try out.write(assigned.map { case (n, id, t) =>
+        s"$n\t$id\t${t.getOrElse("")}"
+      }.mkString("\n").getBytes("UTF-8"))
       finally out.close()
       fs.delete(sidecar, false)
       require(fs.rename(tmp, sidecar),
@@ -196,7 +242,7 @@ object IcebergExport {
     // (a wiped-and-rebuilt fixture) keep their ids reserved but don't
     // surface as schema fields
     val dataFields = assigned.collect {
-      case (n, id) if typeOf.contains(n) => Field(id, n, typeOf(n))
+      case (n, id, _) if typeOf.contains(n) => Field(id, n, typeOf(n))
     }
     // partition-directory columns get ids from a FIXED base, not
     // appended after the data columns: a later add-column evolution

@@ -370,21 +370,33 @@ object LakeDml {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = keys.count()
     if (n == 0) { keys.unpersist(); return (0L, 0L) }
-    val fieldId = IcebergExport.exportFieldIds(spark, root)
-    cols.foreach(c => require(fieldId.contains(c),
-      s"equality column '$c' is not a column of the lake at $root"))
-    // key columns land with the TABLE's types: a caller key frame with
-    // a narrower type (int vs long) would otherwise write a delete
-    // file whose physical type disagrees with the field id it claims —
-    // graft's own <=> join would coerce, an external id-binding reader
-    // would not. MERGED schema, matching the field-id universe: a
-    // late-evolution column can pass the fieldId require but miss
-    // table()'s sampled-footer schema, and that mismatch must fail
-    // loudly, not as a bare NoSuchElementException.
-    val tableType = LogSync.tableMerged(spark, root).schema
-      .map(f => f.name -> f.dataType).toMap
-    cols.foreach(c => require(tableType.contains(c),
-      s"equality column '$c' resolves a field id but no merged-schema type at $root"))
+    // key columns land with the TABLE's types and the EXPORT's field
+    // ids: a caller key frame with a narrower type (int vs long) would
+    // otherwise write a delete file whose physical type disagrees with
+    // the field id it claims — graft's own <=> join would coerce, an
+    // external id-binding reader would not. STEADY STATE reads both
+    // from the persisted `_field_ids` sidecar — no footer job at all,
+    // so a CDC retraction commit costs O(batch) even in planning; the
+    // first-ever commit (or a delete on a column the sidecar hasn't
+    // seen) falls back to the merged-schema path, which refreshes the
+    // sidecar. The fallback's merged schema matches the field-id
+    // universe: a late-evolution column can pass the fieldId require
+    // but miss table()'s sampled-footer schema, and that mismatch must
+    // fail loudly, not as a bare NoSuchElementException.
+    val (fieldId, tableType) =
+      IcebergExport.fieldInfoFromSidecar(spark, root, cols) match {
+        case Some(info) =>
+          (info.view.mapValues(_._1).toMap, info.view.mapValues(_._2).toMap)
+        case None =>
+          val fid = IcebergExport.exportFieldIds(spark, root)
+          cols.foreach(c => require(fid.contains(c),
+            s"equality column '$c' is not a column of the lake at $root"))
+          val tt = LogSync.tableMerged(spark, root).schema
+            .map(f => f.name -> f.dataType).toMap
+          cols.foreach(c => require(tt.contains(c),
+            s"equality column '$c' resolves a field id but no merged-schema type at $root"))
+          (fid, tt)
+      }
     val nOut = math.max(1L, (n + 4000000L - 1) / 4000000L).toInt
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitDir = s"$root/_deletes/e${System.currentTimeMillis()}_" +

@@ -98,6 +98,62 @@ class CdcApplySpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("CDC steady state: maintenance bounds per-scan delete work, no data rewrite, reads exact") {
+    import spark.implicits._
+    val root = seedLake(30)
+    // an immutable twin of the seeded rows (recomputable from the
+    // events parquet — the lake itself mutates under the stream)
+    val base = Tables.events(spark, sf).orderBy(col("event_id")).limit(30)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    val allKeys = base.select("span_id").as[String].collect().sorted.toSeq
+    val expected = scala.collection.mutable.Map[String, String]()
+    base.select("span_id", "body").collect()
+      .foreach(r => expected(r.getString(0)) = r.getString(1))
+
+    (0 until 12).foreach { b =>
+      val delKey = allKeys(b)
+      val updKey = allKeys(12 + b)
+      val upd = base.filter(col("span_id") === updKey)
+        .select(lit("U").as("op"), col("timestamp"), col("service_name"),
+          col("severity_text"), col("span_id"), lit(s"U$b").as("body"))
+      val ins = base.limit(1)
+        .select(lit("I").as("op"), col("timestamp"), col("service_name"),
+          col("severity_text"), lit(s"novel-$b").as("span_id"),
+          lit(s"N$b").as("body"))
+      val del = base.filter(col("span_id") === delKey)
+        .select(lit("D").as("op"), col("timestamp"), col("service_name"),
+          col("severity_text"), col("span_id"), col("body"))
+      CdcApply.applyBatch(upd.unionByName(ins).unionByName(del), root,
+        Seq("span_id"), "op", None)
+      expected -= delKey
+      expected(updKey) = s"U$b"
+      expected(s"novel-$b") = s"N$b"
+      // the owner's maintenance cadence: every 4 batches (8 eq
+      // commits — the conversion threshold) the accumulated equality
+      // deletes retire with NO data rewrite
+      if (b % 4 == 3) {
+        graft.streaming.SignalLakeMaintenance.run(spark, root,
+          minFilesToCompact = 100000, vacuumGraceMs = 0L)
+        assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0,
+          s"maintenance after batch $b must convert the eq backlog")
+      }
+    }
+    // bounded between maintenance rounds, zero right after the last
+    assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0)
+    // the table equals the driver-replayed changelog exactly
+    val got = LogSync.table(spark, root).select("span_id", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected.toMap,
+      s"diverged keys: ${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}")
+    // no maintenance round rewrote a data file (op="rewrite" would
+    // mark compaction output; only appends and upsert values exist)
+    assert(LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull && col("op") === "rewrite").count() == 0)
+  }
+
   test("seqCol picks each key's latest change; delete-then-update survives") {
     import spark.implicits._
     val root = seedLake(20)

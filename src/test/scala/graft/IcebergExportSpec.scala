@@ -423,6 +423,43 @@ class IcebergExportSpec extends SparkSpec {
     assert(viaIceberg.columns.contains("service_name"))
   }
 
+  test("field-id sidecar: steady-state eq commits resolve ids and types with no footer merge") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sidecarfast").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(50)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    // no sidecar yet — the fast path must decline, not guess
+    assert(IcebergExport.fieldInfoFromSidecar(spark, root, Seq("span_id")).isEmpty)
+    // the first commit takes the merged-schema fallback and leaves a
+    // typed sidecar behind
+    val ids = LogSync.table(spark, root)
+      .select("span_id").as[String].collect().sorted.toSeq
+    LakeDml.deleteEq(spark, root, Seq(ids.head).toDF("span_id"))
+    val info = IcebergExport.fieldInfoFromSidecar(spark, root,
+      Seq("span_id", "timestamp"))
+    assert(info.nonEmpty, "one commit must populate the typed sidecar")
+    assert(info.get("span_id")._1 ==
+      IcebergExport.exportFieldIds(spark, root)("span_id"),
+      "sidecar ids must equal the merged-schema assignment")
+    assert(info.get("span_id")._2 ==
+      org.apache.spark.sql.types.StringType)
+    assert(info.get("timestamp")._2 ==
+      org.apache.spark.sql.types.TimestampType)
+    // an unknown column still declines to the fallback
+    assert(IcebergExport.fieldInfoFromSidecar(spark, root, Seq("nope")).isEmpty)
+    // the steady-state commit (sidecar path) behaves identically
+    LakeDml.deleteEq(spark, root, Seq(ids(1)).toDF("span_id"))
+    assert(LogSync.table(spark, root).count() == 48)
+    assert(LogSync.table(spark, root)
+      .filter(col("span_id").isin(ids.take(2): _*)).count() == 0)
+  }
+
   test("schema evolution: delta export bumps schema-id, old snapshots keep theirs, ids never move") {
     val root = Files.createTempDirectory("graft_schemaevo").toString
     Tables.events(spark, sf).limit(100)
