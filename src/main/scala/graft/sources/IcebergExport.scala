@@ -1528,14 +1528,18 @@ object IcebergExport {
     // the manifest attach below is their authoritative source — a
     // null completion here would mask it.
     val chainPaths = chain.files.map(f => fileUri(f.uri))
-    val inferred = spark.read.parquet(chainPaths: _*).schema
+    val sampled = spark.read.parquet(chainPaths: _*)
     val declaredMissing = chain.schemaFields.filter(f =>
-      !inferred.fieldNames.contains(f.name) && !identityNames.contains(f.name))
-    val readSchema =
-      if (declaredMissing.isEmpty) inferred
-      else StructType(inferred.fields ++ declaredMissing.map(f =>
-        StructField(f.name, sparkTypeFor(f.tpe), nullable = true)))
-    val raw = spark.read.schema(readSchema).parquet(chainPaths: _*)
+      !sampled.schema.fieldNames.contains(f.name) && !identityNames.contains(f.name))
+    // the common (un-evolved) chain reuses the sampled relation — one
+    // file-index build; only an evolved chain pays the re-read with
+    // the completed schema
+    val raw =
+      if (declaredMissing.isEmpty) sampled
+      else spark.read.schema(StructType(sampled.schema.fields ++
+        declaredMissing.map(f =>
+          StructField(f.name, sparkTypeFor(f.tpe), nullable = true))))
+        .parquet(chainPaths: _*)
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
     // them, and for those the manifest values are authoritative
