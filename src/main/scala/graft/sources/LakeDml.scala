@@ -383,8 +383,24 @@ object LakeDml {
     // universe: a late-evolution column can pass the fieldId require
     // but miss table()'s sampled-footer schema, and that mismatch must
     // fail loudly, not as a bare NoSuchElementException.
+    // the sidecar keeps names forever (append-only), so it alone
+    // cannot prove a key column still exists in the LIVE lake — and a
+    // registered equality delete on a vanished column would turn
+    // every subsequent read into an unresolvable-column failure. One
+    // sampled-schema probe (file listing + a single footer — not the
+    // merge) guards the fast path: present in the sample → the read
+    // path (which reads the same sampled scan) will resolve it;
+    // absent → fall through to the merged path, which either admits a
+    // late-added column or refuses a vanished one LOUDLY at write
+    // time, the old contract.
+    val sidecarInfo = IcebergExport.fieldInfoFromSidecar(spark, root, cols)
+      .filter { _ =>
+        val sampled = spark.read.option("basePath", root).parquet(root)
+          .columns.toSet
+        cols.forall(sampled.contains)
+      }
     val (fieldId, tableType) =
-      IcebergExport.fieldInfoFromSidecar(spark, root, cols) match {
+      sidecarInfo match {
         case Some(info) =>
           (info.view.mapValues(_._1).toMap, info.view.mapValues(_._2).toMap)
         case None =>
@@ -586,17 +602,9 @@ object LakeDml {
     val (files, _) = writePositionDeletes(spark, root, merged, op = "fold")
     // tombstone the originals in the SAME swap that already holds the
     // merged commit's append (appendDeleteManifest ran inside
-    // writePositionDeletes; the swap below rewrites the whole registry
-    // with the originals tombstoned — readers flip atomically)
-    val olds = entries.map(e => LogSync.normPathStr(e.path)).toSet
-    val regVersion = LogSync.deleteManifestVersion(spark, root)
-    LogSync.swapDeleteManifest(spark, root,
-      LogSync.deleteManifestDf(spark, root)
-        .withColumn("removed_at",
-          when(LogSync.normPath(col("path")).isin(olds.toSeq: _*) &&
-            col("removed_at").isNull, current_timestamp())
-            .otherwise(col("removed_at"))),
-      Some(regVersion))
+    // writePositionDeletes; the swap rewrites the whole registry with
+    // the originals tombstoned — readers flip atomically)
+    LogSync.tombstoneDeleteEntries(spark, root, entries.map(_.path))
     (entries.length, files.toInt)
   }
 
@@ -675,8 +683,7 @@ object LakeDml {
             call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
       }
     }
-    mdf.select(LogSync.normPath(col("path")).as("__seq_src"),
-      coalesce(col("seq"), lit(0L)).as("__data_seq"))
+    mdf.select(col("path"), coalesce(col("seq"), lit(0L)).as("__data_seq"))
   }
 
   def convertEqDeletes(spark: SparkSession, root: String): (Int, Long) = {
@@ -685,20 +692,50 @@ object LakeDml {
     if (eqs.isEmpty) return (0, 0L)
     var posRows = 0L
     eqs.groupBy(_.eqCols).foreach { case (cols, files) =>
-      // candidate keep-set: manifest-pruned (seq + bloom) BEFORE the
-      // scan — the same broadcast-or-shuffle semi-join shape as the
-      // read path, no driver-side path list
-      val candRel = convertCandidateRel(spark, root, cols, files)
-      val sizedCand =
-        if (candRel.count() <= LogSync.seqBroadcastRowCap(spark))
-          broadcast(candRel)
-        else candRel
-      val scan = spark.read.option("basePath", root).parquet(root)
-        .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-        .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
-          "^file:/(?!/)", "file:///"))
-        .withColumn("__dpos", col("_metadata.row_index"))
-        .join(sizedCand, col("__src") === col("__seq_src"))
+      // the conversion scan reads with a COMPLETED schema when a key
+      // column is missing from the sampled footers — a late-added
+      // column deleted on before every file carries it (the
+      // readTable lesson: inference samples one footer). Its type
+      // comes from the DELETE file itself, which was stamped with
+      // the table's types at write time; files that predate the
+      // column read null, matching only null keys null-safely.
+      def scanOf(paths: Option[Seq[String]]): DataFrame = {
+        def rd(schema: Option[org.apache.spark.sql.types.StructType]) = {
+          val r0 = spark.read.option("basePath", root)
+          val r1 = schema.map(r0.schema).getOrElse(r0)
+          paths.map(ps => r1.parquet(ps: _*)).getOrElse(r1.parquet(root))
+        }
+        val base = rd(None)
+        val missing = cols.filterNot(base.columns.contains)
+        val completed =
+          if (missing.isEmpty) base
+          else {
+            val delSchema = spark.read.parquet(files.map(_.path): _*).schema
+            rd(Some(org.apache.spark.sql.types.StructType(
+              base.schema.fields ++ missing.map(c =>
+                org.apache.spark.sql.types.StructField(c,
+                  delSchema(c).dataType, nullable = true)))))
+          }
+        completed
+          .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+          .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+            "^file:/(?!/)", "file:///"))
+          .withColumn("__dpos", col("_metadata.row_index"))
+      }
+      // candidate set: manifest-pruned (seq + bloom) BEFORE the scan.
+      // Under the cap the paths cross the driver and the read OPENS
+      // ONLY THEM — real I/O pruning, the same bounded-planning
+      // discipline as DML's affected-file list (a root scan joined on
+      // a derived metadata column cannot prune file listings, so it
+      // would READ the whole lake and discard rows after the fact).
+      // Past the cap — a conversion backlog touching more files than
+      // a DML commit may plan — the root-scan + broadcast-or-shuffle
+      // join fallback keeps the driver safe at full-read cost.
+      val cand = convertCandidateRel(spark, root, cols, files)
+      val candCount = cand.count()
+      val explicitCap = spark.conf
+        .getOption("graft.lake.convertExplicitPathCap").map(_.toLong)
+        .getOrElse(DefaultMaxRewriteFiles.toLong)
       val delSeqRel = files.map(e => (LogSync.normPathStr(e.path), e.seq))
         .toDF("__eqd_file", "__eq_seq")
       val delRows = spark.read.parquet(files.map(_.path): _*)
@@ -707,23 +744,35 @@ object LakeDml {
         .select(cols.map(c => col(c).as(s"__eqd_$c")) :+ col("__eq_seq"): _*)
       val cond = cols.map(c => col(c) <=> col(s"__eqd_$c"))
         .reduce(_ && _) && col("__data_seq") < col("__eq_seq")
+      val scan =
+        if (candCount == 0) None // nothing these deletes can affect
+        else if (candCount <= explicitCap) {
+          val rows = cand.collect()
+          val seqRel = rows.map(r =>
+              (LogSync.normPathStr(r.getString(0)), r.getLong(1))).toSeq
+            .toDF("__seq_src", "__data_seq")
+          Some(scanOf(Some(rows.map(_.getString(0)).toSeq))
+            .join(broadcast(seqRel), col("__src") === col("__seq_src")))
+        } else {
+          val candRel = cand.select(
+            LogSync.normPath(col("path")).as("__seq_src"), col("__data_seq"))
+          val sized =
+            if (candCount <= LogSync.seqBroadcastRowCap(spark))
+              broadcast(candRel)
+            else candRel
+          Some(scanOf(None).join(sized, col("__src") === col("__seq_src")))
+        }
       // semi-join: a row deleted by SEVERAL eq commits records once;
       // a row an earlier position delete already hid may re-record —
       // harmless, deletes are a set union to every reader
-      val matched = scan.join(delRows, cond, "left_semi")
-      val (_, n) = writePositionDeletes(spark, root, matched, op = "fold")
-      posRows += n
+      scan.foreach { s =>
+        val (_, n) = writePositionDeletes(spark, root,
+          s.join(delRows, cond, "left_semi"), op = "fold")
+        posRows += n
+      }
     }
     // the commit point: retire the eq entries in one registry swap
-    val olds = eqs.map(e => LogSync.normPathStr(e.path))
-    val regVersion = LogSync.deleteManifestVersion(spark, root)
-    LogSync.swapDeleteManifest(spark, root,
-      LogSync.deleteManifestDf(spark, root)
-        .withColumn("removed_at",
-          when(LogSync.normPath(col("path")).isin(olds: _*) &&
-            col("removed_at").isNull, current_timestamp())
-            .otherwise(col("removed_at"))),
-      Some(regVersion))
+    LogSync.tombstoneDeleteEntries(spark, root, eqs.map(_.path))
     (eqs.length, posRows)
   }
 
@@ -748,13 +797,7 @@ object LakeDml {
       .select(col("__del")).distinct().as[String].collect().toSet
     val dead = entries.map(e => LogSync.normPathStr(e.path)).toSet -- live
     if (dead.isEmpty) return 0
-    val regVersion = LogSync.deleteManifestVersion(spark, root)
-    val next = LogSync.deleteManifestDf(spark, root)
-      .withColumn("removed_at",
-        when(LogSync.normPath(col("path")).isin(dead.toSeq: _*) &&
-          col("removed_at").isNull, current_timestamp())
-          .otherwise(col("removed_at")))
-    LogSync.swapDeleteManifest(spark, root, next, Some(regVersion))
+    LogSync.tombstoneDeleteEntries(spark, root, dead.toSeq)
     dead.size
   }
 

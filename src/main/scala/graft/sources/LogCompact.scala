@@ -198,17 +198,8 @@ object LogCompact {
     // note above. Historic (pre-compaction) reads still apply the
     // tombstoned ones: the tombstone carries removed_at, the same
     // time-travel rule as data files.
-    if (materializedDeletes.nonEmpty) {
-      val mat = materializedDeletes.map(e => LogSync.normPathStr(e.path))
-      val regVersion = LogSync.deleteManifestVersion(spark, root)
-      LogSync.swapDeleteManifest(spark, root,
-        LogSync.deleteManifestDf(spark, root)
-          .withColumn("removed_at",
-            when(LogSync.normPath(col("path")).isin(mat: _*) &&
-              col("removed_at").isNull, current_timestamp())
-              .otherwise(col("removed_at"))),
-        Some(regVersion))
-    }
+    if (materializedDeletes.nonEmpty)
+      LogSync.tombstoneDeleteEntries(spark, root, materializedDeletes.map(_.path))
     before.unpersist(); fresh.unpersist()
     CompactStats(filesBefore, filesAfter)
   }

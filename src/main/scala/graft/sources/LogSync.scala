@@ -370,6 +370,27 @@ object LogSync {
       s"delete-manifest swap rename failed under $root")
   }
 
+  /** Tombstone the registry rows for exactly `paths` in ONE CAS swap
+    * — the shared retire step of [[LakeDml.compactDeletes]],
+    * [[LakeDml.vacuumDeletes]], [[LakeDml.convertEqDeletes]] and
+    * [[LogCompact.compact]]'s materialization pass (one place for the
+    * normalization + planned-version discipline instead of a copy per
+    * maintenance flow).
+    */
+  private[sources] def tombstoneDeleteEntries(spark: SparkSession, root: String,
+                                              paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val norm = paths.map(normPathStr)
+    val regVersion = deleteManifestVersion(spark, root)
+    swapDeleteManifest(spark, root,
+      deleteManifestDf(spark, root)
+        .withColumn("removed_at",
+          when(normPath(col("path")).isin(norm: _*) &&
+            col("removed_at").isNull, current_timestamp())
+            .otherwise(col("removed_at"))),
+      Some(regVersion))
+  }
+
   /** Superseded delete-manifest versions — vacuum candidates, same
     * retention rule as [[staleManifestDirs]].
     */

@@ -25,9 +25,11 @@ import graft.sources.LakeDml
   * changes for one key. With `seqCol` (the upstream changelog's
   * LSN/offset/ts column) only each key's LATEST change applies —
   * resolved by one batch-sized window, dropped before the write (it
-  * is changelog metadata, not a table column); a TIE at the winning
-  * sequence is refused — the ordering column cannot resolve it.
-  * Without `seqCol` the batch must already be key-unique; the apply
+  * is changelog metadata, not a table column); byte-identical
+  * duplicate rows (at-least-once redelivery) collapse first, and a
+  * TIE of DIFFERING changes at the winning sequence is refused — the
+  * ordering column cannot resolve it. Without `seqCol` the batch
+  * must already be key-unique after duplicate collapse; the apply
   * REFUSES a batch with conflicting rows rather than picking a
   * nondeterministic winner.
   * After resolution upsert-keys and delete-keys are disjoint, so the
@@ -83,33 +85,40 @@ object CdcApply {
                                 keys: Seq[String], opCol: String,
                                 seqCol: Option[String]): Unit = {
     val spark = batch.sparkSession
+    // byte-identical duplicate rows collapse FIRST: an at-least-once
+    // upstream (Kafka/Debezium redelivery) can land the same change
+    // event twice in one micro-batch, and refusing that as a
+    // "conflict" would wedge the stream permanently (the restart
+    // replays the same batch from the checkpoint and refuses again).
+    // Only rows that DIFFER at one (key, seq) remain refusable.
     val resolved = (seqCol match {
       case Some(sc) =>
         // rank(), not row_number(): a TIE at a key's winning sequence
-        // (two changes, same LSN) is a conflict the ordering column
-        // cannot resolve — both rows rank 1 and the batch is REFUSED,
-        // the same determinism rule as the no-seqCol path, instead of
-        // an arbitrary row_number winner
+        // (two DIFFERENT changes, same LSN) is a conflict the ordering
+        // column cannot resolve — both rows rank 1, surviving into the
+        // key-uniqueness refusal below — instead of an arbitrary
+        // row_number winner
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sc).desc)
-        val winners = batch.withColumn("__cdc_rk", rank().over(w))
-          .filter(col("__cdc_rk") === 1)
-        val tied = winners.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        require(tied.isEmpty,
-          s"CDC batch carries multiple changes for one key at the same " +
-            s"'$sc' value — ties are unresolvable; ensure (key, $sc) " +
-            "uniqueness upstream")
-        winners.drop("__cdc_rk", sc)
+        batch.dropDuplicates().withColumn("__cdc_rk", rank().over(w))
+          .filter(col("__cdc_rk") === 1).drop("__cdc_rk", sc)
       case None =>
-        val conflicted = batch.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        require(conflicted.isEmpty,
-          "CDC batch carries multiple changes for one key and no seqCol " +
-            "was given — pass the changelog's ordering column so the " +
-            "latest change wins deterministically")
-        batch
+        batch.dropDuplicates()
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE determinism rule, checked on the PERSISTED frame (no
+      // second source pass): after resolution every key appears once
+      val dup = resolved.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      require(dup.isEmpty, seqCol match {
+        case Some(sc) =>
+          s"CDC batch carries conflicting changes for one key at the same " +
+            s"'$sc' value — ties are unresolvable; ensure (key, $sc) " +
+            "uniqueness upstream"
+        case None =>
+          "CDC batch carries multiple changes for one key and no seqCol " +
+            "was given — pass the changelog's ordering column so the " +
+            "latest change wins deterministically"
+      })
       val ops = upper(col(opCol))
       val dels = resolved.filter(ops === OpDelete).select(keys.map(col): _*)
       val ups = resolved.filter(ops.isin(OpInsert, OpUpdate)).drop(opCol)

@@ -195,8 +195,14 @@ class CdcApplySpec extends SparkSpec {
       CdcApply.applyBatch(tied, root, Seq("span_id"), "op", Some("lsn"))
     }
     assert(e.getMessage.contains("unresolvable"))
-    // a superseded old-seq duplicate alone is NOT a conflict
-    val fine = change("U", "WINS", 2L).unionByName(change("D", "x", 1L))
+    // a BYTE-IDENTICAL redelivery at the same LSN is NOT a conflict —
+    // an at-least-once source must not wedge the stream
+    val redelivered = change("U", "DUP", 3L).unionByName(change("U", "DUP", 3L))
+    CdcApply.applyBatch(redelivered, root, Seq("span_id"), "op", Some("lsn"))
+    assert(LogSync.table(spark, root).filter(col("span_id") === k)
+      .head.getAs[String]("body") == "DUP")
+    // a superseded old-seq duplicate alone is NOT a conflict either
+    val fine = change("U", "WINS", 4L).unionByName(change("D", "x", 1L))
     CdcApply.applyBatch(fine, root, Seq("span_id"), "op", Some("lsn"))
     assert(LogSync.table(spark, root).filter(col("span_id") === k)
       .head.getAs[String]("body") == "WINS")

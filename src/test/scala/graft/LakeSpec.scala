@@ -660,7 +660,13 @@ class LakeSpec extends SparkSpec {
     val delsBefore = LogSync.deletesSince(spark, root, mark0)
       .select("span_id").as[String].collect().sorted.toSeq
 
-    val (retired, posRows) = LakeDml.convertEqDeletes(spark, root)
+    // force the PAST-CAP branch (root scan + candidate join): this
+    // test certifies the no-driver-path fallback; the bloom and
+    // steady-state specs cover the explicit-path fast branch
+    spark.conf.set("graft.lake.convertExplicitPathCap", "0")
+    val (retired, posRows) =
+      try LakeDml.convertEqDeletes(spark, root)
+      finally spark.conf.unset("graft.lake.convertExplicitPathCap")
     assert(retired == nCommits && posRows > 0)
     assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0,
       "the per-scan eq anti-join count must drop to zero")
