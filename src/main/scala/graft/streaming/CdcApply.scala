@@ -64,12 +64,13 @@ object CdcApply {
     val spark = changes.sparkSession
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new Path(s"$root/_cdc_batches/batch-$batchId")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) {
+        val dir = s"$root/_cdc_batches"
+        val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!BatchMarkers.exists(fs, dir, batchId)) {
           applyBatch(batch, root, keys, opCol, seqCol)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker).close()
+          // marker + dead-tail prune: the dir stays bounded for the
+          // stream's whole life (see [[BatchMarkers]])
+          BatchMarkers.commit(fs, dir, batchId)
         }
         ()
       }

@@ -54,13 +54,14 @@ object LakeIngest {
     val spark = logs.sparkSession
     logs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new Path(s"$root/_batches/batch-$batchId")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) {
+        val dir = s"$root/_batches"
+        val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!BatchMarkers.exists(fs, dir, batchId)) {
           LogWriter.write(batch, root, layout = layout)
           LogSync.sync(spark, root)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker).close()
+          // marker + dead-tail prune: the dir stays bounded for the
+          // stream's whole life (see [[BatchMarkers]])
+          BatchMarkers.commit(fs, dir, batchId)
         }
         if (maintainRollup) graft.sources.Rollup.refresh(spark, root)
         ()
