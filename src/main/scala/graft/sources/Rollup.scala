@@ -61,6 +61,20 @@ object Rollup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // prune superseded versions with the pointer advance: readers
+    // resolve `_current` at query time, so keeping the previous
+    // version covers one that resolved just before the flip; anything
+    // older is dead weight — and each version carries a FULL
+    // (agg + processed-paths) copy, so a per-batch maintainRollup
+    // cadence would otherwise accumulate one per micro-batch forever.
+    // Crash mid-prune is harmless: the next advance re-prunes.
+    val VRe = "v([0-9]+)".r
+    fs.listStatus(new Path(rollupRoot(root))).foreach { s =>
+      s.getPath.getName match {
+        case VRe(n) if n.toInt <= v - 2 => fs.delete(s.getPath, true); ()
+        case _ => ()
+      }
+    }
   }
 
   /** The delete-registry state a fold ran under: SHA-256 over the

@@ -362,6 +362,15 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.sync(spark, root) == 0,
       "_rollup metadata files must be invisible to sync")
     assert(fullAgg().values.sum == 450L)
+    // version dirs stay BOUNDED: refreshes ran twice, but a per-batch
+    // maintenance cadence must not accumulate one full copy each —
+    // only the current and previous versions survive the advance
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_rollup"))
+      .map(_.getPath.getName).filter(_.matches("v[0-9]+")).sorted.toSeq
+    assert(versions == Seq("v1", "v2"),
+      s"superseded rollup versions must be pruned: $versions")
   }
 
   test("Rollup: row-level DML and restatements trigger a rebuild — counts never stale") {
