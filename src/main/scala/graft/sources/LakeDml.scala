@@ -375,29 +375,45 @@ object LakeDml {
     // otherwise write a delete file whose physical type disagrees with
     // the field id it claims — graft's own <=> join would coerce, an
     // external id-binding reader would not. STEADY STATE reads both
-    // from the persisted `_field_ids` sidecar — no footer job at all,
-    // so a CDC retraction commit costs O(batch) even in planning; the
-    // first-ever commit (or a delete on a column the sidecar hasn't
-    // seen) falls back to the merged-schema path, which refreshes the
-    // sidecar. The fallback's merged schema matches the field-id
+    // from the persisted `_field_ids` sidecar plus one liveness
+    // footer (below) — planning cost independent of lake size, where
+    // the fallback pays a merged-schema job over every active footer;
+    // the first-ever commit (or a delete on a column the sidecar
+    // hasn't seen or the newest file lacks) falls back to the
+    // merged-schema path, which refreshes the sidecar. The fallback's
+    // merged schema matches the field-id
     // universe: a late-evolution column can pass the fieldId require
     // but miss table()'s sampled-footer schema, and that mismatch must
     // fail loudly, not as a bare NoSuchElementException.
     // the sidecar keeps names forever (append-only), so it alone
     // cannot prove a key column still exists in the LIVE lake — and a
     // registered equality delete on a vanished column would turn
-    // every subsequent read into an unresolvable-column failure. One
-    // sampled-schema probe (file listing + a single footer — not the
-    // merge) guards the fast path: present in the sample → the read
-    // path (which reads the same sampled scan) will resolve it;
-    // absent → fall through to the merged path, which either admits a
-    // late-added column or refuses a vanished one LOUDLY at write
-    // time, the old contract.
+    // every subsequent read into an unresolvable-column failure. The
+    // liveness probe is ONE footer of the newest registered file
+    // (control-plane: a manifest aggregate + one footer read — never
+    // a lake listing, which would put an O(files) driver cost back on
+    // the per-commit CDC hot path this fast path exists to keep at
+    // O(batch)): present there → live; absent (vanished, OR merely
+    // predating the newest file) → fall through to the merged path,
+    // which either admits a late-added column or refuses a vanished
+    // one LOUDLY at write time, the old contract either way.
     val sidecarInfo = IcebergExport.fieldInfoFromSidecar(spark, root, cols)
       .filter { _ =>
-        val sampled = spark.read.option("basePath", root).parquet(root)
-          .columns.toSet
-        cols.forall(sampled.contains)
+        val newest = LogSync.activeManifest(spark, root)
+          .orderBy(col("registered_at").desc, col("path").desc)
+          .select("path").limit(1).collect().headOption.map(_.getString(0))
+        newest.exists { p =>
+          val conf = spark.sparkContext.hadoopConfiguration
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val names = try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+          } finally r.close()
+          cols.forall(names.contains)
+        }
       }
     val (fieldId, tableType) =
       sidecarInfo match {

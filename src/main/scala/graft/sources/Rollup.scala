@@ -61,17 +61,24 @@ object Rollup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // prune superseded versions with the pointer advance: readers
-    // resolve `_current` at query time, so keeping the previous
-    // version covers one that resolved just before the flip; anything
-    // older is dead weight — and each version carries a FULL
-    // (agg + processed-paths) copy, so a per-batch maintainRollup
-    // cadence would otherwise accumulate one per micro-batch forever.
-    // Crash mid-prune is harmless: the next advance re-prunes.
+    // prune superseded versions with the pointer advance: each one
+    // carries a FULL (agg + processed-paths) copy, so a per-batch
+    // maintainRollup cadence would otherwise accumulate one per
+    // micro-batch forever. A version is reclaimed only when BOTH
+    // superseded beyond the previous one AND older than the vacuum
+    // grace — a lazy reader that resolved `_current` keeps its files
+    // for the same in-flight window replaced data files get, however
+    // fast the pointer advances (version count stays bounded by
+    // cadence × grace, not by stream lifetime). Crash mid-prune is
+    // harmless: the next advance re-prunes.
     val VRe = "v([0-9]+)".r
+    val graceMs = spark.conf.getOption("graft.rollup.pruneGraceMs")
+      .map(_.toLong).getOrElse(LogCompact.DefaultVacuumGraceMs)
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(new Path(rollupRoot(root))).foreach { s =>
       s.getPath.getName match {
-        case VRe(n) if n.toInt <= v - 2 => fs.delete(s.getPath, true); ()
+        case VRe(n) if n.toInt <= v - 2 && s.getModificationTime <= cutoff =>
+          fs.delete(s.getPath, true); ()
         case _ => ()
       }
     }

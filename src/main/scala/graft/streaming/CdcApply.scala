@@ -92,6 +92,28 @@ object CdcApply {
     // "conflict" would wedge the stream permanently (the restart
     // replays the same batch from the checkpoint and refuses again).
     // Only rows that DIFFER at one (key, seq) remain refusable.
+    // MAP-typed payload columns are not orderable, so a bare
+    // dropDuplicates() would itself crash such a changelog — they
+    // dedup through a JSON fingerprint instead (a redelivered row
+    // reproduces the same map layout, so the fingerprints match; a
+    // layout-shuffled true duplicate conservatively survives into the
+    // refusal rather than being wrongly collapsed).
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    def dedupAll(df: DataFrame): DataFrame = {
+      val (mapped, orderable) = df.schema.fields.partition(f => hasMap(f.dataType))
+      if (mapped.isEmpty) df.dropDuplicates()
+      else df
+        .withColumn("__cdc_fp",
+          sha2(to_json(struct(mapped.map(f => col(f.name)).toSeq: _*)), 256))
+        .dropDuplicates(orderable.map(_.name).toSeq :+ "__cdc_fp")
+        .drop("__cdc_fp")
+    }
     val resolved = (seqCol match {
       case Some(sc) =>
         // rank(), not row_number(): a TIE at a key's winning sequence
@@ -100,10 +122,10 @@ object CdcApply {
         // key-uniqueness refusal below — instead of an arbitrary
         // row_number winner
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(sc).desc)
-        batch.dropDuplicates().withColumn("__cdc_rk", rank().over(w))
+        dedupAll(batch).withColumn("__cdc_rk", rank().over(w))
           .filter(col("__cdc_rk") === 1).drop("__cdc_rk", sc)
       case None =>
-        batch.dropDuplicates()
+        dedupAll(batch)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE determinism rule, checked on the PERSISTED frame (no

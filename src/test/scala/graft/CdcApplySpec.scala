@@ -208,6 +208,23 @@ class CdcApplySpec extends SparkSpec {
       .head.getAs[String]("body") == "WINS")
   }
 
+  test("map-typed changelog metadata survives duplicate collapse (maps are unorderable)") {
+    import spark.implicits._
+    val root = seedLake(10)
+    val k = LogSync.table(spark, root).select("span_id").as[String].head()
+    val row = LogSync.table(spark, root).filter(col("span_id") === k)
+      .select(lit("U").as("op"), col("timestamp"), col("service_name"),
+        col("severity_text"), col("span_id"), lit("MAPPED").as("body"))
+      .withColumn("attrs", map(lit("source"), lit("debezium")))
+    // a bare dropDuplicates() would throw on the map column; the
+    // fingerprint path must both collapse the redelivery AND apply
+    CdcApply.applyBatch(row.unionByName(row), root, Seq("span_id"), "op", None)
+    assert(LogSync.table(spark, root).filter(col("span_id") === k)
+      .head.getAs[String]("body") == "MAPPED")
+    assert(!LogSync.table(spark, root).columns.contains("attrs"),
+      "changelog metadata columns never land in the table")
+  }
+
   test("a conflicted batch without seqCol is refused, not resolved arbitrarily") {
     import spark.implicits._
     val root = seedLake(10)

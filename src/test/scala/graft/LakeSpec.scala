@@ -334,6 +334,9 @@ class LakeSpec extends SparkSpec {
   test("Rollup: incremental refresh equals full recompute; second refresh reads only new files") {
     import graft.sources.Rollup
     val root = Files.createTempDirectory("graft_rollup").toString
+    // zero prune grace so the version-bound assertion below can
+    // observe reclamation without waiting out the real window
+    spark.conf.set("graft.rollup.pruneGraceMs", "0")
     def batch(n: Int, svc: String) =
       Tables.events(spark, sf).limit(n)
         .select(col("ts").as("timestamp"), lit(svc).as("service_name"),
@@ -369,6 +372,7 @@ class LakeSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_rollup"))
       .map(_.getPath.getName).filter(_.matches("v[0-9]+")).sorted.toSeq
+    spark.conf.unset("graft.rollup.pruneGraceMs")
     assert(versions == Seq("v1", "v2"),
       s"superseded rollup versions must be pruned: $versions")
   }
