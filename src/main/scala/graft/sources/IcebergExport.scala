@@ -139,8 +139,9 @@ object IcebergExport {
     * distributed).
     *
     * Id STABILITY is PERSISTED, not recomputed: ids once assigned live
-    * in the append-only `_field_ids` sidecar (name TAB id per line;
-    * underscore-prefixed: invisible to data scans and sync) and never
+    * in the append-only `_field_ids_v<N>` sidecar (name TAB id per
+    * line; underscore-prefixed: invisible to data scans and sync;
+    * versioned — newest wins — so rewrites are crash-atomic) and never
     * move. Recomputing ids from merged position each call — the old
     * scheme — trusted Spark's parallel schema merge to return the
     * same field ORDER every time, which it does not guarantee on an
@@ -154,13 +155,44 @@ object IcebergExport {
     * Renames/drops stay unsupported (a dropped name keeps its id
     * reserved forever; a rename is a drop + add).
     */
+  /** The sidecar is VERSIONED (`_field_ids_v<N>`, newest wins; a bare
+    * legacy `_field_ids` reads as version 0) so a rewrite is one
+    * atomic rename into a fresh name — the old delete-then-rename
+    * over a single path had an unprotected window where a crash
+    * between the delete and the rename lost the persisted map
+    * entirely, and the next call would RESEED ids from the current
+    * merged field order, silently reassigning ids a lake's existing
+    * equality-delete parquet and exported metadata already embed.
+    * With versions, a crash before the rename leaves the old version
+    * authoritative; a crash after it leaves both on disk and the
+    * newest wins — there is no state from which the map vanishes.
+    */
+  private val FieldIdsVersionRe = "_field_ids_v([0-9]+)".r
+
+  /** (current version, its path) — version 0 with the legacy bare
+    * path when no versioned file exists yet (including the
+    * nothing-on-disk case, where the legacy path simply won't exist).
+    */
+  private[graft] def fieldIdSidecarCurrent(spark: SparkSession,
+                                           root: String): (Int, Path) = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(new Path(root))) Seq.empty
+      else fs.listStatus(new Path(root)).toSeq.flatMap(_.getPath.getName match {
+        case FieldIdsVersionRe(v) => Some(v.toInt)
+        case _ => None
+      })
+    if (versions.isEmpty) (0, new Path(s"$root/_field_ids"))
+    else (versions.max, new Path(s"$root/_field_ids_v${versions.max}"))
+  }
+
   /** Parsed `_field_ids` sidecar rows: (name, id, Spark catalogString
     * when recorded). Accepts the two-column pre-type format (type
     * reads as None — the next [[schemaFieldsFor]] upgrades the line).
     */
   private def readFieldIdSidecar(spark: SparkSession,
                                  root: String): Seq[(String, Int, Option[String])] = {
-    val sidecar = new Path(s"$root/_field_ids")
+    val (_, sidecar) = fieldIdSidecarCurrent(spark, root)
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sidecar)) return Seq.empty
     val in = fs.open(sidecar)
@@ -201,12 +233,65 @@ object IcebergExport {
     if (resolved.length == cols.length) Some(resolved.toMap) else None
   }
 
+  /** Write `rows` as the next sidecar version (tmp + rename into a
+    * fresh name — crash-atomic, see [[fieldIdSidecarCurrent]]).
+    */
+  private def writeFieldIdSidecar(spark: SparkSession, root: String,
+                                  rows: Seq[(String, Int, Option[String])]): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (curV, curPath) = fieldIdSidecarCurrent(spark, root)
+    val sidecar = new Path(s"$root/_field_ids_v${curV + 1}")
+    val tmp = new Path(s"$root/_field_ids_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(rows.map { case (n, id, t) =>
+      s"$n\t$id\t${t.getOrElse("")}"
+    }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(!fs.exists(sidecar) && fs.rename(tmp, sidecar),
+      s"field-id sidecar swap conflict under $root: version ${curV + 1} " +
+        "already exists or the rename failed — another writer won; re-plan")
+    if (fs.exists(curPath)) { fs.delete(curPath, false); () }
+  }
+
+  /** [[graft.sources.LakeEvolve]]'s sidecar hook: bind `name` to the
+    * EXISTING field id `id` at `typeDdl` — a rename adds the new name
+    * at the old id (the old name's line stays, its id reserved and its
+    * mapping preserved for name-mapping aliases); a promote rewrites
+    * the name's recorded type. Also evicts the field-id memo (the
+    * assignment changed without the manifest moving).
+    */
+  private[sources] def recordEvolvedField(spark: SparkSession, root: String,
+                                          name: String, id: Int,
+                                          typeDdl: String): Unit = {
+    val existing = readFieldIdSidecar(spark, root)
+    require(existing.nonEmpty,
+      s"no field-id sidecar under $root — export (or exportFieldIds) first")
+    val updated =
+      if (existing.exists(_._1 == name))
+        existing.map { case r @ (n, i, _) =>
+          if (n == name) { require(i == id); (n, i, Some(typeDdl)) } else r
+        }
+      else existing :+ ((name, id, Some(typeDdl)))
+    writeFieldIdSidecar(spark, root, updated)
+    fieldIdsMemo.keySet.removeIf(k => k._1 == spark && k._2 == root)
+  }
+
   private[sources] def schemaFieldsFor(spark: SparkSession, root: String,
                                        active: Seq[String]): (Seq[Field], Seq[String]) = {
     // partition columns: union of k=v keys in first-seen order
     val partCols = active.flatMap(p => partSegments(root, p).map(_._1)).distinct
-    val physical = spark.read.option("mergeSchema", "true")
-      .parquet(active.map(fileUri): _*).schema
+    // an EVOLVED lake's physical footers cannot schema-merge (a
+    // promotion leaves int and long footers under one name) and would
+    // surface retired names as live columns — its logical schema comes
+    // from the schema log instead, minus the partition-dir columns
+    // (they get their own fixed-base ids below)
+    val physical = LakeEvolve.state(spark, root) match {
+      case Some(st) => StructType(LakeEvolve.requestSchema(spark, root, st)
+        .fields.filter(f => !st.supersededNames.contains(f.name) &&
+          !partCols.contains(f.name)))
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(active.map(fileUri): _*).schema
+    }
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing = readFieldIdSidecar(spark, root)
     val known = existing.map(_._1).toSet
@@ -224,18 +309,14 @@ object IcebergExport {
     // equality-delete writer skip the footer merge entirely)
     if (newNames.nonEmpty ||
         existing.exists(e => e._3.isEmpty && sparkTypeOf.contains(e._1))) {
-      // write-tmp-then-rename: readers see the old complete sidecar or
-      // the new one, never a partial line
-      val sidecar = new Path(s"$root/_field_ids")
-      val tmp = new Path(s"$root/_field_ids_tmp")
-      val out = fs.create(tmp, true)
-      try out.write(assigned.map { case (n, id, t) =>
-        s"$n\t$id\t${t.getOrElse("")}"
-      }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(sidecar, false)
-      require(fs.rename(tmp, sidecar),
-        s"field-id sidecar rename failed under $root")
+      // write-tmp-then-rename INTO A FRESH VERSION: the rename's
+      // target never exists, so there is no delete-then-rename window
+      // — a crash at any point leaves either the old version
+      // authoritative or both on disk with the newest winning
+      // ([[fieldIdSidecarCurrent]]). A racing writer that minted the
+      // same next version loses the rename and fails loudly, the
+      // same single-writer discipline as [[LogSync.swapManifest]].
+      writeFieldIdSidecar(spark, root, assigned)
     }
     val typeOf = physical.fields.map(f => f.name -> icebergType(f.dataType)).toMap
     // sidecar order IS id order; names absent from the current merge
@@ -285,7 +366,10 @@ object IcebergExport {
   private[graft] def exportFieldIds(spark: SparkSession, root: String): Map[String, Int] = {
     val head = LogSync.manifest(spark, root)
       .agg(count(when(col("removed_at").isNull, 1)), max(col("registered_at"))).head()
-    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}"
+    // the schema-log version rides in the token: a rename/promote
+    // changes the assignment without moving the manifest
+    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:" +
+      s"${head.get(1)}:${LakeEvolve.logVersion(spark, root)}"
     // superseded head states can never be hit again — evict them so
     // the memo stays O(lakes), not O(sync rounds in the session)
     fieldIdsMemo.keySet.removeIf(k =>
@@ -339,9 +423,18 @@ object IcebergExport {
       s"""{"name":${jstr(c)},"transform":"identity","source-id":$src,"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
 
-  private def nameMappingJson(fields: Seq[Field]): String =
-    fields.map(f => s"""{"field-id":${f.id},"names":[${jstr(f.name)}]}""")
-      .mkString("[", ",", "]")
+  /** The spec's name-mapping: each field id with EVERY name it has
+    * worn — current name first, retired names after (a renamed
+    * column's pre-rename files physically carry the old name, and
+    * name-mapping is exactly the mechanism an engine without parquet
+    * field ids uses to resolve them to the same field).
+    */
+  private def nameMappingJson(fields: Seq[Field],
+                              aliasesOf: Map[String, Seq[String]]): String =
+    fields.map { f =>
+      val names = f.name +: aliasesOf.getOrElse(f.name, Seq.empty)
+      s"""{"field-id":${f.id},"names":[${names.map(jstr).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
 
   // ---- Avro schemas (field-id props inline, per the spec's
   // manifest/manifest-list tables; names follow the reference Java
@@ -814,7 +907,8 @@ object IcebergExport {
          |"last-partition-id":${999 + st.partCols.length},
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
-         |"properties":{"schema.name-mapping.default":${jstr(nameMappingJson(st.fields))}},
+         |"properties":{"schema.name-mapping.default":${jstr(nameMappingJson(st.fields,
+           LakeEvolve.state(spark, root).map(_.aliasesOf).getOrElse(Map.empty)))}},
          |"current-snapshot-id":$lastSnapshotId,
          |"refs":{"main":{"snapshot-id":$lastSnapshotId,"type":"branch"}},
          |"snapshots":[$snapshotsJson],
@@ -851,7 +945,8 @@ object IcebergExport {
         .map(e => s"${e.path}#${e.rows}#${e.kind}#${e.seq}").sorted.mkString("|")
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:${head.get(1)}:$delToken"
+    val token = s"${LogSync.manifestVersion(spark, root)}:${head.get(0)}:" +
+      s"${head.get(1)}:$delToken:${LakeEvolve.logVersion(spark, root)}"
     exportedOnce.computeIfAbsent((spark, root, token), { key =>
       graft.SessionCaches.register(spark)(() => { exportedOnce.remove(key); () })
       export(spark, root)
@@ -1531,15 +1626,59 @@ object IcebergExport {
     val sampled = spark.read.parquet(chainPaths: _*)
     val declaredMissing = chain.schemaFields.filter(f =>
       !sampled.schema.fieldNames.contains(f.name) && !identityNames.contains(f.name))
+    // RENAAMED columns resolve through the spec's name-mapping: a field
+    // id listing several names means pre-rename files physically carry
+    // an old one — request every name (old ones at the current,
+    // possibly WIDENED type; the parquet reader up-casts int→long /
+    // float→double per the spec's promotion rules) and fold them into
+    // the current name below.
+    val aliasesByName: Map[String, Seq[String]] = {
+      val byId = (for {
+        props <- chain.md.opt("properties")
+        nm <- props.opt("schema.name-mapping.default")
+      } yield IcebergJson.parse(nm.str).arr.flatMap { e =>
+        for {
+          id <- e.opt("field-id").map(_.int)
+          names <- e.opt("names").map(_.arr.map(_.str))
+        } yield id -> names
+      }.toMap).getOrElse(Map.empty[Int, Vector[String]])
+      chain.schemaFields.flatMap { f =>
+        byId.get(f.id).map(ns => f.name -> ns.filterNot(_ == f.name).toSeq)
+      }.filter(_._2.nonEmpty).toMap
+    }
     // the common (un-evolved) chain reuses the sampled relation — one
     // file-index build; only an evolved chain pays the re-read with
-    // the completed schema
+    // the completed schema. The evolved re-read also pins every
+    // DECLARED data column to its declared type (a promotion means the
+    // sample may have hit a narrow pre-promotion footer).
     val raw =
-      if (declaredMissing.isEmpty) sampled
-      else spark.read.schema(StructType(sampled.schema.fields ++
-        declaredMissing.map(f =>
-          StructField(f.name, sparkTypeFor(f.tpe), nullable = true))))
-        .parquet(chainPaths: _*)
+      if (declaredMissing.isEmpty && aliasesByName.isEmpty) sampled
+      else {
+        val declaredType = chain.schemaFields
+          .map(f => f.name -> sparkTypeFor(f.tpe)).toMap
+        val aliasNames = aliasesByName.values.flatten.toSet
+        val base = sampled.schema.fields.toSeq
+          .filterNot(f => aliasNames.contains(f.name))
+          .map(f => declaredType.get(f.name)
+            .map(t => StructField(f.name, t, nullable = true)).getOrElse(f))
+        val missing = declaredMissing.map(f =>
+          StructField(f.name, sparkTypeFor(f.tpe), nullable = true))
+        val aliases = aliasesByName.toSeq.sortBy(_._1).flatMap { case (cur, olds) =>
+          olds.map(o => StructField(o, declaredType(cur), nullable = true))
+        }
+        spark.read.schema(StructType(base ++ missing ++ aliases))
+          .parquet(chainPaths: _*)
+      }
+    // alias fold (runs before the delete anti-joins — an equality
+    // delete binds the CURRENT name and must match pre-rename rows);
+    // `_metadata`-derived columns must be materialized before calling
+    def foldAliases(df: DataFrame): DataFrame =
+      aliasesByName.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (cur, olds)) =>
+        val present = olds.filter(acc.columns.contains)
+        if (present.isEmpty || !acc.columns.contains(cur)) acc
+        else acc.withColumn(cur, coalesce((cur +: present).map(col): _*))
+          .drop(present: _*)
+      }
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
     // them, and for those the manifest values are authoritative
@@ -1563,7 +1702,7 @@ object IcebergExport {
       }
     }
 
-    val attached: DataFrame = if (attach.isEmpty && !hasDeletes) raw else {
+    val attached: DataFrame = if (attach.isEmpty && !hasDeletes) foldAliases(raw) else {
       // file → (partition values, sequence) map, one row per data
       // file, built DISTRIBUTED: executors re-walk the snapshot's
       // data manifests (one task per manifest — the same walkManifest
@@ -1612,7 +1751,7 @@ object IcebergExport {
         if (posDeletes.nonEmpty)
           withFile.withColumn("__graft_pos", col("_metadata.row_index"))
         else withFile
-      val joined = withPos.join(broadcast(mapDf), Seq("__graft_file"))
+      val joined = foldAliases(withPos).join(broadcast(mapDf), Seq("__graft_file"))
       attach.foldLeft(joined) { (df, n) =>
         df.withColumn(n, col(n).cast(sparkTypeFor(srcType(n))))
       }

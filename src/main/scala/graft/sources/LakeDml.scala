@@ -61,21 +61,42 @@ object LakeDml {
                            withPos: Boolean = false): DataFrame = {
     val paths = LogSync.activeManifest(spark, root)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
-    val raw = spark.read.option("basePath", root).parquet(root)
-      .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+    // an evolved lake's DML scan reads through the same request-schema
+    // + alias-fold shape as [[LogSync.table]] (a predicate naming the
+    // renamed column must match pre-rename rows); `_metadata`-derived
+    // identities materialize first, the fold runs before the MOR
+    // anti-joins — mirror of [[LogSync]]'s keepOnly ordering
+    val evo = graft.sources.LakeEvolve.state(spark, root)
+    val raw = (evo match {
+      case Some(st) => spark.read.option("basePath", root)
+        .schema(graft.sources.LakeEvolve.requestSchema(spark, root, st))
+        .parquet(root)
+      case None => spark.read.option("basePath", root).parquet(root)
+    }).withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
     val withMeta =
       if (!withPos) raw
       else raw
         .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
           "^file:/(?!/)", "file:///"))
         .withColumn("__dpos", col("_metadata.row_index"))
-    val kept = withMeta
+    val entries = LogSync.deleteEntries(spark, root)
+    val posReady = evo match {
+      case Some(st) =>
+        val m = if (entries.exists(!_.isEq))
+          withMeta.withColumn("__pos", col("_metadata.row_index"))
+        else withMeta
+        graft.sources.LakeEvolve.project(m, st)
+      case None => withMeta
+    }
+    val kept = posReady
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
     // rows already MOR-deleted (position OR equality) must be
     // invisible to DML decisions: a CoW rewrite that scanned them
     // would RESURRECT them in the complement, and a MOR delete would
     // re-record them
-    LogSync.applyDeletes(spark, kept, root, LogSync.deleteEntries(spark, root))
+    LogSync.applyDeletes(spark, kept, root, entries,
+      currentName = evo.map(st => (n: String) => st.currentName(n))
+        .getOrElse(identity[String] _))
   }
 
   /** Broadcast hint for the distinct update-key relation only while it
@@ -191,11 +212,30 @@ object LakeDml {
       else {
         // the complement read must honor existing MOR deletes (position
         // AND equality): a raw re-read of the affected files would
-        // resurrect rows an earlier deleteMor/deleteEq removed
-        val raw = spark.read.option("basePath", root).parquet(affected.toSeq: _*)
-          .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-        val morApplied = LogSync.applyDeletes(spark, raw, root,
-          LogSync.deleteEntries(spark, root)).drop("__src")
+        // resurrect rows an earlier deleteMor/deleteEq removed. On an
+        // evolved lake it reads through the alias fold, so the
+        // rewritten files MATERIALIZE the evolution (new names, wide
+        // types) — CoW doubles as the physical migration path.
+        val evo = graft.sources.LakeEvolve.state(spark, root)
+        val entries = LogSync.deleteEntries(spark, root)
+        val raw0 = (evo match {
+          case Some(st) => spark.read.option("basePath", root)
+            .schema(graft.sources.LakeEvolve.requestSchema(spark, root, st))
+            .parquet(affected.toSeq: _*)
+          case None => spark.read.option("basePath", root)
+            .parquet(affected.toSeq: _*)
+        }).withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+        val raw = evo match {
+          case Some(st) =>
+            val m = if (entries.exists(!_.isEq))
+              raw0.withColumn("__pos", col("_metadata.row_index"))
+            else raw0
+            graft.sources.LakeEvolve.project(m, st)
+          case None => raw0
+        }
+        val morApplied = LogSync.applyDeletes(spark, raw, root, entries,
+          currentName = evo.map(st => (n: String) => st.currentName(n))
+            .getOrElse(identity[String] _)).drop("__src")
         appendStaged(complement(morApplied))
       }
     val insertPaths = inserts.map(appendStaged).getOrElse(Seq.empty)
@@ -345,6 +385,33 @@ object LakeDml {
     (rowsOf.length.toLong, n)
   }
 
+  /** Does a parquet footer field's PHYSICAL type agree with the
+    * sidecar-recorded Spark type? The probe's drift check: a column
+    * whose physical type changed across files (int → long promotion)
+    * must decline the sidecar fast path, or the delete file would be
+    * stamped with the stale narrow type. Conservative by construction:
+    * a group (nested) field or a Spark type with no single physical
+    * mapping (decimals span INT32/INT64/BINARY/FIXED) answers false —
+    * declining only costs the merged-schema fallback, never
+    * correctness.
+    */
+  private def footerTypeMatches(f: org.apache.parquet.schema.Type,
+                                dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    if (!f.isPrimitive) return false
+    val p = f.asPrimitiveType().getPrimitiveTypeName
+    dt match {
+      case IntegerType | ShortType | ByteType | DateType => p == INT32
+      case LongType | TimestampType | TimestampNTZType => p == INT64
+      case FloatType => p == FLOAT
+      case DoubleType => p == DOUBLE
+      case BooleanType => p == BOOLEAN
+      case StringType | BinaryType => p == BINARY
+      case _ => false
+    }
+  }
+
   def deleteMor(spark: SparkSession, root: String, predicate: Column): DmlStats = {
     val (files, n) = writePositionDeletes(spark, root,
       tableWithPos(spark, root).filter(predicate))
@@ -393,26 +460,35 @@ object LakeDml {
     // (control-plane: a manifest aggregate + one footer read — never
     // a lake listing, which would put an O(files) driver cost back on
     // the per-commit CDC hot path this fast path exists to keep at
-    // O(batch)): present there → live; absent (vanished, OR merely
-    // predating the newest file) → fall through to the merged path,
-    // which either admits a late-added column or refuses a vanished
+    // O(batch)): present there WITH a physical type matching the
+    // sidecar's recorded Spark type → live; absent, TYPE-DRIFTED
+    // (the sidecar records one type but newer files carry another —
+    // stamping the stale type would write a delete file whose
+    // physical type disagrees with the lake, the exact hazard for
+    // external id-binding readers this comment warns about), or the
+    // footer unreadable (transient FS error must not abort the
+    // commit) → fall through to the merged path, which either admits
+    // the column at its CURRENT widened type or refuses a vanished
     // one LOUDLY at write time, the old contract either way.
     val sidecarInfo = IcebergExport.fieldInfoFromSidecar(spark, root, cols)
-      .filter { _ =>
+      .filter { info =>
         val newest = LogSync.activeManifest(spark, root)
           .orderBy(col("registered_at").desc, col("path").desc)
           .select("path").limit(1).collect().headOption.map(_.getString(0))
         newest.exists { p =>
-          val conf = spark.sparkContext.hadoopConfiguration
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(p), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val names = try {
-            import scala.jdk.CollectionConverters._
-            r.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .map(_.getName).toSet
-          } finally r.close()
-          cols.forall(names.contains)
+          scala.util.Try {
+            val conf = spark.sparkContext.hadoopConfiguration
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(p), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val fields = try {
+              import scala.jdk.CollectionConverters._
+              r.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .map(f => f.getName -> f).toMap
+            } finally r.close()
+            cols.forall(c => fields.get(c).exists(f =>
+              footerTypeMatches(f, info(c)._2)))
+          }.getOrElse(false)
         }
       }
     val (fieldId, tableType) =
@@ -647,16 +723,20 @@ object LakeDml {
     * The new position files register op="fold" — same retractions,
     * already surfaced by the original eq commits, so
     * [[LogSync.deletesSince]] consumers never see them twice — and
-    * the eq registry entries are tombstoned in one swap. Historic
-    * reads ([[LogSync.tableAsOf]], branches) keep applying the
-    * original eq files until vacuum, the standard tombstone rule.
+    * each group's eq registry entries are tombstoned in their own
+    * swap IMMEDIATELY after that group's position deletes register
+    * (per-group commit point). Historic reads ([[LogSync.tableAsOf]],
+    * branches) keep applying the original eq files until vacuum, the
+    * standard tombstone rule.
     *
-    * Crash story: position deletes commit first, the registry swap
-    * retiring the eq entries is the commit point. A crash between
-    * leaves BOTH active — rows doubly deleted, which the anti-join
-    * read makes idempotent — and a rerun completes the swap (its
-    * rescan re-matches the same rows; duplicate positions are a set
-    * union to every reader).
+    * Crash story: within a group, position deletes commit first and
+    * the registry swap retiring its eq entries is the group's commit
+    * point. A crash between leaves that group's BOTH kinds active —
+    * rows doubly deleted, which the anti-join read makes idempotent —
+    * and a rerun re-converts ONLY the unretired groups (its rescan
+    * re-matches the same rows; duplicate positions are a set union to
+    * every reader), so retries never re-pay or re-append the
+    * already-committed groups.
     *
     * Returns (equality delete files retired, position rows written).
     */
@@ -707,7 +787,12 @@ object LakeDml {
     val eqs = LogSync.deleteEntries(spark, root).filter(_.isEq)
     if (eqs.isEmpty) return (0, 0L)
     var posRows = 0L
-    eqs.groupBy(_.eqCols).foreach { case (cols, files) =>
+    // deterministic group order (keyed by column set): a crash+rerun
+    // cycle re-encounters the surviving groups in the same sequence,
+    // and the per-group commit below makes that rerun skip exactly
+    // the already-retired prefix
+    eqs.groupBy(_.eqCols).toSeq.sortBy(_._1.mkString(","))
+      .foreach { case (cols, files) =>
       // the conversion scan reads with a COMPLETED schema when a key
       // column is missing from the sampled footers — a late-added
       // column deleted on before every file carries it (the
@@ -721,22 +806,33 @@ object LakeDml {
           val r1 = schema.map(r0.schema).getOrElse(r0)
           paths.map(ps => r1.parquet(ps: _*)).getOrElse(r1.parquet(root))
         }
-        val base = rd(None)
-        val missing = cols.filterNot(base.columns.contains)
-        val completed =
-          if (missing.isEmpty) base
-          else {
-            val delSchema = spark.read.parquet(files.map(_.path): _*).schema
-            rd(Some(org.apache.spark.sql.types.StructType(
-              base.schema.fields ++ missing.map(c =>
-                org.apache.spark.sql.types.StructField(c,
-                  delSchema(c).dataType, nullable = true)))))
-          }
-        completed
+        val evo = graft.sources.LakeEvolve.state(spark, root)
+        val completed = evo match {
+          // evolved lake: the request schema already carries every
+          // logical column (late-added ones included) plus the alias
+          // names — and the eq keys bind current names only (a rename
+          // refuses while its column has active eq deletes)
+          case Some(st) => rd(Some(
+            graft.sources.LakeEvolve.requestSchema(spark, root, st)))
+          case None =>
+            val base = rd(None)
+            val missing = cols.filterNot(base.columns.contains)
+            if (missing.isEmpty) base
+            else {
+              val delSchema = spark.read.parquet(files.map(_.path): _*).schema
+              rd(Some(org.apache.spark.sql.types.StructType(
+                base.schema.fields ++ missing.map(c =>
+                  org.apache.spark.sql.types.StructField(c,
+                    delSchema(c).dataType, nullable = true)))))
+            }
+        }
+        val withMeta = completed
           .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
           .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
             "^file:/(?!/)", "file:///"))
           .withColumn("__dpos", col("_metadata.row_index"))
+        evo.map(st => graft.sources.LakeEvolve.project(withMeta, st))
+          .getOrElse(withMeta)
       }
       // candidate set: manifest-pruned (seq + bloom) BEFORE the scan.
       // Under the cap the paths cross the driver and the read OPENS
@@ -786,9 +882,19 @@ object LakeDml {
           s.join(delRows, cond, "left_semi"), op = "fold")
         posRows += n
       }
+      // PER-GROUP commit point: retire this group's eq entries as
+      // soon as its position deletes are registered. A crash
+      // mid-conversion then leaves already-converted groups RETIRED —
+      // a rerun re-processes only the genuinely unconverted ones,
+      // instead of re-scanning every group and appending a duplicate
+      // position-delete batch per retry (reads stayed correct either
+      // way — deletes are a set union — but repeated crash/retry
+      // cycles would grow the registry and the per-read anti-join
+      // input unboundedly until a fold ran). The inert case
+      // (candCount == 0, no position rows to write) retires too: the
+      // group's deletes can affect nothing.
+      LogSync.tombstoneDeleteEntries(spark, root, files.map(_.path))
     }
-    // the commit point: retire the eq entries in one registry swap
-    LogSync.tombstoneDeleteEntries(spark, root, eqs.map(_.path))
     (eqs.length, posRows)
   }
 

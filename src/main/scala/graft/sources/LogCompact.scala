@@ -80,7 +80,20 @@ object LogCompact {
   def compact(spark: SparkSession, root: String,
               maxRecordsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile,
               layout: Option[Seq[String]] = None,
-              clusterBy: Option[Seq[String]] = None): CompactStats = {
+              clusterBy: Option[Seq[String]] = None): CompactStats =
+    compactImpl(spark, root, maxRecordsPerFile, layout, clusterBy, () => ())
+
+  /** [[compact]] with an interleave seam invoked between planning
+    * capture and the rewrite — the spec's handle for proving the
+    * reserved-sequence tie protection under a mid-compaction
+    * row-level commit (production callers use [[compact]]; a real
+    * interleaving hits the same window nondeterministically).
+    */
+  private[graft] def compactImpl(spark: SparkSession, root: String,
+                                 maxRecordsPerFile: Long,
+                                 layout: Option[Seq[String]],
+                                 clusterBy: Option[Seq[String]],
+                                 interleaveForTest: () => Unit): CompactStats = {
     require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
 
     // the CAS base for both swaps below: the versions this rewrite
@@ -99,22 +112,31 @@ object LogCompact {
     // is inert on the rewritten files by path but remains visible to
     // time travel, to vacuumDeletes, and to an operator who can
     // re-issue it, rather than vanishing as if materialized. An
-    // EQUALITY delete committed mid-compaction is NOT protected: its
-    // nextSeq is computed before the compaction registers its output,
-    // so it lands at exactly planningSeq — TYING the restated files'
-    // sequence — and the strictly-below rule makes it inert on the
-    // restated rows (they resurrect). Detecting that tie needs a
-    // reserved-sequence registry entry at planning or a registry CAS,
-    // neither of which a bare filesystem gives; the manifest-swap CAS
-    // ([[LogSync.swapManifest]] expectedVersion) catches interleaved
-    // DATA writers, and the delete registry stays single-writer.
+    // EQUALITY delete committed mid-compaction is protected by the
+    // planning-sequence RESERVATION below: without it, the delete's
+    // nextSeq would compute before the compaction registers its
+    // output and land at exactly planningSeq — TYING the restated
+    // files' sequence, which the strictly-below rule makes inert on
+    // the restated rows (resurrection). The reservation file makes
+    // every commit planned during the rewrite land STRICTLY ABOVE
+    // planningSeq, so an interleaved equality delete keeps applying
+    // to the restated rows; it is released only after the swap (a
+    // crash leaves sequences skipping ahead, never tying). The
+    // manifest-swap CAS ([[LogSync.swapManifest]] expectedVersion)
+    // separately catches interleaved DATA writers.
     val materializedDeletes = LogSync.deleteEntries(spark, root)
     val planningSeq = LogSync.nextSeq(spark, root)
+    val reservation = LogSync.reserveSeq(spark, root, planningSeq)
+    try {
 
     // one job: read old registered files, write consolidated ones. The
     // scan's file list is snapshotted at planning, so the appended
     // output files are not re-read.
     val t = LogSync.table(spark, root)
+    // the adversarial window: the scan above resolved its delete set
+    // eagerly, so a commit injected HERE is invisible to the rewrite
+    // — exactly the interleaving the reservation protects
+    interleaveForTest()
     val current = inferLayout(spark, root)
     val partCols = layout.getOrElse(current).filter(t.columns.contains)
     // DIRECTORY-layout evolution is structurally impossible on a
@@ -202,6 +224,10 @@ object LogCompact {
       LogSync.tombstoneDeleteEntries(spark, root, materializedDeletes.map(_.path))
     before.unpersist(); fresh.unpersist()
     CompactStats(filesBefore, filesAfter)
+    // release even on failure: nothing registered at planningSeq on
+    // an abort, and any commit made while reserved already recorded a
+    // strictly-higher sequence in its registry — reuse stays safe
+    } finally LogSync.releaseSeq(spark, reservation)
   }
 
   /** Delete two classes of garbage, each after its own `graceMs`
@@ -281,6 +307,15 @@ object LogCompact {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_dml_stage_") &&
         s.getModificationTime <= cutoffMs)
       .foreach(s => fs.delete(s.getPath, true))
+    // crashed rewrites' sequence reservations: a stale file only makes
+    // later sequences skip ahead (monotonicity keeps holding), but it
+    // ages out under the same grace rule as every other crash leftover
+    val resDir = new Path(LogSync.reservedSeqDir(root))
+    if (fs.exists(resDir)) {
+      fs.listStatus(resDir).iterator
+        .filter(_.getModificationTime <= cutoffMs)
+        .foreach { s => fs.delete(s.getPath, false); () }
+    }
     val pendingDir = new Path(LogSync.pendingDmlDir(root))
     if (fs.exists(pendingDir)) {
       import spark.implicits._

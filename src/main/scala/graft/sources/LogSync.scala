@@ -459,19 +459,66 @@ object LogSync {
                                      ): Seq[DeleteEntry] =
     deleteEntries(spark, root, asOf).filterNot(_.isEq)
 
+  /** SEQUENCE RESERVATIONS — the registry entry that closes the
+    * compaction/equality-delete interleaving tie: a long-running
+    * rewrite captures its commit sequence at PLANNING, long before its
+    * output registers, and without a reservation a row-level commit
+    * issued in that window computes the SAME nextSeq — an equality
+    * delete landing at exactly the restated files' sequence is inert
+    * on them (strictly-below rule) and its rows resurrect. A
+    * reservation is one tiny file under `<root>/_seq_reserved/`
+    * holding the reserved value; [[nextSeq]] counts it, so every
+    * commit planned while the rewrite runs lands STRICTLY ABOVE the
+    * restated files. Released after the rewrite's swap; a crash
+    * leaves the file, which only makes later sequences skip ahead
+    * (harmless — monotonicity is the invariant, density is not) until
+    * [[LogCompact.vacuum]] ages it out.
+    */
+  private[sources] def reservedSeqDir(root: String) = s"$root/_seq_reserved"
+
+  private[graft] def reservedSeqs(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(reservedSeqDir(root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      val in = fs.open(s.getPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      scala.util.Try(txt.toLong).toOption
+    }
+  }
+
+  private[sources] def reserveSeq(spark: SparkSession, root: String,
+                                  seq: Long): Path = {
+    val p = new Path(reservedSeqDir(root),
+      s"r${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+    p
+  }
+
+  private[sources] def releaseSeq(spark: SparkSession, reservation: Path): Unit = {
+    val fs = reservation.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(reservation, false)
+    ()
+  }
+
   /** The next commit's sequence number: one past the highest ever
-    * assigned across BOTH manifests (data and delete). Two
-    * control-plane aggregates; monotone under the lake's single-writer
-    * rule. Tombstoned rows count too — a sequence must never be
-    * reused even after the file that held it is vacuumed.
+    * assigned across BOTH manifests (data and delete) AND any live
+    * planning reservation ([[reserveSeq]]). Control-plane aggregates
+    * plus one tiny-dir listing; monotone under the lake's
+    * single-writer rule. Tombstoned rows count too — a sequence must
+    * never be reused even after the file that held it is vacuumed.
     */
   private[sources] def nextSeq(spark: SparkSession, root: String): Long = {
     def maxSeq(df: DataFrame): Long =
       if (!df.columns.contains("seq")) 0L
       else Option(df.agg(max(coalesce(col("seq"), lit(0L)))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    math.max(maxSeq(manifestDf(spark, root)),
-      maxSeq(deleteManifestDf(spark, root))) + 1
+    math.max(math.max(maxSeq(manifestDf(spark, root)),
+      maxSeq(deleteManifestDf(spark, root))),
+      reservedSeqs(spark, root).foldLeft(0L)(math.max)) + 1
   }
 
   /** Broadcast the delete rows only while they plausibly fit every
@@ -521,7 +568,9 @@ object LogSync {
     */
   private[sources] def applyDeletes(spark: SparkSession, df: DataFrame,
                                     root: String,
-                                    entries: Seq[DeleteEntry]): DataFrame = {
+                                    entries: Seq[DeleteEntry],
+                                    currentName: String => String = identity
+                                   ): DataFrame = {
     if (entries.isEmpty) return df
     val (eqs, poss) = entries.partition(_.isEq)
     def sized(rel: DataFrame, bytes: Long): DataFrame =
@@ -532,7 +581,13 @@ object LogSync {
         val delRows = spark.read.parquet(poss.map(_.path): _*)
           .select(normPath(col("file_path")).as("__del_file"),
             col("pos").cast("long").as("__del_pos"))
-        df.withColumn("__pos", col("_metadata.row_index"))
+        // an evolved caller pre-materializes the ordinal (its alias
+        // fold ended `_metadata` resolution); everyone else resolves
+        // it here
+        val withPos =
+          if (df.columns.contains("__pos")) df
+          else df.withColumn("__pos", col("_metadata.row_index"))
+        withPos
           .join(sized(delRows, poss.map(_.bytes).sum),
             col("__src") === col("__del_file") &&
               col("__pos") === col("__del_pos"), "left_anti")
@@ -580,7 +635,10 @@ object LogSync {
             .join(broadcast(delSeqRel), col("__eqd_src") === col("__eqd_file"))
             .select(cols.map(c => col(c).as(s"__eqd_$c")) :+
               col("__eq_seq"): _*)
-          val cond = cols.map(c => col(c) <=> col(s"__eqd_$c"))
+          // `currentName` resolves a key recorded under a since-retired
+          // name (a historic/time-travel read on a renamed lake) to
+          // the scan's final column — the values are the same field's
+          val cond = cols.map(c => col(currentName(c)) <=> col(s"__eqd_$c"))
             .reduce(_ && _) && col("__data_seq") < col("__eq_seq")
           acc.join(sized(delRows, files.map(_.bytes).sum), cond, "left_anti")
       }
@@ -761,11 +819,44 @@ object LogSync {
   private def keepOnly(spark: SparkSession, root: String, paths: DataFrame,
                        mergeSchema: Boolean = false,
                        deletes: Seq[DeleteEntry] = Seq.empty): DataFrame = {
-    val kept = spark.read.option("basePath", root)
-      .option("mergeSchema", mergeSchema.toString).parquet(root)
+    // an EVOLVED lake (rename/promote schema log — [[LakeEvolve]])
+    // reads under an explicit request schema (old names at widened
+    // types alongside the new) and folds the alias columns into their
+    // final names AFTER the delete anti-joins. The row ordinal
+    // materializes before the fold because a projection ends
+    // `_metadata` resolution; merge-schema semantics are subsumed (the
+    // request schema IS the union). Never-evolved lakes take the
+    // historical path at the cost of one fs.exists.
+    val evo = LakeEvolve.state(spark, root)
+    val scan = evo match {
+      case Some(st) => spark.read.option("basePath", root)
+        .schema(LakeEvolve.requestSchema(spark, root, st)).parquet(root)
+      case None => spark.read.option("basePath", root)
+        .option("mergeSchema", mergeSchema.toString).parquet(root)
+    }
+    val kept = scan
       .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-    applyDeletes(spark, kept, root, deletes).drop("__src")
+    // the alias fold runs BEFORE the delete anti-joins: an equality
+    // delete committed after a rename binds the NEW name, and must
+    // match pre-rename files' rows through the coalesce (their values
+    // live under the old physical name). The row ordinal materializes
+    // first — a projection ends `_metadata` resolution. Historic eq
+    // entries recorded under a retired name (time-travel reads; live
+    // ones are refused at rename time) map through `currentName`.
+    val projected = evo match {
+      case Some(st) =>
+        val withPos =
+          if (deletes.exists(!_.isEq))
+            kept.withColumn("__pos", col("_metadata.row_index"))
+          else kept
+        LakeEvolve.project(withPos, st)
+      case None => kept
+    }
+    applyDeletes(spark, projected, root, deletes,
+      currentName = evo.map(st => (n: String) => st.currentName(n))
+        .getOrElse(identity[String] _))
+      .drop("__src")
   }
 
   private def filteredTable(spark: SparkSession, root: String,
@@ -894,7 +985,12 @@ object LogSync {
     * marks the FILE retired). Mark with [[deleteHighWaterMark]].
     *
     * Cost ∝ delete commits since the mark + the data files position
-    * deletes target — never lake size.
+    * deletes target; the target-file list crosses the driver only
+    * under `graft.lake.deletesSinceExplicitPathCap` (default
+    * [[LakeDml.DefaultMaxRewriteFiles]]) — past it the read falls
+    * back to a root scan restricted by the delete-row semi-join
+    * (full-read cost, driver-safe), so the driver never holds a
+    * lake-cardinality path list whatever the window width.
     */
   def deletesSince(spark: SparkSession, root: String,
                    since: java.sql.Timestamp,
@@ -923,10 +1019,28 @@ object LogSync {
     val posRows = poss.groupBy(_.op).map { case (op, files) =>
       import spark.implicits._
       val delRows = spark.read.parquet(files.map(_.path): _*)
-      // the targeted data files only — bounded by the deletes' spread
-      val targets = delRows.select(col("file_path")).distinct()
-        .as[String].collect().toSeq
-      val raw = spark.read.option("basePath", root).parquet(targets: _*)
+      // the targeted data files: usually bounded by the deletes'
+      // spread, but that is an EXPECTATION, not an invariant — a wide
+      // retraction window (or a consumer catching up after a long
+      // lag) can target millions of files, so the path list crosses
+      // the driver only under the same capped-planning discipline as
+      // [[LakeDml]]'s affected-file list (the count guards BEFORE the
+      // collect). Under the cap the read OPENS ONLY the target files
+      // — real I/O pruning. Past it, a ROOT scan with the (file, pos)
+      // semi-join below doing the restriction keeps the driver safe
+      // at full-read cost; the join relation is the delete rows
+      // themselves (size-guarded broadcast), never a driver list.
+      val explicitCap = spark.conf
+        .getOption("graft.lake.deletesSinceExplicitPathCap").map(_.toLong)
+        .getOrElse(LakeDml.DefaultMaxRewriteFiles.toLong)
+      val targetRel = delRows.select(col("file_path")).distinct()
+      val nTargets = targetRel.count()
+      val raw = (if (nTargets <= explicitCap) {
+        val targets = targetRel.as[String].collect().toSeq
+        spark.read.option("basePath", root).parquet(targets: _*)
+      } else {
+        spark.read.option("basePath", root).parquet(root)
+      })
         .withColumn("__src", normPath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
       val keyRel = delRows.select(normPath(col("file_path")).as("__del_file"),
@@ -939,12 +1053,20 @@ object LogSync {
         .withColumn("__delete_kind", lit("pos"))
         .withColumn("__delete_op", lit(op))
     }
+    // a key recorded under a since-retired name (the delete file's
+    // physical column) surfaces under the CURRENT name — the same
+    // field, renamed after the retraction
+    val evoCur = LakeEvolve.state(spark, root)
+      .map(st => (n: String) => st.currentName(n)).getOrElse(identity[String] _)
     val eqRows = eqs.groupBy(e => (e.eqCols, e.op)).map {
       case ((keyCols, op), files) =>
+        val physOf = keyCols.map(k => evoCur(k) -> k).toMap
         spark.read.parquet(files.map(_.path): _*)
           .select(tableCols.map { f =>
-            if (keyCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            physOf.get(f.name) match {
+              case Some(phys) => col(phys).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
           }: _*)
           .withColumn("__delete_kind", lit("eq"))
           .withColumn("__delete_op", lit(op))
@@ -1016,7 +1138,11 @@ object LogSync {
         .select(normPath(col("path")).as("__registered_path"))
       val snapshot = keepOnly(spark, root, keepPaths,
         deletes = deleteEntries(spark, root, Some(ts)).filter(_.seq < delSeq))
-      val cond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      // a key recorded under a retired name matches the snapshot's
+      // CURRENT column (the snapshot reads under the evolved schema)
+      val snapCur = LakeEvolve.state(spark, root)
+        .map(st => (n: String) => st.currentName(n)).getOrElse(identity[String] _)
+      val cond = keyCols.map(c => col(snapCur(c)) <=> col(s"__k_$c")).reduce(_ && _)
       snapshot.join(sizedKeys, cond, "left_semi")
         .withColumn("__delete_kind", lit("eq"))
         .withColumn("__delete_op", lit(op))

@@ -15,9 +15,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * directory grows with stream lifetime. [[prune]] removes everything
   * `retain` batches behind the one just written, keeping the dir
   * O(retain) for the stream's whole life. `retain` is deliberately
-  * enormous relative to any real replay window (the engine never
-  * replays thousands of batches back on one checkpoint) — the point
-  * is boundedness, not tightness.
+  * enormous relative to the ENGINE's replay window (on one unbroken
+  * checkpoint, Structured Streaming replays at most the uncommitted
+  * tail) — but a checkpoint RESTORED further back than `retain`
+  * (manual recovery, rollback) replays batches whose markers were
+  * pruned, and each re-applies. That trade is the caller's to size:
+  * the sinks surface `retain` on their start() signatures
+  * ([[LakeIngest.start]]/[[CdcApply.start]] `markerRetain`) with the
+  * caveat documented there.
   */
 private[streaming] object BatchMarkers {
 

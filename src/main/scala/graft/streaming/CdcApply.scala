@@ -54,9 +54,23 @@ object CdcApply {
   val OpUpdate = "U"
   val OpDelete = "D"
 
+  /** `markerRetain` bounds the idempotence-marker directory
+    * ([[BatchMarkers]]): markers more than `markerRetain` batches
+    * behind the newest are pruned. CHECKPOINT-RESTORE CAVEAT: pruning
+    * trades away idempotence beyond the window — restoring a
+    * checkpoint more than `markerRetain` batches back (manual
+    * recovery, checkpoint rollback) replays batches whose markers are
+    * gone, and each re-applies as a fresh CDC commit. The TABLE still
+    * converges (re-upserting retracts the first copy through the
+    * fresh equality delete; re-deleting matches nothing) but commit
+    * history and the changelog surfaces carry the duplicates — an
+    * operator planning deep checkpoint rollbacks should raise
+    * `markerRetain` past the deepest rollback they'd perform.
+    */
   def start(changes: DataFrame, root: String, keys: Seq[String],
             checkpoint: String, opCol: String = "op",
-            seqCol: Option[String] = None): StreamingQuery = {
+            seqCol: Option[String] = None,
+            markerRetain: Long = BatchMarkers.DefaultRetain): StreamingQuery = {
     require(keys.nonEmpty, "CdcApply needs at least one key column")
     require(checkpoint.nonEmpty,
       "CdcApply.start needs a durable checkpointLocation: batch markers " +
@@ -69,8 +83,9 @@ object CdcApply {
         if (!BatchMarkers.exists(fs, dir, batchId)) {
           applyBatch(batch, root, keys, opCol, seqCol)
           // marker + dead-tail prune: the dir stays bounded for the
-          // stream's whole life (see [[BatchMarkers]])
-          BatchMarkers.commit(fs, dir, batchId)
+          // stream's whole life (see [[BatchMarkers]] and the
+          // checkpoint-restore caveat on [[start]])
+          BatchMarkers.commit(fs, dir, batchId, markerRetain)
         }
         ()
       }

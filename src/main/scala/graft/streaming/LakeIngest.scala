@@ -45,9 +45,19 @@ object LakeIngest {
     * idempotent (it diffs the manifest against its own processed set),
     * so replays and missed refreshes self-heal on the next batch.
     */
+  /** `markerRetain` bounds the idempotence-marker directory
+    * ([[BatchMarkers]]): markers more than `markerRetain` batches
+    * behind the newest are pruned. CHECKPOINT-RESTORE CAVEAT: a
+    * checkpoint restored more than `markerRetain` batches back
+    * (manual recovery, rollback) replays batches whose markers are
+    * gone, and each re-appends — silent duplicate rows. An operator
+    * planning deep rollbacks should raise `markerRetain` past the
+    * deepest rollback they'd perform, or deduplicate downstream.
+    */
   def start(logs: DataFrame, root: String, checkpoint: String,
             layout: Seq[String] = LogWriter.DailyLayout,
-            maintainRollup: Boolean = false): StreamingQuery = {
+            maintainRollup: Boolean = false,
+            markerRetain: Long = BatchMarkers.DefaultRetain): StreamingQuery = {
     require(checkpoint.nonEmpty,
       "LakeIngest.start needs a durable checkpointLocation: batch markers " +
         "are only meaningful relative to a persistent batchId sequence")
@@ -60,8 +70,9 @@ object LakeIngest {
           LogWriter.write(batch, root, layout = layout)
           LogSync.sync(spark, root)
           // marker + dead-tail prune: the dir stays bounded for the
-          // stream's whole life (see [[BatchMarkers]])
-          BatchMarkers.commit(fs, dir, batchId)
+          // stream's whole life (see [[BatchMarkers]] and the
+          // checkpoint-restore caveat on [[start]])
+          BatchMarkers.commit(fs, dir, batchId, markerRetain)
         }
         if (maintainRollup) graft.sources.Rollup.refresh(spark, root)
         ()

@@ -516,7 +516,7 @@ class IcebergExportSpec extends SparkSpec {
     assert(cur.filter(col("deploy_id").isNull).count() == 100,
       "pre-evolution rows surface null for the late column")
     // the sidecar itself is append-only on disk
-    val sidecar = readText(new org.apache.hadoop.fs.Path(s"$root/_field_ids"))
+    val sidecar = readText(IcebergExport.fieldIdSidecarCurrent(spark, root)._2)
     assert(sidecar.contains("deploy_id\t"),
       s"late column must be appended to the persisted id map: $sidecar")
   }

@@ -740,6 +740,111 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0)
   }
 
+  test("convertEqDeletes: per-group commit survives a crash mid-loop — retired groups stay retired") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_eqconvcrash").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(60)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    // two groups; processing order is deterministic by column set:
+    // "severity_text" sorts before "span_id", so severity converts
+    // first and span_id second
+    LakeDml.deleteEq(spark, root, Seq("view").toDF("severity_text"))
+    LakeDml.deleteEq(spark, root, Seq("e1", "e2").toDF("span_id"))
+    // simulate a crash INSIDE the second group: its delete parquet
+    // vanishes from disk, so the group's conversion scan fails after
+    // the first group already committed
+    val spanEntry = LogSync.deleteEntries(spark, root)
+      .find(e => e.isEq && e.eqCols == Seq("span_id")).get
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(spanEntry.path), false)
+    intercept[Exception] { LakeDml.convertEqDeletes(spark, root) }
+    // the first group's eq entries are RETIRED despite the crash —
+    // tombstoned in their own per-group swap, its position rows
+    // registered; the crashed group alone stays active for the rerun.
+    // (Pre-fix behavior — one registry swap at the very end — would
+    // leave BOTH groups active and every rerun would re-convert and
+    // re-append the first group's position rows.)
+    val leftEq = LogSync.deleteEntries(spark, root).filter(_.isEq)
+    assert(leftEq.map(_.eqCols) == Seq(Seq("span_id")),
+      s"only the crashed group may stay active: ${leftEq.map(_.eqCols)}")
+    assert(LogSync.deleteEntries(spark, root).exists(e =>
+      !e.isEq && e.op == "fold"),
+      "the committed group's position rows must be registered")
+  }
+
+  test("deletesSince pos path: forced cap-0 root-scan agrees with the explicit-path read") {
+    import graft.sources.LakeDml
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_delcap").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(120)
+      .select(col("ts").as("timestamp"),
+        concat(lit("s"), col("user_id") % 3).as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(3).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val mark0 = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    LakeDml.deleteMor(spark, root, col("severity_text") === "view")
+    def read() = LogSync.deletesSince(spark, root, mark0)
+      .select("span_id").as[String].collect().sorted.toSeq
+    val explicit = read()
+    assert(explicit.nonEmpty)
+    // cap 0 forces the no-driver-path fallback: root scan restricted
+    // by the (file, pos) semi-join — must agree row-for-row
+    spark.conf.set("graft.lake.deletesSinceExplicitPathCap", "0")
+    val viaRoot =
+      try read()
+      finally spark.conf.unset("graft.lake.deletesSinceExplicitPathCap")
+    assert(viaRoot == explicit,
+      "the capped fallback must surface exactly the same retractions")
+  }
+
+  test("compact: an interleaved eq delete lands above the restated files — no resurrection") {
+    import graft.sources.{LakeDml, LogCompact}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_seqtie").toString
+    Tables.events(spark, sf).orderBy(col("event_id")).limit(80)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(4).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val nBefore = LogSync.table(spark, root).count()
+    // the race the planning reservation exists for: the compaction
+    // scan is already frozen (its delete set resolved) when a CDC
+    // retraction commits. Without the reservation the delete's
+    // nextSeq TIES the restated files' planning sequence and the
+    // strictly-below rule resurrects e5/e6 in the compacted files.
+    LogCompact.compactImpl(spark, root,
+      graft.sources.LogWriter.DefaultMaxRecordsPerFile, None, None,
+      () => { LakeDml.deleteEq(spark, root, Seq("e5", "e6").toDF("span_id")); () })
+    val t = LogSync.table(spark, root)
+    assert(t.filter(col("span_id").isin("e5", "e6")).count() == 0,
+      "rows retracted mid-compaction must stay retracted (no resurrection)")
+    assert(t.count() == nBefore - 2)
+    // structurally: the interleaved delete's sequence sits STRICTLY
+    // ABOVE the restated files' (reservation honored), and compact
+    // did not tombstone it (registered after the planning capture)
+    val delSeq = LogSync.deleteEntries(spark, root).filter(_.isEq).map(_.seq).max
+    val restatedSeq = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull && col("op") === "rewrite")
+      .agg(max(col("seq"))).head().getLong(0)
+    assert(delSeq > restatedSeq,
+      s"delete seq $delSeq must exceed the restated files' $restatedSeq")
+    // the reservation is released after the swap — nothing lingers
+    assert(LogSync.reservedSeqs(spark, root).isEmpty)
+  }
+
   test("eq-delete sequence attach: forced-shuffle path agrees with the broadcast path") {
     import graft.sources.LakeDml
     import spark.implicits._
