@@ -96,6 +96,8 @@ object SparkEntry {
     "lake_iceberg_merge"  -> (LakeAnalytics.mergeMorSeverity _),
     "lake_iceberg_eqdml"  -> (LakeAnalytics.eqMorSeverity _),
     "lake_cdc_apply"      -> (LakeAnalytics.cdcApplySeverity _),
+    "lake_evolve"         -> (LakeAnalytics.evolveSeverity _),
+    "lake_spec_evolve"    -> (LakeAnalytics.specEvolveSeverity _),
     "lake_retention"      -> (LakeAnalytics.retentionSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
@@ -1119,6 +1121,50 @@ object SparkEntry {
         |  SELECT 'svc-9' AS service_name, 'replayed' AS severity_text
         |  FROM events WHERE user_id % 10 = 9 AND event_type = 'signup'
         |) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // SCHEMA EVOLUTION: severity_text renamed to severity (id-bound,
+    // metadata-only) and severity_number promoted int→long mid-chain;
+    // 'cur' reads both generations folded under the new schema (the
+    // post-evolution batch re-lands svc-0/1/2 as 'evolved' twins),
+    // 'pre' time-travels to the pre-evolution snapshot under the
+    // current schema via the name-mapping alias
+    "lake_evolve" ->
+      """WITH sev AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        |    event_type,
+        |    CASE WHEN event_type = 'error' THEN 17
+        |         WHEN event_type = 'signup' THEN 13
+        |         WHEN event_type = 'purchase' THEN 9
+        |         WHEN event_type = 'view' THEN 9 ELSE 5 END AS sev_num,
+        |    user_id
+        |  FROM events)
+        |SELECT phase, service_name, severity, n, sum_sev FROM (
+        |  SELECT 'cur' AS phase, service_name, event_type AS severity,
+        |    count(*) AS n, CAST(sum(sev_num) AS BIGINT) AS sum_sev
+        |  FROM sev GROUP BY 1,2,3
+        |  UNION ALL
+        |  SELECT 'cur', service_name, 'evolved', count(*),
+        |    CAST(sum(sev_num) AS BIGINT)
+        |  FROM sev WHERE user_id % 10 < 3 GROUP BY 1,2,3
+        |  UNION ALL
+        |  SELECT 'pre', service_name, event_type, count(*),
+        |    CAST(sum(sev_num) AS BIGINT)
+        |  FROM sev GROUP BY 1,2,3
+        |) ORDER BY phase, service_name, severity""".stripMargin,
+    // PARTITION-SPEC EVOLUTION: the hourly generation (svc-0/1, spec 0)
+    // plus its daily-layout 'daily' twins (spec 2) — hour comes from
+    // dirs for the former and the data column for the latter, read
+    // through one two-spec chain
+    "lake_spec_evolve" ->
+      """SELECT service_name, hour, severity_text, n FROM (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |    event_type AS severity_text, count(*) AS n
+        |  FROM events WHERE user_id % 10 IN (0, 1) GROUP BY 1,2,3
+        |  UNION ALL
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR),
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER), 'daily', count(*)
+        |  FROM events WHERE user_id % 10 IN (0, 1) GROUP BY 1,2,3
+        |) ORDER BY service_name, hour, severity_text""".stripMargin,
     "lake_iceberg_mor" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
         |FROM nation WHERE n_nationkey NOT IN (2, 7, 11, 14)

@@ -667,6 +667,111 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val evolveBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose schema EVOLVED mid-chain, id-bound
+    * ([[graft.sources.LakeEvolve]]): export #1 under the original
+    * schema, then `severity_text` RENAMES to `severity` (metadata-only,
+    * same field id) and `severity_number` PROMOTES int → long
+    * (widening), then a post-evolution batch (svc-0/1/2 twins, severity
+    * 'evolved', `ev2-` keys, severity_number written wide) lands under
+    * the new shape, then export #2 — a DELTA that mints schema-id 1,
+    * keeps snapshot history, and aliases the retired name in the
+    * spec's name-mapping. No data file is rewritten at any point: the
+    * pre-rename files keep `severity_text`/int32 physically forever.
+    */
+  private[graft] def evolveRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(evolveBuilt, dir, "graft_lakeevolve", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      graft.sources.LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+      graft.sources.LakeEvolve.promoteColumn(spark, root, "severity_number",
+        org.apache.spark.sql.types.LongType)
+      val batch2 = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .filter(col("service_name").isin("svc-0", "svc-1", "svc-2"))
+        .withColumnRenamed("severity_text", "severity")
+        .withColumn("severity", lit("evolved"))
+        .withColumn("severity_number", col("severity_number").cast("long"))
+        .withColumn("span_id", concat(lit("ev2-"), col("span_id")))
+      LogWriter.write(batch2, root, layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** `lake_evolve`: severity counts AND the promoted column's sum,
+    * through the exported chain of [[evolveRoot]] — both the CURRENT
+    * read (old + new generations folded under the renamed column, the
+    * int32 generation widening into the long sum) and the
+    * PRE-EVOLUTION snapshot (time travel under the current schema,
+    * resolved through the name-mapping alias). One hash certifies:
+    * the metadata-only rename, the widening promotion, forward writes
+    * under the new shape, the schema-history delta export, and both
+    * external reads.
+    */
+  def evolveSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = evolveRoot(spark, dir)
+    val snaps = graft.sources.IcebergExport.snapshots(spark, root)
+    val first = snaps.find(_._3.isEmpty).getOrElse(snaps.minBy(_._2))
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy(col("service_name"), col("severity"))
+        .agg(count(lit(1)).as("n"), sum(col("severity_number")).as("sum_sev"))
+        .withColumn("phase", lit(phase))
+    agg(graft.sources.IcebergExport.readTable(spark, root), "cur")
+      .unionByName(agg(graft.sources.IcebergExport.readTable(spark, root,
+        Some(graft.sources.IcebergExport.BySnapshotId(first._1))), "pre"))
+      .select(col("phase"), col("service_name"), col("severity"),
+        col("n"), col("sum_sev"))
+      .orderBy(col("phase"), col("service_name"), col("severity"))
+  }
+
+  private val specEvolveBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose DIRECTORY LAYOUT flipped mid-chain — hourly
+    * (`service/year/month/day/hour` dirs) to daily (`hour` kept as a
+    * data column), the exact knob [[LogWriter.DailyLayout]] exposes:
+    * export #1 describes the hourly generation under spec-id 0;
+    * the daily batch (svc-0/1 'daily' twins, `ev2-` keys) lands at a
+    * different directory depth, and export #2 mints spec-id 2 for it
+    * (partition-spec EVOLUTION: the carried manifests keep spec 0,
+    * partition-field ids are reused by name, `default-spec-id` moves
+    * to the newest generation) while retaining snapshot history — no
+    * restatement, no data rewrite. The mixed root is structurally
+    * unreadable by Spark's own directory discovery (conflicting
+    * depths), so the chain read is manifest-driven end to end.
+    */
+  private[graft] def specEvolveRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(specEvolveBuilt, dir, "graft_lakespecs", spark) { root =>
+      val two = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .filter(col("service_name").isin("svc-0", "svc-1"))
+      LogWriter.write(two, root, layout = LogWriter.HourlyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+      val daily = two
+        .withColumn("severity_text", lit("daily"))
+        .withColumn("span_id", concat(lit("ev2-"), col("span_id")))
+      LogWriter.write(daily, root, layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.IcebergExport.export(spark, root)
+    }
+
+  /** `lake_spec_evolve`: severity counts BY HOUR through the exported
+    * two-spec chain of [[specEvolveRoot]] — the hour value comes from
+    * the MANIFEST partition record for the hourly generation and from
+    * the DATA column for the daily one (coalesced per file by the
+    * multi-spec reader), so the hash-match certifies partition-spec
+    * evolution end to end: per-manifest spec resolution, the
+    * dir-vs-data coalesce, default-spec movement, and
+    * history-retaining delta export across a layout flip.
+    */
+  def specEvolveSeverity(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergExport.readTable(spark, specEvolveRoot(spark, dir))
+      .groupBy(col("service_name"), col("hour").cast("int").as("hour"),
+        col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("hour"), col("severity_text"))
+
   private val retentionBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake aged past its retention policy and expired

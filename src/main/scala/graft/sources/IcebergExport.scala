@@ -80,15 +80,32 @@ object IcebergExport {
 
   private[graft] final case class Field(id: Int, name: String, tpe: String)
 
+  /** One DATA partition spec of the export: its spec-id, the ordered
+    * identity columns (a file's `k=v` directory key list), and each
+    * field's partition-field id (stable across specs — the same
+    * column keeps its id in every spec that carries it, per the v2
+    * rule that partition field ids are assigned once, table-wide).
+    */
+  private[graft] final case class SpecDef(id: Int, cols: Seq[String],
+                                          fieldIds: Seq[Int],
+                                          rawFieldsJson: Option[String] = None)
+
   /** The exported table state, resolved once per export. `seq` on
     * both files and deletes is the INTERNAL commit sequence — the
     * ordering the export's snapshot grouping must preserve externally.
+    * `specs` is the full DATA partition-spec registry (a lake whose
+    * directory layout changed mid-life carries one spec per layout
+    * generation — Iceberg's partition-spec evolution); each file
+    * binds the spec matching its own directory key list, and
+    * `defaultSpecId` is the newest generation's.
     */
   private final case class State(fields: Seq[Field], partCols: Seq[String],
                                  deletes: Seq[LogSync.DeleteEntry],
-                                 files: Seq[FileEntry])
+                                 files: Seq[FileEntry],
+                                 specs: Seq[SpecDef], defaultSpecId: Int)
   private final case class FileEntry(uri: String, size: Long, rows: Long,
-                                     partValues: Seq[String], seq: Long = 0L)
+                                     partValues: Seq[String], seq: Long = 0L,
+                                     specId: Int = 0)
 
   /** Canonical URI for exported metadata: bare local paths gain the
     * `file://` scheme (external readers need absolute URIs); any
@@ -321,9 +338,15 @@ object IcebergExport {
     val typeOf = physical.fields.map(f => f.name -> icebergType(f.dataType)).toMap
     // sidecar order IS id order; names absent from the current merge
     // (a wiped-and-rebuilt fixture) keep their ids reserved but don't
-    // surface as schema fields
+    // surface as schema fields. A name that is ALSO a partition-dir
+    // key in some layout generation (a layout flip moves a column
+    // between dirs and data — daily files carry `hour` as data, the
+    // hourly generation stripped it into dirs) surfaces ONCE, as the
+    // partition-source field below, keeping the id it had when it was
+    // dir-only — ids never move.
     val dataFields = assigned.collect {
-      case (n, id, _) if typeOf.contains(n) => Field(id, n, typeOf(n))
+      case (n, id, _) if typeOf.contains(n) && !partCols.contains(n) =>
+        Field(id, n, typeOf(n))
     }
     // partition-directory columns get ids from a FIXED base, not
     // appended after the data columns: a later add-column evolution
@@ -381,7 +404,14 @@ object IcebergExport {
     })
   }
 
-  private def resolve(spark: SparkSession, root: String): State = {
+  /** The reserved spec-id of the UNPARTITIONED spec row-level delete
+    * manifests are written under. Data specs mint around it (0, then
+    * 2, 3, …) so a layout generation can never collide with it.
+    */
+  private[graft] val DeleteSpecId = 1
+
+  private def resolve(spark: SparkSession, root: String,
+                      prevMd: Option[IcebergJson.V]): State = {
     val conf = spark.sparkContext.hadoopConfiguration
     val active = activePaths(spark, root)
     val (allFields, partCols) = schemaFieldsFor(spark, root, active)
@@ -390,6 +420,55 @@ object IcebergExport {
       .filter(col("removed_at").isNull)
       .select(col("path"), coalesce(col("seq"), lit(0L))).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // ---- PARTITION-SPEC REGISTRY (spec evolution) ----
+    // Each file binds the spec whose column list IS its own directory
+    // key list; a layout the registry hasn't seen mints the next
+    // spec-id (skipping the reserved delete spec). Prior ids and
+    // partition-FIELD ids carry forward from the previous metadata —
+    // both are immutable once published, so carried manifests stay
+    // resolvable. A restatement restarts the registry (consistent
+    // with its schema restart: nothing references the old entries).
+    val prevSpecs: Seq[SpecDef] = prevMd.toSeq.flatMap { md =>
+      md.opt("partition-specs").map(_.arr).getOrElse(Vector.empty).flatMap { s =>
+        val id = s("spec-id").long.toInt
+        val fields = s("fields").arr
+        // identity-only specs participate in layout matching; the
+        // empty delete spec is excluded (a genuinely unpartitioned
+        // DATA generation lives at spec-id 0, never 1)
+        if (id == DeleteSpecId) None
+        else if (fields.forall(_("transform").str == "identity"))
+          Some(SpecDef(id, fields.map(_("name").str).toSeq,
+            fields.map(_("field-id").long.toInt).toSeq))
+        else
+          // opaque (externally-minted transform spec): carried
+          // verbatim in the metadata, never matched by a layout
+          Some(SpecDef(id, Seq.empty, Seq.empty,
+            Some(IcebergJson.render(s("fields")))))
+      }
+    }
+    var specs = prevSpecs
+    var partFieldIdOf: Map[String, Int] =
+      prevSpecs.flatMap(s => s.cols.zip(s.fieldIds)).toMap
+    def specFor(layout: Seq[String]): Int =
+      specs.find(s => s.rawFieldsJson.isEmpty && s.cols == layout)
+        .map(_.id).getOrElse {
+        val id =
+          if (specs.isEmpty) 0
+          else math.max(specs.map(_.id).max + 1, 2) match {
+            case DeleteSpecId => DeleteSpecId + 1
+            case other => other
+          }
+        val nextFieldId = (999 +: partFieldIdOf.values.toSeq).max + 1
+        var minted = 0
+        val fieldIds = layout.map { c =>
+          partFieldIdOf.getOrElse(c, { val v = nextFieldId + minted; minted += 1
+            partFieldIdOf += c -> v; v })
+        }
+        specs = specs :+ SpecDef(id, layout, fieldIds)
+        id
+      }
+
     val files = active.map { p =>
       val fsPath = new Path(p) // scheme-aware: resolves the file's own FS
       val fs = fsPath.getFileSystem(conf)
@@ -399,14 +478,23 @@ object IcebergExport {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
                  finally reader.close()
-      val segs = partSegments(root, p).toMap
-      FileEntry(fileUri(p), size, rows, partCols.map(c => segs.getOrElse(c, null)),
-        seqOf.getOrElse(p, 0L))
+      val segs = partSegments(root, p)
+      val layout = segs.map(_._1)
+      val segMap = segs.toMap
+      FileEntry(fileUri(p), size, rows, layout.map(segMap), seqOf.getOrElse(p, 0L),
+        specFor(layout))
     }
+    // the default spec is the NEWEST generation's: the layout of the
+    // file with the highest commit sequence (path breaks ties) — the
+    // same newest-wins rule as LogCompact.inferLayout
+    val defaultSpecId =
+      if (files.isEmpty) specFor(Seq.empty)
+      else files.maxBy(f => (f.seq, f.uri)).specId
     // active MOR delete files (position AND equality) ride along with
     // their manifest-recorded stats and sequence numbers (no footer
     // reads — LakeDml statted them at write time)
-    State(allFields, partCols, LogSync.deleteEntries(spark, root), files)
+    State(allFields, partCols, LogSync.deleteEntries(spark, root), files,
+      specs, defaultSpecId)
   }
 
   // ---- Iceberg schema / spec JSON fragments (shared by
@@ -417,10 +505,10 @@ object IcebergExport {
       fields.map(f => s"""{"id":${f.id},"name":${jstr(f.name)},"required":false,"type":${jstr(f.tpe)}}""")
         .mkString(",")}]}"""
 
-  private def specFieldsJson(st: State): String =
-    st.partCols.zipWithIndex.map { case (c, i) =>
+  private def specFieldsJson(st: State, spec: SpecDef): String =
+    spec.cols.zip(spec.fieldIds).map { case (c, fid) =>
       val src = st.fields.find(_.name == c).get.id
-      s"""{"name":${jstr(c)},"transform":"identity","source-id":$src,"field-id":${1000 + i}}"""
+      s"""{"name":${jstr(c)},"transform":"identity","source-id":$src,"field-id":$fid}"""
     }.mkString("[", ",", "]")
 
   /** The spec's name-mapping: each field id with EVERY name it has
@@ -440,13 +528,13 @@ object IcebergExport {
   // manifest/manifest-list tables; names follow the reference Java
   // implementation so existing readers resolve them) ----
 
-  private def partitionRecordSchema(st: State): String =
+  private def partitionRecordSchema(spec: SpecDef): String =
     s"""{"type":"record","name":"r102","fields":[${
-      st.partCols.zipWithIndex.map { case (c, i) =>
-        s"""{"name":${jstr(c)},"type":["null","string"],"default":null,"field-id":${1000 + i}}"""
+      spec.cols.zip(spec.fieldIds).map { case (c, fid) =>
+        s"""{"name":${jstr(c)},"type":["null","string"],"default":null,"field-id":$fid}"""
       }.mkString(",")}]}"""
 
-  private def manifestEntrySchema(st: State): Schema = new Schema.Parser().parse(
+  private def manifestEntrySchema(spec: SpecDef): Schema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
        |{"name":"status","type":"int","field-id":0},
        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -456,7 +544,7 @@ object IcebergExport {
        |  {"name":"content","type":"int","field-id":134},
        |  {"name":"file_path","type":"string","field-id":100},
        |  {"name":"file_format","type":"string","field-id":101},
-       |  {"name":"partition","field-id":102,"type":${partitionRecordSchema(st)}},
+       |  {"name":"partition","field-id":102,"type":${partitionRecordSchema(spec)}},
        |  {"name":"record_count","type":"long","field-id":103},
        |  {"name":"file_size_in_bytes","type":"long","field-id":104}
        |]}}]}""".stripMargin)
@@ -558,7 +646,6 @@ object IcebergExport {
     * drops snapshot history and restarts the schema list at id 0.
     */
   def export(spark: SparkSession, root: String): String = {
-    val st = resolve(spark, root)
     val metaDir = new Path(s"$root/_iceberg/metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(metaDir)
@@ -569,12 +656,14 @@ object IcebergExport {
 
     // previous export, resolved structurally; a corrupt prior chain
     // falls back to a clean full restatement rather than failing the
-    // export
+    // export. Resolved BEFORE the state: the partition-spec registry
+    // carries ids forward from the previous metadata.
     val prev: Option[Chain] =
       if (version > 1 && fs.exists(new Path(metaDir, "version-hint.text")))
         try Some(resolveChain(spark, metaDir))
         catch { case scala.util.control.NonFatal(_) => None }
       else None
+    val st = resolve(spark, root, prev.map(_.md))
     val prevUris = prev.map(_.files.map(f => normUri(f.uri)).toSet).getOrElse(Set.empty)
     val curUris = st.files.map(f => normUri(f.uri)).toSet
     val newFiles = st.files.filterNot(f => prevUris.contains(normUri(f.uri)))
@@ -589,10 +678,13 @@ object IcebergExport {
     val newDeletes = st.deletes.filterNot(d =>
       prevDelUris.contains(normUri(fileUri(d.path))))
     val removedDeletes = prevDelUris -- curDelUris
+    // a LAYOUT change no longer forces a restatement: the state's
+    // spec registry minted a fresh spec-id for the new generation and
+    // carried manifests keep their own (partition-spec evolution) —
+    // only vanished files/deletes still restate
     val deltaEligible = prev.exists(p => p.snapshotId.nonEmpty &&
       p.listRecords.nonEmpty && removed.isEmpty && removedDeletes.isEmpty &&
-      p.partFields.forall(_.transform == "identity") &&
-      p.partFields.map(_.name) == st.partCols)
+      p.partFields.forall(_.transform == "identity"))
     val prevMd = prev.map(_.md)
 
     def writeText(name: String, content: String): Path = {
@@ -700,16 +792,15 @@ object IcebergExport {
         }
       }
 
-    val entrySchema = manifestEntrySchema(st)
-    val dfSchema = entrySchema.getField("data_file").schema()
-    val partSchema = dfSchema.getField("partition").schema()
+    val specById = st.specs.map(s => s.id -> s).toMap
+    val entrySchemas = st.specs.map(s => s.id -> manifestEntrySchema(s)).toMap
     val delDfSchema = deleteEntrySchema.getField("data_file").schema()
     val delPartSchema = delDfSchema.getField("partition").schema()
-    val manifestMeta = Map(
+    def manifestMeta(spec: SpecDef) = Map(
       "schema" -> schemaJson(st.fields, curSchemaId),
       "schema-id" -> curSchemaId.toString,
-      "partition-spec" -> specFieldsJson(st),
-      "partition-spec-id" -> "0",
+      "partition-spec" -> specFieldsJson(st, spec),
+      "partition-spec-id" -> spec.id.toString,
       "format-version" -> "2",
       "content" -> "data")
     val idOf = st.fields.map(f => f.name -> f.id).toMap
@@ -736,15 +827,23 @@ object IcebergExport {
       val snapshotId = now + version.toLong * 1000 + gi
       lastSnapshotId = snapshotId
 
-      // manifest file: one ADDED entry per exported data file of this
-      // bucket. A deletes-only bucket writes no data manifest at all.
-      val manifestPath = new Path(metaDir, f"graft-m$version%05d-$gi.avro")
-      val manifestLen =
-        if (b.files.isEmpty) 0L
-        else writeAvro(spark, manifestPath, entrySchema, manifestMeta,
-          b.files.iterator.map { f =>
+      // manifest files: one per (bucket × partition spec) — a mixed
+      // bucket after a layout flip writes one manifest per layout
+      // generation, each under ITS spec-id (a manifest's entries all
+      // share one partition-record shape). A deletes-only bucket
+      // writes no data manifest at all.
+      val specGroups = b.files.groupBy(_.specId).toSeq.sortBy(_._1)
+      val dataManifests = specGroups.map { case (specId, files) =>
+        val spec = specById(specId)
+        val entrySchema = entrySchemas(specId)
+        val dfSchema = entrySchema.getField("data_file").schema()
+        val partSchema = dfSchema.getField("partition").schema()
+        val manifestPath = new Path(metaDir,
+          f"graft-m$version%05d-$gi-s$specId.avro")
+        val len = writeAvro(spark, manifestPath, entrySchema, manifestMeta(spec),
+          files.iterator.map { f =>
             val part = new GenericData.Record(partSchema)
-            st.partCols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
+            spec.cols.zip(f.partValues).foreach { case (c, v) => part.put(c, v) }
             val d = new GenericData.Record(dfSchema)
             d.put("content", 0)
             d.put("file_path", f.uri)
@@ -760,6 +859,8 @@ object IcebergExport {
             e.put("data_file", d)
             e
           })
+        (manifestPath, len, specId, files)
+      }
 
       // DELETE manifest: content=1 (position) and content=2
       // (equality, with the spec's `equality_ids` naming the key
@@ -775,7 +876,8 @@ object IcebergExport {
         else writeAvro(spark, deleteManifestPath, deleteEntrySchema,
           Map("schema" -> schemaJson(st.fields, curSchemaId),
             "schema-id" -> curSchemaId.toString,
-            "partition-spec" -> "[]", "partition-spec-id" -> "1",
+            "partition-spec" -> "[]",
+            "partition-spec-id" -> DeleteSpecId.toString,
             "format-version" -> "2", "content" -> "deletes"),
           b.deletes.iterator.map { del =>
             val d = new GenericData.Record(delDfSchema)
@@ -807,32 +909,30 @@ object IcebergExport {
       val addedRows = b.files.map(_.rows).sum
       val deletedRows = b.deletes.map(_.rows).sum
       val newListRecords = {
-        val data =
-          if (b.files.isEmpty) Seq.empty
-          else {
-            val r = new GenericData.Record(manifestListSchema)
-            r.put("manifest_path", fileUri(manifestPath.toString))
-            r.put("manifest_length", manifestLen)
-            r.put("partition_spec_id", 0)
-            r.put("content", 0)
-            r.put("sequence_number", seq)
-            r.put("min_sequence_number", seq)
-            r.put("added_snapshot_id", snapshotId)
-            r.put("added_data_files_count", b.files.length)
-            r.put("existing_data_files_count", 0)
-            r.put("deleted_data_files_count", 0)
-            r.put("added_rows_count", addedRows)
-            r.put("existing_rows_count", 0L)
-            r.put("deleted_rows_count", 0L)
-            Seq(r)
-          }
+        val data = dataManifests.map { case (mp, len, specId, files) =>
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", fileUri(mp.toString))
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", specId)
+          r.put("content", 0)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r.put("added_data_files_count", files.length)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          r.put("added_rows_count", files.map(_.rows).sum)
+          r.put("existing_rows_count", 0L)
+          r.put("deleted_rows_count", 0L)
+          r
+        }
         val del =
           if (b.deletes.isEmpty) Seq.empty
           else {
             val r = new GenericData.Record(manifestListSchema)
             r.put("manifest_path", fileUri(deleteManifestPath.toString))
             r.put("manifest_length", deleteManifestLen)
-            r.put("partition_spec_id", 1)
+            r.put("partition_spec_id", DeleteSpecId)
             r.put("content", 1) // DELETES manifest
             r.put("sequence_number", seq)
             r.put("min_sequence_number", seq)
@@ -901,10 +1001,14 @@ object IcebergExport {
          |"last-column-id":${st.fields.map(_.id).max},
          |"current-schema-id":$curSchemaId,
          |"schemas":[$schemasJsonStr],
-         |"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":${specFieldsJson(st)}}${
-           if (st.deletes.nonEmpty) """,{"spec-id":1,"fields":[]}""" else ""}],
-         |"last-partition-id":${999 + st.partCols.length},
+         |"default-spec-id":${st.defaultSpecId},
+         |"partition-specs":[${(st.specs.map(s =>
+             s"""{"spec-id":${s.id},"fields":${
+               s.rawFieldsJson.getOrElse(specFieldsJson(st, s))}}""") ++
+           (if (st.deletes.nonEmpty)
+             Seq(s"""{"spec-id":$DeleteSpecId,"fields":[]}""") else Seq.empty))
+           .mkString(",")}],
+         |"last-partition-id":${(999 +: st.specs.flatMap(_.fieldIds)).max},
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"schema.name-mapping.default":${jstr(nameMappingJson(st.fields,
@@ -1210,7 +1314,7 @@ object IcebergExport {
     * what the distributed attach-map build ships to executors.
     */
   private[graft] final case class ManifestRef(path: String, isDelete: Boolean,
-                                              seq: Long)
+                                              seq: Long, specId: Int = 0)
 
   private[graft] final case class Chain(md: IcebergJson.V,
                                         formatVersion: Int,
@@ -1220,7 +1324,8 @@ object IcebergExport {
                                         listRecords: Seq[GenericRecord],
                                         files: Seq[ChainFile],
                                         deleteFiles: Seq[DeleteFile] = Seq.empty,
-                                        manifests: Seq[ManifestRef] = Seq.empty)
+                                        manifests: Seq[ManifestRef] = Seq.empty,
+                                        specsById: Map[Int, Seq[PartField]] = Map.empty)
 
   private def readText(spark: SparkSession, p: Path): String = {
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
@@ -1312,28 +1417,38 @@ object IcebergExport {
       Field(f("id").int, f("name").str, tpe)
     }
 
-    // default partition spec: identity transforms only
-    val specFields = md.opt("partition-specs") match {
+    // partition specs: ALL of them (spec evolution leaves one per
+    // layout generation; each manifest binds its own via the list
+    // record's partition_spec_id), plus the default for callers that
+    // only need the current layout
+    def parseFields(fields: Vector[IcebergJson.V]): Seq[PartField] =
+      fields.map { f =>
+        val tr = f("transform").str
+        // the spec's transform set: identity attaches as a column; the
+        // time/bucket/truncate families keep their source column in the
+        // data files and carry derived values in the manifests — all
+        // readable; anything unknown would surface wrong rows, so it
+        // rejects loudly
+        require(tr == "identity" || tr == "day" || tr == "hour" ||
+          tr == "month" || tr == "year" || tr == "void" ||
+          tr.matches("bucket\\[[0-9]+\\]") || tr.matches("truncate\\[[0-9]+\\]"),
+          s"unknown partition transform '$tr' on field ${f("name").str}")
+        PartField(f("name").str, f("source-id").int, tr)
+      }
+    val (specsById, defaultSpecId) = md.opt("partition-specs") match {
       case Some(specs) =>
-        val want = md("default-spec-id").long
-        specs.arr.find(_("spec-id").long == want)
-          .getOrElse(sys.error(s"default-spec-id $want has no partition-specs entry"))
-          .apply("fields").arr
-      case None => md.opt("partition-spec").map(_.arr).getOrElse(Vector.empty)
+        val want = md("default-spec-id").long.toInt
+        val byId = specs.arr.map { s =>
+          s("spec-id").long.toInt -> parseFields(s("fields").arr)
+        }.toMap
+        require(byId.contains(want),
+          s"default-spec-id $want has no partition-specs entry")
+        (byId, want)
+      case None =>
+        (Map(0 -> parseFields(
+          md.opt("partition-spec").map(_.arr).getOrElse(Vector.empty))), 0)
     }
-    val partFields = specFields.map { f =>
-      val tr = f("transform").str
-      // the spec's transform set: identity attaches as a column; the
-      // time/bucket/truncate families keep their source column in the
-      // data files and carry derived values in the manifests — all
-      // readable; anything unknown would surface wrong rows, so it
-      // rejects loudly
-      require(tr == "identity" || tr == "day" || tr == "hour" ||
-        tr == "month" || tr == "year" || tr == "void" ||
-        tr.matches("bucket\\[[0-9]+\\]") || tr.matches("truncate\\[[0-9]+\\]"),
-        s"unknown partition transform '$tr' on field ${f("name").str}")
-      PartField(f("name").str, f("source-id").int, tr)
-    }
+    val partFields = specsById(defaultSpecId)
 
     // current snapshot, ANCHORED by id (none / -1 = legal empty
     // table); `asOf` re-anchors on retained history
@@ -1380,22 +1495,32 @@ object IcebergExport {
             val rs = readAvro(spark, lst.str)
             (rs, rs.map { r =>
               val isDelete = has(r, "content") && r.get("content").asInstanceOf[Int] == 1
+              // the record's own spec id (field 502) — a carried
+              // manifest from an earlier layout generation resolves
+              // ITS spec, not the default
+              val specId =
+                if (has(r, "partition_spec_id"))
+                  Option(r.get("partition_spec_id")).map(_.asInstanceOf[Int])
+                    .getOrElse(defaultSpecId)
+                else defaultSpecId
               (r.get("manifest_path").toString, isDelete,
-                longOf(r, "sequence_number").getOrElse(0L))
+                longOf(r, "sequence_number").getOrElse(0L), specId)
             })
           case None =>
-            (Seq.empty[GenericRecord], snap("manifests").arr.map(p => (p.str, false, 0L)))
+            (Seq.empty[GenericRecord],
+              snap("manifests").arr.map(p => (p.str, false, 0L, defaultSpecId)))
         }
-        val refs = manifests.map { case (mp, isDelete, mSeq) =>
-          ManifestRef(mp, isDelete, mSeq)
+        val refs = manifests.map { case (mp, isDelete, mSeq, specId) =>
+          ManifestRef(mp, isDelete, mSeq, specId)
         }
         val walked = refs.map(r =>
           walkManifest(spark.sparkContext.hadoopConfiguration,
-            r.path, r.isDelete, r.seq, partFields))
+            r.path, r.isDelete, r.seq,
+            specsById.getOrElse(r.specId, partFields)))
         (records, walked.flatMap(_._1), walked.flatMap(_._2), refs)
     }
     Chain(md, fv, schemaFields, partFields, snapId, listRecords, files, deletes,
-      manifestRefs)
+      manifestRefs, specsById)
   }
 
   /** Iceberg primitive type name → Spark type (the read-side inverse
@@ -1448,6 +1573,18 @@ object IcebergExport {
     // string form). Sequence numbers need no check here: position
     // deletes bind by exact file path, and paths are never reused.
     if (chain.deleteFiles.exists(d => d.content != 1 || d.partValues.nonEmpty))
+      return readChain(spark, chain)
+    // a MULTI-SPEC table (layout generations differ) cannot take the
+    // lake-scan fast path — for ANY snapshot: Spark's directory
+    // discovery rejects a root mixing partition depths (and the root
+    // stays mixed even when the requested snapshot predates the
+    // flip), and a partition column of one generation is a data
+    // column of another. The manifest-driven [[readChain]] is the
+    // reader for that shape. The registry-level check (metadata
+    // partition-specs minus the reserved delete spec) is the right
+    // signal — per-snapshot file sets can look single-spec while the
+    // directory tree is not.
+    if (chain.specsById.keys.count(_ != DeleteSpecId) > 1)
       return readChain(spark, chain)
     val conf = spark.sparkContext.hadoopConfiguration
     val delEntries = chain.deleteFiles.map { d =>
@@ -1551,11 +1688,24 @@ object IcebergExport {
   private[graft] def readChain(spark: SparkSession, chain: Chain): DataFrame = {
     val typeOf = chain.schemaFields.map(f => f.id -> f.tpe).toMap
     val nameOf = chain.schemaFields.map(f => f.id -> f.name).toMap
+    // partition fields across EVERY spec generation (name-deduped,
+    // default spec first): a spec-evolved chain's old manifests bind
+    // fields the current default no longer carries. `multiSpec` marks
+    // a chain whose files span layout generations — there a partition
+    // column may live in dirs for one generation and in the data for
+    // another, so its value is COALESCED (manifest value when the
+    // file's spec binds it, the data column otherwise).
+    val partFieldsAll = (chain.partFields ++
+      chain.specsById.toSeq.sortBy(_._1).flatMap(_._2))
+      .foldLeft(Seq.empty[PartField]) { (acc, f) =>
+        if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    val multiSpec = chain.files.map(_.partValues.keySet).distinct.size > 1
     // only IDENTITY fields can attach as data columns; transformed
     // fields (day/hour/bucket/...) carry derived values whose source
     // column stays in the data files
-    val identityNames = chain.partFields.filter(_.transform == "identity").map(_.name)
-    val partByName = chain.partFields.map(f => f.name -> f).toMap
+    val identityNames = partFieldsAll.filter(_.transform == "identity").map(_.name)
+    val partByName = partFieldsAll.map(f => f.name -> f).toMap
     if (chain.files.isEmpty) {
       // legal empty table: an empty frame with the declared schema
       val struct = StructType(chain.schemaFields.map(f =>
@@ -1563,7 +1713,7 @@ object IcebergExport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
     }
-    lazy val srcType = chain.partFields.map { f =>
+    lazy val srcType = partFieldsAll.map { f =>
       f.name -> typeOf.getOrElse(f.srcId,
         sys.error(s"partition field ${f.name}: source-id ${f.srcId} not in current schema"))
     }.toMap
@@ -1623,7 +1773,15 @@ object IcebergExport {
     // the manifest attach below is their authoritative source — a
     // null completion here would mask it.
     val chainPaths = chain.files.map(f => fileUri(f.uri))
-    val sampled = spark.read.parquet(chainPaths: _*)
+    // a multi-spec chain's files sit at CONFLICTING directory depths —
+    // Spark's partition inference rejects the mix outright, and its
+    // dir-derived values are redundant here anyway (the manifests are
+    // the authoritative identity-value source), so inference is
+    // disabled and every identity column attaches from the map
+    def reader() =
+      if (multiSpec) spark.read.option("recursiveFileLookup", "true")
+      else spark.read
+    val sampled = reader().parquet(chainPaths: _*)
     val declaredMissing = chain.schemaFields.filter(f =>
       !sampled.schema.fieldNames.contains(f.name) && !identityNames.contains(f.name))
     // RENAAMED columns resolve through the spec's name-mapping: a field
@@ -1651,22 +1809,41 @@ object IcebergExport {
     // the completed schema. The evolved re-read also pins every
     // DECLARED data column to its declared type (a promotion means the
     // sample may have hit a narrow pre-promotion footer).
+    // multi-spec: an identity column stripped into dirs by one
+    // generation but carried as DATA by another can be absent from
+    // the sampled schema (inference hit a stripped file) — complete
+    // it at its OWN physical type, probed from one footer of a file
+    // whose spec does NOT bind it (the declared string type could not
+    // read an int32 data column); no such file → no data side at all,
+    // the manifest attach alone serves it
+    val identityCompletion: Seq[StructField] =
+      if (!multiSpec) Seq.empty
+      else identityNames.filterNot(sampled.schema.fieldNames.contains)
+        .flatMap { n =>
+          chain.files.find(f => !f.partValues.contains(n)).flatMap { f =>
+            spark.read.parquet(fileUri(f.uri)).schema.fields.find(_.name == n)
+          }
+        }
     val raw =
-      if (declaredMissing.isEmpty && aliasesByName.isEmpty) sampled
+      if (declaredMissing.isEmpty && aliasesByName.isEmpty &&
+        identityCompletion.isEmpty) sampled
       else {
         val declaredType = chain.schemaFields
           .map(f => f.name -> sparkTypeFor(f.tpe)).toMap
         val aliasNames = aliasesByName.values.flatten.toSet
         val base = sampled.schema.fields.toSeq
           .filterNot(f => aliasNames.contains(f.name))
-          .map(f => declaredType.get(f.name)
-            .map(t => StructField(f.name, t, nullable = true)).getOrElse(f))
+          .map(f =>
+            if (identityNames.contains(f.name)) f // physical type rules
+            else declaredType.get(f.name)
+              .map(t => StructField(f.name, t, nullable = true)).getOrElse(f))
         val missing = declaredMissing.map(f =>
           StructField(f.name, sparkTypeFor(f.tpe), nullable = true))
         val aliases = aliasesByName.toSeq.sortBy(_._1).flatMap { case (cur, olds) =>
           olds.map(o => StructField(o, declaredType(cur), nullable = true))
         }
-        spark.read.schema(StructType(base ++ missing ++ aliases))
+        reader().schema(StructType(base ++ missing ++
+          identityCompletion ++ aliases))
           .parquet(chainPaths: _*)
       }
     // alias fold (runs before the delete anti-joins — an equality
@@ -1681,8 +1858,13 @@ object IcebergExport {
       }
     // identity-partition columns present IN the data files (many
     // writers keep them) need no attach; hive-style writers strip
-    // them, and for those the manifest values are authoritative
-    val attach = identityNames.filterNot(raw.columns.contains)
+    // them, and for those the manifest values are authoritative. On a
+    // MULTI-SPEC chain a column can be both (dirs in one generation,
+    // data in another), so every identity column attaches and the
+    // final value coalesces manifest-over-data per file.
+    val attach =
+      if (multiSpec) identityNames
+      else identityNames.filterNot(raw.columns.contains)
     val hasDeletes = chain.deleteFiles.nonEmpty
     val posDeletes = chain.deleteFiles.filter(_.content == 1)
     // a partition-scoped delete constrains data rows on the partition
@@ -1706,12 +1888,17 @@ object IcebergExport {
       // file → (partition values, sequence) map, one row per data
       // file, built DISTRIBUTED: executors re-walk the snapshot's
       // data manifests (one task per manifest — the same walkManifest
-      // logic the resolve used) instead of shipping a
-      // driver-materialized O(files) array through one partition. At
-      // million-file scale the map job parallelizes over manifests
-      // and the driver holds only the manifest refs.
+      // logic the resolve used, each under ITS OWN spec) instead of
+      // shipping a driver-materialized O(files) array through one
+      // partition. At million-file scale the map job parallelizes
+      // over manifests and the driver holds only the manifest refs.
+      // On a multi-spec chain the attach columns travel under
+      // `__gp_<name>` so they can coalesce against a same-named data
+      // column; a single-spec chain keeps the bare names (and today's
+      // exact output shape).
+      def mapColName(n: String): String = if (multiSpec) s"__gp_$n" else n
       val mapSchema = StructType((StructField("__graft_file", StringType) +:
-        attach.map(n => StructField(n, StringType, nullable = true))) :+
+        attach.map(n => StructField(mapColName(n), StringType, nullable = true))) :+
         StructField("__graft_seq", LongType, nullable = false))
       val dataManifests = chain.manifests.filterNot(_.isDelete)
       val mapDf =
@@ -1723,20 +1910,25 @@ object IcebergExport {
             spark.sparkContext.parallelize(chain.files.map { f =>
               org.apache.spark.sql.Row.fromSeq(
                 (normUri(f.uri) +: attach.map(n =>
-                  renderVal(f.partValues(n), srcType(n)))) :+ f.seq)
+                  f.partValues.get(n).map(v => renderVal(v, srcType(n))).orNull
+                )) :+ f.seq)
             }, math.max(1, chain.files.length / 10000)), mapSchema)
         else {
           val scm = new org.apache.spark.util.SerializableConfiguration(
             spark.sparkContext.hadoopConfiguration)
-          val pf = chain.partFields
+          // (manifest, its spec's fields) pairs — PartField is a plain
+          // case class, so the per-spec walk ships cleanly
+          val walkSpecs = dataManifests.map(m =>
+            (m.path, m.isDelete, m.seq,
+              chain.specsById.getOrElse(m.specId, chain.partFields)))
           val attachTypes = attach.map(n => n -> srcType(n))
           val rows = spark.sparkContext
-            .parallelize(dataManifests, dataManifests.length)
-            .flatMap { m =>
-              walkManifest(scm.value, m.path, m.isDelete, m.seq, pf)._1.map { f =>
+            .parallelize(walkSpecs, walkSpecs.length)
+            .flatMap { case (mp, isDel, mSeq, pf) =>
+              walkManifest(scm.value, mp, isDel, mSeq, pf)._1.map { f =>
                 org.apache.spark.sql.Row.fromSeq(
                   (normUri(f.uri) +: attachTypes.map { case (n, t) =>
-                    renderVal(f.partValues(n), t)
+                    f.partValues.get(n).map(v => renderVal(v, t)).orNull
                   }) :+ f.seq)
               }
             }
@@ -1752,9 +1944,20 @@ object IcebergExport {
           withFile.withColumn("__graft_pos", col("_metadata.row_index"))
         else withFile
       val joined = foldAliases(withPos).join(broadcast(mapDf), Seq("__graft_file"))
-      attach.foldLeft(joined) { (df, n) =>
-        df.withColumn(n, col(n).cast(sparkTypeFor(srcType(n))))
-      }
+      if (!multiSpec)
+        attach.foldLeft(joined) { (df, n) =>
+          df.withColumn(n, col(n).cast(sparkTypeFor(srcType(n))))
+        }
+      else
+        // per file: the manifest value when the file's spec binds the
+        // column (its data column, if any, is stripped or equal), the
+        // data column otherwise — both under the DECLARED type
+        attach.foldLeft(joined) { (df, n) =>
+          val t = sparkTypeFor(srcType(n))
+          val gp = col(s"__gp_$n").cast(t)
+          val v = if (df.columns.contains(n)) coalesce(gp, col(n).cast(t)) else gp
+          df.withColumn(n, v).drop(s"__gp_$n")
+        }
     }
 
     val afterDeletes: DataFrame = if (!hasDeletes) attached else {

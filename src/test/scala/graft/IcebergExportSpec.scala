@@ -30,6 +30,11 @@ class IcebergExportSpec extends SparkSpec {
     } finally r.close()
   }
 
+  private def readText(p: org.apache.hadoop.fs.Path): String = {
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
   private def buildLake(): String = {
     val root = Files.createTempDirectory("graft_iceberg").toString
     Tables.events(spark, sf).limit(300)
@@ -182,6 +187,61 @@ class IcebergExportSpec extends SparkSpec {
       "file removal must surface as a restated overwrite snapshot")
     assert(IcebergExport.readTable(spark, root).count()
       == LogSync.table(spark, root).count())
+  }
+
+  test("partition-spec evolution: a layout flip mints a new spec, keeps history, reads coalesced") {
+    import graft.sources.LogWriter
+    val root = Files.createTempDirectory("graft_specevo").toString
+    val base = Tables.events(spark, sf).orderBy("event_id").limit(120)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    LogWriter.write(base, root, layout = LogWriter.HourlyLayout)
+    LogSync.sync(spark, root)
+    IcebergExport.export(spark, root)
+    val nHourly = IcebergExport.readTable(spark, root).count()
+    assert(nHourly == 120)
+    // the layout flip: hour becomes a DATA column, day stays a dir
+    LogWriter.write(base.withColumn("span_id", concat(lit("d"), col("span_id")))
+        .withColumn("severity_text", lit("daily")),
+      root, layout = LogWriter.DailyLayout)
+    LogSync.sync(spark, root)
+    IcebergExport.export(spark, root)
+
+    val hint = new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata/version-hint.text")
+    val md = IcebergJson.parse(readText(new org.apache.hadoop.fs.Path(
+      s"$root/_iceberg/metadata/v${readText(hint).trim.toInt}.metadata.json")))
+    val specs = md("partition-specs").arr
+      .map(s => s("spec-id").long.toInt -> s("fields").arr.map(_("name").str))
+    // spec 0 = hourly generation; spec 2 = daily (1 is reserved for
+    // deletes); default moved to the newest generation
+    assert(specs.toMap.get(0).exists(_.contains("hour")),
+      s"hourly spec must survive: $specs")
+    assert(specs.toMap.get(2).exists(ns => !ns.contains("hour") && ns.contains("day")),
+      s"daily spec must mint id 2: $specs")
+    assert(md("default-spec-id").long.toInt == 2)
+    // partition-field ids are REUSED by name across specs
+    val fieldIdOf = md("partition-specs").arr.flatMap(s =>
+      s("fields").arr.map(f => (s("spec-id").long.toInt, f("name").str) -> f("field-id").long))
+      .toMap
+    assert(fieldIdOf((0, "day")) == fieldIdOf((2, "day")),
+      "the same column keeps its partition-field id in every spec")
+    // history retained: the flip was a DELTA, not a restatement
+    assert(md("snapshots").arr.length == 2)
+
+    // the mixed chain reads as one table; hour resolves from DIRS for
+    // the hourly generation and from the DATA column for the daily one
+    val t = IcebergExport.readTable(spark, root)
+    assert(t.count() == 240)
+    val wrongHour = t.filter(
+      col("hour").cast("int") =!= hour(col("timestamp"))).count()
+    assert(wrongHour == 0, s"hour must coalesce correctly per generation: $wrongHour")
+    assert(t.filter(col("severity_text") === "daily").count() == 120)
+    // time travel to the pre-flip snapshot still resolves spec 0
+    val first = IcebergExport.snapshots(spark, root).find(_._3.isEmpty).get
+    assert(IcebergExport.readTable(spark, root,
+      Some(IcebergExport.BySnapshotId(first._1))).count() == 120)
   }
 
   test("expireMetadata: bounded metadata, trimmed history, current chain untouched") {
