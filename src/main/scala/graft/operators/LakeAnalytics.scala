@@ -743,8 +743,15 @@ object LakeAnalytics {
     */
   private[graft] def specEvolveRoot(spark: SparkSession, dir: String): String =
     graft.sources.FixtureBuild.once(specEvolveBuilt, dir, "graft_lakespecs", spark) { root =>
+      // one service × a 5-day window: the hourly generation is
+      // ≤120 partition cells — enough to exercise every multi-spec
+      // mechanism while the per-query chain read stays file-count
+      // bounded at any sf (hourly cells only make sense when they
+      // hold file-sized data; see LogWriter.DailyLayout's note)
       val two = OtlpLogs.parse(payloads(spark, dir), col("payload"))
-        .filter(col("service_name").isin("svc-0", "svc-1"))
+        .filter(col("service_name") === "svc-0" &&
+          year(col("timestamp")) === 2024 && month(col("timestamp")) === 1 &&
+          dayofmonth(col("timestamp")).between(10, 14))
       LogWriter.write(two, root, layout = LogWriter.HourlyLayout)
       LogSync.sync(spark, root)
       graft.sources.IcebergExport.export(spark, root)

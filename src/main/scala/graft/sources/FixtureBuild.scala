@@ -15,7 +15,7 @@ object FixtureBuild {
     * part of the directory key, so stale fixtures from an older build
     * rebuild instead of silently serving the old lake.
     */
-  private val BuilderVersion = "v10"
+  private val BuilderVersion = "v11"
 
   private def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

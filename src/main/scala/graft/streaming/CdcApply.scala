@@ -47,6 +47,13 @@ import graft.sources.LakeDml
   *
   * Delete rows need only their key columns populated (non-key columns
   * are ignored); insert/update rows must carry every table column.
+  *
+  * Feeding a REAL changelog topic: [[CdcDebezium.parse]] maps the
+  * standard Debezium envelope (`before`/`after`/`op`/`source.lsn`,
+  * payload-wrapped or bare) onto exactly this contract — c/r → I
+  * (after), u → U (after), d → D (before), `lsn =
+  * coalesce(source.lsn, source.pos, ts_ms)` as `seqCol`, tombstones
+  * dropped.
   */
 object CdcApply {
 

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DEBEZIUM ENVELOPE INTAKE — the standard changelog JSON shape
+  * (debezium.io: `before`/`after`/`op`/`source`/`ts_ms`, optionally
+  * under a `payload` wrapper when the connector ships inline schemas)
+  * parsed into [[CdcApply]]'s (rows, opCol, seqCol) contract, so a
+  * real CDC topic can drive the lake sink without a custom mapper:
+  *
+  * {{{
+  * val changes = CdcDebezium.parse(raw, col("value"), tableSchema)
+  * CdcApply.start(changes, root, keys, checkpoint,
+  *   opCol = "op", seqCol = Some("lsn"))
+  * }}}
+  *
+  * MAPPING (one rule per Debezium op code):
+  *  - `c` (create), `r` (snapshot read) → [[CdcApply.OpInsert]], row
+  *    from `after`;
+  *  - `u` (update) → [[CdcApply.OpUpdate]], row from `after` (the new
+  *    values; `before` is not needed — the equality delete retracts
+  *    by key);
+  *  - `d` (delete) → [[CdcApply.OpDelete]], row from `before` (only
+  *    the key columns matter downstream);
+  *  - Kafka TOMBSTONES (null value) and unparseable/op-less payloads
+  *    drop — compaction markers, not changes.
+  *
+  * ORDERING: `lsn` is `coalesce(source.lsn, source.pos, ts_ms)` —
+  * Postgres publishes `lsn`, MySQL `pos`, and `ts_ms` is the
+  * last-resort envelope timestamp. Passing it as [[CdcApply.start]]'s
+  * `seqCol` gives latest-wins batch resolution with the tie refusal
+  * documented there (two DIFFERENT changes for one key at one lsn
+  * refuse rather than pick nondeterministically).
+  *
+  * `tableSchema` is the LAKE's column schema; `before`/`after` parse
+  * under it by name. Connectors encoding temporal columns numerically
+  * (io.debezium.time.MicroTimestamp → long) should declare those
+  * columns as LongType here and cast after parsing — from_json cannot
+  * guess the wire encoding.
+  *
+  * 100 TB: a pure projection over the stream — no shuffle, no state;
+  * the whole cost model stays [[CdcApply]]'s O(batch) per commit.
+  */
+object CdcDebezium {
+
+  /** Envelope schema for `tableSchema`, payload-wrapped or bare. */
+  private def envelopeSchema(tableSchema: StructType): StructType = {
+    val inner = StructType(Seq(
+      StructField("before", tableSchema, nullable = true),
+      StructField("after", tableSchema, nullable = true),
+      StructField("op", StringType, nullable = true),
+      StructField("ts_ms", LongType, nullable = true),
+      StructField("source", StructType(Seq(
+        StructField("lsn", LongType, nullable = true),
+        StructField("pos", LongType, nullable = true))), nullable = true)))
+    StructType(inner.fields :+ StructField("payload", inner, nullable = true))
+  }
+
+  /** Parse raw Debezium JSON envelopes (`jsonCol`) into CdcApply's
+    * input shape: the table columns + `op` (I/U/D) + `lsn`. Works on
+    * batch and streaming frames alike (pure projection).
+    */
+  def parse(envelopes: DataFrame, jsonCol: Column,
+            tableSchema: StructType): DataFrame = {
+    val parsed = envelopes
+      .select(from_json(jsonCol, envelopeSchema(tableSchema)).as("__dbz"))
+      // payload-wrapped envelopes win when present; bare otherwise
+      .select(
+        coalesce(col("__dbz.payload.op"), col("__dbz.op")).as("__op"),
+        coalesce(col("__dbz.payload.after"), col("__dbz.after")).as("__after"),
+        coalesce(col("__dbz.payload.before"), col("__dbz.before")).as("__before"),
+        coalesce(col("__dbz.payload.source.lsn"), col("__dbz.source.lsn"),
+          col("__dbz.payload.source.pos"), col("__dbz.source.pos"),
+          col("__dbz.payload.ts_ms"), col("__dbz.ts_ms")).as("lsn"))
+      // tombstones / unparseable payloads carry no op — drop, they are
+      // compaction markers, not changes
+      .filter(col("__op").isin("c", "r", "u", "d"))
+    val row = when(col("__op") === "d", col("__before")).otherwise(col("__after"))
+    val op = when(col("__op") === "d", lit(CdcApply.OpDelete))
+      .when(col("__op") === "u", lit(CdcApply.OpUpdate))
+      .otherwise(lit(CdcApply.OpInsert))
+    parsed.select(
+      tableSchema.fieldNames.toSeq.map(n => row.getField(n).as(n)) ++
+        Seq(op.as("op"), col("lsn")): _*)
+  }
+}

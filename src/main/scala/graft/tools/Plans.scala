@@ -96,7 +96,9 @@ object Plans {
       "metrics_lake_summary" -> "Summary-kind quantile surface: manifest semi-join scan -> ONE series-keyed max-struct aggregate (latest snapshot) -> map-only quantile extraction from the landed JSON pairs",
       "lake_iceberg_eqdml" -> "EQUALITY-delete readback: one data scan + per-file sequence attach (broadcast map) + null-safe LeftAnti per key-column set gated on data_seq < delete_seq — upsertEq inserts (same seq) survive, the later deleteEq applies; no corpus shuffle, delete side sized by the retraction keys",
       "lake_retention" -> "TTL-expired lake readback: the dropped day files are GONE from the scan's file list (metadata-only restatement — nothing anti-joins them), only the cutoff-straddling day pays a position-delete LeftAnti; the surviving scan + aggregate is the same plan as an unexpired lake",
-      "lake_cdc_apply" -> "CDC-maintained lake readback AFTER eq→pos delete conversion: the equality anti-join chain is GONE (retired to folded position deletes), so the plan is one data scan + ONE position-delete LeftAnti on (file, pos) + the aggregate — per-scan delete cost no longer grows with CDC commit count, and no data file was rewritten to get there")
+      "lake_cdc_apply" -> "CDC-maintained lake readback AFTER eq→pos delete conversion: the equality anti-join chain is GONE (retired to folded position deletes), so the plan is one data scan + ONE position-delete LeftAnti on (file, pos) + the aggregate — per-scan delete cost no longer grows with CDC commit count, and no data file was rewritten to get there",
+      "lake_evolve" -> "ID-BOUND rename + int→long promotion readback: ONE root scan under an explicit request schema (retired name at the widened type alongside the new), the alias fold a plain codegen'd coalesce projection — no second scan, no shuffle, no data rewritten; both phases (current + pre-evolution snapshot) are the same keep-set LeftSemi shape, unioned before one aggregate",
+      "lake_spec_evolve" -> "TWO-SPEC chain readback (hourly→daily layout flip): explicit-file scan with directory inference OFF (mixed depths conflict structurally), per-file identity values from a broadcast manifest map, hour COALESCED map-value-over-data-column per generation — one scan, one broadcast join, one aggregate; no restatement ever happened, the hourly manifests ride carried under spec 0")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

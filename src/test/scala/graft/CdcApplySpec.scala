@@ -240,4 +240,69 @@ class CdcApplySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("seqCol"))
   }
+
+  test("Debezium envelopes drive applyBatch end-to-end: c/u/d, redelivery, tie refusal") {
+    import spark.implicits._
+    import graft.streaming.CdcDebezium
+    val root = seedLake(20)
+    val before = LogSync.table(spark, root)
+
+    // envelopes built as REAL Debezium JSON strings (payload-wrapped
+    // like the connector with inline schemas): an update for e1 with
+    // a decoy at a lower lsn, a delete for e2 (before-image only), an
+    // insert of a novel key, a REDELIVERED byte-identical copy of the
+    // update (at-least-once), and a Kafka tombstone (null-ish payload)
+    def rowJson(df: org.apache.spark.sql.DataFrame): String =
+      df.select(to_json(struct(df.columns.map(col): _*))).as[String].head()
+    val e1 = rowJson(before.filter(col("span_id") === "e1"))
+    val e1New = rowJson(before.filter(col("span_id") === "e1")
+      .withColumn("body", lit("DBZ-UPDATED")))
+    val e1Decoy = rowJson(before.filter(col("span_id") === "e1")
+      .withColumn("body", lit("DBZ-DECOY")))
+    val e2 = rowJson(before.filter(col("span_id") === "e2"))
+    val novel = rowJson(before.filter(col("span_id") === "e3")
+      .withColumn("span_id", lit("dbz-new")).withColumn("body", lit("DBZ-NEW")))
+    def env(op: String, beforeJ: String, afterJ: String, lsn: Long): String =
+      s"""{"payload":{"before":${Option(beforeJ).getOrElse("null")},""" +
+        s""""after":${Option(afterJ).getOrElse("null")},"op":"$op",""" +
+        s""""ts_ms":1700000000000,"source":{"lsn":$lsn}}}"""
+    val batch = Seq(
+      env("u", e1, e1Decoy, 10L),
+      env("u", e1, e1New, 11L),
+      env("u", e1, e1New, 11L), // redelivery: byte-identical, collapses
+      env("d", e2, null, 12L),
+      env("c", null, novel, 13L),
+      """{"payload":null}""" // tombstone: dropped
+    ).toDF("value")
+    val changes = CdcDebezium.parse(batch, col("value"), tableSchema)
+    CdcApply.applyBatch(changes, root, Seq("span_id"), "op", Some("lsn"))
+
+    val t = LogSync.table(spark, root)
+    assert(t.filter(col("span_id") === "e1").select("body")
+      .as[String].collect().toSeq == Seq("DBZ-UPDATED"),
+      "latest-lsn update wins; the decoy and the redelivery collapse")
+    assert(t.filter(col("span_id") === "e2").count() == 0,
+      "a d envelope retracts by the before-image's key")
+    assert(t.filter(col("span_id") === "dbz-new").count() == 1)
+    assert(t.count() == before.count(), "one delete + one insert nets zero")
+
+    // a TIE of two DIFFERENT changes at one lsn refuses (the ordering
+    // column cannot resolve it) — straight through the parser
+    val tied = Seq(env("u", e1, e1Decoy, 99L), env("u", e1, e1New, 99L))
+      .toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.applyBatch(CdcDebezium.parse(tied, col("value"), tableSchema),
+        root, Seq("span_id"), "op", Some("lsn"))
+    }
+    assert(e.getMessage.contains("lsn"))
+
+    // BARE (schema-less connector) envelopes parse identically
+    val bare = Seq(s"""{"before":null,"after":$novel,"op":"r","ts_ms":5}""")
+      .toDF("value")
+    val parsedBare = CdcDebezium.parse(bare, col("value"), tableSchema)
+    assert(parsedBare.count() == 1 &&
+      parsedBare.select("op").as[String].head() == CdcApply.OpInsert &&
+      parsedBare.select("lsn").as[Long].head() == 5L,
+      "bare envelopes fall back to ts_ms ordering")
+  }
 }

@@ -740,6 +740,82 @@ class LakeSpec extends SparkSpec {
     assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 0)
   }
 
+  test("CDC triple composition: a keyed consumer converges to the table across a mixed history") {
+    import graft.sources.{LakeDml, LogCompact}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdcconverge").toString
+    def mkRows(lo: Int, hi: Int) = Tables.events(spark, sf)
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+
+    // the derived store the contract promises a consumer can maintain
+    // WITHOUT ever rescanning the lake: insert from tableSince,
+    // replace-by-key from upsertsSince, remove-by-key from
+    // deletesSince (driver map — the spec's store, not the mechanism)
+    var store = Map.empty[String, String]
+    var dataMark = new java.sql.Timestamp(0L)
+    var delMark = new java.sql.Timestamp(0L)
+    def poll(): Unit = {
+      val appends = LogSync.tableSince(spark, root, dataMark)
+        .select("span_id", "body").collect()
+      val ups = LogSync.upsertsSince(spark, root, dataMark)
+        .select("span_id", "body").collect()
+      val dels = LogSync.deletesSince(spark, root, delMark)
+        .select("span_id").collect()
+      appends.foreach(r => store += r.getString(0) -> r.getString(1))
+      ups.foreach(r => store += r.getString(0) -> r.getString(1))
+      dels.foreach(r => store -= r.getString(0))
+      LogSync.highWaterMark(spark, root).foreach(m => dataMark = m)
+      LogSync.deleteHighWaterMark(spark, root).foreach(m => delMark = m)
+      Thread.sleep(20)
+    }
+    def tableNow(): Map[String, String] = LogSync.table(spark, root)
+      .select("span_id", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // 1. seed append + 2. second append
+    mkRows(0, 60).coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root); poll()
+    mkRows(60, 90).coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root); poll()
+    assert(store == tableNow(), "converged after appends")
+
+    // 3. keyed upsert (replacements + a novel key)
+    val ups = LogSync.table(spark, root)
+      .filter(col("span_id").isin("e1", "e2", "e3"))
+      .withColumn("body", lit("UPD"))
+      .unionByName(LogSync.table(spark, root).filter(col("span_id") === "e5")
+        .withColumn("span_id", lit("novel-1")).withColumn("body", lit("NEW")))
+    LakeDml.upsertEq(spark, root, ups, Seq("span_id")); poll()
+    assert(store == tableNow(), "converged after upsertEq")
+
+    // 4. keyed retraction (including a row the upsert just wrote)
+    LakeDml.deleteEq(spark, root, Seq("e2", "e10").toDF("span_id")); poll()
+    assert(store == tableNow(), "converged after deleteEq")
+
+    // 5. maintenance must be INVISIBLE to the consumer: conversion
+    // re-files retractions as op="fold", compaction registers
+    // rewrites — neither channel may resurface anything
+    LakeDml.convertEqDeletes(spark, root)
+    LogCompact.compact(spark, root)
+    val before = store
+    poll()
+    assert(store == before, "maintenance surfaces no changelog entries")
+    assert(store == tableNow(), "converged across convert + compact")
+
+    // 6. post-compaction life continues on the same marks
+    LakeDml.upsertEq(spark, root,
+      LogSync.table(spark, root).filter(col("span_id") === "e7")
+        .withColumn("body", lit("UPD2")), Seq("span_id"))
+    mkRows(90, 100).coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root); poll()
+    assert(store == tableNow(),
+      "the triple keeps a keyed consumer exactly convergent for the lake's whole life")
+  }
+
   test("convertEqDeletes: per-group commit survives a crash mid-loop — retired groups stay retired") {
     import graft.sources.LakeDml
     import spark.implicits._
