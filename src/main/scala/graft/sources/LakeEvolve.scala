@@ -272,6 +272,23 @@ object LakeEvolve {
       if (f.name == from) StructField(to, f.dataType, f.nullable) else f))
     val prior = st.map(_.entries).getOrElse(Seq.empty).map(renderEntry)
     writeLog(spark, root, renderLog(prior :+ s"rename\t$id\t$from\t$to", newStored))
+    // a LakeIndex bloom sidecar on the renamed column stays VALID —
+    // it stores xxhash64 of the column's VALUES, which a rename does
+    // not touch — so it moves with the name (one dir rename); without
+    // this, index-pruned probes on the new name would silently lose
+    // their pruning and conversion scans would pay full candidates
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldIdx = new Path(s"$root/_index/$from")
+    if (fs.exists(oldIdx)) {
+      require(fs.rename(oldIdx, new Path(s"$root/_index/$to")),
+        s"bloom index move failed for rename $from -> $to under $root")
+    }
+    // same rule for the token (grep) sidecar: token sets of the values
+    val oldTok = new Path(s"$root/_index/tok_$from")
+    if (fs.exists(oldTok)) {
+      require(fs.rename(oldTok, new Path(s"$root/_index/tok_$to")),
+        s"token index move failed for rename $from -> $to under $root")
+    }
   }
 
   /** WIDENING type promotion (int → long, float → double; the v2

@@ -111,15 +111,15 @@ object LakeIndex {
     val lits = values.map(lit(_))
     val paths = keepPaths(spark, root, column, lits)
       .select(LogSync.normPath(col("path")).as("__registered_path"))
-    val kept = spark.read.option("basePath", root).parquet(root)
-      .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
-    // MOR deletes (position AND equality) apply here too — a needle
-    // lookup must not resurrect a deleteMor'd/deleteEq'd row (the
-    // GDPR-redaction hole a bloom-routed side door would otherwise
-    // open)
-    LogSync.applyDeletes(spark, kept, root, LogSync.deleteEntries(spark, root))
-      .drop("__src")
+    // the shared keep-set read: MOR deletes (position AND equality)
+    // apply — a needle lookup must not resurrect a deleteMor'd/
+    // deleteEq'd row (the GDPR-redaction hole a bloom-routed side
+    // door would otherwise open) — and on an EVOLVED lake the alias
+    // fold applies too, so a lookup by the renamed column matches
+    // pre-rename files (whose bloom sidecar moved with the name:
+    // value hashes are rename-invariant)
+    LogSync.tableForPaths(spark, root, paths,
+        deletes = LogSync.deleteEntries(spark, root))
       .filter(col(column).isin(values: _*))
   }
 
@@ -213,11 +213,30 @@ object LakeIndex {
     if (kept.isEmpty)
       spark.read.option("basePath", root).parquet(root).filter(lit(false))
     else {
-      // MOR deletes apply here too (see [[lookup]])
-      val raw = spark.read.option("basePath", root).parquet(kept.toSeq: _*)
-        .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-      LogSync.applyDeletes(spark, raw, root,
-          LogSync.deleteEntries(spark, root))
+      // MOR deletes apply here too (see [[lookup]]); the read stays
+      // EXPLICIT-PATH (the token predicate can't push down, so the
+      // pruning lives in the path list), with the evolution fold on
+      // top when the lake has a schema log — grep by the renamed
+      // column must match pre-rename files
+      val evo = LakeEvolve.state(spark, root)
+      val entries = LogSync.deleteEntries(spark, root)
+      val raw0 = (evo match {
+        case Some(st) => spark.read.option("basePath", root)
+          .schema(LakeEvolve.requestSchema(spark, root, st))
+          .parquet(kept.toSeq: _*)
+        case None => spark.read.option("basePath", root).parquet(kept.toSeq: _*)
+      }).withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+      val raw = evo match {
+        case Some(st) =>
+          val m = if (entries.exists(!_.isEq))
+            raw0.withColumn("__pos", col("_metadata.row_index"))
+          else raw0
+          LakeEvolve.project(m, st)
+        case None => raw0
+      }
+      LogSync.applyDeletes(spark, raw, root, entries,
+          currentName = evo.map(st => (n: String) => st.currentName(n))
+            .getOrElse(identity[String] _))
         .drop("__src").filter(rowKeep)
     }
   }

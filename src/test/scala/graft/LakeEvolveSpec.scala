@@ -154,6 +154,88 @@ class LakeEvolveSpec extends SparkSpec {
     assert(physical("severity_number").dataType == LongType)
   }
 
+  test("rename chain a->b->c: every generation's physical name folds into the final") {
+    import spark.implicits._
+    val root = freshLake("graft_evchain")
+    LakeEvolve.renameColumn(spark, root, "severity_text", "sev")
+    // a file written under the INTERMEDIATE name — three physical
+    // generations now coexist
+    Tables.events(spark, sf).orderBy("event_id").limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        lit("mid-gen").as("sev"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("m"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    LakeEvolve.renameColumn(spark, root, "sev", "severity")
+    val t = LogSync.table(spark, root)
+    assert(t.columns.contains("severity") &&
+      !t.columns.contains("sev") && !t.columns.contains("severity_text"))
+    assert(t.count() == 90 && t.filter(col("severity").isNull).count() == 0,
+      "all three physical generations must fold into the final name")
+    assert(t.filter(col("severity") === "mid-gen").count() == 10)
+    // both retired names stay reserved
+    intercept[IllegalArgumentException] {
+      LakeEvolve.renameColumn(spark, root, "body", "sev")
+    }
+  }
+
+  test("bloom/token indexes move with a rename — value hashes are rename-invariant") {
+    import graft.sources.LakeIndex
+    val root = freshLake("graft_evindex")
+    // a second single-file batch with a disjoint key prefix, so the
+    // bloom probe has something to prune
+    Tables.events(spark, sf).orderBy("event_id").limit(20)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("z"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    LakeIndex.build(spark, root, "span_id")
+    LakeIndex.buildTokens(spark, root, "body")
+    val probe = LogSync.table(spark, root).filter(col("span_id") === "e9")
+      .count()
+    assert(probe == 1)
+    LakeEvolve.renameColumn(spark, root, "span_id", "span")
+    LakeEvolve.renameColumn(spark, root, "body", "payload")
+    // the moved index serves the NEW name: pruning intact, rows found
+    val (kept, total) = LakeIndex.pruneCounts(spark, root, "span", Seq("e9"))
+    assert(kept < total && kept >= 1,
+      s"the moved bloom index must still prune: $kept of $total")
+    val hit = LakeIndex.lookup(spark, root, "span", Seq("e9"))
+    assert(hit.count() == 1 && hit.columns.contains("span"))
+    // token index too: grep by the renamed text column
+    val term = LogSync.table(spark, root).select("payload")
+      .limit(1).collect()(0).getString(0)
+      .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).head
+    assert(LakeIndex.grep(spark, root, "payload", Seq(term)).count() > 0)
+  }
+
+  test("historic eq deletes recorded under a retired name still apply to time travel") {
+    import spark.implicits._
+    val root = freshLake("graft_evhist")
+    LakeDml.deleteEq(spark, root, Seq("e2", "e4").toDF("span_id"))
+    Thread.sleep(20)
+    val mark = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    // retire the eq delete (conversion tombstones it), THEN rename the
+    // key column — the tombstoned entry still binds the OLD name for
+    // any time-travel read inside its window
+    LakeDml.convertEqDeletes(spark, root)
+    LakeEvolve.renameColumn(spark, root, "span_id", "span")
+    val asOf = LogSync.tableAsOf(spark, root, mark)
+    assert(asOf.columns.contains("span"))
+    assert(asOf.filter(col("span").isin("e2", "e4")).count() == 0,
+      "a retired-name eq delete must keep applying through the rename map")
+    assert(asOf.count() == 78)
+    // and the current read agrees (position deletes bind by path)
+    assert(LogSync.table(spark, root)
+      .filter(col("span").isin("e2", "e4")).count() == 0)
+  }
+
   test("exported chain: schema history, name-mapping aliases, external read + time travel") {
     import spark.implicits._
     val root = freshLake("graft_evexport")
