@@ -234,6 +234,16 @@ class LakeEvolveSpec extends SparkSpec {
     // and the current read agrees (position deletes bind by path)
     assert(LogSync.table(spark, root)
       .filter(col("span").isin("e2", "e4")).count() == 0)
+    // deletedRowsSince MATERIALIZES the retired-name retraction under
+    // the current schema: the pre-delete snapshot (evolved, "span")
+    // semi-joins the delete parquet's physical "span_id" keys
+    val materialized = LogSync.deletedRowsSince(spark, root,
+      new java.sql.Timestamp(0L))
+    assert(materialized.columns.contains("span"))
+    assert(materialized.filter(col("__delete_kind") === "eq")
+      .select("span").collect().map(_.getString(0)).toSet == Set("e2", "e4"))
+    assert(materialized.filter(col("body").isNull).count() == 0,
+      "materialized retractions carry full pre-delete rows")
   }
 
   test("exported chain: schema history, name-mapping aliases, external read + time travel") {
