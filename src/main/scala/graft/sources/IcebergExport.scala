@@ -169,8 +169,11 @@ object IcebergExport {
     * seeds the sidecar from the current merged order (continuity with
     * pre-sidecar exports); later-appearing columns append in SORTED
     * name order — deterministic whatever order the merge returns.
-    * Renames/drops stay unsupported (a dropped name keeps its id
-    * reserved forever; a rename is a drop + add).
+    * Renames/promotions/drops are ID-BOUND via [[LakeEvolve]] (round
+    * 13): a rename binds the new name to the OLD id through
+    * [[recordEvolvedField]], a promotion rewrites the recorded type,
+    * a drop leaves the line (its id reserved forever) while the
+    * schema log retires the name from every read.
     */
   /** The sidecar is VERSIONED (`_field_ids_v<N>`, newest wins; a bare
     * legacy `_field_ids` reads as version 0) so a rewrite is one
@@ -1640,8 +1643,10 @@ object IcebergExport {
     * file) against a full-parallelism scan, so the shape survives any
     * table size. Values are cast to the source column's declared type;
     * `date` values written as epoch-day ints are honored. Columns read
-    * by NAME (the exported name-mapping convention); id-based column
-    * renames are beyond this reader.
+    * by NAME through `schema.name-mapping.default`: a field id listing
+    * several names (a renamed column) reads every name and coalesces —
+    * pre-rename files resolve; a physically-narrower column under a
+    * widened declared type up-casts (the readers' promotion rules).
     */
   def readExternal(spark: SparkSession, location: String,
                    asOf: Option[SnapshotRef] = None): DataFrame =

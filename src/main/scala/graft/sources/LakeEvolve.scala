@@ -5,13 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** ID-BOUND SCHEMA EVOLUTION — column RENAME and numeric type
-  * PROMOTION (int → long, float → double) over the raw-parquet lake,
-  * with Iceberg's contract: a rename is METADATA-ONLY (the field id
-  * never moves, no data byte is rewritten — old files keep their old
-  * physical column name forever) and a promotion is a WIDENING read
-  * (old files keep their narrow physical type; the scan requests the
-  * wide one and the parquet reader up-casts). This is what the
+/** ID-BOUND SCHEMA EVOLUTION — column RENAME, numeric type
+  * PROMOTION (int → long, float → double) and column DROP over the
+  * raw-parquet lake, with Iceberg's contract: a rename is
+  * METADATA-ONLY (the field id never moves, no data byte is rewritten
+  * — old files keep their old physical column name forever), a
+  * promotion is a WIDENING read (old files keep their narrow physical
+  * type; the scan requests the wide one and the parquet reader
+  * up-casts), and a drop retires the name (id reserved forever, bytes
+  * untouched until natural rewrite). Adds need no API at all — the
+  * lake's union-schema reads admit new columns forward. This is what the
   * reference gets from `ALTER TABLE ... RENAME COLUMN` on its Iceberg
   * catalog; here re-expressed over the manifest + sidecar pair.
   *
@@ -69,14 +72,19 @@ object LakeEvolve {
 
   /** The resolved evolution state of a lake: ordered entries, the
     * stored LOGICAL schema after the last entry, final-name → old
-    * physical names (newest alias first), any-name → final name.
+    * physical names (newest alias first), any-name → final name, and
+    * the DROPPED names (a dropped column's every physical name —
+    * reserved forever: old files still carry the bytes, and a
+    * re-added same-named column would silently resurrect them, so the
+    * read side ignores the name for the lake's whole life).
     */
   final case class EvoState(version: Int, entries: Seq[Evo],
                             stored: StructType,
                             aliasesOf: Map[String, Seq[String]],
-                            finalOf: Map[String, String]) {
+                            finalOf: Map[String, String],
+                            dropped: Set[String] = Set.empty) {
     def currentName(n: String): String = finalOf.getOrElse(n, n)
-    def supersededNames: Set[String] = aliasesOf.values.flatten.toSet
+    def supersededNames: Set[String] = aliasesOf.values.flatten.toSet ++ dropped
   }
 
   private val SchemaLogVersionRe = "_schema_log_v([0-9]+)".r
@@ -106,6 +114,7 @@ object LakeEvolve {
       l.split('\t') match {
         case Array("rename", id, from, to) => Some(Evo("rename", id.toInt, from, to))
         case Array("promote", id, name, _, _) => Some(Evo("promote", id.toInt, name, name))
+        case Array("drop", id, name) => Some(Evo("drop", id.toInt, name, name))
         case Array("schema", ddl) =>
           stored = Some(StructType.fromDDL(ddl)); None
         case _ => sys.error(s"malformed _schema_log line: '$l'")
@@ -128,18 +137,24 @@ object LakeEvolve {
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val (entries, stored) = parseLog(txt)
     // fold renames into alias chains; promotes don't alias (same
-    // physical name, narrower physical type — widening handles it)
+    // physical name, narrower physical type — widening handles it);
+    // drops retire the name AND its whole alias chain
     var aliases = Map.empty[String, Seq[String]]
     var finals = Map.empty[String, String]
+    var dropped = Set.empty[String]
     entries.foreach {
       case Evo("rename", _, from, to) =>
         val chain = from +: aliases.getOrElse(from, Seq.empty)
         aliases = (aliases - from) + (to -> chain)
         finals = finals.map { case (k, v) => k -> (if (v == from) to else v) } +
           (from -> to)
+      case Evo("drop", _, name, _) =>
+        dropped ++= (name +: aliases.getOrElse(name, Seq.empty)).toSet
+        aliases -= name
+        finals = finals.filterNot(_._2 == name)
       case _ => ()
     }
-    Some(EvoState(v, entries, stored, aliases, finals))
+    Some(EvoState(v, entries, stored, aliases, finals, dropped))
   }
 
   private def writeLog(spark: SparkSession, root: String,
@@ -323,12 +338,52 @@ object LakeEvolve {
         toType.catalogString), newStored))
   }
 
+  /** METADATA-ONLY column drop: the column vanishes from every read
+    * (including — the current-schema simplification — time travel);
+    * no data file is touched, old files keep the bytes until natural
+    * rewrite. The name and its whole rename chain stay RESERVED
+    * forever: a later file re-adding the name is IGNORED by the read
+    * side (old files' stale values would otherwise resurrect through
+    * the union), and rename targets may not reuse it. Refused while
+    * ANY delete-registry row — active or tombstoned-but-unvacuumed —
+    * binds the column (a historic equality delete must keep resolving
+    * for time travel inside the vacuum horizon; drop after vacuum).
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Unit = {
+    commonGuards(spark, root, name)
+    val st = state(spark, root)
+    val logical = currentLogical(spark, root, st)
+    require(logical.fieldNames.contains(name), s"no column '$name' to drop")
+    // every registry row, tombstones included: historic reads apply
+    // them until vacuum purges, and they bind key columns by name
+    if (LogSync.hasDeleteManifest(spark, root)) {
+      val chain = (name +: st.map(_.aliasesOf.getOrElse(name, Seq.empty))
+        .getOrElse(Seq.empty)).toSet
+      val bound = LogSync.deleteManifestDf(spark, root)
+        .select("eq_cols").collect()
+        .flatMap(r => Option(r.getString(0)).toSeq.flatMap(_.split(',')))
+        .toSet
+      require(chain.intersect(bound).isEmpty,
+        s"cannot drop '$name': delete-registry rows (possibly tombstoned, " +
+          "still applied by time travel until vacuum) bind it by name — " +
+          "vacuum past them first, then drop")
+    }
+    val fid = IcebergExport.exportFieldIds(spark, root)
+    require(fid.contains(name), s"column '$name' resolves no field id")
+    val newStored = StructType(logical.fields.filterNot(_.name == name))
+    require(newStored.fields.nonEmpty, "cannot drop the last column")
+    val prior = st.map(_.entries).getOrElse(Seq.empty).map(renderEntry)
+    writeLog(spark, root,
+      renderLog(prior :+ s"drop\t${fid(name)}\t$name", newStored))
+  }
+
   private def renderEntry(e: Evo): String = e.op match {
     case "rename" => s"rename\t${e.id}\t${e.from}\t${e.to}"
     // promote entries re-render without the original types (the stored
     // schema carries the final type; the entry only marks that the
     // column's physical types vary across files)
     case "promote" => s"promote\t${e.id}\t${e.from}\t-\t-"
+    case "drop" => s"drop\t${e.id}\t${e.from}"
     case other => sys.error(s"unknown evolution op '$other'")
   }
 }

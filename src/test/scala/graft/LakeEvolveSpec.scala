@@ -246,6 +246,57 @@ class LakeEvolveSpec extends SparkSpec {
       "materialized retractions carry full pre-delete rows")
   }
 
+  test("dropColumn: metadata-only, name reserved forever, re-adds ignored, registry guard") {
+    import spark.implicits._
+    val root = freshLake("graft_evdrop")
+    val dataBefore = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path")
+      .collect().map(_.getString(0)).toSet
+    LakeEvolve.dropColumn(spark, root, "body")
+    val t = LogSync.table(spark, root)
+    assert(!t.columns.contains("body") && t.count() == 80)
+    assert(LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path")
+      .collect().map(_.getString(0)).toSet == dataBefore,
+      "a drop must not touch any data file")
+    // time travel reads under the current schema too (the documented
+    // Iceberg simplification)
+    assert(!LogSync.tableAsOf(spark, root,
+      new java.sql.Timestamp(System.currentTimeMillis())).columns.contains("body"))
+    // a later file RE-ADDING the name is ignored — old files' stale
+    // values must not resurrect through the union
+    Tables.events(spark, sf).orderBy("event_id").limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        lit("late").as("severity_text"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("r"), col("event_id")).as("span_id"),
+        lit("REBORN").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val t2 = LogSync.table(spark, root)
+    assert(!t2.columns.contains("body") && t2.count() == 90,
+      "a re-added dropped name stays retired")
+    // and the name can't come back via rename either
+    intercept[IllegalArgumentException] {
+      LakeEvolve.renameColumn(spark, root, "severity_text", "body")
+    }
+    // a drop composes with a rename: dropping the RENAMED column
+    // retires its whole chain
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    LakeEvolve.dropColumn(spark, root, "severity")
+    val t3 = LogSync.table(spark, root)
+    assert(!t3.columns.contains("severity") && !t3.columns.contains("severity_text"))
+    assert(t3.count() == 90)
+    // registry guard: a lake holding eq-delete rows (even if retired
+    // later, they serve time travel until vacuum) refuses the drop
+    LakeDml.deleteEq(spark, root, Seq("e1").toDF("span_id"))
+    LakeDml.convertEqDeletes(spark, root) // tombstoned, not vacuumed
+    val e = intercept[IllegalArgumentException] {
+      LakeEvolve.dropColumn(spark, root, "span_id")
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("exported chain: schema history, name-mapping aliases, external read + time travel") {
     import spark.implicits._
     val root = freshLake("graft_evexport")
