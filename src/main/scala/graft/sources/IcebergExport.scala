@@ -1328,7 +1328,29 @@ object IcebergExport {
                                         files: Seq[ChainFile],
                                         deleteFiles: Seq[DeleteFile] = Seq.empty,
                                         manifests: Seq[ManifestRef] = Seq.empty,
-                                        specsById: Map[Int, Seq[PartField]] = Map.empty)
+                                        specsById: Map[Int, Seq[PartField]] = Map.empty,
+                                        // true = the snapshot's data-file count exceeded
+                                        // [[explicitFileCap]], so `files` was NOT driver-
+                                        // materialized (it is empty); readers must plan
+                                        // from `manifests` (distributed walk) + a root scan
+                                        overCap: Boolean = false)
+
+  /** Driver-crossing bound for a resolved chain's DATA-FILE list: at
+    * or under the cap [[resolveChainAt]] materializes the file list
+    * (explicit-path reads open only the snapshot's files — real I/O
+    * pruning) and [[readChain]] may BROADCAST the per-file attach map
+    * (further bounded by [[LogSync.seqBroadcastRowCap]]). Past it the
+    * chain is resolved `overCap`: the driver holds only manifest REFS,
+    * the attach map builds distributed (one task per manifest), the
+    * scan is a recursive root scan restricted to the snapshot by an
+    * inner join against that map, and the join shuffles. Same
+    * discipline as `graft.lake.deletesSinceExplicitPathCap` — a
+    * million-file snapshot must never become a driver vararg. Specs
+    * force 0 to prove both plans agree row-for-row.
+    */
+  private[graft] def explicitFileCap(spark: SparkSession): Long =
+    spark.conf.getOption("graft.chain.explicitFileCap")
+      .map(_.toLong).getOrElse(100000L)
 
   private def readText(spark: SparkSession, p: Path): String = {
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
@@ -1481,9 +1503,9 @@ object IcebergExport {
           else at.zipWithIndex.maxBy { case (s, i) => (s("timestamp-ms").long, i) }._1
         Some(pick("snapshot-id").long)
     }
-    val (listRecords, files, deletes, manifestRefs) = snapId match {
+    val (listRecords, files, deletes, manifestRefs, resolvedOverCap) = snapId match {
       case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile],
-        Seq.empty[DeleteFile], Seq.empty[ManifestRef])
+        Seq.empty[DeleteFile], Seq.empty[ManifestRef], false)
       case Some(id) =>
         val snap = md("snapshots").arr.find(_("snapshot-id").long == id)
           .getOrElse(sys.error(s"current-snapshot-id $id has no snapshots entry"))
@@ -1516,14 +1538,32 @@ object IcebergExport {
         val refs = manifests.map { case (mp, isDelete, mSeq, specId) =>
           ManifestRef(mp, isDelete, mSeq, specId)
         }
-        val walked = refs.map(r =>
-          walkManifest(spark.sparkContext.hadoopConfiguration,
-            r.path, r.isDelete, r.seq,
-            specsById.getOrElse(r.specId, partFields)))
-        (records, walked.flatMap(_._1), walked.flatMap(_._2), refs)
+        // DELETE manifests always walk on the driver (registry-sized:
+        // bounded by retraction commits, not data volume). DATA
+        // manifests walk only until [[explicitFileCap]] — one file
+        // past it the accumulated list drops and the chain resolves
+        // `overCap` with manifest refs only, so a million-file
+        // snapshot never materializes a driver-side path array.
+        val cap = explicitFileCap(spark)
+        val walked = scala.collection.mutable.ArrayBuffer.empty[(Seq[ChainFile], Seq[DeleteFile])]
+        var over = false
+        refs.foreach { r =>
+          if (r.isDelete || !over) {
+            val w = walkManifest(spark.sparkContext.hadoopConfiguration,
+              r.path, r.isDelete, r.seq,
+              specsById.getOrElse(r.specId, partFields))
+            walked += w
+            if (!over && walked.iterator.map(_._1.length.toLong).sum > cap) {
+              over = true
+              walked.mapInPlace { case (_, d) => (Seq.empty, d) }
+            }
+          }
+        }
+        (records, walked.toSeq.flatMap(_._1), walked.toSeq.flatMap(_._2),
+          refs, over)
     }
     Chain(md, fv, schemaFields, partFields, snapId, listRecords, files, deletes,
-      manifestRefs, specsById)
+      manifestRefs, specsById, overCap = resolvedOverCap)
   }
 
   /** Iceberg primitive type name → Spark type (the read-side inverse
@@ -1588,6 +1628,10 @@ object IcebergExport {
     // signal — per-snapshot file sets can look single-spec while the
     // directory tree is not.
     if (chain.specsById.keys.count(_ != DeleteSpecId) > 1)
+      return readChain(spark, chain)
+    // an overCap chain has no driver-resident file list to feed the
+    // keep-set below — readChain plans it distributed end to end
+    if (chain.overCap)
       return readChain(spark, chain)
     val conf = spark.sparkContext.hadoopConfiguration
     val delEntries = chain.deleteFiles.map { d =>
@@ -1667,6 +1711,16 @@ object IcebergExport {
                          keep: Map[String, Any] => Boolean,
                          asOf: Option[SnapshotRef] = None): DataFrame = {
     val chain = resolveChain(spark, new Path(s"$location/metadata"), asOf)
+    // the prune filters the DRIVER-RESIDENT file list — an overCap
+    // chain deliberately has none, and silently pruning nothing (or
+    // everything) would be wrong either way. Loud refusal with the
+    // way out; the unpruned readExternal stays driver-safe at any
+    // file count.
+    require(!chain.overCap,
+      s"readExternalPruned needs the resolved file list, but this snapshot " +
+        s"exceeds graft.chain.explicitFileCap (${explicitFileCap(spark)}) — " +
+        "raise the cap, or use readExternal with a column predicate (the " +
+        "distributed plan prunes via the attach join instead)")
     readChain(spark, chain.copy(files = chain.files.filter(f => keep(f.partValues))))
   }
 
@@ -1705,13 +1759,22 @@ object IcebergExport {
       .foldLeft(Seq.empty[PartField]) { (acc, f) =>
         if (acc.exists(_.name == f.name)) acc else acc :+ f
       }
-    val multiSpec = chain.files.map(_.partValues.keySet).distinct.size > 1
+    // name-set per layout generation: from the driver-resident files
+    // when they were materialized, from the manifests' own specs on an
+    // overCap chain (same key — partValues carries exactly the spec's
+    // field names)
+    val multiSpec =
+      if (chain.overCap)
+        chain.manifests.filterNot(_.isDelete)
+          .map(m => chain.specsById.getOrElse(m.specId, chain.partFields)
+            .map(_.name).toSet).distinct.size > 1
+      else chain.files.map(_.partValues.keySet).distinct.size > 1
     // only IDENTITY fields can attach as data columns; transformed
     // fields (day/hour/bucket/...) carry derived values whose source
     // column stays in the data files
     val identityNames = partFieldsAll.filter(_.transform == "identity").map(_.name)
     val partByName = partFieldsAll.map(f => f.name -> f).toMap
-    if (chain.files.isEmpty) {
+    if (chain.files.isEmpty && !chain.overCap) {
       // legal empty table: an empty frame with the declared schema
       val struct = StructType(chain.schemaFields.map(f =>
         StructField(f.name, sparkTypeFor(f.tpe), nullable = true)))
@@ -1777,16 +1840,40 @@ object IcebergExport {
     // completion: hive-style writers strip them from the files and
     // the manifest attach below is their authoritative source — a
     // null completion here would mask it.
-    val chainPaths = chain.files.map(f => fileUri(f.uri))
+    // UNDER the file cap the scan opens exactly the snapshot's files
+    // (explicit paths — real I/O pruning, and the vararg is bounded by
+    // [[explicitFileCap]]). An overCap chain never materialized that
+    // list: it scans the table LOCATION recursively instead, and the
+    // inner join against the distributed attach map below restricts
+    // the scan to the snapshot's files — historic/orphaned parquet
+    // under the root contributes no rows (and any stray columns its
+    // footers add to the sample are dropped by the declared-schema
+    // projection at the end).
+    val chainPaths: Seq[String] =
+      if (chain.overCap) Seq.empty else chain.files.map(f => fileUri(f.uri))
+    lazy val scanRoot: String = chain.md.opt("location").map(_.str).getOrElse(
+      sys.error("chain exceeds graft.chain.explicitFileCap and its metadata " +
+        "declares no table location for a root scan — raise the cap or add " +
+        "a location"))
     // a multi-spec chain's files sit at CONFLICTING directory depths —
     // Spark's partition inference rejects the mix outright, and its
     // dir-derived values are redundant here anyway (the manifests are
     // the authoritative identity-value source), so inference is
-    // disabled and every identity column attaches from the map
+    // disabled and every identity column attaches from the map. The
+    // overCap root scan is recursive for the same reason: dir-derived
+    // values must not race the manifest attach.
     def reader() =
-      if (multiSpec) spark.read.option("recursiveFileLookup", "true")
+      if (multiSpec || chain.overCap) spark.read.option("recursiveFileLookup", "true")
       else spark.read
-    val sampled = reader().parquet(chainPaths: _*)
+    // the root scan must not trip over the table's own metadata tree
+    // (`<location>/metadata` holds json/avro — NOT underscore-hidden
+    // in the standard layout): only parquet is data here, and non-data
+    // parquet (delete files) contributes no rows past the attach join
+    def scanParquet(r: org.apache.spark.sql.DataFrameReader) =
+      if (chain.overCap)
+        r.option("pathGlobFilter", "*.parquet").parquet(fileUri(scanRoot))
+      else r.parquet(chainPaths: _*)
+    val sampled = scanParquet(reader())
     val declaredMissing = chain.schemaFields.filter(f =>
       !sampled.schema.fieldNames.contains(f.name) && !identityNames.contains(f.name))
     // RENAAMED columns resolve through the spec's name-mapping: a field
@@ -1825,8 +1912,23 @@ object IcebergExport {
       if (!multiSpec) Seq.empty
       else identityNames.filterNot(sampled.schema.fieldNames.contains)
         .flatMap { n =>
-          chain.files.find(f => !f.partValues.contains(n)).flatMap { f =>
-            spark.read.parquet(fileUri(f.uri)).schema.fields.find(_.name == n)
+          // a file whose spec does NOT bind n as a partition field —
+          // its footer carries n as DATA at the authoritative physical
+          // type. An overCap chain probes via ONE manifest whose spec
+          // lacks the field (a single manifest's entry list is walked
+          // on the driver — bounded by manifest size, not table size).
+          val probeFile: Option[String] =
+            if (chain.overCap)
+              chain.manifests.filterNot(_.isDelete)
+                .find(m => !chain.specsById.getOrElse(m.specId, chain.partFields)
+                  .exists(_.name == n))
+                .flatMap(m => walkManifest(spark.sparkContext.hadoopConfiguration,
+                  m.path, m.isDelete, m.seq,
+                  chain.specsById.getOrElse(m.specId, chain.partFields))
+                  ._1.headOption.map(_.uri))
+            else chain.files.find(f => !f.partValues.contains(n)).map(_.uri)
+          probeFile.flatMap { u =>
+            spark.read.parquet(fileUri(u)).schema.fields.find(_.name == n)
           }
         }
     val raw =
@@ -1847,9 +1949,8 @@ object IcebergExport {
         val aliases = aliasesByName.toSeq.sortBy(_._1).flatMap { case (cur, olds) =>
           olds.map(o => StructField(o, declaredType(cur), nullable = true))
         }
-        reader().schema(StructType(base ++ missing ++
-          identityCompletion ++ aliases))
-          .parquet(chainPaths: _*)
+        scanParquet(reader().schema(StructType(base ++ missing ++
+          identityCompletion ++ aliases)))
       }
     // alias fold (runs before the delete anti-joins — an equality
     // delete binds the CURRENT name and must match pre-rename rows);
@@ -1889,7 +1990,10 @@ object IcebergExport {
       }
     }
 
-    val attached: DataFrame = if (attach.isEmpty && !hasDeletes) foldAliases(raw) else {
+    // an overCap chain ALWAYS joins the attach map: the inner join is
+    // what restricts the root scan to the snapshot's files
+    val attached: DataFrame =
+      if (attach.isEmpty && !hasDeletes && !chain.overCap) foldAliases(raw) else {
       // file → (partition values, sequence) map, one row per data
       // file, built DISTRIBUTED: executors re-walk the snapshot's
       // data manifests (one task per manifest — the same walkManifest
@@ -1948,7 +2052,18 @@ object IcebergExport {
         if (posDeletes.nonEmpty)
           withFile.withColumn("__graft_pos", col("_metadata.row_index"))
         else withFile
-      val joined = foldAliases(withPos).join(broadcast(mapDf), Seq("__graft_file"))
+      // size-guarded like every other file-cardinality join (the map
+      // is one row per DATA FILE — at 10⁶ files an unconditional
+      // broadcast pins hundreds of MB on every executor): broadcast
+      // only when the file count is known (not overCap) and under
+      // [[LogSync.seqBroadcastRowCap]]; shuffle otherwise — AQE still
+      // broadcasts at runtime if the built map turns out tiny
+      val sizedMap =
+        if (!chain.overCap &&
+          chain.files.length <= LogSync.seqBroadcastRowCap(spark))
+          broadcast(mapDf)
+        else mapDf
+      val joined = foldAliases(withPos).join(sizedMap, Seq("__graft_file"))
       if (!multiSpec)
         attach.foldLeft(joined) { (df, n) =>
           df.withColumn(n, col(n).cast(sparkTypeFor(srcType(n))))
@@ -2028,7 +2143,16 @@ object IcebergExport {
           "left_anti")
       }
     }
-    afterDeletes.drop("__graft_file", "__graft_pos", "__graft_seq")
+    val out = afterDeletes.drop("__graft_file", "__graft_pos", "__graft_seq")
+    // the root scan of an overCap chain may have sampled footers that
+    // are not part of the snapshot (historic files awaiting vacuum) —
+    // their rows were dropped by the attach inner join, but any STRAY
+    // COLUMNS they contributed to the inferred schema must not
+    // surface: project to the declared schema (identity fields are in
+    // it — their field name is the source column's)
+    if (chain.overCap)
+      out.select(chain.schemaFields.map(f => col(f.name)): _*)
+    else out
   }
 
   private def normUri(p: String): String =

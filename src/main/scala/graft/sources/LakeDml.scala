@@ -740,12 +740,26 @@ object LakeDml {
     *
     * Returns (equality delete files retired, position rows written).
     */
-  /** Keys per group above which conversion skips the bloom probe (the
-    * hash list crosses the driver as a literal — fine for a CDC
-    * retraction backlog, wrong for a lake-scale restatement, which
-    * should just pay the seq-bounded scan).
+  /** Keys above which an index probe skips the bloom path (the hash
+    * list crosses the driver as a literal — fine for a CDC retraction
+    * backlog or an update batch, wrong for a lake-scale restatement,
+    * which should just pay the scan). Conf'd
+    * (`graft.lake.indexProbeMaxKeys`) so specs can force the scan
+    * fallback and assert both paths agree.
     */
-  private val IndexProbeMaxKeys = 100000L
+  private[graft] def indexProbeMaxKeys(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lake.indexProbeMaxKeys")
+      .map(_.toLong).getOrElse(100000L)
+
+  /** Bloom-positive files above which an index probe abandons the
+    * explicit-path read (the path list would cross the driver at
+    * bloom-false-positive cardinality — up to manifest-sized under a
+    * key-dense batch or a cold bloom) and falls back to the scan
+    * path. Counted BEFORE the collect, like every other crossing.
+    */
+  private[graft] def indexProbePathCap(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lake.indexProbePathCap")
+      .map(_.toLong).getOrElse(DefaultMaxRewriteFiles.toLong)
 
   /** The candidate (file → seq) relation for converting ONE
     * equality-delete group: active data files with sequence STRICTLY
@@ -770,7 +784,7 @@ object LakeDml {
     val idxCol = cols.find(c => fs.exists(new Path(s"$root/_index/$c")))
     idxCol.foreach { ic =>
       // manifest row stats bound the key population without a job
-      if (files.map(_.rows).sum <= IndexProbeMaxKeys) {
+      if (files.map(_.rows).sum <= indexProbeMaxKeys(spark)) {
         graft.functions.VectorFunctions.register(spark)
         val hashes = spark.read.parquet(files.map(_.path): _*)
           .select(xxhash64(col(ic)).as("h")).distinct().as[Long].collect()
@@ -943,10 +957,14 @@ object LakeDml {
     * carry the table's columns (including the partition-layout
     * columns). When `useIndex` is set and a [[LakeIndex]] sidecar
     * exists on `keys.head`, the affected-file search probes the bloom
-    * sidecar instead of scanning the lake: the batch's distinct key
-    * hashes (driver-collected — update batches are control-plane sized;
-    * a lake-scale restatement should use the scan path) are tested
-    * against each file's bloom and only candidate files are read.
+    * sidecar instead of scanning the lake — under the house guards:
+    * the batch's distinct key-hash count is bounded by
+    * [[indexProbeMaxKeys]] BEFORE the hashes cross the driver, and
+    * the bloom-positive file count by [[indexProbePathCap]] BEFORE
+    * the path list does (a key-dense batch or a false-positive storm
+    * makes it manifest-cardinality); past either cap the search falls
+    * back to the full scan path (= `useIndex = false`), which is
+    * always correct — the index only ever prunes.
     */
   private def requireBounded(nFiles: Long, bound: Int, op: String): Unit =
     if (nFiles > bound) throw new IllegalStateException(
@@ -966,20 +984,34 @@ object LakeDml {
     val ups = updates.select(dataCols.map(col): _*).cache()
     try {
       val keyRel = keyRelSized(ups.select(keys.map(col): _*).distinct())
+      // both driver crossings of the index probe are COUNT-GUARDED
+      // BEFORE the collect (the convertCandidateRel discipline):
+      // key-hash cardinality first, bloom-positive path cardinality
+      // second; either over cap → the scan path, never a truncation
       val candidates = if (useIndex) {
         val ic = keys.head
         graft.functions.VectorFunctions.register(spark)
-        val hashes = ups.select(xxhash64(col(ic)).as("h")).distinct().as[Long].collect()
-        val paths = LogSync.activeManifest(spark, root)
-          .join(spark.read.parquet(s"$root/_index/$ic"), Seq("path"), "left")
-          .filter(col("bloom").isNull ||
-            call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
-          .select("path").as[String].collect()
-        if (paths.isEmpty) None
-        else Some(LogSync.applyDeletes(spark,
-          spark.read.option("basePath", root).parquet(paths.toSeq: _*)
-            .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
-          root, LogSync.deleteEntries(spark, root)))
+        val keyHashRel = ups.select(xxhash64(col(ic)).as("h")).distinct()
+        if (keyHashRel.count() > indexProbeMaxKeys(spark))
+          Some(tableWithSrc(spark, root))
+        else {
+          val hashes = keyHashRel.as[Long].collect()
+          val candRel = LogSync.activeManifest(spark, root)
+            .join(spark.read.parquet(s"$root/_index/$ic"), Seq("path"), "left")
+            .filter(col("bloom").isNull ||
+              call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
+            .select("path")
+          if (candRel.count() > indexProbePathCap(spark))
+            Some(tableWithSrc(spark, root))
+          else {
+            val paths = candRel.as[String].collect()
+            if (paths.isEmpty) None
+            else Some(LogSync.applyDeletes(spark,
+              spark.read.option("basePath", root).parquet(paths.toSeq: _*)
+                .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
+              root, LogSync.deleteEntries(spark, root)))
+          }
+        }
       } else Some(tableWithSrc(spark, root))
       val (files, nFiles, matched) = candidates match {
         case None => (Seq.empty[String], 0L, 0L)

@@ -223,4 +223,28 @@ class DmlIndexSpec extends SparkSpec {
       .select("body").collect().forall(_.getString(0) == "REDACTED"))
     before.unpersist()
   }
+
+  test("LakeDml.upsert(useIndex): both probe caps force the scan fallback and agree") {
+    import spark.implicits._
+    def redact(root: String, capKey: String): Unit = {
+      LakeIndex.build(spark, root, "span_id")
+      val before = LogSync.table(spark, root)
+      val victims = before.filter(col("service_name") === "s0")
+        .orderBy("span_id").limit(3).collect().map(_.getAs[String]("span_id")).toSeq
+      val updates = before.filter(col("span_id").isin(victims: _*))
+        .withColumn("body", lit("REDACTED"))
+      spark.conf.set(capKey, "0")
+      try {
+        val stats = LakeDml.upsert(spark, root, updates, Seq("span_id"), useIndex = true)
+        assert(stats.rowsChanged == victims.size, s"$capKey fallback: $stats")
+      } finally spark.conf.unset(capKey)
+      assert(LogSync.table(spark, root).filter(col("span_id").isin(victims: _*))
+        .select("body").collect().forall(_.getString(0) == "REDACTED"),
+        s"$capKey fallback must still replace every matched key")
+    }
+    // cap 0 on the KEY count: the hash list never crosses the driver
+    redact(mkLake(Seq((200, "s0"), (200, "s1"))), "graft.lake.indexProbeMaxKeys")
+    // cap 0 on the bloom-positive PATH count: the path list never does
+    redact(mkLake(Seq((200, "s0"), (200, "s1"))), "graft.lake.indexProbePathCap")
+  }
 }

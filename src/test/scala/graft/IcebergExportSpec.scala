@@ -580,4 +580,55 @@ class IcebergExportSpec extends SparkSpec {
     assert(sidecar.contains("deploy_id\t"),
       s"late column must be appended to the persisted id map: $sidecar")
   }
+
+  test("explicitFileCap 0: the over-cap plan (root scan + distributed attach join) agrees row-for-row") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("timestamp", "service_name", "body")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val explicit = rows(IcebergExport.readTable(spark, root))
+    assert(explicit.nonEmpty)
+    spark.conf.set("graft.chain.explicitFileCap", "0")
+    try {
+      // over-cap: no driver-side path list, no forced broadcast — the
+      // scan is the table location restricted by the attach inner join
+      assert(rows(IcebergExport.readTable(spark, root)) == explicit,
+        "over-cap chain read must equal the explicit-path read row-for-row")
+      // the file-list-dependent pruned read refuses loudly, never
+      // silently prunes nothing
+      val loc = graft.sources.IcebergFixture.externalDayPartitionedTable(spark, sf)
+      val msg = intercept[IllegalArgumentException] {
+        IcebergExport.readExternalPruned(spark, loc, _ => true)
+      }.getMessage
+      assert(msg.contains("explicitFileCap"), s"unexpected refusal: $msg")
+    } finally spark.conf.unset("graft.chain.explicitFileCap")
+  }
+
+  test("explicitFileCap 0 + merge-on-read: deletes apply identically on the over-cap plan") {
+    val loc = graft.sources.IcebergFixture.externalNationMorTable(spark, sf)
+    def keys() = IcebergExport.readExternal(spark, loc)
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val explicit = keys()
+    spark.conf.set("graft.chain.explicitFileCap", "0")
+    try assert(keys() == explicit,
+      "over-cap MOR read must surface exactly the explicit-path survivors")
+    finally spark.conf.unset("graft.chain.explicitFileCap")
+  }
+
+  test("attach-map broadcast is seqBroadcastRowCap-guarded: the shuffle-join plan agrees") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    // readChain directly: readTable's lake-scan fast path never builds
+    // the attach map, and this test is about that join's sizing
+    def rows() = IcebergExport.readChain(spark, IcebergExport.resolveChain(
+        spark, new org.apache.hadoop.fs.Path(s"$root/_iceberg/metadata")))
+      .select("timestamp", "service_name", "body")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val viaBroadcast = rows()
+    spark.conf.set("graft.lake.seqBroadcastRowCap", "0")
+    try assert(rows() == viaBroadcast,
+      "shuffle-join attach must equal the broadcast attach row-for-row")
+    finally spark.conf.unset("graft.lake.seqBroadcastRowCap")
+  }
 }
