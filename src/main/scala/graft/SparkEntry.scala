@@ -97,6 +97,8 @@ object SparkEntry {
     "lake_iceberg_eqdml"  -> (LakeAnalytics.eqMorSeverity _),
     "lake_cdc_apply"      -> (LakeAnalytics.cdcApplySeverity _),
     "lake_evolve"         -> (LakeAnalytics.evolveSeverity _),
+    "lake_evolve_stats"   -> (LakeAnalytics.evolveStatsSeverity _),
+    "lake_travel_schema"  -> (LakeAnalytics.travelSchemaSeverity _),
     "lake_spec_evolve"    -> (LakeAnalytics.specEvolveSeverity _),
     "lake_retention"      -> (LakeAnalytics.retentionSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
@@ -1125,8 +1127,9 @@ object SparkEntry {
     // metadata-only) and severity_number promoted int→long mid-chain;
     // 'cur' reads both generations folded under the new schema (the
     // post-evolution batch re-lands svc-0/1/2 as 'evolved' twins),
-    // 'pre' time-travels to the pre-evolution snapshot under the
-    // current schema via the name-mapping alias
+    // 'pre' time-travels to the pre-evolution snapshot under ITS OWN
+    // schema-id (snapshot-schema semantics — old name, narrow int),
+    // aligned to the current shape for the union
     "lake_evolve" ->
       """WITH sev AS (
         |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
@@ -1150,6 +1153,44 @@ object SparkEntry {
         |    CAST(sum(sev_num) AS BIGINT)
         |  FROM sev GROUP BY 1,2,3
         |) ORDER BY phase, service_name, severity""".stripMargin,
+    // STAT-AXIS EVOLUTION: both zone-map axes renamed mid-life
+    // (service_name→service, timestamp→event_time) on a FLAT lake;
+    // the query is a windowed read on the RENAMED time axis grouped by
+    // the renamed service axis, post-rename 'statted' twins included
+    "lake_evolve_stats" ->
+      """SELECT service, severity_text, n FROM (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    event_type AS severity_text, count(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR), 'statted', count(*)
+        |  FROM events
+        |  WHERE user_id % 10 < 2
+        |    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |  GROUP BY 1
+        |) ORDER BY service, severity_text""".stripMargin,
+    // SNAPSHOT-SCHEMA TIME TRAVEL: 'pre' anchors before the body-drop
+    // and still counts the dropped column's values; 'cur' reads the
+    // post-drop schema with the 'afterdrop' twins
+    "lake_travel_schema" ->
+      """SELECT phase, service_name, severity_text, n, n_body FROM (
+        |  SELECT 'pre' AS phase,
+        |    'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        |    event_type AS severity_text, count(*) AS n,
+        |    CAST(count(props) AS BIGINT) AS n_body
+        |  FROM events GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'cur', 'svc-' || CAST(user_id % 10 AS VARCHAR),
+        |    event_type, count(*), CAST(NULL AS BIGINT)
+        |  FROM events GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'cur', 'svc-0', 'afterdrop', count(*), CAST(NULL AS BIGINT)
+        |  FROM events WHERE user_id % 10 = 0
+        |) ORDER BY phase, service_name, severity_text, n""".stripMargin,
     // PARTITION-SPEC EVOLUTION: the hourly generation (svc-0/1, spec 0)
     // plus its daily-layout 'daily' twins (spec 2) — hour comes from
     // dirs for the former and the data column for the latter, read

@@ -704,11 +704,13 @@ object LakeAnalytics {
     * through the exported chain of [[evolveRoot]] — both the CURRENT
     * read (old + new generations folded under the renamed column, the
     * int32 generation widening into the long sum) and the
-    * PRE-EVOLUTION snapshot (time travel under the current schema,
-    * resolved through the name-mapping alias). One hash certifies:
-    * the metadata-only rename, the widening promotion, forward writes
-    * under the new shape, the schema-history delta export, and both
-    * external reads.
+    * PRE-EVOLUTION snapshot, which reads under ITS OWN schema-id
+    * (snapshot-schema time travel: the old name `severity_text` and
+    * the narrow int — the query aligns them to the current shape only
+    * to union the two phases). One hash certifies: the metadata-only
+    * rename, the widening promotion, forward writes under the new
+    * shape, the schema-history delta export, snapshot-schema
+    * resolution, and both external reads.
     */
   def evolveSeverity(spark: SparkSession, dir: String): DataFrame = {
     val root = evolveRoot(spark, dir)
@@ -720,7 +722,8 @@ object LakeAnalytics {
         .withColumn("phase", lit(phase))
     agg(graft.sources.IcebergExport.readTable(spark, root), "cur")
       .unionByName(agg(graft.sources.IcebergExport.readTable(spark, root,
-        Some(graft.sources.IcebergExport.BySnapshotId(first._1))), "pre"))
+        Some(graft.sources.IcebergExport.BySnapshotId(first._1)))
+        .withColumnRenamed("severity_text", "severity"), "pre"))
       .select(col("phase"), col("service_name"), col("severity"),
         col("n"), col("sum_sev"))
       .orderBy(col("phase"), col("service_name"), col("severity"))
@@ -820,6 +823,112 @@ object LakeAnalytics {
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
+
+  private val evolveStatsBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A FLAT lake (no partition dirs — the shape where the manifest's
+    * zone-map stats ARE the pruning story) whose BOTH stat axes were
+    * renamed mid-life: `service_name` → `service`, `timestamp` →
+    * `event_time` ([[graft.sources.LakeEvolve]] stat-axis renames —
+    * metadata-only; the recorded min/max are the fields' values, so
+    * not one zone-map bound moves). A post-rename batch (svc-0/1
+    * 'statted' twins under the NEW names) lands and syncs, proving
+    * registration keeps computing stats through the renamed axis.
+    */
+  private[graft] def evolveStatsRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(evolveStatsBuilt, dir, "graft_lakeevstats", spark) { root =>
+      val base = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .select(col("timestamp"), col("service_name"), col("severity_text"),
+          col("span_id"), col("body"))
+      base.coalesce(4).write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+      graft.sources.LakeEvolve.renameColumn(spark, root, "service_name", "service")
+      graft.sources.LakeEvolve.renameColumn(spark, root, "timestamp", "event_time")
+      val twins = base.filter(col("service_name").isin("svc-0", "svc-1"))
+        .select(col("timestamp").as("event_time"),
+          col("service_name").as("service"),
+          lit("statted").as("severity_text"),
+          concat(lit("ev2-"), col("span_id")).as("span_id"), col("body"))
+      twins.coalesce(1).write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+      // the post-rename round must have statted its files through the
+      // renamed axes — a null here would mean pruning silently died
+      val freshStats = LogSync.manifest(spark, root)
+        .orderBy(col("registered_at").desc).limit(1).collect().head
+      require(freshStats.getAs[java.sql.Timestamp]("min_ts") != null,
+        "post-rename sync lost the time zone-map")
+    }
+
+  /** `lake_evolve_stats`: severity counts over a zone-map-pruned TIME
+    * WINDOW read ([[LogSync.tableBetween]]) of [[evolveStatsRoot]] —
+    * the window filter binds the RENAMED time axis and the grouping
+    * the renamed service axis, so the hash certifies stat-axis
+    * renames end to end: axis resolution through the schema log, the
+    * unchanged manifest zone maps, post-rename stat computation, and
+    * the alias fold on pre-rename files.
+    */
+  def evolveStatsSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = evolveStatsRoot(spark, dir)
+    LogSync.tableBetween(spark, root, "2024-01-05", "2024-01-25")
+      .groupBy(col("service"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service"), col("severity_text"))
+  }
+
+  private val travelSchemaBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose `body` column was DROPPED mid-life (metadata-only,
+    * [[graft.sources.LakeEvolve.dropColumn]]) and then grew a
+    * post-drop batch (svc-0 'afterdrop' twins, written without the
+    * retired column). The schema log records the drop instant, so a
+    * time-travel anchor BEFORE it reads under the pre-drop schema.
+    */
+  private[graft] def travelSchemaRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(travelSchemaBuilt, dir, "graft_laketravel", spark) { root =>
+      val base = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .select(col("timestamp"), col("service_name"), col("severity_text"),
+          col("span_id"), col("body"))
+      base.coalesce(4).write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+      Thread.sleep(20) // clock separation: registration < drop instant
+      graft.sources.LakeEvolve.dropColumn(spark, root, "body")
+      val twins = base.filter(col("service_name") === "svc-0")
+        .select(col("timestamp"), col("service_name"),
+          lit("afterdrop").as("severity_text"),
+          concat(lit("ev2-"), col("span_id")).as("span_id"))
+      twins.coalesce(1).write.mode("append").parquet(root)
+      LogSync.sync(spark, root)
+    }
+
+  /** `lake_travel_schema`: SNAPSHOT-SCHEMA time travel on the native
+    * lake — the 'pre' phase anchors just before the drop recorded in
+    * the schema log and still reads the dropped `body` column (its
+    * per-row values counted into `n_body`), the 'cur' phase reads the
+    * post-drop schema (body gone, the twins visible). One hash
+    * certifies the as-of schema resolution, the drop's metadata-only
+    * nature (the old bytes still serve the anchor), and the retired
+    * name's absence from current reads.
+    */
+  def travelSchemaSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = travelSchemaRoot(spark, dir)
+    val dropAt = graft.sources.LakeEvolve.state(spark, root)
+      .map(_.entries.head.at)
+      .getOrElse(sys.error("travel fixture lost its schema log"))
+    val mark = new java.sql.Timestamp(dropAt - 1)
+    val pre = LogSync.tableAsOf(spark, root, mark)
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"), count(col("body")).as("n_body"))
+      .withColumn("phase", lit("pre"))
+    val cur = LogSync.table(spark, root)
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_body", lit(null).cast("long"))
+      .withColumn("phase", lit("cur"))
+    pre.unionByName(cur)
+      .select(col("phase"), col("service_name"), col("severity_text"),
+        col("n"), col("n_body"))
+      .orderBy(col("phase"), col("service_name"), col("severity_text"), col("n"))
+  }
 
   private val clusterBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -313,21 +313,56 @@ object IcebergExport {
         .parquet(active.map(fileUri): _*).schema
     }
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing = readFieldIdSidecar(spark, root)
+    // LOG-FIRST recovery: an evolution commits to the schema log
+    // BEFORE its sidecar binding, so a crash between the two leaves
+    // the log authoritative. Re-derive here what the sidecar may be
+    // missing — a rename target binds to the entry's recorded id (a
+    // fresh id would move the field on rename: invalid metadata), a
+    // promoted name's recorded type follows the stored schema.
+    val evoState = LakeEvolve.state(spark, root)
+    val evoEntries = evoState.map(_.entries).getOrElse(Seq.empty)
+    val raw = readFieldIdSidecar(spark, root)
+    val recovered = {
+      val have = scala.collection.mutable.Set(raw.map(_._1).toSeq: _*)
+      val out = Seq.newBuilder[(String, Int, Option[String])]
+      evoEntries.foreach {
+        case LakeEvolve.Evo("rename", id, _, to, _)
+          if id >= 0 && !have.contains(to) =>
+          out += ((to, id, None)); have += to
+        case _ => ()
+      }
+      out.result()
+    }
+    val existing = raw ++ recovered
+    val promoted: Set[String] = {
+      val finals = evoState
+        .map(st => (n: String) => st.currentName(n)).getOrElse(identity[String] _)
+      evoEntries.collect {
+        case LakeEvolve.Evo("promote", _, n, _, _) => finals(n)
+      }.toSet
+    }
     val known = existing.map(_._1).toSet
     val fresh = physical.fields.map(_.name).filterNot(known).toSeq
     val newNames = if (existing.isEmpty) fresh else fresh.sorted
     val nextId = (existing.map(_._2) :+ 0).max + 1
     val sparkTypeOf = physical.fields.map(f => f.name -> f.dataType.catalogString).toMap
     val assigned: Seq[(String, Int, Option[String])] =
-      existing.map { case (n, id, t) => (n, id, t.orElse(sparkTypeOf.get(n))) } ++
+      existing.map { case (n, id, t) =>
+        // a promoted column's authoritative type is the stored
+        // schema's (a crash may have left the sidecar's stale-narrow)
+        val tt = if (promoted.contains(n)) sparkTypeOf.get(n).orElse(t)
+                 else t.orElse(sparkTypeOf.get(n))
+        (n, id, tt)
+      } ++
         newNames.zipWithIndex.map { case (n, i) =>
           (n, nextId + i, sparkTypeOf.get(n))
         }
-    // rewrite when names were added OR a previously-untyped line can
-    // now carry its Spark type (the type column is what lets the
-    // equality-delete writer skip the footer merge entirely)
-    if (newNames.nonEmpty ||
+    // rewrite when names were added, a previously-untyped line can now
+    // carry its Spark type (the type column is what lets the
+    // equality-delete writer skip the footer merge entirely), or a
+    // log-first recovery re-derived a binding/type
+    if (newNames.nonEmpty || recovered.nonEmpty ||
+        assigned.map(a => (a._1, a._2, a._3)) != existing ||
         existing.exists(e => e._3.isEmpty && sparkTypeOf.contains(e._1))) {
       // write-tmp-then-rename INTO A FRESH VERSION: the rename's
       // target never exists, so there is no delete-then-rename window
@@ -1414,33 +1449,17 @@ object IcebergExport {
     * the walk on a RETAINED HISTORIC snapshot instead of the current
     * one (Iceberg time travel): same manifest chain mechanics, just a
     * different `snapshots` entry — a control-plane choice, no data
-    * cost. Current-schema simplification applies (the spec permits
-    * reading historic snapshots under the current schema; this reader
-    * does exactly that, like its export writes).
+    * cost. An anchored snapshot reads under the SCHEMA-ID it was
+    * committed with (Iceberg's snapshot-schema semantics: a later
+    * drop/rename does not rewrite history — a pre-drop anchor still
+    * surfaces the column); snapshots that predate schema stamping
+    * carry no `schema-id` and fall back to the current schema.
     */
   private[graft] def resolveChainAt(spark: SparkSession, mdPath: Path,
                                     asOf: Option[SnapshotRef] = None): Chain = {
     val md = IcebergJson.parse(readText(spark, mdPath))
     val fv = md("format-version").int
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
-
-    // current schema: v2 schemas[current-schema-id] or v1 bare schema
-    val schemaObj = md.opt("schemas") match {
-      case Some(ss) =>
-        val want = md("current-schema-id").long
-        ss.arr.find(_("schema-id").long == want)
-          .getOrElse(sys.error(s"current-schema-id $want has no schemas entry"))
-      case None => md("schema")
-    }
-    val schemaFields = schemaObj("fields").arr.map { f =>
-      val tpe = f("type") match {
-        case IcebergJson.JStr(s) => s
-        case other => sys.error(
-          s"nested column type ${IcebergJson.render(other)} unsupported by this reader " +
-            s"(column ${f("name").str})")
-      }
-      Field(f("id").int, f("name").str, tpe)
-    }
 
     // partition specs: ALL of them (spec evolution leaves one per
     // layout generation; each manifest binds its own via the list
@@ -1502,6 +1521,34 @@ object IcebergExport {
           if (chronological) at.last
           else at.zipWithIndex.maxBy { case (s, i) => (s("timestamp-ms").long, i) }._1
         Some(pick("snapshot-id").long)
+    }
+    // schema resolution: v2 schemas[...] or the v1 bare schema. A
+    // TIME-TRAVEL anchor reads under the schema-id ITS SNAPSHOT was
+    // committed with (Iceberg's snapshot-schema semantics — a column
+    // dropped later is still visible at a pre-drop anchor, a rename
+    // hasn't happened yet); current reads use current-schema-id.
+    // Snapshots predating schema stamping (no `schema-id` field) fall
+    // back to the current schema — the documented legacy behavior.
+    val schemaObj = md.opt("schemas") match {
+      case Some(ss) =>
+        val want: Long =
+          (if (asOf.isDefined)
+            snapId.flatMap(id => md("snapshots").arr
+              .find(_("snapshot-id").long == id)
+              .flatMap(_.opt("schema-id").map(_.long)))
+          else None).getOrElse(md("current-schema-id").long)
+        ss.arr.find(_("schema-id").long == want)
+          .getOrElse(sys.error(s"schema-id $want has no schemas entry"))
+      case None => md("schema")
+    }
+    val schemaFields = schemaObj("fields").arr.map { f =>
+      val tpe = f("type") match {
+        case IcebergJson.JStr(s) => s
+        case other => sys.error(
+          s"nested column type ${IcebergJson.render(other)} unsupported by this reader " +
+            s"(column ${f("name").str})")
+      }
+      Field(f("id").int, f("name").str, tpe)
     }
     val (listRecords, files, deletes, manifestRefs, resolvedOverCap) = snapId match {
       case None => (Seq.empty[GenericRecord], Seq.empty[ChainFile],

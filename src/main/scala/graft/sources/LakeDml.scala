@@ -1097,15 +1097,25 @@ object LakeDml {
     val (delFiles, delRows) =
       if (boundary.isEmpty) (0L, 0L)
       else {
-        val raw = spark.read.option("basePath", root).parquet(boundary.toSeq: _*)
+        // evolved lakes: explicit request schema + alias fold, so a
+        // pre-rename boundary file's time values still resolve; the
+        // row predicate binds the time axis's CURRENT name
+        val evoSt = LakeEvolve.state(spark, root)
+        val reader0 = spark.read.option("basePath", root)
+        val reader = evoSt.map(st =>
+          reader0.schema(LakeEvolve.requestSchema(spark, root, st)))
+          .getOrElse(reader0)
+        val raw0 = reader.parquet(boundary.toSeq: _*)
           .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
           .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
             "^file:/(?!/)", "file:///"))
           .withColumn("__dpos", col("_metadata.row_index"))
+        val raw = evoSt.map(st => LakeEvolve.project(raw0, st)).getOrElse(raw0)
         val live = LogSync.applyDeletes(spark, raw, root,
           LogSync.deleteEntries(spark, root))
-        val pred = from.map(ts => col("timestamp") >= lit(ts))
-          .getOrElse(lit(true)) && col("timestamp") < lit(until)
+        val ts = col(LakeEvolve.timeAxis(spark, root))
+        val pred = from.map(f => ts >= lit(f))
+          .getOrElse(lit(true)) && ts < lit(until)
         writePositionDeletes(spark, root, live.filter(pred))
       }
 

@@ -13,76 +13,102 @@ import org.apache.spark.sql.types._
   * promotion is a WIDENING read (old files keep their narrow physical
   * type; the scan requests the wide one and the parquet reader
   * up-casts), and a drop retires the name (id reserved forever, bytes
-  * untouched until natural rewrite). Adds need no API at all — the
-  * lake's union-schema reads admit new columns forward. This is what the
-  * reference gets from `ALTER TABLE ... RENAME COLUMN` on its Iceberg
-  * catalog; here re-expressed over the manifest + sidecar pair.
+  * untouched until natural rewrite). Adds need no API: the sync that
+  * registers a file RECORDS any new columns its footer carries into
+  * the schema log ([[recordAdds]]), so the logical schema is always
+  * stored — no read ever probes footers. This is what the reference
+  * gets from `ALTER TABLE ... RENAME COLUMN` on its Iceberg catalog;
+  * here re-expressed over the manifest + sidecar pair.
   *
   * MECHANICS. Evolutions append to a versioned `_schema_log_v<N>`
   * sidecar (newest wins, write-then-rename into a fresh version — the
-  * same crash-atomic discipline as the `_field_ids_v<N>` map). Each
-  * entry records the op and the full LOGICAL schema after it, so the
-  * read side never re-merges physical footers (which Spark cannot do
-  * across a promotion — int vs long footers fail its schema merge).
-  * Every lake read ([[LogSync.table]] and friends, DML scans,
-  * conversion scans) then:
+  * same crash-atomic discipline as the `_field_ids_v<N>` map). The
+  * log records the BASELINE schema (pre-evolution), then each entry
+  * with its commit instant and the full LOGICAL schema after it, so
+  * (a) the read side never re-merges physical footers (which Spark
+  * cannot do across a promotion — int vs long footers fail its schema
+  * merge) and (b) TIME TRAVEL resolves the schema as of any instant
+  * ([[stateAt]] — Iceberg's snapshot-schema semantics: a pre-drop
+  * anchor still surfaces the dropped column, a pre-rename anchor the
+  * old name). Every lake read ([[LogSync.table]] and friends, DML
+  * scans, conversion scans) then:
   *
-  *  1. requests an EXPLICIT schema = stored logical schema ∪ columns
-  *     newer files added since the last evolution (one newest-footer
-  *     probe, memoized) ∪ each renamed column's OLD names at the
-  *     final type — absent columns read null, narrow columns widen;
+  *  1. requests an EXPLICIT schema = the as-of stored logical schema
+  *     ∪ each renamed column's OLD names at the final type — absent
+  *     columns read null, narrow columns widen;
   *  2. projects `coalesce(newName, oldName…)` into the final name and
   *     drops the old names — per row exactly one source is non-null
   *     (a file carries the column under exactly one name).
   *
   * A lake with no schema log pays ONE `fs.exists` per read and takes
-  * the historical path untouched.
+  * the historical path untouched; evolved lakes resolve their state
+  * from a per-(root, log-version) memo — one log read per evolution,
+  * not per query.
   *
   * INTEROP. The field-id sidecar gains the new name at the SAME id
   * (rename) / the widened type (promote), so equality-delete parquet
   * written after the evolution stamps ids consistent with every
   * earlier export; [[IcebergExport]] exports the renamed schema under
-  * a fresh schema-id (history retained, prior snapshots keep theirs)
-  * and lists the old names as ALIASES in the spec's
-  * `schema.name-mapping.default` property — the standard mechanism by
-  * which engines binding by name resolve pre-rename files — and its
-  * own [[IcebergExport.readChain]] honors those aliases the same way.
+  * a fresh schema-id (history retained, prior snapshots keep theirs
+  * and time-travel reads resolve under them) and lists the old names
+  * as ALIASES in the spec's `schema.name-mapping.default` property —
+  * the standard mechanism by which engines binding by name resolve
+  * pre-rename files — and its own [[IcebergExport.readChain]] honors
+  * those aliases the same way. COMMIT ORDER is log-first: the schema
+  * log is the root of trust, and a crash before the sidecar binding
+  * lands self-heals ([[IcebergExport.schemaFieldsFor]] re-derives the
+  * binding from the log's rename entry); the reverse order left an
+  * orphaned name→id row that a later same-named add would silently
+  * inherit, minting invalid two-names-one-id metadata.
   *
   * GUARDS (all refusals, never silent): the partition-layout columns
-  * and the zone-map stat columns (`timestamp`, `service_name` — the
-  * manifest binds them by name) cannot evolve; a rename target must
-  * not collide with a live column (and a retired old name is reserved
-  * forever — re-adding it would make old files' physical columns
-  * ambiguous); a column with ACTIVE equality deletes cannot evolve
-  * (the registered delete parquet binds the old name/type — run
-  * [[LakeDml.convertEqDeletes]] or compact first); only the two
-  * spec-legal widenings are accepted.
+  * cannot evolve (the directory structure binds them by name); the
+  * zone-map stat axes (`timestamp`, `service_name` originally) CAN be
+  * RENAMED — the manifest's recorded min/max VALUES are the field's
+  * values, untouched by a rename, and every axis consumer resolves
+  * the field's current name through [[timeAxis]]/[[svcAxis]] — but
+  * cannot be DROPPED (retention planning and zone-map pruning would
+  * lose their axis); a rename target must not collide with a live
+  * column (and a retired old name is reserved forever — re-adding it
+  * would make old files' physical columns ambiguous); a column with
+  * ACTIVE equality deletes cannot evolve (the registered delete
+  * parquet binds the old name/type — run [[LakeDml.convertEqDeletes]]
+  * or compact first); only the two spec-legal widenings are accepted.
   *
   * 100 TB: an evolution is one control-plane sidecar swap. Reads pay
-  * one newest-footer open (memoized per lake state) and one extra
-  * projection — no shuffle, no extra scan; pushdown survives because
-  * the coalesce is a plain projection over the same single root scan.
+  * one memoized log parse and one extra projection — no footer probe,
+  * no shuffle, no extra scan; pushdown survives because the coalesce
+  * is a plain projection over the same single root scan.
   */
 object LakeEvolve {
 
-  /** One recorded evolution. For renames `from`/`to` are the names;
-    * for promotes `from == to == name` and only the type changed.
+  /** One recorded evolution at commit instant `at` (epoch millis; 0 =
+    * a legacy pre-timestamp entry, always considered in-window). For
+    * renames `from`/`to` are the names; for promotes
+    * `from == to == name` and only the type changed; for adds (sync-
+    * recorded new columns) `from == to == name` and `id` is -1 — the
+    * export assigns the real id when it first sees the column.
     */
-  final case class Evo(op: String, id: Int, from: String, to: String)
+  final case class Evo(op: String, id: Int, from: String, to: String,
+                       at: Long = 0L)
 
-  /** The resolved evolution state of a lake: ordered entries, the
-    * stored LOGICAL schema after the last entry, final-name → old
-    * physical names (newest alias first), any-name → final name, and
-    * the DROPPED names (a dropped column's every physical name —
-    * reserved forever: old files still carry the bytes, and a
-    * re-added same-named column would silently resurrect them, so the
-    * read side ignores the name for the lake's whole life).
+  /** The resolved evolution state of a lake (at some instant):
+    * ordered entries with their post-entry schemas, the BASELINE
+    * (pre-evolution) schema, the stored LOGICAL schema after the last
+    * entry, final-name → old physical names (newest alias first),
+    * any-name → final name, and the DROPPED names (a dropped column's
+    * every physical name — reserved forever: old files still carry
+    * the bytes, and a re-added same-named column would silently
+    * resurrect them, so the read side ignores the name for the lake's
+    * whole life).
     */
   final case class EvoState(version: Int, entries: Seq[Evo],
                             stored: StructType,
                             aliasesOf: Map[String, Seq[String]],
                             finalOf: Map[String, String],
-                            dropped: Set[String] = Set.empty) {
+                            dropped: Set[String] = Set.empty,
+                            baseline: StructType = new StructType(),
+                            history: Seq[(Evo, StructType)] = Seq.empty) {
     def currentName(n: String): String = finalOf.getOrElse(n, n)
     def supersededNames: Set[String] = aliasesOf.values.flatten.toSet ++ dropped
   }
@@ -108,106 +134,252 @@ object LakeEvolve {
   private[graft] def logVersion(spark: SparkSession, root: String): Int =
     schemaLogCurrent(spark, root)._1
 
-  private def parseLog(txt: String): (Seq[Evo], StructType) = {
-    var stored: Option[StructType] = None
-    val entries = txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+  /** Parsed log: (baseline if recorded, entries each with its
+    * post-entry schema when recorded, legacy trailing schema). The
+    * CURRENT format writes `schema0` + one `schema` line per entry;
+    * logs written before per-entry schemas existed carry one trailing
+    * `schema` line and no timestamps — they parse with `at = 0` and
+    * every per-entry schema = the final one (time travel on such a
+    * lake degrades to the old current-schema behavior, never errors).
+    */
+  private def parseLog(txt: String):
+      (Option[StructType], Seq[(Evo, Option[StructType])], Option[StructType]) = {
+    var baseline: Option[StructType] = None
+    var trailing: Option[StructType] = None
+    var pending: Option[Evo] = None
+    val hist = Seq.newBuilder[(Evo, Option[StructType])]
+    def pend(e: Evo): Unit = {
+      pending.foreach(p => hist += (p -> None))
+      pending = Some(e)
+    }
+    txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).foreach { l =>
       l.split('\t') match {
-        case Array("rename", id, from, to) => Some(Evo("rename", id.toInt, from, to))
-        case Array("promote", id, name, _, _) => Some(Evo("promote", id.toInt, name, name))
-        case Array("drop", id, name) => Some(Evo("drop", id.toInt, name, name))
+        case Array("rename", id, from, to) => pend(Evo("rename", id.toInt, from, to))
+        case Array("rename", id, from, to, at) =>
+          pend(Evo("rename", id.toInt, from, to, at.toLong))
+        case Array("promote", id, name, _, _) =>
+          pend(Evo("promote", id.toInt, name, name))
+        case Array("promote", id, name, _, _, at) =>
+          pend(Evo("promote", id.toInt, name, name, at.toLong))
+        case Array("drop", id, name) => pend(Evo("drop", id.toInt, name, name))
+        case Array("drop", id, name, at) =>
+          pend(Evo("drop", id.toInt, name, name, at.toLong))
+        case Array("add", name, at) => pend(Evo("add", -1, name, name, at.toLong))
+        case Array("schema0", ddl) => baseline = Some(StructType.fromDDL(ddl))
         case Array("schema", ddl) =>
-          stored = Some(StructType.fromDDL(ddl)); None
+          val s = StructType.fromDDL(ddl)
+          pending match {
+            case Some(p) => hist += (p -> Some(s)); pending = None
+            case None => trailing = Some(s)
+          }
         case _ => sys.error(s"malformed _schema_log line: '$l'")
       }
     }
-    (entries, stored.getOrElse(sys.error("schema log carries no stored schema")))
+    pending.foreach(p => hist += (p -> None))
+    (baseline, hist.result(), trailing)
   }
 
-  private def renderLog(entries: Seq[String], stored: StructType): String =
-    (entries :+ s"schema\t${stored.toDDL}").mkString("\n")
+  private def renderEntry(e: Evo): String = e.op match {
+    case "rename" => s"rename\t${e.id}\t${e.from}\t${e.to}\t${e.at}"
+    // promote entries re-render without the original types (the stored
+    // schema carries the final type; the entry only marks that the
+    // column's physical types vary across files)
+    case "promote" => s"promote\t${e.id}\t${e.from}\t-\t-\t${e.at}"
+    case "drop" => s"drop\t${e.id}\t${e.from}\t${e.at}"
+    case "add" => s"add\t${e.from}\t${e.at}"
+    case other => sys.error(s"unknown evolution op '$other'")
+  }
 
-  /** The evolution state, or None for a never-evolved lake (the
-    * zero-cost common case: one fs.exists).
+  private def render(baseline: StructType,
+                     hist: Seq[(Evo, StructType)]): String =
+    (s"schema0\t${baseline.toDDL}" +: hist.flatMap { case (e, s) =>
+      Seq(renderEntry(e), s"schema\t${s.toDDL}")
+    }).mkString("\n")
+
+  /** alias chains / final-name map / retired names from an entry
+    * sequence: renames fold into chains; promotes don't alias (same
+    * physical name, narrower physical type — widening handles it);
+    * drops retire the name AND its whole alias chain; adds are pure
+    * schema growth.
     */
-  private[graft] def state(spark: SparkSession, root: String): Option[EvoState] = {
-    val (v, p) = schemaLogCurrent(spark, root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val (entries, stored) = parseLog(txt)
-    // fold renames into alias chains; promotes don't alias (same
-    // physical name, narrower physical type — widening handles it);
-    // drops retire the name AND its whole alias chain
+  private def resolveNames(entries: Seq[Evo]):
+      (Map[String, Seq[String]], Map[String, String], Set[String]) = {
     var aliases = Map.empty[String, Seq[String]]
     var finals = Map.empty[String, String]
     var dropped = Set.empty[String]
     entries.foreach {
-      case Evo("rename", _, from, to) =>
+      case Evo("rename", _, from, to, _) =>
         val chain = from +: aliases.getOrElse(from, Seq.empty)
         aliases = (aliases - from) + (to -> chain)
         finals = finals.map { case (k, v) => k -> (if (v == from) to else v) } +
           (from -> to)
-      case Evo("drop", _, name, _) =>
+      case Evo("drop", _, name, _, _) =>
         dropped ++= (name +: aliases.getOrElse(name, Seq.empty)).toSet
         aliases -= name
         finals = finals.filterNot(_._2 == name)
       case _ => ()
     }
-    Some(EvoState(v, entries, stored, aliases, finals, dropped))
+    (aliases, finals, dropped)
   }
+
+  // one parse per (root, log version) — a version's content is
+  // immutable (write-then-rename into a FRESH version), so the memo
+  // never serves stale state; bounded so a long test session's many
+  // throwaway roots can't grow it unboundedly
+  private val stateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), EvoState]()
+
+  /** The CURRENT evolution state, or None for a never-evolved lake
+    * (the zero-cost common case: one fs.exists).
+    */
+  private[graft] def state(spark: SparkSession, root: String): Option[EvoState] = {
+    val (v, p) = schemaLogCurrent(spark, root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    if (stateMemo.size > 512) stateMemo.clear()
+    Some(stateMemo.computeIfAbsent((root, v), { _ =>
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val (baseline0, hist0, trailing) = parseLog(txt)
+      val stored = hist0.reverseIterator.flatMap(_._2).nextOption()
+        .orElse(trailing)
+        .getOrElse(sys.error("schema log carries no stored schema"))
+      // legacy logs lack per-entry schemas/baseline: fill with the
+      // final schema (current-schema behavior, the old contract)
+      val hist = hist0.map { case (e, s) => e -> s.getOrElse(stored) }
+      val baseline = baseline0.getOrElse(stored)
+      val (aliases, finals, dropped) = resolveNames(hist.map(_._1))
+      EvoState(v, hist.map(_._1), stored, aliases, finals, dropped,
+        baseline, hist)
+    }))
+  }
+
+  /** The evolution state AS OF an instant — the schema a time-travel
+    * read resolves under (Iceberg's snapshot-schema semantics over
+    * the native lake): only entries committed at-or-before `asOf`
+    * apply, so a pre-drop anchor still surfaces the column and a
+    * pre-rename anchor the old name. `asOf = None` = current state.
+    * Legacy entries without timestamps (`at = 0`) are always
+    * in-window — the documented pre-upgrade behavior.
+    */
+  private[graft] def stateAt(spark: SparkSession, root: String,
+                             asOf: Option[java.sql.Timestamp]): Option[EvoState] =
+    state(spark, root).map { full =>
+      asOf match {
+        case None => full
+        case Some(ts) =>
+          val hist = full.history.filter(_._1.at <= ts.getTime)
+          if (hist.length == full.history.length) full
+          else {
+            val (aliases, finals, dropped) = resolveNames(hist.map(_._1))
+            full.copy(entries = hist.map(_._1),
+              stored = hist.lastOption.map(_._2).getOrElse(full.baseline),
+              aliasesOf = aliases, finalOf = finals, dropped = dropped,
+              history = hist)
+          }
+      }
+    }
 
   private def writeLog(spark: SparkSession, root: String,
                        content: String): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (curV, _) = schemaLogCurrent(spark, root)
     val target = new Path(s"$root/_schema_log_v${curV + 1}")
-    val tmp = new Path(s"$root/_schema_log_tmp")
+    // uuid'd tmp: two concurrent evolvers each stage their own file —
+    // the rename race below stays the single commit point (the loser
+    // fails loudly on the existing target), but neither can clobber
+    // the other's staged bytes first
+    val tmp = new Path(s"$root/_schema_log_tmp_${
+      java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    require(!fs.exists(target) && fs.rename(tmp, target),
-      s"schema-log swap conflict under $root: version ${curV + 1} already " +
-        "exists or the rename failed — another writer won; re-plan")
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"schema-log swap conflict under $root: version ${curV + 1} " +
+        "already exists or the rename failed — another writer won; re-plan")
+    }
     val old = new Path(s"$root/_schema_log_v$curV")
     if (fs.exists(old)) { fs.delete(old, false); () }
   }
 
+  /** Append one evolution entry (with its post-entry schema) to the
+    * log — the single commit point of every ALTER. `baselineIfFirst`
+    * is the pre-evolution logical schema recorded as `schema0` when
+    * this is the lake's first evolution.
+    */
+  private def appendEntry(spark: SparkSession, root: String,
+                          st: Option[EvoState], baselineIfFirst: StructType,
+                          e: Evo, after: StructType): Unit = {
+    val base = st.map(_.baseline).getOrElse(baselineIfFirst)
+    val hist = st.map(_.history).getOrElse(Seq.empty) :+ (e -> after)
+    writeLog(spark, root, render(base, hist))
+  }
+
+  /** Record columns a sync round's NEW FILES added (footer fields not
+    * in the stored schema and not retired) into the schema log — the
+    * add-column half of evolution, automatic because [[LogSync.sync]]
+    * already touches the new files. Recording at REGISTRATION time is
+    * what makes divergent adds safe: two writers adding DIFFERENT
+    * columns in separate files both land in the log, where the old
+    * newest-footer probe would silently surface only the newer file's
+    * column. No-op on never-evolved lakes (their union semantics come
+    * from [[LogSync.tableMerged]]) and on rounds with no new columns.
+    */
+  private[graft] def recordAdds(spark: SparkSession, root: String,
+                                paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    state(spark, root).foreach { st =>
+      // one distributed footer-merge job over THIS ROUND's files. A
+      // mixed narrow/wide round (a lagging writer still emitting the
+      // pre-promotion type) fails Spark's merge — fall back to a
+      // per-file footer walk, bounded by the round's arrivals (already
+      // a driver-resident list), taking the first type seen per name
+      val merged: Seq[StructField] = scala.util.Try(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          .schema.fields.toSeq)
+        .getOrElse(paths
+          .flatMap(p => scala.util.Try(
+            spark.read.parquet(p).schema.fields.toSeq).getOrElse(Seq.empty))
+          .foldLeft(Seq.empty[StructField]) { (acc, f) =>
+            if (acc.exists(_.name == f.name)) acc else acc :+ f
+          })
+      val known = st.stored.fieldNames.toSet ++ st.supersededNames
+      val extra = merged.filterNot(f => known.contains(f.name))
+      if (extra.nonEmpty) {
+        val now = System.currentTimeMillis()
+        var stored = st.stored
+        var hist = st.history
+        extra.sortBy(_.name).foreach { f =>
+          stored = StructType(stored.fields :+
+            StructField(f.name, f.dataType, nullable = true))
+          hist = hist :+ (Evo("add", -1, f.name, f.name, now) -> stored)
+        }
+        writeLog(spark, root, render(st.baseline, hist))
+      }
+    }
+  }
+
   /** The current logical LOAD schema (data + partition-dir columns):
-    * the stored one when a log exists, else one mergeSchema load —
-    * the pre-evolution baseline an evolution op starts from.
+    * the stored one when a log exists (adds land there at sync time),
+    * else one mergeSchema load — the pre-evolution baseline an
+    * evolution op starts from.
     */
   private def currentLogical(spark: SparkSession, root: String,
                              st: Option[EvoState]): StructType = st match {
-    case Some(s) => unionWithNewest(spark, root, s)
+    case Some(s) => s.stored
     case None => spark.read.option("basePath", root)
       .option("mergeSchema", "true").parquet(root).schema
   }
 
-  /** Stored schema ∪ columns the newest registered file added after
-    * the last evolution (forward add-column evolution keeps working on
-    * an evolved lake) — excluding retired old names.
-    */
-  private def unionWithNewest(spark: SparkSession, root: String,
-                              st: EvoState): StructType = {
-    val newest = LogSync.activeManifest(spark, root)
-      .orderBy(col("registered_at").desc, col("path").desc)
-      .select("path").limit(1).collect().headOption.map(_.getString(0))
-    val extra = newest.toSeq.flatMap { p =>
-      spark.read.parquet(p).schema.fields.toSeq.filter(f =>
-        !st.stored.fieldNames.contains(f.name) &&
-          !st.supersededNames.contains(f.name))
-    }
-    StructType(st.stored.fields ++ extra)
-  }
-
-  /** The EXPLICIT scan schema for an evolved lake: logical columns at
-    * their final (possibly widened) types, plus every retired old name
-    * at the final column's type — parquet fills null where a file
-    * lacks a name and widens where it is narrow.
+  /** The EXPLICIT scan schema for an evolved lake: the state's stored
+    * logical columns at their final (possibly widened) types, plus
+    * every retired old name at the final column's type — parquet
+    * fills null where a file lacks a name and widens where it is
+    * narrow. Pure function of the state: no footer probe, no job.
     */
   private[graft] def requestSchema(spark: SparkSession, root: String,
                                    st: EvoState): StructType = {
-    val logical = unionWithNewest(spark, root, st)
+    val logical = st.stored
     val aliasFields = st.aliasesOf.toSeq.sortBy(_._1).flatMap { case (fin, olds) =>
       val t = logical.find(_.name == fin).map(_.dataType)
         .getOrElse(sys.error(s"renamed column '$fin' missing from logical schema"))
@@ -237,20 +409,60 @@ object LakeEvolve {
   private[graft] def hasLog(spark: SparkSession, root: String): Boolean =
     state(spark, root).nonEmpty
 
-  // the zone-map stat columns the manifest binds by NAME
-  private val StatBound = Set("timestamp", "service_name")
+  // the zone-map stat axes the manifest records (min_ts/max_ts/
+  // null_ts come from the field originally named `timestamp`,
+  // min_svc/max_svc from `service_name`) — the BINDING is the field,
+  // so these resolve the field's CURRENT name through the schema log
+  private val TimeAxisOrigin = "timestamp"
+  private val SvcAxisOrigin = "service_name"
+
+  /** Current name of the manifest's TIME stat axis (the field
+    * originally named `timestamp`): what [[LogSync.statsFor]] computes
+    * min_ts/max_ts from and what range readers/retention filter on.
+    */
+  private[graft] def timeAxis(spark: SparkSession, root: String): String =
+    state(spark, root).map(_.currentName(TimeAxisOrigin))
+      .getOrElse(TimeAxisOrigin)
+
+  /** Current name of the SERVICE stat axis (originally
+    * `service_name`) — min_svc/max_svc's source field.
+    */
+  private[graft] def svcAxis(spark: SparkSession, root: String): String =
+    state(spark, root).map(_.currentName(SvcAxisOrigin))
+      .getOrElse(SvcAxisOrigin)
+
+  /** Every physical name the time axis has carried (current first) —
+    * what a stats probe coalesces over, since a sync round can mix
+    * files written before and after a rename.
+    */
+  private[graft] def timeAxisNames(spark: SparkSession, root: String): Seq[String] = {
+    val cur = timeAxis(spark, root)
+    cur +: state(spark, root).toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
+  }
+
+  /** [[timeAxisNames]] for the service axis. */
+  private[graft] def svcAxisNames(spark: SparkSession, root: String): Seq[String] = {
+    val cur = svcAxis(spark, root)
+    cur +: state(spark, root).toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
+  }
 
   private def commonGuards(spark: SparkSession, root: String,
-                           name: String): Unit = {
+                           name: String, forDrop: Boolean = false): Unit = {
     require(LogSync.hasManifest(spark, root),
       s"no manifest under $root — run sync first")
     val layout = LogCompact.inferLayout(spark, root)
     require(!layout.contains(name),
       s"cannot evolve partition-layout column '$name': the directory " +
         "structure binds it by name; re-layout is a separate operation")
-    require(!StatBound.contains(name),
-      s"cannot evolve '$name': the manifest's zone-map stats bind it by " +
-        "name (every registered file's min/max entries would go stale)")
+    // stat axes RENAME freely (the manifest's recorded min/max are the
+    // FIELD's values — a rename moves the name, not the binding, and
+    // every axis consumer resolves through timeAxis/svcAxis) but must
+    // not DROP: retention planning and zone-map pruning would lose
+    // their axis while the manifest still carries its stats
+    if (forDrop)
+      require(name != timeAxis(spark, root) && name != svcAxis(spark, root),
+        s"cannot drop '$name': it is a zone-map stat axis (retention and " +
+          "pruning plan on it); rename is supported, drop is not")
     val activeEq = LogSync.deleteEntries(spark, root)
       .filter(e => e.isEq && e.eqCols.contains(name))
     require(activeEq.isEmpty,
@@ -262,7 +474,8 @@ object LakeEvolve {
   /** METADATA-ONLY column rename: `from` becomes `to`, keeping its
     * field id; no data file is touched. Old files keep the old
     * physical name forever — every read path coalesces it in, and
-    * exports alias it via name-mapping.
+    * exports alias it via name-mapping. Commit order is LOG-FIRST
+    * (see the class doc's INTEROP note).
     */
   def renameColumn(spark: SparkSession, root: String,
                    from: String, to: String): Unit = {
@@ -282,11 +495,13 @@ object LakeEvolve {
     require(fid.contains(from), s"column '$from' resolves no field id")
     val id = fid(from)
     val t = logical(from).dataType
-    IcebergExport.recordEvolvedField(spark, root, to, id, t.catalogString)
     val newStored = StructType(logical.fields.map(f =>
       if (f.name == from) StructField(to, f.dataType, f.nullable) else f))
-    val prior = st.map(_.entries).getOrElse(Seq.empty).map(renderEntry)
-    writeLog(spark, root, renderLog(prior :+ s"rename\t$id\t$from\t$to", newStored))
+    appendEntry(spark, root, st, logical,
+      Evo("rename", id, from, to, System.currentTimeMillis()), newStored)
+    // sidecar binding AFTER the log: a crash here self-heals — the
+    // export re-derives to→id from the rename entry
+    IcebergExport.recordEvolvedField(spark, root, to, id, t.catalogString)
     // a LakeIndex bloom sidecar on the renamed column stays VALID —
     // it stores xxhash64 of the column's VALUES, which a rename does
     // not touch — so it moves with the name (one dir rename); without
@@ -329,28 +544,28 @@ object LakeEvolve {
     val fid = IcebergExport.exportFieldIds(spark, root)
     require(fid.contains(name), s"column '$name' resolves no field id")
     val id = fid(name)
-    IcebergExport.recordEvolvedField(spark, root, name, id, toType.catalogString)
     val newStored = StructType(logical.fields.map(f =>
       if (f.name == name) StructField(name, toType, f.nullable) else f))
-    val prior = st.map(_.entries).getOrElse(Seq.empty).map(renderEntry)
-    writeLog(spark, root, renderLog(prior :+
-      (s"promote\t$id\t$name\t${fromType.catalogString}\t" +
-        toType.catalogString), newStored))
+    appendEntry(spark, root, st, logical,
+      Evo("promote", id, name, name, System.currentTimeMillis()), newStored)
+    IcebergExport.recordEvolvedField(spark, root, name, id, toType.catalogString)
   }
 
-  /** METADATA-ONLY column drop: the column vanishes from every read
-    * (including — the current-schema simplification — time travel);
-    * no data file is touched, old files keep the bytes until natural
-    * rewrite. The name and its whole rename chain stay RESERVED
-    * forever: a later file re-adding the name is IGNORED by the read
-    * side (old files' stale values would otherwise resurrect through
-    * the union), and rename targets may not reuse it. Refused while
-    * ANY delete-registry row — active or tombstoned-but-unvacuumed —
+  /** METADATA-ONLY column drop: the column vanishes from every
+    * CURRENT read; a time-travel read anchored BEFORE the drop still
+    * surfaces it ([[stateAt]] — snapshot-schema semantics); no data
+    * file is touched, old files keep the bytes until natural rewrite.
+    * The name and its whole rename chain stay RESERVED forever: a
+    * later file re-adding the name is IGNORED by the read side (old
+    * files' stale values would otherwise resurrect through the
+    * union), and rename targets may not reuse it. Refused while ANY
+    * delete-registry row — active or tombstoned-but-unvacuumed —
     * binds the column (a historic equality delete must keep resolving
-    * for time travel inside the vacuum horizon; drop after vacuum).
+    * for time travel inside the vacuum horizon; drop after vacuum),
+    * and refused outright for the zone-map stat axes.
     */
   def dropColumn(spark: SparkSession, root: String, name: String): Unit = {
-    commonGuards(spark, root, name)
+    commonGuards(spark, root, name, forDrop = true)
     val st = state(spark, root)
     val logical = currentLogical(spark, root, st)
     require(logical.fieldNames.contains(name), s"no column '$name' to drop")
@@ -372,18 +587,7 @@ object LakeEvolve {
     require(fid.contains(name), s"column '$name' resolves no field id")
     val newStored = StructType(logical.fields.filterNot(_.name == name))
     require(newStored.fields.nonEmpty, "cannot drop the last column")
-    val prior = st.map(_.entries).getOrElse(Seq.empty).map(renderEntry)
-    writeLog(spark, root,
-      renderLog(prior :+ s"drop\t${fid(name)}\t$name", newStored))
-  }
-
-  private def renderEntry(e: Evo): String = e.op match {
-    case "rename" => s"rename\t${e.id}\t${e.from}\t${e.to}"
-    // promote entries re-render without the original types (the stored
-    // schema carries the final type; the entry only marks that the
-    // column's physical types vary across files)
-    case "promote" => s"promote\t${e.id}\t${e.from}\t-\t-"
-    case "drop" => s"drop\t${e.id}\t${e.from}"
-    case other => sys.error(s"unknown evolution op '$other'")
+    appendEntry(spark, root, st, logical,
+      Evo("drop", fid(name), name, name, System.currentTimeMillis()), newStored)
   }
 }

@@ -152,8 +152,12 @@ object LogCompact {
       s"cannot change the directory layout in place ($current -> $partCols): " +
         "replaced files keep the old depth until vacuum and partition discovery " +
         "would reject the mix; re-organize with clusterBy (zone-map clustering) instead")
+    // the default cluster key is the TIME AXIS's current name (a
+    // renamed `timestamp` still clusters — the zone map binds the
+    // field, not the spelling)
+    val tsAxis = LakeEvolve.timeAxis(spark, root)
     val clusterCols = clusterBy
-      .getOrElse(if (t.columns.contains("timestamp")) Seq("timestamp") else Seq.empty)
+      .getOrElse(if (t.columns.contains(tsAxis)) Seq(tsAxis) else Seq.empty)
       .filter(t.columns.contains)
     // cluster while rewriting: range partitioning gives the output
     // files DISJOINT clusterCols ranges (and the in-partition sort

@@ -692,14 +692,33 @@ object LogSync {
   private[sources] def statsFor(spark: SparkSession, root: String,
                                 paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    val probe = spark.read.option("basePath", root).parquet(paths: _*)
+    // the stat axes bind the FIELD originally named timestamp /
+    // service_name — after a rename the round's files carry the new
+    // physical name (or, from a lagging writer, still an old one),
+    // and one round can MIX both while schema inference samples a
+    // single footer: request every name the axis has had explicitly
+    // (absent ones read null) and coalesce, newest first
+    val allTs = LakeEvolve.timeAxisNames(spark, root)
+    val allSvc = LakeEvolve.svcAxisNames(spark, root)
+    val sampled = spark.read.option("basePath", root).parquet(paths: _*)
+    val extras =
+      allTs.filterNot(sampled.columns.contains)
+        .map(n => StructField(n, TimestampType, nullable = true)) ++
+      allSvc.filterNot(sampled.columns.contains)
+        .map(n => StructField(n, StringType, nullable = true))
+    val probe =
+      if (extras.isEmpty || allTs.length + allSvc.length == 2) sampled
+      else spark.read.option("basePath", root)
+        .schema(StructType(sampled.schema.fields ++ extras)).parquet(paths: _*)
     def has(c: String, t: org.apache.spark.sql.types.DataType): Boolean =
       probe.columns.contains(c) && probe.schema(c).dataType == t
-    val ts = if (has("timestamp", TimestampType)) col("timestamp")
+    val tsName = allTs.filter(has(_, TimestampType))
+    val svcName = allSvc.filter(has(_, StringType))
+    val ts = if (tsName.nonEmpty) coalesce(tsName.map(col): _*)
              else lit(null).cast(TimestampType)
-    val svc = if (has("service_name", StringType)) col("service_name")
+    val svc = if (svcName.nonEmpty) coalesce(svcName.map(col): _*)
               else lit(null).cast(StringType)
-    if (has("timestamp", TimestampType) || has("service_name", StringType)) {
+    if (tsName.nonEmpty || svcName.nonEmpty) {
       probe
         .groupBy(normPath(col("_metadata.file_path")).as("norm"))
         .agg(min(ts).as("min_ts"), max(ts).as("max_ts"),
@@ -773,6 +792,13 @@ object LogSync {
       if (freshPaths.nonEmpty) {
         freshManifestRows(spark, root, freshPaths.toSeq)
           .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
+        // EVOLVED lakes record any columns this round's footers ADDED
+        // into the schema log (registration is the one moment every
+        // new file is already being read) — the read side then never
+        // probes footers, and two writers adding DIFFERENT columns in
+        // separate files both surface (a newest-footer probe would
+        // silently drop all but the newest file's additions)
+        LakeEvolve.recordAdds(spark, root, freshPaths.toSeq)
       }
       freshPaths.length
     } finally fresh.unpersist()
@@ -818,7 +844,8 @@ object LogSync {
     */
   private def keepOnly(spark: SparkSession, root: String, paths: DataFrame,
                        mergeSchema: Boolean = false,
-                       deletes: Seq[DeleteEntry] = Seq.empty): DataFrame = {
+                       deletes: Seq[DeleteEntry] = Seq.empty,
+                       evoAsOf: Option[java.sql.Timestamp] = None): DataFrame = {
     // an EVOLVED lake (rename/promote schema log — [[LakeEvolve]])
     // reads under an explicit request schema (old names at widened
     // types alongside the new) and folds the alias columns into their
@@ -826,13 +853,31 @@ object LogSync {
     // materializes before the fold because a projection ends
     // `_metadata` resolution; merge-schema semantics are subsumed (the
     // request schema IS the union). Never-evolved lakes take the
-    // historical path at the cost of one fs.exists.
-    val evo = LakeEvolve.state(spark, root)
-    val scan = evo match {
-      case Some(st) => spark.read.option("basePath", root)
-        .schema(LakeEvolve.requestSchema(spark, root, st)).parquet(root)
-      case None => spark.read.option("basePath", root)
-        .option("mergeSchema", mergeSchema.toString).parquet(root)
+    // historical path at the cost of one fs.exists. A TIME-TRAVEL
+    // read resolves the state AS OF its anchor ([[LakeEvolve.stateAt]]
+    // — snapshot-schema semantics: a pre-drop anchor still surfaces
+    // the column, a pre-rename anchor the old name).
+    val evo = LakeEvolve.stateAt(spark, root, evoAsOf)
+    val scan = try {
+      evo match {
+        case Some(st) => spark.read.option("basePath", root)
+          .schema(LakeEvolve.requestSchema(spark, root, st)).parquet(root)
+        case None => spark.read.option("basePath", root)
+          .option("mergeSchema", mergeSchema.toString).parquet(root)
+      }
+    } catch {
+      // a LAYOUT FLIP leaves files at conflicting directory depths —
+      // Spark's partition discovery rejects the mix with an assertion
+      // whose message no lake operator would map back to a graft
+      // action. Name the failure and the supported read path.
+      case e: Throwable
+        if String.valueOf(e.getMessage).contains("Conflicting directory") =>
+        throw new IllegalStateException(
+          s"lake root $root mixes partition-directory depths (a layout " +
+            "flip left two generations in place) — the native root scan " +
+            "cannot serve it; read through the exported chain instead " +
+            "(IcebergExport.export + readTable resolve every generation " +
+            "via its own partition spec)", e)
     }
     val kept = scan
       .withColumn("__src", normPath(col("_metadata.file_path")))
@@ -863,7 +908,7 @@ object LogSync {
                             asOf: Option[java.sql.Timestamp],
                             mergeSchema: Boolean = false): DataFrame =
     keepOnly(spark, root, registeredPaths(spark, root, asOf), mergeSchema,
-      deletes = deleteEntries(spark, root, asOf))
+      deletes = deleteEntries(spark, root, asOf), evoAsOf = asOf)
 
   /** The queryable table: exactly the registered files. */
   def table(spark: SparkSession, root: String): DataFrame =
@@ -1035,14 +1080,27 @@ object LogSync {
         .getOrElse(LakeDml.DefaultMaxRewriteFiles.toLong)
       val targetRel = delRows.select(col("file_path")).distinct()
       val nTargets = targetRel.count()
-      val raw = (if (nTargets <= explicitCap) {
+      // EVOLVED lakes read the targets under the explicit request
+      // schema and fold alias names — position deletes may target
+      // PRE-RENAME files (rename is legal with active position
+      // deletes; only equality deletes block it), whose physical
+      // column would otherwise fail to resolve or surface null under
+      // the current name depending on which footer Spark samples.
+      // __src/__pos materialize BEFORE the fold (a projection ends
+      // `_metadata` resolution) — the keepOnly discipline.
+      val evoSt = LakeEvolve.state(spark, root)
+      def shaped(r: org.apache.spark.sql.DataFrameReader) =
+        evoSt.map(st => r.schema(LakeEvolve.requestSchema(spark, root, st)))
+          .getOrElse(r)
+      val raw0 = (if (nTargets <= explicitCap) {
         val targets = targetRel.as[String].collect().toSeq
-        spark.read.option("basePath", root).parquet(targets: _*)
+        shaped(spark.read.option("basePath", root)).parquet(targets: _*)
       } else {
-        spark.read.option("basePath", root).parquet(root)
+        shaped(spark.read.option("basePath", root)).parquet(root)
       })
         .withColumn("__src", normPath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
+      val raw = evoSt.map(st => LakeEvolve.project(raw0, st)).getOrElse(raw0)
       val keyRel = delRows.select(normPath(col("file_path")).as("__del_file"),
         col("pos").cast("long").as("__del_pos"))
       val sized = if (files.map(_.bytes).sum <= BroadcastDeleteBytesCap)
@@ -1187,8 +1245,11 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until))
       .select(normPath(col("path")).as("__registered_path"))
+    // the row filter binds the time axis's CURRENT name (the zone map
+    // is the field's; a rename moved only the name)
+    val ts = col(LakeEvolve.timeAxis(spark, root))
     keepOnly(spark, root, paths, deletes = deleteEntries(spark, root))
-      .filter(col("timestamp") >= from && col("timestamp") < until)
+      .filter(ts >= from && ts < until)
   }
 
   /** How many registered files [[tableBetween]] would scan vs. the
@@ -1226,9 +1287,11 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until) && svcKeep(lit(service)))
       .select(normPath(col("path")).as("__registered_path"))
+    // both row filters bind their axis's CURRENT name
+    val ts = col(LakeEvolve.timeAxis(spark, root))
+    val svc = col(LakeEvolve.svcAxis(spark, root))
     keepOnly(spark, root, paths, deletes = deleteEntries(spark, root))
-      .filter(col("service_name") === service &&
-        col("timestamp") >= from && col("timestamp") < until)
+      .filter(svc === service && ts >= from && ts < until)
   }
 
   /** (kept, total) registered files [[tableFor]] would scan — the

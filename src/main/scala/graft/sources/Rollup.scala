@@ -112,6 +112,32 @@ object Rollup {
     }
   }
 
+  // the rollup's dimensions bind the FIELDS originally named
+  // (service_name, severity_text); a LakeEvolve rename moves the
+  // NAME, so every refresh/read resolves the current spelling through
+  // the schema log instead of failing on the old one
+  private val DimOrigins = Seq("service_name", "severity_text")
+
+  private def dims(spark: SparkSession, root: String): Seq[String] = {
+    val st = LakeEvolve.state(spark, root)
+    DimOrigins.map(n => st.map(_.currentName(n)).getOrElse(n))
+  }
+
+  /** Align a PERSISTED rollup's dimension columns with the lake's
+    * current names: an agg written before a rename carries the old
+    * spelling — same field, same values, one metadata-level
+    * withColumnRenamed (state migration, no rebuild).
+    */
+  private def migrated(spark: SparkSession, root: String,
+                       df: DataFrame, cur: Seq[String]): DataFrame = {
+    val st = LakeEvolve.state(spark, root)
+    cur.foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else st.flatMap(_.aliasesOf.get(c).flatMap(_.find(acc.columns.contains)))
+        .map(old => acc.withColumnRenamed(old, c)).getOrElse(acc)
+    }
+  }
+
   /** Fold every not-yet-processed registered file into the rollup;
     * returns how many files were processed. Idempotent: a refresh with
     * nothing new writes no version. REBUILDS instead of folding when
@@ -148,12 +174,13 @@ object Rollup {
         processed.join(tombstoned, Seq("path"), "left_semi").limit(1).count() > 0 ||
           foldedUnder.getOrElse(emptyToken) != token
       }
+    val dimCols = dims(spark, root)
     if (restated) {
       // rebuild from the LIVE table: MOR-applied (position AND
       // equality deletes), restatements resolved by the manifest
       val next = cur + 1
       LogSync.table(spark, root)
-        .groupBy(col("service_name"), col("severity_text"))
+        .groupBy(dimCols.map(col): _*)
         .agg(count(lit(1)).cast("long").as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"${rollupRoot(root)}/v$next/agg")
       // the processed-paths bookkeeping writes DISTRIBUTED — a rebuild
@@ -170,14 +197,24 @@ object Rollup {
     val fresh = registered.join(processed, Seq("path"), "left_anti")
       .as[String].collect().toSeq
     if (fresh.isEmpty) return 0
-    val partial = spark.read.option("basePath", root).parquet(fresh: _*)
-      .groupBy(col("service_name"), col("severity_text"))
+    // evolved lakes fold fresh files under the request schema (a
+    // pre-rename file registered late still resolves its dim values)
+    val evoSt = LakeEvolve.state(spark, root)
+    val reader0 = spark.read.option("basePath", root)
+    val freshRaw = evoSt.map(st =>
+      reader0.schema(LakeEvolve.requestSchema(spark, root, st)))
+      .getOrElse(reader0).parquet(fresh: _*)
+    val freshSrc = evoSt.map(st => LakeEvolve.project(freshRaw, st))
+      .getOrElse(freshRaw)
+    val partial = freshSrc
+      .groupBy(dimCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
     val merged =
       if (cur > 0)
-        spark.read.parquet(s"${rollupRoot(root)}/v$cur/agg")
+        migrated(spark, root,
+          spark.read.parquet(s"${rollupRoot(root)}/v$cur/agg"), dimCols)
           .unionByName(partial)
-          .groupBy(col("service_name"), col("severity_text"))
+          .groupBy(dimCols.map(col): _*)
           .agg(sum(col("n")).as("n"))
       else partial.withColumn("n", col("n").cast("long"))
     val next = cur + 1
@@ -189,12 +226,17 @@ object Rollup {
     fresh.length
   }
 
-  /** The maintained rollup (latest version), ordered. */
+  /** The maintained rollup (latest version), ordered; dimension
+    * columns surface under their CURRENT names (a rename between
+    * refreshes migrates on read).
+    */
   def read(spark: SparkSession, root: String): DataFrame = {
     val cur = currentVersion(spark, root)
     require(cur > 0, s"no rollup under $root — run refresh first")
-    spark.read.parquet(s"${rollupRoot(root)}/v$cur/agg")
-      .select(col("service_name"), col("severity_text"), col("n"))
-      .orderBy(col("service_name"), col("severity_text"))
+    val dimCols = dims(spark, root)
+    migrated(spark, root,
+      spark.read.parquet(s"${rollupRoot(root)}/v$cur/agg"), dimCols)
+      .select(dimCols.map(col) :+ col("n"): _*)
+      .orderBy(dimCols.map(col): _*)
   }
 }

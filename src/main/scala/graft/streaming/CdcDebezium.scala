@@ -27,12 +27,21 @@ import org.apache.spark.sql.types._
   *  - Kafka TOMBSTONES (null value) and unparseable/op-less payloads
   *    drop — compaction markers, not changes.
   *
-  * ORDERING: `lsn` is `coalesce(source.lsn, source.pos, ts_ms)` —
-  * Postgres publishes `lsn`, MySQL `pos`, and `ts_ms` is the
-  * last-resort envelope timestamp. Passing it as [[CdcApply.start]]'s
-  * `seqCol` gives latest-wins batch resolution with the tie refusal
-  * documented there (two DIFFERENT changes for one key at one lsn
-  * refuse rather than pick nondeterministically).
+  * ORDERING: Postgres publishes a monotone `source.lsn` — used
+  * directly. MySQL publishes (`source.file`, `source.pos`), and POS
+  * ALONE IS NOT MONOTONE — it resets at every binlog rotation, so a
+  * bare-pos order could prefer an older change (or refuse a spurious
+  * tie) across a rotation boundary. When `file` is present its
+  * numeric suffix (the binlog ordinal, e.g. `mysql-bin.000007` → 7)
+  * composes with pos into one orderable long
+  * (`ordinal · 2⁴⁰ + pos` — pos is bounded by max_binlog_size ≪ 2⁴⁰,
+  * ordinals by the 6-digit naming ≪ 2²³, so the composition neither
+  * collides nor overflows). Bare `pos` (no file field) and `ts_ms`
+  * remain last-resort fallbacks with exactly the rotation caveat
+  * above — documented, not hidden. Passing the result as
+  * [[CdcApply.start]]'s `seqCol` gives latest-wins batch resolution
+  * with the tie refusal documented there (two DIFFERENT changes for
+  * one key at one lsn refuse rather than pick nondeterministically).
   *
   * `tableSchema` is the LAKE's column schema; `before`/`after` parse
   * under it by name. Connectors encoding temporal columns numerically
@@ -54,6 +63,7 @@ object CdcDebezium {
       StructField("ts_ms", LongType, nullable = true),
       StructField("source", StructType(Seq(
         StructField("lsn", LongType, nullable = true),
+        StructField("file", StringType, nullable = true),
         StructField("pos", LongType, nullable = true))), nullable = true)))
     StructType(inner.fields :+ StructField("payload", inner, nullable = true))
   }
@@ -71,9 +81,19 @@ object CdcDebezium {
         coalesce(col("__dbz.payload.op"), col("__dbz.op")).as("__op"),
         coalesce(col("__dbz.payload.after"), col("__dbz.after")).as("__after"),
         coalesce(col("__dbz.payload.before"), col("__dbz.before")).as("__before"),
-        coalesce(col("__dbz.payload.source.lsn"), col("__dbz.source.lsn"),
-          col("__dbz.payload.source.pos"), col("__dbz.source.pos"),
-          col("__dbz.payload.ts_ms"), col("__dbz.ts_ms")).as("lsn"))
+        {
+          // MySQL (file, pos) → one monotone long; see ORDERING above
+          def filePos(src: String) = {
+            val ord = regexp_extract(col(s"$src.file"), "([0-9]+)$", 1)
+              .cast(LongType)
+            when(ord.isNotNull && col(s"$src.pos").isNotNull,
+              shiftleft(ord, 40) + col(s"$src.pos"))
+          }
+          coalesce(col("__dbz.payload.source.lsn"), col("__dbz.source.lsn"),
+            filePos("__dbz.payload.source"), filePos("__dbz.source"),
+            col("__dbz.payload.source.pos"), col("__dbz.source.pos"),
+            col("__dbz.payload.ts_ms"), col("__dbz.ts_ms")).as("lsn")
+        })
       // tombstones / unparseable payloads carry no op — drop, they are
       // compaction markers, not changes
       .filter(col("__op").isin("c", "r", "u", "d"))

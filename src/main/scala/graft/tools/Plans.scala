@@ -98,7 +98,9 @@ object Plans {
       "lake_retention" -> "TTL-expired lake readback: the dropped day files are GONE from the scan's file list (metadata-only restatement — nothing anti-joins them), only the cutoff-straddling day pays a position-delete LeftAnti; the surviving scan + aggregate is the same plan as an unexpired lake",
       "lake_cdc_apply" -> "CDC-maintained lake readback AFTER eq→pos delete conversion: the equality anti-join chain is GONE (retired to folded position deletes), so the plan is one data scan + ONE position-delete LeftAnti on (file, pos) + the aggregate — per-scan delete cost no longer grows with CDC commit count, and no data file was rewritten to get there",
       "lake_evolve" -> "ID-BOUND rename + int→long promotion readback: ONE root scan under an explicit request schema (retired name at the widened type alongside the new), the alias fold a plain codegen'd coalesce projection — no second scan, no shuffle, no data rewritten; both phases (current + pre-evolution snapshot) are the same keep-set LeftSemi shape, unioned before one aggregate",
-      "lake_spec_evolve" -> "TWO-SPEC chain readback (hourly→daily layout flip): explicit-file scan with directory inference OFF (mixed depths conflict structurally), per-file identity values from a broadcast manifest map, hour COALESCED map-value-over-data-column per generation — one scan, one broadcast join, one aggregate; no restatement ever happened, the hourly manifests ride carried under spec 0")
+      "lake_spec_evolve" -> "TWO-SPEC chain readback (hourly→daily layout flip): explicit-file scan with directory inference OFF (mixed depths conflict structurally), per-file identity values from a broadcast manifest map, hour COALESCED map-value-over-data-column per generation — one scan, one broadcast join, one aggregate; no restatement ever happened, the hourly manifests ride carried under spec 0",
+      "lake_evolve_stats" -> "STAT-AXIS rename readback: a zone-map-pruned window read whose manifest keep-set filtered min_ts/max_ts BEFORE the scan (the renamed axis moved only the NAME — the bounds are the field's values), then one root scan under the request schema with the service/time aliases folded by a codegen'd coalesce projection; the row filter binds the renamed axis, one aggregate, no extra scan or shuffle vs the un-renamed plan",
+      "lake_travel_schema" -> "SNAPSHOT-SCHEMA travel: two keep-set LeftSemi root scans (the anchor's registered-by-then set and the current set), the PRE phase under the as-of schema (dropped column requested explicitly, its bytes still on disk), the CUR phase under the post-drop schema — schema resolution is a memoized log parse, zero footer probes, both phases one aggregate each then a union")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

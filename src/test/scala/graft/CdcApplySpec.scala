@@ -305,4 +305,35 @@ class CdcApplySpec extends SparkSpec {
       parsedBare.select("lsn").as[Long].head() == 5L,
       "bare envelopes fall back to ts_ms ordering")
   }
+
+  test("Debezium MySQL ordering: (binlog file, pos) compose — rotation cannot flip latest-wins") {
+    import spark.implicits._
+    import graft.streaming.CdcDebezium
+    val root = seedLake(20)
+    val before = LogSync.table(spark, root)
+    def rowJson(df: org.apache.spark.sql.DataFrame): String =
+      df.select(to_json(struct(df.columns.map(col): _*))).as[String].head()
+    val oldBody = rowJson(before.filter(col("span_id") === "e1")
+      .withColumn("body", lit("PRE-ROTATION")))
+    val newBody = rowJson(before.filter(col("span_id") === "e1")
+      .withColumn("body", lit("POST-ROTATION")))
+    // MySQL source: no lsn, (file, pos) instead. The LATER change sits
+    // in the NEXT binlog file at a SMALLER pos — bare-pos ordering
+    // (the old fallback) would prefer the stale change
+    def env(afterJ: String, file: String, pos: Long): String =
+      s"""{"payload":{"before":null,"after":$afterJ,"op":"u",""" +
+        s""""ts_ms":1700000000000,"source":{"file":"$file","pos":$pos}}}"""
+    val batch = Seq(
+      env(oldBody, "mysql-bin.000001", 900L),
+      env(newBody, "mysql-bin.000002", 5L)).toDF("value")
+    val parsed = CdcDebezium.parse(batch, col("value"), tableSchema)
+    // the composed order is strictly increasing across the rotation
+    val lsns = parsed.orderBy("lsn").select("lsn").as[Long].collect()
+    assert(lsns.length == 2 && lsns(0) == (1L << 40) + 900L &&
+      lsns(1) == (2L << 40) + 5L, s"composed lsns: ${lsns.toSeq}")
+    CdcApply.applyBatch(parsed, root, Seq("span_id"), "op", Some("lsn"))
+    assert(LogSync.table(spark, root).filter(col("span_id") === "e1")
+      .select("body").as[String].collect().toSeq == Seq("POST-ROTATION"),
+      "the post-rotation change must win despite its smaller pos")
+  }
 }

@@ -74,10 +74,17 @@ class LakeEvolveSpec extends SparkSpec {
     assert(asOf.columns.contains("severity"))
   }
 
-  test("guards: layout/stat columns, collisions, retired names, narrowing all refuse") {
+  test("guards: layout columns, stat-axis drops, collisions, retired names, narrowing refuse") {
     val root = freshLake("graft_evguard")
+    // the zone-map stat axes may RENAME (the binding is the field;
+    // see the stat-axis test) but never DROP — retention/pruning
+    // would lose their axis
+    val d = intercept[IllegalArgumentException] {
+      LakeEvolve.dropColumn(spark, root, "timestamp")
+    }
+    assert(d.getMessage.contains("stat axis"))
     intercept[IllegalArgumentException] {
-      LakeEvolve.renameColumn(spark, root, "timestamp", "ts2")
+      LakeEvolve.dropColumn(spark, root, "service_name")
     }
     intercept[IllegalArgumentException] {
       LakeEvolve.renameColumn(spark, root, "severity_text", "body")
@@ -226,11 +233,20 @@ class LakeEvolveSpec extends SparkSpec {
     // any time-travel read inside its window
     LakeDml.convertEqDeletes(spark, root)
     LakeEvolve.renameColumn(spark, root, "span_id", "span")
+    // SNAPSHOT-SCHEMA semantics: the anchor predates the rename, so
+    // the read resolves under the pre-rename schema — the column
+    // surfaces as span_id (Iceberg time travel; the deletes still
+    // apply through the as-of name map)
     val asOf = LogSync.tableAsOf(spark, root, mark)
-    assert(asOf.columns.contains("span"))
-    assert(asOf.filter(col("span").isin("e2", "e4")).count() == 0,
-      "a retired-name eq delete must keep applying through the rename map")
+    assert(asOf.columns.contains("span_id") && !asOf.columns.contains("span"),
+      s"a pre-rename anchor must read the pre-rename schema: ${asOf.columns.toSeq}")
+    assert(asOf.filter(col("span_id").isin("e2", "e4")).count() == 0,
+      "the eq delete must keep applying at its own-era anchor")
     assert(asOf.count() == 78)
+    // an anchor AFTER the rename reads the renamed schema
+    val asOfNow = LogSync.tableAsOf(spark, root,
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    assert(asOfNow.columns.contains("span") && !asOfNow.columns.contains("span_id"))
     // and the current read agrees (position deletes bind by path)
     assert(LogSync.table(spark, root)
       .filter(col("span").isin("e2", "e4")).count() == 0)
@@ -338,12 +354,222 @@ class LakeEvolveSpec extends SparkSpec {
     assert(cur.count() == 100 && cur.columns.contains("severity"))
     assert(cur.filter(col("severity").isNull).count() == 0)
     assert(cur.schema("severity_number").dataType == LongType)
-    // pre-evolution snapshot, read under the current schema
+    // pre-evolution snapshot: SNAPSHOT-SCHEMA time travel — it reads
+    // under the schema-id it was exported with (old name, narrow int),
+    // not the current one
     val first = mdPath.minBy(_._2)
     val old = IcebergExport.readTable(spark, root,
       Some(IcebergExport.BySnapshotId(first._1)))
-    assert(old.count() == 80 && old.columns.contains("severity"))
-    assert(old.filter(col("severity").isNull).count() == 0,
-      "pre-rename files must resolve through the alias map")
+    assert(old.count() == 80 && old.columns.contains("severity_text") &&
+      !old.columns.contains("severity"),
+      s"a pre-rename snapshot must read its own schema: ${old.columns.toSeq}")
+    assert(old.filter(col("severity_text").isNull).count() == 0)
+    assert(old.schema("severity_number").dataType == IntegerType,
+      "a pre-promotion snapshot keeps its narrow type")
+  }
+
+  test("stat-axis rename: zone-map pruning intact, new syncs keep statting, windows resolve") {
+    import spark.implicits._
+    val root = freshLake("graft_evstat")
+    val (kept0, total0) = LogSync.statsPruneCounts(spark, root,
+      "2024-01-10", "2024-01-12")
+    assert(total0 > 0)
+    // the axes are FIELD-bound: renaming their names is metadata-only
+    LakeEvolve.renameColumn(spark, root, "service_name", "service")
+    LakeEvolve.renameColumn(spark, root, "timestamp", "event_time")
+    // recorded min/max are the fields' VALUES — pruning unchanged
+    assert(LogSync.statsPruneCounts(spark, root,
+      "2024-01-10", "2024-01-12") == ((kept0, total0)),
+      "a stat-axis rename must not move a single zone-map bound")
+    // reads fold both generations under the new names
+    val t = LogSync.table(spark, root)
+    assert(t.columns.contains("service") && t.columns.contains("event_time") &&
+      !t.columns.contains("service_name") && !t.columns.contains("timestamp"))
+    assert(t.filter(col("event_time").isNull || col("service").isNull).count() == 0)
+    // a post-rename sync round (files under the NEW names) still
+    // computes zone-map stats — the axis resolves through the log
+    Tables.events(spark, sf).orderBy("event_id").limit(30)
+      .select(col("ts").as("event_time"), lit("svc2").as("service"),
+        col("event_type").as("severity_text"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("p"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val fresh = LogSync.manifest(spark, root)
+      .orderBy(col("registered_at").desc).limit(1).collect().head
+    assert(fresh.getAs[java.sql.Timestamp]("min_ts") != null &&
+      fresh.getAs[String]("min_svc") == "svc2",
+      s"post-rename syncs must still stat the axes: $fresh")
+    // the windowed readers bind the CURRENT axis names
+    val w = LogSync.tableBetween(spark, root, "2024-01-10", "2024-01-12")
+    assert(w.count() == t.filter(col("event_time") >= lit("2024-01-10").cast("timestamp") &&
+      col("event_time") < lit("2024-01-12").cast("timestamp")).count())
+    val f = LogSync.tableFor(spark, root, "svc2", "2000-01-01", "2100-01-01")
+    assert(f.count() == 30)
+  }
+
+  test("divergent adds: two writers' DIFFERENT new columns both surface after their syncs") {
+    import spark.implicits._
+    val root = freshLake("graft_evadds")
+    // evolution first, so the lake reads under the stored schema
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    def extraBatch(colName: String, tag: String) =
+      Tables.events(spark, sf).orderBy("event_id").limit(10)
+        .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+          col("event_type").as("severity"),
+          (col("event_id") % 100).cast("int").as("severity_number"),
+          concat(lit(tag), col("event_id")).as("span_id"),
+          col("props").as("body"))
+        .withColumn(colName, lit(tag))
+    // writer A adds column xa, lands and syncs; writer B adds a
+    // DIFFERENT column xb in a separate file and syncs later — the
+    // newest-footer probe this replaced would surface only xb
+    extraBatch("xa", "a").coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    extraBatch("xb", "b").coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val t = LogSync.table(spark, root)
+    assert(t.columns.contains("xa") && t.columns.contains("xb"),
+      s"both divergent adds must surface: ${t.columns.toSeq}")
+    assert(t.filter(col("xa") === "a").count() == 10 &&
+      t.filter(col("xb") === "b").count() == 10,
+      "each add carries its writer's values, null elsewhere")
+    assert(t.count() == 100)
+    // the export's logical schema carries both too
+    IcebergExport.export(spark, root)
+    val ids = IcebergExport.exportFieldIds(spark, root)
+    assert(ids.contains("xa") && ids.contains("xb"))
+  }
+
+  test("snapshot-schema travel on the native lake: a pre-drop anchor still reads the column") {
+    val root = freshLake("graft_evtravel")
+    val before = LogSync.table(spark, root).count()
+    Thread.sleep(20)
+    val mark = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    LakeEvolve.dropColumn(spark, root, "body")
+    // current read: gone
+    assert(!LogSync.table(spark, root).columns.contains("body"))
+    // pre-drop anchor: the column is part of that snapshot's schema
+    val asOf = LogSync.tableAsOf(spark, root, mark)
+    assert(asOf.columns.contains("body"),
+      s"a pre-drop anchor must surface the dropped column: ${asOf.columns.toSeq}")
+    assert(asOf.filter(col("body").isNull).count() == 0 && asOf.count() == before,
+      "the dropped column's values must read back intact at the anchor")
+  }
+
+  test("Rollup over a renamed dimension: refresh migrates state and equals a full recompute") {
+    import graft.sources.Rollup
+    val root = freshLake("graft_evrollup")
+    def fullAgg(svcCol: String, sevCol: String) = LogSync.table(spark, root)
+      .groupBy(col(svcCol), col(sevCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(Rollup.refresh(spark, root) > 0)
+    // rename BOTH dimensions between refreshes (service_name is a
+    // stat axis — rename now supported — and severity_text a plain
+    // column)
+    LakeEvolve.renameColumn(spark, root, "service_name", "service")
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    // new arrivals under the new shape
+    import spark.implicits._
+    Tables.events(spark, sf).orderBy("event_id").limit(20)
+      .select(col("ts").as("timestamp"), lit("svcN").as("service"),
+        col("event_type").as("severity"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("n"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    // refresh succeeds (no manual rebuild), folds the new files, and
+    // the migrated rollup equals a full recompute under the new names
+    assert(Rollup.refresh(spark, root) > 0,
+      "refresh after a dimension rename must not require a manual rebuild")
+    val got = Rollup.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got == fullAgg("service", "severity"),
+      "migrated rollup must equal the full recompute over the renamed dims")
+    assert(Rollup.read(spark, root).columns.take(2).toSeq == Seq("service", "severity"))
+  }
+
+  test("two-writer evolution race: losers fail loudly, the surviving log is intact") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val root = freshLake("graft_evrace")
+    // pre-seed the field-id sidecar so the race below is exactly the
+    // schema-log commit race, not a first-seeding collision
+    IcebergExport.exportFieldIds(spark, root)
+    // two writers plan against the same v0 state and commit
+    // concurrently: the version-targeted rename is the single commit
+    // point — at most one claims each version, the other refuses
+    // loudly (each stages through its own uuid'd tmp, so neither can
+    // clobber the other's staged bytes)
+    val results = Await.result(Future.sequence(Seq(
+      Future(scala.util.Try(
+        LakeEvolve.renameColumn(spark, root, "severity_text", "severity"))),
+      Future(scala.util.Try(
+        LakeEvolve.renameColumn(spark, root, "body", "payload"))))), 120.seconds)
+    assert(results.exists(_.isSuccess), "at least one writer must win")
+    results.collect { case scala.util.Failure(e) => e }.foreach { e =>
+      assert(e.getMessage.contains("another writer won"),
+        s"a racing loser must fail loudly, got: ${e.getMessage}")
+    }
+    // whatever interleaving happened, the surviving log parses and
+    // serves reads (no torn/corrupted state), with every row intact
+    val t = LogSync.table(spark, root)
+    assert(t.count() == 80)
+    assert(t.columns.contains("severity") || t.columns.contains("severity_text"))
+    // no stale tmp litter from any refused commit
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmps = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_schema_log_tmp"))
+    assert(tmps.isEmpty, s"refused commits must clean their tmp: ${tmps.toSeq}")
+  }
+
+  test("log-first recovery: a crash between log and sidecar re-derives the id binding") {
+    val root = freshLake("graft_evcrash")
+    IcebergExport.export(spark, root)
+    val idsBefore = IcebergExport.exportFieldIds(spark, root)
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    // simulate the crash window: strip the sidecar's new-name binding
+    // (the log entry committed first and survives)
+    val (_, sidecar) = IcebergExport.fieldIdSidecarCurrent(spark, root)
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = { val in = fs.open(sidecar)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close() }
+    assert(txt.contains("severity\t"))
+    val stripped = txt.split('\n').filterNot(_.startsWith("severity\t")).mkString("\n")
+    val out = fs.create(sidecar, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    // recovery: the export path re-derives severity → severity_text's
+    // OLD id from the log's rename entry — never a fresh id
+    val ids = IcebergExport.exportFieldIds(spark, root)
+    assert(ids("severity") == idsBefore("severity_text"),
+      s"recovered binding must reuse the old id: $ids vs $idsBefore")
+  }
+
+  test("deletesSince on an evolved lake: position deletes against pre-rename files resolve") {
+    import spark.implicits._
+    val root = freshLake("graft_evdsince")
+    Thread.sleep(20)
+    val mark = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    // position deletes target PRE-RENAME files, then the rename lands
+    // (legal: only ACTIVE EQUALITY deletes block a rename)
+    LakeDml.deleteMor(spark, root, col("span_id").isin("e3", "e5"))
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    LakeEvolve.promoteColumn(spark, root, "severity_number",
+      org.apache.spark.sql.types.LongType)
+    val since = LogSync.deletesSince(spark, root, mark)
+    assert(since.columns.contains("severity") && !since.columns.contains("severity_text"))
+    val rows = since.filter(col("__delete_kind") === "pos")
+      .select("span_id", "severity").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("e3", "e5"),
+      s"the retracted rows must surface: ${rows.toSeq}")
+    assert(rows.forall(_.getString(1) != null),
+      "pre-rename physical values must fold into the current name")
   }
 }
