@@ -15,7 +15,11 @@ object FixtureBuild {
     * part of the directory key, so stale fixtures from an older build
     * rebuild instead of silently serving the old lake.
     */
-  private val BuilderVersion = "v11"
+  // v12: schema-log format v2 (per-entry timestamps + schemas,
+  // schema0 baseline) and log-first evolution commits — evolved-lake
+  // fixtures built under v11 carry legacy logs that would mask the
+  // snapshot-schema semantics the round-14 queries certify
+  private val BuilderVersion = "v12"
 
   private def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
