@@ -357,13 +357,11 @@ object IcebergExport {
         newNames.zipWithIndex.map { case (n, i) =>
           (n, nextId + i, sparkTypeOf.get(n))
         }
-    // rewrite when names were added, a previously-untyped line can now
-    // carry its Spark type (the type column is what lets the
-    // equality-delete writer skip the footer merge entirely), or a
-    // log-first recovery re-derived a binding/type
-    if (newNames.nonEmpty || recovered.nonEmpty ||
-        assigned.map(a => (a._1, a._2, a._3)) != existing ||
-        existing.exists(e => e._3.isEmpty && sparkTypeOf.contains(e._1))) {
+    // rewrite when names were added, a log-first recovery re-derived a
+    // binding, or any line's content changed (an untyped line gaining
+    // its Spark type — what lets the equality-delete writer skip the
+    // footer merge — or a promote recovery correcting a stale type)
+    if (newNames.nonEmpty || recovered.nonEmpty || assigned != existing) {
       // write-tmp-then-rename INTO A FRESH VERSION: the rename's
       // target never exists, so there is no delete-then-rename window
       // — a crash at any point leaves either the old version
@@ -696,9 +694,16 @@ object IcebergExport {
     // falls back to a clean full restatement rather than failing the
     // export. Resolved BEFORE the state: the partition-spec registry
     // carries ids forward from the previous metadata.
+    // UNCAPPED resolve: the delta diff below needs the previous
+    // snapshot's full file set — an overCap chain (files dropped,
+    // manifest refs only) would read as "everything is new" and the
+    // delta would re-chain every already-exported file, duplicating
+    // every row behind the attach join. Export planning is the one
+    // deliberate driver-side O(prev files) walk (same order as the
+    // manifest diff it feeds); the read-path cap stays untouched.
     val prev: Option[Chain] =
       if (version > 1 && fs.exists(new Path(metaDir, "version-hint.text")))
-        try Some(resolveChain(spark, metaDir))
+        try Some(resolveChain(spark, metaDir, fileCap = Some(Long.MaxValue)))
         catch { case scala.util.control.NonFatal(_) => None }
       else None
     val st = resolve(spark, root, prev.map(_.md))
@@ -1417,7 +1422,8 @@ object IcebergExport {
     * not an error.
     */
   private[graft] def resolveChain(spark: SparkSession, metaDir: Path,
-                                  asOf: Option[SnapshotRef] = None): Chain = {
+                                  asOf: Option[SnapshotRef] = None,
+                                  fileCap: Option[Long] = None): Chain = {
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hintPath = new Path(metaDir, "version-hint.text")
     val mdPath =
@@ -1432,7 +1438,7 @@ object IcebergExport {
         require(vs.nonEmpty, s"no version-hint.text and no v<N>.metadata.json under $metaDir")
         new Path(metaDir, s"v${vs.max}.metadata.json")
       }
-    resolveChainAt(spark, mdPath, asOf)
+    resolveChainAt(spark, mdPath, asOf, fileCap)
   }
 
   /** TIME-TRAVEL anchor: pick a snapshot by exact id, or the latest
@@ -1456,7 +1462,8 @@ object IcebergExport {
     * carry no `schema-id` and fall back to the current schema.
     */
   private[graft] def resolveChainAt(spark: SparkSession, mdPath: Path,
-                                    asOf: Option[SnapshotRef] = None): Chain = {
+                                    asOf: Option[SnapshotRef] = None,
+                                    fileCap: Option[Long] = None): Chain = {
     val md = IcebergJson.parse(readText(spark, mdPath))
     val fv = md("format-version").int
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
@@ -1591,7 +1598,7 @@ object IcebergExport {
         // past it the accumulated list drops and the chain resolves
         // `overCap` with manifest refs only, so a million-file
         // snapshot never materializes a driver-side path array.
-        val cap = explicitFileCap(spark)
+        val cap = fileCap.getOrElse(explicitFileCap(spark))
         val walked = scala.collection.mutable.ArrayBuffer.empty[(Seq[ChainFile], Seq[DeleteFile])]
         var over = false
         refs.foreach { r =>
@@ -1679,6 +1686,16 @@ object IcebergExport {
     // an overCap chain has no driver-resident file list to feed the
     // keep-set below — readChain plans it distributed end to end
     if (chain.overCap)
+      return readChain(spark, chain)
+    // SNAPSHOT-SCHEMA fidelity: an anchored read on a table with
+    // schema HISTORY must serve its snapshot's schema. The fast path
+    // reads under the lake's CURRENT request schema, and the
+    // name-subset check below cannot see a promote-only (same names,
+    // narrower type) or add-only (pre-add anchor must NOT show the
+    // column) divergence — so any time-travel anchor on a
+    // multi-schema table takes the chain reader, which resolved the
+    // snapshot's own schema-id.
+    if (asOf.isDefined && chain.md.opt("schemas").exists(_.arr.length > 1))
       return readChain(spark, chain)
     val conf = spark.sparkContext.hadoopConfiguration
     val delEntries = chain.deleteFiles.map { d =>
@@ -2090,6 +2107,21 @@ object IcebergExport {
             }
           spark.createDataFrame(rows, mapSchema)
         }
+      // the over-cap plan scans the table LOCATION — a manifest
+      // pointing OUTSIDE it (legal Iceberg: "data files wherever the
+      // manifests point", and the explicit-path read serves it) would
+      // have its rows silently missing from the join. Refuse loudly
+      // instead: one cheap aggregate over the control-plane-built map
+      // (re-walking manifests distributed), never a silent shortfall.
+      if (chain.overCap) {
+        val rootPrefix = normUri(scanRoot).stripSuffix("/") + "/"
+        val outside = mapDf
+          .filter(!col("__graft_file").startsWith(rootPrefix)).limit(1).count()
+        require(outside == 0,
+          s"over-cap chain holds data files outside the table location " +
+            s"($rootPrefix) — the location-root scan cannot reach them; " +
+            "raise graft.chain.explicitFileCap to force the explicit-path read")
+      }
       // _metadata.file_path, not input_file_name(): deterministic, so
       // it doesn't pin the projection against later pushdown, and it
       // stays consistent with the row_index used by position deletes

@@ -286,18 +286,37 @@ object LakeEvolve {
     val (curV, _) = schemaLogCurrent(spark, root)
     val target = new Path(s"$root/_schema_log_v${curV + 1}")
     // uuid'd tmp: two concurrent evolvers each stage their own file —
-    // the rename race below stays the single commit point (the loser
-    // fails loudly on the existing target), but neither can clobber
-    // the other's staged bytes first
+    // neither can clobber the other's staged bytes
     val tmp = new Path(s"$root/_schema_log_tmp_${
       java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    // the version CLAIM is a no-overwrite create (atomic where the FS
+    // gives one; far narrower than exists-then-rename everywhere):
+    // POSIX rename(2) silently REPLACES an existing target, so on a
+    // local FS two racers' exists-checks could both pass and the
+    // second rename would swallow the first writer's committed log —
+    // exactly the lost-evolution the loud-loser contract forbids. A
+    // crashed writer's stale claim blocks later evolutions LOUDLY
+    // (message says what to check), never silently.
+    val claim = new Path(s"$root/_schema_log_claim_v${curV + 1}")
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
       fs.delete(tmp, false)
       sys.error(s"schema-log swap conflict under $root: version ${curV + 1} " +
-        "already exists or the rename failed — another writer won; re-plan")
+        s"is claimed — another writer won; re-plan (a CRASHED writer " +
+        s"leaves $claim behind: verify ${target.getName} is absent, " +
+        "remove the claim, retry)")
     }
+    try {
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        sys.error(s"schema-log swap conflict under $root: version ${curV + 1} " +
+          "already exists or the rename failed — another writer won; re-plan")
+      }
+    } finally { fs.delete(claim, false); () }
     val old = new Path(s"$root/_schema_log_v$curV")
     if (fs.exists(old)) { fs.delete(old, false); () }
   }

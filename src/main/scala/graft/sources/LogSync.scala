@@ -790,15 +790,23 @@ object LogSync {
     try {
       val freshPaths = fresh.as[String].collect() // this round's new files only
       if (freshPaths.nonEmpty) {
-        freshManifestRows(spark, root, freshPaths.toSeq)
-          .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
         // EVOLVED lakes record any columns this round's footers ADDED
         // into the schema log (registration is the one moment every
         // new file is already being read) — the read side then never
         // probes footers, and two writers adding DIFFERENT columns in
         // separate files both surface (a newest-footer probe would
-        // silently drop all but the newest file's additions)
+        // silently drop all but the newest file's additions).
+        // ORDER MATTERS: the add commits BEFORE the manifest append.
+        // A crash (or a lost race against a concurrent ALTER) between
+        // the two leaves the files UNREGISTERED — the rerun's fresh
+        // diff re-finds them and retries, and a pre-recorded add is a
+        // no-op. The reverse order would register the files first and
+        // then lose the column FOREVER on a crash: no later sync
+        // re-examines a registered file, and evolved reads trust the
+        // log alone.
         LakeEvolve.recordAdds(spark, root, freshPaths.toSeq)
+        freshManifestRows(spark, root, freshPaths.toSeq)
+          .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
       }
       freshPaths.length
     } finally fresh.unpersist()

@@ -82,17 +82,25 @@ object CdcDebezium {
         coalesce(col("__dbz.payload.after"), col("__dbz.after")).as("__after"),
         coalesce(col("__dbz.payload.before"), col("__dbz.before")).as("__before"),
         {
-          // MySQL (file, pos) → one monotone long; see ORDERING above
+          // MySQL (file, pos) → one monotone long; see ORDERING above.
+          // Ordinals >= 2²³ would overflow the 2⁴⁰ shift into a WRAPPED
+          // (even negative) sequence — silent order corruption — so an
+          // oversized ordinal (an epoch-suffixed log name, not the
+          // 6-digit binlog convention) falls to ts_ms instead: coarser
+          // but monotone, never wrapped, and never bare rotation-reset
+          // pos
+          val tsMs = coalesce(col("__dbz.payload.ts_ms"), col("__dbz.ts_ms"))
           def filePos(src: String) = {
             val ord = regexp_extract(col(s"$src.file"), "([0-9]+)$", 1)
               .cast(LongType)
             when(ord.isNotNull && col(s"$src.pos").isNotNull,
-              shiftleft(ord, 40) + col(s"$src.pos"))
+              when(ord < lit(1L << 23), shiftleft(ord, 40) + col(s"$src.pos"))
+                .otherwise(tsMs))
           }
           coalesce(col("__dbz.payload.source.lsn"), col("__dbz.source.lsn"),
             filePos("__dbz.payload.source"), filePos("__dbz.source"),
             col("__dbz.payload.source.pos"), col("__dbz.source.pos"),
-            col("__dbz.payload.ts_ms"), col("__dbz.ts_ms")).as("lsn")
+            tsMs).as("lsn")
         })
       // tombstones / unparseable payloads carry no op — drop, they are
       // compaction markers, not changes

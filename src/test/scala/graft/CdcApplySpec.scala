@@ -335,5 +335,12 @@ class CdcApplySpec extends SparkSpec {
     assert(LogSync.table(spark, root).filter(col("span_id") === "e1")
       .select("body").as[String].collect().toSeq == Seq("POST-ROTATION"),
       "the post-rotation change must win despite its smaller pos")
+    // an OVERSIZED numeric suffix (epoch-named log) would overflow the
+    // shift into a wrapped sequence — it must fall back to ts_ms, not
+    // compose
+    val epoch = Seq(env(newBody, "binlog.1700000000", 7L)).toDF("value")
+    assert(CdcDebezium.parse(epoch, col("value"), tableSchema)
+      .select("lsn").as[Long].head() == 1700000000000L,
+      "an overflow-sized ordinal must order by ts_ms, never wrap")
   }
 }

@@ -605,6 +605,29 @@ class IcebergExportSpec extends SparkSpec {
     } finally spark.conf.unset("graft.chain.explicitFileCap")
   }
 
+  test("explicitFileCap 0: export's delta diff resolves the previous chain UNCAPPED — no re-chaining") {
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    // grow the lake and export the delta while the READ cap is 0: the
+    // diff against the previous snapshot must still see its full file
+    // set (an over-cap prev would read as "everything is new" and the
+    // delta would list every old file twice — every row duplicated)
+    Tables.events(spark, sf).limit(40)
+      .select(col("ts").as("timestamp"), lit("s9").as("service_name"),
+        col("props").as("body"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    spark.conf.set("graft.chain.explicitFileCap", "0")
+    try {
+      IcebergExport.export(spark, root)
+      val direct = LogSync.table(spark, root).count()
+      assert(IcebergExport.readTable(spark, root).count() == direct,
+        "a delta exported under the read cap must not duplicate rows")
+      // and it stayed a DELTA (history retained), not a restatement
+      assert(IcebergExport.snapshots(spark, root).length == 2)
+    } finally spark.conf.unset("graft.chain.explicitFileCap")
+  }
+
   test("explicitFileCap 0 + merge-on-read: deletes apply identically on the over-cap plan") {
     val loc = graft.sources.IcebergFixture.externalNationMorTable(spark, sf)
     def keys() = IcebergExport.readExternal(spark, loc)

@@ -368,6 +368,35 @@ class LakeEvolveSpec extends SparkSpec {
       "a pre-promotion snapshot keeps its narrow type")
   }
 
+  test("promote-ONLY history: a pre-promotion anchor reads the narrow type (names alone can't route)") {
+    val root = freshLake("graft_evpromo")
+    IcebergExport.export(spark, root)
+    LakeEvolve.promoteColumn(spark, root, "severity_number",
+      org.apache.spark.sql.types.LongType)
+    import spark.implicits._
+    Tables.events(spark, sf).orderBy("event_id").limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        (col("event_id") % 100).cast("long").as("severity_number"),
+        concat(lit("w"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    IcebergExport.export(spark, root)
+    val first = IcebergExport.snapshots(spark, root).find(_._3.isEmpty).get
+    // every column NAME matches the current schema here — only the
+    // TYPE differs, which the lake-scan fast path's name-subset check
+    // cannot see; the anchored read must still resolve the snapshot's
+    // own schema-id
+    val pre = IcebergExport.readTable(spark, root,
+      Some(IcebergExport.BySnapshotId(first._1)))
+    assert(pre.schema("severity_number").dataType == IntegerType,
+      s"pre-promotion anchor must keep the narrow type: ${pre.schema}")
+    assert(pre.count() == 80)
+    assert(IcebergExport.readTable(spark, root)
+      .schema("severity_number").dataType == LongType)
+  }
+
   test("stat-axis rename: zone-map pruning intact, new syncs keep statting, windows resolve") {
     import spark.implicits._
     val root = freshLake("graft_evstat")
@@ -525,8 +554,11 @@ class LakeEvolveSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmps = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath.getName).filter(_.startsWith("_schema_log_tmp"))
-    assert(tmps.isEmpty, s"refused commits must clean their tmp: ${tmps.toSeq}")
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_schema_log_tmp") ||
+        n.startsWith("_schema_log_claim"))
+    assert(tmps.isEmpty,
+      s"refused commits must clean their tmp and claim: ${tmps.toSeq}")
   }
 
   test("log-first recovery: a crash between log and sidecar re-derives the id binding") {
