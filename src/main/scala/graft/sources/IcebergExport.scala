@@ -2107,20 +2107,25 @@ object IcebergExport {
             }
           spark.createDataFrame(rows, mapSchema)
         }
-      // the over-cap plan scans the table LOCATION — a manifest
-      // pointing OUTSIDE it (legal Iceberg: "data files wherever the
-      // manifests point", and the explicit-path read serves it) would
-      // have its rows silently missing from the join. Refuse loudly
-      // instead: one cheap aggregate over the control-plane-built map
-      // (re-walking manifests distributed), never a silent shortfall.
+      // the over-cap plan scans the table LOCATION with a *.parquet
+      // glob — a manifest pointing OUTSIDE the location (legal
+      // Iceberg: "data files wherever the manifests point") or at a
+      // file WITHOUT the extension (also spec-legal; the glob exists
+      // to skip the metadata tree) would have its rows silently
+      // missing from the join. Refuse loudly instead: one cheap
+      // aggregate over the distributed-built map, never a silent
+      // shortfall.
       if (chain.overCap) {
         val rootPrefix = normUri(scanRoot).stripSuffix("/") + "/"
-        val outside = mapDf
-          .filter(!col("__graft_file").startsWith(rootPrefix)).limit(1).count()
-        require(outside == 0,
-          s"over-cap chain holds data files outside the table location " +
-            s"($rootPrefix) — the location-root scan cannot reach them; " +
-            "raise graft.chain.explicitFileCap to force the explicit-path read")
+        val unreachable = mapDf
+          .filter(!col("__graft_file").startsWith(rootPrefix) ||
+            !col("__graft_file").endsWith(".parquet"))
+          .limit(1).count()
+        require(unreachable == 0,
+          s"over-cap chain holds data files the location-root scan cannot " +
+            s"reach (outside $rootPrefix, or without the .parquet extension " +
+            "the scan's metadata-skipping glob requires) — raise " +
+            "graft.chain.explicitFileCap to force the explicit-path read")
       }
       // _metadata.file_path, not input_file_name(): deterministic, so
       // it doesn't pin the projection against later pushdown, and it

@@ -1113,7 +1113,7 @@ object LakeDml {
         val raw = evoSt.map(st => LakeEvolve.project(raw0, st)).getOrElse(raw0)
         val live = LogSync.applyDeletes(spark, raw, root,
           LogSync.deleteEntries(spark, root))
-        val ts = col(LakeEvolve.timeAxis(spark, root))
+        val ts = col(LakeEvolve.timeAxisOf(evoSt))
         val pred = from.map(f => ts >= lit(f))
           .getOrElse(lit(true)) && ts < lit(until)
         writePositionDeletes(spark, root, live.filter(pred))

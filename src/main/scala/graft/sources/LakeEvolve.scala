@@ -108,7 +108,12 @@ object LakeEvolve {
                             finalOf: Map[String, String],
                             dropped: Set[String] = Set.empty,
                             baseline: StructType = new StructType(),
-                            history: Seq[(Evo, StructType)] = Seq.empty) {
+                            history: Seq[(Evo, StructType)] = Seq.empty,
+                            // true = parsed from a pre-v2 log (no
+                            // schema0/per-entry schemas): adds were
+                            // never recorded, so reads preserve the
+                            // old newest-footer union (legacyUnion)
+                            legacy: Boolean = false) {
     def currentName(n: String): String = finalOf.getOrElse(n, n)
     def supersededNames: Set[String] = aliasesOf.values.flatten.toSet ++ dropped
   }
@@ -250,7 +255,7 @@ object LakeEvolve {
       val baseline = baseline0.getOrElse(stored)
       val (aliases, finals, dropped) = resolveNames(hist.map(_._1))
       EvoState(v, hist.map(_._1), stored, aliases, finals, dropped,
-        baseline, hist)
+        baseline, hist, legacy = baseline0.isEmpty)
     }))
   }
 
@@ -268,7 +273,10 @@ object LakeEvolve {
       asOf match {
         case None => full
         case Some(ts) =>
-          val hist = full.history.filter(_._1.at <= ts.getTime)
+          // PREFIX cut, not a filter: entry stamps are forced monotone
+          // at append time ([[nextAt]]), and a prefix can never keep a
+          // later entry's post-schema while dropping the entry itself
+          val hist = full.history.takeWhile(_._1.at <= ts.getTime)
           if (hist.length == full.history.length) full
           else {
             val (aliases, finals, dropped) = resolveNames(hist.map(_._1))
@@ -280,10 +288,19 @@ object LakeEvolve {
       }
     }
 
+  /** Commit `content` as version `baseVersion + 1`. `baseVersion` is
+    * the version the caller's content was DERIVED FROM — never
+    * re-read here: a writer that planned against v but commits after
+    * another landed v+1 must fail loudly, not claim v+2 with content
+    * missing the v+1 entry (and then delete the winner's file).
+    */
   private def writeLog(spark: SparkSession, root: String,
-                       content: String): Unit = {
+                       content: String, baseVersion: Int): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (curV, _) = schemaLogCurrent(spark, root)
+    if (curV != baseVersion)
+      sys.error(s"schema-log swap conflict under $root: planned against " +
+        s"version $baseVersion but $curV is current — another writer won; re-plan")
     val target = new Path(s"$root/_schema_log_v${curV + 1}")
     // uuid'd tmp: two concurrent evolvers each stage their own file —
     // neither can clobber the other's staged bytes
@@ -326,12 +343,23 @@ object LakeEvolve {
     * is the pre-evolution logical schema recorded as `schema0` when
     * this is the lake's first evolution.
     */
+  /** Commit instant for a new entry: wall clock, forced STRICTLY
+    * ABOVE the previous entry (clock skew between writers must not
+    * produce a non-monotone history — [[stateAt]] cuts a prefix, and
+    * an out-of-order stamp would let an as-of anchor keep an entry's
+    * post-schema while dropping the entry itself).
+    */
+  private def nextAt(st: Option[EvoState]): Long = {
+    val prev = st.flatMap(_.history.lastOption).map(_._1.at).getOrElse(0L)
+    math.max(System.currentTimeMillis(), prev + 1)
+  }
+
   private def appendEntry(spark: SparkSession, root: String,
                           st: Option[EvoState], baselineIfFirst: StructType,
                           e: Evo, after: StructType): Unit = {
     val base = st.map(_.baseline).getOrElse(baselineIfFirst)
     val hist = st.map(_.history).getOrElse(Seq.empty) :+ (e -> after)
-    writeLog(spark, root, render(base, hist))
+    writeLog(spark, root, render(base, hist), st.map(_.version).getOrElse(0))
   }
 
   /** Record columns a sync round's NEW FILES added (footer fields not
@@ -352,20 +380,26 @@ object LakeEvolve {
       // mixed narrow/wide round (a lagging writer still emitting the
       // pre-promotion type) fails Spark's merge — fall back to a
       // per-file footer walk, bounded by the round's arrivals (already
-      // a driver-resident list), taking the first type seen per name
+      // a driver-resident list), taking the first type seen per name.
+      // The fallback does NOT swallow per-file errors: a transient FS
+      // failure must propagate and leave the round's files
+      // UNREGISTERED (the caller appends the manifest after this), so
+      // the rerun retries — swallowing it would register the files
+      // with their new column silently lost forever.
       val merged: Seq[StructField] = scala.util.Try(
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
           .schema.fields.toSeq)
         .getOrElse(paths
-          .flatMap(p => scala.util.Try(
-            spark.read.parquet(p).schema.fields.toSeq).getOrElse(Seq.empty))
+          .flatMap(p => spark.read.parquet(p).schema.fields.toSeq)
           .foldLeft(Seq.empty[StructField]) { (acc, f) =>
             if (acc.exists(_.name == f.name)) acc else acc :+ f
           })
       val known = st.stored.fieldNames.toSet ++ st.supersededNames
       val extra = merged.filterNot(f => known.contains(f.name))
       if (extra.nonEmpty) {
-        val now = System.currentTimeMillis()
+        // one commit instant for the whole round's adds, strictly
+        // above the previous entry (monotone history — see nextAt)
+        val now = nextAt(Some(st))
         var stored = st.stored
         var hist = st.history
         extra.sortBy(_.name).foreach { f =>
@@ -373,19 +407,48 @@ object LakeEvolve {
             StructField(f.name, f.dataType, nullable = true))
           hist = hist :+ (Evo("add", -1, f.name, f.name, now) -> stored)
         }
-        writeLog(spark, root, render(st.baseline, hist))
+        writeLog(spark, root, render(st.baseline, hist), st.version)
       }
     }
   }
 
+  /** A LEGACY (pre-v2 log) lake recorded no adds: columns its files
+    * gained after the last evolution surface via the old
+    * newest-footer probe, preserved here so an IN-PLACE UPGRADE never
+    * hides a column that was visible before (new-format lakes never
+    * take this path — sync records their adds). The next ALTER bakes
+    * this union into the upgraded log and retires the probe for that
+    * lake. Known old-contract caveat, unchanged: the single-newest
+    * probe can miss a divergent add — the very bug the recorded-adds
+    * design fixes for new-format lakes.
+    */
+  private def legacyUnion(spark: SparkSession, root: String,
+                          st: EvoState): StructType = {
+    val newest = LogSync.activeManifest(spark, root)
+      .orderBy(col("registered_at").desc, col("path").desc)
+      .select("path").limit(1).collect().headOption.map(_.getString(0))
+    val extra = newest.toSeq.flatMap { p =>
+      spark.read.parquet(p).schema.fields.toSeq.filter(f =>
+        !st.stored.fieldNames.contains(f.name) &&
+          !st.supersededNames.contains(f.name))
+    }
+    StructType(st.stored.fields ++ extra)
+  }
+
+  /** The state's logical schema: stored for new-format lakes (adds
+    * land there at sync time), the newest-footer union for legacy.
+    */
+  private def logicalOf(spark: SparkSession, root: String,
+                        st: EvoState): StructType =
+    if (st.legacy) legacyUnion(spark, root, st) else st.stored
+
   /** The current logical LOAD schema (data + partition-dir columns):
-    * the stored one when a log exists (adds land there at sync time),
-    * else one mergeSchema load — the pre-evolution baseline an
-    * evolution op starts from.
+    * the state's logical when a log exists, else one mergeSchema load
+    * — the pre-evolution baseline an evolution op starts from.
     */
   private def currentLogical(spark: SparkSession, root: String,
                              st: Option[EvoState]): StructType = st match {
-    case Some(s) => s.stored
+    case Some(s) => logicalOf(spark, root, s)
     case None => spark.read.option("basePath", root)
       .option("mergeSchema", "true").parquet(root).schema
   }
@@ -394,11 +457,13 @@ object LakeEvolve {
     * logical columns at their final (possibly widened) types, plus
     * every retired old name at the final column's type — parquet
     * fills null where a file lacks a name and widens where it is
-    * narrow. Pure function of the state: no footer probe, no job.
+    * narrow. Pure function of the state for new-format lakes (no
+    * footer probe, no job); legacy pre-v2 logs pay the old
+    * newest-footer probe until their next ALTER upgrades them.
     */
   private[graft] def requestSchema(spark: SparkSession, root: String,
                                    st: EvoState): StructType = {
-    val logical = st.stored
+    val logical = logicalOf(spark, root, st)
     val aliasFields = st.aliasesOf.toSeq.sortBy(_._1).flatMap { case (fin, olds) =>
       val t = logical.find(_.name == fin).map(_.dataType)
         .getOrElse(sys.error(s"renamed column '$fin' missing from logical schema"))
@@ -435,35 +500,44 @@ object LakeEvolve {
   private val TimeAxisOrigin = "timestamp"
   private val SvcAxisOrigin = "service_name"
 
-  /** Current name of the manifest's TIME stat axis (the field
-    * originally named `timestamp`): what [[LogSync.statsFor]] computes
-    * min_ts/max_ts from and what range readers/retention filter on.
-    */
-  private[graft] def timeAxis(spark: SparkSession, root: String): String =
-    state(spark, root).map(_.currentName(TimeAxisOrigin))
-      .getOrElse(TimeAxisOrigin)
+  // The Of-variants take an ALREADY-RESOLVED state so an operation
+  // that needs several axis facts (statsFor needs all four) resolves
+  // the state ONCE — each state() pays a directory LIST on the log
+  // version, the expensive control-plane op on an object store.
+  private[graft] def timeAxisOf(st: Option[EvoState]): String =
+    st.map(_.currentName(TimeAxisOrigin)).getOrElse(TimeAxisOrigin)
 
-  /** Current name of the SERVICE stat axis (originally
-    * `service_name`) — min_svc/max_svc's source field.
-    */
-  private[graft] def svcAxis(spark: SparkSession, root: String): String =
-    state(spark, root).map(_.currentName(SvcAxisOrigin))
-      .getOrElse(SvcAxisOrigin)
+  private[graft] def svcAxisOf(st: Option[EvoState]): String =
+    st.map(_.currentName(SvcAxisOrigin)).getOrElse(SvcAxisOrigin)
 
   /** Every physical name the time axis has carried (current first) —
     * what a stats probe coalesces over, since a sync round can mix
     * files written before and after a rename.
     */
-  private[graft] def timeAxisNames(spark: SparkSession, root: String): Seq[String] = {
-    val cur = timeAxis(spark, root)
-    cur +: state(spark, root).toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
+  private[graft] def timeAxisNamesOf(st: Option[EvoState]): Seq[String] = {
+    val cur = timeAxisOf(st)
+    cur +: st.toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
   }
 
-  /** [[timeAxisNames]] for the service axis. */
-  private[graft] def svcAxisNames(spark: SparkSession, root: String): Seq[String] = {
-    val cur = svcAxis(spark, root)
-    cur +: state(spark, root).toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
+  private[graft] def svcAxisNamesOf(st: Option[EvoState]): Seq[String] = {
+    val cur = svcAxisOf(st)
+    cur +: st.toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
   }
+
+  /** Current name of the manifest's TIME stat axis (the field
+    * originally named `timestamp`): what [[LogSync.statsFor]] computes
+    * min_ts/max_ts from and what range readers/retention filter on.
+    * One state resolution; callers needing several axis facts should
+    * resolve [[state]] once and use the Of-variants.
+    */
+  private[graft] def timeAxis(spark: SparkSession, root: String): String =
+    timeAxisOf(state(spark, root))
+
+  /** Current name of the SERVICE stat axis (originally
+    * `service_name`) — min_svc/max_svc's source field.
+    */
+  private[graft] def svcAxis(spark: SparkSession, root: String): String =
+    svcAxisOf(state(spark, root))
 
   private def commonGuards(spark: SparkSession, root: String,
                            name: String, forDrop: Boolean = false): Unit = {
@@ -517,7 +591,7 @@ object LakeEvolve {
     val newStored = StructType(logical.fields.map(f =>
       if (f.name == from) StructField(to, f.dataType, f.nullable) else f))
     appendEntry(spark, root, st, logical,
-      Evo("rename", id, from, to, System.currentTimeMillis()), newStored)
+      Evo("rename", id, from, to, nextAt(st)), newStored)
     // sidecar binding AFTER the log: a crash here self-heals — the
     // export re-derives to→id from the rename entry
     IcebergExport.recordEvolvedField(spark, root, to, id, t.catalogString)
@@ -566,7 +640,7 @@ object LakeEvolve {
     val newStored = StructType(logical.fields.map(f =>
       if (f.name == name) StructField(name, toType, f.nullable) else f))
     appendEntry(spark, root, st, logical,
-      Evo("promote", id, name, name, System.currentTimeMillis()), newStored)
+      Evo("promote", id, name, name, nextAt(st)), newStored)
     IcebergExport.recordEvolvedField(spark, root, name, id, toType.catalogString)
   }
 
@@ -607,6 +681,6 @@ object LakeEvolve {
     val newStored = StructType(logical.fields.filterNot(_.name == name))
     require(newStored.fields.nonEmpty, "cannot drop the last column")
     appendEntry(spark, root, st, logical,
-      Evo("drop", fid(name), name, name, System.currentTimeMillis()), newStored)
+      Evo("drop", fid(name), name, name, nextAt(st)), newStored)
   }
 }

@@ -697,9 +697,11 @@ object LogSync {
     // physical name (or, from a lagging writer, still an old one),
     // and one round can MIX both while schema inference samples a
     // single footer: request every name the axis has had explicitly
-    // (absent ones read null) and coalesce, newest first
-    val allTs = LakeEvolve.timeAxisNames(spark, root)
-    val allSvc = LakeEvolve.svcAxisNames(spark, root)
+    // (absent ones read null) and coalesce, newest first. ONE state
+    // resolution serves all four axis facts.
+    val evoSt = LakeEvolve.state(spark, root)
+    val allTs = LakeEvolve.timeAxisNamesOf(evoSt)
+    val allSvc = LakeEvolve.svcAxisNamesOf(evoSt)
     val sampled = spark.read.option("basePath", root).parquet(paths: _*)
     val extras =
       allTs.filterNot(sampled.columns.contains)
@@ -1295,9 +1297,11 @@ object LogSync {
     val paths = activeManifest(spark, root)
       .filter(zoneMapKeep(from, until) && svcKeep(lit(service)))
       .select(normPath(col("path")).as("__registered_path"))
-    // both row filters bind their axis's CURRENT name
-    val ts = col(LakeEvolve.timeAxis(spark, root))
-    val svc = col(LakeEvolve.svcAxis(spark, root))
+    // both row filters bind their axis's CURRENT name (one state
+    // resolution for the pair)
+    val evoSt = LakeEvolve.state(spark, root)
+    val ts = col(LakeEvolve.timeAxisOf(evoSt))
+    val svc = col(LakeEvolve.svcAxisOf(evoSt))
     keepOnly(spark, root, paths, deletes = deleteEntries(spark, root))
       .filter(svc === service && ts >= from && ts < until)
   }

@@ -118,19 +118,16 @@ object Rollup {
   // the schema log instead of failing on the old one
   private val DimOrigins = Seq("service_name", "severity_text")
 
-  private def dims(spark: SparkSession, root: String): Seq[String] = {
-    val st = LakeEvolve.state(spark, root)
+  private def dims(st: Option[LakeEvolve.EvoState]): Seq[String] =
     DimOrigins.map(n => st.map(_.currentName(n)).getOrElse(n))
-  }
 
   /** Align a PERSISTED rollup's dimension columns with the lake's
     * current names: an agg written before a rename carries the old
     * spelling — same field, same values, one metadata-level
     * withColumnRenamed (state migration, no rebuild).
     */
-  private def migrated(spark: SparkSession, root: String,
+  private def migrated(st: Option[LakeEvolve.EvoState],
                        df: DataFrame, cur: Seq[String]): DataFrame = {
-    val st = LakeEvolve.state(spark, root)
     cur.foldLeft(df) { (acc, c) =>
       if (acc.columns.contains(c)) acc
       else st.flatMap(_.aliasesOf.get(c).flatMap(_.find(acc.columns.contains)))
@@ -174,7 +171,8 @@ object Rollup {
         processed.join(tombstoned, Seq("path"), "left_semi").limit(1).count() > 0 ||
           foldedUnder.getOrElse(emptyToken) != token
       }
-    val dimCols = dims(spark, root)
+    val evoSt = LakeEvolve.state(spark, root)
+    val dimCols = dims(evoSt)
     if (restated) {
       // rebuild from the LIVE table: MOR-applied (position AND
       // equality deletes), restatements resolved by the manifest
@@ -199,7 +197,6 @@ object Rollup {
     if (fresh.isEmpty) return 0
     // evolved lakes fold fresh files under the request schema (a
     // pre-rename file registered late still resolves its dim values)
-    val evoSt = LakeEvolve.state(spark, root)
     val reader0 = spark.read.option("basePath", root)
     val freshRaw = evoSt.map(st =>
       reader0.schema(LakeEvolve.requestSchema(spark, root, st)))
@@ -211,7 +208,7 @@ object Rollup {
       .agg(count(lit(1)).as("n"))
     val merged =
       if (cur > 0)
-        migrated(spark, root,
+        migrated(evoSt,
           spark.read.parquet(s"${rollupRoot(root)}/v$cur/agg"), dimCols)
           .unionByName(partial)
           .groupBy(dimCols.map(col): _*)
@@ -233,8 +230,9 @@ object Rollup {
   def read(spark: SparkSession, root: String): DataFrame = {
     val cur = currentVersion(spark, root)
     require(cur > 0, s"no rollup under $root — run refresh first")
-    val dimCols = dims(spark, root)
-    migrated(spark, root,
+    val evoSt = LakeEvolve.state(spark, root)
+    val dimCols = dims(evoSt)
+    migrated(evoSt,
       spark.read.parquet(s"${rollupRoot(root)}/v$cur/agg"), dimCols)
       .select(dimCols.map(col) :+ col("n"): _*)
       .orderBy(dimCols.map(col): _*)

@@ -368,6 +368,51 @@ class LakeEvolveSpec extends SparkSpec {
       "a pre-promotion snapshot keeps its narrow type")
   }
 
+  test("legacy (pre-v2) schema log: in-place upgrade keeps pre-upgrade adds visible, next ALTER bakes them") {
+    import spark.implicits._
+    val root = freshLake("graft_evlegacy")
+    // a post-evolution file carrying a NEW column, registered while
+    // the (simulated) old release ran — its add was never recorded
+    Tables.events(spark, sf).orderBy("event_id").limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("l"), col("event_id")).as("span_id"),
+        col("props").as("body"), lit("LATE").as("late_col"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    // handcraft the OLD log format (entries + one trailing schema, no
+    // schema0, no timestamps) recording a severity_text rename whose
+    // stored schema predates late_col — exactly what an old-release
+    // lake carries after an upgrade
+    val renamed = org.apache.spark.sql.types.StructType(
+      LogSync.table(spark, root).schema.fields
+        .filter(_.name != "late_col")
+        .map(f => if (f.name == "severity_text")
+          org.apache.spark.sql.types.StructField("severity", f.dataType, f.nullable)
+        else f))
+    val legacyLog = s"rename\t1\tseverity_text\tseverity\nschema\t${renamed.toDDL}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_schema_log_v1"), true)
+    try out.write(legacyLog.getBytes("UTF-8")) finally out.close()
+    // the upgraded reader preserves the old newest-footer union: the
+    // unrecorded add stays visible, the rename folds
+    val t = LogSync.table(spark, root)
+    assert(t.columns.contains("late_col") && t.columns.contains("severity"),
+      s"pre-upgrade adds must stay visible on legacy logs: ${t.columns.toSeq}")
+    assert(t.filter(col("late_col") === "LATE").count() == 10)
+    // the next ALTER bakes the union into the upgraded (v2) log —
+    // visibility survives and the probe retires
+    graft.sources.IcebergExport.exportFieldIds(spark, root) // seed sidecar
+    LakeEvolve.promoteColumn(spark, root, "severity_number",
+      org.apache.spark.sql.types.LongType)
+    val t2 = LogSync.table(spark, root)
+    assert(t2.columns.contains("late_col") &&
+      t2.filter(col("late_col") === "LATE").count() == 10,
+      "the upgrade ALTER must bake pre-upgrade adds into the stored schema")
+  }
+
   test("promote-ONLY history: a pre-promotion anchor reads the narrow type (names alone can't route)") {
     val root = freshLake("graft_evpromo")
     IcebergExport.export(spark, root)
