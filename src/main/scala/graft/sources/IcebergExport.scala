@@ -1687,16 +1687,25 @@ object IcebergExport {
     // keep-set below — readChain plans it distributed end to end
     if (chain.overCap)
       return readChain(spark, chain)
-    // SNAPSHOT-SCHEMA fidelity: an anchored read on a table with
-    // schema HISTORY must serve its snapshot's schema. The fast path
-    // reads under the lake's CURRENT request schema, and the
-    // name-subset check below cannot see a promote-only (same names,
-    // narrower type) or add-only (pre-add anchor must NOT show the
-    // column) divergence — so any time-travel anchor on a
-    // multi-schema table takes the chain reader, which resolved the
-    // snapshot's own schema-id.
-    if (asOf.isDefined && chain.md.opt("schemas").exists(_.arr.length > 1))
-      return readChain(spark, chain)
+    // SNAPSHOT-SCHEMA fidelity: an anchored read whose snapshot was
+    // committed under a DIFFERENT schema-id than the current one must
+    // serve its own schema. The fast path reads under the lake's
+    // CURRENT request schema, and the name-subset check below cannot
+    // see a promote-only (same names, narrower type) or add-only
+    // (pre-add anchor must NOT show the column) divergence — so those
+    // anchors take the chain reader, which resolved the snapshot's
+    // schema-id. An anchor whose schema-id EQUALS the current one
+    // (e.g. the latest snapshot by id) keeps the fast path — same
+    // schema, and the fast path's discovery-typed partition columns.
+    if (asOf.isDefined) {
+      val curSid = chain.md.opt("current-schema-id").map(_.long)
+      val snapSid = chain.snapshotId.flatMap(id =>
+        chain.md.opt("snapshots").flatMap(_.arr
+          .find(_("snapshot-id").long == id)
+          .flatMap(_.opt("schema-id").map(_.long))))
+      if (snapSid.exists(s => curSid.exists(_ != s)))
+        return readChain(spark, chain)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val delEntries = chain.deleteFiles.map { d =>
       val p = new Path(d.uri)
@@ -2112,9 +2121,12 @@ object IcebergExport {
       // Iceberg: "data files wherever the manifests point") or at a
       // file WITHOUT the extension (also spec-legal; the glob exists
       // to skip the metadata tree) would have its rows silently
-      // missing from the join. Refuse loudly instead: one cheap
-      // aggregate over the distributed-built map, never a silent
-      // shortfall.
+      // missing from the join. Refuse loudly instead. PRICED: this is
+      // an EAGER job (the refusal must land at planning, before any
+      // caller acts on the frame) and a second distributed manifest
+      // walk (the join re-walks lazily) — parallel control-plane work,
+      // dwarfed by the over-cap data scan it guards; only over-cap
+      // reads pay it.
       if (chain.overCap) {
         val rootPrefix = normUri(scanRoot).stripSuffix("/") + "/"
         val unreachable = mapDf

@@ -297,11 +297,7 @@ object LakeEvolve {
   private def writeLog(spark: SparkSession, root: String,
                        content: String, baseVersion: Int): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (curV, _) = schemaLogCurrent(spark, root)
-    if (curV != baseVersion)
-      sys.error(s"schema-log swap conflict under $root: planned against " +
-        s"version $baseVersion but $curV is current — another writer won; re-plan")
-    val target = new Path(s"$root/_schema_log_v${curV + 1}")
+    val target = new Path(s"$root/_schema_log_v${baseVersion + 1}")
     // uuid'd tmp: two concurrent evolvers each stage their own file —
     // neither can clobber the other's staged bytes
     val tmp = new Path(s"$root/_schema_log_tmp_${
@@ -316,25 +312,42 @@ object LakeEvolve {
     // exactly the lost-evolution the loud-loser contract forbids. A
     // crashed writer's stale claim blocks later evolutions LOUDLY
     // (message says what to check), never silently.
-    val claim = new Path(s"$root/_schema_log_claim_v${curV + 1}")
+    val claim = new Path(s"$root/_schema_log_claim_v${baseVersion + 1}")
     val claimed =
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
     if (!claimed) {
       fs.delete(tmp, false)
-      sys.error(s"schema-log swap conflict under $root: version ${curV + 1} " +
-        s"is claimed — another writer won; re-plan (a CRASHED writer " +
-        s"leaves $claim behind: verify ${target.getName} is absent, " +
-        "remove the claim, retry)")
+      sys.error(s"schema-log swap conflict under $root: version " +
+        s"${baseVersion + 1} is claimed — another writer won; re-plan (a " +
+        s"CRASHED writer leaves $claim behind: verify ${target.getName} " +
+        "is absent, remove the claim, retry)")
     }
     try {
+      // base-version verification INSIDE the claim: a writer stalled
+      // since its planning read could otherwise re-claim a version
+      // whose slot was already used AND cleaned up (claim released by
+      // its committer, the log file deleted by the NEXT version's
+      // cleanup) and commit stale content as an invisible orphan while
+      // reporting success. With the claim held, any racer planning now
+      // reads this same current version and targets OUR claimed slot —
+      // blocked until we release — so current-version == base here is
+      // stable through the rename below.
+      val (curV, _) = schemaLogCurrent(spark, root)
+      if (curV != baseVersion) {
+        fs.delete(tmp, false)
+        sys.error(s"schema-log swap conflict under $root: planned against " +
+          s"version $baseVersion but $curV is current — another writer " +
+          "won; re-plan")
+      }
       if (fs.exists(target) || !fs.rename(tmp, target)) {
         fs.delete(tmp, false)
-        sys.error(s"schema-log swap conflict under $root: version ${curV + 1} " +
-          "already exists or the rename failed — another writer won; re-plan")
+        sys.error(s"schema-log swap conflict under $root: version " +
+          s"${baseVersion + 1} already exists or the rename failed — " +
+          "another writer won; re-plan")
       }
     } finally { fs.delete(claim, false); () }
-    val old = new Path(s"$root/_schema_log_v$curV")
+    val old = new Path(s"$root/_schema_log_v$baseVersion")
     if (fs.exists(old)) { fs.delete(old, false); () }
   }
 
@@ -540,7 +553,8 @@ object LakeEvolve {
     svcAxisOf(state(spark, root))
 
   private def commonGuards(spark: SparkSession, root: String,
-                           name: String, forDrop: Boolean = false): Unit = {
+                           name: String, st: Option[EvoState],
+                           forDrop: Boolean = false): Unit = {
     require(LogSync.hasManifest(spark, root),
       s"no manifest under $root — run sync first")
     val layout = LogCompact.inferLayout(spark, root)
@@ -553,7 +567,7 @@ object LakeEvolve {
     // not DROP: retention planning and zone-map pruning would lose
     // their axis while the manifest still carries its stats
     if (forDrop)
-      require(name != timeAxis(spark, root) && name != svcAxis(spark, root),
+      require(name != timeAxisOf(st) && name != svcAxisOf(st),
         s"cannot drop '$name': it is a zone-map stat axis (retention and " +
           "pruning plan on it); rename is supported, drop is not")
     val activeEq = LogSync.deleteEntries(spark, root)
@@ -572,8 +586,8 @@ object LakeEvolve {
     */
   def renameColumn(spark: SparkSession, root: String,
                    from: String, to: String): Unit = {
-    commonGuards(spark, root, from)
     val st = state(spark, root)
+    commonGuards(spark, root, from, st)
     val logical = currentLogical(spark, root, st)
     require(logical.fieldNames.contains(from), s"no column '$from' to rename")
     require(!logical.fieldNames.contains(to),
@@ -620,8 +634,8 @@ object LakeEvolve {
     */
   def promoteColumn(spark: SparkSession, root: String,
                     name: String, toType: DataType): Unit = {
-    commonGuards(spark, root, name)
     val st = state(spark, root)
+    commonGuards(spark, root, name, st)
     val logical = currentLogical(spark, root, st)
     require(logical.fieldNames.contains(name), s"no column '$name' to promote")
     val fromType = logical(name).dataType
@@ -658,8 +672,8 @@ object LakeEvolve {
     * and refused outright for the zone-map stat axes.
     */
   def dropColumn(spark: SparkSession, root: String, name: String): Unit = {
-    commonGuards(spark, root, name, forDrop = true)
     val st = state(spark, root)
+    commonGuards(spark, root, name, st, forDrop = true)
     val logical = currentLogical(spark, root, st)
     require(logical.fieldNames.contains(name), s"no column '$name' to drop")
     // every registry row, tombstones included: historic reads apply

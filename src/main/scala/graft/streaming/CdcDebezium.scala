@@ -36,9 +36,12 @@ import org.apache.spark.sql.types._
   * composes with pos into one orderable long
   * (`ordinal · 2⁴⁰ + pos` — pos is bounded by max_binlog_size ≪ 2⁴⁰,
   * ordinals by the 6-digit naming ≪ 2²³, so the composition neither
-  * collides nor overflows). Bare `pos` (no file field) and `ts_ms`
-  * remain last-resort fallbacks with exactly the rotation caveat
-  * above — documented, not hidden. Passing the result as
+  * collides nor overflows; an OVERSIZED ordinal, e.g. an epoch-named
+  * log, REFUSES loudly — any fallback scale would inter-order wrongly
+  * against composed values, and a CDC sink must never silently keep a
+  * stale row). Bare `pos` (no file field at all) and `ts_ms` remain
+  * last-resort fallbacks with exactly the rotation caveat above —
+  * documented, not hidden. Passing the result as
   * [[CdcApply.start]]'s `seqCol` gives latest-wins batch resolution
   * with the tie refusal documented there (two DIFFERENT changes for
   * one key at one lsn refuse rather than pick nondeterministically).
@@ -84,18 +87,23 @@ object CdcDebezium {
         {
           // MySQL (file, pos) → one monotone long; see ORDERING above.
           // Ordinals >= 2²³ would overflow the 2⁴⁰ shift into a WRAPPED
-          // (even negative) sequence — silent order corruption — so an
-          // oversized ordinal (an epoch-suffixed log name, not the
-          // 6-digit binlog convention) falls to ts_ms instead: coarser
-          // but monotone, never wrapped, and never bare rotation-reset
-          // pos
+          // (even negative) sequence, and ANY fallback scale (ts_ms,
+          // bare pos) inter-orders wrongly against already-composed
+          // values from conventional log names — so an oversized
+          // ordinal (an epoch-suffixed log name, not the 6-digit
+          // binlog convention) REFUSES loudly: silent stale-row wins
+          // are the one outcome a CDC sink must never produce; such
+          // deployments map their own seqCol.
           val tsMs = coalesce(col("__dbz.payload.ts_ms"), col("__dbz.ts_ms"))
           def filePos(src: String) = {
             val ord = regexp_extract(col(s"$src.file"), "([0-9]+)$", 1)
               .cast(LongType)
             when(ord.isNotNull && col(s"$src.pos").isNotNull,
               when(ord < lit(1L << 23), shiftleft(ord, 40) + col(s"$src.pos"))
-                .otherwise(tsMs))
+                .otherwise(raise_error(concat(
+                  lit("binlog ordinal too large to compose a monotone lsn " +
+                    "(file '"), col(s"$src.file"),
+                  lit("'); supply a custom ordering column"))).cast(LongType)))
           }
           coalesce(col("__dbz.payload.source.lsn"), col("__dbz.source.lsn"),
             filePos("__dbz.payload.source"), filePos("__dbz.source"),

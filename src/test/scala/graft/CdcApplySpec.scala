@@ -336,11 +336,16 @@ class CdcApplySpec extends SparkSpec {
       .select("body").as[String].collect().toSeq == Seq("POST-ROTATION"),
       "the post-rotation change must win despite its smaller pos")
     // an OVERSIZED numeric suffix (epoch-named log) would overflow the
-    // shift into a wrapped sequence — it must fall back to ts_ms, not
-    // compose
+    // shift into a wrapped sequence, and ANY fallback scale would
+    // inter-order wrongly against composed values — it must REFUSE
+    // loudly, never silently corrupt latest-wins
     val epoch = Seq(env(newBody, "binlog.1700000000", 7L)).toDF("value")
-    assert(CdcDebezium.parse(epoch, col("value"), tableSchema)
-      .select("lsn").as[Long].head() == 1700000000000L,
-      "an overflow-sized ordinal must order by ts_ms, never wrap")
+    val err = intercept[Exception] {
+      CdcDebezium.parse(epoch, col("value"), tableSchema)
+        .select("lsn").as[Long].head()
+    }
+    assert(err.getMessage.contains("binlog ordinal") ||
+      Option(err.getCause).exists(_.getMessage.contains("binlog ordinal")),
+      s"oversized ordinals must refuse loudly: ${err.getMessage}")
   }
 }

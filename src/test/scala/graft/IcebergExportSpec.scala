@@ -242,6 +242,20 @@ class IcebergExportSpec extends SparkSpec {
     val first = IcebergExport.snapshots(spark, root).find(_._3.isEmpty).get
     assert(IcebergExport.readTable(spark, root,
       Some(IcebergExport.BySnapshotId(first._1))).count() == 120)
+
+    // MULTI-SPEC + OVER-CAP: the hardest plan shape — no driver file
+    // list, per-manifest specs resolved in the distributed walk, the
+    // hour column coalesced map-over-data per generation, and the
+    // identity-completion footer probed via a manifest whose spec
+    // doesn't bind it. Must agree row-for-row with the explicit plan.
+    def rows() = IcebergExport.readTable(spark, root)
+      .select(col("timestamp"), col("severity_text"), col("hour").cast("int"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val explicitRows = rows()
+    spark.conf.set("graft.chain.explicitFileCap", "0")
+    try assert(rows() == explicitRows,
+      "the over-cap multi-spec plan must equal the explicit-path plan")
+    finally spark.conf.unset("graft.chain.explicitFileCap")
   }
 
   test("expireMetadata: bounded metadata, trimmed history, current chain untouched") {
