@@ -1373,7 +1373,13 @@ object IcebergExport {
                                         // [[explicitFileCap]], so `files` was NOT driver-
                                         // materialized (it is empty); readers must plan
                                         // from `manifests` (distributed walk) + a root scan
-                                        overCap: Boolean = false)
+                                        overCap: Boolean = false,
+                                        // partition-value prune for over-cap chains: applied
+                                        // INSIDE the distributed attach-map walk (the driver
+                                        // file list the explicit prune filters doesn't
+                                        // exist). Only the FUNCTION ships to executors —
+                                        // never the Chain (md/Avro records don't serialize)
+                                        prune: Option[Map[String, Any] => Boolean] = None)
 
   /** Driver-crossing bound for a resolved chain's DATA-FILE list: at
     * or under the cap [[resolveChainAt]] materializes the file list
@@ -1784,17 +1790,15 @@ object IcebergExport {
                          keep: Map[String, Any] => Boolean,
                          asOf: Option[SnapshotRef] = None): DataFrame = {
     val chain = resolveChain(spark, new Path(s"$location/metadata"), asOf)
-    // the prune filters the DRIVER-RESIDENT file list — an overCap
-    // chain deliberately has none, and silently pruning nothing (or
-    // everything) would be wrong either way. Loud refusal with the
-    // way out; the unpruned readExternal stays driver-safe at any
-    // file count.
-    require(!chain.overCap,
-      s"readExternalPruned needs the resolved file list, but this snapshot " +
-        s"exceeds graft.chain.explicitFileCap (${explicitFileCap(spark)}) — " +
-        "raise the cap, or use readExternal with a column predicate (the " +
-        "distributed plan prunes via the attach join instead)")
-    readChain(spark, chain.copy(files = chain.files.filter(f => keep(f.partValues))))
+    // under the cap the prune filters the driver-resident file list
+    // (the scan then OPENS only the kept files — maximal I/O pruning);
+    // an over-cap chain has no such list, so the predicate ships INTO
+    // the distributed attach-map walk instead — pruned files never
+    // survive the inner join, and the same raw manifest values feed
+    // `keep` on both paths
+    if (chain.overCap) readChain(spark, chain.copy(prune = Some(keep)))
+    else readChain(spark,
+      chain.copy(files = chain.files.filter(f => keep(f.partValues))))
   }
 
   /** Materialize a resolved [[Chain]] as a DataFrame: scan the data
@@ -2104,15 +2108,27 @@ object IcebergExport {
             (m.path, m.isDelete, m.seq,
               chain.specsById.getOrElse(m.specId, chain.partFields)))
           val attachTypes = attach.map(n => n -> srcType(n))
+          // over-cap partition prune (readExternalPruned): applied to
+          // each walked entry's RAW manifest values — the same inputs
+          // the driver-side prune sees. Pruned files never enter the
+          // map, so the inner join drops their rows. ROW-correct, not
+          // I/O-pruned: the location scan still reads unpruned bytes
+          // (only the explicit-path plan under the cap opens just the
+          // kept files) — raise the cap when scan I/O matters more
+          // than driver memory. Capture ONLY the function: the Chain
+          // (json + Avro records) must never enter the closure.
+          val pruneF = chain.prune
           val rows = spark.sparkContext
             .parallelize(walkSpecs, walkSpecs.length)
             .flatMap { case (mp, isDel, mSeq, pf) =>
-              walkManifest(scm.value, mp, isDel, mSeq, pf)._1.map { f =>
-                org.apache.spark.sql.Row.fromSeq(
-                  (normUri(f.uri) +: attachTypes.map { case (n, t) =>
-                    f.partValues.get(n).map(v => renderVal(v, t)).orNull
-                  }) :+ f.seq)
-              }
+              walkManifest(scm.value, mp, isDel, mSeq, pf)._1.iterator
+                .filter(f => pruneF.forall(_(f.partValues)))
+                .map { f =>
+                  org.apache.spark.sql.Row.fromSeq(
+                    (normUri(f.uri) +: attachTypes.map { case (n, t) =>
+                      f.partValues.get(n).map(v => renderVal(v, t)).orNull
+                    }) :+ f.seq)
+                }.toSeq
             }
           spark.createDataFrame(rows, mapSchema)
         }

@@ -609,13 +609,20 @@ class IcebergExportSpec extends SparkSpec {
       // scan is the table location restricted by the attach inner join
       assert(rows(IcebergExport.readTable(spark, root)) == explicit,
         "over-cap chain read must equal the explicit-path read row-for-row")
-      // the file-list-dependent pruned read refuses loudly, never
-      // silently prunes nothing
+      // the pruned read ships its predicate INTO the distributed walk
+      // (no driver file list to filter) and agrees with the explicit
+      // driver-side prune
       val loc = graft.sources.IcebergFixture.externalDayPartitionedTable(spark, sf)
-      val msg = intercept[IllegalArgumentException] {
-        IcebergExport.readExternalPruned(spark, loc, _ => true)
-      }.getMessage
-      assert(msg.contains("explicitFileCap"), s"unexpected refusal: $msg")
+      val day1 = java.time.LocalDate.parse("2024-01-12").toEpochDay.toInt
+      def prunedCount() = IcebergExport.readExternalPruned(spark, loc,
+        keep = pv => pv.get("ts_day").forall(_ == day1)).count()
+      val overCapPruned = prunedCount()
+      spark.conf.unset("graft.chain.explicitFileCap")
+      assert(prunedCount() == overCapPruned,
+        "distributed over-cap prune must equal the driver-side prune")
+      spark.conf.set("graft.chain.explicitFileCap", "0")
+      // prune-everything at over-cap reads as an empty typed frame
+      assert(IcebergExport.readExternalPruned(spark, loc, _ => false).count() == 0)
     } finally spark.conf.unset("graft.chain.explicitFileCap")
   }
 
