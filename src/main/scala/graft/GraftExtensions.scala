@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // the lake-evolution dialect (ALTER LAKE ... RENAME/ALTER/DROP
+    // COLUMN) — everything else falls through to Spark's parser
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     VectorFunctions.builders.foreach { case (name, build) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage.getOrElse(name, name), ""),

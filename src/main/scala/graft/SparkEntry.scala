@@ -98,6 +98,7 @@ object SparkEntry {
     "lake_cdc_apply"      -> (LakeAnalytics.cdcApplySeverity _),
     "lake_evolve"         -> (LakeAnalytics.evolveSeverity _),
     "lake_evolve_stats"   -> (LakeAnalytics.evolveStatsSeverity _),
+    "lake_evolve_layout"  -> (LakeAnalytics.evolveLayoutSeverity _),
     "lake_travel_schema"  -> (LakeAnalytics.travelSchemaSeverity _),
     "lake_spec_evolve"    -> (LakeAnalytics.specEvolveSeverity _),
     "lake_retention"      -> (LakeAnalytics.retentionSeverity _),
@@ -1172,6 +1173,21 @@ object SparkEntry {
         |    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
         |    AND ts < TIMESTAMP '2024-01-25 00:00:00'
         |  GROUP BY 1
+        |) ORDER BY service, severity_text""".stripMargin,
+    // LAYOUT-COLUMN EVOLUTION: the partitioned lake's DIRECTORY KEY
+    // (service_name= dirs) renamed to `service` mid-life — a
+    // metadata-only layout alias; the equality filter binds the NEW
+    // name and still partition-prunes (plan-asserted in the spec);
+    // post-rename 'relaid' twins (svc-0/1, filter keeps svc-0) land
+    // under the physical key and fold in
+    "lake_evolve_layout" ->
+      """SELECT service, severity_text, n FROM (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service,
+        |    event_type AS severity_text, count(*) AS n
+        |  FROM events WHERE user_id % 10 IN (0, 3) GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'svc-0', 'relaid', count(*)
+        |  FROM events WHERE user_id % 10 = 0
         |) ORDER BY service, severity_text""".stripMargin,
     // SNAPSHOT-SCHEMA TIME TRAVEL: 'pre' anchors before the body-drop
     // and still counts the dropped column's values; 'cur' reads the

@@ -875,6 +875,51 @@ object LakeAnalytics {
       .orderBy(col("service"), col("severity_text"))
   }
 
+  private val evolveLayoutBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A PARTITIONED lake in the reference's directory shape
+    * (`service_name/year/month/day` dirs — README's layout at day
+    * granularity) whose DIRECTORY-KEY column was renamed mid-life:
+    * `service_name` → `service` ([[graft.sources.LakeEvolve]] layout
+    * alias — metadata-only; the tree keeps its `service_name=` keys
+    * forever, exactly like data files keep their physical column
+    * names). A post-rename batch (svc-0/1 'relaid' twins, still
+    * landing under the PHYSICAL key) syncs normally, proving forward
+    * writes and stat registration survive the rename.
+    */
+  private[graft] def evolveLayoutRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(evolveLayoutBuilt, dir, "graft_lakeevlayout", spark) { root =>
+      val base = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+        .select(col("timestamp"), col("service_name"), col("severity_text"),
+          col("span_id"), col("body"))
+      LogWriter.write(base, root, layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.LakeEvolve.renameColumn(spark, root, "service_name", "service")
+      val twins = base.filter(col("service_name").isin("svc-0", "svc-1"))
+        .select(col("timestamp"), col("service_name"),
+          lit("relaid").as("severity_text"),
+          concat(lit("ev2-"), col("span_id")).as("span_id"), col("body"))
+      LogWriter.write(twins, root, layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+    }
+
+  /** `lake_evolve_layout`: severity counts for two services selected
+    * BY THE RENAMED LAYOUT COLUMN (`service`, physically still the
+    * `service_name=` directory key) — the hash certifies the layout
+    * alias end to end: dir-key resolution through the schema log, the
+    * alias fold, post-rename syncs, and the equality filter that the
+    * optimizer pushes through the alias into PartitionFilters (the
+    * pruning itself is asserted plan-level in LakeEvolveSpec).
+    */
+  def evolveLayoutSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = evolveLayoutRoot(spark, dir)
+    LogSync.table(spark, root)
+      .filter(col("service").isin("svc-0", "svc-3"))
+      .groupBy(col("service"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service"), col("severity_text"))
+  }
+
   private val travelSchemaBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake whose `body` column was DROPPED mid-life (metadata-only,
@@ -911,9 +956,13 @@ object LakeAnalytics {
     */
   def travelSchemaSeverity(spark: SparkSession, dir: String): DataFrame = {
     val root = travelSchemaRoot(spark, dir)
+    // anchor at the DROP entry specifically — the fixture's sync may
+    // legitimately record add entries around it, and `entries.head`
+    // would silently move the anchor (and the certified hash) if one
+    // ever preceded the drop
     val dropAt = graft.sources.LakeEvolve.state(spark, root)
-      .map(_.entries.head.at)
-      .getOrElse(sys.error("travel fixture lost its schema log"))
+      .flatMap(_.entries.find(_.op == "drop").map(_.at))
+      .getOrElse(sys.error("travel fixture lost its schema log's drop entry"))
     val mark = new java.sql.Timestamp(dropAt - 1)
     val pre = LogSync.tableAsOf(spark, root, mark)
       .groupBy(col("service_name"), col("severity_text"))

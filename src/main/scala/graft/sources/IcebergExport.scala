@@ -682,6 +682,17 @@ object IcebergExport {
     * drops snapshot history and restarts the schema list at id 0.
     */
   def export(spark: SparkSession, root: String): String = {
+    // HONEST GAP: a LAYOUT-RENAMED lake exports a partition spec whose
+    // field names and source-field bindings would have to restate the
+    // rename by id across every carried manifest — not built yet.
+    // Refuse loudly (the native read path serves the lake fully); to
+    // export, re-layout physically first (LogCompact.compact after
+    // vacuum) or export before renaming layout columns.
+    require(LakeEvolve.state(spark, root).forall(_.layoutOf.isEmpty),
+      s"cannot export $root: its schema log renames a partition-LAYOUT " +
+        "column (a layout alias) — the Iceberg export cannot restate the " +
+        "partition spec's bindings yet; read natively via LogSync.table, " +
+        "or materialize the layout physically before exporting")
     val metaDir = new Path(s"$root/_iceberg/metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(metaDir)

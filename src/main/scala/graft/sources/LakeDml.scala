@@ -89,7 +89,8 @@ object LakeDml {
       case None => withMeta
     }
     val kept = posReady
-      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+      .join(LogSync.sizedKeepSet(spark, paths),
+        col("__src") === col("__registered_path"), "left_semi")
     // rows already MOR-deleted (position OR equality) must be
     // invisible to DML decisions: a CoW rewrite that scanned them
     // would RESURRECT them in the complement, and a MOR delete would
@@ -174,8 +175,13 @@ object LakeDml {
     def appendStaged(df: DataFrame): Seq[String] = {
       val staging = new Path(s"$root/_dml_stage_" +
         java.util.UUID.randomUUID().toString.take(8))
-      df.write.mode(SaveMode.Overwrite)
-        .partitionBy(layout.filter(df.columns.contains): _*)
+      // layout-renamed columns write back under their physical
+      // directory keys (`layout` is the dir-key list; the frame
+      // carries current logical names) — the tree never changes shape
+      val phys = graft.sources.LakeEvolve.toPhysicalLayout(df,
+        graft.sources.LakeEvolve.state(spark, root))
+      phys.write.mode(SaveMode.Overwrite)
+        .partitionBy(layout.filter(phys.columns.contains): _*)
         .parquet(staging.toString)
       val it = fs.listFiles(staging, true)
       val moves = Seq.newBuilder[(Path, Path)]
@@ -958,13 +964,13 @@ object LakeDml {
     * columns). When `useIndex` is set and a [[LakeIndex]] sidecar
     * exists on `keys.head`, the affected-file search probes the bloom
     * sidecar instead of scanning the lake — under the house guards:
-    * the batch's distinct key-hash count is bounded by
-    * [[indexProbeMaxKeys]] BEFORE the hashes cross the driver, and
-    * the bloom-positive file count by [[indexProbePathCap]] BEFORE
-    * the path list does (a key-dense batch or a false-positive storm
-    * makes it manifest-cardinality); past either cap the search falls
-    * back to the full scan path (= `useIndex = false`), which is
-    * always correct — the index only ever prunes.
+    * the batch's distinct key hashes cross the driver LIMIT-bounded
+    * by [[indexProbeMaxKeys]] (+1 to detect overflow, one job — no
+    * separate count), and the bloom-positive path list likewise by
+    * [[indexProbePathCap]] (a key-dense batch or a false-positive
+    * storm makes it manifest-cardinality); past either cap the search
+    * falls back to the full scan path (= `useIndex = false`), which
+    * is always correct — the index only ever prunes.
     */
   private def requireBounded(nFiles: Long, bound: Int, op: String): Unit =
     if (nFiles > bound) throw new IllegalStateException(
@@ -984,33 +990,36 @@ object LakeDml {
     val ups = updates.select(dataCols.map(col): _*).cache()
     try {
       val keyRel = keyRelSized(ups.select(keys.map(col): _*).distinct())
-      // both driver crossings of the index probe are COUNT-GUARDED
-      // BEFORE the collect (the convertCandidateRel discipline):
-      // key-hash cardinality first, bloom-positive path cardinality
-      // second; either over cap → the scan path, never a truncation
+      // both driver crossings of the index probe are LIMIT-GUARDED:
+      // each collects at most cap+1 rows in ONE job (not the
+      // count-then-collect double job — the probe must stay cheaper
+      // than the scan it prunes), so the driver never receives more
+      // than the guard allows; a full cap+1 batch means over-cap →
+      // the scan path, never a truncation
+      def overCap(cap: Long): Int = math.min(cap + 1, Int.MaxValue.toLong).toInt
       val candidates = if (useIndex) {
         val ic = keys.head
         graft.functions.VectorFunctions.register(spark)
-        val keyHashRel = ups.select(xxhash64(col(ic)).as("h")).distinct()
-        if (keyHashRel.count() > indexProbeMaxKeys(spark))
+        val maxKeys = indexProbeMaxKeys(spark)
+        val hashes = ups.select(xxhash64(col(ic)).as("h")).distinct()
+          .limit(overCap(maxKeys)).as[Long].collect()
+        if (hashes.length > maxKeys)
           Some(tableWithSrc(spark, root))
         else {
-          val hashes = keyHashRel.as[Long].collect()
-          val candRel = LogSync.activeManifest(spark, root)
+          val pathCap = indexProbePathCap(spark)
+          val paths = LogSync.activeManifest(spark, root)
             .join(spark.read.parquet(s"$root/_index/$ic"), Seq("path"), "left")
             .filter(col("bloom").isNull ||
               call_function("graft_bloom_any", col("bloom"), typedLit(hashes.toSeq)))
             .select("path")
-          if (candRel.count() > indexProbePathCap(spark))
+            .limit(overCap(pathCap)).as[String].collect()
+          if (paths.length > pathCap)
             Some(tableWithSrc(spark, root))
-          else {
-            val paths = candRel.as[String].collect()
-            if (paths.isEmpty) None
-            else Some(LogSync.applyDeletes(spark,
-              spark.read.option("basePath", root).parquet(paths.toSeq: _*)
-                .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
-              root, LogSync.deleteEntries(spark, root)))
-          }
+          else if (paths.isEmpty) None
+          else Some(LogSync.applyDeletes(spark,
+            spark.read.option("basePath", root).parquet(paths.toSeq: _*)
+              .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
+            root, LogSync.deleteEntries(spark, root)))
         }
       } else Some(tableWithSrc(spark, root))
       val (files, nFiles, matched) = candidates match {

@@ -87,7 +87,12 @@ object LakeEvolve {
     * renames `from`/`to` are the names; for promotes
     * `from == to == name` and only the type changed; for adds (sync-
     * recorded new columns) `from == to == name` and `id` is -1 — the
-    * export assigns the real id when it first sees the column.
+    * export assigns the real id when it first sees the column. A
+    * `layout` entry is a rename of a PARTITION-LAYOUT column: the
+    * directory tree keeps the physical key forever (like data files
+    * keep their physical column names); reads resolve it as a plain
+    * column alias so partition pruning survives (`id` is -1 — layout
+    * ids live in the export's partition-field namespace).
     */
   final case class Evo(op: String, id: Int, from: String, to: String,
                        at: Long = 0L)
@@ -113,9 +118,20 @@ object LakeEvolve {
                             // schema0/per-entry schemas): adds were
                             // never recorded, so reads preserve the
                             // old newest-footer union (legacyUnion)
-                            legacy: Boolean = false) {
+                            legacy: Boolean = false,
+                            // LAYOUT-RENAMED columns: current logical
+                            // name → its prior names, newest first —
+                            // the LAST element is the physical
+                            // directory key the tree is built on
+                            layoutOf: Map[String, Seq[String]] = Map.empty) {
     def currentName(n: String): String = finalOf.getOrElse(n, n)
-    def supersededNames: Set[String] = aliasesOf.values.flatten.toSet ++ dropped
+    def supersededNames: Set[String] =
+      aliasesOf.values.flatten.toSet ++ dropped ++ layoutOf.values.flatten
+    /** Physical directory key of a (possibly layout-renamed) current
+      * name — identity for everything else.
+      */
+    def dirKeyOf(n: String): String =
+      layoutOf.get(n).flatMap(_.lastOption).getOrElse(n)
   }
 
   private val SchemaLogVersionRe = "_schema_log_v([0-9]+)".r
@@ -162,6 +178,8 @@ object LakeEvolve {
         case Array("rename", id, from, to) => pend(Evo("rename", id.toInt, from, to))
         case Array("rename", id, from, to, at) =>
           pend(Evo("rename", id.toInt, from, to, at.toLong))
+        case Array("layout", id, from, to, at) =>
+          pend(Evo("layout", id.toInt, from, to, at.toLong))
         case Array("promote", id, name, _, _) =>
           pend(Evo("promote", id.toInt, name, name))
         case Array("promote", id, name, _, _, at) =>
@@ -186,6 +204,7 @@ object LakeEvolve {
 
   private def renderEntry(e: Evo): String = e.op match {
     case "rename" => s"rename\t${e.id}\t${e.from}\t${e.to}\t${e.at}"
+    case "layout" => s"layout\t${e.id}\t${e.from}\t${e.to}\t${e.at}"
     // promote entries re-render without the original types (the stored
     // schema carries the final type; the entry only marks that the
     // column's physical types vary across files)
@@ -201,21 +220,31 @@ object LakeEvolve {
       Seq(renderEntry(e), s"schema\t${s.toDDL}")
     }).mkString("\n")
 
-  /** alias chains / final-name map / retired names from an entry
-    * sequence: renames fold into chains; promotes don't alias (same
-    * physical name, narrower physical type — widening handles it);
-    * drops retire the name AND its whole alias chain; adds are pure
-    * schema growth.
+  /** alias chains / final-name map / retired names / layout chains
+    * from an entry sequence: renames fold into chains; promotes don't
+    * alias (same physical name, narrower physical type — widening
+    * handles it); drops retire the name AND its whole alias chain;
+    * adds are pure schema growth; LAYOUT renames fold into their own
+    * chains (the read side treats them as a plain column alias of the
+    * directory key, never a per-file coalesce — that would kill
+    * partition pruning) while still participating in `finals`.
     */
   private def resolveNames(entries: Seq[Evo]):
-      (Map[String, Seq[String]], Map[String, String], Set[String]) = {
+      (Map[String, Seq[String]], Map[String, String], Set[String],
+        Map[String, Seq[String]]) = {
     var aliases = Map.empty[String, Seq[String]]
     var finals = Map.empty[String, String]
     var dropped = Set.empty[String]
+    var layouts = Map.empty[String, Seq[String]]
     entries.foreach {
       case Evo("rename", _, from, to, _) =>
         val chain = from +: aliases.getOrElse(from, Seq.empty)
         aliases = (aliases - from) + (to -> chain)
+        finals = finals.map { case (k, v) => k -> (if (v == from) to else v) } +
+          (from -> to)
+      case Evo("layout", _, from, to, _) =>
+        val chain = from +: layouts.getOrElse(from, Seq.empty)
+        layouts = (layouts - from) + (to -> chain)
         finals = finals.map { case (k, v) => k -> (if (v == from) to else v) } +
           (from -> to)
       case Evo("drop", _, name, _, _) =>
@@ -224,7 +253,7 @@ object LakeEvolve {
         finals = finals.filterNot(_._2 == name)
       case _ => ()
     }
-    (aliases, finals, dropped)
+    (aliases, finals, dropped, layouts)
   }
 
   // one parse per (root, log version) — a version's content is
@@ -253,9 +282,9 @@ object LakeEvolve {
       // final schema (current-schema behavior, the old contract)
       val hist = hist0.map { case (e, s) => e -> s.getOrElse(stored) }
       val baseline = baseline0.getOrElse(stored)
-      val (aliases, finals, dropped) = resolveNames(hist.map(_._1))
+      val (aliases, finals, dropped, layouts) = resolveNames(hist.map(_._1))
       EvoState(v, hist.map(_._1), stored, aliases, finals, dropped,
-        baseline, hist, legacy = baseline0.isEmpty)
+        baseline, hist, legacy = baseline0.isEmpty, layoutOf = layouts)
     }))
   }
 
@@ -279,11 +308,11 @@ object LakeEvolve {
           val hist = full.history.takeWhile(_._1.at <= ts.getTime)
           if (hist.length == full.history.length) full
           else {
-            val (aliases, finals, dropped) = resolveNames(hist.map(_._1))
+            val (aliases, finals, dropped, layouts) = resolveNames(hist.map(_._1))
             full.copy(entries = hist.map(_._1),
               stored = hist.lastOption.map(_._2).getOrElse(full.baseline),
               aliasesOf = aliases, finalOf = finals, dropped = dropped,
-              history = hist)
+              history = hist, layoutOf = layouts)
           }
       }
     }
@@ -313,15 +342,43 @@ object LakeEvolve {
     // crashed writer's stale claim blocks later evolutions LOUDLY
     // (message says what to check), never silently.
     val claim = new Path(s"$root/_schema_log_claim_v${baseVersion + 1}")
-    val claimed =
-      try { fs.create(claim, false).close(); true }
+    // the claim carries a WRITER-UNIQUE token, re-read after create:
+    // on FSes whose no-overwrite create is really exists-then-create
+    // (RawLocalFileSystem, plain S3A) two racers can both "succeed" —
+    // the surviving content says who actually holds the claim, so at
+    // most one writer proceeds past here
+    val token = java.util.UUID.randomUUID().toString
+    def tryClaim(): Boolean =
+      try {
+        val o = fs.create(claim, false)
+        try o.write(token.getBytes("UTF-8")) finally o.close()
+        val in = fs.open(claim)
+        val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        got == token
+      }
       catch { case _: java.io.IOException => false }
+    // CRASHED-WRITER JANITOR (vacuum's grace pattern): a claim older
+    // than the grace whose TARGET never landed is crash residue — its
+    // writer would have either committed (target exists → genuine
+    // conflict) or released. Reclaim it once; a FRESH claim still
+    // fails loudly (the loud-loser contract).
+    val claimed = tryClaim() || {
+      val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
+        .map(_.toLong).getOrElse(15L * 60 * 1000)
+      val stale =
+        try fs.exists(claim) && !fs.exists(target) &&
+          fs.getFileStatus(claim).getModificationTime <
+            System.currentTimeMillis() - graceMs
+        catch { case _: java.io.IOException => false }
+      stale && { fs.delete(claim, false); tryClaim() }
+    }
     if (!claimed) {
       fs.delete(tmp, false)
       sys.error(s"schema-log swap conflict under $root: version " +
         s"${baseVersion + 1} is claimed — another writer won; re-plan (a " +
-        s"CRASHED writer leaves $claim behind: verify ${target.getName} " +
-        "is absent, remove the claim, retry)")
+        s"CRASHED writer leaves $claim behind: it is auto-reclaimed after " +
+        "graft.lake.claimGraceMs of inactivity, or verify " +
+        s"${target.getName} is absent, remove the claim, retry)")
     }
     try {
       // base-version verification INSIDE the claim: a writer stalled
@@ -391,22 +448,44 @@ object LakeEvolve {
     state(spark, root).foreach { st =>
       // one distributed footer-merge job over THIS ROUND's files. A
       // mixed narrow/wide round (a lagging writer still emitting the
-      // pre-promotion type) fails Spark's merge — fall back to a
-      // per-file footer walk, bounded by the round's arrivals (already
-      // a driver-resident list), taking the first type seen per name.
-      // The fallback does NOT swallow per-file errors: a transient FS
-      // failure must propagate and leave the round's files
-      // UNREGISTERED (the caller appends the manifest after this), so
-      // the rerun retries — swallowing it would register the files
-      // with their new column silently lost forever.
-      val merged: Seq[StructField] = scala.util.Try(
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
-          .schema.fields.toSeq)
-        .getOrElse(paths
-          .flatMap(p => spark.read.parquet(p).schema.fields.toSeq)
-          .foldLeft(Seq.empty[StructField]) { (acc, f) =>
-            if (acc.exists(_.name == f.name)) acc else acc :+ f
-          })
+      // pre-promotion type) fails Spark's merge — ONLY that failure
+      // falls back to a per-file footer walk, bounded by the round's
+      // arrivals (already a driver-resident list), recording each name
+      // at the WIDEST spec-legal type seen (first-seen would persist
+      // `int` for a column whose other files carry `long`, and every
+      // later evolved read of those files would fail the parquet
+      // conversion) and refusing loudly on a non-widening conflict.
+      // Any OTHER error (transient FS failure, corrupt footer)
+      // propagates and leaves the round's files UNREGISTERED (the
+      // caller appends the manifest after this), so the rerun retries
+      // — swallowing it would register the files with their new
+      // column silently lost forever.
+      def isMergeConflict(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => String.valueOf(t.getMessage).toLowerCase
+            .matches("(?s).*failed.*merg.*"))
+      val merged: Seq[StructField] =
+        try spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          .schema.fields.toSeq
+        catch {
+          case e: Throwable if isMergeConflict(e) =>
+            paths.flatMap(p => spark.read.parquet(p).schema.fields.toSeq)
+              .foldLeft(Seq.empty[StructField]) { (acc, f) =>
+                acc.indexWhere(_.name == f.name) match {
+                  case -1 => acc :+ f
+                  case i =>
+                    val prev = acc(i)
+                    if (isWidening(prev.dataType, f.dataType)) acc.updated(i, f)
+                    else if (prev.dataType == f.dataType ||
+                      isWidening(f.dataType, prev.dataType)) acc
+                    else sys.error(s"sync round under $root adds column " +
+                      s"'${f.name}' at incompatible types " +
+                      s"${prev.dataType.catalogString} vs ${f.dataType.catalogString}" +
+                      " — fix the writers to agree (or to differ only by a " +
+                      "legal widening: int->bigint, float->double) and re-sync")
+                }
+              }
+        }
       val known = st.stored.fieldNames.toSet ++ st.supersededNames
       val extra = merged.filterNot(f => known.contains(f.name))
       if (extra.nonEmpty) {
@@ -474,15 +553,78 @@ object LakeEvolve {
     * footer probe, no job); legacy pre-v2 logs pay the old
     * newest-footer probe until their next ALTER upgrades them.
     */
+  /** The widest physical type the as-of name `n` (typed `t0` at the
+    * anchor) ever appears at on disk: walk the entries AFTER the
+    * anchor's prefix, following renames, taking each later promote's
+    * post-entry type. Post-drop files never carry the name, so a drop
+    * ends the walk with whatever width it reached.
+    */
+  private def widestAfter(full: EvoState, prefixLen: Int,
+                          n: String, t0: DataType): DataType = {
+    var cur = n
+    var t = t0
+    full.history.drop(prefixLen).foreach { case (e, after) =>
+      e.op match {
+        case "rename" if e.from == cur => cur = e.to
+        case "promote" if e.from == cur =>
+          t = after.find(_.name == cur).map(_.dataType).getOrElse(t)
+        case _ => ()
+      }
+    }
+    t
+  }
+
+  /** True when `wide` is a spec-legal widening of `narrow` (the only
+    * promotions [[promoteColumn]] admits) — the pair where an up-cast
+    * read and a post-filter down-cast are both value-preserving.
+    */
+  private[graft] def isWidening(narrow: DataType, wide: DataType): Boolean =
+    (narrow, wide) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
   private[graft] def requestSchema(spark: SparkSession, root: String,
                                    st: EvoState): StructType = {
     val logical = logicalOf(spark, root, st)
+    // An AS-OF state (prefix cut) may hold a column at its
+    // pre-promotion NARROW type while files written after the
+    // promotion physically carry the wide one; requesting the narrow
+    // type over the whole-root scan makes the parquet reader throw a
+    // conversion error at scan time even though the keep-set filter
+    // would drop those files' rows. The request therefore carries
+    // every field at the WIDEST type its name-chain ever reaches —
+    // the up-cast read of a narrow file is always legal — and
+    // [[project]] casts the kept rows back to the anchor's type
+    // (value-preserving: every kept row predates the promotion).
+    val full = state(spark, root)
+    val prefixLen = st.history.length
+    def finalType(n: String, t: DataType): DataType = full match {
+      case Some(f) if !f.legacy && f.history.length > prefixLen =>
+        widestAfter(f, prefixLen, n, t)
+      case _ => t
+    }
+    val widened = StructType(logical.fields.map(f =>
+      f.copy(dataType = finalType(f.name, f.dataType))))
+    // LAYOUT-renamed columns scan under their physical DIRECTORY key
+    // (partition discovery binds the dir name; [[project]] renames it
+    // — a plain alias the optimizer pushes filters through, so a
+    // predicate on the current name still reaches PartitionFilters; a
+    // coalesce fold here would kill partition pruning). They never
+    // promote, so the widening above was a no-op for them.
+    val withDirKeys = StructType(widened.fields.map { f =>
+      st.layoutOf.get(f.name) match {
+        case Some(chain) => StructField(chain.last, f.dataType, f.nullable)
+        case None => f
+      }
+    })
     val aliasFields = st.aliasesOf.toSeq.sortBy(_._1).flatMap { case (fin, olds) =>
-      val t = logical.find(_.name == fin).map(_.dataType)
+      val t = widened.find(_.name == fin).map(_.dataType)
         .getOrElse(sys.error(s"renamed column '$fin' missing from logical schema"))
       olds.map(o => StructField(o, t, nullable = true))
     }
-    StructType(logical.fields ++ aliasFields)
+    StructType(withDirKeys.fields ++ aliasFields)
   }
 
   /** Fold each renamed column's alias chain into its final name and
@@ -492,13 +634,55 @@ object LakeEvolve {
     * them).
     */
   private[graft] def project(df: DataFrame, st: EvoState): DataFrame = {
-    st.aliasesOf.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (fin, olds)) =>
-      val present = olds.filter(acc.columns.contains)
-      if (present.isEmpty || !acc.columns.contains(fin)) acc
-      else acc.withColumn(fin, coalesce((fin +: present).map(col): _*))
-        .drop(present: _*)
+    // layout fold FIRST: a plain rename of the directory key to the
+    // current logical name (every row carries the dir value — no
+    // per-file coalesce — and filters on the new name push through
+    // the alias into PartitionFilters)
+    val laid = st.layoutOf.toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (fin, chain)) =>
+        val dirKey = chain.last
+        if (acc.columns.contains(dirKey) && !acc.columns.contains(fin))
+          acc.withColumnRenamed(dirKey, fin)
+        else acc
+    }
+    val folded = st.aliasesOf.toSeq.sortBy(_._1).foldLeft(laid) {
+      case (acc, (fin, olds)) =>
+        val present = olds.filter(acc.columns.contains)
+        if (present.isEmpty || !acc.columns.contains(fin)) acc
+        else acc.withColumn(fin, coalesce((fin +: present).map(col): _*))
+          .drop(present: _*)
+    }
+    // inverse of [[requestSchema]]'s widening: an as-of read scanned
+    // promoted columns at their FINAL wide type (the only legal
+    // request over a root holding post-promotion files); the keep-set
+    // already dropped those files, so every surviving value fits the
+    // anchor's narrow type and the down-cast is exact. Only the
+    // spec-legal widening pairs cast — any other mismatch is not ours
+    // to touch. Legacy states have no per-entry schemas (stored IS
+    // final), so the fold above was already the whole job.
+    if (st.legacy) folded
+    else st.stored.fields.foldLeft(folded) { (acc, f) =>
+      val cur = acc.schema.fields.find(_.name == f.name)
+      if (cur.exists(c => isWidening(f.dataType, c.dataType)))
+        acc.withColumn(f.name, col(f.name).cast(f.dataType))
+      else acc
     }
   }
+
+  /** Rename a frame's LAYOUT-RENAMED columns back to their physical
+    * directory keys before a partitioned write: the directory tree
+    * never rewrites under a layout rename, so rewriters (DML commits,
+    * compaction) keep emitting the physical `key=value` dirs — the
+    * inverse of [[project]]'s layout fold.
+    */
+  private[sources] def toPhysicalLayout(df: DataFrame,
+                                        st: Option[EvoState]): DataFrame =
+    st.map(_.layoutOf).getOrElse(Map.empty).foldLeft(df) {
+      case (acc, (fin, chain)) =>
+        if (acc.columns.contains(fin) && !acc.columns.contains(chain.last))
+          acc.withColumnRenamed(fin, chain.last)
+        else acc
+    }
 
   /** Names a lake read must materialize from `_metadata` BEFORE
     * [[project]] runs (a projection ends `_metadata` resolution).
@@ -527,14 +711,19 @@ object LakeEvolve {
     * what a stats probe coalesces over, since a sync round can mix
     * files written before and after a rename.
     */
+  // every name the axis has had, newest first — footer-alias chains
+  // AND layout chains (a layout-renamed axis keeps its physical name
+  // in the directory key, which is where new files' stat probes see it)
   private[graft] def timeAxisNamesOf(st: Option[EvoState]): Seq[String] = {
     val cur = timeAxisOf(st)
-    cur +: st.toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
+    cur +: st.toSeq.flatMap(s => s.aliasesOf.getOrElse(cur, Seq.empty) ++
+      s.layoutOf.getOrElse(cur, Seq.empty))
   }
 
   private[graft] def svcAxisNamesOf(st: Option[EvoState]): Seq[String] = {
     val cur = svcAxisOf(st)
-    cur +: st.toSeq.flatMap(_.aliasesOf.getOrElse(cur, Seq.empty))
+    cur +: st.toSeq.flatMap(s => s.aliasesOf.getOrElse(cur, Seq.empty) ++
+      s.layoutOf.getOrElse(cur, Seq.empty))
   }
 
   /** Current name of the manifest's TIME stat axis (the field
@@ -554,13 +743,23 @@ object LakeEvolve {
 
   private def commonGuards(spark: SparkSession, root: String,
                            name: String, st: Option[EvoState],
-                           forDrop: Boolean = false): Unit = {
+                           forDrop: Boolean = false,
+                           forRename: Boolean = false): Unit = {
     require(LogSync.hasManifest(spark, root),
       s"no manifest under $root — run sync first")
-    val layout = LogCompact.inferLayout(spark, root)
-    require(!layout.contains(name),
-      s"cannot evolve partition-layout column '$name': the directory " +
-        "structure binds it by name; re-layout is a separate operation")
+    // RENAME of a layout column is supported (renameColumn routes it
+    // through a layout-alias entry; the directory tree never
+    // rewrites); promote and drop remain refused — the directory
+    // parsing binds the key's type, and a dropped dir key has no
+    // spec-correct read shape short of a physical re-layout
+    if (!forRename) {
+      val layout = LogCompact.inferLayout(spark, root)
+      require(!layout.contains(name) && !st.exists(_.layoutOf.contains(name)),
+        s"cannot promote/drop partition-layout column '$name': the " +
+          "directory structure binds it; rename IS supported " +
+          "(metadata-only layout alias); re-layout physically via " +
+          "LogCompact.compact for anything else")
+    }
     // stat axes RENAME freely (the manifest's recorded min/max are the
     // FIELD's values — a rename moves the name, not the binding, and
     // every axis consumer resolves through timeAxis/svcAxis) but must
@@ -587,7 +786,7 @@ object LakeEvolve {
   def renameColumn(spark: SparkSession, root: String,
                    from: String, to: String): Unit = {
     val st = state(spark, root)
-    commonGuards(spark, root, from, st)
+    commonGuards(spark, root, from, st, forRename = true)
     val logical = currentLogical(spark, root, st)
     require(logical.fieldNames.contains(from), s"no column '$from' to rename")
     require(!logical.fieldNames.contains(to),
@@ -596,6 +795,22 @@ object LakeEvolve {
         !s.aliasesOf.contains(to)),
       s"rename target '$to' is a retired name — reserved forever (old " +
         "files still carry it physically)")
+    // a rename of a PARTITION-LAYOUT column (the directory key, or a
+    // prior layout-rename's current name) commits a `layout` entry:
+    // metadata-only like any rename, but the read side resolves it as
+    // a plain alias of the dir key — never a per-file coalesce, so
+    // partition pruning survives. No field-id pinning: layout ids
+    // live in the export's partition-field namespace, and the export
+    // refuses layout-renamed lakes until it can restate the spec.
+    val isLayout = LogCompact.inferLayout(spark, root).contains(from) ||
+      st.exists(_.layoutOf.contains(from))
+    if (isLayout) {
+      val newStored = StructType(logical.fields.map(f =>
+        if (f.name == from) StructField(to, f.dataType, f.nullable) else f))
+      appendEntry(spark, root, st, logical,
+        Evo("layout", -1, from, to, nextAt(st)), newStored)
+      return
+    }
     // the id is pinned BEFORE the log entry lands: the sidecar refresh
     // below reads the pre-rename state
     val fid = IcebergExport.exportFieldIds(spark, root)
@@ -676,6 +891,14 @@ object LakeEvolve {
     commonGuards(spark, root, name, st, forDrop = true)
     val logical = currentLogical(spark, root, st)
     require(logical.fieldNames.contains(name), s"no column '$name' to drop")
+    // a maintained ROLLUP aggregating by this column would not fail
+    // here — it would fail at its NEXT refresh/read, long after the
+    // drop committed. Refuse now, with the way out (renames are fine:
+    // refresh auto-migrates them).
+    require(!Rollup.dimensionBound(spark, root, name),
+      s"cannot drop '$name': the maintained rollup under $root/_rollup " +
+        "aggregates by it — delete the rollup dir (and rebuild without " +
+        "the dimension) first; renames auto-migrate, drops do not")
     // every registry row, tombstones included: historic reads apply
     // them until vacuum purges, and they bind key columns by name
     if (LogSync.hasDeleteManifest(spark, root)) {

@@ -131,8 +131,12 @@ object LogCompact {
 
     // one job: read old registered files, write consolidated ones. The
     // scan's file list is snapshotted at planning, so the appended
-    // output files are not re-read.
-    val t = LogSync.table(spark, root)
+    // output files are not re-read. LAYOUT-RENAMED columns rewrite
+    // under their physical directory keys (the rename is a read-side
+    // alias; the tree never changes shape), so the partition-column
+    // matching below sees the dir-key names.
+    val t = LakeEvolve.toPhysicalLayout(LogSync.table(spark, root),
+      LakeEvolve.state(spark, root))
     // the adversarial window: the scan above resolved its delete set
     // eagerly, so a commit injected HERE is invisible to the rewrite
     // — exactly the interleaving the reservation protects

@@ -544,6 +544,20 @@ object LogSync {
     spark.conf.getOption("graft.lake.seqBroadcastRowCap")
       .map(_.toLong).getOrElse(1000000L)
 
+  /** The keep-set build side of the registered-path semi-join,
+    * size-guarded like every other manifest-cardinality relation: one
+    * row per kept file, so it grows with the lake — at ~10⁶ files an
+    * unconditional broadcast pins ~100+ MB of path strings on every
+    * executor for EVERY read (this is the primary read path — all of
+    * `table`/`tableAsOf`/`tableBetween`/`tableFor` flow through it).
+    * Under [[seqBroadcastRowCap]] the semi-join broadcasts; past it
+    * no hint — the join shuffles (AQE still free to broadcast a build
+    * side that turns out small). The count is one control-plane job
+    * over the manifest filter.
+    */
+  private[sources] def sizedKeepSet(spark: SparkSession, paths: DataFrame): DataFrame =
+    if (paths.count() <= seqBroadcastRowCap(spark)) broadcast(paths) else paths
+
   /** Apply the row-level deletes in `entries` to a scan carrying
     * `__src` (normalized `_metadata.file_path`).
     *
@@ -770,13 +784,60 @@ object LogSync {
       .select(manifestSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** SINGLE-WRITER lease around [[sync]]'s plan-and-append round. Two
+    * concurrent syncs of one root would both pass the fresh-file
+    * anti-join (each plans against the same manifest state) and
+    * double-register every new path — benign for the read path's
+    * semi-join keep-set, but the eq-delete `seqRel` LEFT join would
+    * then DUPLICATE the file's rows and [[tableSince]] would surface
+    * it twice. The lease is a no-overwrite create carrying a
+    * writer-unique token re-read after create (the schema-log commit
+    * protocol's claim-verify discipline: "atomic" create is really
+    * exists-then-create on RawLocalFileSystem / plain S3A, so the
+    * surviving content names the real holder); a live concurrent
+    * holder → LOUD refusal, never a silent skip. Crash residue (a
+    * lease older than `graft.lake.claimGraceMs`, default 15 min — a
+    * sync round is minutes, not hours) is reclaimed once.
+    */
+  private def withSyncLease[T](spark: SparkSession, root: String)(body: => T): T = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new Path(s"$root/_sync_lease")
+    val token = java.util.UUID.randomUUID().toString
+    def tryClaim(): Boolean =
+      try {
+        val o = fs.create(lease, false)
+        try o.write(token.getBytes("UTF-8")) finally o.close()
+        val in = fs.open(lease)
+        val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        got == token
+      } catch { case _: java.io.IOException => false }
+    val claimed = tryClaim() || {
+      val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
+        .map(_.toLong).getOrElse(15L * 60 * 1000)
+      val stale =
+        try fs.exists(lease) && fs.getFileStatus(lease).getModificationTime <
+          System.currentTimeMillis() - graceMs
+        catch { case _: java.io.IOException => false }
+      stale && { fs.delete(lease, false); tryClaim() }
+    }
+    if (!claimed) sys.error(s"sync lease conflict under $root: another sync " +
+      s"holds $lease — sync is single-writer per root; rerun when it " +
+      "finishes (a CRASHED sync's lease is auto-reclaimed after " +
+      "graft.lake.claimGraceMs of inactivity)")
+    try body finally { fs.delete(lease, false); () }
+  }
+
   /** One sync round: returns the number of newly registered files.
     * The diff between the listing and the manifest is a distributed
     * anti-join — at millions of files the driver never materializes
     * the registered set. Each new file is registered together with its
-    * timestamp zone-map ([[statsFor]]).
+    * timestamp zone-map ([[statsFor]]). SINGLE-WRITER per root: the
+    * whole plan-and-append round runs under [[withSyncLease]] — a
+    * concurrent sync of the same root fails loudly rather than
+    * double-registering the files both rounds see as fresh (retry
+    * when the holder finishes; its round registers them).
     */
-  def sync(spark: SparkSession, root: String): Int = {
+  def sync(spark: SparkSession, root: String): Int = withSyncLease(spark, root) {
     import spark.implicits._
     // in-flight (or crashed) DML output is NOT a fresh append — see
     // [[pendingDmlPaths]]
@@ -845,8 +906,10 @@ object LogSync {
   /** The shared read shape: scan the lake ROOT (partition
     * discovery/pruning intact; underscore dirs skipped by the source)
     * with `paths` — a one-column `__registered_path` keep-set —
-    * applied as a BROADCAST semi-join on the scan's file identity, so
-    * non-kept files are invisible without any driver-side path list.
+    * applied as a semi-join on the scan's file identity (broadcast
+    * under [[seqBroadcastRowCap]] via [[sizedKeepSet]], shuffled past
+    * it), so non-kept files are invisible without any driver-side
+    * path list.
     * The identity comes from the DETERMINISTIC `_metadata.file_path`
     * column — `input_file_name()` is nondeterministic, and a
     * nondeterministic projection blocks partition/predicate pushdown
@@ -891,7 +954,8 @@ object LogSync {
     }
     val kept = scan
       .withColumn("__src", normPath(col("_metadata.file_path")))
-      .join(broadcast(paths), col("__src") === col("__registered_path"), "left_semi")
+      .join(sizedKeepSet(spark, paths),
+        col("__src") === col("__registered_path"), "left_semi")
     // the alias fold runs BEFORE the delete anti-joins: an equality
     // delete committed after a rename binds the NEW name, and must
     // match pre-rename files' rows through the coalesce (their values

@@ -121,6 +121,17 @@ object Rollup {
   private def dims(st: Option[LakeEvolve.EvoState]): Seq[String] =
     DimOrigins.map(n => st.map(_.currentName(n)).getOrElse(n))
 
+  /** True when a MAINTAINED rollup under `root` aggregates by `name`
+    * (its current spelling) — [[LakeEvolve.dropColumn]]'s guard
+    * question: dropping a live dimension would not fail the drop
+    * itself, only every later refresh/read, which is exactly the
+    * silent-downstream failure the house guards exist to prevent.
+    */
+  private[sources] def dimensionBound(spark: SparkSession, root: String,
+                                      name: String): Boolean =
+    currentVersion(spark, root) > 0 &&
+      dims(LakeEvolve.state(spark, root)).contains(name)
+
   /** Align a PERSISTED rollup's dimension columns with the lake's
     * current names: an agg written before a rename carries the old
     * spelling — same field, same values, one metadata-level
@@ -130,7 +141,8 @@ object Rollup {
                        df: DataFrame, cur: Seq[String]): DataFrame = {
     cur.foldLeft(df) { (acc, c) =>
       if (acc.columns.contains(c)) acc
-      else st.flatMap(_.aliasesOf.get(c).flatMap(_.find(acc.columns.contains)))
+      else st.flatMap(s => (s.aliasesOf.getOrElse(c, Seq.empty) ++
+          s.layoutOf.getOrElse(c, Seq.empty)).find(acc.columns.contains))
         .map(old => acc.withColumnRenamed(old, c)).getOrElse(acc)
     }
   }

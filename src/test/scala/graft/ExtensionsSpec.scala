@@ -61,4 +61,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.sources.LogSync.tableAsOf(spark, root, cut).count() == 100,
       "snapshot must only see the first batch")
   }
+
+  test("ALTER LAKE from plain SQL: rename + promote land, guards apply, reads resolve") {
+    val prior = spark
+    assert(prior != null)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val root = Files.createTempDirectory("graft_sqlalter").toString
+      graft.sources.Tables.events(s2, sf).limit(60)
+        .select(col("ts").as("timestamp"),
+          col("event_type").as("severity_text"),
+          (col("event_id") % 100).cast("int").as("severity_number"),
+          col("props").as("body"))
+        .coalesce(2).write.mode("append").parquet(root)
+      graft.sources.LogSync.sync(s2, root)
+      // the SQL dialect drives the SAME LakeEvolve entry points the
+      // Scala API uses — one guard set, one commit protocol
+      s2.sql(s"ALTER LAKE '$root' RENAME COLUMN severity_text TO severity")
+      s2.sql(s"ALTER LAKE '$root' ALTER COLUMN severity_number TYPE BIGINT")
+      graft.sources.LogSync.table(s2, root).createOrReplaceTempView("sql_lake")
+      val rows = s2.sql(
+        "SELECT severity, count(*) AS n FROM sql_lake GROUP BY severity").collect()
+      assert(rows.map(_.getLong(1)).sum == 60)
+      assert(graft.sources.LogSync.table(s2, root)
+        .schema("severity_number").dataType ==
+          org.apache.spark.sql.types.LongType)
+      // the guards flow through: a stat-axis drop refuses from SQL too
+      val e = intercept[Exception](
+        s2.sql(s"ALTER LAKE '$root' DROP COLUMN timestamp"))
+      assert(e.getMessage.contains("stat axis"), e.getMessage)
+      // everything non-graft still parses through the delegate
+      assert(s2.sql("SELECT 1 + 1 AS x").collect()(0).getInt(0) == 2)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
 }

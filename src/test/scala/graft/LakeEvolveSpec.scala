@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{IcebergExport, LakeDml, LakeEvolve, LogSync, Tables}
+import graft.sources.{IcebergExport, LakeDml, LakeEvolve, LogSync, LogWriter, Tables}
 
 /** Id-bound schema evolution: metadata-only rename + widening type
   * promotion, across the native read, DML, CDC and the exported
@@ -648,5 +648,219 @@ class LakeEvolveSpec extends SparkSpec {
       s"the retracted rows must surface: ${rows.toSeq}")
     assert(rows.forall(_.getString(1) != null),
       "pre-rename physical values must fold into the current name")
+  }
+
+  test("dropping a maintained rollup's dimension refuses loudly; non-dims still drop") {
+    import graft.sources.Rollup
+    val root = freshLake("graft_evrolldrop")
+    Rollup.refresh(spark, root)
+    // severity_text is a rollup dimension but NOT a stat axis — this
+    // isolates the rollup guard from the axis guard
+    val e = intercept[IllegalArgumentException](
+      LakeEvolve.dropColumn(spark, root, "severity_text"))
+    assert(e.getMessage.contains("rollup"), e.getMessage)
+    // a column no consumer binds still drops fine
+    LakeEvolve.dropColumn(spark, root, "body")
+    assert(!LogSync.table(spark, root).columns.contains("body"))
+    // and the rollup keeps refreshing/reading after the unrelated drop
+    assert(Rollup.refresh(spark, root) == 0)
+    assert(Rollup.read(spark, root).count() > 0)
+  }
+
+  test("layout-column rename: alias reads, partition pruning intact, writers keep the dir key") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evlayout").toString
+    def batch(tag: String) = Tables.events(spark, sf).orderBy("event_id").limit(80)
+      .select(col("ts").as("timestamp"),
+        concat(lit("svc-"), col("user_id") % 4).as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit(tag), col("event_id")).as("span_id"))
+    LogWriter.write(batch("e"), root, layout = Seq("service_name"))
+    LogSync.sync(spark, root)
+    val before = LogSync.table(spark, root)
+      .select("span_id", "service_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+    LakeEvolve.renameColumn(spark, root, "service_name", "service")
+
+    // the rename is a read-side alias of the directory key: same
+    // values under the new name, old name gone
+    val t = LogSync.table(spark, root)
+    assert(t.columns.contains("service") && !t.columns.contains("service_name"))
+    val after = t.select("span_id", "service").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == before, "layout rename must not change a single value")
+    // THE point of the layout-alias design: an equality filter on the
+    // RENAMED name still reaches the scan as a PartitionFilter on the
+    // physical directory key — a coalesce fold would lose this
+    val plan = formattedPlan(LogSync.table(spark, root)
+      .filter(col("service") === "svc-1"))
+    val pf = plan.linesIterator.filter(_.trim.startsWith("PartitionFilters:"))
+      .find(_.contains("service_name"))
+      .getOrElse(fail(s"service filter never reached PartitionFilters:\n$plan"))
+    assert(pf.contains("svc-1"), s"expected the literal in the partition filter: $pf")
+
+    // forward writers keep emitting the PHYSICAL key; the new batch
+    // folds in under the renamed name
+    val twins = batch("n").filter(col("service_name") === "svc-0")
+    val nTwins = twins.count()
+    assert(nTwins > 0)
+    LogWriter.write(twins, root, layout = Seq("service_name"))
+    LogSync.sync(spark, root)
+    assert(LogSync.table(spark, root)
+      .filter(col("service") === "svc-0" && col("span_id").startsWith("n"))
+      .count() == nTwins)
+
+    // a CoW DML rewrite keeps the directory shape: the rewritten file
+    // lands back under a service_name= dir, and the read stays whole
+    LakeDml.delete(spark, root, col("span_id") === "e1")
+    assert(LogSync.table(spark, root).count() == 80 + nTwins - 1)
+    val stray = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull)
+      .select("path").as[String].collect()
+      .filterNot(_.contains("service_name="))
+    assert(stray.isEmpty, s"rewrites must keep the physical key: ${stray.toSeq}")
+
+    // promote/drop of a layout column stay refused; the rename chains
+    val ed = intercept[IllegalArgumentException](
+      LakeEvolve.dropColumn(spark, root, "service"))
+    assert(ed.getMessage.contains("partition-layout"), ed.getMessage)
+    LakeEvolve.renameColumn(spark, root, "service", "svc")
+    val chained = LogSync.table(spark, root)
+    assert(chained.columns.contains("svc") && !chained.columns.contains("service"))
+    assert(chained.filter(col("svc") === "svc-2").count() > 0)
+
+    // the Iceberg export refuses loudly (honest gap: the spec restate
+    // is not built) — the native path serves the lake fully
+    val ee = intercept[IllegalArgumentException](
+      IcebergExport.export(spark, root))
+    assert(ee.getMessage.contains("layout"), ee.getMessage)
+  }
+
+  test("two-thread sync race: the lease admits one writer — no path registers twice") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    import spark.implicits._
+    // a root with UNREGISTERED files: both racers see the same fresh
+    // set, so without the lease both would append it to the manifest
+    val root = Files.createTempDirectory("graft_syncrace").toString
+    Tables.events(spark, sf).orderBy("event_id").limit(40)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"))
+      .coalesce(4).write.mode("append").parquet(root)
+    val results = Await.result(Future.sequence(Seq(
+      Future(scala.util.Try(LogSync.sync(spark, root))),
+      Future(scala.util.Try(LogSync.sync(spark, root))))), 120.seconds)
+    assert(results.exists(_.isSuccess), "at least one sync must win")
+    results.collect { case scala.util.Failure(e) => e }.foreach { e =>
+      assert(e.getMessage.contains("sync lease conflict"),
+        s"a racing sync must refuse loudly, got: ${e.getMessage}")
+    }
+    // the invariant the lease exists for: every path registered at
+    // most once (a duplicate would double rows through the eq-delete
+    // seq attach LEFT join and surface twice in tableSince)
+    val m = LogSync.manifest(spark, root).select("path").as[String].collect()
+    assert(m.length == m.distinct.length,
+      s"no path may register twice: ${m.toSeq.diff(m.distinct.toSeq)}")
+    assert(LogSync.table(spark, root).count() == 40)
+    // serialized syncs still work (the lease releases)
+    assert(LogSync.sync(spark, root) == 0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_sync_lease")),
+      "a finished sync must release its lease")
+  }
+
+  test("schema-log claim janitor: a stale crashed claim reclaims, a fresh one refuses loudly") {
+    val root = freshLake("graft_evjan")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a FRESH foreign claim (another writer mid-commit) blocks the
+    // ALTER loudly — the loud-loser contract
+    val claim = new org.apache.hadoop.fs.Path(s"$root/_schema_log_claim_v1")
+    fs.create(claim, false).close()
+    val e = intercept[RuntimeException](
+      LakeEvolve.renameColumn(spark, root, "severity_text", "severity"))
+    assert(e.getMessage.contains("claimed"), e.getMessage)
+    // age it past the grace with its target absent: crash residue —
+    // the next ALTER reclaims it and commits normally
+    fs.setTimes(claim, System.currentTimeMillis() - 16L * 60 * 1000, -1)
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    assert(LogSync.table(spark, root).columns.contains("severity"))
+    assert(!fs.exists(claim), "the committed ALTER must release the claim")
+  }
+
+  test("native tableAsOf anchored before a promotion reads through post-promotion wide files") {
+    import spark.implicits._
+    val root = freshLake("graft_evwide")
+    Thread.sleep(20)
+    val anchor = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    // rename first so the anchored read exercises the alias fold AND
+    // the promotion widening together
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    LakeEvolve.promoteColumn(spark, root, "severity_number", LongType)
+    // a post-promotion file PHYSICALLY carrying long — before the
+    // widest-type request this made the anchored root scan throw a
+    // parquet conversion error (it requested int over this file)
+    Tables.events(spark, sf).orderBy("event_id").limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity"),
+        (col("event_id") % 100 + 1000000000L * 3).cast("long").as("severity_number"),
+        concat(lit("w"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val pre = LogSync.tableAsOf(spark, root, anchor)
+    // snapshot-schema semantics: the anchor predates BOTH alters —
+    // old name, narrow type — and only the pre-promotion rows
+    assert(pre.columns.contains("severity_text") && !pre.columns.contains("severity"))
+    assert(pre.schema("severity_number").dataType == IntegerType,
+      s"pre-promotion anchor must surface the narrow type: ${pre.schema}")
+    val rows = pre.select("span_id", "severity_number").collect()
+    assert(rows.length == 80)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 100),
+      "anchored values must be the original narrow ones")
+    // the current read still sees everything wide
+    val cur = LogSync.table(spark, root)
+    assert(cur.schema("severity_number").dataType == LongType)
+    assert(cur.count() == 90)
+    assert(cur.filter(col("severity_number") >= 1000000000L * 3).count() == 10)
+  }
+
+  test("keep-set semi-join is seqBroadcastRowCap-guarded: shuffled read equals broadcast read") {
+    import spark.implicits._
+    // the hardest shape through keepOnly: an EVOLVED lake (rename +
+    // promote → request-schema scan + alias fold) carrying BOTH MOR
+    // delete kinds (position + equality), plus a CoW rewrite whose
+    // tombstoned file stays on disk until vacuum — so the keep-set is
+    // a strict subset of the files the root scan discovers and a
+    // wrong join shape would resurrect replaced rows
+    val root = freshLake("graft_keepcap")
+    LakeDml.delete(spark, root, col("span_id") === "e2")
+    LakeDml.deleteMor(spark, root, col("span_id").isin("e3", "e5"))
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    LakeEvolve.promoteColumn(spark, root, "severity_number", LongType)
+    LakeDml.deleteEq(spark, root, Seq("e7", "e11").toDF("span_id"))
+    def readAll(): Seq[(String, String, Long)] = LogSync.table(spark, root)
+      .select("span_id", "severity", "severity_number")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    val viaBroadcast = readAll()
+    assert(viaBroadcast.size == 75, s"80 - 1 CoW - 2 pos - 2 eq, got ${viaBroadcast.size}")
+    // cap 0 forces the registered-path keep-set past its broadcast
+    // cap: the semi-join must shuffle and produce the identical table
+    spark.conf.set("graft.lake.seqBroadcastRowCap", "0")
+    try {
+      assert(readAll() == viaBroadcast,
+        "the shuffled keep-set semi-join must agree row-for-row with the broadcast one")
+      // the DML scan path (tableWithSrc) shares the guard: a delete
+      // planned under the shuffled keep-set still resolves its targets
+      val stats = LakeDml.deleteMor(spark, root, col("span_id") === "e13")
+      assert(stats.rowsChanged == 1)
+      assert(LogSync.table(spark, root).count() == 74)
+    } finally spark.conf.unset("graft.lake.seqBroadcastRowCap")
   }
 }
