@@ -1390,7 +1390,13 @@ object IcebergExport {
                                         // file list the explicit prune filters doesn't
                                         // exist). Only the FUNCTION ships to executors —
                                         // never the Chain (md/Avro records don't serialize)
-                                        prune: Option[Map[String, Any] => Boolean] = None)
+                                        prune: Option[Map[String, Any] => Boolean] = None,
+                                        // over-cap pruned reads whose KEPT set fit back under
+                                        // [[prunedKeptFileCap]]: the scan opens exactly these
+                                        // paths (real I/O pruning) instead of the location
+                                        // root — the attach join still restricts and attaches.
+                                        // Some(empty) = the prune kept nothing (typed empty)
+                                        scanPaths: Option[Seq[String]] = None)
 
   /** Driver-crossing bound for a resolved chain's DATA-FILE list: at
     * or under the cap [[resolveChainAt]] materializes the file list
@@ -1408,6 +1414,23 @@ object IcebergExport {
   private[graft] def explicitFileCap(spark: SparkSession): Long =
     spark.conf.getOption("graft.chain.explicitFileCap")
       .map(_.toLong).getOrElse(100000L)
+
+  /** Driver-crossing bound for the KEPT file set of an over-cap
+    * PRUNED read ([[readExternalPruned]]): when the post-prune set is
+    * at or under it, the kept URIs (strings only — never ChainFiles
+    * or Avro) collect back to the driver and the scan opens exactly
+    * those files — the I/O pruning a selective partition predicate
+    * deserves even on a chain too large to materialize whole. Past
+    * it the read stays the row-correct location scan. Defaults to
+    * [[explicitFileCap]] — the same crossing the explicit-path plan
+    * is allowed everywhere else. Chunking the kept list into unioned
+    * sub-scans would NOT relax this bound: every chunk's paths sit in
+    * the same driver-resident plan simultaneously, so a total cap is
+    * the honest control.
+    */
+  private[graft] def prunedKeptFileCap(spark: SparkSession): Long =
+    spark.conf.getOption("graft.chain.prunedKeptFileCap")
+      .map(_.toLong).getOrElse(explicitFileCap(spark))
 
   private def readText(spark: SparkSession, p: Path): String = {
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
@@ -1804,12 +1827,54 @@ object IcebergExport {
     // under the cap the prune filters the driver-resident file list
     // (the scan then OPENS only the kept files — maximal I/O pruning);
     // an over-cap chain has no such list, so the predicate ships INTO
-    // the distributed attach-map walk instead — pruned files never
-    // survive the inner join, and the same raw manifest values feed
-    // `keep` on both paths
-    if (chain.overCap) readChain(spark, chain.copy(prune = Some(keep)))
+    // the distributed attach-map walk — pruned files never survive
+    // the inner join, and the same raw manifest values feed `keep` on
+    // both paths. When the KEPT set fits back under
+    // [[prunedKeptFileCap]] (the common selective-predicate case: a
+    // day slice of a million-file lake), a limited distributed
+    // collect brings back the kept URIs and the scan opens only them
+    // — otherwise the read stays the location scan: row-correct, with
+    // unpruned scan I/O, the documented trade past both caps
+    if (chain.overCap) {
+      val pruned = chain.copy(prune = Some(keep))
+      // collect cap+1: coming back short of the limit proves the
+      // collected set is COMPLETE, not a truncation
+      val limit = math.min(prunedKeptFileCap(spark), Int.MaxValue - 1L).toInt + 1
+      val kept = keptUrisUpTo(spark, chain, keep, limit)
+      if (kept.length < limit)
+        readChain(spark, pruned.copy(scanPaths = Some(kept)))
+      else readChain(spark, pruned)
+    }
     else readChain(spark,
       chain.copy(files = chain.files.filter(f => keep(f.partValues))))
+  }
+
+  /** Up to `limit` kept data-file URIs of an over-cap chain, walked
+    * DISTRIBUTED (one task per data manifest — the same walk the
+    * attach map performs) and collected through a LIMIT: the driver
+    * crossing is bounded by construction, and only URI STRINGS cross
+    * — never ChainFiles or Avro records. A result shorter than
+    * `limit` is the complete kept set.
+    */
+  private def keptUrisUpTo(spark: SparkSession, chain: Chain,
+                           keep: Map[String, Any] => Boolean,
+                           limit: Int): Seq[String] = {
+    val dataManifests = chain.manifests.filterNot(_.isDelete)
+    if (dataManifests.isEmpty)
+      chain.files.filter(f => keep(f.partValues)).map(f => fileUri(f.uri)).take(limit)
+    else {
+      val scm = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val walkSpecs = dataManifests.map(m =>
+        (m.path, m.isDelete, m.seq,
+          chain.specsById.getOrElse(m.specId, chain.partFields)))
+      import spark.implicits._
+      spark.sparkContext.parallelize(walkSpecs, walkSpecs.length)
+        .flatMap { case (mp, isDel, mSeq, pf) =>
+          walkManifest(scm.value, mp, isDel, mSeq, pf)._1.iterator
+            .filter(f => keep(f.partValues)).map(f => fileUri(f.uri)).toSeq
+        }.toDF("uri").limit(limit).as[String].collect().toSeq
+    }
   }
 
   /** Materialize a resolved [[Chain]] as a DataFrame: scan the data
@@ -1862,8 +1927,10 @@ object IcebergExport {
     // column stays in the data files
     val identityNames = partFieldsAll.filter(_.transform == "identity").map(_.name)
     val partByName = partFieldsAll.map(f => f.name -> f).toMap
-    if (chain.files.isEmpty && !chain.overCap) {
-      // legal empty table: an empty frame with the declared schema
+    if ((chain.files.isEmpty && !chain.overCap) ||
+      chain.scanPaths.exists(_.isEmpty)) {
+      // legal empty table (or an over-cap prune that kept nothing):
+      // an empty frame with the declared schema
       val struct = StructType(chain.schemaFields.map(f =>
         StructField(f.name, sparkTypeFor(f.tpe), nullable = true)))
       return spark.createDataFrame(
@@ -1958,9 +2025,15 @@ object IcebergExport {
     // in the standard layout): only parquet is data here, and non-data
     // parquet (delete files) contributes no rows past the attach join
     def scanParquet(r: org.apache.spark.sql.DataFrameReader) =
-      if (chain.overCap)
-        r.option("pathGlobFilter", "*.parquet").parquet(fileUri(scanRoot))
-      else r.parquet(chainPaths: _*)
+      chain.scanPaths match {
+        // over-cap PRUNED read whose kept set fit under
+        // [[prunedKeptFileCap]]: open exactly the kept files — the
+        // I/O pruning the under-cap explicit-path plan gets
+        case Some(ps) => r.parquet(ps: _*)
+        case None if chain.overCap =>
+          r.option("pathGlobFilter", "*.parquet").parquet(fileUri(scanRoot))
+        case None => r.parquet(chainPaths: _*)
+      }
     val sampled = scanParquet(reader())
     val declaredMissing = chain.schemaFields.filter(f =>
       !sampled.schema.fieldNames.contains(f.name) && !identityNames.contains(f.name))
@@ -2122,11 +2195,11 @@ object IcebergExport {
           // over-cap partition prune (readExternalPruned): applied to
           // each walked entry's RAW manifest values — the same inputs
           // the driver-side prune sees. Pruned files never enter the
-          // map, so the inner join drops their rows. ROW-correct, not
-          // I/O-pruned: the location scan still reads unpruned bytes
-          // (only the explicit-path plan under the cap opens just the
-          // kept files) — raise the cap when scan I/O matters more
-          // than driver memory. Capture ONLY the function: the Chain
+          // map, so the inner join drops their rows. When the kept
+          // set fit under [[prunedKeptFileCap]] the scan already
+          // opens only kept files (scanPaths); past BOTH caps the
+          // location scan reads unpruned bytes — row-correct, the
+          // documented trade. Capture ONLY the function: the Chain
           // (json + Avro records) must never enter the closure.
           val pruneF = chain.prune
           val rows = spark.sparkContext
@@ -2154,7 +2227,10 @@ object IcebergExport {
       // walk (the join re-walks lazily) — parallel control-plane work,
       // dwarfed by the over-cap data scan it guards; only over-cap
       // reads pay it.
-      if (chain.overCap) {
+      // (kept-path scans skip this guard: explicit paths reach files
+      // outside the location and without the extension — the glob
+      // whose blind spots the guard exists for is not in the plan)
+      if (chain.overCap && chain.scanPaths.isEmpty) {
         val rootPrefix = normUri(scanRoot).stripSuffix("/") + "/"
         val unreachable = mapDf
           .filter(!col("__graft_file").startsWith(rootPrefix) ||

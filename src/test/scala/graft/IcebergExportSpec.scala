@@ -626,6 +626,44 @@ class IcebergExportSpec extends SparkSpec {
     } finally spark.conf.unset("graft.chain.explicitFileCap")
   }
 
+  test("over-cap pruned read opens ONLY the kept files once the kept set fits prunedKeptFileCap") {
+    val loc = graft.sources.IcebergFixture.externalDayPartitionedTable(spark, sf)
+    val day1 = java.time.LocalDate.parse("2024-01-12").toEpochDay.toInt
+    def keep(pv: Map[String, Any]): Boolean = pv.get("ts_day").forall(_ == day1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "ts").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // reference: the under-cap plan (driver-side prune, explicit paths)
+    val expected = rows(IcebergExport.readExternalPruned(spark, loc, keep))
+    assert(expected.nonEmpty)
+    spark.conf.set("graft.chain.explicitFileCap", "0")
+    try {
+      // prunedKeptFileCap defaults to the file cap (0 here): the kept
+      // set cannot come back to the driver, so the read stays the
+      // row-correct location scan — it OPENS both day files
+      val fallback = IcebergExport.readExternalPruned(spark, loc, keep)
+      assert(fallback.inputFiles.count(_.endsWith(".parquet")) == 2,
+        "past both caps the scan is the location root: row-correct, unpruned I/O")
+      assert(rows(fallback) == expected)
+      // with room for the kept set, the SAME read becomes an
+      // explicit-path scan of exactly the kept files — real I/O pruning
+      spark.conf.set("graft.chain.prunedKeptFileCap", "10")
+      val ioPruned = IcebergExport.readExternalPruned(spark, loc, keep)
+      val opened = ioPruned.inputFiles.filter(_.endsWith(".parquet"))
+      assert(opened.length == 1 && opened.head.contains("d2024-01-12.parquet"),
+        s"kept-set scan must open only day 1's file, opened: ${opened.toSeq}")
+      assert(rows(ioPruned) == expected,
+        "the I/O-pruned plan must agree row-for-row with the explicit-path prune")
+      // prune-everything: an empty kept set is a typed empty frame
+      // that opens nothing
+      val none = IcebergExport.readExternalPruned(spark, loc, _ => false)
+      assert(none.count() == 0 && none.inputFiles.isEmpty)
+      assert(none.columns.contains("event_id"))
+    } finally {
+      spark.conf.unset("graft.chain.explicitFileCap")
+      spark.conf.unset("graft.chain.prunedKeptFileCap")
+    }
+  }
+
   test("explicitFileCap 0: export's delta diff resolves the previous chain UNCAPPED — no re-chaining") {
     val root = buildLake()
     IcebergExport.export(spark, root)
