@@ -298,14 +298,25 @@ object IcebergExport {
 
   private[sources] def schemaFieldsFor(spark: SparkSession, root: String,
                                        active: Seq[String]): (Seq[Field], Seq[String]) = {
-    // partition columns: union of k=v keys in first-seen order
-    val partCols = active.flatMap(p => partSegments(root, p).map(_._1)).distinct
+    // partition columns: union of k=v keys in first-seen order,
+    // surfaced under their CURRENT LOGICAL names — a layout-renamed
+    // dir key (`service_name=` dirs, logical name `service`) exports
+    // the logical name at the SAME fixed-base id (ids are positional
+    // over the dir-key order, which a rename never changes): exactly
+    // an Iceberg column rename
+    val evoState0 = LakeEvolve.state(spark, root)
+    val logicalOfDir: Map[String, String] = evoState0
+      .map(_.layoutOf.flatMap { case (cur, chain) =>
+        chain.lastOption.map(_ -> cur) })
+      .getOrElse(Map.empty)
+    val partCols = active.flatMap(p => partSegments(root, p)
+      .map(s => logicalOfDir.getOrElse(s._1, s._1))).distinct
     // an EVOLVED lake's physical footers cannot schema-merge (a
     // promotion leaves int and long footers under one name) and would
     // surface retired names as live columns — its logical schema comes
     // from the schema log instead, minus the partition-dir columns
     // (they get their own fixed-base ids below)
-    val physical = LakeEvolve.state(spark, root) match {
+    val physical = evoState0 match {
       case Some(st) => StructType(LakeEvolve.requestSchema(spark, root, st)
         .fields.filter(f => !st.supersededNames.contains(f.name) &&
           !partCols.contains(f.name)))
@@ -319,7 +330,7 @@ object IcebergExport {
     // missing — a rename target binds to the entry's recorded id (a
     // fresh id would move the field on rename: invalid metadata), a
     // promoted name's recorded type follows the stored schema.
-    val evoState = LakeEvolve.state(spark, root)
+    val evoState = evoState0
     val evoEntries = evoState.map(_.entries).getOrElse(Seq.empty)
     val raw = readFieldIdSidecar(spark, root)
     val recovered = {
@@ -451,6 +462,13 @@ object IcebergExport {
     val conf = spark.sparkContext.hadoopConfiguration
     val active = activePaths(spark, root)
     val (allFields, partCols) = schemaFieldsFor(spark, root, active)
+    // layout-renamed dir keys surface under their logical names in
+    // specs and manifests (matching the exported schema); dirs and
+    // parsed values are untouched
+    val logicalOfDir: Map[String, String] = LakeEvolve.state(spark, root)
+      .map(_.layoutOf.flatMap { case (cur, chain) =>
+        chain.lastOption.map(_ -> cur) })
+      .getOrElse(Map.empty)
     // per-file internal commit sequence (null = pre-upgrade = 0)
     val seqOf = LogSync.manifest(spark, root)
       .filter(col("removed_at").isNull)
@@ -515,9 +533,8 @@ object IcebergExport {
       val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
                  finally reader.close()
       val segs = partSegments(root, p)
-      val layout = segs.map(_._1)
-      val segMap = segs.toMap
-      FileEntry(fileUri(p), size, rows, layout.map(segMap), seqOf.getOrElse(p, 0L),
+      val layout = segs.map(s => logicalOfDir.getOrElse(s._1, s._1))
+      FileEntry(fileUri(p), size, rows, segs.map(_._2), seqOf.getOrElse(p, 0L),
         specFor(layout))
     }
     // the default spec is the NEWEST generation's: the layout of the
@@ -680,19 +697,15 @@ object IcebergExport {
     * field ids never move (`_field_ids` sidecar) — so a time-travel
     * reader resolves each snapshot's own column set. A restatement
     * drops snapshot history and restarts the schema list at id 0.
+    *
+    * LAYOUT-RENAMED lakes export under the CURRENT logical name
+    * (specs, manifests, and schema all bind it at the partition
+    * field's unchanged fixed-base id — an Iceberg-legal rename); a
+    * rename that retires a name the previous export's carried
+    * manifests bind forces one restatement, after which deltas
+    * resume.
     */
   def export(spark: SparkSession, root: String): String = {
-    // HONEST GAP: a LAYOUT-RENAMED lake exports a partition spec whose
-    // field names and source-field bindings would have to restate the
-    // rename by id across every carried manifest — not built yet.
-    // Refuse loudly (the native read path serves the lake fully); to
-    // export, re-layout physically first (LogCompact.compact after
-    // vacuum) or export before renaming layout columns.
-    require(LakeEvolve.state(spark, root).forall(_.layoutOf.isEmpty),
-      s"cannot export $root: its schema log renames a partition-LAYOUT " +
-        "column (a layout alias) — the Iceberg export cannot restate the " +
-        "partition spec's bindings yet; read natively via LogSync.table, " +
-        "or materialize the layout physically before exporting")
     val metaDir = new Path(s"$root/_iceberg/metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(metaDir)
@@ -717,7 +730,22 @@ object IcebergExport {
         try Some(resolveChain(spark, metaDir, fileCap = Some(Long.MaxValue)))
         catch { case scala.util.control.NonFatal(_) => None }
       else None
-    val st = resolve(spark, root, prev.map(_.md))
+    // a LAYOUT-COLUMN RENAME since the previous export: the carried
+    // manifests' partition records and the prior specs bind a RETIRED
+    // name — a delta would surface the partition column under two
+    // names across layout generations. Restate instead (the same
+    // answer as any other carried-state invalidation: vanished files,
+    // vanished deletes): the registry restarts clean and every new
+    // manifest binds the current logical name. Exports that follow
+    // the restatement see consistent names and go back to deltas —
+    // the O(lake) rewrite is paid once per rename, not per export.
+    val layoutRetired: Set[String] = LakeEvolve.state(spark, root)
+      .map(_.layoutOf.values.flatten.toSet).getOrElse(Set.empty)
+    val layoutRestate = prev.exists(p =>
+      (p.partFields ++ p.specsById.values.flatten)
+        .exists(f => layoutRetired.contains(f.name)))
+    val st = resolve(spark, root,
+      if (layoutRestate) None else prev.map(_.md))
     val prevUris = prev.map(_.files.map(f => normUri(f.uri)).toSet).getOrElse(Set.empty)
     val curUris = st.files.map(f => normUri(f.uri)).toSet
     val newFiles = st.files.filterNot(f => prevUris.contains(normUri(f.uri)))
@@ -736,9 +764,10 @@ object IcebergExport {
     // spec registry minted a fresh spec-id for the new generation and
     // carried manifests keep their own (partition-spec evolution) —
     // only vanished files/deletes still restate
-    val deltaEligible = prev.exists(p => p.snapshotId.nonEmpty &&
-      p.listRecords.nonEmpty && removed.isEmpty && removedDeletes.isEmpty &&
-      p.partFields.forall(_.transform == "identity"))
+    val deltaEligible = !layoutRestate &&
+      prev.exists(p => p.snapshotId.nonEmpty &&
+        p.listRecords.nonEmpty && removed.isEmpty && removedDeletes.isEmpty &&
+        p.partFields.forall(_.transform == "identity"))
     val prevMd = prev.map(_.md)
 
     def writeText(name: String, content: String): Path = {

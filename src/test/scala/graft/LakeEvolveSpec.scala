@@ -725,16 +725,44 @@ class LakeEvolveSpec extends SparkSpec {
     val ed = intercept[IllegalArgumentException](
       LakeEvolve.dropColumn(spark, root, "service"))
     assert(ed.getMessage.contains("partition-layout"), ed.getMessage)
+
+    // Iceberg export of the layout-renamed lake: the spec binds the
+    // CURRENT logical name (dirs untouched), and the exported chain
+    // serves the same rows under it
+    def keyed(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col("span_id"), col(c)).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    IcebergExport.export(spark, root)
+    val exp1 = IcebergExport.readTable(spark, root)
+    assert(exp1.columns.contains("service") && !exp1.columns.contains("service_name"))
+    assert(keyed(exp1, "service") == keyed(LogSync.table(spark, root), "service"))
+
+    // a SECOND rename retires the exported spec's name: the next
+    // export RESTATES (carried manifests bound a retired name),
+    // binding `svc` throughout — paid once per rename, not per export
     LakeEvolve.renameColumn(spark, root, "service", "svc")
     val chained = LogSync.table(spark, root)
     assert(chained.columns.contains("svc") && !chained.columns.contains("service"))
     assert(chained.filter(col("svc") === "svc-2").count() > 0)
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.snapshots(spark, root).length == 1,
+      "a rename-invalidated export must restate (history dropped)")
+    val exp2 = IcebergExport.readTable(spark, root)
+    assert(exp2.columns.contains("svc") &&
+      !exp2.columns.exists(Set("service", "service_name")),
+      s"restated export must bind only the logical name: ${exp2.columns.toSeq}")
+    assert(keyed(exp2, "svc") == keyed(chained, "svc"))
 
-    // the Iceberg export refuses loudly (honest gap: the spec restate
-    // is not built) — the native path serves the lake fully
-    val ee = intercept[IllegalArgumentException](
-      IcebergExport.export(spark, root))
-    assert(ee.getMessage.contains("layout"), ee.getMessage)
+    // exports AFTER the restatement see consistent names → delta again
+    val d = batch("d").filter(col("service_name") === "svc-3")
+    val nD = d.count()
+    LogWriter.write(d, root, layout = Seq("service_name"))
+    LogSync.sync(spark, root)
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.snapshots(spark, root).length == 2,
+      "post-restatement exports must chain as deltas")
+    assert(IcebergExport.readTable(spark, root).count() ==
+      80 + nTwins - 1 + nD)
   }
 
   test("two-thread sync race: the lease admits one writer — no path registers twice") {
