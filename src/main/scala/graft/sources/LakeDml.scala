@@ -89,7 +89,7 @@ object LakeDml {
       case None => withMeta
     }
     val kept = posReady
-      .join(LogSync.sizedKeepSet(spark, paths),
+      .join(LogSync.sizedKeepSet(spark, root, paths),
         col("__src") === col("__registered_path"), "left_semi")
     // rows already MOR-deleted (position OR equality) must be
     // invisible to DML decisions: a CoW rewrite that scanned them

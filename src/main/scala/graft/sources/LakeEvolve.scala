@@ -800,8 +800,10 @@ object LakeEvolve {
     // metadata-only like any rename, but the read side resolves it as
     // a plain alias of the dir key — never a per-file coalesce, so
     // partition pruning survives. No field-id pinning: layout ids
-    // live in the export's partition-field namespace, and the export
-    // refuses layout-renamed lakes until it can restate the spec.
+    // live in the export's partition-field namespace — the export
+    // binds the CURRENT logical name at the dir key's unchanged
+    // fixed-base id (an Iceberg-legal column rename), restating once
+    // when prior manifests still bind a retired name.
     val isLayout = LogCompact.inferLayout(spark, root).contains(from) ||
       st.exists(_.layoutOf.contains(from))
     if (isLayout) {

@@ -544,6 +544,41 @@ object LogSync {
     spark.conf.getOption("graft.lake.seqBroadcastRowCap")
       .map(_.toLong).getOrElse(1000000L)
 
+  // newest (signature, total rows) per root — one entry per root, so
+  // the cache never grows past the set of roots this JVM has read
+  private val manifestCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** TOTAL manifest row count (active + tombstoned) — an UPPER BOUND
+    * on every manifest-derived relation's cardinality (keep-sets,
+    * seq-attach), used ONLY to pick broadcast vs shuffle. Both join
+    * strategies are row-identical, so a stale bound can cost a
+    * suboptimal plan, never a wrong row — which is what makes caching
+    * it safe by construction. Cached per manifest-DIRECTORY LISTING
+    * signature (version dir + part names/lengths/mtimes): a repeat
+    * read pays one FS listing instead of a Spark count job — on the
+    * PRIMARY read path that job ran once per `table`/`tableAsOf`/
+    * `tableBetween` call, pure control-plane latency. Any append,
+    * tombstone rewrite, or version swap changes the listing and
+    * forces a recount.
+    */
+  private[graft] def manifestRowCount(spark: SparkSession, root: String): Long = {
+    val dir = new Path(manifestPath(spark, root))
+    val sig =
+      try {
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(dir).map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(dir.toString + "|", "|", "")
+      } catch {
+        // an unlistable dir never caches: fall through to the count
+        case _: java.io.IOException => java.util.UUID.randomUUID().toString
+      }
+    manifestCountCache.compute(root, (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, manifestDf(spark, root).count()))._2
+  }
+
   /** The keep-set build side of the registered-path semi-join,
     * size-guarded like every other manifest-cardinality relation: one
     * row per kept file, so it grows with the lake — at ~10⁶ files an
@@ -552,11 +587,16 @@ object LogSync {
     * `table`/`tableAsOf`/`tableBetween`/`tableFor` flow through it).
     * Under [[seqBroadcastRowCap]] the semi-join broadcasts; past it
     * no hint — the join shuffles (AQE still free to broadcast a build
-    * side that turns out small). The count is one control-plane job
-    * over the manifest filter.
+    * side that turns out small). The bound is [[manifestRowCount]]:
+    * an upper bound on the filtered keep-set (conservative — a lake
+    * whose TOMBSTONES push the manifest over the cap falls to the
+    * shuffle shape early, and AQE recovers the broadcast at runtime),
+    * cached so the guard costs a listing, not a job per read.
     */
-  private[sources] def sizedKeepSet(spark: SparkSession, paths: DataFrame): DataFrame =
-    if (paths.count() <= seqBroadcastRowCap(spark)) broadcast(paths) else paths
+  private[sources] def sizedKeepSet(spark: SparkSession, root: String,
+                                    paths: DataFrame): DataFrame =
+    if (manifestRowCount(spark, root) <= seqBroadcastRowCap(spark)) broadcast(paths)
+    else paths
 
   /** Apply the row-level deletes in `entries` to a scan carrying
     * `__src` (normalized `_metadata.file_path`).
@@ -624,9 +664,11 @@ object LogSync {
         coalesce(col("seq"), lit(0L)).as("__data_seq"))
       // size-guarded like every other join in this path: the attach
       // relation has manifest cardinality — broadcast under the row
-      // cap (one cheap control-plane count), shuffle past it
+      // cap ([[manifestRowCount]]: a cached listing-keyed bound, not
+      // a job per read), shuffle past it
       val sizedSeqRel =
-        if (mdf.count() <= seqBroadcastRowCap(spark)) broadcast(seqRel)
+        if (manifestRowCount(spark, root) <= seqBroadcastRowCap(spark))
+          broadcast(seqRel)
         else seqRel
       val withSeq = posApplied.join(sizedSeqRel,
         col("__src") === col("__seq_src"), "left")
@@ -951,10 +993,24 @@ object LogSync {
             "cannot serve it; read through the exported chain instead " +
             "(IcebergExport.export + readTable resolve every generation " +
             "via its own partition spec)", e)
+      // same depth but DIFFERENT key names (two writers disagreeing on
+      // a dir key — classically, one emitting a layout-renamed
+      // column's LOGICAL name: `service=` dirs minted beside
+      // `service_name=`). LogWriter/DML/compaction all rename back to
+      // the physical key, so this is a foreign writer; say what to fix.
+      case e: Throwable
+        if String.valueOf(e.getMessage).contains("Conflicting partition column names") =>
+        throw new IllegalStateException(
+          s"lake root $root mixes partition KEY NAMES at one depth — a " +
+            "writer emitted a different directory key than the lake's " +
+            "physical layout (after a layout-column rename the tree keeps " +
+            "its ORIGINAL key: write through LogWriter/DML, which resolve " +
+            "the rename back to the physical key, or rename the foreign " +
+            "dirs). The native root scan cannot serve the mix.", e)
     }
     val kept = scan
       .withColumn("__src", normPath(col("_metadata.file_path")))
-      .join(sizedKeepSet(spark, paths),
+      .join(sizedKeepSet(spark, root, paths),
         col("__src") === col("__registered_path"), "left_semi")
     // the alias fold runs BEFORE the delete anti-joins: an equality
     // delete committed after a rename binds the NEW name, and must

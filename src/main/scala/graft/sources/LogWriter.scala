@@ -33,18 +33,29 @@ object LogWriter {
   def write(logs: DataFrame, path: String,
             maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
             layout: Seq[String] = HourlyLayout): Unit = {
-    logs
+    // a LAYOUT-RENAMED lake keeps its physical directory keys forever
+    // (the rename is a read-side alias — LakeEvolve `layout` entries);
+    // a producer naturally holds the CURRENT logical name, so resolve
+    // both the frame's columns and the requested layout back to the
+    // physical keys here — otherwise this append would mint a second
+    // key name (`service=` dirs beside `service_name=`) and every
+    // later root scan would die in partition discovery
+    val spark = logs.sparkSession
+    val st = LakeEvolve.state(spark, path)
+    val physLogs = LakeEvolve.toPhysicalLayout(logs, st)
+    val physLayout = st.map(s => layout.map(s.dirKeyOf)).getOrElse(layout)
+    physLogs
       .withColumn("year", year(col("timestamp")))
       .withColumn("month", month(col("timestamp")))
       .withColumn("day", dayofmonth(col("timestamp")))
       .withColumn("hour", hour(col("timestamp")))
       // co-locate each partition's rows so one task writes one file per
       // partition dir instead of every task writing to every dir
-      .repartition(layout.map(col): _*)
+      .repartition(physLayout.map(col): _*)
       .write
       .mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(layout: _*)
+      .partitionBy(physLayout: _*)
       .parquet(path)
   }
 }

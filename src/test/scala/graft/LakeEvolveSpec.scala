@@ -763,6 +763,27 @@ class LakeEvolveSpec extends SparkSpec {
       "post-restatement exports must chain as deltas")
     assert(IcebergExport.readTable(spark, root).count() ==
       80 + nTwins - 1 + nD)
+
+    // a producer that naturally holds the RENAMED name (frame column
+    // `svc`, layout arg `svc` — the CHAINED alias at this point) must
+    // not mint `svc=` dirs beside `service_name=`: LogWriter resolves
+    // both the frame and the requested layout back through the chain
+    // to the physical key, or every later root scan would die in
+    // partition discovery
+    val logical = batch("l").filter(col("service_name") === "svc-2")
+      .withColumnRenamed("service_name", "svc")
+    val nLog = logical.count()
+    assert(nLog > 0)
+    LogWriter.write(logical, root, layout = Seq("svc"))
+    LogSync.sync(spark, root)
+    assert(LogSync.table(spark, root)
+      .filter(col("svc") === "svc-2" && col("span_id").startsWith("l"))
+      .count() == nLog)
+    val strayDirs = LogSync.manifest(spark, root)
+      .filter(col("removed_at").isNull).select("path").as[String].collect()
+      .filterNot(_.contains("service_name="))
+    assert(strayDirs.isEmpty,
+      s"a logical-name write must land under the physical key: ${strayDirs.toSeq}")
   }
 
   test("two-thread sync race: the lease admits one writer — no path registers twice") {
@@ -890,5 +911,35 @@ class LakeEvolveSpec extends SparkSpec {
       assert(stats.rowsChanged == 1)
       assert(LogSync.table(spark, root).count() == 74)
     } finally spark.conf.unset("graft.lake.seqBroadcastRowCap")
+  }
+
+  test("manifestRowCount: listing-keyed cache tracks appends, tombstones, version swaps") {
+    import spark.implicits._
+    // the broadcast-vs-shuffle bound must never serve a stale count
+    // after the manifest changes — each mutation class below changes
+    // the manifest DIRECTORY LISTING (append round: new part files;
+    // CoW delete: tombstone rewrite or append; compaction/vacuum:
+    // whole-version swap), which is the cache key
+    val root = freshLake("graft_mcount")
+    def actual(): Long = LogSync.manifest(spark, root).count()
+    val n0 = LogSync.manifestRowCount(spark, root)
+    assert(n0 == actual() && n0 > 0)
+    assert(LogSync.manifestRowCount(spark, root) == n0, "repeat read: cache hit")
+    // append round → new manifest part files
+    Tables.events(spark, sf).orderBy("event_id").limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        (col("event_id") % 100).cast("int").as("severity_number"),
+        concat(lit("x"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    assert(LogSync.manifestRowCount(spark, root) == actual(),
+      "an append round must invalidate the cached count")
+    assert(LogSync.manifestRowCount(spark, root) > n0)
+    // CoW delete → tombstone + replacement rows
+    LakeDml.delete(spark, root, col("span_id") === "e2")
+    assert(LogSync.manifestRowCount(spark, root) == actual(),
+      "a DML rewrite must invalidate the cached count")
   }
 }
