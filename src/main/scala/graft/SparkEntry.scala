@@ -208,6 +208,7 @@ object SparkEntry {
     "bpe_pairs"           -> ((s: SparkSession, d: String) => Bpe.pairs(s, d)),
     "bpe_train"           -> ((s: SparkSession, d: String) => Bpe.train(s, d)),
     "lake_cluster"        -> (LakeAnalytics.clusterWindow _),
+    "lake_rewrite_manifests" -> (LakeAnalytics.rewriteManSeverity _),
     "logs_histogram"      -> ((s: SparkSession, d: String) => LogAnalytics.histogram(s, d)),
     "corpus_stats"        -> (Curation.corpusStats _),
     "text_toxicity"       -> ((s: SparkSession, d: String) => TrainPrep.toxicity(s, d)),
@@ -2208,6 +2209,18 @@ object SparkEntry {
         |WHERE user_id % 10 = 3
         |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // REGISTRY REWRITE (LogCompact.rewriteManifests — Iceberg's
+    // rewrite_manifests for the control plane): both registries
+    // consolidated after three sync rounds + a MOR delete; the rewrite
+    // is metadata-only and row-preserving, so the table equals events
+    // minus the MOR-deleted slice — any lost registration or dropped
+    // delete entry breaks the hash
+    "lake_rewrite_manifests" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE NOT (user_id % 10 = 2 AND event_type = 'click')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "logs_histogram" ->
       """SELECT event_type, CAST(floor(value/25.0) AS BIGINT) AS bin,
         | round(CAST(floor(value/25.0) AS BIGINT)*25.0, 2) AS lo,

@@ -1027,6 +1027,47 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("severity_text"))
 
+  private val rewriteManBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose REGISTRIES were consolidated mid-life
+    * ([[graft.sources.LogCompact.rewriteManifests]] — Iceberg's
+    * `rewrite_manifests` for this lake's control plane): three sync
+    * rounds each APPEND manifest part-files (the reference's
+    * converter lands a batch every ~10 s — ~8 640 rounds/day, and an
+    * append-only lake never rewrites, so planning-time listing grows
+    * without bound), plus a MOR delete so the DELETE registry has
+    * rows too; then both registries rewrite into consolidated files,
+    * row-preserving (tombstones and delete entries included).
+    */
+  private[graft] def rewriteManRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(rewriteManBuilt, dir, "graft_lakerwman", spark) { root =>
+      val logs = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+      Seq((1, 10), (11, 20), (21, 31)).foreach { case (lo, hi) =>
+        LogWriter.write(logs.filter(dayofmonth(col("timestamp")).between(lo, hi)),
+          root, layout = LogWriter.DailyLayout)
+        LogSync.sync(spark, root)
+      }
+      graft.sources.LakeDml.deleteMor(spark, root,
+        col("service_name") === "svc-2" && col("severity_text") === "click")
+      val st = graft.sources.LogCompact.rewriteManifests(spark, root)
+      require(st.dataPartsAfter < st.dataPartsBefore,
+        s"fixture expected a real consolidation, got $st")
+    }
+
+  /** `lake_rewrite_manifests`: severity counts over the lake AFTER
+    * both registries were consolidated — the hash-match certifies the
+    * rewrite is row-preserving end to end (every registration
+    * survives, the MOR delete still applies through the rewritten
+    * delete registry); the spec asserts the part-file counts actually
+    * fell and time travel still resolves.
+    */
+  def rewriteManSeverity(spark: SparkSession, dir: String): DataFrame = {
+    LogSync.table(spark, rewriteManRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   private val mergedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake whose schema EVOLVED mid-life: the first half (days ≤ 15)

@@ -931,11 +931,19 @@ object LakeDml {
     if (entries.isEmpty) return 0
     val active = LogSync.activeManifest(spark, root)
       .select(LogSync.normPath(col("path")).as("__active"))
+    // the semi-join's build side is FILE-cardinality (one row per
+    // active registered file) — size-guarded like every other
+    // manifest-derived relation: broadcast under the row cap (the
+    // cached manifestRowCount bound), shuffle past it
+    val sizedActive =
+      if (LogSync.manifestRowCount(spark, root) <= LogSync.seqBroadcastRowCap(spark))
+        broadcast(active)
+      else active
     // a delete FILE stays live while ANY of its target files is active
     val live = spark.read.parquet(entries.map(_.path): _*)
       .select(LogSync.normPath(col("file_path")).as("__target"),
         LogSync.normPath(col("_metadata.file_path")).as("__del"))
-      .join(broadcast(active), col("__target") === col("__active"), "left_semi")
+      .join(sizedActive, col("__target") === col("__active"), "left_semi")
       .select(col("__del")).distinct().as[String].collect().toSet
     val dead = entries.map(e => LogSync.normPathStr(e.path)).toSet -- live
     if (dead.isEmpty) return 0

@@ -342,21 +342,14 @@ object LakeEvolve {
     // crashed writer's stale claim blocks later evolutions LOUDLY
     // (message says what to check), never silently.
     val claim = new Path(s"$root/_schema_log_claim_v${baseVersion + 1}")
-    // the claim carries a WRITER-UNIQUE token, re-read after create:
-    // on FSes whose no-overwrite create is really exists-then-create
-    // (RawLocalFileSystem, plain S3A) two racers can both "succeed" —
-    // the surviving content says who actually holds the claim, so at
-    // most one writer proceeds past here
+    // the claim carries a WRITER-UNIQUE token through the shared
+    // primitive ([[ClaimFile]]): ATOMIC create where the FS provides
+    // it (O_EXCL locally — Hadoop's no-overwrite create is
+    // exists-then-create there; server-side on HDFS), token re-read
+    // as the last line of defense on object stores without
+    // conditional create, where the window is narrowed, not closed
     val token = java.util.UUID.randomUUID().toString
-    def tryClaim(): Boolean =
-      try {
-        val o = fs.create(claim, false)
-        try o.write(token.getBytes("UTF-8")) finally o.close()
-        val in = fs.open(claim)
-        val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        got == token
-      }
-      catch { case _: java.io.IOException => false }
+    def tryClaim(): Boolean = ClaimFile.tryClaim(fs, claim, token)
     // CRASHED-WRITER JANITOR (vacuum's grace pattern): a claim older
     // than the grace whose TARGET never landed is crash residue — its
     // writer would have either committed (target exists → genuine

@@ -238,6 +238,94 @@ object LogCompact {
     } finally LogSync.releaseSeq(spark, reservation)
   }
 
+  case class ManifestRewriteStats(dataPartsBefore: Int, dataPartsAfter: Int,
+                                  deletePartsBefore: Int, deletePartsAfter: Int)
+
+  /** Consolidate the REGISTRIES' accumulated append part-files —
+    * Iceberg's `rewrite_manifests`, for the control plane instead of
+    * the data. Every [[LogSync.sync]] round and every DML commit
+    * APPENDS part-files to the current manifest dir (and MOR commits
+    * to the delete registry); compaction and vacuum swap whole new
+    * versions but only when they RUN — an append-only telemetry lake
+    * (the reference's converter lands a batch every ~10 s: ~8 640
+    * sync rounds/day) never rewrites, so after a month every read
+    * lists and footer-opens ~10⁵ tiny parquet parts at PLANNING time,
+    * pure driver latency the data scan never sees. This rewrites each
+    * registry into ceil(bytes / `targetBytes`) files, ROW-PRESERVING
+    * — active and tombstoned rows alike, so time travel, branches,
+    * and historic delete application are untouched; only the file
+    * count changes.
+    *
+    * Commit discipline: each registry swaps via its versioned CAS
+    * ([[LogSync.swapManifest]]/[[LogSync.swapDeleteManifest]] — a
+    * concurrent rewrite loses loudly), and the whole pass holds the
+    * SYNC LEASE: sync APPENDS to the current version dir without
+    * bumping the version, so the CAS alone cannot see an interleaved
+    * sync round — without the lease its freshly appended rows would
+    * vanish from the swapped copy (a lost registration). Other
+    * row-level writers stay excluded by the lake's single-writer
+    * rule, same as [[compact]]/[[vacuum]].
+    *
+    * Superseded registry versions age out through [[vacuum]]'s
+    * stale-dir sweep like any other swap's.
+    */
+  def rewriteManifests(spark: SparkSession, root: String,
+                       targetBytes: Long = 64L << 20): ManifestRewriteStats = {
+    require(LogSync.hasManifest(spark, root), s"no manifest under $root — run sync first")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(dir: String): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    LogSync.withSyncLease(spark, root) {
+      val (dBefore, dAfter) = rewriteDataManifestLocked(spark, root, targetBytes)
+      // the DELETE registry consolidates only in this EXPLICIT op,
+      // never from sync's auto-merge: MOR DML appends to it WITHOUT
+      // the sync lease, so only the documented single-maintenance-
+      // writer rule (same as compact/vacuum) makes this swap safe
+      val (delBefore, delAfter) =
+        if (!LogSync.hasDeleteManifest(spark, root)) (0, 0)
+        else {
+          val before = parts(LogSync.deleteManifestPath(spark, root))
+          val target = math.max(1L,
+            (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+          if (before.length <= target) (before.length, before.length)
+          else {
+            LogSync.swapDeleteManifest(spark, root,
+              LogSync.deleteManifestDf(spark, root).coalesce(target),
+              Some(LogSync.deleteManifestVersion(spark, root)))
+            (before.length,
+              parts(LogSync.deleteManifestPath(spark, root)).length)
+          }
+        }
+      ManifestRewriteStats(dBefore, dAfter, delBefore, delAfter)
+    }
+  }
+
+  /** The DATA-manifest leg of [[rewriteManifests]], callable while the
+    * sync lease is ALREADY HELD — [[LogSync.sync]]'s auto-merge hook
+    * (the lease is not re-entrant, and sync appends under it, so the
+    * swap cannot race another sync round). Returns (partsBefore,
+    * partsAfter).
+    */
+  private[sources] def rewriteDataManifestLocked(spark: SparkSession, root: String,
+                                                 targetBytes: Long = 64L << 20): (Int, Int) = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(dir: String): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parts(LogSync.manifestPath(spark, root))
+    val target = math.max(1L,
+      (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    if (before.length <= target) (before.length, before.length)
+    else {
+      LogSync.swapManifest(spark, root,
+        LogSync.manifestDf(spark, root).coalesce(target),
+        Some(LogSync.manifestVersion(spark, root)))
+      (before.length, parts(LogSync.manifestPath(spark, root)).length)
+    }
+  }
+
   /** Delete two classes of garbage, each after its own `graceMs`
     * window, and return the number of files removed:
     *

@@ -841,18 +841,13 @@ object LogSync {
     * lease older than `graft.lake.claimGraceMs`, default 15 min — a
     * sync round is minutes, not hours) is reclaimed once.
     */
-  private def withSyncLease[T](spark: SparkSession, root: String)(body: => T): T = {
+  private[sources] def withSyncLease[T](spark: SparkSession, root: String)(body: => T): T = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lease = new Path(s"$root/_sync_lease")
     val token = java.util.UUID.randomUUID().toString
-    def tryClaim(): Boolean =
-      try {
-        val o = fs.create(lease, false)
-        try o.write(token.getBytes("UTF-8")) finally o.close()
-        val in = fs.open(lease)
-        val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        got == token
-      } catch { case _: java.io.IOException => false }
+    // atomic where the FS allows (O_EXCL locally, server-side on
+    // HDFS) + token verify for the rest — see [[ClaimFile]]
+    def tryClaim(): Boolean = ClaimFile.tryClaim(fs, lease, token)
     val claimed = tryClaim() || {
       val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
         .map(_.toLong).getOrElse(15L * 60 * 1000)
@@ -912,6 +907,32 @@ object LogSync {
         LakeEvolve.recordAdds(spark, root, freshPaths.toSeq)
         freshManifestRows(spark, root, freshPaths.toSeq)
           .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
+        // SELF-DRIVING registry maintenance (Iceberg's
+        // commit.manifest-merge analog): every round appends one-plus
+        // part-files here, and an append-only lake otherwise NEVER
+        // consolidates — at the reference's ~10 s converter cadence
+        // that is ~8 640 parts/day of planning-time listing+footer
+        // opens on every read. Once the dir crosses
+        // `graft.lake.manifestMergeMinParts` (0 disables), rewrite it
+        // in place — the lease is already held, so the swap cannot
+        // race another sync; ROW-PRESERVING, so readers/CDC/travel
+        // see nothing (spec-pinned). DATA manifest only: MOR DML
+        // appends to the delete registry without this lease, so its
+        // consolidation stays in the explicit rewriteManifests op.
+        val minParts = spark.conf.getOption("graft.lake.manifestMergeMinParts")
+          .map(_.toInt).getOrElse(512)
+        if (minParts > 0) {
+          val mDir = new Path(manifestPath(spark, root))
+          val fsM = mDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val nParts =
+            try fsM.listStatus(mDir)
+              .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            catch { case _: java.io.IOException => 0 }
+          if (nParts >= minParts) {
+            LogCompact.rewriteDataManifestLocked(spark, root)
+            ()
+          }
+        }
       }
       freshPaths.length
     } finally fresh.unpersist()

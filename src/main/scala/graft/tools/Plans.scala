@@ -100,7 +100,9 @@ object Plans {
       "lake_evolve" -> "ID-BOUND rename + int→long promotion readback: ONE root scan under an explicit request schema (retired name at the widened type alongside the new), the alias fold a plain codegen'd coalesce projection — no second scan, no shuffle, no data rewritten; both phases (current + pre-evolution snapshot) are the same keep-set LeftSemi shape, unioned before one aggregate",
       "lake_spec_evolve" -> "TWO-SPEC chain readback (hourly→daily layout flip): explicit-file scan with directory inference OFF (mixed depths conflict structurally), per-file identity values from a broadcast manifest map, hour COALESCED map-value-over-data-column per generation — one scan, one broadcast join, one aggregate; no restatement ever happened, the hourly manifests ride carried under spec 0",
       "lake_evolve_stats" -> "STAT-AXIS rename readback: a zone-map-pruned window read whose manifest keep-set filtered min_ts/max_ts BEFORE the scan (the renamed axis moved only the NAME — the bounds are the field's values), then one root scan under the request schema with the service/time aliases folded by a codegen'd coalesce projection; the row filter binds the renamed axis, one aggregate, no extra scan or shuffle vs the un-renamed plan",
-      "lake_travel_schema" -> "SNAPSHOT-SCHEMA travel: two keep-set LeftSemi root scans (the anchor's registered-by-then set and the current set), the PRE phase under the as-of schema (dropped column requested explicitly, its bytes still on disk), the CUR phase under the post-drop schema — schema resolution is a memoized log parse, zero footer probes, both phases one aggregate each then a union")
+      "lake_travel_schema" -> "SNAPSHOT-SCHEMA travel: two keep-set LeftSemi root scans (the anchor's registered-by-then set and the current set), the PRE phase under the as-of schema (dropped column requested explicitly, its bytes still on disk), the CUR phase under the post-drop schema — schema resolution is a memoized log parse, zero footer probes, both phases one aggregate each then a union",
+      "lake_evolve_layout" -> "LAYOUT-COLUMN RENAME readback: the equality filter on the RENAMED name reaches the scan as a PartitionFilter on the PHYSICAL directory key (the alias is a plain rename projection the optimizer pushes through — never a per-file coalesce, which would kill pruning); otherwise the same pruned root scan + keep-set LeftSemi + one aggregate as an un-renamed lake — zero directories rewritten",
+      "lake_rewrite_manifests" -> "post-REGISTRY-REWRITE readback: the executed plan is the unchanged lake shape (root scan + keep-set LeftSemi + MOR position LeftAnti + aggregate) — the rewrite consolidated only the registries' part files, shrinking PLANNING-time listing/footer-opens from one-plus files per sync round to ceil(bytes/64MB) while the data plan stays byte-identical")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.ClaimFile
+
+/** The claim primitive behind the sync lease and the schema-log
+  * version claim. The property under test is the one the round-15
+  * sync-race spec caught failing ~1-in-3 before the O_EXCL fix: a
+  * token-verify-only claim is not linearizable on the local FS (two
+  * racers interleave create/write/close and each re-reads at a
+  * different instant — both see their own token), so N simultaneous
+  * claimers could admit MORE than one writer.
+  */
+class ClaimFileSpec extends SparkSpec {
+
+  test("tryClaim admits exactly one of N simultaneous racers, every round") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_claim").toString
+    (1 to 40).foreach { round =>
+      val claim = new Path(s"$dir/claim_$round")
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val racers = (1 to 8).map { i =>
+        Future { gate.await(); ClaimFile.tryClaim(fs, claim, s"tok-$round-$i") }
+      }
+      gate.countDown()
+      val got = Await.result(Future.sequence(racers), 60.seconds)
+      assert(got.count(identity) == 1,
+        s"round $round admitted ${got.count(identity)} writers (must be exactly 1)")
+    }
+  }
+
+  test("tryClaim: an existing claim refuses; released claim reclaims; content survives") {
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_claim2").toString
+    val claim = new Path(s"$dir/claim")
+    assert(ClaimFile.tryClaim(fs, claim, "alpha"))
+    // the holder's token is what survives on disk
+    val in = fs.open(claim)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(content == "alpha")
+    // a later claimer must lose against the live claim — and must NOT
+    // disturb the holder's token (the exists-then-create overwrite was
+    // exactly the pre-fix corruption)
+    assert(!ClaimFile.tryClaim(fs, claim, "beta"))
+    val in2 = fs.open(claim)
+    val content2 = try new String(in2.readAllBytes(), "UTF-8") finally in2.close()
+    assert(content2 == "alpha", "a losing claim must not clobber the holder's token")
+    // release → the next claim wins
+    fs.delete(claim, false)
+    assert(ClaimFile.tryClaim(fs, claim, "gamma"))
+  }
+}

@@ -1577,4 +1577,137 @@ class LakeSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/events.parquet").count(),
       "merged read must cover every row of both generations")
   }
+
+  test("rewriteManifests: registries consolidate row-preserving; reads, travel, MOR deletes intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_rwman").toString
+    def write(n: Int, skip: Int) = Tables.events(spark, sf).orderBy("event_id")
+      .offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"))
+      .repartition(4)
+      .write.mode("append").parquet(root)
+    // three sync rounds: each APPENDS its own manifest part-files —
+    // the unbounded planning-time growth rewriteManifests curbs
+    write(40, 0); LogSync.sync(spark, root)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis()); Thread.sleep(1100)
+    write(30, 40); LogSync.sync(spark, root)
+    write(30, 70); LogSync.sync(spark, root)
+    // two MOR commits populate the DELETE registry with two parts; a
+    // CoW delete leaves a manifest tombstone the rewrite must keep
+    graft.sources.LakeDml.deleteMor(spark, root, col("span_id") === "e5")
+    graft.sources.LakeDml.deleteMor(spark, root, col("span_id") === "e9")
+    graft.sources.LakeDml.delete(spark, root, col("span_id") === "e7")
+    val liveBefore = LogSync.table(spark, root)
+      .select("span_id").as[String].collect().toSet
+    assert(liveBefore.size == 97)
+    val asOfBefore = LogSync.tableAsOf(spark, root, cut).count()
+    val regBefore = LogSync.manifest(spark, root)
+      .select(col("path"), col("removed_at").isNull.as("live")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sorted.toSeq
+
+    val st = graft.sources.LogCompact.rewriteManifests(spark, root)
+    assert(st.dataPartsBefore > st.dataPartsAfter && st.dataPartsAfter >= 1, s"$st")
+    assert(st.deletePartsBefore > st.deletePartsAfter && st.deletePartsAfter >= 1,
+      s"two MOR commits must leave a consolidatable delete registry: $st")
+
+    // row-preserving: live rows, the historic snapshot, every registry
+    // row (tombstones included), and both MOR deletes all survive
+    assert(LogSync.table(spark, root)
+      .select("span_id").as[String].collect().toSet == liveBefore)
+    assert(LogSync.tableAsOf(spark, root, cut).count() == asOfBefore,
+      "time travel must resolve identically through the rewritten registry")
+    val regAfter = LogSync.manifest(spark, root)
+      .select(col("path"), col("removed_at").isNull.as("live")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sorted.toSeq
+    assert(regAfter == regBefore, "the rewrite must not change a registry row")
+
+    // already-consolidated registries are a no-op (no version churn)
+    val st2 = graft.sources.LogCompact.rewriteManifests(spark, root)
+    assert(st2.dataPartsBefore == st2.dataPartsAfter &&
+      st2.deletePartsBefore == st2.deletePartsAfter, s"$st2")
+
+    // the sync lease released: ingest continues, reads stay whole
+    write(10, 100); LogSync.sync(spark, root)
+    assert(LogSync.table(spark, root).count() == 107)
+  }
+
+  test("rewriteManifests is invisible to incremental consumers (CDC poll, tableSince)") {
+    import graft.streaming.LakeFollow
+    val root = Files.createTempDirectory("graft_rwman_cdc").toString
+    val marks = Files.createTempDirectory("graft_rwman_marks").toString
+    def write(n: Int, skip: Int): Unit = Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("event_id"), col("ts").as("timestamp"),
+        lit("svc").as("service_name"), col("props").as("body"))
+      .repartition(3)
+      .write.mode("append").parquet(root)
+    write(50, 0); LogSync.sync(spark, root)
+    write(20, 50); LogSync.sync(spark, root)
+    // drain the consumer to caught-up
+    val inc0 = LakeFollow.poll(spark, root, marks).get
+    assert(inc0.rows.count() == 70)
+    LakeFollow.commit(spark, root, marks, inc0)
+    val mark = LogSync.highWaterMark(spark, root).get
+    // the rewrite changes not one registry ROW — a CDC consumer and an
+    // incremental reader must both see nothing new (a rewrite that
+    // re-emitted the lake would double every downstream pipeline)
+    val st = graft.sources.LogCompact.rewriteManifests(spark, root)
+    assert(st.dataPartsBefore > st.dataPartsAfter)
+    assert(LakeFollow.poll(spark, root, marks).isEmpty,
+      "a registry rewrite must emit nothing to CDC")
+    assert(LogSync.tableSince(spark, root, mark).count() == 0,
+      "a registry rewrite must be invisible to tableSince")
+    // and the NEXT real append still lands exactly once
+    write(15, 70); LogSync.sync(spark, root)
+    val inc1 = LakeFollow.poll(spark, root, marks).get
+    assert(inc1.rows.count() == 15)
+    LakeFollow.commit(spark, root, marks, inc1)
+    assert(LakeFollow.poll(spark, root, marks).isEmpty)
+    assert(LogSync.tableSince(spark, root, mark).count() == 15)
+  }
+
+  test("sync auto-merges the manifest past manifestMergeMinParts; delete registry untouched") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def currentManifestDir(root: String): org.apache.hadoop.fs.Path =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+        .filter(p => p.getName == "_manifest" || p.getName.matches("_manifest_v[0-9]+"))
+        .maxBy(p => if (p.getName == "_manifest") 0
+          else p.getName.stripPrefix("_manifest_v").toInt)
+    def manifestParts(root: String): Int =
+      fs.listStatus(currentManifestDir(root))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    def dmanifestDirs(root: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .count(_.getPath.getName.matches("_dmanifest(_v[0-9]+)?"))
+    val root = Files.createTempDirectory("graft_automerge").toString
+    def write(n: Int, skip: Int): Unit = Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("event_id"), col("ts").as("timestamp"),
+        lit("svc").as("service_name"), col("props").as("body"))
+      .repartition(2)
+      .write.mode("append").parquet(root)
+    spark.conf.set("graft.lake.manifestMergeMinParts", "4")
+    try {
+      // each round appends 2 registry part-files; without the
+      // auto-merge the dir would grow 2-per-round forever — with the
+      // threshold at 4 it consolidates whenever a round lands on or
+      // past it, so the count stays bounded by minParts + per-round
+      // arrivals across ANY number of rounds
+      (0 until 5).foreach { i => write(20, i * 20); LogSync.sync(spark, root) }
+      assert(manifestParts(root) <= 3,
+        s"auto-merge must keep the registry bounded, got ${manifestParts(root)} parts")
+      // a MOR delete's registry is NOT auto-merged (its appenders
+      // don't hold the sync lease — only the explicit op touches it)
+      graft.sources.LakeDml.deleteMor(spark, root, col("event_id") === lit(3L))
+      val dDirs = dmanifestDirs(root)
+      write(20, 100); LogSync.sync(spark, root)
+      assert(dmanifestDirs(root) == dDirs,
+        "sync's auto-merge must never swap the delete registry")
+      // row-preserving through every merge, delete still applied
+      assert(LogSync.table(spark, root).count() == 119)
+    } finally spark.conf.unset("graft.lake.manifestMergeMinParts")
+  }
 }
