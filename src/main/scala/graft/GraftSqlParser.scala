@@ -21,6 +21,9 @@ import graft.sources.LakeEvolve
   *   ALTER LAKE '<root>' RENAME COLUMN <old> TO <new>
   *   ALTER LAKE '<root>' ALTER COLUMN <name> TYPE BIGINT|DOUBLE
   *   ALTER LAKE '<root>' DROP COLUMN <name>
+  *   MAINTAIN LAKE '<root>' COMPACT
+  *   MAINTAIN LAKE '<root>' VACUUM
+  *   MAINTAIN LAKE '<root>' REWRITE MANIFESTS
   * }}}
   *
   * Each statement plans to a driver-side command that calls the same
@@ -67,12 +70,25 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
   private val Drop =
     """(?is)\s*ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  // maintenance: the OPTIMIZE/VACUUM surface (what the reference's
+  // SQL-first user gets from their warehouse) over the same ops the
+  // Scala API exposes — each returns its stats as rows so a SQL
+  // session can see what happened
+  private val Compact =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+COMPACT\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+VACUUM\s*;?\s*""".r
+  private val RewriteMan =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+REWRITE\s+MANIFESTS\s*;?\s*""".r
 
   private[graft] def command(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Rename(root, from, to) => Some(GraftLakeAlter(root, "rename", from, to))
       case Promote(root, name, tpe) => Some(GraftLakeAlter(root, "promote", name, tpe))
       case Drop(root, name) => Some(GraftLakeAlter(root, "drop", name, ""))
+      case Compact(root) => Some(GraftLakeMaintain(root, "compact"))
+      case Vacuum(root) => Some(GraftLakeMaintain(root, "vacuum"))
+      case RewriteMan(root) => Some(GraftLakeMaintain(root, "rewrite_manifests"))
       case _ => None
     }
 }
@@ -102,5 +118,36 @@ case class GraftLakeAlter(root: String, op: String, a: String, b: String)
       case other => throw new IllegalStateException(s"unknown lake ALTER '$other'")
     }
     Seq.empty
+  }
+}
+
+/** Driver-side maintenance command (`MAINTAIN LAKE '<root>' COMPACT |
+  * VACUUM | REWRITE MANIFESTS`) — same ops as the Scala API
+  * ([[graft.sources.LogCompact]]), with the op's stats surfaced as
+  * result rows so a SQL session sees what happened.
+  */
+case class GraftLakeMaintain(root: String, op: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("stat", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("value", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = op match {
+    case "compact" =>
+      val st = graft.sources.LogCompact.compact(session, root)
+      Seq(Row("files_before", st.filesBefore), Row("files_after", st.filesAfter))
+    case "vacuum" =>
+      val n = graft.sources.LogCompact.vacuum(session, root)
+      Seq(Row("files_removed", n.toLong))
+    case "rewrite_manifests" =>
+      val st = graft.sources.LogCompact.rewriteManifests(session, root)
+      Seq(Row("data_parts_before", st.dataPartsBefore.toLong),
+        Row("data_parts_after", st.dataPartsAfter.toLong),
+        Row("delete_parts_before", st.deletePartsBefore.toLong),
+        Row("delete_parts_after", st.deletePartsAfter.toLong))
+    case other => throw new IllegalStateException(s"unknown lake MAINTAIN '$other'")
   }
 }

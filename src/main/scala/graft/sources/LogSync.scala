@@ -41,7 +41,7 @@ object LogSync {
     */
   private val ManifestVersionRe = "_manifest_v([0-9]+)".r
 
-  private[sources] def manifestVersion(spark: SparkSession, root: String): Int = {
+  private[graft] def manifestVersion(spark: SparkSession, root: String): Int = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root))) return 0
     fs.listStatus(new Path(root)).flatMap { st =>
@@ -77,11 +77,19 @@ object LogSync {
     * `expectVersion` is the CAS guard: the version the writer READ
     * when it planned the rewrite it is now committing. The swap
     * refuses — loudly, with [[ManifestConflictException]] — when the
-    * live version moved past it, and the target-exists check on the
-    * rename narrows the remaining race to the rename itself (atomic
-    * on the filesystems this lake targets). Callers that rewrite the
-    * manifest from a read snapshot MUST pass it; None is reserved for
-    * flows that append-then-swap within one already-guarded commit.
+    * live version moved past it. The target VERSION is then CLAIMED
+    * through [[ClaimFile]] (atomic create + token verify — the
+    * schema-log commit discipline) before any staging write: two
+    * racers that both planned against version N and both passed the
+    * exists check used to both rename into `_manifest_v(N+1)`, the
+    * second silently replacing the first's committed rows on
+    * rename-replaces filesystems (local, S3A). Now at most one
+    * passes the claim; the loser throws. A CRASHED winner's claim
+    * (target absent, older than `graft.lake.claimGraceMs`) is
+    * janitored once, like the schema log's. Callers that rewrite the
+    * manifest from a read snapshot MUST pass `expectVersion`; None is
+    * reserved for flows that append-then-swap within one
+    * already-guarded commit.
     *
     * Honest scope: the CAS catches interleaved REWRITES (DML, compact,
     * vacuum — the lost-manifest failure). A concurrent [[sync]] APPEND
@@ -90,28 +98,68 @@ object LogSync {
     * share the single-writer rule (one maintenance owner per lake),
     * as they do in the reference's sync daemon.
     */
-  private[sources] def swapManifest(spark: SparkSession, root: String,
-                                    next: DataFrame,
-                                    expectVersion: Option[Int] = None): Unit = {
+  private[graft] def swapManifest(spark: SparkSession, root: String,
+                                  next: DataFrame,
+                                  expectVersion: Option[Int] = None): Unit =
+    casSwapDir(spark, root, next, expectVersion,
+      kind = "manifest", dirOf = v => s"$root/_manifest_v$v",
+      staging = s"$root/_manifest_swap", versionOf = manifestVersion)
+
+  /** The shared claim-then-rename commit of both versioned registries:
+    * plan-version CAS, [[ClaimFile]] claim of the target version,
+    * in-claim re-check (a racer may have committed between plan and
+    * claim), staging write INSIDE the claim (losers never pay it),
+    * atomic dir rename, claim released. Crash residue: a claim whose
+    * target never landed janitors after `graft.lake.claimGraceMs`.
+    */
+  private def casSwapDir(spark: SparkSession, root: String, next: DataFrame,
+                         expectVersion: Option[Int],
+                         kind: String, dirOf: Int => String, staging: String,
+                         versionOf: (SparkSession, String) => Int): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = manifestVersion(spark, root)
+    val cur = versionOf(spark, root)
     expectVersion.foreach { v =>
       if (cur != v) throw new ManifestConflictException(
-        s"manifest swap conflict under $root: planned against version $v but " +
+        s"$kind swap conflict under $root: planned against version $v but " +
           s"found $cur — another writer committed since (the lake is " +
-          "single-writer); re-plan the operation against the new manifest " +
+          s"single-writer); re-plan the operation against the new $kind " +
           "and retry")
     }
     val vNext = cur + 1
-    val staging = new Path(s"$root/_manifest_swap")
-    fs.delete(staging, true)
-    next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val target = new Path(s"$root/_manifest_v$vNext")
-    if (fs.exists(target)) throw new ManifestConflictException(
-      s"manifest swap conflict under $root: version $vNext already exists — " +
-        "another writer won the race; re-plan and retry")
-    require(fs.rename(staging, target),
-      s"manifest swap rename failed under $root")
+    val target = new Path(dirOf(vNext))
+    val claim = new Path(dirOf(vNext) + "_claim")
+    val token = java.util.UUID.randomUUID().toString
+    val claimed = ClaimFile.tryClaim(fs, claim, token) || {
+      val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
+        .map(_.toLong).getOrElse(15L * 60 * 1000)
+      val stale =
+        try fs.exists(claim) && !fs.exists(target) &&
+          fs.getFileStatus(claim).getModificationTime <
+            System.currentTimeMillis() - graceMs
+        catch { case _: java.io.IOException => false }
+      stale && { fs.delete(claim, false); ClaimFile.tryClaim(fs, claim, token) }
+    }
+    if (!claimed) throw new ManifestConflictException(
+      s"$kind swap conflict under $root: version $vNext is claimed — " +
+        "another writer won the race; re-plan and retry (a CRASHED " +
+        "writer's claim auto-reclaims after graft.lake.claimGraceMs " +
+        "once its target version is verifiably absent)")
+    try {
+      // in-claim re-check: a racer may have COMMITTED (not just
+      // claimed) between our plan read and our claim
+      val cur2 = versionOf(spark, root)
+      if (cur2 != cur) throw new ManifestConflictException(
+        s"$kind swap conflict under $root: version moved $cur -> $cur2 " +
+          "while claiming; re-plan and retry")
+      if (fs.exists(target)) throw new ManifestConflictException(
+        s"$kind swap conflict under $root: version $vNext already exists — " +
+          "another writer won the race; re-plan and retry")
+      val stagingPath = new Path(staging)
+      fs.delete(stagingPath, true)
+      next.write.mode(SaveMode.Overwrite).parquet(staging)
+      require(fs.rename(stagingPath, target),
+        s"$kind swap rename failed under $root")
+    } finally { fs.delete(claim, false); () }
   }
 
   /** Data dirs of every manifest version EXCEPT the current one (the
@@ -344,31 +392,15 @@ object LogSync {
     rows.select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
       .write.mode(SaveMode.Append).parquet(deleteManifestPath(spark, root))
 
-  /** [[swapManifest]]'s CAS discipline for the delete registry:
-    * `expectVersion` is the registry version the rewrite planned
-    * against; the target-exists check narrows the rename race.
+  /** [[swapManifest]]'s claim-then-rename CAS discipline for the
+    * delete registry — the same [[casSwapDir]] commit.
     */
   private[sources] def swapDeleteManifest(spark: SparkSession, root: String,
                                           next: DataFrame,
-                                          expectVersion: Option[Int] = None): Unit = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = deleteManifestVersion(spark, root)
-    expectVersion.foreach { v =>
-      if (cur != v) throw new ManifestConflictException(
-        s"delete-manifest swap conflict under $root: planned against version " +
-          s"$v but found $cur — another writer committed since; re-plan and retry")
-    }
-    val vNext = cur + 1
-    val staging = new Path(s"$root/_dmanifest_swap")
-    fs.delete(staging, true)
-    next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val target = new Path(s"$root/_dmanifest_v$vNext")
-    if (fs.exists(target)) throw new ManifestConflictException(
-      s"delete-manifest swap conflict under $root: version $vNext already " +
-        "exists — another writer won the race; re-plan and retry")
-    require(fs.rename(staging, target),
-      s"delete-manifest swap rename failed under $root")
-  }
+                                          expectVersion: Option[Int] = None): Unit =
+    casSwapDir(spark, root, next, expectVersion,
+      kind = "delete-manifest", dirOf = v => s"$root/_dmanifest_v$v",
+      staging = s"$root/_dmanifest_swap", versionOf = deleteManifestVersion)
 
   /** Tombstone the registry rows for exactly `paths` in ONE CAS swap
     * — the shared retire step of [[LakeDml.compactDeletes]],

@@ -103,4 +103,45 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(prior)
     }
   }
+
+  test("MAINTAIN LAKE from plain SQL: compact, rewrite manifests, vacuum — stats as rows") {
+    val prior = spark
+    assert(prior != null)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val root = Files.createTempDirectory("graft_sqlmaint").toString
+      def write(n: Int, skip: Int): Unit = graft.sources.Tables.events(s2, sf)
+        .orderBy(col("event_id")).offset(skip).limit(n)
+        .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+          col("props").as("body"))
+        .repartition(3).write.mode("append").parquet(root)
+      write(40, 0); graft.sources.LogSync.sync(s2, root)
+      write(40, 40); graft.sources.LogSync.sync(s2, root)
+      // registry rewrite: part counts surface as (stat, value) rows
+      val rw = s2.sql(s"MAINTAIN LAKE '$root' REWRITE MANIFESTS").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rw("data_parts_before") > rw("data_parts_after"),
+        s"SQL rewrite must consolidate: $rw")
+      // small-file compaction through SQL — same op as LogCompact.compact
+      val c = s2.sql(s"MAINTAIN LAKE '$root' COMPACT").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c("files_before") > c("files_after"), s"SQL compact must consolidate: $c")
+      assert(graft.sources.LogSync.table(s2, root).count() == 80)
+      // vacuum runs (default grace keeps the fresh tombstones' files —
+      // 0 removed is the CORRECT answer seconds after a compaction)
+      val v = s2.sql(s"MAINTAIN LAKE '$root' VACUUM").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(v.get("files_removed").exists(_ >= 0L))
+      assert(graft.sources.LogSync.table(s2, root).count() == 80)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
 }

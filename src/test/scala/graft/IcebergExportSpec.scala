@@ -713,4 +713,28 @@ class IcebergExportSpec extends SparkSpec {
       "shuffle-join attach must equal the broadcast attach row-for-row")
     finally spark.conf.unset("graft.lake.seqBroadcastRowCap")
   }
+
+  test("a registry rewrite between exports does not force a restatement — deltas keep chaining") {
+    // rewriteManifests swaps the LAKE's registry versions but touches
+    // no DATA file: the export's carried state binds data-file URIs,
+    // so the next export must see zero removed files and chain a
+    // plain delta (an O(lake) restatement per registry rewrite would
+    // make routine maintenance unaffordable at 100 TB)
+    val root = buildLake()
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.snapshots(spark, root).length == 1)
+    val st = graft.sources.LogCompact.rewriteManifests(spark, root)
+    assert(st.dataPartsAfter <= st.dataPartsBefore)
+    Tables.events(spark, sf).orderBy(col("event_id")).offset(300).limit(50)
+      .select(col("ts").as("timestamp"),
+        concat(lit("s"), col("user_id") % 3).as("service_name"),
+        col("props").as("body"))
+      .write.partitionBy("service_name").mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) >= 1)
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.snapshots(spark, root).length == 2,
+      "the post-rewrite export must chain as a delta, not restate")
+    assert(IcebergExport.readTable(spark, root).count() ==
+      LogSync.table(spark, root).count())
+  }
 }

@@ -1710,4 +1710,44 @@ class LakeSpec extends SparkSpec {
       assert(LogSync.table(spark, root).count() == 119)
     } finally spark.conf.unset("graft.lake.manifestMergeMinParts")
   }
+
+  test("concurrent manifest swaps: the version claim admits one; the loser fails loudly") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    // two rewriters that both planned against the same version: the
+    // exists-then-rename window used to let the second rename REPLACE
+    // the first's committed dir on rename-replaces filesystems — the
+    // claim (atomic create + token verify) admits exactly one
+    val root = Files.createTempDirectory("graft_swaprace").toString
+    Tables.events(spark, sf).orderBy("event_id").limit(40)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    val before = LogSync.manifest(spark, root).collect().map(_.toString).sorted.toSeq
+    val planned = LogSync.manifestVersion(spark, root)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val racers = (1 to 2).map { _ =>
+      Future {
+        gate.await()
+        scala.util.Try(LogSync.swapManifest(spark, root,
+          LogSync.manifest(spark, root), Some(planned)))
+      }
+    }
+    gate.countDown()
+    val results = Await.result(Future.sequence(racers), 120.seconds)
+    assert(results.count(_.isSuccess) == 1,
+      s"exactly one swap must win, got ${results.count(_.isSuccess)}")
+    results.collect { case scala.util.Failure(e) => e }.foreach { e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException] &&
+        e.getMessage.contains("swap conflict"),
+        s"the loser must fail loudly with a conflict, got: $e")
+    }
+    assert(LogSync.manifestVersion(spark, root) == planned + 1,
+      "exactly one version advance")
+    val after = LogSync.manifest(spark, root).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "the winning swap must carry every registry row")
+    assert(LogSync.table(spark, root).count() == 40)
+  }
 }
