@@ -412,6 +412,25 @@ object LogCompact {
         .filter(_.getModificationTime <= cutoffMs)
         .foreach { s => fs.delete(s.getPath, false); () }
     }
+    // COMMITTED-claim residue: a writer that crashed BETWEEN its
+    // commit rename and its claim release leaves a claim file whose
+    // TARGET VERSION exists — dead weight that no later writer's
+    // janitor touches (those reclaim only target-ABSENT claims, the
+    // loud-loser gate, which this sweep deliberately leaves alone).
+    // Aged like every other crash leftover.
+    val SchemaClaimRe = "_schema_log_claim_v([0-9]+)".r
+    val SwapClaimRe = "(_manifest|_dmanifest)_v([0-9]+)_claim".r
+    fs.listStatus(new Path(root)).iterator
+      .filter(s => s.isFile && s.getModificationTime <= cutoffMs)
+      .foreach { s =>
+        s.getPath.getName match {
+          case SchemaClaimRe(v) if fs.exists(new Path(s"$root/_schema_log_v$v")) =>
+            fs.delete(s.getPath, false); ()
+          case SwapClaimRe(p, v) if fs.exists(new Path(s"$root/${p}_v$v")) =>
+            fs.delete(s.getPath, false); ()
+          case _ => ()
+        }
+      }
     val pendingDir = new Path(LogSync.pendingDmlDir(root))
     if (fs.exists(pendingDir)) {
       import spark.implicits._

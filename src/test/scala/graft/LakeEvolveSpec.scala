@@ -913,6 +913,41 @@ class LakeEvolveSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lake.seqBroadcastRowCap")
   }
 
+  test("vacuum sweeps committed-claim residue; target-absent claims survive (loud-loser gate)") {
+    val root = freshLake("graft_claimres")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def residue(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val o = fs.create(p, true); o.write("crashed".getBytes("UTF-8")); o.close()
+      // age it past the vacuum grace — the sweep treats claims like
+      // every other crash leftover
+      fs.setTimes(p, System.currentTimeMillis() - 16L * 60 * 1000, -1)
+      p
+    }
+    // mint real targets: a rename lands _schema_log_v1, a CoW delete
+    // swaps _manifest_v1
+    LakeEvolve.renameColumn(spark, root, "severity_text", "severity")
+    LakeDml.delete(spark, root, col("span_id") === "e2")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_schema_log_v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifest_v1")))
+    // committed-claim residue (target EXISTS): crash fell between the
+    // commit rename and the claim release — vacuum sweeps these
+    val deadSchema = residue("_schema_log_claim_v1")
+    val deadSwap = residue("_manifest_v1_claim")
+    // target-ABSENT claim: the loud-loser gate a live (or crashed
+    // pre-commit) writer relies on — vacuum must NOT touch it, only
+    // the next writer's own grace janitor may
+    val gate = residue("_schema_log_claim_v99")
+    graft.sources.LogCompact.vacuum(spark, root)
+    assert(!fs.exists(deadSchema), "committed schema-log claim must sweep")
+    assert(!fs.exists(deadSwap), "committed manifest-swap claim must sweep")
+    assert(fs.exists(gate), "a target-absent claim is a live gate, not residue")
+    // the lake stayed whole
+    assert(LogSync.table(spark, root).count() == 79)
+    fs.delete(gate, false)
+  }
+
   test("manifestRowCount: listing-keyed cache tracks appends, tombstones, version swaps") {
     import spark.implicits._
     // the broadcast-vs-shuffle bound must never serve a stale count
