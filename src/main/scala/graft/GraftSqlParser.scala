@@ -21,9 +21,11 @@ import graft.sources.LakeEvolve
   *   ALTER LAKE '<root>' RENAME COLUMN <old> TO <new>
   *   ALTER LAKE '<root>' ALTER COLUMN <name> TYPE BIGINT|DOUBLE
   *   ALTER LAKE '<root>' DROP COLUMN <name>
+  *   MAINTAIN LAKE '<root>' SYNC
   *   MAINTAIN LAKE '<root>' COMPACT
   *   MAINTAIN LAKE '<root>' VACUUM
   *   MAINTAIN LAKE '<root>' REWRITE MANIFESTS
+  *   MAINTAIN LAKE '<root>' EXPORT ICEBERG
   * }}}
   *
   * Each statement plans to a driver-side command that calls the same
@@ -80,6 +82,10 @@ object GraftSqlParser {
     """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+VACUUM\s*;?\s*""".r
   private val RewriteMan =
     """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+REWRITE\s+MANIFESTS\s*;?\s*""".r
+  private val Sync =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+SYNC\s*;?\s*""".r
+  private val ExportIce =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+EXPORT\s+ICEBERG\s*;?\s*""".r
 
   private[graft] def command(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -89,6 +95,8 @@ object GraftSqlParser {
       case Compact(root) => Some(GraftLakeMaintain(root, "compact"))
       case Vacuum(root) => Some(GraftLakeMaintain(root, "vacuum"))
       case RewriteMan(root) => Some(GraftLakeMaintain(root, "rewrite_manifests"))
+      case Sync(root) => Some(GraftLakeMaintain(root, "sync"))
+      case ExportIce(root) => Some(GraftLakeExport(root))
       case _ => None
     }
 }
@@ -136,6 +144,9 @@ case class GraftLakeMaintain(root: String, op: String)
     AttributeReference("value", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = op match {
+    case "sync" =>
+      val n = graft.sources.LogSync.sync(session, root)
+      Seq(Row("files_registered", n.toLong))
     case "compact" =>
       val st = graft.sources.LogCompact.compact(session, root)
       Seq(Row("files_before", st.filesBefore), Row("files_after", st.filesAfter))
@@ -150,4 +161,20 @@ case class GraftLakeMaintain(root: String, op: String)
         Row("delete_parts_after", st.deletePartsAfter.toLong))
     case other => throw new IllegalStateException(s"unknown lake MAINTAIN '$other'")
   }
+}
+
+/** `MAINTAIN LAKE '<root>' EXPORT ICEBERG`: run the Iceberg metadata
+  * export ([[graft.sources.IcebergExport.export]]) and return the
+  * committed metadata location — the same value the Scala API hands a
+  * catalog registration.
+  */
+case class GraftLakeExport(root: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("metadata_location",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.IcebergExport.export(session, root)))
 }

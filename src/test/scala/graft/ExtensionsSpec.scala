@@ -121,8 +121,13 @@ class ExtensionsSpec extends SparkSpec {
         .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
           col("props").as("body"))
         .repartition(3).write.mode("append").parquet(root)
-      write(40, 0); graft.sources.LogSync.sync(s2, root)
-      write(40, 40); graft.sources.LogSync.sync(s2, root)
+      // registration itself drives through SQL — the full lifecycle
+      // (sync -> maintain -> export) without a line of Scala
+      write(40, 0)
+      val n1 = s2.sql(s"MAINTAIN LAKE '$root' SYNC").collect()
+      assert(n1.head.getString(0) == "files_registered" && n1.head.getLong(1) > 0)
+      write(40, 40)
+      assert(s2.sql(s"MAINTAIN LAKE '$root' SYNC").collect().head.getLong(1) > 0)
       // registry rewrite: part counts surface as (stat, value) rows
       val rw = s2.sql(s"MAINTAIN LAKE '$root' REWRITE MANIFESTS").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -139,6 +144,12 @@ class ExtensionsSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(v.get("files_removed").exists(_ >= 0L))
       assert(graft.sources.LogSync.table(s2, root).count() == 80)
+      // the Iceberg export from SQL returns the committed metadata
+      // location, and the exported chain serves the same table
+      val loc = s2.sql(s"MAINTAIN LAKE '$root' EXPORT ICEBERG").collect()
+        .head.getString(0)
+      assert(loc.contains("metadata"), loc)
+      assert(graft.sources.IcebergExport.readTable(s2, root).count() == 80)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
