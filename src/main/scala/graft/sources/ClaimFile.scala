@@ -4,43 +4,149 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The shared no-overwrite CLAIM primitive behind every single-writer
   * gate in the lake machinery (the schema-log version claim, the sync
-  * lease): create a file carrying a writer-unique token, and hold the
-  * claim only when the surviving content is YOUR token.
+  * lease, the DML lease): create a file carrying a writer-unique
+  * token, and hold the claim only when the surviving content is YOUR
+  * token.
   *
-  * The create must be ATOMIC where the filesystem can provide it.
-  * Hadoop's RawLocalFileSystem implements `create(overwrite = false)`
-  * as exists-then-create — two racers can BOTH pass the exists check,
-  * then interleave create/write/close so that each re-reads the file
-  * at a different instant and each sees its own token: a double
-  * claim, which for the sync lease means two concurrent manifest
-  * APPEND jobs sharing one `_temporary` dir (one commit deletes it
-  * under the other). Local paths therefore claim through NIO's
-  * `Files.createFile` — O_EXCL, genuinely atomic on POSIX — and HDFS
-  * through `create(overwrite = false)`, atomic server-side. The
-  * token re-read stays as the last line of defense for object stores
-  * without conditional create (plain S3A), where the window is
-  * narrowed, not closed — documented at both call sites.
+  * The create must be ATOMIC where the filesystem can provide it, and
+  * WHICH mechanism provides it is a per-scheme decision — the
+  * conditional-create STRATEGY. Claim semantics by scheme:
+  *
+  * | scheme      | create mechanism                  | atomic?             | owned-failure cleanup |
+  * |-------------|-----------------------------------|---------------------|-----------------------|
+  * | `file`      | NIO `Files.createFile` (O_EXCL)   | yes (POSIX)         | yes — create success proves ownership |
+  * | `hdfs`      | `create(overwrite=false)`         | yes (server-side)   | yes — stream acquisition proves ownership |
+  * | plain `s3a` | `create(overwrite=false)`         | NO — exists-then-create; window NARROWED by the token re-read, not closed | no — ownership unprovable, a failure-path delete could retire ANOTHER racer's claim |
+  * | stores with conditional PUT (S3 If-None-Match) | [[register]] a strategy | per strategy | per strategy |
+  *
+  * Why the scheme matters: Hadoop's RawLocalFileSystem implements
+  * `create(overwrite = false)` as exists-then-create — two racers can
+  * BOTH pass the exists check, then interleave create/write/close so
+  * that each re-reads the file at a different instant and each sees
+  * its own token: a double claim, which for the sync lease means two
+  * concurrent manifest APPEND jobs sharing one `_temporary` dir (one
+  * commit deletes it under the other). Local paths therefore claim
+  * through O_EXCL; HDFS through its server-side atomic create. For
+  * object stores without conditional create the token re-read stays
+  * as the last line of defense — documented at the call sites. Stores
+  * that DO support conditional create (S3 now has If-None-Match PUT)
+  * can close the window by [[register]]ing a strategy for their
+  * scheme; untestable in this sandbox (no object-store connector
+  * jars), so the seam is the deliverable, not a certified binding.
   */
 private[graft] object ClaimFile {
+
+  /** A per-scheme conditional create: write `token` to `claim` iff the
+    * file does not exist; return true only when THIS caller created
+    * and fully wrote it. A strategy that can prove ownership (atomic
+    * create) must remove the claim on a failed write before returning
+    * false — a half-written husk it provably owns would otherwise
+    * block every claimer for the full `claimGraceMs` window with a
+    * misleading "another writer won". A strategy that cannot prove
+    * ownership must NOT delete on failure (it might retire another
+    * racer's live claim) — it narrows, the token re-read decides.
+    */
+  type Strategy = (FileSystem, Path, Array[Byte]) => Boolean
+
+  private val strategies =
+    new java.util.concurrent.ConcurrentHashMap[String, Strategy]()
+
+  /** Plug a conditional-create strategy for a scheme (e.g. an
+    * If-None-Match PUT binding for a versioned object store). Wins
+    * over the built-in default for that scheme.
+    */
+  def register(scheme: String, s: Strategy): Unit = { strategies.put(scheme, s); () }
+
+  /** O_EXCL via NIO — genuinely atomic on POSIX. Create success proves
+    * ownership, so any later failure deletes the claim before
+    * reporting false (the failure path must not strand a husk).
+    */
+  private val localStrategy: Strategy = (_, claim, bytes) => {
+    val p = java.nio.file.Paths.get(claim.toUri.getPath)
+    val created =
+      try { java.nio.file.Files.createFile(p); true }
+      catch { case _: java.io.IOException => false }
+    created && {
+      try { java.nio.file.Files.write(p, bytes); true }
+      catch { case _: java.io.IOException =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => false }
+        false
+      }
+    }
+  }
+
+  /** `create(overwrite = false)` with owned-failure cleanup — correct
+    * where the create is atomic server-side (HDFS): acquiring the
+    * stream proves ownership.
+    */
+  private val ownedCreateStrategy: Strategy = (fs, claim, bytes) => {
+    val out =
+      try Some(fs.create(claim, false))
+      catch { case _: java.io.IOException => None }
+    out.exists { o =>
+      try { o.write(bytes); o.close(); true }
+      catch { case _: java.io.IOException =>
+        try o.close() catch { case _: java.io.IOException => () }
+        try fs.delete(claim, false) catch { case _: java.io.IOException => () }
+        false
+      }
+    }
+  }
+
+  /** `create(overwrite = false)` WITHOUT failure cleanup — the
+    * conservative default for schemes where the create may be
+    * exists-then-create (plain S3A): ownership is unprovable, so a
+    * failure-path delete could retire another racer's claim. The
+    * token re-read downstream is the arbiter.
+    */
+  private val unownedCreateStrategy: Strategy = (fs, claim, bytes) => {
+    try {
+      val o = fs.create(claim, false)
+      try o.write(bytes) finally o.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  private def strategyFor(scheme: String): Strategy =
+    Option(strategies.get(scheme)).getOrElse(scheme match {
+      case "file" => localStrategy
+      case "hdfs" => ownedCreateStrategy
+      case _ => unownedCreateStrategy
+    })
+
+  /** Whether `scheme`'s create proves ownership — i.e. a verify
+    * failure after a successful create may safely delete the claim
+    * (it is provably ours).
+    */
+  private def ownedScheme(scheme: String): Boolean =
+    scheme == "file" || scheme == "hdfs" || strategies.containsKey(scheme)
 
   /** Attempt to claim `claim` with `token`; true only when this
     * caller holds it afterwards. Never throws on a lost race — any
     * IO failure (including exists) is `false`; the caller decides
     * between loud refusal and stale-claim reclaim.
     */
-  def tryClaim(fs: FileSystem, claim: Path, token: String): Boolean =
-    try {
-      val scheme = Option(claim.toUri.getScheme).getOrElse(fs.getScheme)
-      if (scheme == "file") {
-        val p = java.nio.file.Paths.get(claim.toUri.getPath)
-        java.nio.file.Files.createFile(p) // atomic O_EXCL: loser throws
-        java.nio.file.Files.write(p, token.getBytes("UTF-8"))
-      } else {
-        val o = fs.create(claim, false)
-        try o.write(token.getBytes("UTF-8")) finally o.close()
+  def tryClaim(fs: FileSystem, claim: Path, token: String): Boolean = {
+    val scheme = Option(claim.toUri.getScheme).getOrElse(fs.getScheme)
+    val created =
+      try strategyFor(scheme)(fs, claim, token.getBytes("UTF-8"))
+      catch { case _: java.io.IOException => false }
+    created && {
+      val verified =
+        try {
+          val in = fs.open(claim)
+          val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          got == token
+        } catch { case _: java.io.IOException => false }
+      // a failed VERIFY on an ownership-proving scheme still holds the
+      // claim this caller created — release it rather than blocking
+      // every claimer until the grace window (same rationale as the
+      // strategies' owned-failure cleanup)
+      if (!verified && ownedScheme(scheme)) {
+        try fs.delete(claim, false) catch { case _: java.io.IOException => () }
       }
-      val in = fs.open(claim)
-      val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      got == token
-    } catch { case _: java.io.IOException => false }
+      verified
+    }
+  }
 }

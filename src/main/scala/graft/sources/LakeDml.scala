@@ -146,8 +146,17 @@ object LakeDml {
     val before = LogSync.manifestDf(spark, root).cache()
     // sequence captured at commit PLANNING, before the complement read
     // resolves the deletes it will materialize — the same defensive
-    // ordering as [[LogCompact.compact]]'s planning capture
-    val commitSeq = seq.getOrElse(LogSync.nextSeq(spark, root))
+    // ordering as [[LogCompact.compact]]'s planning capture. Allocated
+    // LEASED + RESERVED ([[LogSync.allocateSeq]]) so a concurrent MOR
+    // commit can never compute the same value while this commit's
+    // files are still unregistered; released after the swap (finally).
+    val (commitSeq, seqReservation) = seq match {
+      case Some(s) => (s, None)
+      case None =>
+        val (s, r) = LogSync.allocateSeq(spark, root)
+        (s, Some(r))
+    }
+    try {
     val affected = before
       .filter(col("removed_at").isNull &&
         LogSync.normPath(col("path")).isin(affectedSrcs: _*))
@@ -267,7 +276,7 @@ object LakeDml {
     // until vacuum, and a forgotten path would be re-registered (rows
     // resurrected) by the next sync round
     val manifestCols = fresh.columns.toSeq
-    val next = before
+    def buildNext(base: DataFrame): DataFrame = base
       .withColumn("removed_at",
         when(LogSync.normPath(col("path")).isin(affectedSrcs: _*) &&
           col("removed_at").isNull, current_timestamp())
@@ -278,14 +287,48 @@ object LakeDml {
     // old manifest version (a cached Dataset) keeps its consistent
     // pre-DML snapshot until vacuum ages the version out. CAS on the
     // planning-time version: an interleaved rewrite raises instead of
-    // silently losing this commit's (or the other's) files
-    LogSync.swapManifest(spark, root, next, Some(baseVersion))
+    // silently losing this commit's (or the other's) files.
+    // APPEND-ONLY commits (no affected files — upsertMor/upsertEq
+    // insert halves) re-plan trivially on a CAS conflict: the fresh
+    // rows are commit-local, so rebuild `next` against the moved
+    // manifest and retry — Iceberg's fast-append retry, which is what
+    // lets two concurrent eq-upserts both land. REWRITES keep the
+    // loud conflict: their complement scan is stale by definition.
+    if (affectedSrcs.isEmpty) {
+      // TIME-bounded with backoff, not attempt-counted: a losing racer
+      // sees "version claimed" for the WHOLE of the winner's staging
+      // write (the claim is held across it by design — losers must not
+      // pay the write), so N instant retries all land inside one
+      // window and prove nothing. The budget shares
+      // graft.lake.dmlLeaseWaitMs — the same "how long may a commit
+      // wait on contention" knob as the registry lease.
+      val deadline = System.currentTimeMillis() +
+        spark.conf.getOption("graft.lake.dmlLeaseWaitMs")
+          .map(_.toLong).getOrElse(120L * 1000)
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        val (bv, base) =
+          if (attempts == 0) (baseVersion, before)
+          else (LogSync.manifestVersion(spark, root), LogSync.manifestDf(spark, root))
+        try { LogSync.swapManifest(spark, root, buildNext(base), Some(bv)); committed = true }
+        catch { case e: LogSync.ManifestConflictException =>
+          attempts += 1
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(math.min(100L * attempts, 1000L))
+        }
+      }
+    } else LogSync.swapManifest(spark, root, buildNext(before), Some(baseVersion))
     // registered — the pending journals have done their job (a crash
     // from here on leaves journals listing REGISTERED paths, which
     // sync's anti-join ignores anyway and vacuum ages out)
     journals.result().foreach(j => fs.delete(j, false))
     before.unpersist()
     (affected.length.toLong, freshPaths.length.toLong)
+    // release even on failure: nothing registered at commitSeq on an
+    // abort, and any commit made while reserved already landed
+    // strictly above — a crash leaves the file for vacuum to age out
+    } finally seqReservation.foreach(LogSync.releaseSeq(spark, _))
   }
 
   /** MERGE-ON-READ delete: record the matching rows' positions in
@@ -380,14 +423,22 @@ object LakeDml {
       } finally r.close()
       (p, cnt, len)
     }
-    LogSync.appendDeleteManifest(spark, root,
-      rowsOf.toDF("path", "rows", "bytes")
-        .withColumn("registered_at", current_timestamp())
-        .withColumn("removed_at", lit(null).cast("timestamp"))
-        .withColumn("kind", lit("pos"))
-        .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
-        .withColumn("eq_cols", lit(null).cast("string"))
-        .withColumn("op", lit(op)))
+    // ONE lease hold for the sequence default AND the registry append:
+    // the appended row carrying seq S is visible before the lease
+    // releases, so no concurrent commit can compute S again — the
+    // reservation-free form of [[LogSync.allocateSeq]], available
+    // exactly because nothing happens between allocation and
+    // registration here
+    LogSync.withDmlLease(spark, root) {
+      LogSync.appendDeleteManifestLocked(spark, root,
+        rowsOf.toDF("path", "rows", "bytes")
+          .withColumn("registered_at", current_timestamp())
+          .withColumn("removed_at", lit(null).cast("timestamp"))
+          .withColumn("kind", lit("pos"))
+          .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
+          .withColumn("eq_cols", lit(null).cast("string"))
+          .withColumn("op", lit(op)))
+    }
     (rowsOf.length.toLong, n)
   }
 
@@ -434,7 +485,7 @@ object LakeDml {
     * files written, distinct key rows).
     */
   private def writeEqualityDeletes(spark: SparkSession, root: String,
-                                   keyRows: DataFrame, seq: Long,
+                                   keyRows: DataFrame, seq: Option[Long],
                                    op: String = "delete"): (Long, Long) = {
     import spark.implicits._
     val cols = keyRows.columns.toSeq
@@ -538,14 +589,18 @@ object LakeDml {
       } finally r.close()
       (p, cnt, len)
     }
-    LogSync.appendDeleteManifest(spark, root,
-      rowsOf.toDF("path", "rows", "bytes")
-        .withColumn("registered_at", current_timestamp())
-        .withColumn("removed_at", lit(null).cast("timestamp"))
-        .withColumn("kind", lit("eq"))
-        .withColumn("seq", lit(seq))
-        .withColumn("eq_cols", lit(cols.mkString(",")))
-        .withColumn("op", lit(op)))
+    // same one-hold discipline as the position path: sequence default
+    // and registry append inside a single DML lease hold
+    LogSync.withDmlLease(spark, root) {
+      LogSync.appendDeleteManifestLocked(spark, root,
+        rowsOf.toDF("path", "rows", "bytes")
+          .withColumn("registered_at", current_timestamp())
+          .withColumn("removed_at", lit(null).cast("timestamp"))
+          .withColumn("kind", lit("eq"))
+          .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
+          .withColumn("eq_cols", lit(cols.mkString(",")))
+          .withColumn("op", lit(op)))
+    }
     (rowsOf.length.toLong, n)
   }
 
@@ -574,8 +629,9 @@ object LakeDml {
   def deleteEq(spark: SparkSession, root: String, keyRows: DataFrame): DmlStats = {
     require(LogSync.hasManifest(spark, root),
       s"no manifest under $root — run sync first")
-    val (files, n) = writeEqualityDeletes(spark, root, keyRows,
-      LogSync.nextSeq(spark, root))
+    // seq = None: allocated inside the write's single lease hold,
+    // where allocation and registration are one atomic step
+    val (files, n) = writeEqualityDeletes(spark, root, keyRows, None)
     DmlStats(0, files, n)
   }
 
@@ -619,20 +675,26 @@ object LakeDml {
     // very table would see its matched rows already deleted
     val ups = updates.select(dataCols.map(col): _*).localCheckpoint(true)
     try {
-      val seq = LogSync.nextSeq(spark, root)
-      // inserts FIRST, at the shared sequence (failure-ordering above)
-      val (_, added) = commit(spark, root, Seq.empty,
-        complement = identity, inserts = Some(ups), seq = Some(seq))
-      // the delete at the SAME sequence — the same-commit rule that
-      // makes the inserts survive it. op="upsert": this retraction is
-      // the upsert's INTERNAL old-value removal, not a genuine delete
-      // — [[LogSync.deletesSince]] excludes it by default (the new
-      // values already surface on [[LogSync.upsertsSince]]; a keyed
-      // consumer replaces by key), mirroring the data manifest's
-      // op="upsert" tagging of the insert half.
-      val (delFiles, nKeys) = writeEqualityDeletes(spark, root,
-        ups.select(keys.map(col): _*), seq, op = "upsert")
-      DmlStats(0, delFiles + added, nKeys)
+      // the SHARED sequence spans two registrations (inserts, then the
+      // delete), so allocation must RESERVE: between the halves a
+      // concurrent commit would otherwise compute the same value and
+      // its rows would wrongly survive this upsert's retraction
+      val (seq, reservation) = LogSync.allocateSeq(spark, root)
+      try {
+        // inserts FIRST, at the shared sequence (failure-ordering above)
+        val (_, added) = commit(spark, root, Seq.empty,
+          complement = identity, inserts = Some(ups), seq = Some(seq))
+        // the delete at the SAME sequence — the same-commit rule that
+        // makes the inserts survive it. op="upsert": this retraction is
+        // the upsert's INTERNAL old-value removal, not a genuine delete
+        // — [[LogSync.deletesSince]] excludes it by default (the new
+        // values already surface on [[LogSync.upsertsSince]]; a keyed
+        // consumer replaces by key), mirroring the data manifest's
+        // op="upsert" tagging of the insert half.
+        val (delFiles, nKeys) = writeEqualityDeletes(spark, root,
+          ups.select(keys.map(col): _*), Some(seq), op = "upsert")
+        DmlStats(0, delFiles + added, nKeys)
+      } finally LogSync.releaseSeq(spark, reservation)
     } finally { ups.unpersist(); () }
   }
 

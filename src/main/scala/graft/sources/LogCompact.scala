@@ -124,9 +124,11 @@ object LogCompact {
     // crash leaves sequences skipping ahead, never tying). The
     // manifest-swap CAS ([[LogSync.swapManifest]] expectedVersion)
     // separately catches interleaved DATA writers.
+    // leased allocation: plain nextSeq-then-reserve had a window where
+    // a concurrent DML commit computes the same value before the
+    // reservation file lands
     val materializedDeletes = LogSync.deleteEntries(spark, root)
-    val planningSeq = LogSync.nextSeq(spark, root)
-    val reservation = LogSync.reserveSeq(spark, root, planningSeq)
+    val (planningSeq, reservation) = LogSync.allocateSeq(spark, root)
     try {
 
     // one job: read old registered files, write consolidated ones. The
@@ -279,13 +281,15 @@ object LogCompact {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     LogSync.withSyncLease(spark, root) {
       val (dBefore, dAfter) = rewriteDataManifestLocked(spark, root, targetBytes)
-      // the DELETE registry consolidates only in this EXPLICIT op,
-      // never from sync's auto-merge: MOR DML appends to it WITHOUT
-      // the sync lease, so only the documented single-maintenance-
-      // writer rule (same as compact/vacuum) makes this swap safe
+      // the DELETE-registry leg holds the DML lease: MOR DML appends
+      // run under it (appendDeleteManifestLocked), so the read-count-
+      // swap here cannot lose a registration appended mid-rewrite —
+      // the registry also self-bounds at append time past
+      // graft.lake.deleteManifestMergeMinParts; this explicit op
+      // remains the byte-targeted consolidation
       val (delBefore, delAfter) =
         if (!LogSync.hasDeleteManifest(spark, root)) (0, 0)
-        else {
+        else LogSync.withDmlLease(spark, root) {
           val before = parts(LogSync.deleteManifestPath(spark, root))
           val target = math.max(1L,
             (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
@@ -400,7 +404,9 @@ object LogCompact {
     // must survive, or the next sync would register the restated rows
     // as a fresh append
     fs.listStatus(new Path(root)).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_dml_stage_") &&
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("_dml_stage_") ||
+          s.getPath.getName.startsWith("_dreg_append_")) &&
         s.getModificationTime <= cutoffMs)
       .foreach(s => fs.delete(s.getPath, true))
     // crashed rewrites' sequence reservations: a stale file only makes
@@ -452,9 +458,12 @@ object LogCompact {
 
     // MOR position-delete files follow the same lifecycle: tombstoned
     // (by compaction or vacuumDeletes) + aged + not pinned by any
-    // branch → physically removed, manifest row purged
+    // branch → physically removed, manifest row purged. The whole
+    // registry read-purge-swap holds the DML lease so a registration
+    // appended by a concurrent MOR commit mid-vacuum cannot vanish
+    // from the purged copy
     var deadDeletes = 0
-    if (LogSync.hasDeleteManifest(spark, root)) {
+    if (LogSync.hasDeleteManifest(spark, root)) LogSync.withDmlLease(spark, root) {
       val regVersion = LogSync.deleteManifestVersion(spark, root)
       val dm = LogSync.deleteManifestDf(spark, root).cache()
       val deadDel = dm

@@ -96,7 +96,17 @@ object LogSync {
     * to the current version dir does not bump the version, so an
     * append racing a swap can still lose its rows — syncs and rewrites
     * share the single-writer rule (one maintenance owner per lake),
-    * as they do in the reference's sync daemon.
+    * as they do in the reference's sync daemon. Note for operators
+    * running a sync daemon ALONGSIDE DML/compaction: since sync's
+    * auto-merge (`graft.lake.manifestMergeMinParts`, default 512) a
+    * sync round near the merge threshold can itself ADVANCE the data-
+    * manifest version — a DML or compact commit that planned against
+    * the pre-sync version then fails with [[ManifestConflictException]]
+    * in interleavings where a pure append would have let its CAS pass.
+    * Loud and retryable by design (re-plan against the new manifest),
+    * but expected, not exceptional, near the threshold. (The DELETE
+    * registry has no such seam left: every mutation of it — append,
+    * tombstone, consolidation — serializes under [[withDmlLease]].)
     */
   private[graft] def swapManifest(spark: SparkSession, root: String,
                                   next: DataFrame,
@@ -105,12 +115,38 @@ object LogSync {
       kind = "manifest", dirOf = v => s"$root/_manifest_v$v",
       staging = s"$root/_manifest_swap", versionOf = manifestVersion)
 
+  private[sources] def claimGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lake.claimGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** Retire a STALE claim by RENAMING it aside before deleting: the
+    * rename is the one-winner gate (only one reclaimer's rename of
+    * the same source path can succeed), where a bare delete-then-
+    * reclaim let two writers that both observed the same stale claim
+    * interleave so the slower one deleted the faster one's freshly
+    * created claim — both proceeding, re-opening exactly the window
+    * the claim closes. True only for the single racer whose rename
+    * won; everyone else re-enters the ordinary lost-claim path.
+    */
+  private def retireStaleClaim(fs: org.apache.hadoop.fs.FileSystem,
+                               claim: Path): Boolean = {
+    val retired = new Path(claim.getParent,
+      claim.getName + ".reclaim_" + java.util.UUID.randomUUID().toString.take(8))
+    val won =
+      try fs.rename(claim, retired)
+      catch { case _: java.io.IOException => false }
+    if (won) { try fs.delete(retired, false) catch { case _: java.io.IOException => () } }
+    won
+  }
+
   /** The shared claim-then-rename commit of both versioned registries:
     * plan-version CAS, [[ClaimFile]] claim of the target version,
     * in-claim re-check (a racer may have committed between plan and
     * claim), staging write INSIDE the claim (losers never pay it),
     * atomic dir rename, claim released. Crash residue: a claim whose
-    * target never landed janitors after `graft.lake.claimGraceMs`.
+    * target never landed janitors after `graft.lake.claimGraceMs`
+    * (stale-claim retirement goes through [[retireStaleClaim]]'s
+    * rename gate, so simultaneous janitors admit one).
     */
   private def casSwapDir(spark: SparkSession, root: String, next: DataFrame,
                          expectVersion: Option[Int],
@@ -130,14 +166,12 @@ object LogSync {
     val claim = new Path(dirOf(vNext) + "_claim")
     val token = java.util.UUID.randomUUID().toString
     val claimed = ClaimFile.tryClaim(fs, claim, token) || {
-      val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
-        .map(_.toLong).getOrElse(15L * 60 * 1000)
       val stale =
         try fs.exists(claim) && !fs.exists(target) &&
           fs.getFileStatus(claim).getModificationTime <
-            System.currentTimeMillis() - graceMs
+            System.currentTimeMillis() - claimGraceMs(spark)
         catch { case _: java.io.IOException => false }
-      stale && { fs.delete(claim, false); ClaimFile.tryClaim(fs, claim, token) }
+      stale && retireStaleClaim(fs, claim) && ClaimFile.tryClaim(fs, claim, token)
     }
     if (!claimed) throw new ManifestConflictException(
       s"$kind swap conflict under $root: version $vNext is claimed — " +
@@ -387,10 +421,80 @@ object LogSync {
     } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteManifestSchema)
 
+  /** Append rows to the delete registry under the DML lease. Callers
+    * that already hold the lease use [[appendDeleteManifestLocked]].
+    */
   private[sources] def appendDeleteManifest(spark: SparkSession, root: String,
                                             rows: DataFrame): Unit =
+    withDmlLease(spark, root) { appendDeleteManifestLocked(spark, root, rows) }
+
+  /** The append body — callable only while the DML lease is HELD.
+    * Two disciplines replace the old bare `mode(Append)` write:
+    *
+    *  1. STAGED parts, renamed in: the rows write to a writer-unique
+    *     underscore staging dir and the produced parquet parts rename
+    *     into the registry dir under fresh UUID names. Two concurrent
+    *     appends can therefore never share a FileOutputCommitter
+    *     `_temporary` dir (the lost-registration interleave), and the
+    *     destination dir resolves INSIDE the lease, so an append can
+    *     never land in a registry version a racing swap just
+    *     superseded. Registry rows are control-plane cardinality (one
+    *     per delete FILE), so the staged job is tiny — the lease hold
+    *     stays bounded.
+    *  2. SELF-DRIVING part bounding (the delete-registry mirror of
+    *     sync's data-manifest auto-merge): a long-lived CDC lake
+    *     appends parts every retraction batch and, before this, only
+    *     the explicit [[LogCompact.rewriteManifests]] op consolidated
+    *     them — unbounded planning-time listing growth between manual
+    *     maintenance runs. Once the dir crosses
+    *     `graft.lake.deleteManifestMergeMinParts` (default 512; 0
+    *     disables) the registry rewrites in place, ROW-PRESERVING
+    *     (tombstones and all — time travel and historic delete
+    *     application see nothing). Safe exactly because every
+    *     registry mutation now runs under this lease.
+    */
+  private[sources] def appendDeleteManifestLocked(spark: SparkSession, root: String,
+                                                  rows: DataFrame): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(s"$root/_dreg_append_" +
+      java.util.UUID.randomUUID().toString.take(8))
     rows.select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
-      .write.mode(SaveMode.Append).parquet(deleteManifestPath(spark, root))
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val dest = new Path(deleteManifestPath(spark, root))
+    fs.mkdirs(dest)
+    fs.listStatus(stage)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        val unique = new Path(dest,
+          s"part-${java.util.UUID.randomUUID().toString}.parquet")
+        require(fs.rename(s.getPath, unique),
+          s"delete-registry append rename failed: ${s.getPath} -> $unique")
+      }
+    fs.delete(stage, true)
+    // the renames bypassed Spark's write path, so Spark doesn't know
+    // the dir changed: a CACHED plan over the registry would keep
+    // serving the pre-append listing to every later read (the old
+    // mode(Append) write refreshed this implicitly). Same contract,
+    // explicit now.
+    spark.catalog.refreshByPath(dest.toString)
+    val minParts = spark.conf.getOption("graft.lake.deleteManifestMergeMinParts")
+      .map(_.toInt).getOrElse(512)
+    if (minParts > 0) {
+      val parts =
+        try fs.listStatus(dest).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        catch { case _: java.io.IOException => Seq.empty }
+      if (parts.length >= minParts) {
+        // same sizing rule as [[LogCompact.rewriteManifests]]: ~64 MB
+        // per consolidated part, never fewer rows
+        val target = math.max(1L,
+          (parts.map(_.getLen).sum + (64L << 20) - 1) / (64L << 20)).toInt
+        swapDeleteManifest(spark, root,
+          deleteManifestDf(spark, root).coalesce(target),
+          Some(deleteManifestVersion(spark, root)))
+      }
+    }
+  }
 
   /** [[swapManifest]]'s claim-then-rename CAS discipline for the
     * delete registry — the same [[casSwapDir]] commit.
@@ -413,14 +517,20 @@ object LogSync {
                                               paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     val norm = paths.map(normPathStr)
-    val regVersion = deleteManifestVersion(spark, root)
-    swapDeleteManifest(spark, root,
-      deleteManifestDf(spark, root)
-        .withColumn("removed_at",
-          when(normPath(col("path")).isin(norm: _*) &&
-            col("removed_at").isNull, current_timestamp())
-            .otherwise(col("removed_at"))),
-      Some(regVersion))
+    // the whole read-modify-swap holds the DML lease: without it a
+    // registration APPENDED between the registry read and the swap
+    // would vanish from the swapped copy (the version CAS cannot see
+    // an append — appends don't bump the version)
+    withDmlLease(spark, root) {
+      val regVersion = deleteManifestVersion(spark, root)
+      swapDeleteManifest(spark, root,
+        deleteManifestDf(spark, root)
+          .withColumn("removed_at",
+            when(normPath(col("path")).isin(norm: _*) &&
+              col("removed_at").isNull, current_timestamp())
+              .otherwise(col("removed_at"))),
+        Some(regVersion))
+    }
   }
 
   /** Superseded delete-manifest versions — vacuum candidates, same
@@ -881,13 +991,11 @@ object LogSync {
     // HDFS) + token verify for the rest — see [[ClaimFile]]
     def tryClaim(): Boolean = ClaimFile.tryClaim(fs, lease, token)
     val claimed = tryClaim() || {
-      val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
-        .map(_.toLong).getOrElse(15L * 60 * 1000)
       val stale =
         try fs.exists(lease) && fs.getFileStatus(lease).getModificationTime <
-          System.currentTimeMillis() - graceMs
+          System.currentTimeMillis() - claimGraceMs(spark)
         catch { case _: java.io.IOException => false }
-      stale && { fs.delete(lease, false); tryClaim() }
+      stale && retireStaleClaim(fs, lease) && tryClaim()
     }
     if (!claimed) sys.error(s"sync lease conflict under $root: another sync " +
       s"holds $lease — sync is single-writer per root; rerun when it " +
@@ -895,6 +1003,74 @@ object LogSync {
       "graft.lake.claimGraceMs of inactivity)")
     try body finally { fs.delete(lease, false); () }
   }
+
+  /** SERIALIZATION of every DELETE-REGISTRY mutation and every commit
+    * SEQUENCE allocation — the multi-writer protection for row-level
+    * DML that the sync lease is for sync rounds. Without it two
+    * concurrent MOR commits on one root could (a) compute the SAME
+    * [[nextSeq]] (breaking the equality-delete strictly-below rule:
+    * an upsert's inserts would tie a FOREIGN delete's sequence and
+    * wrongly survive it), (b) interleave registry appends through one
+    * shared FileOutputCommitter `_temporary` dir (one commit deleting
+    * the other's staged part — a lost registration), or (c) append
+    * into a registry version dir a racing swap just superseded.
+    *
+    * Unlike the sync lease (loud refusal — concurrent syncs are
+    * redundant work and the holder's round registers the same files),
+    * concurrent DML commits are LEGITIMATE independent work (a CDC
+    * sink plus an ad-hoc GDPR delete is a realistic collision), so a
+    * held lease is WAITED out — bounded spin, default 120 s
+    * (`graft.lake.dmlLeaseWaitMs`) — before refusing. The lease is
+    * held only across control-plane sections (sequence allocation,
+    * registry part renames, registry swaps over file-cardinality
+    * rows), never across a data scan or a delete-file write, so the
+    * wait is bounded by small driver-side jobs, not by the collided
+    * commit's data plane. Crash residue reclaims after
+    * `graft.lake.claimGraceMs` through the [[retireStaleClaim]]
+    * rename gate.
+    */
+  private[sources] def withDmlLease[T](spark: SparkSession, root: String)(body: => T): T = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new Path(s"$root/_dml_lease")
+    val token = java.util.UUID.randomUUID().toString
+    val waitMs = spark.conf.getOption("graft.lake.dmlLeaseWaitMs")
+      .map(_.toLong).getOrElse(120L * 1000)
+    val deadline = System.currentTimeMillis() + waitMs
+    def claimOnce(): Boolean = ClaimFile.tryClaim(fs, lease, token) || {
+      val stale =
+        try fs.exists(lease) && fs.getFileStatus(lease).getModificationTime <
+          System.currentTimeMillis() - claimGraceMs(spark)
+        catch { case _: java.io.IOException => false }
+      stale && retireStaleClaim(fs, lease) && ClaimFile.tryClaim(fs, lease, token)
+    }
+    var claimed = claimOnce()
+    while (!claimed && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      claimed = claimOnce()
+    }
+    if (!claimed) sys.error(s"DML lease conflict under $root: another " +
+      s"commit holds $lease past graft.lake.dmlLeaseWaitMs — the lease " +
+      "covers only control-plane commit sections, so a wait this long " +
+      "means a crashed holder inside the grace window or a severely " +
+      "stalled writer; retry, or lower graft.lake.claimGraceMs if the " +
+      "holder is known dead")
+    try body finally { fs.delete(lease, false); () }
+  }
+
+  /** Allocate the next commit sequence AND reserve it in ONE
+    * lease-held step — the multi-writer-safe form of the
+    * nextSeq-then-reserveSeq pair: between an unleased read and its
+    * reservation a concurrent commit could compute the same value.
+    * The caller releases the reservation ([[releaseSeq]]) once its
+    * commit's registry rows carry the sequence; a crash leaves the
+    * reservation file, which only makes later sequences skip ahead
+    * until [[LogCompact.vacuum]] ages it out.
+    */
+  private[sources] def allocateSeq(spark: SparkSession, root: String): (Long, Path) =
+    withDmlLease(spark, root) {
+      val s = nextSeq(spark, root)
+      (s, reserveSeq(spark, root, s))
+    }
 
   /** One sync round: returns the number of newly registered files.
     * The diff between the listing and the manifest is a distributed
@@ -948,9 +1124,10 @@ object LogSync {
         // `graft.lake.manifestMergeMinParts` (0 disables), rewrite it
         // in place — the lease is already held, so the swap cannot
         // race another sync; ROW-PRESERVING, so readers/CDC/travel
-        // see nothing (spec-pinned). DATA manifest only: MOR DML
-        // appends to the delete registry without this lease, so its
-        // consolidation stays in the explicit rewriteManifests op.
+        // see nothing (spec-pinned). DATA manifest only: the delete
+        // registry bounds ITSELF — its appends run under the DML
+        // lease ([[appendDeleteManifestLocked]]), which applies the
+        // same minParts rule at append time.
         val minParts = spark.conf.getOption("graft.lake.manifestMergeMinParts")
           .map(_.toInt).getOrElse(512)
         if (minParts > 0) {

@@ -1699,8 +1699,8 @@ class LakeSpec extends SparkSpec {
       (0 until 5).foreach { i => write(20, i * 20); LogSync.sync(spark, root) }
       assert(manifestParts(root) <= 3,
         s"auto-merge must keep the registry bounded, got ${manifestParts(root)} parts")
-      // a MOR delete's registry is NOT auto-merged (its appenders
-      // don't hold the sync lease — only the explicit op touches it)
+      // SYNC never touches the delete registry (its bounding runs at
+      // DML-append time under the DML lease, not here)
       graft.sources.LakeDml.deleteMor(spark, root, col("event_id") === lit(3L))
       val dDirs = dmanifestDirs(root)
       write(20, 100); LogSync.sync(spark, root)

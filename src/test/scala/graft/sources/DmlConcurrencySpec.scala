@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import scala.concurrent._
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+/** MULTI-WRITER DML on one lake root — the seam the r15 verdict named
+  * as the last race-unprotected commit path: MOR DML used to append
+  * to the delete registry and allocate its sequence OUTSIDE any lease
+  * (the documented single-writer rule). Two concurrent
+  * `deleteEq`/`upsertEq` commits could then interleave registry
+  * appends through one shared `_temporary` dir (a silently lost
+  * registration) and compute the SAME sequence number (an upsert's
+  * inserts tying a foreign delete's sequence and wrongly surviving
+  * it). The DML lease ([[LogSync.withDmlLease]]) + leased sequence
+  * allocation ([[LogSync.allocateSeq]]) close both; these specs are
+  * the two-thread proof. A realistic collision: a CDC sink applying
+  * retractions while an operator issues an ad-hoc GDPR delete.
+  *
+  * House rule (learned in round 15): if one of these races flakes,
+  * suspect the PRODUCT first — the last flaky race spec here was a
+  * genuine double-claim bug.
+  */
+class DmlConcurrencySpec extends graft.SparkSpec {
+
+  /** Events-shaped lake with `n` rows, ids 0 until n. */
+  private def seeded(n: Int): String = {
+    val root = Files.createTempDirectory("graft_dmlrace").toString
+    Tables.events(spark, sf).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"), col("event_id"),
+        col("props").as("body"))
+      .coalesce(2).write.mode("append").parquet(root)
+    LogSync.sync(spark, root)
+    root
+  }
+
+  private def activeSeqs(root: String): Seq[Long] =
+    LogSync.deleteEntries(spark, root).map(_.seq)
+
+  test("concurrent equality deletes: no lost registration, no duplicated sequence") {
+    val root = seeded(60)
+    import spark.implicits._
+    (0 until 3).foreach { round =>
+      val before = LogSync.deleteEntries(spark, root).map(_.path).toSet
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      // two writers retract DISJOINT keys at the same instant
+      val ids = Seq(Seq(0L + round * 4, 1L + round * 4),
+                    Seq(2L + round * 4, 3L + round * 4))
+      val racers = ids.map { ks =>
+        Future {
+          gate.await()
+          LakeDml.deleteEq(spark, root, ks.toDF("event_id"))
+        }
+      }
+      gate.countDown()
+      val stats = Await.result(Future.sequence(racers), 300.seconds)
+      // BOTH commits succeed (the lease WAITS, it does not refuse) and
+      // BOTH registrations survive — the lost-append interleave would
+      // drop one
+      assert(stats.forall(_.filesAdded >= 1), s"round $round: $stats")
+      val after = LogSync.deleteEntries(spark, root)
+      assert(after.map(_.path).toSet.size - before.size ==
+        stats.map(_.filesAdded).sum,
+        s"round $round: a concurrent registration was lost")
+      // every registered sequence is unique across the registry
+      val seqs = activeSeqs(root)
+      assert(seqs.distinct.size == seqs.size,
+        s"round $round: duplicated sequence numbers in $seqs")
+    }
+    // the read applies every retraction: 3 rounds x 4 ids
+    assert(LogSync.table(spark, root).count() == 60 - 12)
+    assert(LogSync.table(spark, root)
+      .filter(col("event_id") < 12).count() == 0)
+  }
+
+  test("concurrent upsertEq pair: distinct shared sequences, both halves of both commits land") {
+    val root = seeded(40)
+    val cols = LogSync.table(spark, root).columns
+    // each writer restates ITS OWN key with a marker body
+    def restated(id: Long, tag: String) =
+      LogSync.table(spark, root)
+        .filter(col("event_id") === id)
+        .withColumn("body", lit(tag))
+        .select(cols.map(col): _*).cache()
+    val upA = restated(5L, "writer-A"); upA.count()
+    val upB = restated(7L, "writer-B"); upB.count()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val racers = Seq(upA -> "writer-A", upB -> "writer-B").map { case (u, _) =>
+      Future {
+        gate.await()
+        LakeDml.upsertEq(spark, root, u, Seq("event_id"))
+      }
+    }
+    gate.countDown()
+    val stats = Await.result(Future.sequence(racers), 300.seconds)
+    assert(stats.forall(s => s.filesAdded >= 2 && s.rowsChanged == 1),
+      s"both upserts must commit an insert half and a delete half: $stats")
+    // the two commits' equality deletes carry DIFFERENT sequences —
+    // a tie would let one writer's old row survive the other's
+    // retraction window
+    val eqSeqs = LogSync.deleteEntries(spark, root).filter(_.isEq).map(_.seq)
+    assert(eqSeqs.distinct.size == eqSeqs.size,
+      s"upsert sequences must be distinct, got $eqSeqs")
+    // reads converge: one row per key, each carrying its writer's value
+    val t = LogSync.table(spark, root).cache()
+    assert(t.count() == 40)
+    assert(t.filter(col("event_id") === 5L).select("body")
+      .head.getString(0) == "writer-A")
+    assert(t.filter(col("event_id") === 7L).select("body")
+      .head.getString(0) == "writer-B")
+    t.unpersist(); upA.unpersist(); upB.unpersist()
+  }
+
+  test("DML appends racing the explicit registry rewrite: nothing lost") {
+    import spark.implicits._
+    val root = seeded(50)
+    // pre-load some registry parts so the rewrite has work
+    (0 until 3).foreach(i => LakeDml.deleteEq(spark, root, Seq(40L + i).toDF("event_id")))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val appender = Future {
+      gate.await()
+      (0 until 4).map(i =>
+        LakeDml.deleteEq(spark, root, Seq(30L + i).toDF("event_id")))
+    }
+    val rewriter = Future {
+      gate.await()
+      LogCompact.rewriteManifests(spark, root, targetBytes = 1L)
+    }
+    gate.countDown()
+    val appends = Await.result(appender, 300.seconds)
+    Await.result(rewriter, 300.seconds)
+    assert(appends.forall(_.filesAdded >= 1))
+    // every one of the 7 retraction commits is still registered —
+    // the rewrite's read-swap could not lose a concurrent append
+    val eqs = LogSync.deleteEntries(spark, root).filter(_.isEq)
+    assert(eqs.size == 7,
+      s"expected all 7 equality-delete registrations to survive, got ${eqs.size}")
+    assert(LogSync.table(spark, root).count() == 50 - 7)
+  }
+
+  test("delete-registry part count stays bounded under a CDC soak (append-time auto-merge)") {
+    import spark.implicits._
+    val root = seeded(64)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def regParts(): Int = {
+      val dir = new org.apache.hadoop.fs.Path(
+        LogSync.deleteManifestPath(spark, root))
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    spark.conf.set("graft.lake.deleteManifestMergeMinParts", "4")
+    try {
+      // 12 retraction batches — a long-lived CDC lake's steady state.
+      // Without append-time bounding the dir grows one-plus parts per
+      // batch between manual maintenance runs; with the threshold at 4
+      // it consolidates whenever a batch lands on or past it.
+      (0 until 12).foreach { i =>
+        LakeDml.deleteEq(spark, root, Seq(i.toLong).toDF("event_id"))
+        assert(regParts() <= 4,
+          s"batch $i: registry grew to ${regParts()} parts (bound is 4)")
+      }
+      // row-preserving through every merge: all 12 retractions apply,
+      // and the registry still carries all 12 registrations
+      assert(LogSync.table(spark, root).count() == 64 - 12)
+      assert(LogSync.deleteEntries(spark, root).count(_.isEq) == 12)
+      // the CDC stream still surfaces every retraction exactly once
+      val streamed = LogSync.deletedRowsSince(spark, root,
+        new java.sql.Timestamp(0L))
+      assert(streamed.filter(col("event_id") < 12).count() == 12)
+    } finally spark.conf.unset("graft.lake.deleteManifestMergeMinParts")
+  }
+}
