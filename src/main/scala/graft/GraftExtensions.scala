@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name, usage.getOrElse(name, name), ""),
         (exprs: Seq[Expression]) => build(exprs)))
     }
+    // incremental-consumption TVFs (graft_changes / graft_upserts /
+    // graft_deletes / graft_watermark) — the SQL changelog loop
+    GraftTableFunctions.builders.foreach(ext.injectTableFunction)
   }
 }

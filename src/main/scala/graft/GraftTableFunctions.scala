@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.LogSync
+
+/** TABLE-VALUED FUNCTIONS for incremental (CDC) consumption — the SQL
+  * face of [[LogSync.tableSince]]/[[LogSync.upsertsSince]]/
+  * [[LogSync.deletedRowsSince]], registered through
+  * [[GraftExtensions]]' `injectTableFunction` so a SQL-only session
+  * can drive the full poll-advance-poll changelog loop (what the
+  * reference's users get from Iceberg's `table_changes`-style TVFs):
+  *
+  * {{{
+  *   SELECT * FROM graft_watermark('<root>')          -- (append_hwm, delete_hwm)
+  *   SELECT * FROM graft_changes('<root>', TIMESTAMP '<mark>')  -- appends
+  *   SELECT * FROM graft_upserts('<root>', TIMESTAMP '<mark>')  -- upsert new values
+  *   SELECT * FROM graft_deletes('<root>', TIMESTAMP '<mark>')  -- retracted rows
+  * }}}
+  *
+  * The consumer polls `graft_watermark`, reads each stream since its
+  * last mark, stores the new watermark, repeats — the same contract
+  * as the Scala API, marks included. Arguments must be literals
+  * (root: string; mark: TIMESTAMP or a string parsed in the session
+  * time zone): the functions expand to the underlying scan plan at
+  * analysis time, so the mark parameterizes PLANNING — manifest
+  * pruning by `registered_at` — which a runtime-valued argument could
+  * not. The expansion itself is control-plane only (manifest reads);
+  * the data plane stays the distributed plan the Scala API builds.
+  */
+object GraftTableFunctions {
+
+  private def evalLiteralString(e: Expression, fn: String, what: String): String = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a literal string, got $other")
+    }
+  }
+
+  private def evalMark(e: Expression, fn: String): java.sql.Timestamp = {
+    require(e.foldable, s"$fn: the mark must be a literal")
+    e.dataType match {
+      case TimestampType =>
+        DateTimeUtils.toJavaTimestamp(e.eval().asInstanceOf[Long])
+      case StringType =>
+        val zone = DateTimeUtils.getZoneId(
+          SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+        val s = e.eval().asInstanceOf[UTF8String]
+        DateTimeUtils.stringToTimestamp(s, zone)
+          .map(DateTimeUtils.toJavaTimestamp)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$fn: cannot parse mark '$s' as a timestamp"))
+      case dt => throw new IllegalArgumentException(
+        s"$fn: the mark must be a TIMESTAMP or string literal, got $dt")
+    }
+  }
+
+  private def twoArg(fn: String)(body: (SparkSession, String, java.sql.Timestamp)
+      => org.apache.spark.sql.DataFrame): Seq[Expression] => LogicalPlan =
+    exprs => {
+      require(exprs.length == 2,
+        s"$fn takes 2 arguments: (root string, mark timestamp), got ${exprs.length}")
+      val spark = SparkSession.active
+      val root = evalLiteralString(exprs.head, fn, "the lake root")
+      body(spark, root, evalMark(exprs(1), fn)).queryExecution.logical
+    }
+
+  /** (name, info, builder) triples for [[GraftExtensions]]. */
+  private[graft] def builders: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft", null, "graft_changes",
+        "graft_changes(root, mark) - rows APPENDED to the lake after mark " +
+          "(rewrites and upserts excluded - the incremental-append stream)", ""),
+      twoArg("graft_changes")((s, r, ts) => LogSync.tableSince(s, r, ts))),
+    (FunctionIdentifier("graft_upserts"),
+      new ExpressionInfo("graft", null, "graft_upserts",
+        "graft_upserts(root, mark) - new values written by upsert commits after mark", ""),
+      twoArg("graft_upserts")((s, r, ts) => LogSync.upsertsSince(s, r, ts))),
+    (FunctionIdentifier("graft_deletes"),
+      new ExpressionInfo("graft", null, "graft_deletes",
+        "graft_deletes(root, mark) - rows RETRACTED by genuine delete commits " +
+          "after mark, with __delete_kind/__delete_op provenance columns", ""),
+      twoArg("graft_deletes")((s, r, ts) => LogSync.deletedRowsSince(s, r, ts))),
+    (FunctionIdentifier("graft_watermark"),
+      new ExpressionInfo("graft", null, "graft_watermark",
+        "graft_watermark(root) - one row (append_hwm, delete_hwm): the marks a " +
+          "changelog consumer stores between polls", ""),
+      exprs => {
+        require(exprs.length == 1,
+          s"graft_watermark takes 1 argument (root string), got ${exprs.length}")
+        val spark = SparkSession.active
+        val root = evalLiteralString(exprs.head, "graft_watermark", "the lake root")
+        import spark.implicits._
+        Seq((LogSync.highWaterMark(spark, root).orNull,
+          LogSync.deleteHighWaterMark(spark, root).orNull))
+          .toDF("append_hwm", "delete_hwm")
+          .queryExecution.logical
+      }))
+}

@@ -155,4 +155,84 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(prior)
     }
   }
+
+  test("CDC from plain SQL: poll-advance-poll over graft_watermark/changes/upserts/deletes") {
+    val prior = spark
+    assert(prior != null)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val root = Files.createTempDirectory("graft_sqlcdc").toString
+      def write(n: Int, skip: Int): Unit = graft.sources.Tables.events(s2, sf)
+        .orderBy(col("event_id")).offset(skip).limit(n)
+        .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+          col("event_id"), col("props").as("body"))
+        .coalesce(1).write.mode("append").parquet(root)
+      // the consumer's mark store: one UTC-formatted literal per poll
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+      def pollMark(): String = fmt.format(
+        s2.sql(s"SELECT append_hwm FROM graft_watermark('$root')")
+          .head.getTimestamp(0).toInstant)
+      write(40, 0)
+      s2.sql(s"MAINTAIN LAKE '$root' SYNC").collect()
+      val mark1 = pollMark()
+      // ...new data arrives...
+      write(20, 40)
+      s2.sql(s"MAINTAIN LAKE '$root' SYNC").collect()
+      // poll 2: exactly the 20 fresh appends since the stored mark
+      val changed = s2.sql(
+        s"SELECT * FROM graft_changes('$root', TIMESTAMP '$mark1')")
+      assert(changed.count() == 20)
+      assert(changed.agg(min(col("event_id"))).head.getLong(0) == 40L)
+      val mark2 = pollMark()
+      // an upsert's new values surface on the upsert stream, not the
+      // append stream; a genuine retraction on the delete stream
+      val cols = graft.sources.LogSync.table(s2, root).columns
+      graft.sources.LakeDml.upsertEq(s2, root,
+        graft.sources.LogSync.table(s2, root)
+          .filter(col("event_id") === 3L).withColumn("body", lit("restated"))
+          .select(cols.map(col): _*), Seq("event_id"))
+      import s2.implicits._
+      graft.sources.LakeDml.deleteEq(s2, root, Seq(7L).toDF("event_id"))
+      assert(s2.sql(
+        s"SELECT * FROM graft_changes('$root', TIMESTAMP '$mark2')").count() == 0,
+        "upserted/deleted rows must not surface as appends")
+      val ups = s2.sql(
+        s"SELECT * FROM graft_upserts('$root', TIMESTAMP '$mark2')").collect()
+      assert(ups.length == 1 &&
+        ups.head.getAs[String]("body") == "restated")
+      val dels = s2.sql(
+        s"SELECT event_id, __delete_kind FROM graft_deletes('$root', TIMESTAMP '$mark2')")
+        .collect()
+      assert(dels.length == 1 && dels.head.getLong(0) == 7L &&
+        dels.head.getString(1) == "eq")
+      // poll 3 from the ADVANCED mark: quiescent lake, empty streams
+      val mark3 = pollMark()
+      assert(s2.sql(
+        s"SELECT * FROM graft_changes('$root', TIMESTAMP '$mark3')").count() == 0)
+      assert(s2.sql(
+        s"SELECT * FROM graft_upserts('$root', TIMESTAMP '$mark3')").count() == 0)
+      // guards: wrong arity and genuinely non-foldable marks refuse
+      // with a clear message (the mark parameterizes manifest pruning
+      // at analysis time; current_timestamp() is constant-folded by
+      // the analyzer before the builder sees it, so it works as a mark)
+      val arity = intercept[Exception](s2.sql(
+        s"SELECT * FROM graft_changes('$root')").collect())
+      assert(arity.getMessage.contains("2 arguments"), arity.getMessage)
+      val e = intercept[Exception](s2.sql(
+        s"SELECT * FROM graft_changes('$root', cast(rand() as timestamp))").collect())
+      assert(e.getMessage.contains("literal"), e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
 }
