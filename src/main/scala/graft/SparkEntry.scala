@@ -173,6 +173,9 @@ object SparkEntry {
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
+    // rows-only by design: k-means cells are iterative (no SQL oracle);
+    // recall + injected-paraphrase specs in CurationSpec
+    "contamination_semantic" -> ((s: SparkSession, d: String) => Curation.contaminationSemantic(s, d)),
     "q23_bucketed_join"   -> (graft.sources.Bucketing.bucketedJoin _),
     "q24_waiting_suppliers" -> (Relational.q24WaitingSuppliers _),
     "q27_hierarchy"       -> (Hierarchy.customerTree _),

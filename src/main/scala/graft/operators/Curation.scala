@@ -140,6 +140,71 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** SEMANTIC test-set contamination — decontamination's embedding
+    * path. The exact n-gram scans ([[contamination]]/
+    * [[contaminationBloom]]) catch verbatim leakage; the eval leakage
+    * that actually bites model evaluations is PARAPHRASED — same
+    * content, different surface, invisible to any shingle match. This
+    * composes the SemDeDup cell machinery ([[Dedup.semantic]]) with a
+    * test-set probe: k-means cells over the embedding corpus
+    * (centroids are control-plane, k×dim doubles back as broadcast
+    * literals), the TEST vectors (`vec_id < 20`, the same
+    * evaluation-holdout stand-in as [[contamination]]'s `doc_id <
+    * 20`) assigned to their `probes` nearest cells (multiprobe — the
+    * recall knob, IVF's nprobe), corpus rows joined to test rows on
+    * the CELL id, and within-cell cosine flags every corpus vector
+    * within `threshold` of some test vector — reported with its
+    * nearest test id and the similarity, the triage columns a
+    * decontamination reviewer needs.
+    *
+    * Scale shape: the quadratic term is bucketed to
+    * Σ_cell |cell|·|test ∩ probed(cell)| — a plain equi-join on
+    * `cell`, never all-pairs (spec-asserted: no
+    * BroadcastNestedLoopJoin, no CartesianProduct); the test side is
+    * tiny by definition and explodes to |test|·probes rows, so the
+    * join broadcasts it. Flagging is EXACT within probed cells
+    * (false positives impossible — every candidate's true cosine is
+    * computed), so precision is 1 and recall is the cell-probe
+    * recall; the spec checks ≥ 0.9 vs the all-pairs oracle at
+    * sf0.001 and recovers an injected paraphrase with its source
+    * test id. Rows-only by design: k-means is iterative, no SQL
+    * oracle.
+    */
+  def contaminationSemantic(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3, k: Int = 16,
+                            probes: Int = 6): DataFrame =
+    contaminationSemanticOf(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v")),
+      threshold, k, probes)
+
+  /** [[contaminationSemantic]] over an arbitrary `(vec_id, v)` frame —
+    * the spec's injection seam (paraphrase fixtures, following the
+    * mm_neardup injected-near-duplicate discipline).
+    */
+  private[graft] def contaminationSemanticOf(spark: SparkSession, emb: DataFrame,
+                                             threshold: Double, k: Int,
+                                             probes: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cents = Clustering.centroidsOf(spark, emb.select(col("vec_id"), col("v")), k)
+    val e = emb
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .withColumn("cell", element_at(Similarity.topCellsExpr(cents)(col("v"), 1), 1))
+    val tests = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("test_id"), col("v").as("tv"), col("nrm").as("tn"),
+        explode(Similarity.topCellsExpr(cents)(col("v"), probes)).as("cell"))
+    val cosc = call_function("graft_dot", col("v"), col("tv")) / (col("nrm") * col("tn"))
+    corpus.join(tests, Seq("cell"))
+      .filter(cosc >= threshold)
+      .withColumn("cos", round(cosc, 4))
+      .groupBy(col("vec_id"))
+      // nearest test id per flagged doc; cos ties break to the higher
+      // test id — deterministic under any partitioning
+      .agg(max(struct(col("cos"), col("test_id"))).as("m"))
+      .select(col("vec_id"), col("m.test_id").as("test_id"), col("m.cos").as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Connected components over the near-duplicate graph (edges =
     * [[Dedup.ngramJaccard]] J ≥ 0.8 pairs): every document in a
     * near-dup cluster labeled with the cluster's smallest doc_id —

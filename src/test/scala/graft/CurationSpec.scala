@@ -66,6 +66,79 @@ class CurationSpec extends SparkSpec {
       s"bloom probe missing from the physical plan:\n$plan")
   }
 
+  test("contaminationSemantic: exact within probed cells, recall >= 0.9 vs all-pairs oracle") {
+    val threshold = 0.3
+    val flagged = Curation.contaminationSemantic(spark, sf, threshold).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // local all-pairs ground truth over the sf0.001 embeddings (500x64)
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val tests = all.filter(_._1 < 20)
+    val oracle = all.filter(_._1 >= 20).flatMap { case (id, v) =>
+      val hits = tests.map { case (tid, tv) => (tid, cos(v, tv)) }
+        .filter(_._2 >= threshold)
+      if (hits.isEmpty) None
+      else Some(id -> hits.maxBy { case (tid, c) => (c, tid) })
+    }.toMap
+    assert(oracle.nonEmpty, "fixture must contain semantic contamination")
+    // precision is exact by construction: every flagged doc is in the
+    // oracle, and the REPORTED pair is a true pair — its recomputed
+    // cosine matches and clears the threshold. (The reported test id
+    // may differ from the GLOBAL nearest when that one sat in an
+    // unprobed cell — the flag is still correct, attribution is
+    // best-within-probes.)
+    val vecOf = all.toMap
+    flagged.foreach { case (id, (tid, c)) =>
+      assert(oracle.contains(id), s"false positive: $id")
+      val truec = cos(vecOf(id), vecOf(tid))
+      assert(math.abs(truec - c) < 2e-4,
+        s"doc $id vs test $tid: flagged cos $c but true cos $truec")
+      assert(truec >= threshold - 1e-4)
+    }
+    // recall: cell probing may miss a straddler, but must catch >= 90%
+    val recall = flagged.size.toDouble / oracle.size
+    assert(recall >= 0.9, s"recall $recall (${flagged.size}/${oracle.size})")
+  }
+
+  test("contaminationSemantic: an injected paraphrase is recovered with its source test id") {
+    import spark.implicits._
+    // the mm_neardup injection discipline: plant a near-copy of test
+    // vector 3 in the corpus (small deterministic perturbation — the
+    // embedding-space signature of a paraphrase) and demand the scan
+    // surfaces it, attributed to its source
+    val base = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val src = base.filter(col("vec_id") === 3L)
+      .head.getSeq[Float](1).toArray
+    val paraphrase = src.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 2 == 0) 0.01f else -0.01f)
+    }
+    val injected = Seq((9999L, paraphrase.toSeq)).toDF("vec_id", "v")
+    val out = Curation.contaminationSemanticOf(spark,
+        base.unionByName(injected.select(col("vec_id"), col("v").cast("array<float>"))),
+        threshold = 0.3, k = 16, probes = 6)
+      .filter(col("vec_id") === 9999L).collect()
+    assert(out.length == 1, "the injected paraphrase must be flagged")
+    assert(out.head.getLong(1) == 3L,
+      s"nearest test id must be the source, got ${out.head.getLong(1)}")
+    assert(out.head.getDouble(2) >= 0.99,
+      s"a paraphrase-grade cosine, got ${out.head.getDouble(2)}")
+  }
+
+  test("contaminationSemantic: candidate generation is cell-bucketed, never all-pairs") {
+    val plan = planString(Curation.contaminationSemantic(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the corpus-test join must be a cell equi-join, not a nested loop")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedupClusters agrees exactly with a local union-find over the same edges") {
     val edges = Dedup.ngramJaccard(spark, sf).collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
