@@ -241,15 +241,47 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
       line(v => v.toString).getBytes("UTF-8"))
-    // refresh the committed baseline the NEXT run's 3x-vs-prior
-    // trigger compares against (headline numbers are min-of-attempts,
-    // so a throttled run does not poison the baseline)
-    try java.nio.file.Files.write(prevPath, line(v => v.toString).getBytes("UTF-8"))
+    // full-precision run output lands in BENCH_LAST.json — NEVER in
+    // BENCH_PREV.json. The committed baseline is a CURATED artifact
+    // (per-query idle-run minima + a provenance note); clobbering it
+    // with the latest run's numbers destroyed the r15 curation and a
+    // careless commit would have lost the minima for good. Folding new
+    // queries or better minima into BENCH_PREV is a deliberate,
+    // note-updating step (protocol in SURVEY §6), not a side effect of
+    // running the benchmark.
+    val lastPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_LAST", "BENCH_LAST.json"))
+    try java.nio.file.Files.write(lastPath, line(v => v.toString).getBytes("UTF-8"))
     catch { case t: Throwable =>
-      System.err.println(s"[bench] baseline write failed: ${t.getMessage}") }
+      System.err.println(s"[bench] run-output write failed: ${t.getMessage}") }
     println(line(v => f"$v%.2f"))
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"failed":${fmtList(failed)},"sf":"$sfDir"}""")
     spark.stop()
+    // PLANS FRESHNESS GATE: every contract query must have a reviewed
+    // plan section in PLANS.md (regenerated via graft.tools.Plans) —
+    // a new query without one fails the bench loudly, so plans can't
+    // silently go stale as the query set grows. Gate only when the
+    // dump exists (dev trees without it aren't penalized); override
+    // path via SPARK_GRAFT_PLANS.
+    val plansPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS", "PLANS.md"))
+    if (java.nio.file.Files.exists(plansPath)) {
+      val text = new String(java.nio.file.Files.readAllBytes(plansPath), "UTF-8")
+      val sections = "(?m)^## ([A-Za-z0-9_]+)$".r
+        .findAllMatchIn(text).map(_.group(1)).toSet
+      val missing = SparkEntry.queries.keys.toSeq.sorted.filterNot(sections)
+      if (missing.nonEmpty) {
+        System.err.println(
+          "[bench] ########################################################")
+        System.err.println(
+          s"[bench] ## RED: ${missing.size} contract quer${if (missing.size == 1) "y has" else "ies have"} no PLANS.md section: ${missing.mkString(", ")}")
+        System.err.println(
+          "[bench] ## regenerate: sbt \"runMain graft.tools.Plans <sfDir> PLANS.md\"")
+        System.err.println(
+          "[bench] ########################################################")
+        sys.exit(1)
+      }
+    }
     // A run with ANY failed query must not look healthy: the round-6
     // artifact recorded 21 analysis failures as fast-looking ~0.06 s
     // entries and nothing tripped. Banner + nonzero exit make the

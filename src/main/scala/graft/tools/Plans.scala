@@ -104,11 +104,22 @@ object Plans {
       "lake_evolve_layout" -> "LAYOUT-COLUMN RENAME readback: the equality filter on the RENAMED name reaches the scan as a PartitionFilter on the PHYSICAL directory key (the alias is a plain rename projection the optimizer pushes through — never a per-file coalesce, which would kill pruning); otherwise the same pruned root scan + keep-set LeftSemi + one aggregate as an un-renamed lake — zero directories rewritten",
       "lake_rewrite_manifests" -> "post-REGISTRY-REWRITE readback: the executed plan is the unchanged lake shape (root scan + keep-set LeftSemi + MOR position LeftAnti + aggregate) — the rewrite consolidated only the registries' part files, shrinking PLANNING-time listing/footer-opens from one-plus files per sync round to ceil(bytes/64MB) while the data plan stays byte-identical")
 
+    // EVERY contract query gets a section (the freshness gate in
+    // graft.Bench fails when one is missing, so a new query cannot
+    // ship without its plan reviewed): curated annotations above,
+    // a neutral note for the rest. Curated order first, remainder
+    // alphabetical.
+    val whyOf = headline.toMap
+    val rest = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(whyOf.contains)
+      .map(n => n -> "contract query (auto-included — every SparkEntry.queries key carries its executed plan)")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by graft.tools.Plans at sf0.01)\n\n")
     sb.append("Evidence for SURVEY.md §5 scale claims. Regenerate with\n")
     sb.append("`sbt \"runMain graft.tools.Plans <sfDir> <out>\"`.\n")
-    headline.foreach { case (name, why) =>
+    sb.append("One section per contract query; graft.Bench fails when a\n")
+    sb.append("query has no section here (the plans freshness gate).\n")
+    (headline ++ rest).foreach { case (name, why) =>
       System.err.println(s"[plans] $name")
       val df = SparkEntry.queries(name)(spark, dir)
       df.count() // let AQE finalize so the plan shows the executed shape
