@@ -25,8 +25,24 @@ import graft.sources.LakeEvolve
   *   MAINTAIN LAKE '<root>' COMPACT
   *   MAINTAIN LAKE '<root>' VACUUM
   *   MAINTAIN LAKE '<root>' REWRITE MANIFESTS
+  *   MAINTAIN LAKE '<root>' COMPACT DELETES
+  *   MAINTAIN LAKE '<root>' CONVERT DELETES
+  *   MAINTAIN LAKE '<root>' VACUUM DELETES
   *   MAINTAIN LAKE '<root>' EXPORT ICEBERG
+  *   DELETE FROM LAKE '<root>' WHERE <predicate>          -- copy-on-write
+  *   DELETE FROM LAKE '<root>' MOR WHERE <predicate>      -- position deletes
+  *   MERGE INTO LAKE '<root>' BY (k1[, k2...]) USING <query>   -- CoW upsert
+  *   UPSERT INTO LAKE '<root>' BY (k1[, k2...]) USING <query>  -- equality-delete upsert (CDC shape)
   * }}}
+  *
+  * Row-level DML statements delegate to [[graft.sources.LakeDml]]
+  * (same leases, same sequence allocation, same commit protocol as
+  * the Scala API) and return the commit's DmlStats as (stat, value)
+  * rows. The DELETE predicate is parsed by Spark's own expression
+  * parser against the lake's columns; MERGE/UPSERT read their update
+  * rows from any SQL query (a view registered via
+  * [[graft.sources.Tables.registerViews]], a VALUES list, a SELECT
+  * over another lake) — the updates must carry every table column.
   *
   * Each statement plans to a driver-side command that calls the same
   * [[LakeEvolve]] entry points the Scala API uses — every guard
@@ -86,6 +102,28 @@ object GraftSqlParser {
     """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+SYNC\s*;?\s*""".r
   private val ExportIce =
     """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+EXPORT\s+ICEBERG\s*;?\s*""".r
+  // the MOR-delete maintenance verbs (fold position deletes, convert
+  // equality deletes, retire inert delete files)
+  private val CompactDel =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+COMPACT\s+DELETES\s*;?\s*""".r
+  private val ConvertDel =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+CONVERT\s+DELETES\s*;?\s*""".r
+  private val VacuumDel =
+    """(?is)\s*MAINTAIN\s+LAKE\s+'([^']+)'\s+VACUUM\s+DELETES\s*;?\s*""".r
+  // row-level DML: the WHERE text / USING query parse through Spark's
+  // own parsers at execution (expr() for predicates, session.sql for
+  // update sources), so the full SQL expression language applies
+  private val DeleteCow =
+    """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val DeleteMor =
+    """(?is)\s*DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+MOR\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val MergeCow =
+    """(?is)\s*MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+BY\s*\(([^)]+)\)\s+USING\s+(.+?)\s*;?\s*""".r
+  private val UpsertEq =
+    """(?is)\s*UPSERT\s+INTO\s+LAKE\s+'([^']+)'\s+BY\s*\(([^)]+)\)\s+USING\s+(.+?)\s*;?\s*""".r
+
+  private def keys(csv: String): Seq[String] =
+    csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private[graft] def command(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -93,10 +131,17 @@ object GraftSqlParser {
       case Promote(root, name, tpe) => Some(GraftLakeAlter(root, "promote", name, tpe))
       case Drop(root, name) => Some(GraftLakeAlter(root, "drop", name, ""))
       case Compact(root) => Some(GraftLakeMaintain(root, "compact"))
+      case VacuumDel(root) => Some(GraftLakeMaintain(root, "vacuum_deletes"))
       case Vacuum(root) => Some(GraftLakeMaintain(root, "vacuum"))
       case RewriteMan(root) => Some(GraftLakeMaintain(root, "rewrite_manifests"))
+      case CompactDel(root) => Some(GraftLakeMaintain(root, "compact_deletes"))
+      case ConvertDel(root) => Some(GraftLakeMaintain(root, "convert_deletes"))
       case Sync(root) => Some(GraftLakeMaintain(root, "sync"))
       case ExportIce(root) => Some(GraftLakeExport(root))
+      case DeleteMor(root, pred) => Some(GraftLakeDml(root, "delete_mor", pred, Seq.empty))
+      case DeleteCow(root, pred) => Some(GraftLakeDml(root, "delete", pred, Seq.empty))
+      case MergeCow(root, ks, q) => Some(GraftLakeDml(root, "merge", q, keys(ks)))
+      case UpsertEq(root, ks, q) => Some(GraftLakeDml(root, "upsert_eq", q, keys(ks)))
       case _ => None
     }
 }
@@ -159,7 +204,52 @@ case class GraftLakeMaintain(root: String, op: String)
         Row("data_parts_after", st.dataPartsAfter.toLong),
         Row("delete_parts_before", st.deletePartsBefore.toLong),
         Row("delete_parts_after", st.deletePartsAfter.toLong))
+    case "compact_deletes" =>
+      val (before, after) = graft.sources.LakeDml.compactDeletes(session, root)
+      Seq(Row("delete_files_before", before.toLong),
+        Row("delete_files_after", after.toLong))
+    case "convert_deletes" =>
+      val (retired, posRows) = graft.sources.LakeDml.convertEqDeletes(session, root)
+      Seq(Row("eq_files_retired", retired.toLong),
+        Row("position_rows_written", posRows))
+    case "vacuum_deletes" =>
+      val n = graft.sources.LakeDml.vacuumDeletes(session, root)
+      Seq(Row("delete_files_tombstoned", n.toLong))
     case other => throw new IllegalStateException(s"unknown lake MAINTAIN '$other'")
+  }
+}
+
+/** Row-level DML from SQL (`DELETE FROM LAKE`, `MERGE INTO LAKE`,
+  * `UPSERT INTO LAKE`) — the same [[graft.sources.LakeDml]] commits
+  * the Scala API makes (leases, sequence allocation, CAS retries all
+  * identical), with the commit's DmlStats surfaced as (stat, value)
+  * rows. `arg` is the WHERE text for deletes (parsed by Spark's
+  * expression parser) or the USING query for merges/upserts (any SQL
+  * producing the table's columns).
+  */
+case class GraftLakeDml(root: String, op: String, arg: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.LongType
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("stat", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("value", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.sources.LakeDml
+    val stats = op match {
+      case "delete" =>
+        LakeDml.delete(session, root, org.apache.spark.sql.functions.expr(arg))
+      case "delete_mor" =>
+        LakeDml.deleteMor(session, root, org.apache.spark.sql.functions.expr(arg))
+      case "merge" => LakeDml.upsert(session, root, session.sql(arg), keys)
+      case "upsert_eq" => LakeDml.upsertEq(session, root, session.sql(arg), keys)
+      case other => throw new IllegalStateException(s"unknown lake DML '$other'")
+    }
+    Seq(Row("files_removed", stats.filesRemoved),
+      Row("files_added", stats.filesAdded),
+      Row("rows_changed", stats.rowsChanged))
   }
 }
 

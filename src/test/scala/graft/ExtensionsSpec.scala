@@ -156,6 +156,73 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("row-level DML from plain SQL: DELETE/MERGE/UPSERT + MOR-delete maintenance verbs") {
+    val prior = spark
+    assert(prior != null)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val root = Files.createTempDirectory("graft_sqldml").toString
+      graft.sources.Tables.events(s2, sf).orderBy(col("event_id")).limit(60)
+        .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+          col("event_id"), col("props").as("body"))
+        .coalesce(2).write.mode("append").parquet(root)
+      s2.sql(s"MAINTAIN LAKE '$root' SYNC").collect()
+      def stats(rows: Array[org.apache.spark.sql.Row]): Map[String, Long] =
+        rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      // copy-on-write DELETE: the WHERE text goes through Spark's own
+      // expression parser, so the full SQL predicate language applies
+      val del = stats(s2.sql(
+        s"DELETE FROM LAKE '$root' WHERE event_id >= 50 AND event_id % 2 = 0").collect())
+      assert(del("rows_changed") == 5 && del("files_removed") >= 1, del.toString)
+      assert(graft.sources.LogSync.table(s2, root).count() == 55)
+      // MOR DELETE: no data file rewritten, a position-delete commit
+      val mor = stats(s2.sql(
+        s"DELETE FROM LAKE '$root' MOR WHERE event_id = 7").collect())
+      assert(mor("files_removed") == 0 && mor("rows_changed") == 1, mor.toString)
+      assert(graft.sources.LogSync.table(s2, root).count() == 54)
+      // equality-delete UPSERT (the CDC shape) reading its update rows
+      // from any SQL query over a registered view
+      graft.sources.LogSync.table(s2, root).createOrReplaceTempView("sqldml_lake")
+      val up = stats(s2.sql(
+        s"UPSERT INTO LAKE '$root' BY (event_id) USING " +
+          "SELECT timestamp, service_name, event_id, 'restated' AS body " +
+          "FROM sqldml_lake WHERE event_id = 5").collect())
+      assert(up("rows_changed") == 1, up.toString)
+      val t = graft.sources.LogSync.table(s2, root)
+      assert(t.count() == 54)
+      assert(t.filter(col("event_id") === 5L).select("body").head.getString(0) == "restated")
+      // CoW MERGE with a novel key: one replacement + one insert
+      val mg = stats(s2.sql(
+        s"MERGE INTO LAKE '$root' BY (event_id) USING " +
+          "SELECT timestamp, service_name, event_id + 1000 AS event_id, 'fresh' AS body " +
+          "FROM sqldml_lake WHERE event_id = 11").collect())
+      assert(mg("rows_changed") == 0 && mg("files_added") >= 1, mg.toString)
+      assert(graft.sources.LogSync.table(s2, root).count() == 55)
+      // the MOR-delete maintenance verbs: convert the upsert's equality
+      // delete to positions, then the registry lifecycle stats surface
+      val conv = stats(s2.sql(s"MAINTAIN LAKE '$root' CONVERT DELETES").collect())
+      assert(conv("eq_files_retired") >= 1, conv.toString)
+      val cd = stats(s2.sql(s"MAINTAIN LAKE '$root' COMPACT DELETES").collect())
+      assert(cd.contains("delete_files_before"), cd.toString)
+      val vd = stats(s2.sql(s"MAINTAIN LAKE '$root' VACUUM DELETES").collect())
+      assert(vd("delete_files_tombstoned") >= 0L)
+      // reads unchanged through the whole maintenance pass
+      val t2 = graft.sources.LogSync.table(s2, root)
+      assert(t2.count() == 55)
+      assert(t2.filter(col("event_id") === 5L).select("body").head.getString(0) == "restated")
+      assert(t2.filter(col("event_id") === 7L).count() == 0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("CDC from plain SQL: poll-advance-poll over graft_watermark/changes/upserts/deletes") {
     val prior = spark
     assert(prior != null)

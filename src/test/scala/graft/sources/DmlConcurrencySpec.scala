@@ -143,6 +143,34 @@ class DmlConcurrencySpec extends graft.SparkSpec {
     assert(LogSync.table(spark, root).count() == 50 - 7)
   }
 
+  test("deleteMor racing compactDeletes: fold retires only what it read, nothing lost") {
+    val root = seeded(48)
+    // seed enough position-delete commits that the fold has work
+    (0 until 3).foreach(i =>
+      LakeDml.deleteMor(spark, root, col("event_id") === lit(40L + i)))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val deleter = Future {
+      gate.await()
+      (0 until 3).map(i =>
+        LakeDml.deleteMor(spark, root, col("event_id") === lit(20L + i)))
+    }
+    val folder = Future {
+      gate.await()
+      LakeDml.compactDeletes(spark, root)
+    }
+    gate.countDown()
+    val dels = Await.result(deleter, 300.seconds)
+    Await.result(folder, 300.seconds)
+    assert(dels.forall(_.rowsChanged == 1))
+    // every retraction holds — the fold tombstones exactly the files it
+    // merged, so a registration appended mid-fold can never vanish
+    assert(LogSync.table(spark, root).count() == 48 - 6)
+    assert(LogSync.table(spark, root)
+      .filter(col("event_id").isin(20L, 21L, 22L, 40L, 41L, 42L)).count() == 0)
+    val seqs = activeSeqs(root)
+    assert(seqs.distinct.size == seqs.size, s"duplicated sequences in $seqs")
+  }
+
   test("delete-registry part count stays bounded under a CDC soak (append-time auto-merge)") {
     import spark.implicits._
     val root = seeded(64)
