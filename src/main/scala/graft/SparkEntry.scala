@@ -170,6 +170,7 @@ object SparkEntry {
     "lake_needle"         -> ((s: SparkSession, d: String) => LakeAnalytics.needle(s, d)),
     "lake_grep"           -> ((s: SparkSession, d: String) => LakeAnalytics.grep(s, d)),
     "lake_dml"            -> (LakeAnalytics.dmlSeverity _),
+    "lake_sql_dml"        -> (LakeAnalytics.sqlDmlSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
@@ -1301,6 +1302,14 @@ object SparkEntry {
         | event_type AS severity_text, count(*) AS n
         |FROM events
         |WHERE NOT (user_id % 10 = 3 AND event_type = 'view')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "lake_sql_dml" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE NOT (user_id % 10 = 3 AND event_type = 'view')
+        |  AND NOT (user_id % 10 = 7 AND event_type = 'signup')
+        |  AND NOT (user_id % 10 = 5 AND event_type = 'click')
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "logs_search" ->
       """SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,

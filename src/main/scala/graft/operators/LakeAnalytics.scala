@@ -429,6 +429,48 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
 
+  private val sqlDmlBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A lake whose ENTIRE post-ingest lifecycle ran through the SQL
+    * dialect's command plans — registration (`MAINTAIN ... SYNC`), a
+    * copy-on-write redaction (`DELETE FROM LAKE ... WHERE`), two
+    * merge-on-read redactions (`DELETE ... MOR WHERE`), the
+    * position-delete fold (`MAINTAIN ... COMPACT DELETES`) and the
+    * inert-file sweep (`MAINTAIN ... VACUUM DELETES`). Each statement
+    * goes through [[graft.GraftSqlParser.command]] — the same regex
+    * parse and RunnableCommand a `spark.sql` session executes — so
+    * the `lake_sql_dml` oracle hash-match certifies the SQL surface
+    * end-to-end, not just the Scala API underneath it.
+    */
+  private[graft] def sqlDmlRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(sqlDmlBuilt, dir, "graft_lakesqldml", spark) { root =>
+      LogWriter.write(OtlpLogs.parse(payloads(spark, dir), col("payload")), root,
+        layout = LogWriter.DailyLayout)
+      def sql(text: String): Unit = {
+        graft.GraftSqlParser.command(text)
+          .getOrElse(sys.error(s"lake dialect must parse: $text"))
+          .asInstanceOf[org.apache.spark.sql.execution.command.LeafRunnableCommand]
+          .run(spark)
+        ()
+      }
+      sql(s"MAINTAIN LAKE '$root' SYNC")
+      sql(s"DELETE FROM LAKE '$root' WHERE service_name = 'svc-3' AND severity_text = 'view'")
+      sql(s"DELETE FROM LAKE '$root' MOR WHERE service_name = 'svc-7' AND severity_text = 'signup'")
+      sql(s"DELETE FROM LAKE '$root' MOR WHERE service_name = 'svc-5' AND severity_text = 'click'")
+      sql(s"MAINTAIN LAKE '$root' COMPACT DELETES")
+      sql(s"MAINTAIN LAKE '$root' VACUUM DELETES")
+    }
+
+  /** Severity counts over the SQL-lifecycle lake ([[sqlDmlRoot]]):
+    * one CoW delete's rewritten manifest + two MOR deletes read
+    * through their FOLDED position-delete commit.
+    */
+  def sqlDmlSeverity(spark: SparkSession, dir: String): DataFrame =
+    LogSync.table(spark, sqlDmlRoot(spark, dir))
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+
   private val morBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake whose redaction ran MERGE-ON-READ: the same payloads, then

@@ -57,6 +57,12 @@ private[graft] object ClaimFile {
     */
   def register(scheme: String, s: Strategy): Unit = { strategies.put(scheme, s); () }
 
+  /** Remove a registered strategy — the scheme falls back to its
+    * built-in default (spec hygiene; production strategies are
+    * process-lifetime).
+    */
+  private[graft] def unregister(scheme: String): Unit = { strategies.remove(scheme); () }
+
   /** O_EXCL via NIO — genuinely atomic on POSIX. Create success proves
     * ownership, so any later failure deletes the claim before
     * reporting false (the failure path must not strand a husk).

@@ -96,7 +96,13 @@ object LogSync {
     * to the current version dir does not bump the version, so an
     * append racing a swap can still lose its rows — syncs and rewrites
     * share the single-writer rule (one maintenance owner per lake),
-    * as they do in the reference's sync daemon. Note for operators
+    * as they do in the reference's sync daemon. The seam's actual
+    * severity is TEMPORARY INVISIBILITY, not loss: a dropped
+    * registration leaves its files on disk and unregistered, which is
+    * exactly what the next sync round's fresh-diff anti-join finds —
+    * the rows re-register under a fresh registered_at (spec-pinned in
+    * ManifestCasSpec), and incremental consumers re-surface them
+    * under the followers' existing at-least-once contract. Note for operators
     * running a sync daemon ALONGSIDE DML/compaction: since sync's
     * auto-merge (`graft.lake.manifestMergeMinParts`, default 512) a
     * sync round near the merge threshold can itself ADVANCE the data-

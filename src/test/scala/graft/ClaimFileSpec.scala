@@ -35,6 +35,34 @@ class ClaimFileSpec extends SparkSpec {
     }
   }
 
+  test("per-scheme strategy seam: a registered strategy overrides the built-in and is removable") {
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_claim3").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a counting wrapper around the O_EXCL semantics — the seam a
+    // conditional-PUT object-store binding would plug into
+    ClaimFile.register("file", (_, claim, bytes) => {
+      calls.incrementAndGet()
+      val p = java.nio.file.Paths.get(claim.toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.write(p, bytes)
+        true
+      } catch { case _: java.io.IOException => false }
+    })
+    try {
+      val claim = new Path(s"$dir/claim")
+      assert(ClaimFile.tryClaim(fs, claim, "alpha"))
+      assert(calls.get() == 1, "the registered strategy must be the one that ran")
+      // losing path still goes through the strategy; token verify holds
+      assert(!ClaimFile.tryClaim(fs, claim, "beta"))
+      assert(calls.get() == 2)
+    } finally ClaimFile.unregister("file")
+    // built-in restored: claims still work
+    val claim2 = new Path(s"$dir/claim2")
+    assert(ClaimFile.tryClaim(fs, claim2, "gamma"))
+  }
+
   test("tryClaim: an existing claim refuses; released claim reclaims; content survives") {
     val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = Files.createTempDirectory("graft_claim2").toString

@@ -223,6 +223,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("lake_sql_dml: the SQL-lifecycle fixture equals the events-derived truth; MOR deletes folded") {
+    val got = graft.operators.LakeAnalytics.sqlDmlSeverity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.sources.Tables.events(spark, sf)
+      .select(concat(lit("svc-"), col("user_id") % 10).as("s"),
+        col("event_type").as("t"))
+      .filter(!(col("s") === "svc-3" && col("t") === "view") &&
+        !(col("s") === "svc-7" && col("t") === "signup") &&
+        !(col("s") === "svc-5" && col("t") === "click"))
+      .groupBy("s", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // the two MOR commits were folded by the SQL COMPACT DELETES verb:
+    // one active position-delete file remains, carrying both commits'
+    // rows under op="fold"
+    val root = graft.operators.LakeAnalytics.sqlDmlRoot(spark, sf)
+    val pos = graft.sources.LogSync.deleteEntries(spark, root).filterNot(_.isEq)
+    assert(pos.length == 1 && pos.head.op == "fold",
+      s"expected one folded position-delete file, got $pos")
+  }
+
   test("CDC from plain SQL: poll-advance-poll over graft_watermark/changes/upserts/deletes") {
     val prior = spark
     assert(prior != null)

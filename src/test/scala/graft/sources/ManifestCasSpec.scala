@@ -55,6 +55,45 @@ class ManifestCasSpec extends graft.SparkSpec {
       .filter(col("span_id") === victim).count() == 0)
   }
 
+  test("a sync append lost to a racing rewrite SELF-HEALS on the next sync round") {
+    import org.apache.spark.sql.functions._
+    val root = seeded()
+    assert(LogSync.table(spark, root).count() == 50)
+    // the rewrite's planning snapshot — taken BEFORE the racing sync.
+    // COLLECTED, not cached: a cached plan over the manifest path gets
+    // transparently re-cached by the sync append below (same-JVM
+    // convenience a real cross-process rewriter doesn't have), so the
+    // genuine staleness needs driver-materialized rows
+    val schema = LogSync.manifestDf(spark, root).schema
+    val planRows = LogSync.manifestDf(spark, root).collect().toSeq
+    // a sync round lands 20 more rows while the rewrite is in flight
+    Tables.events(spark, sf).orderBy(col("event_id")).offset(50).limit(20)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    assert(LogSync.sync(spark, root) > 0)
+    assert(LogSync.table(spark, root).count() == 70)
+    // the rewrite swaps from its stale snapshot — the documented
+    // un-serialized sync-append-vs-rewrite window (appends don't bump
+    // the version, so a CAS can't see them)
+    LogSync.swapManifest(spark, root,
+      spark.createDataFrame(spark.sparkContext.parallelize(planRows), schema))
+    // the appended rows went INVISIBLE (their registrations vanished
+    // from the swapped copy)...
+    assert(LogSync.table(spark, root).count() == 50,
+      "the stale swap must have dropped the racing append's registrations")
+    // ...but never LOST: on-disk unregistered files are exactly what
+    // the fresh-diff anti-join finds, so the next round re-registers
+    // them — the seam degrades to TEMPORARY INVISIBILITY, and CDC
+    // consumers see the rows again under a fresh registered_at
+    // (at-least-once, the followers' existing contract)
+    assert(LogSync.sync(spark, root) > 0, "the healing round must re-register")
+    assert(LogSync.table(spark, root).count() == 70)
+    assert(LogSync.table(spark, root).select("span_id").distinct().count() == 70)
+  }
+
   test("delete-registry swap has the same CAS; un-guarded swaps still work") {
     import spark.implicits._
     val root = seeded()
