@@ -1119,8 +1119,17 @@ object LogSync {
         // re-examines a registered file, and evolved reads trust the
         // log alone.
         LakeEvolve.recordAdds(spark, root, freshPaths.toSeq)
-        freshManifestRows(spark, root, freshPaths.toSeq)
+        // LEASED + RESERVED sequence, like every other commit: an
+        // unleased nextSeq here could tie a concurrent MOR commit's
+        // sequence (the tie is survivable — same-seq data is exempt
+        // from the delete, exactly as if appended after — but unique
+        // sequences per commit is the invariant everything else
+        // reasons from, so sync holds it too). Sync lease is already
+        // held; lease order sync→dml matches rewriteManifests.
+        val (commitSeq, seqRes) = allocateSeq(spark, root)
+        try freshManifestRows(spark, root, freshPaths.toSeq, seq = Some(commitSeq))
           .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
+        finally releaseSeq(spark, seqRes)
         // SELF-DRIVING registry maintenance (Iceberg's
         // commit.manifest-merge analog): every round appends one-plus
         // part-files here, and an append-only lake otherwise NEVER

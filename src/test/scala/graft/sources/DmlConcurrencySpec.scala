@@ -171,6 +171,39 @@ class DmlConcurrencySpec extends graft.SparkSpec {
     assert(seqs.distinct.size == seqs.size, s"duplicated sequences in $seqs")
   }
 
+  test("sync racing a DML commit: the append and the retraction never tie a sequence") {
+    import spark.implicits._
+    val root = seeded(40)
+    // fresh files on disk awaiting registration — the racing sync's work
+    Tables.events(spark, sf).orderBy(col("event_id")).offset(40).limit(10)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"), col("event_id"),
+        col("props").as("body"))
+      .coalesce(1).write.mode("append").parquet(root)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val syncer = Future { gate.await(); LogSync.sync(spark, root) }
+    val deleter = Future {
+      gate.await()
+      LakeDml.deleteEq(spark, root, Seq(3L).toDF("event_id"))
+    }
+    gate.countDown()
+    assert(Await.result(syncer, 300.seconds) > 0)
+    assert(Await.result(deleter, 300.seconds).filesAdded >= 1)
+    // sequences are unique PER COMMIT across both registries: two sync
+    // commits and one retraction — three distinct values, no tie (a
+    // tie was survivable for data-vs-delete but uniqueness is the
+    // invariant fold/convert bookkeeping reasons from)
+    val dataSeqs = LogSync.manifestDf(spark, root)
+      .select(coalesce(col("seq"), lit(0L))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val eqSeq = LogSync.deleteEntries(spark, root).filter(_.isEq).map(_.seq).toSet
+    assert(dataSeqs.size == 2, s"two sync commits expected, seqs $dataSeqs")
+    assert(eqSeq.size == 1 && !dataSeqs.contains(eqSeq.head),
+      s"the retraction must not tie an append commit: data $dataSeqs eq $eqSeq")
+    // id 3 lives only in the first (strictly-below) batch: retracted
+    assert(LogSync.table(spark, root).count() == 49)
+  }
+
   test("delete-registry part count stays bounded under a CDC soak (append-time auto-merge)") {
     import spark.implicits._
     val root = seeded(64)
