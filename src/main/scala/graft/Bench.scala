@@ -115,8 +115,9 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // Per-query numbers from the PREVIOUS committed run (BENCH_PREV
-    // .json, full precision, rewritten at the end of every run). The
+    // Per-query numbers from the CURATED baseline (BENCH_PREV.json —
+    // idle-run minima, maintained by hand, never auto-rewritten; each
+    // run's own output goes to BENCH_LAST.json instead). The
     // round-5 artifact showed the failure mode the absolute trigger
     // below cannot see: the VM's burst scheduler inflated an entire
     // query family 2-6x uniformly, yet every number stayed under the
@@ -174,9 +175,10 @@ object Bench {
     val threshold = math.max(5.0, 8.0 * median)
     // The TPC-H join pair where rounds 6-7 measured burst-throttle
     // noise with UNCHANGED plans (q2 0.50→1.14 s, q3 0.49→1.84 s) —
-    // and because BENCH_PREV refreshes from the headline numbers, one
-    // throttled round poisons the 3x-vs-prior trigger into silence
-    // for the next. These two always take min-of-2 once past a small
+    // and when BENCH_PREV still auto-refreshed from headline numbers,
+    // one throttled round poisoned the 3x-vs-prior trigger into
+    // silence for the next (the baseline is curated-only now, which
+    // also closes that hole). These two always take min-of-2 once past a small
     // floor, so their committed baselines converge back to steady
     // state instead of ratcheting up. Cost: at most two extra ~1 s
     // runs per bench.
@@ -187,9 +189,10 @@ object Bench {
     // from the retry. r11 replaces the list with the general rule the
     // floors were approximating: retry whenever a query runs >1.5x
     // its committed BENCH_PREV value (with the same 0.3 s slack).
-    // BENCH_PREV holds min-of-attempts steady states, so 1.5x of it
-    // IS "just above observed steady state" for every query at once,
-    // self-updating as plans change — no exemption list to maintain,
+    // BENCH_PREV holds curated idle-run minima, so 1.5x of it IS
+    // "just above observed steady state" for every query at once —
+    // updated at curation time when plans change, no exemption list
+    // to maintain,
     // and a genuine 1.5x regression shows up as two consistent slow
     // attempts in "retried" instead of silently ratcheting the
     // baseline. Worst-case cost stays bounded: only noisy queries pay
@@ -266,32 +269,33 @@ object Bench {
     // path via SPARK_GRAFT_PLANS.
     val plansPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_PLANS", "PLANS.md"))
-    if (java.nio.file.Files.exists(plansPath)) {
-      val text = new String(java.nio.file.Files.readAllBytes(plansPath), "UTF-8")
-      val sections = "(?m)^## ([A-Za-z0-9_]+)$".r
-        .findAllMatchIn(text).map(_.group(1)).toSet
-      val missing = SparkEntry.queries.keys.toSeq.sorted.filterNot(sections)
-      if (missing.nonEmpty) {
-        System.err.println(
-          "[bench] ########################################################")
-        System.err.println(
-          s"[bench] ## RED: ${missing.size} contract quer${if (missing.size == 1) "y has" else "ies have"} no PLANS.md section: ${missing.mkString(", ")}")
-        System.err.println(
-          "[bench] ## regenerate: sbt \"runMain graft.tools.Plans <sfDir> PLANS.md\"")
-        System.err.println(
-          "[bench] ########################################################")
-        sys.exit(1)
+    val missingPlans =
+      if (!java.nio.file.Files.exists(plansPath)) Seq.empty[String]
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(plansPath), "UTF-8")
+        val sections = "(?m)^## ([A-Za-z0-9_]+)$".r
+          .findAllMatchIn(text).map(_.group(1)).toSet
+        SparkEntry.queries.keys.toSeq.sorted.filterNot(sections)
       }
-    }
-    // A run with ANY failed query must not look healthy: the round-6
+    // BOTH red conditions print before the single exit: a change that
+    // breaks a query AND forgets to regenerate plans (the likeliest
+    // combination — one edit causes both) must not hide the failure
+    // list behind the gate for a whole bench cycle. A run with ANY
+    // failed query must not look healthy either way: the round-6
     // artifact recorded 21 analysis failures as fast-looking ~0.06 s
-    // entries and nothing tripped. Banner + nonzero exit make the
-    // driver's rc capture (and any CI wrapper) see red.
-    if (failed.nonEmpty) {
+    // entries and nothing tripped.
+    if (failed.nonEmpty || missingPlans.nonEmpty) {
       System.err.println(
         "[bench] ########################################################")
-      System.err.println(
-        s"[bench] ## RED: ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
+      if (failed.nonEmpty)
+        System.err.println(
+          s"[bench] ## RED: ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.mkString(", ")}")
+      if (missingPlans.nonEmpty) {
+        System.err.println(
+          s"[bench] ## RED: ${missingPlans.size} contract quer${if (missingPlans.size == 1) "y has" else "ies have"} no PLANS.md section: ${missingPlans.mkString(", ")}")
+        System.err.println(
+          "[bench] ## regenerate: sbt \"runMain graft.tools.Plans <sfDir> PLANS.md\"")
+      }
       System.err.println(
         "[bench] ########################################################")
       sys.exit(1)

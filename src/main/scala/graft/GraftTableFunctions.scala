@@ -47,13 +47,20 @@ object GraftTableFunctions {
 
   private def evalMark(e: Expression, fn: String): java.sql.Timestamp = {
     require(e.foldable, s"$fn: the mark must be a literal")
+    // a NULL mark refuses LOUDLY: null.asInstanceOf[Long] would unbox
+    // to epoch 0 and silently turn an "incremental" poll into a
+    // full-table batch (double-applied downstream)
+    val v = e.eval()
+    require(v != null, s"$fn: the mark must not be NULL — a changelog " +
+      "consumer with no stored mark should pass its bootstrap instant " +
+      "explicitly (epoch for a genuine full read)")
     e.dataType match {
       case TimestampType =>
-        DateTimeUtils.toJavaTimestamp(e.eval().asInstanceOf[Long])
+        DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long])
       case StringType =>
         val zone = DateTimeUtils.getZoneId(
           SparkSession.active.sessionState.conf.sessionLocalTimeZone)
-        val s = e.eval().asInstanceOf[UTF8String]
+        val s = v.asInstanceOf[UTF8String]
         DateTimeUtils.stringToTimestamp(s, zone)
           .map(DateTimeUtils.toJavaTimestamp)
           .getOrElse(throw new IllegalArgumentException(

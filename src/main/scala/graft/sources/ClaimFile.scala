@@ -49,13 +49,22 @@ private[graft] object ClaimFile {
   type Strategy = (FileSystem, Path, Array[Byte]) => Boolean
 
   private val strategies =
-    new java.util.concurrent.ConcurrentHashMap[String, Strategy]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Strategy, Boolean)]()
 
   /** Plug a conditional-create strategy for a scheme (e.g. an
     * If-None-Match PUT binding for a versioned object store). Wins
-    * over the built-in default for that scheme.
+    * over the built-in default for that scheme. `provesOwnership`
+    * declares whether the strategy's create is genuinely atomic
+    * (conditional PUT): only then may the verify-failure path delete
+    * the claim — a narrowing-only strategy (exists-then-create) must
+    * pass false, or a failed verify would retire ANOTHER racer's
+    * live claim, the exact double-claim the primitive exists to
+    * prevent.
     */
-  def register(scheme: String, s: Strategy): Unit = { strategies.put(scheme, s); () }
+  def register(scheme: String, s: Strategy,
+               provesOwnership: Boolean = true): Unit = {
+    strategies.put(scheme, (s, provesOwnership)); ()
+  }
 
   /** Remove a registered strategy — the scheme falls back to its
     * built-in default (spec hygiene; production strategies are
@@ -115,7 +124,7 @@ private[graft] object ClaimFile {
   }
 
   private def strategyFor(scheme: String): Strategy =
-    Option(strategies.get(scheme)).getOrElse(scheme match {
+    Option(strategies.get(scheme)).map(_._1).getOrElse(scheme match {
       case "file" => localStrategy
       case "hdfs" => ownedCreateStrategy
       case _ => unownedCreateStrategy
@@ -123,10 +132,29 @@ private[graft] object ClaimFile {
 
   /** Whether `scheme`'s create proves ownership — i.e. a verify
     * failure after a successful create may safely delete the claim
-    * (it is provably ours).
+    * (it is provably ours). Registered strategies carry their own
+    * declaration; a narrowing-only registration must not inherit the
+    * delete-on-failure right.
     */
   private def ownedScheme(scheme: String): Boolean =
-    scheme == "file" || scheme == "hdfs" || strategies.containsKey(scheme)
+    Option(strategies.get(scheme)).map(_._2)
+      .getOrElse(scheme == "file" || scheme == "hdfs")
+
+  /** Release `claim` only while it still carries `token`. An
+    * unconditional delete would let a holder that STALLED past the
+    * grace window (and was legitimately reclaimed) delete the
+    * reclaimer's live claim on its way out — handing a third writer
+    * a double claim, the cascade version of the race the claim
+    * prevents. A token mismatch means the claim was reclaimed; the
+    * stalled holder simply leaves it alone (its own work having
+    * raced the reclaimer is the documented grace-window trade).
+    */
+  def release(fs: FileSystem, claim: Path, token: String): Unit =
+    try {
+      val in = fs.open(claim)
+      val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (got == token) { fs.delete(claim, false); () }
+    } catch { case _: java.io.IOException => () }
 
   /** Attempt to claim `claim` with `token`; true only when this
     * caller holds it afterwards. Never throws on a lost race — any

@@ -761,7 +761,7 @@ object LakeDml {
     // surface them a second time
     val (files, _) = writePositionDeletes(spark, root, merged, op = "fold")
     // tombstone the originals in the SAME swap that already holds the
-    // merged commit's append (appendDeleteManifest ran inside
+    // merged commit's append (the leased registry append ran inside
     // writePositionDeletes; the swap rewrites the whole registry with
     // the originals tombstoned — readers flip atomically)
     LogSync.tombstoneDeleteEntries(spark, root, entries.map(_.path))

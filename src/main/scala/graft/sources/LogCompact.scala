@@ -434,6 +434,12 @@ object LogCompact {
             fs.delete(s.getPath, false); ()
           case SwapClaimRe(p, v) if fs.exists(new Path(s"$root/${p}_v$v")) =>
             fs.delete(s.getPath, false); ()
+          // a janitor that renamed a stale claim aside and crashed (or
+          // whose follow-up delete failed) leaves `<claim>.reclaim_<id>`
+          // residue no other sweep matches — aged out like every other
+          // crash leftover
+          case n if n.contains(".reclaim_") =>
+            fs.delete(s.getPath, false); ()
           case _ => ()
         }
       }

@@ -199,7 +199,7 @@ object LogSync {
       next.write.mode(SaveMode.Overwrite).parquet(staging)
       require(fs.rename(stagingPath, target),
         s"$kind swap rename failed under $root")
-    } finally { fs.delete(claim, false); () }
+    } finally ClaimFile.release(fs, claim, token)
   }
 
   /** Data dirs of every manifest version EXCEPT the current one (the
@@ -414,8 +414,8 @@ object LogSync {
 
   // registries written before kind/seq/eq_cols existed lack those
   // columns; mergeSchema (a registry dir can mix old- and new-schema
-  // row files after an upgrade — appendDeleteManifest appends) +
-  // null backfill, same discipline as [[readManifestDir]]
+  // row files after an upgrade — the leased append adds parts in
+  // place) + null backfill, same discipline as [[readManifestDir]]
   private[graft] def deleteManifestDf(spark: SparkSession, root: String): DataFrame =
     if (hasDeleteManifest(spark, root)) {
       val m = spark.read.option("mergeSchema", "true")
@@ -427,14 +427,11 @@ object LogSync {
     } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteManifestSchema)
 
-  /** Append rows to the delete registry under the DML lease. Callers
-    * that already hold the lease use [[appendDeleteManifestLocked]].
-    */
-  private[sources] def appendDeleteManifest(spark: SparkSession, root: String,
-                                            rows: DataFrame): Unit =
-    withDmlLease(spark, root) { appendDeleteManifestLocked(spark, root, rows) }
-
-  /** The append body — callable only while the DML lease is HELD.
+  /** The delete-registry append — callable only while the DML lease
+    * is HELD (every caller wraps it in [[withDmlLease]] together with
+    * its sequence default; the lease is NOT re-entrant, so a
+    * self-locking convenience wrapper would deadlock any caller
+    * already inside a leased section — deliberately none exists).
     * Two disciplines replace the old bare `mode(Append)` write:
     *
     *  1. STAGED parts, renamed in: the rows write to a writer-unique
@@ -1007,7 +1004,7 @@ object LogSync {
       s"holds $lease — sync is single-writer per root; rerun when it " +
       "finishes (a CRASHED sync's lease is auto-reclaimed after " +
       "graft.lake.claimGraceMs of inactivity)")
-    try body finally { fs.delete(lease, false); () }
+    try body finally ClaimFile.release(fs, lease, token)
   }
 
   /** SERIALIZATION of every DELETE-REGISTRY mutation and every commit
@@ -1060,7 +1057,9 @@ object LogSync {
       "means a crashed holder inside the grace window or a severely " +
       "stalled writer; retry, or lower graft.lake.claimGraceMs if the " +
       "holder is known dead")
-    try body finally { fs.delete(lease, false); () }
+    // token-checked: a holder that stalled past the grace window and
+    // was reclaimed must not delete the reclaimer's live lease
+    try body finally ClaimFile.release(fs, lease, token)
   }
 
   /** Allocate the next commit sequence AND reserve it in ONE

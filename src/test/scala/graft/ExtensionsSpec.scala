@@ -318,6 +318,10 @@ class ExtensionsSpec extends SparkSpec {
       val e = intercept[Exception](s2.sql(
         s"SELECT * FROM graft_changes('$root', cast(rand() as timestamp))").collect())
       assert(e.getMessage.contains("literal"), e.getMessage)
+      // a NULL mark must refuse loudly, not silently read since epoch
+      val n = intercept[Exception](s2.sql(
+        s"SELECT * FROM graft_changes('$root', CAST(NULL AS TIMESTAMP))").collect())
+      assert(n.getMessage.contains("NULL"), n.getMessage)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
