@@ -18,6 +18,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * | `hdfs`      | `create(overwrite=false)`         | yes (server-side)   | yes — stream acquisition proves ownership |
   * | plain `s3a` | `create(overwrite=false)`         | NO — exists-then-create; window NARROWED by the token re-read, not closed | no — ownership unprovable, a failure-path delete could retire ANOTHER racer's claim |
   * | stores with conditional PUT (S3 If-None-Match) | [[register]] a strategy | per strategy | per strategy |
+  * | `cond` (test-only simulated conditional-PUT store, CondStoreSpec) | registered strategy over `create(overwrite=false)` | yes — the FS's non-overwrite create IS the conditional PUT, with injectable post-create latency | yes — provesOwnership=true, TESTED: N-racer claim rounds + the concurrent-deleteEq DML race both hold on the scheme |
   *
   * Why the scheme matters: Hadoop's RawLocalFileSystem implements
   * `create(overwrite = false)` as exists-then-create — two racers can
@@ -31,8 +32,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * as the last line of defense — documented at the call sites. Stores
   * that DO support conditional create (S3 now has If-None-Match PUT)
   * can close the window by [[register]]ing a strategy for their
-  * scheme; untestable in this sandbox (no object-store connector
-  * jars), so the seam is the deliverable, not a certified binding.
+  * scheme. No real object-store connector exists in this sandbox
+  * (zero egress, no s3a jars), but the STRATEGY PATH itself is
+  * certified against a simulated conditional-create store:
+  * CondStoreSpec's `cond://` FileSystem honors If-None-Match
+  * semantics with injectable create latency, and both the N-racer
+  * claim rounds and the two-thread DML-lease race pass through a
+  * registered ownership-proving strategy on it — what remains
+  * untested is the concrete S3 binding, not the seam's semantics.
   */
 private[graft] object ClaimFile {
 
@@ -148,12 +155,45 @@ private[graft] object ClaimFile {
     * prevents. A token mismatch means the claim was reclaimed; the
     * stalled holder simply leaves it alone (its own work having
     * raced the reclaimer is the documented grace-window trade).
+    *
+    * The delete goes through RENAME-ASIDE, not verify-then-delete:
+    * a bare read-match-delete leaves a gap in which a reclaimer can
+    * retire this claim and a fresh writer re-claim the path — the
+    * stalled holder's delete would then land on the NEW holder's
+    * live claim. The rename is the one-winner arbiter (only one
+    * mover of the same source path succeeds, the same gate stale
+    * reclaim uses): the token is re-verified in the renamed file and
+    * only a match is deleted; a mismatch renames the file straight
+    * back. The `.reclaim_` aside name keeps any crash/rename-back
+    * residue inside the janitor's existing aging sweep
+    * ([[LogCompact.vacuum]]). Residual (documented, not closed): if
+    * the rename-back itself loses to a third claim of the freed
+    * path, the aside file stays as residue and its owner re-enters
+    * the ordinary lost-claim path — strictly narrower than the
+    * read-delete gap this replaces, because the arbiter is now an
+    * atomic rename instead of a racy read.
     */
   def release(fs: FileSystem, claim: Path, token: String): Unit =
     try {
+      // cheap pre-read keeps the common reclaimed-holder no-op from
+      // disturbing the live claim at all
       val in = fs.open(claim)
       val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      if (got == token) { fs.delete(claim, false); () }
+      if (got == token) {
+        val aside = new Path(claim.getParent, claim.getName +
+          ".reclaim_rel" + java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(claim, aside)) {
+          val in2 = fs.open(aside)
+          val got2 = try new String(in2.readAllBytes(), "UTF-8") finally in2.close()
+          if (got2 == token) { fs.delete(aside, false); () }
+          else if (!fs.rename(aside, claim)) {
+            // a third claim won the freed path first: the aside file
+            // (the reclaimer's) stays as aged residue; its owner's
+            // release will no-op on the missing path
+            ()
+          }
+        }
+      }
     } catch { case _: java.io.IOException => () }
 
   /** Attempt to claim `claim` with `token`; true only when this

@@ -133,16 +133,43 @@ object LogSync {
     * created claim — both proceeding, re-opening exactly the window
     * the claim closes. True only for the single racer whose rename
     * won; everyone else re-enters the ordinary lost-claim path.
+    *
+    * The winner RE-VERIFIES staleness on the renamed file before
+    * deleting it: between the caller's mtime check and the rename,
+    * the observed-stale holder can release and a FRESH writer claim
+    * the path — the winning rename would then have retired a LIVE
+    * claim (the TOCTOU the old delete-based path had). The renamed
+    * file's mtime is authoritative (rename preserves it): still
+    * older than `staleBefore` → genuinely stale, delete and retire;
+    * fresh → rename it straight back and report no-retire, the
+    * caller re-enters the lost-claim path against the live holder.
+    * If the rename-back loses to yet another claim of the freed
+    * path, the aside file stays as `.reclaim_` residue for the
+    * janitor's aging sweep — same residual as [[ClaimFile.release]],
+    * strictly narrower than the unverified retire it replaces.
     */
-  private def retireStaleClaim(fs: org.apache.hadoop.fs.FileSystem,
-                               claim: Path): Boolean = {
+  private[sources] def retireStaleClaim(fs: org.apache.hadoop.fs.FileSystem,
+                               claim: Path, staleBefore: Long): Boolean = {
     val retired = new Path(claim.getParent,
       claim.getName + ".reclaim_" + java.util.UUID.randomUUID().toString.take(8))
     val won =
       try fs.rename(claim, retired)
       catch { case _: java.io.IOException => false }
-    if (won) { try fs.delete(retired, false) catch { case _: java.io.IOException => () } }
-    won
+    won && {
+      val stillStale =
+        try fs.getFileStatus(retired).getModificationTime < staleBefore
+        catch { case _: java.io.IOException => false }
+      if (stillStale) {
+        try fs.delete(retired, false) catch { case _: java.io.IOException => () }
+        true
+      } else {
+        // a live claim was moved aside — put it back (best effort;
+        // a failed rename-back leaves aged residue, see Scaladoc)
+        try { fs.rename(retired, claim); () }
+        catch { case _: java.io.IOException => () }
+        false
+      }
+    }
   }
 
   /** The shared claim-then-rename commit of both versioned registries:
@@ -172,12 +199,12 @@ object LogSync {
     val claim = new Path(dirOf(vNext) + "_claim")
     val token = java.util.UUID.randomUUID().toString
     val claimed = ClaimFile.tryClaim(fs, claim, token) || {
+      val cutoff = System.currentTimeMillis() - claimGraceMs(spark)
       val stale =
         try fs.exists(claim) && !fs.exists(target) &&
-          fs.getFileStatus(claim).getModificationTime <
-            System.currentTimeMillis() - claimGraceMs(spark)
+          fs.getFileStatus(claim).getModificationTime < cutoff
         catch { case _: java.io.IOException => false }
-      stale && retireStaleClaim(fs, claim) && ClaimFile.tryClaim(fs, claim, token)
+      stale && retireStaleClaim(fs, claim, cutoff) && ClaimFile.tryClaim(fs, claim, token)
     }
     if (!claimed) throw new ManifestConflictException(
       s"$kind swap conflict under $root: version $vNext is claimed — " +
@@ -994,17 +1021,63 @@ object LogSync {
     // HDFS) + token verify for the rest — see [[ClaimFile]]
     def tryClaim(): Boolean = ClaimFile.tryClaim(fs, lease, token)
     val claimed = tryClaim() || {
+      val cutoff = System.currentTimeMillis() - claimGraceMs(spark)
       val stale =
-        try fs.exists(lease) && fs.getFileStatus(lease).getModificationTime <
-          System.currentTimeMillis() - claimGraceMs(spark)
+        try fs.exists(lease) &&
+          fs.getFileStatus(lease).getModificationTime < cutoff
         catch { case _: java.io.IOException => false }
-      stale && retireStaleClaim(fs, lease) && tryClaim()
+      stale && retireStaleClaim(fs, lease, cutoff) && tryClaim()
     }
     if (!claimed) sys.error(s"sync lease conflict under $root: another sync " +
       s"holds $lease — sync is single-writer per root; rerun when it " +
       "finishes (a CRASHED sync's lease is auto-reclaimed after " +
       "graft.lake.claimGraceMs of inactivity)")
-    try body finally ClaimFile.release(fs, lease, token)
+    try heartbeatWhileHeld(fs, lease, token, claimGraceMs(spark))(body)
+    finally ClaimFile.release(fs, lease, token)
+  }
+
+  /** Refresh a held lease's mtime (`fs.setTimes`) every quarter of the
+    * grace window while `body` runs. Staleness is judged by mtime, so
+    * without a heartbeat a LEGITIMATE holder whose leased section
+    * outlives `graft.lake.claimGraceMs` — a slow object store making
+    * the in-lease registry auto-merge swap crawl, a long sync round —
+    * is reclaimed MID-COMMIT by an actively-waiting claimer, reopening
+    * the double-writer window the lease closes. A crashed holder has
+    * no heartbeat thread, so crash residue still ages out on schedule.
+    * Each beat re-reads the token first and stops refreshing the
+    * moment the lease is no longer ours (a holder already reclaimed
+    * past an extreme stall must not extend the RECLAIMER's lease on
+    * its behalf; the benign converse — refreshing a reclaimer's fresh
+    * lease in the read-beat gap — only delays third-party reclaim of
+    * a live holder).
+    */
+  private def heartbeatWhileHeld[T](fs: org.apache.hadoop.fs.FileSystem,
+                                    lease: Path, token: String,
+                                    graceMs: Long)(body: => T): T = {
+    val interval = math.max(graceMs / 4, 25L)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      var ours = true
+      while (!stop.get() && ours) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => ours = false }
+        if (!stop.get() && ours) {
+          ours =
+            try {
+              val in = fs.open(lease)
+              val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              got == token
+            } catch { case _: java.io.IOException => false }
+          if (ours) {
+            try fs.setTimes(lease, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    }, s"graft-lease-heartbeat-${lease.getName}")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally { stop.set(true); beat.interrupt() }
   }
 
   /** SERIALIZATION of every DELETE-REGISTRY mutation and every commit
@@ -1040,11 +1113,12 @@ object LogSync {
       .map(_.toLong).getOrElse(120L * 1000)
     val deadline = System.currentTimeMillis() + waitMs
     def claimOnce(): Boolean = ClaimFile.tryClaim(fs, lease, token) || {
+      val cutoff = System.currentTimeMillis() - claimGraceMs(spark)
       val stale =
-        try fs.exists(lease) && fs.getFileStatus(lease).getModificationTime <
-          System.currentTimeMillis() - claimGraceMs(spark)
+        try fs.exists(lease) &&
+          fs.getFileStatus(lease).getModificationTime < cutoff
         catch { case _: java.io.IOException => false }
-      stale && retireStaleClaim(fs, lease) && ClaimFile.tryClaim(fs, lease, token)
+      stale && retireStaleClaim(fs, lease, cutoff) && ClaimFile.tryClaim(fs, lease, token)
     }
     var claimed = claimOnce()
     while (!claimed && System.currentTimeMillis() < deadline) {
@@ -1058,8 +1132,12 @@ object LogSync {
       "stalled writer; retry, or lower graft.lake.claimGraceMs if the " +
       "holder is known dead")
     // token-checked: a holder that stalled past the grace window and
-    // was reclaimed must not delete the reclaimer's live lease
-    try body finally ClaimFile.release(fs, lease, token)
+    // was reclaimed must not delete the reclaimer's live lease; the
+    // heartbeat keeps a LIVE long-running holder (e.g. the in-lease
+    // delete-registry auto-merge on a slow store) from being judged
+    // stale by mtime and reclaimed mid-commit
+    try heartbeatWhileHeld(fs, lease, token, claimGraceMs(spark))(body)
+    finally ClaimFile.release(fs, lease, token)
   }
 
   /** Allocate the next commit sequence AND reserve it in ONE

@@ -83,4 +83,58 @@ class ClaimFileSpec extends SparkSpec {
     fs.delete(claim, false)
     assert(ClaimFile.tryClaim(fs, claim, "gamma"))
   }
+
+  test("release is rename-aside: a match deletes, a mismatch restores the live claim, no residue") {
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_claim4").toString
+    def residue(): Seq[String] =
+      fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+        .filter(_.contains(".reclaim_"))
+    val claim = new Path(s"$dir/claim")
+    // matching release removes the claim and leaves no aside residue
+    assert(ClaimFile.tryClaim(fs, claim, "alpha"))
+    ClaimFile.release(fs, claim, "alpha")
+    assert(!fs.exists(claim), "a matching release must remove the claim")
+    assert(residue().isEmpty, s"matching release left residue: ${residue()}")
+    // the stalled-ex-holder path: the claim was reclaimed (fresh
+    // holder's token on disk) — the stale release must leave the LIVE
+    // claim at its path, content intact, and no residue
+    assert(ClaimFile.tryClaim(fs, claim, "beta"))
+    ClaimFile.release(fs, claim, "alpha")
+    assert(fs.exists(claim), "a stale release must not remove the live claim")
+    val in = fs.open(claim)
+    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(got == "beta", "the live holder's token must survive a stale release")
+    assert(residue().isEmpty, s"stale release left residue: ${residue()}")
+  }
+
+  test("stalled ex-holders releasing never unseat the live holder under concurrency") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Files.createTempDirectory("graft_claim5").toString
+    (1 to 25).foreach { round =>
+      val claim = new Path(s"$dir/claim_$round")
+      assert(ClaimFile.tryClaim(fs, claim, s"live-$round"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      // four stalled ex-holders release stale tokens while two fresh
+      // claimers probe — the live claim must survive all of it
+      val releases = (1 to 4).map { i =>
+        Future { gate.await(); ClaimFile.release(fs, claim, s"stale-$round-$i") }
+      }
+      val probes = (1 to 2).map { i =>
+        Future { gate.await(); ClaimFile.tryClaim(fs, claim, s"probe-$round-$i") }
+      }
+      gate.countDown()
+      Await.result(Future.sequence(releases), 30.seconds)
+      val probeWins = Await.result(Future.sequence(probes), 30.seconds)
+      assert(probeWins.forall(!_),
+        s"round $round: a probe claimed while the live holder held")
+      val in = fs.open(claim)
+      val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(got == s"live-$round",
+        s"round $round: live token lost — found '$got'")
+    }
+  }
 }

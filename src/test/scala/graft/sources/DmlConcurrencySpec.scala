@@ -237,4 +237,66 @@ class DmlConcurrencySpec extends graft.SparkSpec {
       assert(streamed.filter(col("event_id") < 12).count() == 12)
     } finally spark.conf.unset("graft.lake.deleteManifestMergeMinParts")
   }
+
+  test("a LIVE holder outlasting claimGraceMs keeps the DML lease (heartbeat); the waiter enters only after release") {
+    val root = Files.createTempDirectory("graft_leasebeat").toString
+    spark.conf.set("graft.lake.claimGraceMs", "400")
+    spark.conf.set("graft.lake.dmlLeaseWaitMs", "20000")
+    try {
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val held = new java.util.concurrent.CountDownLatch(1)
+      // the holder's leased section runs 4x the grace window — the
+      // slow-object-store auto-merge scenario. Without the heartbeat
+      // the waiter's active reclaim fires at ~400 ms and both threads
+      // run "inside the lease" at once.
+      val holder = Future {
+        LogSync.withDmlLease(spark, root) {
+          order.add("hold-start"); held.countDown()
+          Thread.sleep(1600)
+          order.add("hold-end")
+        }
+      }
+      held.await()
+      val waiter = Future {
+        LogSync.withDmlLease(spark, root) { order.add("wait-enter") }
+      }
+      Await.result(holder, 60.seconds)
+      Await.result(waiter, 60.seconds)
+      assert(order.toArray.toSeq == Seq("hold-start", "hold-end", "wait-enter"),
+        s"waiter entered while the live holder held: ${order.toArray.toSeq}")
+    } finally {
+      spark.conf.unset("graft.lake.claimGraceMs")
+      spark.conf.unset("graft.lake.dmlLeaseWaitMs")
+    }
+  }
+
+  test("retireStaleClaim re-verifies staleness after winning the rename: a freshened claim is restored, not retired") {
+    val dir = Files.createTempDirectory("graft_retire").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def residue(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.contains(".reclaim_"))
+    // genuinely stale: old mtime survives the rename (rename preserves
+    // mtime), the re-verify agrees, the claim retires
+    val stale = new org.apache.hadoop.fs.Path(s"$dir/claim_stale")
+    assert(ClaimFile.tryClaim(fs, stale, "old"))
+    fs.setTimes(stale, System.currentTimeMillis() - 60000, -1)
+    assert(LogSync.retireStaleClaim(fs, stale, System.currentTimeMillis() - 1000))
+    assert(!fs.exists(stale) && residue().isEmpty)
+    // the TOCTOU the re-verify closes: the caller observed a stale
+    // claim, but by rename time a FRESH writer holds the path (the
+    // stale holder released, a new claim landed). The winning rename
+    // must notice the fresh mtime, rename the live claim back, and
+    // report no-retire.
+    val live = new org.apache.hadoop.fs.Path(s"$dir/claim_live")
+    assert(ClaimFile.tryClaim(fs, live, "fresh-holder"))
+    assert(!LogSync.retireStaleClaim(fs, live, System.currentTimeMillis() - 60000),
+      "a freshly-claimed path must not be retired")
+    assert(fs.exists(live), "the live claim must be restored after the aborted retire")
+    val in = fs.open(live)
+    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(got == "fresh-holder", "the live holder's token must survive the aborted retire")
+    assert(residue().isEmpty, s"aborted retire left residue: ${residue()}")
+  }
 }
