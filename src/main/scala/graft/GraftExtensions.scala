@@ -41,7 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => build(exprs)))
     }
     // incremental-consumption TVFs (graft_changes / graft_upserts /
-    // graft_deletes / graft_watermark) — the SQL changelog loop
+    // graft_deletes / graft_watermark) + the graft_lake/graft_lake_at
+    // snapshot reads — the SQL changelog loop and its mutate→observe
+    // symmetry
     GraftTableFunctions.builders.foreach(ext.injectTableFunction)
+    // the DSv2 façade's delegation: spark.read.format("graft") resolves
+    // to the library's own read plan (see GraftDataSource)
+    ext.injectResolutionRule(s => new graft.sources.GraftLakeResolution(s))
   }
 }

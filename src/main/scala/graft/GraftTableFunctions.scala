@@ -10,19 +10,32 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.LogSync
 
-/** TABLE-VALUED FUNCTIONS for incremental (CDC) consumption — the SQL
-  * face of [[LogSync.tableSince]]/[[LogSync.upsertsSince]]/
-  * [[LogSync.deletedRowsSince]], registered through
-  * [[GraftExtensions]]' `injectTableFunction` so a SQL-only session
-  * can drive the full poll-advance-poll changelog loop (what the
-  * reference's users get from Iceberg's `table_changes`-style TVFs):
+/** TABLE-VALUED FUNCTIONS over lake roots — the SQL face of the
+  * [[LogSync]] read surface, registered through [[GraftExtensions]]'
+  * `injectTableFunction` so a SQL-only session can both CONSUME
+  * increments (the poll-advance-poll changelog loop, what the
+  * reference's users get from Iceberg's `table_changes`-style TVFs)
+  * and SNAPSHOT-READ the current or a historic table state:
   *
   * {{{
+  *   SELECT * FROM graft_lake('<root>')               -- CURRENT snapshot
+  *   SELECT * FROM graft_lake_at('<root>', TIMESTAMP '<t>')  -- time travel
   *   SELECT * FROM graft_watermark('<root>')          -- (append_hwm, delete_hwm)
   *   SELECT * FROM graft_changes('<root>', TIMESTAMP '<mark>')  -- appends
   *   SELECT * FROM graft_upserts('<root>', TIMESTAMP '<mark>')  -- upsert new values
   *   SELECT * FROM graft_deletes('<root>', TIMESTAMP '<mark>')  -- retracted rows
   * }}}
+  *
+  * `graft_lake` is the piece that makes the SQL lifecycle symmetric:
+  * the dialect can register (`MAINTAIN ... SYNC`), mutate
+  * (`DELETE/MERGE/UPSERT INTO LAKE`), maintain and evolve a root —
+  * and with this TVF it can also SELECT the resulting state, which
+  * none of the incremental TVFs provide (`graft_changes` from epoch
+  * is NOT a snapshot: rewrite commits are excluded by design, so a
+  * compacted-then-vacuumed lake loses rows on that path). It expands
+  * to exactly [[LogSync.table]]'s plan — semi-join-pruned scan,
+  * MOR delete application, evolution projection — so partition
+  * pruning and delete semantics are identical to the Scala API's.
   *
   * The consumer polls `graft_watermark`, reads each stream since its
   * last mark, stores the new watermark, repeats — the same contract
@@ -80,9 +93,44 @@ object GraftTableFunctions {
       body(spark, root, evalMark(exprs(1), fn)).queryExecution.logical
     }
 
+  private def oneArg(fn: String)(body: (SparkSession, String)
+      => org.apache.spark.sql.DataFrame): Seq[Expression] => LogicalPlan =
+    exprs => {
+      require(exprs.length == 1,
+        s"$fn takes 1 argument (root string), got ${exprs.length}")
+      val spark = SparkSession.active
+      body(spark, evalLiteralString(exprs.head, fn, "the lake root"))
+        .queryExecution.logical
+    }
+
+  /** Idempotently register every graft TVF into `spark`'s session
+    * registry — the programmatic twin of [[GraftExtensions]]'
+    * `injectTableFunction` for sessions built without
+    * `spark.sql.extensions` (a notebook attaching to an existing
+    * session, the Verify/Bench mains). Safe to call per query.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    builders.foreach { case (ident, info, builder) =>
+      val reg = spark.sessionState.tableFunctionRegistry
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+
   /** (name, info, builder) triples for [[GraftExtensions]]. */
   private[graft] def builders: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_lake"),
+      new ExpressionInfo("graft", null, "graft_lake",
+        "graft_lake(root) - the lake's CURRENT state: the registered, " +
+          "non-tombstoned files with row-level deletes applied - the " +
+          "snapshot read graft_changes cannot provide (rewrites excluded " +
+          "there by design)", ""),
+      oneArg("graft_lake")((s, r) => LogSync.table(s, r))),
+    (FunctionIdentifier("graft_lake_at"),
+      new ExpressionInfo("graft", null, "graft_lake_at",
+        "graft_lake_at(root, t) - time travel: the table as of instant t " +
+          "(files registered and not tombstoned by then); horizon is the " +
+          "vacuum retention", ""),
+      twoArg("graft_lake_at")((s, r, ts) => LogSync.tableAsOf(s, r, ts))),
     (FunctionIdentifier("graft_changes"),
       new ExpressionInfo("graft", null, "graft_changes",
         "graft_changes(root, mark) - rows APPENDED to the lake after mark " +

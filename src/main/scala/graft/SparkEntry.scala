@@ -168,9 +168,11 @@ object SparkEntry {
     "lake_resource_attrs" -> (LakeAnalytics.resourceAttrs _),
     "lake_tail"           -> ((s: SparkSession, d: String) => LakeAnalytics.tail(s, d)),
     "lake_needle"         -> ((s: SparkSession, d: String) => LakeAnalytics.needle(s, d)),
+    "lake_span_lookup"    -> ((s: SparkSession, d: String) => LakeAnalytics.spanLookup(s, d)),
     "lake_grep"           -> ((s: SparkSession, d: String) => LakeAnalytics.grep(s, d)),
     "lake_dml"            -> (LakeAnalytics.dmlSeverity _),
     "lake_sql_dml"        -> (LakeAnalytics.sqlDmlSeverity _),
+    "lake_sql_read"       -> (LakeAnalytics.sqlReadSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
@@ -1290,6 +1292,17 @@ object SparkEntry {
         |FROM events
         |WHERE user_id = 7 AND strftime(ts,'%Y-%m-%d') = '2024-01-15'
         |ORDER BY ts_str, span_id""".stripMargin,
+    // the generic-column twin of lake_needle: the same chain certified
+    // on span_id's own sidecar (LakeIndex.on)
+    "lake_span_lookup" ->
+      """SELECT md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id,
+        | substring(md5(CAST(event_id AS VARCHAR)),1,16) AS span_id,
+        | strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, props AS body
+        |FROM events
+        |WHERE event_id = 5
+        |ORDER BY ts_str, span_id""".stripMargin,
     "lake_grep" ->
       """SELECT strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         | 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
@@ -1304,6 +1317,16 @@ object SparkEntry {
         |WHERE NOT (user_id % 10 = 3 AND event_type = 'view')
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "lake_sql_dml" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events
+        |WHERE NOT (user_id % 10 = 3 AND event_type = 'view')
+        |  AND NOT (user_id % 10 = 7 AND event_type = 'signup')
+        |  AND NOT (user_id % 10 = 5 AND event_type = 'click')
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // identical post-lifecycle state as lake_sql_dml — read via the
+    // graft_lake SQL TVF instead of the Scala API
+    "lake_sql_read" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events

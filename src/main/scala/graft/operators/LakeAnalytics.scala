@@ -369,6 +369,29 @@ object LakeAnalytics {
       .orderBy(col("ts_str"), col("span_id"))
   }
 
+  /** Span point lookup through the GENERIC sidecar surface
+    * ([[graft.sources.LakeIndex.on]]) — the proof that a NON-trace
+    * high-cardinality column routes through the same bloom file
+    * pruning as [[needle]]: span_id's sidecar is built independently
+    * of trace_id's (one `_index/<column>` dir per column), and the
+    * lookup scans only the files whose bloom might hold the span.
+    * kept<total is spec-asserted (LakeSpec). The hash-match against
+    * the events synthesis certifies the whole chain on the second
+    * column, not just the one the reference schema was designed
+    * around.
+    */
+  def spanLookup(spark: SparkSession, dir: String,
+                 eventId: Long = 5L): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    val bySpan = LakeIndex.on(spark, root, "span_id",
+      expectedItemsPerFile = 4096)
+    bySpan(Seq(md5Hex(eventId.toString).take(16)))
+      .select(col("trace_id"), col("span_id"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("service_name"), col("severity_text"), col("body"))
+      .orderBy(col("ts_str"), col("span_id"))
+  }
+
   private val tokIndexed = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** Keyword search over the registered lake THROUGH the per-file
@@ -470,6 +493,29 @@ object LakeAnalytics {
       .groupBy(col("service_name"), col("severity_text"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("severity_text"))
+
+  /** [[sqlDmlSeverity]] read ENTIRELY from SQL — the
+    * `graft_lake('<root>')` snapshot TVF
+    * ([[graft.GraftTableFunctions]]) over the SQL-mutated lake, so
+    * the hash-match against the events-minus-deleted oracle certifies
+    * the last missing edge of the SQL lifecycle: a pure-SQL session
+    * that registered, mutated, compacted and vacuumed a root can now
+    * SELECT its current state (mutate→observe symmetry; before this,
+    * `graft_changes` from epoch was the closest read and silently
+    * loses rewrite commits by design). The TVF expands to
+    * [[graft.sources.LogSync.table]]'s plan at analysis time, so the
+    * scan, pruning, and MOR delete semantics are byte-identical to
+    * the Scala API the `lake_sql_dml` twin uses.
+    */
+  def sqlReadSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = sqlDmlRoot(spark, dir)
+    graft.GraftTableFunctions.ensureRegistered(spark)
+    spark.sql(
+      s"""SELECT service_name, severity_text, count(1) AS n
+         |FROM graft_lake('$root')
+         |GROUP BY service_name, severity_text
+         |ORDER BY service_name, severity_text""".stripMargin)
+  }
 
   private val morBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

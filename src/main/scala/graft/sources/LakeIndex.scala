@@ -100,6 +100,23 @@ object LakeIndex {
     manifest.join(idx, Seq("path"), "left").filter(bloomKeep(values))
   }
 
+  /** The GENERIC per-column handle: ensure `column`'s sidecar covers
+    * every registered file ([[build]] is incremental — a no-op when
+    * current), and return a point-lookup function over it. ANY
+    * high-cardinality equality column gets the needle treatment this
+    * way — trace_id and span_id on the OTel schema, doc/user ids on
+    * the documents tables — one sidecar per column, each pruned
+    * through the same [[bloomKeep]] predicate the spec asserts
+    * kept<total on. Calling the handle per query keeps lookups fresh
+    * at ingest-rate build cost.
+    */
+  def on(spark: SparkSession, root: String, column: String,
+         expectedItemsPerFile: Long = LogWriter.DefaultMaxRecordsPerFile
+        ): Seq[String] => DataFrame = {
+    build(spark, root, column, expectedItemsPerFile)
+    values => lookup(spark, root, column, values)
+  }
+
   /** Registered rows whose `column` is one of `values` (literals),
     * scanning only the files whose bloom might contain one of them —
     * unindexed files are kept (soundness), and the row filter applies

@@ -327,4 +327,132 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(prior)
     }
   }
+
+  test("SQL lifecycle symmetry: a SQL-only session can SELECT the state it mutated (graft_lake / graft_lake_at)") {
+    val prior = spark
+    assert(prior != null)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val root = Files.createTempDirectory("graft_sqlread").toString
+      graft.sources.Tables.events(s2, sf).orderBy(col("event_id")).limit(40)
+        .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+          col("event_id"), col("event_type").as("severity_text"),
+          col("props").as("body"))
+        .coalesce(1).write.mode("append").parquet(root)
+      // the whole lifecycle from spark.sql: register, snapshot-read,
+      // mutate (CoW + MOR), maintain — then read the RESULT, which no
+      // incremental TVF can surface (rewrites are excluded there)
+      s2.sql(s"MAINTAIN LAKE '$root' SYNC").collect()
+      assert(s2.sql(s"SELECT * FROM graft_lake('$root')").count() == 40)
+      val preDml = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      Thread.sleep(1100) // travel instants resolve at registration granularity
+      s2.sql(s"DELETE FROM LAKE '$root' WHERE event_id < 5").collect()
+      s2.sql(s"DELETE FROM LAKE '$root' MOR WHERE event_id >= 35").collect()
+      s2.sql(s"MAINTAIN LAKE '$root' COMPACT DELETES").collect()
+      // the current state: 40 - 5 CoW-deleted - 5 MOR-deleted
+      val now = s2.sql(
+        s"""SELECT severity_text, count(1) AS n FROM graft_lake('$root')
+           |GROUP BY severity_text ORDER BY severity_text""".stripMargin)
+      assert(now.agg(sum(col("n"))).head.getLong(0) == 30)
+      // ...and it agrees row-for-row with the Scala API's read
+      val api = graft.sources.LogSync.table(s2, root)
+        .groupBy(col("severity_text")).agg(count(lit(1)).as("n"))
+        .orderBy(col("severity_text"))
+      assert(now.collect().toSeq == api.collect().toSeq,
+        "graft_lake must expand to exactly the Scala read's plan")
+      // time travel from SQL: the pre-DML snapshot still holds all 40
+      assert(s2.sql(
+        s"SELECT * FROM graft_lake_at('$root', TIMESTAMP '$preDml')")
+        .count() == 40)
+      // guards: arity and non-literal roots refuse with clear messages
+      val arity = intercept[Exception](s2.sql(
+        s"SELECT * FROM graft_lake('$root', TIMESTAMP '$preDml')").collect())
+      assert(arity.getMessage.contains("1 argument"), arity.getMessage)
+      val nonLit = intercept[Exception](s2.sql(
+        "SELECT * FROM graft_lake(cast(rand() as string))").collect())
+      assert(nonLit.getMessage.contains("literal"), nonLit.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
+  test("DSv2 facade: spark.read.format(\"graft\") delegates to the library's read plan; pruning and deletes intact") {
+    val prior = spark
+    assert(prior != null)
+    // the fixture lake is session-independent (on-disk root); build it
+    // with the shared session first so s2 only reads
+    val root = graft.operators.LakeAnalytics.lakeRoot(spark, sf)
+    val dmlRoot = graft.operators.LakeAnalytics.dmlRoot(spark, sf)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // third-party shape: no graft import needed beyond the format name
+      val df = s2.read.format("graft").load(root)
+      assert(df.count() == graft.sources.LogSync.table(s2, root).count())
+      // the spliced plan IS the library plan: partition predicates
+      // reach the scan through the facade
+      val q = df.filter(col("service_name") === "svc-3" && col("year") === 2024)
+        .groupBy(col("severity_text")).count()
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+        .getOrElse(fail(s"partition filters never reached the scan:\n$plan"))
+      assert(pf.contains("service_name") && pf.contains("year"), pf)
+      // DML semantics ride along (a CoW-deleted lake reads post-delete)
+      assert(s2.read.format("graft").load(dmlRoot)
+        .filter(col("service_name") === "svc-3" && col("severity_text") === "view")
+        .count() == 0, "the facade must read through the DML manifest")
+      // time travel via option
+      val hwm = graft.sources.LogSync.highWaterMark(s2, root).get
+      assert(s2.read.format("graft").option("asOf", hwm.toString).load(root)
+        .count() == df.count())
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+    // honest boundary: an extension-less session resolves the schema
+    // but refuses the scan loudly with the fix named
+    val bare = spark.read.format("graft").load(root)
+    assert(bare.schema.fieldNames.contains("service_name"))
+    val e = intercept[Exception](bare.count())
+    assert(e.getMessage != null && e.getMessage.contains("GraftExtensions"),
+      s"expected the no-extensions refusal, got: ${e.getMessage}")
+  }
+
+  test("graft_lake prunes partitions through the TVF (and ensureRegistered serves extension-less sessions)") {
+    // the shared suite session was built WITHOUT GraftExtensions — the
+    // programmatic registration path (what Verify/Bench and notebook
+    // sessions use) must provide the same TVFs
+    graft.GraftTableFunctions.ensureRegistered(spark)
+    val root = graft.operators.LakeAnalytics.lakeRoot(spark, sf)
+    val q = spark.sql(
+      s"""SELECT severity_text, count(1) AS n FROM graft_lake('$root')
+         |WHERE service_name = 'svc-3' AND year = 2024 AND month = 1
+         |GROUP BY severity_text ORDER BY severity_text""".stripMargin)
+    // the partition predicates must reach the SCAN through the TVF
+    // expansion — a residual Filter above it would read the whole lake
+    val plan = formattedPlan(q)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      .getOrElse(fail(s"partition filters never reached the scan:\n$plan"))
+    assert(pf.contains("service_name") && pf.contains("year"),
+      s"service_name/year must prune the scan through the TVF, got: $pf")
+    assert(q.collect().nonEmpty)
+  }
 }

@@ -25,6 +25,24 @@ class LakeSpec extends SparkSpec {
       "encode -> parse -> partitioned write -> register -> read must be lossless")
   }
 
+  test("LakeIndex.on: a non-trace column's own sidecar prunes its lookup (kept < total) and agrees with the plain read") {
+    val root = LakeAnalytics.lakeRoot(spark, sf)
+    // the generic surface: build-if-stale + lookup handle on span_id —
+    // a second sidecar, independent of trace_id's
+    val got = LakeAnalytics.spanLookup(spark, sf).collect()
+    assert(got.length == 1, s"event 5's span must resolve once, got ${got.length}")
+    val sid = got.head.getAs[String]("span_id")
+    val (kept, total) = graft.sources.LakeIndex.pruneCounts(
+      spark, root, "span_id", Seq(sid))
+    assert(kept >= 1 && kept < total,
+      s"span sidecar must prune the scan: kept=$kept total=$total")
+    // pruning is an optimization, never a semantic: the indexed lookup
+    // equals the full-scan filter row-for-row
+    val want = graft.sources.LogSync.table(spark, root)
+      .filter(col("span_id") === sid).count()
+    assert(got.length.toLong == want)
+  }
+
   test("lake timeseries: service/time predicates land in the scan's PartitionFilters") {
     val q = LakeAnalytics.timeseries(spark, sf)
     // formatted explain prints `PartitionFilters:` on the scan node
