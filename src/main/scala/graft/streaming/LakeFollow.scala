@@ -51,6 +51,20 @@ import graft.sources.LogSync
   * candidate (the watermark by construction stops short of it), and a
   * crash between process and commit replays identically (the store
   * only changes at commit).
+  *
+  * SELF-HEAL CONTRACT (SelfHealFollowSpec): when a sync registration
+  * is lost to a racing manifest rewrite and re-registered by the next
+  * sync round (LogSync's documented temporary-invisibility seam), the
+  * follower surface is EXACTLY-ONCE BY PATH — the heal re-registers
+  * the SAME paths, so a batch consumed before the loss never re-emits
+  * (its paths are already in the offset set), and a batch lost before
+  * consumption surfaces once, after the heal. CurateFollow /
+  * PackFollow / DedupFollow consume [[LakeFollow]] increments and
+  * inherit the contract. Only the TIMESTAMP-mark surfaces
+  * ([[LogSync.tableSince]] pollers, the SQL `graft_changes` TVF) see
+  * the documented duplicate — the fresh `registered_at` re-surfaces
+  * healed rows past a stored mark; consumers on those surfaces dedup
+  * by path or keep per-row idempotence.
   */
 object LakeFollow {
 
