@@ -866,7 +866,9 @@ object LakeDml {
 
   def convertEqDeletes(spark: SparkSession, root: String): (Int, Long) = {
     import spark.implicits._
-    val eqs = LogSync.deleteEntries(spark, root).filter(_.isEq)
+    // UNCAPPED: conversion is one of the fix paths an over-cap
+    // registry needs (it folds eq groups into position files)
+    val eqs = LogSync.deleteEntries(spark, root, capped = false).filter(_.isEq)
     if (eqs.isEmpty) return (0, 0L)
     var posRows = 0L
     // deterministic group order (keyed by column set): a crash+rerun

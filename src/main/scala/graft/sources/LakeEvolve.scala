@@ -762,7 +762,7 @@ object LakeEvolve {
       require(name != timeAxisOf(st) && name != svcAxisOf(st),
         s"cannot drop '$name': it is a zone-map stat axis (retention and " +
           "pruning plan on it); rename is supported, drop is not")
-    val activeEq = LogSync.deleteEntries(spark, root)
+    val activeEq = LogSync.deleteEntries(spark, root, capped = false)
       .filter(e => e.isEq && e.eqCols.contains(name))
     require(activeEq.isEmpty,
       s"cannot evolve '$name': ${activeEq.length} active equality-delete " +

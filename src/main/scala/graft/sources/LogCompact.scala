@@ -127,7 +127,9 @@ object LogCompact {
     // leased allocation: plain nextSeq-then-reserve had a window where
     // a concurrent DML commit computes the same value before the
     // reservation file lands
-    val materializedDeletes = LogSync.deleteEntries(spark, root)
+    // UNCAPPED: compaction MATERIALIZES deletes and is the terminal
+    // fix path for an over-cap delete registry
+    val materializedDeletes = LogSync.deleteEntries(spark, root, capped = false)
     val (planningSeq, reservation) = LogSync.allocateSeq(spark, root)
     try {
 

@@ -594,15 +594,38 @@ object LogSync {
     def isEq: Boolean = kind == "eq"
   }
 
+  /** The driver-bytes bound on the delete-entry list below: one
+    * active delete FILE costs one [[DeleteEntry]] on the driver per
+    * DML-aware read — a path string (~100–200 chars) plus three longs
+    * and two short tags, ≲500 heap bytes each, so the default cap of
+    * 1M entries bounds the per-read driver crossing at ≲0.5 GB (the
+    * same planning-memory class as the chain reader's
+    * `graft.chain.explicitFileCap`). Real lakes sit orders of
+    * magnitude below it: the registry auto-merge bounds PART count
+    * and [[LakeDml.compactDeletes]]/[[LakeDml.vacuumDeletes]]/
+    * compaction fold ENTRY count as part of normal maintenance. 0
+    * disables the cap.
+    */
+  private[graft] def deleteEntryCap(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lake.deleteEntryCap")
+      .map(_.toLong).getOrElse(1000000L)
+
   /** The snapshot-bounded ACTIVE delete-file set (both kinds) —
     * control-plane cardinality (one row per delete FILE; files are
     * bounded by DML commits and folded by [[LakeDml.vacuumDeletes]] /
     * compaction, never by row count). Driver-resident by design: the
     * read path must name these paths explicitly anyway (they live
-    * under the underscore tree no data scan lists).
+    * under the underscore tree no data scan lists). The crossing is
+    * CAPPED ([[deleteEntryCap]]) on read paths — a lake whose active
+    * delete files outgrew maintenance refuses LOUDLY with the fix
+    * named instead of silently materializing an unbounded driver
+    * list; the fix paths themselves (compaction, delete folding —
+    * `capped = false`) stay uncapped so an over-cap registry can
+    * always be repaired.
     */
   private[graft] def deleteEntries(spark: SparkSession, root: String,
-                                   asOf: Option[java.sql.Timestamp] = None
+                                   asOf: Option[java.sql.Timestamp] = None,
+                                   capped: Boolean = true
                                   ): Seq[DeleteEntry] = {
     if (!hasDeleteManifest(spark, root)) return Seq.empty
     val m = deleteManifestDf(spark, root)
@@ -611,9 +634,28 @@ object LogSync {
         (col("removed_at").isNull || col("removed_at") > lit(ts)))
       case None => m.filter(col("removed_at").isNull)
     }
-    bounded.select(col("path"), col("rows"), col("bytes"),
-        coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
-        col("eq_cols"), coalesce(col("op"), lit("delete"))).collect()
+    val projected = bounded.select(col("path"), col("rows"), col("bytes"),
+      coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
+      col("eq_cols"), coalesce(col("op"), lit("delete")))
+    val cap = deleteEntryCap(spark)
+    val rows =
+      if (!capped || cap <= 0) projected.collect()
+      else {
+        // LIMIT cap+1: one job either way, and the driver never holds
+        // more than cap+1 rows even when the registry is far past it
+        val probe = projected
+          .limit(math.min(cap, Int.MaxValue - 2L).toInt + 1).collect()
+        if (probe.length > cap) sys.error(
+          s"delete registry under $root carries more than $cap active " +
+            "delete files (graft.lake.deleteEntryCap) — refusing to " +
+            "materialize the per-read driver list; fold the registry " +
+            "first: LakeDml.compactDeletes / convertEqDeletes / " +
+            "vacuumDeletes (SQL: MAINTAIN LAKE ... COMPACT DELETES / " +
+            "CONVERT DELETES / VACUUM DELETES) or full compaction, " +
+            "or raise the cap")
+        probe
+      }
+    rows
       .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getLong(4),
         Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty),
@@ -624,12 +666,13 @@ object LogSync {
   /** [[deleteEntries]] restricted to POSITION deletes — the surface
     * for maintenance that folds/retires by target file
     * ([[LakeDml.compactDeletes]]/[[LakeDml.vacuumDeletes]]); equality
-    * deletes have no file targets and retire via compaction.
+    * deletes have no file targets and retire via compaction. UNCAPPED:
+    * these are the fix paths an over-cap registry needs to shrink.
     */
   private[graft] def posDeleteEntries(spark: SparkSession, root: String,
                                       asOf: Option[java.sql.Timestamp] = None
                                      ): Seq[DeleteEntry] =
-    deleteEntries(spark, root, asOf).filterNot(_.isEq)
+    deleteEntries(spark, root, asOf, capped = false).filterNot(_.isEq)
 
   /** SEQUENCE RESERVATIONS — the registry entry that closes the
     * compaction/equality-delete interleaving tie: a long-running

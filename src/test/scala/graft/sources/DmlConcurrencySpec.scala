@@ -238,6 +238,36 @@ class DmlConcurrencySpec extends graft.SparkSpec {
     } finally spark.conf.unset("graft.lake.deleteManifestMergeMinParts")
   }
 
+  test("reads refuse past graft.lake.deleteEntryCap; the uncapped fix paths shrink the registry back under it") {
+    import spark.implicits._
+    val root = seeded(30)
+    // five single-key retractions → five active delete entries
+    (0 until 5).foreach { i =>
+      LakeDml.deleteEq(spark, root, Seq(i.toLong).toDF("event_id"))
+    }
+    assert(LogSync.deleteEntries(spark, root).size == 5)
+    spark.conf.set("graft.lake.deleteEntryCap", "4")
+    try {
+      // the per-read driver list is BOUNDED: past the cap the read
+      // refuses loudly, naming the maintenance that fixes it, instead
+      // of silently materializing entries ∝ active delete files
+      val e = intercept[Exception](LogSync.table(spark, root).count())
+      assert(e.getMessage.contains("deleteEntryCap") &&
+        e.getMessage.contains("COMPACT DELETES"), e.getMessage)
+      // the fix paths stay UNCAPPED: fold eq groups to position files,
+      // fold position files together — the registry shrinks under the
+      // cap without ever lifting it
+      val (converted, _) = LakeDml.convertEqDeletes(spark, root)
+      assert(converted == 5)
+      LakeDml.compactDeletes(spark, root)
+      assert(LogSync.deleteEntries(spark, root).size <= 4,
+        s"maintenance must shrink the registry under the cap, " +
+          s"got ${LogSync.deleteEntries(spark, root).size}")
+      // ...and the read works again, rows intact
+      assert(LogSync.table(spark, root).count() == 25)
+    } finally spark.conf.unset("graft.lake.deleteEntryCap")
+  }
+
   test("a LIVE holder outlasting claimGraceMs keeps the DML lease (heartbeat); the waiter enters only after release") {
     val root = Files.createTempDirectory("graft_leasebeat").toString
     spark.conf.set("graft.lake.claimGraceMs", "400")
