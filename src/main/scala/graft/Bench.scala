@@ -64,6 +64,10 @@ object Bench {
     warm("needle_index")(graft.operators.LakeAnalytics.needle(spark, sfDir).count())
     // same discipline for the token-bloom sidecar behind lake_grep
     warm("grep_index")(graft.operators.LakeAnalytics.grep(spark, sfDir).count())
+    // ...and the span_id sidecar behind lake_span_lookup (LakeIndex.on
+    // is build-if-stale, so the measured query pays only the
+    // freshness anti-join, not the one-time bloom build)
+    warm("span_index")(graft.operators.LakeAnalytics.spanLookup(spark, sfDir).count())
     // materialize the memoized heavy-line (boilerplate) table once so
     // text_line_dedup measures the scrub join, not the build-once df
     // aggregation behind the broadcast-size guard

@@ -211,7 +211,13 @@ object LogSync {
         "another writer won the race; re-plan and retry (a CRASHED " +
         "writer's claim auto-reclaims after graft.lake.claimGraceMs " +
         "once its target version is verifiably absent)")
-    try {
+    // the claim is held ACROSS the staging write — manifest-cardinality
+    // rows, which at millions of files on a slow object store runs past
+    // claimGraceMs — so it heartbeats like the leases do: without the
+    // beat a LIVE slow writer's claim goes mtime-stale, a janitor
+    // retires it, and the reclaimer shares this version's staging dir
+    // (the exact _temporary-style mutual clobber the claim prevents)
+    try heartbeatWhileHeld(fs, claim, token, claimGraceMs(spark)) {
       // in-claim re-check: a racer may have COMMITTED (not just
       // claimed) between our plan read and our claim
       val cur2 = versionOf(spark, root)

@@ -300,6 +300,49 @@ class DmlConcurrencySpec extends graft.SparkSpec {
     }
   }
 
+  test("a LIVE slow manifest swap keeps its version claim (heartbeat); a racing swap refuses instead of reclaiming") {
+    val root = seeded(40)
+    spark.conf.set("graft.lake.claimGraceMs", "300")
+    try {
+      val schema = LogSync.manifestDf(spark, root).schema
+      val rows = LogSync.manifestDf(spark, root).collect().toSeq
+      val planned = LogSync.manifestVersion(spark, root)
+      // a staging write that outlives the grace window — the
+      // millions-of-manifest-rows-on-a-slow-store scenario, compressed:
+      // each row's write pays 500 ms through the predicate
+      val crawl = udf((p: String) => { Thread.sleep(500); true })
+      val slowNext = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .filter(crawl(col("path")))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val holder = Future {
+        gate.await()
+        LogSync.swapManifest(spark, root, slowNext, Some(planned))
+      }
+      val racer = Future {
+        gate.await()
+        Thread.sleep(400) // past the grace window, mid-staging-write
+        intercept[LogSync.ManifestConflictException] {
+          LogSync.swapManifest(spark, root,
+            spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+            Some(planned))
+        }
+      }
+      gate.countDown()
+      Await.result(holder, 120.seconds)
+      val refused = Await.result(racer, 120.seconds)
+      // without the claim heartbeat the racer's janitor judges the live
+      // claim mtime-stale, retires it, and both writers share the
+      // version's staging dir — the mutual clobber the claim prevents.
+      // With it, the racer refuses LOUDLY and the holder's commit lands.
+      assert(refused.getMessage.contains("claimed") ||
+        refused.getMessage.contains("re-plan"), refused.getMessage)
+      assert(LogSync.manifestVersion(spark, root) == planned + 1,
+        "exactly the holder's swap must have committed")
+      assert(LogSync.table(spark, root).count() == 40)
+    } finally spark.conf.unset("graft.lake.claimGraceMs")
+  }
+
   test("retireStaleClaim re-verifies staleness after winning the rename: a freshened claim is restored, not retired") {
     val dir = Files.createTempDirectory("graft_retire").toString
     val fs = new org.apache.hadoop.fs.Path(dir)
