@@ -616,6 +616,32 @@ object LogSync {
     spark.conf.getOption("graft.lake.deleteEntryCap")
       .map(_.toLong).getOrElse(1000000L)
 
+  // (registry listing signature, parsed active entries) per root — see
+  // deleteEntries. Bounded: one entry per root, each list under the
+  // read cap by construction.
+  private val deleteEntriesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[DeleteEntry])]()
+
+  /** The current delete-registry LISTING signature (version dir + part
+    * names/lengths/mtimes) — the same freshness key
+    * [[manifestRowCount]] caches under: any registry append, tombstone
+    * rewrite, consolidation, or version swap changes the listing and
+    * forces a re-read, so a stale cache entry is impossible by
+    * construction (every registry mutation goes through appended parts
+    * or a version-dir swap — parquet is never mutated in place).
+    */
+  private def deleteRegistrySig(spark: SparkSession, root: String): String =
+    try {
+      val dir = new Path(deleteManifestPath(spark, root))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(dir.toString + "|", "|", "")
+    } catch {
+      // an unlistable dir never caches: fall through to the read
+      case _: java.io.IOException => java.util.UUID.randomUUID().toString
+    }
+
   /** The snapshot-bounded ACTIVE delete-file set (both kinds) —
     * control-plane cardinality (one row per delete FILE; files are
     * bounded by DML commits and folded by [[LakeDml.vacuumDeletes]] /
@@ -628,12 +654,40 @@ object LogSync {
     * list; the fix paths themselves (compaction, delete folding —
     * `capped = false`) stay uncapped so an over-cap registry can
     * always be repaired.
+    *
+    * The CURRENT-state read (`asOf = None`, the shape every
+    * `table`/`tableFor`/DML call makes) is CACHED per registry
+    * LISTING signature ([[deleteRegistrySig]]): on a lake read under
+    * steady query traffic this turns a per-query Spark collect job
+    * into one FS listing — real planning latency at 100 TB, where the
+    * registry spans parts and every analytic query pays the job
+    * otherwise. Time-travel reads (`asOf` set) bypass the cache (the
+    * result depends on the instant, not just registry state), and
+    * over-cap lists are never cached (the cache must stay under the
+    * documented driver-bytes bound).
     */
   private[graft] def deleteEntries(spark: SparkSession, root: String,
                                    asOf: Option[java.sql.Timestamp] = None,
                                    capped: Boolean = true
                                   ): Seq[DeleteEntry] = {
     if (!hasDeleteManifest(spark, root)) return Seq.empty
+    val cap = deleteEntryCap(spark)
+    def refuse(): Nothing = sys.error(
+      s"delete registry under $root carries more than $cap active " +
+        "delete files (graft.lake.deleteEntryCap) — refusing to " +
+        "materialize the per-read driver list; fold the registry " +
+        "first: LakeDml.compactDeletes / convertEqDeletes / " +
+        "vacuumDeletes (SQL: MAINTAIN LAKE ... COMPACT DELETES / " +
+        "CONVERT DELETES / VACUUM DELETES) or full compaction, " +
+        "or raise the cap")
+    val sig = if (asOf.isEmpty) deleteRegistrySig(spark, root) else ""
+    if (asOf.isEmpty) {
+      val hit = deleteEntriesCache.get(root)
+      if (hit != null && hit._1 == sig) {
+        if (capped && cap > 0 && hit._2.length > cap) refuse()
+        return hit._2
+      }
+    }
     val m = deleteManifestDf(spark, root)
     val bounded = asOf match {
       case Some(ts) => m.filter(col("registered_at") <= lit(ts) &&
@@ -643,7 +697,6 @@ object LogSync {
     val projected = bounded.select(col("path"), col("rows"), col("bytes"),
       coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
       col("eq_cols"), coalesce(col("op"), lit("delete")))
-    val cap = deleteEntryCap(spark)
     val rows =
       if (!capped || cap <= 0) projected.collect()
       else {
@@ -651,22 +704,18 @@ object LogSync {
         // more than cap+1 rows even when the registry is far past it
         val probe = projected
           .limit(math.min(cap, Int.MaxValue - 2L).toInt + 1).collect()
-        if (probe.length > cap) sys.error(
-          s"delete registry under $root carries more than $cap active " +
-            "delete files (graft.lake.deleteEntryCap) — refusing to " +
-            "materialize the per-read driver list; fold the registry " +
-            "first: LakeDml.compactDeletes / convertEqDeletes / " +
-            "vacuumDeletes (SQL: MAINTAIN LAKE ... COMPACT DELETES / " +
-            "CONVERT DELETES / VACUUM DELETES) or full compaction, " +
-            "or raise the cap")
+        if (probe.length > cap) refuse()
         probe
       }
-    rows
+    val entries = rows
       .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getLong(4),
         Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty),
         r.getString(6)))
       .toSeq
+    if (asOf.isEmpty && (cap <= 0 || entries.length <= cap))
+      deleteEntriesCache.put(root, (sig, entries))
+    entries
   }
 
   /** [[deleteEntries]] restricted to POSITION deletes — the surface

@@ -300,6 +300,34 @@ class DmlConcurrencySpec extends graft.SparkSpec {
     }
   }
 
+  test("deleteEntries is listing-cached: quiescent reads reuse the parsed list, every registry mutation invalidates") {
+    import spark.implicits._
+    val root = seeded(30)
+    LakeDml.deleteEq(spark, root, Seq(1L).toDF("event_id"))
+    // quiescent: the second read returns the SAME parsed list instance
+    // (reference equality — the proof no job re-ran), and a
+    // time-travel read never taints the current-state cache
+    val e1 = LogSync.deleteEntries(spark, root)
+    val e2 = LogSync.deleteEntries(spark, root)
+    assert(e1 eq e2, "a quiescent re-read must reuse the cached list")
+    LogSync.deleteEntries(spark, root,
+      asOf = Some(new java.sql.Timestamp(0L)))
+    assert(LogSync.deleteEntries(spark, root) eq e1,
+      "an asOf read must not clobber the current-state cache")
+    // every mutation class invalidates via the listing signature:
+    // append (a new retraction)...
+    LakeDml.deleteEq(spark, root, Seq(2L).toDF("event_id"))
+    val e3 = LogSync.deleteEntries(spark, root)
+    assert(!(e3 eq e1) && e3.count(_.isEq) == 2)
+    // ...conversion + fold (version swaps)...
+    LakeDml.convertEqDeletes(spark, root)
+    LakeDml.compactDeletes(spark, root)
+    val e4 = LogSync.deleteEntries(spark, root)
+    assert(!(e4 eq e3) && e4.count(_.isEq) == 0 && e4.nonEmpty)
+    // ...and the reads stay correct throughout
+    assert(LogSync.table(spark, root).count() == 28)
+  }
+
   test("a LIVE slow manifest swap keeps its version claim (heartbeat); a racing swap refuses instead of reclaiming") {
     val root = seeded(40)
     spark.conf.set("graft.lake.claimGraceMs", "300")
