@@ -19,7 +19,7 @@ object Curation {
     * the n-gram generalization of the dedup shingler (tokenize once;
     * Catalyst does not CSE across lambda bodies).
     */
-  private def shingleArr(t: Column, n: Int): Column =
+  private[graft] def shingleArr(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))

@@ -1536,6 +1536,47 @@ class LakeSpec extends SparkSpec {
       "streamed curation must equal the batch gate on doc_id-ordered arrival")
   }
 
+  test("ContaminationFollow: streamed leakage flags union to the exact batch pass, in any arrival order") {
+    import graft.streaming.{ContaminationFollow, LakeFollow}
+    import graft.operators.Curation
+    val root = Files.createTempDirectory("graft_confollow_lake").toString
+    val marks = Files.createTempDirectory("graft_confollow_marks").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the same eval-holdout stand-in as the batch operator: doc_id < 20
+    val ev = ContaminationFollow.evalSet(spark, docs.filter(col("doc_id") < 20))
+    try {
+      val train = docs.filter(col("doc_id") >= 20)
+      val ids = train.select("doc_id").collect().map(_.getAs[Long](0)).sorted
+      val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+      val streamed = scala.collection.mutable.Map.empty[Long, Long]
+      // REVERSED arrival order — decontamination is stateless, so the
+      // stream must match the batch pass regardless of arrival order
+      // (the dedup/curate gates need doc_id order; this one must not)
+      Seq(train.filter(col("doc_id") >= cut2),
+          train.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+          train.filter(col("doc_id") < cut1)).foreach { batch =>
+        batch.write.mode("append").parquet(root)
+        LogSync.sync(spark, root)
+        val inc = LakeFollow.poll(spark, root, marks).get
+        def flags() = ContaminationFollow.incrementHits(spark, inc, ev)
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+        val f = flags()
+        assert(flags() == f, "pre-commit replay must reproduce identical flags")
+        f.keys.foreach { id =>
+          assert(!streamed.contains(id), s"doc $id flagged by two increments")
+        }
+        streamed ++= f
+        LakeFollow.commit(spark, root, marks, inc)
+      }
+      assert(LakeFollow.poll(spark, root, marks).isEmpty, "stream caught up")
+      val batch = Curation.contamination(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+      assert(batch.nonEmpty, "the corpus must exercise the leakage path")
+      assert(streamed.toMap == batch,
+        "streamed decontamination must equal the batch pass in any order")
+    } finally ev.release()
+  }
+
   test("PackFollow: streamed spans equal the batch packer on ordered arrival; carry is per-source") {
     import graft.streaming.{LakeFollow, PackFollow}
     import graft.operators.TrainPrep
