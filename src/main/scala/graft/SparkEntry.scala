@@ -173,6 +173,7 @@ object SparkEntry {
     "lake_dml"            -> (LakeAnalytics.dmlSeverity _),
     "lake_sql_dml"        -> (LakeAnalytics.sqlDmlSeverity _),
     "lake_sql_read"       -> (LakeAnalytics.sqlReadSeverity _),
+    "lake_sql_travel"     -> (LakeAnalytics.sqlTravelSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
@@ -1324,6 +1325,12 @@ object SparkEntry {
         |  AND NOT (user_id % 10 = 7 AND event_type = 'signup')
         |  AND NOT (user_id % 10 = 5 AND event_type = 'click')
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // SQL time travel to the pre-DML instant resurrects every
+    // lifecycle delete — oracle = the FULL events synthesis
+    "lake_sql_travel" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // identical post-lifecycle state as lake_sql_dml — read via the
     // graft_lake SQL TVF instead of the Scala API
     "lake_sql_read" ->

@@ -517,6 +517,39 @@ object LakeAnalytics {
          |ORDER BY service_name, severity_text""".stripMargin)
   }
 
+  /** SQL TIME TRAVEL, oracle-certified: the same aggregate as
+    * [[sqlReadSeverity]] but through `graft_lake_at('<root>', t)` with
+    * `t` = the last APPEND registration instant — the moment after
+    * registration and before any of the lifecycle's three deletes
+    * landed, derived from the lake's own manifest (control-plane read;
+    * append commits and DML commits are distinct statements seconds
+    * apart in the fixture, so the instant is unambiguous). The oracle
+    * is the FULL events synthesis — a hash-match proves the travel
+    * read resurrects every deleted row exactly: the CoW rewrite's
+    * tombstones bound by `removed_at`, the MOR delete files bound by
+    * their registration, all THROUGH the SQL TVF. Together with
+    * `lake_sql_read` (current state) the pair certifies both ends of
+    * the SQL read story against independent oracles on one fixture.
+    */
+  def sqlTravelSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = sqlDmlRoot(spark, dir)
+    graft.GraftTableFunctions.ensureRegistered(spark)
+    val preDml = LogSync.manifest(spark, root)
+      .filter(col("op").isNull || col("op") === "append")
+      .agg(max(col("registered_at"))).head().getTimestamp(0)
+    // render the literal in the session zone (UTC) — Timestamp.toString
+    // would use the JVM default zone and shift the instant elsewhere
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(preDml.toInstant)
+    spark.sql(
+      s"""SELECT service_name, severity_text, count(1) AS n
+         |FROM graft_lake_at('$root', TIMESTAMP '$lit')
+         |GROUP BY service_name, severity_text
+         |ORDER BY service_name, severity_text""".stripMargin)
+  }
+
   private val morBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake whose redaction ran MERGE-ON-READ: the same payloads, then

@@ -353,17 +353,22 @@ object LakeEvolve {
     // CRASHED-WRITER JANITOR (vacuum's grace pattern): a claim older
     // than the grace whose TARGET never landed is crash residue — its
     // writer would have either committed (target exists → genuine
-    // conflict) or released. Reclaim it once; a FRESH claim still
-    // fails loudly (the loud-loser contract).
+    // conflict) or released. Retirement goes through the SHARED
+    // rename-gate ([[LogSync.retireStaleClaim]]): a bare
+    // delete-then-reclaim let two janitors that both observed the
+    // stale claim interleave so the slower one deleted the faster
+    // one's fresh claim — the double-claim the gate closes for the
+    // manifest swaps and the leases; the schema log claims the same
+    // way. A FRESH claim still fails loudly (the loud-loser contract).
     val claimed = tryClaim() || {
-      val graceMs = spark.conf.getOption("graft.lake.claimGraceMs")
-        .map(_.toLong).getOrElse(15L * 60 * 1000)
+      val cutoff = System.currentTimeMillis() -
+        spark.conf.getOption("graft.lake.claimGraceMs")
+          .map(_.toLong).getOrElse(15L * 60 * 1000)
       val stale =
         try fs.exists(claim) && !fs.exists(target) &&
-          fs.getFileStatus(claim).getModificationTime <
-            System.currentTimeMillis() - graceMs
+          fs.getFileStatus(claim).getModificationTime < cutoff
         catch { case _: java.io.IOException => false }
-      stale && { fs.delete(claim, false); tryClaim() }
+      stale && LogSync.retireStaleClaim(fs, claim, cutoff) && tryClaim()
     }
     if (!claimed) {
       fs.delete(tmp, false)
