@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -35,8 +35,66 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * second, drift-prone reimplementation of the read path behind the
   * DSv2 Scan interface.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode("append").save(root)` — the write
+    * half of the façade: one call performs the reference's manual
+    * write-then-register flow ([[LogWriter.write]] partitioned layout
+    * + [[LogSync.sync]] manifest registration), so third-party Spark
+    * code can PRODUCE a registered lake as easily as it reads one.
+    * This rides Spark's V1 sink fallback (the table exposes no
+    * BATCH_WRITE capability), which conveniently needs no extensions —
+    * writes work in ANY session. Options: `layout` = `hourly`
+    * (default, the reference's full layout) | `daily`;
+    * `maxRecordsPerFile`. Modes: Append appends + registers;
+    * ErrorIfExists (writer default) refuses a root that already has a
+    * manifest; Ignore no-ops there; Overwrite refuses LOUDLY — a lake
+    * is an append-only log with row-level DML, not a replaceable
+    * directory (use LakeDml / SQL `DELETE/MERGE INTO LAKE` to mutate,
+    * or write to a fresh root).
+    */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path", sys.error(
+      "graft sink needs a lake root: df.write.format(\"graft\").save(<root>)"))
+    val spark = ctx.sparkSession
+    require(data.columns.contains("timestamp") &&
+      data.columns.contains("service_name"),
+      "the graft sink writes the reference's partitioned log layout and " +
+        "needs `timestamp` and `service_name` columns; project/rename " +
+        "before writing")
+    val registered = LogSync.hasManifest(spark, root)
+    mode match {
+      case SaveMode.Overwrite => sys.error(
+        s"graft sink: Overwrite is refused — $root is an append-only lake " +
+          "with row-level DML (LakeDml / DELETE FROM LAKE / MERGE INTO " +
+          "LAKE); append to it, mutate it, or write a fresh root")
+      case SaveMode.ErrorIfExists if registered => sys.error(
+        s"graft sink: $root is already a registered lake (writer mode " +
+          "defaults to ErrorIfExists) — use .mode(\"append\"), or " +
+          "SaveMode.Ignore to no-op")
+      case SaveMode.Ignore if registered => ()
+      case _ =>
+        val layout = parameters.get("layout") match {
+          case Some("daily") => LogWriter.DailyLayout
+          case Some("hourly") | None => LogWriter.HourlyLayout
+          case Some(other) => sys.error(
+            s"graft sink: unknown layout '$other' (hourly | daily)")
+        }
+        val maxRec = parameters.get("maxRecordsPerFile").map(_.toLong)
+          .getOrElse(LogWriter.DefaultMaxRecordsPerFile)
+        LogWriter.write(data, root, maxRec, layout)
+        LogSync.sync(spark, root)
+        ()
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   private def rootOf(options: JMap[String, String]): String = {
     val r = Option(options.get("path")).getOrElse(sys.error(
@@ -56,8 +114,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    planFor(options.asCaseSensitiveMap()).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = options.asCaseSensitiveMap()
+    // the WRITE path probes the table before Spark's V1-sink fallback
+    // fires — a fresh (unregistered) root has no schema yet, and
+    // refusing here would block the very write that creates it. An
+    // empty schema satisfies the probe; a READ of the unregistered
+    // root still refuses downstream with LogSync's own "run sync
+    // first" when the resolution rule expands the real plan.
+    if (!LogSync.hasManifest(SparkSession.active, rootOf(opts)))
+      new StructType()
+    else planFor(opts).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =

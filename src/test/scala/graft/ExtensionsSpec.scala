@@ -436,6 +436,44 @@ class ExtensionsSpec extends SparkSpec {
       s"expected the no-extensions refusal, got: ${e.getMessage}")
   }
 
+  test("facade write: df.write.format(\"graft\") writes the layout AND registers; save modes honored") {
+    // the V1 sink fallback needs no extensions — the shared session is
+    // deliberately extension-less here
+    val root = Files.createTempDirectory("graft_sinkfacade").toString + "/lake"
+    def batch(n: Int, skip: Int) = graft.sources.Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"),
+        concat(lit("svc-"), col("user_id") % 3).as("service_name"),
+        col("event_type").as("severity_text"), col("props").as("body"))
+    batch(40, 0).write.format("graft").option("layout", "daily")
+      .mode("append").save(root)
+    // one call = write + register: the lake reads back immediately
+    assert(graft.sources.LogSync.table(spark, root).count() == 40)
+    // ...with the partitioned layout on disk (daily: no hour dirs)
+    val part = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("service_name="))
+    assert(part.nonEmpty, "the sink must write the partitioned layout")
+    // writer-default ErrorIfExists refuses a registered root loudly
+    val e = intercept[Exception](
+      batch(10, 40).write.format("graft").save(root))
+    assert(e.getMessage.contains("already a registered lake"), e.getMessage)
+    // Ignore no-ops; append accumulates; Overwrite refuses with the fix
+    batch(10, 40).write.format("graft").mode("ignore").save(root)
+    assert(graft.sources.LogSync.table(spark, root).count() == 40)
+    batch(10, 40).write.format("graft").option("layout", "daily")
+      .mode("append").save(root)
+    assert(graft.sources.LogSync.table(spark, root).count() == 50)
+    val o = intercept[Exception](
+      batch(5, 0).write.format("graft").mode("overwrite").save(root))
+    assert(o.getMessage.contains("append-only lake"), o.getMessage)
+    // the schema contract refuses loudly, naming the missing columns
+    val bad = intercept[Exception](spark.range(3).toDF("x")
+      .write.format("graft").mode("append").save(root + "2"))
+    assert(bad.getMessage.contains("service_name"), bad.getMessage)
+  }
+
   test("graft_lake prunes partitions through the TVF (and ensureRegistered serves extension-less sessions)") {
     // the shared suite session was built WITHOUT GraftExtensions — the
     // programmatic registration path (what Verify/Bench and notebook
