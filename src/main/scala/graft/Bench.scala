@@ -262,15 +262,19 @@ object Bench {
       // the 1-min loadavg sampled at each pass's start, same key order
       // as "passes" — the inline contention record (compare against
       // "cpus": load ≈ cpus is a busy box, load >> cpus is the burst
-      // scheduler's contended window)
+      // scheduler's contended window). Locale.ROOT: the f"" interpolator
+      // follows the JVM default locale, and a comma decimal separator
+      // would make the artifact invalid JSON.
+      def fmt2(d: Double): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
       val ld = secondPass.toSeq.sortBy(_._1)
         .map { case (k, _, _, _, l1, l2) =>
-          "\"" + k + "\":[" + f"$l1%.2f" + "," + f"$l2%.2f" + "]"
+          "\"" + k + "\":[" + fmt2(l1) + "," + fmt2(l2) + "]"
         }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""retried":$rt,"passes":$ps,"loads":$ld,""" +
-        f""""load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f,""" +
+        s""""load_start":${fmt2(loadStart)},"load_end":${fmt2(loadAvg())},""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()},""" +
         s""""failed":${fmtList(failed)},"sf":"$sfDir"}"""
     }

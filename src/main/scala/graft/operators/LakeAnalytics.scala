@@ -537,11 +537,14 @@ object LakeAnalytics {
     val preDml = LogSync.manifest(spark, root)
       .filter(col("op").isNull || col("op") === "append")
       .agg(max(col("registered_at"))).head().getTimestamp(0)
-    // render the literal in the session zone (UTC) — Timestamp.toString
-    // would use the JVM default zone and shift the instant elsewhere
+    // render the literal in the SESSION zone — the TVF parses it back
+    // in the same zone, so the instant round-trips under any session
+    // timeZone (a hardcoded zone, or Timestamp.toString's JVM default,
+    // would silently shift the travel point elsewhere)
     val lit = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .withZone(java.time.ZoneOffset.UTC)
+      .withZone(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
       .format(preDml.toInstant)
     spark.sql(
       s"""SELECT service_name, severity_text, count(1) AS n

@@ -58,14 +58,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def createRelation(ctx: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: DataFrame): BaseRelation = {
-    val root = parameters.getOrElse("path", sys.error(
+    // the writer hands V1 sinks an original-case map — normalize so
+    // .option("Layout", ...) behaves like the DSv2 read options
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val root = Option(opts.get("path")).getOrElse(sys.error(
       "graft sink needs a lake root: df.write.format(\"graft\").save(<root>)"))
     val spark = ctx.sparkSession
-    require(data.columns.contains("timestamp") &&
-      data.columns.contains("service_name"),
-      "the graft sink writes the reference's partitioned log layout and " +
-        "needs `timestamp` and `service_name` columns; project/rename " +
-        "before writing")
     val registered = LogSync.hasManifest(spark, root)
     mode match {
       case SaveMode.Overwrite => sys.error(
@@ -78,13 +77,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           "SaveMode.Ignore to no-op")
       case SaveMode.Ignore if registered => ()
       case _ =>
-        val layout = parameters.get("layout") match {
+        // the schema contract binds only the arms that WRITE — an
+        // Ignore no-op (or the refusals above) must not demand the
+        // lake schema of a frame it will never touch
+        require(data.columns.contains("timestamp") &&
+          data.columns.contains("service_name"),
+          "the graft sink writes the reference's partitioned log layout " +
+            "and needs `timestamp` and `service_name` columns; " +
+            "project/rename before writing")
+        val layout = Option(opts.get("layout")) match {
           case Some("daily") => LogWriter.DailyLayout
           case Some("hourly") | None => LogWriter.HourlyLayout
           case Some(other) => sys.error(
             s"graft sink: unknown layout '$other' (hourly | daily)")
         }
-        val maxRec = parameters.get("maxRecordsPerFile").map(_.toLong)
+        val maxRec = Option(opts.get("maxRecordsPerFile")).map(_.toLong)
           .getOrElse(LogWriter.DefaultMaxRecordsPerFile)
         LogWriter.write(data, root, maxRec, layout)
         LogSync.sync(spark, root)
@@ -96,16 +103,32 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     }
   }
 
-  private def rootOf(options: JMap[String, String]): String = {
+  // DSv2 options are case-insensitive by convention — every lookup
+  // goes through CaseInsensitiveStringMap, so .option("asof", ...) is
+  // time travel, not a silently-ignored key reading the wrong snapshot
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
     val r = Option(options.get("path")).getOrElse(sys.error(
       "graft source needs a lake root: spark.read.format(\"graft\").load(<root>)"))
     r
   }
 
-  private def asOfOf(options: JMap[String, String]): Option[java.sql.Timestamp] =
-    Option(options.get("asOf")).map(java.sql.Timestamp.valueOf)
+  /** Parse `asOf` in the SESSION time zone (Spark's own timestamp
+    * parser), so the façade's travel instant agrees with the same
+    * literal through `graft_lake_at` / `tableAsOf` — a
+    * `Timestamp.valueOf` would bind it to the driver JVM's default
+    * zone and silently resolve a different snapshot.
+    */
+  private def asOfOf(options: CaseInsensitiveStringMap): Option[java.sql.Timestamp] =
+    Option(options.get("asOf")).map { s =>
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+        .map(org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp)
+        .getOrElse(sys.error(s"graft source: cannot parse asOf '$s' as a timestamp"))
+    }
 
-  private def planFor(options: JMap[String, String]) = {
+  private def planFor(options: CaseInsensitiveStringMap) = {
     val spark = SparkSession.active
     val root = rootOf(options)
     asOfOf(options) match {
@@ -115,21 +138,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val opts = options.asCaseSensitiveMap()
     // the WRITE path probes the table before Spark's V1-sink fallback
     // fires — a fresh (unregistered) root has no schema yet, and
     // refusing here would block the very write that creates it. An
     // empty schema satisfies the probe; a READ of the unregistered
     // root still refuses downstream with LogSync's own "run sync
     // first" when the resolution rule expands the real plan.
-    if (!LogSync.hasManifest(SparkSession.active, rootOf(opts)))
+    if (!LogSync.hasManifest(SparkSession.active, rootOf(options)))
       new StructType()
-    else planFor(opts).schema
+    else planFor(options).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    GraftLakeTable(rootOf(properties), asOfOf(properties), schema)
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    GraftLakeTable(rootOf(opts), asOfOf(opts), schema)
+  }
 }
 
 /** The analysis-time handle [[GraftLakeResolution]] resolves. Its

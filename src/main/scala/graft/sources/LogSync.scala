@@ -617,10 +617,13 @@ object LogSync {
       .map(_.toLong).getOrElse(1000000L)
 
   // (registry listing signature, parsed active entries) per root — see
-  // deleteEntries. Bounded: one entry per root, each list under the
-  // read cap by construction.
+  // deleteEntries. Each list is under the read cap by construction;
+  // the ROOT count is bounded too (below), so a long-lived driver
+  // touching many roots (multi-tenant service, test session over temp
+  // lakes) cannot accrete per-root lists forever.
   private val deleteEntriesCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[DeleteEntry])]()
+  private val DeleteEntriesCacheMaxRoots = 64
 
   /** The current delete-registry LISTING signature (version dir + part
     * names/lengths/mtimes) — the same freshness key
@@ -713,8 +716,14 @@ object LogSync {
         Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty),
         r.getString(6)))
       .toSeq
-    if (asOf.isEmpty && (cap <= 0 || entries.length <= cap))
+    if (asOf.isEmpty && (cap <= 0 || entries.length <= cap)) {
+      // crude-but-sufficient bound: past the root budget, drop the
+      // whole map (a re-read per root is one small job; an LRU would
+      // buy little for control-plane lists)
+      if (deleteEntriesCache.size >= DeleteEntriesCacheMaxRoots &&
+        !deleteEntriesCache.containsKey(root)) deleteEntriesCache.clear()
       deleteEntriesCache.put(root, (sig, entries))
+    }
     entries
   }
 
@@ -1160,15 +1169,26 @@ object LogSync {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => ours = false }
         if (!stop.get() && ours) {
-          ours =
+          // a CONFIRMED foreign token stops the beat (we were
+          // reclaimed; refreshing would extend the reclaimer's lease
+          // on its behalf). A transient read failure — object-store
+          // throttle, or the instant a janitor's rename-aside holds
+          // the file — must NOT: one 503 killing the heartbeat for a
+          // minutes-long section silently reverts the holder to the
+          // mid-commit-reclaim hazard the beat exists to close. Skip
+          // the refresh this round and re-read next beat.
+          val verdict: Option[Boolean] =
             try {
               val in = fs.open(lease)
               val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-              got == token
-            } catch { case _: java.io.IOException => false }
-          if (ours) {
-            try fs.setTimes(lease, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+              Some(got == token)
+            } catch { case _: java.io.IOException => None }
+          verdict match {
+            case Some(false) => ours = false
+            case Some(true) =>
+              try fs.setTimes(lease, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () }
+            case None => () // transient — keep the beat alive
           }
         }
       }

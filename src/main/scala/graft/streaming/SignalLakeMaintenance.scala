@@ -63,7 +63,10 @@ object SignalLakeMaintenance {
     // commits — the O(lake)-every-8-batches cost a 100 TB lake
     // cannot pay; data compaction still runs when file-count churn
     // independently warrants it.
-    if (LogSync.deleteEntries(spark, root).count(_.isEq) >=
+    // UNCAPPED: this trigger decides whether to RUN the fix paths —
+    // reading it capped would wedge automated maintenance on exactly
+    // the over-cap registry it exists to shrink
+    if (LogSync.deleteEntries(spark, root, capped = false).count(_.isEq) >=
         graft.sources.LakeDml.DeleteCompactionThreshold) {
       graft.sources.LakeDml.convertEqDeletes(spark, root); ()
     }

@@ -419,9 +419,18 @@ class ExtensionsSpec extends SparkSpec {
       assert(s2.read.format("graft").load(dmlRoot)
         .filter(col("service_name") === "svc-3" && col("severity_text") === "view")
         .count() == 0, "the facade must read through the DML manifest")
-      // time travel via option
+      // time travel via option — and DSv2 options are case-insensitive,
+      // so a differently-cased key must reach the same snapshot (a
+      // dropped key here would silently read the CURRENT state)
       val hwm = graft.sources.LogSync.highWaterMark(s2, root).get
-      assert(s2.read.format("graft").option("asOf", hwm.toString).load(root)
+      val hwmLit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneId.of(
+          s2.sessionState.conf.sessionLocalTimeZone))
+        .format(hwm.toInstant)
+      assert(s2.read.format("graft").option("asOf", hwmLit).load(root)
+        .count() == df.count())
+      assert(s2.read.format("graft").option("asof", hwmLit).load(root)
         .count() == df.count())
     } finally {
       SparkSession.setDefaultSession(prior)
@@ -461,6 +470,10 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("already a registered lake"), e.getMessage)
     // Ignore no-ops; append accumulates; Overwrite refuses with the fix
     batch(10, 40).write.format("graft").mode("ignore").save(root)
+    assert(graft.sources.LogSync.table(spark, root).count() == 40)
+    // Ignore's no-op contract holds even for a frame the sink could
+    // never write — the schema require binds only the writing arms
+    spark.range(3).toDF("x").write.format("graft").mode("ignore").save(root)
     assert(graft.sources.LogSync.table(spark, root).count() == 40)
     batch(10, 40).write.format("graft").option("layout", "daily")
       .mode("append").save(root)
