@@ -186,12 +186,13 @@ private[graft] object ClaimFile {
           val in2 = fs.open(aside)
           val got2 = try new String(in2.readAllBytes(), "UTF-8") finally in2.close()
           if (got2 == token) { fs.delete(aside, false); () }
-          else if (!fs.rename(aside, claim)) {
-            // a third claim won the freed path first: the aside file
-            // (the reclaimer's) stays as aged residue; its owner's
-            // release will no-op on the missing path
+          else if (fs.exists(claim)) {
+            // a third claim won the freed path first — renaming back
+            // would REPLACE it (POSIX/S3A rename clobbers an existing
+            // target); leave the aside file as aged residue, its
+            // displaced owner re-enters the lost-claim path
             ()
-          }
+          } else { fs.rename(aside, claim); () }
         }
       }
     } catch { case _: java.io.IOException => () }

@@ -121,6 +121,19 @@ object LogSync {
       kind = "manifest", dirOf = v => s"$root/_manifest_v$v",
       staging = s"$root/_manifest_swap", versionOf = manifestVersion)
 
+  /** The staleness window every claim/lease janitor and heartbeat
+    * reasons from. HONEST SCOPE: staleness is judged by MTIME, so the
+    * whole mechanism (retire re-verify, lease heartbeat via
+    * `fs.setTimes`) assumes an mtime-FAITHFUL filesystem — POSIX and
+    * HDFS, the tested rows. On object stores whose rename is
+    * copy+delete (plain S3A) the retire re-verify reads the COPY's
+    * fresh mtime (a crashed holder's claim is then never judged stale
+    * by the janitor — remove it operationally or via a bucket TTL
+    * rule), and `setTimes` may be a no-op (the heartbeat is inert;
+    * size claimGraceMs past the worst-case hold instead). Stores with
+    * conditional PUT should route claims through a registered
+    * [[ClaimFile]] strategy, which is what the seam exists for.
+    */
   private[sources] def claimGraceMs(spark: SparkSession): Long =
     spark.conf.getOption("graft.lake.claimGraceMs")
       .map(_.toLong).getOrElse(15L * 60 * 1000)
@@ -163,9 +176,16 @@ object LogSync {
         try fs.delete(retired, false) catch { case _: java.io.IOException => () }
         true
       } else {
-        // a live claim was moved aside — put it back (best effort;
-        // a failed rename-back leaves aged residue, see Scaladoc)
-        try { fs.rename(retired, claim); () }
+        // a live claim was moved aside — put it back, but NEVER over a
+        // third writer's claim that landed on the freed path meanwhile:
+        // POSIX/S3A rename REPLACES an existing target, so a blind
+        // rename-back would delete that writer's live claim (the very
+        // double-admit this gate exists to stop). If the path is taken,
+        // the aside file stays as aged `.reclaim_` residue and its
+        // displaced owner re-enters the ordinary lost-claim path —
+        // narrowed, with the exists probe as the (non-atomic, best
+        // available without conditional rename) guard.
+        try { if (!fs.exists(claim)) fs.rename(retired, claim); () }
         catch { case _: java.io.IOException => () }
         false
       }
@@ -633,16 +653,19 @@ object LogSync {
     * construction (every registry mutation goes through appended parts
     * or a version-dir swap — parquet is never mutated in place).
     */
-  private def deleteRegistrySig(spark: SparkSession, root: String): String =
+  private def deleteRegistrySig(spark: SparkSession, root: String): Option[String] =
     try {
       val dir = new Path(deleteManifestPath(spark, root))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(dir).map(s =>
+      Some(fs.listStatus(dir).map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString(dir.toString + "|", "|", "")
+        .sorted.mkString(dir.toString + "|", "|", ""))
     } catch {
-      // an unlistable dir never caches: fall through to the read
-      case _: java.io.IOException => java.util.UUID.randomUUID().toString
+      // an unlistable dir never caches (None skips both the hit check
+      // and the put — a throwaway random sig would occupy a root slot
+      // with an entry that can never hit, and could even trigger the
+      // whole-map bound eviction)
+      case _: java.io.IOException => None
     }
 
   /** The snapshot-bounded ACTIVE delete-file set (both kinds) —
@@ -683,10 +706,10 @@ object LogSync {
         "vacuumDeletes (SQL: MAINTAIN LAKE ... COMPACT DELETES / " +
         "CONVERT DELETES / VACUUM DELETES) or full compaction, " +
         "or raise the cap")
-    val sig = if (asOf.isEmpty) deleteRegistrySig(spark, root) else ""
-    if (asOf.isEmpty) {
+    val sig = if (asOf.isEmpty) deleteRegistrySig(spark, root) else None
+    sig.foreach { s =>
       val hit = deleteEntriesCache.get(root)
-      if (hit != null && hit._1 == sig) {
+      if (hit != null && hit._1 == s) {
         if (capped && cap > 0 && hit._2.length > cap) refuse()
         return hit._2
       }
@@ -716,13 +739,15 @@ object LogSync {
         Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty),
         r.getString(6)))
       .toSeq
-    if (asOf.isEmpty && (cap <= 0 || entries.length <= cap)) {
-      // crude-but-sufficient bound: past the root budget, drop the
-      // whole map (a re-read per root is one small job; an LRU would
-      // buy little for control-plane lists)
-      if (deleteEntriesCache.size >= DeleteEntriesCacheMaxRoots &&
-        !deleteEntriesCache.containsKey(root)) deleteEntriesCache.clear()
-      deleteEntriesCache.put(root, (sig, entries))
+    sig.foreach { s =>
+      if (cap <= 0 || entries.length <= cap) {
+        // crude-but-sufficient bound: past the root budget, drop the
+        // whole map (a re-read per root is one small job; an LRU would
+        // buy little for control-plane lists)
+        if (deleteEntriesCache.size >= DeleteEntriesCacheMaxRoots &&
+          !deleteEntriesCache.containsKey(root)) deleteEntriesCache.clear()
+        deleteEntriesCache.put(root, (s, entries))
+      }
     }
     entries
   }
@@ -853,9 +878,18 @@ object LogSync {
         // an unlistable dir never caches: fall through to the count
         case _: java.io.IOException => java.util.UUID.randomUUID().toString
       }
-    manifestCountCache.compute(root, (_, prev) =>
-      if (prev != null && prev._1 == sig) prev
-      else (sig, manifestDf(spark, root).count()))._2
+    // plain get/put, NOT compute: the recount is a full Spark job
+    // (seconds on a slow store) and compute would hold the map's bin
+    // lock across it — serializing unrelated roots that share the bin
+    // and throwing on same-thread re-entry. The get/put race costs at
+    // most a duplicate count; sig-keying keeps either result valid.
+    val prev = manifestCountCache.get(root)
+    if (prev != null && prev._1 == sig) prev._2
+    else {
+      val n = manifestDf(spark, root).count()
+      manifestCountCache.put(root, (sig, n))
+      n
+    }
   }
 
   /** The keep-set build side of the registered-path semi-join,
@@ -1534,6 +1568,18 @@ object LogSync {
 
   /** The newest registration instant — the mark an incremental
     * consumer records before its next [[tableSince]] poll.
+    *
+    * EDGE (documented, not closed): one sync round stamps all its
+    * manifest rows with a single instant, and the append's job commit
+    * makes the round's part files visible non-atomically — a mark
+    * taken mid-commit can EQUAL the in-flight round's instant while
+    * only part of the round is visible, and the strictly-greater
+    * [[tableSince]] filter then never surfaces the remainder.
+    * Consumers that need the airtight contract use [[graft.streaming
+    * .LakeFollow]]'s consumed-PATH offsets (immune by construction:
+    * the anti-join re-finds any path not yet consumed); a mark-based
+    * poller polling strictly between sync rounds (the reference's
+    * cadence) never hits the window.
     */
   def highWaterMark(spark: SparkSession, root: String): Option[java.sql.Timestamp] = {
     val r = manifestDf(spark, root).agg(max(col("registered_at"))).head()
@@ -1798,7 +1844,14 @@ object LogSync {
     * pruning is always sound. The row-level filter still applies on
     * top for files that straddle the boundary.
     */
-  private def isoTs(iso: String): Column = lit(s"$iso 00:00:00").cast(TimestampType)
+  private def isoTs(iso: String): Column = {
+    // parse driver-side as a UTC INSTANT — a string cast(TimestampType)
+    // binds the literal to the session zone, silently shifting the
+    // documented UTC window boundaries on any non-UTC session
+    val inst = java.time.LocalDate.parse(iso)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    lit(java.sql.Timestamp.from(inst))
+  }
 
   /** Zone-map keep predicate, shared by the actual read path and the
     * pruning observable so the spec can never certify a predicate the
@@ -1886,29 +1939,47 @@ object LogSync {
     * like time travel, a branch reads tombstoned files until vacuum
     * (the branch-retention horizon IS the vacuum retention).
     */
-  def branch(spark: SparkSession, root: String, name: String): Unit = {
+  /** Branch names build filesystem paths and dropBranch deletes
+    * recursively — a separator or `..` segment would escape the
+    * `_branch_*` namespace, so EVERY branch entry point validates.
+    */
+  private def requireBranchName(name: String): Unit =
     require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name '$name'")
+
+  def branch(spark: SparkSession, root: String, name: String): Unit = {
+    requireBranchName(name)
     require(hasManifest(spark, root), s"no manifest under $root — run sync first")
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(s"$root/_branch_swap_$name")
-    fs.delete(staging, true)
-    manifestDf(spark, root).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val target = new Path(s"$root/_branch_$name")
-    fs.delete(target, true)
-    require(fs.rename(staging, target), s"branch rename failed for '$name'")
-    // pin the MOR delete state too: a branch must keep answering the
-    // rows it answered at creation, so deletes registered LATER must
-    // not leak into it (and its pinned delete files must survive
-    // vacuum — see branchProtectedPaths)
-    if (hasDeleteManifest(spark, root)) {
-      val dstaging = new Path(s"$root/_branch_del_swap_$name")
-      fs.delete(dstaging, true)
-      deleteManifestDf(spark, root).write.mode(SaveMode.Overwrite)
-        .parquet(dstaging.toString)
-      val dtarget = new Path(s"$root/_branch_del_$name")
-      fs.delete(dtarget, true)
-      require(fs.rename(dstaging, dtarget),
-        s"branch delete-manifest rename failed for '$name'")
+    // BOTH pins under the DML lease: the data manifest and the delete
+    // registry are pinned as one snapshot. Unleased, a compaction
+    // committing between the two reads could tombstone a delete file
+    // whose TARGET the data pin still lists active — the branch would
+    // then read those rows with the delete dropped (resurrection).
+    // Registry mutations all serialize under this lease, so with it
+    // held the registry cannot move between the pins; a data-manifest
+    // swap landing before the first read just pins the newer snapshot
+    // consistently.
+    withDmlLease(spark, root) {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new Path(s"$root/_branch_swap_$name")
+      fs.delete(staging, true)
+      manifestDf(spark, root).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val target = new Path(s"$root/_branch_$name")
+      fs.delete(target, true)
+      require(fs.rename(staging, target), s"branch rename failed for '$name'")
+      // pin the MOR delete state too: a branch must keep answering the
+      // rows it answered at creation, so deletes registered LATER must
+      // not leak into it (and its pinned delete files must survive
+      // vacuum — see branchProtectedPaths)
+      if (hasDeleteManifest(spark, root)) {
+        val dstaging = new Path(s"$root/_branch_del_swap_$name")
+        fs.delete(dstaging, true)
+        deleteManifestDf(spark, root).write.mode(SaveMode.Overwrite)
+          .parquet(dstaging.toString)
+        val dtarget = new Path(s"$root/_branch_del_$name")
+        fs.delete(dtarget, true)
+        require(fs.rename(dstaging, dtarget),
+          s"branch delete-manifest rename failed for '$name'")
+      }
     }
   }
 
@@ -1917,6 +1988,7 @@ object LogSync {
     * the branch manifest instead of the live one.
     */
   def tableBranch(spark: SparkSession, root: String, name: String): DataFrame = {
+    requireBranchName(name)
     val p = new Path(s"$root/_branch_$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no branch '$name' under $root")
@@ -1924,8 +1996,12 @@ object LogSync {
       .filter(col("removed_at").isNull)
       .select(normPath(col("path")).as("__registered_path"))
     // the branch's PINNED delete snapshot, not the live registry:
-    // deletes committed after the branch must not rewrite its history
+    // deletes committed after the branch must not rewrite its history.
+    // Same driver-bytes bound as the live read ([[deleteEntryCap]]):
+    // a branch pinned over an oversized registry must refuse loudly,
+    // not OOM the driver
     val dp = new Path(s"$root/_branch_del_$name")
+    val cap = deleteEntryCap(spark)
     val deletes =
       if (!fs.exists(dp)) Seq.empty
       else {
@@ -1934,10 +2010,23 @@ object LogSync {
           if (df.columns.contains(f.name)) df
           else df.withColumn(f.name, lit(null).cast(f.dataType))
         }
-        filled.filter(col("removed_at").isNull)
+        val projected = filled.filter(col("removed_at").isNull)
           .select(col("path"), col("rows"), col("bytes"),
             coalesce(col("kind"), lit("pos")), coalesce(col("seq"), lit(0L)),
-            col("eq_cols")).collect()
+            col("eq_cols"))
+        val rows =
+          if (cap <= 0) projected.collect()
+          else {
+            val probe = projected
+              .limit(math.min(cap, Int.MaxValue - 2L).toInt + 1).collect()
+            if (probe.length > cap) sys.error(
+              s"branch '$name' under $root pins more than $cap active delete " +
+                "files (graft.lake.deleteEntryCap) — re-pin the branch after " +
+                "folding the registry (COMPACT/CONVERT/VACUUM DELETES), or " +
+                "raise the cap")
+            probe
+          }
+        rows
           .map(r => DeleteEntry(r.getString(0), r.getLong(1), r.getLong(2),
             r.getString(3), r.getLong(4),
             Option(r.getString(5)).map(_.split(',').toSeq).getOrElse(Seq.empty)))
@@ -1947,9 +2036,12 @@ object LogSync {
   }
 
   /** Delete a branch — releases its pin; the files it alone was
-    * protecting become reclaimable by the next vacuum.
+    * protecting become reclaimable by the next vacuum. Validates the
+    * name like every branch entry point: this is a RECURSIVE delete,
+    * and a path-segment name would escape the `_branch_*` namespace.
     */
   def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    requireBranchName(name)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$root/_branch_$name"), true)
     fs.delete(new Path(s"$root/_branch_del_$name"), true)
