@@ -1119,11 +1119,15 @@ object LogSync {
   private[sources] def freshManifestRows(spark: SparkSession, root: String,
                                          paths: Seq[String],
                                          op: String = "append",
-                                         seq: Option[Long] = None): DataFrame = {
+                                         seq: Option[Long] = None,
+                                         registeredAt: Option[java.sql.Timestamp] = None
+                                        ): DataFrame = {
     import spark.implicits._
     val commitSeq = seq.getOrElse(nextSeq(spark, root))
     val stamped = paths.toDF("path")
-      .withColumn("registered_at", current_timestamp())
+      .withColumn("registered_at",
+        registeredAt.map(ts => lit(ts).cast(TimestampType))
+          .getOrElse(current_timestamp()))
     val statted =
       if (paths.isEmpty)
         StatCols.foldLeft(stamped) { (df, c) =>
@@ -1307,6 +1311,50 @@ object LogSync {
       (s, reserveSeq(spark, root, s))
     }
 
+  /** Land one commit's data-manifest rows as ONE atomically-visible
+    * registration: the rows stage to a writer-unique underscore dir as
+    * a SINGLE parquet part (`repartition(1)` — manifest rows are
+    * file-count-cardinality, one per new file of the round, bounded by
+    * arrival rate, so one part stays small where the data itself would
+    * not), and that one part renames into the live manifest dir under
+    * a fresh UUID name. One rename = one visibility event: a
+    * concurrent reader ([[highWaterMark]], [[tableSince]], the
+    * `graft_watermark`/`graft_changes` SQL poll loop) sees either NONE
+    * of the round or ALL of it — never a prefix sharing the round's
+    * `registered_at` instant, which is what let a strictly-greater
+    * mark poll skip the round's remainder forever. Spark's own append
+    * committer cannot give this (it renames each task's part
+    * separately), which is why the write is staged by hand. The
+    * destination dir resolves immediately before the rename, narrowing
+    * the append-vs-swap race to the rename itself (the documented
+    * temporary-invisibility seam: a racing manifest SWAP can still
+    * strand the part in a superseded version dir, and the next sync
+    * round's fresh-diff re-registers the files).
+    */
+  private[sources] def appendManifestAtomic(spark: SparkSession, root: String,
+                                            rows: DataFrame): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(s"$root/_manifest_append_" +
+      java.util.UUID.randomUUID().toString.take(8))
+    rows.repartition(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val parts = fs.listStatus(stage)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(parts.length == 1,
+      s"atomic manifest append under $root staged ${parts.length} parts " +
+        "(expected exactly 1 from repartition(1))")
+    val dest = new Path(manifestPath(spark, root))
+    fs.mkdirs(dest)
+    val target = new Path(dest,
+      s"part-${java.util.UUID.randomUUID().toString}.parquet")
+    require(fs.rename(parts.head.getPath, target),
+      s"manifest append rename failed: ${parts.head.getPath} -> $target")
+    fs.delete(stage, true)
+    // the rename bypassed Spark's write path — invalidate any cached
+    // listing over the manifest dir (same contract as the delete
+    // registry's leased append)
+    spark.catalog.refreshByPath(dest.toString)
+  }
+
   /** One sync round: returns the number of newly registered files.
     * The diff between the listing and the manifest is a distributed
     * anti-join — at millions of files the driver never materializes
@@ -1356,8 +1404,22 @@ object LogSync {
         // reasons from, so sync holds it too). Sync lease is already
         // held; lease order sync→dml matches rewriteManifests.
         val (commitSeq, seqRes) = allocateSeq(spark, root)
-        try freshManifestRows(spark, root, freshPaths.toSeq, seq = Some(commitSeq))
-          .write.mode(SaveMode.Append).parquet(manifestPath(spark, root))
+        // ONE atomically-visible registration per round — see
+        // [[appendManifestAtomic]]: a watermark/changes poll concurrent
+        // with this commit can never observe half the round. The
+        // round's `registered_at` is STRICTLY ABOVE every earlier
+        // registration (sync is single-writer under the lease, so the
+        // bump is safe): two rounds completing within one millisecond
+        // would otherwise share an instant, and a mark taken between
+        // them would skip the second round on the strictly-greater
+        // tableSince filter — with monotone stamps plus atomic
+        // visibility, the timestamp-mark surface is exact.
+        val stamp = new java.sql.Timestamp(math.max(
+          System.currentTimeMillis(),
+          highWaterMark(spark, root).map(_.getTime + 1).getOrElse(0L)))
+        try appendManifestAtomic(spark, root,
+          freshManifestRows(spark, root, freshPaths.toSeq, seq = Some(commitSeq),
+            registeredAt = Some(stamp)))
         finally releaseSeq(spark, seqRes)
         // SELF-DRIVING registry maintenance (Iceberg's
         // commit.manifest-merge analog): every round appends one-plus
@@ -1567,19 +1629,17 @@ object LogSync {
   }
 
   /** The newest registration instant — the mark an incremental
-    * consumer records before its next [[tableSince]] poll.
-    *
-    * EDGE (documented, not closed): one sync round stamps all its
-    * manifest rows with a single instant, and the append's job commit
-    * makes the round's part files visible non-atomically — a mark
-    * taken mid-commit can EQUAL the in-flight round's instant while
-    * only part of the round is visible, and the strictly-greater
-    * [[tableSince]] filter then never surfaces the remainder.
-    * Consumers that need the airtight contract use [[graft.streaming
-    * .LakeFollow]]'s consumed-PATH offsets (immune by construction:
-    * the anti-join re-finds any path not yet consumed); a mark-based
-    * poller polling strictly between sync rounds (the reference's
-    * cadence) never hits the window.
+    * consumer records before its next [[tableSince]] poll. Safe to
+    * take DURING a concurrent sync: each round's registration lands
+    * as one atomically-visible commit ([[appendManifestAtomic]]), so
+    * a mark equal to a round's shared `registered_at` instant implies
+    * the WHOLE round is visible — the strictly-greater [[tableSince]]
+    * filter can never skip a round's remainder (race-spec-pinned in
+    * ManifestCasSpec through the `graft_watermark`/`graft_changes`
+    * poll loop). [[graft.streaming.LakeFollow]]'s consumed-PATH
+    * offsets remain the airtight surface across the (orthogonal)
+    * lost-registration self-heal, whose re-registered rows carry a
+    * fresh instant and re-surface past a stored mark.
     */
   def highWaterMark(spark: SparkSession, root: String): Option[java.sql.Timestamp] = {
     val r = manifestDf(spark, root).agg(max(col("registered_at"))).head()

@@ -94,6 +94,73 @@ class ManifestCasSpec extends graft.SparkSpec {
     assert(LogSync.table(spark, root).select("span_id").distinct().count() == 70)
   }
 
+  test("a graft_watermark+graft_changes poll loop DURING concurrent multi-file syncs never skips a row") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the seam this pins closed: sync's manifest append used to commit
+    // part files non-atomically under ONE shared registered_at, so a
+    // mark taken mid-commit equalled the in-flight round's instant
+    // while only part of it was visible — the strictly-greater
+    // tableSince filter then skipped the remainder forever. The append
+    // is now ONE rename-visible commit with a strictly-monotone round
+    // stamp, so the SQL poll loop (watermark FIRST, then changes since
+    // the stored mark, then store the watermark) is exact.
+    graft.GraftTableFunctions.ensureRegistered(spark)
+    val root = Files.createTempDirectory("graft_pollrace").toString
+    val all = Tables.events(spark, sf).orderBy(col("event_id")).limit(240)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+      .cache()
+    val allIds = all.select("span_id").collect().map(_.getString(0)).toSet
+    assert(allIds.size == 240)
+    def sqlTs(ts: java.sql.Timestamp): String = {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(zone).format(ts.toInstant)
+    }
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def round(i: Int): Unit = {
+      all.orderBy(col("span_id")).offset(i * 30).limit(30)
+        .repartition(5) // a MULTI-file round: 5 parts per registration
+        .write.mode("append").parquet(root)
+      assert(LogSync.sync(spark, root) == 5)
+    }
+    // round 0 lands before the consumer starts (the TVFs refuse a
+    // manifest-less root loudly by design); rounds 1-7 race the poll
+    round(0)
+    @volatile var producerDone = false
+    val consumer = Future {
+      var mark = "1970-01-01 00:00:00"
+      var drainOnce = true
+      while (!producerDone || drainOnce) {
+        if (producerDone) drainOnce = false // one full pass after the last round
+        val wm = spark.sql(s"SELECT append_hwm FROM graft_watermark('$root')")
+          .head().getTimestamp(0)
+        spark.sql(s"SELECT span_id FROM graft_changes('$root', '$mark')")
+          .collect().foreach(r => seen.add(r.getString(0)))
+        if (wm != null) mark = sqlTs(wm)
+      }
+      mark
+    }
+    // rounds 1-7 land back-to-back (no pacing — the tighter the
+    // rounds, the more mid-commit and same-instant polls land)
+    (1 until 8).foreach(round)
+    producerDone = true
+    Await.result(consumer, 300.seconds)
+    all.unpersist()
+    val missed = allIds -- scala.jdk.CollectionConverters.SetHasAsScala(seen).asScala
+    assert(missed.isEmpty,
+      s"the poll loop skipped ${missed.size} rows (e.g. ${missed.take(5)}) — " +
+        "a mark observed a partially-visible or instant-tied sync round")
+    // monotone round stamps: 8 rounds = 8 DISTINCT registration instants
+    assert(LogSync.manifest(spark, root)
+      .select("registered_at").distinct().count() == 8)
+  }
+
   test("delete-registry swap has the same CAS; un-guarded swaps still work") {
     import spark.implicits._
     val root = seeded()
