@@ -43,6 +43,109 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[graft] object ClaimFile {
 
+  // ---- liveness beats -----------------------------------------------------
+  //
+  // Staleness used to be judged by claim-file MTIME alone, which binds
+  // the whole janitor/heartbeat mechanism to an mtime-FAITHFUL store:
+  // on copy-rename object stores a rename refreshes mtime (a crashed
+  // claim never ages) and `setTimes` may be a no-op (a live holder's
+  // heartbeat is inert, so it is reclaimed mid-commit). The liveness
+  // signal therefore ALSO lives in content the holder writes:
+  // `<claim>.hb_<n>` sidecar files carrying `<token>\n<wallclockMs>`,
+  // written once at claim time (beat 0, inside [[tryClaim]]) and then
+  // by [[LogSync]]'s lease heartbeat every quarter grace window. A
+  // claim's liveness instant is max(mtime, newest matching-token
+  // beat) — on faithful stores the mtime path keeps working unchanged,
+  // on mtime-unfaithful ones the beats carry the contract alone
+  // (certified against the frozen-mtime `cond://` store variant in
+  // CondStoreSpec). Beats are cleaned with their claim (release /
+  // stale retire); each beat write drops the beat two generations
+  // back, so a live holder keeps current+previous on disk — a reader
+  // listing between a delete and the new beat's visibility still
+  // finds one.
+
+  private def hbPrefix(claimName: String) = claimName + ".hb_"
+
+  /** Write liveness beat `n` for `claim` (held under `token`); prune
+    * the beat two generations back. Best-effort: a transient write
+    * failure is skipped (the next beat retries), exactly like the
+    * mtime heartbeat's setTimes.
+    */
+  def writeBeat(fs: FileSystem, claim: Path, token: String, n: Long): Unit =
+    try {
+      val f = new Path(claim.getParent, hbPrefix(claim.getName) + n)
+      val out = fs.create(f, true)
+      try out.write(s"$token\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+      if (n >= 2) {
+        try fs.delete(new Path(claim.getParent, hbPrefix(claim.getName) + (n - 2)), false)
+        catch { case _: java.io.IOException => () }
+      }
+      ()
+    } catch { case _: java.io.IOException => () }
+
+  /** Delete every beat sidecar of `claimName` whose token matches —
+    * the companion of a released or retired claim. Only MATCHING
+    * beats: a new holder may already have claimed the freed path and
+    * written its own beat 0, which a blanket sweep would destroy
+    * (reverting that holder to mtime-only liveness — the frozen-mtime
+    * early-retire hazard the beats exist to close).
+    */
+  def cleanupBeats(fs: FileSystem, dir: Path, claimName: String,
+                   token: String): Unit =
+    try fs.listStatus(dir).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith(hbPrefix(claimName)))
+      .foreach { s =>
+        val matches =
+          try {
+            val in = fs.open(s.getPath)
+            val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            txt.split('\n').headOption.contains(token)
+          } catch { case _: java.io.IOException => false }
+        if (matches) {
+          try fs.delete(s.getPath, false) catch { case _: java.io.IOException => () }
+        }
+      }
+    catch { case _: java.io.IOException => () }
+
+  /** The newest liveness instant of `claim`: max of its mtime and the
+    * newest beat sidecar carrying its current token. `hbName` names
+    * the beat family when the claim file itself has been RENAMED ASIDE
+    * (the stale-retire gate) — beats stay under the original name.
+    * Conservative on failure: a claim whose content cannot be read
+    * right now is judged FRESH (Long.MaxValue) — a torn read means an
+    * active writer or a transient store error, and a janitor must
+    * never retire on either.
+    */
+  def livenessMs(fs: FileSystem, claim: Path,
+                 hbName: Option[String] = None): Long = {
+    val mtime =
+      try fs.getFileStatus(claim).getModificationTime
+      catch { case _: java.io.IOException => return Long.MaxValue }
+    val token =
+      try {
+        val in = fs.open(claim)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case _: java.io.IOException => return Long.MaxValue }
+    val prefix = hbPrefix(hbName.getOrElse(claim.getName))
+    val beats =
+      try fs.listStatus(claim.getParent).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      catch { case _: java.io.IOException => Seq.empty }
+    beats.foldLeft(mtime) { (acc, s) =>
+      val beatMs =
+        try {
+          val in = fs.open(s.getPath)
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          val lines = txt.split('\n')
+          if (lines.length >= 2 && lines(0) == token)
+            scala.util.Try(lines(1).trim.toLong).getOrElse(0L)
+          else 0L
+        } catch { case _: java.io.IOException => 0L }
+      math.max(acc, beatMs)
+    }
+  }
+
   /** A per-scheme conditional create: write `token` to `claim` iff the
     * file does not exist; return true only when THIS caller created
     * and fully wrote it. A strategy that can prove ownership (atomic
@@ -168,8 +271,11 @@ private[graft] object ClaimFile {
     * residue inside the janitor's existing aging sweep
     * ([[LogCompact.vacuum]]). Residual (documented, not closed): if
     * the rename-back itself loses to a third claim of the freed
-    * path, the aside file stays as residue and its owner re-enters
-    * the ordinary lost-claim path — strictly narrower than the
+    * path, the aside file stays as residue and the DISPLACED holder
+    * keeps running unprotected — a body mid-critical-section cannot
+    * be recovered, only surfaced: its lease heartbeat counts the
+    * consecutive missing reads, warns, and stops beating, degrading
+    * the hold to the grace-window trade. Strictly narrower than the
     * read-delete gap this replaces, because the arbiter is now an
     * atomic rename instead of a racy read.
     */
@@ -185,7 +291,10 @@ private[graft] object ClaimFile {
         if (fs.rename(claim, aside)) {
           val in2 = fs.open(aside)
           val got2 = try new String(in2.readAllBytes(), "UTF-8") finally in2.close()
-          if (got2 == token) { fs.delete(aside, false); () }
+          if (got2 == token) {
+            fs.delete(aside, false)
+            cleanupBeats(fs, claim.getParent, claim.getName, token)
+          }
           else if (fs.exists(claim)) {
             // a third claim won the freed path first — renaming back
             // would REPLACE it (POSIX/S3A rename clobbers an existing
@@ -221,6 +330,12 @@ private[graft] object ClaimFile {
       if (!verified && ownedScheme(scheme)) {
         try fs.delete(claim, false) catch { case _: java.io.IOException => () }
       }
+      // beat 0 the moment the claim is verifiably ours: on an
+      // mtime-unfaithful store (frozen/zeroed mtimes) a beat-less fresh
+      // claim would read as instantly stale to a janitor's liveness
+      // check — the creation instant must live in content from the
+      // first moment, not only once a lease heartbeat starts
+      if (verified) writeBeat(fs, claim, token, 0L)
       verified
     }
   }

@@ -366,7 +366,7 @@ object LakeEvolve {
           .map(_.toLong).getOrElse(15L * 60 * 1000)
       val stale =
         try fs.exists(claim) && !fs.exists(target) &&
-          fs.getFileStatus(claim).getModificationTime < cutoff
+          ClaimFile.livenessMs(fs, claim) < cutoff
         catch { case _: java.io.IOException => false }
       stale && LogSync.retireStaleClaim(fs, claim, cutoff) && tryClaim()
     }

@@ -442,6 +442,23 @@ object LogCompact {
           // crash leftover
           case n if n.contains(".reclaim_") =>
             fs.delete(s.getPath, false); ()
+          // orphaned liveness beats (ClaimFile.writeBeat sidecars whose
+          // claim vanished without its release/retire sweep — a crash
+          // between claim delete and beat cleanup). Aged by the
+          // EMBEDDED wall clock, not mtime: on a frozen-mtime store a
+          // LIVE holder's beats could read arbitrarily old by mtime,
+          // and deleting them would revert the holder to the
+          // early-retire hazard the beats close.
+          case n if n.contains(".hb_") =>
+            val beatMs =
+              try {
+                val in = fs.open(s.getPath)
+                val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+                txt.split('\n').drop(1).headOption
+                  .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+                  .getOrElse(s.getModificationTime)
+              } catch { case _: java.io.IOException => Long.MaxValue }
+            if (beatMs <= cutoffMs) { fs.delete(s.getPath, false); () }
           case _ => ()
         }
       }

@@ -122,17 +122,21 @@ object LogSync {
       staging = s"$root/_manifest_swap", versionOf = manifestVersion)
 
   /** The staleness window every claim/lease janitor and heartbeat
-    * reasons from. HONEST SCOPE: staleness is judged by MTIME, so the
-    * whole mechanism (retire re-verify, lease heartbeat via
-    * `fs.setTimes`) assumes an mtime-FAITHFUL filesystem — POSIX and
-    * HDFS, the tested rows. On object stores whose rename is
-    * copy+delete (plain S3A) the retire re-verify reads the COPY's
-    * fresh mtime (a crashed holder's claim is then never judged stale
-    * by the janitor — remove it operationally or via a bucket TTL
-    * rule), and `setTimes` may be a no-op (the heartbeat is inert;
-    * size claimGraceMs past the worst-case hold instead). Stores with
-    * conditional PUT should route claims through a registered
-    * [[ClaimFile]] strategy, which is what the seam exists for.
+    * reasons from. Staleness is judged by the claim's LIVENESS instant
+    * ([[ClaimFile.livenessMs]]): the max of its mtime and the newest
+    * content-embedded beat its holder wrote (beat 0 at claim time,
+    * then every quarter grace window while a lease is held). The
+    * content path makes the mechanism STORE-AGNOSTIC: on an
+    * mtime-unfaithful store (copy-rename refreshes mtime, `setTimes`
+    * no-ops — plain S3A) the beats alone carry the contract — a live
+    * holder keeps beating so it is never reclaimed mid-commit, and a
+    * crashed holder's beats stop so it still ages out on schedule
+    * (certified against the frozen-mtime `cond://` variant in
+    * CondStoreSpec). One residual asymmetry on stores whose mtime
+    * reads FRESH forever (rename = copy): a holder that crashed
+    * between claim create and beat 0 never ages there — the window is
+    * microseconds, and a conditional-PUT [[ClaimFile]] strategy
+    * remains the airtight route for such stores.
     */
   private[sources] def claimGraceMs(spark: SparkSession): Long =
     spark.conf.getOption("graft.lake.claimGraceMs")
@@ -148,18 +152,27 @@ object LogSync {
     * won; everyone else re-enters the ordinary lost-claim path.
     *
     * The winner RE-VERIFIES staleness on the renamed file before
-    * deleting it: between the caller's mtime check and the rename,
+    * deleting it: between the caller's liveness check and the rename,
     * the observed-stale holder can release and a FRESH writer claim
     * the path — the winning rename would then have retired a LIVE
     * claim (the TOCTOU the old delete-based path had). The renamed
-    * file's mtime is authoritative (rename preserves it): still
-    * older than `staleBefore` → genuinely stale, delete and retire;
-    * fresh → rename it straight back and report no-retire, the
-    * caller re-enters the lost-claim path against the live holder.
-    * If the rename-back loses to yet another claim of the freed
-    * path, the aside file stays as `.reclaim_` residue for the
-    * janitor's aging sweep — same residual as [[ClaimFile.release]],
-    * strictly narrower than the unverified retire it replaces.
+    * file's LIVENESS ([[ClaimFile.livenessMs]]: mtime, which rename
+    * preserves on faithful stores, OR the holder's content beats,
+    * which survive the rename by construction — they live beside the
+    * ORIGINAL claim name) is authoritative: still older than
+    * `staleBefore` → genuinely stale, delete (beats included) and
+    * retire; fresh → rename it straight back and report no-retire,
+    * the caller re-enters the lost-claim path against the live
+    * holder. If the rename-back loses to yet another claim of the
+    * freed path, the aside file stays as `.reclaim_` residue for the
+    * janitor's aging sweep and ITS DISPLACED OWNER KEEPS RUNNING
+    * uninterrupted — mid-critical-section there is nothing to
+    * "recover"; its heartbeat notices the missing claim
+    * ([[heartbeatWhileHeld]]'s consecutive-miss rule), surfaces a
+    * warning and stops beating, and the hold degrades to the
+    * documented grace-window trade. Same residual as
+    * [[ClaimFile.release]], strictly narrower than the unverified
+    * retire it replaces.
     */
   private[sources] def retireStaleClaim(fs: org.apache.hadoop.fs.FileSystem,
                                claim: Path, staleBefore: Long): Boolean = {
@@ -170,10 +183,16 @@ object LogSync {
       catch { case _: java.io.IOException => false }
     won && {
       val stillStale =
-        try fs.getFileStatus(retired).getModificationTime < staleBefore
-        catch { case _: java.io.IOException => false }
+        ClaimFile.livenessMs(fs, retired, hbName = Some(claim.getName)) < staleBefore
       if (stillStale) {
+        val staleToken =
+          try {
+            val in = fs.open(retired)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          } catch { case _: java.io.IOException => "" }
         try fs.delete(retired, false) catch { case _: java.io.IOException => () }
+        if (staleToken.nonEmpty)
+          ClaimFile.cleanupBeats(fs, claim.getParent, claim.getName, staleToken)
         true
       } else {
         // a live claim was moved aside — put it back, but NEVER over a
@@ -222,7 +241,7 @@ object LogSync {
       val cutoff = System.currentTimeMillis() - claimGraceMs(spark)
       val stale =
         try fs.exists(claim) && !fs.exists(target) &&
-          fs.getFileStatus(claim).getModificationTime < cutoff
+          ClaimFile.livenessMs(fs, claim) < cutoff
         catch { case _: java.io.IOException => false }
       stale && retireStaleClaim(fs, claim, cutoff) && ClaimFile.tryClaim(fs, claim, token)
     }
@@ -1168,8 +1187,7 @@ object LogSync {
     val claimed = tryClaim() || {
       val cutoff = System.currentTimeMillis() - claimGraceMs(spark)
       val stale =
-        try fs.exists(lease) &&
-          fs.getFileStatus(lease).getModificationTime < cutoff
+        try fs.exists(lease) && ClaimFile.livenessMs(fs, lease) < cutoff
         catch { case _: java.io.IOException => false }
       stale && retireStaleClaim(fs, lease, cutoff) && tryClaim()
     }
@@ -1181,20 +1199,29 @@ object LogSync {
     finally ClaimFile.release(fs, lease, token)
   }
 
-  /** Refresh a held lease's mtime (`fs.setTimes`) every quarter of the
-    * grace window while `body` runs. Staleness is judged by mtime, so
-    * without a heartbeat a LEGITIMATE holder whose leased section
-    * outlives `graft.lake.claimGraceMs` — a slow object store making
-    * the in-lease registry auto-merge swap crawl, a long sync round —
-    * is reclaimed MID-COMMIT by an actively-waiting claimer, reopening
-    * the double-writer window the lease closes. A crashed holder has
-    * no heartbeat thread, so crash residue still ages out on schedule.
-    * Each beat re-reads the token first and stops refreshing the
-    * moment the lease is no longer ours (a holder already reclaimed
-    * past an extreme stall must not extend the RECLAIMER's lease on
-    * its behalf; the benign converse — refreshing a reclaimer's fresh
-    * lease in the read-beat gap — only delays third-party reclaim of
-    * a live holder).
+  /** Refresh a held lease's LIVENESS every quarter of the grace window
+    * while `body` runs: `fs.setTimes` where the store honors it, plus
+    * a content beat ([[ClaimFile.writeBeat]] — a monotone counter and
+    * wall clock in a sidecar the staleness checks read through
+    * [[ClaimFile.livenessMs]]), so the heartbeat holds on
+    * mtime-unfaithful stores too. Without it a LEGITIMATE holder whose
+    * leased section outlives `graft.lake.claimGraceMs` — a slow object
+    * store making the in-lease registry auto-merge swap crawl, a long
+    * sync round — is reclaimed MID-COMMIT by an actively-waiting
+    * claimer, reopening the double-writer window the lease closes. A
+    * crashed holder has no heartbeat thread, so crash residue still
+    * ages out on schedule. Each beat re-reads the token first and
+    * stops refreshing the moment the lease is no longer ours (a
+    * holder already reclaimed past an extreme stall must not extend
+    * the RECLAIMER's lease on its behalf; the benign converse —
+    * refreshing a reclaimer's fresh lease in the read-beat gap — only
+    * delays third-party reclaim of a live holder). A transient read
+    * failure skips one refresh and keeps beating — but THREE
+    * consecutive FILE-MISSING reads are treated as loss: a displaced
+    * holder (claim renamed aside and never restored) must not keep
+    * writing beats that read as liveness for a file no claim check
+    * can see; it logs a warning and degrades to the documented
+    * grace-window trade.
     */
   private def heartbeatWhileHeld[T](fs: org.apache.hadoop.fs.FileSystem,
                                     lease: Path, token: String,
@@ -1203,6 +1230,8 @@ object LogSync {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
       var ours = true
+      var n = 0L // tryClaim wrote beat 0 at claim time
+      var consecutiveMissing = 0
       while (!stop.get() && ours) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => ours = false }
@@ -1214,18 +1243,41 @@ object LogSync {
           // the file — must NOT: one 503 killing the heartbeat for a
           // minutes-long section silently reverts the holder to the
           // mid-commit-reclaim hazard the beat exists to close. Skip
-          // the refresh this round and re-read next beat.
+          // the refresh this round and re-read next beat. MISSING is
+          // tracked separately from other failures: persistently
+          // absent means displaced, not throttled.
           val verdict: Option[Boolean] =
             try {
               val in = fs.open(lease)
               val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              consecutiveMissing = 0
               Some(got == token)
-            } catch { case _: java.io.IOException => None }
+            } catch {
+              case _: java.io.FileNotFoundException =>
+                consecutiveMissing += 1
+                None
+              case _: java.io.IOException => None
+            }
           verdict match {
             case Some(false) => ours = false
             case Some(true) =>
               try fs.setTimes(lease, System.currentTimeMillis(), -1)
               catch { case _: java.io.IOException => () }
+              n += 1
+              ClaimFile.writeBeat(fs, lease, token, n)
+            case None if consecutiveMissing >= 3 =>
+              // displaced: a janitor moved the claim aside and a
+              // rename-back never landed (or a third writer took the
+              // path and was itself released). The work keeps running
+              // — aborting a mid-critical-section body would corrupt
+              // more than the narrowed double-admit window does — but
+              // the beat stops and the displacement is surfaced.
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"graft lease heartbeat: $lease has been missing for " +
+                  s"$consecutiveMissing consecutive beats - this holder " +
+                  "was displaced (claim retired and not restored); its " +
+                  "work continues but is no longer protected by the lease")
+              ours = false
             case None => () // transient — keep the beat alive
           }
         }
@@ -1271,8 +1323,7 @@ object LogSync {
     def claimOnce(): Boolean = ClaimFile.tryClaim(fs, lease, token) || {
       val cutoff = System.currentTimeMillis() - claimGraceMs(spark)
       val stale =
-        try fs.exists(lease) &&
-          fs.getFileStatus(lease).getModificationTime < cutoff
+        try fs.exists(lease) && ClaimFile.livenessMs(fs, lease) < cutoff
         catch { case _: java.io.IOException => false }
       stale && retireStaleClaim(fs, lease, cutoff) && ClaimFile.tryClaim(fs, lease, token)
     }

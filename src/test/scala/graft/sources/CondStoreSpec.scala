@@ -41,7 +41,13 @@ class CondCreateFs extends org.apache.hadoop.fs.FileSystem {
   private def out(p: HPath): HPath = new HPath("cond", null, p.toUri.getPath)
   private def fix(st: FileStatus): FileStatus =
     new FileStatus(st.getLen, st.isDirectory, st.getReplication,
-      st.getBlockSize, st.getModificationTime, out(st.getPath))
+      st.getBlockSize,
+      // frozen-mtime mode simulates a store whose timestamps carry NO
+      // liveness signal (copy-rename object stores): every file reads
+      // epoch-old, and setTimes below no-ops — only content beats can
+      // prove a claim holder alive there
+      if (CondCreateFs.freezeMtime) 0L else st.getModificationTime,
+      out(st.getPath))
   override def open(f: HPath, bufferSize: Int): FSDataInputStream =
     inner.open(in(f), bufferSize)
   override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
@@ -87,8 +93,9 @@ class CondCreateFs extends org.apache.hadoop.fs.FileSystem {
     fix(inner.getFileStatus(in(f)))
   // leases heartbeat (fs.setTimes) and stale-retire judge by mtime —
   // must reach the backing store, not the base class's silent no-op
+  // (except in frozen-mtime mode, where the no-op IS the simulation)
   override def setTimes(f: HPath, mtime: Long, atime: Long): Unit =
-    inner.setTimes(in(f), mtime, atime)
+    if (!CondCreateFs.freezeMtime) inner.setTimes(in(f), mtime, atime)
 }
 
 object CondCreateFs {
@@ -97,6 +104,12 @@ object CondCreateFs {
     * ownership-proving cleanup must handle.
     */
   @volatile var createLatencyMs: Long = 0
+
+  /** Simulate an mtime-unfaithful store: getFileStatus reports epoch
+    * for every file and setTimes is a no-op. Claim staleness and
+    * heartbeats must then ride content beats alone.
+    */
+  @volatile var freezeMtime: Boolean = false
 }
 
 class CondStoreSpec extends graft.SparkSpec {
@@ -148,6 +161,54 @@ class CondStoreSpec extends graft.SparkSpec {
         val in = fs.open(claim)
         val tok = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         assert(tok.startsWith(s"tok-$round-"), s"round $round husk: '$tok'")
+      }
+    }
+  }
+
+  test("frozen mtimes: a live holder's content beats keep its lease; a crashed holder's claim still ages out") {
+    withCondStrategy() {
+      CondCreateFs.freezeMtime = true
+      spark.conf.set("graft.lake.claimGraceMs", "500")
+      spark.conf.set("graft.lake.dmlLeaseWaitMs", "600")
+      try {
+        val local = Files.createTempDirectory("graft_condfz").toString
+        val root = s"cond:$local/lake"
+        val fs = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new Path(root))
+        // (a) LIVE holder, hold 5x the grace: its setTimes heartbeat is
+        // inert (frozen mtimes) so only the content beats prove it
+        // alive — a waiter past the grace must REFUSE, never reclaim
+        @volatile var holderDone = false
+        val holder = Future {
+          LogSync.withDmlLease(spark, root) {
+            Thread.sleep(2500)
+            holderDone = true
+            "committed"
+          }
+        }
+        Thread.sleep(700) // well past claimGraceMs, holder mid-section
+        val e = intercept[RuntimeException] {
+          LogSync.withDmlLease(spark, root)("must not get here")
+        }
+        assert(e.getMessage.contains("DML lease conflict"),
+          s"waiter reclaimed a LIVE frozen-mtime holder: ${e.getMessage}")
+        assert(!holderDone, "the refusal must have landed while the holder ran")
+        assert(Await.result(holder, 60.seconds) == "committed")
+        // the released lease is claimable immediately
+        assert(LogSync.withDmlLease(spark, root)(42) == 42)
+        // (b) CRASHED holder: a claim + beat 0 whose beats then STOP —
+        // after the grace its liveness (beat-0 wall clock; mtime is
+        // frozen at epoch) ages out and a new claimer reclaims it
+        val lease = new Path(s"$root/_dml_lease")
+        assert(ClaimFile.tryClaim(fs, lease, "dead-holder-token"))
+        Thread.sleep(700) // > claimGraceMs; no heartbeat = crashed
+        assert(LogSync.withDmlLease(spark, root)(7) == 7,
+          "a crashed holder's claim must age out by its beat wall clock")
+      } finally {
+        CondCreateFs.freezeMtime = false
+        spark.conf.unset("graft.lake.claimGraceMs")
+        spark.conf.unset("graft.lake.dmlLeaseWaitMs")
       }
     }
   }

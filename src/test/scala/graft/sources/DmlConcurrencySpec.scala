@@ -383,6 +383,14 @@ class DmlConcurrencySpec extends graft.SparkSpec {
     val stale = new org.apache.hadoop.fs.Path(s"$dir/claim_stale")
     assert(ClaimFile.tryClaim(fs, stale, "old"))
     fs.setTimes(stale, System.currentTimeMillis() - 60000, -1)
+    // a GENUINELY stale claim is stale in both liveness signals: age
+    // the creation beat's embedded wall clock along with the mtime
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.startsWith("claim_stale.hb_")).foreach { s =>
+        val o = fs.create(s.getPath, true)
+        try o.write(s"old\n${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+        finally o.close()
+      }
     assert(LogSync.retireStaleClaim(fs, stale, System.currentTimeMillis() - 1000))
     assert(!fs.exists(stale) && residue().isEmpty)
     // the TOCTOU the re-verify closes: the caller observed a stale
