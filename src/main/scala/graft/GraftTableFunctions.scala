@@ -20,6 +20,7 @@ import graft.sources.LogSync
   * {{{
   *   SELECT * FROM graft_lake('<root>')               -- CURRENT snapshot
   *   SELECT * FROM graft_lake_at('<root>', TIMESTAMP '<t>')  -- time travel
+  *   SELECT * FROM graft_lake_lookup('<root>', '<col>', v, ...) -- bloom-routed needle
   *   SELECT * FROM graft_watermark('<root>')          -- (append_hwm, delete_hwm)
   *   SELECT * FROM graft_changes('<root>', TIMESTAMP '<mark>')  -- appends
   *   SELECT * FROM graft_upserts('<root>', TIMESTAMP '<mark>')  -- upsert new values
@@ -145,6 +146,30 @@ object GraftTableFunctions {
         "graft_deletes(root, mark) - rows RETRACTED by genuine delete commits " +
           "after mark, with __delete_kind/__delete_op provenance columns", ""),
       twoArg("graft_deletes")((s, r, ts) => LogSync.deletedRowsSince(s, r, ts))),
+    (FunctionIdentifier("graft_lake_lookup"),
+      new ExpressionInfo("graft", null, "graft_lake_lookup",
+        "graft_lake_lookup(root, column, value, ...) - point lookup routed " +
+          "through the column's bloom sidecar (LakeIndex.on: incremental " +
+          "build, then scan only the files whose bloom might hold a wanted " +
+          "value; unindexed files always survive). Equals " +
+          "graft_lake(root) WHERE column IN (values) row-for-row - the " +
+          "needle path (trace/span/user point lookups) from pure SQL", ""),
+      exprs => {
+        require(exprs.length >= 3, "graft_lake_lookup takes at least 3 " +
+          s"arguments: (root string, column string, value, ...), got ${exprs.length}")
+        val spark = SparkSession.active
+        val root = evalLiteralString(exprs.head, "graft_lake_lookup", "the lake root")
+        val column = evalLiteralString(exprs(1), "graft_lake_lookup", "the indexed column")
+        val values = exprs.drop(2).map(
+          evalLiteralString(_, "graft_lake_lookup", "a lookup value"))
+        // the handle ensures the sidecar covers every registered file
+        // (incremental — a no-op when current) and expands to the
+        // bloom-pruned keep-set read; like every graft TVF the
+        // expansion is analysis-time control-plane, the scan stays the
+        // distributed plan
+        graft.sources.LakeIndex.on(spark, root, column)(values)
+          .queryExecution.logical
+      }),
     (FunctionIdentifier("graft_watermark"),
       new ExpressionInfo("graft", null, "graft_watermark",
         "graft_watermark(root) - one row (append_hwm, delete_hwm): the marks a " +

@@ -169,6 +169,7 @@ object SparkEntry {
     "lake_tail"           -> ((s: SparkSession, d: String) => LakeAnalytics.tail(s, d)),
     "lake_needle"         -> ((s: SparkSession, d: String) => LakeAnalytics.needle(s, d)),
     "lake_span_lookup"    -> ((s: SparkSession, d: String) => LakeAnalytics.spanLookup(s, d)),
+    "lake_sql_lookup"     -> ((s: SparkSession, d: String) => LakeAnalytics.sqlSpanLookup(s, d)),
     "lake_grep"           -> ((s: SparkSession, d: String) => LakeAnalytics.grep(s, d)),
     "lake_dml"            -> (LakeAnalytics.dmlSeverity _),
     "lake_sql_dml"        -> (LakeAnalytics.sqlDmlSeverity _),
@@ -1296,6 +1297,17 @@ object SparkEntry {
     // the generic-column twin of lake_needle: the same chain certified
     // on span_id's own sidecar (LakeIndex.on)
     "lake_span_lookup" ->
+      """SELECT md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id,
+        | substring(md5(CAST(event_id AS VARCHAR)),1,16) AS span_id,
+        | strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        | 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, props AS body
+        |FROM events
+        |WHERE event_id = 5
+        |ORDER BY ts_str, span_id""".stripMargin,
+    // the SQL route to the same sidecar lookup (graft_lake_lookup TVF)
+    // — identical result set, identical oracle shape
+    "lake_sql_lookup" ->
       """SELECT md5(CAST(user_id AS VARCHAR) || '/' || strftime(ts,'%Y-%m-%d')) AS trace_id,
         | substring(md5(CAST(event_id AS VARCHAR)),1,16) AS span_id,
         | strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts_str,

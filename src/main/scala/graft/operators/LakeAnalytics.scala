@@ -553,6 +553,29 @@ object LakeAnalytics {
          |ORDER BY service_name, severity_text""".stripMargin)
   }
 
+  /** [[spanLookup]] from PURE SQL: the `graft_lake_lookup` TVF routes
+    * the point lookup through span_id's bloom sidecar — the
+    * reference's most common interactive query (trace/span/user
+    * needle reads) reachable without the library API. Expands at
+    * analysis time to [[graft.sources.LakeIndex.on]]'s plan, so bloom
+    * file pruning (kept<total, plan-asserted in ExtensionsSpec) and
+    * the MOR-delete/evolution semantics are identical to the Scala
+    * handle; the hash-match against the same events synthesis as
+    * `lake_span_lookup` certifies the SQL route end to end.
+    */
+  def sqlSpanLookup(spark: SparkSession, dir: String,
+                    eventId: Long = 5L): DataFrame = {
+    val root = lakeRoot(spark, dir)
+    graft.GraftTableFunctions.ensureRegistered(spark)
+    val span = md5Hex(eventId.toString).take(16)
+    spark.sql(
+      s"""SELECT trace_id, span_id,
+         | date_format(timestamp, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_str,
+         | service_name, severity_text, body
+         |FROM graft_lake_lookup('$root', 'span_id', '$span')
+         |ORDER BY ts_str, span_id""".stripMargin)
+  }
+
   private val morBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake whose redaction ran MERGE-ON-READ: the same payloads, then

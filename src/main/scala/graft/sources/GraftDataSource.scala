@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.execution.streaming.{Source => StreamingSourceV1}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,9 +35,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * LOUDLY at execution with the fix named, rather than shipping a
   * second, drift-prone reimplementation of the read path behind the
   * DSv2 Scan interface.
+  *
+  * SESSION BINDING (the conventional DSv2 compromise): `TableProvider`
+  * hands the provider no session, so [[inferSchema]]/`asOf` parsing
+  * resolve through `SparkSession.active` — in a multi-session JVM a
+  * read built on one session but EXECUTED on a thread whose active
+  * session is another binds schema inference and the travel zone to
+  * that other session. The resolution rule itself always uses its
+  * INJECTED session, so only the inference/parse step is exposed;
+  * single-session processes (the overwhelming norm) never see it.
+  *
+  * STREAMING ([[StreamSourceProvider]]): `spark.readStream
+  * .format("graft").load(root)` resolves to [[GraftLakeSource]] via
+  * Spark's V1 streaming fallback (the table declares no streaming
+  * capability) — incremental append consumption whose offsets are
+  * manifest `registered_at` positions checkpointed in the engine's
+  * own WAL (exact because sync rounds are atomically visible with
+  * monotone stamps), rewrites invisible; see the source's Scaladoc
+  * for the contract. Like the sink, it needs no extensions.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSourceProvider {
   override def shortName(): String = "graft"
 
   /** `df.write.format("graft").mode("append").save(root)` — the write
@@ -65,37 +84,45 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val root = Option(opts.get("path")).getOrElse(sys.error(
       "graft sink needs a lake root: df.write.format(\"graft\").save(<root>)"))
     val spark = ctx.sparkSession
-    val registered = LogSync.hasManifest(spark, root)
-    mode match {
-      case SaveMode.Overwrite => sys.error(
-        s"graft sink: Overwrite is refused — $root is an append-only lake " +
-          "with row-level DML (LakeDml / DELETE FROM LAKE / MERGE INTO " +
-          "LAKE); append to it, mutate it, or write a fresh root")
-      case SaveMode.ErrorIfExists if registered => sys.error(
-        s"graft sink: $root is already a registered lake (writer mode " +
-          "defaults to ErrorIfExists) — use .mode(\"append\"), or " +
-          "SaveMode.Ignore to no-op")
-      case SaveMode.Ignore if registered => ()
-      case _ =>
-        // the schema contract binds only the arms that WRITE — an
-        // Ignore no-op (or the refusals above) must not demand the
-        // lake schema of a frame it will never touch
-        require(data.columns.contains("timestamp") &&
-          data.columns.contains("service_name"),
-          "the graft sink writes the reference's partitioned log layout " +
-            "and needs `timestamp` and `service_name` columns; " +
-            "project/rename before writing")
-        val layout = Option(opts.get("layout")) match {
-          case Some("daily") => LogWriter.DailyLayout
-          case Some("hourly") | None => LogWriter.HourlyLayout
-          case Some(other) => sys.error(
-            s"graft sink: unknown layout '$other' (hourly | daily)")
-        }
-        val maxRec = Option(opts.get("maxRecordsPerFile")).map(_.toLong)
-          .getOrElse(LogWriter.DefaultMaxRecordsPerFile)
-        LogWriter.write(data, root, maxRec, layout)
-        LogSync.sync(spark, root)
-        ()
+    if (mode == SaveMode.Overwrite) sys.error(
+      s"graft sink: Overwrite is refused — $root is an append-only lake " +
+        "with row-level DML (LakeDml / DELETE FROM LAKE / MERGE INTO " +
+        "LAKE); append to it, mutate it, or write a fresh root")
+    // the manifest probe and the mode arm it picks resolve INSIDE the
+    // sink lease ([[LogSync.withSinkLease]]): a bare check-then-write
+    // let two concurrent ErrorIfExists writers both observe "no
+    // manifest" and both land — with the lease, exactly one wins and
+    // the loser's re-read sees the winner's manifest and refuses (or
+    // no-ops, under Ignore)
+    LogSync.withSinkLease(spark, root) {
+      val registered = LogSync.hasManifest(spark, root)
+      mode match {
+        case SaveMode.ErrorIfExists if registered => sys.error(
+          s"graft sink: $root is already a registered lake (writer mode " +
+            "defaults to ErrorIfExists) — use .mode(\"append\"), or " +
+            "SaveMode.Ignore to no-op")
+        case SaveMode.Ignore if registered => ()
+        case _ =>
+          // the schema contract binds only the arms that WRITE — an
+          // Ignore no-op (or the refusals above) must not demand the
+          // lake schema of a frame it will never touch
+          require(data.columns.contains("timestamp") &&
+            data.columns.contains("service_name"),
+            "the graft sink writes the reference's partitioned log layout " +
+              "and needs `timestamp` and `service_name` columns; " +
+              "project/rename before writing")
+          val layout = Option(opts.get("layout")) match {
+            case Some("daily") => LogWriter.DailyLayout
+            case Some("hourly") | None => LogWriter.HourlyLayout
+            case Some(other) => sys.error(
+              s"graft sink: unknown layout '$other' (hourly | daily)")
+          }
+          val maxRec = Option(opts.get("maxRecordsPerFile")).map(_.toLong)
+            .getOrElse(LogWriter.DefaultMaxRecordsPerFile)
+          LogWriter.write(data, root, maxRec, layout)
+          LogSync.sync(spark, root)
+          ()
+      }
     }
     new BaseRelation {
       override def sqlContext: SQLContext = ctx
@@ -153,6 +180,34 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     GraftLakeTable(rootOf(opts), asOfOf(opts), schema)
+  }
+
+  // ---- streaming read (V1 Source fallback — see class doc) ----------
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val root = rootOf(opts)
+    // unlike the batch read (whose empty-schema probe the write path
+    // needs), a STREAM of an unregistered root can refuse up front —
+    // there is no stream-writer probe to serve
+    require(LogSync.hasManifest(ctx.sparkSession, root),
+      s"graft stream source: no manifest under $root — run sync (or write " +
+        "through the graft sink) first")
+    ("graft", LogSync.table(ctx.sparkSession, root).schema)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): StreamingSourceV1 = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val root = rootOf(opts)
+    val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
+      .getOrElse(10000)
+    new GraftLakeSource(ctx.sparkSession, root, metadataPath, maxFiles)
   }
 }
 

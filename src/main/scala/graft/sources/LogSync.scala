@@ -1313,9 +1313,19 @@ object LogSync {
     * `graft.lake.claimGraceMs` through the [[retireStaleClaim]]
     * rename gate.
     */
-  private[sources] def withDmlLease[T](spark: SparkSession, root: String)(body: => T): T = {
+  private[sources] def withDmlLease[T](spark: SparkSession, root: String)(body: => T): T =
+    withWaitingLease(spark, root, "_dml_lease", "DML")(body)
+
+  /** The shared WAITED lease shape behind [[withDmlLease]] and
+    * [[withSinkLease]]: claim with bounded spin-wait (concurrent
+    * holders are legitimate independent work — unlike the sync lease's
+    * loud refusal), liveness-checked stale reclaim, heartbeat while
+    * held, token-checked release.
+    */
+  private def withWaitingLease[T](spark: SparkSession, root: String,
+                                  leaseName: String, what: String)(body: => T): T = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lease = new Path(s"$root/_dml_lease")
+    val lease = new Path(s"$root/$leaseName")
     val token = java.util.UUID.randomUUID().toString
     val waitMs = spark.conf.getOption("graft.lake.dmlLeaseWaitMs")
       .map(_.toLong).getOrElse(120L * 1000)
@@ -1332,19 +1342,39 @@ object LogSync {
       Thread.sleep(50)
       claimed = claimOnce()
     }
-    if (!claimed) sys.error(s"DML lease conflict under $root: another " +
-      s"commit holds $lease past graft.lake.dmlLeaseWaitMs — the lease " +
-      "covers only control-plane commit sections, so a wait this long " +
-      "means a crashed holder inside the grace window or a severely " +
-      "stalled writer; retry, or lower graft.lake.claimGraceMs if the " +
-      "holder is known dead")
+    if (!claimed) sys.error(s"$what lease conflict under $root: another " +
+      s"writer holds $lease past graft.lake.dmlLeaseWaitMs; retry, or " +
+      "lower graft.lake.claimGraceMs if the holder is known dead")
     // token-checked: a holder that stalled past the grace window and
     // was reclaimed must not delete the reclaimer's live lease; the
     // heartbeat keeps a LIVE long-running holder (e.g. the in-lease
     // delete-registry auto-merge on a slow store) from being judged
-    // stale by mtime and reclaimed mid-commit
+    // stale and reclaimed mid-commit
     try heartbeatWhileHeld(fs, lease, token, claimGraceMs(spark))(body)
     finally ClaimFile.release(fs, lease, token)
+  }
+
+  /** Serialization of the DSv2 SINK's check-mode-then-write round
+    * ([[GraftDataSource.createRelation]]): without it two concurrent
+    * `ErrorIfExists` writers both observe "no manifest" and both land
+    * (the mode contract violated under a race), two `Ignore` writers
+    * both write (duplicated batch), and two appends share a
+    * FileOutputCommitter `_temporary` under the root. Distinct from
+    * the sync lease (which [[sync]] itself takes INSIDE this one —
+    * lease order sink → sync → dml, never reversed) and deliberately
+    * WAITED like DML: concurrent sink writes are legitimate work that
+    * serializes, and the loser re-reads the manifest state so its mode
+    * arm decides against the winner's outcome. Held across the data
+    * write by design — mode exclusivity IS the point — so size
+    * `graft.lake.dmlLeaseWaitMs` to the expected batch write time
+    * when concurrent sink writers are the norm.
+    */
+  private[sources] def withSinkLease[T](spark: SparkSession, root: String)(body: => T): T = {
+    // a first-ever write targets a root that does not exist yet — the
+    // lease file needs its parent before any claim can land
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    withWaitingLease(spark, root, "_sink_lease", "sink")(body)
   }
 
   /** Allocate the next commit sequence AND reserve it in ONE

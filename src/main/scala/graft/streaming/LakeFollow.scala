@@ -184,6 +184,7 @@ object LakeFollow {
     */
   def commit(spark: SparkSession, root: String, marksDir: String, inc: Increment): Unit = {
     import spark.implicits._
+    val nextVersion = inc.nextVersion
     val fs = fsOf(spark, marksDir)
     val (explicitPaths, wm) = consumedStore(spark, marksDir)
     val nextAll = explicitPaths.union(inc.paths.toDF("path")).distinct()
@@ -218,9 +219,9 @@ object LakeFollow {
     val staging = new Path(s"$marksDir/_consumed_swap")
     fs.delete(staging, true)
     store.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    require(fs.rename(staging, new Path(s"$marksDir/_consumed_v${inc.nextVersion}")),
+    require(fs.rename(staging, new Path(s"$marksDir/_consumed_v$nextVersion")),
       s"consumed-set swap rename failed under $marksDir")
-    (1 until inc.nextVersion).foreach { old =>
+    (1 until nextVersion).foreach { old =>
       try fs.delete(new Path(s"$marksDir/_consumed_v$old"), true)
       catch { case _: java.io.IOException => () } // next commit retries
     }

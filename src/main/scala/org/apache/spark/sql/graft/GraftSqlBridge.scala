@@ -18,4 +18,21 @@ object GraftSqlBridge {
   /** Column → Catalyst Expression (Spark 4 removed Column.expr). */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Re-flag a BATCH DataFrame as a STREAMING one for a V1
+    * `Source.getBatch` return value: the microbatch engine asserts
+    * `isStreaming` on the batch it splices, and the standard
+    * lake-source technique (what Delta's source does) is to wrap the
+    * batch plan's RDD in a `LogicalRDD(isStreaming = true)` — the
+    * library's whole read plan (pruned scan, MOR deletes, evolution
+    * fold) executes unchanged inside the RDD, so the streaming facade
+    * reuses ONE read path instead of reimplementing it.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val qe = df.queryExecution
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+  }
 }

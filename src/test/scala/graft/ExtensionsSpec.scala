@@ -487,6 +487,193 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.getMessage.contains("service_name"), bad.getMessage)
   }
 
+  test("facade write: two concurrent ErrorIfExists writers — exactly one wins, the loser errors, the lake is the winner's batch") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the check-then-write race the sink lease closes: both writers
+    // observe "no manifest" before either lands; unleased, BOTH would
+    // write and the mode contract is violated silently
+    val root = Files.createTempDirectory("graft_sinkrace").toString + "/lake"
+    def batch(n: Int, skip: Int) = graft.sources.Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"), col("props").as("body"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt(n: Int, skip: Int): Future[Option[String]] = Future {
+      gate.await()
+      try { batch(n, skip).write.format("graft").mode("errorifexists").save(root); None }
+      catch { case e: Exception => Some(String.valueOf(e.getMessage)) }
+    }
+    val (a, b) = (attempt(17, 0), attempt(23, 17))
+    gate.countDown()
+    val results = Seq(Await.result(a, 300.seconds), Await.result(b, 300.seconds))
+    val failures = results.flatten
+    assert(failures.size == 1,
+      s"exactly one ErrorIfExists writer must lose, got ${failures.size}: $failures")
+    assert(failures.head.contains("already a registered lake"), failures.head)
+    // the lake equals the WINNER's batch — 17 or 23 rows, never 40
+    val n = graft.sources.LogSync.table(spark, root).count()
+    assert(n == 17 || n == 23, s"the lake must hold exactly one batch, got $n")
+    // two concurrent IGNORE writers on a fresh root: one writes, the
+    // other no-ops against the winner's manifest — never a double batch
+    val root2 = Files.createTempDirectory("graft_sinkrace2").toString + "/lake"
+    val gate2 = new java.util.concurrent.CountDownLatch(1)
+    def ignoreAttempt(n: Int, skip: Int) = Future {
+      gate2.await()
+      batch(n, skip).write.format("graft").mode("ignore").save(root2)
+    }
+    val (c, d) = (ignoreAttempt(11, 0), ignoreAttempt(13, 11))
+    gate2.countDown()
+    Await.result(c, 300.seconds); Await.result(d, 300.seconds)
+    val n2 = graft.sources.LogSync.table(spark, root2).count()
+    assert(n2 == 11 || n2 == 13, s"Ignore raced to a double batch: $n2")
+  }
+
+  test("graft_lake_lookup: the SQL needle routes through the bloom sidecar (kept<total) and equals graft_lake WHERE IN row-for-row") {
+    GraftTableFunctions.ensureRegistered(spark)
+    val root = graft.operators.LakeAnalytics.lakeRoot(spark, sf)
+    // two spans from different files, one absent value (the absent one
+    // must prune hardest and change nothing in the result)
+    val spans = graft.sources.LogSync.table(spark, root)
+      .select("span_id").orderBy("span_id").limit(2)
+      .collect().map(_.getString(0)).toSeq :+ "deadbeefdeadbeef"
+    val inList = spans.map(s => s"'$s'").mkString(", ")
+    val viaLookup = spark.sql(
+      s"""SELECT span_id, trace_id, body FROM graft_lake_lookup('$root', 'span_id', $inList)
+         |ORDER BY span_id""".stripMargin).collect().toSeq
+    val viaScan = spark.sql(
+      s"""SELECT span_id, trace_id, body FROM graft_lake('$root')
+         |WHERE span_id IN ($inList) ORDER BY span_id""".stripMargin).collect().toSeq
+    assert(viaLookup.nonEmpty && viaLookup == viaScan,
+      s"lookup(${viaLookup.size}) != scan(${viaScan.size})")
+    // the sidecar the TVF built prunes: the lookup scans strictly fewer
+    // files than the lake registers (the shared keep-predicate
+    // observable — the same plan the TVF expanded)
+    val (kept, total) = graft.sources.LakeIndex.pruneCounts(
+      spark, root, "span_id", spans)
+    assert(kept < total && kept >= 1, s"no bloom pruning: kept=$kept total=$total")
+    // literal-argument guard, same contract as every graft TVF
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lake_lookup('$root', 'span_id')"))
+    assert(e.getMessage.contains("at least 3"), e.getMessage)
+  }
+
+  test("streaming facade: readStream.format(\"graft\") consumes appends exactly-once across restarts; rewrites invisible") {
+    val base = Files.createTempDirectory("graft_streamfacade").toString
+    val root = s"$base/lake"
+    val ckpt = s"$base/ckpt"
+    def batch(n: Int, skip: Int) = graft.sources.Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"),
+        concat(lit("svc-"), col("user_id") % 3).as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    batch(30, 0).coalesce(2).write.mode("append").parquet(root)
+    graft.sources.LogSync.sync(spark, root)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    // each run is a FRESH query instance on the SAME checkpoint — i.e.
+    // a restart; offsets live in the checkpoint's graft_marks store
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= df.select("span_id").collect().map(_.getString(0))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(seen.size == 30 && seen.toSet.size == 30,
+      s"first run must emit exactly the first batch: ${seen.size}")
+    // append a second batch AND compact: the rewrite restates batch-1
+    // rows in fresh files — a registered-file diff without the
+    // op="rewrite" rule would re-emit all of them
+    batch(25, 30).coalesce(2).write.mode("append").parquet(root)
+    graft.sources.LogSync.sync(spark, root)
+    graft.sources.LogCompact.compact(spark, root)
+    runOnce()
+    assert(seen.size == 55 && seen.toSet.size == 55,
+      s"restart must emit ONLY the new batch (rewrites invisible): ${seen.size}")
+    // idle restart: nothing new, nothing re-emitted
+    runOnce()
+    assert(seen.size == 55, s"an idle restart re-emitted rows: ${seen.size}")
+    // the stream refuses an unregistered root LOUDLY at load
+    val e = intercept[Exception](
+      spark.readStream.format("graft").load(s"$base/absent"))
+    assert(e.getMessage.contains("sync"), e.getMessage)
+  }
+
+  test("streaming facade: offsets are manifest positions — replay is deterministic past newer syncs, chunking bounds batches") {
+    val base = Files.createTempDirectory("graft_streamreplay").toString
+    val root = s"$base/lake"
+    val meta = s"$base/meta"
+    def batch(n: Int, skip: Int) = graft.sources.Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    // getBatch returns a STREAMING-flagged LogicalRDD (the engine
+    // requires the flag and refuses direct actions on it); the spec
+    // unwraps it back to a batch frame over the same RDD
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val l = df.queryExecution.logical
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+      val plan = org.apache.spark.sql.execution.LogicalRDD(l.output, l.rdd)(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, plan)
+        .select("span_id").collect().map(_.getString(0)).toSet
+    }
+    batch(12, 0).coalesce(1).write.mode("append").parquet(root)
+    graft.sources.LogSync.sync(spark, root)
+    val first = graft.sources.LogSync.table(spark, root)
+      .select("span_id").collect().map(_.getString(0)).toSet
+    val s1 = new graft.sources.GraftLakeSource(spark, root, meta, 10000)
+    val off1 = s1.getOffset.get
+    // CRASH here: s1 is dropped, and the lake moves on — the offered
+    // offset must keep naming EXACTLY the first round's rows
+    batch(9, 12).coalesce(1).write.mode("append").parquet(root)
+    graft.sources.LogSync.sync(spark, root)
+    val s2 = new graft.sources.GraftLakeSource(spark, root, meta, 10000)
+    assert(ids(s2.getBatch(None, off1)) == first,
+      "the replayed window must exclude the newer sync")
+    // replay is idempotent by construction: the window's manifest rows
+    // are immutable, so any number of replays return the same batch
+    assert(ids(s2.getBatch(None, off1)) == first)
+    // the remainder surfaces on the next offset, exactly once
+    val off2 = s2.getOffset.get
+    assert(off2.json.toLong > off1.json.toLong)
+    assert(ids(s2.getBatch(Some(off1), off2)) ==
+      graft.sources.LogSync.table(spark, root)
+        .select("span_id").collect().map(_.getString(0)).toSet -- first)
+    // drained: the cursor re-offers itself (never None — a pre-WAL
+    // crash may leave the engine behind it)
+    assert(s2.getOffset.map(_.json) == Some(off2.json))
+    // chunking: three 1-file rounds drain one offset per trigger under
+    // maxFilesPerTrigger = 1, whole rounds at a time
+    val root2 = s"$base/lake2"
+    (0 until 3).foreach { i =>
+      batch(4, 21 + i * 4).coalesce(1).write.mode("append").parquet(root2)
+      assert(graft.sources.LogSync.sync(spark, root2) == 1)
+    }
+    val s3 = new graft.sources.GraftLakeSource(spark, root2, s"$base/meta2", 1)
+    val offA = s3.getOffset.get
+    val offB = s3.getOffset.get
+    val offC = s3.getOffset.get
+    assert(offA.json.toLong < offB.json.toLong && offB.json.toLong < offC.json.toLong)
+    assert(ids(s3.getBatch(None, offA)).size == 4)
+    assert(ids(s3.getBatch(Some(offA), offB)).size == 4)
+    assert(ids(s3.getBatch(Some(offB), offC)).size == 4)
+    assert(ids(s3.getBatch(None, offC)).size == 12)
+  }
+
   test("graft_lake prunes partitions through the TVF (and ensureRegistered serves extension-less sessions)") {
     // the shared suite session was built WITHOUT GraftExtensions — the
     // programmatic registration path (what Verify/Bench and notebook
