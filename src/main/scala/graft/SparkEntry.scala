@@ -101,6 +101,7 @@ object SparkEntry {
     "lake_evolve_layout"  -> (LakeAnalytics.evolveLayoutSeverity _),
     "lake_travel_schema"  -> (LakeAnalytics.travelSchemaSeverity _),
     "lake_spec_evolve"    -> (LakeAnalytics.specEvolveSeverity _),
+    "lake_native_specs"   -> (LakeAnalytics.specEvolveNativeSeverity _),
     "lake_retention"      -> (LakeAnalytics.retentionSeverity _),
     "lake_iceberg_mor"    -> (LakeAnalytics.icebergMorRegions _),
     "lake_iceberg_rest"   -> (LakeAnalytics.icebergRestSeverity _),
@@ -1221,6 +1222,24 @@ object SparkEntry {
     // dirs for the former and the data column for the latter, read
     // through one two-spec chain
     "lake_spec_evolve" ->
+      """WITH win AS (
+        |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, event_type
+        |  FROM events
+        |  WHERE user_id % 10 = 0 AND EXTRACT(year FROM ts) = 2024
+        |    AND EXTRACT(month FROM ts) = 1
+        |    AND EXTRACT(day FROM ts) BETWEEN 10 AND 14)
+        |SELECT service_name, hour, severity_text, n FROM (
+        |  SELECT service_name, hour, event_type AS severity_text,
+        |    count(*) AS n
+        |  FROM win GROUP BY 1,2,3
+        |  UNION ALL
+        |  SELECT service_name, hour, 'daily', count(*)
+        |  FROM win GROUP BY 1,2,3
+        |) ORDER BY service_name, hour, severity_text""".stripMargin,
+    // the NATIVE multi-spec read of the same layout-flipped fixture —
+    // identical truth, no export detour
+    "lake_native_specs" ->
       """WITH win AS (
         |  SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, event_type

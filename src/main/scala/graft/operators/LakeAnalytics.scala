@@ -929,6 +929,25 @@ object LakeAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("service_name"), col("hour"), col("severity_text"))
 
+  /** `lake_native_specs`: the SAME severity-by-hour aggregate as
+    * [[specEvolveSeverity]] but through the NATIVE read path
+    * ([[graft.sources.LogSync.table]]) — no export detour. The mixed
+    * root defeats Spark's own directory discovery, so the read
+    * re-plans through the per-generation multi-spec scan (one glob-
+    * anchored scan per directory-key generation, unioned by name):
+    * `hour` comes from the partition DIRECTORY for the hourly
+    * generation and from the DATA column for the daily one, and the
+    * hash-match against the identical oracle as `lake_spec_evolve`
+    * certifies the native union equals the exported chain's
+    * per-manifest spec resolution row-for-row.
+    */
+  def specEvolveNativeSeverity(spark: SparkSession, dir: String): DataFrame =
+    LogSync.table(spark, specEvolveRoot(spark, dir))
+      .groupBy(col("service_name"), col("hour").cast("int").as("hour"),
+        col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("hour"), col("severity_text"))
+
   private val retentionBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake aged past its retention policy and expired

@@ -22,9 +22,13 @@ import org.apache.spark.sql.types._
   *
   * What is exported, and the deliberate simplifications (documented,
   * spec-legal):
-  *  - One snapshot per export: the full ACTIVE file set as one
-  *    `append` snapshot (the reference's insert-with-skip-duplicates
-  *    sync also re-states the full table each round). Each export
+  *  - INCREMENTAL snapshots: each export writes DELTA manifests for
+  *    what changed since the previous export (new data files, new
+  *    delete files, removed-file restatements) and chains the new
+  *    snapshot to its parent (`parent-snapshot-id` + carried
+  *    manifests), retaining snapshot history — NOT a full restatement
+  *    per round (the first export of a root is the one genuine full
+  *    `append`; see the incremental path at [[export]]). Each export
   *    writes the next `v<N>.metadata.json` and bumps
   *    `version-hint.text`; prior metadata versions stay on disk
   *    (Iceberg's own metadata-versioning behavior).

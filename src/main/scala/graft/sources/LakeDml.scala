@@ -67,19 +67,32 @@ object LakeDml {
     // identities materialize first, the fold runs before the MOR
     // anti-joins — mirror of [[LogSync]]'s keepOnly ordering
     val evo = graft.sources.LakeEvolve.state(spark, root)
-    val raw = (evo match {
-      case Some(st) => spark.read.option("basePath", root)
-        .schema(graft.sources.LakeEvolve.requestSchema(spark, root, st))
-        .parquet(root)
-      case None => spark.read.option("basePath", root).parquet(root)
-    }).withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-    val withMeta =
-      if (!withPos) raw
-      else raw
-        .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
-          "^file:/(?!/)", "file:///"))
-        .withColumn("__dpos", col("_metadata.row_index"))
     val entries = LogSync.deleteEntries(spark, root)
+    // the scan shares [[LogSync.scanRoot]]'s layout-flip fallback:
+    // DML on a multi-generation root resolves each generation under
+    // its own directory shape, `_metadata` identities (and the
+    // position-delete identity pair) materialized per generation
+    val withMeta = LogSync.scanRoot(spark, root,
+      reader = p => evo match {
+        case Some(st) => spark.read.option("basePath", root)
+          .schema(graft.sources.LakeEvolve.requestSchema(spark, root, st))
+          .parquet(p)
+        case None => spark.read.option("basePath", root).parquet(p)
+      },
+      materialize = df => {
+        val raw = df.withColumn("__src",
+          LogSync.normPath(col("_metadata.file_path")))
+        val m =
+          if (!withPos) raw
+          else raw
+            .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+              "^file:/(?!/)", "file:///"))
+            .withColumn("__dpos", col("_metadata.row_index"))
+        if (evo.isEmpty && entries.exists(!_.isEq))
+          m.withColumn("__pos", col("_metadata.row_index"))
+        else m
+      },
+      evolved = evo.isDefined)
     val posReady = evo match {
       case Some(st) =>
         val m = if (entries.exists(!_.isEq))

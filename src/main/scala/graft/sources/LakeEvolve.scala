@@ -401,7 +401,10 @@ object LakeEvolve {
           s"${baseVersion + 1} already exists or the rename failed — " +
           "another writer won; re-plan")
       }
-    } finally { fs.delete(claim, false); () }
+    // token-checked release (not a bare delete): it never removes a
+    // reclaimer's live claim after an extreme stall, and it sweeps the
+    // claim's liveness beats with it
+    } finally ClaimFile.release(fs, claim, token)
     val old = new Path(s"$root/_schema_log_v$baseVersion")
     if (fs.exists(old)) { fs.delete(old, false); () }
   }

@@ -1079,6 +1079,18 @@ object LogSync {
     */
   private[sources] def statsFor(spark: SparkSession, root: String,
                                 paths: Seq[String]): DataFrame = {
+    // ONE round can list files from TWO layout generations (the round
+    // that first syncs after a layout flip, or a backfill round over a
+    // flipped tree) — an explicit-path read with basePath would die in
+    // partition discovery exactly like the root scan. Same answer as
+    // [[scanRoot]]: group the round's paths by directory-key signature
+    // (the list is already driver-resident and ingest-bounded) and
+    // stat each generation's group under its own consistent shape.
+    val bySig = paths.groupBy(p =>
+      p.split('/').filter(_.contains('=')).map(_.split('=')(0)).toSeq)
+    if (bySig.size > 1)
+      return bySig.values.map(group => statsFor(spark, root, group.toSeq))
+        .reduce(_ unionByName _)
     import spark.implicits._
     // the stat axes bind the FIELD originally named timestamp /
     // service_name — after a rename the round's files carry the new
@@ -1562,6 +1574,74 @@ object LogSync {
     bounded.select(normPath(col("path")).as("__registered_path"))
   }
 
+  /** The distinct directory-key signatures (ordered `k` names of the
+    * `k=v` path segments) across EVERY manifest row, tombstones
+    * included — time-travel and branch reads keep serving replaced
+    * files until vacuum, so a generation is part of the scan as long
+    * as any registered path still lives in it. Computed distributed
+    * over the manifest; the collect is one row per GENERATION (a lake
+    * flips layout a handful of times in its life, not per file).
+    */
+  private def layoutSignatures(spark: SparkSession, root: String): Seq[Seq[String]] = {
+    // a root path that itself contains `k=v` segments would contribute
+    // phantom keys to every signature (and double into the glob) —
+    // drop the root's own segments from each
+    val rootKeys = root.split('/').count(_.contains('='))
+    manifestDf(spark, root)
+      .select(expr("transform(filter(split(path, '/'), s -> s like '%=%'), " +
+        "s -> split_part(s, '=', 1))").as("sig"))
+      .distinct().collect()
+      .map(_.getSeq[String](0).drop(rootKeys).toSeq).toSeq.distinct
+  }
+
+  /** The conflict-tolerant root scan shared by [[keepOnly]] and
+    * [[LakeDml]]'s DML scan: `reader(root)` with the caller's
+    * `_metadata`-dependent columns applied by `materialize`, falling
+    * back to the NATIVE MULTI-GENERATION scan when Spark's own
+    * directory discovery rejects a LAYOUT-FLIPPED root (hourly dirs
+    * beside daily dirs, or two key spellings at one depth) — no
+    * exported-Iceberg-chain detour: one `reader(glob)` PER
+    * directory-key generation, each glob matching exactly its `k=*`
+    * segments (so discovery inside each scan sees one consistent
+    * shape and yields that generation's partition columns),
+    * `materialize` applied per scan (metadata columns do not survive
+    * a union), unioned by name with missing columns null — a column
+    * that is a partition DIR in one generation and a DATA column in
+    * another (DailyLayout's `hour`) coalesces into one output column
+    * by name. Everything downstream (keep-set semi-join, MOR deletes,
+    * zone-map pruning) rides on top unchanged, and per-generation
+    * partition pruning still reaches each scan. Once maintenance
+    * rewrites the lake into one layout ([[LogCompact.compact]] keeps
+    * the NEWEST generation's layout) and vacuum reclaims the old
+    * generation's files, reads take the ordinary single-scan path
+    * again (the fallback engages only when discovery rejects the
+    * mixed tree).
+    */
+  private[sources] def scanRoot(spark: SparkSession, root: String,
+                                reader: String => DataFrame,
+                                materialize: DataFrame => DataFrame,
+                                evolved: Boolean): DataFrame =
+    try materialize(reader(root))
+    catch {
+      case e: Throwable
+        if String.valueOf(e.getMessage).contains("Conflicting directory") ||
+          String.valueOf(e.getMessage).contains("Conflicting partition column names") =>
+        if (evolved) throw new IllegalStateException(
+          s"lake root $root mixes partition-directory generations AND " +
+            "carries a schema log — the native scan serves layout " +
+            "generations only on never-evolved lakes; read this one " +
+            "through the exported chain (IcebergExport.export + " +
+            "readTable resolve each generation under its recorded spec " +
+            "and schema)", e)
+        val sigs = layoutSignatures(spark, root)
+        sigs.sortBy(s => (s.length, s.mkString("/"))).map { keys =>
+          val glob =
+            if (keys.isEmpty) s"$root/*.parquet"
+            else keys.map(k => s"$k=*").mkString(s"$root/", "/", "/*.parquet")
+          materialize(reader(glob))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
   /** The shared read shape: scan the lake ROOT (partition
     * discovery/pruning intact; underscore dirs skipped by the source)
     * with `paths` — a one-column `__registered_path` keep-set —
@@ -1590,43 +1670,25 @@ object LogSync {
     // — snapshot-schema semantics: a pre-drop anchor still surfaces
     // the column, a pre-rename anchor the old name).
     val evo = LakeEvolve.stateAt(spark, root, evoAsOf)
-    val scan = try {
-      evo match {
+    // `_metadata` identities materialize per scan relation (they do
+    // not survive the multi-generation union); the row ordinal only
+    // when a position delete will consume it — it must never leak
+    // into the output of a lake with no deletes
+    val scan = scanRoot(spark, root,
+      reader = p => evo match {
         case Some(st) => spark.read.option("basePath", root)
-          .schema(LakeEvolve.requestSchema(spark, root, st)).parquet(root)
+          .schema(LakeEvolve.requestSchema(spark, root, st)).parquet(p)
         case None => spark.read.option("basePath", root)
-          .option("mergeSchema", mergeSchema.toString).parquet(root)
-      }
-    } catch {
-      // a LAYOUT FLIP leaves files at conflicting directory depths —
-      // Spark's partition discovery rejects the mix with an assertion
-      // whose message no lake operator would map back to a graft
-      // action. Name the failure and the supported read path.
-      case e: Throwable
-        if String.valueOf(e.getMessage).contains("Conflicting directory") =>
-        throw new IllegalStateException(
-          s"lake root $root mixes partition-directory depths (a layout " +
-            "flip left two generations in place) — the native root scan " +
-            "cannot serve it; read through the exported chain instead " +
-            "(IcebergExport.export + readTable resolve every generation " +
-            "via its own partition spec)", e)
-      // same depth but DIFFERENT key names (two writers disagreeing on
-      // a dir key — classically, one emitting a layout-renamed
-      // column's LOGICAL name: `service=` dirs minted beside
-      // `service_name=`). LogWriter/DML/compaction all rename back to
-      // the physical key, so this is a foreign writer; say what to fix.
-      case e: Throwable
-        if String.valueOf(e.getMessage).contains("Conflicting partition column names") =>
-        throw new IllegalStateException(
-          s"lake root $root mixes partition KEY NAMES at one depth — a " +
-            "writer emitted a different directory key than the lake's " +
-            "physical layout (after a layout-column rename the tree keeps " +
-            "its ORIGINAL key: write through LogWriter/DML, which resolve " +
-            "the rename back to the physical key, or rename the foreign " +
-            "dirs). The native root scan cannot serve the mix.", e)
-    }
+          .option("mergeSchema", mergeSchema.toString).parquet(p)
+      },
+      materialize = df => {
+        val s = df.withColumn("__src", normPath(col("_metadata.file_path")))
+        if (evo.isEmpty && deletes.exists(!_.isEq))
+          s.withColumn("__pos", col("_metadata.row_index"))
+        else s
+      },
+      evolved = evo.isDefined)
     val kept = scan
-      .withColumn("__src", normPath(col("_metadata.file_path")))
       .join(sizedKeepSet(spark, root, paths),
         col("__src") === col("__registered_path"), "left_semi")
     // the alias fold runs BEFORE the delete anti-joins: an equality

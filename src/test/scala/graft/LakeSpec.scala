@@ -1809,4 +1809,75 @@ class LakeSpec extends SparkSpec {
     assert(after == before, "the winning swap must carry every registry row")
     assert(LogSync.table(spark, root).count() == 40)
   }
+
+  test("native multi-spec read: a layout-flipped root serves through LogSync.table, equal to the exported chain") {
+    // the shared two-generation fixture (hourly dirs + daily dirs):
+    // Spark's own discovery rejects the mixed tree, so this read can
+    // only succeed through the per-generation multi-spec scan
+    val root = LakeAnalytics.specEvolveRoot(spark, sf)
+    val native = LakeAnalytics.specEvolveNativeSeverity(spark, sf).collect().toSeq
+    val chain = LakeAnalytics.specEvolveSeverity(spark, sf).collect().toSeq
+    assert(native.nonEmpty && native == chain,
+      s"native(${native.size}) != chain(${chain.size})")
+    // pruning still reaches each generation's scan: a service filter
+    // shows up as a PartitionFilter on the unioned read
+    val plan = formattedPlan(LogSync.table(spark, root)
+      .filter(col("service_name") === "svc-0"))
+    assert(plan.linesIterator.exists(l =>
+      l.trim.startsWith("PartitionFilters:") && l.contains("service_name")),
+      s"partition filters must reach the per-generation scans:\n$plan")
+  }
+
+  test("native multi-spec read: MOR deletes and time travel ride the per-generation union") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_multispec").toString
+    def batch(n: Int, skip: Int) = Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    LogWriter.write(batch(20, 0), root, layout = LogWriter.HourlyLayout)
+    LogSync.sync(spark, root)
+    val preFlip = new java.sql.Timestamp(System.currentTimeMillis())
+    LogWriter.write(batch(15, 20), root, layout = LogWriter.DailyLayout)
+    LogSync.sync(spark, root)
+    assert(LogSync.table(spark, root).count() == 35)
+    // a position delete lands on a row of the HOURLY generation; the
+    // anti-join must resolve per-generation row ordinals through the
+    // union (the _metadata identities materialize per scan)
+    val stats = graft.sources.LakeDml.deleteMor(spark, root, col("span_id") === "e3")
+    assert(stats.rowsChanged == 1)
+    assert(LogSync.table(spark, root).count() == 34)
+    assert(LogSync.table(spark, root).filter(col("span_id") === "e3").count() == 0)
+    // an equality delete on the DAILY generation applies too
+    graft.sources.LakeDml.deleteEq(spark, root, Seq("e25").toDF("span_id"))
+    assert(LogSync.table(spark, root).count() == 33)
+    // time travel to the pre-flip instant reads the hourly generation
+    // alone, deletes not yet applied
+    assert(LogSync.tableAsOf(spark, root, preFlip).count() == 20)
+  }
+
+  test("ONE sync round spanning two layout generations registers with per-generation stats") {
+    val root = Files.createTempDirectory("graft_mixedround").toString
+    def batch(n: Int, skip: Int) = Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"), lit("svc").as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    // BOTH generations land before the first sync — the round's
+    // fresh-file list spans two directory shapes, which used to die in
+    // statsFor's explicit-path partition discovery
+    LogWriter.write(batch(10, 0), root, layout = LogWriter.HourlyLayout)
+    LogWriter.write(batch(10, 10), root, layout = LogWriter.DailyLayout)
+    assert(LogSync.sync(spark, root) > 0)
+    assert(LogSync.table(spark, root).count() == 20)
+    // zone-map stats computed for BOTH generations (the svc axis is a
+    // partition DIR for hourly files, a dir for daily too — and the
+    // time axis a data column in each)
+    assert(LogSync.manifest(spark, root)
+      .filter(col("min_ts").isNull || col("min_svc").isNull).count() == 0,
+      "every registered file must carry zone-map stats")
+  }
 }
