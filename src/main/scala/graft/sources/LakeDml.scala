@@ -287,7 +287,18 @@ object LakeDml {
 
     // rewritten files are TOMBSTONED, not forgotten — they stay on disk
     // until vacuum, and a forgotten path would be re-registered (rows
-    // resurrected) by the next sync round
+    // resurrected) by the next sync round.
+    // The commit's registered_at stamps STRICTLY ABOVE the base
+    // manifest's high-water mark (the sync append's monotone-stamp
+    // rule, extended to DML): an [[LogSync.upsertsSince]] consumer's
+    // strictly-greater mark poll can then never lose a commit to an
+    // instant tie. Recomputed PER CAS ATTEMPT from that attempt's
+    // base — the fast-append retry re-plans against a manifest that
+    // may already carry a racer's fresh stamp.
+    def stampAbove(m: DataFrame): java.sql.Timestamp = new java.sql.Timestamp(
+      math.max(System.currentTimeMillis(),
+        Option(m.agg(max(col("registered_at"))).head().getTimestamp(0))
+          .map(_.getTime + 1).getOrElse(0L)))
     val manifestCols = fresh.columns.toSeq
     def buildNext(base: DataFrame): DataFrame = base
       .withColumn("removed_at",
@@ -295,7 +306,9 @@ object LakeDml {
           col("removed_at").isNull, current_timestamp())
           .otherwise(col("removed_at")))
       .select(manifestCols.map(col): _*)
-      .union(fresh)
+      .union(fresh
+        .withColumn("registered_at", lit(stampAbove(base)).cast("timestamp"))
+        .select(manifestCols.map(col): _*))
     // versioned swap: new readers flip atomically; a plan holding the
     // old manifest version (a cached Dataset) keeps its consistent
     // pre-DML snapshot until vacuum ages the version out. CAS on the

@@ -206,8 +206,17 @@ object LogCompact {
     val listed = listParquet(spark, root).map(_._1).toDF("path")
     val freshPaths = listed.join(before.select("path"), Seq("path"), "left_anti")
       .as[String].collect()
+    // monotone stamp above the planning manifest's high-water mark —
+    // the shared rule of every data-manifest commit (sync, DML): a
+    // rewrite's instant never ties an earlier commit's, so the data
+    // high-water mark stays a strict total order over commits
+    val rewriteStamp = new java.sql.Timestamp(math.max(
+      System.currentTimeMillis(),
+      Option(before.agg(max(col("registered_at"))).head().getTimestamp(0))
+        .map(_.getTime + 1).getOrElse(0L)))
     val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq,
-      op = "rewrite", seq = Some(planningSeq)).cache()
+      op = "rewrite", seq = Some(planningSeq),
+      registeredAt = Some(rewriteStamp)).cache()
     val filesAfter = fresh.count()
 
     val manifestCols = fresh.columns.toSeq

@@ -533,18 +533,31 @@ object LogSync {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(s"$root/_dreg_append_" +
       java.util.UUID.randomUUID().toString.take(8))
-    rows.select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
+    // the SAME atomic-visibility + monotone-stamp discipline as the
+    // data manifest's sync append ([[appendManifestAtomic]]): the
+    // commit's rows land as ONE renamed part, stamped STRICTLY ABOVE
+    // the registry's high-water mark (safe — every registry mutation
+    // serializes under the DML lease this method requires), so a
+    // [[deleteHighWaterMark]]/[[deletesSince]] poll can neither
+    // observe half a commit nor lose a commit to an instant tie.
+    val stamp = new java.sql.Timestamp(math.max(
+      System.currentTimeMillis(),
+      deleteHighWaterMark(spark, root).map(_.getTime + 1).getOrElse(0L)))
+    rows.withColumn("registered_at", lit(stamp).cast(TimestampType))
+      .select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val dest = new Path(deleteManifestPath(spark, root))
     fs.mkdirs(dest)
-    fs.listStatus(stage)
+    val parts = fs.listStatus(stage)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        val unique = new Path(dest,
-          s"part-${java.util.UUID.randomUUID().toString}.parquet")
-        require(fs.rename(s.getPath, unique),
-          s"delete-registry append rename failed: ${s.getPath} -> $unique")
-      }
+    require(parts.length == 1,
+      s"atomic delete-registry append under $root staged ${parts.length} " +
+        "parts (expected exactly 1 from repartition(1))")
+    val unique = new Path(dest,
+      s"part-${java.util.UUID.randomUUID().toString}.parquet")
+    require(fs.rename(parts.head.getPath, unique),
+      s"delete-registry append rename failed: ${parts.head.getPath} -> $unique")
     fs.delete(stage, true)
     // the renames bypassed Spark's write path, so Spark doesn't know
     // the dir changed: a CACHED plan over the registry would keep
@@ -2030,6 +2043,9 @@ object LogSync {
   /** The newest delete-registry registration instant — the mark a
     * [[deletesSince]] consumer records before its next poll (the data
     * manifest's [[highWaterMark]] does not move on delete commits).
+    * Exact under concurrent DML, like the data mark: every registry
+    * commit lands as one atomically-visible part stamped strictly
+    * above this mark ([[appendDeleteManifestLocked]]).
     */
   def deleteHighWaterMark(spark: SparkSession, root: String): Option[java.sql.Timestamp] = {
     if (!hasDeleteManifest(spark, root)) return None

@@ -15,10 +15,13 @@ import graft.sources.LogSync
   * The consumer's offset is a DURABLE CONSUMED-PATH SET, not a
   * timestamp: each poll anti-joins the manifest's append-commit rows
   * against the paths this consumer has already committed — the same
-  * processed-set diff [[graft.sources.Rollup.refresh]] uses, and exact
-  * where a `registered_at` watermark has a same-millisecond race
-  * (files registered in the watermark's exact instant after the poll
-  * read it would be skipped forever). Rewrite files (compaction, DML
+  * processed-set diff [[graft.sources.Rollup.refresh]] uses. (Since
+  * round 18 the timestamp-mark surface is itself exact under normal
+  * operation — registry commits are atomically visible with strictly
+  * monotone stamps — so the path set's remaining edge over a
+  * watermark is absorbing the lost-registration SELF-HEAL, whose
+  * re-registered rows carry a fresh instant; see the heal contract
+  * below.) Rewrite files (compaction, DML
   * copy-on-write) never qualify — their rows are not new — and an
   * appended file tombstoned after emission is not re-emitted: paths,
   * once consumed, stay consumed.

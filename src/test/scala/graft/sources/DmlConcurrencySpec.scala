@@ -42,6 +42,36 @@ class DmlConcurrencySpec extends graft.SparkSpec {
   private def activeSeqs(root: String): Seq[Long] =
     LogSync.deleteEntries(spark, root).map(_.seq)
 
+  test("every registry commit stamps strictly above the previous high-water mark (no instant ties)") {
+    import spark.implicits._
+    val root = seeded(40)
+    // back-to-back commits on a fast machine land inside one
+    // millisecond — exactly the tie the monotone-stamp rule closes:
+    // a consumer's strictly-greater mark poll between two instant-tied
+    // commits would lose the second one forever
+    (0 until 3).foreach(i => LakeDml.delete(spark, root, col("event_id") === i))
+    (3 until 8).foreach(i =>
+      LakeDml.deleteEq(spark, root, Seq(i.toLong).toDF("event_id")))
+    LogCompact.compact(spark, root)
+    // data manifest: sync + 3 CoW rewrites + compaction = 5 commits,
+    // 5 DISTINCT strictly-increasing instants
+    val dataStamps = LogSync.manifest(spark, root)
+      .select("registered_at").distinct().collect()
+      .map(_.getTimestamp(0).getTime).sorted.toSeq
+    assert(dataStamps.size == 5, s"expected 5 distinct data stamps: $dataStamps")
+    assert(dataStamps == dataStamps.distinct.sorted)
+    // delete registry: 5 eq commits (+ compaction's fold tombstones
+    // touch removed_at only) = 5 distinct registration instants
+    val delStamps = LogSync.deleteManifestDf(spark, root)
+      .select("registered_at").distinct().collect()
+      .map(_.getTimestamp(0).getTime).sorted.toSeq
+    assert(delStamps.size == 5, s"expected 5 distinct delete stamps: $delStamps")
+    // the marks stay a strict total order over commits: every stamp
+    // strictly greater than every earlier commit's
+    assert((dataStamps ++ delStamps).forall(_ > 0))
+    assert(LogSync.table(spark, root).count() == 32)
+  }
+
   test("concurrent equality deletes: no lost registration, no duplicated sequence") {
     val root = seeded(60)
     import spark.implicits._
