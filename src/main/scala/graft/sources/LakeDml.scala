@@ -246,19 +246,24 @@ object LakeDml {
         // types) — CoW doubles as the physical migration path.
         val evo = graft.sources.LakeEvolve.state(spark, root)
         val entries = LogSync.deleteEntries(spark, root)
-        val raw0 = (evo match {
-          case Some(st) => spark.read.option("basePath", root)
-            .schema(graft.sources.LakeEvolve.requestSchema(spark, root, st))
-            .parquet(affected.toSeq: _*)
-          case None => spark.read.option("basePath", root)
-            .parquet(affected.toSeq: _*)
-        }).withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+        // grouped by layout generation — a CoW rewrite whose affected
+        // files span a layout flip reads each generation under its own
+        // shape (readPathsGrouped), `_metadata` identities per group
+        val raw0 = LogSync.readPathsGrouped(spark, root, affected.toSeq,
+          r => evo match {
+            case Some(st) => r.schema(
+              graft.sources.LakeEvolve.requestSchema(spark, root, st))
+            case None => r
+          },
+          df => {
+            val s = df.withColumn("__src",
+              LogSync.normPath(col("_metadata.file_path")))
+            if (entries.exists(!_.isEq))
+              s.withColumn("__pos", col("_metadata.row_index"))
+            else s
+          })
         val raw = evo match {
-          case Some(st) =>
-            val m = if (entries.exists(!_.isEq))
-              raw0.withColumn("__pos", col("_metadata.row_index"))
-            else raw0
-            graft.sources.LakeEvolve.project(m, st)
+          case Some(st) => graft.sources.LakeEvolve.project(raw0, st)
           case None => raw0
         }
         val morApplied = LogSync.applyDeletes(spark, raw, root, entries,
@@ -911,38 +916,53 @@ object LakeDml {
       // the table's types at write time; files that predate the
       // column read null, matching only null keys null-safely.
       def scanOf(paths: Option[Seq[String]]): DataFrame = {
-        def rd(schema: Option[org.apache.spark.sql.types.StructType]) = {
-          val r0 = spark.read.option("basePath", root)
-          val r1 = schema.map(r0.schema).getOrElse(r0)
-          paths.map(ps => r1.parquet(ps: _*)).getOrElse(r1.parquet(root))
-        }
         val evo = graft.sources.LakeEvolve.state(spark, root)
-        val completed = evo match {
+        val schema: Option[org.apache.spark.sql.types.StructType] = evo match {
           // evolved lake: the request schema already carries every
           // logical column (late-added ones included) plus the alias
           // names — and the eq keys bind current names only (a rename
           // refuses while its column has active eq deletes)
-          case Some(st) => rd(Some(
-            graft.sources.LakeEvolve.requestSchema(spark, root, st)))
+          case Some(st) =>
+            Some(graft.sources.LakeEvolve.requestSchema(spark, root, st))
           case None =>
-            val base = rd(None)
-            val missing = cols.filterNot(base.columns.contains)
-            if (missing.isEmpty) base
+            // the presence/field probe reads the DATA files through
+            // scanRoot (generation-tolerant, like the scan itself) —
+            // a flipped lake's raw discovery would reject the mix.
+            // NOT LogSync.table: its MOR plan opens every registered
+            // delete file eagerly, so a probe during conversion would
+            // die on the very entry a crashed group left unreadable
+            // (the per-group crash-resume contract)
+            val base = LogSync.scanRoot(spark, root,
+              p => spark.read.option("basePath", root).parquet(p),
+              identity, evolved = false).schema
+            val missing = cols.filterNot(base.fieldNames.contains)
+            if (missing.isEmpty) None
             else {
               val delSchema = spark.read.parquet(files.map(_.path): _*).schema
-              rd(Some(org.apache.spark.sql.types.StructType(
-                base.schema.fields ++ missing.map(c =>
+              Some(org.apache.spark.sql.types.StructType(
+                base.fields ++ missing.map(c =>
                   org.apache.spark.sql.types.StructField(c,
-                    delSchema(c).dataType, nullable = true)))))
+                    delSchema(c).dataType, nullable = true))))
             }
         }
-        val withMeta = completed
-          .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-          .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
-            "^file:/(?!/)", "file:///"))
-          .withColumn("__dpos", col("_metadata.row_index"))
-        evo.map(st => graft.sources.LakeEvolve.project(withMeta, st))
-          .getOrElse(withMeta)
+        val shape: org.apache.spark.sql.DataFrameReader =>
+            org.apache.spark.sql.DataFrameReader =
+          r => schema.map(r.schema).getOrElse(r)
+        val meta: DataFrame => DataFrame =
+          _.withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+            .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+              "^file:/(?!/)", "file:///"))
+            .withColumn("__dpos", col("_metadata.row_index"))
+        // both arms generation-grouped (the readPathsGrouped/scanRoot
+        // pair), like every other explicit-or-root read in DML
+        val completed = paths match {
+          case Some(ps) => LogSync.readPathsGrouped(spark, root, ps, shape, meta)
+          case None => LogSync.scanRoot(spark, root,
+            p => shape(spark.read.option("basePath", root)).parquet(p),
+            meta, evolved = evo.isDefined)
+        }
+        evo.map(st => graft.sources.LakeEvolve.project(completed, st))
+          .getOrElse(completed)
       }
       // candidate set: manifest-pruned (seq + bloom) BEFORE the scan.
       // Under the cap the paths cross the driver and the read OPENS
@@ -1114,10 +1134,19 @@ object LakeDml {
           if (paths.length > pathCap)
             Some(tableWithSrc(spark, root))
           else if (paths.isEmpty) None
-          else Some(LogSync.applyDeletes(spark,
-            spark.read.option("basePath", root).parquet(paths.toSeq: _*)
-              .withColumn("__src", LogSync.normPath(col("_metadata.file_path"))),
-            root, LogSync.deleteEntries(spark, root)))
+          else {
+            val entries = LogSync.deleteEntries(spark, root)
+            Some(LogSync.applyDeletes(spark,
+              LogSync.readPathsGrouped(spark, root, paths.toSeq, identity,
+                df => {
+                  val s = df.withColumn("__src",
+                    LogSync.normPath(col("_metadata.file_path")))
+                  if (entries.exists(!_.isEq))
+                    s.withColumn("__pos", col("_metadata.row_index"))
+                  else s
+                }),
+              root, entries))
+          }
         }
       } else Some(tableWithSrc(spark, root))
       val (files, nFiles, matched) = candidates match {
@@ -1208,15 +1237,15 @@ object LakeDml {
         // pre-rename boundary file's time values still resolve; the
         // row predicate binds the time axis's CURRENT name
         val evoSt = LakeEvolve.state(spark, root)
-        val reader0 = spark.read.option("basePath", root)
-        val reader = evoSt.map(st =>
-          reader0.schema(LakeEvolve.requestSchema(spark, root, st)))
-          .getOrElse(reader0)
-        val raw0 = reader.parquet(boundary.toSeq: _*)
-          .withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
-          .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
-            "^file:/(?!/)", "file:///"))
-          .withColumn("__dpos", col("_metadata.row_index"))
+        // generation-grouped (readPathsGrouped): retention boundary
+        // files can straddle a layout flip
+        val raw0 = LogSync.readPathsGrouped(spark, root, boundary.toSeq,
+          r => evoSt.map(st =>
+            r.schema(LakeEvolve.requestSchema(spark, root, st))).getOrElse(r),
+          _.withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+            .withColumn("__dfile", regexp_replace(col("_metadata.file_path"),
+              "^file:/(?!/)", "file:///"))
+            .withColumn("__dpos", col("_metadata.row_index")))
         val raw = evoSt.map(st => LakeEvolve.project(raw0, st)).getOrElse(raw0)
         val live = LogSync.applyDeletes(spark, raw, root,
           LogSync.deleteEntries(spark, root))

@@ -74,8 +74,13 @@ object LakeIndex {
     graft.functions.VectorFunctions.register(spark)
     val todo = unindexedPaths(spark, root, column)
     if (todo.isEmpty) return 0
-    val blooms = spark.read.option("basePath", root).parquet(todo.toSeq: _*)
-      .groupBy(LogSync.normPath(col("_metadata.file_path")).as("norm"))
+    // grouped by layout generation (readPathsGrouped): an index built
+    // on a layout-flipped lake reads each generation's files under its
+    // own shape; the file identity materializes per group
+    val blooms = LogSync.readPathsGrouped(spark, root, todo.toSeq, identity,
+        _.select(LogSync.normPath(col("_metadata.file_path")).as("norm"),
+          col(column)))
+      .groupBy(col("norm"))
       .agg(expr(s"graft_bloom(xxhash64($column), $expectedItemsPerFile)").as("bloom"))
     writeBlooms(spark, root, column, todo, blooms)
     todo.length
@@ -176,11 +181,12 @@ object LakeIndex {
     graft.functions.VectorFunctions.register(spark)
     val todo = unindexedPaths(spark, root, tokIdxName(column))
     if (todo.isEmpty) return 0
-    val blooms = spark.read.option("basePath", root).parquet(todo.toSeq: _*)
-      // per-row array_distinct before the explode keeps the shuffled
-      // row count at (rows × per-row vocabulary), not token instances
-      .select(LogSync.normPath(col("_metadata.file_path")).as("norm"),
-        explode(tokensOf(col(column))).as("tok"))
+    // per-row array_distinct before the explode keeps the shuffled
+    // row count at (rows × per-row vocabulary), not token instances;
+    // generation-grouped like [[build]]
+    val blooms = LogSync.readPathsGrouped(spark, root, todo.toSeq, identity,
+        _.select(LogSync.normPath(col("_metadata.file_path")).as("norm"),
+          explode(tokensOf(col(column))).as("tok")))
       .groupBy(col("norm"))
       .agg(expr(s"graft_bloom(xxhash64(tok), $expectedTokensPerFile)").as("bloom"))
     writeBlooms(spark, root, tokIdxName(column), todo, blooms)
@@ -237,18 +243,23 @@ object LakeIndex {
       // column must match pre-rename files
       val evo = LakeEvolve.state(spark, root)
       val entries = LogSync.deleteEntries(spark, root)
-      val raw0 = (evo match {
-        case Some(st) => spark.read.option("basePath", root)
-          .schema(LakeEvolve.requestSchema(spark, root, st))
-          .parquet(kept.toSeq: _*)
-        case None => spark.read.option("basePath", root).parquet(kept.toSeq: _*)
-      }).withColumn("__src", LogSync.normPath(col("_metadata.file_path")))
+      // generation-grouped explicit read (readPathsGrouped): a grep
+      // over a layout-flipped lake reads each generation's survivor
+      // files under its own shape, `_metadata` identities per group
+      val raw0 = LogSync.readPathsGrouped(spark, root, kept.toSeq,
+        r => evo match {
+          case Some(st) => r.schema(LakeEvolve.requestSchema(spark, root, st))
+          case None => r
+        },
+        df => {
+          val s = df.withColumn("__src",
+            LogSync.normPath(col("_metadata.file_path")))
+          if (entries.exists(!_.isEq))
+            s.withColumn("__pos", col("_metadata.row_index"))
+          else s
+        })
       val raw = evo match {
-        case Some(st) =>
-          val m = if (entries.exists(!_.isEq))
-            raw0.withColumn("__pos", col("_metadata.row_index"))
-          else raw0
-          LakeEvolve.project(m, st)
+        case Some(st) => LakeEvolve.project(raw0, st)
         case None => raw0
       }
       LogSync.applyDeletes(spark, raw, root, entries,

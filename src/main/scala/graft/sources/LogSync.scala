@@ -1655,6 +1655,32 @@ object LogSync {
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
+  /** Explicit-path read with [[scanRoot]]'s multi-generation
+    * discipline: `paths` grouped by directory-key signature, each
+    * group read under its own consistent shape (`reader` applies the
+    * caller's schema/options to a basePath-anchored reader), the
+    * caller's `_metadata`-dependent columns applied PER GROUP by
+    * `materialize` (metadata columns do not survive a union), groups
+    * unioned by name with missing columns null. A single-generation
+    * list — the overwhelmingly common case — reads exactly as before
+    * (one group, no union). The grouping is driver-side string work
+    * over a list that is already driver-resident at every call site
+    * (bounded by round / commit / an explicit cap).
+    */
+  private[graft] def readPathsGrouped(spark: SparkSession, root: String,
+      paths: Seq[String],
+      reader: org.apache.spark.sql.DataFrameReader =>
+        org.apache.spark.sql.DataFrameReader,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    require(paths.nonEmpty, "readPathsGrouped needs at least one path")
+    val groups = paths.groupBy(
+        _.split('/').filter(_.contains('=')).map(_.split('=')(0)).toSeq)
+      .toSeq.sortBy(_._1.mkString("/")).map(_._2)
+    groups.map(g => materialize(
+        reader(spark.read.option("basePath", root)).parquet(g: _*)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The shared read shape: scan the lake ROOT (partition
     * discovery/pruning intact; underscore dirs skipped by the source)
     * with `paths` — a one-column `__registered_path` keep-set —
@@ -1924,14 +1950,20 @@ object LogSync {
       def shaped(r: org.apache.spark.sql.DataFrameReader) =
         evoSt.map(st => r.schema(LakeEvolve.requestSchema(spark, root, st)))
           .getOrElse(r)
-      val raw0 = (if (nTargets <= explicitCap) {
-        val targets = targetRel.as[String].collect().toSeq
-        shaped(spark.read.option("basePath", root)).parquet(targets: _*)
-      } else {
-        shaped(spark.read.option("basePath", root)).parquet(root)
-      })
+      def metad(df: DataFrame) = df
         .withColumn("__src", normPath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
+      // both arms carry the multi-generation discipline: target lists
+      // spanning a layout flip group per generation, and the over-cap
+      // root scan re-plans through scanRoot's per-generation fallback
+      val raw0 = (if (nTargets <= explicitCap) {
+        val targets = targetRel.as[String].collect().toSeq
+        readPathsGrouped(spark, root, targets, shaped, metad)
+      } else {
+        scanRoot(spark, root,
+          p => shaped(spark.read.option("basePath", root)).parquet(p),
+          metad, evolved = evoSt.isDefined)
+      })
       val raw = evoSt.map(st => LakeEvolve.project(raw0, st)).getOrElse(raw0)
       val keyRel = delRows.select(normPath(col("file_path")).as("__del_file"),
         col("pos").cast("long").as("__del_pos"))

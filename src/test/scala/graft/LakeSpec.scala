@@ -1856,6 +1856,23 @@ class LakeSpec extends SparkSpec {
     // time travel to the pre-flip instant reads the hourly generation
     // alone, deletes not yet applied
     assert(LogSync.tableAsOf(spark, root, preFlip).count() == 20)
+    // a CoW delete whose AFFECTED FILES span BOTH generations: the
+    // commit's complement read groups per generation (one row from
+    // the hourly batch, one from the daily batch, one commit)
+    val cow = graft.sources.LakeDml.delete(spark, root,
+      col("span_id").isin("e7", "e27"))
+    assert(cow.rowsChanged == 2, s"CoW across generations: $cow")
+    assert(LogSync.table(spark, root).count() == 31)
+    assert(LogSync.table(spark, root)
+      .filter(col("span_id").isin("e7", "e27")).count() == 0)
+    // the retraction changelog reads its targets per generation too
+    val retracted = LogSync.deletedRowsSince(spark, root,
+      new java.sql.Timestamp(0L))
+    assert(retracted.filter(col("span_id") === "e3").count() == 1)
+    // a bloom sidecar builds across generations and routes the lookup
+    assert(graft.sources.LakeIndex.build(spark, root, "span_id", 4096) > 0)
+    assert(graft.sources.LakeIndex.lookup(spark, root, "span_id",
+      Seq("e5", "e30")).count() == 2)
   }
 
   test("ONE sync round spanning two layout generations registers with per-generation stats") {
