@@ -300,10 +300,19 @@ object LakeDml {
     // instant tie. Recomputed PER CAS ATTEMPT from that attempt's
     // base — the fast-append retry re-plans against a manifest that
     // may already carry a racer's fresh stamp.
-    def stampAbove(m: DataFrame): java.sql.Timestamp = new java.sql.Timestamp(
-      math.max(System.currentTimeMillis(),
+    var lastStamp = 0L
+    def stampAbove(m: DataFrame): java.sql.Timestamp = {
+      val st = new java.sql.Timestamp(math.max(math.max(
+        System.currentTimeMillis(),
+        // the durable stamp mark (LogSync.tsHwmPath): a stale listing
+        // behind the base manifest read can no longer tie this stamp
+        // with a concurrent sync round's
+        LogSync.stampFloor(spark, LogSync.tsHwmPath(root)) + 1),
         Option(m.agg(max(col("registered_at"))).head().getTimestamp(0))
           .map(_.getTime + 1).getOrElse(0L)))
+      lastStamp = st.getTime
+      st
+    }
     val manifestCols = fresh.columns.toSeq
     def buildNext(base: DataFrame): DataFrame = base
       .withColumn("removed_at",
@@ -350,6 +359,8 @@ object LakeDml {
         }
       }
     } else LogSync.swapManifest(spark, root, buildNext(before), Some(baseVersion))
+    // stamp mark recorded AFTER the winning swap made the rows visible
+    LogSync.recordStampHwm(spark, LogSync.tsHwmPath(root), lastStamp)
     // registered — the pending journals have done their job (a crash
     // from here on leaves journals listing REGISTERED paths, which
     // sync's anti-join ignores anyway and vacuum ages out)
@@ -466,7 +477,7 @@ object LakeDml {
           .withColumn("registered_at", current_timestamp())
           .withColumn("removed_at", lit(null).cast("timestamp"))
           .withColumn("kind", lit("pos"))
-          .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
+          .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeqLocked(spark, root))))
           .withColumn("eq_cols", lit(null).cast("string"))
           .withColumn("op", lit(op)))
     }
@@ -628,7 +639,7 @@ object LakeDml {
           .withColumn("registered_at", current_timestamp())
           .withColumn("removed_at", lit(null).cast("timestamp"))
           .withColumn("kind", lit("eq"))
-          .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeq(spark, root))))
+          .withColumn("seq", lit(seq.getOrElse(LogSync.nextSeqLocked(spark, root))))
           .withColumn("eq_cols", lit(cols.mkString(",")))
           .withColumn("op", lit(op)))
     }

@@ -210,8 +210,11 @@ object LogCompact {
     // the shared rule of every data-manifest commit (sync, DML): a
     // rewrite's instant never ties an earlier commit's, so the data
     // high-water mark stays a strict total order over commits
-    val rewriteStamp = new java.sql.Timestamp(math.max(
+    val rewriteStamp = new java.sql.Timestamp(math.max(math.max(
       System.currentTimeMillis(),
+      // durable stamp mark (LogSync.tsHwmPath): stale-listing-immune,
+      // like every other data-manifest stamp allocator
+      LogSync.stampFloor(spark, LogSync.tsHwmPath(root)) + 1),
       Option(before.agg(max(col("registered_at"))).head().getTimestamp(0))
         .map(_.getTime + 1).getOrElse(0L)))
     val fresh = LogSync.freshManifestRows(spark, root, freshPaths.toSeq,
@@ -231,6 +234,8 @@ object LogCompact {
     // until vacuum ages it out. CAS against the planning version: an
     // interleaved rewrite raises rather than losing a commit
     LogSync.swapManifest(spark, root, next, Some(baseVersion))
+    // stamp mark recorded AFTER the swap made the rewrite visible
+    LogSync.recordStampHwm(spark, LogSync.tsHwmPath(root), rewriteStamp.getTime)
     // compaction read the table MOR-applied, so every delete CAPTURED
     // AT PLANNING (position and equality) is now MATERIALIZED in the
     // fresh files; tombstone exactly those registry rows (after the

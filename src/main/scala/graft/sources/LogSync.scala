@@ -540,8 +540,10 @@ object LogSync {
     // serializes under the DML lease this method requires), so a
     // [[deleteHighWaterMark]]/[[deletesSince]] poll can neither
     // observe half a commit nor lose a commit to an instant tie.
-    val stamp = new java.sql.Timestamp(math.max(
+    val stamp = new java.sql.Timestamp(math.max(math.max(
       System.currentTimeMillis(),
+      // durable stamp mark — stale-listing-immune (see [[tsHwmPath]])
+      stampFloor(spark, dtsHwmPath(root)) + 1),
       deleteHighWaterMark(spark, root).map(_.getTime + 1).getOrElse(0L)))
     rows.withColumn("registered_at", lit(stamp).cast(TimestampType))
       .select(deleteManifestSchema.fieldNames.map(col).toSeq: _*)
@@ -565,6 +567,8 @@ object LogSync {
     // mode(Append) write refreshed this implicitly). Same contract,
     // explicit now.
     spark.catalog.refreshByPath(dest.toString)
+    // durable stamp mark, recorded after visibility (see [[tsHwmPath]])
+    recordStampHwm(spark, dtsHwmPath(root), stamp.getTime)
     val minParts = spark.conf.getOption("graft.lake.deleteManifestMergeMinParts")
       .map(_.toInt).getOrElse(512)
     if (minParts > 0) {
@@ -840,6 +844,71 @@ object LogSync {
     ()
   }
 
+  /** DURABLE ALLOCATION MARKS — the cache-immune half of commit
+    * bookkeeping. [[nextSeq]]'s registry maxes read through Spark, and
+    * Spark's session-shared file-status cache can serve a listing
+    * taken just before a staged-rename commit landed (the appends
+    * invalidate with `refreshByPath`, but a listing STARTED before the
+    * rename can be inserted into the cache after the invalidation and
+    * linger) — observed as a sync commit tying a racing retraction's
+    * sequence despite both allocations holding the DML lease. Every
+    * allocation therefore also records its value in a tiny root-level
+    * mark file read with a plain uncached `fs.open`: two
+    * lease-serialized allocations can never tie regardless of what the
+    * Spark-side listing shows. A crash mid-write leaves a torn file
+    * that parses as absent, degrading exactly to the derived-max
+    * behavior until the next allocation rewrites it.
+    */
+  private def readLongMark(spark: SparkSession, p: Path): Long = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      scala.util.Try(txt.toLong).getOrElse(0L)
+    } catch { case _: java.io.IOException => 0L }
+  }
+
+  private def writeLongMark(spark: SparkSession, p: Path, v: Long): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[sources] def seqHwmPath(root: String) = new Path(s"$root/_seq_hwm")
+
+  /** The same durable-mark discipline for the MONOTONE `registered_at`
+    * STAMPS (data manifest and delete registry): every stamp allocator
+    * reads `max(wall clock, listing-derived mark + 1, this mark + 1)`
+    * and records its stamp once the commit is VISIBLE (after the
+    * rename), so a stale listing can no longer let two commits tie an
+    * instant — the strictly-greater `tableSince`/`upsertsSince`/
+    * `deletesSince` mark surface stays exact through the same cache
+    * seam [[seqHwmPath]] closes for sequences. Recording is
+    * max-preserving ([[recordStampHwm]]): a slow committer never
+    * regresses the mark below a racer's fresher stamp.
+    */
+  private[sources] def tsHwmPath(root: String) = new Path(s"$root/_ts_hwm")
+  private[sources] def dtsHwmPath(root: String) = new Path(s"$root/_dts_hwm")
+
+  private[sources] def stampFloor(spark: SparkSession, p: Path): Long =
+    readLongMark(spark, p)
+
+  private[sources] def recordStampHwm(spark: SparkSession, p: Path,
+                                      v: Long): Unit =
+    if (v > readLongMark(spark, p)) writeLongMark(spark, p, v)
+
+  /** [[nextSeq]] + durable record in ONE step — the form every
+    * sequence ASSIGNMENT must use (plain [[nextSeq]] is only a derived
+    * read). Caller MUST hold the DML lease: the record is what makes
+    * the next lease holder's allocation strictly above this one even
+    * through a stale registry listing.
+    */
+  private[sources] def nextSeqLocked(spark: SparkSession, root: String): Long = {
+    val s = nextSeq(spark, root)
+    writeLongMark(spark, seqHwmPath(root), s)
+    s
+  }
+
   /** The next commit's sequence number: one past the highest ever
     * assigned across BOTH manifests (data and delete) AND any live
     * planning reservation ([[reserveSeq]]). Control-plane aggregates
@@ -852,9 +921,12 @@ object LogSync {
       if (!df.columns.contains("seq")) 0L
       else Option(df.agg(max(coalesce(col("seq"), lit(0L)))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    math.max(math.max(maxSeq(manifestDf(spark, root)),
+    math.max(math.max(math.max(maxSeq(manifestDf(spark, root)),
       maxSeq(deleteManifestDf(spark, root))),
-      reservedSeqs(spark, root).foldLeft(0L)(math.max)) + 1
+      reservedSeqs(spark, root).foldLeft(0L)(math.max)),
+      // the durable allocation mark: immune to a stale Spark-side
+      // registry listing (see [[seqHwmPath]])
+      readLongMark(spark, seqHwmPath(root))) + 1
   }
 
   /** Broadcast the delete rows only while they plausibly fit every
@@ -1413,7 +1485,7 @@ object LogSync {
     */
   private[sources] def allocateSeq(spark: SparkSession, root: String): (Long, Path) =
     withDmlLease(spark, root) {
-      val s = nextSeq(spark, root)
+      val s = nextSeqLocked(spark, root)
       (s, reserveSeq(spark, root, s))
     }
 
@@ -1520,13 +1592,19 @@ object LogSync {
         // them would skip the second round on the strictly-greater
         // tableSince filter — with monotone stamps plus atomic
         // visibility, the timestamp-mark surface is exact.
-        val stamp = new java.sql.Timestamp(math.max(
+        val stamp = new java.sql.Timestamp(math.max(math.max(
           System.currentTimeMillis(),
+          // the durable stamp mark: immune to a stale listing behind
+          // highWaterMark's manifest read (see [[tsHwmPath]])
+          stampFloor(spark, tsHwmPath(root)) + 1),
           highWaterMark(spark, root).map(_.getTime + 1).getOrElse(0L)))
         try appendManifestAtomic(spark, root,
           freshManifestRows(spark, root, freshPaths.toSeq, seq = Some(commitSeq),
             registeredAt = Some(stamp)))
         finally releaseSeq(spark, seqRes)
+        // recorded AFTER the rename made the round visible, so a mark
+        // poll folding this value can never cover invisible rows
+        recordStampHwm(spark, tsHwmPath(root), stamp.getTime)
         // SELF-DRIVING registry maintenance (Iceberg's
         // commit.manifest-merge analog): every round appends one-plus
         // part-files here, and an append-only lake otherwise NEVER
