@@ -34,6 +34,7 @@ object Bench {
     warm("lake")(graft.operators.LakeAnalytics.lakeRoot(spark, sfDir))
     warm("dml_lake")(graft.operators.LakeAnalytics.dmlRoot(spark, sfDir))
     warm("sql_dml_lake")(graft.operators.LakeAnalytics.sqlDmlRoot(spark, sfDir))
+    warm("stream_lake")(graft.operators.LakeAnalytics.streamLakeRoot(spark, sfDir))
     warm("clustered_lake")(graft.operators.LakeAnalytics.clusteredRoot(spark, sfDir))
     warm("changes_lake")(graft.operators.LakeAnalytics.changesRoot(spark, sfDir))
     warm("buckets")(graft.sources.Bucketing.ensure(spark, sfDir))

@@ -176,6 +176,7 @@ object SparkEntry {
     "lake_sql_dml"        -> (LakeAnalytics.sqlDmlSeverity _),
     "lake_sql_read"       -> (LakeAnalytics.sqlReadSeverity _),
     "lake_sql_travel"     -> (LakeAnalytics.sqlTravelSeverity _),
+    "lake_stream_read"    -> (LakeAnalytics.streamReadSeverity _),
     "logs_heavy_hitters"  -> ((s: SparkSession, d: String) => LogAnalytics.heavyHitters(s, d)),
     "dedup_incremental"   -> ((s: SparkSession, d: String) => Dedup.incremental(s, d)),
     "contamination_bloom" -> ((s: SparkSession, d: String) => Curation.contaminationBloom(s, d)),
@@ -1359,6 +1360,13 @@ object SparkEntry {
     // SQL time travel to the pre-DML instant resurrects every
     // lifecycle delete — oracle = the FULL events synthesis
     "lake_sql_travel" ->
+      """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
+        | event_type AS severity_text, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the readStream facade drains the whole lake: every appended row
+    // exactly once, the MOR delete and the compaction rewrite
+    // invisible — so the stream's truth is the FULL events synthesis
+    "lake_stream_read" ->
       """SELECT 'svc-' || CAST(user_id % 10 AS VARCHAR) AS service_name,
         | event_type AS severity_text, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

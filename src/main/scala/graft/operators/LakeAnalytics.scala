@@ -576,6 +576,59 @@ object LakeAnalytics {
          |ORDER BY ts_str, span_id""".stripMargin)
   }
 
+  private val streamReadBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamReadRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A lake whose history a THIRD-PARTY STREAMING job must
+    * reconstruct: the payloads land over TWO sync rounds (two distinct
+    * manifest offsets the stream must drain in order), then a
+    * merge-on-read retraction and a compaction commit — the two
+    * channels the append stream must NOT surface (MOR deletes are
+    * deliberately unapplied on the incremental-append surface, and the
+    * compaction's restated files register `op="rewrite"`).
+    */
+  private[graft] def streamLakeRoot(spark: SparkSession, dir: String): String =
+    graft.sources.FixtureBuild.once(streamReadBuilt, dir, "graft_lakestream", spark) { root =>
+      val all = OtlpLogs.parse(payloads(spark, dir), col("payload"))
+      val firstHalf = col("service_name").isin("svc-0", "svc-1", "svc-2", "svc-3", "svc-4")
+      LogWriter.write(all.filter(firstHalf), root, layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      LogWriter.write(all.filter(!firstHalf), root, layout = LogWriter.DailyLayout)
+      LogSync.sync(spark, root)
+      graft.sources.LakeDml.deleteMor(spark, root,
+        col("service_name") === "svc-3" && col("severity_text") === "view")
+      graft.sources.LogCompact.compact(spark, root)
+    }
+
+  /** `lake_stream_read`: the streaming façade under the ORACLE gate —
+    * `spark.readStream.format("graft")` ([[graft.sources.GraftLakeSource]])
+    * drains [[streamLakeRoot]] with `Trigger.AvailableNow` into a
+    * memory sink, then severity counts over the collected rows. The
+    * oracle is the FULL events synthesis: a hash-match certifies the
+    * append-stream contract end to end — both sync rounds surface
+    * exactly once (manifest-position offsets, batch = a `(start, end]`
+    * registration window), while the MOR delete and the compaction
+    * rewrite stay invisible (tableSince semantics: an appended row
+    * surfaces exactly once even if later deleted; restated files are
+    * `op="rewrite"`). Each call is a FRESH query instance on a fresh
+    * ephemeral checkpoint, so the result is a pure function of the
+    * fixture — Bench re-runs re-drain from the epoch deterministically.
+    */
+  def streamReadSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamLakeRoot(spark, dir)
+    val sink = s"graft_stream_read_${streamReadRuns.incrementAndGet()}"
+    val q = spark.readStream.format("graft").load(root)
+      .select(col("service_name"), col("severity_text"))
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("service_name"), col("severity_text"))
+  }
+
   private val morBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A lake whose redaction ran MERGE-ON-READ: the same payloads, then

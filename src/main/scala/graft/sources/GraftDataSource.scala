@@ -10,8 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.execution.streaming.{Source => StreamingSourceV1}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink => StreamingSinkV1, Source => StreamingSourceV1}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -53,9 +54,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * own WAL (exact because sync rounds are atomically visible with
   * monotone stamps), rewrites invisible; see the source's Scaladoc
   * for the contract. Like the sink, it needs no extensions.
+  *
+  * STREAMING WRITE ([[StreamSinkProvider]]): `df.writeStream
+  * .format("graft").start(root)` resolves to [[GraftLakeSink]] —
+  * per-micro-batch write+register with [[graft.streaming.BatchMarkers]]
+  * replay idempotence (LakeIngest's protocol, no imports needed); see
+  * [[createSink]].
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider with StreamSourceProvider {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
 
   /** `df.write.format("graft").mode("append").save(root)` — the write
@@ -111,15 +119,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             "the graft sink writes the reference's partitioned log layout " +
               "and needs `timestamp` and `service_name` columns; " +
               "project/rename before writing")
-          val layout = Option(opts.get("layout")) match {
-            case Some("daily") => LogWriter.DailyLayout
-            case Some("hourly") | None => LogWriter.HourlyLayout
-            case Some(other) => sys.error(
-              s"graft sink: unknown layout '$other' (hourly | daily)")
-          }
-          val maxRec = Option(opts.get("maxRecordsPerFile")).map(_.toLong)
-            .getOrElse(LogWriter.DefaultMaxRecordsPerFile)
-          LogWriter.write(data, root, maxRec, layout)
+          LogWriter.write(data, root, maxRecOf(opts), layoutOf(opts))
           LogSync.sync(spark, root)
           ()
       }
@@ -133,6 +133,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   // DSv2 options are case-insensitive by convention — every lookup
   // goes through CaseInsensitiveStringMap, so .option("asof", ...) is
   // time travel, not a silently-ignored key reading the wrong snapshot
+  // shared by the batch write and the streaming sink
+  private def layoutOf(opts: CaseInsensitiveStringMap): Seq[String] =
+    Option(opts.get("layout")) match {
+      case Some("daily") => LogWriter.DailyLayout
+      case Some("hourly") | None => LogWriter.HourlyLayout
+      case Some(other) => sys.error(
+        s"graft sink: unknown layout '$other' (hourly | daily)")
+    }
+
+  private def maxRecOf(opts: CaseInsensitiveStringMap): Long =
+    Option(opts.get("maxRecordsPerFile")).map(_.toLong)
+      .getOrElse(LogWriter.DefaultMaxRecordsPerFile)
+
   private def rootOf(options: CaseInsensitiveStringMap): String = {
     val r = Option(options.get("path")).getOrElse(sys.error(
       "graft source needs a lake root: spark.read.format(\"graft\").load(<root>)"))
@@ -209,6 +222,75 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       .getOrElse(10000)
     new GraftLakeSource(ctx.sparkSession, root, metadataPath, maxFiles)
   }
+
+  // ---- streaming write (V1 Sink fallback) ---------------------------
+
+  /** `df.writeStream.format("graft").start(root)` — the streaming
+    * write half: each micro-batch runs the same write-then-register
+    * flow as the batch sink ([[LogWriter.write]] + [[LogSync.sync]]),
+    * made idempotent against engine replays by the per-batch marker
+    * protocol [[graft.streaming.LakeIngest]] pioneered
+    * ([[graft.streaming.BatchMarkers]], shared `_batches/` dir) — a
+    * replayed batchId is a no-op, so `Trigger.AvailableNow`/restart
+    * cycles land every batch exactly once (the residual window — a
+    * crash between sync and the marker write — re-appends one batch,
+    * the reference shell loop's own at-least-once boundary; see
+    * LakeIngest's doc). Append-only by construction: Update/Complete
+    * are refused loudly — a lake is an append log with row-level DML,
+    * aggregate on read (or maintain a [[Rollup]]) instead. One
+    * streaming writer per root (batchIds are only meaningful against
+    * one checkpoint's sequence), same single-writer rule as
+    * LakeIngest; LakeIngest remains the library-API surface with
+    * rollup maintenance, this is the no-import route.
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): StreamingSinkV1 = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val root = rootOf(opts)
+    require(outputMode == OutputMode.Append(),
+      s"graft streaming sink: OutputMode $outputMode is refused — a lake " +
+        "is an append-only log; stream appends and aggregate on read " +
+        "(LogSync.table / graft_lake), or maintain a rollup via " +
+        "graft.streaming.LakeIngest")
+    val retain = Option(opts.get("markerRetain")).map(_.toLong)
+      .getOrElse(graft.streaming.BatchMarkers.DefaultRetain)
+    new GraftLakeSink(ctx.sparkSession, root, layoutOf(opts), maxRecOf(opts),
+      retain)
+  }
+}
+
+/** The V1 streaming sink [[GraftDataSource.createSink]] returns: the
+  * [[graft.streaming.LakeIngest]] foreachBatch body behind the
+  * engine's `Sink` interface. The micro-batch frame arrives flagged
+  * streaming, so it re-wraps as a batch frame
+  * ([[GraftSqlBridge.asBatch]], the Delta V1-sink technique) before
+  * the partitioned write.
+  */
+private[graft] class GraftLakeSink(spark: SparkSession, root: String,
+                                   layout: Seq[String], maxRec: Long,
+                                   markerRetain: Long) extends StreamingSinkV1 {
+  import org.apache.spark.sql.graft.GraftSqlBridge
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val dir = s"$root/_batches"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!graft.streaming.BatchMarkers.exists(fs, dir, batchId)) {
+      val batch = GraftSqlBridge.asBatch(data)
+      require(batch.columns.contains("timestamp") &&
+        batch.columns.contains("service_name"),
+        "the graft streaming sink writes the reference's partitioned log " +
+          "layout and needs `timestamp` and `service_name` columns; " +
+          "project/rename before writing")
+      LogWriter.write(batch, root, maxRec, layout)
+      LogSync.sync(spark, root)
+      graft.streaming.BatchMarkers.commit(fs, dir, batchId, markerRetain)
+    }
+  }
+
+  override def toString: String = s"GraftLakeSink[$root]"
 }
 
 /** The analysis-time handle [[GraftLakeResolution]] resolves. Its

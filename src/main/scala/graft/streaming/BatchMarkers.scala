@@ -24,7 +24,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ([[LakeIngest.start]]/[[CdcApply.start]] `markerRetain`) with the
   * caveat documented there.
   */
-private[streaming] object BatchMarkers {
+private[graft] object BatchMarkers {
 
   val DefaultRetain = 1000L
 

@@ -35,4 +35,20 @@ object GraftSqlBridge {
       qe.analyzed.output, qe.toRdd, isStreaming = true)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
   }
+
+  /** The inverse, for a V1 `Sink.addBatch` input: the micro-batch
+    * DataFrame the engine hands a sink carries `isStreaming` plans
+    * that refuse batch writers, and the standard technique (what
+    * Delta's V1 sink does) is to wrap the incremental execution's RDD
+    * in a non-streaming `LogicalRDD` — the batch's rows execute
+    * unchanged, and the result is an ordinary DataFrame the library's
+    * batch write path accepts.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val qe = df.queryExecution
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = false)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+  }
 }

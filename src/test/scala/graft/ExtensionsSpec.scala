@@ -610,6 +610,63 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("sync"), e.getMessage)
   }
 
+  test("streaming facade sink: writeStream.format(\"graft\") registers per batch, exactly-once across restarts; lake-to-lake round trip") {
+    val base = Files.createTempDirectory("graft_sinkstream").toString
+    val src = s"$base/src"
+    val root = s"$base/lake"
+    val ckpt = s"$base/ckpt"
+    def batch(n: Int, skip: Int) = graft.sources.Tables.events(spark, sf)
+      .orderBy(col("event_id")).offset(skip).limit(n)
+      .select(col("ts").as("timestamp"),
+        concat(lit("svc-"), col("user_id") % 3).as("service_name"),
+        col("event_type").as("severity_text"),
+        concat(lit("e"), col("event_id")).as("span_id"),
+        col("props").as("body"))
+    batch(30, 0).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // each run is a fresh query on the SAME checkpoint — a restart;
+    // replay idempotence rides the _batches markers
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt).option("layout", "daily")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(root)
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(graft.sources.LogSync.table(spark, root).count() == 30,
+      "first run must write AND register the first batch")
+    // a second source batch; the restart drains ONLY it (no re-append)
+    batch(25, 30).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(graft.sources.LogSync.table(spark, root)
+      .select("span_id").distinct().count() == 55,
+      "restart must land only the new batch, no duplicates")
+    // idle restart: nothing new, nothing re-appended
+    runOnce()
+    assert(graft.sources.LogSync.table(spark, root).count() == 55)
+    // the NO-IMPORT round trip: graft source → graft sink, lake to
+    // lake — asBatch over an asStreaming'd plan, both facades at once
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt2").option("layout", "daily")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$base/lake2")
+    q2.awaitTermination()
+    assert(graft.sources.LogSync.table(spark, s"$base/lake2").count() == 55,
+      "lake-to-lake streaming copy must land every row")
+    // aggregated streams are refused loudly: a lake is append-only
+    val agg = spark.readStream.schema(schema).parquet(src)
+      .groupBy("service_name").count()
+    val e = intercept[Exception](
+      agg.writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/lake3"))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("streaming facade: offsets are manifest positions — replay is deterministic past newer syncs, chunking bounds batches") {
     val base = Files.createTempDirectory("graft_streamreplay").toString
     val root = s"$base/lake"
