@@ -56,6 +56,10 @@ object Bench {
     // train the memoized PQ codebooks so ann_pq measures
     // encode+ADC+rerank, not the one-time m k-means runs
     warm("pq")(graft.operators.Similarity.pqCodebooks(spark, sfDir))
+    // train the memoized SemDeDup cell centroids (k=16 Lloyd's) once so
+    // dedup_semantic / contamination_semantic measure assignment +
+    // within-cell verification, not the shared one-time training
+    warm("sem_cells")(graft.operators.Clustering.centroids(spark, sfDir, 16))
     // persist the per-cell PQ codes once so ann_ivfpq measures the
     // probed ADC scan + rerank, not the one-time encode write
     warm("ivfpq")(graft.operators.IvfIndex.ensurePq(spark, sfDir))

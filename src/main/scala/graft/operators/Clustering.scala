@@ -29,9 +29,26 @@ object Clustering {
     * re-scanning parquet every iteration.
     */
   def centroids(spark: SparkSession, dir: String, k: Int, iters: Int = 5): Array[(Int, Seq[Double])] =
-    centroidsOf(spark,
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v")),
-      k, iters)
+    centroidCache.computeIfAbsent((spark, dir, k, iters), { key =>
+      graft.SessionCaches.register(spark)(() => { centroidCache.remove(key); () })
+      centroidsOf(spark,
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v")),
+        k, iters)
+    })
+
+  /** Build-once memo for [[centroids]] — the [[Curation.dedupClusters]]
+    * `clusterCache` discipline applied to the Lloyd's model: the
+    * centroids of the SOURCE-TABLE corpus are a deterministic training
+    * artifact (k×dim doubles, driver-resident control plane), so the
+    * 5-round iteration is paid once per (session, corpus, k, iters)
+    * instead of per consuming query (SemDeDup assignment, semantic
+    * decontamination, IVF builds all train the same cells).
+    * [[centroidsOf]] stays unmemoized — arbitrary working sets
+    * (retraining, rotated corpora) must always train fresh.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
+      Array[(Int, Seq[Double])]]()
 
   /** [[centroids]] over an arbitrary `(vec_id, v)` working set — the
     * entry point index RETRAINING uses (the corpus then lives in the

@@ -175,7 +175,10 @@ object Curation {
                             probes: Int = 6): DataFrame =
     contaminationSemanticOf(spark,
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v")),
-      threshold, k, probes)
+      threshold, k, probes,
+      // the source-table corpus trains through the per-session memo
+      // ([[Clustering.centroids]]) — same cells, paid once per session
+      centsOpt = Some(Clustering.centroids(spark, dir, k)))
 
   /** [[contaminationSemantic]] over an arbitrary `(vec_id, v)` frame —
     * the spec's injection seam (paraphrase fixtures, following the
@@ -183,9 +186,12 @@ object Curation {
     */
   private[graft] def contaminationSemanticOf(spark: SparkSession, emb: DataFrame,
                                              threshold: Double, k: Int,
-                                             probes: Int): DataFrame = {
+                                             probes: Int,
+                                             centsOpt: Option[Array[(Int, Seq[Double])]] = None
+                                            ): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val cents = Clustering.centroidsOf(spark, emb.select(col("vec_id"), col("v")), k)
+    val cents = centsOpt.getOrElse(
+      Clustering.centroidsOf(spark, emb.select(col("vec_id"), col("v")), k))
     val e = emb
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
     val corpus = e.filter(col("vec_id") >= 20)
@@ -600,8 +606,13 @@ object Curation {
     * comparison, no float landing in the output.
     */
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    // `docs` feeds the per-source aggregate AND the keep filter — one
+    // localCheckpoint of the narrow (doc, source, n_toks) projection
+    // makes "one corpus pass" literal (uncut, each reference re-ran
+    // the tokenize scan); recomputed per invocation
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+      .localCheckpoint()
     val perSource = docs.groupBy(col("source"))
       .agg(sum(col("n_toks")).as("src_toks"))
     val global = perSource.agg(
@@ -646,10 +657,13 @@ object Curation {
     * global hash order and the decomposed cumulative sum is exact.
     */
   def mixBudget(spark: SparkSession, dir: String, budget: Long = 700): DataFrame = {
+    // same one-pass cut as [[corpusMix]]: `docs` feeds the bucket
+    // totals AND the budget-reachable join
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"),
         md5(col("doc_id").cast("string")).as("ord"))
       .withColumn("bkt", substring(col("ord"), 1, 2))
+      .localCheckpoint()
     val bktTotals = docs.groupBy(col("source"), col("bkt"))
       .agg(sum(col("n_toks")).as("bkt_toks"))
     val wBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
@@ -683,8 +697,10 @@ object Curation {
     * output ∝ epochs, the corpus itself never shuffles.
     */
   def corpusUpsample(spark: SparkSession, dir: String, targetFactor: Int = 2): DataFrame = {
+    // same one-pass cut as [[corpusMix]]
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+      .localCheckpoint()
     val perSource = docs.groupBy(col("source")).agg(sum(col("n_toks")).as("src_toks"))
     val global = perSource.agg(
       (max(col("src_toks")) * targetFactor).as("target"))
@@ -732,8 +748,10 @@ object Curation {
     * filter; the corpus itself never shuffles.
     */
   def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    // same one-pass cut as [[corpusMix]]
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_toks"))
+      .localCheckpoint()
     val perSource = docs.groupBy(col("source"))
       .agg(sum(col("n_toks")).as("src_toks"))
       // α = 1/2 share weight, quantized so the cross-source sum is exact
@@ -775,11 +793,14 @@ object Curation {
     * shuffles.
     */
   def langMix(spark: SparkSession, dir: String): DataFrame = {
+    // same one-pass cut as [[corpusMix]] — langid is the priciest
+    // projection in the family, so the cut saves the most here
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
       .select(col("doc_id"),
         TextAnalysis.predLangExpr(col("text"), col("tk")).as("pred_lang"),
         size(col("tk")).as("n_toks"))
+      .localCheckpoint()
     val perLang = docs.groupBy(col("pred_lang"))
       .agg(sum(col("n_toks")).as("src_toks"))
       .withColumn("w_q",

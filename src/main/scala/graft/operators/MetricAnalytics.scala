@@ -505,13 +505,26 @@ object MetricAnalytics {
     // carry the column.
     val cols = Seq(col("service_name"), col("point_count"),
       col("bucket_counts"), col("explicit_bounds"))
+    // the source frame is referenced by BOTH temporality branches, and
+    // the merged series×points frame by the bucket fold AND the totals
+    // aggregate — without a cut, every reference re-expands the whole
+    // upstream subtree (for the lake twin: 4 full scans + keep-set
+    // semi-joins, 56 Exchange nodes measured). Project to exactly the
+    // consumed columns, then materialize ONCE per invocation
+    // (localCheckpoint — recomputed every call, nothing persists
+    // across runs); the points frame is series-cardinality
+    // control-plane, so the checkpoint is KB-scale.
+    val narrowed = points.select(
+      (cols ++ (if (points.columns.contains("temporality"))
+        Seq(col("temporality"), col("timestamp")) else Nil)): _*)
+      .localCheckpoint()
     val merged =
-      if (!points.columns.contains("temporality")) points.select(cols: _*)
+      if (!narrowed.columns.contains("temporality")) narrowed.select(cols: _*)
       else {
-        val deltas = points
+        val deltas = narrowed
           .filter(col("temporality") === 1)
           .select(cols: _*)
-        val latestCum = points
+        val latestCum = narrowed
           .filter(col("temporality").isNull || col("temporality") =!= 1)
           .groupBy(col("service_name"))
           .agg(max(struct(col("timestamp"), col("point_count").as("point_count"),
@@ -523,11 +536,13 @@ object MetricAnalytics {
         deltas.unionByName(latestCum)
       }
     // bucket counts land as a JSON array of STRINGS (OTLP writes
-    // fixed64 as strings) — parse as strings, cast the array to longs
+    // fixed64 as strings) — parse as strings, cast the array to longs;
+    // one more cut: `parsed` feeds the bucket fold and the totals agg
     val parsed = merged.select(col("service_name"), col("point_count"),
       from_json(col("bucket_counts"), ArrayType(StringType))
         .cast("array<long>").as("counts"),
       from_json(col("explicit_bounds"), ArrayType(DoubleType)).as("bounds"))
+      .localCheckpoint()
     val buckets = parsed
       .select(col("service_name"), col("bounds"),
         posexplode(col("counts")).as(Seq("i", "cnt")))

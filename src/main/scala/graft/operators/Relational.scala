@@ -194,7 +194,16 @@ object Relational {
   def q15TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val byRev = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("revenue").desc, col("l_partkey"))
+    // ONE exchange establishes the supplier clustering for BOTH the
+    // (supp, part) aggregate (hash(suppkey) co-locates every pair of a
+    // supplier, satisfying the agg's ClusteredDistribution) and the
+    // rank window — the unhinted plan paid a second full-width
+    // exchange between them. Keyless of a count: partitions follow
+    // spark.sql.shuffle.partitions, scale-adaptive as before.
     Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(m2(sum(discPrice)).as("revenue"))
       .withColumn("rnk", row_number().over(byRev))
@@ -242,7 +251,13 @@ object Relational {
     * formulation, verified against the same oracle.
     */
   def q20TopKCustom(spark: SparkSession, dir: String): DataFrame = {
+    // same single-exchange discipline as [[q15TopNPerGroup]]: the
+    // supplier clustering serves the aggregate AND TopKPerGroupExec's
+    // ClusteredDistribution(l_suppkey), so the plan keeps one Exchange
     val aggregated = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(m2(sum(discPrice)).as("revenue"))
     graft.plans.TopK.perGroup(aggregated,

@@ -369,28 +369,33 @@ object TraceAnalytics {
     * Oracle: DuckDB recursive CTE replays the same walk.
     */
   def criticalPath(spark: SparkSession, dir: String): DataFrame = {
+    // The synthesis' heap keys make every span's ENTIRE ancestor set a
+    // pure projection — idx, idx÷2, …, 1 is just idx right-shifted by
+    // k = 0..⌊log₂ idx⌋ — so the ⌈log₂ depth⌉ iterative join rounds
+    // (r17 shape: one job + checkpoint per round) collapse into ONE
+    // generate + equi-join + aggregate pass: explode each span into
+    // its ≤ ⌊log₂ idx⌋+1 ancestor indices (shift-and-filter, no FP
+    // log), fetch each ancestor's duration with a single
+    // (trace_id, anc) join, and sum per span. Same O(N·log depth)
+    // rows as the walk shuffled across rounds, but one shuffle stage
+    // instead of log₂(depth) sequential barriers. The single
+    // repartition on trace_id co-partitions the checkpointed frame
+    // for BOTH join sides AND both aggregates (hash(trace_id)
+    // satisfies every downstream clustering), so the join and the
+    // aggregates add no exchange.
     val s = spans(spark, dir)
       .select(col("trace_id"), col("idx"), col("dur_ms"))
-      .localCheckpoint() // reused every round; cut the lineage once
-    // empty corpus: max(idx) aggregates to NULL — one round over the
-    // empty frame yields the correctly-typed empty result
-    val maxRow = s.agg(max(col("idx"))).head()
-    val maxIdx = if (maxRow.isNullAt(0)) 1 else maxRow.getInt(0)
-    val rounds = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxIdx.toLong))
-    var walk = s.select(col("trace_id"), col("idx"),
-      col("dur_ms").as("path_ms"), col("idx").as("cur"))
-    for (_ <- 1 until rounds) {
-      // advance cursors still above the root one hop; spans already
-      // at the root pass through unchanged
-      val live = walk.filter(col("cur") > 1)
-        .withColumn("pcur", (col("cur") / 2).cast("int"))
-        .join(s.select(col("trace_id"), col("idx").as("pcur"),
-          col("dur_ms").as("p_ms")), Seq("trace_id", "pcur"))
-        .select(col("trace_id"), col("idx"),
-          (col("path_ms") + col("p_ms")).as("path_ms"), col("pcur").as("cur"))
-      walk = live.unionByName(walk.filter(col("cur") === 1)).localCheckpoint()
-    }
-    walk.groupBy(col("trace_id"))
+      .repartition(col("trace_id"))
+      .localCheckpoint() // materialized once; both join sides read it
+    val hops = s.select(col("trace_id"), col("idx"),
+        explode(sequence(lit(0), lit(31))).as("k"))
+      .withColumn("anc", expr("shiftright(idx, k)"))
+      .filter(col("anc") >= 1)
+    hops.join(s.select(col("trace_id"), col("idx").as("anc"),
+        col("dur_ms")), Seq("trace_id", "anc"))
+      .groupBy(col("trace_id"), col("idx"))
+      .agg(sum(col("dur_ms")).as("path_ms"))
+      .groupBy(col("trace_id"))
       .agg(max(col("path_ms")).as("critical_ms"), count(lit(1)).as("n_spans"))
       .orderBy(col("trace_id"))
   }
@@ -409,24 +414,37 @@ object TraceAnalytics {
     * garbage (2^40 depth covers any real trace).
     */
   def criticalPathOf(model: DataFrame, maxRounds: Int = 40): DataFrame = {
-    var state = model.select(col("trace_id"), col("__key"),
-        col("__pkey").as("jump"),
-        coalesce(col("dur_ms"), lit(0L)).as("acc"))
-      .localCheckpoint()
+    // the open-pointer count rides the materializing localCheckpoint
+    // action itself (the [[Hierarchy.depths]] observe discipline) —
+    // ONE job per jump round instead of checkpoint + a separate
+    // limit(1).count probe; the seed's single repartition on trace_id
+    // co-partitions every round's self-join (hash(trace_id) satisfies
+    // the (trace_id, jump) clustering on both sides, and projections
+    // preserve it through each checkpoint), so no round exchanges
+    def checkpointWithOpen(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val out = df
+        .observe(obs, sum(when(col("jump").isNotNull, 1L).otherwise(0L)).as("open"))
+        .localCheckpoint()
+      (out, obs.get("open").asInstanceOf[Long])
+    }
+    var (state, open) = checkpointWithOpen(
+      model.select(col("trace_id"), col("__key"),
+          col("__pkey").as("jump"),
+          coalesce(col("dur_ms"), lit(0L)).as("acc"))
+        .repartition(col("trace_id")), "cp_seed")
     var rounds = 0
-    var open = state.filter(col("jump").isNotNull).limit(1).count() > 0
-    while (open && rounds < maxRounds) {
+    while (open > 0 && rounds < maxRounds) {
       rounds += 1
       val hop = state.select(col("trace_id"), col("__key").as("jump"),
         col("jump").as("__jump2"), col("acc").as("__acc2"))
-      state = state.join(hop, Seq("trace_id", "jump"), "left")
+      val r = checkpointWithOpen(state.join(hop, Seq("trace_id", "jump"), "left")
         .select(col("trace_id"), col("__key"),
           // matched: advance to the parent's jump (doubling); missed
           // (complete, or dangling parent): terminate
           when(col("__acc2").isNotNull, col("__jump2")).as("jump"),
-          (col("acc") + coalesce(col("__acc2"), lit(0L))).as("acc"))
-        .localCheckpoint()
-      open = state.filter(col("jump").isNotNull).limit(1).count() > 0
+          (col("acc") + coalesce(col("__acc2"), lit(0L))).as("acc")), s"cp_jump$rounds")
+      state = r._1; open = r._2
     }
     state.groupBy(col("trace_id"))
       .agg(max(col("acc")).as("critical_ms"), count(lit(1)).as("n_spans"))

@@ -116,17 +116,19 @@ object TrainPrep {
     * inverted-index aggregation (no suffix arrays, no quadratic work).
     */
   def dedupPhrases(spark: SparkSession, dir: String, minDocs: Int = 2): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    tok
-      .select(col("doc_id"), col("w"),
-        lead(col("w"), 1).over(win).as("w1"), lead(col("w"), 2).over(win).as("w2"),
-        lead(col("w"), 3).over(win).as("w3"), lead(col("w"), 4).over(win).as("w4"))
-      .filter(col("w4").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"), col("w4")).as("s"))
-      .distinct()
+    // shingling is MAP-ONLY (the [[lineFrame]] slice/transform lesson):
+    // the 5-gram windows come from `slice` over the token array and the
+    // within-document dedup from `array_distinct` BEFORE the explode —
+    // no posexplode + lead() window pass, so the hash(doc_id) exchange
+    // + sort and the (doc, shingle) distinct exchange both disappear.
+    // One exchange remains: the document-frequency aggregate on `s`
+    // (same rows as before — array_distinct ≡ the old per-doc DISTINCT).
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(array_distinct(expr(
+        """transform(sequence(0, size(t) - 5),
+          |  j -> array_join(slice(t, j + 1, 5), ' '))""".stripMargin))).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("s"))
@@ -153,10 +155,14 @@ object TrainPrep {
     * groupBy(doc). Nothing quadratic; N crosses as a broadcast scalar.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // `tf` feeds the model side (`freq`, and `n` through it) AND the
+    // scoring join — one cut = one tokenize pass instead of three
+    // (the [[bigramLogprob]] discipline), recomputed per invocation
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c_dw"))
+      .localCheckpoint()
     val freq = tf.groupBy(col("w")).agg(sum(col("c_dw")).as("c_w"))
     val n = freq.agg(sum(col("c_w")).as("n_total"))
     tf.join(freq, "w")
@@ -448,12 +454,20 @@ object TrainPrep {
     */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    // `bg` feeds THREE consumers (itself, `pair`, and `ctx` via pair) —
+    // uncut, each re-runs the tokenize+window corpus pass (the plan
+    // showed the scan tripled). One localCheckpoint makes the "model
+    // tables derive from IT" shape real: ONE corpus pass, recomputed
+    // per invocation (nothing persists across runs). The (doc, bigram)
+    // frame is the window's hash(doc_id) partitioning, so the final
+    // doc aggregate needs no exchange either.
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
       .withColumn("w2", lead(col("w"), 1).over(win))
       .filter(col("w2").isNotNull)
       .groupBy(col("doc_id"), col("w"), col("w2"))
       .agg(count(lit(1)).as("c_dab"))
+      .localCheckpoint()
     val pair = bg.groupBy(col("w"), col("w2")).agg(sum(col("c_dab")).as("c2"))
     val ctx = pair.groupBy(col("w")).agg(sum(col("c2")).as("c1"))
     bg.join(pair, Seq("w", "w2")).join(ctx, Seq("w"))
@@ -489,6 +503,12 @@ object TrainPrep {
     */
   def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    // same one-pass discipline as [[bigramLogprob]]: `tg` feeds the
+    // model side AND the scoring join, and `tri` feeds FOUR marginal
+    // tables + the total — uncut, every consumer re-ran the corpus
+    // tokenize+window pass (6 scans in the measured plan). Two
+    // KB-to-MB-scale cuts make the whole model one aggregation tree
+    // over one corpus pass, recomputed per invocation.
     val tg = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
       .withColumn("w2", lead(col("w"), 1).over(win))
@@ -496,8 +516,10 @@ object TrainPrep {
       .filter(col("w3").isNotNull)
       .groupBy(col("doc_id"), col("w"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val tri = tg.filter(col("doc_id") % 2 === 0)
       .groupBy(col("w"), col("w2"), col("w3")).agg(sum(col("k")).as("c3"))
+      .localCheckpoint()
     val ctx2 = tri.groupBy(col("w"), col("w2")).agg(sum(col("c3")).as("n3"))
     val bi = tri.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("b2"))
     val ctx1 = bi.groupBy(col("w2")).agg(sum(col("b2")).as("n1"))

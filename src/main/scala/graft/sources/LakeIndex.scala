@@ -51,7 +51,11 @@ object LakeIndex {
     val registered = LogSync.registeredDataPaths(spark, root)
     val already =
       if (hasIndex(spark, root, idxName))
-        spark.read.parquet(indexPath(root, idxName)).select(col("path"))
+        // sidecar registries are file-count-cardinality and mutate only
+        // by appending parts — served driver-resident under the same
+        // listing-signature cache as the manifests (LogSync.servedRegistry)
+        LogSync.servedRegistry(spark, indexPath(root, idxName))(
+          spark.read.parquet(indexPath(root, idxName))).select(col("path"))
       else registered.limit(0)
     registered.join(already, Seq("path"), "left_anti").as[String].collect()
   }
@@ -101,7 +105,8 @@ object LakeIndex {
     require(hasIndex(spark, root, column),
       s"no $column index under $root — run LakeIndex.build first")
     val manifest = LogSync.registeredDataPaths(spark, root)
-    val idx = spark.read.parquet(indexPath(root, column))
+    val idx = LogSync.servedRegistry(spark, indexPath(root, column))(
+      spark.read.parquet(indexPath(root, column)))
     manifest.join(idx, Seq("path"), "left").filter(bloomKeep(values))
   }
 
@@ -204,7 +209,8 @@ object LakeIndex {
     require(hasIndex(spark, root, tokIdxName(column)),
       s"no token index on $column under $root — run LakeIndex.buildTokens first")
     val manifest = LogSync.registeredDataPaths(spark, root)
-    val idx = spark.read.parquet(indexPath(root, tokIdxName(column)))
+    val idx = LogSync.servedRegistry(spark, indexPath(root, tokIdxName(column)))(
+      spark.read.parquet(indexPath(root, tokIdxName(column))))
     val keep = terms
       .map(t => col("bloom").isNull ||
         call_function("graft_bloom_any", col("bloom"), array(xxhash64(lit(t)))))

@@ -414,8 +414,10 @@ object LogSync {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], manifestSchema)
 
   private[sources] def manifestDf(spark: SparkSession, root: String): DataFrame =
-    if (hasManifest(spark, root)) readManifestDir(spark, manifestPath(spark, root))
-    else emptyManifest(spark)
+    if (hasManifest(spark, root)) {
+      val path = manifestPath(spark, root)
+      servedRegistry(spark, path)(readManifestDir(spark, path))
+    } else emptyManifest(spark)
 
   // ---- position-delete sidecar (merge-on-read row deletes) ----
 
@@ -490,11 +492,13 @@ object LogSync {
   // place) + null backfill, same discipline as [[readManifestDir]]
   private[graft] def deleteManifestDf(spark: SparkSession, root: String): DataFrame =
     if (hasDeleteManifest(spark, root)) {
-      val m = spark.read.option("mergeSchema", "true")
-        .parquet(deleteManifestPath(spark, root))
-      deleteManifestSchema.fields.drop(5).foldLeft(m) { (df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      val path = deleteManifestPath(spark, root)
+      servedRegistry(spark, path) {
+        val m = spark.read.option("mergeSchema", "true").parquet(path)
+        deleteManifestSchema.fields.drop(5).foldLeft(m) { (df, f) =>
+          if (df.columns.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
       }
     } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deleteManifestSchema)
@@ -957,6 +961,73 @@ object LogSync {
   private val manifestCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
+  // newest (listing signature, merged schema, collected rows) per
+  // REGISTRY DIR — the driver-resident registry cache behind
+  // [[servedRegistry]]; one entry per registry dir this JVM has read,
+  // replaced wholesale whenever the dir's listing changes
+  private val registryRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, StructType, Array[Row])]()
+
+  /** Byte ceiling (compressed parquet, from the dir listing) under
+    * which a registry dir is served driver-resident by
+    * [[servedRegistry]]. ~32 MB of manifest parquet is roughly the
+    * 300k-file mark — comfortably driver-held (the delete-entry
+    * crossing already budgets 1M rows ≈ 0.5 GB); past it every read
+    * falls back to the distributed scan, the correct shape once the
+    * registry itself is data-scale. Conf-tunable so specs can force
+    * the fallback and assert both paths agree.
+    */
+  private[sources] def registryDriverCacheMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.lake.registryDriverCacheMaxBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+
+  /** Serve a SMALL registry dir (data manifest / delete registry) as a
+    * driver-resident LocalRelation, collected ONCE per (dir, listing
+    * signature) and re-served until the listing changes — the same
+    * invalidation discipline as [[manifestRowCount]]'s count cache
+    * (any append renames a fresh part in, any rewrite swaps the
+    * version dir, so every mutation changes the signature).
+    *
+    * Why: the registry is control-plane metadata consulted by EVERY
+    * read (`table`/`tableAsOf`/`tableSince`/stream offsets — typically
+    * 2-4 reads per query), and a `spark.read.parquet` of a KB-scale
+    * dir costs a full scan job (~0.25 s of scheduler + footer latency
+    * per read, measured). Iceberg/Delta hold exactly this metadata
+    * driver-side; a LocalRelation additionally lets the keep-set
+    * semi-join broadcast without any scan job. Registries past
+    * [[registryDriverCacheMaxBytes]] keep the distributed path
+    * unchanged (size-guarded, like every other control-plane
+    * crossing). Rows are plain values, so entries are safely shared
+    * across sessions; a get/put race costs at most a duplicate
+    * collect, and sig-keying keeps either result valid.
+    */
+  private[sources] def servedRegistry(spark: SparkSession, dirStr: String)
+                            (read: => DataFrame): DataFrame = {
+    val dir = new Path(dirStr)
+    val (sig, bytes) =
+      try {
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ls = fs.listStatus(dir)
+        (ls.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(dirStr + "|", "|", ""),
+          ls.map(_.getLen).sum)
+      } catch {
+        // an unlistable dir never caches
+        case _: java.io.IOException => (null, Long.MaxValue)
+      }
+    if (sig == null || bytes > registryDriverCacheMaxBytes(spark)) return read
+    val prev = registryRowsCache.get(dirStr)
+    val (schema, rows) =
+      if (prev != null && prev._1 == sig) (prev._2, prev._3)
+      else {
+        val df = read
+        val collected = df.collect()
+        registryRowsCache.put(dirStr, (sig, df.schema, collected))
+        (df.schema, collected)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
+  }
+
   /** TOTAL manifest row count (active + tombstoned) — an UPPER BOUND
     * on every manifest-derived relation's cardinality (keep-sets,
     * seq-attach), used ONLY to pick broadcast vs shuffle. Both join
@@ -1037,6 +1108,35 @@ object LogSync {
     * Both sides are sized by the DELETED population (manifest
     * `bytes`): broadcast under the cap, shuffle past it.
     */
+  // newest collected (file, pos) key sets per DELETE-FILE PATH LIST —
+  // delete files are immutable once registered (rewrites mint fresh
+  // UUID paths), so the path+bytes list fully identifies the content
+  // and no mtime probe is needed
+  private val posDeleteKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Array[Row])]()
+
+  /** The (file, pos) key relation of a position-delete entry set,
+    * served driver-resident under [[registryDriverCacheMaxBytes]] —
+    * the [[servedRegistry]] discipline applied to the OTHER per-read
+    * control-plane scan: every read of a lake carrying MOR deletes
+    * paid a `spark.read` job (~0.25 s measured) to re-fetch the same
+    * immutable KB-scale key files. Past the cap the distributed scan
+    * runs unchanged (deletions at data scale keep the data-plane
+    * shape).
+    */
+  private def posDeleteKeys(spark: SparkSession, poss: Seq[DeleteEntry]): DataFrame = {
+    def read: DataFrame = spark.read.parquet(poss.map(_.path): _*)
+      .select(normPath(col("file_path")).as("__del_file"),
+        col("pos").cast("long").as("__del_pos"))
+    if (poss.map(_.bytes).sum > registryDriverCacheMaxBytes(spark)) return read
+    val key = poss.map(e => s"${e.path}:${e.bytes}").sorted.mkString("|")
+    val (schema, rows) = posDeleteKeyCache.computeIfAbsent(key, { _ =>
+      val df = read
+      (df.schema, df.collect())
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
+  }
+
   private[sources] def applyDeletes(spark: SparkSession, df: DataFrame,
                                     root: String,
                                     entries: Seq[DeleteEntry],
@@ -1049,9 +1149,7 @@ object LogSync {
     val posApplied =
       if (poss.isEmpty) df
       else {
-        val delRows = spark.read.parquet(poss.map(_.path): _*)
-          .select(normPath(col("file_path")).as("__del_file"),
-            col("pos").cast("long").as("__del_pos"))
+        val delRows = posDeleteKeys(spark, poss)
         // an evolved caller pre-materializes the ordinal (its alias
         // fold ended `_metadata` resolution); everyone else resolves
         // it here
