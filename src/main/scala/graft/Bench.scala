@@ -60,6 +60,9 @@ object Bench {
     // dedup_semantic / contamination_semantic measure assignment +
     // within-cell verification, not the shared one-time training
     warm("sem_cells")(graft.operators.Clustering.centroids(spark, sfDir, 16))
+    // ...and emb_kmeans' k=8 model (assignment counts under the
+    // (iters−1)-update centroids — see Clustering.kmeansAssign)
+    warm("kmeans_cells")(graft.operators.Clustering.centroids(spark, sfDir, 8, 4))
     // persist the per-cell PQ codes once so ann_ivfpq measures the
     // probed ADC scan + rerank, not the one-time encode write
     warm("ivfpq")(graft.operators.IvfIndex.ensurePq(spark, sfDir))

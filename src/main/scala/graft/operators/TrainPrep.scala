@@ -63,19 +63,34 @@ object TrainPrep {
     * values flag boilerplate/spam that length and stopword gates miss.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val bg = tok
-      .withColumn("w2", lead(col("w"), 1).over(win))
-      .filter(col("w2").isNotNull)
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(concat_ws(" ", col("w"), col("w2"))).as("d_bg"),
-        count(lit(1)).as("n_bg"))
-    val wc = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_wc"), sum(col("c")).as("n_words"))
-    wc.join(bg, Seq("doc_id"))
+    // MAP-ONLY: both signals are per-document functions of the token
+    // array, so the r17 shape (posexplode → doc-keyed window for
+    // bigrams + two doc-keyed aggregates + a join — two exchanges of
+    // corpus-token rows) collapses into one codegen'd projection:
+    // bigrams via slice-free `transform` over positions, distinct via
+    // `array_distinct`, and the top-word count as the longest run of a
+    // SORTED copy (O(n log n) per doc, no per-word join). Rows with
+    // < 2 tokens drop exactly as before (the bigram side's inner join
+    // excluded them). Zero shuffles before the output sort; the same
+    // arithmetic produces the same rounded fractions.
+    val maxRun =
+      """aggregate(array_sort(t),
+        |  named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT),
+        |               'm', CAST(0 AS BIGINT)),
+        |  (a, x) -> named_struct(
+        |    'p', x,
+        |    'r', IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)),
+        |    'm', GREATEST(a.m, IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)))),
+        |  a -> a.m)""".stripMargin
+    val bgs = "transform(sequence(0, size(t) - 2), j -> concat(t[j], ' ', t[j + 1]))"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        expr(maxRun).as("max_wc"),
+        size(col("t")).cast("long").as("n_words"),
+        expr(s"size(array_distinct($bgs))").cast("long").as("d_bg"),
+        (size(col("t")) - 1).cast("long").as("n_bg"))
       .select(col("doc_id"),
         round(col("max_wc").cast("double") / col("n_words"), 4).as("top_word_frac"),
         round(lit(1.0) - col("d_bg").cast("double") / col("n_bg"), 4).as("dup_2gram_frac"),
@@ -155,14 +170,10 @@ object TrainPrep {
     * groupBy(doc). Nothing quadratic; N crosses as a broadcast scalar.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // `tf` feeds the model side (`freq`, and `n` through it) AND the
-    // scoring join — one cut = one tokenize pass instead of three
-    // (the [[bigramLogprob]] discipline), recomputed per invocation
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c_dw"))
-      .localCheckpoint()
     val freq = tf.groupBy(col("w")).agg(sum(col("c_dw")).as("c_w"))
     val n = freq.agg(sum(col("c_w")).as("n_total"))
     tf.join(freq, "w")
@@ -454,20 +465,12 @@ object TrainPrep {
     */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    // `bg` feeds THREE consumers (itself, `pair`, and `ctx` via pair) —
-    // uncut, each re-runs the tokenize+window corpus pass (the plan
-    // showed the scan tripled). One localCheckpoint makes the "model
-    // tables derive from IT" shape real: ONE corpus pass, recomputed
-    // per invocation (nothing persists across runs). The (doc, bigram)
-    // frame is the window's hash(doc_id) partitioning, so the final
-    // doc aggregate needs no exchange either.
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
       .withColumn("w2", lead(col("w"), 1).over(win))
       .filter(col("w2").isNotNull)
       .groupBy(col("doc_id"), col("w"), col("w2"))
       .agg(count(lit(1)).as("c_dab"))
-      .localCheckpoint()
     val pair = bg.groupBy(col("w"), col("w2")).agg(sum(col("c_dab")).as("c2"))
     val ctx = pair.groupBy(col("w")).agg(sum(col("c2")).as("c1"))
     bg.join(pair, Seq("w", "w2")).join(ctx, Seq("w"))
@@ -503,12 +506,6 @@ object TrainPrep {
     */
   def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    // same one-pass discipline as [[bigramLogprob]]: `tg` feeds the
-    // model side AND the scoring join, and `tri` feeds FOUR marginal
-    // tables + the total — uncut, every consumer re-ran the corpus
-    // tokenize+window pass (6 scans in the measured plan). Two
-    // KB-to-MB-scale cuts make the whole model one aggregation tree
-    // over one corpus pass, recomputed per invocation.
     val tg = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
       .withColumn("w2", lead(col("w"), 1).over(win))
@@ -516,10 +513,8 @@ object TrainPrep {
       .filter(col("w3").isNotNull)
       .groupBy(col("doc_id"), col("w"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
     val tri = tg.filter(col("doc_id") % 2 === 0)
       .groupBy(col("w"), col("w2"), col("w3")).agg(sum(col("k")).as("c3"))
-      .localCheckpoint()
     val ctx2 = tri.groupBy(col("w"), col("w2")).agg(sum(col("c3")).as("n3"))
     val bi = tri.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("b2"))
     val ctx1 = bi.groupBy(col("w2")).agg(sum(col("b2")).as("n1"))

@@ -123,6 +123,32 @@ object IcebergExport {
     else p
   }
 
+  // newest (schema, rows) per DELETE-FILE uri:length — delete files
+  // are immutable once written (rewrites mint fresh names), so the
+  // pair fully identifies content. The LogSync.servedRegistry
+  // discipline applied to the chain reader's per-file delete scans:
+  // each readChain over a table with deletes paid one spark.read job
+  // per delete file per query; under the registry byte cap the rows
+  // are collected once per JVM and served as a LocalRelation, past it
+  // the distributed scan runs unchanged.
+  private val deleteFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]()
+
+  private def readDeleteFile(spark: SparkSession, uri: String): DataFrame = {
+    val p = new Path(fileUri(uri))
+    val len =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => Long.MaxValue }
+    if (len > LogSync.registryDriverCacheMaxBytes(spark))
+      return spark.read.parquet(fileUri(uri))
+    val (schema, rows) = deleteFileCache.computeIfAbsent(s"$uri:$len", { _ =>
+      val df = spark.read.parquet(fileUri(uri))
+      (df.schema, df.collect())
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
+  }
+
   /** Hive `k=v` segments of a file path relative to the lake root, in
     * path order (URI paths compared scheme-free, so any FS works).
     */
@@ -2338,7 +2364,7 @@ object IcebergExport {
                 (if (bound) transformLit(f, d.partValues.flatMap(_.get(p)).orNull)
                  else transformLit(f, null)).as(s"__gdp_$p"))
             }
-            spark.read.parquet(fileUri(d.uri))
+            readDeleteFile(spark, d.uri)
               .select(cols.map(c => col(c).as(s"__gd_$c")) ++ scope ++
                 Seq(lit(d.seq).as("__graft_dseq")): _*)
           }.reduce(_ unionByName _)
@@ -2363,7 +2389,7 @@ object IcebergExport {
       // literal (delete-file count is control-plane)
       if (posDeletes.isEmpty) eqApplied else {
         val posRows = posDeletes.map { d =>
-          spark.read.parquet(fileUri(d.uri))
+          readDeleteFile(spark, d.uri)
             .select(LogSync.normPath(col("file_path")).as("__gd_file"),
               col("pos").cast(LongType).as("__gd_pos"),
               lit(d.seq).as("__graft_dseq"))

@@ -25,61 +25,49 @@ object R18Probe {
       val t0 = System.nanoTime()
       val r = f
       val s = r match { case n: Long => s"(rows=$n)"; case _ => "" }
-      println(f"[r18] $name%-36s ${(System.nanoTime() - t0) / 1e9}%6.2f s  $s")
+      println(f"[r18] $name%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s  $s")
     }
-    // warm shared fixtures exactly like Bench does for the ones probed
-    graft.operators.LakeAnalytics.lakeRoot(spark, sfDir)
-    val streamRoot = {
-      val m = classOf[graft.operators.LakeAnalytics.type]
-      graft.operators.LakeAnalytics.streamLakeRoot(spark, sfDir)
-    }
-    t("warm: streamReadSeverity #1")(
-      graft.operators.LakeAnalytics.streamReadSeverity(spark, sfDir).count())
+    // warm the fixtures
+    t("warm lake_evolve #1")(
+      graft.operators.LakeAnalytics.evolveSeverity(spark, sfDir).count())
+    t("warm lake_iceberg_eqdml #1")(
+      graft.operators.LakeAnalytics.eqMorSeverity(spark, sfDir).count())
 
-    // ---- lake_stream_read phases ----
-    t("schema = LogSync.table(...).schema") {
-      graft.sources.LogSync.table(spark, streamRoot).schema; 0L
+    val evolveRoot = graft.operators.LakeAnalytics.evolveRoot(spark, sfDir)
+    t("evolve: snapshots()") {
+      graft.sources.IcebergExport.snapshots(spark, evolveRoot).length.toLong
     }
-    t("schema again (2nd)") {
-      graft.sources.LogSync.table(spark, streamRoot).schema; 0L
+    t("evolve: resolveChain only") {
+      graft.sources.IcebergExport.resolveChain(spark,
+        new org.apache.hadoop.fs.Path(s"$evolveRoot/_iceberg/metadata")).files.length.toLong
     }
-    t("manifestDf.count")(
-      graft.sources.LogSync.manifest(spark, streamRoot).count())
-    t("manifestDf.count 2nd")(
-      graft.sources.LogSync.manifest(spark, streamRoot).count())
-    t("batch table().count")(
-      graft.sources.LogSync.table(spark, streamRoot).count())
-    t("batch table().count 2nd")(
-      graft.sources.LogSync.table(spark, streamRoot).count())
-    t("tableSince(epoch) agg count") {
-      graft.sources.LogSync.tableSince(spark, streamRoot,
-        new java.sql.Timestamp(0L))
-        .groupBy(col("service_name"), col("severity_text"))
-        .agg(count(lit(1))).count()
-    }
-    t("streamReadSeverity full #2")(
-      graft.operators.LakeAnalytics.streamReadSeverity(spark, sfDir).count())
-    t("streamReadSeverity full #3")(
-      graft.operators.LakeAnalytics.streamReadSeverity(spark, sfDir).count())
+    t("evolve: readTable cur count")(
+      graft.sources.IcebergExport.readTable(spark, evolveRoot).count())
+    t("evolve: readTable cur count 2nd")(
+      graft.sources.IcebergExport.readTable(spark, evolveRoot).count())
+    t("evolve: full query #2")(
+      graft.operators.LakeAnalytics.evolveSeverity(spark, sfDir).count())
+    t("eqdml: full query #2")(
+      graft.operators.LakeAnalytics.eqMorSeverity(spark, sfDir).count())
+    t("eqdml: full query #3")(
+      graft.operators.LakeAnalytics.eqMorSeverity(spark, sfDir).count())
 
-    // ---- the plain registered lake: constant of a lake read ----
-    val lakeRoot = graft.operators.LakeAnalytics.lakeRoot(spark, sfDir)
-    t("lake severity agg #1") {
-      graft.sources.LogSync.table(spark, lakeRoot)
-        .groupBy(col("service_name"), col("severity_text"))
-        .agg(count(lit(1))).count()
-    }
-    t("lake severity agg #2") {
-      graft.sources.LogSync.table(spark, lakeRoot)
-        .groupBy(col("service_name"), col("severity_text"))
-        .agg(count(lit(1))).count()
-    }
-    t("lake plan-only (no action)") {
-      graft.sources.LogSync.table(spark, lakeRoot).queryExecution.executedPlan; 0L
-    }
-    t("lake plan-only 2nd") {
-      graft.sources.LogSync.table(spark, lakeRoot).queryExecution.executedPlan; 0L
-    }
+    t("warm corpus_pipeline #1")(
+      graft.operators.TrainPrep.pipeline(spark, sfDir).count())
+    t("pipeline: repetition only")(
+      graft.operators.TrainPrep.repetition(spark, sfDir).count())
+    t("pipeline: full #2")(
+      graft.operators.TrainPrep.pipeline(spark, sfDir).count())
+
+    t("warm lake_iceberg_rest #1")(
+      graft.operators.LakeAnalytics.icebergRestSeverity(spark, sfDir).count())
+    t("rest: full #2")(
+      graft.operators.LakeAnalytics.icebergRestSeverity(spark, sfDir).count())
+
+    t("warm lake_native_specs #1")(
+      graft.operators.LakeAnalytics.specEvolveNativeSeverity(spark, sfDir).count())
+    t("native_specs: full #2")(
+      graft.operators.LakeAnalytics.specEvolveNativeSeverity(spark, sfDir).count())
     spark.stop()
   }
 }
