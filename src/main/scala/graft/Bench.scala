@@ -142,12 +142,18 @@ object Bench {
     val prev: Map[String, Double] =
       if (java.nio.file.Files.exists(prevPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        val i = s.indexOf("\"queries\":{")
-        if (i < 0) Map.empty
-        else {
-          val body = s.substring(i + "\"queries\":{".length, s.indexOf('}', i))
-          "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // whitespace-tolerant: the curated file has been committed as
+        // `"queries": {` (space after the colon) since r15, which the
+        // old exact `indexOf("\"queries\":{")` never matched — the
+        // 1.5x-vs-baseline retry trigger was silently disabled for
+        // every run since (measurement-bug fix, declared in
+        // OPTIMIZATION_r18.md; the absolute threshold still worked)
+        "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(s) match {
+          case None => Map.empty
+          case Some(m) =>
+            val body = s.substring(m.end, s.indexOf('}', m.end))
+            "\"([A-Za-z0-9_]+)\"\\s*:\\s*([-0-9.eE+]+)".r.findAllMatchIn(body)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
         }
       } else Map.empty
     // CONTENTION EVIDENCE, inline: this VM's burst scheduler has made

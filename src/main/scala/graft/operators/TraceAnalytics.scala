@@ -142,15 +142,24 @@ object TraceAnalytics {
     * tier²-cardinality aggregate, same shape as the synthesized
     * contract twin below.
     */
-  def serviceGraphEdges(spanTable: DataFrame): DataFrame =
-    spanTable.as("c").filter(col("c.parent_span_id").isNotNull)
-      .join(spanTable.select(col("trace_id"), col("span_id").as("__psid"),
+  def serviceGraphEdges(spanTable: DataFrame): DataFrame = {
+    // SELF-JOINED — one narrow checkpoint feeds both sides instead of
+    // two full scans, and the repartition(trace_id) co-partitions the
+    // parent equi-join (the [[serviceGraph]] discipline)
+    val s = spanTable
+      .select(col("trace_id"), col("span_id"), col("parent_span_id"),
+        col("service"), col("dur_ms"))
+      .repartition(col("trace_id"))
+      .localCheckpoint()
+    s.as("c").filter(col("c.parent_span_id").isNotNull)
+      .join(s.select(col("trace_id"), col("span_id").as("__psid"),
         col("service").as("parent_service")).as("p"),
         col("c.trace_id") === col("p.trace_id") &&
           col("c.parent_span_id") === col("__psid"))
       .groupBy(col("parent_service"), col("c.service").as("service"))
       .agg(count(lit(1)).as("calls"), sum(col("c.dur_ms")).as("callee_ms"))
       .orderBy(col("parent_service"), col("service"))
+  }
 
   /** [[serviceGraphEdges]] over the OTLP-ingested span lake (the
     * `<root>/_traces` table [[graft.serving.OtlpHttp]] writes):
@@ -173,7 +182,14 @@ object TraceAnalytics {
     * low-cardinality aggregate — no per-trace driver work.
     */
   def serviceGraph(spark: SparkSession, dir: String): DataFrame = {
+    // the span model is SELF-JOINED — uncut, both sides re-ran the
+    // events scan + trace window; one narrow checkpoint (the
+    // criticalPath discipline) feeds both sides, and the single
+    // repartition(trace_id) co-partitions the parent equi-join
     val s = spans(spark, dir)
+      .select(col("trace_id"), col("idx"), col("service"), col("dur_ms"))
+      .repartition(col("trace_id"))
+      .localCheckpoint()
     s.as("c").filter(col("c.idx") > 1)
       .withColumn("pidx", (col("c.idx") / 2).cast("int"))
       .join(s.select(col("trace_id"), col("idx").as("pidx"),

@@ -62,34 +62,37 @@ object TrainPrep {
     * frequent word, and the duplicate fraction of word bigrams. High
     * values flag boilerplate/spam that length and stopword gates miss.
     */
+  // MAP-ONLY repetition signals: per-document functions of the token
+  // array `t` — the top-word count as the longest run of a SORTED copy
+  // (O(n log n) per doc, no per-word join) and bigram distinct via
+  // `transform` + `array_distinct`. Shared by [[repetition]] and
+  // [[pipeline]]'s inlined gate (valid only where size(t) >= 2).
+  private val maxRunExpr =
+    """aggregate(array_sort(t),
+      |  named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT),
+      |               'm', CAST(0 AS BIGINT)),
+      |  (a, x) -> named_struct(
+      |    'p', x,
+      |    'r', IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)),
+      |    'm', GREATEST(a.m, IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)))),
+      |  a -> a.m)""".stripMargin
+  private val bigramsExpr =
+    "transform(sequence(0, size(t) - 2), j -> concat(t[j], ' ', t[j + 1]))"
+
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    // MAP-ONLY: both signals are per-document functions of the token
-    // array, so the r17 shape (posexplode → doc-keyed window for
+    // MAP-ONLY: the r17 shape (posexplode → doc-keyed window for
     // bigrams + two doc-keyed aggregates + a join — two exchanges of
-    // corpus-token rows) collapses into one codegen'd projection:
-    // bigrams via slice-free `transform` over positions, distinct via
-    // `array_distinct`, and the top-word count as the longest run of a
-    // SORTED copy (O(n log n) per doc, no per-word join). Rows with
-    // < 2 tokens drop exactly as before (the bigram side's inner join
-    // excluded them). Zero shuffles before the output sort; the same
-    // arithmetic produces the same rounded fractions.
-    val maxRun =
-      """aggregate(array_sort(t),
-        |  named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT),
-        |               'm', CAST(0 AS BIGINT)),
-        |  (a, x) -> named_struct(
-        |    'p', x,
-        |    'r', IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)),
-        |    'm', GREATEST(a.m, IF(a.p <=> x, a.r + 1, CAST(1 AS BIGINT)))),
-        |  a -> a.m)""".stripMargin
-    val bgs = "transform(sequence(0, size(t) - 2), j -> concat(t[j], ' ', t[j + 1]))"
+    // corpus-token rows) collapses into one codegen'd projection. Rows
+    // with < 2 tokens drop exactly as before (the bigram side's inner
+    // join excluded them). Zero shuffles before the output sort; the
+    // same arithmetic produces the same rounded fractions.
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
-        expr(maxRun).as("max_wc"),
+        expr(maxRunExpr).as("max_wc"),
         size(col("t")).cast("long").as("n_words"),
-        expr(s"size(array_distinct($bgs))").cast("long").as("d_bg"),
+        expr(s"size(array_distinct($bigramsExpr))").cast("long").as("d_bg"),
         (size(col("t")) - 1).cast("long").as("n_bg"))
       .select(col("doc_id"),
         round(col("max_wc").cast("double") / col("n_words"), 4).as("top_word_frac"),
@@ -378,6 +381,15 @@ object TrainPrep {
     * own costs; Catalyst pipelines the gates into the scan.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    // the repetition gate is MAP-ONLY since this round (see
+    // [[repetition]]), so it rides the same base projection instead of
+    // a doc-keyed join — the plan loses the join and both its
+    // exchanges; the size(t) >= 2 conjunct reproduces the old inner
+    // join's drop of sub-bigram documents exactly
+    val repKeep = size(col("t")) >= 2 &&
+      (expr(maxRunExpr).cast("double") / size(col("t"))) <= 0.2 &&
+      (lit(1.0) - expr(s"size(array_distinct($bigramsExpr))").cast("double") /
+        (size(col("t")) - 1)) <= 0.3
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         toks(col("text")).as("t"),
@@ -391,9 +403,9 @@ object TrainPrep {
           array_contains(col("t"), "to").cast("int") +
           array_contains(col("t"), "and").cast("int") +
           array_contains(col("t"), "in").cast("int")).as("stop_hits"),
-        size(filter(col("t"), x => x.isInCollection(BlockWords))).as("n_flagged"))
-    val rep = repetition(spark, dir).select(col("doc_id"), col("keep").as("rep_keep"))
-    base.join(rep, "doc_id")
+        size(filter(col("t"), x => x.isInCollection(BlockWords))).as("n_flagged"),
+        repKeep.as("rep_keep"))
+    base
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(
         col("n_tokens").between(50, 100000) &&

@@ -131,6 +131,13 @@ object IcebergExport {
   // per delete file per query; under the registry byte cap the rows
   // are collected once per JVM and served as a LocalRelation, past it
   // the distributed scan runs unchanged.
+  // inferred scan schema per (md5 of the sorted explicit path set) —
+  // chain file sets are immutable (a new snapshot is a new set), so the
+  // key needs no mtime; one entry per distinct chain state read
+  private val sampledSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   private val deleteFileCache =
     new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.types.StructType,
       Array[org.apache.spark.sql.Row])]()
@@ -2093,7 +2100,22 @@ object IcebergExport {
           r.option("pathGlobFilter", "*.parquet").parquet(fileUri(scanRoot))
         case None => r.parquet(chainPaths: _*)
       }
-    val sampled = scanParquet(reader())
+    // the sampled scan's inferred schema is a pure function of the
+    // (immutable) file set — cache it per path-set so repeat chain
+    // reads skip the footer-inference job (the LogSync scan-schema
+    // discipline); the overCap root scan keeps plain inference (its
+    // file set is not driver-resident to key on)
+    val sampled = chain.scanPaths.orElse(
+        if (chain.overCap) None else Some(chainPaths)) match {
+      case Some(ps) =>
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(ps.sorted.mkString("|").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val sch = sampledSchemaCache.computeIfAbsent(key,
+          _ => scanParquet(reader()).schema)
+        scanParquet(reader().schema(sch))
+      case None => scanParquet(reader())
+    }
     val declaredMissing = chain.schemaFields.filter(f =>
       !sampled.schema.fieldNames.contains(f.name) && !identityNames.contains(f.name))
     // RENAAMED columns resolve through the spec's name-mapping: a field
