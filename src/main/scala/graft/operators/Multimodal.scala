@@ -137,8 +137,12 @@ object Multimodal {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), hamming.as("hamming"))
-      .distinct()
+      // verify-first (the Dedup.embeddingPairs rule): the hamming check
+      // is one codegen'd integer op per occurrence — run it BEFORE the
+      // dedup so the distinct exchange carries survivors only (same
+      // pair set either way)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
